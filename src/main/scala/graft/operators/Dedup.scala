@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators over a document corpus.
+  *
+  * All variants follow the same scale discipline: per-document work
+  * (tokenize, shingle, hash, signature) is a pure projection evaluated
+  * row-local with codegen'd higher-order functions — no shuffle, no UDF;
+  * the only shuffles are on compact fixed-width keys (content digest,
+  * LSH band key, simhash chunk), never on raw text. That is what keeps
+  * each of these linear at 100 TB: candidate generation is a hash
+  * join on small keys, and the quadratic pair verification only runs
+  * inside buckets.
+  *
+  * Mirrors the reference's normalized-key matching idea
+  * (`sciencebeam_parser/processors/ref_matching.py:44-64` — keys are
+  * `[^a-z0-9]`-stripped lowercase) generalized to corpus scale.
+  */
+object Dedup {
+
+  /** `[^a-z0-9]`-stripped lowercase key (ref_matching.py:19-41 semantics). */
+  def normalizedKey(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z0-9]", "")
+
+  /** Non-empty whitespace tokens. */
+  def tokensOf(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Distinct word n-gram shingles; short docs collapse to one shingle. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact duplicate groups: digest → groupBy. The digest (16 bytes)
+    * is computed map-side so the shuffle carries hashes, not text.
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+      .filter(col("n") > 1)
+
+  /** Near-dup pairs by normalized-key equality (blocking join). */
+  def normalizedKeyPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), normalizedKey(col(textCol)).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** MinHash signature: one base xxhash64 per shingle, then `numHashes`
+    * splitmix64 permutations inside the native `MinHashExpr` kernel
+    * (single child evaluation per row — see graft.functions.Sketch for
+    * why a `transform` lambda formulation is 60× slower).
+    */
+  def minHashSignature(sh: Column, numHashes: Int): Column =
+    graft.functions.Sketch.min_hash(transform(sh, x => xxhash64(x)), numHashes)
+
+  /** MinHash + LSH banding: docs sharing any band key become candidate
+    * pairs; est. Jaccard = matching signature positions / numHashes.
+    * The join key is (band, 8-byte band hash) — at 100 TB the shuffle
+    * moves `bands` small rows per doc, and AQE handles hot bands
+    * (boilerplate-heavy corpora) via skew-join splitting.
+    */
+  def minHashLshPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minHashSignature(shingles(tokensOf(col(textCol)), shingleSize), numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("doc_id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("doc_id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes, 4))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of a token array — pure row-local projection via the
+    * native `SimHashExpr` kernel. */
+  def simHash64(tokens: Column): Column =
+    graft.functions.Sketch.sim_hash(transform(tokens, t => xxhash64(t)))
+
+  /** SimHash near-dup pairs. Pigeonhole banding: split the 64-bit hash
+    * into 4 chunks of 16 bits — any pair with Hamming distance ≤ 3
+    * shares at least one exact chunk, so candidate generation is an
+    * equi-join on (chunk index, chunk value) and only candidates pay the
+    * popcount verification.
+    */
+  def simHashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for distance <= 3")
+    val sig = docs.select(col(idCol).as("id"),
+      simHash64(tokensOf(col(textCol))).as("sim"))
+    val chunked = sig.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cval")))
+    val a = chunked.select(col("chunk"), col("cval"),
+      col("id").as("doc_id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("cval"),
+      col("id").as("doc_id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("hamming",
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  // ----------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
+    * n-grams, equi-join on the gram, count intersections, join back the
+    * per-doc set sizes. At scale, grams shared by >B docs should be
+    * dropped first (stopword grams produce quadratic candidate blowup) —
+    * `maxDocFreq` does that document-frequency pruning.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 2, threshold: Double = 0.2,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val withGrams = docs.select(col(idCol).as("id"),
+      shingles(tokensOf(col(textCol)), n).as("grams"))
+    val sizes = withGrams.select(col("id"), size(col("grams")).cast("bigint").as("ng"))
+    var exploded = withGrams.select(col("id"), explode(col("grams")).as("gram"))
+    if (maxDocFreq != Long.MaxValue) {
+      val rare = exploded.groupBy("gram").count().filter(col("count") <= maxDocFreq)
+      exploded = exploded.join(rare.select("gram"), Seq("gram"), "left_semi")
+    }
+    val inter = exploded.as("a")
+      .join(exploded.as("b"), col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_id_a").withColumnRenamed("ng", "ng_a"), "doc_id_a")
+      .join(sizes.withColumnRenamed("id", "doc_id_b").withColumnRenamed("ng", "ng_b"), "doc_id_b")
+      .withColumn("j", round(col("inter").cast("double") /
+        (col("ng_a") + col("ng_b") - col("inter")), 4))
+      .filter(col("j") >= threshold)
+      .select("doc_id_a", "doc_id_b", "j")
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs: sign-LSH bucket join (Similarity.signLsh)
+    * then exact cosine only within buckets.
+    */
+  def embeddingCosinePairs(emb: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95,
+      nbits: Int = 8, seed: Long = 42L): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.signLshBucket(col(vecCol), nbits, 64, seed).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(Similarity.cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

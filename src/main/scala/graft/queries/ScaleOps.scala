@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.WordShape
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Large-scale training-data operators as declared queries (SURVEY.md
+  * §2.B Q31-Q34 + the dedup/similarity/text-analysis extensions).
+  * Oracle-hashed where DuckDB can express the identical computation;
+  * hash-based sketches (MinHash/SimHash/LSH) and float-accumulation
+  * results are rows-only / BENCH-only by design.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q31 exact dedup: duplicate text groups with keeper id. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(Tables(s, d).documents).orderBy("h")
+
+  /** Q32 near-dedup blocking by normalized key (F1 matcher analog). */
+  def q32(s: SparkSession, d: String): DataFrame =
+    Dedup.normalizedKeyPairs(Tables(s, d).documents)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** Q33 brute-force cosine top-10 vs vec_id=0 — BENCH-only (float). */
+  def q33(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables(s, d).embeddings, queryId = 0L, k = 10)
+
+  /** Q34 UDF surface: native word_shape Catalyst expression (C7). */
+  def q34(s: SparkSession, d: String): DataFrame =
+    Tables(s, d).part
+      .select(col("p_partkey"),
+        WordShape.word_shape(col("p_name")).as("shape"),
+        WordShape.word_shape(upper(col("p_brand"))).as("brand_shape"))
+      .orderBy("p_partkey")
+
+  /** Q35 exact bigram-Jaccard near-dup pairs (oracle-checkable). */
+  def q35(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(s, d).documents, n = 2, threshold = 0.2)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** Q36 MinHash+LSH near-dup candidates (sketch — rows-only check). */
+  def q36(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(Tables(s, d).documents, minEstJaccard = 0.2)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** Q37 SimHash near-dup pairs, Hamming ≤ 3 (sketch — rows-only). */
+  def q37(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(Tables(s, d).documents, maxHamming = 3)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** Q38 LSH-bucketed ANN top-5 for 4 query vectors (rows-only). */
+  def q38(s: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(Tables(s, d).embeddings, queryIds = Seq(0L, 1L, 2L, 3L), k = 5)
+      .orderBy("query_id", "rn")
+
+  /** Q39 quality scoring: length / punct / stopword ratios. */
+  def q39(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables(s, d).documents).orderBy("doc_id")
+
+  /** Q40 language ID by function-word voting. */
+  def q40(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(Tables(s, d).documents).orderBy("doc_id")
+
+  /** Q41 vocabulary fingerprint (order-insensitive dedup key). */
+  def q41(s: SparkSession, d: String): DataFrame =
+    Tables(s, d).documents
+      .select(col("doc_id"), TextAnalysis.vocabularyFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Q42 token counting: whitespace + BPE-ish subword counts. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    Tables(s, d).documents
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWhitespace(col("text")).as("ws_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Q43 embedding-cosine near-dup pairs via sign-LSH (rows-only).
+    * The synthetic embeddings are near-orthogonal (max pairwise cosine
+    * ≈ 0.51), so the "near"-threshold is set low enough to exercise the
+    * bucket-join path.
+    */
+  def q43(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingCosinePairs(Tables(s, d).embeddings, threshold = 0.35, nbits = 4)
+      .orderBy("id_a", "id_b")
+
+  /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
+    * rows-only; candidate pairs sharing ≥ 3 winnowed hashes). */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables(s, d).documents.select(col("doc_id"),
+      explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fph"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q31_dedup_exact" -> q31, "q32_dedup_near_key" -> q32,
+    "q33_vector_topk" -> q33, "q34_udf_word_shape" -> q34,
+    "q35_dedup_bigram_jaccard" -> q35, "q36_dedup_minhash_lsh" -> q36,
+    "q37_dedup_simhash" -> q37, "q38_ann_lsh" -> q38,
+    "q39_text_quality" -> q39, "q40_lang_id" -> q40,
+    "q41_fingerprint" -> q41, "q42_token_count" -> q42,
+    "q43_dedup_embedding" -> q43, "q44_winnowing" -> q44,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_dedup_exact" ->
+      """SELECT MD5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper FROM documents
+         GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""",
+    "q32_dedup_near_key" ->
+      """SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(text),'[^a-z0-9]','','g') AS k FROM documents) a
+         JOIN (SELECT doc_id, REGEXP_REPLACE(LOWER(text),'[^a-z0-9]','','g') AS k FROM documents) b
+         ON a.k = b.k AND a.doc_id < b.doc_id ORDER BY doc_id_a, doc_id_b""",
+    "q35_dedup_bigram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
+         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+         sizes AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gsets),
+         g AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_id_a, doc_id_b,
+                ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) AS j
+         FROM pairs JOIN sizes s1 ON doc_id_a = s1.doc_id
+                    JOIN sizes s2 ON doc_id_b = s2.doc_id
+         WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2
+         ORDER BY doc_id_a, doc_id_b""",
+    "q39_text_quality" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         ROUND(CAST(LENGTH(REGEXP_REPLACE(text,'[a-z0-9 ]','','g')) AS DOUBLE)
+               / LENGTH(text), 4) AS punct_ratio,
+         ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '),
+                 t -> t IN ('the','a','of','to','and','in','is','it','on','for'))) AS DOUBLE)
+               / LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '')), 4) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q40_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
+         h AS (SELECT doc_id,
+           CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','and','of','to','is','in','that','it'))) AS BIGINT) AS hits_en,
+           CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','zu'))) AS BIGINT) AS hits_de,
+           CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','les','et','est','une','dans','que'))) AS BIGINT) AS hits_fr,
+           CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','y','es','en','un','una','por'))) AS BIGINT) AS hits_es
+           FROM t)
+         SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+                WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+                WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang
+         FROM h ORDER BY doc_id""",
+    "q41_fingerprint" ->
+      """SELECT doc_id, MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+           LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(LOWER(text),'[^a-z0-9 ]','','g'),' '),
+             t -> t <> ''))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q42_token_count" ->
+      """SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+         CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
+}

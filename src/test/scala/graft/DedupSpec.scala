@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, "The Quick, Brown Fox jumps over the lazy dog again and again!"), // key-dup of 0 mod case/punct... (capitals+punct)
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the exact pair only") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n") == 2 && groups(0).getAs[Long]("keeper") == 0L)
+  }
+
+  test("normalizedKeyPairs also matches case/punctuation variants") {
+    val pairs = Dedup.normalizedKeyPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("minHashLshPairs: identical docs have est_jaccard 1.0, near-dups high") {
+    // 32 bands × 2 rows: candidate probability ≈ 1 for j ≥ 0.5 (the
+    // default 16×4 banding targets j ≥ 0.8 and misses 0.54-pairs ~25%
+    // of the time by design)
+    val pairs = Dedup.minHashLshPairs(docs, numHashes = 64, bands = 32, minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simHashPairs: identical docs at hamming 0; unrelated docs absent") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("ngramJaccardPairs: exact dup has j=1.0, maxDocFreq prunes") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("j")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+  }
+
+  test("winnowing fingerprints: dup docs share the full sketch") {
+    val fp = docs.select($"doc_id", TextAnalysis.winnowingFingerprints($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(0L) == fp(1L))
+    assert((fp(0L) & fp(3L)).isEmpty)
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val sim = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sim((0L, 1L)) == 1.0 && sim((0L, 2L)) == 0.0)
+  }
+
+  test("bruteForceTopK returns k rows ordered by cosine desc") {
+    val res = Similarity.bruteForceTopK(
+      Tables(spark, sf("0.001")).embeddings, queryId = 0L, k = 5).collect()
+    assert(res.length == 5)
+    val cs = res.map(_.getAs[Double]("cos"))
+    assert(cs.sameElements(cs.sortBy(-_)))
+  }
+
+  test("annTopK candidates are a subset of brute-force ranking domain") {
+    val res = Similarity.annTopK(Tables(spark, sf("0.001")).embeddings,
+      queryIds = Seq(0L), k = 5)
+    assert(res.count() <= 5 && res.count() > 0)
+  }
+
+  test("langId + quality + token counts are non-degenerate") {
+    val d = Tables(spark, sf("0.001")).documents
+    val q = TextAnalysis.qualityFeatures(d)
+    assert(q.filter(col("n_tokens") <= 0).count() == 0)
+    val tc = d.select(TextAnalysis.tokenCountWhitespace(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+    assert(tc.filter(col("bpe") < col("ws")).count() == 0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural checks for the declared query surface at sf0.001 — the
+  * value-level correctness gate is the driver's DuckDB oracle compare
+  * (tools/check_oracle.py runs the same compare locally at sf0.01).
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracled query has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries impl: $missing")
+  }
+
+  test("every query runs at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf("0.001")).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("q12 agg values match hand-computed slice") {
+    val li = Tables(spark, sf("0.001")).lineitem
+    val expectedN = li.filter(col("l_returnflag") === "A" && col("l_linestatus") === "F").count()
+    val got = graft.queries.Relational.q12(spark, sf("0.001"))
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .select("n").collect()
+    assert(got.length == 1 && got(0).getLong(0) == expectedN)
+  }
+
+  test("q10 as-of: every matched event has last_od <= event date") {
+    val t = Tables(spark, sf("0.001"))
+    val res = graft.queries.Relational.q10(spark, sf("0.001"))
+    val joined = res.join(t.events.select(col("event_id"), to_date(col("ts")).as("ed")), "event_id")
+    assert(joined.filter(col("last_od") > col("ed")).count() == 0)
+    assert(res.count() > 0)
+    // spot-check one event against a brute-force range-join computation
+    val brute = t.events.select(col("event_id"), col("user_id"), to_date(col("ts")).as("ed"))
+      .join(t.orders.select(col("o_custkey"), to_date(col("o_orderdate")).as("od")),
+        col("o_custkey") === col("user_id") && col("od") <= col("ed"))
+      .groupBy("event_id").agg(max("od").as("last_od"))
+    assert(res.except(brute).count() == 0 && brute.except(res).count() == 0)
+  }
+}
