@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Citation → reference content-id matching as joins (SURVEY.md F1/F2,
+  * G8; reference `processors/ref_matching.py:19-105`).
+  *
+  * The reference builds per-document dictionaries and probes them per
+  * citation; at corpus scale that is exactly an equi-join on a
+  * normalized key, with the partial matcher becoming an inverted-index
+  * token join + vote count + tie rejection. The chained matcher's
+  * early-exit (`ChainedContentIdMatcher:96-105`) becomes a `coalesce`
+  * over the staged join results — Catalyst evaluates all stages but
+  * each is a hash join on compact keys.
+  */
+object RefMatching {
+
+  /** get_normalized_key_text (ref_matching.py:19-27): lowercase,
+    * strip everything but [a-z0-9]. */
+  def normalizedKey(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z0-9]", "")
+
+  /** Token-prefix key variant (ref_matching.py:30-41): first
+    * `prefixLength` normalized tokens joined. */
+  def tokenPrefixKey(c: Column, prefixLength: Int = 2): Column =
+    concat_ws("", slice(transform(
+      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= ""), t => t), 1, prefixLength))
+
+  /** Match citations to candidate targets within each document.
+    *
+    * @param citations (doc_id, item_id, text)
+    * @param candidates (doc_id, content_id, label_text)
+    * @return (doc_id, item_id, content_id) — best match or no row
+    *
+    * Stage 1 (SimpleContentIdMatcher): exact normalized-key equi-join,
+    * then token-prefix key equi-join for the leftovers.
+    * Stage 2 (PartialContentIdMatcher): explode citation tokens against
+    * an inverted index of candidate tokens, count votes per (citation,
+    * candidate), keep the strict top-1 (ties rejected —
+    * ref_matching.py:79-93).
+    */
+  def matchContentIds(citations: DataFrame, candidates: DataFrame): DataFrame = {
+    val cit = citations.select(col("doc_id"), col("item_id"),
+      normalizedKey(col("text")).as("k1"),
+      tokenPrefixKey(col("text")).as("k2"),
+      col("text"))
+    val cand = candidates.select(col("doc_id"), col("content_id"),
+      normalizedKey(col("label_text")).as("k1"),
+      tokenPrefixKey(col("label_text")).as("k2"),
+      col("label_text"))
+
+    val exact = cit.join(cand.select(col("doc_id"), col("k1"), col("content_id").as("m1")),
+      Seq("doc_id", "k1"), "left")
+    // duplicate prefix keys: deterministic winner (the reference builds a
+    // dict in candidate order, so duplicates overwrite — max content_id
+    // is the deterministic equivalent)
+    val prefix = exact.join(
+      cand.select(col("doc_id"), col("k2"), col("content_id"))
+        .filter(col("k2") =!= "")
+        .groupBy("doc_id", "k2").agg(max(col("content_id")).as("m2")),
+      Seq("doc_id", "k2"), "left")
+
+    val direct = prefix.withColumn("content_id", coalesce(col("m1"), col("m2")))
+
+    // partial vote matching only for still-unmatched citations
+    val unmatched = direct.filter(col("content_id").isNull)
+      .select(col("doc_id"), col("item_id"), col("text"))
+    val citTokens = unmatched.select(col("doc_id"), col("item_id"),
+      explode(array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => t =!= ""))).as("tok"))
+    val candTokens = candidates.select(col("doc_id"), col("content_id"),
+      explode(array_distinct(filter(split(lower(col("label_text")), "[^a-z0-9]+"),
+        t => t =!= ""))).as("tok"))
+    val votes = citTokens.join(candTokens, Seq("doc_id", "tok"))
+      .groupBy("doc_id", "item_id", "content_id")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("doc_id", "item_id").orderBy(col("votes").desc)
+    val partial = votes
+      .withColumn("rk", rank().over(w))
+      .withColumn("nTop", count(when(col("rk") === 1, 1)).over(
+        Window.partitionBy("doc_id", "item_id")))
+      .filter(col("rk") === 1 && col("nTop") === 1) // tie → no match
+      .select(col("doc_id"), col("item_id"), col("content_id").as("m3"))
+
+    direct.select(col("doc_id"), col("item_id"), col("content_id"))
+      .join(partial, Seq("doc_id", "item_id"), "left")
+      .withColumn("content_id", coalesce(col("content_id"), col("m3")))
+      .filter(col("content_id").isNotNull)
+      .select("doc_id", "item_id", "content_id")
+      .dropDuplicates("doc_id", "item_id")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{BioSpans, Extractors, Features, RuleLabeler}
+import graft.sinks.Tei
+import graft.sources.AltoReader
+
+/** Document-pipeline operators as declared queries (SURVEY.md §2.A /
+  * §3's Spark lifecycle): ALTO → token table → features → labels →
+  * BIO spans → semantic fold → TEI.
+  *
+  * The driver's corpus has no ALTO files, so a deterministic ALTO
+  * document is synthesized per `documents` row (title block = first
+  * tokens at a larger font; body block = the rest), which lets the
+  * full pipeline run — and be benchmarked — at every scale factor.
+  * Rows-only checks (no SQL equivalent by construction); value-level
+  * pipeline correctness is covered by the ScalaTest golden/fixture
+  * suites.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Deterministic per-row ALTO synthesis (one page, two blocks). */
+  private[queries] def altoOf(docId: Long, text: String): String = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val (titleToks, bodyToks) = toks.splitAt(math.min(3, toks.length))
+    def line(ts: Seq[String], y: Int, font: String): String =
+      if (ts.isEmpty) ""
+      else {
+        val strings = ts.zipWithIndex.map { case (t, i) =>
+          s"""<String CONTENT="${xmlEscape(t)}" HPOS="${50 + i * 40}" VPOS="$y" WIDTH="36" HEIGHT="12" STYLEREFS="$font"/>"""
+        }.mkString
+        s"<TextBlock><TextLine>$strings</TextLine></TextBlock>"
+      }
+    // body split into lines of 12 tokens inside one block
+    val bodyLines = bodyToks.grouped(12).zipWithIndex.map { case (ts, li) =>
+      val strings = ts.zipWithIndex.map { case (t, i) =>
+        s"""<String CONTENT="${xmlEscape(t)}" HPOS="${50 + i * 40}" VPOS="${120 + li * 14}" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
+      }.mkString
+      s"<TextLine>$strings</TextLine>"
+    }.mkString
+    s"""<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
+       |<Styles>
+       |<TextStyle ID="font0" FONTFAMILY="Times" FONTSIZE="18.0" FONTSTYLE="bold"/>
+       |<TextStyle ID="font1" FONTFAMILY="Times" FONTSIZE="9.5" FONTSTYLE=""/>
+       |</Styles>
+       |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
+       |${line(titleToks, 60, "font0")}
+       |<TextBlock>$bodyLines</TextBlock>
+       |</PrintSpace></Page></Layout></alto>""".stripMargin
+  }
+
+  private def altoCorpus(s: SparkSession, d: String): Dataset[(Long, String)] = {
+    import s.implicits._
+    Tables(s, d).documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, t) => (id, altoOf(id, t)) }
+  }
+
+  private def tokenTable(s: SparkSession, d: String): DataFrame =
+    AltoReader.tokens(altoCorpus(s, d)).toDF()
+
+  /** P01 ALTO scan + parse + retokenize → token counts per doc. */
+  def p01(s: SparkSession, d: String): DataFrame =
+    tokenTable(s, d).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("block_idx")).as("n_blocks"))
+      .orderBy("doc_id")
+
+  /** P02 CRF feature generation over the token table (doc windows). */
+  def p02(s: SparkSession, d: String): DataFrame =
+    Features.headerFeatures(tokenTable(s, d))
+      .filter(col("doc_id") <= 5)
+      .select(col("doc_id"), col("page_idx"), col("block_idx"),
+        col("line_idx"), col("token_idx"), col("features"))
+      .orderBy("doc_id", "page_idx", "block_idx", "line_idx", "token_idx")
+
+  /** P03 label → BIO span table (rule labeler, D4 span grouping). */
+  def p03(s: SparkSession, d: String): DataFrame =
+    BioSpans.spans(new RuleLabeler().label(tokenTable(s, d)))
+      .orderBy("doc_id", "span_id")
+
+  /** P04 full slice: spans → header fold → TEI string per document. */
+  def p04(s: SparkSession, d: String): DataFrame =
+    Tei.serialize(
+      Extractors.headerSemantics(
+        BioSpans.spans(new RuleLabeler().label(tokenTable(s, d)))).toDF())
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "p01_alto_tokens" -> p01,
+    "p02_features" -> p02,
+    "p03_bio_spans" -> p03,
+    "p04_header_tei" -> p04,
+  )
+}

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+import graft.sources.AltoReader
+import graft.sinks.Tei
+
+/** Minimal end-to-end slice (SURVEY.md §7): ALTO fixture → token table →
+  * scripted labeler → BIO spans → header fold → TEI. Fixture XML is the
+  * FIXTURES.md §1 sample.
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  val altoXml: String =
+    """<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
+      |  <Styles>
+      |    <TextStyle ID="font0" FONTFAMILY="Times" FONTSIZE="18.0" FONTSTYLE="bold"/>
+      |    <TextStyle ID="font1" FONTFAMILY="Times" FONTSIZE="9.5" FONTSTYLE=""/>
+      |  </Styles>
+      |  <Layout>
+      |    <Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792">
+      |      <PrintSpace>
+      |        <TextBlock>
+      |          <TextLine>
+      |            <String CONTENT="A" HPOS="100" VPOS="60" WIDTH="14" HEIGHT="18" STYLEREFS="font0"/>
+      |            <String CONTENT="Title" HPOS="118" VPOS="60" WIDTH="48" HEIGHT="18" STYLEREFS="font0"/>
+      |          </TextLine>
+      |        </TextBlock>
+      |        <TextBlock>
+      |          <TextLine>
+      |            <String CONTENT="Jane" HPOS="100" VPOS="90" WIDTH="30" HEIGHT="10" STYLEREFS="font1"/>
+      |            <String CONTENT="Doe" HPOS="134" VPOS="90" WIDTH="26" HEIGHT="10" STYLEREFS="font1"/>
+      |          </TextLine>
+      |        </TextBlock>
+      |        <Illustration FILEID="image-1.png" TYPE="png"
+      |                      HPOS="100" VPOS="300" WIDTH="200" HEIGHT="150"/>
+      |      </PrintSpace>
+      |    </Page>
+      |  </Layout>
+      |</alto>""".stripMargin
+
+  def fixtureTokens = AltoReader.tokens(Seq((0L, altoXml)).toDS())
+
+  test("ALTO parse: tokens with fonts, coords, positional keys") {
+    val rows = fixtureTokens.collect().sortBy(t => (t.block_idx, t.token_idx))
+    assert(rows.map(_.text).toSeq == Seq("A", "Title", "Jane", "Doe"))
+    val title = rows(1)
+    assert(title.font.font_size.contains(18.0) && title.font.is_bold)
+    assert(title.coords.exists(c => c.x == 118.0 && c.page_number == 1))
+    assert(rows.map(t => (t.page_idx, t.block_idx, t.line_idx, t.token_idx)).toSeq ==
+      Seq((0, 0, 0, 0), (0, 0, 0, 1), (0, 1, 0, 0), (0, 1, 0, 1)))
+  }
+
+  test("ALTO parse: graphics") {
+    val gs = AltoReader.graphics(Seq((0L, altoXml)).toDS()).collect()
+    assert(gs.length == 1 && gs(0).file_id == "image-1.png" && gs(0).graphic_type == "png")
+  }
+
+  test("retokenization splits punctuation and pro-rates coordinates") {
+    val xml = altoXml.replace("CONTENT=\"Title\"", "CONTENT=\"Title, x\"")
+    val rows = AltoReader.tokens(Seq((0L, xml)).toDS()).collect()
+      .filter(t => t.block_idx == 0).sortBy(_.token_idx)
+    assert(rows.map(_.text).toSeq == Seq("A", "Title", ",", "x"))
+    val t = rows(1)
+    // "Title, x" -> parts lengths 5,1,1,1 over width 48: Title keeps 5/8
+    assert(t.coords.exists(c => math.abs(c.width - 48.0 * 5 / 8) < 1e-9))
+    val comma = rows(2)
+    assert(comma.coords.exists(c => math.abs(c.x - (118.0 + 48.0 * 5 / 8)) < 1e-9))
+  }
+
+  test("end-to-end: scripted labels -> spans -> header fold -> TEI") {
+    val labeler = new ScriptedLabeler(spark, Seq(
+      ((0L, 0, 0, 0, 0), "B-<title>"), ((0L, 0, 0, 0, 1), "I-<title>"),
+      ((0L, 0, 1, 0, 0), "B-<author>"), ((0L, 0, 1, 0, 1), "I-<author>")))
+    val labeled = labeler.label(fixtureTokens.toDF())
+    val spans = BioSpans.spans(labeled)
+    val spanMap = spans.collect().map(r =>
+      r.getAs[String]("tag") -> r.getAs[String]("text")).toMap
+    assert(spanMap("<title>") == "A Title")
+    assert(spanMap("<author>") == "Jane Doe")
+
+    val nodes = Extractors.headerSemantics(spans)
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<title level="a" type="main">A Title</title>"""))
+    assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
+  }
+
+  test("rule labeler finds largest-font block as title without scripts") {
+    val labeled = new RuleLabeler().label(fixtureTokens.toDF())
+    val spans = BioSpans.spans(labeled)
+    val tags = spans.collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("text")).toMap
+    assert(tags("<title>") == "A Title")
+    assert(tags("<author>") == "Jane Doe")
+  }
+
+  test("BIO spans: B- starts a new span even without tag change") {
+    val df = Seq(
+      (0L, 0, 0, 0, 0, "x1", " ", "B-<a>"),
+      (0L, 0, 0, 0, 1, "x2", " ", "I-<a>"),
+      (0L, 0, 0, 0, 2, "x3", " ", "B-<a>"),
+      (0L, 0, 0, 0, 3, "o1", " ", "O"),
+      (0L, 0, 0, 0, 4, "o2", " ", "O"),
+    ).toDF("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
+      "text", "whitespace", "label")
+    val spans = BioSpans.spans(df).orderBy("span_id").collect()
+    assert(spans.map(r => (r.getAs[String]("tag"), r.getAs[String]("text"))).toSeq ==
+      Seq(("<a>", "x1 x2"), ("<a>", "x3"), ("O", "o1 o2")))
+  }
+
+  test("header fold: first title wins, affiliation runs merge, abstract cleaned") {
+    val spans = Seq(
+      Extractors.Span(1, "<title>", "Real Title"),
+      Extractors.Span(2, "<title>", "Second Title Ignored"),
+      Extractors.Span(3, "<abstract>", "Abstract: the content"),
+      Extractors.Span(4, "<affiliation>", "Dept A"),
+      Extractors.Span(5, "<address>", "City A"),
+      Extractors.Span(6, "<affiliation>", "Dept B"),
+      Extractors.Span(7, "<author>", "Jane Doe"),
+    )
+    val nodes = Extractors.headerFold(0L, spans)
+    val titles = nodes.filter(_.node_type == "title")
+    assert(titles.map(_.text) == Seq("Real Title"))
+    assert(nodes.find(_.node_type == "abstract").get.text == "the content")
+    val affParents = nodes.filter(_.node_type == "raw_affiliation_address")
+    assert(affParents.size == 2)
+    val children = nodes.filter(_.parent_id >= 0)
+    assert(children.count(_.parent_id == affParents.head.node_id) == 2) // Dept A + City A
+    // second title becomes a fallback note
+    assert(nodes.exists(n => n.node_type == "note[<title>]"))
+  }
+
+  test("tokenizer matches reference goldens") {
+    val cases = Seq(
+      "Hello, world!" -> List("Hello", ",", "world", "!"),
+      "foo-bar" -> List("foo", "-", "bar"),
+      "a.b.c" -> List("a", ".", "b", ".", "c"),
+      "it's" -> List("it", "'", "s"),
+      "x(y)z" -> List("x", "(", "y", ")", "z"),
+      "e.g. Smith†" -> List("e", ".", "g", ".", "Smith", "†"),
+      "price $10.50" -> List("price", "$", "10", ".", "50"),
+      "multi  space" -> List("multi", "space"),
+    )
+    cases.foreach { case (in, want) =>
+      assert(TextNormalization.tokenize(in) == want, s"tokenize($in)")
+    }
+    assert(TextNormalization.tokenize("Hello, world!", keepWhitespace = true) ==
+      List("Hello", ",", " ", "world", "!"))
+  }
+
+  test("normalize folds ligatures/quotes/dashes and collapses whitespace") {
+    assert(TextNormalization.normalize("eﬀect") == "effect")
+    assert(TextNormalization.normalize("“quoted” – dash") ==
+      "\"quoted\" - dash")
+    assert(TextNormalization.normalize("a  \n  b") == "a\nb")
+    assert(TextNormalization.normalize("a    b") == "a b")
+  }
+
+  test("ref matching: exact key, then token-vote fallback with tie rejection") {
+    val citations = Seq(
+      (0L, 1L, "Smith et al. 2020"),
+      (0L, 2L, "totally unrelated zzz"),
+      (0L, 3L, "jones 2019 study"),
+      (0L, 4L, "study 2019"),   // partial path: tied votes b1/b2
+      (0L, 5L, "2019 things"),  // partial path: b1 wins by one vote
+    ).toDF("doc_id", "item_id", "text")
+    val candidates = Seq(
+      (0L, "b0", "Smith et al 2020"),
+      (0L, "b1", "Jones 2019 study of things"),
+      (0L, "b2", "Jones 2019 study of stuff"),
+    ).toDF("doc_id", "content_id", "label_text")
+    val m = RefMatching.matchContentIds(citations, candidates)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(m(1L) == "b0") // exact normalized match
+    assert(!m.contains(2L)) // no overlap
+    // item 3: b1/b2 share the "jones2019" prefix key — deterministic
+    // winner (max content_id), mirroring the reference's last-wins dict
+    assert(m(3L) == "b2")
+    assert(!m.contains(4L)) // partial-vote tie -> rejected (ref_matching.py:79-93)
+    assert(m(5L) == "b1")   // partial-vote strict winner
+  }
+}
