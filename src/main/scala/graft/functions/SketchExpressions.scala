@@ -102,12 +102,106 @@ object Sketch {
     new GenericArrayData(arr)
   }
 
+  /** Distinct word n-gram shingles (space-joined); inputs shorter than
+    * `n` collapse to one whole-text shingle. Native for the same reason
+    * as the sketches: a `transform(sequence(...), i -> slice(toks...))`
+    * formulation re-evaluates the token array per element — O(n²) per
+    * document.
+    */
+  def ngrams(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    def tok(i: Int): String = {
+      val u = toks.getUTF8String(i)
+      if (u == null) "" else u.toString
+    }
+    if (cnt == 0) return new GenericArrayData(Array.empty[Any])
+    if (cnt < n) {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < cnt) { if (i > 0) sb.append(' '); sb.append(tok(i)); i += 1 }
+      return new GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= cnt - n) {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Dot product over numeric arrays in double precision, left-to-right
+    * accumulation; float/double element mix handled per side. */
+  def dotProduct(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  def word_ngrams(toks: Column, n: Int): Column =
+    ColumnBridge.column(NgramsExpr(ColumnBridge.expression(toks), n))
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def min_hash(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(hashes), k))
   def sim_hash(hashes: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(hashes)))
   def winnow_min(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashes), w))
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val aFloat = isFloat(left)
+  private lazy val bFloat = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketch.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketch.dotProduct($a, $b, $aFloat, $bFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.ngrams(in.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.ngrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramsExpr = copy(child = c)
 }
 
 case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {

@@ -28,12 +28,10 @@ object Dedup {
   def tokensOf(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
-  /** Distinct word n-gram shingles; short docs collapse to one shingle. */
+  /** Distinct word n-gram shingles; short docs collapse to one shingle
+    * (native NgramsExpr — single child evaluation). */
   def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      array_distinct(transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", tokens)))
+    graft.functions.Sketch.word_ngrams(tokens, n)
 
   // ------------------------------------------------------------- exact
 
@@ -171,11 +169,16 @@ object Dedup {
   def embeddingCosinePairs(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       nbits: Int = 8, seed: Long = 42L): DataFrame = {
+    // norms are computed once per vector and carried through the join as
+    // plain columns (the join output materializes them), so the
+    // O(pairs) stage pays one dot product instead of three array passes
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.l2Norm(col(vecCol)).as("norm"),
       Similarity.signLshBucket(col(vecCol), nbits, 64, seed).as("bucket"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", round(Similarity.cosine(col("a.v"), col("b.v")), 4))
+      .withColumn("cos", round(
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

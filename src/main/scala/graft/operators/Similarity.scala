@@ -18,15 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, left-to-right accumulation. */
+  /** dot(a, b) in double precision, left-to-right accumulation (native
+    * DotProductExpr — a `zip_with`+`aggregate` formulation runs ~64
+    * interpreted lambda steps per pair). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+    graft.functions.Sketch.dot_product(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
 
   /** Deterministic hyperplanes for sign-LSH (fixed seed → same buckets
     * on every run / every executor).
@@ -50,10 +52,12 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val q = emb.filter(col(idCol) === queryId).select(col(vecCol)).as("q")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qnorm"))
     emb.filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q.withColumnRenamed(vecCol, "qv")))
-      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        dot(col(vecCol), col("qv")) / (l2Norm(col(vecCol)) * col("qnorm")), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -68,17 +72,19 @@ object Similarity {
       nbits: Int = 12, dim: Int = 64, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("norm"),
       signLshBucket(col(vecCol), nbits, dim, seed).as("bucket"))
     val probes = array(
       (col("bucket") +: (0 until nbits).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j)))): _*)
     val queries = bucketed.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"),
-        explode(probes).as("bucket"))
+        col("norm").as("qnorm"), explode(probes).as("bucket"))
     queries.join(bucketed, "bucket")
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))))
       .filter(col("rn") <= k)

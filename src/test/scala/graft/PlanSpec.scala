@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.Relational
+
+/** Plan-shape assertions: the properties that matter at 100 TB must be
+  * visible in the physical plan at any scale — filters reaching the
+  * parquet scan, pruned read schemas, broadcast joins for small dims,
+  * whole-stage codegen on the hot paths.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("0.001")).queryExecution.executedPlan.toString
+
+  test("q03 filter is pushed to the parquet scan") {
+    val p = plan("q03_filter")
+    assert(p.contains("PushedFilters:") && p.contains("l_returnflag"),
+      s"expected pushed filters in:\n$p")
+  }
+
+  test("q01 scan prunes to the single needed column") {
+    val p = plan("q01_scan")
+    assert(p.contains("ReadSchema") && p.contains("l_orderkey") &&
+      !p.contains("l_comment") && !p.contains("l_extendedprice"),
+      s"expected pruned ReadSchema in:\n$p")
+  }
+
+  test("q05 dims join as broadcasts, no shuffle of customer") {
+    val p = plan("q05_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$p")
+  }
+
+  test("q12 agg is partial (map-side) then final") {
+    val p = plan("q12_agg_hash")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("q20 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q20_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q34 native word_shape stays inside whole-stage codegen") {
+    // AQE reports "0 WholeStageCodegen subtrees" before execution —
+    // disable it for static plan introspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val cg = try {
+      SparkEntry.queries("q34_udf_word_shape")(spark, sf("0.001")).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(cg.contains("WholeStageCodegen"), cg.take(2000))
+    // the generated code must call the static kernel directly (no
+    // interpreted fallback for the expression)
+    assert(cg.contains("graft.functions.WordShape.shape"), cg.take(2000))
+  }
+
+  test("q10 as-of join plans as window over union, not a range join") {
+    val p = plan("q10_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not fall back to a nested-loop range join:\n$p")
+  }
+
+  test("q07/q08 plan as semi/anti joins") {
+    assert(plan("q07_join_semi").contains("LeftSemi"))
+    assert(plan("q08_join_anti").contains("LeftAnti"))
+  }
+}
