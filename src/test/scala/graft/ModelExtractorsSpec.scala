@@ -1,0 +1,213 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Extractors.Span
+import graft.pipeline.ModelExtractors._
+import graft.pipeline.SemanticNode
+
+/** Golden cases mirroring the reference's extractor tests
+  * (tests/models/{name,citation,reference_segmenter,affiliation_address,
+  * fulltext}/extract_test.py scenarios).
+  */
+class ModelExtractorsSpec extends AnyFunSuite {
+
+  private def spansOf(tags: (String, String)*): Seq[Span] =
+    tags.zipWithIndex.map { case ((tag, text), i) => Span(i.toLong, tag, text) }
+
+  private def byType(nodes: Seq[SemanticNode], t: String): Seq[SemanticNode] =
+    nodes.filter(_.node_type == t)
+
+  // ------------------------------------------------------------- names
+
+  test("markerPieces: split on comma/space, not on digits") {
+    assert(markerPieces("1").map(_._2) == Seq("1"))
+    assert(markerPieces("1,2") ==
+      Seq(("marker", "1"), ("note[marker_delimiter]", ","), ("marker", "2")))
+    assert(markerPieces("1 2").collect { case ("marker", t) => t } == Seq("1", "2"))
+    assert(markerPieces("11,12").collect { case ("marker", t) => t } == Seq("11", "12"))
+  }
+
+  test("nameFold: single author with title-cased parts") {
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "JOHN", "<surname>" -> "SMITH"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 1)
+    val parts = nodes.filter(_.parent_id == authors.head.node_id)
+      .map(n => (n.node_type, n.text))
+    assert(parts == Seq(("given_name", "John"), ("surname", "Smith")))
+  }
+
+  test("nameFold: split on second forename") {
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "John", "<surname>" -> "Smith",
+      "<forename>" -> "Mary", "<surname>" -> "Jones"))
+    assert(byType(nodes, "author").size == 2)
+  }
+
+  test("nameFold: split on marker after comma") {
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "John", "<surname>" -> "Smith,",
+      "<marker>" -> "1", "<forename>" -> "Mary", "<surname>" -> "Jones"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 2)
+    // marker "1" belongs to the SECOND author (starts it)
+    val secondParts = nodes.filter(_.parent_id == authors(1).node_id)
+    assert(secondParts.exists(n => n.node_type == "marker" && n.text == "1"))
+  }
+
+  test("nameFold: tail marker then new name part starts a new author") {
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "John", "<surname>" -> "Smith",
+      "<marker>" -> "1", "<forename>" -> "Mary", "<surname>" -> "Jones"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 2)
+    // tail marker stays with the FIRST author (no comma before it)
+    val firstParts = nodes.filter(_.parent_id == authors(0).node_id)
+    assert(firstParts.exists(_.node_type == "marker"))
+  }
+
+  test("nameFold: two-letter uppercase given name splits to initials") {
+    val nodes = nameFold(0L, spansOf("<forename>" -> "JM", "<surname>" -> "Smith"))
+    val author = byType(nodes, "author").head
+    val parts = nodes.filter(_.parent_id == author.node_id).map(n => (n.node_type, n.text))
+    assert(parts == Seq(("given_name", "J"), ("middle_name", "M"), ("surname", "Smith")))
+  }
+
+  test("nameFold: no surname -> invalid_author_name note") {
+    val nodes = nameFold(0L, spansOf("<forename>" -> "John"))
+    assert(byType(nodes, "author").isEmpty)
+    assert(nodes.exists(_.node_type == "note[invalid_author_name]"))
+  }
+
+  test("titleCase matches python str.title semantics") {
+    assert(titleCase("mcdonald") == "Mcdonald")
+    assert(titleCase("o'brien") == "O'Brien")
+    assert(titleCase("SMITH-JONES") == "Smith-Jones")
+  }
+
+  // ---------------------------------------------------------- citation
+
+  test("parsePageRange expands short to-page") {
+    assert(parsePageRange("123-7") == (Some("123"), Some("127")))
+    assert(parsePageRange("123-129") == (Some("123"), Some("129")))
+    assert(parsePageRange("123") == (None, None))
+  }
+
+  test("detectExternalId: doi/pmcid/arxiv/pmid/pii precedence") {
+    assert(detectExternalId("10.1234/abc") == (Some("doi"), "10.1234/abc"))
+    assert(detectExternalId("PMC1234567") == (Some("pmcid"), "PMC1234567"))
+    assert(detectExternalId("arXiv:2101.12345") == (Some("arxiv"), "2101.12345"))
+    assert(detectExternalId("PMID: 12345") == (Some("pmid"), "12345"))
+    assert(detectExternalId("just text")._1.isEmpty)
+  }
+
+  test("parseYear finds 4-digit year") {
+    assert(parseYear("(2020)").contains(2020))
+    assert(parseYear("May 7, 1999").contains(1999))
+    assert(parseYear("n.d.").isEmpty)
+  }
+
+  test("citationFold: valid reference with typed fields") {
+    val nodes = citationFold(0L, spansOf(
+      "<author>" -> "Smith J",
+      "<title>" -> "A Study",
+      "<date>" -> "2020",
+      "<pages>" -> "123-9",
+      "<web>" -> "https://doi.org/10.1234/xyz.1"),
+      contentId = "b0")
+    val ref = byType(nodes, "reference")
+    assert(ref.size == 1 && ref.head.content_id == "b0")
+    val children = nodes.filter(_.parent_id == ref.head.node_id)
+      .map(n => (n.node_type, n.text)).toSet
+    assert(children.contains(("raw_authors", "Smith J")))
+    assert(children.contains(("date", "2020")))
+    assert(children.contains(("page_range", "123-129")))
+    assert(children.exists { case (t, v) => t == "external_id" && v.startsWith("10.1234/") })
+  }
+
+  test("citationFold: reference without valid fields demoted to invalid") {
+    val nodes = citationFold(0L, spansOf("<date>" -> "2020", "<pages>" -> "1-2"),
+      contentId = "b0")
+    assert(byType(nodes, "reference").isEmpty)
+    assert(byType(nodes, "invalid_reference").size == 1)
+  }
+
+  // ----------------------------------------------- reference segmenter
+
+  test("referenceSegmenterFold: label+reference pairs, short first ref is heading") {
+    val nodes = referenceSegmenterFold(0L, spansOf(
+      "<reference>" -> "References",
+      "<label>" -> "1.",
+      "<reference>" -> "Smith J, A Study of Things, 2020",
+      "<label>" -> "2.",
+      "<reference>" -> "Jones M, Another Longer Study, 2021"))
+    assert(byType(nodes, "heading").map(_.text) == Seq("References"))
+    val refs = byType(nodes, "raw_reference")
+    assert(refs.map(_.content_id) == Seq("b0", "b1"))
+    val texts = byType(nodes, "raw_reference_text")
+    assert(texts.forall(t => refs.exists(_.node_id == t.parent_id)))
+  }
+
+  // ---------------------------------------------------- affiliations
+
+  test("affiliationFold: markers start affs, second institution splits, country cleaned") {
+    val nodes = affiliationFold(0L, spansOf(
+      "<marker>" -> "1",
+      "<institution>" -> "Uni A",
+      "<country>" -> "France.",
+      "<institution>" -> "Uni B",
+      "<settlement>" -> "Paris"))
+    val affs = byType(nodes, "affiliation_address")
+    assert(affs.size == 2 && affs.map(_.content_id) == Seq("aff0", "aff1"))
+    val aff0Children = nodes.filter(_.parent_id == affs(0).node_id)
+    assert(aff0Children.exists(n => n.node_type == "country" && n.text == "France"))
+    assert(aff0Children.exists(n => n.node_type == "note[<country>-suffix]" && n.text == "."))
+    val aff1Children = nodes.filter(_.parent_id == affs(1).node_id)
+    assert(aff1Children.exists(n => n.node_type == "institution" && n.text == "Uni B"))
+    assert(aff1Children.exists(n => n.node_type == "settlement" && n.text == "Paris"))
+  }
+
+  test("cleanCountry strips trailing dots as suffix") {
+    assert(cleanCountry("France.") == ("", "France", "."))
+    assert(cleanCountry("France") == ("", "France", ""))
+  }
+
+  // -------------------------------------------------------- fulltext
+
+  test("sectionLabelAndTitle splits numeric labels") {
+    assert(sectionLabelAndTitle("1. Introduction") == (Some("1."), "Introduction"))
+    assert(sectionLabelAndTitle("2.1 Methods") == (Some("2.1"), "Methods"))
+    assert(sectionLabelAndTitle("Discussion") == (None, "Discussion"))
+  }
+
+  test("fulltextFold: sections, paragraphs, markers, equations") {
+    val nodes = fulltextFold(0L, spansOf(
+      "<section>" -> "1. Introduction",
+      "<paragraph>" -> "Some intro text",
+      "<citation_marker>" -> "[1]",
+      "<paragraph>" -> "continues same paragraph after marker",
+      "<paragraph>" -> "Second paragraph",
+      "<section>" -> "2. Methods",
+      "<equation_label>" -> "(1)",
+      "<equation>" -> "E = mc^2",
+      "<figure>" -> "Figure 1 caption text"))
+    val sections = byType(nodes, "section")
+    assert(sections.size == 2)
+    val headings = byType(nodes, "heading")
+    assert(headings.size == 2)
+    val labels = byType(nodes, "label").map(_.text)
+    assert(labels.contains("1.") && labels.contains("2.") && labels.contains("(1)"))
+    // consecutive <paragraph> spans -> two paragraphs in section 1
+    val s1Paragraphs = byType(nodes, "paragraph").filter(_.parent_id == sections(0).node_id)
+    assert(s1Paragraphs.size == 2)
+    // citation marker nested in the first paragraph
+    assert(byType(nodes, "reference_citation")
+      .exists(_.parent_id == s1Paragraphs(0).node_id))
+    // equation pair under section 2's paragraph
+    val eq = byType(nodes, "raw_equation")
+    assert(eq.size == 1)
+    assert(byType(nodes, "raw_equation_content").head.parent_id == eq.head.node_id)
+    assert(byType(nodes, "raw_figure").exists(_.parent_id == sections(1).node_id))
+  }
+}
