@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Extractors.Span
+
+/** FullTextProcessor analog (SURVEY.md §3.1 step 4; reference
+  * `processors/fulltext/processor.py:180-274`): the fixed DAG of model
+  * passes gated by config flags (J2 operator pruning — disabled stages
+  * are simply never added to the plan, so Catalyst never reads their
+  * inputs).
+  *
+  * Second-stage models (name, affiliation) run on the *text* of raw
+  * nodes produced by the header fold — at scale each stage is one
+  * `groupByKey(doc_id)` fold over a small node set, all document-
+  * parallel. Without trained models, deterministic rule stand-ins
+  * produce the tagged span streams the folds expect (the
+  * `model_mocks.py` pattern); a Wapiti/ONNX labeler slots into the same
+  * seams.
+  */
+object Processor {
+
+  final case class Config(
+      extractAuthors: Boolean = true,
+      extractAffiliations: Boolean = true)
+
+  /** Rule stand-in for the name model: alternate forename/surname over
+    * word tokens, skipping "and"/comma delimiters, digits as markers —
+    * produces exactly the tag stream `ModelExtractors.nameFold`
+    * consumes (authors then split on the second forename).
+    */
+  private[pipeline] def nameSpansOf(text: String): Seq[Span] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.ListBuffer.empty[Span]
+    var i = 0L
+    var expectForename = true
+    toks.foreach { t =>
+      val bare = t.replaceAll("[,;]", "")
+      if (bare.equalsIgnoreCase("and") || bare.isEmpty) {
+        // delimiter — no span
+      } else if (bare.forall(_.isDigit)) {
+        out += Span(i, "<marker>", bare); i += 1
+      } else {
+        val tag = if (expectForename) "<forename>" else "<surname>"
+        // keep the trailing comma visible to the marker-after-comma rule
+        out += Span(i, tag, t); i += 1
+        expectForename = !expectForename
+      }
+    }
+    out.toList
+  }
+
+  /** Rule stand-in for the affiliation model: raw affiliation text →
+    * `<institution>`, raw address text → `<addrLine>`. */
+  private[pipeline] def affiliationSpansOf(
+      children: Seq[(String, String)]): Seq[Span] =
+    children.zipWithIndex.map {
+      case (("raw_affiliation", text), i) => Span(i.toLong, "<institution>", text)
+      case (("raw_address", text), i) => Span(i.toLong, "<addrLine>", text)
+      case ((_, text), i) => Span(i.toLong, "O", text)
+    }
+
+  /** Expand header-fold output with name/affiliation model passes —
+    * pure per-document function over the node list (node ids are
+    * reassigned emission-ordered). */
+  def processDocument(docId: Long, headerNodes: Seq[SemanticNode],
+      config: Config = Config()): Seq[SemanticNode] = {
+    val out = scala.collection.mutable.ListBuffer.empty[SemanticNode]
+    var nextId = 0L
+    def add(tpe: String, text: String, parent: Long, contentId: String): Long = {
+      val id = nextId; nextId += 1
+      out += SemanticNode(docId, id, parent, tpe, text, contentId)
+      id
+    }
+    def graft(nodes: Seq[SemanticNode], parent: Long): Unit = {
+      val idMap = scala.collection.mutable.Map.empty[Long, Long]
+      nodes.foreach { n =>
+        val mappedParent = if (n.parent_id < 0) parent else idMap(n.parent_id)
+        idMap(n.node_id) = add(n.node_type, n.text, mappedParent, n.content_id)
+      }
+    }
+    val ordered = headerNodes.sortBy(_.node_id)
+    val childrenOf = ordered.groupBy(_.parent_id)
+    ordered.filter(_.parent_id < 0).foreach { n =>
+      n.node_type match {
+        case "raw_authors" if config.extractAuthors =>
+          val container = add("authors", "", -1L, null)
+          graft(ModelExtractors.nameFold(docId, nameSpansOf(n.text)), container)
+        case "raw_affiliation_address" if config.extractAffiliations =>
+          val kids = childrenOf.getOrElse(n.node_id, Nil)
+            .map(c => (c.node_type, c.text))
+          val folded = ModelExtractors.affiliationFold(docId, affiliationSpansOf(kids))
+          graft(folded, -1L)
+        case _ =>
+          val id = add(n.node_type, n.text, -1L, n.content_id)
+          childrenOf.getOrElse(n.node_id, Nil).foreach { c =>
+            add(c.node_type, c.text, id, c.content_id)
+          }
+      }
+    }
+    out.toList
+  }
+
+  /** DataFrame stage: header semantic nodes → fully processed nodes. */
+  def process(headerNodes: DataFrame, config: Config = Config()): Dataset[SemanticNode] = {
+    val sparkSession = headerNodes.sparkSession
+    import sparkSession.implicits._
+    headerNodes
+      .select(col("doc_id"), col("node_id"), col("parent_id"),
+        col("node_type"), col("text"), col("content_id"))
+      .as[SemanticNode]
+      .groupByKey(_.doc_id)
+      .flatMapGroups { (docId, it) => processDocument(docId, it.toSeq, config).iterator }
+  }
+
+  /** Full header pipeline: token table → labeled → spans → header fold →
+    * name/affiliation passes. */
+  def headerPipeline(tokens: DataFrame, labeler: SequenceLabeler,
+      config: Config = Config()): Dataset[SemanticNode] =
+    process(Extractors.headerSemantics(
+      BioSpans.spans(labeler.label(tokens))).toDF(), config)
+}

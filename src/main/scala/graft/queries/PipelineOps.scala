@@ -86,11 +86,11 @@ object PipelineOps {
     BioSpans.spans(new RuleLabeler().label(tokenTable(s, d)))
       .orderBy("doc_id", "span_id")
 
-  /** P04 full slice: spans → header fold → TEI string per document. */
+  /** P04 full slice: spans → header fold → name/affiliation model
+    * passes (Processor DAG) → TEI string per document. */
   def p04(s: SparkSession, d: String): DataFrame =
     Tei.serialize(
-      Extractors.headerSemantics(
-        BioSpans.spans(new RuleLabeler().label(tokenTable(s, d)))).toDF())
+      graft.pipeline.Processor.headerPipeline(tokenTable(s, d), new RuleLabeler()).toDF())
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(

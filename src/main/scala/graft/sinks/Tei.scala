@@ -1,7 +1,8 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.pipeline.SemanticNode
 
 /** TEI XML serialization (SURVEY.md A6; reference
   * `document/tei_document.py:47-165` + the `document/tei` package).
@@ -18,30 +19,78 @@ object Tei {
     if (s == null) ""
     else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Minimal author split (name-model-lite): first token → forename,
-    * rest → surname. The full name-model fold
-    * (models/name/extract.py:126-193) replaces this per-model.
-    */
-  private def authorXml(raw: String): String = {
+  /** Naive fallback when the name model pass did not run (raw_authors
+    * nodes): first token → forename, rest → surname. */
+  private def rawAuthorXml(raw: String): String = {
     val toks = raw.trim.split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) ""
     else if (toks.length == 1)
       s"<author><persName><surname>${esc(toks(0))}</surname></persName></author>"
-    else {
-      val forename = toks.head
-      val surname = toks.tail.mkString(" ")
+    else
       "<author><persName>" +
-        s"""<forename type="first">${esc(forename)}</forename>""" +
-        s"<surname>${esc(surname)}</surname></persName></author>"
-    }
+        s"""<forename type="first">${esc(toks.head)}</forename>""" +
+        s"<surname>${esc(toks.tail.mkString(" "))}</surname></persName></author>"
   }
 
-  /** Build one TEI document from semantic nodes (fields: node_type,
-    * text), FIXTURES.md §5 structure. */
-  def buildTei(nodes: Seq[(String, String)]): String = {
-    val title = nodes.collectFirst { case ("title", t) => t }
-    val abstractText = nodes.collectFirst { case ("abstract", t) => t }
-    val authors = nodes.collect { case ("raw_authors", t) => t }
+  /** Structured author from name-fold children (tei_document.py persName
+    * building). */
+  private def authorXml(parts: Seq[SemanticNode]): String = {
+    val sb = new StringBuilder("<author><persName>")
+    parts.foreach { p =>
+      p.node_type match {
+        case "given_name" => sb ++= s"""<forename type="first">${esc(p.text)}</forename>"""
+        case "middle_name" => sb ++= s"""<forename type="middle">${esc(p.text)}</forename>"""
+        case "surname" => sb ++= s"<surname>${esc(p.text)}</surname>"
+        case "name_title" => sb ++= s"""<roleName>${esc(p.text)}</roleName>"""
+        case "name_suffix" => sb ++= s"""<genName>${esc(p.text)}</genName>"""
+        case "marker" => sb ++= s"""<note type="marker">${esc(p.text)}</note>"""
+        case _ => ()
+      }
+    }
+    sb ++= "</persName></author>"
+    sb.toString
+  }
+
+  private def affiliationXml(aff: SemanticNode, children: Seq[SemanticNode]): String = {
+    val sb = new StringBuilder(
+      s"""<affiliation key="${esc(Option(aff.content_id).getOrElse(""))}">""")
+    children.foreach { c =>
+      c.node_type match {
+        case "marker" => sb ++= s"""<note type="raw_affiliation_label">${esc(c.text)}</note>"""
+        case "institution" => sb ++= s"""<orgName type="institution">${esc(c.text)}</orgName>"""
+        case "department" => sb ++= s"""<orgName type="department">${esc(c.text)}</orgName>"""
+        case "laboratory" => sb ++= s"""<orgName type="laboratory">${esc(c.text)}</orgName>"""
+        case "addr_line" => sb ++= s"<address><addrLine>${esc(c.text)}</addrLine></address>"
+        case "settlement" => sb ++= s"<address><settlement>${esc(c.text)}</settlement></address>"
+        case "country" => sb ++= s"<address><country>${esc(c.text)}</country></address>"
+        case _ => ()
+      }
+    }
+    sb ++= "</affiliation>"
+    sb.toString
+  }
+
+  /** Build one TEI document from a document's semantic-node rows. */
+  def buildTei(nodes: Seq[SemanticNode]): String = {
+    val ordered = nodes.sortBy(_.node_id)
+    val childrenOf = ordered.groupBy(_.parent_id)
+    def kids(id: Long): Seq[SemanticNode] = childrenOf.getOrElse(id, Nil)
+
+    val title = ordered.find(n => n.node_type == "title" && n.parent_id < 0).map(_.text)
+    val abstractText = ordered.find(n => n.node_type == "abstract" && n.parent_id < 0).map(_.text)
+
+    val authorXmls = ordered.filter(_.parent_id < 0).flatMap { n =>
+      n.node_type match {
+        case "raw_authors" => Seq(rawAuthorXml(n.text))
+        case "authors" => kids(n.node_id).filter(_.node_type == "author")
+          .map(a => authorXml(kids(a.node_id)))
+        case _ => Nil
+      }
+    }
+    val affXmls = ordered
+      .filter(n => n.parent_id < 0 && n.node_type == "affiliation_address")
+      .map(a => affiliationXml(a, kids(a.node_id)))
+
     val sb = new StringBuilder
     sb ++= """<TEI xmlns="http://www.tei-c.org/ns/1.0">"""
     sb ++= "<teiHeader><fileDesc>"
@@ -49,7 +98,8 @@ object Tei {
     title.foreach(t => sb ++= s"""<title level="a" type="main">${esc(t)}</title>""")
     sb ++= "</titleStmt>"
     sb ++= "<sourceDesc><biblStruct><analytic>"
-    authors.foreach(a => sb ++= authorXml(a))
+    authorXmls.foreach(sb ++= _)
+    affXmls.foreach(sb ++= _)
     sb ++= "</analytic></biblStruct></sourceDesc>"
     sb ++= "</fileDesc>"
     abstractText.filter(_.nonEmpty).foreach { t =>
@@ -65,13 +115,10 @@ object Tei {
   def serialize(nodes: DataFrame): DataFrame = {
     val sparkSession = nodes.sparkSession
     import sparkSession.implicits._
-    nodes.select(col("doc_id"), col("node_id"), col("node_type"), col("text"))
-      .as[(Long, Long, String, String)]
-      .groupByKey(_._1)
-      .mapGroups { (docId, it) =>
-        val ordered = it.toSeq.sortBy(_._2).map(r => (r._3, r._4))
-        (docId, buildTei(ordered))
-      }
+    nodes.select("doc_id", "node_id", "parent_id", "node_type", "text", "content_id")
+      .as[SemanticNode]
+      .groupByKey(_.doc_id)
+      .mapGroups { (docId, it) => (docId, buildTei(it.toSeq)) }
       .toDF("doc_id", "tei")
   }
 }

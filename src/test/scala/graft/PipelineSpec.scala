@@ -87,6 +87,20 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
   }
 
+  test("processor DAG: name model pass structures authors in TEI") {
+    val labeler = new ScriptedLabeler(spark, Seq(
+      ((0L, 0, 0, 0, 0), "B-<title>"), ((0L, 0, 0, 0, 1), "I-<title>"),
+      ((0L, 0, 1, 0, 0), "B-<author>"), ((0L, 0, 1, 0, 1), "I-<author>")))
+    val nodes = graft.pipeline.Processor.headerPipeline(fixtureTokens.toDF(), labeler)
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
+    // operator pruning (J2): disabling the author stage drops the pass
+    val pruned = graft.pipeline.Processor.headerPipeline(fixtureTokens.toDF(), labeler,
+      graft.pipeline.Processor.Config(extractAuthors = false))
+    assert(pruned.collect().exists(_.node_type == "raw_authors"))
+    assert(!pruned.collect().exists(_.node_type == "authors"))
+  }
+
   test("rule labeler finds largest-font block as title without scripts") {
     val labeled = new RuleLabeler().label(fixtureTokens.toDF())
     val spans = BioSpans.spans(labeled)

