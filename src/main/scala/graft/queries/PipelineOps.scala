@@ -93,10 +93,29 @@ object PipelineOps {
       graft.pipeline.Processor.headerPipeline(tokenTable(s, d), new RuleLabeler()).toDF())
       .orderBy("doc_id")
 
+  /** P05 multimodal: binary media column → batched stub decode →
+    * typed features (rows-only; decode is a deterministic fake, the
+    * Spark plumbing is the artifact under test). */
+  def p05(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.imageFeatures(
+        Multimodal.mediaFromDocuments(Tables(s, d).documents))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** P06 JATS: TEI strings → JATS via XSLT (A7). */
+  def p06(s: SparkSession, d: String): DataFrame =
+    graft.sinks.Jats.serialize(p04(s, d)).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
     "p03_bio_spans" -> p03,
     "p04_header_tei" -> p04,
+    "p05_multimodal" -> p05,
+    "p06_jats" -> p06,
   )
 }

@@ -1,0 +1,88 @@
+package graft.sinks
+
+import java.io.{StringReader, StringWriter}
+import javax.xml.transform.{TransformerFactory, OutputKeys}
+import javax.xml.transform.stream.{StreamResult, StreamSource}
+
+import org.apache.spark.sql.DataFrame
+
+/** TEI → JATS transformation (SURVEY.md A7; reference
+  * `transformers/xslt.py:1-67` applies an XSLT stylesheet the same
+  * way — the stylesheet here is graft's own minimal mapping for the
+  * TEI subset graft emits, not a copy).
+  *
+  * The compiled `Templates` is created once per partition inside
+  * `mapPartitions` (javax `Transformer`s are not thread-safe, and
+  * compiling per row would dominate) — the executor-local-init pattern
+  * used for every external-tool seam in this engine.
+  */
+object Jats {
+
+  private val Stylesheet =
+    """<?xml version="1.0"?>
+      |<xsl:stylesheet version="1.0"
+      |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      |    xmlns:tei="http://www.tei-c.org/ns/1.0">
+      |  <xsl:output method="xml" omit-xml-declaration="yes"/>
+      |  <xsl:template match="/tei:TEI">
+      |    <article>
+      |      <front>
+      |        <article-meta>
+      |          <title-group>
+      |            <article-title>
+      |              <xsl:value-of select="tei:teiHeader/tei:fileDesc/tei:titleStmt/tei:title"/>
+      |            </article-title>
+      |          </title-group>
+      |          <contrib-group>
+      |            <xsl:for-each select=".//tei:author">
+      |              <contrib contrib-type="author">
+      |                <name>
+      |                  <surname><xsl:value-of select="tei:persName/tei:surname"/></surname>
+      |                  <given-names>
+      |                    <xsl:value-of select="tei:persName/tei:forename[@type='first']"/>
+      |                  </given-names>
+      |                </name>
+      |              </contrib>
+      |            </xsl:for-each>
+      |          </contrib-group>
+      |          <xsl:if test=".//tei:abstract">
+      |            <abstract><p><xsl:value-of select=".//tei:abstract/tei:p"/></p></abstract>
+      |          </xsl:if>
+      |        </article-meta>
+      |      </front>
+      |      <body/>
+      |      <back/>
+      |    </article>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  def transform(tei: String): String = {
+    val factory = TransformerFactory.newInstance()
+    val t = factory.newTemplates(new StreamSource(new StringReader(Stylesheet)))
+      .newTransformer()
+    t.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
+    val out = new StringWriter()
+    t.transform(new StreamSource(new StringReader(tei)), new StreamResult(out))
+    out.toString
+  }
+
+  /** (doc_id, tei) → (doc_id, jats); stylesheet compiled once per
+    * partition. */
+  def serialize(teiDf: DataFrame): DataFrame = {
+    val sparkSession = teiDf.sparkSession
+    import sparkSession.implicits._
+    teiDf.select("doc_id", "tei").as[(Long, String)]
+      .mapPartitions { it =>
+        val templates = TransformerFactory.newInstance()
+          .newTemplates(new StreamSource(new StringReader(Stylesheet)))
+        it.map { case (id, tei) =>
+          val t = templates.newTransformer()
+          t.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
+          val out = new StringWriter()
+          t.transform(new StreamSource(new StringReader(tei)), new StreamResult(out))
+          (id, out.toString)
+        }
+      }
+      .toDF("doc_id", "jats")
+  }
+}
