@@ -110,6 +110,13 @@ object PipelineOps {
   def p06(s: SparkSession, d: String): DataFrame =
     graft.sinks.Jats.serialize(p04(s, d)).orderBy("doc_id")
 
+  /** P07 segmentation data lines: the exact 34-feature per-line CRF
+    * input vector (C6/C15/C16/C17). */
+  def p07(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.SegmentationFeatures.dataLines(tokenTable(s, d))
+      .filter(col("doc_id") <= 20)
+      .orderBy("doc_id", "page_idx", "block_idx", "line_idx")
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -117,5 +124,6 @@ object PipelineOps {
     "p04_header_tei" -> p04,
     "p05_multimodal" -> p05,
     "p06_jats" -> p06,
+    "p07_segmentation_lines" -> p07,
   )
 }
