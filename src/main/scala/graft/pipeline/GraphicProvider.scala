@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CV candidate-page pruning + CV-box reconciliation (SURVEY.md G5, G6,
+  * I1, I2, F5, H3; reference `processors/graphic_provider.py:78-162`,
+  * `cv_graphic_provider.py:38-80`).
+  *
+  * This is the reference's "partition pruning" analog (§4): the
+  * expensive CV/page-render stage only runs on pages selected here, so
+  * these cheap aggregations gate the costly `mapPartitions` — the
+  * pruning itself is plain filters and per-doc window aggregates.
+  */
+object GraphicProvider {
+
+  /** G5: pages whose dimensions differ from the document's modal page
+    * dimension (no result when all pages share one dimension).
+    * `pages`: (doc_id, page_number, width, height).
+    */
+  def pagesWithUncommonDimension(pages: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    val byDim = Window.partitionBy("doc_id", "width", "height")
+    // modal dimension via count desc, ties broken deterministically
+    val winner = Window.partitionBy("doc_id")
+      .orderBy(col("dim_n").desc, col("width"), col("height"))
+    pages
+      .withColumn("dim_n", count(lit(1)).over(byDim))
+      .withColumn("n_dims", size(collect_set(struct(col("width"), col("height"))).over(byDoc)))
+      .withColumn("dim_rank", dense_rank().over(winner))
+      .filter(col("n_dims") >= 2 && col("dim_rank") > 1)
+      .select("doc_id", "page_number")
+  }
+
+  /** G6: pages where any non-svg graphic covers > `ratio` of the page.
+    * `graphics`: GraphicRow-shaped frame joined against page dims.
+    */
+  def pagesWithMostlyBitmapGraphics(pages: DataFrame, graphics: DataFrame,
+      ratio: Double = 0.5): DataFrame =
+    graphics
+      .filter(col("graphic_type") =!= "svg" && col("coords").isNotNull)
+      .join(pages, Seq("doc_id", "page_number"))
+      .filter(col("width") * col("height") > 0 &&
+        (col("coords.width") * col("coords.height")) /
+          (col("width") * col("height")) > ratio)
+      .select("doc_id", "page_number").distinct()
+
+  /** I1: CV candidate pages = uncommon-dimension − mostly-bitmap. */
+  def cvCandidatePages(pages: DataFrame, graphics: DataFrame): DataFrame =
+    pagesWithUncommonDimension(pages)
+      .except(pagesWithMostlyBitmapGraphics(pages, graphics))
+
+  /** I2: page set ∪ next-page-if-present (candidate widening). */
+  def withNextPages(pageNumbers: DataFrame, allPages: DataFrame): DataFrame =
+    pageNumbers
+      .union(pageNumbers.withColumn("page_number", col("page_number") + 1)
+        .join(allPages.select("doc_id", "page_number").distinct(),
+          Seq("doc_id", "page_number"), "left_semi"))
+      .distinct()
+
+  /** F5/H3: reconcile CV-detected boxes with embedded page graphics by
+    * area-intersection ratio ≥ `threshold`, best-overlap-wins (max_by +
+    * row_number top-1). Unmatched CV boxes fall through to page-image
+    * cropping in the reference.
+    * `cvBoxes`: (doc_id, page_number, cv_id, x, y, width, height)
+    * `graphics`: (doc_id, page_number, graphic_id, x, y, width, height,
+    * graphic_type)
+    */
+  def reconcileCvBoxes(cvBoxes: DataFrame, graphics: DataFrame,
+      threshold: Double = 0.80,
+      ignoredGraphicTypes: Seq[String] = Seq("svg")): DataFrame = {
+    val g = graphics.filter(!col("graphic_type").isin(ignoredGraphicTypes: _*))
+      .select(col("doc_id"), col("page_number"), col("graphic_id"),
+        col("x").as("gx"), col("y").as("gy"),
+        col("width").as("gw"), col("height").as("gh"))
+    val ix = greatest(lit(0.0),
+      least(col("x") + col("width"), col("gx") + col("gw")) - greatest(col("x"), col("gx")))
+    val iy = greatest(lit(0.0),
+      least(col("y") + col("height"), col("gy") + col("gh")) - greatest(col("y"), col("gy")))
+    val maxArea = greatest(col("width") * col("height"), col("gw") * col("gh"))
+    val ratio = when(maxArea > 0, ix * iy / maxArea).otherwise(lit(0.0))
+    val w = Window.partitionBy("doc_id", "cv_id")
+      .orderBy(col("area_ratio").desc, col("graphic_id"))
+    cvBoxes.join(g, Seq("doc_id", "page_number"))
+      .withColumn("area_ratio", ratio)
+      .filter(col("area_ratio") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "cv_id", "graphic_id", "area_ratio")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Executor-local subprocess integration (SURVEY.md §7 hard part #1).
+  *
+  * The reference shells out at three boundaries: pdfalto for PDF→ALTO
+  * (`external/pdfalto/wrapper.py:20-48`), LibreOffice for office→PDF
+  * (`transformers/doc_converter_wrapper.py`), and a persistent Wapiti
+  * process for CRF tagging (`models/wapiti_model_impl.py:25-164`).
+  * The Spark shape for all three is the same: `mapPartitions`, binary
+  * resolved on the executor (spark-submit `--files` / container image),
+  * one process (or one persistent process) per partition so process
+  * startup amortizes over the partition's rows — never per row, never
+  * on the driver.
+  *
+  * The runners below are generic over the command, so the seam is fully
+  * testable in this binary-less container with stand-in commands
+  * (`cat`, `tr`, …); pdfalto/wapiti slot in as configuration.
+  */
+object Subprocess {
+
+  /** File-based conversion: bytes → `cmd in out` → bytes (the pdfalto
+    * calling convention: `pdfalto -noImageInline -fullFontName
+    * <pdf> <out.xml>`). One process per row, processes per partition run
+    * sequentially in the task thread; `timeoutSeconds` kills hangs
+    * (Spark task retry replaces the reference's retry loop).
+    */
+  def conversionRunner(
+      command: Seq[String],
+      inputSuffix: String,
+      outputSuffix: String,
+      timeoutSeconds: Long = 600L): Array[Byte] => Array[Byte] = { input =>
+    val inFile = Files.createTempFile("graft-conv-in", inputSuffix)
+    val outFile = Files.createTempFile("graft-conv-out", outputSuffix)
+    try {
+      Files.write(inFile, input)
+      val cmd = command.map(
+        _.replace("{in}", inFile.toString).replace("{out}", outFile.toString))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val finished = proc.waitFor(timeoutSeconds, TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        throw new RuntimeException(s"subprocess timed out: ${cmd.mkString(" ")}")
+      }
+      if (proc.exitValue() != 0)
+        throw new RuntimeException(
+          s"subprocess failed (${proc.exitValue()}): ${cmd.mkString(" ")}")
+      Files.readAllBytes(outFile)
+    } finally {
+      Files.deleteIfExists(inFile)
+      Files.deleteIfExists(outFile)
+    }
+  }
+
+  /** Convert a binary corpus with an executor-local tool.
+    * @param binary (id, content) rows, e.g. from
+    *   `spark.read.format("binaryFile")`
+    * @return (id, converted-bytes)
+    */
+  def convert(binary: Dataset[(Long, Array[Byte])], command: Seq[String],
+      inputSuffix: String, outputSuffix: String): Dataset[(Long, Array[Byte])] = {
+    import binary.sparkSession.implicits._
+    binary.mapPartitions { it =>
+      val run = conversionRunner(command, inputSuffix, outputSuffix)
+      it.map { case (id, content) => (id, run(content)) }
+    }
+  }
+
+  /** PDF corpus → token table, pdfalto convention: reads a directory of
+    * PDFs via binaryFile, converts per partition, parses the resulting
+    * ALTO. `pdfaltoCommand` defaults to the real binary's argument
+    * shape; tests substitute a stand-in. (A1; the office-doc → PDF hop
+    * (A3) chains another `convert` in front.)
+    */
+  def pdfTokens(spark: org.apache.spark.sql.SparkSession, path: String,
+      pdfaltoCommand: Seq[String] =
+        Seq("pdfalto", "-noImageInline", "-fullFontName", "-noLineNumbers",
+          "{in}", "{out}")): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .withColumn("doc_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("path")).cast("long") - 1)
+      .select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+    val alto = convert(raw, pdfaltoCommand, ".pdf", ".xml")
+      .map { case (id, bytes) => (id, new String(bytes, StandardCharsets.UTF_8)) }
+    AltoReader.tokens(alto).toDF()
+  }
+}

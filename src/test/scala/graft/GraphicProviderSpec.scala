@@ -1,0 +1,61 @@
+package graft
+
+import graft.pipeline.GraphicProvider
+
+class GraphicProviderSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pages = Seq(
+    (0L, 1, 612.0, 792.0), (0L, 2, 612.0, 792.0), (0L, 3, 1224.0, 792.0),
+    (0L, 4, 612.0, 792.0),
+    (1L, 1, 612.0, 792.0), (1L, 2, 612.0, 792.0), // uniform → none
+  ).toDF("doc_id", "page_number", "width", "height")
+
+  test("G5: uncommon page dimensions; uniform docs yield nothing") {
+    val r = GraphicProvider.pagesWithUncommonDimension(pages)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(r == Set((0L, 3)))
+  }
+
+  test("G6 + I1: mostly-bitmap pages excluded from CV candidates") {
+    val graphics = Seq(
+      // covers 3/4 of page 3 → mostly bitmap
+      (0L, 3, "g1", "png", 0.0, 0.0, 1224.0, 594.0),
+      // svg ignored even though large
+      (0L, 4, "g2", "svg", 0.0, 0.0, 612.0, 792.0),
+      // small graphic → not mostly bitmap
+      (0L, 1, "g3", "png", 0.0, 0.0, 50.0, 50.0),
+    ).toDF("doc_id", "page_number", "graphic_id", "graphic_type", "x", "y", "w", "h")
+      .selectExpr("doc_id", "page_number", "graphic_id", "graphic_type",
+        "named_struct('x', x, 'y', y, 'width', w, 'height', h) as coords")
+    val bitmap = GraphicProvider.pagesWithMostlyBitmapGraphics(pages, graphics)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bitmap == Set((0L, 3)))
+    val cv = GraphicProvider.cvCandidatePages(pages, graphics)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cv == Set.empty) // the only uncommon page is mostly-bitmap
+  }
+
+  test("I2: next-page widening only for pages present in the document") {
+    val candidates = Seq((0L, 2), (0L, 4)).toDF("doc_id", "page_number")
+    val widened = GraphicProvider.withNextPages(candidates, pages)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(widened == Set((0L, 2), (0L, 3), (0L, 4))) // page 5 absent → not added
+  }
+
+  test("F5: CV boxes reconcile to best-overlap graphic above threshold") {
+    val cv = Seq(
+      (0L, 1, "cv1", 10.0, 10.0, 100.0, 100.0),
+      (0L, 1, "cv2", 400.0, 400.0, 50.0, 50.0),
+    ).toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height")
+    val graphics = Seq(
+      (0L, 1, "g1", 12.0, 12.0, 100.0, 100.0, "png"),  // ≈0.96 overlap with cv1
+      (0L, 1, "g2", 30.0, 30.0, 100.0, 100.0, "png"),  // lower overlap
+      (0L, 1, "g3", 400.0, 400.0, 50.0, 50.0, "svg"),  // ignored type
+    ).toDF("doc_id", "page_number", "graphic_id", "x", "y", "width", "height",
+      "graphic_type")
+    val r = GraphicProvider.reconcileCvBoxes(cv, graphics)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(r == Map("cv1" -> "g1")) // cv2's only overlap is svg → unmatched
+  }
+}

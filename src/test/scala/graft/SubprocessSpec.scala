@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{BioSpans, Features, WapitiLabeler}
+import graft.sources.Subprocess
+
+/** The external-binary seams exercised with real processes — stand-in
+  * commands (`cp`, shell scripts) in place of pdfalto/wapiti, driving
+  * the identical calling conventions.
+  */
+class SubprocessSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("conversionRunner: file-based convert with {in}/{out} substitution") {
+    val run = Subprocess.conversionRunner(Seq("cp", "{in}", "{out}"), ".pdf", ".xml")
+    assert(new String(run("hello".getBytes)) == "hello")
+  }
+
+  test("conversionRunner: nonzero exit raises") {
+    val run = Subprocess.conversionRunner(Seq("false"), ".a", ".b")
+    intercept[RuntimeException](run("x".getBytes))
+  }
+
+  test("pdfTokens: binaryFile corpus -> stand-in converter -> token table") {
+    // the "PDF" files already contain ALTO; `cp` stands in for pdfalto
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdf").toFile
+    val xml = new PipelineSpec().altoXml
+    java.nio.file.Files.write(new java.io.File(dir, "a.pdf").toPath, xml.getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "b.pdf").toPath, xml.getBytes)
+    try {
+      val toks = Subprocess.pdfTokens(spark, dir.getPath,
+        pdfaltoCommand = Seq("cp", "{in}", "{out}"))
+      assert(toks.count() == 8) // 4 tokens × 2 docs
+      assert(toks.select("doc_id").distinct().count() == 2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("WapitiLabeler: persistent per-partition tagger via stdin/stdout protocol") {
+    // stand-in tagger: echoes each non-empty line with a label derived
+    // from the first field (wapiti's output shape: line TAB label)
+    val script = java.nio.file.Files.createTempFile("fake-wapiti", ".sh")
+    java.nio.file.Files.write(script,
+      """#!/bin/sh
+        |while IFS= read -r line; do
+        |  if [ -n "$line" ]; then
+        |    first=${line%% *}
+        |    case "$first" in
+        |      Title|A) printf '%s\tI-<title>\n' "$line";;
+        |      *) printf '%s\tO\n' "$line";;
+        |    esac
+        |  fi
+        |done""".stripMargin.getBytes)
+    script.toFile.setExecutable(true)
+    try {
+      val xml = new PipelineSpec().altoXml
+      val tokens = graft.sources.AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+      val withFeatures = Features.headerFeatures(tokens)
+      val labeler = new WapitiLabeler(Seq("/bin/sh", script.toString))
+      val labeled = labeler.label(withFeatures)
+      val byText = labeled.select("text", "label").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(byText("A") == "I-<title>" && byText("Title") == "I-<title>")
+      assert(byText("Jane") == "O" && byText("Doe") == "O")
+      // and the labels flow into span grouping downstream
+      val spans = BioSpans.spans(labeled)
+      assert(spans.filter(col("tag") === "<title>").count() == 1)
+    } finally java.nio.file.Files.deleteIfExists(script)
+  }
+}
