@@ -22,11 +22,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.ScaleOps.queries ++
-      graft.queries.PipelineOps.queries
+      graft.queries.Extended.queries ++ graft.queries.PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++ graft.queries.ScaleOps.oracleSql
+    graft.queries.Relational.oracleSql ++ graft.queries.ScaleOps.oracleSql ++
+      graft.queries.Extended.oracleSql
 }

@@ -117,6 +117,55 @@ object PipelineOps {
       .filter(col("doc_id") <= 20)
       .orderBy("doc_id", "page_idx", "block_idx", "line_idx")
 
+  /** P08 references pipeline: reference-segmenter fold (E6) chained
+    * into the citation model fold (E3) per raw reference — the
+    * processor's reference-list path (`processor.py:529-622`) — over a
+    * synthesized references section per document. Outputs per-doc
+    * reference statistics (rows-only).
+    */
+  def p08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.{Extractors, ModelExtractors, SemanticNode}
+    val nodes = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        // synthetic references section: label + reference line per 6 tokens
+        val spans = toks.grouped(6).zipWithIndex.flatMap { case (ts, i) =>
+          Seq(Extractors.Span(2L * i, "<label>", s"${i + 1}."),
+            Extractors.Span(2L * i + 1, "<reference>", ts.mkString(" ") + " (2020)"))
+        }.toSeq
+        val segNodes = ModelExtractors.referenceSegmenterFold(id, spans)
+        var nextId = segNodes.map(_.node_id).maxOption.getOrElse(-1L) + 1
+        val textByParent = segNodes.filter(_.node_type == "raw_reference_text")
+          .groupBy(_.parent_id)
+        val citNodes = segNodes.filter(_.node_type == "raw_reference").flatMap { r =>
+          textByParent.getOrElse(r.node_id, Nil).flatMap { t =>
+            val ts = t.text.split(" ")
+            val citSpans = Seq(
+              Extractors.Span(0L, "<author>", ts.take(2).mkString(" ")),
+              Extractors.Span(1L, "<title>", ts.slice(2, ts.length - 1).mkString(" ")),
+              Extractors.Span(2L, "<date>", ts.last))
+            val folded = ModelExtractors.citationFold(id, citSpans, r.content_id)
+            val offset = nextId
+            nextId += folded.size
+            folded.map(n => n.copy(
+              node_id = n.node_id + offset,
+              parent_id = if (n.parent_id < 0) -1L else n.parent_id + offset))
+          }
+        }
+        segNodes ++ citNodes
+      }
+    nodes.toDF()
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("node_type") === "raw_reference", 1).otherwise(0)).as("n_raw_refs"),
+        sum(when(col("node_type") === "reference", 1).otherwise(0)).as("n_parsed_refs"),
+        sum(when(col("node_type") === "invalid_reference", 1).otherwise(0)).as("n_invalid"),
+        sum(when(col("node_type") === "date", 1).otherwise(0)).as("n_dates"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -125,5 +174,6 @@ object PipelineOps {
     "p05_multimodal" -> p05,
     "p06_jats" -> p06,
     "p07_segmentation_lines" -> p07,
+    "p08_references" -> p08,
   )
 }
