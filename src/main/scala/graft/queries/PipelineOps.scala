@@ -73,12 +73,13 @@ object PipelineOps {
         countDistinct(col("block_idx")).as("n_blocks"))
       .orderBy("doc_id")
 
-  /** P02 CRF feature generation over the token table (doc windows). */
+  /** P02 CRF feature generation: exact 32-feature header-model token
+    * vectors (doc-partitioned windows). */
   def p02(s: SparkSession, d: String): DataFrame =
-    Features.headerFeatures(tokenTable(s, d))
+    graft.pipeline.HeaderFeatures.dataLines(tokenTable(s, d))
       .filter(col("doc_id") <= 5)
       .select(col("doc_id"), col("page_idx"), col("block_idx"),
-        col("line_idx"), col("token_idx"), col("features"))
+        col("line_idx"), col("token_idx"), col("data_line"))
       .orderBy("doc_id", "page_idx", "block_idx", "line_idx", "token_idx")
 
   /** P03 label → BIO span table (rule labeler, D4 span grouping). */

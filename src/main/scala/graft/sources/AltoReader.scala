@@ -1,7 +1,7 @@
 package graft.sources
 
-import javax.xml.parsers.DocumentBuilderFactory
-import javax.xml.XMLConstants
+
+
 
 import scala.collection.mutable.ListBuffer
 
@@ -58,98 +58,120 @@ object AltoReader {
   }
 
   // ------------------------------------------------------------ parsing
+  //
+  // Single-pass StAX parse (no DOM tree): ALTO files are large and this
+  // runs once per document per task — streaming halves the per-doc cost
+  // and keeps allocation flat regardless of document size.
 
-  private def parseDom(xml: String): org.w3c.dom.Document = {
-    val f = DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(true)
-    // harden against XXE — documents are untrusted input
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setAttribute(XMLConstants.ACCESS_EXTERNAL_DTD, "")
-    f.setAttribute(XMLConstants.ACCESS_EXTERNAL_SCHEMA, "")
-    f.newDocumentBuilder().parse(
-      new java.io.ByteArrayInputStream(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-  }
+  // XMLInputFactory.newInstance does a service-loader scan — far more
+  // expensive than the parse of a small document. One factory per task
+  // thread (the factory API is not guaranteed thread-safe).
+  private val factoryTL: ThreadLocal[javax.xml.stream.XMLInputFactory] =
+    ThreadLocal.withInitial { () =>
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      // harden against XXE — documents are untrusted input
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
 
-  private def elems(parent: org.w3c.dom.Element, local: String): Seq[org.w3c.dom.Element] = {
-    val nl = parent.getElementsByTagNameNS(AltoNs, local)
-    (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
-  }
+  private def newStreamReader(xml: String): javax.xml.stream.XMLStreamReader =
+    factoryTL.get().createXMLStreamReader(new java.io.StringReader(xml))
 
-  private def attr(e: org.w3c.dom.Element, name: String): Option[String] = {
-    val v = e.getAttribute(name)
+  private def attr(r: javax.xml.stream.XMLStreamReader, name: String): Option[String] = {
+    val v = r.getAttributeValue(null, name)
     if (v == null || v.isEmpty) None else Some(v)
   }
 
-  private def parseFonts(root: org.w3c.dom.Element): Map[String, FontInfo] =
-    elems(root, "TextStyle").map { n =>
-      val styles = attr(n, "FONTSTYLE").getOrElse("").split(' ').toSet
-      val id = attr(n, "ID").orNull
-      id -> FontInfo(
-        font_id = id,
-        font_family = attr(n, "FONTFAMILY").orNull,
-        font_size = attr(n, "FONTSIZE").map(_.toDouble),
-        is_bold = styles("bold"),
-        is_italics = styles("italics"),
-        is_subscript = styles("subscript"),
-        is_superscript = styles("superscript"))
-    }.toMap
-
-  private def coordsOf(e: org.w3c.dom.Element, pageNumber: Int): Coords =
+  private def coordsOf(r: javax.xml.stream.XMLStreamReader, pageNumber: Int): Coords =
     Coords(
-      x = attr(e, "HPOS").map(_.toDouble).getOrElse(0.0),
-      y = attr(e, "VPOS").map(_.toDouble).getOrElse(0.0),
-      width = attr(e, "WIDTH").map(_.toDouble).getOrElse(0.0),
-      height = attr(e, "HEIGHT").map(_.toDouble).getOrElse(0.0),
+      x = attr(r, "HPOS").map(_.toDouble).getOrElse(0.0),
+      y = attr(r, "VPOS").map(_.toDouble).getOrElse(0.0),
+      width = attr(r, "WIDTH").map(_.toDouble).getOrElse(0.0),
+      height = attr(r, "HEIGHT").map(_.toDouble).getOrElse(0.0),
       page_number = pageNumber)
 
-  private[sources] def parseTokens(docId: Long, xml: String): Seq[TokenRow] = {
-    val root = parseDom(xml).getDocumentElement
-    val fonts = parseFonts(root)
-    val out = ListBuffer.empty[TokenRow]
-    elems(root, "Page").zipWithIndex.foreach { case (page, pageIdx) =>
-      val pageNumber = attr(page, "PHYSICAL_IMG_NR").map(_.toInt).getOrElse(pageIdx + 1)
-      val pageW = attr(page, "WIDTH").map(_.toDouble)
-      val pageH = attr(page, "HEIGHT").map(_.toDouble)
-      var blockIdx = 0
-      elems(page, "TextBlock").foreach { block =>
-        var lineIdx = 0
-        var blockHasTokens = false
-        elems(block, "TextLine").foreach { line =>
-          val strings = elems(line, "String")
-          var tokenIdx = 0
-          strings.foreach { s =>
-            val rawText = attr(s, "CONTENT").getOrElse("")
-            val c = coordsOf(s, pageNumber)
-            // normalize + retokenize (B1/B2), pro-rating coordinates
-            retokenize(TextNormalization.normalize(rawText), c).foreach {
-              case (text, whitespace, tc) =>
-                out += TokenRow(docId, pageIdx, blockIdx, lineIdx, tokenIdx,
-                  text, whitespace,
-                  attr(s, "STYLEREFS").flatMap(fonts.get).getOrElse(FontInfo.empty),
-                  Some(tc), pageNumber, pageW, pageH)
-                tokenIdx += 1
-                blockHasTokens = true
-            }
+  private[sources] def parseAll(docId: Long, xml: String): (Seq[TokenRow], Seq[GraphicRow]) = {
+    val r = newStreamReader(xml)
+    val tokens = ListBuffer.empty[TokenRow]
+    val graphics = ListBuffer.empty[GraphicRow]
+    val fonts = scala.collection.mutable.Map.empty[String, FontInfo]
+
+    var pageIdx = -1
+    var pageNumber = 0
+    var pageW: Option[Double] = None
+    var pageH: Option[Double] = None
+    var blockIdx = 0
+    var lineIdx = 0
+    var tokenIdx = 0
+    var blockHasTokens = false
+    var inBlock = false
+    var inLine = false
+
+    import javax.xml.stream.XMLStreamConstants.{END_ELEMENT, START_ELEMENT}
+    while (r.hasNext) {
+      r.next() match {
+        case START_ELEMENT if r.getNamespaceURI == AltoNs =>
+          r.getLocalName match {
+            case "TextStyle" =>
+              val styles = attr(r, "FONTSTYLE").getOrElse("").split(' ').toSet
+              val id = attr(r, "ID").orNull
+              fonts(id) = FontInfo(id, attr(r, "FONTFAMILY").orNull,
+                attr(r, "FONTSIZE").map(_.toDouble),
+                styles("bold"), styles("italics"),
+                styles("subscript"), styles("superscript"))
+            case "Page" =>
+              pageIdx += 1
+              pageNumber = attr(r, "PHYSICAL_IMG_NR").map(_.toInt).getOrElse(pageIdx + 1)
+              pageW = attr(r, "WIDTH").map(_.toDouble)
+              pageH = attr(r, "HEIGHT").map(_.toDouble)
+              blockIdx = 0
+            case "TextBlock" =>
+              inBlock = true
+              lineIdx = 0
+              blockHasTokens = false
+            case "TextLine" if inBlock =>
+              inLine = true
+              tokenIdx = 0
+            case "String" if inLine =>
+              val font = attr(r, "STYLEREFS").flatMap(fonts.get).getOrElse(FontInfo.empty)
+              val c = coordsOf(r, pageNumber)
+              // normalize + retokenize (B1/B2), pro-rating coordinates
+              retokenize(TextNormalization.normalize(attr(r, "CONTENT").getOrElse("")), c)
+                .foreach { case (text, whitespace, tc) =>
+                  tokens += TokenRow(docId, pageIdx, blockIdx, lineIdx, tokenIdx,
+                    text, whitespace, font, Some(tc), pageNumber, pageW, pageH)
+                  tokenIdx += 1
+                  blockHasTokens = true
+                }
+            case "Illustration" =>
+              graphics += GraphicRow(docId, pageIdx, pageNumber,
+                attr(r, "FILEID").orNull, attr(r, "TYPE").orNull,
+                Some(coordsOf(r, pageNumber)))
+            case _ => ()
           }
-          if (tokenIdx > 0) lineIdx += 1 // drop empty lines (B3)
-        }
-        if (blockHasTokens) blockIdx += 1 // drop empty blocks (B3)
+        case END_ELEMENT if r.getNamespaceURI == AltoNs =>
+          r.getLocalName match {
+            case "TextLine" if inLine =>
+              inLine = false
+              if (tokenIdx > 0) lineIdx += 1 // drop empty lines (B3)
+            case "TextBlock" if inBlock =>
+              inBlock = false
+              if (blockHasTokens) blockIdx += 1 // drop empty blocks (B3)
+            case _ => ()
+          }
+        case _ => ()
       }
     }
-    out.toList
+    r.close()
+    (tokens.toList, graphics.toList)
   }
 
-  private[sources] def parseGraphics(docId: Long, xml: String): Seq[GraphicRow] = {
-    val root = parseDom(xml).getDocumentElement
-    elems(root, "Page").zipWithIndex.flatMap { case (page, pageIdx) =>
-      val pageNumber = attr(page, "PHYSICAL_IMG_NR").map(_.toInt).getOrElse(pageIdx + 1)
-      elems(page, "Illustration").map { g =>
-        GraphicRow(docId, pageIdx, pageNumber,
-          attr(g, "FILEID").orNull, attr(g, "TYPE").orNull,
-          Some(coordsOf(g, pageNumber)))
-      }
-    }
-  }
+  private[sources] def parseTokens(docId: Long, xml: String): Seq[TokenRow] =
+    parseAll(docId, xml)._1
+
+  private[sources] def parseGraphics(docId: Long, xml: String): Seq[GraphicRow] =
+    parseAll(docId, xml)._2
 
   /** Retokenize one ALTO String token, pro-rating coordinates by char
     * offset (layout_document.py:159-212 `retokenize_layout_token`):
