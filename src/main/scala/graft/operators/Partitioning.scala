@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partitioning utilities for the 100 TB regime: bucketed co-located
+  * joins (no exchange on either side of repeated fact joins) and salted
+  * two-phase aggregation for skewed keys (complementing AQE's runtime
+  * skew-join splitting, which only covers joins).
+  */
+object Partitioning {
+
+  /** Write a table bucketed by the join key. Downstream equi-joins /
+    * aggregations on `keys` read it exchange-free (the classic setup
+    * for a fact table joined every run on the same key).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Two-phase salted aggregation: counts/sums per (key, salt) first —
+    * spreading a hot key over `saltBuckets` reducers — then the tiny
+    * per-key recombination. Exact for any commutative monoid supplied
+    * as (partial, merge) aggregate pairs keyed by output column.
+    *
+    * Example: `saltedAgg(df, Seq("k"), 16, Map("n" -> (count(lit(1)), sum _)))`
+    */
+  def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_partial_n"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial_n")).as("n"))
+  }
+
+  /** Salted sum over a numeric column (same two-phase shape). */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_partial_s"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial_s")).as("s"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Partitioning
+
+class PartitioningSpec extends SparkSuite {
+
+  test("bucketed tables join without an exchange") {
+    // tables land in the default ./spark-warehouse (warehouse dir is a
+    // static conf); dropped + gitignored after
+    val t = Tables(spark, sf("0.001"))
+    Partitioning.writeBucketed(t.orders, "orders_b", 8, Seq("o_custkey"))
+    Partitioning.writeBucketed(
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", 8,
+      Seq("o_custkey"))
+    try {
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = try joined.queryExecution.executedPlan.toString
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // result correctness vs plain join
+      val expected = t.orders.join(
+        t.customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("salted aggregation is exact") {
+    val t = Tables(spark, sf("0.001"))
+    val plain = t.lineitem.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Partitioning.saltedCount(t.lineitem, Seq("l_returnflag"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+
+    val plainSum = t.lineitem.groupBy("l_returnflag")
+      .agg(sum("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedSum = Partitioning.saltedSum(t.lineitem, Seq("l_returnflag"), "l_quantity", 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(saltedSum.keySet == plainSum.keySet &&
+      saltedSum.forall { case (k, v) => math.abs(v - plainSum(k)) < 1e-6 })
+  }
+}
