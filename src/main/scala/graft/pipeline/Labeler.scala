@@ -38,6 +38,51 @@ final class ScriptedLabeler(spark: SparkSession,
   }
 }
 
+/** Segmentation-stage rule labeler: the largest-font block on page 0
+  * and its successor (title + authors region) → `<header>`, everything
+  * else → `<body>` — the line-level segmentation the reference's
+  * segmentation model performs (`processor.py:191-197`) as a
+  * deterministic stand-in.
+  */
+final class SegmentationRuleLabeler extends SequenceLabeler {
+  import org.apache.spark.sql.expressions.Window
+
+  override def label(tokens: DataFrame): DataFrame = {
+    val docW = Window.partitionBy("doc_id")
+    val blockW = Window.partitionBy("doc_id", "page_idx", "block_idx")
+    val withMax = tokens
+      .withColumn("_max_fs", max(col("font.font_size")).over(docW))
+      .withColumn("_block_max_fs", max(col("font.font_size")).over(blockW))
+    val isTitleBlock = col("page_idx") === 0 && col("_block_max_fs") === col("_max_fs")
+    val titleBlockIdx = min(when(isTitleBlock, col("block_idx"))).over(
+      Window.partitionBy("doc_id", "page_idx"))
+    val isHeader = col("page_idx") === 0 && col("_title_block").isNotNull &&
+      col("block_idx") <= col("_title_block") + 1
+    val isFirst = col("line_idx") === 0 && col("token_idx") === 0
+    withMax
+      .withColumn("_title_block", titleBlockIdx)
+      .withColumn("label",
+        when(isHeader, when(isFirst, "B-<header>").otherwise("I-<header>"))
+          .otherwise(when(isFirst, "B-<body>").otherwise("I-<body>")))
+      .drop("_max_fs", "_block_max_fs", "_title_block")
+  }
+}
+
+/** Body-stage rule labeler (fulltext-model stand-in): the first line of
+  * each block is a `<section>` heading, every other line is a
+  * `<paragraph>` span (one span per line — consecutive paragraph spans
+  * start new paragraphs in the fulltext fold, matching the reference's
+  * per-line labeling granularity).
+  */
+final class BodyRuleLabeler extends SequenceLabeler {
+  override def label(tokens: DataFrame): DataFrame =
+    tokens.withColumn("label",
+      when(col("line_idx") === 0,
+        when(col("token_idx") === 0, "B-<section>").otherwise("I-<section>"))
+        .otherwise(
+          when(col("token_idx") === 0, "B-<paragraph>").otherwise("I-<paragraph>")))
+}
+
 /** Layout-heuristic labeler: largest-font tokens on the first page →
   * title; the following block → author; everything else O. Deterministic
   * and model-free — exercises exactly the segmentation→header flow

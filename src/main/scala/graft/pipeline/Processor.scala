@@ -120,4 +120,38 @@ object Processor {
       config: Config = Config()): Dataset[SemanticNode] =
     process(Extractors.headerSemantics(
       BioSpans.spans(labeler.label(tokens))).toDF(), config)
+
+  /** The reference's full document flow (processor.py:180-274):
+    * segmentation labels every token `<header>`/`<body>`, the header
+    * model + folds run on the header view, the fulltext fold on the
+    * body view — each view is just a predicate on the labeled token
+    * table (B4/B5), so no data is copied, and Catalyst pushes the
+    * tag filter below each branch's windows.
+    */
+  def documentPipeline(tokens: DataFrame, config: Config = Config()): Dataset[SemanticNode] = {
+    val sparkSession = tokens.sparkSession
+    import sparkSession.implicits._
+    val seg = new SegmentationRuleLabeler().label(tokens)
+    val headerTokens = BioSpans.filterByTags(seg, Seq("<header>")).drop("label", "tag")
+    val bodyTokens = BioSpans.filterByTags(seg, Seq("<body>")).drop("label", "tag")
+
+    val headerNodes = headerPipeline(headerTokens, new RuleLabeler(), config)
+
+    val bodySpans = BioSpans.spans(new BodyRuleLabeler().label(bodyTokens))
+    val bodyNodes = bodySpans
+      .select(col("doc_id"), col("span_id"), col("tag"), col("text"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        ModelExtractors.fulltextFold(docId,
+          it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq, "body").iterator
+      }
+      // body node ids after all header ids so TEI ordering is stable
+      .map(n => n.copy(
+        node_id = n.node_id + BodyIdOffset,
+        parent_id = if (n.parent_id < 0) -1L else n.parent_id + BodyIdOffset))
+    headerNodes.union(bodyNodes)
+  }
+
+  private val BodyIdOffset = 1L << 32
 }

@@ -27,10 +27,13 @@ object PipelineOps {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  /** Deterministic per-row ALTO synthesis (one page, two blocks). */
+  /** Deterministic per-row ALTO synthesis (one page: title block,
+    * author block, body block — the segmentation labeler's header
+    * region is the first two blocks). */
   private[queries] def altoOf(docId: Long, text: String): String = {
     val toks = text.split(" ").filter(_.nonEmpty)
-    val (titleToks, bodyToks) = toks.splitAt(math.min(3, toks.length))
+    val (titleToks, rest) = toks.splitAt(math.min(3, toks.length))
+    val (authorToks, bodyToks) = rest.splitAt(math.min(2, rest.length))
     def line(ts: Seq[String], y: Int, font: String): String =
       if (ts.isEmpty) ""
       else {
@@ -53,6 +56,7 @@ object PipelineOps {
        |</Styles>
        |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
        |${line(titleToks, 60, "font0")}
+       |${line(authorToks, 90, "font1")}
        |<TextBlock>$bodyLines</TextBlock>
        |</PrintSpace></Page></Layout></alto>""".stripMargin
   }
@@ -87,11 +91,12 @@ object PipelineOps {
     BioSpans.spans(new RuleLabeler().label(tokenTable(s, d)))
       .orderBy("doc_id", "span_id")
 
-  /** P04 full slice: spans → header fold → name/affiliation model
-    * passes (Processor DAG) → TEI string per document. */
+  /** P04 full slice: segmentation → header view (header fold +
+    * name/affiliation passes) + body view (fulltext fold) → TEI with
+    * body sections (the reference's complete processor DAG). */
   def p04(s: SparkSession, d: String): DataFrame =
     Tei.serialize(
-      graft.pipeline.Processor.headerPipeline(tokenTable(s, d), new RuleLabeler()).toDF())
+      graft.pipeline.Processor.documentPipeline(tokenTable(s, d)).toDF())
       .orderBy("doc_id")
 
   /** P05 multimodal: binary media column → batched stub decode →

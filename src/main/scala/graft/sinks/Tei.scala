@@ -91,6 +91,39 @@ object Tei {
       .filter(n => n.parent_id < 0 && n.node_type == "affiliation_address")
       .map(a => affiliationXml(a, kids(a.node_id)))
 
+    // body: sections → <div> with heading label/title + paragraphs
+    // (tei_document.py body building over the fulltext fold output)
+    val bodySb = new StringBuilder
+    ordered.filter(n => n.parent_id < 0 && n.node_type == "section").foreach { s =>
+      bodySb ++= "<div>"
+      kids(s.node_id).foreach { c =>
+        c.node_type match {
+          case "heading" =>
+            val label = kids(c.node_id).find(_.node_type == "label").map(_.text)
+            val htitle = kids(c.node_id).find(_.node_type == "title").map(_.text)
+            bodySb ++= "<head"
+            label.foreach(l => bodySb ++= s""" n="${esc(l)}"""")
+            bodySb ++= s">${esc(htitle.getOrElse(""))}</head>"
+          case "paragraph" =>
+            val parts = kids(c.node_id).map { p =>
+              p.node_type match {
+                case "text" => esc(p.text)
+                case "reference_citation" => s"""<ref type="bibr">${esc(p.text)}</ref>"""
+                case "figure_citation" => s"""<ref type="figure">${esc(p.text)}</ref>"""
+                case "table_citation" => s"""<ref type="table">${esc(p.text)}</ref>"""
+                case _ => esc(p.text)
+              }
+            }
+            bodySb ++= s"<p>${parts.mkString(" ")}</p>"
+          case "raw_figure" => bodySb ++= s"<figure>${esc(c.text)}</figure>"
+          case "raw_table" =>
+            bodySb ++= s"""<figure type="table">${esc(c.text)}</figure>"""
+          case _ => ()
+        }
+      }
+      bodySb ++= "</div>"
+    }
+
     val sb = new StringBuilder
     sb ++= """<TEI xmlns="http://www.tei-c.org/ns/1.0">"""
     sb ++= "<teiHeader><fileDesc>"
@@ -106,7 +139,8 @@ object Tei {
       sb ++= s"<profileDesc><abstract><p>${esc(t)}</p></abstract></profileDesc>"
     }
     sb ++= "</teiHeader>"
-    sb ++= "<text><body/><back/></text>"
+    if (bodySb.nonEmpty) sb ++= s"<text><body>${bodySb.toString}</body><back/></text>"
+    else sb ++= "<text><body/><back/></text>"
     sb ++= "</TEI>"
     sb.toString
   }

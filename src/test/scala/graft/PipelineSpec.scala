@@ -101,6 +101,32 @@ class PipelineSpec extends SparkSuite {
     assert(!pruned.collect().exists(_.node_type == "authors"))
   }
 
+  test("documentPipeline: segmentation splits header/body, TEI gets body sections") {
+    // fixture + a body block with a heading line and two paragraph lines
+    val xml = altoXml.replace("<Illustration",
+      """<TextBlock>
+        |  <TextLine>
+        |    <String CONTENT="1." HPOS="100" VPOS="200" WIDTH="12" HEIGHT="10" STYLEREFS="font1"/>
+        |    <String CONTENT="Methods" HPOS="120" VPOS="200" WIDTH="60" HEIGHT="10" STYLEREFS="font1"/>
+        |  </TextLine>
+        |  <TextLine>
+        |    <String CONTENT="We" HPOS="100" VPOS="214" WIDTH="20" HEIGHT="10" STYLEREFS="font1"/>
+        |    <String CONTENT="did" HPOS="130" VPOS="214" WIDTH="25" HEIGHT="10" STYLEREFS="font1"/>
+        |  </TextLine>
+        |  <TextLine>
+        |    <String CONTENT="things" HPOS="100" VPOS="228" WIDTH="45" HEIGHT="10" STYLEREFS="font1"/>
+        |  </TextLine>
+        |</TextBlock>
+        |<Illustration""".stripMargin)
+    val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val nodes = graft.pipeline.Processor.documentPipeline(tokens)
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<title level="a" type="main">A Title</title>"""))
+    assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
+    assert(tei.contains("""<head n="1.">Methods</head>"""))
+    assert(tei.contains("<p>We did</p>") && tei.contains("<p>things</p>"))
+  }
+
   test("rule labeler finds largest-font block as title without scripts") {
     val labeled = new RuleLabeler().label(fixtureTokens.toDF())
     val spans = BioSpans.spans(labeled)
