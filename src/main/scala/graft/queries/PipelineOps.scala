@@ -55,8 +55,8 @@ object PipelineOps {
        |<TextStyle ID="font1" FONTFAMILY="Times" FONTSIZE="9.5" FONTSTYLE=""/>
        |</Styles>
        |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
-       |${line(titleToks, 60, "font0")}
-       |${line(authorToks, 90, "font1")}
+       |${line(titleToks.toIndexedSeq, 60, "font0")}
+       |${line(authorToks.toIndexedSeq, 90, "font1")}
        |<TextBlock>$bodyLines</TextBlock>
        |</PrintSpace></Page></Layout></alto>""".stripMargin
   }
