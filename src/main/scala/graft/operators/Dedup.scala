@@ -44,6 +44,20 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
       .filter(col("n") > 1)
 
+  /** Deduplicate the corpus: keep the minimum-id document of every
+    * exact-content group. One shuffle on the 16-byte digest; the keeper
+    * set joins back as a broadcast-able (id) semi-join — at 100 TB the
+    * text never moves twice.
+    */
+  def deduplicate(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** Near-dup pairs by normalized-key equality (blocking join). */
   def normalizedKeyPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

@@ -20,6 +20,14 @@ object ScaleOps {
   def q31(s: SparkSession, d: String): DataFrame =
     Dedup.exactDupGroups(Tables(s, d).documents).orderBy("h")
 
+  /** Q31b corpus deduplication: the surviving documents after
+    * keep-min-id exact dedup (the operator a training-data pipeline
+    * actually runs; q31 reports the groups, this applies them). */
+  def q31b(s: SparkSession, d: String): DataFrame =
+    Dedup.deduplicate(Tables(s, d).documents)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Q32 near-dedup blocking by normalized key (F1 matcher analog). */
   def q32(s: SparkSession, d: String): DataFrame =
     Dedup.normalizedKeyPairs(Tables(s, d).documents)
@@ -109,7 +117,8 @@ object ScaleOps {
   }
 
   val queries: Map[String, Q] = Map(
-    "q31_dedup_exact" -> q31, "q32_dedup_near_key" -> q32,
+    "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
+    "q32_dedup_near_key" -> q32,
     "q33_vector_topk" -> q33, "q34_udf_word_shape" -> q34,
     "q35_dedup_bigram_jaccard" -> q35, "q36_dedup_minhash_lsh" -> q36,
     "q37_dedup_simhash" -> q37, "q38_ann_lsh" -> q38,
@@ -122,6 +131,10 @@ object ScaleOps {
     "q31_dedup_exact" ->
       """SELECT MD5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper FROM documents
          GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""",
+    "q31b_dedup_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text))
+         ORDER BY doc_id""",
     "q32_dedup_near_key" ->
       """SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(text),'[^a-z0-9]','','g') AS k FROM documents) a

@@ -20,6 +20,12 @@ class DedupSpec extends SparkSuite {
     assert(groups(0).getAs[Long]("n") == 2 && groups(0).getAs[Long]("keeper") == 0L)
   }
 
+  test("deduplicate keeps min-id doc per exact group") {
+    val kept = Dedup.deduplicate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L, 4L)) // doc 1 (exact dup of 0) dropped
+  }
+
   test("normalizedKeyPairs also matches case/punctuation variants") {
     val pairs = Dedup.normalizedKeyPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
