@@ -91,4 +91,24 @@ object RefMatching {
       .select("doc_id", "item_id", "content_id")
       .dropDuplicates("doc_id", "item_id")
   }
+
+  /** F2: figure/table citation → content-id assignment — the same
+    * matcher chain against figure/table *labels*
+    * (`processors/fulltext/processor.py:252-267`; ids `fig_0…`/`tab_0…`
+    * from `Extractors.assignContentIds`). Label-only matching uses a
+    * prefix length of 1 effectively — the label text IS the key.
+    */
+  def matchFigureTableIds(citations: DataFrame, figures: DataFrame): DataFrame =
+    matchContentIds(citations, figures)
+
+  /** G7: affiliation-by-marker grouping for TEI author building
+    * (`document/tei_document.py:68-73`): markers map each author's
+    * marker references to affiliation content ids.
+    * @param affiliations (doc_id, content_id, marker_text)
+    * @return (doc_id, marker_text, affiliation_ids sorted)
+    */
+  def affiliationsByMarker(affiliations: DataFrame): DataFrame =
+    affiliations
+      .groupBy("doc_id", "marker_text")
+      .agg(sort_array(collect_list(col("content_id"))).as("affiliation_ids"))
 }

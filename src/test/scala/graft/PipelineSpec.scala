@@ -171,6 +171,24 @@ class PipelineSpec extends SparkSuite {
     assert(nodes.exists(n => n.node_type == "note[<title>]"))
   }
 
+  test("F2/G7: figure-id assignment + affiliation-by-marker grouping") {
+    // figure citations matched against figure labels (F2)
+    val citations = Seq((0L, 1L, "Fig. 2"), (0L, 2L, "Figure 1")).toDF("doc_id", "item_id", "text")
+    val figures = Seq((0L, "fig_0", "Figure 1"), (0L, "fig_1", "Figure 2"))
+      .toDF("doc_id", "content_id", "label_text")
+    val m = RefMatching.matchFigureTableIds(citations, figures)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(m(2L) == "fig_0") // exact normalized key "figure1"
+    assert(m(1L) == "fig_1") // partial vote: "2" only in fig_1's label
+
+    // affiliations grouped by marker (G7)
+    val affs = Seq((0L, "aff0", "1"), (0L, "aff1", "1"), (0L, "aff2", "2"))
+      .toDF("doc_id", "content_id", "marker_text")
+    val grouped = RefMatching.affiliationsByMarker(affs)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    assert(grouped("1") == Seq("aff0", "aff1") && grouped("2") == Seq("aff2"))
+  }
+
   test("tokenizer matches reference goldens") {
     val cases = Seq(
       "Hello, world!" -> List("Hello", ",", "world", "!"),
