@@ -58,12 +58,18 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** Near-dup pairs by normalized-key equality (blocking join). */
+  /** Near-dup pairs by normalized-key equality (blocking join).
+    * The join key is the 16-byte md5 of the normalized key, not the key
+    * text itself — the key is nearly document-length, so digesting it
+    * map-side shrinks the self-join exchange from O(corpus text) to
+    * O(16 bytes × docs). Same collision budget as [[exactDupGroups]].
+    */
   def normalizedKeyPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val keyed = docs.select(col(idCol).as("id"), normalizedKey(col(textCol)).as("k"))
+    val keyed = docs.select(col(idCol).as("id"),
+      md5(normalizedKey(col(textCol)).cast("binary")).as("kh"))
     keyed.as("a").join(keyed.as("b"),
-        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+        col("a.kh") === col("b.kh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
   }
 
@@ -94,18 +100,24 @@ object Dedup {
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("doc_id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("doc_id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    // Candidate pairs first (compact 16-byte rows through the band join
+    // and the distinct), then the signatures join back ONCE per doc and
+    // the 64-element comparison runs once per candidate pair — not once
+    // per shared band, which for boilerplate-heavy corpora multiplies
+    // the array work by the band count.
+    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_id_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_id_b"))
+    val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    cand
+      .join(sig.select(col("id").as("doc_id_a"), col("sig").as("sig_a")), "doc_id_a")
+      .join(sig.select(col("id").as("doc_id_b"), col("sig").as("sig_b")), "doc_id_b")
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / numHashes, 4))
-      .groupBy("doc_id_a", "doc_id_b")
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_id_a", "doc_id_b", "est_jaccard")
   }
 
   // ----------------------------------------------------------- simhash

@@ -22,6 +22,15 @@ object Partitioning {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Deterministic per-row salt: xxhash64 over every column of the row.
+    * Stable across task retries (a `spark_partition_id`-derived salt can
+    * re-bucket rows after a retry, re-counting partial aggregates);
+    * identical rows share a bucket, which is harmless for count/sum and
+    * keeps the assignment a pure function of the data.
+    */
+  private[graft] def deterministicSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+
   /** Two-phase salted aggregation: counts/sums per (key, salt) first —
     * spreading a hot key over `saltBuckets` reducers — then the tiny
     * per-key recombination. Exact for any commutative monoid supplied
@@ -30,8 +39,7 @@ object Partitioning {
     * Example: `saltedAgg(df, Seq("k"), 16, Map("n" -> (count(lit(1)), sum _)))`
     */
   def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id()
-      + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("_salt", deterministicSalt(df, saltBuckets))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial_n"))
@@ -42,8 +50,7 @@ object Partitioning {
   /** Salted sum over a numeric column (same two-phase shape). */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id()
-      + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("_salt", deterministicSalt(df, saltBuckets))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial_s"))

@@ -69,19 +69,28 @@ object Features {
 
   // ----------------------------------------------------- window features
 
-  /** C9 font status vs previous token (data.py:131-154): NEWFONT when
-    * the font id changes, SAMEFONT otherwise; font-size comparison
-    * HIGHERFONT/LOWERFONT/SAMEFONTSIZE. */
+  /** C9 font status vs previous token (data.py:131-139): NEWFONT when
+    * the font FAMILY changes (null-safe compare) or there is no previous
+    * token, SAMEFONT otherwise. Matches [[HeaderFeatures]] exactly. */
   def fontStatus: Column = {
-    val prev = lag(col("font.font_id"), 1).over(byDoc)
-    when(prev.isNull || prev =!= col("font.font_id"), "NEWFONT").otherwise("SAMEFONT")
+    val prevAny = lag(lit(1), 1).over(byDoc)
+    val prev = lag(col("font.font_family"), 1).over(byDoc)
+    when(prevAny.isNull, "NEWFONT")
+      .when(prev <=> col("font.font_family"), "SAMEFONT")
+      .otherwise("NEWFONT")
   }
 
+  /** C9 font-size comparison (data.py:141-154): no previous token, or
+    * either size missing/zero → HIGHERFONT (reference behavior), else
+    * HIGHERFONT/LOWERFONT/SAMEFONTSIZE. Matches [[HeaderFeatures]]. */
   def fontSizeStatus: Column = {
+    val prevAny = lag(lit(1), 1).over(byDoc)
     val prev = lag(col("font.font_size"), 1).over(byDoc)
-    when(prev.isNull, "SAMEFONTSIZE")
-      .when(col("font.font_size") > prev, "HIGHERFONT")
-      .when(col("font.font_size") < prev, "LOWERFONT")
+    when(prevAny.isNull, "HIGHERFONT")
+      .when(prev.isNull || col("font.font_size").isNull ||
+        prev === 0.0 || col("font.font_size") === 0.0, "HIGHERFONT")
+      .when(prev < col("font.font_size"), "HIGHERFONT")
+      .when(prev > col("font.font_size"), "LOWERFONT")
       .otherwise("SAMEFONTSIZE")
   }
 

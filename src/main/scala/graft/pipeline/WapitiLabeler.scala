@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.LinkedBlockingQueue
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -52,16 +53,23 @@ final class WapitiLabeler(
 
 object WapitiLabeler {
 
-  /** Run one tagger process over a partition: write each document's
-    * feature lines + blank separator, read back `line\tlabel` rows.
-    * Process started once; rows stream through without buffering whole
-    * documents in memory beyond the current one (the reference batches
-    * documents the same way, models/model.py:289-331).
+  private type In = (Long, Int, Int, Int, Int, String, String, String)
+  private type Out = (Long, Int, Int, Int, Int, String, String, String, String)
+
+  /** Run one tagger process over a partition, full-duplex.
+    *
+    * Pipe discipline: a dedicated writer thread streams feature lines to
+    * the tagger while the task thread reads labels per document in
+    * lockstep. The naive write-everything-then-read shape deadlocks as
+    * soon as the tagger emits output while the stdin pipe is still being
+    * filled (both OS pipe buffers ~64 KB); with the writer on its own
+    * thread neither side can block the other, regardless of partition or
+    * document size. Memory stays bounded by one document plus the
+    * writer queue (the reference batches per document the same way,
+    * models/model.py:289-331).
     */
   private[pipeline] def tagPartition(
-      command: Seq[String],
-      it: Iterator[(Long, Int, Int, Int, Int, String, String, String)])
-    : Iterator[(Long, Int, Int, Int, Int, String, String, String, String)] = {
+      command: Seq[String], it: Iterator[In]): Iterator[Out] = {
     val pb = new ProcessBuilder(command: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
@@ -70,39 +78,98 @@ object WapitiLabeler {
     val out = new BufferedReader(
       new InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
 
-    // write everything, then stream results; wapiti flushes per document
-    // separator, but buffering the write side is simpler and bounded by
-    // the partition's feature text. A production impl writes/reads in
-    // lockstep per document batch (reference does batches of documents).
-    val rows = it.toVector
-    var prevDoc = Long.MinValue
-    rows.foreach { r =>
-      if (prevDoc != Long.MinValue && r._1 != prevDoc) in.write("\n")
-      prevDoc = r._1
-      in.write(r._8)
-      in.write("\n")
-    }
-    in.close()
-
-    val labels = Vector.newBuilder[String]
-    var line = out.readLine()
-    while (line != null) {
-      val trimmed = line.trim
-      if (trimmed.nonEmpty) {
-        val tab = trimmed.lastIndexOf('\t')
-        val label = if (tab >= 0) trimmed.substring(tab + 1)
-          else trimmed.substring(trimmed.lastIndexOf(' ') + 1)
-        labels += label
+    // Bounded queue of per-document line batches; None = end of input.
+    val queue = new LinkedBlockingQueue[Option[Vector[String]]](8)
+    @volatile var writerError: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        var done = false
+        while (!done) queue.take() match {
+          case Some(lines) =>
+            lines.foreach { l => in.write(l); in.write('\n') }
+            in.write('\n') // document separator
+            in.flush()
+          case None =>
+            in.close()
+            done = true
+        }
+      } catch {
+        case t: Throwable =>
+          writerError = t
+          try in.close() catch { case _: Throwable => () }
       }
-      line = out.readLine()
+    }, "graft-wapiti-writer")
+    writer.setDaemon(true)
+    writer.start()
+
+    // Group the sorted partition iterator into consecutive-doc batches
+    // (task thread consumes the Spark iterator; only the current
+    // document is materialized).
+    val src = it.buffered
+    val docs: Iterator[Vector[In]] = new Iterator[Vector[In]] {
+      override def hasNext: Boolean = src.hasNext
+      override def next(): Vector[In] = {
+        val d = src.head._1
+        val b = Vector.newBuilder[In]
+        while (src.hasNext && src.head._1 == d) b += src.next()
+        b.result()
+      }
     }
-    out.close()
-    proc.waitFor()
-    val labelSeq = labels.result()
-    require(labelSeq.size == rows.size,
-      s"tagger returned ${labelSeq.size} labels for ${rows.size} tokens")
-    rows.iterator.zip(labelSeq.iterator).map { case (r, lab) =>
-      (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, lab)
+
+    def parseLabel(line: String): String = {
+      val tab = line.lastIndexOf('\t')
+      if (tab >= 0) line.substring(tab + 1)
+      else line.substring(line.lastIndexOf(' ') + 1)
+    }
+
+    def readLabels(n: Int): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var got = 0
+      while (got < n) {
+        val line = out.readLine()
+        if (line == null) {
+          if (writerError != null) throw writerError
+          throw new RuntimeException(
+            s"tagger terminated early: got $got of $n labels for a document")
+        }
+        val trimmed = line.trim
+        if (trimmed.nonEmpty) { b += parseLabel(trimmed); got += 1 }
+      }
+      b.result()
+    }
+
+    new Iterator[Out] {
+      private var current: Iterator[Out] = Iterator.empty
+      private var finished = false
+
+      override def hasNext: Boolean = {
+        while (!current.hasNext && !finished) {
+          if (docs.hasNext) {
+            val rows = docs.next()
+            queue.put(Some(rows.map(_._8)))
+            val labels = readLabels(rows.size)
+            current = rows.iterator.zip(labels.iterator).map { case (r, lab) =>
+              (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, lab)
+            }
+          } else {
+            queue.put(None)
+            writer.join()
+            if (writerError != null) throw writerError
+            var line = out.readLine()
+            while (line != null && line.trim.isEmpty) line = out.readLine()
+            require(line == null, s"tagger produced extra output: $line")
+            out.close()
+            proc.waitFor()
+            finished = true
+          }
+        }
+        current.hasNext
+      }
+
+      override def next(): Out = {
+        if (!hasNext) throw new NoSuchElementException("empty tagger iterator")
+        current.next()
+      }
     }
   }
 }

@@ -104,10 +104,19 @@ object ScaleOps {
       .orderBy("id_a", "id_b")
 
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
-    * rows-only; candidate pairs sharing ≥ 3 winnowed hashes). */
+    * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
+    *
+    * Document-frequency pruning (same cut as q35): a fingerprint shared
+    * by more than 100 documents is boilerplate — it cannot distinguish a
+    * near-dup pair but makes the self-join quadratic in its frequency
+    * (one hash in 100k docs → 10^10 join rows). The df ≤ 100 cut is part
+    * of the declared semantics.
+    */
   def q44(s: SparkSession, d: String): DataFrame = {
-    val fps = Tables(s, d).documents.select(col("doc_id"),
+    val fps0 = Tables(s, d).documents.select(col("doc_id"),
       explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fph"))
+    val rare = fps0.groupBy("fph").count().filter(col("count") <= 100)
+    val fps = fps0.join(rare.select("fph"), Seq("fph"), "left_semi")
     fps.as("a").join(fps.as("b"),
         col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))

@@ -44,16 +44,20 @@ object AltoReader {
     docs.flatMap { case (docId, xml) => parseGraphics(docId, xml) }
   }
 
-  /** Convenience: read a directory of .alto.xml files via binaryFile
-    * (doc_id = dense rank of file path for determinism).
+  /** Convenience: read a directory of .alto.xml files via binaryFile.
+    *
+    * doc_id = xxhash64(path): stable, deterministic, and computed
+    * map-side — no shuffle, no global ordering. (A `row_number` over a
+    * global window would funnel the whole corpus through one task; at
+    * corpus scale that is the front-door bottleneck.) Collision chance
+    * over 64 bits is ~n²/2⁶⁵ — negligible below billions of files; a
+    * strict pipeline can assert `count === countDistinct(doc_id)`.
     */
   def readDirectory(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content").cast("string").as("xml"))
-    val withId = raw.withColumn("doc_id",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("path"))
-        .cast("long") - 1)
+    val withId = raw.withColumn("doc_id", xxhash64(col("path")))
     tokens(withId.select($"doc_id", $"xml").as[(Long, String)]).toDF()
   }
 

@@ -87,11 +87,11 @@ object Subprocess {
           "{in}", "{out}")): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // doc_id = xxhash64(path): map-side, shuffle-free id assignment (a
+    // global row_number window would single-task the whole corpus).
     val raw = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .withColumn("doc_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("path")).cast("long") - 1)
-      .select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .select(xxhash64(col("path")).as("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
     val alto = convert(raw, pdfaltoCommand, ".pdf", ".xml")
       .map { case (id, bytes) => (id, new String(bytes, StandardCharsets.UTF_8)) }
     AltoReader.tokens(alto).toDF()

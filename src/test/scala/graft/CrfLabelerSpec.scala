@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{BioSpans, CrfLabeler, CrfModel, HeaderFeatures}
+
+/** Pure-JVM CRF inference (D1/D2 backend): model parsing, pattern
+  * expansion, Viterbi decoding — including a case where the Viterbi
+  * path differs from per-token argmax (proving transitions are used,
+  * i.e. this is sequence decoding, not pointwise classification).
+  */
+class CrfLabelerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val simpleModel =
+    """[labels]
+      |O
+      |B-<title>
+      |I-<title>
+      |[patterns]
+      |U00:%x[0,0]
+      |B
+      |[weights]
+      |U00:Title	B-<title>	2.0
+      |U00:Case	I-<title>	2.0
+      |B:	B-<title>	I-<title>	0.5
+      |""".stripMargin
+
+  test("parse: labels, patterns, unigram + transition weights") {
+    val m = CrfModel.parse(simpleModel)
+    assert(m.labels == Seq("O", "B-<title>", "I-<title>"))
+    assert(m.patterns.size == 2)
+    assert(m.unigram("U00:Title")(1) == 2.0)
+    assert(m.transition(1)(2) == 0.5)
+  }
+
+  test("decode: emission argmax on matched observations") {
+    val m = CrfModel.parse(simpleModel)
+    assert(m.decode(Seq("Title x", "Case y", "other z")) ==
+      Seq("B-<title>", "I-<title>", "O"))
+  }
+
+  test("decode: Viterbi path beats per-token argmax when transitions say so") {
+    // emissions favor X at both steps (2.0, 0.5) but X->X is heavily
+    // penalized: best path is [X, Y] (2.0 + 0 + 0) over [X, X]
+    // (2.0 + 0.5 - 10). Pointwise argmax would output [X, X].
+    val m = CrfModel.parse(
+      """[labels]
+        |X
+        |Y
+        |[patterns]
+        |U00:%x[0,0]
+        |B
+        |[weights]
+        |U00:a	X	2.0
+        |U00:b	X	0.5
+        |B:	X	X	-10.0
+        |""".stripMargin)
+    assert(m.decode(Seq("a", "b")) == Seq("X", "Y"))
+  }
+
+  test("decode: %x[-1,c] pattern sees the previous row; out-of-range is _X") {
+    // label the token AFTER "Dr" as a name, via the -1 offset pattern
+    val m = CrfModel.parse(
+      """[labels]
+        |O
+        |NAME
+        |[patterns]
+        |U01:%x[-1,0]
+        |[weights]
+        |U01:Dr	NAME	1.0
+        |U01:_X[-1,0]	O	1.0
+        |""".stripMargin)
+    assert(m.decode(Seq("Dr", "Who", "said")) == Seq("O", "NAME", "O"))
+  }
+
+  test("decode: conjunction pattern joins multiple cells") {
+    val m = CrfModel.parse(
+      """[labels]
+        |O
+        |HIT
+        |[patterns]
+        |U02:%x[0,0]/%x[0,1]
+        |[weights]
+        |U02:a|b	HIT	1.0
+        |""".stripMargin)
+    assert(m.decode(Seq("a b", "a c", "b b")) == Seq("HIT", "O", "O"))
+  }
+
+  test("CrfLabeler: end-to-end over the token table -> BIO spans") {
+    // model keyed on the real header data-line columns: col 28 is the
+    // largest-font flag ('1' on the synthesized title block)
+    val model =
+      """[labels]
+        |O
+        |B-<title>
+        |I-<title>
+        |[patterns]
+        |U00:%x[0,28]
+        |U01:%x[-1,28]/%x[0,28]
+        |B
+        |[weights]
+        |U00:1	B-<title>	1.0
+        |U00:0	O	1.0
+        |U01:1|1	I-<title>	1.5
+        |B:	B-<title>	I-<title>	0.25
+        |B:	I-<title>	I-<title>	0.25
+        |""".stripMargin
+    val xml = new PipelineSpec().altoXml
+    val tokens = graft.sources.AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val lines = HeaderFeatures.dataLines(tokens)
+      .withColumnRenamed("data_line", "features")
+    val labeled = new CrfLabeler(model).label(lines)
+    val byText = labeled.select("text", "label").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byText("A") == "B-<title>" && byText("Title") == "I-<title>")
+    assert(byText("Jane") == "O" && byText("Doe") == "O")
+    val spans = BioSpans.spans(labeled)
+    assert(spans.filter(col("tag") === "<title>").count() == 1)
+  }
+}

@@ -32,6 +32,25 @@ class HeaderFeaturesSpec extends SparkSuite {
     lines.foreach(l => assert(l.split(" ").length == 32, l))
   }
 
+  test("generic Features fontStatus/fontSizeStatus agree with the contract generator") {
+    // Two implementations of C9 existed; the reference compares
+    // font_family (models/data.py:131-139) and returns HIGHERFONT for a
+    // missing/zero previous size (models/data.py:141-154). Assert the
+    // generic Features path now matches HeaderFeatures column-for-column.
+    import org.apache.spark.sql.functions.col
+    val toks = AltoReader.tokens(Seq((0L, new PipelineSpec().altoXml)).toDS()).toDF()
+    val generic = toks
+      .withColumn("fs", graft.pipeline.Features.fontStatus)
+      .withColumn("fss", graft.pipeline.Features.fontSizeStatus)
+      .orderBy("page_idx", "block_idx", "line_idx", "token_idx")
+      .select("fs", "fss").collect().map(r => (r.getString(0), r.getString(1)))
+    val contract = HeaderFeatures.dataLines(toks)
+      .orderBy("page_idx", "block_idx", "line_idx", "token_idx")
+      .select(col("data_line")).collect()
+      .map { r => val f = r.getString(0).split(" "); (f(13), f(14)) }
+    assert(generic.toSeq == contract.toSeq)
+  }
+
   test("sticky indentation: indented line keeps state until outdent") {
     // block with three lines: x=100, x=150 (indented), x=150 (stays), x=100 (outdent)
     def line(y: Int, x: Int, w1: String, w2: String) =

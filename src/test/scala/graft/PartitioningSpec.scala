@@ -47,4 +47,17 @@ class PartitioningSpec extends SparkSuite {
     assert(saltedSum.keySet == plainSum.keySet &&
       saltedSum.forall { case (k, v) => math.abs(v - plainSum(k)) < 1e-6 })
   }
+
+  test("salt assignment is a pure function of the row (retry-stable)") {
+    // spark_partition_id/monotonically_increasing_id-derived salts can
+    // re-bucket rows after a task retry or a repartition; the xxhash64
+    // row salt must not depend on physical layout.
+    val t = Tables(spark, sf("0.001"))
+    def saltOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("row"),
+          Partitioning.deterministicSalt(df, 16).as("salt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    val base = t.lineitem
+    assert(saltOf(base) == saltOf(base.repartition(7)))
+  }
 }

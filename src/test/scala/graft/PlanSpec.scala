@@ -67,4 +67,20 @@ class PlanSpec extends SparkSuite {
     assert(plan("q07_join_semi").contains("LeftSemi"))
     assert(plan("q08_join_anti").contains("LeftAnti"))
   }
+
+  test("ingest doc_id assignment has no single-partition exchange") {
+    // xxhash64(path) replaces the old row_number-over-global-window id:
+    // a Window.orderBy(path) with no partition spec plans as
+    // Exchange SinglePartition — the whole corpus through ONE task.
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-ingest")
+    try {
+      val xml = new PipelineSpec().altoXml
+      java.nio.file.Files.write(dir.resolve("a.xml"), xml.getBytes)
+      val df = graft.sources.AltoReader.readDirectory(spark, dir.toString)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SinglePartition"),
+        s"ingest plan funnels through one partition:\n$p")
+      assert(!p.contains("Window"), s"ingest plan should not need a window:\n$p")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }

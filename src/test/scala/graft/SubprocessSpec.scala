@@ -36,6 +36,31 @@ class SubprocessSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("WapitiLabeler: >64KB per-partition payload does not deadlock the pipes") {
+    // An eagerly-echoing tagger + a payload far beyond both OS pipe
+    // buffers: the old write-all-then-read implementation deadlocks
+    // here (tagger blocks writing stdout while we still write stdin);
+    // the writer-thread/lockstep implementation must stream through.
+    val script = java.nio.file.Files.createTempFile("fake-wapiti-big", ".sh")
+    java.nio.file.Files.write(script,
+      """#!/bin/sh
+        |while IFS= read -r line; do
+        |  if [ -n "$line" ]; then printf '%s\tO\n' "$line"; fi
+        |done""".stripMargin.getBytes)
+    script.toFile.setExecutable(true)
+    try {
+      val pad = "f" * 120 // ~128 bytes/line x 4000 lines ~ 500KB each way
+      val rows = (0 until 4).flatMap { doc =>
+        (0 until 1000).map(i => (doc.toLong, 0, 0, i, 0, s"t$i", " ", s"t$i $pad"))
+      }
+      val df = rows.toDF("doc_id", "page_idx", "block_idx", "line_idx",
+        "token_idx", "text", "whitespace", "features").repartition(1)
+      val labeled = new WapitiLabeler(Seq("/bin/sh", script.toString)).label(df)
+      assert(labeled.count() == 4000)
+      assert(labeled.filter(col("label") === "O").count() == 4000)
+    } finally java.nio.file.Files.deleteIfExists(script)
+  }
+
   test("WapitiLabeler: persistent per-partition tagger via stdin/stdout protocol") {
     // stand-in tagger: echoes each non-empty line with a label derived
     // from the first field (wapiti's output shape: line TAB label)
