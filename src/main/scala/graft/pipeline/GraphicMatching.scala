@@ -144,4 +144,117 @@ object GraphicMatching {
       }
       .toDF("doc_id", "graphic_id", "candidate_id")
   }
+
+  // ------------------------------------------------- F4: text matching
+
+  /** F4: match graphics to figure/table candidates by TEXT — the
+    * related-block (or OCR) lines of each graphic against the
+    * candidates' label text, reference
+    * `AbstractGraphicTextGraphicMatcher`
+    * (`processors/graphic_matching.py:497-563`): per line, the
+    * SimpleContentIdMatcher chain with `prefixLength` 3 (exact
+    * normalized key, then digit-preserving token-prefix key); the first
+    * line with any match wins the graphic.
+    *
+    * Spark shape: explode lines, two compact-key left joins, first
+    * matching line per graphic via one window — no per-document
+    * dictionaries, joins fan out by (doc_id, key).
+    *
+    * @param graphicLines (doc_id, graphic_id, lines: array&lt;string&gt;)
+    * @param candidates (doc_id, candidate_id, label_text)
+    * @return (doc_id, graphic_id, candidate_id)
+    */
+  def matchGraphicsByText(graphicLines: DataFrame, candidates: DataFrame,
+      prefixLength: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = candidates.select(col("doc_id"), col("candidate_id"),
+      RefMatching.normalizedKey(col("label_text")).as("k1"),
+      RefMatching.tokenPrefixKey(col("label_text"), prefixLength).as("k2"))
+    // duplicate keys: the reference's dict comprehension keeps the last
+    // candidate — max(candidate_id) is the deterministic analog
+    val c1 = cand.filter(col("k1") =!= "")
+      .groupBy("doc_id", "k1").agg(max(col("candidate_id")).as("m1"))
+    val c2 = cand.filter(col("k2") =!= "")
+      .groupBy("doc_id", "k2").agg(max(col("candidate_id")).as("m2"))
+    val lines = graphicLines.select(col("doc_id"), col("graphic_id"),
+        posexplode(col("lines")).as(Seq("line_idx", "line")))
+      .filter(trim(col("line")) =!= "")
+    val joined = lines
+      .withColumn("k1", RefMatching.normalizedKey(col("line")))
+      .withColumn("k2", RefMatching.tokenPrefixKey(col("line"), prefixLength))
+      .join(c1, Seq("doc_id", "k1"), "left")
+      .join(c2, Seq("doc_id", "k2"), "left")
+      .withColumn("m", coalesce(col("m1"), col("m2")))
+      .filter(col("m").isNotNull)
+    val w = Window.partitionBy("doc_id", "graphic_id").orderBy("line_idx")
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("graphic_id"), col("m").as("candidate_id"))
+  }
+
+  /** Related-block provider for [[matchGraphicsByText]]: the closest
+    * text block to each graphic's bounding box (gap distance, same
+    * page), its lines in reading order. (The reference gets the related
+    * block from pdfalto's graphic association; deriving it from the
+    * token table is the engine's stand-in when that linkage is absent.)
+    *
+    * @param graphics (doc_id, graphic_id, page_idx, x, y, width, height)
+    * @param tokens the token table
+    * @return (doc_id, graphic_id, lines)
+    */
+  def relatedBlockLines(graphics: DataFrame, tokens: DataFrame,
+      maxDistance: Double = Double.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lineText = tokens
+      .groupBy("doc_id", "page_idx", "block_idx", "line_idx")
+      .agg(
+        rtrim(concat_ws("", transform(
+          array_sort(collect_list(struct(col("token_idx"),
+            col("text"), col("whitespace")))),
+          t => concat(t.getField("text"), t.getField("whitespace"))))).as("line"),
+        min(col("coords.x")).as("x0"), min(col("coords.y")).as("y0"),
+        max(col("coords.x") + col("coords.width")).as("x1"),
+        max(col("coords.y") + col("coords.height")).as("y1"))
+    val blocks = lineText.groupBy("doc_id", "page_idx", "block_idx")
+      .agg(
+        transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          l => l.getField("line")).as("lines"),
+        min(col("x0")).as("bx0"), min(col("y0")).as("by0"),
+        max(col("x1")).as("bx1"), max(col("y1")).as("by1"))
+    val dx = greatest(lit(0.0), col("bx0") - (col("x") + col("width")),
+      col("x") - col("bx1"))
+    val dy = greatest(lit(0.0), col("by0") - (col("y") + col("height")),
+      col("y") - col("by1"))
+    val paired = graphics.join(blocks, Seq("doc_id", "page_idx"))
+      .withColumn("dist", sqrt(dx * dx + dy * dy))
+      .filter(col("dist") <= maxDistance)
+    val w = Window.partitionBy("doc_id", "graphic_id")
+      .orderBy(col("dist"), col("block_idx"))
+    paired.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("graphic_id"), col("lines"))
+  }
+
+  /** D6 OCR seam + F4's OCR branch
+    * (`ocr_models/tesserocr_ocr_model.py:32-71`,
+    * `graphic_matching.py:566-593`): binary graphic → text lines via an
+    * injectable OCR function (tesserocr/subprocess in production, a
+    * deterministic fake in tests — this container has no OCR binary).
+    * Runs `mapPartitions` so an executor-local OCR session amortizes
+    * over the partition. Feed the result to [[matchGraphicsByText]].
+    *
+    * @param graphics (doc_id, graphic_id, image: binary)
+    */
+  def ocrLines(graphics: DataFrame, ocr: Array[Byte] => String): DataFrame = {
+    val sparkSession = graphics.sparkSession
+    import sparkSession.implicits._
+    graphics.select(col("doc_id"), col("graphic_id"), col("image"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (d, g, img) =>
+          val lines = if (img == null || img.isEmpty) Array.empty[String]
+            else ocr(img).split("\n").map(_.trim).filter(_.nonEmpty)
+          (d, g, lines)
+        }
+      }
+      .toDF("doc_id", "graphic_id", "lines")
+  }
 }

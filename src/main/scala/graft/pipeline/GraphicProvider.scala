@@ -59,6 +59,35 @@ object GraphicProvider {
           Seq("doc_id", "page_number"), "left_semi"))
       .distinct()
 
+  /** D5 seam: CV layout detection over rendered page images (reference
+    * `cv_models/layout_parser_cv_model.py:56-141`). The detector is an
+    * injectable function — ONNX/layout-parser session in production, a
+    * deterministic fake in tests (this container ships no CV model).
+    * `mapPartitions` so one detector session amortizes over a
+    * partition; run it on [[cvCandidatePages]]-pruned images only.
+    *
+    * @param pageImages (doc_id, page_number, image: binary)
+    * @param detector image bytes → (x, y, width, height, category) boxes
+    * @return (doc_id, page_number, cv_id, x, y, width, height, category)
+    */
+  def detectBoxes(pageImages: DataFrame,
+      detector: Array[Byte] => Seq[(Double, Double, Double, Double, String)])
+    : DataFrame = {
+    val sparkSession = pageImages.sparkSession
+    import sparkSession.implicits._
+    pageImages.select(col("doc_id"), col("page_number"), col("image"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, pageNumber, image) =>
+          detector(image).zipWithIndex.map { case ((x, y, w, h, cat), i) =>
+            (docId, pageNumber, s"cv_${pageNumber}_$i", x, y, w, h, cat)
+          }
+        }
+      }
+      .toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height",
+        "category")
+  }
+
   /** F5/H3: reconcile CV-detected boxes with embedded page graphics by
     * area-intersection ratio ≥ `threshold`, best-overlap-wins (max_by +
     * row_number top-1). Unmatched CV boxes fall through to page-image

@@ -72,15 +72,48 @@ final class SegmentationRuleLabeler extends SequenceLabeler {
   * each block is a `<section>` heading, every other line is a
   * `<paragraph>` span (one span per line — consecutive paragraph spans
   * start new paragraphs in the fulltext fold, matching the reference's
-  * per-line labeling granularity).
+  * per-line labeling granularity). Figure/table awareness mirroring the
+  * fulltext model's label set (`models/fulltext/extract.py`):
+  * - a line starting `Figure <n>` / `Table <n>` is a caption →
+  *   `<figure>`/`<table>` span over the whole line;
+  * - `Figure|Fig.|Table` + number mid-line is a citation marker →
+  *   `<figure_marker>`/`<table_marker>` span over the two tokens.
   */
 final class BodyRuleLabeler extends SequenceLabeler {
-  override def label(tokens: DataFrame): DataFrame =
+  import org.apache.spark.sql.expressions.Window
+
+  override def label(tokens: DataFrame): DataFrame = {
+    val lineW = Window.partitionBy("doc_id", "page_idx", "block_idx", "line_idx")
+    val lineOrd = lineW.orderBy("token_idx")
+    val firstTok = max(when(col("token_idx") === 0, col("text"))).over(lineW)
+    val secondTok = max(when(col("token_idx") === 1, col("text"))).over(lineW)
+    val nextTok = lead(col("text"), 1).over(lineOrd)
+    val prevTok = lag(col("text"), 1).over(lineOrd)
+
+    val num = "^[0-9]+[.,:)]?$"
+    val captionTag = when(firstTok === "Figure" && secondTok.rlike(num), "<figure>")
+      .when(firstTok === "Table" && secondTok.rlike(num), "<table>")
+    val isFigHead = col("token_idx") > 0 &&
+      col("text").rlike("^(Figure|Fig\\.?)$") && nextTok.rlike(num)
+    val isTabHead = col("token_idx") > 0 &&
+      col("text") === "Table" && nextTok.rlike(num)
+    val isFigTail = col("token_idx") > 1 && col("text").rlike(num) &&
+      prevTok.rlike("^(Figure|Fig\\.?)$")
+    val isTabTail = col("token_idx") > 1 && col("text").rlike(num) &&
+      prevTok === "Table"
+
     tokens.withColumn("label",
-      when(col("line_idx") === 0,
-        when(col("token_idx") === 0, "B-<section>").otherwise("I-<section>"))
+      when(captionTag.isNotNull,
+        concat(when(col("token_idx") === 0, "B-").otherwise("I-"), captionTag))
+        .when(isFigHead, "B-<figure_marker>")
+        .when(isTabHead, "B-<table_marker>")
+        .when(isFigTail, "I-<figure_marker>")
+        .when(isTabTail, "I-<table_marker>")
+        .when(col("line_idx") === 0,
+          when(col("token_idx") === 0, "B-<section>").otherwise("I-<section>"))
         .otherwise(
           when(col("token_idx") === 0, "B-<paragraph>").otherwise("I-<paragraph>")))
+  }
 }
 
 /** Layout-heuristic labeler: largest-font tokens on the first page →

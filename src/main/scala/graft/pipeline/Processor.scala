@@ -61,6 +61,89 @@ object Processor {
       case ((_, text), i) => Span(i.toLong, "O", text)
     }
 
+  /** Rule stand-in for the figure/table model
+    * (`models/figure/extract.py:24-44` label set): leading
+    * `Figure|Fig.|Table` + number tokens → `<label>`, a `:`/`.`/`-`
+    * delimiter is dropped, the remainder → `<figDesc>`.
+    */
+  private[pipeline] def figureSpansOf(text: String): Seq[Span] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+    var i = 0
+    if (i < toks.length && toks(i).matches("(?i)(figure|fig\\.?|table)")) i += 1
+    if (i < toks.length && toks(i).matches("[0-9]+[.,:)]?")) i += 1
+    val label = toks.take(i).mkString(" ")
+    val rest = toks.drop(i).dropWhile(t => t == ":" || t == "." || t == "-")
+    val out = scala.collection.mutable.ListBuffer.empty[Span]
+    if (label.nonEmpty) out += Span(0L, "<label>", label)
+    if (rest.nonEmpty) out += Span(1L, "<figDesc>", rest.mkString(" "))
+    out.toList
+  }
+
+  /** Figure/table model pass over fulltext-fold output
+    * (`processors/fulltext/processor.py:747-807`
+    * `_extract_semantic_content_from_raw_content`): each
+    * `raw_figure`/`raw_table` node is parsed by the figure/table model
+    * stand-in and replaced in place by the [[Extractors.figureFold]]
+    * result (figure node + label/caption children). Existing node ids
+    * are multiplied by 8 to open id slots for the grafted children, so
+    * document order — and therefore `fig_0…`/`tab_0…` assignment order —
+    * is preserved without renumbering the whole tree.
+    */
+  private[pipeline] def figureTablePass(docId: Long,
+      nodes: Seq[SemanticNode]): Seq[SemanticNode] = {
+    val out = scala.collection.mutable.ListBuffer.empty[SemanticNode]
+    def mapParent(p: Long): Long = if (p < 0) -1L else p * 8
+    nodes.sortBy(_.node_id).foreach { n =>
+      val base = n.node_id * 8
+      n.node_type match {
+        case "raw_figure" | "raw_table" =>
+          val kind = if (n.node_type == "raw_figure") "figure" else "table"
+          val folded = Extractors.figureFold(docId, figureSpansOf(n.text), kind)
+          if (folded.isEmpty)
+            out += n.copy(node_id = base, parent_id = mapParent(n.parent_id))
+          else folded.foreach { f =>
+            out += f.copy(node_id = base + f.node_id,
+              parent_id = if (f.parent_id < 0) mapParent(n.parent_id)
+                else base + f.parent_id)
+          }
+        case _ =>
+          out += n.copy(node_id = base, parent_id = mapParent(n.parent_id))
+      }
+    }
+    out.toList
+  }
+
+  /** F2: resolve figure/table citation targets corpus-wide — match each
+    * `figure_citation`/`table_citation` node against its document's
+    * figure/table LABEL text (`processor.py:252-267`), writing the
+    * matched `fig_N`/`tab_N` into the citation's `content_id` (the
+    * reference's `target_content_id`; TEI renders it as
+    * `<ref target="#fig_N">`). Matching is the [[RefMatching]] join
+    * chain — figures and tables matched separately, as the reference
+    * does.
+    */
+  def assignCitationTargets(nodes: DataFrame): DataFrame = {
+    def targetsOf(citType: String, targetType: String): DataFrame = {
+      val targets = nodes.filter(col("node_type") === targetType)
+        .select(col("doc_id"), col("node_id").as("_tid"), col("content_id"))
+      val labels = nodes.filter(col("node_type") === "label")
+        .select(col("doc_id"), col("parent_id").as("_tid"),
+          col("text").as("label_text"))
+        .join(targets, Seq("doc_id", "_tid"))
+        .select(col("doc_id"), col("content_id"), col("label_text"))
+      val cits = nodes.filter(col("node_type") === citType)
+        .select(col("doc_id"), col("node_id").as("item_id"), col("text"))
+      RefMatching.matchFigureTableIds(cits, labels)
+    }
+    val matched = targetsOf("figure_citation", "figure")
+      .unionByName(targetsOf("table_citation", "table"))
+      .select(col("doc_id"), col("item_id").as("node_id"),
+        col("content_id").as("_target"))
+    nodes.join(matched, Seq("doc_id", "node_id"), "left")
+      .withColumn("content_id", coalesce(col("_target"), col("content_id")))
+      .drop("_target")
+  }
+
   /** Expand header-fold output with name/affiliation model passes —
     * pure per-document function over the node list (node ids are
     * reassigned emission-ordered). */
@@ -143,14 +226,21 @@ object Processor {
       .as[(Long, Long, String, String)]
       .groupByKey(_._1)
       .flatMapGroups { (docId, it) =>
-        ModelExtractors.fulltextFold(docId,
-          it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq, "body").iterator
+        figureTablePass(docId, ModelExtractors.fulltextFold(docId,
+          it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq, "body")).iterator
       }
       // body node ids after all header ids so TEI ordering is stable
       .map(n => n.copy(
         node_id = n.node_id + BodyIdOffset,
         parent_id = if (n.parent_id < 0) -1L else n.parent_id + BodyIdOffset))
-    headerNodes.union(bodyNodes)
+    // fig_0…/tab_0… ids in document order, then citation-target joins
+    val all = headerNodes.union(bodyNodes).toDF()
+    val withIds = Extractors.assignContentIds(
+      Extractors.assignContentIds(all, "figure", "fig_"), "table", "tab_")
+    assignCitationTargets(withIds)
+      .select(col("doc_id"), col("node_id"), col("parent_id"),
+        col("node_type"), col("text"), col("content_id"))
+      .as[SemanticNode]
   }
 
   private val BodyIdOffset = 1L << 32

@@ -22,11 +22,19 @@ object RefMatching {
   def normalizedKey(c: Column): Column =
     regexp_replace(lower(c), "[^a-z0-9]", "")
 
-  /** Token-prefix key variant (ref_matching.py:30-41): first
-    * `prefixLength` normalized tokens joined. */
-  def tokenPrefixKey(c: Column, prefixLength: Int = 2): Column =
-    concat_ws("", slice(transform(
-      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= ""), t => t), 1, prefixLength))
+  /** Token-prefix key variant
+    * (ref_matching.py:27-33 `get_token_prefix_normalized_key_text`):
+    * per whitespace token, keep the whole token if it contains a digit,
+    * else its first `prefixLength` characters; normalize each part and
+    * concatenate. ("Fig 1" and "Figure 1" share the prefix-3 key
+    * "fig1"; "F 1" does not.)
+    */
+  def tokenPrefixKey(c: Column, prefixLength: Int = 1): Column =
+    concat_ws("", transform(
+      filter(split(c, "\\s+"), t => t =!= ""),
+      t => regexp_replace(
+        lower(when(t.rlike("[0-9]"), t).otherwise(substring(t, 1, prefixLength))),
+        "[^a-z0-9]", "")))
 
   /** Match citations to candidate targets within each document.
     *

@@ -42,13 +42,35 @@ object PipelineOps {
         }.mkString
         s"<TextBlock><TextLine>$strings</TextLine></TextBlock>"
       }
-    // body split into lines of 12 tokens inside one block
+    // body split into lines of 12 tokens inside one block, plus a
+    // figure/table citation-marker line (exercises the marker →
+    // figure_citation → target-id chain in the fulltext pass)
+    val nBodyLines = (bodyToks.length + 11) / 12
+    val markerLine = {
+      val ts = Seq("see", "Figure", "1", "and", "Table", "1", "here")
+      val strings = ts.zipWithIndex.map { case (t, i) =>
+        s"""<String CONTENT="$t" HPOS="${50 + i * 40}" VPOS="${120 + nBodyLines * 14}" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
+      }.mkString
+      s"<TextLine>$strings</TextLine>"
+    }
     val bodyLines = bodyToks.grouped(12).zipWithIndex.map { case (ts, li) =>
       val strings = ts.zipWithIndex.map { case (t, i) =>
         s"""<String CONTENT="${xmlEscape(t)}" HPOS="${50 + i * 40}" VPOS="${120 + li * 14}" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
       }.mkString
       s"<TextLine>$strings</TextLine>"
-    }.mkString
+    }.mkString + markerLine
+    // caption blocks: parsed by the figure/table model pass into
+    // label + figDesc, assigned fig_0/tab_0, matched by the markers
+    def captionBlock(kind: String, y: Int, desc: Seq[String]): String = {
+      val ts = Seq(kind, "1", ":") ++ desc
+      val strings = ts.zipWithIndex.map { case (t, i) =>
+        s"""<String CONTENT="${xmlEscape(t)}" HPOS="${50 + i * 40}" VPOS="$y" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
+      }.mkString
+      s"<TextBlock><TextLine>$strings</TextLine></TextBlock>"
+    }
+    val captions =
+      captionBlock("Figure", 600, Seq("sample", "caption")) +
+      captionBlock("Table", 620, Seq("data", "summary"))
     s"""<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
        |<Styles>
        |<TextStyle ID="font0" FONTFAMILY="Times" FONTSIZE="18.0" FONTSTYLE="bold"/>
@@ -58,6 +80,7 @@ object PipelineOps {
        |${line(titleToks.toIndexedSeq, 60, "font0")}
        |${line(authorToks.toIndexedSeq, 90, "font1")}
        |<TextBlock>$bodyLines</TextBlock>
+       |$captions
        |</PrintSpace></Page></Layout></alto>""".stripMargin
   }
 
@@ -172,6 +195,113 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P09 page-image pipeline: A9 render (stand-in command) → G5/G6/I1
+    * candidate-page pruning → D5 detection (stand-in detector) → F5
+    * CV-box reconciliation — the reference's CV graphic-provider flow
+    * end-to-end (`processors/graphic_provider.py`,
+    * `cv_graphic_provider.py:38-80`), rows-only. Page dims and embedded
+    * graphics are synthesized deterministically per doc_id so the
+    * pruning gates select a stable subset.
+    */
+  def p09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.GraphicProvider
+    import graft.sources.Subprocess
+    val pdfs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    // stand-in renderer: every "PDF" becomes three page images
+    val images = Subprocess.renderPageImages(pdfs,
+      Seq("/bin/sh", "-c",
+        "cp {in} {out}-1.png && cp {in} {out}-2.png && cp {in} {out}-3.png"))
+    // page dims: pages 1-2 modal; every 3rd doc gets an uncommon
+    // third-page dimension (the G5 gate)
+    val pages = images.select(col("doc_id"), col("page_number"))
+      .withColumn("width", lit(612.0))
+      .withColumn("height",
+        when(col("page_number") === 3 && pmod(col("doc_id"), lit(3)) === 0, 500.0)
+          .otherwise(792.0))
+    // embedded graphics: page-3 bitmap, mostly-bitmap for every 6th doc
+    // (the G6 gate removes those pages from the CV candidates)
+    val gWidth = when(pmod(col("doc_id"), lit(6)) === 0, lit(600.0))
+      .otherwise(lit(100.0))
+    val graphicsNested = images.filter(col("page_number") === 3)
+      .select(col("doc_id"), col("page_number"),
+        concat(lit("g"), col("doc_id")).as("graphic_id"),
+        lit("png").as("graphic_type"),
+        struct(lit(0.0).as("x"), lit(0.0).as("y"),
+          gWidth.as("width"), lit(450.0).as("height")).as("coords"))
+    val graphicsFlat = graphicsNested.select(col("doc_id"), col("page_number"),
+      col("graphic_id"), col("coords.x").as("x"), col("coords.y").as("y"),
+      col("coords.width").as("width"), col("coords.height").as("height"),
+      col("graphic_type"))
+    val candidates = GraphicProvider.withNextPages(
+      GraphicProvider.cvCandidatePages(pages, graphicsNested), pages)
+    val candidateImages = images.join(candidates, Seq("doc_id", "page_number"),
+      "left_semi")
+    // stand-in detector: box shape keyed off the image bytes
+    val cvBoxes = GraphicProvider.detectBoxes(candidateImages, img =>
+      if (img.length % 2 == 0) Seq((0.0, 0.0, 100.0, 450.0, "FIGURE"))
+      else Seq((10.0, 10.0, 200.0, 150.0, "FIGURE")))
+    val reconciled = GraphicProvider.reconcileCvBoxes(cvBoxes, graphicsFlat)
+    cvBoxes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cv_boxes"))
+      .join(reconciled.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_reconciled")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_reconciled"))
+      .orderBy("doc_id")
+  }
+
+  /** P10 asset-ZIP sink (A8): TEI + per-doc graphic assets zipped,
+    * reporting entry count and zip size (rows-only; zip bytes are
+    * deterministic — fixed entry timestamps).
+    */
+  def p10(s: SparkSession, d: String): DataFrame = {
+    val tei = p04(s, d)
+    val withAssets = tei.withColumn("assets", array(struct(
+      concat(lit("figures/fig"), col("doc_id"), lit(".png")).as("path"),
+      col("tei").cast("binary").as("content"))))
+    graft.sinks.Assets.zipAssets(withAssets)
+      .select(col("doc_id"), col("n_entries"),
+        length(col("zip")).cast("bigint").as("zip_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** P11 CRF inference (D1): pure-JVM Viterbi labeler over the header
+    * data lines with an embedded model keyed on the largest-font flag —
+    * real sequence decoding (not rule stand-ins) across the corpus,
+    * rows-only per-doc span stats.
+    */
+  def p11(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.{BioSpans, CrfLabeler}
+    val model =
+      """[labels]
+        |O
+        |B-<title>
+        |I-<title>
+        |[patterns]
+        |U00:%x[0,28]
+        |U01:%x[-1,28]/%x[0,28]
+        |B
+        |[weights]
+        |U00:1	B-<title>	1.0
+        |U00:0	O	1.0
+        |U01:1|1	I-<title>	1.5
+        |B:	B-<title>	I-<title>	0.25
+        |B:	I-<title>	I-<title>	0.25
+        |""".stripMargin
+    val lines = graft.pipeline.HeaderFeatures.dataLines(tokenTable(s, d))
+      .withColumnRenamed("data_line", "features")
+    val labeled = new CrfLabeler(model).label(lines)
+    BioSpans.spans(labeled)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("tag") === "<title>", 1).otherwise(0)).as("n_title_spans"),
+        sum(when(col("tag") === "<title>", col("n_tokens")).otherwise(0))
+          .as("n_title_tokens"),
+        count(lit(1)).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -181,5 +311,8 @@ object PipelineOps {
     "p06_jats" -> p06,
     "p07_segmentation_lines" -> p07,
     "p08_references" -> p08,
+    "p09_page_pruning" -> p09,
+    "p10_asset_zip" -> p10,
+    "p11_crf_header" -> p11,
   )
 }

@@ -105,16 +105,37 @@ object Tei {
             label.foreach(l => bodySb ++= s""" n="${esc(l)}"""")
             bodySb ++= s">${esc(htitle.getOrElse(""))}</head>"
           case "paragraph" =>
+            // citation target = matched content id (tei/citation.py:44-45)
+            def target(p: SemanticNode): String =
+              Option(p.content_id).map(t => s""" target="#${esc(t)}"""").getOrElse("")
             val parts = kids(c.node_id).map { p =>
               p.node_type match {
                 case "text" => esc(p.text)
-                case "reference_citation" => s"""<ref type="bibr">${esc(p.text)}</ref>"""
-                case "figure_citation" => s"""<ref type="figure">${esc(p.text)}</ref>"""
-                case "table_citation" => s"""<ref type="table">${esc(p.text)}</ref>"""
+                case "reference_citation" =>
+                  s"""<ref type="bibr"${target(p)}>${esc(p.text)}</ref>"""
+                case "figure_citation" =>
+                  s"""<ref type="figure"${target(p)}>${esc(p.text)}</ref>"""
+                case "table_citation" =>
+                  s"""<ref type="table"${target(p)}>${esc(p.text)}</ref>"""
                 case _ => esc(p.text)
               }
             }
             bodySb ++= s"<p>${parts.mkString(" ")}</p>"
+          case "figure" | "table" =>
+            // tei/figure_table.py:32-87: label renders as head AND label
+            val idAttr = Option(c.content_id)
+              .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
+            val typeAttr = if (c.node_type == "table") """ type="table"""" else ""
+            bodySb ++= s"<figure$typeAttr$idAttr>"
+            kids(c.node_id).foreach { k =>
+              k.node_type match {
+                case "label" =>
+                  bodySb ++= s"<head>${esc(k.text)}</head><label>${esc(k.text)}</label>"
+                case "caption" => bodySb ++= s"<figDesc>${esc(k.text)}</figDesc>"
+                case _ => ()
+              }
+            }
+            bodySb ++= "</figure>"
           case "raw_figure" => bodySb ++= s"<figure>${esc(c.text)}</figure>"
           case "raw_table" =>
             bodySb ++= s"""<figure type="table">${esc(c.text)}</figure>"""

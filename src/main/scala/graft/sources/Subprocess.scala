@@ -75,6 +75,75 @@ object Subprocess {
     }
   }
 
+  /** A9: render a PDF's pages to images — the pdftoppm calling
+    * convention (`cmd … {in} {out}` where `{out}` is the output file
+    * PREFIX; the tool writes `{out}-<n>.png` per page, which is what
+    * pdf2image drives in the reference,
+    * `processors/document_page_image.py:19-57`). Page numbers are
+    * parsed from the trailing digits of each output filename.
+    */
+  def pageImageRunner(
+      command: Seq[String],
+      inputSuffix: String = ".pdf",
+      timeoutSeconds: Long = 600L): Array[Byte] => Seq[(Int, Array[Byte])] = { input =>
+    val inFile = Files.createTempFile("graft-render-in", inputSuffix)
+    val outDir = Files.createTempDirectory("graft-render-out")
+    try {
+      Files.write(inFile, input)
+      val prefix = outDir.resolve("page").toString
+      val cmd = command.map(
+        _.replace("{in}", inFile.toString).replace("{out}", prefix))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val finished = proc.waitFor(timeoutSeconds, TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        throw new RuntimeException(s"render timed out: ${cmd.mkString(" ")}")
+      }
+      if (proc.exitValue() != 0)
+        throw new RuntimeException(
+          s"render failed (${proc.exitValue()}): ${cmd.mkString(" ")}")
+      val Num = ".*?(\\d+)\\.[A-Za-z]+$".r
+      val listed = Files.list(outDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listed.iterator().asScala.toSeq
+          .sortBy(_.getFileName.toString)
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case Num(n) => Some((n.toInt, Files.readAllBytes(p)))
+              case _ => None
+            }
+          }
+      } finally listed.close()
+    } finally {
+      Files.deleteIfExists(inFile)
+      import scala.jdk.CollectionConverters._
+      val leftover = Files.list(outDir)
+      try leftover.iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      finally leftover.close()
+      Files.deleteIfExists(outDir)
+    }
+  }
+
+  /** A9 distributed stage: PDF corpus → (doc_id, page_number, image).
+    * One render process per document, sequential within the task — the
+    * page-pruning gates (G5/G6/I1/I2) should select the documents/pages
+    * BEFORE this runs; rendering is the expensive stage being gated.
+    */
+  def renderPageImages(pdfs: Dataset[(Long, Array[Byte])],
+      command: Seq[String]): DataFrame = {
+    import pdfs.sparkSession.implicits._
+    pdfs.mapPartitions { it =>
+      val run = pageImageRunner(command)
+      it.flatMap { case (id, bytes) =>
+        run(bytes).map { case (pn, img) => (id, pn, img) }
+      }
+    }.toDF("doc_id", "page_number", "image")
+  }
+
   /** PDF corpus → token table, pdfalto convention: reads a directory of
     * PDFs via binaryFile, converts per partition, parses the resulting
     * ALTO. `pdfaltoCommand` defaults to the real binary's argument

@@ -35,6 +35,83 @@ class GraphicMatchingSpec extends SparkSuite {
     assert(ms.isEmpty)
   }
 
+  test("F4 text matcher: reference related-block cases") {
+    // ported from tests/processors/graphic_matching_test.py
+    // TestGraphicRelatedBlockTextGraphicMatcher (prefix-3 key: "Fig 1"
+    // matches "Figure 1", "F 1"/"Fug 1" do not)
+    val cases = Seq(
+      ("Figure 1", "Figure 1", true),
+      ("Figure 1", "Figure 2", false),
+      ("Fig 1", "Figure 1", true),
+      ("F 1", "Figure 1", false),
+      ("Fug 1", "Figure 1", false),
+      ("Other\nFigure 1\nMore", "Figure 1", true))
+    cases.foreach { case (related, label, should) =>
+      val gl = Seq((0L, "g0", related.split("\n")))
+        .toDF("doc_id", "graphic_id", "lines")
+      val cand = Seq((0L, "fig_0", label))
+        .toDF("doc_id", "candidate_id", "label_text")
+      val m = GraphicMatching.matchGraphicsByText(gl, cand).collect()
+      assert(m.nonEmpty == should, s"'$related' vs '$label'")
+      if (should) assert(m.head.getString(2) == "fig_0")
+    }
+  }
+
+  test("F4 text matcher: graphic without related-block lines stays unmatched") {
+    val gl = Seq((0L, "g0", Array.empty[String]))
+      .toDF("doc_id", "graphic_id", "lines")
+    val cand = Seq((0L, "fig_0", "Figure 1"))
+      .toDF("doc_id", "candidate_id", "label_text")
+    assert(GraphicMatching.matchGraphicsByText(gl, cand).collect().isEmpty)
+  }
+
+  test("F4 text matcher: first matching line wins, per doc") {
+    val gl = Seq(
+      (0L, "g0", Array("noise", "Table 2", "Figure 1")),
+      (1L, "g0", Array("Figure 1"))).toDF("doc_id", "graphic_id", "lines")
+    val cand = Seq(
+      (0L, "fig_0", "Figure 1"), (0L, "tab_1", "Table 2"),
+      (1L, "figA", "Figure 1")).toDF("doc_id", "candidate_id", "label_text")
+    val ms = GraphicMatching.matchGraphicsByText(gl, cand)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ms == Set((0L, "g0", "tab_1"), (1L, "g0", "figA")))
+  }
+
+  test("D6 OCR seam: binary graphic -> lines -> text matcher") {
+    // deterministic fake OCR: decodes the bytes as UTF-8 (tesserocr
+    // slots into the same function seam in production)
+    val graphics = Seq(
+      (0L, "g0", "Other\nFigure 1".getBytes("UTF-8")),
+      (0L, "g1", Array.empty[Byte])).toDF("doc_id", "graphic_id", "image")
+    val lines = GraphicMatching.ocrLines(graphics,
+      bytes => new String(bytes, "UTF-8"))
+    val cand = Seq((0L, "fig_0", "Figure 1"))
+      .toDF("doc_id", "candidate_id", "label_text")
+    val ms = GraphicMatching.matchGraphicsByText(lines, cand)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(ms.toSeq == Seq(("g0", "fig_0")))
+  }
+
+  test("relatedBlockLines: nearest block's lines in reading order") {
+    val xml =
+      """<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
+        |<Styles><TextStyle ID="f1" FONTFAMILY="Times" FONTSIZE="10.0" FONTSTYLE=""/></Styles>
+        |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
+        |<TextBlock><TextLine><String CONTENT="far" HPOS="500" VPOS="700" WIDTH="30" HEIGHT="10" STYLEREFS="f1"/></TextLine></TextBlock>
+        |<TextBlock>
+        |<TextLine><String CONTENT="Figure" HPOS="100" VPOS="300" WIDTH="50" HEIGHT="10" STYLEREFS="f1"/>
+        |<String CONTENT="1" HPOS="155" VPOS="300" WIDTH="10" HEIGHT="10" STYLEREFS="f1"/></TextLine>
+        |<TextLine><String CONTENT="caption" HPOS="100" VPOS="314" WIDTH="60" HEIGHT="10" STYLEREFS="f1"/></TextLine>
+        |</TextBlock>
+        |</PrintSpace></Page></Layout></alto>""".stripMargin
+    val tokens = graft.sources.AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val graphics = Seq((0L, "g0", 0, 100.0, 250.0, 80.0, 40.0))
+      .toDF("doc_id", "graphic_id", "page_idx", "x", "y", "width", "height")
+    val lines = GraphicMatching.relatedBlockLines(graphics, tokens)
+      .collect().map(r => r.getSeq[String](2))
+    assert(lines.length == 1 && lines.head == Seq("Figure 1", "caption"))
+  }
+
   test("matchGraphics: distributed join + per-doc fold") {
     val graphics = Seq(
       (0L, "g1", 61.2, 79.2, 61.2, 79.2, 1, 612.0, 792.0),   // near fig1

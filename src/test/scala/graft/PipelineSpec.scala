@@ -127,6 +127,38 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("<p>We did</p>") && tei.contains("<p>things</p>"))
   }
 
+  test("documentPipeline: figure/table passes assign fig_0/tab_0 and link citations") {
+    // body paragraph with Figure/Table markers + caption blocks: the
+    // fulltext fold emits raw_figure/raw_table + markers, the
+    // figure/table model pass folds captions into label/figDesc, ids
+    // are assigned in document order, and the markers resolve to them
+    def bodyLine(y: Int, ts: Seq[String]) = {
+      val strings = ts.zipWithIndex.map { case (t, i) =>
+        s"""<String CONTENT="$t" HPOS="${100 + i * 40}" VPOS="$y" WIDTH="30" HEIGHT="10" STYLEREFS="font1"/>"""
+      }.mkString("\n")
+      s"<TextLine>$strings</TextLine>"
+    }
+    val xml = altoXml.replace("<Illustration",
+      s"""<TextBlock>
+         |${bodyLine(200, Seq("Results"))}
+         |${bodyLine(214, Seq("shown", "in", "Figure", "1", "and", "Table", "1"))}
+         |</TextBlock>
+         |<TextBlock>${bodyLine(600, Seq("Figure", "1", ":", "sample", "caption"))}</TextBlock>
+         |<TextBlock>${bodyLine(620, Seq("Table", "1", ":", "data", "summary"))}</TextBlock>
+         |<Illustration""".stripMargin)
+    val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val nodes = graft.pipeline.Processor.documentPipeline(tokens)
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains(
+      """<figure xml:id="fig_0"><head>Figure 1</head><label>Figure 1</label>""" +
+        "<figDesc>sample caption</figDesc></figure>"), tei)
+    assert(tei.contains(
+      """<figure type="table" xml:id="tab_0"><head>Table 1</head><label>Table 1</label>""" +
+        "<figDesc>data summary</figDesc></figure>"), tei)
+    assert(tei.contains("""<ref type="figure" target="#fig_0">Figure 1</ref>"""), tei)
+    assert(tei.contains("""<ref type="table" target="#tab_0">Table 1</ref>"""), tei)
+  }
+
   test("rule labeler finds largest-font block as title without scripts") {
     val labeled = new RuleLabeler().label(fixtureTokens.toDF())
     val spans = BioSpans.spans(labeled)
@@ -219,9 +251,10 @@ class PipelineSpec extends SparkSuite {
     val citations = Seq(
       (0L, 1L, "Smith et al. 2020"),
       (0L, 2L, "totally unrelated zzz"),
-      (0L, 3L, "jones 2019 study"),
+      (0L, 3L, "J 2019 s o things"), // prefix-1 key j2019sot -> b1
       (0L, 4L, "study 2019"),   // partial path: tied votes b1/b2
       (0L, 5L, "2019 things"),  // partial path: b1 wins by one vote
+      (0L, 6L, "jones 2019 study"), // partial path: 3-3 tie -> rejected
     ).toDF("doc_id", "item_id", "text")
     val candidates = Seq(
       (0L, "b0", "Smith et al 2020"),
@@ -232,10 +265,10 @@ class PipelineSpec extends SparkSuite {
       .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
     assert(m(1L) == "b0") // exact normalized match
     assert(!m.contains(2L)) // no overlap
-    // item 3: b1/b2 share the "jones2019" prefix key — deterministic
-    // winner (max content_id), mirroring the reference's last-wins dict
-    assert(m(3L) == "b2")
+    // item 3: digit-preserving token-prefix key (ref_matching.py:27-33)
+    assert(m(3L) == "b1")
     assert(!m.contains(4L)) // partial-vote tie -> rejected (ref_matching.py:79-93)
     assert(m(5L) == "b1")   // partial-vote strict winner
+    assert(!m.contains(6L)) // equal full-token votes also tie out
   }
 }

@@ -36,6 +36,16 @@ class SubprocessSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("renderPageImages: one PDF -> numbered page images (pdftoppm shape)") {
+    val pdfs = Seq((7L, "pagecontent".getBytes)).toDS()
+    val images = Subprocess.renderPageImages(pdfs,
+      Seq("/bin/sh", "-c", "cp {in} {out}-1.png && cp {in} {out}-2.png"))
+    val rows = images.collect()
+      .map(r => (r.getLong(0), r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(_._2)
+    assert(rows.toSeq == Seq((7L, 1, "pagecontent"), (7L, 2, "pagecontent")))
+  }
+
   test("WapitiLabeler: >64KB per-partition payload does not deadlock the pipes") {
     // An eagerly-echoing tagger + a payload far beyond both OS pipe
     // buffers: the old write-all-then-read implementation deadlocks
