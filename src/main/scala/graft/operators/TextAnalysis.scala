@@ -11,22 +11,29 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  import graft.functions.TextStats
+
   /** Non-empty whitespace tokens. */
   def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** The fused single-pass stats kernel (see
+    * [[graft.functions.TextStats]]): every count below is one array
+    * element of one native expression evaluated once per row —
+    * replacing the 4-6 interpreted HOF passes the first formulation
+    * made over each document.
+    */
+  def stats(c: Column): Column = TextStats.text_stats(c)
 
   // ------------------------------------------------------- token counting
 
   /** Whitespace token count. */
-  def tokenCountWhitespace(c: Column): Column =
-    size(tokens(c)).cast("bigint")
+  def tokenCountWhitespace(c: Column): Column = stats(c).getItem(1)
 
   /** BPE-ish subword count: letter runs, digit runs, and single
     * punctuation marks each count as one token (the usual pre-tokenizer
-    * regex shape).
+    * regex shape `[a-z]+|[0-9]+|[^a-z0-9 ]` over the lowercase text).
     */
-  def tokenCountBpe(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-      .cast("bigint")
+  def tokenCountBpe(c: Column): Column = stats(c).getItem(8)
 
   // ------------------------------------------------------ quality scoring
 
@@ -36,21 +43,20 @@ object TextAnalysis {
   /** Length / punctuation-ratio / stopword-ratio quality features. */
   def qualityFeatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val st = stats(col(textCol))
     docs.select(col(idCol),
-      length(col(textCol)).cast("bigint").as("n_chars_c"),
-      size(toks).cast("bigint").as("n_tokens"),
-      round(length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double") /
-        length(col(textCol)), 4).as("punct_ratio"),
-      round(size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double") /
-        size(toks), 4).as("stopword_ratio"))
+      st.getItem(0).as("n_chars_c"),
+      st.getItem(1).as("n_tokens"),
+      round(st.getItem(2).cast("double") / st.getItem(0), 4).as("punct_ratio"),
+      round(st.getItem(3).cast("double") / st.getItem(1), 4).as("stopword_ratio"))
   }
 
   // -------------------------------------------------------- language ID
 
   /** Tiny per-language function-word lists — the n-gram-free heuristic:
     * count function-word hits per language, argmax with a fixed
-    * tie-break order (en > de > fr > es).
+    * tie-break order (en > de > fr > es). (The lists are compiled into
+    * the [[graft.functions.TextStats]] kernel.)
     */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
@@ -62,9 +68,9 @@ object TextAnalysis {
   /** Per-language hit counts + predicted language. */
   def langId(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val hits = LangStopwords.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*))).cast("bigint")
+    val st = stats(col(textCol))
+    val hits = Seq("en", "de", "fr", "es").zipWithIndex.map {
+      case (lang, i) => lang -> st.getItem(4 + i)
     }
     val Seq(en, de, fr, es) = hits.map(_._2)
     docs.select(Seq(col(idCol)) ++
@@ -79,12 +85,13 @@ object TextAnalysis {
 
   /** Set fingerprint: digest of the sorted distinct normalized token
     * set — equal iff the docs share exactly the same vocabulary
-    * (order/multiplicity-insensitive near-dup key).
+    * (order/multiplicity-insensitive near-dup key). The
+    * normalize→split→distinct→sort→join chain is the native
+    * [[graft.functions.TextStats.vocab_key]] kernel; md5 stays a
+    * codegen'd built-in.
     */
-  def vocabularyFingerprint(c: Column): Column = {
-    val norm = regexp_replace(lower(c), "[^a-z0-9 ]", "")
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(norm)))).cast("binary"))
-  }
+  def vocabularyFingerprint(c: Column): Column =
+    md5(TextStats.vocab_key(c).cast("binary"))
 
   /** Winnowing-style fingerprint set (rolling-hash document sketch):
     * hash every `k`-token shingle, then keep the minimum hash of each

@@ -113,35 +113,82 @@ object Processor {
     out.toList
   }
 
-  /** F2: resolve figure/table citation targets corpus-wide — match each
-    * `figure_citation`/`table_citation` node against its document's
-    * figure/table LABEL text (`processor.py:252-267`), writing the
-    * matched `fig_N`/`tab_N` into the citation's `content_id` (the
-    * reference's `target_content_id`; TEI renders it as
-    * `<ref target="#fig_N">`). Matching is the [[RefMatching]] join
-    * chain — figures and tables matched separately, as the reference
-    * does.
+  /** Local (per-document) matcher with [[RefMatching.matchContentIds]]
+    * semantics (reference `processors/ref_matching.py:19-105` — the
+    * reference, too, matches within one document at a time): exact
+    * normalized-key lookup, then token-prefix key, then partial
+    * token-vote with strict top-1 (ties rejected). Candidate dicts are
+    * built in document order, later entries overwriting
+    * (`SimpleContentIdMatcher` dict semantics).
+    *
+    * This runs inside the per-doc fold rather than as corpus-wide
+    * joins: a DataFrame formulation referenced the whole un-cached
+    * pipeline subtree seven times, exploding Catalyst optimization
+    * time; per-doc it is a few hash-map probes over a handful of
+    * labels.
     */
-  def assignCitationTargets(nodes: DataFrame): DataFrame = {
-    def targetsOf(citType: String, targetType: String): DataFrame = {
-      val targets = nodes.filter(col("node_type") === targetType)
-        .select(col("doc_id"), col("node_id").as("_tid"), col("content_id"))
-      val labels = nodes.filter(col("node_type") === "label")
-        .select(col("doc_id"), col("parent_id").as("_tid"),
-          col("text").as("label_text"))
-        .join(targets, Seq("doc_id", "_tid"))
-        .select(col("doc_id"), col("content_id"), col("label_text"))
-      val cits = nodes.filter(col("node_type") === citType)
-        .select(col("doc_id"), col("node_id").as("item_id"), col("text"))
-      RefMatching.matchFigureTableIds(cits, labels)
+  private[pipeline] def matchContentIdsLocal(
+      citations: Seq[(Long, String)],
+      candidates: Seq[(String, String)]): Map[Long, String] = {
+    def normKey(s: String): String = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+    def prefixKey(s: String, n: Int = 1): String =
+      s.split("\\s+").filter(_.nonEmpty).map { t =>
+        normKey(if (t.exists(_.isDigit)) t else t.take(n))
+      }.mkString
+    val byExact = candidates.map { case (id, lt) => normKey(lt) -> id }.toMap
+    val byPrefix = candidates.map { case (id, lt) => prefixKey(lt) -> id }
+      .filter(_._1.nonEmpty).toMap
+    val candTokens = candidates.map { case (id, lt) =>
+      id -> lt.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
     }
-    val matched = targetsOf("figure_citation", "figure")
-      .unionByName(targetsOf("table_citation", "table"))
-      .select(col("doc_id"), col("item_id").as("node_id"),
-        col("content_id").as("_target"))
-    nodes.join(matched, Seq("doc_id", "node_id"), "left")
-      .withColumn("content_id", coalesce(col("_target"), col("content_id")))
-      .drop("_target")
+    citations.flatMap { case (nid, text) =>
+      val direct = byExact.get(normKey(text)).orElse(byPrefix.get(prefixKey(text)))
+      direct.orElse {
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+        val votes = candTokens.map { case (id, ct) => id -> (toks & ct).size }
+          .filter(_._2 > 0)
+        if (votes.isEmpty) None
+        else {
+          val top = votes.filter(_._2 == votes.map(_._2).max)
+          if (top.size == 1) Some(top.head._1) else None
+        }
+      }.map(nid -> _)
+    }.toMap
+  }
+
+  /** J1 + F2 per document: assign `fig_0…`/`tab_0…` content ids in
+    * document order (`utils/misc.py:4-8` iter_ids), then resolve each
+    * `figure_citation`/`table_citation` against its document's
+    * figure/table LABEL text (`processors/fulltext/processor.py:
+    * 239-267`), writing the matched id into the citation's `content_id`
+    * (the reference's `target_content_id`; TEI renders it as
+    * `<ref target="#fig_N">`). Figures and tables are matched
+    * separately, as the reference does.
+    */
+  private[pipeline] def assignIdsAndTargets(
+      nodes: Seq[SemanticNode]): Seq[SemanticNode] = {
+    var figN = 0
+    var tabN = 0
+    val withIds = nodes.sortBy(_.node_id).map { n =>
+      n.node_type match {
+        case "figure" => val id = s"fig_$figN"; figN += 1; n.copy(content_id = id)
+        case "table" => val id = s"tab_$tabN"; tabN += 1; n.copy(content_id = id)
+        case _ => n
+      }
+    }
+    val byId = withIds.map(n => n.node_id -> n).toMap
+    def labelsOf(targetType: String): Seq[(String, String)] =
+      withIds.filter(_.node_type == "label").flatMap { l =>
+        byId.get(l.parent_id).filter(_.node_type == targetType)
+          .map(p => (p.content_id, l.text))
+      }
+    def citationsOf(citType: String): Seq[(Long, String)] =
+      withIds.filter(_.node_type == citType).map(n => n.node_id -> n.text)
+    val matched =
+      matchContentIdsLocal(citationsOf("figure_citation"), labelsOf("figure")) ++
+        matchContentIdsLocal(citationsOf("table_citation"), labelsOf("table"))
+    withIds.map(n =>
+      matched.get(n.node_id).map(t => n.copy(content_id = t)).getOrElse(n))
   }
 
   /** Expand header-fold output with name/affiliation model passes —
@@ -233,14 +280,12 @@ object Processor {
       .map(n => n.copy(
         node_id = n.node_id + BodyIdOffset,
         parent_id = if (n.parent_id < 0) -1L else n.parent_id + BodyIdOffset))
-    // fig_0…/tab_0… ids in document order, then citation-target joins
-    val all = headerNodes.union(bodyNodes).toDF()
-    val withIds = Extractors.assignContentIds(
-      Extractors.assignContentIds(all, "figure", "fig_"), "table", "tab_")
-    assignCitationTargets(withIds)
-      .select(col("doc_id"), col("node_id"), col("parent_id"),
-        col("node_type"), col("text"), col("content_id"))
-      .as[SemanticNode]
+    // fig_0…/tab_0… ids in document order + citation-target resolution,
+    // per document inside one fold (one shuffle on doc_id; the
+    // reference's matcher is per-document too)
+    headerNodes.union(bodyNodes)
+      .groupByKey(_.doc_id)
+      .flatMapGroups((_, it) => assignIdsAndTargets(it.toSeq).iterator)
   }
 
   private val BodyIdOffset = 1L << 32

@@ -86,7 +86,14 @@ object PipelineOps {
 
   private def altoCorpus(s: SparkSession, d: String): Dataset[(Long, String)] = {
     import s.implicits._
+    // repartition BEFORE the synthesis+parse: the documents table is a
+    // single parquet file at bench scale, so without the fan-out every
+    // downstream per-doc map (ALTO synthesis, StAX parse, retokenize)
+    // runs in one task until the first shuffle. On a real corpus the
+    // binaryFile scan is already many-partitioned and this is a no-op
+    // cost-wise (one narrow shuffle of raw text).
     Tables(s, d).documents.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .as[(Long, String)].map { case (id, t) => (id, altoOf(id, t)) }
   }
 
@@ -207,15 +214,18 @@ object PipelineOps {
     import s.implicits._
     import graft.pipeline.GraphicProvider
     import graft.sources.Subprocess
-    val pdfs = Tables(s, d).documents.select(col("doc_id"), col("text"))
-      .as[(Long, String)].map { case (id, t) => (id, t.getBytes("UTF-8")) }
-    // stand-in renderer: every "PDF" becomes three page images
-    val images = Subprocess.renderPageImages(pdfs,
-      Seq("/bin/sh", "-c",
-        "cp {in} {out}-1.png && cp {in} {out}-2.png && cp {in} {out}-3.png"))
-    // page dims: pages 1-2 modal; every 3rd doc gets an uncommon
-    // third-page dimension (the G5 gate)
-    val pages = images.select(col("doc_id"), col("page_number"))
+    val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+    // Page metadata comes from the layout document — dims are known
+    // BEFORE any page is rendered (the reference reads them off the
+    // ALTO <Page> elements), so the G5/G6/I1/I2 gates run on cheap
+    // metadata and the subprocess render only ever sees the pruned
+    // candidate set. (A first formulation synthesized the metadata FROM
+    // the rendered images, which both rendered everything and re-ran
+    // the render once per plan reference — 72 s at sf0.01 vs ~1 s.)
+    // Pages 1-2 modal; every 3rd doc gets an uncommon third-page
+    // dimension (the G5 gate).
+    val pages = docs.select(col("doc_id"),
+        explode(sequence(lit(1), lit(3))).as("page_number"))
       .withColumn("width", lit(612.0))
       .withColumn("height",
         when(col("page_number") === 3 && pmod(col("doc_id"), lit(3)) === 0, 500.0)
@@ -224,8 +234,8 @@ object PipelineOps {
     // (the G6 gate removes those pages from the CV candidates)
     val gWidth = when(pmod(col("doc_id"), lit(6)) === 0, lit(600.0))
       .otherwise(lit(100.0))
-    val graphicsNested = images.filter(col("page_number") === 3)
-      .select(col("doc_id"), col("page_number"),
+    val graphicsNested = docs
+      .select(col("doc_id"), lit(3).as("page_number"),
         concat(lit("g"), col("doc_id")).as("graphic_id"),
         lit("png").as("graphic_type"),
         struct(lit(0.0).as("x"), lit(0.0).as("y"),
@@ -236,8 +246,25 @@ object PipelineOps {
       col("graphic_type"))
     val candidates = GraphicProvider.withNextPages(
       GraphicProvider.cvCandidatePages(pages, graphicsNested), pages)
+    // render ONLY documents with candidate pages, keep only candidate
+    // pages; persist so the render subprocess runs exactly once however
+    // many downstream branches consume the images (at cluster scale
+    // this materialization is a checkpoint to storage)
+    // repartition: the candidate set comes off a single parquet scan
+    // partition — without the fan-out the whole render runs in ONE task
+    // (26 s at sf0.1 vs ~2 s spread over the cluster)
+    val pdfs = docs
+      .join(candidates.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .repartition(col("doc_id"))
+      .as[(Long, String)].map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    // stand-in renderer: every "PDF" becomes three page images (one
+    // process per PARTITION — per-doc spawns dominate at corpus scale)
+    val images = Subprocess.renderPageImagesBatched(pdfs,
+      Seq("/bin/sh", "-c",
+        "for f in {inDir}/*.pdf; do b=$(basename $f .pdf); " +
+          "for p in 1 2 3; do cp $f {outDir}/$b-$p.png; done; done"))
     val candidateImages = images.join(candidates, Seq("doc_id", "page_number"),
-      "left_semi")
+      "left_semi").persist()
     // stand-in detector: box shape keyed off the image bytes
     val cvBoxes = GraphicProvider.detectBoxes(candidateImages, img =>
       if (img.length % 2 == 0) Seq((0.0, 0.0, 100.0, 450.0, "FIGURE"))

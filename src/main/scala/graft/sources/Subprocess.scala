@@ -144,6 +144,71 @@ object Subprocess {
     }.toDF("doc_id", "page_number", "image")
   }
 
+  /** A9 batched variant: ONE render process per partition over a
+    * manifest directory — `{inDir}` holds `<doc_id>.pdf` files, the
+    * tool writes `<doc_id>-<page>.<ext>` into `{outDir}` (the wrapper
+    * loop one ships around pdftoppm). Amortizes process startup over
+    * the whole partition — per-document spawn costs dominate the
+    * per-doc runner when the corpus is large relative to page work
+    * (measured here: ~0.4 s/spawn sandboxed, 32 s for 833 docs at
+    * sf0.1 vs ~1 s batched). Tradeoff vs [[renderPageImages]]: a
+    * timeout/crash fails the whole partition (Spark retries it), not
+    * one document — acceptable because rendering is gated on pruned
+    * candidates.
+    */
+  def renderPageImagesBatched(pdfs: Dataset[(Long, Array[Byte])],
+      command: Seq[String], timeoutSeconds: Long = 600L): DataFrame = {
+    import pdfs.sparkSession.implicits._
+    pdfs.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val inDir = Files.createTempDirectory("graft-render-batch-in")
+        val outDir = Files.createTempDirectory("graft-render-batch-out")
+        try {
+          it.foreach { case (id, bytes) =>
+            Files.write(inDir.resolve(s"$id.pdf"), bytes)
+          }
+          val cmd = command.map(
+            _.replace("{inDir}", inDir.toString).replace("{outDir}", outDir.toString))
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          proc.getOutputStream.close()
+          val finished = proc.waitFor(timeoutSeconds, TimeUnit.SECONDS)
+          if (!finished) {
+            proc.destroyForcibly()
+            throw new RuntimeException(s"batch render timed out: ${cmd.mkString(" ")}")
+          }
+          if (proc.exitValue() != 0)
+            throw new RuntimeException(
+              s"batch render failed (${proc.exitValue()}): ${cmd.mkString(" ")}")
+          val Num = "(\\d+)-(\\d+)\\.[A-Za-z]+$".r
+          val listed = Files.list(outDir)
+          val rows = try {
+            import scala.jdk.CollectionConverters._
+            listed.iterator().asScala.toSeq
+              .sortBy(_.getFileName.toString)
+              .flatMap { p =>
+                p.getFileName.toString match {
+                  case Num(id, pn) => Some((id.toLong, pn.toInt, Files.readAllBytes(p)))
+                  case _ => None
+                }
+              }
+          } finally listed.close()
+          rows.iterator
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(inDir, outDir).foreach { dir =>
+            val leftover = Files.list(dir)
+            try leftover.iterator().asScala.foreach(p => Files.deleteIfExists(p))
+            finally leftover.close()
+            Files.deleteIfExists(dir)
+          }
+        }
+      }
+    }.toDF("doc_id", "page_number", "image")
+  }
+
   /** PDF corpus → token table, pdfalto convention: reads a directory of
     * PDFs via binaryFile, converts per partition, parses the resulting
     * ALTO. `pdfaltoCommand` defaults to the real binary's argument

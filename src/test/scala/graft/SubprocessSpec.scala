@@ -46,6 +46,20 @@ class SubprocessSpec extends SparkSuite {
     assert(rows.toSeq == Seq((7L, 1, "pagecontent"), (7L, 2, "pagecontent")))
   }
 
+  test("renderPageImagesBatched: one process per partition over a manifest dir") {
+    val pdfs = Seq((7L, "seven".getBytes), (8L, "eight".getBytes),
+      (9L, "nine".getBytes)).toDS().repartition(2)
+    val images = Subprocess.renderPageImagesBatched(pdfs,
+      Seq("/bin/sh", "-c",
+        "for f in {inDir}/*.pdf; do b=$(basename $f .pdf); " +
+          "cp $f {outDir}/$b-1.png; cp $f {outDir}/$b-2.png; done"))
+    val rows = images.collect()
+      .map(r => (r.getLong(0), r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq((7L, 1, "seven"), (7L, 2, "seven"),
+      (8L, 1, "eight"), (8L, 2, "eight"), (9L, 1, "nine"), (9L, 2, "nine")))
+  }
+
   test("WapitiLabeler: >64KB per-partition payload does not deadlock the pipes") {
     // An eagerly-echoing tagger + a payload far beyond both OS pipe
     // buffers: the old write-all-then-read implementation deadlocks
