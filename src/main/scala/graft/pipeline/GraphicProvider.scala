@@ -59,6 +59,47 @@ object GraphicProvider {
           Seq("doc_id", "page_number"), "left_semi"))
       .distinct()
 
+  /** D5: the reference's post-detection filter
+    * (`cv_models/layout_parser_cv_model.py:56-110`): keep detections of
+    * the requested types with `score >= scoreThreshold` and a non-empty
+    * bounding box, then — when `avoidOverlapping` — a greedy sequential
+    * suppression in detection order: a box is dropped when its
+    * intersection with ANY previously-kept box covers ≥ `maxOverlapRatio`
+    * of the box's own area. Pure per-image logic (row-local), applied
+    * inside the detector `mapPartitions` — no shuffle.
+    *
+    * @param detections (x, y, width, height, category, score) in
+    *                   detector output order
+    * @param typeNames categories to keep; empty = all
+    */
+  def filterDetections(
+      detections: Seq[(Double, Double, Double, Double, String, Double)],
+      typeNames: Set[String] = Set.empty,
+      scoreThreshold: Double = 0.1,
+      avoidOverlapping: Boolean = true,
+      maxOverlapRatio: Double = 0.1)
+    : Seq[(Double, Double, Double, Double, String)] = {
+    val eligible = detections.collect {
+      case (x, y, w, h, cat, score)
+        if score >= scoreThreshold && w > 0 && h > 0 &&
+          (typeNames.isEmpty || typeNames.contains(cat)) => (x, y, w, h, cat)
+    }
+    if (!avoidOverlapping) eligible
+    else {
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Double, Double, Double, String)]
+      eligible.foreach { case d @ (x, y, w, h, _) =>
+        val overlapping = kept.exists { case (kx, ky, kw, kh, _) =>
+          val ix = math.min(x + w, kx + kw) - math.max(x, kx)
+          val iy = math.min(y + h, ky + kh) - math.max(y, ky)
+          ix > 0 && iy > 0 && ix * iy / (w * h) >= maxOverlapRatio
+        }
+        if (!overlapping) kept += d
+      }
+      kept.toSeq
+    }
+  }
+
   /** D5 seam: CV layout detection over rendered page images (reference
     * `cv_models/layout_parser_cv_model.py:56-141`). The detector is an
     * injectable function — ONNX/layout-parser session in production, a
@@ -72,16 +113,34 @@ object GraphicProvider {
     */
   def detectBoxes(pageImages: DataFrame,
       detector: Array[Byte] => Seq[(Double, Double, Double, Double, String)])
-    : DataFrame = {
+    : DataFrame =
+    detectBoxesScored(pageImages,
+      detector.andThen(_.map { case (x, y, w, h, cat) => (x, y, w, h, cat, 1.0) }),
+      scoreThreshold = 0.0, avoidOverlapping = false)
+
+  /** D5 with the reference's production post-filter: a scored detector
+    * (the raw model output) run through [[filterDetections]] per image —
+    * score threshold (shipped config `config.yml:108` uses 0.1),
+    * type-name selection and greedy overlap suppression, all inside the
+    * per-partition detector session.
+    */
+  def detectBoxesScored(pageImages: DataFrame,
+      detector: Array[Byte] => Seq[(Double, Double, Double, Double, String, Double)],
+      typeNames: Set[String] = Set.empty,
+      scoreThreshold: Double = 0.1,
+      avoidOverlapping: Boolean = true,
+      maxOverlapRatio: Double = 0.1): DataFrame = {
     val sparkSession = pageImages.sparkSession
     import sparkSession.implicits._
     pageImages.select(col("doc_id"), col("page_number"), col("image"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (docId, pageNumber, image) =>
-          detector(image).zipWithIndex.map { case ((x, y, w, h, cat), i) =>
-            (docId, pageNumber, s"cv_${pageNumber}_$i", x, y, w, h, cat)
-          }
+          filterDetections(detector(image), typeNames, scoreThreshold,
+              avoidOverlapping, maxOverlapRatio)
+            .zipWithIndex.map { case ((x, y, w, h, cat), i) =>
+              (docId, pageNumber, s"cv_${pageNumber}_$i", x, y, w, h, cat)
+            }
         }
       }
       .toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height",
@@ -98,6 +157,21 @@ object GraphicProvider {
     */
   def reconcileCvBoxes(cvBoxes: DataFrame, graphics: DataFrame,
       threshold: Double = 0.80,
+      ignoredGraphicTypes: Seq[String] = Seq("svg")): DataFrame =
+    reconcileCvBoxesOuter(cvBoxes, graphics, threshold, ignoredGraphicTypes)
+      .filter(col("graphic_id").isNotNull)
+      .select("doc_id", "cv_id", "graphic_id", "area_ratio")
+
+  /** F5/H3, outer form: one output row per CV box, `graphic_id` /
+    * `area_ratio` null when no embedded graphic overlaps above the
+    * threshold (in the reference those unmatched boxes fall through to
+    * page-image cropping). Keeping unmatched boxes lets a consumer
+    * derive both the per-doc detection count and the matched count from
+    * ONE pass over the detector output — no re-evaluation of the
+    * (expensive) upstream render+detect stage and no persist needed.
+    */
+  def reconcileCvBoxesOuter(cvBoxes: DataFrame, graphics: DataFrame,
+      threshold: Double = 0.80,
       ignoredGraphicTypes: Seq[String] = Seq("svg")): DataFrame = {
     val g = graphics.filter(!col("graphic_type").isin(ignoredGraphicTypes: _*))
       .select(col("doc_id"), col("page_number"), col("graphic_id"),
@@ -110,12 +184,14 @@ object GraphicProvider {
     val maxArea = greatest(col("width") * col("height"), col("gw") * col("gh"))
     val ratio = when(maxArea > 0, ix * iy / maxArea).otherwise(lit(0.0))
     val w = Window.partitionBy("doc_id", "cv_id")
-      .orderBy(col("area_ratio").desc, col("graphic_id"))
-    cvBoxes.join(g, Seq("doc_id", "page_number"))
-      .withColumn("area_ratio", ratio)
-      .filter(col("area_ratio") >= threshold)
+      .orderBy(col("area_ratio").desc_nulls_last, col("graphic_id").asc_nulls_last)
+    cvBoxes.join(g, Seq("doc_id", "page_number"), "left")
+      .withColumn("area_ratio",
+        when(col("gx").isNotNull && ratio >= threshold, ratio))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("doc_id", "cv_id", "graphic_id", "area_ratio")
+      .select(col("doc_id"), col("page_number"), col("cv_id"),
+        when(col("area_ratio").isNotNull, col("graphic_id")).as("graphic_id"),
+        col("area_ratio"))
   }
 }

@@ -264,17 +264,23 @@ object PipelineOps {
         "for f in {inDir}/*.pdf; do b=$(basename $f .pdf); " +
           "for p in 1 2 3; do cp $f {outDir}/$b-$p.png; done; done"))
     val candidateImages = images.join(candidates, Seq("doc_id", "page_number"),
-      "left_semi").persist()
-    // stand-in detector: box shape keyed off the image bytes
-    val cvBoxes = GraphicProvider.detectBoxes(candidateImages, img =>
-      if (img.length % 2 == 0) Seq((0.0, 0.0, 100.0, 450.0, "FIGURE"))
-      else Seq((10.0, 10.0, 200.0, 150.0, "FIGURE")))
-    val reconciled = GraphicProvider.reconcileCvBoxes(cvBoxes, graphicsFlat)
-    cvBoxes.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_cv_boxes"))
-      .join(reconciled.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_reconciled")), Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_reconciled"))
+      "left_semi")
+    // stand-in scored detector: box shape keyed off the image bytes; a
+    // low-score second box exercises the production score-threshold +
+    // overlap-suppression layer (reference config score_threshold 0.1)
+    val cvBoxes = GraphicProvider.detectBoxesScored(candidateImages, img =>
+      if (img.length % 2 == 0)
+        Seq((0.0, 0.0, 100.0, 450.0, "FIGURE", 0.9),
+          (5.0, 5.0, 100.0, 450.0, "FIGURE", 0.05))
+      else Seq((10.0, 10.0, 200.0, 150.0, "FIGURE", 0.9)))
+    // outer reconcile keeps unmatched boxes → ONE pass over the
+    // render+detect stage yields both per-doc counts (the previous
+    // two-consumer formulation needed a persist that leaked cached
+    // blocks into long-lived sessions)
+    GraphicProvider.reconcileCvBoxesOuter(cvBoxes, graphicsFlat)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cv_boxes"),
+        count(col("graphic_id")).as("n_reconciled"))
       .orderBy("doc_id")
   }
 

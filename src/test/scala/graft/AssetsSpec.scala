@@ -55,6 +55,10 @@ class AssetsSpec extends SparkSuite {
     // candidate docs: doc_id % 3 == 0 minus mostly-bitmap doc_id % 6 == 0
     val ids = rows.map(_.getLong(0))
     assert(ids.forall(id => id % 3 == 0 && id % 6 != 0))
+    // the render stage must not leave persisted data behind (the r2
+    // formulation leaked a cached dataset per invocation)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "p09 left cached data behind")
     val p10 = SparkEntry.queries("p10_asset_zip")(spark, sf("0.001"))
     val first = p10.collect().head
     assert(first.getLong(1) == 2 && first.getLong(2) > 0)

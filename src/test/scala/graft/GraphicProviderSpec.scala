@@ -43,6 +43,62 @@ class GraphicProviderSpec extends SparkSuite {
     assert(widened == Set((0L, 2), (0L, 3), (0L, 4))) // page 5 absent → not added
   }
 
+  // ported from reference tests/cv_models/layout_parser_cv_model_test.py
+  test("D5 filter: should filter by score") {
+    // rectangles are (x1,y1,x2,y2) in the reference; our tuples are x,y,w,h
+    val dets = Seq(
+      (11.0, 10.0, 89.0, 90.0, "Test", 0.4),
+      (12.0, 10.0, 88.0, 90.0, "Test", 0.5),
+      (13.0, 10.0, 87.0, 90.0, "Test", 0.6))
+    val r = GraphicProvider.filterDetections(dets, Set("Test"),
+      scoreThreshold = 0.5, avoidOverlapping = false)
+    assert(r == Seq((12.0, 10.0, 88.0, 90.0, "Test"),
+      (13.0, 10.0, 87.0, 90.0, "Test")))
+  }
+
+  test("D5 filter: should avoid overlapping") {
+    val dets = Seq(
+      (11.0, 10.0, 89.0, 90.0, "Test", 0.6),
+      (12.0, 10.0, 88.0, 90.0, "Test", 0.5))
+    val r = GraphicProvider.filterDetections(dets, Set("Test"),
+      scoreThreshold = 0.0, avoidOverlapping = true)
+    assert(r == Seq((11.0, 10.0, 89.0, 90.0, "Test")))
+  }
+
+  test("D5 filter: should ignore empty bounding boxes") {
+    val dets = Seq(
+      (11.0, 10.0, 89.0, 0.0, "Test", 0.6),  // zero height
+      (12.0, 10.0, 88.0, 90.0, "Test", 0.5),
+      (13.0, 10.0, 87.0, 0.0, "Test", 0.4))
+    val r = GraphicProvider.filterDetections(dets, Set("Test"),
+      scoreThreshold = 0.0, avoidOverlapping = true)
+    assert(r == Seq((12.0, 10.0, 88.0, 90.0, "Test")))
+  }
+
+  test("D5 filter: type-name selection") {
+    val dets = Seq(
+      (0.0, 0.0, 10.0, 10.0, "Figure", 0.9),
+      (50.0, 50.0, 10.0, 10.0, "Table", 0.9))
+    val r = GraphicProvider.filterDetections(dets, Set("Figure"))
+    assert(r.map(_._5) == Seq("Figure"))
+  }
+
+  test("F5 outer: one row per CV box, unmatched boxes keep null graphic_id") {
+    val cv = Seq(
+      (0L, 1, "cv1", 10.0, 10.0, 100.0, 100.0),
+      (0L, 1, "cv2", 400.0, 400.0, 50.0, 50.0),
+      (0L, 9, "cv3", 0.0, 0.0, 10.0, 10.0), // page with no graphics at all
+    ).toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height")
+    val graphics = Seq(
+      (0L, 1, "g1", 12.0, 12.0, 100.0, 100.0, "png"),
+      (0L, 1, "g2", 30.0, 30.0, 100.0, 100.0, "png"),
+    ).toDF("doc_id", "page_number", "graphic_id", "x", "y", "width", "height",
+      "graphic_type")
+    val rows = GraphicProvider.reconcileCvBoxesOuter(cv, graphics)
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(rows == Map("cv1" -> Some("g1"), "cv2" -> None, "cv3" -> None))
+  }
+
   test("F5: CV boxes reconcile to best-overlap graphic above threshold") {
     val cv = Seq(
       (0L, 1, "cv1", 10.0, 10.0, 100.0, 100.0),
