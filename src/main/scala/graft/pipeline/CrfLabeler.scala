@@ -205,7 +205,10 @@ object CrfModel {
             }
           case "weights" =>
             val parts = l.split('\t')
-            if (parts.length == 4 && parts(0).startsWith("B")) {
+            // transitions only under the exact `B`/`B:` id — a unigram
+            // pattern id merely beginning with "B" (e.g. `B12:…`) is an
+            // observation weight
+            if (parts.length == 4 && (parts(0) == "B:" || parts(0) == "B")) {
               transRaw += ((parts(1), parts(2), parts(3).toDouble))
             } else {
               require(parts.length == 3, s"bad weight line: $l")

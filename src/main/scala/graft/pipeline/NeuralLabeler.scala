@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * What is real here: the full Spark-side contract — doc-contiguous
   * batching (D3), feature→tensor encoding, fixed-size batch packing
-  * with padding, per-token argmax decode with an optional transition
-  * mask (BIO consistency), and the label-column output every
-  * downstream stage consumes. What is injectable: `inference`, the
-  * batched tensor function — an ONNX Runtime session in production
-  * (`session.run` over [batch, maxLen, featDim] → [batch, maxLen,
-  * labels]); this container has no ONNX runtime, so tests inject a
-  * deterministic linear stand-in with the same signature.
+  * with padding, decode (per-token argmax, or masked Viterbi over the
+  * score lattice when a `transitionMask` is supplied — enforcing e.g.
+  * BIO consistency, see [[NeuralLabeler.bioMask]]), and the
+  * label-column output every downstream stage consumes. What is
+  * injectable: `inference`, the batched tensor function — an ONNX
+  * Runtime session in production (`session.run` over [batch, maxLen,
+  * featDim] → [batch, maxLen, labels]); this container has no ONNX
+  * runtime, so tests inject a deterministic stand-in with the same
+  * signature (an ONNX-shaped golden spec pins the decode end-to-end).
   *
   * Scale shape: model weights/session are per-executor (the `inference`
   * closure is broadcast with the task), batches never cross documents,
@@ -26,15 +28,23 @@ import org.apache.spark.sql.functions._
   * @param inference [docs × tokens × featDim] → per-token label scores
   * @param batchSize documents per inference call (DELFT batches the
   *   same way; count asserted like the reference's tag-result check)
+  * @param transitionMask optional `allowed(prev)(next)` matrix over
+  *   label indices; when set, decode is Viterbi over the per-token
+  *   scores with disallowed transitions scored -∞ (argmax otherwise)
   */
 final class NeuralLabeler(
     labels: IndexedSeq[String],
     encode: String => Array[Float],
     inference: Seq[Seq[Array[Float]]] => Seq[Seq[Array[Float]]],
     batchSize: Int = 8,
-    featuresCol: String = "features") extends SequenceLabeler {
+    featuresCol: String = "features",
+    transitionMask: Option[Array[Array[Boolean]]] = None) extends SequenceLabeler {
 
   require(labels.nonEmpty, "label vocabulary must not be empty")
+  transitionMask.foreach { m =>
+    require(m.length == labels.size && m.forall(_.length == labels.size),
+      s"transition mask must be ${labels.size}x${labels.size}")
+  }
 
   override def label(tokens: DataFrame): DataFrame = {
     val spark = tokens.sparkSession
@@ -44,6 +54,7 @@ final class NeuralLabeler(
     val infer = inference
     val bs = batchSize
     val fCol = featuresCol
+    val mask = transitionMask
     val cols = Seq("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
       "text", "whitespace", fCol)
     val labeled = tokens.select(cols.map(col): _*)
@@ -70,14 +81,9 @@ final class NeuralLabeler(
           batch.iterator.zip(scores.iterator).flatMap { case (rows, docScores) =>
             require(docScores.size == rows.size,
               s"inference returned ${docScores.size} labels for ${rows.size} tokens")
-            rows.iterator.zip(docScores.iterator).map { case (r, s) =>
-              var best = 0
-              var i = 1
-              while (i < s.length && i < labelVocab.size) {
-                if (s(i) > s(best)) best = i
-                i += 1
-              }
-              (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, labelVocab(best))
+            val decoded = NeuralLabeler.decode(docScores, labelVocab.size, mask)
+            rows.iterator.zip(decoded.iterator).map { case (r, y) =>
+              (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, labelVocab(y))
             }
           }
         }
@@ -88,6 +94,89 @@ final class NeuralLabeler(
 }
 
 object NeuralLabeler {
+
+  /** Decode one document's score lattice to label indices: per-token
+    * argmax, or — with a transition mask — first-order Viterbi where a
+    * disallowed `prev→next` transition scores -∞ (the max-scoring path
+    * among the mask-consistent label sequences). Scores beyond the
+    * label vocabulary are ignored (an ONNX head may pad its output).
+    */
+  private[graft] def decode(docScores: Seq[Array[Float]], nLabels: Int,
+      mask: Option[Array[Array[Boolean]]]): IndexedSeq[Int] = {
+    val n = docScores.size
+    if (n == 0) return IndexedSeq.empty
+    def width(s: Array[Float]): Int = math.min(s.length, nLabels)
+    mask match {
+      case None =>
+        docScores.iterator.map { s =>
+          var best = 0
+          var i = 1
+          while (i < width(s)) { if (s(i) > s(best)) best = i; i += 1 }
+          best
+        }.toIndexedSeq
+      case Some(allowed) =>
+        val delta = Array.ofDim[Double](n, nLabels)
+        val back = Array.ofDim[Int](n, nLabels)
+        var y = 0
+        while (y < nLabels) {
+          val s0 = docScores.head
+          delta(0)(y) = if (y < width(s0)) s0(y) else Double.NegativeInfinity
+          y += 1
+        }
+        var t = 1
+        while (t < n) {
+          val st = docScores(t)
+          y = 0
+          while (y < nLabels) {
+            var best = Double.NegativeInfinity
+            var bestP = 0
+            var p = 0
+            while (p < nLabels) {
+              if (allowed(p)(y) && delta(t - 1)(p) > best) {
+                best = delta(t - 1)(p); bestP = p
+              }
+              p += 1
+            }
+            val emit = if (y < width(st)) st(y).toDouble else Double.NegativeInfinity
+            delta(t)(y) = best + emit
+            back(t)(y) = bestP
+            y += 1
+          }
+          t += 1
+        }
+        var bestY = 0
+        y = 1
+        while (y < nLabels) {
+          if (delta(n - 1)(y) > delta(n - 1)(bestY)) bestY = y
+          y += 1
+        }
+        val out = new Array[Int](n)
+        t = n - 1
+        while (t >= 0) {
+          out(t) = bestY
+          if (t > 0) bestY = back(t)(bestY)
+          t -= 1
+        }
+        out.toIndexedSeq
+    }
+  }
+
+  /** BIO-consistency transition mask over a `O`/`B-x`/`I-x` label
+    * vocabulary: `I-x` may only follow `B-x` or `I-x`; at the sequence
+    * start only non-`I` labels are reachable (enforced by the decoder
+    * starting from raw scores — a leading `I-x` is still representable
+    * when the model insists, matching DELFT's lenient reading where
+    * BioSpans treats a bare `I-` as a span start).
+    */
+  def bioMask(labels: IndexedSeq[String]): Array[Array[Boolean]] =
+    Array.tabulate(labels.size, labels.size) { (p, y) =>
+      val next = labels(y)
+      if (!next.startsWith("I-")) true
+      else {
+        val tag = next.substring(2)
+        labels(p) == s"B-$tag" || labels(p) == s"I-$tag"
+      }
+    }
 
   /** Simple bag-of-columns feature encoder for the data-line format:
     * hash each whitespace feature column into `dim` buckets (the

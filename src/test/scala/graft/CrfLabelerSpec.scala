@@ -40,6 +40,26 @@ class CrfLabelerSpec extends SparkSuite {
       Seq("B-<title>", "I-<title>", "O"))
   }
 
+  test("parse: a unigram pattern id beginning with B is not a transition") {
+    val m = CrfModel.parse(
+      """[labels]
+        |O
+        |X
+        |[patterns]
+        |B12:%x[0,0]
+        |B
+        |[weights]
+        |B12:hit	X	2.0
+        |B:	X	X	0.5
+        |""".stripMargin)
+    assert(m.patterns.collect { case u: CrfModel.Unigram => u.id } == Seq("B12"))
+    assert(m.unigram("B12:hit")(1) == 2.0)
+    assert(m.transition(1)(1) == 0.5)
+    // X,X (2.0 + B: trans 0.5) beats X,O (2.0) — the B: line acted as a
+    // transition while B12: stayed observational
+    assert(m.decode(Seq("hit a", "miss b")) == Seq("X", "X"))
+  }
+
   test("decode: Viterbi path beats per-token argmax when transitions say so") {
     // emissions favor X at both steps (2.0, 0.5) but X->X is heavily
     // penalized: best path is [X, Y] (2.0 + 0 + 0) over [X, X]

@@ -48,6 +48,64 @@ class NeuralLabelerSpec extends SparkSuite {
     assert(BioSpans.spans(labeled).filter(col("tag") === "<title>").count() == 3)
   }
 
+  test("decode: transition mask repairs BIO-inconsistent argmax paths") {
+    val labels = IndexedSeq("O", "B-<a>", "I-<a>", "I-<b>")
+    val mask = NeuralLabeler.bioMask(labels)
+    // argmax would give [O, I-<a>] — inconsistent (I-<a> after O);
+    // masked Viterbi must pick the best consistent path [O, O]
+    val scores = Seq(
+      Array(2f, 0f, 0f, 0f),
+      Array(1f, 0f, 1.5f, 0f))
+    val plain = NeuralLabeler.decode(scores, labels.size, None)
+    assert(plain.map(labels) == Seq("O", "I-<a>"))
+    val masked = NeuralLabeler.decode(scores, labels.size, Some(mask))
+    assert(masked.map(labels) == Seq("O", "O"))
+    // when the span is opened properly the mask keeps it
+    val ok = Seq(Array(0f, 2f, 0f, 0f), Array(0f, 0f, 2f, 0f))
+    assert(NeuralLabeler.decode(ok, labels.size, Some(mask)).map(labels) ==
+      Seq("B-<a>", "I-<a>"))
+    // I-<b> after B-<a>/I-<a> is disallowed — cross-tag continuation
+    val cross = Seq(Array(0f, 2f, 0f, 0f), Array(0f, 0f, 1f, 1.5f))
+    assert(NeuralLabeler.decode(cross, labels.size, Some(mask)).map(labels) ==
+      Seq("B-<a>", "I-<a>"))
+  }
+
+  test("label: ONNX-shaped golden — padded score width, batch boundaries, mask") {
+    // fixture tensors the way an ONNX head returns them: score arrays
+    // WIDER than the label vocabulary (padded head), fixed per doc
+    val labels = IndexedSeq("O", "B-<t>", "I-<t>")
+    val fixtureScores: Map[String, Array[Float]] = Map(
+      "w0" -> Array(0.1f, 2.0f, 0.3f, 9f, 9f), // pad columns must be ignored
+      "w1" -> Array(0.2f, 0.1f, 1.5f, 9f, 9f),
+      "w2" -> Array(1.8f, 0.0f, 0.2f, 9f, 9f))
+    // 5 docs × 3 tokens with batchSize=2 → batches of 2,2,1 (boundary)
+    val rows = (0 until 5).flatMap { doc =>
+      Seq("w0", "w1", "w2").zipWithIndex.map { case (w, i) =>
+        (doc.toLong, 0, 0, 0, i, w, " ", w)
+      }
+    }
+    val df = rows.toDF("doc_id", "page_idx", "block_idx", "line_idx",
+      "token_idx", "text", "whitespace", "features")
+    val labeler = new NeuralLabeler(labels,
+      encode = s => Array(s.hashCode.toFloat),
+      inference = batch => batch.map(_.map { v =>
+        // recover the token key from its encoded hash
+        val key = Seq("w0", "w1", "w2").find(_.hashCode.toFloat == v(0)).get
+        fixtureScores(key)
+      }),
+      batchSize = 2,
+      transitionMask = Some(NeuralLabeler.bioMask(labels)))
+    val out = labeler.label(df).select("doc_id", "token_idx", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // golden: every doc decodes B-<t>, I-<t>, O — pad columns ignored,
+    // the last (odd) batch decoded identically to full batches
+    (0 until 5).foreach { doc =>
+      assert(out((doc.toLong, 0)) == "B-<t>", s"doc $doc tok 0")
+      assert(out((doc.toLong, 1)) == "I-<t>", s"doc $doc tok 1")
+      assert(out((doc.toLong, 2)) == "O", s"doc $doc tok 2")
+    }
+  }
+
   test("label: inference returning wrong shape fails loudly") {
     val enc = NeuralLabeler.hashingEncoder(8)
     val bad: Seq[Seq[Array[Float]]] => Seq[Seq[Array[Float]]] =
