@@ -39,10 +39,12 @@ final class ScriptedLabeler(spark: SparkSession,
 }
 
 /** Segmentation-stage rule labeler: the largest-font block on page 0
-  * and its successor (title + authors region) → `<header>`, everything
-  * else → `<body>` — the line-level segmentation the reference's
-  * segmentation model performs (`processor.py:191-197`) as a
-  * deterministic stand-in.
+  * and its successor (title + authors region) → `<header>`; a block
+  * opening with an "Acknowledgement(s)"/"Acknowledgment(s)" heading →
+  * `<acknowledgement>`; one opening "Appendix"/"Annex" → `<annex>`;
+  * everything else → `<body>` — the line-level segmentation label set
+  * the reference's segmentation model emits (`processor.py:205-225`
+  * consumes exactly these views) as a deterministic stand-in.
   */
 final class SegmentationRuleLabeler extends SequenceLabeler {
   import org.apache.spark.sql.expressions.Window
@@ -53,18 +55,25 @@ final class SegmentationRuleLabeler extends SequenceLabeler {
     val withMax = tokens
       .withColumn("_max_fs", max(col("font.font_size")).over(docW))
       .withColumn("_block_max_fs", max(col("font.font_size")).over(blockW))
+      .withColumn("_block_first", max(when(
+        col("line_idx") === 0 && col("token_idx") === 0, col("text"))).over(blockW))
     val isTitleBlock = col("page_idx") === 0 && col("_block_max_fs") === col("_max_fs")
     val titleBlockIdx = min(when(isTitleBlock, col("block_idx"))).over(
       Window.partitionBy("doc_id", "page_idx"))
     val isHeader = col("page_idx") === 0 && col("_title_block").isNotNull &&
       col("block_idx") <= col("_title_block") + 1
     val isFirst = col("line_idx") === 0 && col("token_idx") === 0
+    val backTag = when(
+        col("_block_first").rlike("(?i)^acknowledge?ments?$"), "<acknowledgement>")
+      .when(col("_block_first").rlike("(?i)^(appendix|annex)$"), "<annex>")
     withMax
       .withColumn("_title_block", titleBlockIdx)
       .withColumn("label",
         when(isHeader, when(isFirst, "B-<header>").otherwise("I-<header>"))
+          .when(backTag.isNotNull,
+            concat(when(isFirst, "B-").otherwise("I-"), backTag))
           .otherwise(when(isFirst, "B-<body>").otherwise("I-<body>")))
-      .drop("_max_fs", "_block_max_fs", "_title_block")
+      .drop("_max_fs", "_block_max_fs", "_block_first", "_title_block")
   }
 }
 

@@ -23,7 +23,11 @@ object Processor {
 
   final case class Config(
       extractAuthors: Boolean = true,
-      extractAffiliations: Boolean = true)
+      extractAffiliations: Boolean = true,
+      // reference defaults: citation authors on, editors off
+      // (processors/fulltext/config.py:39-40)
+      extractCitationAuthors: Boolean = true,
+      extractCitationEditors: Boolean = false)
 
   /** Rule stand-in for the name model: alternate forename/surname over
     * word tokens, skipping "and"/comma delimiters, digits as markers —
@@ -191,6 +195,50 @@ object Processor {
       matched.get(n.node_id).map(t => n.copy(content_id = t)).getOrElse(n))
   }
 
+  /** Name model pass on citation authors/editors (reference
+    * `processors/fulltext/processor.py:654-717`
+    * `_extract_reference_name_lists_from_raw_references`): every
+    * `raw_authors`/`raw_editors` node under a parsed reference is
+    * replaced in place by the name fold over its text — person nodes
+    * (`author`/`editor`) with title-cased given_name/surname children —
+    * gated per config flag. Pure per-document function; node ids are
+    * renumbered emission-ordered, preserving document order.
+    */
+  def citationNamePass(docId: Long,
+      nodes: Seq[SemanticNode], config: Config = Config()): Seq[SemanticNode] = {
+    if (!config.extractCitationAuthors && !config.extractCitationEditors)
+      return nodes
+    val out = scala.collection.mutable.ListBuffer.empty[SemanticNode]
+    var nextId = 0L
+    val idMap = scala.collection.mutable.Map.empty[Long, Long]
+    def add(tpe: String, text: String, parent: Long, contentId: String): Long = {
+      val id = nextId; nextId += 1
+      out += SemanticNode(docId, id, parent, tpe, text, contentId)
+      id
+    }
+    def graft(grafted: Seq[SemanticNode], parent: Long): Unit = {
+      val gMap = scala.collection.mutable.Map.empty[Long, Long]
+      grafted.foreach { g =>
+        val mapped = if (g.parent_id < 0) parent else gMap(g.parent_id)
+        gMap(g.node_id) = add(g.node_type, g.text, mapped, g.content_id)
+      }
+    }
+    nodes.sortBy(_.node_id).foreach { n =>
+      val parent = if (n.parent_id < 0) -1L else idMap.getOrElse(n.parent_id, -1L)
+      n.node_type match {
+        case "raw_authors" if config.extractCitationAuthors =>
+          graft(ModelExtractors.nameFold(docId, nameSpansOf(n.text), "author"),
+            parent)
+        case "raw_editors" if config.extractCitationEditors =>
+          graft(ModelExtractors.nameFold(docId, nameSpansOf(n.text), "editor"),
+            parent)
+        case _ =>
+          idMap(n.node_id) = add(n.node_type, n.text, parent, n.content_id)
+      }
+    }
+    out.toList
+  }
+
   /** Expand header-fold output with name/affiliation model passes —
     * pure per-document function over the node list (node ids are
     * reassigned emission-ordered). */
@@ -251,39 +299,58 @@ object Processor {
     process(Extractors.headerSemantics(
       BioSpans.spans(labeler.label(tokens))).toDF(), config)
 
+  /** One fulltext-model view (`processor.py:809-848`
+    * `_update_semantic_section_using_segmentation_result_and_fulltext_model`):
+    * label the view's tokens with the fulltext model, fold into
+    * sections (tagged `sectionType` via the section `content_id`), run
+    * the figure/table pass, and shift node ids by `idOffset` so views
+    * concatenate in document order.
+    */
+  private def fulltextViewNodes(viewTokens: DataFrame, sectionType: String,
+      idOffset: Long): Dataset[SemanticNode] = {
+    val sparkSession = viewTokens.sparkSession
+    import sparkSession.implicits._
+    BioSpans.spans(new BodyRuleLabeler().label(viewTokens))
+      .select(col("doc_id"), col("span_id"), col("tag"), col("text"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        figureTablePass(docId, ModelExtractors.fulltextFold(docId,
+          it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq, sectionType)).iterator
+      }
+      .map(n => n.copy(
+        node_id = n.node_id + idOffset,
+        parent_id = if (n.parent_id < 0) -1L else n.parent_id + idOffset))
+  }
+
   /** The reference's full document flow (processor.py:180-274):
-    * segmentation labels every token `<header>`/`<body>`, the header
-    * model + folds run on the header view, the fulltext fold on the
-    * body view — each view is just a predicate on the labeled token
-    * table (B4/B5), so no data is copied, and Catalyst pushes the
+    * segmentation labels every token `<header>`/`<body>`/
+    * `<acknowledgement>`/`<annex>`, the header model + folds run on the
+    * header view, the fulltext fold on the body view and on the two
+    * back-matter views (`processor.py:205-225` — acknowledgement
+    * section type `acknowledgement`, annex sections routed to the back
+    * annex container). Each view is just a predicate on the labeled
+    * token table (B4/B5), so no data is copied, and Catalyst pushes the
     * tag filter below each branch's windows.
     */
   def documentPipeline(tokens: DataFrame, config: Config = Config()): Dataset[SemanticNode] = {
     val sparkSession = tokens.sparkSession
     import sparkSession.implicits._
     val seg = new SegmentationRuleLabeler().label(tokens)
-    val headerTokens = BioSpans.filterByTags(seg, Seq("<header>")).drop("label", "tag")
-    val bodyTokens = BioSpans.filterByTags(seg, Seq("<body>")).drop("label", "tag")
+    def view(tag: String): DataFrame =
+      BioSpans.filterByTags(seg, Seq(tag)).drop("label", "tag")
 
-    val headerNodes = headerPipeline(headerTokens, new RuleLabeler(), config)
-
-    val bodySpans = BioSpans.spans(new BodyRuleLabeler().label(bodyTokens))
-    val bodyNodes = bodySpans
-      .select(col("doc_id"), col("span_id"), col("tag"), col("text"))
-      .as[(Long, Long, String, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (docId, it) =>
-        figureTablePass(docId, ModelExtractors.fulltextFold(docId,
-          it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq, "body")).iterator
-      }
-      // body node ids after all header ids so TEI ordering is stable
-      .map(n => n.copy(
-        node_id = n.node_id + BodyIdOffset,
-        parent_id = if (n.parent_id < 0) -1L else n.parent_id + BodyIdOffset))
+    val headerNodes = headerPipeline(view("<header>"), new RuleLabeler(), config)
+    // view node ids are offset after all header ids so TEI ordering is
+    // stable: header, body, acknowledgement, annex
+    val bodyNodes = fulltextViewNodes(view("<body>"), "body", BodyIdOffset)
+    val ackNodes = fulltextViewNodes(view("<acknowledgement>"),
+      "acknowledgement", 2 * BodyIdOffset)
+    val annexNodes = fulltextViewNodes(view("<annex>"), "annex", 3 * BodyIdOffset)
     // fig_0…/tab_0… ids in document order + citation-target resolution,
     // per document inside one fold (one shuffle on doc_id; the
     // reference's matcher is per-document too)
-    headerNodes.union(bodyNodes)
+    headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes)
       .groupByKey(_.doc_id)
       .flatMapGroups((_, it) => assignIdsAndTargets(it.toSeq).iterator)
   }

@@ -71,6 +71,16 @@ object PipelineOps {
     val captions =
       captionBlock("Figure", 600, Seq("sample", "caption")) +
       captionBlock("Table", 620, Seq("data", "summary"))
+    // acknowledgement block: heading line + text line (exercises the
+    // <acknowledgement> segmentation view → back-matter TEI div)
+    val ack = {
+      def ln(ts: Seq[String], y: Int): String =
+        "<TextLine>" + ts.zipWithIndex.map { case (t, i) =>
+          s"""<String CONTENT="$t" HPOS="${50 + i * 40}" VPOS="$y" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
+        }.mkString + "</TextLine>"
+      "<TextBlock>" + ln(Seq("Acknowledgements"), 660) +
+        ln(Seq("we", "thank", "the", "funders"), 674) + "</TextBlock>"
+    }
     s"""<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
        |<Styles>
        |<TextStyle ID="font0" FONTFAMILY="Times" FONTSIZE="18.0" FONTSTYLE="bold"/>
@@ -81,6 +91,7 @@ object PipelineOps {
        |${line(authorToks.toIndexedSeq, 90, "font1")}
        |<TextBlock>$bodyLines</TextBlock>
        |$captions
+       |$ack
        |</PrintSpace></Page></Layout></alto>""".stripMargin
   }
 
@@ -154,14 +165,15 @@ object PipelineOps {
       .orderBy("doc_id", "page_idx", "block_idx", "line_idx")
 
   /** P08 references pipeline: reference-segmenter fold (E6) chained
-    * into the citation model fold (E3) per raw reference — the
-    * processor's reference-list path (`processor.py:529-622`) — over a
-    * synthesized references section per document. Outputs per-doc
-    * reference statistics (rows-only).
+    * into the citation model fold (E3) per raw reference, then the name
+    * model pass over each reference's `raw_authors` (E4;
+    * `processor.py:529-622,654-717`) — over a synthesized references
+    * section per document. Outputs per-doc reference + parsed-person
+    * statistics (rows-only).
     */
   def p08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.pipeline.{Extractors, ModelExtractors, SemanticNode}
+    import graft.pipeline.{Extractors, ModelExtractors, Processor, SemanticNode}
     val nodes = Tables(s, d).documents.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -190,7 +202,10 @@ object PipelineOps {
               parent_id = if (n.parent_id < 0) -1L else n.parent_id + offset))
           }
         }
-        segNodes ++ citNodes
+        // citation-author name pass: raw_authors under each parsed
+        // reference replaced by person nodes (reference default config:
+        // authors on, editors off)
+        Processor.citationNamePass(id, segNodes ++ citNodes)
       }
     nodes.toDF()
       .groupBy("doc_id")
@@ -198,7 +213,9 @@ object PipelineOps {
         sum(when(col("node_type") === "raw_reference", 1).otherwise(0)).as("n_raw_refs"),
         sum(when(col("node_type") === "reference", 1).otherwise(0)).as("n_parsed_refs"),
         sum(when(col("node_type") === "invalid_reference", 1).otherwise(0)).as("n_invalid"),
-        sum(when(col("node_type") === "date", 1).otherwise(0)).as("n_dates"))
+        sum(when(col("node_type") === "date", 1).otherwise(0)).as("n_dates"),
+        sum(when(col("node_type") === "author", 1).otherwise(0)).as("n_authors"),
+        sum(when(col("node_type") === "surname", 1).otherwise(0)).as("n_surnames"))
       .orderBy("doc_id")
   }
 

@@ -91,11 +91,15 @@ object Tei {
       .filter(n => n.parent_id < 0 && n.node_type == "affiliation_address")
       .map(a => affiliationXml(a, kids(a.node_id)))
 
-    // body: sections → <div> with heading label/title + paragraphs
-    // (tei_document.py body building over the fulltext fold output)
-    val bodySb = new StringBuilder
-    ordered.filter(n => n.parent_id < 0 && n.node_type == "section").foreach { s =>
-      bodySb ++= "<div>"
+    // sections → <div> with heading label/title + paragraphs
+    // (tei_document.py body building over the fulltext fold output);
+    // acknowledgement/annex sections (by their section type, carried in
+    // content_id) render into <back> — <div type="acknowledgement">
+    // directly, annex sections inside the <div type="annex"> container
+    // (document/tei/document.py:125-155, tei/section.py:127)
+    def sectionDiv(s: SemanticNode, typeAttr: Option[String]): String = {
+      val bodySb = new StringBuilder
+      bodySb ++= typeAttr.map(t => s"""<div type="$t">""").getOrElse("<div>")
       kids(s.node_id).foreach { c =>
         c.node_type match {
           case "heading" =>
@@ -143,7 +147,21 @@ object Tei {
         }
       }
       bodySb ++= "</div>"
+      bodySb.toString
     }
+
+    val rootSections = ordered.filter(n => n.parent_id < 0 && n.node_type == "section")
+    def sectionType(s: SemanticNode): String = Option(s.content_id).getOrElse("")
+    val bodySb = new StringBuilder
+    val backSb = new StringBuilder
+    rootSections.filter(s => sectionType(s) != "acknowledgement" &&
+      sectionType(s) != "annex").foreach(s => bodySb ++= sectionDiv(s, None))
+    rootSections.filter(sectionType(_) == "acknowledgement")
+      .foreach(s => backSb ++= sectionDiv(s, Some("acknowledgement")))
+    val annexDivs = rootSections.filter(sectionType(_) == "annex")
+      .map(sectionDiv(_, None))
+    if (annexDivs.nonEmpty)
+      backSb ++= s"""<div type="annex">${annexDivs.mkString}</div>"""
 
     val sb = new StringBuilder
     sb ++= """<TEI xmlns="http://www.tei-c.org/ns/1.0">"""
@@ -160,8 +178,9 @@ object Tei {
       sb ++= s"<profileDesc><abstract><p>${esc(t)}</p></abstract></profileDesc>"
     }
     sb ++= "</teiHeader>"
-    if (bodySb.nonEmpty) sb ++= s"<text><body>${bodySb.toString}</body><back/></text>"
-    else sb ++= "<text><body/><back/></text>"
+    val backXml = if (backSb.nonEmpty) s"<back>${backSb.toString}</back>" else "<back/>"
+    if (bodySb.nonEmpty) sb ++= s"<text><body>${bodySb.toString}</body>$backXml</text>"
+    else sb ++= s"<text><body/>$backXml</text>"
     sb ++= "</TEI>"
     sb.toString
   }

@@ -38,6 +38,43 @@ class ModelExtractorsSpec extends AnyFunSuite {
     assert(parts == Seq(("given_name", "John"), ("surname", "Smith")))
   }
 
+  test("nameFold: single editor (name_type=editor)") {
+    // reference test_should_be_able_to_extract_single_editor
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "John", "<surname>" -> "Smith"), nameType = "editor")
+    val editors = byType(nodes, "editor")
+    assert(editors.size == 1)
+    val parts = nodes.filter(_.parent_id == editors.head.node_id)
+      .map(n => (n.node_type, n.text))
+    assert(parts == Seq(("given_name", "John"), ("surname", "Smith")))
+  }
+
+  test("citationNamePass: raw_authors under a reference become person nodes") {
+    import graft.pipeline.Processor
+    // a parsed reference with raw_authors + raw_editors + title children
+    val spans = spansOf(
+      "<author>" -> "John Smith and Mary Jones",
+      "<editor>" -> "Bob Editor",
+      "<title>" -> "Some Title")
+    val refNodes = citationFold(7L, spans, "b0")
+    assert(byType(refNodes, "raw_authors").size == 1)
+    // default config: authors parsed, editors left raw
+    val out = Processor.citationNamePass(7L, refNodes)
+    val authors = byType(out, "author")
+    assert(authors.size == 2)
+    val ref = byType(out, "reference").head
+    assert(authors.forall(_.parent_id == ref.node_id))
+    val surnameTexts = out.filter(_.node_type == "surname").map(_.text)
+    assert(surnameTexts == Seq("Smith", "Jones"))
+    assert(byType(out, "raw_editors").size == 1) // editors off by default
+    assert(byType(out, "title").map(_.text) == Seq("Some Title"))
+    // editors enabled: raw_editors replaced by editor person nodes
+    val outEd = Processor.citationNamePass(7L, refNodes,
+      Processor.Config(extractCitationEditors = true))
+    assert(byType(outEd, "editor").size == 1)
+    assert(byType(outEd, "raw_editors").isEmpty)
+  }
+
   test("nameFold: split on second forename") {
     val nodes = nameFold(0L, spansOf(
       "<forename>" -> "John", "<surname>" -> "Smith",

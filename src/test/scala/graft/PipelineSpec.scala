@@ -127,6 +127,32 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("<p>We did</p>") && tei.contains("<p>things</p>"))
   }
 
+  test("documentPipeline: acknowledgement/annex views render into TEI back") {
+    def block(y: Int, lines: Seq[Seq[String]]): String = {
+      val ls = lines.zipWithIndex.map { case (ts, li) =>
+        val strings = ts.zipWithIndex.map { case (t, i) =>
+          s"""<String CONTENT="$t" HPOS="${100 + i * 40}" VPOS="${y + li * 14}" WIDTH="30" HEIGHT="10" STYLEREFS="font1"/>"""
+        }.mkString
+        s"<TextLine>$strings</TextLine>"
+      }.mkString
+      s"<TextBlock>$ls</TextBlock>"
+    }
+    val xml = altoXml.replace("<Illustration",
+      block(500, Seq(Seq("Acknowledgements"), Seq("we", "thank", "everyone"))) +
+        block(550, Seq(Seq("Appendix"), Seq("extra", "details"))) +
+        "<Illustration")
+    val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val nodes = graft.pipeline.Processor.documentPipeline(tokens)
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<div type="acknowledgement"><head>Acknowledgements</head>""" +
+      "<p>we thank everyone</p></div>"), tei)
+    assert(tei.contains("""<div type="annex"><div><head>Appendix</head>""" +
+      "<p>extra details</p></div></div>"), tei)
+    // back divs must not leak into the body: this fixture has no body
+    // blocks at all, so the body element renders empty
+    assert(tei.contains("<body/>"), tei)
+  }
+
   test("documentPipeline: figure/table passes assign fig_0/tab_0 and link citations") {
     // body paragraph with Figure/Table markers + caption blocks: the
     // fulltext fold emits raw_figure/raw_table + markers, the
