@@ -83,14 +83,21 @@ final class CrfLabeler(
   }
 }
 
-/** Parsed CRF model: labels, observation patterns, weight tables. */
+/** Parsed CRF model: labels, observation patterns, weight tables.
+  * `bigramObs` carries observation-dependent transition weights
+  * (flattened [prev × next] per observation) for native-wapiti models
+  * whose bigram templates reference data columns; the constant `b`
+  * template folds into the static `transition` matrix instead.
+  */
 final case class CrfModel(
     labels: IndexedSeq[String],
     patterns: IndexedSeq[CrfModel.Pattern],
     // observation string -> per-label emission weights
     unigram: Map[String, Array[Double]],
     // transition weights [prev][next]
-    transition: Array[Array[Double]]) extends Serializable {
+    transition: Array[Array[Double]],
+    // observation string -> flattened [prev*nLabels + next] weights
+    bigramObs: Map[String, Array[Double]] = Map.empty) extends Serializable {
 
   /** Viterbi decode one sequence of data lines (whitespace-split into
     * observation columns). Returns one label per line.
@@ -108,8 +115,22 @@ final case class CrfModel(
       else { val line = cols(r); if (c < line.length) line(c) else s"_X[$row,$c]" }
     }
 
-    // emission scores: sum of matched unigram observation weights
+    // wapiti's out-of-range substitution (pattern.c): _x-1 before the
+    // sequence, _x+1 after it
+    def wapitiCell(t: Int, row: Int, c: Int, lower: Boolean): String = {
+      val r = t + row
+      val v =
+        if (r < 0) "_x-1"
+        else if (r >= n) "_x+1"
+        else { val line = cols(r); if (c < line.length) line(c) else "" }
+      if (lower) v.toLowerCase else v
+    }
+
+    // emission scores: sum of matched unigram observation weights;
+    // bigAdd(t) accumulates observation-dependent transition weights
+    // applying to the (t-1 -> t) transition
     val emit = Array.ofDim[Double](n, nl)
+    var bigAdd: Array[Array[Double]] = null
     var t = 0
     while (t < n) {
       patterns.foreach {
@@ -122,6 +143,23 @@ final case class CrfModel(
             case None => ()
           }
         case CrfModel.Bigram => ()
+        case tm: CrfModel.Template =>
+          val sb = new StringBuilder
+          tm.chunks.foreach {
+            case CrfModel.Lit(s) => sb ++= s
+            case CrfModel.Cell(r, c, lower) => sb ++= wapitiCell(t, r, c, lower)
+          }
+          val obs = sb.toString
+          if ((tm.kind & 1) != 0) unigram.get(obs).foreach { w =>
+            var y = 0
+            while (y < nl) { emit(t)(y) += w(y); y += 1 }
+          }
+          if ((tm.kind & 2) != 0 && t > 0) bigramObs.get(obs).foreach { w =>
+            if (bigAdd == null) bigAdd = new Array[Array[Double]](n)
+            if (bigAdd(t) == null) bigAdd(t) = new Array[Double](nl * nl)
+            var i = 0
+            while (i < w.length) { bigAdd(t)(i) += w(i); i += 1 }
+          }
       }
       t += 1
     }
@@ -133,13 +171,15 @@ final case class CrfModel(
     while (y < nl) { delta(0)(y) = emit(0)(y); y += 1 }
     t = 1
     while (t < n) {
+      val bt = if (bigAdd == null) null else bigAdd(t)
       y = 0
       while (y < nl) {
         var best = Double.NegativeInfinity
         var bestP = 0
         var p = 0
         while (p < nl) {
-          val s = delta(t - 1)(p) + transition(p)(y)
+          var s = delta(t - 1)(p) + transition(p)(y)
+          if (bt != null) s += bt(p * nl + y)
           if (s > best) { best = s; bestP = p }
           p += 1
         }
@@ -171,10 +211,188 @@ object CrfModel {
   /** `B` — observation-independent transition features. */
   case object Bigram extends Pattern
 
-  private val CellRe = """%x\[(-?\d+),(\d+)\]""".r
+  /** Wapiti/CRF++ template compiled for literal expansion: static text
+    * chunks copied verbatim, `%x[r,c]` cells substituted (`%X` →
+    * lowercased value), out-of-range rows expanding to wapiti's
+    * `_x-1`/`_x+1`. `kind` = 1 unigram / 2 bigram / 3 both, from the
+    * template's first character (`u`/`b`/`*`, case-insensitive) —
+    * wapiti `model.c` lays feature ids out in exactly this order.
+    */
+  sealed trait Chunk extends Serializable
+  final case class Lit(s: String) extends Chunk
+  final case class Cell(row: Int, col: Int, lower: Boolean) extends Chunk
+  final case class Template(src: String, chunks: Seq[Chunk], kind: Int)
+    extends Pattern
 
-  /** Parse the text model format (see [[CrfLabeler]] scaladoc). */
-  def parse(text: String): CrfModel = {
+  private val CellRe = """%x\[(-?\d+),(\d+)\]""".r
+  private val TmplCellRe = """%[xX]\[(-?\d+),(\d+)\]""".r
+
+  /** Compile one wapiti template source line into [[Template]]. Only
+    * `%x`/`%X` items are supported (the GROBID model family uses
+    * nothing else); `%t`/`%m` regex items are rejected loudly.
+    */
+  private[pipeline] def compileTemplate(src: String): Template = {
+    require(src.nonEmpty, "empty pattern line")
+    val kind = src.charAt(0).toLower match {
+      case 'u' => 1
+      case 'b' => 2
+      case '*' => 3
+      case c => throw new IllegalArgumentException(
+        s"unsupported pattern kind '$c' in: $src")
+    }
+    require(!src.matches(".*%[tTmM]\\[.*"),
+      s"unsupported %t/%m regex item in pattern: $src")
+    val chunks = scala.collection.mutable.ListBuffer.empty[Chunk]
+    var last = 0
+    val m = TmplCellRe.pattern.matcher(src)
+    while (m.find()) {
+      if (m.start() > last) chunks += Lit(src.substring(last, m.start()))
+      val lower = src.charAt(m.start() + 1) == 'X'
+      chunks += Cell(m.group(1).toInt, m.group(2).toInt, lower)
+      last = m.end()
+    }
+    if (last < src.length) chunks += Lit(src.substring(last))
+    Template(src, chunks.toList, kind)
+  }
+
+  /** Parse either model format: wapiti's native text dump
+    * (`#mdl#…` header, [[parseWapitiNative]]) or the simple
+    * `[labels]/[patterns]/[weights]` format (see [[CrfLabeler]]
+    * scaladoc).
+    */
+  def parse(text: String): CrfModel =
+    if (text.startsWith("#mdl#")) parseWapitiNative(text) else parseSimple(text)
+
+  /** Loader for wapiti's native model file format (the text file
+    * `wapiti train` saves and `wapiti label -m` loads; reference
+    * models ship this format gzipped as `model.wapiti.gz`,
+    * `models/wapiti_model_impl.py:40`). Layout, per wapiti `model.c`
+    * `mdl_save` / `reader.c` `rdr_save` / `quark.c` `qrk_save`:
+    *
+    * {{{
+    * #mdl#<type>#<nactive>          model header
+    * #rdr#<npats>/<ntoks>[/<autouni>]
+    * #pat#<npats>                   template source lines follow
+    * u:%x[0,0]                      (× npats)
+    * #qrk#<nlbl>                    label strings follow (× nlbl)
+    * #qrk#<nobs>                    observation strings follow (× nobs)
+    * <featureId>=<weight>           sparse weights, C "%la" hex floats
+    * }}}
+    *
+    * Feature ids are assigned by scanning observations in quark order:
+    * an observation whose first char is `u`/`U` takes `nlbl` unigram
+    * slots, `b`/`B` takes `nlbl²` transition slots ([prev × next]),
+    * `*` takes both (unigram block first) — decode scores then follow
+    * standard linear-chain CRF semantics. Bigram observations with no
+    * `%x` cells (the plain `b` template) expand identically at every
+    * position and are folded into the static transition matrix.
+    */
+  def parseWapitiNative(text: String): CrfModel = {
+    val lines = text.linesIterator.toIndexedSeq
+    var i = 0
+    def expect(prefix: String): String = {
+      require(i < lines.length && lines(i).startsWith(prefix),
+        s"expected $prefix at line $i: ${lines.lift(i).getOrElse("<eof>")}")
+      val l = lines(i); i += 1; l
+    }
+    expect("#mdl#")
+    val rdr = expect("#rdr#").stripPrefix("#rdr#").split('/')
+    require(rdr.length >= 2, "bad #rdr# line")
+    val npats = rdr(0).trim.toInt
+    val patHeader = expect("#pat#")
+    require(patHeader.stripPrefix("#pat#").trim.toInt == npats, "pattern count mismatch")
+    val templates = (0 until npats).map { _ =>
+      val l = lines(i); i += 1; compileTemplate(l.trim)
+    }
+    val nlbl = expect("#qrk#").stripPrefix("#qrk#").trim.toInt
+    val labels = (0 until nlbl).map { _ => val l = lines(i); i += 1; l }
+    val nobs = expect("#qrk#").stripPrefix("#qrk#").trim.toInt
+    val obsList = (0 until nobs).map { _ => val l = lines(i); i += 1; l }
+
+    // feature-id layout per observation
+    val Y = nlbl
+    var nextOff = 0L
+    val uoff = new Array[Long](nobs)
+    val boff = new Array[Long](nobs)
+    java.util.Arrays.fill(uoff, -1L)
+    java.util.Arrays.fill(boff, -1L)
+    obsList.zipWithIndex.foreach { case (obs, o) =>
+      require(obs.nonEmpty, s"empty observation at index $o")
+      val kind = obs.charAt(0).toLower match {
+        case 'u' => 1
+        case 'b' => 2
+        case '*' => 3
+        case c => throw new IllegalArgumentException(
+          s"unsupported observation kind '$c': $obs")
+      }
+      if ((kind & 1) != 0) { uoff(o) = nextOff; nextOff += Y }
+      if ((kind & 2) != 0) { boff(o) = nextOff; nextOff += Y.toLong * Y }
+    }
+
+    // sparse weights
+    val theta = scala.collection.mutable.LongMap.empty[Double]
+    while (i < lines.length) {
+      val l = lines(i).trim
+      i += 1
+      if (l.nonEmpty) {
+        val eq = l.indexOf('=')
+        require(eq > 0, s"bad weight line: $l")
+        theta(l.substring(0, eq).toLong) = parseCDouble(l.substring(eq + 1))
+      }
+    }
+
+    // materialize per-observation weight tables
+    val uni = Map.newBuilder[String, Array[Double]]
+    val big = Map.newBuilder[String, Array[Double]]
+    val staticTrans = Array.ofDim[Double](Y, Y)
+    obsList.zipWithIndex.foreach { case (obs, o) =>
+      if (uoff(o) >= 0) {
+        val w = new Array[Double](Y)
+        var y = 0
+        var any = false
+        while (y < Y) {
+          val v = theta.getOrElse(uoff(o) + y, 0.0)
+          if (v != 0.0) any = true
+          w(y) = v
+          y += 1
+        }
+        if (any) uni += obs -> w
+      }
+      if (boff(o) >= 0) {
+        val w = new Array[Double](Y * Y)
+        var k = 0
+        var any = false
+        while (k < Y * Y) {
+          val v = theta.getOrElse(boff(o) + k, 0.0)
+          if (v != 0.0) any = true
+          w(k) = v
+          k += 1
+        }
+        if (any) {
+          // constant bigram template (no %x cells) -> static transitions
+          val tmpl = templates.find(t => (t.kind & 2) != 0 &&
+            t.chunks.forall(_.isInstanceOf[Lit]) &&
+            t.chunks.collect { case Lit(s) => s }.mkString == obs)
+          if (tmpl.isDefined) {
+            var p = 0
+            while (p < Y) {
+              var y = 0
+              while (y < Y) { staticTrans(p)(y) += w(p * Y + y); y += 1 }
+              p += 1
+            }
+          } else big += obs -> w
+        }
+      }
+    }
+    CrfModel(labels, templates.toIndexedSeq, uni.result(), staticTrans,
+      big.result())
+  }
+
+  /** C `%la` hex-float (e.g. `0x1.5bf0ap+1`) or plain decimal. */
+  private def parseCDouble(s: String): Double = java.lang.Double.parseDouble(s.trim)
+
+  /** Parse the simple text model format (see [[CrfLabeler]] scaladoc). */
+  def parseSimple(text: String): CrfModel = {
     var section = ""
     val labels = mutable.ArrayBuffer.empty[String]
     val patterns = mutable.ArrayBuffer.empty[Pattern]

@@ -40,6 +40,114 @@ class CrfLabelerSpec extends SparkSuite {
       Seq("B-<title>", "I-<title>", "O"))
   }
 
+  // wapiti native model-file format (wapiti model.c mdl_save layout):
+  // observations in quark order take nlbl unigram slots (u/U), nlbl^2
+  // transition slots (b/B), or both (*). Weights are sparse C %la hex
+  // floats. Feature ids here: u:Title -> 0,1; u:other -> 2,3;
+  // U1:_x-1 -> 4,5; b -> 6..9 ([prev*2+next]).
+  private val nativeModel =
+    """#mdl#2#5
+      |#rdr#3/2/0
+      |#pat#3
+      |u:%x[0,0]
+      |U1:%x[-1,0]
+      |b
+      |#qrk#2
+      |O
+      |Y
+      |#qrk#4
+      |u:Title
+      |u:other
+      |U1:_x-1
+      |b
+      |1=0x1p+1
+      |2=0x1p+0
+      |3=-0x1.8p+0
+      |5=0x1p-1
+      |9=0x1p-1
+      |""".stripMargin
+
+  test("wapiti native: header/quark/sparse-weight parsing and feature layout") {
+    val m = CrfModel.parseWapitiNative(nativeModel)
+    assert(m.labels == Seq("O", "Y"))
+    assert(m.unigram("u:Title").toSeq == Seq(0.0, 2.0))
+    assert(m.unigram("u:other").toSeq == Seq(1.0, -1.5)) // hex-negative weight
+    assert(m.unigram("U1:_x-1").toSeq == Seq(0.0, 0.5))
+    // the constant `b` template folds into the static transition matrix
+    assert(m.transition(1)(1) == 0.5 && m.transition(0)(0) == 0.0)
+    assert(m.bigramObs.isEmpty)
+  }
+
+  test("wapiti native: template expansion + Viterbi over data lines") {
+    val m = CrfModel.parse(nativeModel) // auto-detected by #mdl# header
+    // t0 BOS: U1:%x[-1,0] expands to wapiti's _x-1 -> Y boost;
+    // Y->Y transition keeps Y at t1; "other" flips to O at t2
+    assert(m.decode(Seq("Title a", "Title b", "other c")) == Seq("Y", "Y", "O"))
+  }
+
+  test("wapiti native: equivalent simple-format model decodes identically") {
+    val simple = CrfModel.parse(
+      """[labels]
+        |O
+        |Y
+        |[patterns]
+        |U00:%x[0,0]
+        |B
+        |[weights]
+        |U00:Title	Y	2.0
+        |U00:other	O	1.0
+        |U00:other	Y	-1.5
+        |B:	Y	Y	0.5
+        |""".stripMargin)
+    val native = CrfModel.parse(
+      """#mdl#2#4
+        |#rdr#2/2/0
+        |#pat#2
+        |U00:%x[0,0]
+        |b
+        |#qrk#2
+        |O
+        |Y
+        |#qrk#3
+        |U00:Title
+        |U00:other
+        |b
+        |1=0x1p+1
+        |2=0x1p+0
+        |3=-0x1.8p+0
+        |7=0x1p-1
+        |""".stripMargin)
+    val data = Seq("Title x", "Title y", "other z", "Title w")
+    assert(native.decode(data) == simple.decode(data))
+    assert(native.decode(data) == Seq("Y", "Y", "O", "Y"))
+  }
+
+  test("wapiti native: observation-dependent bigram and %X lowercasing") {
+    // *-kind observation takes a unigram block THEN a bigram block;
+    // %X lowercases the cell value. Layout: *:strong -> uni 0,1 + big
+    // 2..5; u2:x -> 6,7.
+    val m = CrfModel.parseWapitiNative(
+      """#mdl#2#3
+        |#rdr#2/2/0
+        |#pat#2
+        |*:%X[0,1]
+        |u2:%x[0,0]
+        |#qrk#2
+        |O
+        |Y
+        |#qrk#2
+        |*:strong
+        |u2:x
+        |1=0x1p+0
+        |5=0x1.8p+1
+        |6=0x1p+1
+        |""".stripMargin)
+    assert(m.bigramObs("*:strong").toSeq == Seq(0.0, 0.0, 0.0, 3.0))
+    // t1 has col1 "STRONG" -> lowercased matches *:strong: unigram Y+1
+    // and Y->Y transition +3 beat the O emissions (2 each)
+    assert(m.decode(Seq("x STRONG a", "x STRONG b")) == Seq("Y", "Y"))
+  }
+
   test("parse: a unigram pattern id beginning with B is not a transition") {
     val m = CrfModel.parse(
       """[labels]
