@@ -191,11 +191,54 @@ object GraphicMatching {
       .select(col("doc_id"), col("graphic_id"), col("m").as("candidate_id"))
   }
 
-  /** Related-block provider for [[matchGraphicsByText]]: the closest
-    * text block to each graphic's bounding box (gap distance, same
-    * page), its lines in reading order. (The reference gets the related
-    * block from pdfalto's graphic association; deriving it from the
-    * token table is the engine's stand-in when that linkage is absent.)
+  /** Per-line text + bounding box off the token table (reading order
+    * within the line). */
+  private def lineTextOf(tokens: DataFrame): DataFrame = tokens
+    .groupBy("doc_id", "page_idx", "block_idx", "line_idx")
+    .agg(
+      rtrim(concat_ws("", transform(
+        array_sort(collect_list(struct(col("token_idx"),
+          col("text"), col("whitespace")))),
+        t => concat(t.getField("text"), t.getField("whitespace"))))).as("line"),
+      min(col("coords.x")).as("x0"), min(col("coords.y")).as("y0"),
+      max(col("coords.x") + col("coords.width")).as("x1"),
+      max(col("coords.y") + col("coords.height")).as("y1"))
+
+  /** The reference's related-block linkage
+    * (`graphic_provider.py:203-275`): a graphic that is the ONLY
+    * graphic on its page takes the page's entire text — its tokens in
+    * reading order — as the related block the F4 text matcher consumes;
+    * graphics sharing a page have no page-level linkage and fall back
+    * to [[relatedBlockLines]] (nearest block by gap distance, the
+    * engine's derived stand-in). Pure dataframe logic: a per-page
+    * window count splits the two populations, page lines come from one
+    * aggregation, the fallback join only runs on the shared-page rows.
+    *
+    * @param graphics (doc_id, graphic_id, page_idx, x, y, width, height)
+    * @param tokens the token table
+    * @return (doc_id, graphic_id, lines)
+    */
+  def relatedLines(graphics: DataFrame, tokens: DataFrame,
+      maxDistance: Double = Double.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPage = Window.partitionBy("doc_id", "page_idx")
+    val counted = graphics.withColumn("_n_on_page", count(lit(1)).over(byPage))
+    val only = counted.filter(col("_n_on_page") === 1).drop("_n_on_page")
+    val shared = counted.filter(col("_n_on_page") > 1).drop("_n_on_page")
+    val pageLines = lineTextOf(tokens)
+      .groupBy("doc_id", "page_idx")
+      .agg(transform(
+        array_sort(collect_list(struct(col("block_idx"), col("line_idx"), col("line")))),
+        l => l.getField("line")).as("lines"))
+    val onlyLines = only.join(pageLines, Seq("doc_id", "page_idx"))
+      .select(col("doc_id"), col("graphic_id"), col("lines"))
+    onlyLines.union(relatedBlockLines(shared, tokens, maxDistance))
+  }
+
+  /** Nearest-block fallback provider for [[matchGraphicsByText]]: the
+    * closest text block to each graphic's bounding box (gap distance,
+    * same page), its lines in reading order — used when the
+    * [[relatedLines]] page-level linkage does not apply.
     *
     * @param graphics (doc_id, graphic_id, page_idx, x, y, width, height)
     * @param tokens the token table
@@ -204,16 +247,7 @@ object GraphicMatching {
   def relatedBlockLines(graphics: DataFrame, tokens: DataFrame,
       maxDistance: Double = Double.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lineText = tokens
-      .groupBy("doc_id", "page_idx", "block_idx", "line_idx")
-      .agg(
-        rtrim(concat_ws("", transform(
-          array_sort(collect_list(struct(col("token_idx"),
-            col("text"), col("whitespace")))),
-          t => concat(t.getField("text"), t.getField("whitespace"))))).as("line"),
-        min(col("coords.x")).as("x0"), min(col("coords.y")).as("y0"),
-        max(col("coords.x") + col("coords.width")).as("x1"),
-        max(col("coords.y") + col("coords.height")).as("y1"))
+    val lineText = lineTextOf(tokens)
     val blocks = lineText.groupBy("doc_id", "page_idx", "block_idx")
       .agg(
         transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),

@@ -209,6 +209,101 @@ object Subprocess {
     }.toDF("doc_id", "page_number", "image")
   }
 
+  /** `change_ext` port (`transformers/doc_converter_wrapper.py:23-31`):
+    * swap a filename's extension, unwrapping a trailing `.gz` first
+    * (`paper.docx.gz` → `paper.pdf`).
+    */
+  def changeExt(path: String, newExt: String): String = {
+    val degz = if (path.endsWith(".gz")) path.dropRight(3) else path
+    val dot = degz.lastIndexOf('.')
+    val slash = degz.lastIndexOf('/')
+    if (dot > slash) degz.substring(0, dot) + newExt else degz + newExt
+  }
+
+  /** A3: office document → PDF, the LibreOffice headless convention —
+    * `soffice --headless --convert-to pdf --outdir {outDir} {in}`,
+    * where the tool derives the output name from the input basename
+    * ([[changeExt]] semantics), so the runner resolves
+    * `<basename>.pdf` in the out dir. The reference drives the same
+    * conversion through a persistent UNO listener + pyuno script with
+    * restart-on-max-uptime and connection retry
+    * (`transformers/doc_converter_wrapper.py:98-231`); here the
+    * process-lifetime management maps onto Spark's execution model —
+    * one process invocation per document inside `mapPartitions`, task
+    * retry replacing the wrapper's retry loop.
+    */
+  def officeToPdfRunner(
+      command: Seq[String],
+      inputSuffix: String = ".docx",
+      timeoutSeconds: Long = 600L): Array[Byte] => Array[Byte] = { input =>
+    val inDir = Files.createTempDirectory("graft-office-in")
+    val outDir = Files.createTempDirectory("graft-office-out")
+    val inFile = inDir.resolve(s"doc$inputSuffix")
+    try {
+      Files.write(inFile, input)
+      val cmd = command.map(
+        _.replace("{in}", inFile.toString).replace("{outDir}", outDir.toString))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val finished = proc.waitFor(timeoutSeconds, TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        throw new RuntimeException(s"office convert timed out: ${cmd.mkString(" ")}")
+      }
+      if (proc.exitValue() != 0)
+        throw new RuntimeException(
+          s"office convert failed (${proc.exitValue()}): ${cmd.mkString(" ")}")
+      val outFile = outDir.resolve(changeExt(inFile.getFileName.toString, ".pdf"))
+      if (!Files.exists(outFile))
+        throw new RuntimeException(s"office convert produced no ${outFile.getFileName}")
+      Files.readAllBytes(outFile)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(inDir, outDir).foreach { dir =>
+        val leftover = Files.list(dir)
+        try leftover.iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        finally leftover.close()
+        Files.deleteIfExists(dir)
+      }
+    }
+  }
+
+  /** A3 distributed stage: office-doc corpus → PDF bytes. */
+  def officeToPdf(docs: Dataset[(Long, Array[Byte])], command: Seq[String],
+      inputSuffix: String = ".docx"): Dataset[(Long, Array[Byte])] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val run = officeToPdfRunner(command, inputSuffix)
+      it.map { case (id, content) => (id, run(content)) }
+    }
+  }
+
+  /** A3 → A1 chain: office-document corpus → PDF (soffice convention)
+    * → ALTO (pdfalto convention) → token table — the reference's
+    * DOC/DOCX ingestion path (`app/parser.py` media-type routing into
+    * `doc_to_pdf` then the PDF pipeline).
+    */
+  def officeTokens(spark: org.apache.spark.sql.SparkSession, path: String,
+      sofficeCommand: Seq[String] =
+        Seq("soffice", "--headless", "--convert-to", "pdf",
+          "--outdir", "{outDir}", "{in}"),
+      pdfaltoCommand: Seq[String] =
+        Seq("pdfalto", "-noImageInline", "-fullFontName", "-noLineNumbers",
+          "{in}", "{out}"),
+      inputSuffix: String = ".docx"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.format("binaryFile").load(path)
+      .select(xxhash64(col("path")).as("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+    val pdfs = officeToPdf(raw, sofficeCommand, inputSuffix)
+    val alto = convert(pdfs, pdfaltoCommand, ".pdf", ".xml")
+      .map { case (id, bytes) => (id, new String(bytes, StandardCharsets.UTF_8)) }
+    AltoReader.tokens(alto).toDF()
+  }
+
   /** PDF corpus → token table, pdfalto convention: reads a directory of
     * PDFs via binaryFile, converts per partition, parses the resulting
     * ALTO. `pdfaltoCommand` defaults to the real binary's argument

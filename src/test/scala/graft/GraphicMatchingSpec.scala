@@ -112,6 +112,43 @@ class GraphicMatchingSpec extends SparkSuite {
     assert(lines.length == 1 && lines.head == Seq("Figure 1", "caption"))
   }
 
+  test("relatedLines: only-graphic-on-page takes the page text; shared pages fall back") {
+    // page 1: one graphic -> page-level linkage (all blocks' lines);
+    // page 2: two graphics -> nearest-block fallback each
+    val xml =
+      """<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
+        |<Styles><TextStyle ID="f1" FONTFAMILY="Times" FONTSIZE="10.0" FONTSTYLE=""/></Styles>
+        |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
+        |<TextBlock><TextLine><String CONTENT="intro" HPOS="100" VPOS="100" WIDTH="40" HEIGHT="10" STYLEREFS="f1"/></TextLine></TextBlock>
+        |<TextBlock><TextLine><String CONTENT="Figure" HPOS="100" VPOS="300" WIDTH="50" HEIGHT="10" STYLEREFS="f1"/>
+        |<String CONTENT="1" HPOS="155" VPOS="300" WIDTH="10" HEIGHT="10" STYLEREFS="f1"/></TextLine></TextBlock>
+        |</PrintSpace></Page>
+        |<Page PHYSICAL_IMG_NR="2" WIDTH="612" HEIGHT="792"><PrintSpace>
+        |<TextBlock><TextLine><String CONTENT="near-g2" HPOS="100" VPOS="100" WIDTH="40" HEIGHT="10" STYLEREFS="f1"/></TextLine></TextBlock>
+        |<TextBlock><TextLine><String CONTENT="near-g3" HPOS="100" VPOS="700" WIDTH="40" HEIGHT="10" STYLEREFS="f1"/></TextLine></TextBlock>
+        |</PrintSpace></Page></Layout></alto>""".stripMargin
+    val tokens = graft.sources.AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val graphics = Seq(
+      (0L, "g1", 0, 400.0, 600.0, 50.0, 50.0),  // alone on page 1
+      (0L, "g2", 1, 100.0, 120.0, 50.0, 50.0),  // page 2, near first block
+      (0L, "g3", 1, 100.0, 650.0, 50.0, 50.0),  // page 2, near second block
+    ).toDF("doc_id", "graphic_id", "page_idx", "x", "y", "width", "height")
+    val lines = GraphicMatching.relatedLines(graphics, tokens)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    // g1 gets the WHOLE page-1 text even though its box is far from both
+    // blocks — the page-level linkage, no distance involved
+    assert(lines("g1") == Seq("intro", "Figure 1"))
+    assert(lines("g2") == Seq("near-g2"))
+    assert(lines("g3") == Seq("near-g3"))
+    // the F4 matcher resolves g1 from the page linkage alone
+    val cands = Seq((0L, "fig_0", "Figure 1"))
+      .toDF("doc_id", "candidate_id", "label_text")
+    val m = GraphicMatching.matchGraphicsByText(
+        GraphicMatching.relatedLines(graphics, tokens), cands)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(m == Map("g1" -> "fig_0"))
+  }
+
   test("matchGraphics: distributed join + per-doc fold") {
     val graphics = Seq(
       (0L, "g1", 61.2, 79.2, 61.2, 79.2, 1, 612.0, 792.0),   // near fig1

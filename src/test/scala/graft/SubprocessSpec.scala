@@ -36,6 +36,37 @@ class SubprocessSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("changeExt: extension swap with .gz unwrapping") {
+    assert(Subprocess.changeExt("paper.docx", ".pdf") == "paper.pdf")
+    assert(Subprocess.changeExt("paper.docx.gz", ".pdf") == "paper.pdf")
+    assert(Subprocess.changeExt("noext", ".pdf") == "noext.pdf")
+    assert(Subprocess.changeExt("a.dir/noext", ".pdf") == "a.dir/noext.pdf")
+  }
+
+  test("officeToPdfRunner: soffice --outdir convention resolves basename.pdf") {
+    val run = Subprocess.officeToPdfRunner(
+      Seq("/bin/sh", "-c", "cp {in} {outDir}/doc.pdf"))
+    assert(new String(run("fake-docx".getBytes)) == "fake-docx")
+    // a converter that produces nothing fails loudly
+    val bad = Subprocess.officeToPdfRunner(Seq("/bin/sh", "-c", "true"))
+    intercept[RuntimeException](bad("x".getBytes))
+  }
+
+  test("officeTokens: docx -> pdf -> alto two-hop chain to the token table") {
+    // stand-ins: the "docx" already contains ALTO; soffice hop copies it
+    // into the outdir under the converted name, pdfalto hop copies again
+    val dir = java.nio.file.Files.createTempDirectory("graft-office").toFile
+    val xml = new PipelineSpec().altoXml
+    java.nio.file.Files.write(new java.io.File(dir, "a.docx").toPath, xml.getBytes)
+    try {
+      val toks = Subprocess.officeTokens(spark, dir.getPath,
+        sofficeCommand = Seq("/bin/sh", "-c", "cp {in} {outDir}/doc.pdf"),
+        pdfaltoCommand = Seq("cp", "{in}", "{out}"))
+      assert(toks.count() == 4) // the fixture's 4 tokens
+      assert(toks.select("doc_id").distinct().count() == 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("renderPageImages: one PDF -> numbered page images (pdftoppm shape)") {
     val pdfs = Seq((7L, "pagecontent".getBytes)).toDS()
     val images = Subprocess.renderPageImages(pdfs,
