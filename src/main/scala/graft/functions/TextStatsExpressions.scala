@@ -149,10 +149,30 @@ object TextStats {
     UTF8String.fromString(out.toString)
   }
 
+  /** Normalized-match key (F1 matcher / q32 near-dedup kernel):
+    * lowercase, keep only `[a-z0-9]` — byte-identical to
+    * `regexp_replace(lower(s), "[^a-z0-9]", "")` but a single char
+    * scan; the java.util.regex formulation costs ~4× the whole q32
+    * runtime at sf1 (measured 2.7 s of the 3.4 s query).
+    */
+  def normalizedKey(u: UTF8String): UTF8String = {
+    val s = u.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def text_stats(c: Column): Column =
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c)))
   def vocab_key(c: Column): Column =
     ColumnBridge.column(VocabKeyExpr(ColumnBridge.expression(c)))
+  def normalized_key(c: Column): Column =
+    ColumnBridge.column(NormalizedKeyExpr(ColumnBridge.expression(c)))
 }
 
 case class TextStatsExpr(child: Expression) extends UnaryExpression {
@@ -174,5 +194,16 @@ case class VocabKeyExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.vocabKey($c)")
   override protected def withNewChildInternal(c: Expression): VocabKeyExpr =
+    copy(child = c)
+}
+
+case class NormalizedKeyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalized_key"
+  override def nullSafeEval(in: Any): Any =
+    TextStats.normalizedKey(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.normalizedKey($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizedKeyExpr =
     copy(child = c)
 }

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** `[^a-z0-9]`-stripped lowercase key (ref_matching.py:19-41 semantics). */
+  /** `[^a-z0-9]`-stripped lowercase key (ref_matching.py:19-41
+    * semantics) — the native single-scan kernel; the java.util.regex
+    * formulation was 80% of q32's runtime at sf1. */
   def normalizedKey(c: Column): Column =
-    regexp_replace(lower(c), "[^a-z0-9]", "")
+    graft.functions.TextStats.normalized_key(c)
 
   /** Non-empty whitespace tokens. */
   def tokensOf(c: Column): Column =

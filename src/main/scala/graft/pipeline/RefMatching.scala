@@ -20,7 +20,7 @@ object RefMatching {
   /** get_normalized_key_text (ref_matching.py:19-27): lowercase,
     * strip everything but [a-z0-9]. */
   def normalizedKey(c: Column): Column =
-    regexp_replace(lower(c), "[^a-z0-9]", "")
+    graft.functions.TextStats.normalized_key(c)
 
   /** Token-prefix key variant
     * (ref_matching.py:27-33 `get_token_prefix_normalized_key_text`):

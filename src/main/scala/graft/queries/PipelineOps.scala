@@ -275,11 +275,15 @@ object PipelineOps {
       .repartition(col("doc_id"))
       .as[(Long, String)].map { case (id, t) => (id, t.getBytes("UTF-8")) }
     // stand-in renderer: every "PDF" becomes three page images (one
-    // process per PARTITION — per-doc spawns dominate at corpus scale)
+    // process per PARTITION — per-doc spawns dominate at corpus scale).
+    // Pure bash builtins ($(<f) + printf): the earlier `cp`-per-page
+    // formulation spawned ~3 processes per document, which at sf1
+    // (25k pages) cost 260 s of pure fork/exec — stand-in overhead
+    // that would drown the engine numbers the bench exists to measure.
     val images = Subprocess.renderPageImagesBatched(pdfs,
-      Seq("/bin/sh", "-c",
-        "for f in {inDir}/*.pdf; do b=$(basename $f .pdf); " +
-          "for p in 1 2 3; do cp $f {outDir}/$b-$p.png; done; done"))
+      Seq("/bin/bash", "-c",
+        "for f in {inDir}/*.pdf; do b=${f##*/}; b=${b%.pdf}; c=$(<\"$f\"); " +
+          "for p in 1 2 3; do printf '%s' \"$c\" > {outDir}/$b-$p.png; done; done"))
     val candidateImages = images.join(candidates, Seq("doc_id", "page_number"),
       "left_semi")
     // stand-in scored detector: box shape keyed off the image bytes; a

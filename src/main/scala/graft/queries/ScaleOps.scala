@@ -98,10 +98,24 @@ object ScaleOps {
     * The synthetic embeddings are near-orthogonal (max pairwise cosine
     * ≈ 0.51), so the "near"-threshold is set low enough to exercise the
     * bucket-join path.
+    *
+    * The hash width scales with the corpus — `nbits ≈ log2(n/128)` —
+    * so expected bucket occupancy stays constant as the data grows:
+    * with FIXED bits the in-bucket exact-cosine stage is quadratic in
+    * density (measured 0.7 s → 38 s for 10× vectors at 4 bits before
+    * this change). The recall/bits trade is the standard sign-LSH one;
+    * multi-table banding (as in [[Dedup.minHashLshPairs]]) is the
+    * recall knob when a production corpus needs it. n comes from
+    * parquet metadata (`count` on the unprojected scan — no data read).
     */
-  def q43(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingCosinePairs(Tables(s, d).embeddings, threshold = 0.35, nbits = 4)
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d).embeddings
+    val n = emb.count()
+    val nbits = math.max(4,
+      math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt)
+    Dedup.embeddingCosinePairs(emb, threshold = 0.35, nbits = nbits)
       .orderBy("id_a", "id_b")
+  }
 
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).

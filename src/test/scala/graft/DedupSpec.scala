@@ -32,6 +32,17 @@ class DedupSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("native normalized_key is byte-identical to the regexp formulation") {
+    import org.apache.spark.sql.functions.{lower, regexp_replace}
+    val texts = Seq("Hello, World! 42", "ÄÖÜ déjà-vu", "a  b\tc", "", "123",
+      "MiXeD CaSe#$%^").toDF("t")
+    val rows = texts.select(
+        graft.functions.TextStats.normalized_key(col("t")).as("k1"),
+        regexp_replace(lower(col("t")), "[^a-z0-9]", "").as("k2"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
   test("minHashLshPairs: identical docs have est_jaccard 1.0, near-dups high") {
     // 32 bands × 2 rows: candidate probability ≈ 1 for j ≥ 0.5 (the
     // default 16×4 banding targets j ≥ 0.8 and misses 0.54-pairs ~25%
