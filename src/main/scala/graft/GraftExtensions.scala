@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** Library entry point for
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`):
+  * registers every graft native kernel as a SQL function, so the full
+  * scalar surface works from `spark.sql(...)`, Spark Connect and
+  * JDBC/Thrift clients without the Scala DSL — the same codegen'd
+  * Catalyst expressions the DataFrame API uses, no UDF layer.
+  *
+  * {{{
+  * SELECT word_shape(token),                  -- C7 (models/data.py:370-382)
+  *        text_stats(text),                   -- fused q39-q42 stat vector
+  *        vocab_key(text),                    -- q41 vocabulary fingerprint
+  *        normalized_key(text),               -- F1/q32 match key
+  *        dot_product(va, vb),                -- vector inner product
+  *        ngrams(tokens, 2),                  -- shingling
+  *        min_hash(hashes, 64),               -- MinHash signature
+  *        sim_hash(hashes),                   -- 64-bit SimHash
+  *        winnow(hashes, 4)                   -- winnowing fingerprints
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+    def intArg(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal integer argument, got: $other")
+    }
+
+    def unary(name: String, usage: String, build: Expression => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), {
+        args: Seq[Expression] =>
+          require(args.size == 1, s"$name expects 1 argument, got ${args.size}")
+          build(args.head)
+      }))
+
+    def binaryIntRight(name: String, usage: String,
+        build: (Expression, Int) => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), {
+        args: Seq[Expression] =>
+          require(args.size == 2, s"$name expects 2 arguments, got ${args.size}")
+          build(args.head, intArg(args(1), name))
+      }))
+
+    unary("word_shape",
+      "word_shape(str) - GROBID word-shape feature (Xx, d, punct classes)",
+      WordShapeExpr)
+    unary("text_stats",
+      "text_stats(str) - fused per-document stat vector (chars, tokens, punct, stopwords, ...)",
+      TextStatsExpr)
+    unary("vocab_key",
+      "vocab_key(str) - sorted-distinct-token vocabulary fingerprint key",
+      VocabKeyExpr)
+    unary("normalized_key",
+      "normalized_key(str) - lowercase [a-z0-9]-only match key",
+      NormalizedKeyExpr)
+    unary("sim_hash",
+      "sim_hash(array<long>) - 64-bit SimHash over feature hashes",
+      SimHashExpr)
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<float>, array<float>) - inner product"), {
+        args: Seq[Expression] =>
+          require(args.size == 2, s"dot_product expects 2 arguments, got ${args.size}")
+          DotProductExpr(args.head, args(1))
+      }))
+    binaryIntRight("ngrams",
+      "ngrams(array<string>, n) - token n-grams joined by a single space",
+      NgramsExpr)
+    binaryIntRight("min_hash",
+      "min_hash(array<long>, k) - k-permutation MinHash signature",
+      MinHashExpr)
+    binaryIntRight("winnow",
+      "winnow(array<long>, w) - winnowing fingerprint selection, window w",
+      WinnowExpr)
+  }
+}

@@ -63,6 +63,151 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse quantizer: seeded Lloyd's k-means in cosine geometry
+    * (vectors and centroids L2-normalized; assignment by max inner
+    * product) over a bounded deterministic sample, trained driver-side
+    * — `numLists · sampleN · dim` flops is trivial next to one corpus
+    * pass, and every executor needs the same centroids anyway (the
+    * standard IVF practice: train on a sample, index everything).
+    * Empty clusters reseed to the farthest-assigned sample point.
+    */
+  def trainIvfCentroids(emb: DataFrame, numLists: Int, iters: Int = 10,
+      sampleN: Int = 4096, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleN).as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.length >= numLists,
+      s"need >= $numLists sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    def normalized(v: Array[Float]): Array[Float] = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v.clone() else v.map(x => (x / n).toFloat)
+    }
+    val unit = sample.map(normalized)
+    val rnd = new java.util.Random(seed)
+    // init: numLists distinct seeded picks
+    val centroids = rnd.ints(0, unit.length).distinct().limit(numLists)
+      .toArray.map(i => unit(i).clone())
+    def ip(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(numLists)(new Array[Double](dim))
+      val counts = new Array[Int](numLists)
+      unit.foreach { v =>
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < numLists) {
+          val s = ip(centroids(c), v)
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < numLists) {
+        if (counts(c) == 0) centroids(c) = unit(rnd.nextInt(unit.length)).clone()
+        else centroids(c) = normalized(sums(c).map(_.toFloat))
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** IVF assignment: one `mapPartitions` pass, centroids broadcast —
+    * NO shuffle of the corpus (vs the LSH variants, whose candidate
+    * join shuffles on the bucket key). Output carries the vector and
+    * its norm so search pays one dot product per candidate.
+    */
+  def ivfAssign(emb: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+          val norm = math.sqrt(s)
+          var best = 0
+          var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { d += cs(c)(j).toDouble * v(j); j += 1 }
+            if (d > bestS) { bestS = d; best = c }
+            c += 1
+          }
+          (id, v, norm, best)
+        }
+      }
+      .toDF(idCol, "v", "norm", "list_id")
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` nearest centroid lists per query
+    * and exact-score only those postings. The scale path next to
+    * [[annTopK]]'s LSH: centroid count grows with the corpus
+    * (`numLists ~ sqrt(n)` keeps list length ~sqrt(n)), search touches
+    * a `nprobe/numLists` corpus fraction, and the probe table (queries
+    * × nprobe rows) is broadcast — the corpus is filtered in place,
+    * never shuffled. Query vectors are collected (bounded by
+    * `queryIds.size`) because probe selection needs driver-side
+    * query-to-centroid scores; a batch-query variant would join a
+    * centroid DataFrame instead.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      numLists: Int = 16, nprobe: Int = 4, iters: Int = 10,
+      sampleN: Int = 4096, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(emb, numLists, iters, sampleN, seed,
+      vecCol, idCol)
+    val assigned = ivfAssign(emb, centroids, vecCol, idCol)
+    val qVecs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).as[(Long, Array[Float])].collect()
+    def ip(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    val probeRows = qVecs.flatMap { case (qid, qv) =>
+      val qnorm = math.sqrt(ip(qv, qv))
+      centroids.indices
+        .sortBy(c => -ip(centroids(c), qv))
+        .take(nprobe)
+        .map(listId => (qid, qv, qnorm, listId))
+    }.toSeq
+    val probes = probeRows.toDF("query_id", "qv", "qnorm", "list_id")
+    assigned.join(broadcast(probes), "list_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
   /** ANN top-k for a set of query ids: bucket each side, multi-probe the
     * query's bucket plus all Hamming-1 neighbors (probability amplification
     * without repartitioning the corpus), exact cosine within candidates,

@@ -117,6 +117,15 @@ object ScaleOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Q50 IVF ANN top-5 for 4 query vectors (rows-only): the inverted-
+    * file scale path next to q38's LSH — k-means coarse quantizer,
+    * broadcast probe table, corpus filtered in place (never shuffled).
+    */
+  def q50(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables(s, d).embeddings,
+      queryIds = Seq(0L, 1L, 2L, 3L), k = 5)
+      .orderBy("query_id", "rn")
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -148,6 +157,7 @@ object ScaleOps {
     "q39_text_quality" -> q39, "q40_lang_id" -> q40,
     "q41_fingerprint" -> q41, "q42_token_count" -> q42,
     "q43_dedup_embedding" -> q43, "q44_winnowing" -> q44,
+    "q50_ann_ivf" -> q50,
   )
 
   val oracleSql: Map[String, String] = Map(

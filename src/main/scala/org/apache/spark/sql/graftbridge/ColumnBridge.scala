@@ -13,3 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `SparkSessionExtensions.registerFunctions` is `private[sql]` —
+  * production code never needs it (the session applies extensions at
+  * build time via `spark.sql.extensions`), but tests sharing one
+  * long-lived session do: this re-export applies an extensions
+  * instance's injected functions to an existing registry.
+  */
+object ExtensionsBridge {
+  def registerFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
+}

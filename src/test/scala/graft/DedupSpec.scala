@@ -93,6 +93,41 @@ class DedupSpec extends SparkSuite {
     assert(cs.sameElements(cs.sortBy(-_)))
   }
 
+  test("ivfTopK: full probe equals brute force; partial probe is a subset") {
+    import graft.operators.Similarity
+    val emb = graft.Tables(spark, sf("0.01")).embeddings
+    // probing EVERY list must recover the exact brute-force top-k
+    val full = Similarity.ivfTopK(emb, queryIds = Seq(0L), k = 5,
+        numLists = 8, nprobe = 8, sampleN = 256)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == brute.toSeq)
+    // a partial probe returns k rows per query drawn from the corpus
+    val part = Similarity.ivfTopK(emb, queryIds = Seq(0L, 1L), k = 5,
+        numLists = 8, nprobe = 2, sampleN = 256)
+      .collect()
+    assert(part.length == 10)
+    assert(part.map(_.getLong(0)).toSet == Set(0L, 1L))
+    // deterministic across runs (seeded k-means + seeded init)
+    val again = Similarity.ivfTopK(emb, queryIds = Seq(0L, 1L), k = 5,
+        numLists = 8, nprobe = 2, sampleN = 256)
+      .collect()
+    assert(part.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("ivfAssign: every vector lands in exactly one list, no shuffle") {
+    import graft.operators.Similarity
+    val emb = graft.Tables(spark, sf("0.01")).embeddings
+    val centroids = Similarity.trainIvfCentroids(emb, numLists = 4, sampleN = 128)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("list_id").distinct().count() <= 4)
+    // assignment is a single narrow pass: no Exchange in the plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("annTopK candidates are a subset of brute-force ranking domain") {
     val res = Similarity.annTopK(Tables(spark, sf("0.001")).embeddings,
       queryIds = Seq(0L), k = 5)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The SQL surface: GraftExtensions registers every native kernel as a
+  * SQL function (production use: `spark.sql.extensions=graft.GraftExtensions`;
+  * here the extension's public `registerFunctions` applies the same
+  * injection to the shared test session's registry).
+  */
+class GraftExtensionsSpec extends SparkSuite {
+
+  private lazy val registered: Unit = {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.ExtensionsBridge.registerFunctions(
+      ext, spark.sessionState.functionRegistry)
+  }
+
+  test("scalar kernels callable from SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT word_shape('Hello-42') AS ws,
+                normalized_key('Hello, World! 42') AS nk,
+                vocab_key('b a b') AS vk,
+                text_stats('a bb')[0] AS n_chars,
+                round(dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)), 4) AS dp
+      """).collect().head
+    assert(r.getString(0) == WordShapeGolden.of("Hello-42"))
+    assert(r.getString(1) == "helloworld42")
+    assert(r.getString(2) == "a b")
+    assert(r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 11.0)
+  }
+
+  test("array sketch kernels callable from SQL with literal params") {
+    registered
+    val r = spark.sql(
+      """SELECT ngrams(array('a','b','c'), 2) AS g,
+                size(min_hash(array(1L, 2L, 3L), 8)) AS mh,
+                sim_hash(array(5L)) AS sh,
+                size(winnow(array(1L, 9L, 3L, 7L, 2L), 2)) AS wn
+      """).collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getInt(1) == 8)
+    // single-element simhash: every set bit wins its majority vote
+    assert(r.getLong(2) == 5L)
+    assert(r.getInt(3) >= 1)
+  }
+
+  test("non-literal size argument fails loudly") {
+    registered
+    val ex = intercept[Exception] {
+      spark.sql("SELECT min_hash(array(1L), CAST(rand()*4 AS INT))").collect()
+    }
+    assert(ex.getMessage.contains("literal") || ex.getCause != null)
+  }
+}
+
+/** Reference golden for the SQL test without duplicating the shape
+  * algorithm: call the same expression through the Scala surface.
+  */
+private object WordShapeGolden {
+  def of(s: String): String = {
+    val spark = SparkSuite.session
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(graft.functions.WordShape.word_shape(org.apache.spark.sql.functions.col("t")))
+      .collect().head.getString(0)
+  }
+}
