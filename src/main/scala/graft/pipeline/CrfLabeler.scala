@@ -83,6 +83,27 @@ final class CrfLabeler(
   }
 }
 
+object CrfLabeler {
+
+  /** Load a labeler from a wapiti model file on disk — plain text or
+    * gzipped (the reference ships its trained models as
+    * `<model_path>/model.wapiti.gz`, `models/wapiti_model_impl.py:40`;
+    * gzip is detected from the magic bytes, not the extension). The
+    * parsed model is what gets broadcast — load once on the driver.
+    */
+  def fromFile(path: String, featuresCol: String = "features"): CrfLabeler = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val text =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f && (bytes(1) & 0xFF) == 0x8b) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    new CrfLabeler(text, featuresCol)
+  }
+}
+
 /** Parsed CRF model: labels, observation patterns, weight tables.
   * `bigramObs` carries observation-dependent transition weights
   * (flattened [prev × next] per observation) for native-wapiti models

@@ -148,6 +148,29 @@ class CrfLabelerSpec extends SparkSuite {
     assert(m.decode(Seq("x STRONG a", "x STRONG b")) == Seq("Y", "Y"))
   }
 
+  test("fromFile: gzipped model.wapiti.gz loads via magic-byte detection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wapiti")
+    val gz = dir.resolve("model.wapiti.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(nativeModel.getBytes("UTF-8"))
+    out.close()
+    try {
+      val labeler = graft.pipeline.CrfLabeler.fromFile(gz.toString)
+      val df = Seq(
+        (0L, 0, 0, 0, 0, "Title", " ", "Title a"),
+        (0L, 0, 0, 0, 1, "other", " ", "other b"))
+        .toDF("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
+          "text", "whitespace", "features")
+      val labels = labeler.label(df).orderBy("token_idx")
+        .select("label").collect().map(_.getString(0)).toSeq
+      assert(labels == Seq("Y", "O"))
+    } finally {
+      java.nio.file.Files.deleteIfExists(gz)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("parse: a unigram pattern id beginning with B is not a transition") {
     val m = CrfModel.parse(
       """[labels]

@@ -46,6 +46,35 @@ class SegmentationFeaturesSpec extends SparkSuite {
     }
   }
 
+  test("use_first_token_of_block=false selects the line's own first token") {
+    // reference models/segmentation/data.py:209-214: the Java-GROBID
+    // default takes the BLOCK's first token for every line; the false
+    // variant takes each LINE's first token. Block with two lines whose
+    // first tokens differ in font size — the second line's font-size
+    // status flips between the variants.
+    val xml =
+      """<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
+        |<Styles>
+        |<TextStyle ID="f1" FONTFAMILY="Times" FONTSIZE="10.0" FONTSTYLE=""/>
+        |<TextStyle ID="f2" FONTFAMILY="Times" FONTSIZE="18.0" FONTSTYLE=""/>
+        |</Styles>
+        |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
+        |<TextBlock>
+        |<TextLine><String CONTENT="small" HPOS="50" VPOS="40" WIDTH="40" HEIGHT="10" STYLEREFS="f1"/></TextLine>
+        |<TextLine><String CONTENT="big" HPOS="50" VPOS="60" WIDTH="40" HEIGHT="18" STYLEREFS="f2"/></TextLine>
+        |</TextBlock>
+        |</PrintSpace></Page></Layout></alto>""".stripMargin
+    val toks = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    def sizeStatus(blockFirst: Boolean): Seq[String] =
+      SegmentationFeatures.dataLines(toks, useFirstTokenOfBlock = blockFirst)
+        .orderBy("line_idx").select("data_line").collect()
+        .map(_.getString(0).split(" ")(10)).toSeq
+    // block-first: line 2 compares block token vs block token -> same size
+    assert(sizeStatus(true) == Seq("HIGHERFONT", "SAMEFONTSIZE"))
+    // line-first: line 2's own 18pt token vs line 1's 10pt -> HIGHERFONT
+    assert(sizeStatus(false) == Seq("HIGHERFONT", "HIGHERFONT"))
+  }
+
   test("repetitive patterns: repeated page-edge lines are flagged") {
     // 3 pages, each with the same long header line first + a body block
     def page(n: Int, header: String) =
