@@ -51,6 +51,27 @@ object StreamOps {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n"))
 
+  /** Streaming exact deduplication — the q31 training-data operator as
+    * an incremental stage: `dropDuplicates` on the content hash keeps
+    * one state row per distinct hash and emits only each hash's FIRST
+    * arrival (first-seen-wins, the streaming analog of the batch
+    * keep-min-id rule under chronological replay). The watermark bounds
+    * state for bounded-disorder streams via
+    * `dropDuplicatesWithinWatermark`; `watermark = None` keeps exact
+    * all-time dedup state (one 16-byte digest per distinct document —
+    * the go-to shape for a training-data ingest firehose).
+    *
+    * @param docs (doc_id, ts, text) — any extra columns pass through
+    */
+  def dedupedDocs(docs: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val hashed = docs.withColumn("h", md5(col("text")))
+    watermark match {
+      case Some(w) =>
+        hashed.withWatermark("ts", w).dropDuplicatesWithinWatermark("h")
+      case None => hashed.dropDuplicates("h")
+    }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState (the
     * D4/BIO-span pattern as an incremental operator;
     * `KeyValueGroupedDataset` custom state per SURVEY.md §2 streaming

@@ -88,6 +88,50 @@ class StreamingSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("streaming dedup: first arrival per content hash survives the replay") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft-dedup").toFile
+    def doc(id: Long, t: String, text: String) =
+      (id, Timestamp.valueOf(t), text)
+    def write(docs: (Long, Timestamp, String)*): Unit = {
+      docs.toSeq.toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(2100)
+    }
+    write(doc(1, "2024-01-01 00:00:00", "alpha"), doc(2, "2024-01-01 00:10:00", "beta"))
+    write(doc(3, "2024-01-01 00:20:00", "alpha"), doc(4, "2024-01-01 01:00:00", "gamma"))
+    write(doc(5, "2024-01-01 01:30:00", "beta"), doc(6, "2024-01-01 02:00:00", "alpha"))
+    try {
+      val schema = {
+        import org.apache.spark.sql.types._
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("ts", TimestampType), StructField("text", StringType)))
+      }
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = StreamOps.dedupedDocs(streamed).writeStream
+        .outputMode("append").format("memory").queryName("tdedup").start()
+      q.processAllAvailable(); q.stop()
+      val survivors = spark.table("tdedup").collect().map(_.getLong(0)).toSet
+      // first-seen-wins under chronological replay = batch min-ts rule
+      assert(survivors == Set(1L, 2L, 4L))
+      // the batch execution of the same operator keeps one row per hash
+      val batchDocs = Seq(doc(1, "2024-01-01 00:00:00", "alpha"),
+        doc(3, "2024-01-01 00:20:00", "alpha"),
+        doc(2, "2024-01-01 00:10:00", "beta"))
+        .toDF("doc_id", "ts", "text")
+      assert(StreamOps.dedupedDocs(batchDocs).count() == 2)
+      // watermark-bounded state variant streams too (state is bounded;
+      // within-watermark duplicates still collapse)
+      val q2 = StreamOps.dedupedDocs(streamed, Some("3 hours")).writeStream
+        .outputMode("append").format("memory").queryName("tdedupw").start()
+      q2.processAllAvailable(); q2.stop()
+      val wm = spark.table("tdedupw").collect().map(_.getLong(0)).toSet
+      assert(wm.subsetOf(Set(1L, 2L, 4L)) && wm.contains(1L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("append mode: finalized sessions are immutable under late arrivals") {
     // The documented watermark contract is one-directional: on-time data
     // is guaranteed processed; data later than the watermark MAY be
