@@ -193,21 +193,46 @@ object Dedup {
 
   /** Embedding near-dup pairs: sign-LSH bucket join (Similarity.signLsh)
     * then exact cosine only within buckets.
+    *
+    * `nBands > 1` is the recall knob (the minhash-LSH banding pattern):
+    * each band hashes with its own seed-derived hyperplanes, a pair is
+    * a candidate when ANY band agrees, candidate id-pairs are deduped
+    * BEFORE the exact-cosine stage (so each surviving pair pays one dot
+    * product however many bands propose it). Per-bit agreement
+    * probability is `1 - θ/π`, so recall = `1 - (1 - p^nbits)^nBands` —
+    * bands buy recall linearly in work where extra bits would cost it
+    * exponentially.
     */
   def embeddingCosinePairs(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
-      nbits: Int = 8, seed: Long = 42L): DataFrame = {
+      nbits: Int = 8, seed: Long = 42L, nBands: Int = 1): DataFrame = {
     // norms are computed once per vector and carried through the join as
     // plain columns (the join output materializes them), so the
     // O(pairs) stage pays one dot product instead of three array passes
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.l2Norm(col(vecCol)).as("norm"),
-      Similarity.signLshBucket(col(vecCol), nbits, 64, seed).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.l2Norm(col(vecCol)).as("norm"))
+    def scored(pairs: DataFrame): DataFrame = pairs
       .withColumn("cos", round(
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+    if (nBands <= 1) {
+      val bucketed = base.withColumn("bucket",
+        Similarity.signLshBucket(col("v"), nbits, 64, seed))
+      scored(bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")))
+    } else {
+      val banded = (0 until nBands).map { band =>
+        base.select(col("id"), concat_ws(":", lit(band),
+          Similarity.signLshBucket(col("v"), nbits, 64, seed + band)).as("bucket"))
+      }.reduce(_ union _)
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("cid_a"), col("y.id").as("cid_b"))
+        .distinct()
+      scored(cand
+        .join(base.as("a"), col("cid_a") === col("a.id"))
+        .join(base.as("b"), col("cid_b") === col("b.id")))
+    }
   }
 }

@@ -93,6 +93,23 @@ class DedupSpec extends SparkSuite {
     assert(cs.sameElements(cs.sortBy(-_)))
   }
 
+  test("embeddingCosinePairs: banding is a recall superset of one table") {
+    import graft.operators.Dedup
+    val emb = graft.Tables(spark, sf("0.01")).embeddings
+    def pairs(bands: Int): Set[(Long, Long)] =
+      Dedup.embeddingCosinePairs(emb, threshold = 0.35, nbits = 6, nBands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val four = pairs(4)
+    // band 0 uses the base seed -> single-table pairs are always found
+    assert(one.subsetOf(four))
+    assert(four.size > one.size, s"banding found nothing extra: ${four.size}")
+    // every reported pair genuinely clears the threshold (exact cosine)
+    val cos = Dedup.embeddingCosinePairs(emb, threshold = 0.35, nbits = 6,
+      nBands = 4).select("cos").collect().map(_.getDouble(0))
+    assert(cos.forall(_ >= 0.35))
+  }
+
   test("ivfTopK: full probe equals brute force; partial probe is a subset") {
     import graft.operators.Similarity
     val emb = graft.Tables(spark, sf("0.01")).embeddings
