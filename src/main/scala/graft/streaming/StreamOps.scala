@@ -51,6 +51,25 @@ object StreamOps {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n"))
 
+  /** Streaming ALTO ingestion — the document pipeline's front (A2/B1)
+    * as an incremental stage: a whole-file text stream StAX-parsed by
+    * the SAME stateless `AltoReader.tokens` flatMap the batch path
+    * uses, so new documents landing in a directory flow straight into
+    * the token table (downstream per-doc stages chain as
+    * `foreachBatch` or further stream transforms). `doc_id` is the
+    * file-path hash, exactly like the batch `binaryFile` reader —
+    * map-side, shuffle-free.
+    */
+  def streamingAltoTokens(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.readStream.format("text")
+      .option("wholetext", "true")
+      .load(path)
+      .select(xxhash64(col("_metadata.file_path")).as("doc_id"), col("value"))
+      .as[(Long, String)]
+    graft.sources.AltoReader.tokens(files).toDF()
+  }
+
   /** Streaming exact deduplication — the q31 training-data operator as
     * an incremental stage: `dropDuplicates` on the content hash keeps
     * one state row per distinct hash and emits only each hash's FIRST

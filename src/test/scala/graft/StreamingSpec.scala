@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("streaming ALTO ingestion equals the batch token table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-alto-stream").toFile
+    val xml = new PipelineSpec().altoXml
+    Files.write(new java.io.File(dir, "a.alto.xml").toPath, xml.getBytes)
+    Thread.sleep(1100)
+    Files.write(new java.io.File(dir, "b.alto.xml").toPath, xml.getBytes)
+    try {
+      val q = StreamOps.streamingAltoTokens(spark, dir.getPath)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("talto").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("talto")
+        .select("doc_id", "page_idx", "block_idx", "line_idx", "token_idx", "text")
+        .collect().map(_.toString).sorted.toSeq
+      // batch side: same files, same path-hash ids
+      val batchDocs = spark.read.format("text").option("wholetext", "true")
+        .load(dir.getPath)
+        .select(xxhash64(col("_metadata.file_path")).as("doc_id"), col("value"))
+        .as[(Long, String)]
+      val batch = graft.sources.AltoReader.tokens(batchDocs).toDF()
+        .select("doc_id", "page_idx", "block_idx", "line_idx", "token_idx", "text")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      assert(spark.table("talto").select("doc_id").distinct().count() == 2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("streaming dedup: first arrival per content hash survives the replay") {
     import spark.implicits._
     import java.sql.Timestamp
