@@ -189,6 +189,60 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "j")
   }
 
+  // ------------------------------------------------ connected components
+
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise similarity edges into duplicate CLUSTERS so a corpus
+    * can keep exactly one representative per cluster (pairs alone can't:
+    * A~B and B~C must collapse to one group even when A~C was never
+    * proposed).
+    *
+    * Algorithm: hash-min label propagation. Each node starts labeled
+    * with its own id; every round each node takes the minimum label of
+    * itself and its neighbors; convergence in O(component diameter)
+    * rounds. Dedup clusters are near-cliques (diameter 2-3 in
+    * practice), so the loop is short; the per-round cost is one
+    * join + one groupBy over the EDGE list only — O(|E|) rows of two
+    * longs, never document content. For adversarial long-chain graphs
+    * the alternating large-star/small-star variant halves the round
+    * count; not needed for dedup-shaped edge sets.
+    *
+    * The driver-side loop is plan control, not data movement: each
+    * round is a distributed job, checked for convergence with a
+    * `limit(1).count` probe. Every round's label set is
+    * `localCheckpoint`-ed — iterative plans MUST truncate lineage: the
+    * round-N plan otherwise embeds the round-N-1 plan in full, growing
+    * exponentially until the optimizer (not the data) is the bottleneck.
+    * On a cluster with shaky executors, swap in reliable
+    * `checkpoint()` + a checkpoint dir — same loop, durable truncation.
+    *
+    * Returns `(node, component)` for every node with at least one edge;
+    * `component` is the minimum node id of the component.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_id_a",
+      dstCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = labels.as("l").join(und.as("e"), col("l.node") === col("e.src"))
+        .select(col("e.dst").as("node"), col("l.comp").as("comp"))
+      val next = labels.select("node", "comp").union(msgs)
+        .groupBy("node").agg(min("comp").as("comp")).localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: sign-LSH bucket join (Similarity.signLsh)

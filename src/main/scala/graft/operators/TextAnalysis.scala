@@ -101,4 +101,34 @@ object TextAnalysis {
   def winnowingFingerprints(c: Column, k: Int = 3, w: Int = 4): Column =
     graft.functions.Sketch.winnow_min(
       transform(Dedup.shingles(tokens(c), k), x => xxhash64(x)), w)
+
+  // -------------------------------------------------- span contamination
+
+  /** Per-document exact-substring contamination: the fraction of a
+    * document's distinct `n`-token shingles that also occur in at least
+    * one OTHER document — the statistic behind span-level training-data
+    * dedup (remove or down-weight documents made of recycled passages).
+    *
+    * Scale shape: shingling is the row-local native
+    * [[graft.operators.Dedup.shingles]] kernel; both shuffles (the
+    * document-frequency groupBy and the join back) carry only the
+    * 8-byte `xxhash64` of each shingle, never shingle text. Collision
+    * budget at 10^10 distinct shingles: ~10^-9 of grams mis-counted —
+    * below any decision threshold this statistic feeds.
+    */
+  def spanContamination(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 8): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(tokens(col(textCol)), n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val docFreq = exploded.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    exploded.join(docFreq, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_shingles"), 4))
+  }
 }

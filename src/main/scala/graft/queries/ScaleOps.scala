@@ -126,6 +126,30 @@ object ScaleOps {
       queryIds = Seq(0L, 1L, 2L, 3L), k = 5)
       .orderBy("query_id", "rn")
 
+  /** Q51 span contamination (oracled): per-doc fraction of 8-token
+    * shingles shared with at least one other document — the span-level
+    * dedup statistic. The oracle recomputes it from raw grams; the
+    * Spark side shuffles 8-byte gram hashes (declared-identical modulo
+    * a ~2^-64-per-pair collision budget).
+    */
+  def q51(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.spanContamination(Tables(s, d).documents, n = 8)
+      .orderBy("doc_id")
+
+  /** Q53 duplicate-cluster assignment (oracled): connected components
+    * over the q35 bigram-Jaccard edge set, labels = min doc_id per
+    * cluster. The DuckDB oracle walks the same edges with a recursive
+    * CTE; Spark runs distributed hash-min propagation
+    * ([[Dedup.connectedComponents]]) — the two must agree exactly.
+    */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramJaccardPairs(Tables(s, d).documents,
+      n = 2, threshold = 0.2, maxDocFreq = 100L)
+    Dedup.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -157,7 +181,8 @@ object ScaleOps {
     "q39_text_quality" -> q39, "q40_lang_id" -> q40,
     "q41_fingerprint" -> q41, "q42_token_count" -> q42,
     "q43_dedup_embedding" -> q43, "q44_winnowing" -> q44,
-    "q50_ann_ivf" -> q50,
+    "q50_ann_ivf" -> q50, "q51_span_contamination" -> q51,
+    "q53_dedup_components" -> q53,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -226,5 +251,42 @@ object ScaleOps {
          CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
          CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q51_span_contamination" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 8 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-7),
+                i -> ARRAY_TO_STRING(toks[i:i+7], ' ')))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+         g AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         dfreq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+         SELECT g.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS shared_ratio
+         FROM g JOIN dfreq ON g.gram = dfreq.gram
+         GROUP BY g.doc_id ORDER BY doc_id""",
+    "q53_dedup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
+         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+         sizes AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gsets),
+         g0 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 100),
+         g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare ON g0.gram = rare.gram),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         e AS (SELECT da, db FROM pairs
+               JOIN sizes s1 ON da = s1.doc_id JOIN sizes s2 ON db = s2.doc_id
+               WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2),
+         ud AS (SELECT da AS a, db AS b FROM e UNION SELECT db AS a, da AS b FROM e),
+         reach AS (SELECT a AS n, a AS m FROM ud
+                   UNION
+                   SELECT ud.b AS n, reach.m AS m FROM reach JOIN ud ON reach.n = ud.a)
+         SELECT n AS doc_id, MIN(m) AS component FROM reach
+         GROUP BY n ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -159,4 +159,45 @@ class DedupSpec extends SparkSuite {
       TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
     assert(tc.filter(col("bpe") < col("ws")).count() == 0)
   }
+
+  test("connectedComponents: chain, triangle and pair collapse to min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long path needs diameter rounds, still converges") {
+    // path 0-1-2-...-9: worst case for hash-min (diameter 9)
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(edges).collect()
+    assert(got.length == 10 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("spanContamination: recycled span is flagged, fresh text is not") {
+    val toks = (0 until 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val contaminated = Seq(
+      (0L, toks + " unique zero tail here"),
+      (1L, toks + " other one ending words"),
+      (2L, "totally fresh document with its own twelve tokens or so in it")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanContamination(contaminated, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"))).toMap
+    // docs 0/1: 16 tokens -> 9 shingles each; the first 5 (inside the
+    // shared 12-token prefix) occur in both docs
+    assert(got(0L) == (9L, 5L) && got(1L) == (9L, 5L))
+    assert(got(2L)._2 == 0L)
+  }
+
+  test("spanContamination: short doc collapses to one whole-doc shingle") {
+    val d = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "different")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanContamination(d, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"))).toMap
+    assert(got(0L) == (1L, 1L) && got(1L) == (1L, 1L) && got(2L) == (1L, 0L))
+  }
 }
