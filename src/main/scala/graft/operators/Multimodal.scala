@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -8,12 +10,15 @@ import org.apache.spark.sql.functions._
   * images + graphics assets, `processors/document_page_image.py` /
   * `graphic_matching.py:565-593`).
   *
-  * The Spark-side plumbing is real — schema, per-partition batched
-  * processing, deterministic outputs; the codec layer is STUBBED
-  * (`decodeImageStub`) because no image/audio libraries ship in this
-  * container. A real deployment swaps the stub for JavaCV/TwelveMonkeys
-  * (or hands the batch to an ONNX vision encoder) without touching the
-  * dataflow: `mapPartitions` already amortizes per-model/per-codec init
+  * The decode layer is REAL for the formats the JDK ships codecs for —
+  * PNG/JPEG/GIF/BMP pixels via `javax.imageio` ([[decodeImage]]) and
+  * RIFF/WAV PCM via a self-contained chunk parser ([[decodeWav]], no
+  * `javax.sound` dependency, deterministic integer math). Only formats
+  * with no pure-JVM codec (video containers, exotic image formats) fall
+  * back to the clearly-named [[decodeImageStub]], so the batching /
+  * schema / partitioning plumbing still runs for them. A production
+  * build swaps the fallback for JavaCV/ONNX without touching the
+  * dataflow: `mapPartitions` already amortizes per-codec/per-model init
   * across the partition, which is the pattern the reference uses for
   * its external binaries.
   */
@@ -34,10 +39,76 @@ object Multimodal {
       n_bytes: Long,
       embedding: Array[Float])
 
-  /** STUB decode: deterministic pseudo-metadata + embedding derived from
-    * the content bytes (a real build decodes pixels here). Marked
-    * clearly as fake; downstream plumbing (schema, batching,
-    * partitioning) is the tested artifact.
+  final case class AudioFeatures(
+      doc_id: Long,
+      media_type: String,
+      channels: Int,
+      sample_rate: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      rms: Double)
+
+  // ------------------------------------------------------- image decode
+
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP codecs
+    * ship with the JVM): pixels → (width, height, channels, embedding).
+    *
+    * The embedding is a `gridxgrid` block-averaged grayscale thumbnail
+    * (the classic perceptual-hash precursor): integer sRGB→luma
+    * (299/587/114), per-block mean, normalized to [0,1]. All-integer
+    * accumulation keeps it bit-deterministic across JVMs — no
+    * platform scaler, no float pixel paths.
+    *
+    * Returns None when no installed codec recognizes the bytes.
+    */
+  private[graft] def decodeImage(content: Array[Byte], grid: Int = 4): Option[(Int, Int, Int, Array[Float])] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(content)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val channels = bi.getColorModel.getNumComponents
+      // single-channel rasters read raw samples (getRGB would push gray
+      // through a non-linear sRGB conversion and distort the means)
+      val gray = channels == 1
+      val sums = new Array[Long](grid * grid)
+      val counts = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * grid / w, grid - 1)
+          val luma =
+            if (gray) bi.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = bi.getRGB(x, y)
+              (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+            }
+          sums(gy * grid + gx) += luma
+          counts(gy * grid + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val emb = new Array[Float](grid * grid)
+      var i = 0
+      while (i < emb.length) {
+        emb(i) = if (counts(i) == 0) 0f else (sums(i).toDouble / counts(i) / 255.0).toFloat
+        i += 1
+      }
+      (w, h, channels, emb)
+    }
+  }
+
+  /** FALLBACK decode for formats with no pure-JVM codec: deterministic
+    * pseudo-metadata + embedding derived from the content bytes. Marked
+    * clearly as fake; it exists so the downstream plumbing (schema,
+    * batching, partitioning) still exercises rows a real deployment
+    * would route to an external decoder.
     */
   private[operators] def decodeImageStub(content: Array[Byte], dim: Int): (Int, Int, Int, Array[Float]) = {
     var h = 1125899906842597L // deterministic FNV-ish fold over bytes
@@ -56,11 +127,13 @@ object Multimodal {
     (width, height, channels, emb)
   }
 
-  /** Batched per-partition image featurization. `batchSize` is the
+  /** Batched per-partition image featurization: real ImageIO decode
+    * where a codec exists, stub fallback otherwise. `batchSize` is the
     * decode/inference batch: at scale, partitions hold many media rows
     * and the expensive step (a vision model) wants fixed-size batches —
     * the iterator grouping below is exactly the shape an ONNX session
-    * call needs, with no driver involvement.
+    * call needs, with no driver involvement. `dim` sizes the stub
+    * embedding; real decodes emit a 16-float 4x4 luma grid.
     */
   def imageFeatures(media: Dataset[MediaRow], dim: Int = 16,
       batchSize: Int = 32): Dataset[ImageFeatures] = {
@@ -69,7 +142,8 @@ object Multimodal {
       // per-partition init happens HERE once (codec/model session)
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h, c, emb) = decodeImageStub(m.content, dim)
+          val (w, h, c, emb) = decodeImage(m.content)
+            .getOrElse(decodeImageStub(m.content, dim))
           ImageFeatures(m.doc_id, m.media_type, w, h, c,
             m.content.length.toLong, emb)
         }
@@ -77,9 +151,78 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------- audio decode
+
+  /** Real WAV decode: RIFF chunk walk (fmt + data), 8/16-bit PCM, all
+    * integer accumulation; rms is computed over all channels
+    * interleaved. Self-contained — byte-order math only, so it runs
+    * identically on any executor. Returns None unless the bytes are a
+    * well-formed RIFF/WAVE with a PCM fmt chunk.
+    */
+  private[graft] def decodeWav(content: Array[Byte]): Option[(Int, Int, Int, Long, Double)] = {
+    def le16(o: Int): Int = (content(o) & 0xFF) | ((content(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    if (content.length < 44) return None
+    if (!(content(0) == 'R' && content(1) == 'I' && content(2) == 'F' && content(3) == 'F' &&
+        content(8) == 'W' && content(9) == 'A' && content(10) == 'V' && content(11) == 'E')) return None
+    var off = 12
+    var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= content.length) {
+      val id = new String(content, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(off + 4)
+      if (id == "fmt " && off + 8 + 16 <= content.length) {
+        val audioFormat = le16(off + 8)
+        if (audioFormat != 1) return None // PCM only
+        channels = le16(off + 10)
+        rate = le32(off + 12)
+        bits = le16(off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(len, content.length - dataOff)
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) return None
+    val bytesPerSample = bits / 8
+    val nValues = dataLen / bytesPerSample
+    var sumSq = 0.0
+    var i = 0
+    while (i < nValues) {
+      val v =
+        if (bits == 16) le16(dataOff + i * 2).toShort.toInt
+        else (content(dataOff + i) & 0xFF) - 128
+      sumSq += v.toDouble * v
+      i += 1
+    }
+    val nFrames = nValues.toLong / channels
+    val rms = if (nValues == 0) 0.0 else math.sqrt(sumSq / nValues)
+    Some((channels, rate, bits, nFrames, rms))
+  }
+
+  /** Batched per-partition audio featurization over WAV binary rows;
+    * non-WAV rows are dropped (a production pipeline routes them to the
+    * codec that owns them). Same mapPartitions batch shape as
+    * [[imageFeatures]].
+    */
+  def audioFeatures(media: Dataset[MediaRow], batchSize: Int = 32): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          decodeWav(m.content).map { case (ch, rate, bits, nFrames, rms) =>
+            AudioFeatures(m.doc_id, m.media_type, ch, rate, bits, nFrames,
+              nFrames * 1000L / rate, rms)
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling stub for video binary columns: one
     * "frame" digest per `frameBytes` chunk, every `everyN`-th kept.
-    * Row-local (explode), no shuffle. */
+    * Row-local (explode), no shuffle. (Video is the one modality with
+    * no JDK codec — the digest stands in for a real frame decode.) */
   def sampleFrames(video: DataFrame, contentCol: String = "content",
       everyN: Int = 2, frameBytes: Int = 1024): DataFrame = {
     val nFrames = ceil(length(col(contentCol)) / frameBytes)
@@ -89,16 +232,65 @@ object Multimodal {
         xxhash64(col(contentCol), col("frame_idx")))
   }
 
-  /** Wrap a text corpus as fake media rows (lets the pipeline run on the
-    * driver's synthetic tables at any scale). */
+  // ------------------------------------------------- synthetic encoders
+
+  /** Render text bytes into a REAL grayscale PNG (16px wide, one pixel
+    * per byte, row-major). Deterministic: PNG encoding of a fixed
+    * raster is byte-stable, and even if an encoder version changed the
+    * compression, the DECODED pixels — what [[imageFeatures]] consumes —
+    * cannot change. */
+  private[graft] def textToPng(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 16
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, if (i < bytes.length) bytes(i) & 0xFF else 0)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Render text bytes into a REAL 16-bit PCM mono WAV (8 kHz, one
+    * sample per byte, centered). */
+  private[graft] def textToWav(text: String, rate: Int = 8000): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val dataLen = bytes.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataLen)
+    bytes.foreach(b => buf.putShort((((b & 0xFF) - 128) * 256).toShort))
+    buf.array()
+  }
+
+  /** Wrap a text corpus as real PNG media rows (lets the full
+    * encode→decode→featurize path run on the driver's synthetic tables
+    * at any scale — p05 exercises the actual ImageIO codec, not the
+    * stub). */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
-        MediaRow(id, "image/stub",
-          text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          Map("source" -> source))
+        MediaRow(id, "image/png", textToPng(text), Map("source" -> source))
+      }
+  }
+
+  /** Wrap a text corpus as real PCM WAV media rows (the audio analog of
+    * [[mediaFromDocuments]]). */
+  def wavFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        MediaRow(id, "audio/wav", textToWav(text), Map("source" -> source))
       }
   }
 }

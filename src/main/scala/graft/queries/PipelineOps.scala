@@ -140,9 +140,9 @@ object PipelineOps {
       graft.pipeline.Processor.documentPipeline(tokenTable(s, d)).toDF())
       .orderBy("doc_id")
 
-  /** P05 multimodal: binary media column → batched stub decode →
-    * typed features (rows-only; decode is a deterministic fake, the
-    * Spark plumbing is the artifact under test). */
+  /** P05 multimodal image: binary media column → batched REAL ImageIO
+    * decode (docs rendered as actual PNGs, pixels decoded back) → typed
+    * features (rows-only). */
   def p05(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     Multimodal.imageFeatures(
@@ -150,6 +150,18 @@ object PipelineOps {
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
         col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** P12 multimodal audio: docs rendered as real 16-bit PCM WAVs, RIFF
+    * chunk-walk decode → per-doc audio features (rows-only). */
+  def p12(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.audioFeatures(
+        Multimodal.wavFromDocuments(Tables(s, d).documents))
+      .toDF()
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("n_samples"), col("duration_ms"), round(col("rms"), 4).as("rms"))
       .orderBy("doc_id")
   }
 
@@ -368,5 +380,6 @@ object PipelineOps {
     "p09_page_pruning" -> p09,
     "p10_asset_zip" -> p10,
     "p11_crf_header" -> p11,
+    "p12_audio" -> p12,
   )
 }

@@ -9,18 +9,56 @@ import graft.sources.Lexicon
 class MultimodalJatsSpec extends SparkSuite {
   import spark.implicits._
 
-  test("multimodal: binary media rows → batched features, deterministic") {
-    val media = Multimodal.mediaFromDocuments(
-      Tables(spark, sf("0.001")).documents.limit(50))
-    val feats = Multimodal.imageFeatures(media, dim = 8, batchSize = 16)
+  test("multimodal: real PNG media rows → batched ImageIO decode, deterministic") {
+    val docs = Tables(spark, sf("0.001")).documents.limit(50)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.imageFeatures(media, batchSize = 16)
     val rows = feats.collect()
     assert(rows.length == 50)
-    assert(rows.forall(r => r.width >= 64 && r.height >= 64 &&
-      r.channels >= 1 && r.embedding.length == 8))
-    // determinism across runs
-    val again = Multimodal.imageFeatures(media, dim = 8, batchSize = 7).collect()
+    // real decode: 16px-wide grayscale rasters, 4x4 luma-grid embedding
+    assert(rows.forall(r => r.width == 16 && r.height >= 1 &&
+      r.channels == 1 && r.embedding.length == 16 &&
+      r.embedding.forall(v => v >= 0f && v <= 1f)))
+    // determinism across runs and batch sizes
+    val again = Multimodal.imageFeatures(media, batchSize = 7).collect()
     assert(rows.sortBy(_.doc_id).map(_.embedding.toSeq).toSeq ==
       again.sortBy(_.doc_id).map(_.embedding.toSeq).toSeq)
+  }
+
+  test("multimodal: ImageIO round-trip recovers exact block means") {
+    // 4x4 image, one gray level per quadrant-of-one: embedding = pixel/255
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, (y * 4 + x) * 16)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((w, h, c, emb)) = Multimodal.decodeImage(out.toByteArray, grid = 4)
+    assert(w == 4 && h == 4 && c == 1)
+    for (i <- 0 until 16) assert(math.abs(emb(i) - i * 16 / 255f) < 1e-6)
+  }
+
+  test("multimodal: undecodable bytes fall back to the stub path") {
+    val junk = Seq(Multimodal.MediaRow(7L, "video/mp4",
+      Array.fill[Byte](100)(42), Map.empty)).toDS()
+    val r = Multimodal.imageFeatures(junk, dim = 8).collect().head
+    assert(r.width >= 64 && r.embedding.length == 8) // stub semantics
+  }
+
+  test("multimodal: WAV encode→decode round-trip (PCM chunk walk)") {
+    val text = "hello wav world"
+    val wav = Multimodal.textToWav(text)
+    val Some((ch, rate, bits, n, rms)) = Multimodal.decodeWav(wav)
+    assert(ch == 1 && rate == 8000 && bits == 16 && n == text.length.toLong)
+    assert(rms > 0.0)
+    // malformed bytes are rejected, and audioFeatures drops them
+    assert(Multimodal.decodeWav("RIFFnope".getBytes).isEmpty)
+    val mixed = Seq(
+      Multimodal.MediaRow(0L, "audio/wav", wav, Map.empty),
+      Multimodal.MediaRow(1L, "audio/wav", Array.fill[Byte](10)(1), Map.empty)).toDS()
+    val feats = Multimodal.audioFeatures(mixed).collect()
+    assert(feats.length == 1 && feats.head.doc_id == 0L &&
+      feats.head.duration_ms == text.length * 1000L / 8000)
   }
 
   test("multimodal: frame sampling explodes deterministic digests") {
