@@ -102,6 +102,26 @@ object TextAnalysis {
     graft.functions.Sketch.winnow_min(
       transform(Dedup.shingles(tokens(c), k), x => xxhash64(x)), w)
 
+  // ---------------------------------------------------- repetition ratio
+
+  /** Intra-document repetition: the fraction of a document's word
+    * bigrams that are repeats of a bigram already seen in the same
+    * document (a Gopher-style quality signal — high values flag
+    * boilerplate, keyword stuffing, decoding loops). Pure row-local
+    * arithmetic: total bigrams = tokens-1, distinct bigrams from the
+    * native shingle kernel; no shuffle, parquet-scan speed.
+    */
+  def repetitionFeatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val total = greatest(size(toks) - 1, lit(1)).cast("bigint")
+    val distinctGrams = size(Dedup.shingles(toks, 2)).cast("bigint")
+    docs.select(col(idCol),
+      total.as("n_bigrams"),
+      distinctGrams.as("n_distinct"),
+      round(lit(1.0) - distinctGrams.cast("double") / total, 4).as("rep_ratio"))
+  }
+
   // -------------------------------------------------- span contamination
 
   /** Per-document exact-substring contamination: the fraction of a

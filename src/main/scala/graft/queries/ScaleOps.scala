@@ -150,6 +150,13 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q58 intra-doc repetition ratio (oracled): duplicate-bigram
+    * fraction per document, the Gopher-style boilerplate/stuffing
+    * signal. Row-local, no shuffle. */
+  def q58(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionFeatures(Tables(s, d).documents)
+      .orderBy("doc_id")
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -182,7 +189,7 @@ object ScaleOps {
     "q41_fingerprint" -> q41, "q42_token_count" -> q42,
     "q43_dedup_embedding" -> q43, "q44_winnowing" -> q44,
     "q50_ann_ivf" -> q50, "q51_span_contamination" -> q51,
-    "q53_dedup_components" -> q53,
+    "q53_dedup_components" -> q53, "q58_repetition" -> q58,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -265,6 +272,18 @@ object ScaleOps {
            ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS shared_ratio
          FROM g JOIN dfreq ON g.gram = dfreq.gram
          GROUP BY g.doc_id ORDER BY doc_id""",
+    "q58_repetition" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         gsets AS (SELECT doc_id, GREATEST(LEN(toks)-1, 1) AS total,
+              CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t)
+         SELECT doc_id, CAST(total AS BIGINT) AS n_bigrams,
+           CAST(LEN(grams) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(LEN(grams) AS DOUBLE)/total, 4) AS rep_ratio
+         FROM gsets ORDER BY doc_id""",
     "q53_dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),

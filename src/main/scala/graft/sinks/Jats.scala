@@ -75,9 +75,13 @@ object Jats {
       .mapPartitions { it =>
         val templates = TransformerFactory.newInstance()
           .newTemplates(new StreamSource(new StringReader(Stylesheet)))
+        // one Transformer per partition: not thread-safe, but a
+        // partition iterator is single-threaded and sequential reuse is
+        // part of the javax.xml.transform contract — per-row
+        // newTransformer() was measurable at 5k docs/partition scale
+        val t = templates.newTransformer()
+        t.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
         it.map { case (id, tei) =>
-          val t = templates.newTransformer()
-          t.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
           val out = new StringWriter()
           t.transform(new StreamSource(new StringReader(tei)), new StreamResult(out))
           (id, out.toString)

@@ -38,6 +38,17 @@ object StreamOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
         col("event_type"), col("n"), col("sv"))
 
+  /** Q56 sliding-window aggregation (1 h window every 30 min): each
+    * event contributes to two windows; same watermark-bounded state as
+    * the tumbling form. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"), col("sv"))
+
   /** Q30 sessionization via the native session-window operator (30-min
     * gap — merges exactly the event chains the lag-based batch
     * formulation links). */

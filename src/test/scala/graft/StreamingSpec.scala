@@ -66,6 +66,24 @@ class StreamingSpec extends SparkSuite {
     } finally cleanup()
   }
 
+  test("Q56 sliding window: streaming replay equals batch result") {
+    val batch = StreamOps.slidingCounts(batchEvents)
+      .orderBy("w", "event_type").collect().toSeq
+    val (streamed, cleanup) = streamEvents(chunks = 4)
+    try {
+      runToMemory(StreamOps.slidingCounts(streamed), "t56")
+      val replay = spark.table("t56").orderBy("w", "event_type").collect().toSeq
+      assert(replay == batch)
+      assert(batch.nonEmpty)
+      // and the streaming definition agrees with the declared q56 oracle
+      // form (each event in exactly two slide-aligned windows)
+      val q56 = graft.queries.Extended.q56(spark, sf("0.001"))
+        .orderBy("w", "event_type").collect().toSeq
+      assert(batch.map(r => (r.getString(0), r.getString(1), r.getLong(2))) ==
+        q56.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+    } finally cleanup()
+  }
+
   test("Q30 session windows: streaming replay equals batch result") {
     val batch = StreamOps.sessionCounts(batchEvents)
       .orderBy("user_id", "session_start").collect().toSeq
