@@ -68,6 +68,35 @@ class PlanSpec extends SparkSuite {
     assert(plan("q08_join_anti").contains("LeftAnti"))
   }
 
+  test("q52 cube is one Expand + partial/final agg, one shuffle") {
+    val p = plan("q52_cube")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+    // one exchange for the agg + one for the final orderBy — the four
+    // grouping sets must NOT multiply shuffles
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"cube should not add per-grouping-set shuffles:\n$p")
+  }
+
+  test("q51 contamination shuffles 8-byte gram hashes, not gram text") {
+    val p = plan("q51_span_contamination")
+    // the exchanges must be on the hashed gram column, and no shuffle
+    // may carry the raw gram string
+    val shufflePart = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(shufflePart.contains("gh#") || shufflePart.contains("doc_id#"),
+      s"expected gh/doc_id shuffle keys:\n$p")
+    assert(!shufflePart.contains("gram#"),
+      s"gram text must be hashed before any exchange:\n$shufflePart")
+  }
+
+  test("q56 sliding window expands map-side: one shuffle on (window,type)") {
+    val p = plan("q56_window_sliding")
+    assert(p.contains("Expand") || p.contains("explode"),
+      s"window slide should expand rows map-side:\n$p")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
   test("ingest doc_id assignment has no single-partition exchange") {
     // xxhash64(path) replaces the old row_number-over-global-window id:
     // a Window.orderBy(path) with no partition spec plans as
