@@ -102,6 +102,68 @@ object TextAnalysis {
     graft.functions.Sketch.winnow_min(
       transform(Dedup.shingles(tokens(c), k), x => xxhash64(x)), w)
 
+  // ------------------------------------------------- keyword extraction
+
+  /** Rarity-weighted keywords: top-`k` tokens per document scored by
+    * `tf × N/df` (term frequency × inverse document frequency as a
+    * plain ratio). The ratio form is deliberate: `ln(N/df)` would rank
+    * identically but puts a libm call between engines — IEEE division
+    * is correctly rounded everywhere, `log` is only faithfully rounded,
+    * and the declared queries hash across engines.
+    *
+    * Shape at scale: one shuffle on (doc, token) for tf, one on token
+    * for df (stopword-token skew handled by AQE skew-join), broadcast-
+    * able df side if the vocabulary is small, one window on doc for the
+    * top-k. N comes from parquet row-group metadata (count on the
+    * unprojected scan — no data read).
+    */
+  def keywordScores(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "tok")
+      .withColumn("score", round(col("tf") * n / col("df"), 4))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "tok", "score")
+  }
+
+  // ------------------------------------------------------ corpus filters
+
+  /** Percentile length-band filter: keep documents whose length lies in
+    * the [lo, hi] percentile band — the standard too-short/too-long cut
+    * of a training-data pipeline. The two quantiles reduce to a single
+    * broadcast row; the corpus itself is filtered in place (no shuffle,
+    * no second scan of text).
+    */
+  def lengthBandFilter(docs: DataFrame, lenCol: String = "n_chars",
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = docs.agg(
+      expr(s"percentile($lenCol, $lo)").as("lo"),
+      expr(s"percentile($lenCol, $hi)").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col(lenCol) >= col("lo") && col(lenCol) <= col("hi"))
+      .drop("lo", "hi")
+  }
+
+  /** Deterministic hash-split sampling: a document lands in the sample
+    * iff the leading hex byte of `md5(id)` falls below the threshold —
+    * the reproducible train/validation split every pipeline needs
+    * (`rand()` re-rolls per retry/run; a content-independent id hash
+    * never does). `thresholdHex` of "2a" keeps ≈ 42/256 ≈ 16.4%.
+    * Row-local, no shuffle.
+    */
+  def hashSample(docs: DataFrame, idCol: String = "doc_id",
+      thresholdHex: String = "2a"): DataFrame =
+    docs.withColumn("bucket", substring(md5(col(idCol).cast("string")), 1, 2))
+      .filter(col("bucket") < thresholdHex)
+
   // ---------------------------------------------------- repetition ratio
 
   /** Intra-document repetition: the fraction of a document's word

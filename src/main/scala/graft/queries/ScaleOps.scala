@@ -157,6 +157,27 @@ object ScaleOps {
     TextAnalysis.repetitionFeatures(Tables(s, d).documents)
       .orderBy("doc_id")
 
+  /** Q59 keyword extraction (oracled): top-3 rarity-weighted tokens
+    * per doc, tf × N/df scoring (division-only float math — see
+    * [[TextAnalysis.keywordScores]] for why not ln). */
+  def q59(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.keywordScores(Tables(s, d).documents, k = 3)
+      .orderBy("doc_id", "rnk")
+
+  /** Q60 percentile length-band corpus filter (oracled): documents
+    * inside the [p05, p95] length band. */
+  def q60(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lengthBandFilter(Tables(s, d).documents)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Q61 deterministic hash-split sample (oracled): md5-bucket
+    * train/validation split, reproducible across engines and runs. */
+  def q61(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashSample(Tables(s, d).documents)
+      .select(col("doc_id"), col("bucket"))
+      .orderBy("doc_id")
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -190,6 +211,8 @@ object ScaleOps {
     "q43_dedup_embedding" -> q43, "q44_winnowing" -> q44,
     "q50_ann_ivf" -> q50, "q51_span_contamination" -> q51,
     "q53_dedup_components" -> q53, "q58_repetition" -> q58,
+    "q59_keywords" -> q59, "q60_length_filter" -> q60,
+    "q61_hash_sample" -> q61,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -272,6 +295,28 @@ object ScaleOps {
            ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS shared_ratio
          FROM g JOIN dfreq ON g.gram = dfreq.gram
          GROUP BY g.doc_id ORDER BY doc_id""",
+    "q59_keywords" ->
+      """WITH t AS (SELECT doc_id,
+              UNNEST(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         scored AS (SELECT doc_id, tok, ROUND(tf * n.n / df.df, 4) AS score
+                    FROM tf CROSS JOIN n JOIN df USING (tok)),
+         ranked AS (SELECT doc_id, tok, score,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+                    FROM scored)
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, score FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q60_length_filter" ->
+      """SELECT doc_id, n_chars FROM documents,
+         (SELECT QUANTILE_CONT(n_chars, 0.05) AS lo, QUANTILE_CONT(n_chars, 0.95) AS hi
+          FROM documents) b
+         WHERE n_chars >= lo AND n_chars <= hi ORDER BY doc_id""",
+    "q61_hash_sample" ->
+      """SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+         FROM documents WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '2a'
+         ORDER BY doc_id""",
     "q58_repetition" ->
       """WITH t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
