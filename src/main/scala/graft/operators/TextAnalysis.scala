@@ -184,6 +184,46 @@ object TextAnalysis {
       round(lit(1.0) - distinctGrams.cast("double") / total, 4).as("rep_ratio"))
   }
 
+  // ---------------------------------------------------- corpus curation
+
+  /** End-to-end curation decision (the C4-style keep/drop pass): one
+    * row per document with a keep flag and the FIRST failing rule as
+    * the reason — length band, predicted language, repetition,
+    * stopword floor, in that order. Everything row-local off the fused
+    * [[graft.functions.TextStats]] kernel plus one broadcast quantile
+    * row; the corpus text is scanned once.
+    *
+    * Thresholds are declared constants calibrated on the synthetic
+    * corpus (see QueriesSpec); a production pipeline tunes them
+    * per-corpus — the operator shape is the artifact.
+    */
+  def curationDecisions(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", lenCol: String = "n_chars",
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      maxRep: Double = 0.06, minStopword: Double = 0.01): DataFrame = {
+    val st = stats(col(textCol))
+    val Seq(en, de, fr, es) = (0 until 4).map(i => st.getItem(4 + i))
+    val toks = tokens(col(textCol))
+    val nBigrams = greatest(size(toks) - 1, lit(1))
+    val repRatio = lit(1.0) - size(Dedup.shingles(toks, 2)).cast("double") / nBigrams
+    val stopRatio = st.getItem(3).cast("double") / st.getItem(1)
+    val predLang = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr").otherwise("es")
+    val bounds = docs.agg(
+      expr(s"percentile($lenCol, $pLo)").as("len_lo"),
+      expr(s"percentile($lenCol, $pHi)").as("len_hi"))
+    val reason = when(col(lenCol) < col("len_lo"), "too_short")
+      .when(col(lenCol) > col("len_hi"), "too_long")
+      .when(predLang =!= "en", "lang")
+      .when(round(repRatio, 4) > maxRep, "repetitive")
+      .when(round(stopRatio, 4) < minStopword, "low_stopword")
+      .otherwise("ok")
+    docs.crossJoin(broadcast(bounds))
+      .select(col(idCol), reason.as("reason"),
+        (reason === "ok").as("keep"))
+  }
+
   // -------------------------------------------------- span contamination
 
   /** Per-document exact-substring contamination: the fraction of a

@@ -178,6 +178,13 @@ object ScaleOps {
       .select(col("doc_id"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Q62 composite curation decisions (oracled): the C4-style keep/drop
+    * pass — length band, language, repetition, stopword floor — as one
+    * single-scan query with per-doc reasons. */
+  def q62(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.curationDecisions(Tables(s, d).documents)
+      .orderBy("doc_id")
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -212,7 +219,7 @@ object ScaleOps {
     "q50_ann_ivf" -> q50, "q51_span_contamination" -> q51,
     "q53_dedup_components" -> q53, "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
-    "q61_hash_sample" -> q61,
+    "q61_hash_sample" -> q61, "q62_curation" -> q62,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -295,6 +302,35 @@ object ScaleOps {
            ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS shared_ratio
          FROM g JOIN dfreq ON g.gram = dfreq.gram
          GROUP BY g.doc_id ORDER BY doc_id""",
+    "q62_curation" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         s AS (SELECT doc_id, n_chars,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','a','of','to','and','in','is','it','on','for'))) AS DOUBLE)
+             / LEN(toks) AS stop_ratio,
+           1.0 - CAST(LEN(CASE WHEN LEN(toks) >= 2 THEN
+               LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1]))
+               ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS DOUBLE)
+             / GREATEST(LEN(toks)-1, 1) AS rep,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS BIGINT) AS hits_en,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS BIGINT) AS hits_de,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN ('le','la','les','et','est','une','dans','que'))) AS BIGINT) AS hits_fr,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN ('el','los','y','es','en','un','una','por'))) AS BIGINT) AS hits_es
+           FROM t),
+         b AS (SELECT QUANTILE_CONT(n_chars, 0.05) AS len_lo,
+                      QUANTILE_CONT(n_chars, 0.95) AS len_hi FROM documents),
+         r AS (SELECT doc_id,
+           CASE WHEN n_chars < len_lo THEN 'too_short'
+                WHEN n_chars > len_hi THEN 'too_long'
+                WHEN (CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+                      WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+                      WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END) <> 'en' THEN 'lang'
+                WHEN ROUND(rep, 4) > 0.06 THEN 'repetitive'
+                WHEN ROUND(stop_ratio, 4) < 0.01 THEN 'low_stopword'
+                ELSE 'ok' END AS reason
+           FROM s, b)
+         SELECT doc_id, reason, reason = 'ok' AS keep FROM r ORDER BY doc_id""",
     "q59_keywords" ->
       """WITH t AS (SELECT doc_id,
               UNNEST(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS tok FROM documents),

@@ -34,6 +34,18 @@ class QueriesSpec extends SparkSuite {
     assert(got.length == 1 && got(0).getLong(0) == expectedN)
   }
 
+  test("q62 curation: decisions are non-degenerate and reasons partition keep") {
+    val dec = graft.queries.ScaleOps.q62(spark, sf("0.001"))
+    val byReason = dec.groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // synthetic corpus has all language buckets + a length spread:
+    // both keeps and at least two distinct drop reasons must appear
+    assert(byReason.getOrElse("ok", 0L) > 0, byReason)
+    assert((byReason.keySet - "ok").size >= 2, byReason)
+    // keep == (reason == 'ok') exactly
+    assert(dec.filter((col("reason") === "ok") =!= col("keep")).count() == 0)
+  }
+
   test("q10 as-of: every matched event has last_od <= event date") {
     val t = Tables(spark, sf("0.001"))
     val res = graft.queries.Relational.q10(spark, sf("0.001"))
