@@ -102,6 +102,33 @@ object Sketch {
     new GenericArrayData(arr)
   }
 
+  /** Per-row term frequencies: token array → array of (tok, tf)
+    * structs, first-seen order. Native because the built-in route —
+    * explode + groupBy(doc, tok) — turns a row-local counting pass
+    * into a corpus-wide exchange of every token occurrence.
+    */
+  def tokenTf(toks: ArrayData): ArrayData = {
+    val cnt = toks.numElements()
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < cnt) {
+      val u = toks.getUTF8String(i)
+      val s = if (u == null) "" else u.toString
+      counts.merge(s, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles (space-joined); inputs shorter than
     * `n` collapse to one whole-text shingle. Native for the same reason
     * as the sketches: a `transform(sequence(...), i -> slice(toks...))`
@@ -157,6 +184,8 @@ object Sketch {
 
   def word_ngrams(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramsExpr(ColumnBridge.expression(toks), n))
+  def token_tf(toks: Column): Column =
+    ColumnBridge.column(TokenTfExpr(ColumnBridge.expression(toks)))
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def min_hash(hashes: Column, k: Int): Column =
@@ -202,6 +231,19 @@ case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.ngrams($c, $n)")
   override protected def withNewChildInternal(c: Expression): NgramsExpr = copy(child = c)
+}
+
+case class TokenTfExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_tf"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.tokenTf(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.tokenTf($c)")
+  override protected def withNewChildInternal(c: Expression): TokenTfExpr = copy(child = c)
 }
 
 case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
