@@ -68,6 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("sim_hash",
       "sim_hash(array<long>) - 64-bit SimHash over feature hashes",
       SimHashExpr)
+    unary("token_tf",
+      "token_tf(array<string>) - per-row term frequencies as array<struct<tok,tf>>",
+      TokenTfExpr)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(array<float>, array<float>) - inner product"), {
         args: Seq[Expression] =>

@@ -47,6 +47,15 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getInt(3) >= 1)
   }
 
+  test("token_tf callable from SQL") {
+    registered
+    val r = spark.sql(
+      "SELECT token_tf(array('b','a','b')) AS tf").collect().head
+    val pairs = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(p => (p.getString(0), p.getLong(1)))
+    assert(pairs == Seq(("b", 2L), ("a", 1L))) // first-seen order
+  }
+
   test("non-literal size argument fails loudly") {
     registered
     val ex = intercept[Exception] {
