@@ -108,4 +108,51 @@ class PropertySpec extends AnyFunSuite {
       assert(t.get.length == from.length && t.get.endsWith(shortTo))
     }
   }
+
+  private val tokListGen: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e", "word", ""))
+
+  private def toArrayData(toks: List[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+
+  test("tokenTf: tfs sum to input length, keys distinct, counts exact") {
+    forAllSamples(tokListGen) { toks =>
+      val out = graft.functions.Sketch.tokenTf(toArrayData(toks))
+      val pairs = (0 until out.numElements()).map { i =>
+        val row = out.getStruct(i, 2)
+        (row.getUTF8String(0).toString, row.getLong(1))
+      }
+      assert(pairs.map(_._2).sum == toks.length)
+      assert(pairs.map(_._1).distinct.size == pairs.size)
+      pairs.foreach { case (tok, tf) => assert(toks.count(_ == tok) == tf) }
+      // first-seen order
+      assert(pairs.map(_._1) == toks.distinct)
+    }
+  }
+
+  test("ngrams: count and width laws") {
+    val gen = for { toks <- tokListGen; n <- Gen.choose(1, 4) } yield (toks, n)
+    forAllSamples(gen) { case (toks, n) =>
+      val out = graft.functions.Sketch.ngrams(toArrayData(toks), n)
+      val grams = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      if (toks.isEmpty) assert(grams.isEmpty)
+      else if (toks.length < n) assert(grams == Seq(toks.mkString(" ")))
+      else {
+        assert(grams.size <= toks.length - n + 1 && grams.nonEmpty)
+        assert(grams.distinct.size == grams.size)
+        grams.foreach(g => assert(g.split(" ", -1).length == n))
+      }
+    }
+  }
+
+  test("WAV encode/decode roundtrip laws") {
+    forAllSamples(Gen.alphaNumStr.map(_.take(64)).suchThat(_.nonEmpty)) { text =>
+      val bytes = graft.operators.Multimodal.textToWav(text)
+      val Some((ch, rate, bits, frames, rms)) = graft.operators.Multimodal.decodeWav(bytes)
+      assert(ch == 1 && rate == 8000 && bits == 16)
+      assert(frames == text.getBytes("UTF-8").length.toLong)
+      assert(rms >= 0.0)
+    }
+  }
 }
