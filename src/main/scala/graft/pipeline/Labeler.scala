@@ -66,6 +66,8 @@ final class SegmentationRuleLabeler extends SequenceLabeler {
     val backTag = when(
         col("_block_first").rlike("(?i)^acknowledge?ments?$"), "<acknowledgement>")
       .when(col("_block_first").rlike("(?i)^(appendix|annex)$"), "<annex>")
+      .when(col("_block_first").rlike("(?i)^(references?|bibliography)$"),
+        "<references>")
     withMax
       .withColumn("_title_block", titleBlockIdx)
       .withColumn("label",
@@ -74,6 +76,36 @@ final class SegmentationRuleLabeler extends SequenceLabeler {
             concat(when(isFirst, "B-").otherwise("I-"), backTag))
           .otherwise(when(isFirst, "B-<body>").otherwise("I-<body>")))
       .drop("_max_fs", "_block_max_fs", "_block_first", "_title_block")
+  }
+}
+
+/** Reference-segmenter-stage rule labeler (reference_segmenter model
+  * stand-in; the label set `models/reference_segmenter/extract.py`
+  * consumes): within the `<references>` view, a leading numeric-marker
+  * token run on a line (`1.`, `[1]`, `2)` — split by the retokenizer
+  * into digit + punctuation tokens) is the `<label>`; the rest of the
+  * line is one `<reference>` span. A line with no leading marker is a
+  * whole `<reference>` — [[ModelExtractors.referenceSegmenterFold]]
+  * demotes a first short one to the section heading.
+  */
+final class ReferenceSegmenterRuleLabeler extends SequenceLabeler {
+  import org.apache.spark.sql.expressions.Window
+
+  override def label(tokens: DataFrame): DataFrame = {
+    val lineW = Window.partitionBy("doc_id", "page_idx", "block_idx", "line_idx")
+    val markerish = col("text").rlike("^[0-9]+$|^[.)\\]\\[]$")
+    val firstTok = max(when(col("token_idx") === 0, col("text"))).over(lineW)
+    // first token of the line that is NOT part of a numeric marker run
+    val firstNonMarker = min(when(!markerish, col("token_idx"))).over(lineW)
+    val hasLabel = firstTok.rlike("^[0-9]+$")
+    tokens.withColumn("label",
+      when(hasLabel && (firstNonMarker.isNull || col("token_idx") < firstNonMarker),
+        when(col("token_idx") === 0, "B-<label>").otherwise("I-<label>"))
+        .when(hasLabel,
+          when(col("token_idx") === firstNonMarker, "B-<reference>")
+            .otherwise("I-<reference>"))
+        .otherwise(when(col("token_idx") === 0, "B-<reference>")
+          .otherwise("I-<reference>")))
   }
 }
 
@@ -110,6 +142,14 @@ final class BodyRuleLabeler extends SequenceLabeler {
       prevTok.rlike("^(Figure|Fig\\.?)$")
     val isTabTail = col("token_idx") > 1 && col("text").rlike(num) &&
       prevTok === "Table"
+    // bracketed reference citations "[ n ]" (the retokenizer splits the
+    // brackets off) → <citation_marker>, the fulltext model's bibr label
+    val nextTok2 = lead(col("text"), 2).over(lineOrd)
+    val prevTok2 = lag(col("text"), 2).over(lineOrd)
+    val bareNum = "^[0-9]+$"
+    val isCitOpen = col("text") === "[" && nextTok.rlike(bareNum) && nextTok2 === "]"
+    val isCitNum = prevTok === "[" && col("text").rlike(bareNum) && nextTok === "]"
+    val isCitClose = col("text") === "]" && prevTok.rlike(bareNum) && prevTok2 === "["
 
     tokens.withColumn("label",
       when(captionTag.isNotNull,
@@ -118,6 +158,8 @@ final class BodyRuleLabeler extends SequenceLabeler {
         .when(isTabHead, "B-<table_marker>")
         .when(isFigTail, "I-<figure_marker>")
         .when(isTabTail, "I-<table_marker>")
+        .when(isCitOpen, "B-<citation_marker>")
+        .when(isCitNum || isCitClose, "I-<citation_marker>")
         .when(col("line_idx") === 0,
           when(col("token_idx") === 0, "B-<section>").otherwise("I-<section>"))
         .otherwise(

@@ -55,6 +55,53 @@ object Processor {
     out.toList
   }
 
+  /** Rule stand-in for the citation model over one raw reference's
+    * text: first two tokens → `<author>`, a trailing 4-digit-year token
+    * → `<date>`, everything between → `<title>` — exactly the tag
+    * stream [[ModelExtractors.citationFold]] consumes.
+    */
+  private[pipeline] def citationSpansOf(text: String): Seq[Span] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+    if (toks.isEmpty) return Nil
+    val (authors, rest0) = toks.splitAt(math.min(2, toks.length))
+    val (rest, date) =
+      if (rest0.nonEmpty && rest0.last.replaceAll("[^0-9]", "").matches("[0-9]{4}"))
+        (rest0.dropRight(1), Some(rest0.last))
+      else (rest0, None)
+    val out = scala.collection.mutable.ListBuffer.empty[Span]
+    var i = 0L
+    if (authors.nonEmpty) { out += Span(i, "<author>", authors.mkString(" ")); i += 1 }
+    if (rest.nonEmpty) { out += Span(i, "<title>", rest.mkString(" ")); i += 1 }
+    date.foreach { d => out += Span(i, "<date>", d); i += 1 }
+    out.toList
+  }
+
+  /** Citation model pass over reference-segmenter output (reference
+    * `processors/fulltext/processor.py:529-622`
+    * `_extract_semantic_content_from_raw_references`): each
+    * `raw_reference`'s `raw_reference_text` child is parsed by the
+    * citation model and the typed reference — sharing the raw
+    * reference's `b<n>` content id, so citation markers resolve to
+    * either — appended to the node list. Pure per-document function.
+    */
+  private[pipeline] def citationPass(docId: Long,
+      segNodes: Seq[SemanticNode]): Seq[SemanticNode] = {
+    var nextId = segNodes.map(_.node_id).maxOption.getOrElse(-1L) + 1
+    val textByParent = segNodes.filter(_.node_type == "raw_reference_text")
+      .groupBy(_.parent_id)
+    val citNodes = segNodes.filter(_.node_type == "raw_reference").flatMap { r =>
+      textByParent.getOrElse(r.node_id, Nil).flatMap { t =>
+        val folded = ModelExtractors.citationFold(docId,
+          citationSpansOf(t.text), r.content_id)
+        val offset = nextId
+        nextId += folded.size
+        folded.map(n => n.copy(node_id = n.node_id + offset,
+          parent_id = if (n.parent_id < 0) -1L else n.parent_id + offset))
+      }
+    }
+    segNodes ++ citNodes
+  }
+
   /** Rule stand-in for the affiliation model: raw affiliation text →
     * `<institution>`, raw address text → `<addrLine>`. */
   private[pipeline] def affiliationSpansOf(
@@ -188,9 +235,19 @@ object Processor {
       }
     def citationsOf(citType: String): Seq[(Long, String)] =
       withIds.filter(_.node_type == citType).map(n => n.node_id -> n.text)
+    // reference citations match against reference LABELS ("1.", "[2]"),
+    // candidate ids are the b<n> content ids shared by raw + parsed
+    // reference nodes (processors/fulltext/processor.py:239-267 routes
+    // all three citation types through the same matcher)
+    val refCandidates: Seq[(String, String)] =
+      withIds.filter(_.node_type == "label").flatMap { l =>
+        byId.get(l.parent_id).filter(_.node_type == "raw_reference")
+          .map(p => (p.content_id, l.text))
+      }
     val matched =
       matchContentIdsLocal(citationsOf("figure_citation"), labelsOf("figure")) ++
-        matchContentIdsLocal(citationsOf("table_citation"), labelsOf("table"))
+        matchContentIdsLocal(citationsOf("table_citation"), labelsOf("table")) ++
+        matchContentIdsLocal(citationsOf("reference_citation"), refCandidates)
     withIds.map(n =>
       matched.get(n.node_id).map(t => n.copy(content_id = t)).getOrElse(n))
   }
@@ -323,6 +380,31 @@ object Processor {
         parent_id = if (n.parent_id < 0) -1L else n.parent_id + idOffset))
   }
 
+  /** The references view (`processor.py:529-622,654-717`): tokens the
+    * segmentation stage labeled `<references>` → reference-segmenter
+    * model (raw references with labels) → citation model per raw
+    * reference → name model on each parsed reference's raw authors —
+    * all three folds inside ONE per-document group, so the whole chain
+    * costs a single shuffle on doc_id.
+    */
+  private def referencesViewNodes(viewTokens: DataFrame, idOffset: Long,
+      config: Config): Dataset[SemanticNode] = {
+    val sparkSession = viewTokens.sparkSession
+    import sparkSession.implicits._
+    BioSpans.spans(new ReferenceSegmenterRuleLabeler().label(viewTokens))
+      .select(col("doc_id"), col("span_id"), col("tag"), col("text"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val spans = it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq
+        citationNamePass(docId,
+          citationPass(docId, ModelExtractors.referenceSegmenterFold(docId, spans)),
+          config).iterator
+      }
+      .map(n => n.copy(node_id = n.node_id + idOffset,
+        parent_id = if (n.parent_id < 0) -1L else n.parent_id + idOffset))
+  }
+
   /** The reference's full document flow (processor.py:180-274):
     * segmentation labels every token `<header>`/`<body>`/
     * `<acknowledgement>`/`<annex>`, the header model + folds run on the
@@ -347,10 +429,11 @@ object Processor {
     val ackNodes = fulltextViewNodes(view("<acknowledgement>"),
       "acknowledgement", 2 * BodyIdOffset)
     val annexNodes = fulltextViewNodes(view("<annex>"), "annex", 3 * BodyIdOffset)
+    val refNodes = referencesViewNodes(view("<references>"), 4 * BodyIdOffset, config)
     // fig_0…/tab_0… ids in document order + citation-target resolution,
     // per document inside one fold (one shuffle on doc_id; the
     // reference's matcher is per-document too)
-    headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes)
+    headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes).union(refNodes)
       .groupByKey(_.doc_id)
       .flatMapGroups((_, it) => assignIdsAndTargets(it.toSeq).iterator)
   }

@@ -47,7 +47,7 @@ object PipelineOps {
     // figure_citation → target-id chain in the fulltext pass)
     val nBodyLines = (bodyToks.length + 11) / 12
     val markerLine = {
-      val ts = Seq("see", "Figure", "1", "and", "Table", "1", "here")
+      val ts = Seq("see", "Figure", "1", "and", "Table", "1", "[", "1", "]", "here")
       val strings = ts.zipWithIndex.map { case (t, i) =>
         s"""<String CONTENT="$t" HPOS="${50 + i * 40}" VPOS="${120 + nBodyLines * 14}" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
       }.mkString
@@ -73,13 +73,20 @@ object PipelineOps {
       captionBlock("Table", 620, Seq("data", "summary"))
     // acknowledgement block: heading line + text line (exercises the
     // <acknowledgement> segmentation view → back-matter TEI div)
-    val ack = {
-      def ln(ts: Seq[String], y: Int): String =
-        "<TextLine>" + ts.zipWithIndex.map { case (t, i) =>
-          s"""<String CONTENT="$t" HPOS="${50 + i * 40}" VPOS="$y" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
-        }.mkString + "</TextLine>"
-      "<TextBlock>" + ln(Seq("Acknowledgements"), 660) +
-        ln(Seq("we", "thank", "the", "funders"), 674) + "</TextBlock>"
+    def ln(ts: Seq[String], y: Int): String =
+      "<TextLine>" + ts.zipWithIndex.map { case (t, i) =>
+        s"""<String CONTENT="${xmlEscape(t)}" HPOS="${50 + i * 40}" VPOS="$y" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
+      }.mkString + "</TextLine>"
+    val ack = "<TextBlock>" + ln(Seq("Acknowledgements"), 660) +
+      ln(Seq("we", "thank", "the", "funders"), 674) + "</TextBlock>"
+    // references block: heading + two labeled references (exercises the
+    // segmentation <references> view → reference-segmenter → citation →
+    // citation-name chain and the body "[ 1 ]" marker target)
+    val refs = {
+      val t1 = titleToks.headOption.getOrElse("work")
+      "<TextBlock>" + ln(Seq("References"), 700) +
+        ln(Seq("1.", "Alice", "Smith", "Measuring", t1, "2020"), 714) +
+        ln(Seq("2.", "Bob", "Jones", "Deep", "Analysis", "2021"), 728) + "</TextBlock>"
     }
     s"""<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
        |<Styles>
@@ -92,6 +99,7 @@ object PipelineOps {
        |<TextBlock>$bodyLines</TextBlock>
        |$captions
        |$ack
+       |$refs
        |</PrintSpace></Page></Layout></alto>""".stripMargin
   }
 

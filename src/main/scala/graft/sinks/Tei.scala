@@ -32,10 +32,10 @@ object Tei {
         s"<surname>${esc(toks.tail.mkString(" "))}</surname></persName></author>"
   }
 
-  /** Structured author from name-fold children (tei_document.py persName
-    * building). */
-  private def authorXml(parts: Seq[SemanticNode]): String = {
-    val sb = new StringBuilder("<author><persName>")
+  /** Structured author/editor from name-fold children (tei_document.py
+    * persName building; role = "author" | "editor"). */
+  private def authorXml(parts: Seq[SemanticNode], role: String = "author"): String = {
+    val sb = new StringBuilder(s"<$role><persName>")
     parts.foreach { p =>
       p.node_type match {
         case "given_name" => sb ++= s"""<forename type="first">${esc(p.text)}</forename>"""
@@ -47,7 +47,59 @@ object Tei {
         case _ => ()
       }
     }
-    sb ++= "</persName></author>"
+    sb ++= s"</persName></$role>"
+    sb.toString
+  }
+
+  /** One `<biblStruct>` from a parsed reference node's typed children
+    * (reference `document/tei/references.py` element paths +
+    * `tei_document.py:47-165`): analytic title/authors/idno, monogr
+    * journal/editors/imprint with date/biblScope/publisher. The xml:id
+    * is the `b<n>` content id citation `<ref target>`s point at.
+    */
+  private def biblStructXml(ref: SemanticNode, cs: Seq[SemanticNode],
+      kids: Long => Seq[SemanticNode]): String = {
+    val sb = new StringBuilder
+    val id = Option(ref.content_id).map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
+    sb ++= s"<biblStruct$id><analytic>"
+    cs.filter(_.node_type == "title").foreach(t =>
+      sb ++= s"""<title level="a" type="main">${esc(t.text)}</title>""")
+    cs.foreach { c =>
+      c.node_type match {
+        case "author" => sb ++= authorXml(kids(c.node_id))
+        case "raw_authors" => sb ++= rawAuthorXml(c.text)
+        case _ => ()
+      }
+    }
+    cs.filter(_.node_type == "external_id").foreach { e =>
+      val t = Option(e.content_id).getOrElse("unknown")
+      sb ++= s"""<idno type="${esc(t.toUpperCase)}">${esc(e.text)}</idno>"""
+    }
+    sb ++= "</analytic><monogr>"
+    cs.filter(_.node_type == "journal").foreach(j =>
+      sb ++= s"""<title level="j">${esc(j.text)}</title>""")
+    cs.filter(_.node_type == "editor").foreach(ed =>
+      sb ++= authorXml(kids(ed.node_id), "editor"))
+    sb ++= "<imprint>"
+    cs.filter(_.node_type == "date").foreach(dt =>
+      sb ++= s"""<date type="published" when="${esc(dt.text)}"/>""")
+    cs.filter(_.node_type == "volume").foreach(v =>
+      sb ++= s"""<biblScope unit="volume">${esc(v.text)}</biblScope>""")
+    cs.filter(_.node_type == "issue").foreach(v =>
+      sb ++= s"""<biblScope unit="issue">${esc(v.text)}</biblScope>""")
+    cs.filter(_.node_type == "page_range").foreach { p =>
+      val parts = p.text.split("-", 2)
+      if (parts.length == 2)
+        sb ++= s"""<biblScope unit="page" from="${esc(parts(0))}" to="${esc(parts(1))}"/>"""
+      else sb ++= s"""<biblScope unit="page">${esc(p.text)}</biblScope>"""
+    }
+    cs.filter(_.node_type == "publisher").foreach(v =>
+      sb ++= s"<publisher>${esc(v.text)}</publisher>")
+    cs.filter(_.node_type == "location").foreach(v =>
+      sb ++= s"<pubPlace>${esc(v.text)}</pubPlace>")
+    cs.filter(_.node_type == "external_url").foreach(v =>
+      sb ++= s"""<ptr target="${esc(v.text)}"/>""")
+    sb ++= "</imprint></monogr></biblStruct>"
     sb.toString
   }
 
@@ -162,6 +214,35 @@ object Tei {
       .map(sectionDiv(_, None))
     if (annexDivs.nonEmpty)
       backSb ++= s"""<div type="annex">${annexDivs.mkString}</div>"""
+
+    // references back matter (document/tei/references.py: <div
+    // type="references"><listBibl> of biblStructs): parsed references
+    // preferred; raw references with no parsed sibling (same content
+    // id) fall back to a raw <bibl>
+    val refRoots = ordered.filter(n => n.parent_id < 0 &&
+      (n.node_type == "reference" || n.node_type == "raw_reference"))
+    if (refRoots.nonEmpty) {
+      val parsedIds = refRoots.filter(_.node_type == "reference")
+        .flatMap(n => Option(n.content_id)).toSet
+      backSb ++= """<div type="references">"""
+      ordered.find(n => n.parent_id < 0 && n.node_type == "heading")
+        .foreach(h => backSb ++= s"<head>${esc(h.text)}</head>")
+      backSb ++= "<listBibl>"
+      refRoots.foreach { r =>
+        r.node_type match {
+          case "reference" => backSb ++= biblStructXml(r, kids(r.node_id), kids)
+          case "raw_reference"
+              if !Option(r.content_id).exists(parsedIds) =>
+            val raw = kids(r.node_id).filter(_.node_type == "raw_reference_text")
+              .map(_.text).mkString(" ")
+            val idAttr = Option(r.content_id)
+              .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
+            backSb ++= s"<bibl$idAttr>${esc(raw)}</bibl>"
+          case _ => ()
+        }
+      }
+      backSb ++= "</listBibl></div>"
+    }
 
     val sb = new StringBuilder
     sb ++= """<TEI xmlns="http://www.tei-c.org/ns/1.0">"""

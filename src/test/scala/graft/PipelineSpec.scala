@@ -185,6 +185,45 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("""<ref type="table" target="#tab_0">Table 1</ref>"""), tei)
   }
 
+  test("documentPipeline: references chain renders listBibl with parsed biblStruct") {
+    def block(y: Int, lines: Seq[Seq[String]]): String = {
+      val ls = lines.zipWithIndex.map { case (ts, li) =>
+        val strings = ts.zipWithIndex.map { case (t, i) =>
+          s"""<String CONTENT="$t" HPOS="${100 + i * 40}" VPOS="${y + li * 14}" WIDTH="30" HEIGHT="10" STYLEREFS="font1"/>"""
+        }.mkString
+        s"<TextLine>$strings</TextLine>"
+      }.mkString
+      s"<TextBlock>$ls</TextBlock>"
+    }
+    // body paragraph citing [1], then a references block: heading line,
+    // "1." labeled reference with authors/title/year, "2." second ref
+    val xml = altoXml.replace("<Illustration",
+      block(200, Seq(Seq("Results"), Seq("as", "shown", "in", "[", "1", "]"))) +
+        block(700, Seq(
+          Seq("References"),
+          Seq("1.", "Alice", "Smith", "Measuring", "Things", "2020"),
+          Seq("2.", "Bob", "Jones", "Deep", "Analysis", "2021"))) +
+        "<Illustration")
+    val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val nodes = graft.pipeline.Processor.documentPipeline(tokens)
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<div type="references"><head>References</head><listBibl>"""), tei)
+    assert(tei.contains("""<biblStruct xml:id="b0"><analytic>""" +
+      """<title level="a" type="main">Measuring Things</title>""" +
+      """<author><persName><forename type="first">Alice</forename>""" +
+      """<surname>Smith</surname></persName></author></analytic>""" +
+      """<monogr><imprint><date type="published" when="2020"/></imprint>""" +
+      "</monogr></biblStruct>"), tei)
+    // second reference parsed too, in label order
+    assert(tei.indexOf("""xml:id="b0"""") < tei.indexOf("""xml:id="b1""""), tei)
+    assert(tei.contains("""<surname>Jones</surname>"""), tei)
+    // the body [1] marker resolves to the first reference (F1)
+    assert(tei.contains("""<ref type="bibr" target="#b0">"""), tei)
+    // references must not leak into the body sections
+    assert(!tei.substring(tei.indexOf("<body"), tei.indexOf("<back"))
+      .contains("Measuring"), tei)
+  }
+
   test("rule labeler finds largest-font block as title without scripts") {
     val labeled = new RuleLabeler().label(fixtureTokens.toDF())
     val spans = BioSpans.spans(labeled)
