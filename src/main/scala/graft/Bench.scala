@@ -34,7 +34,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional comma-separated filter for local single-query iteration
+    // (driver leaves it unset → full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(once) // warm-up: codegen + parquet footers
     val results = names.map(n => n -> once(n))
 

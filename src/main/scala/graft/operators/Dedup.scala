@@ -259,7 +259,15 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
-      nbits: Int = 8, seed: Long = 42L, nBands: Int = 1): DataFrame = {
+      nbits: Int = 8, seed: Long = 42L, nBands: Int = 1,
+      dim: Int = -1): DataFrame = {
+    // hyperplane dimensionality must match the embeddings: a fixed
+    // width would silently hash on a truncated/zero-padded prefix for
+    // any other embedding model. Derived from one row (bounded 1-row
+    // job) unless the caller passes it.
+    val planeDim =
+      if (dim > 0) dim
+      else emb.select(size(col(vecCol))).head().getInt(0)
     // norms are computed once per vector and carried through the join as
     // plain columns (the join output materializes them), so the
     // O(pairs) stage pays one dot product instead of three array passes
@@ -272,13 +280,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
     if (nBands <= 1) {
       val bucketed = base.withColumn("bucket",
-        Similarity.signLshBucket(col("v"), nbits, 64, seed))
+        Similarity.signLshBucket(col("v"), nbits, planeDim, seed))
       scored(bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")))
     } else {
       val banded = (0 until nBands).map { band =>
         base.select(col("id"), concat_ws(":", lit(band),
-          Similarity.signLshBucket(col("v"), nbits, 64, seed + band)).as("bucket"))
+          Similarity.signLshBucket(col("v"), nbits, planeDim, seed + band)).as("bucket"))
       }.reduce(_ union _)
       val cand = banded.as("x").join(banded.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))

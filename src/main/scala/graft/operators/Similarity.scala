@@ -76,7 +76,13 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+    // deterministic UNBIASED sample: order by a hash of the id, not the
+    // id itself — first-N-by-id on a corpus laid out by source/time
+    // trains the quantizer on one shard's distribution and probe recall
+    // degrades on the rest; hash order is reproducible AND shuffles the
+    // layout out of the sample (TakeOrderedAndProject keeps it one pass)
+    val sample = emb.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleN).as[(Long, Array[Float])].collect().map(_._2)
     require(sample.length >= numLists,
       s"need >= $numLists sample vectors, got ${sample.length}")

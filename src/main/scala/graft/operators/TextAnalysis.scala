@@ -127,7 +127,17 @@ object TextAnalysis {
     */
   def keywordScores(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3): DataFrame = {
-    val n = docs.count()
+    // corpus size N as a broadcast 1-row aggregate, NOT docs.count():
+    // the eager count was a whole extra job (scan + job-submission
+    // floor) paid before the real one ever started; as a broadcast
+    // subquery it rides the same action, and the count-only subtree
+    // reads parquet row-group metadata, not data
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    // the df aggregation and the scored join both consume the exploded
+    // pairs, re-evaluating token_tf above the reused doc_id exchange.
+    // Measured trade (sf1 probe): re-running the row-local kernel costs
+    // less than a second exchange of the exploded pairs (1.31 s vs
+    // 1.35 s) and far less than losing the scan fan-out (2.9 s).
     val exploded = docs
       .repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
@@ -135,7 +145,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
     val dfs = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     exploded.join(broadcast(dfs), "tok")
-      .withColumn("score", round(col("tf") * n / col("df"), 4))
+      .crossJoin(broadcast(nRow))
+      .withColumn("score", round(col("tf") * col("n") / col("df"), 4))
       .groupBy("doc_id")
       .agg(slice(array_sort(collect_list(
         struct((-col("score")).as("s"), col("tok").as("tok"), col("score").as("score")))),

@@ -161,8 +161,14 @@ object ScaleOps {
     * per doc, tf × N/df scoring (division-only float math — see
     * [[TextAnalysis.keywordScores]] for why not ln). */
   def q59(s: SparkSession, d: String): DataFrame =
+    // total-order output contract (oracle row-order hash) on a 3-rows-
+    // per-doc REPORT: the single-partition merge sort replaces orderBy's
+    // range-sampling pass, which re-ran the whole upstream once more
+    // just to pick bounds (1.22 s vs 0.83 s at sf1). For a report too
+    // large to merge on one node, swap back to orderBy — the operator
+    // itself is unordered either way.
     TextAnalysis.keywordScores(Tables(s, d).documents, k = 3)
-      .orderBy("doc_id", "rnk")
+      .repartition(1).sortWithinPartitions("doc_id", "rnk")
 
   /** Q60 percentile length-band corpus filter (oracled): documents
     * inside the [p05, p95] length band. */

@@ -105,38 +105,82 @@ object StreamOps {
   /** Custom stateful sessionization via flatMapGroupsWithState (the
     * D4/BIO-span pattern as an incremental operator;
     * `KeyValueGroupedDataset` custom state per SURVEY.md §2 streaming
-    * mapping). Emits (user_id, session_start_epoch_s, n) per closed or
-    * updated session.
+    * mapping). Emit-on-close contract: each (user, session_start) is
+    * emitted EXACTLY ONCE — when a later event proves the gap elapsed,
+    * or when the event-time watermark passes the open session's close
+    * (`EventTimeTimeout` flush). State is one open session per user.
+    * In batch execution (timeouts never fire, all rows arrive in one
+    * invocation) the trailing open session is emitted at end-of-group,
+    * so the same definition yields the complete batch answer.
     */
   final case class SessionState(startEpochS: Long, lastEpochS: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, n: Long)
 
   def statefulSessionCounts(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+      gapSeconds: Long = 1800L, watermark: String = "2 hours"): Dataset[SessionOut] = {
     import spark.implicits._
-    events.select(col("user_id"), col("ts").cast("long").as("epoch_s"))
-      .as[(Long, Long)]
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // the watermarked ts attribute must reach the stateful operator
+    // unchanged (a cast would strip the event-time marker EventTimeTimeout
+    // validates against) — epoch conversion happens inside the lambda
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[List[SessionState]]) =>
-          // sort within group: batch delivers all rows at once; streaming
-          // micro-batches deliver increments (state carries open sessions,
-          // newest first — continuation always checks the newest)
-          val sorted = rows.map(_._2).toSeq.sorted
-          var sessions = state.getOption.getOrElse(Nil)
-          sorted.foreach { t =>
-            sessions match {
-              case head :: tail if t <= head.lastEpochS + gapSeconds =>
-                sessions = head.copy(
-                  lastEpochS = math.max(head.lastEpochS, t),
-                  n = head.n + 1) :: tail
-              case _ =>
-                sessions = SessionState(t, t, 1L) :: sessions
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          def out(s: SessionState) = SessionOut(userId, s.startEpochS, s.n)
+          if (state.hasTimedOut) {
+            // watermark passed the open session's close: flush once
+            val flushed = state.getOption.map(out)
+            state.remove()
+            flushed.iterator
+          } else {
+            val sorted = rows.map(_._2.getTime / 1000L).toSeq.sorted
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t >= s.startEpochS - gapSeconds &&
+                    t <= s.lastEpochS + gapSeconds =>
+                  open = Some(SessionState(math.min(s.startEpochS, t),
+                    math.max(s.lastEpochS, t), s.n + 1))
+                case Some(s) if t < s.startEpochS - gapSeconds =>
+                  // within-watermark straggler entirely before the open
+                  // session: its own (already-elapsed) session
+                  closed += SessionOut(userId, t, 1L)
+                case Some(s) =>
+                  closed += out(s)
+                  open = Some(SessionState(t, t, 1L))
+                case None =>
+                  open = Some(SessionState(t, t, 1L))
+              }
+            }
+            if (streaming) {
+              open match {
+                case Some(s) =>
+                  val closeMs = (s.lastEpochS + gapSeconds) * 1000L
+                  if (closeMs <= state.getCurrentWatermarkMs()) {
+                    // already expired relative to the watermark — emit
+                    // now, a timeout would be rejected as in the past
+                    closed += out(s)
+                    state.remove()
+                  } else {
+                    state.update(s)
+                    state.setTimeoutTimestamp(closeMs)
+                  }
+                case None => state.remove()
+              }
+              closed.iterator
+            } else {
+              (closed ++ open.map(out)).iterator
             }
           }
-          state.update(sessions)
-          sessions.reverse.iterator.map(s => SessionOut(userId, s.startEpochS, s.n))
       }
   }
 }

@@ -133,6 +133,46 @@ class DedupSpec extends SparkSuite {
     assert(part.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("embeddingCosinePairs derives hyperplane dim from data (32-dim vectors)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // 32-dim corpus: one near-identical pair + orthogonal noise. With
+    // the old hardcoded dim=64 the planes zero-padded/truncated and
+    // bucketing silently degraded; derived-dim must find the pair.
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = new Array[Float](32); a(axis) = 1f; a((axis + 1) % 32) = eps; a
+    }
+    val emb = Seq(
+      (0L, v(0, 0.01f)), (1L, v(0, 0.02f)),
+      (2L, v(7, 0.0f)), (3L, v(19, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(emb, threshold = 0.9, nbits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), pairs)
+    // explicit dim parameter gives the same result
+    val explicit = Dedup.embeddingCosinePairs(emb, threshold = 0.9, nbits = 4,
+      dim = 32).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explicit == pairs)
+  }
+
+  test("IVF training sample is unbiased under clustered-by-id layout") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // two clusters laid out contiguously by id — a first-N-by-id sample
+    // would see ONLY cluster A and train both centroids there; the
+    // hash-ordered sample must represent both
+    def v(axis: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](8); a(axis) = 1f; a(4 + (j % 4)) = 0.05f * (j % 3); a
+    }
+    val emb = ((0L until 256L).map(i => (i, v(0, i.toInt))) ++
+      (256L until 512L).map(i => (i, v(1, i.toInt))))
+      .toDF("vec_id", "embedding")
+    val cs = Similarity.trainIvfCentroids(emb, numLists = 2, sampleN = 128)
+    // one centroid per cluster direction (axis 0 / axis 1 dominant)
+    assert(cs.exists(c => c(0) > 0.9), cs.map(_.toSeq).toSeq)
+    assert(cs.exists(c => c(1) > 0.9), cs.map(_.toSeq).toSeq)
+  }
+
   test("ivfAssign: every vector lands in exactly one list, no shuffle") {
     import graft.operators.Similarity
     val emb = graft.Tables(spark, sf("0.01")).embeddings

@@ -238,4 +238,44 @@ class StreamingSpec extends SparkSuite {
       .orderBy("user_id", "n").collect().toSeq
     assert(custom == sw)
   }
+
+  test("stateful sessionizer emits each session exactly once (emit-on-close + timeout)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, t: String) =
+      (id, Timestamp.valueOf(t), 1L, "click", 1.0, "{}")
+    val dir = Files.createTempDirectory("graft-sess").toFile
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def write(evs: (Long, Timestamp, Long, String, Double, String)*): Unit = {
+      evs.toSeq.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(2100)
+    }
+    // session 1: two events within the 30-min gap
+    write(ev(0, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:10:00"))
+    // gap elapsed → closes session 1 INLINE, opens session 2
+    write(ev(2, "2024-01-01 12:00:00"))
+    // pushes the watermark (2 h) past session 2's close → TIMEOUT flush;
+    // its own session stays open, never emitted
+    write(ev(3, "2024-01-01 16:00:00"))
+    try {
+      val streamed = spark.readStream.schema(StructType_events)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = StreamOps.statefulSessionCounts(spark, streamed).toDF().writeStream
+        .outputMode("append").format("memory").queryName("tsess").start()
+      q.processAllAvailable(); q.stop()
+      val emitted = spark.table("tsess").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      def s(t: String) = Timestamp.valueOf(t).getTime / 1000
+      // exactly-once: no (user, session_start) appears twice
+      assert(emitted.distinct.size == emitted.size, s"duplicates: $emitted")
+      assert(emitted.toSet == Set((s("2024-01-01 10:00:00"), 2L),
+        (s("2024-01-01 12:00:00"), 1L)), s"emitted=$emitted")
+      // batch execution of the SAME definition also reports the
+      // still-open trailing session
+      val batch = StreamOps.statefulSessionCounts(spark,
+          spark.read.parquet(dir.getPath))
+        .collect().map(o => (o.session_start, o.n)).toSet
+      assert(batch == emitted.toSet + ((s("2024-01-01 16:00:00"), 1L)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
