@@ -350,15 +350,21 @@ object CrfModel {
       if ((kind & 2) != 0) { boff(o) = nextOff; nextOff += Y.toLong * Y }
     }
 
-    // sparse weights
+    // sparse weights — errors name the 1-based model line so a corrupt
+    // dump is diagnosable (a bare NumberFormatException from a 40k-line
+    // weight section is not)
     val theta = scala.collection.mutable.LongMap.empty[Double]
     while (i < lines.length) {
       val l = lines(i).trim
       i += 1
       if (l.nonEmpty) {
         val eq = l.indexOf('=')
-        require(eq > 0, s"bad weight line: $l")
-        theta(l.substring(0, eq).toLong) = parseCDouble(l.substring(eq + 1))
+        require(eq > 0, s"bad weight line $i: '$l' (expected <featureId>=<weight>)")
+        try theta(l.substring(0, eq).toLong) = parseCDouble(l.substring(eq + 1))
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"bad weight line $i: '$l' (${e.getMessage})", e)
+        }
       }
     }
 

@@ -221,8 +221,19 @@ object GraphicMatching {
   def relatedLines(graphics: DataFrame, tokens: DataFrame,
       maxDistance: Double = Double.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explicit ALTO adjacency (AltoReader's related_block_idx, parsed
+    // off the <Illustration> position in reading order) wins over ANY
+    // derived linkage: those graphics take exactly their adjacent
+    // block's lines via a direct equi-join, and only the remainder
+    // goes through the page-level/nearest-block derivation
+    val hasExplicit = graphics.columns.contains("related_block_idx")
+    val (explicit, derived) =
+      if (hasExplicit)
+        (graphics.filter(col("related_block_idx").isNotNull),
+          graphics.filter(col("related_block_idx").isNull).drop("related_block_idx"))
+      else (null, graphics)
     val byPage = Window.partitionBy("doc_id", "page_idx")
-    val counted = graphics.withColumn("_n_on_page", count(lit(1)).over(byPage))
+    val counted = derived.withColumn("_n_on_page", count(lit(1)).over(byPage))
     val only = counted.filter(col("_n_on_page") === 1).drop("_n_on_page")
     val shared = counted.filter(col("_n_on_page") > 1).drop("_n_on_page")
     val pageLines = lineTextOf(tokens)
@@ -232,7 +243,23 @@ object GraphicMatching {
         l => l.getField("line")).as("lines"))
     val onlyLines = only.join(pageLines, Seq("doc_id", "page_idx"))
       .select(col("doc_id"), col("graphic_id"), col("lines"))
-    onlyLines.union(relatedBlockLines(shared, tokens, maxDistance))
+    val derivedLines =
+      onlyLines.union(relatedBlockLines(shared, tokens, maxDistance))
+    if (!hasExplicit) derivedLines
+    else {
+      val blockLines = lineTextOf(tokens)
+        .groupBy("doc_id", "page_idx", "block_idx")
+        .agg(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          l => l.getField("line")).as("lines"))
+      val explicitLines = explicit
+        .join(blockLines,
+          explicit("doc_id") === blockLines("doc_id") &&
+            explicit("page_idx") === blockLines("page_idx") &&
+            explicit("related_block_idx") === blockLines("block_idx"))
+        .select(explicit("doc_id"), col("graphic_id"), col("lines"))
+      explicitLines.union(derivedLines)
+    }
   }
 
   /** Nearest-block fallback provider for [[matchGraphicsByText]]: the

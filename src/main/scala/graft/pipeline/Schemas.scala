@@ -43,14 +43,20 @@ final case class TokenRow(
     page_width: Option[Double],
     page_height: Option[Double])
 
-/** One row per page graphic (layout_document.py:331-336). */
+/** One row per page graphic (layout_document.py:331-336).
+  * `related_block_idx` is the ALTO-adjacent text block (the enclosing
+  * block for a nested `<Illustration>`, else the block just completed
+  * in reading order) — when present, the F4 text matcher prefers it
+  * over the derived page-level/nearest-block linkage.
+  */
 final case class GraphicRow(
     doc_id: Long,
     page_idx: Int,
     page_number: Int,
     file_id: String,
     graphic_type: String,
-    coords: Option[Coords])
+    coords: Option[Coords],
+    related_block_idx: Option[Int])
 
 /** Labeled BIO span over the token table (models/model.py:61-79). */
 final case class SpanRow(

@@ -149,9 +149,16 @@ object AltoReader {
                   blockHasTokens = true
                 }
             case "Illustration" =>
+              // explicit reading-order adjacency: the enclosing block
+              // for a nested Illustration, else the block just
+              // completed — F4 prefers this over derived linkage
+              val related =
+                if (inBlock) Some(blockIdx)
+                else if (blockIdx > 0) Some(blockIdx - 1)
+                else None
               graphics += GraphicRow(docId, pageIdx, pageNumber,
                 attr(r, "FILEID").orNull, attr(r, "TYPE").orNull,
-                Some(coordsOf(r, pageNumber)))
+                Some(coordsOf(r, pageNumber)), related)
             case _ => ()
           }
         case END_ELEMENT if r.getNamespaceURI == AltoNs =>

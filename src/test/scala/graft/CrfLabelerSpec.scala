@@ -148,6 +148,22 @@ class CrfLabelerSpec extends SparkSuite {
     assert(m.decode(Seq("x STRONG a", "x STRONG b")) == Seq("Y", "Y"))
   }
 
+  test("wapiti native: malformed weight line errors carry the line number") {
+    val broken = nativeModel.replace("5=0x1p-1", "5=not-a-number")
+    val ex = intercept[IllegalArgumentException] {
+      CrfModel.parseWapitiNative(broken)
+    }
+    // 1-based line of the corrupt entry, plus its content
+    assert(ex.getMessage.contains("not-a-number"), ex.getMessage)
+    assert(ex.getMessage.matches("(?s).*weight line \\d+.*"), ex.getMessage)
+    val noEq = nativeModel.replace("5=0x1p-1", "garbage")
+    val ex2 = intercept[IllegalArgumentException] {
+      CrfModel.parseWapitiNative(noEq)
+    }
+    assert(ex2.getMessage.contains("garbage") &&
+      ex2.getMessage.matches("(?s).*weight line \\d+.*"), ex2.getMessage)
+  }
+
   test("fromFile: gzipped model.wapiti.gz loads via magic-byte detection") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wapiti")
     val gz = dir.resolve("model.wapiti.gz")

@@ -149,6 +149,45 @@ class GraphicMatchingSpec extends SparkSuite {
     assert(m == Map("g1" -> "fig_0"))
   }
 
+  test("relatedLines: ALTO Illustration adjacency wins over derived linkage") {
+    // the Illustration is NESTED in the caption block (block 1); its
+    // bounding box sits NEXT TO the decoy block, so the nearest-block
+    // fallback would pick the decoy and the page-level linkage would
+    // take everything — only the explicit adjacency yields exactly the
+    // caption block
+    val xml =
+      """<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
+        |<Styles><TextStyle ID="f1" FONTFAMILY="Times" FONTSIZE="10.0" FONTSTYLE=""/></Styles>
+        |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
+        |<TextBlock><TextLine><String CONTENT="decoy" HPOS="100" VPOS="100" WIDTH="40" HEIGHT="10" STYLEREFS="f1"/></TextLine></TextBlock>
+        |<TextBlock>
+        |<TextLine><String CONTENT="Figure" HPOS="100" VPOS="700" WIDTH="50" HEIGHT="10" STYLEREFS="f1"/>
+        |<String CONTENT="1" HPOS="155" VPOS="700" WIDTH="10" HEIGHT="10" STYLEREFS="f1"/></TextLine>
+        |<Illustration FILEID="img1" TYPE="png" HPOS="100" VPOS="90" WIDTH="60" HEIGHT="30"/>
+        |</TextBlock>
+        |</PrintSpace></Page></Layout></alto>""".stripMargin
+    import org.apache.spark.sql.functions.col
+    val ds = Seq((0L, xml)).toDS()
+    val tokens = graft.sources.AltoReader.tokens(ds).toDF()
+    val parsed = graft.sources.AltoReader.graphics(ds).toDF()
+    // parser recorded the enclosing block as the adjacency
+    assert(parsed.select("related_block_idx").collect().head.getInt(0) == 1)
+    val graphics = parsed.select(col("doc_id"),
+      col("file_id").as("graphic_id"), col("page_idx"),
+      col("coords.x").as("x"), col("coords.y").as("y"),
+      col("coords.width").as("width"), col("coords.height").as("height"),
+      col("related_block_idx"))
+    val lines = GraphicMatching.relatedLines(graphics, tokens)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    assert(lines == Map("img1" -> Seq("Figure 1")), lines)
+    // with the adjacency column dropped, the derived page-level linkage
+    // (only graphic on page) would have taken the decoy too
+    val fallback = GraphicMatching.relatedLines(
+        graphics.drop("related_block_idx"), tokens)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    assert(fallback("img1") == Seq("decoy", "Figure 1"))
+  }
+
   test("matchGraphics: distributed join + per-doc fold") {
     val graphics = Seq(
       (0L, "g1", 61.2, 79.2, 61.2, 79.2, 1, 612.0, 792.0),   // near fig1

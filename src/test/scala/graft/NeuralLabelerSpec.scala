@@ -106,6 +106,41 @@ class NeuralLabelerSpec extends SparkSuite {
     }
   }
 
+  test("end-to-end: score lattice -> masked decode -> spans -> header fold -> TEI") {
+    // the full D2 consumer chain, driven from a recorded ONNX-shaped
+    // lattice: NeuralLabeler decode -> BioSpans -> headerPipeline
+    // (name-model pass included) -> TEI title + structured persName
+    val labels = IndexedSeq("O", "B-<title>", "I-<title>", "B-<author>", "I-<author>")
+    // per-token lattice keyed by token text; widths padded like an ONNX
+    // head, B-<author> deliberately under-scored at "Jane" so only the
+    // BIO mask's Viterbi (not argmax) yields a well-formed author span
+    val lattice: Map[String, Array[Float]] = Map(
+      "Deep" -> Array(0.1f, 3f, 0.2f, 0f, 0f, 9f),
+      "Learning" -> Array(0.1f, 0.2f, 3f, 0f, 0f, 9f),
+      "Jane" -> Array(0.4f, 0f, 0f, 0.5f, 0.6f, 9f), // argmax: I-<author> bare
+      "Doe" -> Array(0.1f, 0f, 0f, 0.2f, 3f, 9f))
+    val rows = Seq(
+      (7L, 0, 0, 0, 0, "Deep", " ", "Deep"),
+      (7L, 0, 0, 0, 1, "Learning", " ", "Learning"),
+      (7L, 0, 1, 0, 0, "Jane", " ", "Jane"),
+      (7L, 0, 1, 0, 1, "Doe", " ", "Doe"))
+    val df = rows.toDF("doc_id", "page_idx", "block_idx", "line_idx",
+      "token_idx", "text", "whitespace", "features")
+    val labeler = new NeuralLabeler(labels,
+      encode = s => Array(s.hashCode.toFloat),
+      inference = batch => batch.map(_.map { v =>
+        val key = lattice.keys.find(_.hashCode.toFloat == v(0)).get
+        lattice(key)
+      }),
+      batchSize = 2,
+      transitionMask = Some(NeuralLabeler.bioMask(labels)))
+    val nodes = graft.pipeline.Processor.headerPipeline(df, labeler)
+    val tei = graft.sinks.Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<title level="a" type="main">Deep Learning</title>"""), tei)
+    assert(tei.contains(
+      """<forename type="first">Jane</forename><surname>Doe</surname>"""), tei)
+  }
+
   test("label: inference returning wrong shape fails loudly") {
     val enc = NeuralLabeler.hashingEncoder(8)
     val bad: Seq[Seq[Array[Float]]] => Seq[Seq[Array[Float]]] =
