@@ -191,6 +191,28 @@ object ScaleOps {
     TextAnalysis.curationDecisions(Tables(s, d).documents)
       .orderBy("doc_id")
 
+  /** Q63 document chunking (oracled): fixed 64-token windows every 48
+    * tokens — the corpus → training-example split, pure row-local
+    * projection (sequence + slice, no shuffle). */
+  def q63(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables(s, d).documents, chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Q64 PII redaction (oracled): email/phone scrub with counts.
+    * Synthetic PII is injected into every 3rd document from its id (the
+    * corpus itself is clean), so the redaction path is exercised with
+    * non-zero counts and the oracle derives the identical input. */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 555 867 5309")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.redactPii(docs)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("redacted_len"))
+      .orderBy("doc_id")
+  }
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -226,6 +248,7 @@ object ScaleOps {
     "q53_dedup_components" -> q53, "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
+    "q63_chunking" -> q63, "q64_pii_redaction" -> q64,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -359,6 +382,29 @@ object ScaleOps {
       """SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
          FROM documents WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '2a'
          ORDER BY doc_id""",
+    "q63_chunking" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+              UNNEST(GENERATE_SERIES(0, GREATEST(LEN(toks)-1, 0), 48)) AS start FROM t)
+         SELECT doc_id, CAST(start/48 AS BIGINT) AS chunk_idx,
+           CAST(LEN(toks[start+1:start+64]) AS BIGINT) AS n_tokens,
+           ARRAY_TO_STRING(toks[start+1:start+64], ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_idx""",
+    "q64_pii_redaction" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id ||
+                '@example.com or +1 555 867 5309' ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '\+[0-9][0-9 ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+           CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+[0-9][0-9 ]{7,}[0-9]', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
+         FROM t ORDER BY doc_id""",
     "q58_repetition" ->
       """WITH t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),

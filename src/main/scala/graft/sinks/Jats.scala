@@ -34,7 +34,9 @@ object Jats {
       |            </article-title>
       |          </title-group>
       |          <contrib-group>
-      |            <xsl:for-each select=".//tei:author">
+      |            <!-- header authors ONLY: an unscoped .//tei:author would
+      |                 also sweep up the back-matter bibliography persons -->
+      |            <xsl:for-each select="tei:teiHeader//tei:author">
       |              <contrib contrib-type="author">
       |                <name>
       |                  <surname><xsl:value-of select="tei:persName/tei:surname"/></surname>
@@ -51,7 +53,45 @@ object Jats {
       |        </article-meta>
       |      </front>
       |      <body/>
-      |      <back/>
+      |      <back>
+      |        <xsl:if test="tei:text/tei:back//tei:listBibl">
+      |          <ref-list>
+      |            <xsl:for-each select="tei:text/tei:back//tei:listBibl/tei:biblStruct">
+      |              <ref>
+      |                <xsl:attribute name="id"><xsl:value-of select="@xml:id"/></xsl:attribute>
+      |                <element-citation>
+      |                  <xsl:if test="tei:analytic/tei:author">
+      |                    <person-group person-group-type="author">
+      |                      <xsl:for-each select="tei:analytic/tei:author">
+      |                        <name>
+      |                          <surname><xsl:value-of select="tei:persName/tei:surname"/></surname>
+      |                          <given-names>
+      |                            <xsl:value-of select="tei:persName/tei:forename[@type='first']"/>
+      |                          </given-names>
+      |                        </name>
+      |                      </xsl:for-each>
+      |                    </person-group>
+      |                  </xsl:if>
+      |                  <article-title><xsl:value-of select="tei:analytic/tei:title"/></article-title>
+      |                  <xsl:for-each select="tei:monogr/tei:title[@level='j']">
+      |                    <source><xsl:value-of select="."/></source>
+      |                  </xsl:for-each>
+      |                  <xsl:for-each select="tei:monogr/tei:imprint/tei:date[@type='published']">
+      |                    <year><xsl:value-of select="@when"/></year>
+      |                  </xsl:for-each>
+      |                  <xsl:for-each select="tei:monogr/tei:imprint/tei:biblScope[@unit='volume']">
+      |                    <volume><xsl:value-of select="."/></volume>
+      |                  </xsl:for-each>
+      |                  <xsl:for-each select="tei:monogr/tei:imprint/tei:biblScope[@unit='page']">
+      |                    <fpage><xsl:value-of select="@from"/></fpage>
+      |                    <lpage><xsl:value-of select="@to"/></lpage>
+      |                  </xsl:for-each>
+      |                </element-citation>
+      |              </ref>
+      |            </xsl:for-each>
+      |          </ref-list>
+      |        </xsl:if>
+      |      </back>
       |    </article>
       |  </xsl:template>
       |</xsl:stylesheet>""".stripMargin

@@ -115,6 +115,9 @@ object Tei {
         case "addr_line" => sb ++= s"<address><addrLine>${esc(c.text)}</addrLine></address>"
         case "settlement" => sb ++= s"<address><settlement>${esc(c.text)}</settlement></address>"
         case "country" => sb ++= s"<address><country>${esc(c.text)}</country></address>"
+        case "region" => sb ++= s"<address><region>${esc(c.text)}</region></address>"
+        case "post_code" => sb ++= s"<address><postCode>${esc(c.text)}</postCode></address>"
+        case "post_box" => sb ++= s"<address><postBox>${esc(c.text)}</postBox></address>"
         case _ => ()
       }
     }

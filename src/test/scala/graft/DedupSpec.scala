@@ -200,6 +200,38 @@ class DedupSpec extends SparkSuite {
     assert(tc.filter(col("bpe") < col("ws")).count() == 0)
   }
 
+  test("chunkDocuments: stride overlap, trailing partial, empty doc, no shuffle") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4 stride 3
+      (1L, "only two"),
+      (2L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, chunkSize = 4, stride = 3)
+    val byDoc = chunks.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // starts 0,3,6,9: full windows then the trailing partial
+    assert(byDoc((0L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(byDoc((0L, 1L)) == (4L, "t4 t5 t6 t7"))
+    assert(byDoc((0L, 2L)) == (4L, "t7 t8 t9 t10"))
+    assert(byDoc((0L, 3L)) == (1L, "t10"))
+    assert(byDoc((1L, 0L)) == (2L, "only two"))
+    // empty docs stay represented: one empty chunk
+    assert(byDoc((2L, 0L)) == (0L, ""))
+    // row-local: no Exchange in the physical plan
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("redactPii: emails and phones counted and replaced, clean text untouched") {
+    val docs = Seq(
+      (0L, "write to jane.doe+x@lab.example.org or call +44 20 7946 0958 now"),
+      (1L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L)._1 == 1L && out(0L)._2 == 1L)
+    assert(out(0L)._3 == "write to [EMAIL] or call [PHONE] now")
+    assert(out(1L) == (0L, 0L, "no pii here at all"))
+  }
+
   test("connectedComponents: chain, triangle and pair collapse to min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),

@@ -85,6 +85,37 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(df.collect().head.getString(1).contains("<article-title>A Title</article-title>"))
   }
 
+  test("JATS: listBibl maps to ref-list; bibliography authors stay out of contribs") {
+    val tei = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>""" +
+      """<titleStmt><title level="a" type="main">A Title</title></titleStmt>""" +
+      """<sourceDesc><biblStruct><analytic><author><persName>""" +
+      """<forename type="first">Jane</forename><surname>Doe</surname>""" +
+      """</persName></author></analytic></biblStruct></sourceDesc></fileDesc>""" +
+      """</teiHeader><text><body/><back><div type="references"><listBibl>""" +
+      """<biblStruct xml:id="b0"><analytic>""" +
+      """<title level="a" type="main">Measuring Things</title>""" +
+      """<author><persName><forename type="first">Alice</forename>""" +
+      """<surname>Smith</surname></persName></author></analytic>""" +
+      """<monogr><title level="j">J. Results</title><imprint>""" +
+      """<date type="published" when="2020"/>""" +
+      """<biblScope unit="volume">12</biblScope>""" +
+      """<biblScope unit="page" from="123" to="127"/>""" +
+      """</imprint></monogr></biblStruct>""" +
+      """</listBibl></div></back></text></TEI>"""
+    val jats = Jats.transform(tei)
+    assert(jats.contains("""<ref id="b0"><element-citation>"""), jats)
+    assert(jats.contains("""<person-group person-group-type="author"><name>""" +
+      "<surname>Smith</surname><given-names>Alice</given-names></name></person-group>"), jats)
+    assert(jats.contains("<article-title>Measuring Things</article-title>"), jats)
+    assert(jats.contains("<source>J. Results</source>"), jats)
+    assert(jats.contains("<year>2020</year>") && jats.contains("<volume>12</volume>"), jats)
+    assert(jats.contains("<fpage>123</fpage><lpage>127</lpage>"), jats)
+    // the article contrib-group contains ONLY the header author
+    val contribs = jats.substring(jats.indexOf("<contrib-group>"),
+      jats.indexOf("</contrib-group>"))
+    assert(contribs.contains("Doe") && !contribs.contains("Smith"), contribs)
+  }
+
   test("lexicon membership via broadcast join flag") {
     val toks = Seq((0L, "France"), (1L, "banana"), (2L, "GERMANY"))
       .toDF("id", "text")
