@@ -47,6 +47,36 @@ object Partitioning {
       .agg(sum(col("_partial_n")).as("n"))
   }
 
+  /** Bucketized interval/point range join: `left` carries numeric
+    * interval columns [loCol, hiCol], `right` a numeric point column;
+    * result = inner join on `lo <= point <= hi`.
+    *
+    * Without this, Spark plans a non-equi join as
+    * BroadcastNestedLoopJoin — O(|L|·|R|) comparisons, the classic
+    * 100 TB cliff. Bucketization makes it an EQUI join: every interval
+    * explodes to the buckets it overlaps, every point maps to its one
+    * bucket, the join key is the bucket id, and the exact predicate
+    * filters inside matched buckets. Each (interval, point) pair meets
+    * in exactly one bucket (the point's), so no dedup is needed. Work
+    * scales with `|L|·(span/bucketWidth) + |R| + |matches|` — pick
+    * `bucketWidth` ≈ the typical interval span so intervals explode to
+    * ~2 buckets. Skewed hot buckets are AQE skew-join territory, same
+    * as any equi join.
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame,
+      loCol: String, hiCol: String, pointCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("_rb",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val rb = right.withColumn("_rb",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    lb.join(rb, Seq("_rb"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_rb")
+  }
+
   /** Salted sum over a numeric column (same two-phase shape). */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int): DataFrame = {

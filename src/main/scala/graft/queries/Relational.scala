@@ -129,6 +129,30 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q65 interval/point range join via bucketization
+    * ([[graft.operators.Partitioning.rangeJoinBucketed]]): every 100th
+    * event opens a 1-hour incident window; count the events falling in
+    * each window. A non-equi join like this plans as
+    * BroadcastNestedLoopJoin — O(windows × events) — without the
+    * bucket equi-key; bucketed at the window span it is a plain hash
+    * join + in-bucket filter. Epochs floored to whole seconds on both
+    * engines.
+    */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables(s, d).events
+    // the NTZ→TZ hop is an identity under the UTC session but makes the
+    // epoch cast legal for both TIMESTAMP and TIMESTAMP_NTZ sources
+    val epochS = col("ts").cast("timestamp").cast("long")
+    val windows = ev.filter(pmod(col("event_id"), lit(100)) === 0)
+      .select(col("event_id").as("w_id"),
+        epochS.as("lo"), (epochS + 3600L).as("hi"))
+    val points = ev.select(epochS.as("p"))
+    graft.operators.Partitioning.rangeJoinBucketed(
+        windows, points, "lo", "hi", "p", bucketWidth = 3600.0)
+      .groupBy("w_id").agg(count(lit(1)).as("n"))
+      .orderBy("w_id")
+  }
+
   /** Q11 cross join (tiny × tiny). */
   def q11(s: SparkSession, d: String): DataFrame = {
     val t = Tables(s, d)
@@ -327,6 +351,7 @@ object Relational {
     "q24_string_fns" -> q24, "q25_date_fns" -> q25, "q26_math_fns" -> q26,
     "q27_array_fns" -> q27, "q27b_explode" -> q27b, "q28_json_fns" -> q28,
     "q29_window_tumbling" -> q29, "q30_sessionize" -> q30,
+    "q65_range_join" -> q65,
   )
 
   /** DuckDB-dialect oracle SQL. Same column names, same ORDER BY, same
@@ -464,5 +489,12 @@ object Relational {
                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS new_s FROM events))
          GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q65_range_join" ->
+      """WITH w AS (SELECT event_id AS w_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS lo
+              FROM events WHERE event_id % 100 = 0),
+         p AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS pt FROM events)
+         SELECT w_id, COUNT(*) AS n FROM w JOIN p
+           ON p.pt >= w.lo AND p.pt <= w.lo + 3600
+         GROUP BY w_id ORDER BY w_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

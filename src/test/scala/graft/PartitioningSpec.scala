@@ -48,6 +48,30 @@ class PartitioningSpec extends SparkSuite {
       saltedSum.forall { case (k, v) => math.abs(v - plainSum(k)) < 1e-6 })
   }
 
+  test("rangeJoinBucketed equals naive non-equi join, without the nested loop") {
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, 0.0, 10.0), (2L, 5.0, 14.9), (3L, 100.0, 130.0), (4L, 7.0, 7.0))
+      .toDF("w_id", "lo", "hi")
+    val points = Seq(0.0, 5.0, 7.0, 10.0, 14.9, 15.0, 99.9, 100.0, 130.0, 131.0)
+      .toDF("p")
+    val bucketed = Partitioning.rangeJoinBucketed(
+        intervals, points, "lo", "hi", "p", bucketWidth = 10.0)
+      .select("w_id", "p")
+    val naive = intervals.crossJoin(points)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("w_id", "p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(rows(bucketed) == rows(naive))
+    // interval 2 spans buckets 0 and 1; point 5.0 must appear ONCE for it
+    assert(rows(bucketed).count(_ == (2L, 5.0)) == 1)
+    // the plan is an equi hash join on the bucket id, not a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("salt assignment is a pure function of the row (retry-stable)") {
     // spark_partition_id/monotonically_increasing_id-derived salts can
     // re-bucket rows after a task retry or a repartition; the xxhash64
