@@ -247,6 +247,31 @@ object TextAnalysis {
       .withColumn("redacted_len", length(col("redacted")).cast("bigint"))
   }
 
+  // ---------------------------------------------------- class rebalancing
+
+  /** Balanced class sample: downsample every stratum to the size of the
+    * rarest one, keeping each class's rows with the smallest id-hash —
+    * the deterministic class-rebalancing pass of a labeled-data
+    * pipeline (`rand()` re-rolls per run; the hash never does). One
+    * shuffle on the stratum key for the per-class rank, the rarest-
+    * class size rides along as a broadcast 1-row aggregate. Per-class
+    * skew in the window sort is bounded by the class's own size; at the
+    * 100 TB design point a hot class is exactly what the sample is
+    * cutting down.
+    */
+  def balancedSample(rows: DataFrame, stratumCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val nmin = rows.groupBy(stratumCol).count()
+      .agg(min(col("count")).as("nmin"))
+    rows.withColumn("_rk", row_number().over(w))
+      .crossJoin(broadcast(nmin))
+      .filter(col("_rk") <= col("nmin"))
+      .drop("_rk", "nmin")
+  }
+
   // ---------------------------------------------------- repetition ratio
 
   /** Intra-document repetition: the fraction of a document's word

@@ -213,6 +213,15 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q66 balanced class sample (oracled): every event_type downsampled
+    * to the rarest type's count, deterministic by id hash. */
+  def q66(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.balancedSample(
+        Tables(s, d).events.select(col("event_id"), col("event_type")),
+        "event_type", "event_id")
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -249,6 +258,7 @@ object ScaleOps {
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
     "q63_chunking" -> q63, "q64_pii_redaction" -> q64,
+    "q66_balanced_sample" -> q66,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -391,6 +401,15 @@ object ScaleOps {
            CAST(LEN(toks[start+1:start+64]) AS BIGINT) AS n_tokens,
            ARRAY_TO_STRING(toks[start+1:start+64], ' ') AS chunk_text
          FROM s ORDER BY doc_id, chunk_idx""",
+    "q66_balanced_sample" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+         m AS (SELECT MIN(n) AS nmin FROM c),
+         r AS (SELECT event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id) AS rk
+               FROM events)
+         SELECT event_id, event_type FROM r, m WHERE rk <= m.nmin
+         ORDER BY event_id""",
     "q64_pii_redaction" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id ||

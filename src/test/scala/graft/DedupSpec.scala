@@ -232,6 +232,21 @@ class DedupSpec extends SparkSuite {
     assert(out(1L) == (0L, 0L, "no pii here at all"))
   }
 
+  test("balancedSample: every stratum cut to the rarest size, deterministic") {
+    val rows = (Seq.tabulate(20)(i => (i.toLong, "common")) ++
+      Seq((100L, "rare"), (101L, "rare"), (102L, "rare")))
+      .toDF("event_id", "event_type")
+    val sampled = TextAnalysis.balancedSample(rows, "event_type", "event_id")
+    val byType = sampled.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).sorted.toSeq).toMap
+    assert(byType("rare") == Seq(100L, 101L, 102L))
+    assert(byType("common").size == 3)
+    // deterministic across runs
+    val again = TextAnalysis.balancedSample(rows, "event_type", "event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == sampled.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("connectedComponents: chain, triangle and pair collapse to min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),

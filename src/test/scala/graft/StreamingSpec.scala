@@ -239,6 +239,70 @@ class StreamingSpec extends SparkSuite {
     assert(custom == sw)
   }
 
+  test("streaming document pipeline: foreachBatch TEI equals the batch TEI") {
+    // the full per-document DAG as an incremental stage: new ALTO files
+    // land -> token table -> documentPipeline -> TEI, one foreachBatch
+    // per micro-batch (all pipeline stages are per-document, so a batch
+    // of new docs is self-contained and the output is append-only)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-doc-stream").toFile
+    val xml = new PipelineSpec().altoXml
+    Files.write(new java.io.File(dir, "a.alto.xml").toPath, xml.getBytes)
+    Thread.sleep(1100)
+    Files.write(new java.io.File(dir, "b.alto.xml").toPath, xml.getBytes)
+    try {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q = StreamOps.streamingAltoTokens(spark, dir.getPath)
+        .writeStream.outputMode("append")
+        .foreachBatch { (tokens: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.sinks.Tei.serialize(
+              graft.pipeline.Processor.documentPipeline(tokens.toDF()).toDF())
+            .collect().foreach(r => acc.add((r.getLong(0), r.getString(1))))
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      val streamed = acc.asScala.toSeq.sortBy(_._1)
+      // batch side over the same files
+      val batchDocs = spark.read.format("text").option("wholetext", "true")
+        .load(dir.getPath)
+        .select(xxhash64(col("_metadata.file_path")).as("doc_id"), col("value"))
+        .as[(Long, String)]
+      val batch = graft.sinks.Tei.serialize(
+          graft.pipeline.Processor.documentPipeline(
+            graft.sources.AltoReader.tokens(batchDocs).toDF()).toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      assert(streamed == batch)
+      assert(streamed.size == 2 && streamed.forall(_._2.contains("<TEI")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("streaming curation: row-local quality kernel streams unchanged") {
+    // quality/curation features are pure projections — the SAME
+    // definition runs on a stream with append semantics and no state
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-curation-stream").toFile
+    val docs = Tables(spark, sf("0.001")).documents.select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val schema = docs.schema
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = graft.operators.TextAnalysis.qualityFeatures(streamed)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tqual").start()
+      q.processAllAvailable(); q.stop()
+      val s = spark.table("tqual").collect().map(_.toString).sorted.toSeq
+      val b = graft.operators.TextAnalysis.qualityFeatures(docs)
+        .collect().map(_.toString).sorted.toSeq
+      assert(s == b && s.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("stateful sessionizer emits each session exactly once (emit-on-close + timeout)") {
     import spark.implicits._
     import java.sql.Timestamp
