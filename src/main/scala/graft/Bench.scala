@@ -20,6 +20,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // test data is ONE parquet file per table (21 MB events, ~150 MB
+      // lineitem at sf1): the default 128 MB split serializes the scan
+      // to 1-2 tasks while DuckDB reads row groups on 32 threads. A
+      // 4 MB split recovers the intra-file parallelism a real deployment
+      // gets from file count; splits align to row-group boundaries so
+      // this only fans out, never re-reads.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -71,6 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("token_tf",
       "token_tf(array<string>) - per-row term frequencies as array<struct<tok,tf>>",
       TokenTfExpr)
+    unary("pii_scan",
+      "pii_scan(str) - struct<n_emails,n_phones,redacted>: email/phone counts + [EMAIL]/[PHONE] redaction",
+      PiiScanExpr)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(array<float>, array<float>) - inner product"), {
         args: Seq[Expression] =>

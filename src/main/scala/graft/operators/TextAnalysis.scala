@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  import graft.functions.TextStats
+  import graft.functions.{PiiScan, TextStats}
 
   /** Non-empty whitespace tokens. */
   def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
@@ -224,52 +224,95 @@ object TextAnalysis {
 
   /** PII scrub: count and redact email addresses and international
     * phone numbers (the minimum viable pre-training scrub). Row-local,
-    * no shuffle. Each regex pass is gated behind a literal `contains`
-    * probe on the pattern's required anchor char ('@' / '+'): the probe
-    * is a memchr-speed scan, while Java's backtracking engine pays
-    * O(text × run-length) even on documents that cannot possibly match
-    * (measured 2.7× on a corpus where a third of documents carry PII;
-    * the gate only widens as the clean fraction grows).
+    * no shuffle. The regex formulation (even `contains`-gated on the
+    * pattern anchor chars) was the one 8× bench miss at sf1 — Java's
+    * backtracking engine pays O(text × run-length) per PII-bearing
+    * document where an automaton pays O(text). [[PiiScan]] replaces it
+    * with hand-rolled leftmost-greedy scanners (fuzz-verified
+    * equivalent to the regexes) that anchor on indexOf probes: counts
+    * on the original text, redaction composed email-then-phone, one
+    * struct kernel per row inside whole-stage codegen. The projection
+    * boundary below keeps the kernel evaluated once (the q62 lesson:
+    * conditional consumers defeat codegen subexpression elimination).
     */
   def redactPii(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val t = col(textCol)
-    val hasAt = t.contains("@")
-    val hasPlus = t.contains("+")
-    val deEmailed = when(hasAt, regexp_replace(t, EmailRe, "[EMAIL]")).otherwise(t)
+      idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        when(hasAt, regexp_count(t, lit(EmailRe))).otherwise(lit(0L))
-          .cast("bigint").as("n_emails"),
-        when(hasPlus, regexp_count(t, lit(PhoneRe))).otherwise(lit(0L))
-          .cast("bigint").as("n_phones"),
-        when(hasPlus, regexp_replace(deEmailed, PhoneRe, "[PHONE]"))
-          .otherwise(deEmailed).as("redacted"))
+        PiiScan.pii_scan(col(textCol)).as("_pii"))
+      .select(col("doc_id"),
+        col("_pii.n_emails").as("n_emails"),
+        col("_pii.n_phones").as("n_phones"),
+        col("_pii.redacted").as("redacted"))
       .withColumn("redacted_len", length(col("redacted")).cast("bigint"))
-  }
 
   // ---------------------------------------------------- class rebalancing
 
   /** Balanced class sample: downsample every stratum to the size of the
     * rarest one, keeping each class's rows with the smallest id-hash —
     * the deterministic class-rebalancing pass of a labeled-data
-    * pipeline (`rand()` re-rolls per run; the hash never does). One
-    * shuffle on the stratum key for the per-class rank, the rarest-
-    * class size rides along as a broadcast 1-row aggregate. Per-class
-    * skew in the window sort is bounded by the class's own size; at the
-    * 100 TB design point a hot class is exactly what the sample is
-    * cutting down.
+    * pipeline (`rand()` re-rolls per run; the hash never does).
+    *
+    * Distributed selection, not a per-class sort. A window rank over
+    * each stratum caps parallelism at the number of classes (5 event
+    * types = 5 tasks, measured 2.8× at sf1) and sorts every row of a
+    * hot class. Instead: the md5 ordering is uniform, so split each
+    * stratum into 256 hash-prefix buckets, build the per-bucket
+    * histogram (map-side partial agg; strata × 256 rows), prefix-sum it
+    * to locate each stratum's threshold bucket, then
+    *  - buckets wholly below the cut pass with a broadcast join and NO
+    *    shuffle of row data;
+    *  - only the single boundary bucket per stratum (~1/256 of the
+    *    class) is ranked, partitioned by (stratum, bucket).
+    * The selected set is bit-identical to the rank-≤-nmin formulation
+    * because the bucket is a prefix of the sort key. The histogram is
+    * collected to the driver (strata × ≤256 rows — bounded for label
+    * spaces, the operator's declared domain; same bounded-collect
+    * contract as IVF's probe table) so the cut is computed once in
+    * local code instead of as a chain of broadcast-construction jobs
+    * that each rescan the source. The source is scanned twice
+    * (pass-through branch + boundary branch) — at the design point two
+    * narrow scans beat one full shuffle-sort of the corpus.
     */
   def balancedSample(rows: DataFrame, stratumCol: String,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val nmin = rows.groupBy(stratumCol).count()
-      .agg(min(col("count")).as("nmin"))
-    rows.withColumn("_rk", row_number().over(w))
-      .crossJoin(broadcast(nmin))
-      .filter(col("_rk") <= col("nmin"))
-      .drop("_rk", "nmin")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val spark = rows.sparkSession
+    val h = md5(col(idCol).cast("string"))
+    val withH = rows.withColumn("_h", h)
+      .withColumn("_hb", substring(col("_h"), 1, 2))
+    val hist = withH.groupBy(col(stratumCol).as("_s"), col("_hb").as("_b"))
+      .agg(count(lit(1)).as("_n")).collect()
+    val byStratum = hist.groupBy(_.get(0))
+    val nmin = if (byStratum.isEmpty) 0L
+      else byStratum.valuesIterator.map(_.map(_.getLong(2)).sum).min
+    val cut = byStratum.valuesIterator.flatMap { bs =>
+      var before = 0L
+      bs.sortBy(_.getString(1)).iterator.map { r =>
+        val take = math.min(r.getLong(2), nmin - before)
+        before += r.getLong(2)
+        Row(r.get(0), r.getString(1), take, take < r.getLong(2))
+      }.filter(_.getLong(2) > 0L)
+    }.toSeq
+    val cutSchema = StructType(Seq(
+      StructField("_s", rows.schema(stratumCol).dataType),
+      StructField("_b", StringType), StructField("_take", LongType),
+      StructField("_partial", BooleanType)))
+    def joined(p: Boolean) = withH.join(
+      broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(cut.filter(_.getBoolean(3) == p), 1),
+        cutSchema)),
+      col(stratumCol) === col("_s") && col("_hb") === col("_b"))
+    val whole = joined(p = false)
+    val wr = Window.partitionBy(col(stratumCol), col("_hb"))
+      .orderBy(col("_h"), col(idCol))
+    val partial = joined(p = true)
+      .withColumn("_rk", row_number().over(wr))
+      .filter(col("_rk") <= col("_take"))
+      .drop("_rk")
+    whole.unionByName(partial)
+      .drop("_h", "_hb", "_s", "_b", "_take", "_partial")
   }
 
   // ---------------------------------------------------- repetition ratio

@@ -247,6 +247,24 @@ class DedupSpec extends SparkSuite {
     assert(again == sampled.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("balancedSample: bucket selection equals the per-stratum rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed strata, enough rows that every hash bucket class appears
+    val rows = (Seq.tabulate(700)(i => (i.toLong, "a")) ++
+      Seq.tabulate(150)(i => (1000L + i, "b")) ++
+      Seq.tabulate(37)(i => (5000L + i, "c")))
+      .toDF("event_id", "event_type")
+    val got = TextAnalysis.balancedSample(rows, "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val w = Window.partitionBy("event_type")
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    val expected = rows.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 37).drop("_rk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == expected)
+    assert(got.count(_._2 == "a") == 37 && got.count(_._2 == "c") == 37)
+  }
+
   test("connectedComponents: chain, triangle and pair collapse to min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),

@@ -146,6 +146,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PiiScan matches java.util.regex on adversarial PII-shaped text") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.unsafe.types.UTF8String
+    val emailP = java.util.regex.Pattern.compile(TextAnalysis.EmailRe)
+    val phoneP = java.util.regex.Pattern.compile(TextAnalysis.PhoneRe)
+    def count(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    def sub(p: java.util.regex.Pattern, s: String, rep: String): String =
+      p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(rep))
+    // pieces biased toward the patterns' edge cases: bare anchors,
+    // runs of dots/dashes, valid and near-miss addresses and numbers
+    val pieceGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf(" ", "@", "+", ".", "-", "_", "%", "..", "@@", "++",
+        ".c", ".co", "a@b.co", "x@y", "@z.com", "a@.com", "a@b.c",
+        "+1", "+12 345 678 90", "+123456789", "+12 34", "1 2 3 4 5 6 7 8",
+        "jane.doe+x@lab.example.org", "-@-.aa", "a@-.bb", "a@b..cc",
+        "@", " @ ", "a@b.c-d.ee", "+0        0", "+0 0 0 0 0 0 0 0 0"))
+    val textGen = Gen.listOf(pieceGen).map(_.mkString)
+    forAllSamples(textGen, n = 600) { text =>
+      val row = graft.functions.PiiScan.scan(UTF8String.fromString(text))
+      val expectedRedacted = sub(phoneP, sub(emailP, text, "[EMAIL]"), "[PHONE]")
+      assert(row.getLong(0) == count(emailP, text), s"n_emails on '$text'")
+      assert(row.getLong(1) == count(phoneP, text), s"n_phones on '$text'")
+      assert(row.getUTF8String(2).toString == expectedRedacted, s"redacted on '$text'")
+    }
+  }
+
   test("WAV encode/decode roundtrip laws") {
     forAllSamples(Gen.alphaNumStr.map(_.take(64)).suchThat(_.nonEmpty)) { text =>
       val bytes = graft.operators.Multimodal.textToWav(text)
