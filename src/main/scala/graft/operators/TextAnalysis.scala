@@ -186,6 +186,60 @@ object TextAnalysis {
     docs.withColumn("bucket", substring(md5(col(idCol).cast("string")), 1, 2))
       .filter(col("bucket") < thresholdHex)
 
+  /** Group-aware train/val/test split (GroupShuffleSplit): the split is
+    * a function of the GROUP key's hash, never the row, so every row of
+    * a group (all events of a user, all documents of a source) lands in
+    * the same fold — the leakage guard a per-row split silently lacks.
+    * Row-local projection, no shuffle; thresholds are hex prefixes of
+    * md5 ("cc" = 204/256 ≈ 80% train, "e6" = 230/256 ≈ +10% val).
+    */
+  def groupSplit(rows: DataFrame, groupCol: String,
+      trainHex: String = "cc", valHex: String = "e6"): DataFrame = {
+    require(trainHex < valHex, "trainHex must sort below valHex")
+    rows.withColumn("_gb", substring(md5(col(groupCol).cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("_gb") < trainHex, "train")
+          .when(col("_gb") < valHex, "val")
+          .otherwise("test"))
+      .drop("_gb")
+  }
+
+  /** Deterministic shuffled shard assignment — the corpus → training
+    * shards export. Shard = first hex char of the id hash (16 shards
+    * here; thousands in a real export), position = rank of (hash, id)
+    * within the shard, so the emitted order is a content-independent
+    * global shuffle that is exactly reproducible across runs and
+    * engines. The window over the shard key IS the write pattern:
+    * one exchange on shard + in-partition sort, the same plan
+    * `repartition(shard).sortWithinPartitions(hash)` would produce for
+    * the actual file write, and parallelism scales with shard count.
+    */
+  def shardExport(rows: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rowsH = rows.withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("shard", substring(col("_h"), 1, 1))
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col(idCol))
+    rowsH.withColumn("pos", row_number().over(w).cast("bigint")).drop("_h")
+  }
+
+  /** Corpus vocabulary: token → total occurrences + document frequency,
+    * df-pruned, top-N by count — the tokenizer-training / coverage-
+    * audit pass. Reuses the row-local `token_tf` kernel (distinct
+    * (tok, tf) pairs per document, so df is a plain count), one shuffle
+    * on tok with map-side partial aggregation, and the top-N is
+    * TakeOrderedAndProject — never a global sort of the vocabulary.
+    */
+  def vocabulary(docs: DataFrame, textCol: String = "text",
+      minDf: Int = 5, topN: Int = 100): DataFrame =
+    docs.select(explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+      .select(col("p.tok").as("tok"), col("p.tf").as("tf"))
+      .groupBy("tok")
+      .agg(sum("tf").cast("bigint").as("n_occurrences"),
+        count(lit(1)).cast("bigint").as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(topN)
+
   // ------------------------------------------------------------ chunking
 
   /** Fixed-size overlapping token windows — the standard corpus →

@@ -222,6 +222,27 @@ object ScaleOps {
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
 
+  /** Q67 group-aware split (oracled): every event of a user lands in
+    * the same train/val/test fold — the leakage-free split. */
+  def q67(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.groupSplit(
+        Tables(s, d).events.select(col("event_id"), col("user_id")),
+        "user_id")
+      .orderBy("event_id")
+
+  /** Q68 deterministic shuffled shard export (oracled): shard + exact
+    * in-shard position from the id hash. */
+  def q68(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.shardExport(
+        Tables(s, d).documents.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  /** Q69 corpus vocabulary (oracled): top-100 tokens by occurrence
+    * count, document-frequency pruned. */
+  def q69(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabulary(Tables(s, d).documents, minDf = 5, topN = 100)
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -258,7 +279,8 @@ object ScaleOps {
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
     "q63_chunking" -> q63, "q64_pii_redaction" -> q64,
-    "q66_balanced_sample" -> q66,
+    "q66_balanced_sample" -> q66, "q67_group_split" -> q67,
+    "q68_shard_export" -> q68, "q69_vocabulary" -> q69,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -401,6 +423,26 @@ object ScaleOps {
            CAST(LEN(toks[start+1:start+64]) AS BIGINT) AS n_tokens,
            ARRAY_TO_STRING(toks[start+1:start+64], ' ') AS chunk_text
          FROM s ORDER BY doc_id, chunk_idx""",
+    "q67_group_split" ->
+      """SELECT event_id, user_id,
+           CASE WHEN SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+         FROM events ORDER BY event_id""",
+    "q68_shard_export" ->
+      """WITH h AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS _h FROM documents)
+         SELECT doc_id, SUBSTR(_h, 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY SUBSTR(_h, 1, 1)
+             ORDER BY _h, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
+    "q69_vocabulary" ->
+      """WITH t AS (SELECT doc_id,
+              UNNEST(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+         SELECT tok, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS df
+         FROM tf GROUP BY tok HAVING COUNT(*) >= 5
+         ORDER BY n_occurrences DESC, tok LIMIT 100""",
     "q66_balanced_sample" ->
       """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
          m AS (SELECT MIN(n) AS nmin FROM c),

@@ -265,6 +265,48 @@ class DedupSpec extends SparkSuite {
     assert(got.count(_._2 == "a") == 37 && got.count(_._2 == "c") == 37)
   }
 
+  test("groupSplit: a group never straddles folds; proportions track the thresholds") {
+    val rows = Seq.tabulate(2000)(i => (i.toLong, (i % 200).toLong))
+      .toDF("event_id", "user_id")
+    val out = TextAnalysis.groupSplit(rows, "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // leakage guard: one fold per group
+    val folds = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct.toSeq)
+    assert(folds.values.forall(_.size == 1))
+    // 200 groups at cc/e6 ≈ 80/10/10: loose sanity bounds
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit("train") > 1200 && bySplit.getOrElse("val", 0) > 0 &&
+      bySplit.getOrElse("test", 0) > 0)
+  }
+
+  test("shardExport: positions are a 1..n permutation per shard, deterministic") {
+    val rows = Seq.tabulate(300)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val out = TextAnalysis.shardExport(rows).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 300 && out.map(_._1).distinct.length == 300)
+    out.groupBy(_._2).foreach { case (shard, rs) =>
+      assert("0123456789abcdef".contains(shard))
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    val again = TextAnalysis.shardExport(rows).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(again == out.sorted.toSeq)
+  }
+
+  test("vocabulary: counts, df pruning and top-N ordering") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "apple banana"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, minDf = 2, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // apple: 4 occurrences over 3 docs; banana: 2 over 2; cherry/durian pruned
+    assert(out == Seq(("apple", 4L, 3L), ("banana", 2L, 2L)))
+    val top1 = TextAnalysis.vocabulary(docs, minDf = 2, topN = 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "apple")
+  }
+
   test("connectedComponents: chain, triangle and pair collapse to min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
