@@ -243,6 +243,16 @@ object ScaleOps {
   def q69(s: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabulary(Tables(s, d).documents, minDf = 5, topN = 100)
 
+  /** Q70 correlation join (oracled): view → purchase attribution pairs
+    * per user within 1 hour — the batch face of the stream-stream join
+    * (`StreamOps.correlatedPairs`; StreamingSpec proves replay
+    * equivalence of this exact definition). */
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables(s, d).events
+    graft.streaming.StreamOps.correlatedPairs(ev, ev)
+      .orderBy("user_id", "a_id", "b_id")
+  }
+
   /** Q44 winnowing fingerprint overlap pairs (rolling-hash sketch —
     * rows-only; candidate pairs sharing ≥ 3 winnowed hashes).
     *
@@ -281,6 +291,7 @@ object ScaleOps {
     "q63_chunking" -> q63, "q64_pii_redaction" -> q64,
     "q66_balanced_sample" -> q66, "q67_group_split" -> q67,
     "q68_shard_export" -> q68, "q69_vocabulary" -> q69,
+    "q70_correlation_join" -> q70,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -423,6 +434,15 @@ object ScaleOps {
            CAST(LEN(toks[start+1:start+64]) AS BIGINT) AS n_tokens,
            ARRAY_TO_STRING(toks[start+1:start+64], ' ') AS chunk_text
          FROM s ORDER BY doc_id, chunk_idx""",
+    "q70_correlation_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           STRFTIME(a.ts, '%Y-%m-%d %H:%M:%S') AS a_time,
+           STRFTIME(b.ts, '%Y-%m-%d %H:%M:%S') AS b_time
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'view' AND b.event_type = 'purchase'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         ORDER BY a.user_id, a_id, b_id""",
     "q67_group_split" ->
       """SELECT event_id, user_id,
            CASE WHEN SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

@@ -102,6 +102,35 @@ object StreamOps {
     }
   }
 
+  /** Stream-stream correlation join: every `typeB` event joined to the
+    * `typeA` events of the same user that precede it within `within` —
+    * the attribution/conversion-funnel shape (view → purchase). Defined
+    * once, runs in both modes: on batch frames it is a plain range
+    * join; on streaming frames the watermarks plus the two-sided time
+    * bound let Spark expire join state (each side holds at most
+    * `watermark + within` of events per user), which is exactly the
+    * condition Structured Streaming requires for state cleanup in
+    * stream-stream inner joins.
+    */
+  def correlatedPairs(eventsA: DataFrame, eventsB: DataFrame,
+      typeA: String = "view", typeB: String = "purchase",
+      within: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val a = eventsA.filter(col("event_type") === typeA)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = eventsB.filter(col("event_type") === typeB)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        date_format(col("a_ts"), "yyyy-MM-dd HH:mm:ss").as("a_time"),
+        date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("b_time"))
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState (the
     * D4/BIO-span pattern as an incremental operator;
     * `KeyValueGroupedDataset` custom state per SURVEY.md §2 streaming

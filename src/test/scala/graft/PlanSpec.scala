@@ -97,6 +97,46 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
   }
 
+  test("q64 pii_scan kernel is evaluated once and stays in codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val cg = try {
+      SparkEntry.queries("q64_pii_redaction")(spark, sf("0.001")).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(cg.contains("graft.functions.PiiScan.scan"), cg.take(2000))
+    // the projection boundary keeps the struct kernel single-evaluation
+    // even though three fields are consumed
+    val calls = "PiiScan\\.scan".r.findAllIn(cg).size
+    assert(calls <= 2, s"pii_scan evaluated $calls times (warm+code paths expected <= 2)")
+  }
+
+  test("q66 balanced sample never sorts a whole stratum") {
+    val p = plan("q66_balanced_sample")
+    // distributed selection: the only window runs per (stratum, bucket);
+    // a window partitioned by the stratum alone would be the class-count
+    // parallelism ceiling this operator exists to avoid
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windowLines.nonEmpty && windowLines.contains("_hb#"),
+      s"window must partition by (stratum, bucket), not the stratum alone:\n$windowLines")
+  }
+
+  test("q69 vocabulary top-N is TakeOrdered with partial aggregation") {
+    val p = plan("q69_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N vocabulary must not globally sort the token table:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial agg in:\n$p")
+  }
+
+  test("q67 group split is a pure projection, no shuffle before the report sort") {
+    val p = plan("q67_group_split")
+    // one exchange is the final orderBy; the fold assignment itself must
+    // not shuffle or aggregate
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"group split should only exchange for the report sort:\n$p")
+    assert(!p.contains("HashAggregate"), s"group split needs no aggregation:\n$p")
+  }
+
   test("ingest doc_id assignment has no single-partition exchange") {
     // xxhash64(path) replaces the old row_number-over-global-window id:
     // a Window.orderBy(path) with no partition spec plans as

@@ -303,6 +303,34 @@ class StreamingSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("stream-stream correlation join equals the batch range join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sscorr").toFile
+    val ev = Tables(spark, sf("0.001"))
+      .events.select("event_id", "ts", "user_id", "event_type")
+    // chronological file split: with watermark (2h) > join bound (1h),
+    // no cross-file pair can be dropped by state eviction, so streaming
+    // must reproduce the batch join exactly
+    val median = ev.agg(expr("percentile(cast(ts as long), 0.5)")).head().getDouble(0)
+    ev.filter(col("ts").cast("long") <= median).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    ev.filter(col("ts").cast("long") > median).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = StreamOps.correlatedPairs(src, src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sscorr").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("sscorr").collect().map(_.toString).sorted.toSeq
+      val batch = StreamOps.correlatedPairs(ev, ev)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch && batch.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("stateful sessionizer emits each session exactly once (emit-on-close + timeout)") {
     import spark.implicits._
     import java.sql.Timestamp
