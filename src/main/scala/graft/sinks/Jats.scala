@@ -52,8 +52,33 @@ object Jats {
       |          </xsl:if>
       |        </article-meta>
       |      </front>
-      |      <body/>
+      |      <body>
+      |        <xsl:apply-templates select="tei:text/tei:body/tei:div"/>
+      |        <xsl:if test="tei:text/tei:body/tei:figure">
+      |          <sec id="figures">
+      |            <title>Figures</title>
+      |            <xsl:apply-templates select="tei:text/tei:body/tei:figure"/>
+      |          </sec>
+      |        </xsl:if>
+      |      </body>
       |      <back>
+      |        <!-- acknowledgement -> <ack>, annex divs -> plain secs
+      |             (tei-to-jats.xsl:209-240 default targets) -->
+      |        <xsl:if test="tei:text/tei:back/tei:div[@type='acknowledgement']">
+      |          <ack>
+      |            <xsl:apply-templates
+      |              select="tei:text/tei:back/tei:div[@type='acknowledgement']"/>
+      |          </ack>
+      |        </xsl:if>
+      |        <xsl:for-each select="tei:text/tei:back/tei:div[@type='annex']">
+      |          <xsl:apply-templates select="tei:div"/>
+      |          <xsl:if test="tei:figure">
+      |            <sec id="annex_figures">
+      |              <title>Annex Figures</title>
+      |              <xsl:apply-templates select="tei:figure"/>
+      |            </sec>
+      |          </xsl:if>
+      |        </xsl:for-each>
       |        <xsl:if test="tei:text/tei:back//tei:listBibl">
       |          <ref-list>
       |            <xsl:for-each select="tei:text/tei:back//tei:listBibl/tei:biblStruct">
@@ -93,6 +118,59 @@ object Jats {
       |        </xsl:if>
       |      </back>
       |    </article>
+      |  </xsl:template>
+      |  <!-- body structure (tei-to-jats.xsl:202-207,387-399): div -> sec,
+      |       head -> title, p -> p with inline xrefs -->
+      |  <xsl:template match="tei:div">
+      |    <sec>
+      |      <xsl:apply-templates select="tei:head"/>
+      |      <xsl:apply-templates select="tei:p"/>
+      |      <xsl:apply-templates select="tei:figure"/>
+      |    </sec>
+      |  </xsl:template>
+      |  <xsl:template match="tei:head">
+      |    <title><xsl:apply-templates select="node()"/></title>
+      |  </xsl:template>
+      |  <xsl:template match="tei:p">
+      |    <p><xsl:apply-templates select="node()"/></p>
+      |  </xsl:template>
+      |  <!-- citation markers -> typed xrefs (tei-to-jats.xsl:355-385) -->
+      |  <xsl:template match="tei:ref[@target]">
+      |    <xref>
+      |      <xsl:attribute name="ref-type">
+      |        <xsl:choose>
+      |          <xsl:when test="@type='figure'">fig</xsl:when>
+      |          <xsl:otherwise><xsl:value-of select="@type"/></xsl:otherwise>
+      |        </xsl:choose>
+      |      </xsl:attribute>
+      |      <xsl:attribute name="rid">
+      |        <xsl:value-of select="substring-after(@target, '#')"/>
+      |      </xsl:attribute>
+      |      <xsl:value-of select="."/>
+      |    </xref>
+      |  </xsl:template>
+      |  <!-- figures / tables (tei-to-jats.xsl:160-200) -->
+      |  <xsl:template match="tei:figure[not(@type='table')]">
+      |    <fig>
+      |      <xsl:attribute name="id"><xsl:value-of select="@xml:id"/></xsl:attribute>
+      |      <object-id><xsl:value-of select="@xml:id"/></object-id>
+      |      <label><xsl:value-of select="tei:head"/></label>
+      |      <caption>
+      |        <xsl:apply-templates select="tei:head"/>
+      |        <p><xsl:value-of select="tei:figDesc"/></p>
+      |      </caption>
+      |    </fig>
+      |  </xsl:template>
+      |  <xsl:template match="tei:figure[@type='table']">
+      |    <table-wrap>
+      |      <xsl:attribute name="id"><xsl:value-of select="@xml:id"/></xsl:attribute>
+      |      <label><xsl:value-of select="tei:head"/></label>
+      |      <caption>
+      |        <xsl:apply-templates select="tei:head"/>
+      |        <p><xsl:value-of select="tei:figDesc"/></p>
+      |      </caption>
+      |      <table><tbody><tr><td><xsl:value-of select="text()"/></td></tr></tbody></table>
+      |    </table-wrap>
       |  </xsl:template>
       |</xsl:stylesheet>""".stripMargin
 

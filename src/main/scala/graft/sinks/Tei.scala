@@ -176,6 +176,17 @@ object Tei {
                   s"""<ref type="figure"${target(p)}>${esc(p.text)}</ref>"""
                 case "table_citation" =>
                   s"""<ref type="table"${target(p)}>${esc(p.text)}</ref>"""
+                case "raw_equation" =>
+                  // tei/equation.py:26-52: equation content inline,
+                  // label as a nested <label>, order as emitted
+                  val eqParts = kids(p.node_id).map { k =>
+                    k.node_type match {
+                      case "raw_equation_content" => esc(k.text)
+                      case "label" => s"<label>${esc(k.text)}</label>"
+                      case _ => esc(k.text)
+                    }
+                  }
+                  s"<formula>${eqParts.mkString(" ")}</formula>"
                 case _ => esc(p.text)
               }
             }
@@ -198,6 +209,13 @@ object Tei {
           case "raw_figure" => bodySb ++= s"<figure>${esc(c.text)}</figure>"
           case "raw_table" =>
             bodySb ++= s"""<figure type="table">${esc(c.text)}</figure>"""
+          case t if t.startsWith("note[") =>
+            // tei/misc.py:21-40 (SemanticMixedNote): unlabeled content
+            // kept as <note type="...">; the bracketed fold reason maps
+            // to the note type, "fulltext:other" → "other"
+            val noteType = t.stripPrefix("note[").stripSuffix("]")
+              .split(":").last
+            bodySb ++= s"""<note type="${esc(noteType)}">${esc(c.text)}</note>"""
           case _ => ()
         }
       }

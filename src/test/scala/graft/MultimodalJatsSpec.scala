@@ -85,6 +85,30 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(df.collect().head.getString(1).contains("<article-title>A Title</article-title>"))
   }
 
+  test("JATS: body divs become secs with xrefs, figures and ack map to JATS shapes") {
+    val tei = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>""" +
+      """<titleStmt><title level="a" type="main">A Title</title></titleStmt>""" +
+      """</fileDesc></teiHeader><text><body>""" +
+      """<div><head n="1.">Methods</head>""" +
+      """<p>See <ref type="bibr" target="#b0">[1]</ref> and """ +
+      """<ref type="figure" target="#fig_0">Figure 1</ref>.</p>""" +
+      """<figure xml:id="fig_0"><head>Figure 1</head><label>Figure 1</label>""" +
+      """<figDesc>A diagram</figDesc></figure>""" +
+      """<figure type="table" xml:id="tab_0"><head>Table 1</head>""" +
+      """<figDesc>Results</figDesc></figure></div></body>""" +
+      """<back><div type="acknowledgement"><head>Acknowledgements</head>""" +
+      """<p>we thank everyone</p></div></back></text></TEI>"""
+    val jats = Jats.transform(tei)
+    assert(jats.contains("<sec><title>Methods</title>"), jats)
+    assert(jats.contains("""<xref ref-type="bibr" rid="b0">[1]</xref>"""), jats)
+    assert(jats.contains("""<xref ref-type="fig" rid="fig_0">Figure 1</xref>"""), jats)
+    assert(jats.contains("""<fig id="fig_0"><object-id>fig_0</object-id>""" +
+      "<label>Figure 1</label>"), jats)
+    assert(jats.contains("""<table-wrap id="tab_0">"""), jats)
+    assert(jats.contains("<ack><sec><title>Acknowledgements</title>" +
+      "<p>we thank everyone</p></sec></ack>"), jats)
+  }
+
   test("JATS: listBibl maps to ref-list; bibliography authors stay out of contribs") {
     val tei = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>""" +
       """<titleStmt><title level="a" type="main">A Title</title></titleStmt>""" +

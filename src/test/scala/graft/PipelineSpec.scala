@@ -153,6 +153,22 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("<body/>"), tei)
   }
 
+  test("fulltext equations and section notes render as <formula> and <note>") {
+    import graft.pipeline.Extractors.Span
+    val spans = Seq(
+      Span(0L, "<section>", "2. Model"),
+      Span(1L, "<paragraph>", "It follows that"),
+      Span(2L, "<equation>", "E = mc^2"),
+      Span(3L, "<equation_label>", "(1)"),
+      Span(4L, "O", "margin scribble"))
+    val nodes = graft.pipeline.ModelExtractors.fulltextFold(0L, spans)
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    // tei/equation.py:26-52: content inline + nested <label>
+    assert(tei.contains("<formula>E = mc^2 <label>(1)</label></formula>"), tei)
+    // tei/misc.py:21-40: unlabeled content kept as a typed note
+    assert(tei.contains("""<note type="other">margin scribble</note>"""), tei)
+  }
+
   test("documentPipeline: figure/table passes assign fig_0/tab_0 and link citations") {
     // body paragraph with Figure/Table markers + caption blocks: the
     // fulltext fold emits raw_figure/raw_table + markers, the
