@@ -415,7 +415,8 @@ object Processor {
     * token table (B4/B5), so no data is copied, and Catalyst pushes the
     * tag filter below each branch's windows.
     */
-  def documentPipeline(tokens: DataFrame, config: Config = Config()): Dataset[SemanticNode] = {
+  def documentPipeline(tokens: DataFrame, config: Config = Config(),
+      graphics: Option[DataFrame] = None): Dataset[SemanticNode] = {
     val sparkSession = tokens.sparkSession
     import sparkSession.implicits._
     val seg = new SegmentationRuleLabeler().label(tokens)
@@ -433,9 +434,114 @@ object Processor {
     // fig_0…/tab_0… ids in document order + citation-target resolution,
     // per document inside one fold (one shuffle on doc_id; the
     // reference's matcher is per-document too)
-    headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes).union(refNodes)
+    val base = headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes)
+      .union(refNodes)
       .groupByKey(_.doc_id)
       .flatMapGroups((_, it) => assignIdsAndTargets(it.toSeq).iterator)
+    graphics match {
+      case None => base
+      case Some(g) => attachGraphics(base, figureCandidates(
+        new BodyRuleLabeler().label(view("<body>"))), g)
+    }
+  }
+
+  /** Figure/table candidate boxes off the labeled body view
+    * (`processors/fulltext/processor.py:337-369` builds the candidate
+    * list from SemanticFigure/SemanticTable layout blocks): one box per
+    * `<figure>`/`<table>` span — the union of its tokens' coordinates —
+    * keyed by the `fig_N`/`tab_N` content id the span's node WILL get,
+    * which is exactly its per-kind document-order rank (figureTablePass
+    * replaces raw figures in place, so span order == node order ==
+    * `assignIdsAndTargets` numbering).
+    */
+  private[pipeline] def figureCandidates(bodyLabeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    BioSpans.assignSpanIds(bodyLabeled)
+      .filter(col("tag").isin("<figure>", "<table>") && col("coords").isNotNull &&
+        col("page_width").isNotNull)
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(first(col("tag")).as("tag"),
+        min(col("coords.x")).as("x"), min(col("coords.y")).as("y"),
+        max(col("coords.x") + col("coords.width")).as("x2"),
+        max(col("coords.y") + col("coords.height")).as("y2"),
+        first(col("page_number")).as("page_number"),
+        first(col("page_width")).as("page_width"),
+        first(col("page_height")).as("page_height"))
+      .withColumn("width", col("x2") - col("x"))
+      .withColumn("height", col("y2") - col("y"))
+      .withColumn("candidate_id", concat(
+        when(col("tag") === "<figure>", lit("fig_")).otherwise(lit("tab_")),
+        row_number().over(Window.partitionBy(col("doc_id"), col("tag"))
+          .orderBy(col("span_id"))) - 1))
+      .drop("tag", "span_id", "x2", "y2")
+  }
+
+  /** Graphics input for [[documentPipeline]] from the ALTO reader's
+    * graphic rows: page dimensions joined in from the token table
+    * (graphics and tokens share pages; broadcast — pages-per-doc is
+    * tiny next to tokens). */
+  def graphicsForMatching(tokens: DataFrame, graphicRows: DataFrame): DataFrame = {
+    val pageDims = tokens.filter(col("page_width").isNotNull)
+      .groupBy(col("doc_id"), col("page_number"))
+      .agg(first(col("page_width")).as("page_width"),
+        first(col("page_height")).as("page_height"))
+    graphicRows.filter(col("coords").isNotNull)
+      .join(broadcast(pageDims), Seq("doc_id", "page_number"))
+      .select(col("doc_id"), col("file_id").as("graphic_id"),
+        col("graphic_type"),
+        col("coords.x").as("x"), col("coords.y").as("y"),
+        col("coords.width").as("width"), col("coords.height").as("height"),
+        col("page_number"), col("page_width"), col("page_height"))
+  }
+
+  /** F3 wired into the document DAG
+    * (`processors/fulltext/processor.py:268-273,337-369`
+    * `_process_graphics`): bounding-box match page graphics against the
+    * figure/table candidates, attach each matched graphic as a
+    * `graphic` child of its figure node (TEI: `<graphic type coords>`,
+    * tei/graphic.py:22-55), and collect unmatched graphics under one
+    * `note[unmatched_graphics]` back node per document
+    * (processor.py:343,367-369). Graphic info rides in the node row as
+    * `content_id = graphic_id`, `text = "<type>|<page,x,y,w,h>"`
+    * (format_coordinates, tei/common.py:87-94).
+    */
+  private[pipeline] def attachGraphics(base: Dataset[SemanticNode],
+      candidates: DataFrame, graphics: DataFrame): Dataset[SemanticNode] = {
+    import org.apache.spark.sql.expressions.Window
+    val sparkSession = base.sparkSession
+    import sparkSession.implicits._
+    val matched = GraphicMatching.matchGraphics(graphics, candidates)
+    val gInfo = graphics.select(col("doc_id"), col("graphic_id"),
+      concat(col("graphic_type"), lit("|"),
+        format_string("%d,%.2f,%.2f,%.2f,%.2f", col("page_number"),
+          col("x"), col("y"), col("width"), col("height"))).as("gtext"))
+    val figNodes = base.toDF().filter(col("node_type").isin("figure", "table"))
+      .select(col("doc_id").as("f_doc"), col("content_id").as("f_cand"),
+        col("node_id").as("fig_node_id"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("graphic_id"))
+    val matchedNodes = matched
+      .join(gInfo, Seq("doc_id", "graphic_id"))
+      .join(figNodes, col("doc_id") === col("f_doc") &&
+        col("candidate_id") === col("f_cand"))
+      .select(col("doc_id"),
+        (lit(5 * BodyIdOffset) + row_number().over(byDoc)).as("node_id"),
+        col("fig_node_id").as("parent_id"), lit("graphic").as("node_type"),
+        col("gtext").as("text"), col("graphic_id").as("content_id"))
+      .as[SemanticNode]
+    val unmatched = graphics.join(matched, Seq("doc_id", "graphic_id"), "left_anti")
+    val unmatchedNotes = unmatched.select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(6 * BodyIdOffset).as("node_id"),
+        lit(-1L).as("parent_id"), lit("note[unmatched_graphics]").as("node_type"),
+        lit("").as("text"), lit(null.asInstanceOf[String]).as("content_id"))
+      .as[SemanticNode]
+    val unmatchedChildren = unmatched
+      .join(gInfo, Seq("doc_id", "graphic_id"))
+      .select(col("doc_id"),
+        (lit(6 * BodyIdOffset + 1) + row_number().over(byDoc)).as("node_id"),
+        lit(6 * BodyIdOffset).as("parent_id"), lit("graphic").as("node_type"),
+        col("gtext").as("text"), col("graphic_id").as("content_id"))
+      .as[SemanticNode]
+    base.union(matchedNodes).union(unmatchedNotes).union(unmatchedChildren)
   }
 
   private val BodyIdOffset = 1L << 32

@@ -125,6 +125,18 @@ object Tei {
     sb.toString
   }
 
+  /** `<graphic>` from a matched/unmatched graphic node
+    * (tei/graphic.py:22-55; node text carries "type|page,x,y,w,h" —
+    * format_coordinates per tei/common.py:87-94). */
+  private def graphicXml(g: SemanticNode): String = {
+    val (gType, coords) = g.text.split("\\|", 2) match {
+      case Array(t, c) => (t, c)
+      case _ => ("", g.text)
+    }
+    val typeAttr = if (gType.nonEmpty) s""" type="${esc(gType)}"""" else ""
+    s"""<graphic coords="${esc(coords)}"$typeAttr/>"""
+  }
+
   /** Build one TEI document from a document's semantic-node rows. */
   def buildTei(nodes: Seq[SemanticNode]): String = {
     val ordered = nodes.sortBy(_.node_id)
@@ -202,6 +214,7 @@ object Tei {
                 case "label" =>
                   bodySb ++= s"<head>${esc(k.text)}</head><label>${esc(k.text)}</label>"
                 case "caption" => bodySb ++= s"<figDesc>${esc(k.text)}</figDesc>"
+                case "graphic" => bodySb ++= graphicXml(k)
                 case _ => ()
               }
             }
@@ -263,6 +276,16 @@ object Tei {
         }
       }
       backSb ++= "</listBibl></div>"
+    }
+
+    // unmatched graphics note (processor.py:343,367-369: graphics no
+    // figure claimed land in back as <note type="unmatched_graphics">)
+    ordered.filter(n => n.parent_id < 0 &&
+        n.node_type == "note[unmatched_graphics]").foreach { n =>
+      backSb ++= """<note type="unmatched_graphics">"""
+      kids(n.node_id).filter(_.node_type == "graphic")
+        .foreach(g => backSb ++= graphicXml(g))
+      backSb ++= "</note>"
     }
 
     val sb = new StringBuilder

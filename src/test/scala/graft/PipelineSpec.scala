@@ -201,6 +201,36 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("""<ref type="table" target="#tab_0">Table 1</ref>"""), tei)
   }
 
+  test("documentPipeline: matched graphics render in figures, unmatched in back") {
+    def bodyLine(y: Int, ts: Seq[String]) = {
+      val strings = ts.zipWithIndex.map { case (t, i) =>
+        s"""<String CONTENT="$t" HPOS="${100 + i * 40}" VPOS="$y" WIDTH="30" HEIGHT="10" STYLEREFS="font1"/>"""
+      }.mkString("\n")
+      s"<TextLine>$strings</TextLine>"
+    }
+    // figure caption at y=600: the fixture graphic (y 300-450) is within
+    // the 0.3 normalized gap; a second graphic at the page top is not
+    val xml = altoXml.replace("<Illustration",
+      s"""<TextBlock>${bodyLine(200, Seq("Results", "are", "shown"))}</TextBlock>
+         |<TextBlock>${bodyLine(600, Seq("Figure", "1", ":", "sample", "caption"))}</TextBlock>
+         |<Illustration FILEID="image-2.png" TYPE="png"
+         |              HPOS="400" VPOS="20" WIDTH="50" HEIGHT="30"/>
+         |<Illustration""".stripMargin)
+    val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
+    val graphicRows = AltoReader.graphics(Seq((0L, xml)).toDS()).toDF()
+    val g = graft.pipeline.Processor.graphicsForMatching(tokens, graphicRows)
+    val nodes = graft.pipeline.Processor.documentPipeline(
+      tokens, graft.pipeline.Processor.Config(), Some(g))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<figDesc>sample caption</figDesc>""" +
+      """<graphic coords="1,100.00,300.00,200.00,150.00" type="png"/></figure>"""), tei)
+    assert(tei.contains("""<note type="unmatched_graphics">""" +
+      """<graphic coords="1,400.00,20.00,50.00,30.00" type="png"/></note>"""), tei)
+    // without graphics the same pipeline emits no graphic nodes
+    val plain = graft.pipeline.Processor.documentPipeline(tokens)
+    assert(!plain.collect().exists(_.node_type == "graphic"))
+  }
+
   test("documentPipeline: references chain renders listBibl with parsed biblStruct") {
     def block(y: Int, lines: Seq[Seq[String]]): String = {
       val ls = lines.zipWithIndex.map { case (ts, li) =>
