@@ -60,6 +60,24 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Cross-corpus exact decontamination: drop from `corpus` every
+    * document whose exact text appears in `benchmark` — the
+    * benchmark-leakage guard a pre-training pipeline runs before any
+    * evaluation claim (the span-level sibling is
+    * [[graft.operators.TextAnalysis]]'s q51 contamination). The
+    * benchmark side reduces to distinct 16-byte digests and broadcasts
+    * (eval sets are tiny next to a training corpus); the corpus is
+    * anti-joined in place — no shuffle of corpus text, one scan.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val benchDigests = benchmark
+      .select(md5(col(textCol).cast("binary")).as("_h")).distinct()
+    corpus.withColumn("_h", md5(col(textCol).cast("binary")))
+      .join(broadcast(benchDigests), Seq("_h"), "left_anti")
+      .drop("_h")
+  }
+
   /** Near-dup pairs by normalized-key equality (blocking join).
     * The join key is the 16-byte md5 of the normalized key, not the key
     * text itself — the key is nearly document-length, so digesting it

@@ -28,6 +28,16 @@ object ScaleOps {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Q71 cross-corpus decontamination (oracled): the corpus minus every
+    * document whose exact text appears in the benchmark slice
+    * (doc_id % 7 == 0 carves a deterministic stand-in eval set). */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    Dedup.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Q32 near-dedup blocking by normalized key (F1 matcher analog). */
   def q32(s: SparkSession, d: String): DataFrame =
     Dedup.normalizedKeyPairs(Tables(s, d).documents)
@@ -291,7 +301,7 @@ object ScaleOps {
     "q63_chunking" -> q63, "q64_pii_redaction" -> q64,
     "q66_balanced_sample" -> q66, "q67_group_split" -> q67,
     "q68_shard_export" -> q68, "q69_vocabulary" -> q69,
-    "q70_correlation_join" -> q70,
+    "q70_correlation_join" -> q70, "q71_decontaminate" -> q71,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -434,6 +444,11 @@ object ScaleOps {
            CAST(LEN(toks[start+1:start+64]) AS BIGINT) AS n_tokens,
            ARRAY_TO_STRING(toks[start+1:start+64], ' ') AS chunk_text
          FROM s ORDER BY doc_id, chunk_idx""",
+    "q71_decontaminate" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE MD5(text) NOT IN
+           (SELECT MD5(text) FROM documents WHERE doc_id % 7 = 0)
+         ORDER BY doc_id""",
     "q70_correlation_join" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
            STRFTIME(a.ts, '%Y-%m-%d %H:%M:%S') AS a_time,

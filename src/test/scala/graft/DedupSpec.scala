@@ -265,6 +265,22 @@ class DedupSpec extends SparkSuite {
     assert(got.count(_._2 == "a") == 37 && got.count(_._2 == "c") == 37)
   }
 
+  test("decontaminate: drops exact benchmark text, keeps everything else") {
+    val corpus = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "a training document"),
+      (2L, "leaked eval question"),
+      (3L, "leaked eval question")).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "leaked eval question")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, benchmark).collect().map(_.getLong(0)).sorted
+    // BOTH copies of the leaked text go; content match, not id match
+    assert(out.toSeq == Seq(0L, 1L))
+    // plan: benchmark digests broadcast, corpus anti-joined in place
+    val plan = Dedup.decontaminate(corpus, benchmark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
   test("groupSplit: a group never straddles folds; proportions track the thresholds") {
     val rows = Seq.tabulate(2000)(i => (i.toLong, (i % 200).toLong))
       .toDF("event_id", "user_id")
