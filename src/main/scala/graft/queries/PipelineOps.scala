@@ -88,6 +88,12 @@ object PipelineOps {
         ln(Seq("1.", "Alice", "Smith", "Measuring", t1, "2020"), 714) +
         ln(Seq("2.", "Bob", "Jones", "Deep", "Analysis", "2021"), 728) + "</TextBlock>"
     }
+    // two page graphics: one just above the figure caption (bbox-matches
+    // fig_0 in the p13 graphic pass), one at the page top (unmatched →
+    // back-matter note)
+    val graphics =
+      s"""<Illustration FILEID="img-$docId-near.png" TYPE="png" HPOS="50" VPOS="560" WIDTH="200" HEIGHT="30"/>
+         |<Illustration FILEID="img-$docId-far.png" TYPE="png" HPOS="400" VPOS="20" WIDTH="50" HEIGHT="30"/>""".stripMargin
     s"""<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
        |<Styles>
        |<TextStyle ID="font0" FONTFAMILY="Times" FONTSIZE="18.0" FONTSTYLE="bold"/>
@@ -100,6 +106,7 @@ object PipelineOps {
        |$captions
        |$ack
        |$refs
+       |$graphics
        |</PrintSpace></Page></Layout></alto>""".stripMargin
   }
 
@@ -147,6 +154,27 @@ object PipelineOps {
     Tei.serialize(
       graft.pipeline.Processor.documentPipeline(tokenTable(s, d)).toDF())
       .orderBy("doc_id")
+
+  /** P13 graphics-wired pipeline (F3 in the main DAG,
+    * `processors/fulltext/processor.py:268-273`): ALTO page graphics →
+    * bbox match against the figure/table candidates → `<graphic>` in
+    * TEI figures, unmatched ones in the back-matter note. Every doc
+    * synthesizes one matchable and one stray graphic, so the expected
+    * per-doc counts are (2 graphics, 1 unmatched). Rows-only. */
+  def p13(s: SparkSession, d: String): DataFrame = {
+    val alto = altoCorpus(s, d)
+    val tokens = AltoReader.tokens(alto).toDF()
+    val graphics = graft.pipeline.Processor.graphicsForMatching(
+      tokens, AltoReader.graphics(alto).toDF())
+    val nodes = graft.pipeline.Processor.documentPipeline(
+      tokens, graft.pipeline.Processor.Config(), Some(graphics))
+    Tei.serialize(nodes.toDF())
+      .select(col("doc_id"),
+        (size(split(col("tei"), "<graphic ")) - 1).cast("bigint").as("n_graphics"),
+        col("tei").contains("unmatched_graphics").cast("int").cast("bigint")
+          .as("has_unmatched"))
+      .orderBy("doc_id")
+  }
 
   /** P05 multimodal image: binary media column → batched REAL ImageIO
     * decode (docs rendered as actual PNGs, pixels decoded back) → typed
@@ -389,5 +417,6 @@ object PipelineOps {
     "p10_asset_zip" -> p10,
     "p11_crf_header" -> p11,
     "p12_audio" -> p12,
+    "p13_graphic_tei" -> p13,
   )
 }
