@@ -53,6 +53,36 @@ object AltoReader {
     * over 64 bits is ~n²/2⁶⁵ — negligible below billions of files; a
     * strict pipeline can assert `count === countDistinct(doc_id)`.
     */
+  /** Corrupt-input guards: at corpus scale some files are always
+    * malformed, and an ingest that dies on the first bad byte is wrong
+    * at 100 TB — one task failure fails the stage, and a retry hits the
+    * same byte. [[tokensPermissive]] drops a corrupt document to zero
+    * token rows; [[quarantine]] is the matching dead-letter query
+    * (doc_id + parser error) over the same input, so the pipeline keeps
+    * an auditable record of everything it skipped. The strict [[tokens]]
+    * path stays the default — silently skipping data must be opt-in.
+    */
+  private[sources] def parseAllSafe(docId: Long, xml: String):
+      Either[String, (Seq[TokenRow], Seq[GraphicRow])] =
+    try Right(parseAll(docId, xml))
+    catch { case e: Exception =>
+      Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+
+  def tokensPermissive(docs: Dataset[(Long, String)]): Dataset[TokenRow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (docId, xml) =>
+      parseAllSafe(docId, xml).toOption.map(_._1).getOrElse(Nil)
+    }
+  }
+
+  def quarantine(docs: Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (docId, xml) =>
+      parseAllSafe(docId, xml).left.toOption.map(e => (docId, e))
+    }.toDF("doc_id", "error")
+  }
+
   def readDirectory(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile").load(path)

@@ -70,6 +70,21 @@ class PipelineSpec extends SparkSuite {
     assert(comma.coords.exists(c => math.abs(c.x - (118.0 + 48.0 * 5 / 8)) < 1e-9))
   }
 
+  test("corrupt ALTO: permissive parse skips, quarantine reports, strict throws") {
+    val truncated = altoXml.take(altoXml.length / 2)
+    val mixed = Seq((0L, altoXml), (1L, truncated)).toDS()
+    val ok = AltoReader.tokensPermissive(mixed).collect()
+    assert(ok.nonEmpty && ok.forall(_.doc_id == 0L))
+    val bad = AltoReader.quarantine(mixed).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(bad.length == 1 && bad(0)._1 == 1L &&
+      bad(0)._2.contains("Exception"), bad.mkString)
+    // the strict default refuses to silently drop data
+    intercept[org.apache.spark.SparkException] {
+      AltoReader.tokens(Seq((1L, truncated)).toDS()).collect()
+    }
+  }
+
   test("end-to-end: scripted labels -> spans -> header fold -> TEI") {
     val labeler = new ScriptedLabeler(spark, Seq(
       ((0L, 0, 0, 0, 0), "B-<title>"), ((0L, 0, 0, 0, 1), "I-<title>"),
