@@ -27,7 +27,11 @@ object Processor {
       // reference defaults: citation authors on, editors off
       // (processors/fulltext/config.py:39-40)
       extractCitationAuthors: Boolean = true,
-      extractCitationEditors: Boolean = false)
+      extractCitationEditors: Boolean = false,
+      // graphic asset extraction: graphic ids double as A8 zip entry
+      // names and TEI <graphic url=...> (graphic.py:37-39; reference
+      // default off, processors/fulltext/config.py extract_graphic_assets)
+      extractGraphicAssets: Boolean = false)
 
   /** Rule stand-in for the name model: alternate forename/surname over
     * word tokens, skipping "and"/comma delimiters, digits as markers —
@@ -441,7 +445,8 @@ object Processor {
     graphics match {
       case None => base
       case Some(g) => attachGraphics(base, figureCandidates(
-        new BodyRuleLabeler().label(view("<body>"))), g)
+        new BodyRuleLabeler().label(view("<body>"))), g,
+        config.extractGraphicAssets)
     }
   }
 
@@ -502,11 +507,16 @@ object Processor {
     * tei/graphic.py:22-55), and collect unmatched graphics under one
     * `note[unmatched_graphics]` back node per document
     * (processor.py:343,367-369). Graphic info rides in the node row as
-    * `content_id = graphic_id`, `text = "<type>|<page,x,y,w,h>"`
-    * (format_coordinates, tei/common.py:87-94).
+    * `content_id = graphic_id`, `text = "<type>|<page,x,y,w,h>[|<url>]"`
+    * (format_coordinates, tei/common.py:87-94). With
+    * `extractAssets = true` the graphic id doubles as the asset's
+    * relative path (the A8 zip entry name) and TEI emits it as the
+    * `url` attribute — `graphic.py:37-39` sets `relative_path` exactly
+    * when assets are extracted.
     */
   private[pipeline] def attachGraphics(base: Dataset[SemanticNode],
-      candidates: DataFrame, graphics: DataFrame): Dataset[SemanticNode] = {
+      candidates: DataFrame, graphics: DataFrame,
+      extractAssets: Boolean = false): Dataset[SemanticNode] = {
     val sparkSession = base.sparkSession
     import sparkSession.implicits._
     val matched = GraphicMatching.matchGraphics(graphics, candidates)
@@ -515,10 +525,14 @@ object Processor {
     // the node tree in ONE cogroup pass (an earlier formulation read
     // `base` three times and re-ran the whole upstream pipeline per
     // reference: 4× the p04 runtime at sf0.001)
+    val coordsStr = format_string("%d,%.2f,%.2f,%.2f,%.2f", col("page_number"),
+      col("x"), col("y"), col("width"), col("height"))
+    val gtext =
+      if (extractAssets)
+        concat(col("graphic_type"), lit("|"), coordsStr, lit("|"), col("graphic_id"))
+      else concat(col("graphic_type"), lit("|"), coordsStr)
     val gAll = graphics.select(col("doc_id"), col("graphic_id"),
-        concat(col("graphic_type"), lit("|"),
-          format_string("%d,%.2f,%.2f,%.2f,%.2f", col("page_number"),
-            col("x"), col("y"), col("width"), col("height"))).as("gtext"))
+        gtext.as("gtext"))
       .join(matched, Seq("doc_id", "graphic_id"), "left_outer")
       .select(col("doc_id"), col("graphic_id"), col("gtext"), col("candidate_id"))
       .as[(Long, String, String, String)]

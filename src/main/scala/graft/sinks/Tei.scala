@@ -126,15 +126,18 @@ object Tei {
   }
 
   /** `<graphic>` from a matched/unmatched graphic node
-    * (tei/graphic.py:22-55; node text carries "type|page,x,y,w,h" —
-    * format_coordinates per tei/common.py:87-94). */
+    * (tei/graphic.py:22-55; node text carries "type|page,x,y,w,h[|url]"
+    * — format_coordinates per tei/common.py:87-94, url present exactly
+    * when assets were extracted, graphic.py:37-39). */
   private def graphicXml(g: SemanticNode): String = {
-    val (gType, coords) = g.text.split("\\|", 2) match {
-      case Array(t, c) => (t, c)
-      case _ => ("", g.text)
+    val (gType, coords, url) = g.text.split("\\|", 3) match {
+      case Array(t, c, u) => (t, c, Some(u))
+      case Array(t, c) => (t, c, None)
+      case _ => ("", g.text, None)
     }
+    val urlAttr = url.map(u => s""" url="${esc(u)}"""").getOrElse("")
     val typeAttr = if (gType.nonEmpty) s""" type="${esc(gType)}"""" else ""
-    s"""<graphic coords="${esc(coords)}"$typeAttr/>"""
+    s"""<graphic$urlAttr coords="${esc(coords)}"$typeAttr/>"""
   }
 
   /** Build one TEI document from a document's semantic-node rows. */

@@ -56,6 +56,15 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(pairs == Seq(("b", 2L), ("a", 1L))) // first-seen order
   }
 
+  test("pii_scan callable from SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT pii_scan('mail a@b.co or +12 345 678 90 now') AS p""")
+      .select("p.n_emails", "p.n_phones", "p.redacted").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getString(2) == "mail [EMAIL] or [PHONE] now")
+  }
+
   test("non-literal size argument fails loudly") {
     registered
     val ex = intercept[Exception] {

@@ -244,6 +244,12 @@ class PipelineSpec extends SparkSuite {
     // without graphics the same pipeline emits no graphic nodes
     val plain = graft.pipeline.Processor.documentPipeline(tokens)
     assert(!plain.collect().exists(_.node_type == "graphic"))
+    // asset mode: the graphic id becomes the TEI url (= A8 zip entry)
+    val withUrl = graft.pipeline.Processor.documentPipeline(tokens,
+      graft.pipeline.Processor.Config(extractGraphicAssets = true), Some(g))
+    val teiUrl = Tei.serialize(withUrl.toDF()).collect().head.getString(1)
+    assert(teiUrl.contains("""<graphic url="image-1.png" """ +
+      """coords="1,100.00,300.00,200.00,150.00" type="png"/>"""), teiUrl)
   }
 
   test("documentPipeline: references chain renders listBibl with parsed biblStruct") {
