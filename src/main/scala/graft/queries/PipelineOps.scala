@@ -176,6 +176,19 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P14 training-data generation (reference per-model
+    * `training_data.py`): header-model training TEI per document —
+    * the artifact a user regenerates to retrain models. Rows-only. */
+  def p14(s: SparkSession, d: String): DataFrame = {
+    val labeled = new graft.pipeline.RuleLabeler().label(tokenTable(s, d))
+    graft.pipeline.TrainingData.headerTrainingXml(labeled)
+      .select(col("doc_id"),
+        length(col("training_tei")).cast("bigint").as("tei_len"),
+        col("training_tei").contains("<docTitle>").cast("int").cast("bigint")
+          .as("has_title"))
+      .orderBy("doc_id")
+  }
+
   /** P05 multimodal image: binary media column → batched REAL ImageIO
     * decode (docs rendered as actual PNGs, pixels decoded back) → typed
     * features (rows-only). */
@@ -418,5 +431,6 @@ object PipelineOps {
     "p11_crf_header" -> p11,
     "p12_audio" -> p12,
     "p13_graphic_tei" -> p13,
+    "p14_training_data" -> p14,
   )
 }
