@@ -75,6 +75,42 @@ object TrainingData {
     "<pubnum>" -> (CitationRoot :+ "idno"),
     "<note>" -> (CitationRoot :+ "note"))
 
+  /** models/name/training_data.py:26-39. */
+  val NameRoot: Seq[String] = Seq("teiHeader", "fileDesc", "sourceDesc",
+    "biblStruct", "analytic", "author", "persName")
+  val NamePaths: Map[String, Seq[String]] = Map(
+    "<marker>" -> (NameRoot :+ "marker"),
+    "<title>" -> (NameRoot :+ "roleName"),
+    "<forename>" -> (NameRoot :+ "forename"),
+    "<middlename>" -> (NameRoot :+ "middlename"),
+    "<surname>" -> (NameRoot :+ "surname"),
+    "<suffix>" -> (NameRoot :+ "suffix"))
+
+  /** models/affiliation_address/training_data.py:17-36. */
+  val AffiliationRoot: Seq[String] = Seq("teiHeader", "fileDesc", "sourceDesc",
+    "biblStruct", "analytic", "author", "affiliation")
+  val AffiliationPaths: Map[String, Seq[String]] = Map(
+    "<marker>" -> (AffiliationRoot :+ "marker"),
+    "<institution>" -> (AffiliationRoot :+ """orgName[@type="institution"]"""),
+    "<department>" -> (AffiliationRoot :+ """orgName[@type="department"]"""),
+    "<laboratory>" -> (AffiliationRoot :+ """orgName[@type="laboratory"]"""),
+    "<addrLine>" -> (AffiliationRoot ++ Seq("address", "addrLine")),
+    "<postCode>" -> (AffiliationRoot ++ Seq("address", "postCode")),
+    "<postBox>" -> (AffiliationRoot ++ Seq("address", "postBox")),
+    "<region>" -> (AffiliationRoot ++ Seq("address", "region")),
+    "<settlement>" -> (AffiliationRoot ++ Seq("address", "settlement")),
+    "<country>" -> (AffiliationRoot ++ Seq("address", "country")))
+
+  /** models/reference_segmenter/training_data.py:17-26 — a B-`<label>`
+    * resets to the root so every labeled reference opens a fresh
+    * `<bibl>`. */
+  val ReferenceSegmenterRoot: Seq[String] = Seq("text", "listBibl")
+  val ReferenceSegmenterPaths: Map[String, Seq[String]] = Map(
+    "<reference>" -> (ReferenceSegmenterRoot :+ "bibl"),
+    "<label>" -> (ReferenceSegmenterRoot ++ Seq("bibl", "label")))
+  val ReferenceSegmenterResets: Map[String, Seq[String]] = Map(
+    "<label>" -> ReferenceSegmenterRoot)
+
   // element spec "div[@type=\"abstract\"]" (utils/xml_writer.py:28-38)
   private val SpecRe = """^([^\[]+)(?:\[@?([^=]+)="(.+)"\])?$""".r
 
@@ -126,7 +162,8 @@ object TrainingData {
     * `write_xml_for_model_data_with_instructions_iterable`,
     * training_data.py:254-313). */
   def trainingXmlBody(lines: Seq[Seq[(String, String, String)]],
-      root: Seq[String], paths: Map[String, Seq[String]]): String = {
+      root: Seq[String], paths: Map[String, Seq[String]],
+      resets: Map[String, Seq[String]] = Map.empty): String = {
     val entityPaths = paths.collect {
       case (l, p) if !OtherLabels(l) && p != root => p
     }.toSet
@@ -144,7 +181,12 @@ object TrainingData {
       line.foreach { case (text, ws, prefixedLabel) =>
         val (prefix, label) = splitPrefix(prefixedLabel)
         val p = pathFor(label, w.current)
-        if (!OtherLabels(prevLabel) && pendingWs.nonEmpty &&
+        // reset path on B- (training_data.py:245-252): close all the
+        // way out so the next entity opens a fresh container element
+        val resetPath = if (prefix == "B") resets.get(label) else None
+        if (resetPath.isDefined)
+          w.requirePath(resetPath.get)
+        else if (!OtherLabels(prevLabel) && pendingWs.nonEmpty &&
             !isSameOrParent(w.current, p))
           w.requirePath(w.current.dropRight(1))
         else if (prefix == "B" && !OtherLabels(label) && label.nonEmpty)
@@ -172,7 +214,8 @@ object TrainingData {
     */
   def trainingXml(labeled: DataFrame, root: Seq[String],
       paths: Map[String, Seq[String]], rootTag: String,
-      xmlns: Option[String]): DataFrame = {
+      xmlns: Option[String],
+      resets: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val sparkSession = labeled.sparkSession
     import sparkSession.implicits._
     import org.apache.spark.sql.functions.col
@@ -191,7 +234,7 @@ object TrainingData {
           if (prevKey.contains(key)) (acc.init :+ (acc.last :+ tok), Some(key))
           else (acc :+ Vector(tok), Some(key))
         }._1
-        val body = trainingXmlBody(lines, root, paths)
+        val body = trainingXmlBody(lines, root, paths, resets)
         (docId, s"<$rootTag$nsAttr>$body</$rootTag>")
       }
       .toDF("doc_id", "training_tei")
@@ -203,4 +246,16 @@ object TrainingData {
   def citationTrainingXml(labeled: DataFrame): DataFrame =
     trainingXml(labeled, CitationRoot, CitationPaths, "TEI",
       Some("http://www.tei-c.org/ns/1.0"))
+
+  def nameTrainingXml(labeled: DataFrame): DataFrame =
+    trainingXml(labeled, NameRoot, NamePaths, "TEI",
+      Some("http://www.tei-c.org/ns/1.0"))
+
+  def affiliationTrainingXml(labeled: DataFrame): DataFrame =
+    trainingXml(labeled, AffiliationRoot, AffiliationPaths, "TEI",
+      Some("http://www.tei-c.org/ns/1.0"))
+
+  def referenceSegmenterTrainingXml(labeled: DataFrame): DataFrame =
+    trainingXml(labeled, ReferenceSegmenterRoot, ReferenceSegmenterPaths,
+      "tei", None, ReferenceSegmenterResets)
 }

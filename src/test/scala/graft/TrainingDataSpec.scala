@@ -72,6 +72,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(xml.contains("<date>2020<lb/></date>"))
   }
 
+  test("reference-segmenter reset: each B-<label> opens a fresh bibl") {
+    // two references, each "label then text": without the reset path the
+    // second label would nest inside the first bibl
+    val lines = Seq(
+      Seq(("1.", " ", "B-<label>"), ("First", " ", "B-<reference>"),
+        ("ref", "", "I-<reference>")),
+      Seq(("2.", " ", "B-<label>"), ("Second", " ", "B-<reference>"),
+        ("ref", "", "I-<reference>")))
+    val xml = TrainingData.trainingXmlBody(lines,
+      TrainingData.ReferenceSegmenterRoot, TrainingData.ReferenceSegmenterPaths,
+      TrainingData.ReferenceSegmenterResets)
+    assert(xml == "<text><listBibl><bibl><label>1.</label> First ref<lb/></bibl>\n" +
+      "<bibl><label>2.</label> Second ref<lb/></bibl>\n</listBibl></text>", xml)
+  }
+
+  test("affiliation paths nest address children under one address element") {
+    val lines = Seq(Seq(
+      ("MIT", " ", "B-<institution>"),
+      ("Cambridge", " ", "B-<settlement>"),
+      ("USA", "", "B-<country>")))
+    val xml = TrainingData.trainingXmlBody(lines,
+      TrainingData.AffiliationRoot, TrainingData.AffiliationPaths)
+    assert(xml.contains("""<orgName type="institution">MIT</orgName>"""), xml)
+    assert(xml.contains("<address><settlement>Cambridge</settlement>" +
+      " <country>USA<lb/></country></address>"), xml)
+  }
+
   test("header training XML over the labeled token table") {
     val spark = SparkSuite.session
     import spark.implicits._
