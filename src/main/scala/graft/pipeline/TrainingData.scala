@@ -111,6 +111,40 @@ object TrainingData {
   val ReferenceSegmenterResets: Map[String, Seq[String]] = Map(
     "<label>" -> ReferenceSegmenterRoot)
 
+  /** models/segmentation/training_data.py:31-48 (line-level labels). */
+  val SegmentationRoot: Seq[String] = Seq("text")
+  val SegmentationPaths: Map[String, Seq[String]] = Map(
+    "<other>" -> SegmentationRoot,
+    "O" -> SegmentationRoot,
+    "<header>" -> (SegmentationRoot :+ "front"),
+    "<headnote>" -> (SegmentationRoot :+ """note[@place="headnote"]"""),
+    "<footnote>" -> (SegmentationRoot :+ """note[@place="footnote"]"""),
+    "<marginnote>" -> (SegmentationRoot :+ """note[@place="marginnote"]"""),
+    "<page>" -> (SegmentationRoot :+ "page"),
+    "<references>" -> (SegmentationRoot :+ "listBibl"),
+    "<body>" -> (SegmentationRoot :+ "body"),
+    "<cover>" -> (SegmentationRoot :+ "titlePage"),
+    "<toc>" -> (SegmentationRoot :+ """div[@type="toc"]"""),
+    "<annex>" -> (SegmentationRoot :+ """div[@type="annex"]"""),
+    "<acknowledgement>" -> (SegmentationRoot :+ """div[@type="acknowledgement"]"""))
+
+  /** models/fulltext/training_data.py:24-41. */
+  val FulltextRoot: Seq[String] = Seq("text")
+  val FulltextPaths: Map[String, Seq[String]] = Map(
+    "<other>" -> (FulltextRoot :+ """note[@type="other"]"""),
+    "<section>" -> (FulltextRoot :+ "head"),
+    "<paragraph>" -> (FulltextRoot :+ "p"),
+    "<citation_marker>" -> (FulltextRoot ++ Seq("p", """ref[@type="biblio"]""")),
+    "<figure_marker>" -> (FulltextRoot ++ Seq("p", """ref[@type="figure"]""")),
+    "<table_marker>" -> (FulltextRoot ++ Seq("p", """ref[@type="table"]""")),
+    "<equation_marker>" -> (FulltextRoot ++ Seq("p", """ref[@type="formula"]""")),
+    "<section_marker>" -> (FulltextRoot ++ Seq("p", """ref[@type="section"]""")),
+    "<figure>" -> (FulltextRoot :+ "figure"),
+    "<table>" -> (FulltextRoot :+ """figure[@type="table"]"""),
+    "<equation>" -> (FulltextRoot :+ "formula"),
+    "<equation_label>" -> (FulltextRoot ++ Seq("formula", "label")),
+    "<item>" -> (FulltextRoot :+ "item"))
+
   // element spec "div[@type=\"abstract\"]" (utils/xml_writer.py:28-38)
   private val SpecRe = """^([^\[]+)(?:\[@?([^=]+)="(.+)"\])?$""".r
 
@@ -167,9 +201,13 @@ object TrainingData {
     val entityPaths = paths.collect {
       case (l, p) if !OtherLabels(l) && p != root => p
     }.toSet
+    // a mapped '<other>' (e.g. fulltext's note[@type="other"]) takes
+    // precedence for other-labeled tokens (training_data.py:224-226)
+    val otherPath = paths.get("<other>")
     def pathFor(label: String, cur: Seq[String]): Seq[String] =
       if (label.isEmpty || OtherLabels(label)) {
-        if (entityPaths(cur)) cur.dropRight(1) else cur
+        if (label.nonEmpty && otherPath.isDefined) otherPath.get
+        else if (entityPaths(cur)) cur.dropRight(1) else cur
       } else paths.getOrElse(label,
         root :+ s"""note[@type="${label.stripPrefix("<").stripSuffix(">")}"]""")
     val sb = new java.lang.StringBuilder
@@ -258,4 +296,10 @@ object TrainingData {
   def referenceSegmenterTrainingXml(labeled: DataFrame): DataFrame =
     trainingXml(labeled, ReferenceSegmenterRoot, ReferenceSegmenterPaths,
       "tei", None, ReferenceSegmenterResets)
+
+  def segmentationTrainingXml(labeled: DataFrame): DataFrame =
+    trainingXml(labeled, SegmentationRoot, SegmentationPaths, "tei", None)
+
+  def fulltextTrainingXml(labeled: DataFrame): DataFrame =
+    trainingXml(labeled, FulltextRoot, FulltextPaths, "tei", None)
 }

@@ -99,6 +99,28 @@ class TrainingDataSpec extends AnyFunSuite {
       " <country>USA<lb/></country></address>"), xml)
   }
 
+  test("segmentation: header/body regions, O lines at root") {
+    val lines = Seq(
+      lineOf("A Title", "<header>"),
+      lineOf("stray page number", "O"),
+      lineOf("body words here", "<body>"))
+    val xml = TrainingData.trainingXmlBody(lines,
+      TrainingData.SegmentationRoot, TrainingData.SegmentationPaths)
+    assert(xml == "<text><front>A Title<lb/></front>\nstray page number<lb/>\n" +
+      "<body>body words here<lb/></body>\n</text>", xml)
+  }
+
+  test("fulltext: mapped <other> wins over current-path fallback; markers nest in p") {
+    val lines = Seq(
+      Seq(("see", " ", "B-<paragraph>"), ("[1]", " ", "B-<citation_marker>"),
+        ("now", "", "B-<paragraph>")),
+      lineOf("margin junk", "<other>"))
+    val xml = TrainingData.trainingXmlBody(lines,
+      TrainingData.FulltextRoot, TrainingData.FulltextPaths)
+    assert(xml.contains("""<p>see <ref type="biblio">[1]</ref> now<lb/></p>"""), xml)
+    assert(xml.contains("""<note type="other">margin junk<lb/></note>"""), xml)
+  }
+
   test("header training XML over the labeled token table") {
     val spark = SparkSuite.session
     import spark.implicits._
