@@ -201,6 +201,20 @@ object ScaleOps {
     TextAnalysis.curationDecisions(Tables(s, d).documents)
       .orderBy("doc_id")
 
+  /** Q72 curation report (oracled): the q62 keep/drop decisions rolled
+    * up per source — the per-provider quality dashboard a curation run
+    * ends with. The decisions join back to the narrow (doc_id, source)
+    * projection; at scale the rollup is a tiny shuffle of (source,
+    * reason) pairs with map-side partial aggregation. */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    TextAnalysis.curationDecisions(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "reason")
+  }
+
   /** Q63 document chunking (oracled): fixed 64-token windows every 48
     * tokens — the corpus → training-example split, pure row-local
     * projection (sequence + slice, no shuffle). */
@@ -302,7 +316,40 @@ object ScaleOps {
     "q66_balanced_sample" -> q66, "q67_group_split" -> q67,
     "q68_shard_export" -> q68, "q69_vocabulary" -> q69,
     "q70_correlation_join" -> q70, "q71_decontaminate" -> q71,
+    "q72_curation_report" -> q72,
   )
+
+  /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
+    * (doc_id → first-failing-rule reason); q62 reports per document,
+    * q72 rolls the same decisions up per source. */
+  private val CurationOracleBody: String =
+    """WITH t AS (SELECT doc_id, n_chars,
+            LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+       s AS (SELECT doc_id, n_chars,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','a','of','to','and','in','is','it','on','for'))) AS DOUBLE)
+           / LEN(toks) AS stop_ratio,
+         1.0 - CAST(LEN(CASE WHEN LEN(toks) >= 2 THEN
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1]))
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS DOUBLE)
+           / GREATEST(LEN(toks)-1, 1) AS rep,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS BIGINT) AS hits_en,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS BIGINT) AS hits_de,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('le','la','les','et','est','une','dans','que'))) AS BIGINT) AS hits_fr,
+         CAST(LEN(LIST_FILTER(toks, x -> x IN ('el','los','y','es','en','un','una','por'))) AS BIGINT) AS hits_es
+         FROM t),
+       b AS (SELECT QUANTILE_CONT(n_chars, 0.05) AS len_lo,
+                    QUANTILE_CONT(n_chars, 0.95) AS len_hi FROM documents),
+       r AS (SELECT doc_id,
+         CASE WHEN n_chars < len_lo THEN 'too_short'
+              WHEN n_chars > len_hi THEN 'too_long'
+              WHEN (CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+                    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+                    WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END) <> 'en' THEN 'lang'
+              WHEN ROUND(rep, 4) > 0.06 THEN 'repetitive'
+              WHEN ROUND(stop_ratio, 4) < 0.01 THEN 'low_stopword'
+              ELSE 'ok' END AS reason
+         FROM s, b)"""
 
   val oracleSql: Map[String, String] = Map(
     "q31_dedup_exact" ->
@@ -385,34 +432,13 @@ object ScaleOps {
          FROM g JOIN dfreq ON g.gram = dfreq.gram
          GROUP BY g.doc_id ORDER BY doc_id""",
     "q62_curation" ->
-      """WITH t AS (SELECT doc_id, n_chars,
-              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
-         s AS (SELECT doc_id, n_chars,
-           CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','a','of','to','and','in','is','it','on','for'))) AS DOUBLE)
-             / LEN(toks) AS stop_ratio,
-           1.0 - CAST(LEN(CASE WHEN LEN(toks) >= 2 THEN
-               LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
-                 i -> toks[i] || ' ' || toks[i+1]))
-               ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS DOUBLE)
-             / GREATEST(LEN(toks)-1, 1) AS rep,
-           CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS BIGINT) AS hits_en,
-           CAST(LEN(LIST_FILTER(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS BIGINT) AS hits_de,
-           CAST(LEN(LIST_FILTER(toks, x -> x IN ('le','la','les','et','est','une','dans','que'))) AS BIGINT) AS hits_fr,
-           CAST(LEN(LIST_FILTER(toks, x -> x IN ('el','los','y','es','en','un','una','por'))) AS BIGINT) AS hits_es
-           FROM t),
-         b AS (SELECT QUANTILE_CONT(n_chars, 0.05) AS len_lo,
-                      QUANTILE_CONT(n_chars, 0.95) AS len_hi FROM documents),
-         r AS (SELECT doc_id,
-           CASE WHEN n_chars < len_lo THEN 'too_short'
-                WHEN n_chars > len_hi THEN 'too_long'
-                WHEN (CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
-                      WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
-                      WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END) <> 'en' THEN 'lang'
-                WHEN ROUND(rep, 4) > 0.06 THEN 'repetitive'
-                WHEN ROUND(stop_ratio, 4) < 0.01 THEN 'low_stopword'
-                ELSE 'ok' END AS reason
-           FROM s, b)
+      s"""$CurationOracleBody
          SELECT doc_id, reason, reason = 'ok' AS keep FROM r ORDER BY doc_id""",
+    "q72_curation_report" ->
+      s"""$CurationOracleBody
+         SELECT d.source, r.reason, CAST(COUNT(*) AS BIGINT) AS n
+         FROM r JOIN documents d USING (doc_id)
+         GROUP BY d.source, r.reason ORDER BY source, reason""",
     "q59_keywords" ->
       """WITH t AS (SELECT doc_id,
               UNNEST(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS tok FROM documents),
