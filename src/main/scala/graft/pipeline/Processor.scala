@@ -423,7 +423,17 @@ object Processor {
       graphics: Option[DataFrame] = None): Dataset[SemanticNode] = {
     val sparkSession = tokens.sparkSession
     import sparkSession.implicits._
-    val seg = new SegmentationRuleLabeler().label(tokens)
+    // the five view branches (header/body/ack/annex/references) all
+    // read the SAME segmentation labeling; left lazy, each branch
+    // re-scans the corpus and re-runs the labeler's windows (measured
+    // 5 scans / 19 exchanges in the p04 plan). Materializing the
+    // labeled token table once is the design that holds at scale too —
+    // the reference labels once, and storing one labeled corpus copy
+    // beats recomputing five window passes over it. localCheckpoint
+    // (executor-local, cleaned by the ContextCleaner when unreferenced)
+    // rather than persist — the p09 lesson: a persist with no owner to
+    // unpersist leaks across queries.
+    val seg = new SegmentationRuleLabeler().label(tokens).localCheckpoint()
     def view(tag: String): DataFrame =
       BioSpans.filterByTags(seg, Seq(tag)).drop("label", "tag")
 
