@@ -448,15 +448,26 @@ object Processor {
     // fig_0…/tab_0… ids in document order + citation-target resolution,
     // per document inside one fold (one shuffle on doc_id; the
     // reference's matcher is per-document too)
-    val base = headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes)
+    val union = headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes)
       .union(refNodes)
-      .groupByKey(_.doc_id)
-      .flatMapGroups((_, it) => assignIdsAndTargets(it.toSeq).iterator)
     graphics match {
-      case None => base
-      case Some(g) => attachGraphics(base, figureCandidates(
-        new BodyRuleLabeler().label(view("<body>"))), g,
-        config.extractGraphicAssets)
+      case None =>
+        union.groupByKey(_.doc_id)
+          .flatMapGroups((_, it) => assignIdsAndTargets(it.toSeq).iterator)
+      case Some(g) =>
+        // id assignment and graphic attachment share ONE doc_id
+        // shuffle: the cogroup runs assignIdsAndTargets and then
+        // attaches matched graphics in the same per-doc pass (a
+        // second groupByKey over the assigned nodes re-shuffled the
+        // whole node table — ~1/3 of the p13 runtime)
+        val gAll = matchedGraphicInfo(g, figureCandidates(
+          new BodyRuleLabeler().label(view("<body>"))),
+          config.extractGraphicAssets)
+        union.groupByKey(_.doc_id).cogroup(gAll.groupByKey(_._1)) {
+          (docId, ns, gs) =>
+            attachGraphicsLocal(docId, assignIdsAndTargets(ns.toSeq),
+              gs.toSeq).iterator
+        }
     }
   }
 
@@ -524,52 +535,57 @@ object Processor {
     * `url` attribute — `graphic.py:37-39` sets `relative_path` exactly
     * when assets are extracted.
     */
-  private[pipeline] def attachGraphics(base: Dataset[SemanticNode],
-      candidates: DataFrame, graphics: DataFrame,
-      extractAssets: Boolean = false): Dataset[SemanticNode] = {
-    val sparkSession = base.sparkSession
+  /** Every graphic with its render text and (nullable) matched figure
+    * content id — the small matcher output joined back to the graphic
+    * table (an earlier formulation read the pipeline output three
+    * times and re-ran the whole upstream DAG per reference: 4× the
+    * p04 runtime at sf0.001). */
+  private[pipeline] def matchedGraphicInfo(graphics: DataFrame,
+      candidates: DataFrame,
+      extractAssets: Boolean): Dataset[(Long, String, String, String)] = {
+    val sparkSession = graphics.sparkSession
     import sparkSession.implicits._
     val matched = GraphicMatching.matchGraphics(graphics, candidates)
-    // every graphic with its render text and (nullable) matched figure
-    // content id — joined on the small matcher output, then attached to
-    // the node tree in ONE cogroup pass (an earlier formulation read
-    // `base` three times and re-ran the whole upstream pipeline per
-    // reference: 4× the p04 runtime at sf0.001)
     val coordsStr = format_string("%d,%.2f,%.2f,%.2f,%.2f", col("page_number"),
       col("x"), col("y"), col("width"), col("height"))
     val gtext =
       if (extractAssets)
         concat(col("graphic_type"), lit("|"), coordsStr, lit("|"), col("graphic_id"))
       else concat(col("graphic_type"), lit("|"), coordsStr)
-    val gAll = graphics.select(col("doc_id"), col("graphic_id"),
-        gtext.as("gtext"))
+    graphics.select(col("doc_id"), col("graphic_id"), gtext.as("gtext"))
       .join(matched, Seq("doc_id", "graphic_id"), "left_outer")
       .select(col("doc_id"), col("graphic_id"), col("gtext"), col("candidate_id"))
       .as[(Long, String, String, String)]
-    base.groupByKey(_.doc_id).cogroup(gAll.groupByKey(_._1)) { (docId, ns, gs) =>
-      val nodes = ns.toSeq
-      val byCand = nodes.filter(n =>
-          n.node_type == "figure" || n.node_type == "table")
-        .map(n => n.content_id -> n.node_id).toMap
-      val extra = scala.collection.mutable.ListBuffer.empty[SemanticNode]
-      var nextMatched = 5 * BodyIdOffset
-      var nextStray = 6 * BodyIdOffset
-      gs.toSeq.sortBy(_._2).foreach { case (_, gid, gtext, cand) =>
-        Option(cand).flatMap(byCand.get) match {
-          case Some(figNodeId) =>
-            nextMatched += 1
-            extra += SemanticNode(docId, nextMatched, figNodeId, "graphic",
-              gtext, gid)
-          case None =>
-            if (nextStray == 6 * BodyIdOffset) extra += SemanticNode(docId,
-              nextStray, -1L, "note[unmatched_graphics]", "", null)
-            nextStray += 1
-            extra += SemanticNode(docId, nextStray, 6 * BodyIdOffset,
-              "graphic", gtext, gid)
-        }
+  }
+
+  /** Per-document attach: matched graphics become `graphic` children
+    * of their figure node, strays collect under one
+    * `note[unmatched_graphics]` back node. */
+  private[pipeline] def attachGraphicsLocal(docId: Long,
+      nodes: Seq[SemanticNode],
+      gs: Seq[(Long, String, String, String)]): Seq[SemanticNode] = {
+    if (gs.isEmpty) return nodes
+    val byCand = nodes.filter(n =>
+        n.node_type == "figure" || n.node_type == "table")
+      .map(n => n.content_id -> n.node_id).toMap
+    val extra = scala.collection.mutable.ListBuffer.empty[SemanticNode]
+    var nextMatched = 5 * BodyIdOffset
+    var nextStray = 6 * BodyIdOffset
+    gs.sortBy(_._2).foreach { case (_, gid, gtext, cand) =>
+      Option(cand).flatMap(byCand.get) match {
+        case Some(figNodeId) =>
+          nextMatched += 1
+          extra += SemanticNode(docId, nextMatched, figNodeId, "graphic",
+            gtext, gid)
+        case None =>
+          if (nextStray == 6 * BodyIdOffset) extra += SemanticNode(docId,
+            nextStray, -1L, "note[unmatched_graphics]", "", null)
+          nextStray += 1
+          extra += SemanticNode(docId, nextStray, 6 * BodyIdOffset,
+            "graphic", gtext, gid)
       }
-      (nodes ++ extra).iterator
     }
+    nodes ++ extra
   }
 
   private val BodyIdOffset = 1L << 32
