@@ -43,6 +43,12 @@ object Graft {
     }
   }
 
+  /** Streaming ingestion: the same token table as [[readAlto]], fed
+    * incrementally as new ALTO files land (StreamingSpec proves the
+    * foreachBatch pipeline output equals the batch run). */
+  def readAltoStream(spark: SparkSession, path: String): DataFrame =
+    graft.streaming.StreamOps.streamingAltoTokens(spark, path)
+
   /** Dead-letter record for a permissive read: (doc_id, error). */
   def quarantine(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

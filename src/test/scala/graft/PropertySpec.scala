@@ -164,7 +164,10 @@ class PropertySpec extends AnyFunSuite {
         ".c", ".co", "a@b.co", "x@y", "@z.com", "a@.com", "a@b.c",
         "+1", "+12 345 678 90", "+123456789", "+12 34", "1 2 3 4 5 6 7 8",
         "jane.doe+x@lab.example.org", "-@-.aa", "a@-.bb", "a@b..cc",
-        "@", " @ ", "a@b.c-d.ee", "+0        0", "+0 0 0 0 0 0 0 0 0"))
+        "@", " @ ", "a@b.c-d.ee", "+0        0", "+0 0 0 0 0 0 0 0 0",
+        // non-ASCII/surrogate pairs: outside every char class, must
+        // split runs identically in both engines
+        "é@b.co", "a@é.co", "🦊", "a🦊@b.co", "+12 🦊 345678901", "τ@σ.gr"))
     val textGen = Gen.listOf(pieceGen).map(_.mkString)
     forAllSamples(textGen, n = 600) { text =>
       val row = graft.functions.PiiScan.scan(UTF8String.fromString(text))
