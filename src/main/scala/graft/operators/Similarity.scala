@@ -167,6 +167,23 @@ object Similarity {
       .toDF(idCol, "v", "norm", "list_id")
   }
 
+  /** Corpus clustering: k-means over the embedding column — the
+    * topic-bucketing / mixture-balancing pass of a training-data
+    * pipeline (cluster counts drive up/down-sampling; IVF reuses the
+    * same quantizer as its index). Training touches a bounded
+    * hash-ordered sample on the driver; assignment is one broadcast
+    * `mapPartitions` pass — the corpus is never shuffled. Deterministic:
+    * seeded init + hash-ordered sample reproduce bit-identically.
+    */
+  def kmeansClusters(emb: DataFrame, k: Int, iters: Int = 10,
+      sampleN: Int = 4096, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    ivfAssign(emb,
+        trainIvfCentroids(emb, k, iters, sampleN, seed, vecCol, idCol),
+        vecCol, idCol)
+      .select(col(idCol), col("list_id").as("cluster"),
+        round(col("norm"), 4).as("norm"))
+
   /** IVF ANN top-k: probe the `nprobe` nearest centroid lists per query
     * and exact-score only those postings. The scale path next to
     * [[annTopK]]'s LSH: centroid count grows with the corpus

@@ -136,6 +136,16 @@ object ScaleOps {
       queryIds = Seq(0L, 1L, 2L, 3L), k = 5)
       .orderBy("query_id", "rn")
 
+  /** Q73 corpus clustering (rows-only — k-means is not
+    * SQL-expressible): per-cluster sizes over the embedding corpus,
+    * deterministic by seeded init + hash-ordered training sample. */
+  def q73(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansClusters(Tables(s, d).embeddings, k = 8)
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(avg(col("norm")), 4).as("avg_norm"))
+      .orderBy("cluster")
+
   /** Q51 span contamination (oracled): per-doc fraction of 8-token
     * shingles shared with at least one other document — the span-level
     * dedup statistic. The oracle recomputes it from raw grams; the
@@ -316,7 +326,7 @@ object ScaleOps {
     "q66_balanced_sample" -> q66, "q67_group_split" -> q67,
     "q68_shard_export" -> q68, "q69_vocabulary" -> q69,
     "q70_correlation_join" -> q70, "q71_decontaminate" -> q71,
-    "q72_curation_report" -> q72,
+    "q72_curation_report" -> q72, "q73_kmeans_clusters" -> q73,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`

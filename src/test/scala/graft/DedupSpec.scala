@@ -265,6 +265,27 @@ class DedupSpec extends SparkSuite {
     assert(got.count(_._2 == "a") == 37 && got.count(_._2 == "c") == 37)
   }
 
+  test("kmeansClusters: partitions the corpus, separates blobs, deterministic") {
+    import graft.operators.Similarity
+    // two well-separated blobs around orthogonal axes
+    val vecs = (Seq.tabulate(40)(i =>
+        (i.toLong, Array(10f + i % 3, 0.1f * (i % 5), 0f))) ++
+      Seq.tabulate(40)(i =>
+        (1000L + i, Array(0.1f * (i % 5), 0f, 10f + i % 3))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansClusters(vecs, k = 2, sampleN = 80).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.length == 80 && out.map(_._1).distinct.length == 80)
+    // each blob lands in ONE cluster, and the clusters differ
+    val byBlob = out.groupBy(_._1 < 1000L).view
+      .mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(byBlob(true).size == 1 && byBlob(false).size == 1)
+    assert(byBlob(true) != byBlob(false))
+    val again = Similarity.kmeansClusters(vecs, k = 2, sampleN = 80).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(again == out.sorted.toSeq)
+  }
+
   test("decontaminate: drops exact benchmark text, keeps everything else") {
     val corpus = Seq(
       (0L, "the quick brown fox"),
