@@ -368,10 +368,17 @@ object Processor {
     * concatenate in document order.
     */
   private def fulltextViewNodes(viewTokens: DataFrame, sectionType: String,
+      idOffset: Long): Dataset[SemanticNode] =
+    fulltextViewNodesLabeled(new BodyRuleLabeler().label(viewTokens),
+      sectionType, idOffset)
+
+  /** Same fold over an ALREADY-labeled view — lets the graphics path
+    * label the body once and share it with the candidate-box branch. */
+  private def fulltextViewNodesLabeled(labeled: DataFrame, sectionType: String,
       idOffset: Long): Dataset[SemanticNode] = {
-    val sparkSession = viewTokens.sparkSession
+    val sparkSession = labeled.sparkSession
     import sparkSession.implicits._
-    BioSpans.spans(new BodyRuleLabeler().label(viewTokens))
+    BioSpans.spans(labeled)
       .select(col("doc_id"), col("span_id"), col("tag"), col("text"))
       .as[(Long, Long, String, String)]
       .groupByKey(_._1)
@@ -440,7 +447,14 @@ object Processor {
     val headerNodes = headerPipeline(view("<header>"), new RuleLabeler(), config)
     // view node ids are offset after all header ids so TEI ordering is
     // stable: header, body, acknowledgement, annex
-    val bodyNodes = fulltextViewNodes(view("<body>"), "body", BodyIdOffset)
+    // with graphics enabled the body labeling feeds TWO branches (the
+    // fulltext fold and the figure candidate boxes) — label it once
+    val bodyLabeled = graphics.map(_ =>
+      new BodyRuleLabeler().label(view("<body>")).localCheckpoint())
+    val bodyNodes = bodyLabeled match {
+      case Some(bl) => fulltextViewNodesLabeled(bl, "body", BodyIdOffset)
+      case None => fulltextViewNodes(view("<body>"), "body", BodyIdOffset)
+    }
     val ackNodes = fulltextViewNodes(view("<acknowledgement>"),
       "acknowledgement", 2 * BodyIdOffset)
     val annexNodes = fulltextViewNodes(view("<annex>"), "annex", 3 * BodyIdOffset)
@@ -460,8 +474,7 @@ object Processor {
         // attaches matched graphics in the same per-doc pass (a
         // second groupByKey over the assigned nodes re-shuffled the
         // whole node table — ~1/3 of the p13 runtime)
-        val gAll = matchedGraphicInfo(g, figureCandidates(
-          new BodyRuleLabeler().label(view("<body>"))),
+        val gAll = matchedGraphicInfo(g, figureCandidates(bodyLabeled.get),
           config.extractGraphicAssets)
         union.groupByKey(_.doc_id).cogroup(gAll.groupByKey(_._1)) {
           (docId, ns, gs) =>
