@@ -63,6 +63,9 @@ class GraftExtensionsSpec extends SparkSuite {
       .select("p.n_emails", "p.n_phones", "p.redacted").collect().head
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
     assert(r.getString(2) == "mail [EMAIL] or [PHONE] now")
+    // null propagates (UnaryExpression null-safety), no NPE
+    val n = spark.sql("SELECT pii_scan(CAST(NULL AS STRING)) AS p").collect().head
+    assert(n.isNullAt(0))
   }
 
   test("non-literal size argument fails loudly") {
