@@ -13,6 +13,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Per-scale split size (VERDICT r4 "what's wrong" #1): the 4 MB
+    // split that recovers intra-file parallelism on sf1's ~150 MB
+    // single-file tables only multiplies task overhead on sf0.1's tiny
+    // files (uniform ~2.5× bench inflation in BENCH_r04). Derive the
+    // scale from the data itself: small corpus → default 128 MB splits.
+    val dirBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+    val defaultSplit = if (dirBytes < 200L * 1024 * 1024) "128m" else "4m"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -27,7 +35,7 @@ object Bench {
       // gets from file count; splits align to row-group boundaries so
       // this only fans out, never re-reads.
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT", defaultSplit))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

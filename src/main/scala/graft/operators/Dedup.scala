@@ -285,7 +285,8 @@ object Dedup {
     // job) unless the caller passes it.
     val planeDim =
       if (dim > 0) dim
-      else emb.select(size(col(vecCol))).head().getInt(0)
+      else emb.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+        .take(1).headOption.map(_.getInt(0)).getOrElse(1)
     // norms are computed once per vector and carried through the join as
     // plain columns (the join output materializes them), so the
     // O(pairs) stage pays one dot product instead of three array passes

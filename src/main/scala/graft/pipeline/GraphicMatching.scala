@@ -227,11 +227,27 @@ object GraphicMatching {
     // block's lines via a direct equi-join, and only the remainder
     // goes through the page-level/nearest-block derivation
     val hasExplicit = graphics.columns.contains("related_block_idx")
+    lazy val blockLines = lineTextOf(tokens)
+      .groupBy("doc_id", "page_idx", "block_idx")
+      .agg(transform(
+        array_sort(collect_list(struct(col("line_idx"), col("line")))),
+        l => l.getField("line")).as("lines"))
     val (explicit, derived) =
-      if (hasExplicit)
-        (graphics.filter(col("related_block_idx").isNotNull),
-          graphics.filter(col("related_block_idx").isNull).drop("related_block_idx"))
-      else (null, graphics)
+      if (hasExplicit) {
+        val exp = graphics.filter(col("related_block_idx").isNotNull)
+        val keyed = blockLines.select(col("doc_id").as("b_doc"),
+          col("page_idx").as("b_page"), col("block_idx").as("b_block"))
+        val cond = exp("doc_id") === col("b_doc") &&
+          exp("page_idx") === col("b_page") &&
+          exp("related_block_idx") === col("b_block")
+        // an explicit adjacency that resolves to a block with no lines
+        // (token-free block) falls back to the derived page/nearest-
+        // block path instead of silently dropping the graphic
+        (exp.join(keyed, cond, "left_semi"),
+          graphics.filter(col("related_block_idx").isNull)
+            .unionByName(exp.join(keyed, cond, "left_anti"))
+            .drop("related_block_idx"))
+      } else (null, graphics)
     val byPage = Window.partitionBy("doc_id", "page_idx")
     val counted = derived.withColumn("_n_on_page", count(lit(1)).over(byPage))
     val only = counted.filter(col("_n_on_page") === 1).drop("_n_on_page")
@@ -247,11 +263,6 @@ object GraphicMatching {
       onlyLines.union(relatedBlockLines(shared, tokens, maxDistance))
     if (!hasExplicit) derivedLines
     else {
-      val blockLines = lineTextOf(tokens)
-        .groupBy("doc_id", "page_idx", "block_idx")
-        .agg(transform(
-          array_sort(collect_list(struct(col("line_idx"), col("line")))),
-          l => l.getField("line")).as("lines"))
       val explicitLines = explicit
         .join(blockLines,
           explicit("doc_id") === blockLines("doc_id") &&

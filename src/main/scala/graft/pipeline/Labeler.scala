@@ -95,9 +95,13 @@ final class ReferenceSegmenterRuleLabeler extends SequenceLabeler {
     val lineW = Window.partitionBy("doc_id", "page_idx", "block_idx", "line_idx")
     val markerish = col("text").rlike("^[0-9]+$|^[.)\\]\\[]$")
     val firstTok = max(when(col("token_idx") === 0, col("text"))).over(lineW)
+    val secondTok = max(when(col("token_idx") === 1, col("text"))).over(lineW)
     // first token of the line that is NOT part of a numeric marker run
     val firstNonMarker = min(when(!markerish, col("token_idx"))).over(lineW)
-    val hasLabel = firstTok.rlike("^[0-9]+$")
+    // a marker is a leading bare number (`1.`, `2)`) or a leading `[`
+    // whose next token is a number (`[1]` — the retokenizer splits it)
+    val hasLabel = firstTok.rlike("^[0-9]+$") ||
+      (firstTok === "[" && secondTok.rlike("^[0-9]+$"))
     tokens.withColumn("label",
       when(hasLabel && (firstNonMarker.isNull || col("token_idx") < firstNonMarker),
         when(col("token_idx") === 0, "B-<label>").otherwise("I-<label>"))

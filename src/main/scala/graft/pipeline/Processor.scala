@@ -503,9 +503,15 @@ object Processor {
         min(col("coords.x")).as("x"), min(col("coords.y")).as("y"),
         max(col("coords.x") + col("coords.width")).as("x2"),
         max(col("coords.y") + col("coords.height")).as("y2"),
-        first(col("page_number")).as("page_number"),
-        first(col("page_width")).as("page_width"),
-        first(col("page_height")).as("page_height"))
+        // deterministic page anchor for spans crossing a page boundary:
+        // the span's FIRST page (struct min orders on page_number; the
+        // dims ride along, and are constant per page)
+        min(struct(col("page_number"), col("page_width"),
+          col("page_height"))).as("pg"))
+      .withColumn("page_number", col("pg.page_number"))
+      .withColumn("page_width", col("pg.page_width"))
+      .withColumn("page_height", col("pg.page_height"))
+      .drop("pg")
       .withColumn("width", col("x2") - col("x"))
       .withColumn("height", col("y2") - col("y"))
       .withColumn("candidate_id", concat(

@@ -141,6 +141,11 @@ object AltoReader {
     var blockHasTokens = false
     var inBlock = false
     var inLine = false
+    // graphics-buffer positions of Illustrations nested in the current
+    // block: their related_block_idx is only valid if the block ends up
+    // token-bearing (otherwise blockIdx aliases the NEXT non-empty
+    // block), so resolution is deferred to the block's END_ELEMENT
+    val pendingNested = ListBuffer.empty[Int]
 
     import javax.xml.stream.XMLStreamConstants.{END_ELEMENT, START_ELEMENT}
     while (r.hasNext) {
@@ -186,6 +191,7 @@ object AltoReader {
                 if (inBlock) Some(blockIdx)
                 else if (blockIdx > 0) Some(blockIdx - 1)
                 else None
+              if (inBlock) pendingNested += graphics.length
               graphics += GraphicRow(docId, pageIdx, pageNumber,
                 attr(r, "FILEID").orNull, attr(r, "TYPE").orNull,
                 Some(coordsOf(r, pageNumber)), related)
@@ -198,6 +204,14 @@ object AltoReader {
               if (tokenIdx > 0) lineIdx += 1 // drop empty lines (B3)
             case "TextBlock" if inBlock =>
               inBlock = false
+              // a nested Illustration's enclosing-block adjacency only
+              // holds if the block was kept; an empty (dropped) block
+              // contributes no index, so the graphic reverts to derived
+              // linkage rather than aliasing the next non-empty block
+              if (!blockHasTokens) pendingNested.foreach { i =>
+                graphics(i) = graphics(i).copy(related_block_idx = None)
+              }
+              pendingNested.clear()
               if (blockHasTokens) blockIdx += 1 // drop empty blocks (B3)
             case _ => ()
           }
