@@ -360,165 +360,241 @@ object Processor {
     process(Extractors.headerSemantics(
       BioSpans.spans(labeler.label(tokens))).toDF(), config)
 
-  /** One fulltext-model view (`processor.py:809-848`
+  /** One fulltext-model view, fold form (`processor.py:809-848`
     * `_update_semantic_section_using_segmentation_result_and_fulltext_model`):
     * label the view's tokens with the fulltext model, fold into
     * sections (tagged `sectionType` via the section `content_id`), run
     * the figure/table pass, and shift node ids by `idOffset` so views
     * concatenate in document order.
     */
-  private def fulltextViewNodes(viewTokens: DataFrame, sectionType: String,
-      idOffset: Long): Dataset[SemanticNode] =
-    fulltextViewNodesLabeled(new BodyRuleLabeler().label(viewTokens),
-      sectionType, idOffset)
+  private def fulltextViewLocal(docId: Long, viewTokens: IndexedSeq[TokenRow],
+      sectionType: String, idOffset: Long): Seq[SemanticNode] =
+    figureTablePass(docId, ModelExtractors.fulltextFold(docId,
+      LocalLabelers.spansLocal(LocalLabelers.bodyRuleLabels(viewTokens)),
+      sectionType)).map(shiftIds(_, idOffset))
 
-  /** Same fold over an ALREADY-labeled view — lets the graphics path
-    * label the body once and share it with the candidate-box branch. */
-  private def fulltextViewNodesLabeled(labeled: DataFrame, sectionType: String,
-      idOffset: Long): Dataset[SemanticNode] = {
-    val sparkSession = labeled.sparkSession
-    import sparkSession.implicits._
-    BioSpans.spans(labeled)
-      .select(col("doc_id"), col("span_id"), col("tag"), col("text"))
-      .as[(Long, Long, String, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (docId, it) =>
-        figureTablePass(docId, ModelExtractors.fulltextFold(docId,
-          it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq, sectionType)).iterator
-      }
-      .map(n => n.copy(
-        node_id = n.node_id + idOffset,
-        parent_id = if (n.parent_id < 0) -1L else n.parent_id + idOffset))
-  }
+  private def shiftIds(n: SemanticNode, idOffset: Long): SemanticNode =
+    n.copy(node_id = n.node_id + idOffset,
+      parent_id = if (n.parent_id < 0) -1L else n.parent_id + idOffset)
 
-  /** The references view (`processor.py:529-622,654-717`): tokens the
-    * segmentation stage labeled `<references>` → reference-segmenter
-    * model (raw references with labels) → citation model per raw
-    * reference → name model on each parsed reference's raw authors —
-    * all three folds inside ONE per-document group, so the whole chain
-    * costs a single shuffle on doc_id.
+  /** The reference's full document flow for ONE document
+    * (processor.py:180-274), entirely local: segmentation labels every
+    * token `<header>`/`<body>`/`<acknowledgement>`/`<annex>`/
+    * `<references>`, the header model + name/affiliation passes run on
+    * the header view, the fulltext fold on the body view and the two
+    * back-matter views, and the references chain (reference-segmenter →
+    * citation model → citation names, processor.py:529-622,654-717) on
+    * the references view. Returns the pre-`assignIdsAndTargets` node
+    * union with the view id offsets (header 0, body/ack/annex/refs at
+    * multiples of BodyIdOffset) — exactly what the old five-branch
+    * DataFrame union produced per document.
     */
-  private def referencesViewNodes(viewTokens: DataFrame, idOffset: Long,
-      config: Config): Dataset[SemanticNode] = {
-    val sparkSession = viewTokens.sparkSession
-    import sparkSession.implicits._
-    BioSpans.spans(new ReferenceSegmenterRuleLabeler().label(viewTokens))
-      .select(col("doc_id"), col("span_id"), col("tag"), col("text"))
-      .as[(Long, Long, String, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (docId, it) =>
-        val spans = it.map(r => Extractors.Span(r._2, r._3, r._4)).toSeq
-        citationNamePass(docId,
-          citationPass(docId, ModelExtractors.referenceSegmenterFold(docId, spans)),
-          config).iterator
-      }
-      .map(n => n.copy(node_id = n.node_id + idOffset,
-        parent_id = if (n.parent_id < 0) -1L else n.parent_id + idOffset))
+  private[pipeline] def processTokensLocal(docId: Long, toks: Seq[TokenRow],
+      config: Config): Seq[SemanticNode] =
+    processTokensLocalWithBody(docId, toks, config)._1
+
+  /** [[processTokensLocal]] variant also returning the labeled body
+    * view — the graphics path derives figure/table candidate boxes from
+    * the SAME labeling the fulltext fold consumed (one pass, and the
+    * candidate numbering provably matches the node numbering). */
+  private[pipeline] def processTokensLocalWithBody(docId: Long,
+      toks: Seq[TokenRow], config: Config):
+      (Seq[SemanticNode], IndexedSeq[(TokenRow, String)]) = {
+    val ordered = LocalLabelers.ordered(toks)
+    val seg = LocalLabelers.segmentationLabels(ordered)
+    def view(tag: String): IndexedSeq[TokenRow] =
+      seg.collect { case (t, l) if LocalLabelers.stripTag(l) == tag => t }
+
+    val headerNodes = processDocument(docId, Extractors.headerFold(docId,
+      LocalLabelers.spansLocal(LocalLabelers.headerRuleLabels(view("<header>")))),
+      config)
+    val bodyLabeled = LocalLabelers.bodyRuleLabels(view("<body>"))
+    val bodyNodes = figureTablePass(docId, ModelExtractors.fulltextFold(docId,
+      LocalLabelers.spansLocal(bodyLabeled), "body")).map(shiftIds(_, BodyIdOffset))
+    val ackNodes = fulltextViewLocal(docId, view("<acknowledgement>"),
+      "acknowledgement", 2 * BodyIdOffset)
+    val annexNodes = fulltextViewLocal(docId, view("<annex>"),
+      "annex", 3 * BodyIdOffset)
+    val refSpans = LocalLabelers.spansLocal(
+      LocalLabelers.referenceSegmenterLabels(view("<references>")))
+    val refNodes = citationNamePass(docId,
+      citationPass(docId, ModelExtractors.referenceSegmenterFold(docId, refSpans)),
+      config).map(shiftIds(_, 4 * BodyIdOffset))
+    (headerNodes ++ bodyNodes ++ ackNodes ++ annexNodes ++ refNodes, bodyLabeled)
   }
 
-  /** The reference's full document flow (processor.py:180-274):
-    * segmentation labels every token `<header>`/`<body>`/
-    * `<acknowledgement>`/`<annex>`, the header model + folds run on the
-    * header view, the fulltext fold on the body view and on the two
-    * back-matter views (`processor.py:205-225` — acknowledgement
-    * section type `acknowledgement`, annex sections routed to the back
-    * annex container). Each view is just a predicate on the labeled
-    * token table (B4/B5), so no data is copied, and Catalyst pushes the
-    * tag filter below each branch's windows.
+  private def asTokenRows(tokens: DataFrame): Dataset[TokenRow] = {
+    val sparkSession = tokens.sparkSession
+    import sparkSession.implicits._
+    tokens.select(col("doc_id"), col("page_idx"), col("block_idx"),
+      col("line_idx"), col("token_idx"), col("text"), col("whitespace"),
+      col("font"), col("coords"), col("page_number"), col("page_width"),
+      col("page_height")).as[TokenRow]
+  }
+
+  /** The reference's full document flow (processor.py:180-274) as ONE
+    * `groupByKey(doc_id)` fold: segmentation, the five view labelers,
+    * every model fold, and `assignIdsAndTargets` all run per document
+    * inside a single pass — the same shape as the reference's
+    * one-document `FullTextProcessor.get_semantic_document`.
+    *
+    * This replaced a five-branch DataFrame formulation whose per-view
+    * window labelers cost ~14 exchanges and 12-13 s at sf1 for
+    * p04/p06: labels are per-line/per-block decisions, so the fold
+    * computes them locally ([[LocalLabelers]], window-parity pinned by
+    * LabelerParitySpec) and the whole pipeline shuffles the token
+    * table exactly once. At 100 TB that is the difference between one
+    * repartition of the corpus and five window sorts of it.
     */
   def documentPipeline(tokens: DataFrame, config: Config = Config(),
       graphics: Option[DataFrame] = None): Dataset[SemanticNode] = {
     val sparkSession = tokens.sparkSession
     import sparkSession.implicits._
-    // the five view branches (header/body/ack/annex/references) all
-    // read the SAME segmentation labeling; left lazy, each branch
-    // re-scans the corpus and re-runs the labeler's windows (measured
-    // 5 scans / 19 exchanges in the p04 plan). Materializing the
-    // labeled token table once is the design that holds at scale too —
-    // the reference labels once, and storing one labeled corpus copy
-    // beats recomputing five window passes over it. localCheckpoint
-    // (executor-local, cleaned by the ContextCleaner when unreferenced)
-    // rather than persist — the p09 lesson: a persist with no owner to
-    // unpersist leaks across queries.
-    val seg = new SegmentationRuleLabeler().label(tokens).localCheckpoint()
-    def view(tag: String): DataFrame =
-      BioSpans.filterByTags(seg, Seq(tag)).drop("label", "tag")
+    foldDocuments(tokens, config, graphics)((_, ns) => ns.iterator)
+  }
 
-    val headerNodes = headerPipeline(view("<header>"), new RuleLabeler(), config)
-    // view node ids are offset after all header ids so TEI ordering is
-    // stable: header, body, acknowledgement, annex
-    // with graphics enabled the body labeling feeds TWO branches (the
-    // fulltext fold and the figure candidate boxes) — label it once
-    val bodyLabeled = graphics.map(_ =>
-      new BodyRuleLabeler().label(view("<body>")).localCheckpoint())
-    val bodyNodes = bodyLabeled match {
-      case Some(bl) => fulltextViewNodesLabeled(bl, "body", BodyIdOffset)
-      case None => fulltextViewNodes(view("<body>"), "body", BodyIdOffset)
-    }
-    val ackNodes = fulltextViewNodes(view("<acknowledgement>"),
-      "acknowledgement", 2 * BodyIdOffset)
-    val annexNodes = fulltextViewNodes(view("<annex>"), "annex", 3 * BodyIdOffset)
-    val refNodes = referencesViewNodes(view("<references>"), 4 * BodyIdOffset, config)
-    // fig_0…/tab_0… ids in document order + citation-target resolution,
-    // per document inside one fold (one shuffle on doc_id; the
-    // reference's matcher is per-document too)
-    val union = headerNodes.union(bodyNodes).union(ackNodes).union(annexNodes)
-      .union(refNodes)
+  /** [[documentPipeline]] fused straight through to the TEI sink:
+    * `(doc_id, tei)` rendered inside the SAME per-doc fold, so the
+    * node table never re-shuffles into a separate serialize pass —
+    * token ingest + one doc_id exchange is the whole plan. */
+  def documentTei(tokens: DataFrame, config: Config = Config(),
+      graphics: Option[DataFrame] = None): DataFrame = {
+    val sparkSession = tokens.sparkSession
+    import sparkSession.implicits._
+    foldDocuments(tokens, config, graphics)((docId, ns) =>
+      Iterator((docId, graft.sinks.Tei.buildTei(ns)))).toDF("doc_id", "tei")
+  }
+
+  /** The per-document fold shared by every pipeline surface: `finish`
+    * maps a document's final nodes to output rows (identity for the
+    * node table, `buildTei` for the fused TEI sink). */
+  private def foldDocuments[T](tokens: DataFrame, config: Config,
+      graphics: Option[DataFrame])(
+      finish: (Long, Seq[SemanticNode]) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val sparkSession = tokens.sparkSession
+    import sparkSession.implicits._
+    val toks = asTokenRows(tokens)
     graphics match {
       case None =>
-        union.groupByKey(_.doc_id)
-          .flatMapGroups((_, it) => assignIdsAndTargets(it.toSeq).iterator)
+        toks.groupByKey(_.doc_id).flatMapGroups { (docId, it) =>
+          finish(docId, assignIdsAndTargets(
+            processTokensLocal(docId, it.toSeq, config)))
+        }
       case Some(g) =>
-        // id assignment and graphic attachment share ONE doc_id
-        // shuffle: the cogroup runs assignIdsAndTargets and then
-        // attaches matched graphics in the same per-doc pass (a
-        // second groupByKey over the assigned nodes re-shuffled the
-        // whole node table — ~1/3 of the p13 runtime)
-        val gAll = matchedGraphicInfo(g, figureCandidates(bodyLabeled.get),
-          config.extractGraphicAssets)
-        union.groupByKey(_.doc_id).cogroup(gAll.groupByKey(_._1)) {
-          (docId, ns, gs) =>
-            attachGraphicsLocal(docId, assignIdsAndTargets(ns.toSeq),
-              gs.toSeq).iterator
+        // the whole graphics chain — candidate boxes off the body
+        // labeling, F3 bbox matching, greedy 1–1, attach — is
+        // per-document by construction, so it runs inside the SAME
+        // cogroup as the node fold: one shuffle of the token table,
+        // one of the (tiny) graphics table, zero extra scans
+        val gIn = g.select(col("doc_id"), col("graphic_id"),
+            col("graphic_type"), col("x"), col("y"), col("width"),
+            col("height"), col("page_number"), col("page_width"),
+            col("page_height")).as[GraphicIn]
+        toks.groupByKey(_.doc_id).cogroup(gIn.groupByKey(_.doc_id)) {
+          (docId, ts, gsIt) =>
+            val (preNodes, bodyLabeled) =
+              processTokensLocalWithBody(docId, ts.toSeq, config)
+            val nodes = assignIdsAndTargets(preNodes)
+            val gs = gsIt.toSeq
+            val matched = matchGraphicsLocal(gs,
+              figureCandidatesLocal(docId, bodyLabeled)).toMap
+            val gInfo = gs.map(gr => (docId, gr.graphic_id,
+              graphicText(gr, config.extractGraphicAssets),
+              matched.getOrElse(gr.graphic_id, null)))
+            finish(docId, attachGraphicsLocal(docId, nodes, gInfo))
         }
     }
   }
 
-  /** Figure/table candidate boxes off the labeled body view
+  /** One figure/table candidate box
+    * (`processors/fulltext/processor.py:337-369`). */
+  private[pipeline] final case class CandidateRow(
+      doc_id: Long, candidate_id: String,
+      x: Double, y: Double, width: Double, height: Double,
+      page_number: Int, page_width: Double, page_height: Double)
+
+  /** Figure/table candidate boxes for ONE document
     * (`processors/fulltext/processor.py:337-369` builds the candidate
     * list from SemanticFigure/SemanticTable layout blocks): one box per
-    * `<figure>`/`<table>` span — the union of its tokens' coordinates —
-    * keyed by the `fig_N`/`tab_N` content id the span's node WILL get,
-    * which is exactly its per-kind document-order rank (figureTablePass
-    * replaces raw figures in place, so span order == node order ==
-    * `assignIdsAndTargets` numbering).
+    * `<figure>`/`<table>` span of the body view — the union of its
+    * coordinate-bearing tokens — keyed by the `fig_N`/`tab_N` content
+    * id the span's node WILL get, which is exactly its per-kind
+    * document-order rank (figureTablePass replaces raw figures in
+    * place, so span order == node order == `assignIdsAndTargets`
+    * numbering). Page anchor is the span's first page (deterministic
+    * for spans crossing a page boundary).
     */
-  private[pipeline] def figureCandidates(bodyLabeled: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    BioSpans.assignSpanIds(bodyLabeled)
-      .filter(col("tag").isin("<figure>", "<table>") && col("coords").isNotNull &&
-        col("page_width").isNotNull)
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(first(col("tag")).as("tag"),
-        min(col("coords.x")).as("x"), min(col("coords.y")).as("y"),
-        max(col("coords.x") + col("coords.width")).as("x2"),
-        max(col("coords.y") + col("coords.height")).as("y2"),
-        // deterministic page anchor for spans crossing a page boundary:
-        // the span's FIRST page (struct min orders on page_number; the
-        // dims ride along, and are constant per page)
-        min(struct(col("page_number"), col("page_width"),
-          col("page_height"))).as("pg"))
-      .withColumn("page_number", col("pg.page_number"))
-      .withColumn("page_width", col("pg.page_width"))
-      .withColumn("page_height", col("pg.page_height"))
-      .drop("pg")
-      .withColumn("width", col("x2") - col("x"))
-      .withColumn("height", col("y2") - col("y"))
-      .withColumn("candidate_id", concat(
-        when(col("tag") === "<figure>", lit("fig_")).otherwise(lit("tab_")),
-        row_number().over(Window.partitionBy(col("doc_id"), col("tag"))
-          .orderBy(col("span_id"))) - 1))
-      .drop("tag", "span_id", "x2", "y2")
+  private[pipeline] def figureCandidatesLocal(docId: Long,
+      bodyLabeled: IndexedSeq[(TokenRow, String)]): Seq[CandidateRow] = {
+    val withIds = LocalLabelers.assignSpanIdsLocal(bodyLabeled)
+    val kept = withIds.filter { case (t, tag, _) =>
+      (tag == "<figure>" || tag == "<table>") &&
+        t.coords.isDefined && t.page_width.isDefined
+    }
+    var figN = 0
+    var tabN = 0
+    kept.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, ts) =>
+      val tag = ts.head._2
+      val cs = ts.map(_._1.coords.get)
+      val x = cs.map(_.x).min
+      val y = cs.map(_.y).min
+      val x2 = cs.map(c => c.x + c.width).max
+      val y2 = cs.map(c => c.y + c.height).max
+      val pg = ts.map(t => (t._1.page_number, t._1.page_width.get,
+        t._1.page_height.getOrElse(0.0))).min
+      val cid =
+        if (tag == "<figure>") { val c = s"fig_$figN"; figN += 1; c }
+        else { val c = s"tab_$tabN"; tabN += 1; c }
+      CandidateRow(docId, cid, x, y, x2 - x, y2 - y, pg._1, pg._2, pg._3)
+    }
+  }
+
+  /** One page graphic as [[documentPipeline]]'s graphics input
+    * ([[graphicsForMatching]] output row). */
+  private[pipeline] final case class GraphicIn(
+      doc_id: Long, graphic_id: String, graphic_type: String,
+      x: Double, y: Double, width: Double, height: Double,
+      page_number: Int, page_width: Double, page_height: Double)
+
+  /** Per-document F3 bbox matching — the same prune (same doc,
+    * |page diff| ≤ 1, normalized gap distance ≤ maxDistance) and greedy
+    * multi-round 1–1 assignment [[GraphicMatching.matchGraphics]] runs
+    * as a join + fold, computed locally inside the pipeline's cogroup
+    * (the reference matches per document too,
+    * `processors/graphic_matching.py:371-459`).
+    */
+  private[pipeline] def matchGraphicsLocal(gs: Seq[GraphicIn],
+      cs: Seq[CandidateRow],
+      maxDistance: Double = GraphicMatching.DefaultMaxDistance): Seq[(String, String)] = {
+    import GraphicMatching.{Box, distance, normalized}
+    val gn = gs.map(g => g.graphic_id -> normalized(
+      Box(g.x, g.y, g.width, g.height, g.page_number), g.page_width, g.page_height))
+    val cn = cs.map(c => c.candidate_id -> normalized(
+      Box(c.x, c.y, c.width, c.height, c.page_number), c.page_width, c.page_height))
+    val pairs = for {
+      (gid, gb) <- gn
+      (cid, cb) <- cn
+      if math.abs(gb.pageNumber - cb.pageNumber) <= 1 &&
+        distance(gb, cb) <= maxDistance
+    } yield (gid, gb, cid, cb)
+    val gSurv = pairs.groupBy(_._1).map { case (gid, ps) =>
+      (gid, ps.map(_._2).distinct)
+    }.toSeq.sortBy(_._1)
+    val cSurv = pairs.groupBy(_._3).map { case (cid, ps) =>
+      (cid, ps.map(_._4).distinct)
+    }.toSeq.sortBy(_._1)
+    GraphicMatching.greedyAssign(gSurv, cSurv, maxDistance)
+  }
+
+  /** Graphic render text: `<type>|<page,x,y,w,h>[|<url>]`
+    * (format_coordinates, tei/common.py:87-94; url when assets are
+    * extracted, graphic.py:37-39). */
+  private def graphicText(g: GraphicIn, extractAssets: Boolean): String = {
+    val coords = "%d,%.2f,%.2f,%.2f,%.2f".formatLocal(java.util.Locale.US,
+      g.page_number, g.x, g.y, g.width, g.height)
+    if (extractAssets) s"${g.graphic_type}|$coords|${g.graphic_id}"
+    else s"${g.graphic_type}|$coords"
   }
 
   /** Graphics input for [[documentPipeline]] from the ALTO reader's
@@ -554,29 +630,6 @@ object Processor {
     * `url` attribute — `graphic.py:37-39` sets `relative_path` exactly
     * when assets are extracted.
     */
-  /** Every graphic with its render text and (nullable) matched figure
-    * content id — the small matcher output joined back to the graphic
-    * table (an earlier formulation read the pipeline output three
-    * times and re-ran the whole upstream DAG per reference: 4× the
-    * p04 runtime at sf0.001). */
-  private[pipeline] def matchedGraphicInfo(graphics: DataFrame,
-      candidates: DataFrame,
-      extractAssets: Boolean): Dataset[(Long, String, String, String)] = {
-    val sparkSession = graphics.sparkSession
-    import sparkSession.implicits._
-    val matched = GraphicMatching.matchGraphics(graphics, candidates)
-    val coordsStr = format_string("%d,%.2f,%.2f,%.2f,%.2f", col("page_number"),
-      col("x"), col("y"), col("width"), col("height"))
-    val gtext =
-      if (extractAssets)
-        concat(col("graphic_type"), lit("|"), coordsStr, lit("|"), col("graphic_id"))
-      else concat(col("graphic_type"), lit("|"), coordsStr)
-    graphics.select(col("doc_id"), col("graphic_id"), gtext.as("gtext"))
-      .join(matched, Seq("doc_id", "graphic_id"), "left_outer")
-      .select(col("doc_id"), col("graphic_id"), col("gtext"), col("candidate_id"))
-      .as[(Long, String, String, String)]
-  }
-
   /** Per-document attach: matched graphics become `graphic` children
     * of their figure node, strays collect under one
     * `note[unmatched_graphics]` back node. */

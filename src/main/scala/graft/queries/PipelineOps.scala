@@ -151,8 +151,12 @@ object PipelineOps {
     * name/affiliation passes) + body view (fulltext fold) → TEI with
     * body sections (the reference's complete processor DAG). */
   def p04(s: SparkSession, d: String): DataFrame =
-    Tei.serialize(
-      graft.pipeline.Processor.documentPipeline(tokenTable(s, d)).toDF())
+    // localCheckpoint before the report sort: orderBy's range sampling
+    // re-executes its child once to pick boundaries, which would run
+    // the whole fused parse+fold+TEI fold twice; checkpointing the
+    // (small) tei table caps the double execution at a block read
+    graft.pipeline.Processor.documentTei(tokenTable(s, d))
+      .localCheckpoint()
       .orderBy("doc_id")
 
   /** P13 graphics-wired pipeline (F3 in the main DAG,
@@ -162,13 +166,16 @@ object PipelineOps {
     * synthesizes one matchable and one stray graphic, so the expected
     * per-doc counts are (2 graphics, 1 unmatched). Rows-only. */
   def p13(s: SparkSession, d: String): DataFrame = {
-    val alto = altoCorpus(s, d)
-    val tokens = AltoReader.tokens(alto).toDF()
+    // one StAX pass shared by the token AND graphic sides (then
+    // checkpointed): tokens feed pageDims + two pipeline folds, so an
+    // unshared plan re-parsed the corpus four times
+    val parsed = AltoReader.parsedDocs(altoCorpus(s, d)).localCheckpoint()
+    val tokens = AltoReader.tokensOf(parsed).toDF()
     val graphics = graft.pipeline.Processor.graphicsForMatching(
-      tokens, AltoReader.graphics(alto).toDF())
-    val nodes = graft.pipeline.Processor.documentPipeline(
-      tokens, graft.pipeline.Processor.Config(), Some(graphics))
-    Tei.serialize(nodes.toDF())
+      tokens, AltoReader.graphicsOf(parsed).toDF())
+    graft.pipeline.Processor.documentTei(
+        tokens, graft.pipeline.Processor.Config(), Some(graphics))
+      .localCheckpoint() // cap orderBy's sampling re-execution (see p04)
       .select(col("doc_id"),
         (size(split(col("tei"), "<graphic ")) - 1).cast("bigint").as("n_graphics"),
         col("tei").contains("unmatched_graphics").cast("int").cast("bigint")

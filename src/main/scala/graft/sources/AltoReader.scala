@@ -44,6 +44,28 @@ object AltoReader {
     docs.flatMap { case (docId, xml) => parseGraphics(docId, xml) }
   }
 
+  /** One-pass parse for consumers that need BOTH tokens and graphics
+    * (the graphics-wired pipeline): one StAX pass per document instead
+    * of separate [[tokens]] + [[graphics]] scans re-parsing the same
+    * XML. Callers typically `localCheckpoint()` the result and explode
+    * each side with [[tokensOf]]/[[graphicsOf]].
+    */
+  def parsedDocs(docs: Dataset[(Long, String)]):
+      Dataset[(Seq[TokenRow], Seq[GraphicRow])] = {
+    import docs.sparkSession.implicits._
+    docs.map { case (docId, xml) => parseAll(docId, xml) }
+  }
+
+  def tokensOf(parsed: Dataset[(Seq[TokenRow], Seq[GraphicRow])]): Dataset[TokenRow] = {
+    import parsed.sparkSession.implicits._
+    parsed.flatMap(_._1)
+  }
+
+  def graphicsOf(parsed: Dataset[(Seq[TokenRow], Seq[GraphicRow])]): Dataset[GraphicRow] = {
+    import parsed.sparkSession.implicits._
+    parsed.flatMap(_._2)
+  }
+
   /** Convenience: read a directory of .alto.xml files via binaryFile.
     *
     * doc_id = xxhash64(path): stable, deterministic, and computed

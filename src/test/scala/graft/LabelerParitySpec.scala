@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.pipeline._
+import graft.sources.AltoReader
+
+/** Pins the window-form labelers (the standalone DataFrame surface) and
+  * their fold-form twins in [[LocalLabelers]] to IDENTICAL output — the
+  * invariant the single-pass documentPipeline rests on. The corpus
+  * exercises every rule branch: multi-block header, figure/table
+  * captions and markers, bracket citations, acknowledgement/annex/
+  * references blocks with `1.` and `[1]` reference markers, a fontless
+  * document, and an empty-text token edge.
+  */
+class LabelerParitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def alto(blocks: String): String =
+    s"""<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
+       |<Styles>
+       |<TextStyle ID="font0" FONTFAMILY="Times" FONTSIZE="18.0" FONTSTYLE="bold"/>
+       |<TextStyle ID="font1" FONTFAMILY="Times" FONTSIZE="9.5" FONTSTYLE=""/>
+       |</Styles>
+       |<Layout><Page PHYSICAL_IMG_NR="1" WIDTH="612" HEIGHT="792"><PrintSpace>
+       |$blocks
+       |</PrintSpace></Page></Layout></alto>""".stripMargin
+
+  private def block(font: String, lines: Seq[Seq[String]]): String =
+    "<TextBlock>" + lines.zipWithIndex.map { case (ts, li) =>
+      "<TextLine>" + ts.zipWithIndex.map { case (t, i) =>
+        val esc = t.replace("&", "&amp;").replace("<", "&lt;")
+        s"""<String CONTENT="$esc" HPOS="${50 + i * 40}" VPOS="${60 + li * 14}" WIDTH="36" HEIGHT="12" STYLEREFS="$font"/>"""
+      }.mkString + "</TextLine>"
+    }.mkString + "</TextBlock>"
+
+  private val richDoc = alto(Seq(
+    block("font0", Seq(Seq("A", "Grand", "Title"))),
+    block("font1", Seq(Seq("Jane", "Doe", "and", "Bob", "Roe"))),
+    block("font1", Seq(
+      Seq("Introduction", "heading", "line"),
+      Seq("see", "Figure", "1", "and", "Table", "2", "here"),
+      Seq("plain", "[", "3", "]", "text", "Fig.", "4", "tail"))),
+    block("font1", Seq(Seq("Figure", "1", ":", "sample", "caption"))),
+    block("font1", Seq(Seq("Table", "2."), Seq("data", "summary"))),
+    block("font1", Seq(Seq("Acknowledgements"), Seq("we", "thank", "funders"))),
+    block("font1", Seq(Seq("Appendix"), Seq("extra", "material"))),
+    block("font1", Seq(
+      Seq("References"),
+      Seq("1.", "Alice", "Smith", "Measuring", "Things", "2020"),
+      Seq("[", "2", "]", "Bob", "Jones", "Deep", "Analysis", "2021"),
+      Seq("no", "marker", "reference", "line")))).mkString("\n"))
+
+  // no font sizes at all: title-block anchor must resolve to None in
+  // both forms (the window === on null never fires)
+  private val fontlessDoc = alto(
+    block("", Seq(Seq("Plain", "words"), Seq("more", "text"))))
+
+  private def corpus: DataFrame =
+    AltoReader.tokens(Seq((0L, richDoc), (1L, fontlessDoc)).toDS()).toDF()
+
+  private def windowLabels(labeled: DataFrame): Seq[(Long, Int, Int, Int, Int, String)] =
+    labeled.select("doc_id", "page_idx", "block_idx", "line_idx", "token_idx", "label")
+      .as[(Long, Int, Int, Int, Int, String)].collect().sortBy(r => (r._1, r._2, r._3, r._4, r._5))
+
+  private def localLabels(f: IndexedSeq[TokenRow] => IndexedSeq[(TokenRow, String)],
+      tokens: DataFrame): Seq[(Long, Int, Int, Int, Int, String)] = {
+    val rows = tokens.as[TokenRow].collect().toIndexedSeq
+    rows.groupBy(_.doc_id).toSeq.flatMap { case (_, ts) =>
+      f(LocalLabelers.ordered(ts)).map { case (t, l) =>
+        (t.doc_id, t.page_idx, t.block_idx, t.line_idx, t.token_idx, l)
+      }
+    }.sortBy(r => (r._1, r._2, r._3, r._4, r._5))
+  }
+
+  test("segmentation labeler: window and local forms agree") {
+    val w = windowLabels(new SegmentationRuleLabeler().label(corpus))
+    val l = localLabels(LocalLabelers.segmentationLabels, corpus)
+    assert(w == l)
+    // sanity: the corpus actually hits every view
+    val tags = w.map(r => LocalLabelers.stripTag(r._6)).toSet
+    assert(tags == Set("<header>", "<body>", "<acknowledgement>",
+      "<annex>", "<references>"))
+  }
+
+  private def segView(tag: String): DataFrame =
+    BioSpans.filterByTags(new SegmentationRuleLabeler().label(corpus), Seq(tag))
+      .drop("label", "tag")
+
+  test("header rule labeler: window and local forms agree") {
+    val view = segView("<header>")
+    val w = windowLabels(new RuleLabeler().label(view))
+    val l = localLabels(LocalLabelers.headerRuleLabels, view)
+    assert(w == l)
+    assert(w.exists(_._6 == "B-<title>") && w.exists(_._6 == "B-<author>"))
+  }
+
+  test("body rule labeler: window and local forms agree") {
+    val view = segView("<body>")
+    val w = windowLabels(new BodyRuleLabeler().label(view))
+    val l = localLabels(LocalLabelers.bodyRuleLabels, view)
+    assert(w == l)
+    val tags = w.map(r => LocalLabelers.stripTag(r._6)).toSet
+    assert(Set("<figure>", "<table>", "<figure_marker>", "<table_marker>",
+      "<citation_marker>", "<section>", "<paragraph>").subsetOf(tags))
+  }
+
+  test("reference-segmenter labeler: window and local forms agree") {
+    val view = segView("<references>")
+    val w = windowLabels(new ReferenceSegmenterRuleLabeler().label(view))
+    val l = localLabels(LocalLabelers.referenceSegmenterLabels, view)
+    assert(w == l)
+    assert(w.exists(_._6 == "B-<label>")) // both 1. and [2] marker styles
+  }
+
+  test("BIO spans: window and local forms agree") {
+    val labeled = new SegmentationRuleLabeler().label(corpus)
+    val w = BioSpans.spans(labeled)
+      .select("doc_id", "span_id", "tag", "text")
+      .as[(Long, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+    val rows = corpus.as[TokenRow].collect().toIndexedSeq
+    val l = rows.groupBy(_.doc_id).toSeq.flatMap { case (docId, ts) =>
+      LocalLabelers.spansLocal(
+        LocalLabelers.segmentationLabels(LocalLabelers.ordered(ts)))
+        .map(s => (docId, s.span_id, s.tag, s.text))
+    }.sortBy(r => (r._1, r._2))
+    assert(w.toSeq == l)
+  }
+}
