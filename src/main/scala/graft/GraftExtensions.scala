@@ -58,7 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordShapeExpr)
     unary("text_stats",
       "text_stats(str) - fused per-document stat vector (chars, tokens, punct, stopwords, ...)",
-      TextStatsExpr)
+      e => TextStatsExpr(e))
     unary("vocab_key",
       "vocab_key(str) - sorted-distinct-token vocabulary fingerprint key",
       VocabKeyExpr)

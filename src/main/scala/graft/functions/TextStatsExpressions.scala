@@ -52,9 +52,27 @@ object TextStats {
   private val LangFr = set("le", "la", "les", "et", "est", "une", "dans", "que")
   private val LangEs = set("el", "los", "y", "es", "en", "un", "una", "por")
 
-  def compute(u: UTF8String): ArrayData = {
+  /** All 13 fields. */
+  val FullMask: Int = (1 << Fields) - 1
+  // field groups that gate skippable work
+  private val WordSetBits = (1 << 3) | (1 << 4) | (1 << 5) | (1 << 6) | (1 << 7)
+  private val BpeBit = 1 << 8
+
+  def compute(u: UTF8String): ArrayData = compute(u, FullMask)
+
+  /** Masked variant: `mask` is a bitmask of requested output indices.
+    * Unrequested fields come back 0. The char loop always runs (it IS
+    * the tokenization), but the per-token substring + word-set lookups
+    * and the whole lowercase second pass are skipped when no requested
+    * field needs them — a consumer asking for 4 of 13 stats (q48)
+    * should not pay for the other 9 the way DuckDB's columnar
+    * evaluation doesn't.
+    */
+  def compute(u: UTF8String, mask: Int): ArrayData = {
     val s = u.toString
     val out = new Array[Long](Fields)
+    val needWordSets = (mask & WordSetBits) != 0
+    val needThe = (mask & (1 << 9)) != 0
 
     // ---- pass 1: chars + single-space tokenization
     var i = 0
@@ -66,13 +84,19 @@ object TextStats {
       if (tokLen > out(12)) out(12) = tokLen
       if (endExclusive > tokenStart) {
         out(1) += 1
-        val tok = s.substring(tokenStart, endExclusive)
-        if (StopQuality.contains(tok)) out(3) += 1
-        if (LangEn.contains(tok)) out(4) += 1
-        if (LangDe.contains(tok)) out(5) += 1
-        if (LangFr.contains(tok)) out(6) += 1
-        if (LangEs.contains(tok)) out(7) += 1
-        if (tok == "the") out(9) = 1
+        if (needWordSets) {
+          val tok = s.substring(tokenStart, endExclusive)
+          if (StopQuality.contains(tok)) out(3) += 1
+          if (LangEn.contains(tok)) out(4) += 1
+          if (LangDe.contains(tok)) out(5) += 1
+          if (LangFr.contains(tok)) out(6) += 1
+          if (LangEs.contains(tok)) out(7) += 1
+          if (tok == "the") out(9) = 1
+        } else if (needThe && endExclusive - tokenStart == 3 &&
+            s.charAt(tokenStart) == 't' && s.charAt(tokenStart + 1) == 'h' &&
+            s.charAt(tokenStart + 2) == 'e') {
+          out(9) = 1
+        }
       }
     }
     while (i < s.length) {
@@ -94,27 +118,29 @@ object TextStats {
 
     // ---- pass 2: BPE-ish count over the lowercase form (exactly
     // lower() + regexp_extract_all('[a-z]+|[0-9]+|[^a-z0-9 ]') counts)
-    val ls = u.toLowerCase.toString
-    var j = 0
-    var inLetters = false
-    var inDigits = false
-    while (j < ls.length) {
-      val c = ls.charAt(j)
-      if (c >= 'a' && c <= 'z') {
-        if (!inLetters) out(8) += 1
-        inLetters = true; inDigits = false
-      } else if (c >= '0' && c <= '9') {
-        if (!inDigits) out(8) += 1
-        inDigits = true; inLetters = false
-      } else if (c == ' ') {
-        inLetters = false; inDigits = false
-      } else {
-        out(8) += 1
-        inLetters = false; inDigits = false
-        if (Character.isHighSurrogate(c) && j + 1 < ls.length &&
-            Character.isLowSurrogate(ls.charAt(j + 1))) j += 1
+    if ((mask & BpeBit) != 0) {
+      val ls = u.toLowerCase.toString
+      var j = 0
+      var inLetters = false
+      var inDigits = false
+      while (j < ls.length) {
+        val c = ls.charAt(j)
+        if (c >= 'a' && c <= 'z') {
+          if (!inLetters) out(8) += 1
+          inLetters = true; inDigits = false
+        } else if (c >= '0' && c <= '9') {
+          if (!inDigits) out(8) += 1
+          inDigits = true; inLetters = false
+        } else if (c == ' ') {
+          inLetters = false; inDigits = false
+        } else {
+          out(8) += 1
+          inLetters = false; inDigits = false
+          if (Character.isHighSurrogate(c) && j + 1 < ls.length &&
+              Character.isLowSurrogate(ls.charAt(j + 1))) j += 1
+        }
+        j += 1
       }
-      j += 1
     }
 
     new GenericArrayData(out)
@@ -169,19 +195,26 @@ object TextStats {
 
   def text_stats(c: Column): Column =
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c)))
+
+  /** Masked form: `fields` are the output indices the caller will
+    * read; everything else is skipped where skippable. */
+  def text_stats(c: Column, fields: Seq[Int]): Column =
+    ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c),
+      fields.foldLeft(0)((m, f) => m | (1 << f))))
   def vocab_key(c: Column): Column =
     ColumnBridge.column(VocabKeyExpr(ColumnBridge.expression(c)))
   def normalized_key(c: Column): Column =
     ColumnBridge.column(NormalizedKeyExpr(ColumnBridge.expression(c)))
 }
 
-case class TextStatsExpr(child: Expression) extends UnaryExpression {
+case class TextStatsExpr(child: Expression,
+    mask: Int = TextStats.FullMask) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "text_stats"
   override def nullSafeEval(in: Any): Any =
-    TextStats.compute(in.asInstanceOf[UTF8String])
+    TextStats.compute(in.asInstanceOf[UTF8String], mask)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.compute($c, $mask)")
   override protected def withNewChildInternal(c: Expression): TextStatsExpr =
     copy(child = c)
 }

@@ -47,7 +47,9 @@ object Extended {
     * four in one scan with identical declared semantics.
     */
   def q48(s: SparkSession, d: String): DataFrame = {
-    val st = graft.functions.TextStats.text_stats(col("text"))
+    // masked kernel: q48 reads 4 of the 13 stats, so the word-set
+    // lookups and the lowercase second pass are skipped entirely
+    val st = graft.functions.TextStats.text_stats(col("text"), Seq(9, 10, 11, 12))
     Tables(s, d).documents.select(col("doc_id"),
       (st.getItem(9) === 1).cast("string").as("has_the"),
       st.getItem(10).as("n_long"),
