@@ -334,8 +334,14 @@ object TextAnalysis {
     import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
     val spark = rows.sparkSession
     val h = md5(col(idCol).cast("string"))
+    // the hashed projection feeds THREE consumers (histogram job,
+    // pass-through branch, boundary branch) plus any report sort the
+    // caller adds; localCheckpoint so the source is scanned and hashed
+    // once — the input is the caller's (id, stratum, …) projection,
+    // not the full corpus row, so the cached footprint is small
     val withH = rows.withColumn("_h", h)
       .withColumn("_hb", substring(col("_h"), 1, 2))
+      .localCheckpoint()
     val hist = withH.groupBy(col(stratumCol).as("_s"), col("_hb").as("_b"))
       .agg(count(lit(1)).as("_n")).collect()
     val byStratum = hist.groupBy(_.get(0))
