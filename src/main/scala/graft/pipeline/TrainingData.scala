@@ -302,4 +302,49 @@ object TrainingData {
 
   def fulltextTrainingXml(labeled: DataFrame): DataFrame =
     trainingXml(labeled, FulltextRoot, FulltextPaths, "tei", None)
+
+  // ------------------------------------------------ DELFT data export
+
+  /** IOB → GROBID tag translation
+    * (`training/cli/generate_delft_data.py:76-89`
+    * `translate_tags_IOB_to_grobid`): `O` → `<other>`, `B-x` → `I-x`,
+    * `I-x` → bare `x` — the convention the wapiti/DELFT training
+    * readers expect. */
+  private def grobidTag(label: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val stripped = substring(label, 3, Int.MaxValue)
+    when(label.isNull || label === "O", "<other>")
+      .when(label.startsWith("B-"), concat(lit("I-"), stripped))
+      .when(label.startsWith("I-"), stripped)
+      .otherwise(label)
+  }
+
+  /** DELFT training data (the reference's SECOND training format,
+    * `training/cli/generate_delft_data.py:172-228`): one line per
+    * token — the model's CRF feature line with the translated GROBID
+    * tag as the final field — one block per document (the writer
+    * separates documents with a blank line,
+    * `tag_formatter` DATA semantics).
+    *
+    * Input is a labeled data-line table (a model's `dataLines` output
+    * with a `label` column, e.g. `RuleLabeler().label(
+    * HeaderFeatures.dataLines(tokens))`) — the engine generates
+    * features and labels in one lineage, where the reference re-parses
+    * its training TEI back to labeled tokens. The `data_line` ends
+    * with the generator's constant dummy-label field, which this
+    * replaces. One aggregation per document; document-parallel.
+    */
+  def delftData(labeledDataLines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    labeledDataLines
+      .withColumn("_dl", concat(
+        expr("substring(data_line, 1, length(data_line) - 1)"),
+        grobidTag(col("label"))))
+      .groupBy("doc_id")
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(
+          col("page_idx"), col("block_idx"), col("line_idx"),
+          col("token_idx"), col("_dl").as("l")))),
+        t => t.getField("l"))).as("delft_data"))
+  }
 }

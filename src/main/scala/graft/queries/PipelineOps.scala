@@ -196,6 +196,22 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P15 DELFT training-data export (reference
+    * `training/cli/generate_delft_data.py`): per-document tag-separated
+    * DELFT data — header-model CRF feature lines with GROBID-translated
+    * tags — the second training artifact a retraining user needs
+    * (p14 covers the TEI side). Rows-only. */
+  def p15(s: SparkSession, d: String): DataFrame = {
+    val dl = graft.pipeline.HeaderFeatures.dataLines(tokenTable(s, d))
+    graft.pipeline.TrainingData.delftData(
+        new graft.pipeline.RuleLabeler().label(dl))
+      .select(col("doc_id"),
+        size(split(col("delft_data"), "\n")).cast("bigint").as("n_lines"),
+        col("delft_data").contains("I-<title>").cast("int").cast("bigint")
+          .as("has_title"))
+      .orderBy("doc_id")
+  }
+
   /** P05 multimodal image: binary media column → batched REAL ImageIO
     * decode (docs rendered as actual PNGs, pixels decoded back) → typed
     * features (rows-only). */
@@ -439,5 +455,6 @@ object PipelineOps {
     "p12_audio" -> p12,
     "p13_graphic_tei" -> p13,
     "p14_training_data" -> p14,
+    "p15_delft_data" -> p15,
   )
 }
