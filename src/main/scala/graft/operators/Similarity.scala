@@ -231,6 +231,61 @@ object Similarity {
         col("rn").cast("bigint").as("rn"))
   }
 
+  /** Batch-query IVF top-k — the query-SET form of [[ivfTopK]]: probe
+    * selection happens executor-side (centroids broadcast, one
+    * `mapPartitions` over the query table scoring each query against
+    * the quantizer and emitting its `nprobe` probe rows), so NO query
+    * vector ever passes through the driver and the query table can be
+    * corpus-sized. The probe↔postings equi-join on `list_id` is left
+    * to Catalyst: a small query batch broadcasts, a large one shuffles
+    * both sides co-partitioned by list — the honest scale shape, since
+    * `numLists ~ sqrt(corpus)` keeps the join key's cardinality (and
+    * per-list skew) bounded.
+    *
+    * @param queries (query_id, qv) — e.g. a projection of the corpus
+    *                itself, or an external query table
+    * @return (query_id, vec_id, cos, rn) identical to [[ivfTopK]] for
+    *         the same parameters on the overlapping queries
+    */
+  def ivfTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
+      numLists: Int = 16, nprobe: Int = 4, iters: Int = 10,
+      sampleN: Int = 4096, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(emb, numLists, iters, sampleN, seed,
+      vecCol, idCol)
+    val assigned = ivfAssign(emb, centroids, vecCol, idCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val np = nprobe
+    val probes = queries.select(col("query_id"), col("qv"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        def ip(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0
+          var i = 0
+          while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+          s
+        }
+        it.flatMap { case (qid, qv) =>
+          val qnorm = math.sqrt(ip(qv, qv))
+          cs.indices.sortBy(c => -ip(cs(c), qv)).take(np)
+            .map(listId => (qid, qv, qnorm, listId))
+        }
+      }
+      .toDF("query_id", "qv", "qnorm", "list_id")
+    assigned.join(probes, "list_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
   /** ANN top-k for a set of query ids: bucket each side, multi-probe the
     * query's bucket plus all Hamming-1 neighbors (probability amplification
     * without repartitioning the corpus), exact cosine within candidates,

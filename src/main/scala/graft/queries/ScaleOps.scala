@@ -136,6 +136,17 @@ object ScaleOps {
       queryIds = Seq(0L, 1L, 2L, 3L), k = 5)
       .orderBy("query_id", "rn")
 
+  /** Q50b batch-query IVF (rows-only): the query-set form — every 50th
+    * corpus vector as a query DataFrame, probe selection executor-side,
+    * no driver collect of query vectors. */
+  def q50b(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d).embeddings
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Similarity.ivfTopKBatch(emb, queries, k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   /** Q73 corpus clustering (rows-only — k-means is not
     * SQL-expressible): per-cluster sizes over the embedding corpus,
     * deterministic by seeded init + hash-ordered training sample. */
@@ -318,7 +329,8 @@ object ScaleOps {
     "q39_text_quality" -> q39, "q40_lang_id" -> q40,
     "q41_fingerprint" -> q41, "q42_token_count" -> q42,
     "q43_dedup_embedding" -> q43, "q44_winnowing" -> q44,
-    "q50_ann_ivf" -> q50, "q51_span_contamination" -> q51,
+    "q50_ann_ivf" -> q50, "q50b_ann_ivf_batch" -> q50b,
+    "q51_span_contamination" -> q51,
     "q53_dedup_components" -> q53, "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,

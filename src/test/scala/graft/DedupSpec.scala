@@ -133,6 +133,26 @@ class DedupSpec extends SparkSuite {
     assert(part.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("ivfTopKBatch: identical top-k to the driver-side path at scale") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = graft.Tables(spark, sf("0.01")).embeddings
+    // the whole corpus as the query set (500 at sf0.01), as a query
+    // DataFrame — no driver collect of query vectors on the batch path
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val queries = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.ivfTopKBatch(emb, queries, k = 3,
+        numLists = 8, nprobe = 2, sampleN = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val driver = Similarity.ivfTopK(emb, queryIds = ids, k = 3,
+        numLists = 8, nprobe = 2, sampleN = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(ids.size >= 400, s"want a corpus-sized query set, got ${ids.size}")
+    assert(batch.sortBy(r => (r._1, r._4)).toSeq ==
+      driver.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("embeddingCosinePairs derives hyperplane dim from data (32-dim vectors)") {
     import graft.operators.Dedup
     import spark.implicits._
