@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * `graphic_matching.py:565-593`).
   *
   * The decode layer is REAL for the formats the JDK ships codecs for —
-  * PNG/JPEG/GIF/BMP pixels via `javax.imageio` ([[decodeImage]]) and
+  * PNG/JPEG/GIF/BMP pixels via `javax.imageio` ([[decodeImage]]),
   * RIFF/WAV PCM via a self-contained chunk parser ([[decodeWav]], no
-  * `javax.sound` dependency, deterministic integer math). Only formats
-  * with no pure-JVM codec (video containers, exotic image formats) fall
+  * `javax.sound` dependency, deterministic integer math), and
+  * MJPEG-in-AVI video via the same RIFF grammar plus per-frame JPEG
+  * decode ([[decodeAvi]] / [[videoFeatures]]). Only formats with no
+  * pure-JVM codec (MP4/H.264, exotic image formats) fall
   * back to the clearly-named [[decodeImageStub]], so the batching /
   * schema / partitioning plumbing still runs for them. A production
   * build swaps the fallback for JavaCV/ONNX without touching the
@@ -48,6 +50,16 @@ object Multimodal {
       n_samples: Long,
       duration_ms: Long,
       rms: Double)
+
+  final case class VideoFeatures(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      duration_ms: Long,
+      frame_idx: Int,
+      embedding: Array[Float])
 
   // ------------------------------------------------------- image decode
 
@@ -219,10 +231,12 @@ object Multimodal {
     }
   }
 
-  /** Deterministic frame sampling stub for video binary columns: one
-    * "frame" digest per `frameBytes` chunk, every `everyN`-th kept.
-    * Row-local (explode), no shuffle. (Video is the one modality with
-    * no JDK codec — the digest stands in for a real frame decode.) */
+  /** Deterministic frame sampling stub for OPAQUE video binary columns
+    * (containers without a pure-JVM codec, e.g. MP4/H.264): one "frame"
+    * digest per `frameBytes` chunk, every `everyN`-th kept. Row-local
+    * (explode), no shuffle. MJPEG-in-AVI has a REAL decode path —
+    * [[videoFeatures]] — because both layers (RIFF container, JPEG
+    * frames) ship with the JDK. */
   def sampleFrames(video: DataFrame, contentCol: String = "content",
       everyN: Int = 2, frameBytes: Int = 1024): DataFrame = {
     val nFrames = ceil(length(col(contentCol)) / frameBytes)
@@ -230,6 +244,83 @@ object Multimodal {
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyN))))
       .withColumn("frame_digest",
         xxhash64(col(contentCol), col("frame_idx")))
+  }
+
+  // ------------------------------------------------------- video decode
+
+  /** Real AVI container parse: RIFF walk (same chunk grammar as
+    * [[decodeWav]] — AVI is RIFF too) into `(width, height,
+    * usPerFrame, frames)`, where `frames` are the raw `00dc`/`00db`
+    * stream-0 payloads (JPEG images for an MJPEG AVI). Dimensions come
+    * from the `avih` main header inside `LIST hdrl`; frame payloads
+    * from `LIST movi`, including nested `LIST rec ` groupings. The
+    * optional `idx1` index is deliberately ignored — the movi walk is
+    * self-sufficient and index-less AVIs are legal. Returns None unless
+    * the bytes are RIFF/`AVI ` with a well-formed header.
+    */
+  private[graft] def decodeAvi(content: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+    def le16(o: Int): Int = (content(o) & 0xFF) | ((content(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    def fourcc(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (content.length < 24) return None
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var usPerFrame = 0; var width = 0; var height = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val len = le32(off + 4)
+        val dataOff = off + 8
+        val dataEnd = math.min(dataOff.toLong + len, end.toLong).toInt
+        if (id == "LIST" && dataOff + 4 <= end) {
+          val listType = fourcc(dataOff)
+          if (listType == "hdrl" || listType == "movi" || listType == "rec ")
+            walk(dataOff + 4, dataEnd)
+        } else if (id == "avih" && dataOff + 40 <= end) {
+          usPerFrame = le32(dataOff)
+          width = le32(dataOff + 32)
+          height = le32(dataOff + 36)
+        } else if ((id == "00dc" || id == "00db") && dataEnd > dataOff) {
+          frames += java.util.Arrays.copyOfRange(content, dataOff, dataEnd)
+        }
+        off = dataOff + len + (len & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, content.length)
+    if (width <= 0 || height <= 0) None
+    else Some((width, height, usPerFrame, frames.result()))
+  }
+
+  /** Batched per-partition video featurization over MJPEG-in-AVI binary
+    * rows: REAL two-layer decode — RIFF container walk
+    * ([[decodeAvi]]) then ImageIO JPEG decode per sampled frame
+    * ([[decodeImage]]) — emitting one row per kept frame with the same
+    * 4x4 luma-grid embedding the image path produces. `everyN` is the
+    * temporal sampling stride (decode cost scales with kept frames, not
+    * container size, since skipped payloads are never JPEG-decoded).
+    * Non-AVI rows are dropped; same mapPartitions batch shape as
+    * [[imageFeatures]], so a production frame model slots in per batch.
+    */
+  def videoFeatures(media: Dataset[MediaRow], everyN: Int = 2,
+      batchSize: Int = 32): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          decodeAvi(m.content).toSeq.flatMap { case (w, h, usPerFrame, frames) =>
+            val durMs = frames.length.toLong * usPerFrame / 1000
+            Range(0, frames.length, math.max(1, everyN)).flatMap { i =>
+              decodeImage(frames(i)).map { case (_, _, _, emb) =>
+                VideoFeatures(m.doc_id, m.media_type, w, h, frames.length,
+                  durMs, i, emb)
+              }
+            }
+          }
+        }
+      }
+    }
   }
 
   // ------------------------------------------------- synthetic encoders
@@ -291,6 +382,91 @@ object Multimodal {
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
         MediaRow(id, "audio/wav", textToWav(text), Map("source" -> source))
+      }
+  }
+
+  /** Render text bytes into a REAL MJPEG-in-AVI container: each
+    * `frameBytes` slice becomes one 8x8 grayscale frame (one pixel per
+    * byte, row-major, zero-padded), JPEG-encoded via ImageIO and laid
+    * into a minimal RIFF `AVI `/`hdrl`/`movi` structure that any AVI
+    * reader (and [[decodeAvi]]) accepts. Empty text still yields one
+    * black frame so every document produces at least one row
+    * downstream. JPEG is lossy, so decoded pixels approximate the
+    * input — the luma-grid features are stable for a fixed JDK encoder,
+    * which is all the rows-only surface needs.
+    */
+  private[graft] def textToAvi(text: String, frameBytes: Int = 64,
+      fps: Int = 4): Array[Byte] = {
+    val w = 8; val h = 8
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val chunks: Seq[Array[Byte]] =
+      if (bytes.isEmpty) Seq(Array.emptyByteArray)
+      else bytes.grouped(frameBytes).toSeq
+    val jpegs = chunks.map { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        raster.setSample(i % w, i / w, 0, if (i < c.length) c(i) & 0xFF else 0)
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes(ascii)).putInt(payload.length).put(payload)
+      buf.array()
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("LIST".getBytes(ascii)).putInt(4 + payload.length)
+        .put(listType.getBytes(ascii)).put(payload)
+      buf.array()
+    }
+    // avih main header: usPerFrame, ..., totalFrames @16, width/height @32/36
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(jpegs.length).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h) // trailing reserved dwords stay zero
+    // strh stream header: fccType vids, handler MJPG, scale/rate = 1/fps
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes(ascii)).put("MJPG".getBytes(ascii))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps).putInt(0).putInt(jpegs.length)
+    // strf = BITMAPINFOHEADER with biCompression MJPG
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put("MJPG".getBytes(ascii)).putInt(w * h * 3)
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val movi = list("movi", jpegs.toArray.flatMap(j => chunk("00dc", j)))
+    val body = hdrl ++ movi
+    val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(ascii)).putInt(4 + body.length)
+      .put("AVI ".getBytes(ascii)).put(body)
+    buf.array()
+  }
+
+  /** Wrap a text corpus as real MJPEG-AVI media rows (the video analog
+    * of [[mediaFromDocuments]] — p16 exercises the actual RIFF+JPEG
+    * codecs, not the digest stub). */
+  def aviFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        MediaRow(id, "video/avi", textToAvi(text), Map("source" -> source))
       }
   }
 }

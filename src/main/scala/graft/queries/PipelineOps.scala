@@ -440,6 +440,22 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P16 multimodal video: docs rendered as real MJPEG-in-AVI
+    * containers, RIFF frame walk + per-frame ImageIO JPEG decode →
+    * one row per sampled frame with the 4x4 luma-grid embedding
+    * (rows-only; JPEG decode floats make a hash oracle meaningless).
+    */
+  def p16(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.videoFeatures(
+        Multimodal.aviFromDocuments(Tables(s, d).documents))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("duration_ms"), col("frame_idx"),
+        round(col("embedding")(0), 4).as("luma0"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -456,5 +472,6 @@ object PipelineOps {
     "p13_graphic_tei" -> p13,
     "p14_training_data" -> p14,
     "p15_delft_data" -> p15,
+    "p16_video" -> p16,
   )
 }

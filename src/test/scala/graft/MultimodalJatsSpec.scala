@@ -67,6 +67,49 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(frames.count() == 3) // ceil(5000/1024)=5 frames, every 2nd: 0,2,4
   }
 
+  test("multimodal: AVI encode→decode round-trip (RIFF container walk)") {
+    val text = "x" * 200 // 200 bytes / 64 per frame = 4 frames
+    val avi = Multimodal.textToAvi(text)
+    val Some((w, h, usPerFrame, frames)) = Multimodal.decodeAvi(avi)
+    assert(w == 8 && h == 8 && usPerFrame == 250000 && frames.length == 4)
+    // every frame payload is a real JPEG the ImageIO codec accepts
+    frames.foreach { f =>
+      val Some((fw, fh, _, emb)) = Multimodal.decodeImage(f)
+      assert(fw == 8 && fh == 8 && emb.length == 16)
+    }
+    // empty text still produces one (black) frame
+    val Some((_, _, _, one)) = Multimodal.decodeAvi(Multimodal.textToAvi(""))
+    assert(one.length == 1)
+    // non-AVI RIFF (a WAV) and junk are rejected
+    assert(Multimodal.decodeAvi(Multimodal.textToWav("hi")).isEmpty)
+    assert(Multimodal.decodeAvi(Array.fill[Byte](100)(3)).isEmpty)
+  }
+
+  test("multimodal: videoFeatures decodes real frames with stride, deterministic") {
+    val docs = Tables(spark, sf("0.001")).documents.limit(20)
+    val media = Multimodal.aviFromDocuments(docs)
+    val rows = Multimodal.videoFeatures(media, everyN = 2, batchSize = 8).collect()
+    assert(rows.nonEmpty)
+    // stride: only even frame indices survive, per-doc count matches n_frames
+    assert(rows.forall(r => r.frame_idx % 2 == 0))
+    val perDoc = rows.groupBy(_.doc_id)
+    assert(perDoc.size == 20)
+    perDoc.values.foreach { fs =>
+      val n = fs.head.n_frames
+      assert(fs.map(_.frame_idx).sorted.toSeq == Range(0, n, 2).toSeq)
+      assert(fs.forall(r => r.width == 8 && r.height == 8 &&
+        r.duration_ms == n * 250L &&
+        r.embedding.length == 16 &&
+        r.embedding.forall(v => v >= 0f && v <= 1f)))
+    }
+    // bright text bytes → nonzero luma on a populated frame
+    assert(rows.filter(_.frame_idx == 0).forall(_.embedding.sum > 0f))
+    // determinism across runs and batch sizes
+    val again = Multimodal.videoFeatures(media, everyN = 2, batchSize = 3).collect()
+    assert(rows.sortBy(r => (r.doc_id, r.frame_idx)).map(_.embedding.toSeq).toSeq ==
+      again.sortBy(r => (r.doc_id, r.frame_idx)).map(_.embedding.toSeq).toSeq)
+  }
+
   test("JATS: XSLT maps TEI title/authors/abstract") {
     val tei = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>""" +
       """<titleStmt><title level="a" type="main">A Title</title></titleStmt>""" +
