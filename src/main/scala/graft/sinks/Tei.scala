@@ -32,9 +32,13 @@ object Tei {
         s"<surname>${esc(toks.tail.mkString(" "))}</surname></persName></author>"
   }
 
-  /** Structured author/editor from name-fold children (tei_document.py
-    * persName building; role = "author" | "editor"). */
-  private def authorXml(parts: Seq[SemanticNode], role: String = "author"): String = {
+  /** Structured author/editor from name-fold children (tei/author.py:
+    * 97-129 persName building; role = "author" | "editor").
+    * `affiliations` render INSIDE the author element after persName,
+    * exactly where `get_tei_author_for_semantic_author_element` puts
+    * the marker-matched affiliation elements. */
+  private def authorXml(parts: Seq[SemanticNode], role: String = "author",
+      affiliations: Seq[String] = Nil): String = {
     val sb = new StringBuilder(s"<$role><persName>")
     parts.foreach { p =>
       p.node_type match {
@@ -47,9 +51,19 @@ object Tei {
         case _ => ()
       }
     }
-    sb ++= s"</persName></$role>"
+    sb ++= "</persName>"
+    affiliations.foreach(sb ++= _)
+    sb ++= s"</$role>"
     sb.toString
   }
+
+  /** Dummy author wrapping affiliations whose marker no author cites
+    * (tei/author.py:132-146 `get_dummy_tei_author_for_semantic_
+    * affiliations_element` — the reference keeps orphan affiliations
+    * in the header under an author-shaped element, not loose). */
+  private def dummyAuthorXml(affiliations: Seq[String]): String =
+    """<author><note type="dummy_author">Dummy author for orphan affiliations</note>""" +
+      affiliations.mkString + "</author>"
 
   /** One `<biblStruct>` from a parsed reference node's typed children
     * (reference `document/tei/references.py` element paths +
@@ -103,23 +117,46 @@ object Tei {
     sb.toString
   }
 
+  private val AddressFieldTags = Map(
+    "addr_line" -> "addrLine", "settlement" -> "settlement",
+    "country" -> "country", "region" -> "region",
+    "post_code" -> "postCode", "post_box" -> "postBox")
+
+  /** `<affiliation>` per tei/author.py:32-94: a `<note
+    * type="raw_affiliation">` first (full raw text with the marker
+    * wrapped as `<label>`), orgName elements in node order, and ALL
+    * address fields grouped under ONE trailing `<address>` element —
+    * not one address per field. */
   private def affiliationXml(aff: SemanticNode, children: Seq[SemanticNode]): String = {
     val sb = new StringBuilder(
       s"""<affiliation key="${esc(Option(aff.content_id).getOrElse(""))}">""")
+    // raw_affiliation note: every child's text in order, marker as label
+    sb ++= """<note type="raw_affiliation">"""
+    children.zipWithIndex.foreach { case (c, i) =>
+      if (i > 0) sb ++= " "
+      if (c.node_type == "marker") sb ++= s"<label>${esc(c.text)}</label>"
+      else sb ++= esc(c.text)
+    }
+    sb ++= "</note>"
     children.foreach { c =>
       c.node_type match {
-        case "marker" => sb ++= s"""<note type="raw_affiliation_label">${esc(c.text)}</note>"""
         case "institution" => sb ++= s"""<orgName type="institution">${esc(c.text)}</orgName>"""
         case "department" => sb ++= s"""<orgName type="department">${esc(c.text)}</orgName>"""
         case "laboratory" => sb ++= s"""<orgName type="laboratory">${esc(c.text)}</orgName>"""
-        case "addr_line" => sb ++= s"<address><addrLine>${esc(c.text)}</addrLine></address>"
-        case "settlement" => sb ++= s"<address><settlement>${esc(c.text)}</settlement></address>"
-        case "country" => sb ++= s"<address><country>${esc(c.text)}</country></address>"
-        case "region" => sb ++= s"<address><region>${esc(c.text)}</region></address>"
-        case "post_code" => sb ++= s"<address><postCode>${esc(c.text)}</postCode></address>"
-        case "post_box" => sb ++= s"<address><postBox>${esc(c.text)}</postBox></address>"
+        case t if t.startsWith("note[") && t != "note[marker_delimiter]" =>
+          val noteType = t.stripPrefix("note[").stripSuffix("]")
+          sb ++= s"""<note type="${esc(noteType)}">${esc(c.text)}</note>"""
         case _ => ()
       }
+    }
+    val addressFields = children.filter(c => AddressFieldTags.contains(c.node_type))
+    if (addressFields.nonEmpty) {
+      sb ++= "<address>"
+      addressFields.foreach { c =>
+        val tag = AddressFieldTags(c.node_type)
+        sb ++= s"<$tag>${esc(c.text)}</$tag>"
+      }
+      sb ++= "</address>"
     }
     sb ++= "</affiliation>"
     sb.toString
@@ -149,17 +186,38 @@ object Tei {
     val title = ordered.find(n => n.node_type == "title" && n.parent_id < 0).map(_.text)
     val abstractText = ordered.find(n => n.node_type == "abstract" && n.parent_id < 0).map(_.text)
 
+    // affiliations keyed by their concatenated marker text
+    // (tei_document.py:68-73 affiliations_by_marker); each author's
+    // markers pull the matching affiliation elements INSIDE the author,
+    // markers no author cites collect under a trailing dummy author
+    // (tei_document.py:99-110 get_orphan_affiliations)
+    val affNodes = ordered
+      .filter(n => n.parent_id < 0 && n.node_type == "affiliation_address")
+    def markerText(children: Seq[SemanticNode]): String =
+      children.filter(_.node_type == "marker").map(_.text).mkString(" ")
+    val affsByMarker: Map[String, Seq[(SemanticNode, String)]] = affNodes
+      .map(a => (a, affiliationXml(a, kids(a.node_id))))
+      .groupBy { case (a, _) => markerText(kids(a.node_id)) }
+    var usedMarkers = Set.empty[String]
     val authorXmls = ordered.filter(_.parent_id < 0).flatMap { n =>
       n.node_type match {
         case "raw_authors" => Seq(rawAuthorXml(n.text))
         case "authors" => kids(n.node_id).filter(_.node_type == "author")
-          .map(a => authorXml(kids(a.node_id)))
+          .map { a =>
+            val markers = kids(a.node_id).filter(_.node_type == "marker").map(_.text)
+            usedMarkers ++= markers
+            val affs = markers.flatMap(m =>
+              affsByMarker.getOrElse(m, Nil).map(_._2))
+            authorXml(kids(a.node_id), affiliations = affs)
+          }
         case _ => Nil
       }
     }
-    val affXmls = ordered
-      .filter(n => n.parent_id < 0 && n.node_type == "affiliation_address")
-      .map(a => affiliationXml(a, kids(a.node_id)))
+    val orphanAffXmls = affsByMarker.toSeq
+      .filter { case (m, _) => !usedMarkers.contains(m) }
+      .flatMap(_._2).sortBy(_._1.node_id).map(_._2)
+    val dummyAuthor =
+      if (orphanAffXmls.nonEmpty) Some(dummyAuthorXml(orphanAffXmls)) else None
 
     // sections → <div> with heading label/title + paragraphs
     // (tei_document.py body building over the fulltext fold output);
@@ -299,7 +357,7 @@ object Tei {
     sb ++= "</titleStmt>"
     sb ++= "<sourceDesc><biblStruct><analytic>"
     authorXmls.foreach(sb ++= _)
-    affXmls.foreach(sb ++= _)
+    dummyAuthor.foreach(sb ++= _)
     sb ++= "</analytic></biblStruct></sourceDesc>"
     sb ++= "</fileDesc>"
     abstractText.filter(_.nonEmpty).foreach { t =>

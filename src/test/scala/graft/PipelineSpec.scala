@@ -102,6 +102,73 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
   }
 
+  test("TEI authors: marker-matched affiliation renders inside the author " +
+      "(tei_document_test.py test_should_add_single_author_with_affiliation)") {
+    import graft.pipeline.SemanticNode
+    def n(id: Long, parent: Long, tpe: String, text: String, cid: String = null) =
+      SemanticNode(0L, id, parent, tpe, text, cid)
+    val nodes = Seq(
+      n(0, -1, "authors", ""),
+      n(1, 0, "author", ""),
+      n(2, 1, "name_title", "Title1"),
+      n(3, 1, "given_name", "Given1"),
+      n(4, 1, "middle_name", "Middle1"),
+      n(5, 1, "surname", "Surname1"),
+      n(6, 1, "name_suffix", "Suffix1"),
+      n(7, 1, "marker", "1"),
+      n(8, -1, "affiliation_address", "", "aff0"),
+      n(9, 8, "marker", "1"),
+      n(10, 8, "institution", "Institution1"),
+      n(11, 8, "settlement", "City1"),
+      n(12, 8, "country", "Country1"))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("<roleName>Title1</roleName>"), tei)
+    assert(tei.contains("""<forename type="first">Given1</forename>"""), tei)
+    assert(tei.contains("""<forename type="middle">Middle1</forename>"""), tei)
+    assert(tei.contains("<surname>Surname1</surname>"), tei)
+    assert(tei.contains("<genName>Suffix1</genName>"), tei)
+    // the affiliation is INSIDE the author element, after persName
+    val author = tei.substring(tei.indexOf("<author>"), tei.indexOf("</author>"))
+    assert(author.contains("""<affiliation key="aff0">"""), tei)
+    // raw_affiliation note: full text with the marker as a label
+    assert(author.contains("""<note type="raw_affiliation"><label>1</label>""" +
+      " Institution1 City1 Country1</note>"), tei)
+    assert(author.contains("""<orgName type="institution">Institution1</orgName>"""), tei)
+    // address fields grouped under ONE address element
+    assert(author.contains(
+      "<address><settlement>City1</settlement><country>Country1</country></address>"), tei)
+  }
+
+  test("TEI authors: orphan affiliations land under a dummy author " +
+      "(tei_document_test.py test_should_add_orphan_affiliation)") {
+    import graft.pipeline.SemanticNode
+    def n(id: Long, parent: Long, tpe: String, text: String, cid: String = null) =
+      SemanticNode(0L, id, parent, tpe, text, cid)
+    val nodes = Seq(
+      n(0, -1, "authors", ""),
+      n(1, 0, "author", ""),
+      n(2, 1, "given_name", "Given1"),
+      n(3, 1, "surname", "Surname1"),
+      n(4, 1, "marker", "2"), // cites aff1, NOT aff0
+      n(5, -1, "affiliation_address", "", "aff0"),
+      n(6, 5, "marker", "1"), // orphan: no author cites marker 1
+      n(7, 5, "institution", "Institution1"),
+      n(8, -1, "affiliation_address", "", "aff1"),
+      n(9, 8, "marker", "2"),
+      n(10, 8, "institution", "Institution2"))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    // the real author holds aff1 only
+    val author = tei.substring(tei.indexOf("<author>"), tei.indexOf("</author>"))
+    assert(author.contains("""<affiliation key="aff1">""") &&
+      !author.contains("aff0"), tei)
+    // the orphan aff0 is wrapped in a dummy author, not loose in analytic
+    assert(tei.contains("""<note type="dummy_author">""" +
+      "Dummy author for orphan affiliations</note>"), tei)
+    val dummy = tei.substring(tei.indexOf("""<note type="dummy_author""""))
+    assert(dummy.contains("""<affiliation key="aff0">"""), tei)
+    assert(dummy.contains("""<orgName type="institution">Institution1</orgName>"""), tei)
+  }
+
   test("processor DAG: name model pass structures authors in TEI") {
     val labeler = new ScriptedLabeler(spark, Seq(
       ((0L, 0, 0, 0, 0), "B-<title>"), ((0L, 0, 0, 0, 1), "I-<title>"),
