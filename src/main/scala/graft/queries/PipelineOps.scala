@@ -30,7 +30,7 @@ object PipelineOps {
   /** Deterministic per-row ALTO synthesis (one page: title block,
     * author block, body block — the segmentation labeler's header
     * region is the first two blocks). */
-  private[queries] def altoOf(docId: Long, text: String): String = {
+  private[graft] def altoOf(docId: Long, text: String): String = {
     val toks = text.split(" ").filter(_.nonEmpty)
     val (titleToks, rest) = toks.splitAt(math.min(3, toks.length))
     val (authorToks, bodyToks) = rest.splitAt(math.min(2, rest.length))

@@ -81,6 +81,71 @@ object StreamOps {
     graft.sources.AltoReader.tokens(files).toDF()
   }
 
+  /** Full-DAG streaming-vs-batch replay harness: splits a documents
+    * frame into `nFiles` parquet files, replays them as a file stream
+    * (one file per micro-batch), runs the COMPLETE per-document DAG
+    * (ALTO synthesis → StAX parse → segmentation + model folds →
+    * semantic node table) inside each `foreachBatch`, and reduces every
+    * batch's node table to an order-independent fingerprint
+    * `(row_count, bit_xor(xxhash64(row)))`. The same fingerprint over
+    * a single batch run of the identical files is returned alongside,
+    * so callers assert hash equality without ever collecting node rows
+    * to the driver — the comparison costs two longs per side no matter
+    * the corpus size. Parity holds because every DAG stage is
+    * per-document: a micro-batch of new docs is self-contained and
+    * append-mode foreachBatch composes to exactly the batch run.
+    *
+    * @return (nDocs, nBatches, (streamCount, streamXor),
+    *         (batchCount, batchXor), streamSeconds)
+    */
+  def documentPipelineReplay(spark: SparkSession, documents: DataFrame,
+      workDir: String, nFiles: Int): (Long, Long, (Long, Long), (Long, Long), Double) = {
+    import spark.implicits._
+
+    def nodesOf(docs: DataFrame): DataFrame = {
+      val synthesized = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, graft.queries.PipelineOps.altoOf(id, t)) }
+      graft.pipeline.Processor.documentPipeline(
+        graft.sources.AltoReader.tokens(synthesized).toDF()).toDF()
+    }
+    def fingerprint(nodes: DataFrame): (Long, Long) = {
+      val row = nodes.agg(
+        count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, node_id, parent_id, node_type, " +
+          "coalesce(text, ''), coalesce(content_id, '')))")).collect().head
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+    documents.select(col("doc_id"), col("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(workDir)
+
+    val streamCount = new java.util.concurrent.atomic.AtomicLong()
+    val streamXor = new java.util.concurrent.atomic.AtomicLong()
+    val nBatches = new java.util.concurrent.atomic.AtomicLong()
+    val schema = spark.read.parquet(workDir).schema
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(workDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (c, x) = fingerprint(nodesOf(batch.toDF()))
+        streamCount.addAndGet(c)
+        streamXor.updateAndGet(_ ^ x)
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val batchDocs = spark.read.parquet(workDir)
+    val batchFp = fingerprint(nodesOf(batchDocs))
+    (batchDocs.count(), nBatches.get(),
+      (streamCount.get(), streamXor.get()), batchFp, secs)
+  }
+
   /** Streaming exact deduplication — the q31 training-data operator as
     * an incremental stage: `dropDuplicates` on the content hash keeps
     * one state row per distinct hash and emits only each hash's FIRST

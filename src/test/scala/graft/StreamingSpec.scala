@@ -277,6 +277,25 @@ class StreamingSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("documentPipelineReplay: corpus-scale micro-batch replay matches batch node-table hash") {
+    // the sf-scale form of the foreachBatch parity test above: the
+    // whole sf0.01 documents table (500 docs) replayed in 4 micro-
+    // batches, compared by order-independent node-table fingerprint
+    // (count + bit_xor of row hashes) — never collecting node rows.
+    // BenchStream runs this same harness at sf1 for the BASELINE line.
+    val dir = Files.createTempDirectory("graft-replay-parity").toFile
+    try {
+      val docs = Tables(spark, sf("0.01")).documents
+      val (nDocs, nBatches, streamFp, batchFp, _) =
+        StreamOps.documentPipelineReplay(spark, docs, dir.getPath, nFiles = 4)
+      assert(nDocs == 500L)
+      assert(nBatches >= 2, s"want multiple micro-batches, got $nBatches")
+      assert(streamFp == batchFp,
+        s"stream fingerprint $streamFp != batch fingerprint $batchFp")
+      assert(streamFp._1 > 0L, "fingerprint should cover a non-empty node table")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("streaming curation: row-local quality kernel streams unchanged") {
     // quality/curation features are pure projections — the SAME
     // definition runs on a stream with append semantics and no state
