@@ -137,6 +137,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("HashAggregate"), s"group split needs no aggregation:\n$p")
   }
 
+  test("single-pass documentPipeline: at most 2 exchanges after ingest") {
+    // the round-5 restructure derives segmentation, all five view folds,
+    // id assignment and TEI inside ONE groupByKey(doc_id) pass — the
+    // plan may shuffle the token table once into that pass (plus the
+    // p04 report sort); five view branches each re-windowing the tokens
+    // showed up here as ~14 exchanges before the fold-form labelers
+    val tokens = graft.sources.AltoReader.tokens(
+      {
+        import spark.implicits._
+        Seq((0L, new PipelineSpec().altoXml)).toDS()
+      }).toDF()
+    val p = graft.pipeline.Processor.documentTei(tokens)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"documentTei should be one token shuffle (+report sort), found $exchanges:\n${p.take(4000)}")
+  }
+
   test("ingest doc_id assignment has no single-partition exchange") {
     // xxhash64(path) replaces the old row_number-over-global-window id:
     // a Window.orderBy(path) with no partition spec plans as
