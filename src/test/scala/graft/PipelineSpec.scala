@@ -139,6 +139,72 @@ class PipelineSpec extends SparkSuite {
       "<address><settlement>City1</settlement><country>Country1</country></address>"), tei)
   }
 
+  test("TEI affiliation: all fields render with grouped address " +
+      "(tei/author_test.py test_should_add_all_fields)") {
+    import graft.pipeline.SemanticNode
+    def n(id: Long, parent: Long, tpe: String, text: String, cid: String = null) =
+      SemanticNode(0L, id, parent, tpe, text, cid)
+    val nodes = Seq(
+      n(0, -1, "authors", ""),
+      n(1, 0, "author", ""),
+      n(2, 1, "surname", "Surname1"),
+      n(3, 1, "marker", "1"),
+      n(4, -1, "affiliation_address", "", "aff0"),
+      n(5, 4, "marker", "1"),
+      n(6, 4, "institution", "Institution1"),
+      n(7, 4, "department", "Department1"),
+      n(8, 4, "laboratory", "Lab1"),
+      n(9, 4, "addr_line", "AddressLine1"),
+      n(10, 4, "post_code", "PostCode1"),
+      n(11, 4, "post_box", "PostBox1"),
+      n(12, 4, "region", "Region1"),
+      n(13, 4, "settlement", "Settlement1"),
+      n(14, 4, "country", "Country1"))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<note type="raw_affiliation"><label>1</label>""" +
+      " Institution1 Department1 Lab1 AddressLine1 PostCode1 PostBox1" +
+      " Region1 Settlement1 Country1</note>"), tei)
+    assert(tei.contains("""<orgName type="institution">Institution1</orgName>""" +
+      """<orgName type="department">Department1</orgName>""" +
+      """<orgName type="laboratory">Lab1</orgName>"""), tei)
+    assert(tei.contains("<address><addrLine>AddressLine1</addrLine>" +
+      "<postCode>PostCode1</postCode><postBox>PostBox1</postBox>" +
+      "<region>Region1</region><settlement>Settlement1</settlement>" +
+      "<country>Country1</country></address>"), tei)
+  }
+
+  test("TEI authors: multi-marker author pulls affiliations in marker order " +
+      "(tei/author_test.py TestGetTeiAuthorForSemanticAffiliationAddress)") {
+    import graft.pipeline.SemanticNode
+    def n(id: Long, parent: Long, tpe: String, text: String, cid: String = null) =
+      SemanticNode(0L, id, parent, tpe, text, cid)
+    val nodes = Seq(
+      n(0, -1, "authors", ""),
+      n(1, 0, "author", ""),
+      n(2, 1, "marker", "1"),
+      n(3, 1, "marker", "2"),
+      n(4, 1, "given_name", "GivenName1"),
+      n(5, 1, "surname", "Surname1"),
+      n(6, -1, "affiliation_address", "", "aff0"),
+      n(7, 6, "marker", "1"),
+      n(8, 6, "institution", "Institution1"),
+      n(9, -1, "affiliation_address", "", "aff1"),
+      n(10, 9, "marker", "2"),
+      n(11, 9, "institution", "Institution2"),
+      n(12, -1, "affiliation_address", "", "aff2"),
+      n(13, 12, "marker", "3"),
+      n(14, 12, "institution", "Other"))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    val author = tei.substring(tei.indexOf("<author>"), tei.indexOf("</author>"))
+    // both cited affiliations inside the author, in marker order
+    val i1 = author.indexOf("""<orgName type="institution">Institution1</orgName>""")
+    val i2 = author.indexOf("""<orgName type="institution">Institution2</orgName>""")
+    assert(i1 >= 0 && i2 >= 0 && i1 < i2, tei)
+    assert(!author.contains("Other"), tei)
+    // marker 3's affiliation is orphaned into the dummy author
+    assert(tei.contains("""<note type="dummy_author">"""), tei)
+  }
+
   test("TEI authors: orphan affiliations land under a dummy author " +
       "(tei_document_test.py test_should_add_orphan_affiliation)") {
     import graft.pipeline.SemanticNode
