@@ -476,4 +476,162 @@ object TextAnalysis {
       .withColumn("shared_ratio",
         round(col("n_shared").cast("double") / col("n_shingles"), 4))
   }
+
+  // ------------------------------------------------- shared-span removal
+
+  /** Cross-document shared-span REMOVAL — the repair counterpart of
+    * [[spanContamination]]'s statistic (the "dedup repeated substrings
+    * across the corpus" operator of the exact-substring-dedup
+    * literature): every token covered by an `n`-token shingle that
+    * occurs in ≥ `minDf` documents is dropped, and the document is
+    * re-assembled from the surviving tokens.
+    *
+    * Scale shape: the document-frequency groupBy and the start-position
+    * semi-join both carry only the 8-byte `xxhash64` of each shingle
+    * (collision semantics identical to [[spanContamination]]); the
+    * per-document start-position sets are small (bounded by token
+    * count) and join back to the text by `doc_id` exactly once. The
+    * covered-position test is a row-local nested-HOF scan — O(tokens ×
+    * shared-starts) per document, linear in practice because shared
+    * starts are sparse; a sort-merged interval sweep (custom
+    * expression) is the upgrade path if a corpus proves span-dense.
+    */
+  def removeSharedSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 8, minDf: Int = 2): DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    // positions: gram hash for every start (0-based); toks is a bound
+    // attribute here (projection boundary), so the transform lambda
+    // does not re-evaluate the split per element
+    val ghs = toked.select(col("doc_id"),
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => xxhash64(array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<bigint>")).as("ghs"))
+    val pos = ghs.select(col("doc_id"),
+      posexplode(col("ghs")).as(Seq("pos", "gh")))
+    val shared = pos.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("gh")
+    val starts = pos.join(shared, Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    toked.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), (_, p) =>
+          !exists(col("starts"), s => s <= p && p <= s + (n - 1))).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
+  // --------------------------------------------------- BM25 ranked search
+
+  /** BM25 ranked retrieval for a fixed term set — the keyword-search
+    * face of the corpus (dedup-adjacent: the same tf/df machinery as
+    * [[keywordScores]], scored per query instead of per document).
+    *
+    * Uses the rational-idf BM25 variant `idf = (N - df + ½)/(df + ½)`
+    * (no logarithm): like q59's scoring this keeps the float math to
+    * divisions and multiplications whose IEEE results are identical
+    * across engines — `ln` is the one piece libm and the JVM may round
+    * differently. Rank order equals log-idf BM25's whenever all query
+    * terms have df < N/2 (idf monotone in df either way).
+    *
+    * Scale shape: per-term tf columns are row-local HOF counts (one
+    * scan, no explode/shuffle — terms are a fixed small set); the
+    * corpus-level (N, Σdl, df…) statistics are ONE tiny aggregate row
+    * broadcast back; top-N is TakeOrderedAndProject (never a global
+    * sort). Σdl is summed exactly over integers so `avgdl` is one
+    * deterministic division, not an order-sensitive float mean.
+    */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topN: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    // k1 = 1.2, b = 0.75 — written as the exact double literals the
+    // oracle SQL uses (1.2e0 etc.) so both engines run bit-identical
+    // IEEE expressions; do NOT fold (k1+1) at a different precision
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === t)).cast("long").as(s"tf$i")
+    }
+    val d = toked.select(
+      col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)
+    val aggCols = sum(col("dl")).as("sdl") +:
+      count(lit(1)).as("n") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = d.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n")
+    val score = terms.indices.map { i =>
+      ((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        (col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / avgdl)))
+    }.reduce(_ + _)
+    val top = d.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), score.as("raw_score"))
+      .orderBy(col("raw_score").desc, col("doc_id"))
+      .limit(topN)
+    // rank over the already-taken topN rows only (single partition of
+    // `topN` rows — not a global window)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("raw_score").desc, col("doc_id"))
+    top.select(row_number().over(w).cast("bigint").as("rn"),
+      col("doc_id"), col("dl"), round(col("raw_score"), 4).as("score"))
+  }
+
+  // ------------------------------------------- token-budget shard packing
+
+  /** Contiguous token-budget sharding — assign each document (in
+    * `doc_id` order) to the training shard its running token count
+    * lands in: shard = ⌊exclusive-prefix-sum(n_tokens) / budget⌋. The
+    * deterministic "cut the corpus into ~budget-token files" step in
+    * front of tokenizer/sequence-packing jobs.
+    *
+    * Scale shape: a distributed two-pass prefix sum, NOT a global
+    * single-partition window. Pass 1 range-partitions the narrow
+    * (doc_id, n_tokens) projection by doc_id and computes one partial
+    * sum per partition (collects exactly `numPartitions` longs); pass 2
+    * re-walks each partition with its broadcast base offset. The ranged
+    * projection is localCheckpointed once so both passes see identical
+    * partitioning, and nothing wider than 16 bytes/doc ever moves.
+    */
+  def tokenBudgetShards(docs: DataFrame, budget: Long = 4000L,
+      textCol: String = "text", idCol: String = "doc_id",
+      numPartitions: Int = 32): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val ranged = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(numPartitions, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .localCheckpoint()
+    val partSums: Array[(Int, Long)] = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      while (it.hasNext) acc += it.next()._2
+      Iterator.single((pid, acc))
+    }.collect()
+    val offsets: Map[Int, Long] = {
+      val sorted = partSums.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2)).toMap
+    }
+    val bOffsets = sess.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = bOffsets.value.getOrElse(pid, 0L)
+      it.map { case (id, nt) =>
+        val shard = run / budget
+        run += nt
+        (id, nt, shard)
+      }
+    }.toDF("doc_id", "n_tokens", "shard")
+  }
 }

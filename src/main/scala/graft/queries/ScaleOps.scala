@@ -320,6 +320,27 @@ object ScaleOps {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Q74 shared-span removal (oracled): drop every token covered by an
+    * 8-token shingle occurring in ≥2 documents, re-assemble the text —
+    * the exact-substring-dedup repair pass (q51 measures, q74 fixes). */
+  def q74(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.removeSharedSpans(Tables(s, d).documents, n = 8, minDf = 2)
+      .orderBy("doc_id")
+
+  /** Q75 BM25 ranked retrieval (oracled): top-20 documents for a fixed
+    * 3-term query, rational-idf BM25 (division-only float math — same
+    * cross-engine-determinism rule as q59). */
+  def q75(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25Rank(Tables(s, d).documents,
+      terms = Seq("vector", "stream", "merge"), topN = 20)
+
+  /** Q76 token-budget shards (oracled): contiguous ⌊prefix-sum/4000⌋
+    * shard assignment via the distributed two-pass prefix sum (the
+    * oracle's single window ORDER BY is the semantics, not the plan). */
+  def q76(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenBudgetShards(Tables(s, d).documents, budget = 4000L)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -339,6 +360,8 @@ object ScaleOps {
     "q68_shard_export" -> q68, "q69_vocabulary" -> q69,
     "q70_correlation_join" -> q70, "q71_decontaminate" -> q71,
     "q72_curation_report" -> q72, "q73_kmeans_clusters" -> q73,
+    "q74_span_removal" -> q74, "q75_bm25" -> q75,
+    "q76_token_shards" -> q76,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -584,5 +607,55 @@ object ScaleOps {
                    SELECT ud.b AS n, reach.m AS m FROM reach JOIN ud ON reach.n = ud.a)
          SELECT n AS doc_id, MIN(m) AS component FROM reach
          GROUP BY n ORDER BY doc_id""",
+    "q74_span_removal" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         g AS (SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+7], ' ') AS gram
+               FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks)-7)) AS u(i)
+               WHERE LEN(toks) >= 8),
+         dfq AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                 GROUP BY gram HAVING COUNT(*) >= 2),
+         st AS (SELECT doc_id, LIST_SORT(LIST(DISTINCT i)) AS starts
+                FROM g JOIN dfq USING (gram) GROUP BY doc_id),
+         c AS (SELECT t.doc_id, toks, COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+               FROM t LEFT JOIN st USING (doc_id)),
+         k AS (SELECT doc_id, toks,
+               LIST_FILTER(toks, (x, p) ->
+                 LEN(LIST_FILTER(starts, s -> s <= p AND p <= s + 7)) = 0) AS kept
+               FROM c)
+         SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(toks) - LEN(kept) AS BIGINT) AS n_removed,
+           COALESCE(ARRAY_TO_STRING(kept, ' '), '') AS cleaned_text
+         FROM k ORDER BY doc_id""",
+    "q75_bm25" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS BIGINT) AS dl,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x = 'vector')) AS BIGINT) AS tf1,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x = 'stream')) AS BIGINT) AS tf2,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x = 'merge')) AS BIGINT) AS tf3
+           FROM documents),
+         s AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+           SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+           SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+         sc AS (SELECT doc_id, dl,
+             ((n - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * 2.2e0)
+               / (tf1 + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+           + ((n - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * 2.2e0)
+               / (tf2 + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+           + ((n - df3 + 0.5e0) / (df3 + 0.5e0)) * (tf3 * 2.2e0)
+               / (tf3 + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+           AS score FROM d, s)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+                doc_id, dl, ROUND(score, 4) AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+    "q76_token_shards" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard
+         FROM c ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

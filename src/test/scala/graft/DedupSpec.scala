@@ -404,4 +404,79 @@ class DedupSpec extends SparkSuite {
         (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"))).toMap
     assert(got(0L) == (1L, 1L) && got(1L) == (1L, 1L) && got(2L) == (1L, 0L))
   }
+
+  test("removeSharedSpans: shared span stripped from both docs, fresh doc intact") {
+    // docs 0/1 share the 8-token prefix; doc 2 is all-fresh
+    val d = Seq(
+      (0L, "a b c d e f g h unique0 tail0"),
+      (1L, "a b c d e f g h unique1 tail1"),
+      (2L, "p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeSharedSpans(d, n = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(got(0L) == (10L, 8L, "unique0 tail0"))
+    assert(got(1L) == (10L, 8L, "unique1 tail1"))
+    assert(got(2L) == (11L, 0L, "p q r s t u v w x y z"))
+  }
+
+  test("removeSharedSpans: overlapping shared shingles cover their union") {
+    // docs share a 9-token run -> two overlapping shingles in each,
+    // union covers all 9 tokens, not 16
+    val d = Seq(
+      (0L, "a b c d e f g h i tail0"),
+      (1L, "a b c d e f g h i tail1")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeSharedSpans(d, n = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))).toMap
+    assert(got(0L) == (9L, "tail0") && got(1L) == (9L, "tail1"))
+  }
+
+  test("removeSharedSpans: fully-covered doc becomes the empty string") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeSharedSpans(d, n = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("cleaned_text")).toMap
+    assert(got(0L) == "" && got(1L) == "")
+  }
+
+  test("bm25Rank: term-bearing docs outrank term-free docs, rn is 1..n") {
+    val d = Seq(
+      (0L, "vector vector vector stream"),
+      (1L, "vector filler filler filler filler filler filler filler"),
+      (2L, "filler filler filler filler"),
+      (3L, "stream merge vector")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(d, terms = Seq("vector", "stream", "merge"),
+      topN = 4).collect()
+    assert(got.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // doc 3 hits all three terms in a 3-token doc; doc 2 has none -> last
+    assert(got.head.getAs[Long]("doc_id") == 3L)
+    assert(got.last.getAs[Long]("doc_id") == 2L)
+    assert(got.last.getAs[Double]("score") == 0.0)
+    // scores non-increasing down the ranking
+    val scores = got.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("tokenBudgetShards: matches the exact serial prefix-sum, any partitioning") {
+    val d = (0L until 200L).map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // small budget + more partitions than rows exercises empty partitions
+    val got = TextAnalysis.tokenBudgetShards(d, budget = 10L, numPartitions = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var run = 0L
+    val expected = (0L until 200L).map { i =>
+      val nt = (i % 7) + 1
+      val shard = run / 10L
+      run += nt
+      (i, nt, shard)
+    }
+    assert(got.toSeq == expected)
+  }
 }
