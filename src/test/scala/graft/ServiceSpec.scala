@@ -1,0 +1,202 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+
+import graft.service.GraftService
+
+/** Drives the REST service layer end-to-end over a real HTTP socket:
+  * the same assertions the reference's `tests/service/api/app_test.py`
+  * makes (routing, Accept negotiation, upload forms, model output
+  * formats), against the Spark-backed implementation.
+  */
+class ServiceSpec extends SparkSuite {
+
+  private lazy val service = new GraftService(spark).start()
+  private lazy val base = s"http://127.0.0.1:${service.boundPort}"
+  private lazy val client = HttpClient.newHttpClient()
+
+  // title block (3 toks, large font) + authors + body + Figure/Table
+  // captions + Acknowledgements + References (PipelineOps.altoOf)
+  private lazy val alto = graft.queries.PipelineOps.altoOf(1L,
+    "Neural Corpus Engines Alice Smith " +
+      (1 to 30).map(i => s"word$i").mkString(" "))
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      BodyHandlers.ofString())
+
+  private def post(path: String, accept: Option[String] = None,
+      body: String = alto,
+      contentType: Option[String] = None): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(base + path))
+      .POST(BodyPublishers.ofString(body))
+    accept.foreach(a => b = b.header("Accept", a))
+    contentType.foreach(ct => b = b.header("Content-Type", ct))
+    client.send(b.build(), BodyHandlers.ofString())
+  }
+
+  test("GET / and /api answer the link index") {
+    assert(get("/").statusCode() == 200)
+    assert(get("/").body() == """{"links": {}}""")
+    assert(get("/api").body() == """{"links": {}}""")
+  }
+
+  test("processFulltextDocument returns full TEI") {
+    val r = post("/api/processFulltextDocument",
+      accept = Some("application/tei+xml"))
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() == "application/xml")
+    assert(r.body().startsWith("""<TEI xmlns="http://www.tei-c.org/ns/1.0">"""))
+    assert(r.body().contains("Neural Corpus Engines"))  // title
+    assert(r.body().contains("<listBibl>"))             // references
+    assert(r.body().contains("""<div type="acknowledgement">"""))
+  }
+
+  test("processHeaderDocument returns front matter only") {
+    val r = post("/api/processHeaderDocument",
+      accept = Some("application/tei+xml"))
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("Neural Corpus Engines"))
+    assert(!r.body().contains("<listBibl>"))
+    assert(!r.body().contains("""<div type="acknowledgement">"""))
+  }
+
+  test("processReferences returns the reference list only") {
+    val r = post("/api/processReferences",
+      accept = Some("application/tei+xml"))
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("<listBibl>"))
+    assert(r.body().contains("Smith"))
+    assert(!r.body().contains("Neural Corpus Engines"))
+  }
+
+  test("unacceptable Accept header answers 406 with the supported list") {
+    val r = post("/api/processFulltextDocument", accept = Some("text/csv"))
+    assert(r.statusCode() == 406)
+    assert(r.body().contains("application/tei+xml"))
+  }
+
+  test("convert negotiates JATS and honors includes=") {
+    val jats = post("/api/convert", accept = Some("application/vnd.jats+xml"))
+    assert(jats.statusCode() == 200)
+    assert(jats.body().contains("<article"))
+    val title = post("/api/convert?includes=title",
+      accept = Some("application/tei+xml"))
+    assert(title.statusCode() == 200)
+    assert(title.body().contains("Neural Corpus Engines"))
+    assert(!title.body().contains("<listBibl>"))
+    // wildcard accept falls back to the first supported type (JATS)
+    val any = post("/api/convert", accept = Some("*/*"))
+    assert(any.statusCode() == 200 && any.body().contains("<article"))
+  }
+
+  test("processFulltextAssetDocument returns a zip") {
+    val r = client.send(
+      HttpRequest.newBuilder(
+          URI.create(base + "/api/processFulltextAssetDocument"))
+        .header("Accept", "application/tei+xml+zip")
+        .POST(BodyPublishers.ofString(alto)).build(),
+      BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() == "application/zip")
+    assert(r.body().take(2).sameElements("PK".getBytes))
+  }
+
+  test("pdfalto echoes ALTO and reports 501 for PDF input") {
+    val ok = post("/api/pdfalto")
+    assert(ok.statusCode() == 200)
+    assert(ok.headers().firstValue("Content-Type").get() ==
+      "application/vnd.alto+xml")
+    assert(ok.body() == alto)
+    val pdf = post("/api/pdfalto", body = "%PDF-1.4 fake")
+    assert(pdf.statusCode() == 501)
+  }
+
+  test("multipart upload with a file field is accepted") {
+    val boundary = "graftTestBoundary"
+    val body = s"--$boundary\r\n" +
+      "Content-Disposition: form-data; name=\"file\"; filename=\"d.xml\"\r\n" +
+      "Content-Type: application/xml\r\n\r\n" +
+      alto + s"\r\n--$boundary--\r\n"
+    val r = post("/api/processHeaderDocument",
+      accept = Some("application/tei+xml"), body = body,
+      contentType = Some(s"multipart/form-data; boundary=$boundary"))
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("Neural Corpus Engines"))
+  }
+
+  test("empty body answers 400") {
+    val r = post("/api/processFulltextDocument",
+      accept = Some("application/tei+xml"), body = "")
+    assert(r.statusCode() == 400)
+  }
+
+  test("models/segmentation raw_data returns one feature line per line") {
+    val r = post("/api/models/segmentation?output_format=raw_data")
+    assert(r.statusCode() == 200)
+    val lines = r.body().split("\n").filter(_.nonEmpty)
+    assert(lines.nonEmpty)
+    // segmentation features are line-level: first field is the
+    // selected (block-first) token in its original case
+    assert(lines.exists(_.startsWith("Neural")))
+    // line-level data format: selected-token label rides the line
+    val data = post("/api/models/segmentation?output_format=data")
+    assert(data.statusCode() == 200)
+    assert(data.body().split("\n").exists(_.endsWith("-<header>")))
+  }
+
+  test("models/header json returns labeled token lines") {
+    val r = post("/api/models/header?output_format=json")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() == "application/json")
+    assert(r.body().startsWith("""{"model":"header","""))
+    assert(r.body().contains("B-<title>"))
+    assert(r.body().contains("\"Neural\""))
+  }
+
+  test("models/header xml returns training-style tagged XML") {
+    val r = post("/api/models/header?output_format=xml")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("<docTitle>"))
+    assert(r.body().contains("Neural"))
+  }
+
+  test("models/citation data returns tag-separated labeled lines") {
+    val r = post("/api/models/citation?output_format=data")
+    assert(r.statusCode() == 200)
+    val lines = r.body().split("\n").filter(_.nonEmpty)
+    assert(lines.nonEmpty)
+    assert(lines.exists(_.endsWith("I-<author>")))
+    assert(lines.exists(_.endsWith("I-<title>")))
+  }
+
+  test("models/name-citation extracts the per-reference author tokens") {
+    val r = post("/api/models/name-citation?output_format=json")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("B-<forename>"))
+    assert(r.body().contains("B-<surname>"))
+    assert(r.body().contains("\"Alice\""))
+  }
+
+  test("models/figure labels caption label and description") {
+    val r = post("/api/models/figure?output_format=json")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("B-<label>"))
+    assert(r.body().contains("B-<figDesc>"))
+  }
+
+  test("unknown model answers 404; bad output_format answers 400") {
+    assert(post("/api/models/nope").statusCode() == 404)
+    assert(post("/api/models/header?output_format=csv").statusCode() == 400)
+  }
+
+  test("no_use_segmentation widens the header view to the whole document") {
+    val seg = post("/api/models/header?output_format=raw_data")
+    val all = post("/api/models/header?output_format=raw_data&no_use_segmentation=true")
+    assert(seg.statusCode() == 200 && all.statusCode() == 200)
+    assert(all.body().split("\n").length > seg.body().split("\n").length)
+  }
+}
