@@ -89,5 +89,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binaryIntRight("winnow",
       "winnow(array<long>, w) - winnowing fingerprint selection, window w",
       WinnowExpr)
+    binaryIntRight("gram_hash_positions",
+      "gram_hash_positions(array<string>, n) - per-start 64-bit n-gram hashes",
+      GramHashPositionsExpr)
+    ext.injectFunction((FunctionIdentifier("remove_covered"),
+      info("remove_covered",
+        "remove_covered(array<string>, array<int>, n) - drop tokens covered " +
+          "by n-token spans at the sorted start positions"), {
+        args: Seq[Expression] =>
+          require(args.size == 3, s"remove_covered expects 3 arguments, got ${args.size}")
+          RemoveCoveredExpr(args.head, args(1), intArg(args(2), "remove_covered"))
+      }))
   }
 }

@@ -167,6 +167,67 @@ object Sketch {
     new GenericArrayData(out)
   }
 
+  /** Per-START gram hashes: FNV-1a-64 over the UTF-8 bytes of the
+    * `n`-token gram at each start position (a 0x20 separator byte
+    * between tokens mirrors space-joining without building the gram
+    * string). Positional counterpart of [[ngrams]] for operators that
+    * need WHERE a shared gram sits, not just that it exists
+    * (shared-span removal). Returns an empty array when the input is
+    * shorter than `n`. The hash only feeds internal df-counting /
+    * semi-joins, so it needs distribution, not any cross-engine
+    * convention.
+    */
+  def gramHashPositions(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt - n + 1)
+    var i = 0
+    while (i <= cnt - n) {
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= 1099511628211L }
+        val u = toks.getUTF8String(i + j)
+        if (u != null) {
+          val bytes = u.getBytes
+          var k = 0
+          while (k < bytes.length) {
+            h ^= (bytes(k) & 0xffL); h *= 1099511628211L
+            k += 1
+          }
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Drop every token covered by an `n`-token span starting at any of
+    * the (sorted ascending) `starts` positions — one merged-interval
+    * sweep, O(tokens + starts), replacing the O(tokens × starts)
+    * `filter(toks, p -> exists(starts, ...))` HOF formulation. */
+  def removeCovered(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val m = starts.numElements()
+    if (m == 0) return toks
+    val kept = new java.util.ArrayList[Any](cnt)
+    var si = 0
+    var coverEnd = -1L
+    var p = 0
+    while (p < cnt) {
+      while (si < m && starts.getInt(si) <= p) {
+        val e = starts.getInt(si).toLong + (n - 1)
+        if (e > coverEnd) coverEnd = e
+        si += 1
+      }
+      if (p > coverEnd) kept.add(toks.getUTF8String(p))
+      p += 1
+    }
+    new GenericArrayData(kept.toArray)
+  }
+
   /** Dot product over numeric arrays in double precision, left-to-right
     * accumulation; float/double element mix handled per side. */
   def dotProduct(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
@@ -184,6 +245,11 @@ object Sketch {
 
   def word_ngrams(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramsExpr(ColumnBridge.expression(toks), n))
+  def gram_hash_positions(toks: Column, n: Int): Column =
+    ColumnBridge.column(GramHashPositionsExpr(ColumnBridge.expression(toks), n))
+  def remove_covered(toks: Column, starts: Column, n: Int): Column =
+    ColumnBridge.column(RemoveCoveredExpr(
+      ColumnBridge.expression(toks), ColumnBridge.expression(starts), n))
   def token_tf(toks: Column): Column =
     ColumnBridge.column(TokenTfExpr(ColumnBridge.expression(toks)))
   def dot_product(a: Column, b: Column): Column =
@@ -219,6 +285,34 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class GramHashPositionsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "gram_hash_positions"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.gramHashPositions(in.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.gramHashPositions($c, $n)")
+  override protected def withNewChildInternal(c: Expression): GramHashPositionsExpr =
+    copy(child = c)
+}
+
+case class RemoveCoveredExpr(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "remove_covered"
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    Sketch.removeCovered(
+      toks.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketch.removeCovered($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveCoveredExpr =
     copy(left = newLeft, right = newRight)
 }
 

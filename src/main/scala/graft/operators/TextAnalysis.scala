@@ -487,32 +487,50 @@ object TextAnalysis {
     * re-assembled from the surviving tokens.
     *
     * Scale shape: the document-frequency groupBy and the start-position
-    * semi-join both carry only the 8-byte `xxhash64` of each shingle
-    * (collision semantics identical to [[spanContamination]]); the
+    * semi-join both carry only an 8-byte hash of each shingle
+    * (collision semantics equivalent to [[spanContamination]]); the
     * per-document start-position sets are small (bounded by token
-    * count) and join back to the text by `doc_id` exactly once. The
-    * covered-position test is a row-local nested-HOF scan — O(tokens ×
-    * shared-starts) per document, linear in practice because shared
-    * starts are sparse; a sort-merged interval sweep (custom
-    * expression) is the upgrade path if a corpus proves span-dense.
+    * count) and join back to the text by `doc_id` exactly once.
+    * Per-start hashing and the covered-position test are native
+    * codegen kernels ([[graft.functions.Sketch.gramHashPositions]],
+    * [[graft.functions.Sketch.removeCovered]]): the HOF formulation
+    * (`transform` over `sequence` + `filter`×`exists`) re-evaluates
+    * arrays per element and scans starts per token — O(tokens·n²) and
+    * O(tokens·starts) where the kernels are O(tokens·n) and
+    * O(tokens + starts).
     */
   def removeSharedSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 8, minDf: Int = 2): DataFrame = {
+    import graft.functions.Sketch
+    // three consumers walk the tokenized corpus (df-count explode,
+    // shared-start semi-join explode, final reassembly join);
+    // localCheckpoint tokenizes the text exactly once — trading
+    // executor-local storage of the token arrays (~text-sized) for two
+    // avoided source re-scans, the same call q66 makes
     val toked = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
-    // positions: gram hash for every start (0-based); toks is a bound
-    // attribute here (projection boundary), so the transform lambda
-    // does not re-evaluate the split per element
+      .localCheckpoint()
     val ghs = toked.select(col("doc_id"),
-      when(size(col("toks")) >= n,
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => xxhash64(array_join(slice(col("toks"), i + 1, lit(n)), " "))))
-        .otherwise(array().cast("array<bigint>")).as("ghs"))
+      Sketch.gram_hash_positions(col("toks"), n).as("ghs"))
+    // the (doc_id, pos, gh) table feeds both the df aggregation and
+    // the shared-start semi-join; checkpointed so hashing+explode run
+    // once (the table is the same size class as the shuffle it feeds)
     val pos = ghs.select(col("doc_id"),
       posexplode(col("ghs")).as(Seq("pos", "gh")))
-    val shared = pos.groupBy("gh")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf).select("gh")
+      .localCheckpoint()
+    // df >= 2 ⟺ min(doc_id) ≠ max(doc_id): min/max are cheap partial
+    // aggregates in ONE exchange, where count_distinct plans as a
+    // two-phase distinct aggregation (measured 4.5× slower on this
+    // shuffle); the general minDf path keeps the exact distinct count
+    val shared =
+      if (minDf <= 2)
+        pos.groupBy("gh")
+          .agg(min(col("doc_id")).as("_a"), max(col("doc_id")).as("_b"))
+          .filter(col("_a") =!= col("_b")).select("gh")
+      else
+        pos.groupBy("gh")
+          .agg(count_distinct(col("doc_id")).as("df"))
+          .filter(col("df") >= minDf).select("gh")
     val starts = pos.join(shared, Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
@@ -520,8 +538,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("toks"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
       .select(col("doc_id"), col("toks"),
-        filter(col("toks"), (_, p) =>
-          !exists(col("starts"), s => s <= p && p <= s + (n - 1))).as("kept"))
+        Sketch.remove_covered(col("toks"), col("starts"), n).as("kept"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
@@ -541,12 +558,17 @@ object TextAnalysis {
     * differently. Rank order equals log-idf BM25's whenever all query
     * terms have df < N/2 (idf monotone in df either way).
     *
-    * Scale shape: per-term tf columns are row-local HOF counts (one
-    * scan, no explode/shuffle — terms are a fixed small set); the
-    * corpus-level (N, Σdl, df…) statistics are ONE tiny aggregate row
-    * broadcast back; top-N is TakeOrderedAndProject (never a global
-    * sort). Σdl is summed exactly over integers so `avgdl` is one
-    * deterministic division, not an order-sensitive float mean.
+    * Scale shape: document length and every per-term tf come out of
+    * ONE row-local pass (the native `token_tf` kernel builds the
+    * distinct-token tf map; per-term extraction scans that small map,
+    * not the token array, once per term); the narrow result
+    * (doc_id, dl, tf…) ≈ 8·(terms+2) bytes/doc is localCheckpointed so
+    * the corpus-stats aggregate and the top-N selection don't re-scan
+    * and re-tokenize the corpus. Corpus-level (N, Σdl, df…) statistics
+    * are ONE tiny aggregate row broadcast back; top-N is
+    * TakeOrderedAndProject (never a global sort). Σdl is summed
+    * exactly over integers so `avgdl` is one deterministic division,
+    * not an order-sensitive float mean.
     */
   def bm25Rank(docs: DataFrame, terms: Seq[String], topN: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -557,10 +579,16 @@ object TextAnalysis {
     val toked = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(col("toks"), x => x === t)).cast("long").as(s"tf$i")
+      coalesce(
+        try_element_at(filter(col("tfs"), e => e.getField("tok") === t), lit(1))
+          .getField("tf"),
+        lit(0L)).as(s"tf$i")
     }
-    val d = toked.select(
-      col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)
+    val d = toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        graft.functions.Sketch.token_tf(col("toks")).as("tfs"))
+      .select(col("doc_id") +: col("dl") +: tfCols: _*)
+      .localCheckpoint()
     val aggCols = sum(col("dl")).as("sdl") +:
       count(lit(1)).as("n") +:
       terms.indices.map(i =>
@@ -597,9 +625,12 @@ object TextAnalysis {
     * single-partition window. Pass 1 range-partitions the narrow
     * (doc_id, n_tokens) projection by doc_id and computes one partial
     * sum per partition (collects exactly `numPartitions` longs); pass 2
-    * re-walks each partition with its broadcast base offset. The ranged
-    * projection is localCheckpointed once so both passes see identical
-    * partitioning, and nothing wider than 16 bytes/doc ever moves.
+    * re-walks each partition with its broadcast base offset. The
+    * narrow projection is localCheckpointed BEFORE the range exchange
+    * (the range partitioner's sampling job would otherwise re-scan and
+    * re-tokenize the corpus a second time), and the ranged result once
+    * more so both passes see identical partitioning — nothing wider
+    * than 16 bytes/doc is ever materialized or moved.
     */
   def tokenBudgetShards(docs: DataFrame, budget: Long = 4000L,
       textCol: String = "text", idCol: String = "doc_id",
@@ -609,6 +640,7 @@ object TextAnalysis {
     val ranged = docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
+      .localCheckpoint()
       .repartitionByRange(numPartitions, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
