@@ -486,11 +486,18 @@ object TextAnalysis {
     * occurs in ≥ `minDf` documents is dropped, and the document is
     * re-assembled from the surviving tokens.
     *
-    * Scale shape: the document-frequency groupBy and the start-position
-    * semi-join both carry only an 8-byte hash of each shingle
-    * (collision semantics equivalent to [[spanContamination]]); the
-    * per-document start-position sets are small (bounded by token
-    * count) and join back to the text by `doc_id` exactly once.
+    * Scale shape: only the 8-byte hash of each shingle moves through
+    * the shuffle (collision semantics equivalent to
+    * [[spanContamination]]); the per-document start-position sets are
+    * small (bounded by token count) and join back to the text by
+    * `doc_id` exactly once. For the default `minDf = 2`, "shared"
+    * reduces to `min(doc_id) ≠ max(doc_id)` computed as a window over
+    * the gram hash — the exploded positions shuffle by `gh` exactly
+    * ONCE and the surviving (doc_id, pos) rows flow straight into the
+    * per-document aggregation, where the aggregate+semi-join
+    * formulation shuffles them by `gh` twice (measured 20% slower at
+    * sf1). The general `minDf` path keeps the aggregate + semi-join
+    * (distinct aggregates are not supported in window frames).
     * Per-start hashing and the covered-position test are native
     * codegen kernels ([[graft.functions.Sketch.gramHashPositions]],
     * [[graft.functions.Sketch.removeCovered]]): the HOF formulation
@@ -502,38 +509,37 @@ object TextAnalysis {
   def removeSharedSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 8, minDf: Int = 2): DataFrame = {
     import graft.functions.Sketch
-    // three consumers walk the tokenized corpus (df-count explode,
-    // shared-start semi-join explode, final reassembly join);
-    // localCheckpoint tokenizes the text exactly once — trading
-    // executor-local storage of the token arrays (~text-sized) for two
-    // avoided source re-scans, the same call q66 makes
+    // the tokenized corpus feeds the position explode AND the final
+    // reassembly join; localCheckpoint tokenizes the text exactly
+    // once — trading executor-local storage of the token arrays
+    // (~text-sized) for an avoided source re-scan, the same call q66
+    // makes
     val toked = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
       .localCheckpoint()
-    val ghs = toked.select(col("doc_id"),
-      Sketch.gram_hash_positions(col("toks"), n).as("ghs"))
-    // the (doc_id, pos, gh) table feeds both the df aggregation and
-    // the shared-start semi-join; checkpointed so hashing+explode run
-    // once (the table is the same size class as the shuffle it feeds)
-    val pos = ghs.select(col("doc_id"),
-      posexplode(col("ghs")).as(Seq("pos", "gh")))
-      .localCheckpoint()
-    // df >= 2 ⟺ min(doc_id) ≠ max(doc_id): min/max are cheap partial
-    // aggregates in ONE exchange, where count_distinct plans as a
-    // two-phase distinct aggregation (measured 4.5× slower on this
-    // shuffle); the general minDf path keeps the exact distinct count
-    val shared =
-      if (minDf <= 2)
-        pos.groupBy("gh")
-          .agg(min(col("doc_id")).as("_a"), max(col("doc_id")).as("_b"))
-          .filter(col("_a") =!= col("_b")).select("gh")
-      else
-        pos.groupBy("gh")
+    val pos = toked.select(col("doc_id"),
+      posexplode(Sketch.gram_hash_positions(col("toks"), n))
+        .as(Seq("pos", "gh")))
+    val starts =
+      if (minDf <= 2) {
+        // df >= 2 ⟺ min(doc_id) ≠ max(doc_id) over the gram's window:
+        // one shuffle by gh, and the surviving rows feed the doc_id
+        // aggregation directly
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+        pos
+          .withColumn("_a", min(col("doc_id")).over(w))
+          .withColumn("_b", max(col("doc_id")).over(w))
+          .filter(col("_a") =!= col("_b"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("pos"))).as("starts"))
+      } else {
+        val shared = pos.groupBy("gh")
           .agg(count_distinct(col("doc_id")).as("df"))
           .filter(col("df") >= minDf).select("gh")
-    val starts = pos.join(shared, Seq("gh"), "left_semi")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+        pos.join(shared, Seq("gh"), "left_semi")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("pos"))).as("starts"))
+      }
     toked.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
