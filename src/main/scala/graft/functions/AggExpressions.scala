@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Bounded collection aggregates.
+  *
+  * `collect_min_k` keeps the `k` SMALLEST distinct long values per
+  * group — the bounded form of `sort_array(collect_list(..))[1:k]`.
+  * The unbounded form buffers the whole group before truncating (a
+  * stopword's posting list is O(corpus), which is exactly the buffer a
+  * 100 TB aggregation cannot hold); this aggregate's partial and final
+  * buffers never exceed `k` elements, merge map-side like any other
+  * partial aggregate, and need no per-group sort exchange (the
+  * window-rank formulation costs a full shuffle+sort of every pair —
+  * measured 3.1× DuckDB on the inverted-index build before this
+  * kernel).
+  */
+object BoundedAgg {
+  def collect_min_k(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      CollectMinK(ColumnBridge.expression(c), k).toAggregateExpression())
+}
+
+/** Smallest-k distinct values of a non-null long child, emitted as a
+  * sorted ascending array. Buffer = a TreeSet capped at `k`: insert,
+  * then drop the largest while over capacity.
+  */
+case class CollectMinK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[Long]]
+  with UnaryLike[Expression] {
+  require(k > 0, "collect_min_k requires k > 0")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_min_k"
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long]()
+
+  private def add(buf: java.util.TreeSet[Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { buf.add(v); if (buf.size > k) buf.pollLast(); () }
+  }
+
+  override def update(buf: java.util.TreeSet[Long],
+      input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[Long],
+      other: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectMinK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectMinK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CollectMinK =
+    copy(child = c)
+}

@@ -672,4 +672,138 @@ object TextAnalysis {
       }
     }.toDF("doc_id", "n_tokens", "shard")
   }
+
+  // ---------------------------------------------------- mixture sampling
+
+  /** Source-mixture sampling — resample the corpus so each source
+    * contributes tokens in proportion to a target weight (the data-
+    * mixing step that turns "whatever we crawled" into the training
+    * mix). For each source `s` with available tokens `T_s` and
+    * normalized weight `w_s`, the acceptance rate is
+    * `min(1, budget·w_s / T_s)`; a document is kept iff the first 8 hex
+    * chars of `md5(doc_id)` fall below the rate's 32-bit threshold —
+    * the same content-independent reproducible-hash rule as
+    * [[hashSample]], so the chosen subset never re-rolls across runs,
+    * engines, or cluster layouts.
+    *
+    * Scale shape: per-source token totals are ONE aggregate whose
+    * output is #sources rows; weights and rates live on that tiny
+    * frame, which broadcast-joins back to the corpus (AQE picks
+    * broadcast at any corpus size — the build side scales with source
+    * count, not data). The keep test is row-local. Nothing wider than
+    * the (source, rate) pair ever moves, and the corpus text is scanned
+    * exactly once: the narrow (doc_id, source, n_tokens) projection is
+    * localCheckpointed and feeds both the per-source aggregate and the
+    * sampled output.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, budgetFrac: Double = 0.4,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val sess = docs.sparkSession
+    val narrow = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val perSource = narrow
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("toks"))
+    val wdf = sess.createDataFrame(weights.toSeq).toDF("source", "w")
+    val weighted = perSource.join(broadcast(wdf), Seq("source"), "left")
+      .select(col("source"), col("toks"),
+        coalesce(col("w"), lit(defaultWeight)).as("w"))
+    // normalize over the sources actually present; the whole frame is
+    // #sources rows so the cross join of its own totals stays driver-free
+    val totals = weighted.agg(sum("w").as("sw"), sum("toks").as("tt"))
+    val rates = weighted.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0),
+          (lit(budgetFrac) * col("tt") * (col("w") / col("sw"))) / col("toks"))
+          .as("rate"))
+      .select(col("source"), col("rate"),
+        lower(format_string("%08x",
+          floor(col("rate") * lit(4294967296.0)).cast("long"))).as("thresh"))
+    narrow.join(broadcast(rates), Seq("source"))
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 8) < col("thresh"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("rate"), 4).as("rate"))
+  }
+
+  // ----------------------------------------------------- inverted index
+
+  /** Inverted-index postings export: token → full document frequency +
+    * the first `cap` doc ids in id order — the retrieval-index-building
+    * pass over a curated corpus, emitted in the truncated-postings form
+    * real systems use for high-df terms (a stopword's full posting list
+    * is O(corpus); capping bounds every emitted row AND every
+    * aggregation buffer). One shuffle of (tok, doc_id) pairs — distinct
+    * per doc via the row-local `token_tf` kernel, so a token repeated
+    * 100× in a doc contributes ONE pair; the cap is the native
+    * `collect_min_k` bounded aggregate, so partial AND final buffers
+    * never exceed `cap` ids per token, truncation happens map-side
+    * like any partial aggregate, and no shuffle+sort window pass is
+    * needed (one hash-agg exchange total).
+    */
+  def invertedIndex(docs: DataFrame, minDf: Int = 3, cap: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("bigint").as("df"),
+        graft.functions.BoundedAgg.collect_min_k(col("doc_id"), cap).as("ids"))
+      .filter(col("df") >= minDf)
+      .select(col("tok"), col("df"),
+        array_join(col("ids").cast("array<string>"), ",").as("postings"))
+
+  // ------------------------------------------------- unigram LM scoring
+
+  /** Unigram-LM surprisal scoring — the perplexity-style quality filter
+    * (CCNet-shape): train a unigram model on the corpus itself
+    * (`P(tok) = count/total`), score each document by its mean token
+    * surprisal `Σ tf·(−ln P) / dl` in nats. High-surprisal documents
+    * are gibberish/rare-token soup; low-surprisal ones are repetitive
+    * boilerplate — both tails are the standard cut candidates.
+    *
+    * Cross-engine determinism: each token's surprisal is rounded ONCE
+    * to integer micro-nats (`round(ln(total/count)·1e6)`), so the
+    * per-document accumulation is an exact integer sum — immune to
+    * float addition order across partitions and engines — and only the
+    * final division by `dl·1e6` is float. Scale shape: the model is one
+    * token aggregate over checkpointed (doc_id, tok, tf) distinct
+    * pairs (tokenized once); `broadcastVocab` (default) ships the tiny
+    * model to the pairs so scoring never shuffles them — set it false
+    * for a vocabulary too large to broadcast and the same plan runs as
+    * a shuffle join; empty documents score 0 via the left join. (A
+    * driver-collected literal-map variant was measured 3× SLOWER than
+    * this join: the scoring lambda leaves whole-stage codegen and the
+    * map literal is probed by linear scan.)
+    */
+  def unigramSurprisal(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", broadcastVocab: Boolean = true): DataFrame = {
+    // (doc_id, tok, tf) distinct pairs feed BOTH the model aggregate
+    // and the scoring join; localCheckpoint explodes/tokenizes once
+    // (the pairs are the same size class as the shuffle they feed)
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"),
+        col("p.tf").cast("long").as("tf"))
+      .localCheckpoint()
+    val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val terms = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("total").cast("double") / col("cnt")) * lit(1e6))
+          .cast("long").as("micronats"))
+    val termSide = if (broadcastVocab) broadcast(terms) else terms
+    val perDoc = tf.join(termSide, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("micronats")).as("sn"), sum("tf").as("dl"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dl"), lit(0L)).cast("bigint").as("dl"),
+        round(coalesce(col("sn").cast("double") /
+          (col("dl") * lit(1e6)), lit(0.0)), 4).as("surprisal"))
+  }
 }

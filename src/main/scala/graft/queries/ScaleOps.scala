@@ -341,6 +341,29 @@ object ScaleOps {
     TextAnalysis.tokenBudgetShards(Tables(s, d).documents, budget = 4000L)
       .orderBy("doc_id")
 
+  /** Q77 source-mixture sampling (oracled): resample to a target
+    * source mix (src0 upweighted 2×, src1 downweighted 0.5×, 40% token
+    * budget) via the reproducible md5-threshold rule. */
+  def q77(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.mixtureSample(Tables(s, d).documents,
+      weights = Map("src0" -> 2.0, "src1" -> 0.5),
+      defaultWeight = 1.0, budgetFrac = 0.4)
+      .orderBy("doc_id")
+
+  /** Q78 inverted-index postings (oracled): token → df + sorted posting
+    * list capped at the first 100 ids. */
+  def q78(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables(s, d).documents, minDf = 3, cap = 100)
+      .orderBy("tok")
+
+  /** Q79 unigram-LM surprisal (oracled): per-document mean token
+    * surprisal in nats under the corpus's own unigram model — the
+    * perplexity-filter shape with integer-micronat accumulation for
+    * cross-engine determinism. */
+  def q79(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramSurprisal(Tables(s, d).documents)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -361,7 +384,8 @@ object ScaleOps {
     "q70_correlation_join" -> q70, "q71_decontaminate" -> q71,
     "q72_curation_report" -> q72, "q73_kmeans_clusters" -> q73,
     "q74_span_removal" -> q74, "q75_bm25" -> q75,
-    "q76_token_shards" -> q76,
+    "q76_token_shards" -> q76, "q77_mixture_sample" -> q77,
+    "q78_inverted_index" -> q78, "q79_surprisal" -> q79,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -649,6 +673,45 @@ object ScaleOps {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
                 doc_id, dl, ROUND(score, 4) AS score
          FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+    "q77_mixture_sample" ->
+      """WITH nt AS (SELECT doc_id, source,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         ps AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS toks FROM nt GROUP BY source),
+         wt AS (SELECT source, toks,
+           CASE source WHEN 'src0' THEN 2.0e0 WHEN 'src1' THEN 0.5e0 ELSE 1.0e0 END AS w
+           FROM ps),
+         tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS sw, CAST(SUM(toks) AS DOUBLE) AS tt FROM wt),
+         r AS (SELECT source,
+           LEAST(1.0e0, (0.4e0 * tt * (w / sw)) / toks) AS rate FROM wt, tot),
+         rt AS (SELECT source, rate,
+           printf('%08x', CAST(FLOOR(rate * 4294967296.0e0) AS BIGINT)) AS thresh FROM r)
+         SELECT nt.doc_id, nt.source, nt.n_tokens, ROUND(rate, 4) AS rate
+         FROM nt JOIN rt ON nt.source = rt.source
+         WHERE rate >= 1.0e0 OR SUBSTR(MD5(CAST(nt.doc_id AS VARCHAR)), 1, 8) < thresh
+         ORDER BY nt.doc_id""",
+    "q78_inverted_index" ->
+      """WITH tf AS (SELECT DISTINCT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text,' '),
+              x -> x <> '')) AS tok FROM documents)
+         SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+           ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:100], ',') AS postings
+         FROM tf GROUP BY tok HAVING COUNT(*) >= 3
+         ORDER BY tok""",
+    "q79_surprisal" ->
+      """WITH tk AS (SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text,' '),
+              x -> x <> '')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         v AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+         tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v),
+         tm AS (SELECT tok, CAST(ROUND(LN(total / cnt) * 1e6) AS BIGINT) AS micronats
+                FROM v, tot),
+         pd AS (SELECT tf.doc_id, CAST(SUM(tf.tf * tm.micronats) AS BIGINT) AS sn,
+                CAST(SUM(tf.tf) AS BIGINT) AS dl
+                FROM tf JOIN tm ON tf.tok = tm.tok GROUP BY tf.doc_id)
+         SELECT d.doc_id, COALESCE(dl, 0) AS dl,
+           ROUND(COALESCE(CAST(sn AS DOUBLE) / (dl * 1e6), 0.0e0), 4) AS surprisal
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+         ORDER BY d.doc_id""",
     "q76_token_shards" ->
       """WITH d AS (SELECT doc_id,
            CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens

@@ -479,4 +479,63 @@ class DedupSpec extends SparkSuite {
     }
     assert(got.toSeq == expected)
   }
+
+  test("mixtureSample: rate-1 sources pass whole, rates follow weights") {
+    // srcA has weight 3 of (3+1)=4 but only 1/5 of the tokens -> its
+    // desired share exceeds availability, rate clamps to 1.0 and every
+    // srcA doc survives; srcB gets the residual rate < 1
+    val d = (0L until 20L).map(i =>
+      (i, Seq.fill(10)("w").mkString(" "), if (i < 4) "srcA" else "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.mixtureSample(d,
+      weights = Map("srcA" -> 3.0), defaultWeight = 1.0, budgetFrac = 0.5)
+      .collect()
+    val bySrc = got.groupBy(_.getAs[String]("source"))
+    assert(bySrc("srcA").length == 4) // clamped rate 1.0 keeps all
+    assert(bySrc("srcA").forall(_.getAs[Double]("rate") == 1.0))
+    // srcB rate = 0.5 * 200 * (1/4) / 160 = 0.15625
+    assert(bySrc("srcB").forall(_.getAs[Double]("rate") == 0.1563))
+    assert(bySrc("srcB").length < 16) // subsampled, content-independent
+    // deterministic: identical second run
+    val again = TextAnalysis.mixtureSample(d,
+      weights = Map("srcA" -> 3.0), defaultWeight = 1.0, budgetFrac = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == got.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("invertedIndex: df counts distinct docs, postings capped and sorted") {
+    val d = Seq(
+      (5L, "alpha alpha alpha beta"), // alpha repeated: one posting
+      (1L, "alpha beta"),
+      (2L, "alpha beta"),
+      (3L, "alpha gamma"),
+      (4L, "gamma gamma")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(d, minDf = 2, cap = 3)
+      .collect().map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"))).toMap
+    assert(got("alpha") == (4L, "1,2,3")) // df is FULL count, postings capped at 3
+    assert(got("beta") == (3L, "1,2,5"))
+    assert(got("gamma") == (2L, "3,4"))
+  }
+
+  test("unigramSurprisal: rare-token docs score higher, empty doc scores 0") {
+    val d = Seq(
+      (0L, "common common common common"),
+      (1L, "common common common rare"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dl"), r.getAs[Double]("surprisal"))).toMap
+    assert(got(0L)._1 == 4L && got(1L)._1 == 4L && got(2L) == (0L, 0.0))
+    assert(got(1L)._2 > got(0L)._2)
+    // doc 0 is all 'common' (p = 7/8): surprisal = ln(8/7) ≈ 0.1335
+    assert(math.abs(got(0L)._2 - 0.1335) < 1e-9)
+    // the giant-vocabulary shuffle-join path scores identically
+    val joined = TextAnalysis.unigramSurprisal(d, broadcastVocab = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dl"), r.getAs[Double]("surprisal"))).toMap
+    assert(joined == got)
+  }
 }
