@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binaryIntRight("gram_hash_positions",
       "gram_hash_positions(array<string>, n) - per-start 64-bit n-gram hashes",
       GramHashPositionsExpr)
+    binaryIntRight("collect_min_k",
+      "collect_min_k(bigint, k) - aggregate: the k smallest distinct values, " +
+        "sorted ascending (bounded buffers, no per-group sort)",
+      (c, k) => CollectMinK(c, k).toAggregateExpression())
     ext.injectFunction((FunctionIdentifier("remove_covered"),
       info("remove_covered",
         "remove_covered(array<string>, array<int>, n) - drop tokens covered " +

@@ -75,6 +75,28 @@ class GraftExtensionsSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("literal") || ex.getCause != null)
   }
+
+  test("gram position kernels callable from SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT size(gram_hash_positions(array('a','b','c'), 2)) AS n,
+                remove_covered(array('a','b','c','d'), array(1), 2) AS kept
+      """).collect().head
+    assert(r.getInt(0) == 2) // starts 0 and 1
+    assert(r.getSeq[String](1) == Seq("a", "d")) // positions 1-2 covered
+  }
+
+  test("collect_min_k aggregate callable from SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT g, collect_min_k(v, 2) AS mins
+         FROM VALUES (0, 5L), (0, 1L), (0, 3L), (0, 1L), (1, 9L)
+           AS t(g, v)
+         GROUP BY g ORDER BY g
+      """).collect()
+    assert(r(0).getSeq[Long](1) == Seq(1L, 3L)) // distinct smallest 2
+    assert(r(1).getSeq[Long](1) == Seq(9L))
+  }
 }
 
 /** Reference golden for the SQL test without duplicating the shape

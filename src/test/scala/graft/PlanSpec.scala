@@ -128,6 +128,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), s"expected map-side partial agg in:\n$p")
   }
 
+  test("q74 span removal shuffles the exploded positions by gram hash once") {
+    val p = plan("q74_span_removal")
+    // the window min/max formulation: ONE hashpartitioning exchange on
+    // the gram hash; the aggregate+semi-join alternative plans two
+    val ghExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(gh#")).size
+    assert(ghExchanges == 1,
+      s"expected exactly one gh exchange, got $ghExchanges in:\n$p")
+  }
+
+  test("q78 inverted index: bounded collect, no window sort pass") {
+    val p = plan("q78_inverted_index")
+    assert(p.contains("collect_min_k"), s"expected the bounded aggregate in:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"posting-cap must not need a window rank pass:\n$p")
+    assert(p.contains("partial_collect_min_k") || p.contains("partial_"),
+      s"expected map-side partial (bounded) buffers in:\n$p")
+  }
+
   test("q67 group split is a pure projection, no shuffle before the report sort") {
     val p = plan("q67_group_split")
     // one exchange is the final orderBy; the fold assignment itself must
