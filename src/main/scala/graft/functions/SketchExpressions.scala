@@ -228,6 +228,75 @@ object Sketch {
     new GenericArrayData(kept.toArray)
   }
 
+  /** Within-document repetition profile (Gopher-style quality signals,
+    * Rae et al. 2021 §A1.1): in ONE row-local pass over the token array
+    * compute (a) the most frequent `nTop`-gram — ties broken by
+    * lexicographically smallest gram so the result is deterministic and
+    * oracle-checkable — with its occurrence count, and (b) the number
+    * of token positions covered by any `nDup`-gram that occurs at least
+    * twice in the document. Native for the q58 reason: the HOF
+    * formulation (`filter(grams, g -> size(filter(grams, == g)) >= 2)`)
+    * is O(m²) per document; this is O(m) hashing + O(m) coverage sweep.
+    * Gram keys are the exact strings (not hashes), so the counts match
+    * a string-equality oracle bit-for-bit.
+    */
+  def repGramStats(toks: ArrayData, nTop: Int, nDup: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = toks.numElements()
+    def tok(i: Int): String = {
+      val u = toks.getUTF8String(i)
+      if (u == null) "" else u.toString
+    }
+    def gramAt(i: Int, n: Int): String = {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
+      sb.toString
+    }
+    // (a) most frequent nTop-gram, ties to the smallest gram string
+    var topGram = ""
+    var topCnt = 0L
+    if (cnt >= nTop) {
+      val m = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i <= cnt - nTop) {
+        m.merge(gramAt(i, nTop), 1L, (a, b) => a + b)
+        i += 1
+      }
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > topCnt ||
+            (e.getValue == topCnt && (topCnt == 0L || e.getKey < topGram))) {
+          topGram = e.getKey; topCnt = e.getValue
+        }
+      }
+    }
+    // (b) token positions covered by a duplicated nDup-gram
+    var covered = 0L
+    if (cnt >= nDup) {
+      val m = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i <= cnt - nDup) {
+        m.merge(gramAt(i, nDup), 1, (a, b) => a + b)
+        i += 1
+      }
+      val mark = new Array[Boolean](cnt)
+      i = 0
+      while (i <= cnt - nDup) {
+        if (m.get(gramAt(i, nDup)) >= 2) {
+          var j = i
+          val e = i + nDup
+          while (j < e) { mark(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      i = 0
+      while (i < cnt) { if (mark(i)) covered += 1; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(topGram), topCnt, covered)
+  }
+
   /** Dot product over numeric arrays in double precision, left-to-right
     * accumulation; float/double element mix handled per side. */
   def dotProduct(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
@@ -252,6 +321,8 @@ object Sketch {
       ColumnBridge.expression(toks), ColumnBridge.expression(starts), n))
   def token_tf(toks: Column): Column =
     ColumnBridge.column(TokenTfExpr(ColumnBridge.expression(toks)))
+  def rep_gram_stats(toks: Column, nTop: Int, nDup: Int): Column =
+    ColumnBridge.column(RepGramStatsExpr(ColumnBridge.expression(toks), nTop, nDup))
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def min_hash(hashes: Column, k: Int): Column =
@@ -338,6 +409,22 @@ case class TokenTfExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.tokenTf($c)")
   override protected def withNewChildInternal(c: Expression): TokenTfExpr = copy(child = c)
+}
+
+case class RepGramStatsExpr(child: Expression, nTop: Int, nDup: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("dup_covered", LongType, nullable = false)))
+  override def prettyName: String = "rep_gram_stats"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.repGramStats(in.asInstanceOf[ArrayData], nTop, nDup)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.repGramStats($c, $nTop, $nDup)")
+  override protected def withNewChildInternal(c: Expression): RepGramStatsExpr =
+    copy(child = c)
 }
 
 case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {

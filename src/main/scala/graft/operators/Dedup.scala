@@ -316,4 +316,41 @@ object Dedup {
         .join(base.as("b"), col("cid_b") === col("b.id")))
     }
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then drop every vector whose cosine to a LOWER-id
+    * vector in the SAME cluster reaches `tau` — semantic near-dups that
+    * share no exact n-grams (paraphrases, templated rewrites) and so
+    * survive the lexical family (q31/q35/q36). Keep-min-id inside an
+    * ε-ball is the same deterministic keeper rule as [[exactDupGroups]].
+    *
+    * Scale shape: clustering is the bounded-sample driver-side
+    * quantizer + one broadcast assign pass ([[Similarity.kmeansClusters]]
+    * — the corpus is never shuffled for it); the candidate stage
+    * shuffles the corpus ONCE on `cluster` and runs exact cosine only
+    * within clusters, so with `k ~ sqrt(n)` the pair work is
+    * O(n·sqrt(n)) worst-case against the all-pairs O(n²) — SemDeDup's
+    * own argument for clustering first. The keeper rule needs each
+    * pair once: `id_a < id_b` halves the join, and the drop set is a
+    * distinct of bare ids (16 bytes/row) before the left-anti.
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 16, tau: Double = 0.7,
+      iters: Int = 10, sampleN: Int = 4096, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb,
+        Similarity.trainIvfCentroids(emb, k, iters, sampleN, seed, vecCol, idCol),
+        vecCol, idCol)
+      .withColumnRenamed("list_id", "cluster")
+    val side = assigned.select(col("cluster"), col(idCol).as("id"),
+      col("v"), col("norm"))
+    val dropped = side.as("a").join(side.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(Similarity.dot(col("a.v"), col("b.v")) /
+        (col("a.norm") * col("b.norm")) >= tau)
+      .select(col("b.id").as("drop_id"))
+      .distinct()
+    assigned.join(dropped, assigned(idCol) === dropped("drop_id"), "left_anti")
+      .select(col(idCol), col("cluster"), round(col("norm"), 4).as("norm"))
+  }
 }

@@ -314,4 +314,187 @@ object Similarity {
       .select(col("query_id"), col("id").as("vec_id"), col("cos"),
         col("rn").cast("bigint").as("rn"))
   }
+
+  // -------------------------------------------- product quantization
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the `dim`
+    * dimensions into `m` contiguous subspaces and train an independent
+    * `ksub`-centroid L2 k-means codebook per subspace over a bounded
+    * hash-ordered sample — the same train-on-a-sample-driver-side
+    * discipline as [[trainIvfCentroids]] (every executor needs the
+    * codebooks anyway; `m · ksub · sampleN · dim` flops is trivial next
+    * to one corpus pass). Deterministic: seeded init per subspace +
+    * hash-ordered sample reproduce bit-identically.
+    *
+    * @return codebooks(sub)(code) = centroid of subspace `sub`, a
+    *         `dim/m`-float array; `ksub` ≤ 256 so a code fits one byte
+    */
+  def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int, iters: Int = 10,
+      sampleN: Int = 4096, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Float]]] = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must fit one byte, got $ksub")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleN).as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "empty embedding table")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      val off = sub * dsub
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      val rnd = new java.util.Random(seed + sub)
+      val kEff = math.min(ksub, pts.length)
+      val centroids = rnd.ints(0, pts.length).distinct().limit(kEff)
+        .toArray.map(i => pts(i).clone())
+      def d2(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+        s
+      }
+      var iter = 0
+      while (iter < iters) {
+        val sums = Array.fill(kEff)(new Array[Double](dsub))
+        val counts = new Array[Int](kEff)
+        pts.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            val dd = d2(centroids(c), p)
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+        }
+        var c = 0
+        while (c < kEff) {
+          if (counts(c) == 0) centroids(c) = pts(rnd.nextInt(pts.length)).clone()
+          else {
+            var i = 0
+            while (i < dsub) {
+              centroids(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1
+            }
+          }
+          c += 1
+        }
+        iter += 1
+      }
+      centroids
+    }
+  }
+
+  /** PQ encoding: one broadcast `mapPartitions` pass mapping each
+    * vector to its `m`-byte code (nearest codebook centroid per
+    * subspace) — the corpus is never shuffled, and the coded table is
+    * `m` bytes + id per row against `4·dim` for the raw floats (32× at
+    * dim 64 / m 8: the form a 100 TB embedding sweep actually scans).
+    */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Float]]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebooks)
+    emb.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        val m = cbs.length
+        it.map { case (id, v) =>
+          val dsub = v.length / m
+          val code = new Array[Byte](m)
+          var sub = 0
+          while (sub < m) {
+            val off = sub * dsub
+            val cb = cbs(sub)
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb.length) {
+              val cent = cb(c)
+              var s = 0.0
+              var i = 0
+              while (i < dsub) {
+                val d = v(off + i).toDouble - cent(i); s += d * d; i += 1
+              }
+              if (s < bestD) { bestD = s; best = c }
+              c += 1
+            }
+            code(sub) = best.toByte
+            sub += 1
+          }
+          (id, code)
+        }
+      }
+      .toDF(idCol, "code")
+  }
+
+  /** PQ asymmetric-distance top-k: for each query, precompute the
+    * `m × ksub` table of exact subspace distances query↔centroid, then
+    * score every coded vector with `m` table lookups — no float vector
+    * is read at search time. Query vectors are collected (bounded by
+    * `queryIds.size`, the [[ivfTopK]] convention) and the tables
+    * broadcast; scoring is one `mapPartitions` over the coded corpus
+    * and the per-query top-k is a window over (adist asc, id). The
+    * returned `adist` is the ADC approximation of the true L2 distance
+    * — rows-only by design (float, and approximate by construction).
+    */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 10,
+      sampleN: Int = 4096, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codebooks = trainPqCodebooks(emb, m, ksub, iters, sampleN, seed,
+      vecCol, idCol)
+    val coded = pqEncode(emb, codebooks, vecCol, idCol)
+    val qVecs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).as[(Long, Array[Float])].collect()
+    val tables: Array[(Long, Array[Array[Float]])] = qVecs.map { case (qid, qv) =>
+      val dsub = qv.length / m
+      val tab = Array.tabulate(m) { sub =>
+        val off = sub * dsub
+        val cb = codebooks(sub)
+        Array.tabulate(cb.length) { c =>
+          val cent = cb(c)
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            val d = qv(off + i).toDouble - cent(i); s += d * d; i += 1
+          }
+          s.toFloat
+        }
+      }
+      (qid, tab)
+    }
+    val bt = spark.sparkContext.broadcast(tables)
+    val scoredDs = coded.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val ts = bt.value
+        it.flatMap { case (id, code) =>
+          ts.iterator.map { case (qid, tab) =>
+            var s = 0.0
+            var sub = 0
+            while (sub < tab.length) {
+              s += tab(sub)(code(sub) & 0xff); sub += 1
+            }
+            (qid, id, s)
+          }
+        }
+      }
+      .toDF("query_id", idCol, "adist0")
+    scoredDs
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adist", round(sqrt(col("adist0")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist0").asc, col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("adist"),
+        col("rn").cast("bigint").as("rn"))
+  }
 }

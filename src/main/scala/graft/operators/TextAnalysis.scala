@@ -395,6 +395,36 @@ object TextAnalysis {
       round(lit(1.0) - distinctGrams.cast("double") / total, 4).as("rep_ratio"))
   }
 
+  /** Gopher-style within-document repetition profile (Rae et al. 2021
+    * §A1.1 "repetitious text" filters, the two signals q58's distinct-
+    * bigram ratio doesn't capture): the character fraction taken by the
+    * single most frequent 2-gram, and the fraction of token positions
+    * covered by any 5-gram occurring at least twice in the document —
+    * the standard cuts for keyword-stuffing and decoding-loop text.
+    * One row-local [[graft.functions.Sketch.rep_gram_stats]] kernel
+    * pass per document (no shuffle — runs at parquet-scan speed like
+    * q58/q63); ties on the top gram break to the lexicographically
+    * smallest so the profile is deterministic and oracle-checkable.
+    */
+  def repetitionProfile(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", nTop: Int = 2, nDup: Int = 5): DataFrame = {
+    val toks = tokens(col(textCol))
+    // projection boundary: materialize the kernel struct once (same
+    // CollapseProject rule as curationDecisions — referencing the
+    // kernel from several output columns must not re-run it)
+    docs.select(col(idCol), length(col(textCol)).cast("bigint").as("nc"),
+        size(toks).cast("bigint").as("n_tokens"),
+        graft.functions.Sketch.rep_gram_stats(toks, nTop, nDup).as("st"))
+      .select(col(idCol), col("n_tokens"),
+        col("st.top_gram").as("top_gram"),
+        col("st.top_cnt").as("top_cnt"),
+        round(col("st.top_cnt") * length(col("st.top_gram")) /
+          greatest(col("nc"), lit(1L)), 4).as("top_char_frac"),
+        col("st.dup_covered").as("dup5_covered"),
+        round(col("st.dup_covered").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4).as("dup5_frac"))
+  }
+
   // ---------------------------------------------------- corpus curation
 
   /** End-to-end curation decision (the C4-style keep/drop pass): one
@@ -805,5 +835,59 @@ object TextAnalysis {
         coalesce(col("dl"), lit(0L)).cast("bigint").as("dl"),
         round(coalesce(col("sn").cast("double") /
           (col("dl") * lit(1e6)), lit(0.0)), 4).as("surprisal"))
+  }
+
+  // ------------------------------------------- importance resampling
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the mean per-token log-ratio of a TARGET unigram LM
+    * (trained on the slice matching `targetPred`) against the RAW-corpus
+    * unigram LM, add-1 smoothed over the raw vocabulary, and keep the
+    * `topN` highest-scoring documents — the "select web data that looks
+    * like the target domain" pass. DSIR proper uses hashed n-gram
+    * features; the unigram form keeps the estimator exactly
+    * SQL-expressible so the whole selection is oracle-checkable.
+    *
+    * Determinism: both LMs are integer counts; each token's log-ratio
+    * `ln((cnt_t+1)/(total_t+V)) − ln((cnt_r+1)/(total_r+V))` is rounded
+    * ONCE to integer micro-nats (the [[unigramSurprisal]] rule), so
+    * per-document accumulation is an exact integer sum and ranking
+    * compares identical doubles on every engine.
+    *
+    * Scale shape: tokenize once into checkpointed (doc_id, matches,
+    * tok, tf) pairs feeding both LM aggregates and the scoring join;
+    * the model is vocabulary-sized and broadcast; the final top-N is
+    * TakeOrderedAndProject (O(topN) per partition, no global sort).
+    * The target slice rides the same pairs — the corpus is scanned and
+    * tokenized exactly once.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column, topN: Int = 200,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+      .select(col("doc_id"), col("is_target"), col("p.tok").as("tok"),
+        col("p.tf").cast("long").as("tf"))
+      .localCheckpoint()
+    val raw = tf.groupBy("tok").agg(sum("tf").as("cnt_r"))
+    val tgt = tf.filter(col("is_target")).groupBy("tok").agg(sum("tf").as("cnt_t"))
+    val model0 = raw.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), col("cnt_r"), coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
+    val totals = model0.agg(count(lit(1)).as("v"), sum("cnt_r").as("total_r"),
+      sum("cnt_t").as("total_t"))
+    val model = model0.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round((log((col("cnt_t") + 1).cast("double") / (col("total_t") + col("v"))) -
+               log((col("cnt_r") + 1).cast("double") / (col("total_r") + col("v"))))
+          * lit(1e6)).cast("long").as("microw"))
+    val perDoc = tf.join(broadcast(model), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("microw")).as("sw"), sum("tf").as("dl"))
+    perDoc
+      .select(col("doc_id"), col("dl").cast("bigint").as("dl"),
+        (col("sw").cast("double") / (col("dl") * lit(1e6))).as("w0"))
+      .orderBy(col("w0").desc, col("doc_id"))
+      .limit(topN)
+      .select(col("doc_id"), col("dl"), round(col("w0"), 4).as("logratio"))
   }
 }

@@ -364,6 +364,37 @@ object ScaleOps {
     TextAnalysis.unigramSurprisal(Tables(s, d).documents)
       .orderBy("doc_id")
 
+  /** Q80 Gopher-style repetition profile (oracled): top-2-gram char
+    * fraction + duplicated-5-gram coverage per document — the two
+    * repetition cuts q58's distinct-bigram ratio doesn't capture. */
+  def q80(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionProfile(Tables(s, d).documents)
+      .orderBy("doc_id")
+
+  /** Q81 DSIR importance selection (oracled): top-200 documents by
+    * mean token log-ratio of the src0-slice unigram LM against the
+    * whole-corpus LM (add-1 smoothed, integer-micronat determinism) —
+    * the "select data that looks like the target domain" pass. */
+  def q81(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dsirSelect(Tables(s, d).documents,
+      targetPred = col("source") === "src0", topN = 200)
+
+  /** Q82 SemDeDup semantic dedup (rows-only — float geometry): k-means
+    * cluster the embeddings, drop within-cluster cosine≥τ near-dups
+    * keep-min-id; τ=0.4 sits below the synthetic corpus's max pairwise
+    * cosine (≈0.51) so the prune path is exercised. */
+  def q82(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(Tables(s, d).embeddings, k = 16, tau = 0.4)
+      .orderBy("vec_id")
+
+  /** Q83 product-quantization ANN top-5 for 4 queries (rows-only —
+    * approximate by construction): 8-subspace × 16-centroid codebooks,
+    * asymmetric-distance scoring over m-byte codes. */
+  def q83(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(Tables(s, d).embeddings,
+      queryIds = Seq(0L, 1L, 2L, 3L), k = 5, m = 8, ksub = 16)
+      .orderBy("query_id", "rn")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -386,6 +417,8 @@ object ScaleOps {
     "q74_span_removal" -> q74, "q75_bm25" -> q75,
     "q76_token_shards" -> q76, "q77_mixture_sample" -> q77,
     "q78_inverted_index" -> q78, "q79_surprisal" -> q79,
+    "q80_repetition_profile" -> q80, "q81_dsir_select" -> q81,
+    "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -712,6 +745,59 @@ object ScaleOps {
            ROUND(COALESCE(CAST(sn AS DOUBLE) / (dl * 1e6), 0.0e0), 4) AS surprisal
          FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
          ORDER BY d.doc_id""",
+    "q80_repetition_profile" ->
+      """WITH t AS (SELECT doc_id, LENGTH(text) AS nc,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+               FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks)-1)) AS u(i)
+               WHERE LEN(toks) >= 2),
+         bc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY doc_id, gram),
+         top AS (SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                 FROM bc) WHERE rn = 1),
+         g5 AS (SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+4], ' ') AS gram
+                FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks)-4)) AS u(i)
+                WHERE LEN(toks) >= 5),
+         d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+         cov AS (SELECT DISTINCT g5.doc_id, p
+                 FROM g5 JOIN d5 USING (doc_id, gram),
+                      UNNEST(GENERATE_SERIES(i, i+4)) AS v(p)),
+         cc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+         SELECT t.doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           COALESCE(top.gram, '') AS top_gram,
+           COALESCE(top.cnt, 0) AS top_cnt,
+           ROUND(CAST(COALESCE(top.cnt, 0) * LENGTH(COALESCE(top.gram, '')) AS DOUBLE)
+             / GREATEST(nc, 1), 4) AS top_char_frac,
+           COALESCE(cc.covered, 0) AS dup5_covered,
+           ROUND(CAST(COALESCE(cc.covered, 0) AS DOUBLE)
+             / GREATEST(LEN(toks), 1), 4) AS dup5_frac
+         FROM t LEFT JOIN top USING (doc_id) LEFT JOIN cc USING (doc_id)
+         ORDER BY doc_id""",
+    "q81_dsir_select" ->
+      """WITH tk AS (SELECT doc_id, source = 'src0' AS is_target,
+              UNNEST(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS tok
+              FROM documents),
+         tf AS (SELECT doc_id, is_target, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tk GROUP BY 1, 2, 3),
+         raw AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY tok),
+         tgt AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt_t FROM tf
+                 WHERE is_target GROUP BY tok),
+         m0 AS (SELECT tok, cnt_r, COALESCE(cnt_t, 0) AS cnt_t
+                FROM raw LEFT JOIN tgt USING (tok)),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                 CAST(SUM(cnt_r) AS BIGINT) AS total_r,
+                 CAST(SUM(cnt_t) AS BIGINT) AS total_t FROM m0),
+         m AS (SELECT tok, CAST(ROUND(
+                 (LN(CAST(cnt_t + 1 AS DOUBLE) / (total_t + v))
+                - LN(CAST(cnt_r + 1 AS DOUBLE) / (total_r + v))) * 1e6) AS BIGINT)
+                 AS microw FROM m0, tot),
+         pd AS (SELECT tf.doc_id, CAST(SUM(tf.tf * m.microw) AS BIGINT) AS sw,
+                CAST(SUM(tf.tf) AS BIGINT) AS dl
+                FROM tf JOIN m USING (tok) GROUP BY tf.doc_id)
+         SELECT doc_id, dl,
+           ROUND(CAST(sw AS DOUBLE) / (dl * 1e6), 4) AS logratio
+         FROM pd ORDER BY CAST(sw AS DOUBLE) / (dl * 1e6) DESC, doc_id
+         LIMIT 200""",
     "q76_token_shards" ->
       """WITH d AS (SELECT doc_id,
            CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens

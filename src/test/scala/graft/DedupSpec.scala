@@ -538,4 +538,98 @@ class DedupSpec extends SparkSuite {
         (r.getAs[Long]("dl"), r.getAs[Double]("surprisal"))).toMap
     assert(joined == got)
   }
+
+  test("repetitionProfile: top-2-gram with smallest-gram tie-break, dup-5-gram coverage") {
+    val d = Seq(
+      (0L, "a b a b a b"),                    // top "a b"×3; no repeated 5-gram
+      (1L, "x y z w q x y z w q x y z w q"),  // every 5-gram repeats; 4 bigrams tie at 3
+      (2L, "solo")                            // shorter than both gram sizes
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[String]("top_gram") == "a b")
+    assert(got(0L).getAs[Long]("top_cnt") == 3L)
+    // 3 occurrences × 3 chars / 11 chars
+    assert(got(0L).getAs[Double]("top_char_frac") == 0.8182)
+    assert(got(0L).getAs[Long]("dup5_covered") == 0L)
+    assert(got(0L).getAs[Double]("dup5_frac") == 0.0)
+    // ties at cnt 3 ("w q","x y","y z","z w") break to the smallest gram
+    assert(got(1L).getAs[String]("top_gram") == "w q")
+    assert(got(1L).getAs[Long]("top_cnt") == 3L)
+    // all 15 positions covered by a duplicated 5-gram
+    assert(got(1L).getAs[Long]("dup5_covered") == 15L)
+    assert(got(1L).getAs[Double]("dup5_frac") == 1.0)
+    assert(got(2L).getAs[String]("top_gram") == "")
+    assert(got(2L).getAs[Long]("top_cnt") == 0L)
+    assert(got(2L).getAs[Double]("top_char_frac") == 0.0)
+    assert(got(2L).getAs[Long]("dup5_covered") == 0L)
+  }
+
+  test("dsirSelect: target-like documents rank first, integer-micronat scoring") {
+    val d = Seq(
+      (0L, "src0", "ml ml data"),
+      (1L, "src1", "web web web"),
+      (2L, "src1", "ml data"),
+      (3L, "src1", "web data")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dsirSelect(d, col("source") === "src0", topN = 2)
+      .collect()
+    // raw: ml 3, web 4, data 3 (V=3, total 10); target: ml 2, data 1 (total 3)
+    // microw: ml  = ln(3/6)−ln(4/13) ≈ 0.4855; data = ln(2/6)−ln(4/13) ≈ 0.0800
+    // doc0 = (2·ml + data)/3 ≈ 0.3503 > doc2 = (ml + data)/2 ≈ 0.2828
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    assert(math.abs(got(0).getAs[Double]("logratio") - 0.3503) < 2e-4)
+    assert(math.abs(got(1).getAs[Double]("logratio") - 0.2828) < 2e-4)
+    assert(got(0).getAs[Long]("dl") == 3L)
+  }
+
+  /** Three orthogonal 8-dim blobs with tiny in-blob jitter: in-blob
+    * cosine ≈ 1, cross-blob ≈ 0. */
+  private def blobEmb = {
+    def blob(base: Int, axis: Int) = (0 until 4).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(axis) = 10.0f
+      v(axis + 1) = 0.01f * i   // jitter keeps vectors distinct
+      ((base + i).toLong, v)
+    }
+    (blob(0, 0) ++ blob(10, 2) ++ blob(20, 4)).toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedup: keep-min-id within cosine tau, orthogonal blobs survive") {
+    val kept = Dedup.semanticDedup(blobEmb, k = 1, tau = 0.9)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // each blob collapses to its smallest id; cross-blob cosine ~0 keeps blobs apart
+    assert(kept == Set(0L, 10L, 20L))
+    // tau above the in-blob cosine keeps everything
+    val all = Dedup.semanticDedup(blobEmb, k = 1, tau = 0.9999999)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(all.size == 12)
+    // deterministic on the real table: identical second run
+    val e = Tables(spark, sf("0.001")).embeddings
+    val r1 = Dedup.semanticDedup(e, k = 8, tau = 0.4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val r2 = Dedup.semanticDedup(e, k = 8, tau = 0.4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
+  test("pqTopK: ADC neighbors come from the query's blob; codes deterministic") {
+    val emb = blobEmb
+    val got = Similarity.pqTopK(emb, queryIds = Seq(0L, 10L, 20L), k = 3,
+      m = 4, ksub = 4, sampleN = 12)
+      .collect()
+    assert(got.length == 9) // 3 queries × k=3
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val v = r.getAs[Long]("vec_id")
+      assert(v / 10 == q / 10, s"query $q got cross-blob neighbor $v")
+    }
+    val cbs = Similarity.trainPqCodebooks(emb, m = 4, ksub = 4, sampleN = 12)
+    val c1 = Similarity.pqEncode(emb, cbs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code").toSeq).toMap
+    val c2 = Similarity.pqEncode(emb, cbs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code").toSeq).toMap
+    assert(c1 == c2)
+    assert(c1.values.forall(_.length == 4)) // m bytes per vector
+  }
 }
