@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // All media here moves through in-memory byte arrays; ImageIO's
+  // default stream cache would spill every encode/decode through a
+  // temp FILE (one create+delete per frame — measured ~40% of p16's
+  // video pass at sf0.1). Executors load this object before first use,
+  // so the switch applies wherever the decode kernels run.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(
       doc_id: Long,
       media_type: String, // "image/png" | "audio/wav" | "video/mp4" | ...
