@@ -395,6 +395,18 @@ object ScaleOps {
       queryIds = Seq(0L, 1L, 2L, 3L), k = 5, m = 8, ksub = 16)
       .orderBy("query_id", "rn")
 
+  /** Q84 BPE tokenizer training + encode (rows-only — the merge loop is
+    * not SQL-expressible): learn 40 merges from the corpus type
+    * histogram, then re-encode every document with the learned subword
+    * vocabulary. Deterministic: exact integer pair counts, lexicographic
+    * tie-breaks. */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Tokenizer
+    val docs = Tables(s, d).documents
+    Tokenizer.bpeEncode(docs, Tokenizer.bpeTrain(docs, numMerges = 40))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -419,6 +431,7 @@ object ScaleOps {
     "q78_inverted_index" -> q78, "q79_surprisal" -> q79,
     "q80_repetition_profile" -> q80, "q81_dsir_select" -> q81,
     "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
+    "q84_bpe" -> q84,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
