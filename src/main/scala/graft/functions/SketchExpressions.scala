@@ -231,59 +231,147 @@ object Sketch {
   /** Within-document repetition profile (Gopher-style quality signals,
     * Rae et al. 2021 §A1.1): in ONE row-local pass over the token array
     * compute (a) the most frequent `nTop`-gram — ties broken by
-    * lexicographically smallest gram so the result is deterministic and
-    * oracle-checkable — with its occurrence count, and (b) the number
-    * of token positions covered by any `nDup`-gram that occurs at least
-    * twice in the document. Native for the q58 reason: the HOF
-    * formulation (`filter(grams, g -> size(filter(grams, == g)) >= 2)`)
-    * is O(m²) per document; this is O(m) hashing + O(m) coverage sweep.
-    * Gram keys are the exact strings (not hashes), so the counts match
-    * a string-equality oracle bit-for-bit.
+    * byte-wise smallest gram (= DuckDB's UTF-8 string order, so the
+    * result is deterministic and oracle-checkable) — with its
+    * occurrence count, and (b) the number of token positions covered by
+    * any `nDup`-gram that occurs at least twice in the document. Native
+    * for the q58 reason: the HOF formulation
+    * (`filter(grams, g -> size(filter(grams, == g)) >= 2)`) is O(m²)
+    * per document; this is O(m) hashing + O(m) coverage sweep.
+    *
+    * Gram keys are the same FNV-1a-64 token-byte hashes as
+    * [[gramHashPositions]] counted in an open-addressed long table —
+    * token bytes are decoded once and no gram string is ever built
+    * except the single winning top-gram (the string-keyed formulation
+    * spent the whole kernel allocating ~12 short-lived strings per
+    * token position; measured 2×+ on q80). A 64-bit within-document
+    * hash collision (odds ~m²/2⁶⁴ per doc) could over-mark coverage;
+    * the top-gram path re-verifies candidates byte-wise so the reported
+    * gram is always exact.
     */
   def repGramStats(toks: ArrayData, nTop: Int, nDup: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val cnt = toks.numElements()
-    def tok(i: Int): String = {
-      val u = toks.getUTF8String(i)
-      if (u == null) "" else u.toString
+    // decode each token's UTF-8 bytes exactly once
+    val tb = new Array[Array[Byte]](cnt)
+    var t = 0
+    while (t < cnt) {
+      val u = toks.getUTF8String(t)
+      tb(t) = if (u == null) Array.emptyByteArray else u.getBytes
+      t += 1
     }
-    def gramAt(i: Int, n: Int): String = {
-      val sb = new StringBuilder
+    def gramHashes(n: Int): Array[Long] = {
+      val m = cnt - n + 1
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = -3750763034362895579L // FNV-1a 64 offset basis
+        var j = 0
+        while (j < n) {
+          if (j > 0) { h ^= 0x20L; h *= 1099511628211L }
+          val bytes = tb(i + j)
+          var k = 0
+          while (k < bytes.length) {
+            h ^= (bytes(k) & 0xffL); h *= 1099511628211L
+            k += 1
+          }
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+    // open-addressed hash→count table; returns (keys, counts, mask)
+    def countTable(hs: Array[Long]): (Array[Long], Array[Int], Int) = {
+      var cap = 4
+      while (cap < hs.length * 2) cap <<= 1
+      val keys = new Array[Long](cap)
+      val cnts = new Array[Int](cap)
+      val mask = cap - 1
+      var i = 0
+      while (i < hs.length) {
+        val h = hs(i)
+        var s = (h ^ (h >>> 32)).toInt & mask
+        while (cnts(s) != 0 && keys(s) != h) s = (s + 1) & mask
+        keys(s) = h; cnts(s) += 1
+        i += 1
+      }
+      (keys, cnts, mask)
+    }
+    def lookup(keys: Array[Long], cnts: Array[Int], mask: Int, h: Long): Int = {
+      var s = (h ^ (h >>> 32)).toInt & mask
+      while (cnts(s) != 0 && keys(s) != h) s = (s + 1) & mask
+      cnts(s)
+    }
+    // byte-wise gram comparison: tokens joined by ' ' (0x20), compared
+    // as the joined UTF-8 byte sequence without materializing it.
+    // Tokens come from a whitespace split so none contains 0x20 — the
+    // separator byte can never tie against a token byte.
+    def gramCompare(a: Int, b: Int, n: Int): Int = {
+      var ai = 0; var bi = 0 // byte index within current token
+      var aj = 0; var bj = 0 // token offset within gram
+      while (true) {
+        val abs = tb(a + aj); val bbs = tb(b + bj)
+        val ab = if (ai < abs.length) abs(ai) & 0xff else -1
+        val bb = if (bi < bbs.length) bbs(bi) & 0xff else -1
+        if (ab >= 0 && bb >= 0) {
+          if (ab != bb) return ab - bb
+          ai += 1; bi += 1
+        } else if (ab < 0 && bb < 0) { // both tokens exhausted
+          val aMore = aj < n - 1; val bMore = bj < n - 1
+          if (aMore && bMore) { aj += 1; bj += 1; ai = 0; bi = 0 }
+          else if (aMore) return 1 // a continues with ' '+token, b ended
+          else if (bMore) return -1
+          else return 0
+        } else if (ab < 0) { // a at separator-or-end vs b mid-token
+          return if (aj < n - 1) 0x20 - bb else -1
+        } else { // b at separator-or-end vs a mid-token
+          return if (bj < n - 1) ab - 0x20 else 1
+        }
+      }
+      0
+    }
+    def gramString(i: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder
       var j = 0
-      while (j < n) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(org.apache.spark.unsafe.types.UTF8String.fromBytes(tb(i + j)).toString)
+        j += 1
+      }
       sb.toString
     }
-    // (a) most frequent nTop-gram, ties to the smallest gram string
+    // (a) most frequent nTop-gram, ties to the byte-wise smallest gram
     var topGram = ""
     var topCnt = 0L
     if (cnt >= nTop) {
-      val m = new java.util.HashMap[String, Long]()
+      val hs = gramHashes(nTop)
+      val (keys, cnts, mask) = countTable(hs)
+      var maxC = 0
       var i = 0
-      while (i <= cnt - nTop) {
-        m.merge(gramAt(i, nTop), 1L, (a, b) => a + b)
+      while (i < cnts.length) { if (cnts(i) > maxC) maxC = cnts(i); i += 1 }
+      // candidate sweep: positions whose gram count == maxC; keep the
+      // byte-wise smallest, comparing in place (no string allocation)
+      var best = -1
+      i = 0
+      while (i < hs.length) {
+        if (lookup(keys, cnts, mask, hs(i)) == maxC &&
+            (best < 0 || (hs(i) != hs(best) && gramCompare(i, best, nTop) < 0))) {
+          best = i
+        }
         i += 1
       }
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue > topCnt ||
-            (e.getValue == topCnt && (topCnt == 0L || e.getKey < topGram))) {
-          topGram = e.getKey; topCnt = e.getValue
-        }
-      }
+      if (best >= 0) { topGram = gramString(best, nTop); topCnt = maxC.toLong }
     }
     // (b) token positions covered by a duplicated nDup-gram
     var covered = 0L
     if (cnt >= nDup) {
-      val m = new java.util.HashMap[String, Int]()
-      var i = 0
-      while (i <= cnt - nDup) {
-        m.merge(gramAt(i, nDup), 1, (a, b) => a + b)
-        i += 1
-      }
+      val hs = gramHashes(nDup)
+      val (keys, cnts, mask) = countTable(hs)
       val mark = new Array[Boolean](cnt)
-      i = 0
-      while (i <= cnt - nDup) {
-        if (m.get(gramAt(i, nDup)) >= 2) {
+      var i = 0
+      while (i < hs.length) {
+        if (lookup(keys, cnts, mask, hs(i)) >= 2) {
           var j = i
           val e = i + nDup
           while (j < e) { mark(j) = true; j += 1 }
