@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, LongInputType}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Bounded collection aggregates.
@@ -37,7 +37,10 @@ object BoundedAgg {
 case class CollectMinK(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[Long]]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with LongInputType {
+  // LongInputType: collect_min_k is on the SQL surface (GraftExtensions) —
+  // declare the long input type so an int child is cast at analysis time
+  // instead of ClassCastException-ing inside update() at execution time
   require(k > 0, "collect_min_k requires k > 0")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

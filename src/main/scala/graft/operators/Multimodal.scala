@@ -276,23 +276,36 @@ object Multimodal {
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
       var off = start
-      while (off + 8 <= end) {
+      var ok = true
+      while (ok && off + 8 <= end) {
         val id = fourcc(off)
         val len = le32(off + 4)
-        val dataOff = off + 8
-        val dataEnd = math.min(dataOff.toLong + len, end.toLong).toInt
-        if (id == "LIST" && dataOff + 4 <= end) {
-          val listType = fourcc(dataOff)
-          if (listType == "hdrl" || listType == "movi" || listType == "rec ")
-            walk(dataOff + 4, dataEnd)
-        } else if (id == "avih" && dataOff + 40 <= end) {
-          usPerFrame = le32(dataOff)
-          width = le32(dataOff + 32)
-          height = le32(dataOff + 36)
-        } else if ((id == "00dc" || id == "00db") && dataEnd > dataOff) {
-          frames += java.util.Arrays.copyOfRange(content, dataOff, dataEnd)
+        if (len < 0) {
+          // corrupt/malicious length field: a negative len would make the
+          // word-aligned advance regress (or stall) and loop forever —
+          // abandon this walk level instead of trusting it
+          ok = false
+        } else {
+          val dataOff = off + 8
+          val dataEnd = math.min(dataOff.toLong + len, end.toLong).toInt
+          if (id == "LIST" && dataOff + 4 <= end) {
+            val listType = fourcc(dataOff)
+            if (listType == "hdrl" || listType == "movi" || listType == "rec ")
+              walk(dataOff + 4, dataEnd)
+          } else if (id == "avih" && dataOff + 40 <= end) {
+            usPerFrame = le32(dataOff)
+            width = le32(dataOff + 32)
+            height = le32(dataOff + 36)
+          } else if ((id == "00dc" || id == "00db") && dataEnd > dataOff) {
+            frames += java.util.Arrays.copyOfRange(content, dataOff, dataEnd)
+          }
+          // chunks are word-aligned; advance in Long space so a huge len
+          // saturates at `end` rather than overflowing Int into a
+          // negative offset
+          val next = dataOff.toLong + len + (len & 1)
+          if (next <= off) ok = false
+          else off = math.min(next, end.toLong).toInt
         }
-        off = dataOff + len + (len & 1) // chunks are word-aligned
       }
     }
     walk(12, content.length)

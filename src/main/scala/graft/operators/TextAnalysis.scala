@@ -538,6 +538,10 @@ object TextAnalysis {
     */
   def removeSharedSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 8, minDf: Int = 2): DataFrame = {
+    // df >= 1 would be degenerate (every gram-covered token removed), and
+    // the fast path below implements exactly df >= 2 — reject anything
+    // lower rather than silently substituting df >= 2 semantics
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf): df >= 1 would remove every gram-covered token")
     import graft.functions.Sketch
     // the tokenized corpus feeds the position explode AND the final
     // reassembly join; localCheckpoint tokenizes the text exactly
@@ -551,7 +555,7 @@ object TextAnalysis {
       posexplode(Sketch.gram_hash_positions(col("toks"), n))
         .as(Seq("pos", "gh")))
     val starts =
-      if (minDf <= 2) {
+      if (minDf == 2) {
         // df >= 2 ⟺ min(doc_id) ≠ max(doc_id) over the gram's window:
         // one shuffle by gh, and the surviving rows feed the doc_id
         // aggregation directly

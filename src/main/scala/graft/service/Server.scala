@@ -103,7 +103,10 @@ final class GraftService(
     def text(status: Int, contentType: String, s: String): Response =
       Response(status, contentType, s.getBytes(StandardCharsets.UTF_8))
     def detail(status: Int, msg: String): Response =
-      text(status, Json, s"""{"detail": "${msg.replace("\"", "'")}"}""")
+      // messages are often built from request content — full JSON string
+      // escaping, not just quote rewriting, or the error body itself is
+      // invalid JSON
+      text(status, Json, s"""{"detail": ${jsonStr(msg)}}""")
   }
 
 
@@ -551,9 +554,17 @@ final class GraftService(
     Seq("page_idx", "block_idx", "line_idx", "token_idx")
       .filter(df.columns.contains).map(col)
 
-  private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+  private def jsonStr(s: String): String = {
+    val escaped = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    val sb = new java.lang.StringBuilder(escaped.length + 2)
+    sb.append('"')
+    escaped.foreach { c =>
+      if (c < 0x20) sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
 }
 
 /** 406 carrier (`dependencies.py:169-174`). */

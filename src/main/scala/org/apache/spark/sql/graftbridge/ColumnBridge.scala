@@ -26,3 +26,16 @@ object ExtensionsBridge {
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
 }
+
+/** `AbstractDataType` (the `inputTypes` element type of
+  * `ImplicitCastInputTypes`) is `private[sql]`, so an expression outside
+  * the sql package tree cannot declare its input types directly. These
+  * mixins pin the common graft signatures from inside the bridge, giving
+  * external expressions analysis-time casts/rejection instead of
+  * execution-time ClassCastExceptions.
+  */
+trait LongInputType
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+}

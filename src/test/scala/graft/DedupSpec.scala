@@ -444,6 +444,23 @@ class DedupSpec extends SparkSuite {
     assert(got(0L) == "" && got(1L) == "")
   }
 
+  test("removeSharedSpans: minDf < 2 is rejected, minDf = 3 honored") {
+    val d = Seq(
+      (0L, "a b c d e f g h t0"),
+      (1L, "a b c d e f g h t1"),
+      (2L, "a b c d e f g h t2")
+    ).toDF("doc_id", "text")
+    // df >= 1 semantics is degenerate; previously minDf = 1 silently got
+    // the df >= 2 window fast path
+    intercept[IllegalArgumentException] {
+      TextAnalysis.removeSharedSpans(d, n = 8, minDf = 1)
+    }
+    // minDf = 3: the prefix is in all three docs, still removed
+    val got3 = TextAnalysis.removeSharedSpans(d, n = 8, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("cleaned_text")).toMap
+    assert(got3 == Map(0L -> "t0", 1L -> "t1", 2L -> "t2"))
+  }
+
   test("bm25Rank: term-bearing docs outrank term-free docs, rn is 1..n") {
     val d = Seq(
       (0L, "vector vector vector stream"),

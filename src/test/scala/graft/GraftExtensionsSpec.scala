@@ -96,6 +96,13 @@ class GraftExtensionsSpec extends SparkSuite {
       """).collect()
     assert(r(0).getSeq[Long](1) == Seq(1L, 3L)) // distinct smallest 2
     assert(r(1).getSeq[Long](1) == Seq(9L))
+    // int children are implicitly cast at analysis time (previously a
+    // runtime ClassCastException inside the aggregate buffer)
+    val ri = spark.sql(
+      """SELECT collect_min_k(v, 2) AS mins
+         FROM VALUES (5), (1), (3) AS t(v)
+      """).collect()
+    assert(ri(0).getSeq[Long](0) == Seq(1L, 3L))
   }
 }
 

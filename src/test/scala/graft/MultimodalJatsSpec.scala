@@ -85,6 +85,26 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(Multimodal.decodeAvi(Array.fill[Byte](100)(3)).isEmpty)
   }
 
+  test("multimodal: decodeAvi terminates on corrupted chunk lengths") {
+    // negative le32 chunk length (-8) used to stall the RIFF walk — the
+    // advance `dataOff + len + (len & 1)` lands back on `off` forever
+    val avi = Multimodal.textToAvi("corrupt me")
+    def le32(buf: Array[Byte], off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xFF).toByte; buf(off + 1) = ((v >> 8) & 0xFF).toByte
+      buf(off + 2) = ((v >> 16) & 0xFF).toByte; buf(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    // find the first 00dc chunk and poison its length field
+    val idx = avi.sliding(4).indexWhere(_.sameElements("00dc".getBytes))
+    assert(idx > 0)
+    val negLen = avi.clone(); le32(negLen, idx + 4, -8)
+    Multimodal.decodeAvi(negLen) // must return (any value), not hang
+    val hugeLen = avi.clone(); le32(hugeLen, idx + 4, Int.MaxValue)
+    Multimodal.decodeAvi(hugeLen) // Int-overflow advance must saturate
+    // truncated header chunk length inside LIST hdrl
+    val negHdr = avi.clone(); le32(negHdr, 12 + 4, -2)
+    Multimodal.decodeAvi(negHdr)
+  }
+
   test("multimodal: videoFeatures decodes real frames with stride, deterministic") {
     val docs = Tables(spark, sf("0.001")).documents.limit(20)
     val media = Multimodal.aviFromDocuments(docs)

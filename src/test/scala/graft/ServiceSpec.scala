@@ -134,6 +134,19 @@ class ServiceSpec extends SparkSuite {
     assert(r.statusCode() == 400)
   }
 
+  test("error detail bodies are valid JSON even with quotes/backslashes") {
+    // the 400 message embeds the (attacker-controlled) output_format
+    // value — a quote/backslash in it used to break the JSON body
+    val r = post("/api/models/header?output_format=" +
+      java.net.URLEncoder.encode("""bad"va\lue""", "UTF-8"))
+    assert(r.statusCode() == 400)
+    val body = r.body()
+    assert(body.startsWith("""{"detail": """"))
+    assert(body.contains("\\\"") && body.contains("\\\\"))
+    // minimal structural check: the value parses back out of the escapes
+    assert(body.endsWith("\"}"))
+  }
+
   test("models/segmentation raw_data returns one feature line per line") {
     val r = post("/api/models/segmentation?output_format=raw_data")
     assert(r.statusCode() == 200)
