@@ -28,10 +28,21 @@ object StreamOps {
   def normalizeTs(events: DataFrame): DataFrame =
     events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Event-time watermarks require TIMESTAMP; parquet written without a
+    * timezone reads back as TIMESTAMP_NTZ, which `withWatermark`
+    * rejects. Conditionally cast so a TIMESTAMP input keeps its exact
+    * original plan and an NTZ input converts in the session timezone
+    * BEFORE the watermark is attached (a cast after would strip the
+    * event-time marker). */
+  private def tsAsTimestamp(df: DataFrame, c: String): DataFrame =
+    if (df.schema(c).dataType == TimestampNTZType)
+      df.withColumn(c, col(c).cast("timestamp"))
+    else df
+
   /** Q29 tumbling-hour aggregation; watermark bounds state in streaming
     * mode and is a no-op in batch. */
   def tumblingHourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+    tsAsTimestamp(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
@@ -42,7 +53,7 @@ object StreamOps {
     * event contributes to two windows; same watermark-bounded state as
     * the tumbling form. */
   def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+    tsAsTimestamp(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
@@ -54,7 +65,7 @@ object StreamOps {
     * formulation links). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
-    events
+    tsAsTimestamp(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n"))
@@ -162,7 +173,8 @@ object StreamOps {
     val hashed = docs.withColumn("h", md5(col("text")))
     watermark match {
       case Some(w) =>
-        hashed.withWatermark("ts", w).dropDuplicatesWithinWatermark("h")
+        tsAsTimestamp(hashed, "ts").withWatermark("ts", w)
+          .dropDuplicatesWithinWatermark("h")
       case None => hashed.dropDuplicates("h")
     }
   }
@@ -180,13 +192,13 @@ object StreamOps {
   def correlatedPairs(eventsA: DataFrame, eventsB: DataFrame,
       typeA: String = "view", typeB: String = "purchase",
       within: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val a = eventsA.filter(col("event_type") === typeA)
+    val a = tsAsTimestamp(eventsA.filter(col("event_type") === typeA)
       .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
-        col("ts").as("a_ts"))
+        col("ts").as("a_ts")), "a_ts")
       .withWatermark("a_ts", watermark)
-    val b = eventsB.filter(col("event_type") === typeB)
+    val b = tsAsTimestamp(eventsB.filter(col("event_type") === typeB)
       .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
-        col("ts").as("b_ts"))
+        col("ts").as("b_ts")), "b_ts")
       .withWatermark("b_ts", watermark)
     a.join(b, col("a_user") === col("b_user") &&
         col("b_ts") >= col("a_ts") &&
@@ -219,8 +231,9 @@ object StreamOps {
       else GroupStateTimeout.NoTimeout
     // the watermarked ts attribute must reach the stateful operator
     // unchanged (a cast would strip the event-time marker EventTimeTimeout
-    // validates against) — epoch conversion happens inside the lambda
-    events.withWatermark("ts", watermark)
+    // validates against) — epoch conversion happens inside the lambda;
+    // NTZ normalization happens BEFORE the watermark for the same reason
+    tsAsTimestamp(events, "ts").withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)

@@ -330,11 +330,15 @@ class StreamingSpec extends SparkSuite {
     // chronological file split: with watermark (2h) > join bound (1h),
     // no cross-file pair can be dropped by state eviction, so streaming
     // must reproduce the batch join exactly
-    val median = ev.agg(expr("percentile(cast(ts as long), 0.5)")).head().getDouble(0)
-    ev.filter(col("ts").cast("long") <= median).coalesce(1)
+    // NTZ-safe: testdata parquet may read `ts` as TIMESTAMP_NTZ, which
+    // rejects a direct cast to BIGINT — hop through TIMESTAMP first
+    // (same pattern as the engine's q65 range join, Relational.scala).
+    val tsLong = col("ts").cast("timestamp").cast("long")
+    val median = ev.agg(expr("percentile(cast(cast(ts as timestamp) as long), 0.5)")).head().getDouble(0)
+    ev.filter(tsLong <= median).coalesce(1)
       .write.mode("append").parquet(dir.getPath)
     Thread.sleep(1100)
-    ev.filter(col("ts").cast("long") > median).coalesce(1)
+    ev.filter(tsLong > median).coalesce(1)
       .write.mode("append").parquet(dir.getPath)
     try {
       val src = spark.readStream.schema(ev.schema)
