@@ -602,7 +602,7 @@ object TextAnalysis {
     * ONE row-local pass (the native `token_tf` kernel builds the
     * distinct-token tf map; per-term extraction scans that small map,
     * not the token array, once per term); the narrow result
-    * (doc_id, dl, tf…) ≈ 8·(terms+2) bytes/doc is localCheckpointed so
+    * (doc_id, dl, tf…) ≈ 8·(terms+2) bytes/doc is persisted so
     * the corpus-stats aggregate and the top-N selection don't re-scan
     * and re-tokenize the corpus. Corpus-level (N, Σdl, df…) statistics
     * are ONE tiny aggregate row broadcast back; top-N is
@@ -624,11 +624,14 @@ object TextAnalysis {
           .getField("tf"),
         lit(0L)).as(s"tf$i")
     }
+    // persist, not localCheckpoint: the stats aggregate below is the
+    // action that materializes this narrow cache (one fused job), and
+    // the top-N pass re-reads ~8·(terms+2) bytes/doc from it
     val d = toked
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         graft.functions.Sketch.token_tf(col("toks")).as("tfs"))
       .select(col("doc_id") +: col("dl") +: tfCols: _*)
-      .localCheckpoint()
+      .persist()
     val aggCols = sum(col("dl")).as("sdl") +:
       count(lit(1)).as("n") +:
       terms.indices.map(i =>
@@ -764,6 +767,27 @@ object TextAnalysis {
         round(col("rate"), 4).as("rate"))
   }
 
+  // ------------------------------------------- shared tokenized projection
+
+  /** The shared (doc_id, tok, tf) projection every corpus-statistics
+    * operator consumes: one distinct (token, tf) pair per document from
+    * the row-local `token_tf` kernel. `persist()` (MEMORY_AND_DISK, the
+    * same local-disk size class the previous `localCheckpoint` wrote)
+    * instead of an eager checkpoint: Spark's cache manager keys on the
+    * canonicalized logical plan, so (a) the corpus-stats aggregate of a
+    * consumer FUSES into whichever action materializes the cache —
+    * no separate checkpoint job per query — and (b) [[invertedIndex]]
+    * and [[unigramSurprisal]] over the same docs frame share ONE
+    * tokenize pass per warm session instead of each paying their own.
+    */
+  def tokenPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"),
+        col("p.tf").cast("long").as("tf"))
+      .persist()
+
   // ----------------------------------------------------- inverted index
 
   /** Inverted-index postings export: token → full document frequency +
@@ -781,9 +805,8 @@ object TextAnalysis {
     */
   def invertedIndex(docs: DataFrame, minDf: Int = 3, cap: Int = 100,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
-      .select(col("doc_id"), col("p.tok").as("tok"))
+    tokenPairs(docs, textCol, idCol)
+      .select(col("doc_id"), col("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).cast("bigint").as("df"),
         graft.functions.BoundedAgg.collect_min_k(col("doc_id"), cap).as("ids"))
@@ -805,7 +828,7 @@ object TextAnalysis {
     * per-document accumulation is an exact integer sum — immune to
     * float addition order across partitions and engines — and only the
     * final division by `dl·1e6` is float. Scale shape: the model is one
-    * token aggregate over checkpointed (doc_id, tok, tf) distinct
+    * token aggregate over the shared persisted (doc_id, tok, tf) distinct
     * pairs (tokenized once); `broadcastVocab` (default) ships the tiny
     * model to the pairs so scoring never shuffles them — set it false
     * for a vocabulary too large to broadcast and the same plan runs as
@@ -816,15 +839,11 @@ object TextAnalysis {
     */
   def unigramSurprisal(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", broadcastVocab: Boolean = true): DataFrame = {
-    // (doc_id, tok, tf) distinct pairs feed BOTH the model aggregate
-    // and the scoring join; localCheckpoint explodes/tokenizes once
-    // (the pairs are the same size class as the shuffle they feed)
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
-      .select(col("doc_id"), col("p.tok").as("tok"),
-        col("p.tf").cast("long").as("tf"))
-      .localCheckpoint()
-    val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+    // the shared persisted (doc_id, tok, tf) pairs feed BOTH the model
+    // aggregate and the scoring join — tokenized once, and the model
+    // aggregate fuses into the action that materializes the cache
+    val tf = tokenPairs(docs, textCol, idCol)
+    val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt")).persist()
     val total = vocab.agg(sum("cnt").as("total"))
     val terms = vocab.crossJoin(broadcast(total))
       .select(col("tok"),
