@@ -4,12 +4,13 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftbridge.{ColumnBridge, LongInputType}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DoubleLongInputTypes, LongInputType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType,
+  StructField, StructType}
 
 /** Bounded collection aggregates.
   *
@@ -28,6 +29,20 @@ object BoundedAgg {
   def collect_min_k(c: Column, k: Int): Column =
     ColumnBridge.column(
       CollectMinK(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** The `k` smallest (score, id) pairs per group, ordered by
+    * (score asc, id asc) — the bounded form of a per-group
+    * `row_number() OVER (ORDER BY score, id) <= k` window. The window
+    * formulation shuffles and sorts EVERY scored row (Q·N rows for a
+    * batch ANN search); this aggregate's partial buffers truncate to
+    * `k` pairs map-side and merge like any partial aggregate, so one
+    * hash-agg exchange of ≤ k·groups rows replaces the full sort.
+    * Emitted ascending, so `posexplode` yields the rank directly.
+    */
+  def collect_min_k_by(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      CollectMinKByScore(ColumnBridge.expression(score),
+        ColumnBridge.expression(id), k).toAggregateExpression())
 }
 
 /** Smallest-k distinct values of a non-null long child, emitted as a
@@ -100,4 +115,99 @@ case class CollectMinK(child: Expression, k: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): CollectMinK =
     copy(child = c)
+}
+
+/** Smallest-k (score, id) pairs of non-null (double, long) children,
+  * ordered (score asc, id asc) with IEEE total order on the score
+  * (`java.lang.Double.compare` — NaN sorts last, matching SQL sort
+  * semantics closely enough for the finite scores ANN produces), and
+  * emitted as an ascending `array<struct<score:double, id:bigint>>`.
+  * Buffer = a TreeSet capped at `k`, exactly the [[CollectMinK]]
+  * discipline widened to a pair.
+  */
+case class CollectMinKByScore(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
+  with BinaryLike[Expression] with DoubleLongInputTypes {
+  require(k > 0, "collect_min_k_by requires k > 0")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_min_k_by"
+
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](ord)
+
+  private def add(buf: java.util.TreeSet[(Double, Long)],
+      v: (Double, Long)): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (ord.compare(v, buf.last) < 0) {
+      buf.add(v); if (buf.size > k) buf.pollLast(); ()
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[(Double, Long)],
+      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val s = left.eval(input)
+    val i = right.eval(input)
+    if (s != null && i != null) {
+      // match window-sort semantics: Spark's NormalizeFloatingNumbers
+      // folds -0.0 into +0.0 before sorting; Double.compare would not
+      val sv = s.asInstanceOf[Double]
+      add(buf, (if (sv == 0.0d) 0.0d else sv, i.asInstanceOf[Long]))
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[(Double, Long)],
+      other: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (s, id) = it.next()
+      out(i) = new GenericInternalRow(Array[Any](s, id))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (s, id) = it.next(); bb.putDouble(s); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[(Double, Long)](ord)
+    var i = 0
+    while (i < n) { buf.add((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectMinKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectMinKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CollectMinKByScore = copy(left = l, right = r)
 }

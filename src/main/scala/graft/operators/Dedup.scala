@@ -317,6 +317,20 @@ object Dedup {
     }
   }
 
+  /** Corpus-size-derived cluster count for [[semanticDedup]]:
+    * `max(16, ⌈n / targetOccupancy⌉)`, capped at `n` so tiny corpora
+    * stay trainable (a quantizer cannot have more centroids than
+    * sample points). Mean occupancy ≤ targetOccupancy keeps the
+    * within-cluster all-pairs stage O(n · targetOccupancy) — linear in
+    * corpus size — instead of O(n²/k) at a fixed k.
+    */
+  private[graft] def deriveClusterCount(n: Long, targetOccupancy: Int): Int = {
+    require(n > 0, "semanticDedup needs a non-empty embedding table")
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val derived = math.max(16L, (n + targetOccupancy - 1) / targetOccupancy)
+    math.min(n, math.min(derived, Int.MaxValue.toLong)).toInt
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
     * embedding space, then drop every vector whose cosine to a LOWER-id
@@ -334,12 +348,26 @@ object Dedup {
     * own argument for clustering first. The keeper rule needs each
     * pair once: `id_a < id_b` halves the join, and the drop set is a
     * distinct of bare ids (16 bytes/row) before the left-anti.
+    *
+    * `k <= 0` (the default) derives the cluster count from the corpus:
+    * `k = max(16, ⌈n / targetOccupancy⌉)` (one metadata-cheap count),
+    * so mean cluster size — and with it the per-cluster pair work —
+    * stays bounded as the corpus grows instead of going quadratic at a
+    * fixed k (the q43 scale-derivation rule applied to clustering).
+    * The quantizer's training sample widens with k (≥ 8 points per
+    * centroid) but stays a bounded driver-side array.
     */
-  def semanticDedup(emb: DataFrame, k: Int = 16, tau: Double = 0.7,
+  def semanticDedup(emb: DataFrame, k: Int = 0, tau: Double = 0.7,
       iters: Int = 10, sampleN: Int = 4096, seed: Long = 42L,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      targetOccupancy: Int = 128): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else deriveClusterCount(emb.count(), targetOccupancy)
+    val sampleEff = math.max(sampleN, 8 * kEff)
     val assigned = Similarity.ivfAssign(emb,
-        Similarity.trainIvfCentroids(emb, k, iters, sampleN, seed, vecCol, idCol),
+        Similarity.trainIvfCentroids(emb, kEff, iters, sampleEff, seed,
+          vecCol, idCol),
         vecCol, idCol)
       .withColumnRenamed("list_id", "cluster")
     val side = assigned.select(col("cluster"), col(idCol).as("id"),

@@ -275,15 +275,23 @@ object Similarity {
         }
       }
       .toDF("query_id", "qv", "qnorm", "list_id")
+    // bounded per-query top-k: the window formulation shuffles and
+    // sorts every scored (query, candidate) row; collect_min_k_by on
+    // the NEGATED cosine truncates to k pairs map-side, so only
+    // ≤ k·queries rows reach the final exchange (identical output —
+    // (−cos asc, id asc) is exactly (cos desc, id asc))
+    val tk = graft.functions.BoundedAgg.collect_min_k_by(
+      negate(col("cos")), col(idCol), k)
     assigned.join(probes, "list_id")
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cos", round(
         dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col(idCol), col("cos"),
-        col("rn").cast("bigint").as("rn"))
+      .groupBy("query_id")
+      .agg(tk.as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as(idCol),
+        negate(col("s.score")).as("cos"),
+        (col("pos") + 1).cast("bigint").as("rn"))
   }
 
   /** ANN top-k for a set of query ids: bucket each side, multi-probe the
@@ -440,7 +448,8 @@ object Similarity {
     * is read at search time. Query vectors are collected (bounded by
     * `queryIds.size`, the [[ivfTopK]] convention) and the tables
     * broadcast; scoring is one `mapPartitions` over the coded corpus
-    * and the per-query top-k is a window over (adist asc, id). The
+    * and the per-query top-k is the bounded `collect_min_k_by`
+    * aggregate over (adist asc, id) — never a full-sort window. The
     * returned `adist` is the ADC approximation of the true L2 distance
     * — rows-only by design (float, and approximate by construction).
     */
@@ -488,13 +497,17 @@ object Similarity {
         }
       }
       .toDF("query_id", idCol, "adist0")
+    // bounded per-query top-k (no window): partial buffers truncate to
+    // k pairs map-side, so the exchange carries ≤ k·queries rows
+    // instead of the full Q·N scored set
     scoredDs
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("adist", round(sqrt(col("adist0")), 4))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adist0").asc, col(idCol))))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col(idCol), col("adist"),
-        col("rn").cast("bigint").as("rn"))
+      .groupBy("query_id")
+      .agg(graft.functions.BoundedAgg.collect_min_k_by(
+        col("adist0"), col(idCol), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as(idCol),
+        round(sqrt(col("s.score")), 4).as("adist"),
+        (col("pos") + 1).cast("bigint").as("rn"))
   }
 }

@@ -384,7 +384,9 @@ object ScaleOps {
     * keep-min-id; τ=0.4 sits below the synthetic corpus's max pairwise
     * cosine (≈0.51) so the prune path is exercised. */
   def q82(s: SparkSession, d: String): DataFrame =
-    Dedup.semanticDedup(Tables(s, d).embeddings, k = 16, tau = 0.4)
+    // k auto-derives from corpus size (max(16, n/128) — 16 at the 500-row
+    // test scale, growing linearly so occupancy stays bounded at 100 TB)
+    Dedup.semanticDedup(Tables(s, d).embeddings, tau = 0.4)
       .orderBy("vec_id")
 
   /** Q83 product-quantization ANN top-5 for 4 queries (rows-only —

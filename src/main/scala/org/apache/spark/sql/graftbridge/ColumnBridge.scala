@@ -39,3 +39,12 @@ trait LongInputType
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.LongType)
 }
+
+/** (score: double, id: long) input signature — the bounded
+  * top-k-by-score aggregate's two children. */
+trait DoubleLongInputTypes
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType,
+      org.apache.spark.sql.types.LongType)
+}

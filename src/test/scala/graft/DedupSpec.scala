@@ -630,6 +630,27 @@ class DedupSpec extends SparkSuite {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("semanticDedup auto-k: derived cluster count keeps occupancy bounded") {
+    // small corpora keep the k=16 floor (q82's 500-row scale → 16, so
+    // the declared query's output is unchanged by auto-derivation) …
+    assert(Dedup.deriveClusterCount(500L, 128) == 16)
+    assert(Dedup.deriveClusterCount(2048L, 128) == 16)
+    // … large corpora scale k linearly: occupancy ≤ targetOccupancy,
+    // so within-cluster pair work is O(n·occupancy), not O(n²/16)
+    assert(Dedup.deriveClusterCount(1000000L, 128) == 7813)
+    assert(Dedup.deriveClusterCount(10000000L, 128) == 78125)
+    // tiny corpora cap at n (quantizer can't exceed its sample)
+    assert(Dedup.deriveClusterCount(12L, 128) == 12)
+    // auto mode runs end-to-end and keeps exactly the explicit-k keepers
+    // at the test scale (derived k == 16 == the old default)
+    val e = Tables(spark, sf("0.001")).embeddings
+    val auto = Dedup.semanticDedup(e, tau = 0.4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val fixed = Dedup.semanticDedup(e, k = 16, tau = 0.4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("pqTopK: ADC neighbors come from the query's blob; codes deterministic") {
     val emb = blobEmb
     val got = Similarity.pqTopK(emb, queryIds = Seq(0L, 10L, 20L), k = 3,

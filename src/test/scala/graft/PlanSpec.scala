@@ -147,6 +147,20 @@ class PlanSpec extends SparkSuite {
       s"expected map-side partial (bounded) buffers in:\n$p")
   }
 
+  test("q83 PQ ANN top-k is the bounded aggregate, never a Q·N window sort") {
+    val p = plan("q83_pq_ann")
+    assert(p.contains("collect_min_k_by"), s"expected the bounded pair aggregate in:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"per-query top-k must not shuffle all scored rows through a window:\n$p")
+  }
+
+  test("q50b batch IVF top-k is the bounded aggregate, never a Q·N window sort") {
+    val p = plan("q50b_ann_ivf_batch")
+    assert(p.contains("collect_min_k_by"), s"expected the bounded pair aggregate in:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"per-query top-k must not shuffle all scored rows through a window:\n$p")
+  }
+
   test("q67 group split is a pure projection, no shuffle before the report sort") {
     val p = plan("q67_group_split")
     // one exchange is the final orderBy; the fold assignment itself must
