@@ -63,11 +63,122 @@ object Tokenizer {
   }
 
   /** The merge loop over a (token, count) type table — pure function of
-    * its input, separated for testability. Each round counts weighted
-    * adjacent-symbol pairs across all types, merges the most frequent
-    * pair everywhere, and stops early when no pair repeats.
+    * its input, separated for testability. Incremental pair-stat
+    * maintenance (the subword-nmt discipline): pair counts, a
+    * (count desc, pair asc)-sorted pick structure, and a pair→words
+    * occurrence index are built once, then each merge touches ONLY the
+    * words containing the merged pair — O(affected · len) per round
+    * instead of rescanning every type, which is what lets a real
+    * 32k–50k-merge vocabulary train in seconds where the naive
+    * O(merges · types · len) rescan loop cannot. Byte-identical merges
+    * to [[trainFromTypesNaive]] (spec-pinned): same weighted counts,
+    * same max-count pick with ties to the smallest (left, right), same
+    * stop when no pair repeats.
     */
   private[graft] def trainFromTypes(types: Array[(String, Long)],
+      numMerges: Int): Seq[BpeMerge] = {
+    type Pair = (String, String)
+    val prepared = types.iterator.map { case (w, c) =>
+      val chars = w.map(_.toString).toArray
+      if (chars.nonEmpty)
+        chars(chars.length - 1) = chars(chars.length - 1) + Eow
+      (chars, c)
+    }.filter(_._1.nonEmpty).toArray
+    val words: Array[Array[String]] = prepared.map(_._1)
+    val wcount: Array[Long] = prepared.map(_._2)
+
+    val counts = new java.util.HashMap[Pair, Long]()
+    // (count, left, right) ordered count DESC then pair ASC: first() is
+    // exactly the naive scan's pick (max count, ties to smallest pair)
+    val ord = new java.util.Comparator[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c
+        else {
+          val l = a._2.compareTo(b._2)
+          if (l != 0) l else a._3.compareTo(b._3)
+        }
+      }
+    }
+    val sorted = new java.util.TreeSet[(Long, String, String)](ord)
+    val occ = new java.util.HashMap[Pair, java.util.HashSet[Integer]]()
+
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrDefault(p, 0L)
+      if (old != 0L) sorted.remove((old, p._1, p._2))
+      val nv = old + delta
+      if (nv != 0L) {
+        counts.put(p, nv)
+        sorted.add((nv, p._1, p._2))
+        ()
+      } else {
+        counts.remove(p)
+        ()
+      }
+    }
+    def addWordPairs(wi: Int): Unit = {
+      val syms = words(wi); val c = wcount(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, c)
+        occ.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+          .add(wi)
+        i += 1
+      }
+    }
+    def removeWordPairs(wi: Int): Unit = {
+      val syms = words(wi); val c = wcount(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, -c)
+        val s = occ.get(p)
+        if (s != null) { s.remove(Integer.valueOf(wi)); () }
+        i += 1
+      }
+    }
+    words.indices.foreach(addWordPairs)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rank = 0
+    while (rank < numMerges && !sorted.isEmpty && sorted.first()._1 >= 2L) {
+      val (bc, l, r) = sorted.first()
+      merges += BpeMerge(rank, l, r, bc)
+      val joined = l + r
+      val affected = occ.get((l, r))
+      val idxs =
+        if (affected == null) Array.empty[Int]
+        else {
+          val a = new Array[Int](affected.size)
+          val it = affected.iterator()
+          var i = 0
+          while (it.hasNext) { a(i) = it.next(); i += 1 }
+          a
+        }
+      java.util.Arrays.sort(idxs)
+      idxs.foreach { wi =>
+        val syms = words(wi)
+        removeWordPairs(wi)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += joined; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        words(wi) = out.toArray
+        addWordPairs(wi)
+      }
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** The reference-shape O(merges · types · len) rescan trainer, kept
+    * as the parity oracle for [[trainFromTypes]].
+    */
+  private[graft] def trainFromTypesNaive(types: Array[(String, Long)],
       numMerges: Int): Seq[BpeMerge] = {
     // word → current symbol sequence (chars + </w> on the last symbol)
     var words: Array[(Array[String], Long)] = types.map { case (w, c) =>

@@ -38,6 +38,38 @@ class TokenizerSpec extends SparkSuite {
     assert(got(2L) == ((0L, 0L, "")))
   }
 
+  test("incremental trainer is byte-identical to the naive rescan loop") {
+    // the 40-merge fixture of the corpus-scale path
+    val docs = Tables(spark, sf("0.001")).documents
+    val table = Tokenizer.typeHistogram(docs, maxTypes = 100000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val fast = Tokenizer.trainFromTypes(table, numMerges = 40)
+    val naive = Tokenizer.trainFromTypesNaive(table, numMerges = 40)
+    assert(fast == naive && fast.length == 40)
+    // overlapping-pair shape ("aaaa"): non-overlapping left-to-right
+    // merge walk, weighted counts — both trainers must agree exactly
+    val overlap = Array(("aaaa", 3L), ("aab", 2L))
+    assert(Tokenizer.trainFromTypes(overlap, 10) ==
+      Tokenizer.trainFromTypesNaive(overlap, 10))
+  }
+
+  test("incremental trainer sustains a real vocabulary-scale merge count") {
+    // synthetic Zipf-ish type table large enough that the naive
+    // O(merges·types·len) loop would take minutes: the incremental
+    // trainer must learn 5000 merges in seconds
+    val rnd = new scala.util.Random(7)
+    val table = Array.tabulate(30000) { i =>
+      val len = 3 + rnd.nextInt(12)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (w, (30000 / (i + 1)).toLong max 1L)
+    }.distinct
+    val t0 = System.nanoTime()
+    val merges = Tokenizer.trainFromTypes(table, numMerges = 5000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 5000, s"expected 5000 merges, got ${merges.length}")
+    assert(secs < 60.0, f"incremental trainer took $secs%.1f s for 5000 merges")
+  }
+
   test("corpus-scale train + encode is deterministic across runs") {
     val docs = Tables(spark, sf("0.001")).documents
     val m1 = Tokenizer.bpeTrain(docs, numMerges = 20)
