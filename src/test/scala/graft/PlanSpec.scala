@@ -147,6 +147,21 @@ class PlanSpec extends SparkSuite {
       s"expected map-side partial (bounded) buffers in:\n$p")
   }
 
+  test("q30 sessionize: lag + running-sum windows share one exchange and sort") {
+    val p = plan("q30_sessionize")
+    // the two dependent windows (boundary lag, session-id running sum)
+    // use the same (user_id; ts, event_id) spec, so the second reuses
+    // the first's exchange+sort: exactly ONE hashpartitioning exchange
+    // on user_id; the only other exchange is the report orderBy's range
+    // partitioning
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(hashEx == 1, s"expected one user_id exchange, got $hashEx in:\n$p")
+    val windowSorts = p.linesIterator.count(l =>
+      l.contains("Sort [user_id") && l.contains("ts"))
+    assert(windowSorts == 1, s"both windows must share one sort:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side partial agg in:\n$p")
+  }
+
   test("q83 PQ ANN top-k is the bounded aggregate, never a Q·N window sort") {
     val p = plan("q83_pq_ann")
     assert(p.contains("collect_min_k_by"), s"expected the bounded pair aggregate in:\n$p")
