@@ -104,6 +104,98 @@ class ModelExtractorsSpec extends AnyFunSuite {
     assert(firstParts.exists(_.node_type == "marker"))
   }
 
+  test("nameFold: split on second title") {
+    // reference test_should_split_on_second_title
+    val nodes = nameFold(0L, spansOf(
+      "<title>" -> "Mr", "<forename>" -> "John", "<surname>" -> "Smith",
+      "<title>" -> "Ms", "<forename>" -> "Maria", "<surname>" -> "Madison"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 2)
+    val a1 = nodes.filter(_.parent_id == authors(0).node_id).map(n => (n.node_type, n.text))
+    assert(a1 == Seq(("name_title", "Mr"), ("given_name", "John"), ("surname", "Smith")))
+    val a2 = nodes.filter(_.parent_id == authors(1).node_id).map(n => (n.node_type, n.text))
+    assert(a2 == Seq(("name_title", "Ms"), ("given_name", "Maria"), ("surname", "Madison")))
+  }
+
+  test("nameFold: split on second surname (surname-first order)") {
+    // reference test_should_split_on_second_surname
+    val nodes = nameFold(0L, spansOf(
+      "<surname>" -> "Smith", "<forename>" -> "John",
+      "<surname>" -> "Madison", "<forename>" -> "Maria"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 2)
+    def part(a: SemanticNode, t: String) =
+      nodes.filter(n => n.parent_id == a.node_id && n.node_type == t).map(_.text)
+    assert(part(authors(0), "given_name") == Seq("John"))
+    assert(part(authors(0), "surname") == Seq("Smith"))
+    assert(part(authors(1), "given_name") == Seq("Maria"))
+    assert(part(authors(1), "surname") == Seq("Madison"))
+  }
+
+  test("nameFold: does NOT split on second middlename (multi-middle names)") {
+    // reference test_should_split_not_split_on_second_middlename
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "John", "<middlename>" -> "M", "<middlename>" -> "J",
+      "<surname>" -> "Smith",
+      "<forename>" -> "Maria", "<surname>" -> "Madison"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 2)
+    val middles = nodes.filter(n =>
+      n.parent_id == authors(0).node_id && n.node_type == "middle_name").map(_.text)
+    assert(middles == Seq("M", "J"))
+    assert(nodes.filter(n => n.parent_id == authors(1).node_id &&
+      n.node_type == "middle_name").isEmpty)
+  }
+
+  test("nameFold: does NOT split on second suffix") {
+    // reference test_should_split_not_split_on_second_suffix
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "John", "<surname>" -> "Smith",
+      "<suffix>" -> "X", "<suffix>" -> "Y",
+      "<forename>" -> "Maria", "<surname>" -> "Madison"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 2)
+    val suffixes = nodes.filter(n =>
+      n.parent_id == authors(0).node_id && n.node_type == "name_suffix").map(_.text)
+    assert(suffixes == Seq("X", "Y"))
+  }
+
+  test("nameFold: comma as separate O span before marker splits authors") {
+    // reference test_should_split_on_comma_before_marker (the comma is
+    // its own O-tagged block, not trailing surname text) + the
+    // double-comma variant
+    for (comma <- Seq(",", ", ,")) {
+      val nodes = nameFold(0L, spansOf(
+        "<marker>" -> "1", "<forename>" -> "John", "<surname>" -> "Smith",
+        "O" -> comma,
+        "<marker>" -> "2", "<forename>" -> "Maria", "<surname>" -> "Madison"))
+      val authors = byType(nodes, "author")
+      assert(authors.size == 2, s"comma=$comma")
+      def markers(a: SemanticNode) = nodes.filter(n =>
+        n.parent_id == a.node_id && n.node_type == "marker").map(_.text)
+      assert(markers(authors(0)) == Seq("1"), s"comma=$comma")
+      assert(markers(authors(1)) == Seq("2"), s"comma=$comma")
+    }
+  }
+
+  test("nameFold: consecutive tail markers accumulate, next name part splits") {
+    // reference test_should_parse_multiple_markers: '1' and '2' are both
+    // tail markers of the first author (no comma directly before '2'
+    // would matter — has_tail_marker suppresses the comma rule); Maria
+    // starts the next author, which collects tail markers '2' and '3'
+    val nodes = nameFold(0L, spansOf(
+      "<forename>" -> "John", "<surname>" -> "Smith",
+      "<marker>" -> "1", "O" -> ",", "<marker>" -> "2", "O" -> ",",
+      "<forename>" -> "Maria", "<surname>" -> "Madison",
+      "<marker>" -> "2", "O" -> ",", "<marker>" -> "3"))
+    val authors = byType(nodes, "author")
+    assert(authors.size == 2)
+    def markers(a: SemanticNode) = nodes.filter(n =>
+      n.parent_id == a.node_id && n.node_type == "marker").map(_.text)
+    assert(markers(authors(0)) == Seq("1", "2"))
+    assert(markers(authors(1)) == Seq("2", "3"))
+  }
+
   test("nameFold: two-letter uppercase given name splits to initials") {
     val nodes = nameFold(0L, spansOf("<forename>" -> "JM", "<surname>" -> "Smith"))
     val author = byType(nodes, "author").head
