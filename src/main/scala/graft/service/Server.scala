@@ -116,6 +116,12 @@ final class GraftService(
       catch {
         case na: NotAcceptable => Response.detail(406,
           s"Supported media types: ${na.supported.mkString(", ")}")
+        // unsupported REQUEST media type is 406 too (app.py:49-58 maps
+        // UnsupportedRequestMediaTypeScienceBeamParserError → 406 with
+        // the parser's message, parser.py:479-482)
+        case um: UnsupportedRequestMediaType =>
+          Response.detail(406, s"unsupported media type: '${um.mediaType}'")
+        case pdf: PdfInputNotAvailable => Response.detail(501, pdf.getMessage)
         case e: IllegalArgumentException =>
           Response.detail(400, Option(e.getMessage).getOrElse("bad request"))
         // unhandled → 500 without leaking internals (api/app.py:38-47)
@@ -187,6 +193,57 @@ final class GraftService(
     }
   }
 
+  /** Request media-type gate for the document-processing routes
+    * (`app/parser.py:479-482`: anything that is not a processable type
+    * raises UnsupportedRequestMediaType → 406). The effective type is
+    * the declared Content-Type (multipart/form wrappers and
+    * octet-stream defer to content sniffing, matching
+    * `get_data_wrapper_with_improved_media_type_or_filename`); PDF is
+    * the reference's happy path but needs the pdfalto binary — the A1
+    * environmental seam — so it reports 501 like the low-level route.
+    */
+  private val SniffedTypes =
+    Set("", Pdf, Xml, AltoXml, TeiXml, "text/xml", "text/plain",
+      "application/octet-stream")
+
+  private def checkedSource(ex: HttpExchange): Array[Byte] = {
+    val content = sourceContent(ex)
+    val declared =
+      Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+        .split(";").head.trim.toLowerCase
+    val effective =
+      if (declared.startsWith("multipart/form-data") ||
+        declared.startsWith("application/x-www-form")) ""
+      else declared
+    if (!SniffedTypes.contains(effective))
+      throw new UnsupportedRequestMediaType(effective)
+    if (content.length >= 4 && content.take(4).sameElements(
+        "%PDF".getBytes(StandardCharsets.US_ASCII)))
+      throw new PdfInputNotAvailable(
+        "pdfalto binary not available; submit ALTO XML directly")
+    content
+  }
+
+  /** `first_page`/`last_page` request parameters (convert.py:40-58,
+    * dependencies.py:105-114: the page range restricts the parsed
+    * document — pdfalto converts only those pages; here the token
+    * table filters to the same 1-based inclusive range). */
+  private def pageRange(toks: DataFrame, params: Map[String, String]): DataFrame = {
+    def intParam(name: String): Option[Int] = params.get(name).map { v =>
+      try v.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid $name: $v")
+      }
+    }
+    val first = intParam("first_page")
+    val last = intParam("last_page")
+    var out = toks
+    first.foreach(f => out = out.filter(col("page_idx") >= f - 1))
+    last.foreach(l => out = out.filter(col("page_idx") <= l - 1))
+    out
+  }
+
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
       .flatMap { kv =>
@@ -207,8 +264,10 @@ final class GraftService(
     AltoReader.tokens(spark.createDataset(Seq((docId, xml)))).toDF()
   }
 
-  private def pipelineNodes(xml: String): Seq[SemanticNode] =
-    Processor.documentPipeline(tokensOf(xml), config).collect().toSeq
+  private def pipelineNodes(xml: String,
+      params: Map[String, String] = Map.empty): Seq[SemanticNode] =
+    Processor.documentPipeline(pageRange(tokensOf(xml), params), config)
+      .collect().toSeq
 
   /** Root-subtree filter: keep the listed root node types and all
     * their descendants — the response-shaping counterpart of the
@@ -281,16 +340,17 @@ final class GraftService(
   private def processDocument(ex: HttpExchange, acceptTypes: Seq[String],
       rootFilter: String => Boolean): Response = {
     val mediaType = negotiate(ex, acceptTypes)
-    val xml = new String(sourceContent(ex), StandardCharsets.UTF_8)
-    renderDocument(subtree(pipelineNodes(xml), rootFilter), mediaType)
+    val params = queryParams(ex)
+    val xml = new String(checkedSource(ex), StandardCharsets.UTF_8)
+    renderDocument(subtree(pipelineNodes(xml, params), rootFilter), mediaType)
   }
 
   private def convert(ex: HttpExchange): Response = {
     val mediaType = negotiate(ex, Seq(JatsXml, TeiXml, JatsZip, TeiZip))
     val params = queryParams(ex)
-    val xml = new String(sourceContent(ex), StandardCharsets.UTF_8)
+    val xml = new String(checkedSource(ex), StandardCharsets.UTF_8)
     renderDocument(
-      subtree(pipelineNodes(xml), includesFilter(params.get("includes"))),
+      subtree(pipelineNodes(xml, params), includesFilter(params.get("includes"))),
       mediaType)
   }
 
@@ -498,7 +558,7 @@ final class GraftService(
       s"$outputFormat not in ${validOutputFormats.mkString("[", ", ", "]")}")
     val noSeg = params.get("no_use_segmentation").exists(v =>
       v == "true" || v == "1" || v.isEmpty)
-    val xml = new String(sourceContent(ex), StandardCharsets.UTF_8)
+    val xml = new String(checkedSource(ex), StandardCharsets.UTF_8)
     val view = route.view(tokensOf(xml), noSeg)
 
     outputFormat match {
@@ -570,6 +630,16 @@ final class GraftService(
 /** 406 carrier (`dependencies.py:169-174`). */
 private final class NotAcceptable(val supported: Seq[String])
   extends RuntimeException
+
+/** 406 carrier for unsupported REQUEST media types
+  * (`app/parser.py:162-166,479-482` + `app.py:49-58`). */
+private final class UnsupportedRequestMediaType(val mediaType: String)
+  extends RuntimeException
+
+/** 501 carrier for PDF input — the reference's primary input type, but
+  * processing it requires the pdfalto binary (A1 environmental seam). */
+private final class PdfInputNotAvailable(msg: String)
+  extends RuntimeException(msg)
 
 /** `graft.service.GraftService --port 8070` — the `server.py:79-95`
   * entrypoint. */

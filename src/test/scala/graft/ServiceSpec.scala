@@ -134,6 +134,85 @@ class ServiceSpec extends SparkSuite {
     assert(r.statusCode() == 400)
   }
 
+  test("unsupported request media type answers 406 with the parser message") {
+    // app/parser.py:479-482 + api/app.py:49-58: a declared media type
+    // the engine cannot process maps to 406 with the parser's detail
+    val r = post("/api/convert", accept = Some("application/tei+xml"),
+      contentType = Some("image/png"))
+    assert(r.statusCode() == 406)
+    assert(r.body() == """{"detail": "unsupported media type: 'image/png'"}""")
+    // parameters after the type are stripped before the check
+    val r2 = post("/api/processFulltextDocument",
+      accept = Some("application/tei+xml"),
+      contentType = Some("video/mp4; codec=avc1"))
+    assert(r2.statusCode() == 406)
+    assert(r2.body() == """{"detail": "unsupported media type: 'video/mp4'"}""")
+  }
+
+  test("PDF input on document routes answers 501 (pdfalto environmental seam)") {
+    // the reference's happy path needs the pdfalto binary; without it
+    // the engine reports 501 like the low-level route rather than
+    // failing to parse PDF bytes as XML
+    for (path <- Seq("/api/convert", "/api/processFulltextDocument",
+        "/api/models/header")) {
+      val r = post(path, accept = Some("application/tei+xml"),
+        body = "%PDF-1.4 fake content")
+      assert(r.statusCode() == 501, s"$path: ${r.statusCode()}")
+    }
+  }
+
+  test("multipart without input or file field answers 400 with the reference detail") {
+    // api/dependencies.py:80-83
+    val boundary = "graftTestBoundary"
+    val body = s"--$boundary\r\n" +
+      "Content-Disposition: form-data; name=\"other\"\r\n\r\n" +
+      "data\r\n" + s"--$boundary--\r\n"
+    val r = post("/api/convert", accept = Some("application/tei+xml"),
+      body = body,
+      contentType = Some(s"multipart/form-data; boundary=$boundary"))
+    assert(r.statusCode() == 400)
+    assert(r.body() ==
+      """{"detail": "multipart request without 'input' or 'file' field"}""")
+  }
+
+  /** Two-page ALTO: page 1 carries alpha..epsilon, page 2 the
+    * distinctive zebra/yak/xerus tokens. */
+  private lazy val twoPageAlto: String = {
+    def page(nr: Int, words: Seq[String]) = {
+      val strings = words.zipWithIndex.map { case (t, i) =>
+        s"""<String CONTENT="$t" HPOS="${50 + i * 40}" VPOS="60" WIDTH="36" HEIGHT="10" STYLEREFS="font1"/>"""
+      }.mkString
+      s"""<Page PHYSICAL_IMG_NR="$nr" WIDTH="612" HEIGHT="792"><PrintSpace>""" +
+        s"<TextBlock><TextLine>$strings</TextLine></TextBlock></PrintSpace></Page>"
+    }
+    """<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#"><Styles>""" +
+      """<TextStyle ID="font1" FONTFAMILY="Times" FONTSIZE="9.5" FONTSTYLE=""/>""" +
+      "</Styles><Layout>" +
+      page(1, Seq("alpha", "beta", "gamma", "delta", "epsilon")) +
+      page(2, Seq("zebra", "yak", "xerus")) +
+      "</Layout></alto>"
+  }
+
+  test("first_page/last_page restrict processing to the page range") {
+    // convert.py:40-58: the page range limits what pdfalto converts —
+    // here, which token pages enter the pipeline
+    val all = post("/api/processFulltextDocument",
+      accept = Some("application/tei+xml"), body = twoPageAlto)
+    assert(all.statusCode() == 200)
+    assert(all.body().contains("zebra") && all.body().contains("alpha"))
+    val p1 = post("/api/processFulltextDocument?last_page=1",
+      accept = Some("application/tei+xml"), body = twoPageAlto)
+    assert(p1.statusCode() == 200)
+    assert(!p1.body().contains("zebra") && p1.body().contains("alpha"))
+    val p2 = post("/api/convert?first_page=2",
+      accept = Some("application/tei+xml"), body = twoPageAlto)
+    assert(p2.statusCode() == 200)
+    assert(p2.body().contains("zebra") && !p2.body().contains("alpha"))
+    val bad = post("/api/convert?first_page=abc",
+      accept = Some("application/tei+xml"), body = twoPageAlto)
+    assert(bad.statusCode() == 400)
+  }
+
   test("error detail bodies are valid JSON even with quotes/backslashes") {
     // the 400 message embeds the (attacker-controlled) output_format
     // value — a quote/backslash in it used to break the JSON body
