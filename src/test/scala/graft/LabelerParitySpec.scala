@@ -113,6 +113,75 @@ class LabelerParitySpec extends SparkSuite {
     assert(w.exists(_._6 == "B-<label>")) // both 1. and [2] marker styles
   }
 
+  // ---------------------------------- adversarial lattice decode cases
+  // (keeping the D2 seam warm: the masked-Viterbi decoder is what a
+  // real ONNX BiLSTM-CRF backend plugs into, so its tie-break and
+  // masking behavior must be pinned independently of any model)
+
+  test("lattice: all-tie scores decode deterministically to the lowest index") {
+    val labels = IndexedSeq("O", "B-<a>", "I-<a>")
+    val mask = NeuralLabeler.bioMask(labels)
+    // every path scores 0 — both decoders must break ties to index 0
+    val z = Seq.fill(4)(Array.fill(3)(0f))
+    assert(NeuralLabeler.decode(z, 3, Some(mask)) == IndexedSeq(0, 0, 0, 0))
+    assert(NeuralLabeler.decode(z, 3, None) == IndexedSeq(0, 0, 0, 0))
+    // equal-scoring alternatives stay stable across repeated decodes
+    val tie = Seq(Array(1f, 1f, 0f), Array(1f, 1f, 0f), Array(0f, 1f, 1f))
+    val first = NeuralLabeler.decode(tie, 3, Some(mask))
+    (1 to 5).foreach { _ =>
+      assert(NeuralLabeler.decode(tie, 3, Some(mask)) == first)
+    }
+  }
+
+  test("lattice: masked transition forces surrendering the argmax token") {
+    val labels = IndexedSeq("O", "B-<a>", "I-<a>", "I-<b>")
+    val mask = NeuralLabeler.bioMask(labels)
+    // t0 argmax is I-<b> (lenient leading-I is reachable at start) but
+    // the t1 prize I-<a> is only reachable from B-<a>/I-<a>: the best
+    // consistent path gives up t0's argmax entirely
+    val scores = Seq(
+      Array(0f, 1f, 0f, 10f),   // argmax I-<b>
+      Array(0.5f, 0f, 10f, 0f)) // argmax I-<a>
+    val plain = NeuralLabeler.decode(scores, labels.size, None)
+    assert(plain.map(labels) == Seq("I-<b>", "I-<a>"))
+    val masked = NeuralLabeler.decode(scores, labels.size, Some(mask))
+    assert(masked.map(labels) == Seq("B-<a>", "I-<a>"))
+  }
+
+  test("lattice: masked Viterbi equals brute-force max over consistent paths") {
+    val labels = IndexedSeq("O", "B-<a>", "I-<a>", "B-<b>", "I-<b>")
+    val nL = labels.size
+    val mask = NeuralLabeler.bioMask(labels)
+    val rnd = new scala.util.Random(42)
+    (0 until 50).foreach { trial =>
+      val n = 1 + rnd.nextInt(5)
+      val scores = Seq.fill(n)(Array.fill(nL)(rnd.nextFloat() * 10f - 5f))
+      val got = NeuralLabeler.decode(scores, nL, Some(mask))
+      assert(got.size == n, s"trial $trial")
+      // the decoded path must itself be mask-consistent
+      got.sliding(2).foreach {
+        case Seq(p, y) => assert(mask(p)(y), s"trial $trial: $p -> $y")
+        case _ => ()
+      }
+      // exhaustive max over all mask-consistent sequences
+      var best = Double.NegativeInfinity
+      def rec(t: Int, prev: Int, s: Double): Unit = {
+        if (t == n) { if (s > best) best = s }
+        else {
+          var y = 0
+          while (y < nL) {
+            if (t == 0 || mask(prev)(y)) rec(t + 1, y, s + scores(t)(y))
+            y += 1
+          }
+        }
+      }
+      rec(0, -1, 0.0)
+      val gotScore = got.indices.map(t => scores(t)(got(t)).toDouble).sum
+      assert(math.abs(gotScore - best) < 1e-4,
+        s"trial $trial: viterbi $gotScore vs brute-force $best")
+    }
+  }
+
   test("BIO spans: window and local forms agree") {
     val labeled = new SegmentationRuleLabeler().label(corpus)
     val w = BioSpans.spans(labeled)
