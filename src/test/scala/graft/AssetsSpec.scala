@@ -49,6 +49,10 @@ class AssetsSpec extends SparkSuite {
   }
 
   test("p09/p10 pipeline queries return stable non-empty results at sf0.001") {
+    // other operators (TextAnalysis.tokenPairs, bm25) keep deliberate
+    // session-lifetime caches; clear them so the leak assertion below
+    // measures p09's OWN behavior, not the shared test session's state
+    spark.catalog.clearCache()
     val p09 = SparkEntry.queries("p09_page_pruning")(spark, sf("0.001"))
     val rows = p09.collect()
     assert(rows.nonEmpty)
