@@ -336,12 +336,14 @@ object TextAnalysis {
     val h = md5(col(idCol).cast("string"))
     // the hashed projection feeds THREE consumers (histogram job,
     // pass-through branch, boundary branch) plus any report sort the
-    // caller adds; localCheckpoint so the source is scanned and hashed
-    // once — the input is the caller's (id, stratum, …) projection,
-    // not the full corpus row, so the cached footprint is small
+    // caller adds; persist() so the source is scanned and hashed
+    // once — the histogram collect below is the action that
+    // materializes the cache (no separate checkpoint job), and the
+    // input is the caller's (id, stratum, …) projection, not the full
+    // corpus row, so the cached footprint is small
     val withH = rows.withColumn("_h", h)
       .withColumn("_hb", substring(col("_h"), 1, 2))
-      .localCheckpoint()
+      .persist()
     val hist = withH.groupBy(col(stratumCol).as("_s"), col("_hb").as("_b"))
       .agg(count(lit(1)).as("_n")).collect()
     val byStratum = hist.groupBy(_.get(0))
@@ -544,13 +546,14 @@ object TextAnalysis {
     require(minDf >= 2, s"minDf must be >= 2 (got $minDf): df >= 1 would remove every gram-covered token")
     import graft.functions.Sketch
     // the tokenized corpus feeds the position explode AND the final
-    // reassembly join; localCheckpoint tokenizes the text exactly
-    // once — trading executor-local storage of the token arrays
-    // (~text-sized) for an avoided source re-scan, the same call q66
-    // makes
+    // reassembly join; persist() tokenizes the text exactly once —
+    // trading executor-local storage of the token arrays (~text-sized)
+    // for an avoided source re-scan, with the first-executed consumer
+    // materializing the cache inside the one final action (no eager
+    // checkpoint job), the same call q66 makes
     val toked = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
-      .localCheckpoint()
+      .persist()
     val pos = toked.select(col("doc_id"),
       posexplode(Sketch.gram_hash_positions(col("toks"), n))
         .as(Seq("pos", "gh")))
@@ -730,8 +733,9 @@ object TextAnalysis {
     * count, not data). The keep test is row-local. Nothing wider than
     * the (source, rate) pair ever moves, and the corpus text is scanned
     * exactly once: the narrow (doc_id, source, n_tokens) projection is
-    * localCheckpointed and feeds both the per-source aggregate and the
-    * sampled output.
+    * persisted and feeds both the per-source aggregate and the
+    * sampled output (the aggregate materializes the cache — no
+    * separate checkpoint job).
     */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
       defaultWeight: Double = 1.0, budgetFrac: Double = 0.4,
@@ -741,7 +745,7 @@ object TextAnalysis {
     val narrow = docs.select(col(idCol).as("doc_id"),
         col(sourceCol).as("source"),
         tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
-      .localCheckpoint()
+      .persist()
     val perSource = narrow
       .groupBy("source")
       .agg(sum(col("n_tokens")).as("toks"))
@@ -891,7 +895,7 @@ object TextAnalysis {
         explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
       .select(col("doc_id"), col("is_target"), col("p.tok").as("tok"),
         col("p.tf").cast("long").as("tf"))
-      .localCheckpoint()
+      .persist()
     val raw = tf.groupBy("tok").agg(sum("tf").as("cnt_r"))
     val tgt = tf.filter(col("is_target")).groupBy("tok").agg(sum("tf").as("cnt_t"))
     val model0 = raw.join(tgt, Seq("tok"), "left")
