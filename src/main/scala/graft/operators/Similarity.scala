@@ -341,12 +341,20 @@ object Similarity {
   def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int, iters: Int = 10,
       sampleN: Int = 4096, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Float]]] = {
-    require(ksub >= 1 && ksub <= 256, s"ksub must fit one byte, got $ksub")
     val spark = emb.sparkSession
     import spark.implicits._
     val sample = emb.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleN).as[(Long, Array[Float])].collect().map(_._2)
+    trainPqOnPoints(sample, m, ksub, iters, seed)
+  }
+
+  /** The driver-side per-subspace k-means over an in-memory point set —
+    * shared by [[trainPqCodebooks]] (raw vectors) and [[pqTopKIvf]]
+    * (coarse-quantizer residuals, the IVF-PQ discipline). */
+  private[graft] def trainPqOnPoints(sample: Array[Array[Float]], m: Int,
+      ksub: Int, iters: Int, seed: Long): Array[Array[Array[Float]]] = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must fit one byte, got $ksub")
     require(sample.nonEmpty, "empty embedding table")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -508,6 +516,180 @@ object Similarity {
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.id").as(idCol),
         round(sqrt(col("s.score")), 4).as("adist"),
+        (col("pos") + 1).cast("bigint").as("rn"))
+  }
+
+  /** IVF-PQ ANN top-k (Jégou et al. 2011 §V: the inverted-file +
+    * product-quantization composition every production-scale ANN system
+    * runs): the coarse quantizer routes each vector to a list, PQ
+    * codebooks are trained on the coarse RESIDUALS `v − c(list)` (the
+    * residual energy is what PQ must capture once lists are tight),
+    * and a query ADC-scans only its `nprobe` probed lists — a
+    * `nprobe/numLists` corpus fraction — where [[pqTopK]]'s flat scan
+    * touches every code. An exact re-rank pass then rescores the
+    * `refineFactor · k` ADC survivors against the raw vectors, so the
+    * emitted distances are TRUE L2 (ADC error only affects which
+    * candidates enter the refine pool — the standard two-stage
+    * discipline).
+    *
+    * Scale shape: train driver-side on the bounded hash-ordered sample;
+    * encode is one broadcast `mapPartitions` pass (corpus never
+    * shuffled); the per-(query, probed-list) ADC tables
+    * (`|queries| · nprobe · m · ksub` floats) broadcast; candidate
+    * selection and the final re-rank both use the bounded
+    * `collect_min_k_by` aggregate — no window ever sees the scored
+    * set; the refine pool (≤ `refineFactor·k·|queries|` rows) joins
+    * back to the raw vectors as the broadcast build side.
+    */
+  def pqTopKIvf(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      numLists: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 10, sampleN: Int = 4096, seed: Long = 42L,
+      refineFactor: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def ip(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    // 1. coarse quantizer + corpus assignment (broadcast, shuffle-free)
+    val centroids = trainIvfCentroids(emb, numLists, iters, sampleN, seed,
+      vecCol, idCol)
+    def nearestList(v: Array[Float]): Int = {
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val s = ip(centroids(c), v)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    }
+    def residual(v: Array[Float], list: Int): Array[Float] = {
+      val c = centroids(list)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    // 2. PQ codebooks over coarse residuals of the bounded sample
+    val sample = emb.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleN).as[(Long, Array[Float])].collect().map(_._2)
+    val codebooks = trainPqOnPoints(
+      sample.map(v => residual(v, nearestList(v))), m, ksub, iters, seed)
+    // 3. encode: (id, list, m-byte residual code), one broadcast pass
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(codebooks)
+    val coded = emb.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val cbs = bcB.value
+        val mm = cbs.length
+        it.map { case (id, v) =>
+          var best = 0
+          var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { d += cs(c)(j).toDouble * v(j); j += 1 }
+            if (d > bestS) { bestS = d; best = c }
+            c += 1
+          }
+          val dsub = v.length / mm
+          val code = new Array[Byte](mm)
+          var sub = 0
+          while (sub < mm) {
+            val off = sub * dsub
+            val cb = cbs(sub)
+            var bc = 0
+            var bd = Double.MaxValue
+            var cc = 0
+            while (cc < cb.length) {
+              val cent = cb(cc)
+              var s = 0.0
+              var i = 0
+              while (i < dsub) {
+                val d = (v(off + i).toDouble - cs(best)(off + i)) - cent(i)
+                s += d * d; i += 1
+              }
+              if (s < bd) { bd = s; bc = cc }
+              cc += 1
+            }
+            code(sub) = bc.toByte
+            sub += 1
+          }
+          (id, best, code)
+        }
+      }.toDF(idCol, "list_id", "code")
+    // 4. per-(query, probed list) ADC tables: exact subspace distances
+    //    of the query residual to each residual codebook centroid
+    val qVecs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).as[(Long, Array[Float])].collect()
+    val tables: Map[(Long, Int), Array[Array[Float]]] = qVecs.flatMap {
+      case (qid, qv) =>
+        centroids.indices.sortBy(c => -ip(centroids(c), qv)).take(nprobe)
+          .map { list =>
+            val r = residual(qv, list)
+            val dsub = r.length / m
+            val tab = Array.tabulate(m) { sub =>
+              val off = sub * dsub
+              val cb = codebooks(sub)
+              Array.tabulate(cb.length) { c =>
+                val cent = cb(c)
+                var s = 0.0
+                var i = 0
+                while (i < dsub) {
+                  val d = r(off + i).toDouble - cent(i); s += d * d; i += 1
+                }
+                s.toFloat
+              }
+            }
+            (qid, list) -> tab
+          }
+    }.toMap
+    // group by list so a coded row only touches the queries probing
+    // ITS list (rows in unprobed lists do zero work — the IVF payoff)
+    val byList: Map[Int, Array[(Long, Array[Array[Float]])]] =
+      tables.toArray.map { case ((qid, l), tab) => (l, (qid, tab)) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    val bt = spark.sparkContext.broadcast(byList)
+    // 5. ADC scan of the probed lists only; bounded candidate top-R
+    val pool = math.max(k, k * refineFactor)
+    val scored = coded.as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val ts = bt.value
+        it.flatMap { case (id, list, code) =>
+          ts.getOrElse(list, Array.empty[(Long, Array[Array[Float]])])
+            .iterator.collect { case (qid, tab) if qid != id =>
+              var s = 0.0
+              var sub = 0
+              while (sub < tab.length) { s += tab(sub)(code(sub) & 0xff); sub += 1 }
+              (qid, id, s)
+            }
+        }
+      }.toDF("query_id", idCol, "adist2")
+    val cands = scored.groupBy("query_id")
+      .agg(graft.functions.BoundedAgg.collect_min_k_by(
+        col("adist2"), col(idCol), pool).as("tk"))
+      .select(col("query_id"), explode(col("tk").getField("id")).as(idCol))
+    // 6. exact L2 re-rank of the refine pool against the raw vectors
+    val queries = spark.createDataset(qVecs.toSeq)
+      .toDF("query_id", "qv")
+    val exact = emb.select(col(idCol), col(vecCol).as("v"))
+      .join(broadcast(cands), idCol)
+      .join(broadcast(queries), "query_id")
+      .withColumn("d2",
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("qv")) +
+          dot(col("qv"), col("qv")))
+    exact.groupBy("query_id")
+      .agg(graft.functions.BoundedAgg.collect_min_k_by(
+        col("d2"), col(idCol), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as(idCol),
+        round(sqrt(greatest(col("s.score"), lit(0.0))), 4).as("dist"),
         (col("pos") + 1).cast("bigint").as("rn"))
   }
 }

@@ -409,6 +409,17 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q85 IVF-PQ ANN top-5 for 4 queries (rows-only — approximate
+    * candidate generation by construction, exact L2 after the re-rank):
+    * coarse-residual PQ codebooks, ADC over the probed lists only, and
+    * an exact re-rank of the 4k-candidate refine pool — the two-stage
+    * production ANN shape ([[Similarity.pqTopKIvf]]). */
+  def q85(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopKIvf(Tables(s, d).embeddings,
+      queryIds = Seq(0L, 1L, 2L, 3L), k = 5, numLists = 16, nprobe = 4,
+      m = 8, ksub = 16)
+      .orderBy("query_id", "rn")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -433,7 +444,7 @@ object ScaleOps {
     "q78_inverted_index" -> q78, "q79_surprisal" -> q79,
     "q80_repetition_profile" -> q80, "q81_dsir_select" -> q81,
     "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
-    "q84_bpe" -> q84,
+    "q84_bpe" -> q84, "q85_ivf_pq" -> q85,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`

@@ -651,6 +651,46 @@ class DedupSpec extends SparkSuite {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("pqTopKIvf: full probe + refine equals exact L2 top-k; partial probe stays in-blob") {
+    import graft.operators.Similarity
+    val emb = blobEmb
+    // with every list probed and a refine pool covering the corpus, the
+    // exact re-rank makes the output EXACT L2 top-k — computable by hand
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.indices.map(i => (a(i).toDouble - b(i)) * (a(i).toDouble - b(i))).sum)
+    val got = Similarity.pqTopKIvf(emb, queryIds = Seq(0L, 10L, 20L), k = 3,
+      numLists = 3, nprobe = 3, m = 4, ksub = 4, sampleN = 12, refineFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 9)
+    Seq(0L, 10L, 20L).foreach { qid =>
+      val expected = vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, l2(vecs(qid), vecs(id))))
+        .sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+      val gotIds = got.filter(_._1 == qid).sortBy(_._4).map(_._2).toSeq
+      assert(gotIds == expected, s"query $qid: $gotIds vs $expected")
+    }
+    // emitted distances are true L2 (within the 1e-4 rounding)
+    got.foreach { case (qid, id, d, _) =>
+      assert(math.abs(d - l2(vecs(qid), vecs(id))) < 1e-3, s"($qid,$id)")
+    }
+    // partial probe: neighbors still come from the query's own blob
+    // (the probed list IS the blob's list for orthogonal blobs)
+    val part = Similarity.pqTopKIvf(emb, queryIds = Seq(0L, 10L, 20L), k = 3,
+      numLists = 3, nprobe = 1, m = 4, ksub = 4, sampleN = 12)
+      .collect()
+    part.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(1))
+      assert((q / 10) == (v / 10), s"query $q matched cross-blob $v")
+    }
+    // deterministic across runs
+    val again = Similarity.pqTopKIvf(emb, queryIds = Seq(0L, 10L, 20L), k = 3,
+      numLists = 3, nprobe = 1, m = 4, ksub = 4, sampleN = 12)
+      .collect()
+    assert(part.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("pqTopK: ADC neighbors come from the query's blob; codes deterministic") {
     val emb = blobEmb
     val got = Similarity.pqTopK(emb, queryIds = Seq(0L, 10L, 20L), k = 3,

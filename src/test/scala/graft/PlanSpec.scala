@@ -169,6 +169,15 @@ class PlanSpec extends SparkSuite {
       s"per-query top-k must not shuffle all scored rows through a window:\n$p")
   }
 
+  test("q85 IVF-PQ: bounded aggregates for candidates AND re-rank, no window") {
+    val p = plan("q85_ivf_pq")
+    assert(p.contains("collect_min_k_by"), s"expected the bounded pair aggregate in:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"two-stage ANN must never sort scored rows through a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"refine pool must join as the broadcast build side:\n$p")
+  }
+
   test("q50b batch IVF top-k is the bounded aggregate, never a Q·N window sort") {
     val p = plan("q50b_ann_ivf_batch")
     assert(p.contains("collect_min_k_by"), s"expected the bounded pair aggregate in:\n$p")
