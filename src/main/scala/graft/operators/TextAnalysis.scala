@@ -268,6 +268,53 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Greedy sequence packing — the step between [[chunkDocuments]] and
+    * a training run: pack chunks, in (doc_id, chunk_idx) order, into
+    * training sequences holding at most `seqBudget` tokens (close the
+    * open sequence exactly when the next chunk would overflow it; an
+    * oversized chunk sits alone). Packing is scoped per
+    * [[tokenBudgetShards]] shard — the distribution unit a training
+    * job reads — which is what makes the stateful walk scale-correct:
+    * a shard's chunks are bounded by its token budget, so per-shard
+    * packing is a bounded in-memory `flatMapGroups` walk, and shards
+    * pack in parallel. One shuffle on `shard`; the narrow
+    * (shard, doc_id, chunk_idx, n_tokens) projection is all that
+    * moves. Deterministic: the walk is a pure function of the ordered
+    * chunk list.
+    *
+    * @return (shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens) —
+    *         `seq_idx` counts sequences within the shard, `seq_pos`
+    *         the 1-based chunk position within its sequence
+    */
+  def packSequences(docs: DataFrame, seqBudget: Long = 256L,
+      shardBudget: Long = 4000L, chunkSize: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(seqBudget > 0, "seqBudget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = chunkDocuments(docs, chunkSize, stride, textCol, idCol)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+    val shards = tokenBudgetShards(docs, shardBudget, textCol, idCol)
+      .select(col("doc_id"), col("shard"))
+    chunks.join(shards, "doc_id")
+      .select(col("shard"), col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var seqIdx = 0L
+        var fill = 0L
+        var pos = 0L
+        rows.iterator.map { case (_, docId, chunkIdx, n) =>
+          if (fill > 0 && fill + n > seqBudget) { seqIdx += 1; fill = 0L; pos = 0L }
+          fill += n
+          pos += 1
+          (shard, seqIdx, pos, docId, chunkIdx, n)
+        }
+      }
+      .toDF("shard", "seq_idx", "seq_pos", "doc_id", "chunk_idx", "n_tokens")
+  }
+
   // -------------------------------------------------------- PII redaction
 
   /** Deterministic email/phone regexes — kept dialect-neutral (no

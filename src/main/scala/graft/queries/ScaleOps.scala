@@ -420,6 +420,14 @@ object ScaleOps {
       m = 8, ksub = 16)
       .orderBy("query_id", "rn")
 
+  /** Q86 sequence packing (oracled — the greedy walk is a recursive
+    * CTE on the DuckDB side): chunks (q63 shape) packed into ≤256-token
+    * training sequences within their q76-style token-budget shard. */
+  def q86(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(Tables(s, d).documents,
+      seqBudget = 256L, shardBudget = 4000L, chunkSize = 64, stride = 48)
+      .orderBy("shard", "seq_idx", "seq_pos")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -444,7 +452,7 @@ object ScaleOps {
     "q78_inverted_index" -> q78, "q79_surprisal" -> q79,
     "q80_repetition_profile" -> q80, "q81_dsir_select" -> q81,
     "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
-    "q84_bpe" -> q84, "q85_ivf_pq" -> q85,
+    "q84_bpe" -> q84, "q85_ivf_pq" -> q85, "q86_sequence_pack" -> q86,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -832,5 +840,36 @@ object ScaleOps {
            SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
          SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard
          FROM c ORDER BY doc_id""",
+    "q86_sequence_pack" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         d AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens FROM t),
+         sh AS (SELECT doc_id,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 4000 AS BIGINT) AS shard
+           FROM d),
+         ch AS (SELECT doc_id, CAST(start/48 AS BIGINT) AS chunk_idx,
+              CAST(LEN(toks[start+1:start+64]) AS BIGINT) AS n_tokens
+           FROM (SELECT doc_id, toks,
+              UNNEST(GENERATE_SERIES(0, GREATEST(LEN(toks)-1, 0), 48)) AS start FROM t)),
+         c AS (SELECT sh.shard, ch.doc_id, ch.chunk_idx, ch.n_tokens,
+              ROW_NUMBER() OVER (PARTITION BY sh.shard ORDER BY ch.doc_id, ch.chunk_idx) AS rn
+           FROM ch JOIN sh ON ch.doc_id = sh.doc_id),
+         walk AS (
+           SELECT shard, rn, doc_id, chunk_idx, n_tokens,
+                  CAST(0 AS BIGINT) AS seq_idx, CAST(1 AS BIGINT) AS seq_pos,
+                  n_tokens AS fill
+           FROM c WHERE rn = 1
+           UNION ALL
+           SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_tokens,
+                  CASE WHEN w.fill > 0 AND w.fill + c.n_tokens > 256
+                       THEN w.seq_idx + 1 ELSE w.seq_idx END,
+                  CASE WHEN w.fill > 0 AND w.fill + c.n_tokens > 256
+                       THEN CAST(1 AS BIGINT) ELSE w.seq_pos + 1 END,
+                  CASE WHEN w.fill > 0 AND w.fill + c.n_tokens > 256
+                       THEN c.n_tokens ELSE w.fill + c.n_tokens END
+           FROM walk w JOIN c ON c.shard = w.shard AND c.rn = w.rn + 1)
+         SELECT shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens
+         FROM walk ORDER BY shard, seq_idx, seq_pos""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

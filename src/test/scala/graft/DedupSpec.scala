@@ -651,6 +651,42 @@ class DedupSpec extends SparkSuite {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("packSequences: budget, greedy-closure, and order invariants hold") {
+    val docs = Tables(spark, sf("0.001")).documents
+    val packed = TextAnalysis.packSequences(docs, seqBudget = 100L,
+        shardBudget = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(packed.nonEmpty)
+    val bySeq = packed.groupBy(r => (r._1, r._2))
+    bySeq.foreach { case ((shard, seq), rows) =>
+      val fill = rows.map(_._6).sum
+      // a sequence holds <= budget tokens unless it is one oversized chunk
+      assert(fill <= 100L || rows.length == 1, s"shard $shard seq $seq: $fill")
+      // seq_pos is 1..n in (doc_id, chunk_idx) order
+      val ordered = rows.sortBy(r => (r._4, r._5))
+      assert(ordered.map(_._3).toSeq == (1L to rows.length).toSeq)
+    }
+    // greedy closure: the first chunk of every later sequence would have
+    // overflowed its predecessor (otherwise the packer closed too early)
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      val seqs = rows.groupBy(_._2).toSeq.sortBy(_._1)
+      seqs.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          val prevFill = prev.map(_._6).sum
+          val head = next.minBy(_._3)._6
+          assert(prevFill > 0 && prevFill + head > 100L,
+            s"shard $shard: seq closed early (fill $prevFill, next head $head)")
+        case _ => ()
+      }
+    }
+    // deterministic across runs
+    def run() = TextAnalysis.packSequences(docs, seqBudget = 100L,
+      shardBudget = 1000L).collect().map(_.toString).sorted.toSeq
+    assert(run() == run())
+  }
+
   test("pqTopKIvf: full probe + refine equals exact L2 top-k; partial probe stays in-blob") {
     import graft.operators.Similarity
     val emb = blobEmb
