@@ -96,6 +96,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "collect_min_k(bigint, k) - aggregate: the k smallest distinct values, " +
         "sorted ascending (bounded buffers, no per-group sort)",
       (c, k) => CollectMinK(c, k).toAggregateExpression())
+    ext.injectFunction((FunctionIdentifier("collect_min_k_by"),
+      info("collect_min_k_by",
+        "collect_min_k_by(score double, id bigint, k) - aggregate: the k " +
+          "smallest (score, id) pairs as array<struct<score,id>> ascending " +
+          "(the bounded top-k-by-score form; no window sort)"), {
+        args: Seq[Expression] =>
+          require(args.size == 3,
+            s"collect_min_k_by expects 3 arguments, got ${args.size}")
+          CollectMinKByScore(args.head, args(1),
+            intArg(args(2), "collect_min_k_by")).toAggregateExpression()
+      }))
     ext.injectFunction((FunctionIdentifier("remove_covered"),
       info("remove_covered",
         "remove_covered(array<string>, array<int>, n) - drop tokens covered " +

@@ -86,6 +86,30 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getSeq[String](1) == Seq("a", "d")) // positions 1-2 covered
   }
 
+  test("collect_min_k_by pair aggregate callable from SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT g, collect_min_k_by(s, id, 2) AS tk
+         FROM VALUES (0, 0.5D, 10L), (0, 0.1D, 20L), (0, 0.1D, 5L),
+                     (0, 0.9D, 1L), (1, 2.0D, 7L)
+           AS t(g, s, id)
+         GROUP BY g ORDER BY g
+      """).collect()
+    val g0 = r(0).getSeq[org.apache.spark.sql.Row](1)
+    // (0.1, 5) then (0.1, 20): score asc, id tiebreak asc
+    assert(g0.map(x => (x.getDouble(0), x.getLong(1))) ==
+      Seq((0.1, 5L), (0.1, 20L)))
+    assert(r(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1))) == Seq((2.0, 7L)))
+    // int/float children cast at analysis time like collect_min_k
+    val ri = spark.sql(
+      """SELECT collect_min_k_by(s, id, 1) AS tk
+         FROM VALUES (3, 5), (1, 9) AS t(s, id)
+      """).collect()
+    assert(ri(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getDouble(0), x.getLong(1))) == Seq((1.0, 9L)))
+  }
+
   test("collect_min_k aggregate callable from SQL") {
     registered
     val r = spark.sql(
