@@ -911,6 +911,106 @@ object TextAnalysis {
           (col("dl") * lit(1e6)), lit(0.0)), 4).as("surprisal"))
   }
 
+  // ------------------------------------------ trainable quality filter
+
+  /** Hashed normalized bag-of-tokens feature vector (the fastText-style
+    * embedding-free featurization): each whitespace token hashes into
+    * one of `dim` buckets; counts normalize by document length so the
+    * score scale is length-invariant. Deterministic (fixed 31-hash). */
+  private[graft] def hashedFeatures(text: String, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text == null) return v
+    var n = 0
+    var start = 0
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 7
+          var j = start
+          while (j < i) { h = h * 31 + text.charAt(j); j += 1 }
+          v(math.floorMod(h, dim)) += 1f
+          n += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (n > 0) { var k = 0; while (k < dim) { v(k) /= n; k += 1 } }
+    v
+  }
+
+  /** Trainable quality-classifier scoring — the FineWeb/CCNet-style
+    * "train a cheap linear classifier on a seed rule, score the whole
+    * corpus with it" filter: logistic regression over hashed
+    * bag-of-tokens features, trained by deterministic SGD on the
+    * bounded hash-ordered sample (fixed doc_id order, fixed epochs —
+    * bit-identical runs), then one broadcast row-local scoring pass.
+    *
+    * Scale shape: the [[Similarity.trainIvfCentroids]] discipline —
+    * training touches `sampleN` documents on the driver (a linear model
+    * over `dim` hashed buckets is exactly what fits there; every
+    * executor needs the finished weights anyway), scoring is one
+    * `mapPartitions` projection, the corpus is never shuffled.
+    *
+    * @param targetPred boolean column marking the positive seed class
+    * @return (doc_id, score, predicted) — score = σ(w·φ(text)) rounded
+    *         to 4 decimals, predicted = score ≥ 0.5
+    */
+  def classifierScores(docs: DataFrame, targetPred: Column, dim: Int = 1024,
+      epochs: Int = 20, lr: Double = 5.0, sampleN: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sample = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+        targetPred.cast("boolean").as("y"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    require(sample.nonEmpty, "classifierScores needs a non-empty corpus")
+    // class-balanced gradient weighting: a seed rule typically marks a
+    // small slice, and unweighted SGD then just learns the base rate
+    // (the bias absorbs everything, scores compress around n⁺/n) — an
+    // upweighted positive class learns the token signal instead
+    val nPos = sample.count(_._3).toDouble
+    val nNeg = sample.length - nPos
+    val posW = if (nPos > 0 && nNeg > 0) nNeg / nPos else 1.0
+    val d = dim
+    val w = new Array[Double](d + 1) // bias at index d
+    var ep = 0
+    while (ep < epochs) {
+      sample.foreach { case (_, text, y) =>
+        val f = hashedFeatures(text, d)
+        var z = w(d)
+        var i = 0
+        while (i < d) { z += w(i) * f(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val g = ((if (y) 1.0 else 0.0) - p) * (if (y) posW else 1.0)
+        i = 0
+        while (i < d) { w(i) += lr * g * f(i); i += 1 }
+        w(d) += lr * g
+      }
+      ep += 1
+    }
+    val bw = spark.sparkContext.broadcast(w)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val wv = bw.value
+        val dd = wv.length - 1
+        it.map { case (id, text) =>
+          val f = hashedFeatures(text, dd)
+          var z = wv(dd)
+          var i = 0
+          while (i < dd) { z += wv(i) * f(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          (id, math.round(p * 1e4) / 1e4, p >= 0.5)
+        }
+      }
+      .toDF("doc_id", "score", "predicted")
+  }
+
   // ------------------------------------------- importance resampling
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection

@@ -428,6 +428,15 @@ object ScaleOps {
       seqBudget = 256L, shardBudget = 4000L, chunkSize = 64, stride = 48)
       .orderBy("shard", "seq_idx", "seq_pos")
 
+  /** Q87 trainable quality-classifier scoring (rows-only — float
+    * sigmoid): logistic regression over hashed bag-of-tokens features,
+    * seed rule source='src0', deterministic driver-side SGD + one
+    * broadcast scoring pass. */
+  def q87(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.classifierScores(Tables(s, d).documents,
+      targetPred = col("source") === "src0")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -453,6 +462,7 @@ object ScaleOps {
     "q80_repetition_profile" -> q80, "q81_dsir_select" -> q81,
     "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
     "q84_bpe" -> q84, "q85_ivf_pq" -> q85, "q86_sequence_pack" -> q86,
+    "q87_classifier_score" -> q87,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`

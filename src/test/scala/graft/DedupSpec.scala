@@ -651,6 +651,27 @@ class DedupSpec extends SparkSuite {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("classifierScores: learns the seed rule's source signal, deterministic") {
+    val docs = Tables(spark, sf("0.001")).documents
+    val scored = TextAnalysis.classifierScores(docs,
+        targetPred = col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scored.values.forall(s => s >= 0.0 && s <= 1.0))
+    // the per-source token-distribution drift is learnable: positives
+    // must score clearly above the rest on average
+    val (pos, neg) = scored.partition { case (id, _) => srcOf(id) == "src0" }
+    val mp = pos.values.sum / pos.size
+    val mn = neg.values.sum / neg.size
+    assert(mp > mn + 0.05, f"no separation: pos $mp%.4f vs neg $mn%.4f")
+    // deterministic: fixed sample order + fixed epochs → identical scores
+    val again = TextAnalysis.classifierScores(docs,
+        targetPred = col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scored)
+  }
+
   test("packSequences: budget, greedy-closure, and order invariants hold") {
     val docs = Tables(spark, sf("0.001")).documents
     val packed = TextAnalysis.packSequences(docs, seqBudget = 100L,
