@@ -280,7 +280,10 @@ object TextAnalysis {
     * pack in parallel. One shuffle on `shard`; the narrow
     * (shard, doc_id, chunk_idx, n_tokens) projection is all that
     * moves. Deterministic: the walk is a pure function of the ordered
-    * chunk list.
+    * chunk list. Caveat: zero-token chunks (empty documents) do not
+    * advance the shard prefix sum, so a corpus dominated by empties
+    * concentrates them in one shard — run the curation cut (q60/q62)
+    * before packing, as a real pipeline does.
     *
     * @return (shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens) —
     *         `seq_idx` counts sequences within the shard, `seq_pos`

@@ -185,6 +185,20 @@ class PlanSpec extends SparkSuite {
       s"per-query top-k must not shuffle all scored rows through a window:\n$p")
   }
 
+  test("q86 sequence packing never plans a single-partition exchange") {
+    val p = plan("q86_sequence_pack")
+    // the pack walk is per-shard flatMapGroups: its exchanges are the
+    // shard hash partitioning (+ the prefix-sum range partitioning and
+    // report sort) — never Exchange SinglePartition, which would drag
+    // the whole corpus through one task
+    assert(!p.contains("Exchange SinglePartition"),
+      s"pack walk must stay per-shard parallel:\n$p")
+    // groupByKey extracts the shard key as value#N — the walk must sit
+    // on a hash exchange of that key, not a global collapse
+    assert(p.contains("MapGroups") && p.contains("hashpartitioning(value"),
+      s"expected the per-shard MapGroups over a hash exchange in:\n$p")
+  }
+
   test("q67 group split is a pure projection, no shuffle before the report sort") {
     val p = plan("q67_group_split")
     // one exchange is the final orderBy; the fold assignment itself must

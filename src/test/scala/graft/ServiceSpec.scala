@@ -161,6 +161,13 @@ class ServiceSpec extends SparkSuite {
     }
   }
 
+  test("multipart content-type without a boundary answers 400") {
+    val r = post("/api/convert", accept = Some("application/tei+xml"),
+      body = "irrelevant", contentType = Some("multipart/form-data"))
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("boundary"))
+  }
+
   test("multipart without input or file field answers 400 with the reference detail") {
     // api/dependencies.py:80-83
     val boundary = "graftTestBoundary"
