@@ -437,6 +437,15 @@ object ScaleOps {
       targetPred = col("source") === "src0")
       .orderBy("doc_id")
 
+  /** Q88 table profile (oracled): per-column nulls / exact distincts /
+    * min / max over orders in ONE aggregate pass — the pre-training
+    * data-validation report ([[graft.operators.Profiling]]). */
+  def q88(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.profileTable(Tables(s, d).orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority"))
+      .orderBy("column_name")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -462,7 +471,7 @@ object ScaleOps {
     "q80_repetition_profile" -> q80, "q81_dsir_select" -> q81,
     "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
     "q84_bpe" -> q84, "q85_ivf_pq" -> q85, "q86_sequence_pack" -> q86,
-    "q87_classifier_score" -> q87,
+    "q87_classifier_score" -> q87, "q88_table_profile" -> q88,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -881,5 +890,16 @@ object ScaleOps {
            FROM walk w JOIN c ON c.shard = w.shard AND c.rn = w.rn + 1)
          SELECT shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens
          FROM walk ORDER BY shard, seq_idx, seq_pos""",
+    "q88_table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(MIN($c) AS VARCHAR) AS min_value,
+            CAST(MAX($c) AS VARCHAR) AS max_value FROM orders"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
+    },
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

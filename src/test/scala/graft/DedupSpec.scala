@@ -651,6 +651,20 @@ class DedupSpec extends SparkSuite {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("profileTable: nulls counted, distincts exact, min/max as strings") {
+    import graft.operators.Profiling
+    val df = Seq[(java.lang.Long, String)]((1L, "b"), (2L, null), (2L, "a"),
+      (null, "a")).toDF("k", "s")
+    val got = Profiling.profileTable(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(got("k") == ((1L, 2L, "1", "2")))
+    assert(got("s") == ((1L, 2L, "a", "b")))
+    // column selection restricts the report
+    val only = Profiling.profileTable(df, Seq("s")).collect()
+    assert(only.map(_.getString(0)).toSeq == Seq("s"))
+  }
+
   test("classifierScores: learns the seed rule's source signal, deterministic") {
     val docs = Tables(spark, sf("0.001")).documents
     val scored = TextAnalysis.classifierScores(docs,
