@@ -963,7 +963,20 @@ object TextAnalysis {
     */
   def classifierScores(docs: DataFrame, targetPred: Column, dim: Int = 1024,
       epochs: Int = 20, lr: Double = 5.0, sampleN: Int = 4096,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    scoreWithClassifier(docs,
+      trainClassifier(docs, targetPred, dim, epochs, lr, sampleN,
+        textCol, idCol),
+      textCol, idCol)
+
+  /** The training half of [[classifierScores]]: deterministic SGD over
+    * the bounded hash-ordered sample, returning the weight vector
+    * (bias at the last index) — the model artifact a pipeline trains
+    * once and applies to every corpus shard (and to a stream: scoring
+    * is stateless, see [[scoreWithClassifier]]). */
+  def trainClassifier(docs: DataFrame, targetPred: Column, dim: Int = 1024,
+      epochs: Int = 20, lr: Double = 5.0, sampleN: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id"): Array[Double] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sample = docs
@@ -997,7 +1010,17 @@ object TextAnalysis {
       }
       ep += 1
     }
-    val bw = spark.sparkContext.broadcast(w)
+    w
+  }
+
+  /** The scoring half of [[classifierScores]]: one broadcast row-local
+    * `mapPartitions` pass — stateless, so the SAME definition scores a
+    * streaming corpus incrementally (StreamingSpec replay parity). */
+  def scoreWithClassifier(docs: DataFrame, weights: Array[Double],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(weights)
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val wv = bw.value

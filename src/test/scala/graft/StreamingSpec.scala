@@ -322,6 +322,34 @@ class StreamingSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("streaming classifier scoring: stateless scoring pass streams unchanged") {
+    // train once batch-side (the model artifact), then the SAME scoring
+    // definition runs over a file stream with append semantics
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cls-stream").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text", "source")
+    val w = graft.operators.TextAnalysis.trainClassifier(docs,
+      col("source") === "src0")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = graft.operators.TextAnalysis.scoreWithClassifier(streamed, w)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tcls").start()
+      q.processAllAvailable(); q.stop()
+      val s = spark.table("tcls").collect().map(_.toString).sorted.toSeq
+      val b = graft.operators.TextAnalysis.scoreWithClassifier(docs, w)
+        .collect().map(_.toString).sorted.toSeq
+      assert(s == b && s.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("stream-stream correlation join equals the batch range join") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sscorr").toFile
