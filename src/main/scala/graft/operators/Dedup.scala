@@ -317,6 +317,31 @@ object Dedup {
     }
   }
 
+  /** Corpus diff — the dataset-versioning primitive behind incremental
+    * pipeline runs (re-dedup only what changed, re-score only modified
+    * documents): compare two corpus snapshots by content digest and
+    * classify every doc id as `added` (only in `b`), `removed` (only
+    * in `a`), `modified` (both, digests differ) or `unchanged`.
+    *
+    * Scale shape: both sides project to (id, md5) — 16-byte digests,
+    * never text — and meet in ONE co-partitioned full outer join on
+    * the id; the classification is row-local. At 100 TB this is the
+    * cheapest possible two-snapshot comparison (a digest column can
+    * also be precomputed and stored with the corpus, making the diff
+    * pure metadata).
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pa = a.select(col(idCol).as("doc_id"), md5(col(textCol)).as("ha"))
+    val pb = b.select(col(idCol).as("doc_id"), md5(col(textCol)).as("hb"))
+    pa.join(pb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("hb").isNull, "removed")
+          .when(col("ha").isNull, "added")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   /** Corpus-size-derived cluster count for [[semanticDedup]]:
     * `max(16, ⌈n / targetOccupancy⌉)`, capped at `n` so tiny corpora
     * stay trainable (a quantizer cannot have more centroids than

@@ -446,6 +446,21 @@ object ScaleOps {
         "o_orderpriority"))
       .orderBy("column_name")
 
+  /** Q89 corpus diff (oracled): documents vs a deterministically
+    * derived v2 snapshot (every 7th doc's text edited, every 11th
+    * dropped, one appended id) — added/removed/modified/unchanged by
+    * content digest, one co-partitioned digest join. */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.agg((max(col("doc_id")) + 1).as("doc_id"))
+        .withColumn("text", lit("new doc")))
+    Dedup.corpusDiff(docs, v2).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -472,6 +487,7 @@ object ScaleOps {
     "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
     "q84_bpe" -> q84, "q85_ivf_pq" -> q85, "q86_sequence_pack" -> q86,
     "q87_classifier_score" -> q87, "q88_table_profile" -> q88,
+    "q89_corpus_diff" -> q89,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -890,6 +906,22 @@ object ScaleOps {
            FROM walk w JOIN c ON c.shard = w.shard AND c.rn = w.rn + 1)
          SELECT shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens
          FROM walk ORDER BY shard, seq_idx, seq_pos""",
+    "q89_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, MD5(text) AS ha FROM documents),
+         v2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+             'new doc' AS text),
+         b AS (SELECT doc_id, MD5(text) AS hb FROM v2)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN b.hb IS NULL THEN 'removed'
+                WHEN a.ha IS NULL THEN 'added'
+                WHEN a.ha = b.hb THEN 'unchanged'
+                ELSE 'modified' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY doc_id""",
     "q88_table_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderdate", "o_orderpriority")

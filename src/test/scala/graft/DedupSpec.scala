@@ -651,6 +651,15 @@ class DedupSpec extends SparkSuite {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("corpusDiff: added/removed/modified/unchanged by content digest") {
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"), (2L, "BETA"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("profileTable: nulls counted, distincts exact, min/max as strings") {
     import graft.operators.Profiling
     val df = Seq[(java.lang.Long, String)]((1L, "b"), (2L, null), (2L, "a"),
