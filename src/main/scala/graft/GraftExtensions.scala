@@ -107,6 +107,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CollectMinKByScore(args.head, args(1),
             intArg(args(2), "collect_min_k_by")).toAggregateExpression()
       }))
+    ext.injectFunction((FunctionIdentifier("collect_min_k_by_str"),
+      info("collect_min_k_by_str",
+        "collect_min_k_by_str(score double, value string, k) - aggregate: " +
+          "the k smallest (score, value) pairs as array<struct<score,value>> " +
+          "ascending (bounded top-k with a string payload; no window sort)"), {
+        args: Seq[Expression] =>
+          require(args.size == 3,
+            s"collect_min_k_by_str expects 3 arguments, got ${args.size}")
+          CollectMinKByScoreStr(args.head, args(1),
+            intArg(args(2), "collect_min_k_by_str")).toAggregateExpression()
+      }))
     ext.injectFunction((FunctionIdentifier("remove_covered"),
       info("remove_covered",
         "remove_covered(array<string>, array<int>, n) - drop tokens covered " +

@@ -8,9 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftbridge.{ColumnBridge, DoubleLongInputTypes, LongInputType}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DoubleLongInputTypes,
+  DoubleStringInputTypes, LongInputType}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType,
-  StructField, StructType}
+  StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded collection aggregates.
   *
@@ -43,6 +45,18 @@ object BoundedAgg {
     ColumnBridge.column(
       CollectMinKByScore(ColumnBridge.expression(score),
         ColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** The `k` smallest (score, value) pairs per group with a STRING
+    * payload, ordered (score asc, value binary-asc) — the bounded form
+    * of a per-group top-k over labeled rows (heavy hitters: score =
+    * -count, value = the token). Same bounded-buffer discipline as
+    * [[collect_min_k_by]]; binary UTF8 ordering on the payload matches
+    * the engines' default (collation-free) string sort.
+    */
+  def collect_min_k_by_str(score: Column, value: Column, k: Int): Column =
+    ColumnBridge.column(
+      CollectMinKByScoreStr(ColumnBridge.expression(score),
+        ColumnBridge.expression(value), k).toAggregateExpression())
 }
 
 /** Smallest-k distinct values of a non-null long child, emitted as a
@@ -210,4 +224,116 @@ case class CollectMinKByScore(left: Expression, right: Expression, k: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): CollectMinKByScore = copy(left = l, right = r)
+}
+
+/** Smallest-k (score, value) pairs with a string payload, ordered
+  * (score asc — IEEE total order with -0.0 folded to +0.0 — then value
+  * by binary UTF-8 bytes ascending), emitted as an ascending
+  * `array<struct<score:double, value:string>>`. The [[CollectMinKByScore]]
+  * discipline with the long id widened to UTF8String: partial buffers
+  * truncate to `k` map-side, merge like any partial aggregate, no
+  * per-group sort exchange. Incoming UTF8Strings are cloned on insert —
+  * eval hands out pointers into reused row buffers.
+  */
+case class CollectMinKByScoreStr(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, UTF8String)]]
+  with BinaryLike[Expression] with DoubleStringInputTypes {
+  require(k > 0, "collect_min_k_by_str requires k > 0")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("value", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_min_k_by_str"
+
+  private val ord: Ordering[(Double, UTF8String)] =
+    new Ordering[(Double, UTF8String)] {
+      def compare(a: (Double, UTF8String), b: (Double, UTF8String)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else a._2.binaryCompare(b._2)
+      }
+    }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, UTF8String)] =
+    new java.util.TreeSet[(Double, UTF8String)](ord)
+
+  private def add(buf: java.util.TreeSet[(Double, UTF8String)],
+      v: (Double, UTF8String)): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (ord.compare(v, buf.last) < 0) {
+      buf.add(v); if (buf.size > k) buf.pollLast(); ()
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[(Double, UTF8String)],
+      input: InternalRow): java.util.TreeSet[(Double, UTF8String)] = {
+    val s = left.eval(input)
+    val v = right.eval(input)
+    if (s != null && v != null) {
+      val sv = s.asInstanceOf[Double]
+      add(buf, (if (sv == 0.0d) 0.0d else sv,
+        v.asInstanceOf[UTF8String].clone()))
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[(Double, UTF8String)],
+      other: java.util.TreeSet[(Double, UTF8String)]): java.util.TreeSet[(Double, UTF8String)] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, UTF8String)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (s, v) = it.next()
+      out(i) = new GenericInternalRow(Array[Any](s, v))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, UTF8String)]): Array[Byte] = {
+    var bytes = 0
+    val sit = buf.iterator()
+    while (sit.hasNext) bytes += 12 + sit.next()._2.numBytes()
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size + bytes)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (s, v) = it.next()
+      bb.putDouble(s)
+      val b = v.getBytes
+      bb.putInt(b.length)
+      bb.put(b)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, UTF8String)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[(Double, UTF8String)](ord)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.add((s, UTF8String.fromBytes(b)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectMinKByScoreStr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectMinKByScoreStr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CollectMinKByScoreStr = copy(left = l, right = r)
 }

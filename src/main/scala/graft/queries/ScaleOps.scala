@@ -461,6 +461,27 @@ object ScaleOps {
     Dedup.corpusDiff(docs, v2).orderBy("doc_id")
   }
 
+  /** Q90 per-group deterministic sample (oracled): 10 documents per
+    * source by the multiplicative-hash order — the reproducible
+    * QA/eyeball sample. One bounded hash aggregate
+    * ([[graft.operators.Sampling.groupSample]]); the window-rank
+    * formulation would sort the whole corpus to keep 10 rows per
+    * source. */
+  def q90(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.groupSample(Tables(s, d).documents,
+      groupCol = "source", idCol = "doc_id", k = 10)
+      .orderBy("source", "rn")
+
+  /** Q91 heavy hitters (oracled): top-5 most frequent tokens per source
+    * — the per-source vocabulary dashboard. (group, token) counts
+    * map-side combined, then a bounded string-payload top-k
+    * ([[graft.operators.Sampling.heavyHitters]]); no corpus-wide window
+    * sort. */
+  def q91(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.heavyHitters(Tables(s, d).documents,
+      groupCol = "source", textCol = "text", k = 5)
+      .orderBy("source", "rn")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -488,6 +509,7 @@ object ScaleOps {
     "q84_bpe" -> q84, "q85_ivf_pq" -> q85, "q86_sequence_pack" -> q86,
     "q87_classifier_score" -> q87, "q88_table_profile" -> q88,
     "q89_corpus_diff" -> q89,
+    "q90_group_sample" -> q90, "q91_heavy_hitters" -> q91,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -922,6 +944,25 @@ object ScaleOps {
                 ELSE 'modified' END AS status
          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
+    "q90_group_sample" ->
+      """SELECT source, rn, doc_id FROM (
+           SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY source, rn""",
+    "q91_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+             t -> t <> '')) AS tok FROM documents),
+         counts AS (SELECT source, tok, COUNT(*) AS cnt FROM toks
+           GROUP BY source, tok)
+         SELECT source, rn, tok, cnt FROM (
+           SELECT source, tok, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY cnt DESC, tok) AS rn
+           FROM counts)
+         WHERE rn <= 5 ORDER BY source, rn""",
     "q88_table_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderdate", "o_orderpriority")

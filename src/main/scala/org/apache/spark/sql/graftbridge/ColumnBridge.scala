@@ -48,3 +48,12 @@ trait DoubleLongInputTypes
     Seq(org.apache.spark.sql.types.DoubleType,
       org.apache.spark.sql.types.LongType)
 }
+
+/** (score: double, value: string) input signature — the bounded
+  * top-k-by-score aggregate's string-payload variant. */
+trait DoubleStringInputTypes
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType,
+      org.apache.spark.sql.types.StringType)
+}

@@ -110,6 +110,26 @@ class GraftExtensionsSpec extends SparkSuite {
       .map(x => (x.getDouble(0), x.getLong(1))) == Seq((1.0, 9L)))
   }
 
+  test("collect_min_k_by_str string-payload aggregate callable from SQL") {
+    registered
+    // heavy-hitters shape: score = -count, payload = the token; equal
+    // scores break ties by payload bytes ascending
+    val out = spark.sql(
+      """SELECT collect_min_k_by_str(CAST(-c AS DOUBLE), t, 2) AS top
+         FROM (SELECT t, COUNT(*) AS c
+               FROM VALUES ('a'),('b'),('b'),('c'),('b'),('c') AS v(t)
+               GROUP BY t)
+      """).selectExpr("transform(top, p -> p.value) AS vs")
+      .head().getSeq[String](0)
+    assert(out == Seq("b", "c"))
+    // int score child casts at analysis time like the long-id variant
+    val ri = spark.sql(
+      """SELECT collect_min_k_by_str(s, t, 1) AS top
+         FROM VALUES (3, 'x'), (1, 'y') AS v(s, t)
+      """).selectExpr("top[0].value").head().getString(0)
+    assert(ri == "y")
+  }
+
   test("collect_min_k aggregate callable from SQL") {
     registered
     val r = spark.sql(

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Bounded per-group selection (q90/q91): parity with the window-rank
+  * formulation they replace, plus the plan properties that make them
+  * scale (no Window node, map-side partial buffers).
+  */
+class SamplingSpec extends SparkSuite {
+
+  private lazy val docs = Tables(spark, sf("0.001")).documents
+
+  test("groupSample equals the window-rank formulation") {
+    val got = Sampling.groupSample(docs, "source", "doc_id", 10)
+      .orderBy("source", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = Window.partitionBy("source")
+      .orderBy(Sampling.hashScore(col("doc_id")), col("doc_id"))
+    val want = docs
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 10)
+      .orderBy("source", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("heavyHitters equals the count + window-rank formulation") {
+    val got = Sampling.heavyHitters(docs, "source", "text", 5)
+      .orderBy("source", "rn")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val counts = docs
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("tok"))
+    val want = counts
+      .select(col("source"), col("tok"), col("cnt"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy("source", "rn")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("collect_min_k_by_str survives partial/merge across many partitions") {
+    // 64 input partitions force serialize/deserialize + merge of partial
+    // buffers; the payload must be cloned (not a pointer into a reused
+    // row buffer), so distinct tokens must come back distinct
+    import spark.implicits._
+    val df = (0 until 1000)
+      .map(i => (i % 7, s"tok${i % 13}"))
+      .toDF("g", "tok").repartition(64)
+    val got = df.groupBy("g")
+      .agg(graft.functions.BoundedAgg.collect_min_k_by_str(
+        lit(1.0), col("tok"), 5).as("top"))
+      .select(col("g"), explode(col("top.value")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    // equal scores → binary order on the payload: tok0, tok1, tok10, ...
+    val expectTop5 = (0 until 13).map(i => s"tok$i").sorted.take(5)
+    val want = (0 until 7).flatMap(g => expectTop5.map(v => (g, v))).sorted
+    assert(got == want)
+  }
+
+  test("q90/q91 plans use the bounded aggregate, never a window sort") {
+    for (name <- Seq("q90_group_sample", "q91_heavy_hitters")) {
+      val p = SparkEntry.queries(name)(spark, sf("0.001"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("collect_min_k"), s"$name expected bounded agg in:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$name must not plan a window rank pass:\n$p")
+      assert(p.contains("partial_"),
+        s"$name expected map-side partial buffers in:\n$p")
+    }
+  }
+}
