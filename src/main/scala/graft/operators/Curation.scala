@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AhoCorasick, CurationFunctions}
+
+/** Corpus-curation operators beyond the q62 rule pipeline: blocklist
+  * phrase matching, Bloom-approximate decontamination, and the
+  * compression-ratio redundancy signal.
+  */
+object Curation {
+
+  /** Per-document blocklist report: the distinct matched pattern
+    * indexes (ascending) for every document that contains at least one
+    * blocklist phrase. ONE Aho–Corasick pass over each document finds
+    * all P phrases at once (broadcast automaton, row-local scan — the
+    * per-phrase `LIKE` chain reads the corpus P times); the corpus
+    * never shuffles — the only exchange is the final report sort.
+    */
+  def blocklistMatches(docs: DataFrame, patterns: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ac = new AhoCorasick(patterns)
+    docs.select(col(idCol),
+        CurationFunctions.multi_match(col(textCol), ac).as("matched"))
+      .filter(size(col("matched")) > 0)
+  }
+
+  /** Bloom-filter decontamination — the [[Dedup.decontaminate]] scale
+    * path for when the benchmark's exact digest set outgrows a
+    * broadcast hash join (1B benchmark digests = 16+ GB exact vs
+    * ~1.2 GB of Bloom bits at 1% fpp). The filter is built in one pass
+    * over the benchmark side (driver holds only the bit array), rides
+    * the plan as a reference object, and the corpus filters in place —
+    * row-local probe, no join, no shuffle. No false negatives: every
+    * truly contaminated document is dropped; an fpp-fraction of clean
+    * documents is over-dropped (the conservative direction for a
+    * leakage guard).
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      fpp: Double = 0.01, textCol: String = "text"): DataFrame = {
+    val digests = benchmark.select(xxhash64(col(textCol)).as("h"))
+    val expected = math.max(digests.count(), 1L)
+    val bloom = digests.stat.bloomFilter("h", expected, fpp)
+    corpus.filter(
+      !CurationFunctions.bloom_might_contain(xxhash64(col(textCol)), bloom))
+  }
+
+  /** Compression-ratio quality signal (deflate bytes / raw bytes) plus
+    * the band verdict quality pipelines cut on: `repetitive` below
+    * `lo` (templated/looped text), `junk` above `hi` (incompressible
+    * noise), `ok` between. Row-local kernel, one corpus scan.
+    */
+  def compressionRatios(docs: DataFrame, lo: Double = 0.25,
+      hi: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        CurationFunctions.deflate_ratio(col(textCol)).as("ratio"))
+      .withColumn("verdict",
+        when(col("ratio") < lo, lit("repetitive"))
+          .when(col("ratio") > hi, lit("junk"))
+          .otherwise(lit("ok")))
+}

@@ -482,6 +482,46 @@ object ScaleOps {
       groupCol = "source", textCol = "text", k = 5)
       .orderBy("source", "rn")
 
+  /** The q92 blocklist: phrases chosen to hit the synthetic corpus at
+    * every scale while exercising overlapping-pattern matching. */
+  private val Blocklist =
+    Seq("window window", "vector join", "slow join sort", "batch batch batch")
+
+  /** Q92 blocklist filter (oracled): documents containing any banned
+    * phrase, with per-phrase flags — ONE Aho–Corasick pass over each
+    * document vs the per-phrase LIKE chain's P corpus reads
+    * ([[graft.operators.Curation.blocklistMatches]]). */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val m = graft.operators.Curation.blocklistMatches(
+      Tables(s, d).documents, Blocklist)
+    val flags = Blocklist.indices.map(i =>
+      array_contains(col("matched"), i).cast("long").as(s"m$i"))
+    m.select(col("doc_id") +: flags :+
+        size(col("matched")).cast("long").as("n_matched"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Q93 Bloom decontamination (rows-only — fpp-approximate by
+    * construction): the q71 guard's scale path when the benchmark
+    * digest set outgrows a broadcast join. No false negatives; spec
+    * pins kept ⊆ exact-kept ([[graft.operators.Curation]]). */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    graft.operators.Curation.bloomDecontaminate(docs,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0), fpp = 0.001)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Q94 compression-ratio signal (rows-only — zlib-version-bound
+    * bytes): deflate/raw ratio + repetitive/ok/junk verdict
+    * ([[graft.operators.Curation.compressionRatios]]). */
+  def q94(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.compressionRatios(Tables(s, d).documents)
+      .select(col("doc_id"), round(col("ratio"), 4).as("ratio"),
+        col("verdict"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -510,6 +550,8 @@ object ScaleOps {
     "q87_classifier_score" -> q87, "q88_table_profile" -> q88,
     "q89_corpus_diff" -> q89,
     "q90_group_sample" -> q90, "q91_heavy_hitters" -> q91,
+    "q92_blocklist" -> q92, "q93_bloom_decontaminate" -> q93,
+    "q94_compression_ratio" -> q94,
   )
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
@@ -963,6 +1005,16 @@ object ScaleOps {
                ORDER BY cnt DESC, tok) AS rn
            FROM counts)
          WHERE rn <= 5 ORDER BY source, rn""",
+    "q92_blocklist" -> {
+      val flags = Blocklist.zipWithIndex.map { case (p, i) =>
+        s"CAST(CASE WHEN POSITION('$p' IN text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS m$i"
+      }.mkString(", ")
+      val sum = Blocklist.indices.map(i => s"m$i").mkString(" + ")
+      s"""SELECT doc_id, ${Blocklist.indices.map(i => s"m$i").mkString(", ")},
+            CAST($sum AS BIGINT) AS n_matched
+          FROM (SELECT doc_id, $flags FROM documents)
+          WHERE $sum > 0 ORDER BY doc_id"""
+    },
     "q88_table_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderdate", "o_orderpriority")

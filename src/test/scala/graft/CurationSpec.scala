@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.AhoCorasick
+import graft.operators.{Curation, Dedup}
+
+/** Curation kernels: Aho–Corasick blocklist matching, Bloom-filter
+  * decontamination (no-false-negatives containment vs the exact
+  * guard), and the deflate compression-ratio signal.
+  */
+class CurationSpec extends SparkSuite {
+
+  private lazy val docs = Tables(spark, sf("0.001")).documents
+
+  test("AhoCorasick: overlapping, nested and repeated patterns") {
+    val ac = new AhoCorasick(Seq("ab", "bc", "abc", "c", "zz"))
+    // "abc" contains ab, bc, abc, c — but never zz
+    assert(ac.matchedIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")).toSeq ==
+      Seq(0, 1, 2, 3))
+    // a pattern that is a suffix of another is found via fail links
+    val ac2 = new AhoCorasick(Seq("window window", "dow win"))
+    assert(ac2.matchedIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "a window window b")).toSeq == Seq(0, 1))
+    // no match → empty
+    assert(ac.matchedIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString("xyx")).isEmpty)
+    // multi-byte UTF-8 pattern matches byte-exactly
+    val ac3 = new AhoCorasick(Seq("é«x"))
+    assert(ac3.matchedIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ppé«xq")).toSeq ==
+      Seq(0))
+  }
+
+  test("blocklistMatches equals the per-pattern contains chain") {
+    val pats = Seq("window window", "vector join", "slow join sort")
+    val got = Curation.blocklistMatches(docs, pats)
+      .select(col("doc_id"), col("matched"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val want = docs.select(col("doc_id"),
+        pats.zipWithIndex.foldLeft(array()) { case (acc, (p, i)) =>
+          concat(acc, when(contains(col("text"), lit(p)), array(lit(i)))
+            .otherwise(array()))
+        }.as("matched"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloom decontamination: no false negatives vs the exact guard") {
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val exactKept = Dedup.decontaminate(docs, benchmark)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomKept = Curation.bloomDecontaminate(docs, benchmark, fpp = 0.001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every truly contaminated doc is dropped by the bloom pass too
+    assert(bloomKept.subsetOf(exactKept))
+    // over-dropping is bounded: ≤ 5× the 0.1% fpp on this corpus size
+    val overDropped = exactKept -- bloomKept
+    assert(overDropped.size <= math.max(1, (all.size * 0.005).toInt),
+      s"bloom over-dropped ${overDropped.size} of ${all.size}")
+    assert(bloomKept.nonEmpty && (all -- exactKept).nonEmpty)
+  }
+
+  test("compression ratio: repetitive text compresses below noisy text") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "spark " * 400),                                  // templated
+      (2L, (0 until 2000).map(i => (i * 2654435761L % 911).toString)
+        .mkString(" ")),                                     // high entropy
+      (3L, "")).toDF("doc_id", "text")
+    val r = Curation.compressionRatios(probe)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.1 && r(2L) > r(1L) * 3)
+    assert(r(3L) == 1.0) // empty input convention
+    // deterministic across executions
+    val again = Curation.compressionRatios(probe)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == again)
+  }
+
+  test("q92/q93 plans: row-local scans, no join or window over the corpus") {
+    val p92 = SparkEntry.queries("q92_blocklist")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p92.contains("multi_match"), s"expected the AC kernel in:\n$p92")
+    assert(!p92.contains("Join"), s"q92 must not join:\n$p92")
+    val p93 = SparkEntry.queries("q93_bloom_decontaminate")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p93.contains("bloom_might_contain"),
+      s"expected the bloom probe in:\n$p93")
+    assert(!p93.contains("Join"),
+      s"q93 corpus pass must filter in place, not join:\n$p93")
+  }
+}
