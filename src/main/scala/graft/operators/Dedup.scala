@@ -261,6 +261,24 @@ object Dedup {
     labels
   }
 
+  /** Apply fuzzy dedup end-to-end: near-dup edges (df-pruned n-gram
+    * Jaccard) → connected components (hash-min) → keep each cluster's
+    * min-id representative. This is the pass a training pipeline
+    * actually runs — q35 finds the pairs, q53 names the clusters, this
+    * drops the redundant members. Only ids flow through the component
+    * loop; the corpus joins once, by id, at the end (same left-anti
+    * discipline as [[deduplicate]]).
+    */
+  def nearDeduplicate(docs: DataFrame, n: Int = 2, threshold: Double = 0.2,
+      maxDocFreq: Long = 100L, idCol: String = "doc_id"): DataFrame = {
+    val edges = ngramJaccardPairs(docs, n = n, threshold = threshold,
+      maxDocFreq = maxDocFreq)
+    val losers = connectedComponents(edges)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: sign-LSH bucket join (Similarity.signLsh)

@@ -522,6 +522,16 @@ object ScaleOps {
         col("verdict"))
       .orderBy("doc_id")
 
+  /** Q95 fuzzy-dedup apply (oracled): the corpus after keep-min-id
+    * near-dedup — q35's df-pruned Jaccard edges, q53's hash-min
+    * components, then one id-only left-anti join
+    * ([[Dedup.nearDeduplicate]]). q31b is the exact sibling. */
+  def q95(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDeduplicate(Tables(s, d).documents, n = 2, threshold = 0.2,
+      maxDocFreq = 100L)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -551,8 +561,34 @@ object ScaleOps {
     "q89_corpus_diff" -> q89,
     "q90_group_sample" -> q90, "q91_heavy_hitters" -> q91,
     "q92_blocklist" -> q92, "q93_bloom_decontaminate" -> q93,
-    "q94_compression_ratio" -> q94,
+    "q94_compression_ratio" -> q94, "q95_near_dedup_apply" -> q95,
   )
+
+  /** The q53/q95 near-dup component computation as a DuckDB recursive
+    * CTE chain ending in `reach` (node n reaches node m): df-pruned
+    * bigram-Jaccard edges (q35 semantics) closed under undirected
+    * reachability; component label = MIN(m) per n. */
+  private val ComponentsOracleCte: String =
+    """WITH RECURSIVE t AS (SELECT doc_id,
+            LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
+       gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+            LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1]))
+            ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+       sizes AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gsets),
+       g0 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+       rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 100),
+       g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare ON g0.gram = rare.gram),
+       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                 FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       e AS (SELECT da, db FROM pairs
+             JOIN sizes s1 ON da = s1.doc_id JOIN sizes s2 ON db = s2.doc_id
+             WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2),
+       ud AS (SELECT da AS a, db AS b FROM e UNION SELECT db AS a, da AS b FROM e),
+       reach AS (SELECT a AS n, a AS m FROM ud
+                 UNION
+                 SELECT ud.b AS n, reach.m AS m FROM reach JOIN ud ON reach.n = ud.a)"""
 
   /** The q62 curation pipeline as a DuckDB CTE chain ending in `r`
     * (doc_id → first-failing-rule reason); q62 reports per document,
@@ -774,29 +810,14 @@ object ScaleOps {
            CAST(LEN(grams) AS BIGINT) AS n_distinct,
            ROUND(1.0 - CAST(LEN(grams) AS DOUBLE)/total, 4) AS rep_ratio
          FROM gsets ORDER BY doc_id""",
-    "q53_dedup_components" ->
-      """WITH RECURSIVE t AS (SELECT doc_id,
-              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
-         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
-              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
-                i -> toks[i] || ' ' || toks[i+1]))
-              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
-         sizes AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gsets),
-         g0 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
-         rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 100),
-         g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare ON g0.gram = rare.gram),
-         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-                   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         e AS (SELECT da, db FROM pairs
-               JOIN sizes s1 ON da = s1.doc_id JOIN sizes s2 ON db = s2.doc_id
-               WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2),
-         ud AS (SELECT da AS a, db AS b FROM e UNION SELECT db AS a, da AS b FROM e),
-         reach AS (SELECT a AS n, a AS m FROM ud
-                   UNION
-                   SELECT ud.b AS n, reach.m AS m FROM reach JOIN ud ON reach.n = ud.a)
+    "q53_dedup_components" -> (ComponentsOracleCte + """
          SELECT n AS doc_id, MIN(m) AS component FROM reach
-         GROUP BY n ORDER BY doc_id""",
+         GROUP BY n ORDER BY doc_id"""),
+    "q95_near_dedup_apply" -> (ComponentsOracleCte + """,
+         comp AS (SELECT n AS node, MIN(m) AS component FROM reach GROUP BY n)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         ORDER BY doc_id"""),
     "q74_span_removal" ->
       """WITH t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),

@@ -381,6 +381,21 @@ class DedupSpec extends SparkSuite {
     assert(got.length == 10 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("nearDeduplicate: keeps exactly each cluster's min-id member") {
+    val docs = Tables(spark, sf("0.001")).documents
+    val kept = Dedup.nearDeduplicate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val comps = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2, maxDocFreq = 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val losers = comps.filter { case (n, c) => n != c }.map(_._1).toSet
+    assert(kept == all -- losers && losers.nonEmpty)
+    // every cluster still has exactly one surviving member: its label
+    val keepers = comps.map(_._2).toSet
+    assert(keepers.subsetOf(kept))
+  }
+
   test("spanContamination: recycled span is flagged, fresh text is not") {
     val toks = (0 until 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
     val contaminated = Seq(
