@@ -54,10 +54,14 @@ object Sampling {
     */
   def heavyHitters(df: DataFrame, groupCol: String, textCol: String,
       k: Int): DataFrame = {
+    // row-local tf first (native token_tf kernel): the exploded stream
+    // carries one row per DISTINCT token per document, not one per
+    // occurrence — in-document repetition collapses before any shuffle
     val toks = df.select(col(groupCol),
-      explode(filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
-    val counts = toks.groupBy(col(groupCol), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+      explode(graft.functions.Sketch.token_tf(
+        filter(split(col(textCol), " "), t => t =!= ""))).as("p"))
+    val counts = toks.groupBy(col(groupCol), col("p.tok").as("tok"))
+      .agg(sum(col("p.tf")).as("cnt"))
     counts.groupBy(col(groupCol))
       .agg(BoundedAgg.collect_min_k_by_str(
         -col("cnt").cast("double"), col("tok"), k).as("top"))
