@@ -178,6 +178,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AhoCorasick matches String.contains on random pattern sets") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // small alphabet forces overlaps, shared prefixes/suffixes and
+    // patterns nested inside each other — the automaton's hard cases
+    val pat = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'é')).map(_.mkString))
+    val gen = for {
+      ps <- Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, pat)).map(_.distinct)
+      text <- Gen.listOf(Gen.oneOf('a', 'b', 'c', 'é', ' ')).map(_.mkString)
+    } yield (ps, text)
+    forAllSamples(gen, n = 500) { case (ps, text) =>
+      val ac = new graft.functions.AhoCorasick(ps)
+      val got = ac.matchedIds(UTF8String.fromString(text)).toSeq
+      val want = ps.indices.filter(i => text.contains(ps(i)))
+      assert(got == want, s"patterns=$ps text='$text'")
+    }
+  }
+
   test("WAV encode/decode roundtrip laws") {
     forAllSamples(Gen.alphaNumStr.map(_.take(64)).suchThat(_.nonEmpty)) { text =>
       val bytes = graft.operators.Multimodal.textToWav(text)

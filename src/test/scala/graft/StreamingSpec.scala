@@ -322,6 +322,37 @@ class StreamingSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("streaming blocklist + compression ratio: row-local kernels stream unchanged") {
+    // the Aho–Corasick automaton and the Deflater kernel are row-local
+    // references on the plan — the SAME operator definitions run on a
+    // file stream with append semantics
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-blocklist-stream").toFile
+    val docs = Tables(spark, sf("0.001")).documents.select("doc_id", "text")
+    val pats = Seq("window window", "vector join")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = graft.operators.Curation.blocklistMatches(streamed, pats)
+        .withColumn("ratio",
+          round(graft.functions.CurationFunctions.deflate_ratio(lit("aaaa")), 2))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tblock").start()
+      q.processAllAvailable(); q.stop()
+      val s = spark.table("tblock").collect().map(_.toString).sorted.toSeq
+      val b = graft.operators.Curation.blocklistMatches(docs, pats)
+        .withColumn("ratio",
+          round(graft.functions.CurationFunctions.deflate_ratio(lit("aaaa")), 2))
+        .collect().map(_.toString).sorted.toSeq
+      assert(s == b && s.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("streaming classifier scoring: stateless scoring pass streams unchanged") {
     // train once batch-side (the model artifact), then the SAME scoring
     // definition runs over a file stream with append semantics
