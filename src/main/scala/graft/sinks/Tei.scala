@@ -240,15 +240,18 @@ object Tei {
             // citation target = matched content id (tei/citation.py:44-45)
             def target(p: SemanticNode): String =
               Option(p.content_id).map(t => s""" target="#${esc(t)}"""").getOrElse("")
-            val parts = kids(c.node_id).map { p =>
+            // tei/section.py:63-77 iter_flat_paragraph_formula: a raw
+            // equation SPLITS the paragraph — <formula> renders as a
+            // SIBLING of the <p> fragments, never nested inside one
+            var fragment = List.empty[String]
+            def flushFragment(): Unit = {
+              if (fragment.nonEmpty) {
+                bodySb ++= s"<p>${fragment.reverse.mkString(" ")}</p>"
+                fragment = Nil
+              }
+            }
+            kids(c.node_id).foreach { p =>
               p.node_type match {
-                case "text" => esc(p.text)
-                case "reference_citation" =>
-                  s"""<ref type="bibr"${target(p)}>${esc(p.text)}</ref>"""
-                case "figure_citation" =>
-                  s"""<ref type="figure"${target(p)}>${esc(p.text)}</ref>"""
-                case "table_citation" =>
-                  s"""<ref type="table"${target(p)}>${esc(p.text)}</ref>"""
                 case "raw_equation" =>
                   // tei/equation.py:26-52: equation content inline,
                   // label as a nested <label>, order as emitted
@@ -259,11 +262,19 @@ object Tei {
                       case _ => esc(k.text)
                     }
                   }
-                  s"<formula>${eqParts.mkString(" ")}</formula>"
-                case _ => esc(p.text)
+                  flushFragment()
+                  bodySb ++= s"<formula>${eqParts.mkString(" ")}</formula>"
+                case "text" => fragment ::= esc(p.text)
+                case "reference_citation" =>
+                  fragment ::= s"""<ref type="bibr"${target(p)}>${esc(p.text)}</ref>"""
+                case "figure_citation" =>
+                  fragment ::= s"""<ref type="figure"${target(p)}>${esc(p.text)}</ref>"""
+                case "table_citation" =>
+                  fragment ::= s"""<ref type="table"${target(p)}>${esc(p.text)}</ref>"""
+                case _ => fragment ::= esc(p.text)
               }
             }
-            bodySb ++= s"<p>${parts.mkString(" ")}</p>"
+            flushFragment()
           case "figure" | "table" =>
             // tei/figure_table.py:32-87: label renders as head AND label
             val idAttr = Option(c.content_id)

@@ -311,8 +311,13 @@ class PipelineSpec extends SparkSuite {
       Span(4L, "O", "margin scribble"))
     val nodes = graft.pipeline.ModelExtractors.fulltextFold(0L, spans)
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
-    // tei/equation.py:26-52: content inline + nested <label>
-    assert(tei.contains("<formula>E = mc^2 <label>(1)</label></formula>"), tei)
+    // tei/equation.py:26-52: content inline + nested <label>;
+    // tei/section.py:63-77: the equation SPLITS the paragraph — the
+    // formula is a SIBLING of the <p> fragment, never nested in it
+    assert(tei.contains(
+      "<p>It follows that</p><formula>E = mc^2 <label>(1)</label></formula>"),
+      tei)
+    assert(!tei.contains("<p>It follows that <formula>"), tei)
     // tei/misc.py:21-40: unlabeled content kept as a typed note
     assert(tei.contains("""<note type="other">margin scribble</note>"""), tei)
   }
