@@ -261,6 +261,37 @@ object Dedup {
     labels
   }
 
+  /** Cross-corpus n-gram contamination report — the gram-granular
+    * benchmark-leakage guard between [[decontaminate]] (exact text)
+    * and [[graft.operators.TextAnalysis.spanContamination]]
+    * (within-corpus): for every corpus document, the number of
+    * distinct `n`-token shingles it shares with the benchmark. Real
+    * decontamination pipelines cut on this (a paraphrased benchmark
+    * item keeps most of its 8-grams while changing its exact text).
+    *
+    * Scale shape: the benchmark reduces to a distinct set of 8-byte
+    * gram hashes that broadcasts (eval sets are tiny); the corpus
+    * explodes its per-document DISTINCT gram hashes map-side into a
+    * broadcast semi-join — no shuffle of grams; only the surviving
+    * (doc_id, count) pairs reach the one exchange. Collision
+    * semantics identical to [[graft.operators.TextAnalysis
+    * .spanContamination]].
+    */
+  def crossContamination(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.operators.TextAnalysis.tokens
+    def gramHashes(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      df.select(cols :+
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"): _*)
+        .withColumn("gh", xxhash64(col("gram"))).drop("gram")
+    val benchGrams = gramHashes(benchmark, Nil).select("gh").distinct()
+    gramHashes(corpus, Seq(col(idCol).as("doc_id")))
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Apply fuzzy dedup end-to-end: near-dup edges (df-pruned n-gram
     * Jaccard) → connected components (hash-min) → keep each cluster's
     * min-id representative. This is the pass a training pipeline

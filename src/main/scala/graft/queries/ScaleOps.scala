@@ -532,6 +532,20 @@ object ScaleOps {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Q96 cross-corpus n-gram contamination (oracled): distinct shared
+    * 8-gram count per corpus document against the benchmark slice —
+    * the gram-granular leakage guard that catches paraphrased
+    * benchmark items q71's exact-text digest misses
+    * ([[Dedup.crossContamination]]; benchmark gram hashes broadcast,
+    * corpus grams never shuffle). */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    Dedup.crossContamination(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -562,6 +576,7 @@ object ScaleOps {
     "q90_group_sample" -> q90, "q91_heavy_hitters" -> q91,
     "q92_blocklist" -> q92, "q93_bloom_decontaminate" -> q93,
     "q94_compression_ratio" -> q94, "q95_near_dedup_apply" -> q95,
+    "q96_cross_contamination" -> q96,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -702,6 +717,19 @@ object ScaleOps {
            ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS shared_ratio
          FROM g JOIN dfreq ON g.gram = dfreq.gram
          GROUP BY g.doc_id ORDER BY doc_id""",
+    "q96_cross_contamination" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 8 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-7),
+                i -> ARRAY_TO_STRING(toks[i:i+7], ' ')))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+         g AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+         c AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+         SELECT c.doc_id, COUNT(*) AS n_shared
+         FROM c JOIN b ON c.gram = b.gram
+         GROUP BY c.doc_id ORDER BY doc_id""",
     "q62_curation" ->
       s"""$CurationOracleBody
          SELECT doc_id, reason, reason = 'ok' AS keep FROM r ORDER BY doc_id""",

@@ -396,6 +396,25 @@ class DedupSpec extends SparkSuite {
     assert(keepers.subsetOf(kept))
   }
 
+  test("crossContamination: paraphrase keeps its grams, fresh text has none") {
+    val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 8-grams "a..h", "b..i" but not the full text (an
+      // edited/paraphrased benchmark item — q71's exact digest misses it)
+      (1L, "a b c d e f g h i x"),
+      (2L, "totally different words here with no overlap at all"),
+      // exact copy: every one of its 3 distinct 8-grams is shared
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = Dedup.crossContamination(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 3L))
+    // scale shape: benchmark grams broadcast; corpus grams never shuffle
+    val plan = Dedup.crossContamination(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("spanContamination: recycled span is flagged, fresh text is not") {
     val toks = (0 until 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
     val contaminated = Seq(
