@@ -792,10 +792,7 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id",
       sourceCol: String = "source"): DataFrame = {
     val sess = docs.sparkSession
-    val narrow = docs.select(col(idCol).as("doc_id"),
-        col(sourceCol).as("source"),
-        tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
-      .persist()
+    val narrow = narrowTokenCounts(docs, textCol, idCol, sourceCol)
     val perSource = narrow
       .groupBy("source")
       .agg(sum(col("n_tokens")).as("toks"))
@@ -803,8 +800,46 @@ object TextAnalysis {
     val weighted = perSource.join(broadcast(wdf), Seq("source"), "left")
       .select(col("source"), col("toks"),
         coalesce(col("w"), lit(defaultWeight)).as("w"))
-    // normalize over the sources actually present; the whole frame is
-    // #sources rows so the cross join of its own totals stays driver-free
+    sampleByWeights(narrow, weighted, budgetFrac)
+  }
+
+  /** Temperature-based mixture resampling — the multilingual/
+    * multi-domain reweighting rule (weight per source = toks^alpha,
+    * alpha < 1 flattens the source distribution so small sources are
+    * upsampled relative to their share): the [[mixtureSample]]
+    * machinery with weights DERIVED from the corpus instead of given.
+    * `alpha = 0.5` is computed via `sqrt` (correctly-rounded IEEE op,
+    * so the declared query hashes across engines; `pow` is only
+    * faithfully rounded).
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
+      budgetFrac: Double = 0.4, textCol: String = "text",
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val narrow = narrowTokenCounts(docs, textCol, idCol, sourceCol)
+    val w = if (alpha == 0.5) sqrt(col("toks").cast("double"))
+      else pow(col("toks").cast("double"), lit(alpha))
+    val weighted = narrow
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("toks"))
+      .select(col("source"), col("toks"), w.as("w"))
+    sampleByWeights(narrow, weighted, budgetFrac)
+  }
+
+  private def narrowTokenCounts(docs: DataFrame, textCol: String,
+      idCol: String, sourceCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
+      .persist()
+
+  /** Shared rate computation + reproducible keep rule over the
+    * persisted narrow projection and a tiny (source, toks, w) frame.
+    * Normalizes over the sources actually present; the weighted frame
+    * is #sources rows so the cross join of its own totals stays
+    * driver-free, and rates broadcast back to the corpus.
+    */
+  private def sampleByWeights(narrow: DataFrame, weighted: DataFrame,
+      budgetFrac: Double): DataFrame = {
     val totals = weighted.agg(sum("w").as("sw"), sum("toks").as("tt"))
     val rates = weighted.crossJoin(broadcast(totals))
       .select(col("source"),

@@ -546,6 +546,15 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q97 temperature mixture (oracled): q77's resampler with weights
+    * derived from the corpus (w = sqrt(toks) — alpha 0.5 flattening,
+    * the multilingual upsampling rule)
+    * ([[TextAnalysis.temperatureSample]]). */
+  def q97(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.temperatureSample(Tables(s, d).documents, alpha = 0.5,
+      budgetFrac = 0.4)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -576,7 +585,7 @@ object ScaleOps {
     "q90_group_sample" -> q90, "q91_heavy_hitters" -> q91,
     "q92_blocklist" -> q92, "q93_bloom_decontaminate" -> q93,
     "q94_compression_ratio" -> q94, "q95_near_dedup_apply" -> q95,
-    "q96_cross_contamination" -> q96,
+    "q96_cross_contamination" -> q96, "q97_temperature_mix" -> q97,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -896,6 +905,21 @@ object ScaleOps {
          wt AS (SELECT source, toks,
            CASE source WHEN 'src0' THEN 2.0e0 WHEN 'src1' THEN 0.5e0 ELSE 1.0e0 END AS w
            FROM ps),
+         tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS sw, CAST(SUM(toks) AS DOUBLE) AS tt FROM wt),
+         r AS (SELECT source,
+           LEAST(1.0e0, (0.4e0 * tt * (w / sw)) / toks) AS rate FROM wt, tot),
+         rt AS (SELECT source, rate,
+           printf('%08x', CAST(FLOOR(rate * 4294967296.0e0) AS BIGINT)) AS thresh FROM r)
+         SELECT nt.doc_id, nt.source, nt.n_tokens, ROUND(rate, 4) AS rate
+         FROM nt JOIN rt ON nt.source = rt.source
+         WHERE rate >= 1.0e0 OR SUBSTR(MD5(CAST(nt.doc_id AS VARCHAR)), 1, 8) < thresh
+         ORDER BY nt.doc_id""",
+    "q97_temperature_mix" ->
+      """WITH nt AS (SELECT doc_id, source,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         ps AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS toks FROM nt GROUP BY source),
+         wt AS (SELECT source, toks, SQRT(CAST(toks AS DOUBLE)) AS w FROM ps),
          tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS sw, CAST(SUM(toks) AS DOUBLE) AS tt FROM wt),
          r AS (SELECT source,
            LEAST(1.0e0, (0.4e0 * tt * (w / sw)) / toks) AS rate FROM wt, tot),

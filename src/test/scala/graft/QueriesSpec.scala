@@ -46,6 +46,28 @@ class QueriesSpec extends SparkSuite {
     assert(dec.filter((col("reason") === "ok") =!= col("keep")).count() == 0)
   }
 
+  test("q97 temperature flattening: keep rate decreases with source size") {
+    import org.apache.spark.sql.functions._
+    val rates = SparkEntry.queries("q97_temperature_mix")(spark, sf("0.001"))
+      .groupBy("source").agg(first("rate").as("rate"),
+        count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val toks = Tables(spark, sf("0.001")).documents
+      .groupBy("source")
+      .agg(sum(size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long")).as("sz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5: rate ∝ 1/sqrt(toks) — ordering by size must invert
+    // the ordering by rate wherever rates are uncapped (< 1.0)
+    val uncapped = rates.filter(_._2 < 1.0).keys.toSeq
+    if (uncapped.size >= 2) {
+      val bySize = uncapped.sortBy(toks)
+      val byRate = uncapped.sortBy(s => -rates(s))
+      assert(bySize == byRate, s"rates=$rates toks=$toks")
+    }
+    assert(rates.nonEmpty)
+  }
+
   test("q10 as-of: every matched event has last_od <= event date") {
     val t = Tables(spark, sf("0.001"))
     val res = graft.queries.Relational.q10(spark, sf("0.001"))
