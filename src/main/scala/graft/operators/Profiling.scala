@@ -18,14 +18,21 @@ object Profiling {
     * to stay oracle-checkable — substitute `approx_count_distinct`
     * for a cheap 100 TB sweep where ±2% is fine.
     */
-  def profileTable(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+  def profileTable(df: DataFrame, columns: Seq[String] = Nil,
+      exact: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cs = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cs.nonEmpty, "profileTable needs at least one column")
     val aggs = cs.flatMap { c =>
+      // exact=false is the 100 TB sweep: HLL sketches replace the
+      // multi-distinct, which removes the Expand (cols+1 row copies)
+      // AND the distinct-key exchange — the whole profile becomes one
+      // ordinary partial/final aggregate pass (±~2% on distincts)
+      val distinctAgg =
+        if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-        count_distinct(col(c)).as(s"__d_$c"),
+        distinctAgg.as(s"__d_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

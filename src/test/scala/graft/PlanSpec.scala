@@ -147,6 +147,26 @@ class PlanSpec extends SparkSuite {
       s"expected map-side partial (bounded) buffers in:\n$p")
   }
 
+  test("q88b approx profile aggregates without Expand; exact q88 needs it") {
+    // the profile report itself is a driver-side unpivot
+    // (LocalTableScan); the cost lives in the inner aggregate job —
+    // pin THAT plan's shape for the two distinct strategies
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count_distinct}
+    val orders = Tables(spark, sf("0.001")).orders
+    val exact = orders
+      .agg(count_distinct(col("o_orderkey")), count_distinct(col("o_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      s"exact multi-distinct is the Expand cost q88b removes:\n$exact")
+    val approx = orders
+      .agg(approx_count_distinct(col("o_orderkey")),
+        approx_count_distinct(col("o_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"),
+      s"approx profile must not multiply rows:\n$approx")
+    assert(approx.contains("partial_"), approx)
+  }
+
   test("q30 sessionize: lag + running-sum windows share one exchange and sort") {
     val p = plan("q30_sessionize")
     // the two dependent windows (boundary lag, session-id running sum)
