@@ -81,8 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           DotProductExpr(args.head, args(1))
       }))
     binaryIntRight("ngrams",
-      "ngrams(array<string>, n) - token n-grams joined by a single space",
-      NgramsExpr)
+      "ngrams(array<string>, n) - distinct token n-grams joined by a single space",
+      (c, n) => NgramsExpr(c, n))
+    binaryIntRight("ngrams_all",
+      "ngrams_all(array<string>, n) - one n-gram per start position (no dedup)",
+      (c, n) => NgramsExpr(c, n, distinct = false))
     binaryIntRight("min_hash",
       "min_hash(array<long>, k) - k-permutation MinHash signature",
       MinHashExpr)

@@ -135,7 +135,14 @@ object Sketch {
     * formulation re-evaluates the token array per element — O(n²) per
     * document.
     */
-  def ngrams(toks: ArrayData, n: Int): ArrayData = {
+  def ngrams(toks: ArrayData, n: Int): ArrayData = ngramsImpl(toks, n, true)
+
+  /** Positional n-gram stream WITHOUT the per-row dedup — one gram per
+    * start position, in order (what an occurrence-counting LM needs;
+    * [[ngrams]]'s distinct form is what shingle-set operators need). */
+  def ngramsAll(toks: ArrayData, n: Int): ArrayData = ngramsImpl(toks, n, false)
+
+  private def ngramsImpl(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val cnt = toks.numElements()
     def tok(i: Int): String = {
       val u = toks.getUTF8String(i)
@@ -149,15 +156,20 @@ object Sketch {
       return new GenericArrayData(
         Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
     }
+    // LinkedHashSet preserves first-seen order for the distinct form;
+    // the all-occurrences form keeps every start position
     val seen = new java.util.LinkedHashSet[String]()
+    val all = if (distinct) null else new Array[Any](cnt - n + 1)
     var i = 0
     while (i <= cnt - n) {
       val sb = new StringBuilder
       var j = 0
       while (j < n) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
-      seen.add(sb.toString)
+      if (distinct) seen.add(sb.toString)
+      else all(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     i = 0
@@ -402,6 +414,9 @@ object Sketch {
 
   def word_ngrams(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramsExpr(ColumnBridge.expression(toks), n))
+  def word_ngrams_all(toks: Column, n: Int): Column =
+    ColumnBridge.column(
+      NgramsExpr(ColumnBridge.expression(toks), n, distinct = false))
   def gram_hash_positions(toks: Column, n: Int): Column =
     ColumnBridge.column(GramHashPositionsExpr(ColumnBridge.expression(toks), n))
   def remove_covered(toks: Column, starts: Column, n: Int): Column =
@@ -475,14 +490,18 @@ case class RemoveCoveredExpr(left: Expression, right: Expression, n: Int)
     copy(left = newLeft, right = newRight)
 }
 
-case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+case class NgramsExpr(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
-  override def prettyName: String = "word_ngrams"
+  override def prettyName: String =
+    if (distinct) "word_ngrams" else "word_ngrams_all"
+  private val kernel = if (distinct) "ngrams" else "ngramsAll"
   override def nullSafeEval(in: Any): Any =
-    Sketch.ngrams(in.asInstanceOf[ArrayData], n)
+    if (distinct) Sketch.ngrams(in.asInstanceOf[ArrayData], n)
+    else Sketch.ngramsAll(in.asInstanceOf[ArrayData], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.ngrams($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.$kernel($c, $n)")
   override protected def withNewChildInternal(c: Expression): NgramsExpr = copy(child = c)
 }
 

@@ -856,6 +856,53 @@ object TextAnalysis {
         round(col("rate"), 4).as("rate"))
   }
 
+  /** Bigram-LM surprisal (q98) — [[unigramSurprisal]]'s higher-order
+    * sibling, one step toward the 5-gram KenLM filter of the CCNet
+    * recipe: add-1-smoothed conditional model
+    * P(w2|w1) = (c12 + 1) / (c1 + V), per-document mean surprisal over
+    * its bigram stream. Same determinism discipline as q79: each
+    * bigram's surprisal is rounded to integer micronats once, so the
+    * per-document accumulation is order-free and the declared query
+    * hashes across engines.
+    *
+    * Scale shape: per-document (bigram, tf) pairs are row-local
+    * (`token_tf` over the `ngrams` kernel — one row per DISTINCT
+    * bigram per doc); the model is two aggregates (bigram + unigram
+    * counts) and one V-row broadcast; the scoring join shuffles on the
+    * bigram string, the same exchange class as the count that built
+    * the model. Documents shorter than 2 tokens fall back to the
+    * whole-text gram (the [[Dedup.shingles]] convention, declared in
+    * the oracle).
+    */
+  def bigramSurprisal(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Sketch.token_tf(
+          graft.functions.Sketch.word_ngrams_all(tokens(col(textCol)), 2))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("gram"),
+        col("p.tf").cast("long").as("tf"))
+      .persist()
+    val c12 = bg.groupBy("gram").agg(sum("tf").as("c12"))
+    val uni = tokenPairs(docs, textCol, idCol)
+      .groupBy("tok").agg(sum("tf").as("c1"))
+    val vocabSize = uni.agg(count(lit(1)).as("v"))
+    val model = c12
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("gram"),
+        round(log((col("c1") + col("v")).cast("double") /
+          (col("c12") + lit(1L))) * lit(1e6)).cast("long").as("micronats"))
+    val perDoc = bg.join(model, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("micronats")).as("sn"), sum("tf").as("dl"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dl"), lit(0L)).cast("bigint").as("dl"),
+        round(coalesce(col("sn").cast("double") /
+          (col("dl") * lit(1e6)), lit(0.0)), 4).as("surprisal"))
+  }
+
   // ------------------------------------------- shared tokenized projection
 
   /** The shared (doc_id, tok, tf) projection every corpus-statistics

@@ -566,6 +566,14 @@ object ScaleOps {
       budgetFrac = 0.4)
       .orderBy("doc_id")
 
+  /** Q98 bigram-LM surprisal (oracled): the conditional
+    * add-1-smoothed bigram model scoring every document — q79's
+    * higher-order sibling, integer-micronat order-free accumulation
+    * ([[TextAnalysis.bigramSurprisal]]). */
+  def q98(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramSurprisal(Tables(s, d).documents)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -598,6 +606,7 @@ object ScaleOps {
     "q92_blocklist" -> q92, "q93_bloom_decontaminate" -> q93,
     "q94_compression_ratio" -> q94, "q95_near_dedup_apply" -> q95,
     "q96_cross_contamination" -> q96, "q97_temperature_mix" -> q97,
+    "q98_bigram_surprisal" -> q98,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -948,6 +957,28 @@ object ScaleOps {
            ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:100], ',') AS postings
          FROM tf GROUP BY tok HAVING COUNT(*) >= 3
          ORDER BY tok""",
+    "q98_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         g AS (SELECT doc_id, UNNEST(CASE WHEN LEN(toks) >= 2 THEN
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1])
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS gram FROM t),
+         bf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM g GROUP BY 1, 2),
+         c12 AS (SELECT gram, CAST(SUM(tf) AS BIGINT) AS c12 FROM bf GROUP BY gram),
+         tk AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+         uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM tk GROUP BY tok),
+         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+         m AS (SELECT gram,
+               CAST(ROUND(LN(CAST(c1 + v AS DOUBLE)/(c12 + 1)) * 1e6) AS BIGINT) AS micronats
+               FROM c12 JOIN uni ON SPLIT_PART(gram, ' ', 1) = uni.tok, v),
+         pd AS (SELECT bf.doc_id, CAST(SUM(bf.tf * m.micronats) AS BIGINT) AS sn,
+                CAST(SUM(bf.tf) AS BIGINT) AS dl
+                FROM bf JOIN m USING (gram) GROUP BY bf.doc_id)
+         SELECT d.doc_id, COALESCE(pd.dl, 0) AS dl,
+           ROUND(COALESCE(CAST(pd.sn AS DOUBLE)/(pd.dl * 1e6), 0.0e0), 4) AS surprisal
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     "q79_surprisal" ->
       """WITH tk AS (SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text,' '),
               x -> x <> '')) AS tok FROM documents),

@@ -396,6 +396,18 @@ class DedupSpec extends SparkSuite {
     assert(keepers.subsetOf(kept))
   }
 
+  test("bigramSurprisal: common-bigram text scores below rare-bigram text") {
+    val corpus = ((0L until 20L).map(i => (i, "x y x y x y x y")) :+
+      (99L, "q w e r t z u i")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) < got(99L), s"got=$got")
+    // deterministic across executions
+    val again = TextAnalysis.bigramSurprisal(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == again)
+  }
+
   test("crossContamination: paraphrase keeps its grams, fresh text has none") {
     val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val corpus = Seq(
