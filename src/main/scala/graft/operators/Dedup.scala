@@ -391,6 +391,36 @@ object Dedup {
           .otherwise("modified").as("status"))
   }
 
+  /** Corpus upsert — apply an incremental batch over a base corpus
+    * (the snapshot-advance counterpart of [[corpusDiff]]'s report):
+    * every base document not superseded by the batch survives as
+    * `kept`; batch documents land as `updated` (id existed) or
+    * `inserted` (new id).
+    *
+    * Scale shape: the batch is the small side by construction
+    * (incremental deliveries vs a 100 TB base), so BOTH probes are
+    * broadcast joins against it — the base is scanned, never
+    * shuffled: once column-pruned to ids to classify the batch, once
+    * in full for the anti-join keep pass. The output is the merged
+    * corpus with provenance; no exchange wider than the batch exists
+    * in the plan.
+    */
+  def upsert(base: DataFrame, batch: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val batchIds = batch.select(col(idCol))
+    // ids of batch rows that supersede an existing base row — bounded
+    // by the batch size, so it broadcasts to classify the batch
+    val superseded = base.select(col(idCol))
+      .join(broadcast(batchIds), Seq(idCol), "left_semi")
+    val kept = base.join(broadcast(batchIds), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol), lit("kept").as("op"))
+    val applied = batch
+      .join(broadcast(superseded.withColumn("__hit", lit(1))), Seq(idCol), "left")
+      .select(col(idCol), col(textCol),
+        when(col("__hit").isNotNull, "updated").otherwise("inserted").as("op"))
+    kept.unionByName(applied)
+  }
+
   /** Corpus-size-derived cluster count for [[semanticDedup]]:
     * `max(16, ⌈n / targetOccupancy⌉)`, capped at `n` so tiny corpora
     * stay trainable (a quantizer cannot have more centroids than

@@ -574,6 +574,21 @@ object ScaleOps {
     TextAnalysis.bigramSurprisal(Tables(s, d).documents)
       .orderBy("doc_id")
 
+  /** Q99 corpus upsert (oracled): apply the q89-shaped incremental
+    * batch (every 7th doc edited + one new id) over the base corpus —
+    * kept/updated/inserted provenance, batch-side broadcast only, base
+    * never shuffled ([[Dedup.upsert]]). */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      .union(docs.agg((max(col("doc_id")) + 1).as("doc_id"))
+        .withColumn("text", lit("new doc")))
+    Dedup.upsert(docs, batch)
+      .select(col("doc_id"), col("op"), md5(col("text")).as("h"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -606,7 +621,7 @@ object ScaleOps {
     "q92_blocklist" -> q92, "q93_bloom_decontaminate" -> q93,
     "q94_compression_ratio" -> q94, "q95_near_dedup_apply" -> q95,
     "q96_cross_contamination" -> q96, "q97_temperature_mix" -> q97,
-    "q98_bigram_surprisal" -> q98,
+    "q98_bigram_surprisal" -> q98, "q99_corpus_upsert" -> q99,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1086,6 +1101,20 @@ object ScaleOps {
            FROM walk w JOIN c ON c.shard = w.shard AND c.rn = w.rn + 1)
          SELECT shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens
          FROM walk ORDER BY shard, seq_idx, seq_pos""",
+    "q99_corpus_upsert" ->
+      """WITH batch AS (
+           SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, 'new doc' AS text)
+         SELECT doc_id, op, MD5(text) AS h FROM (
+           SELECT d.doc_id, d.text, 'kept' AS op FROM documents d
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM batch)
+           UNION ALL
+           SELECT b.doc_id, b.text,
+             CASE WHEN EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = b.doc_id)
+                  THEN 'updated' ELSE 'inserted' END AS op
+           FROM batch b)
+         ORDER BY doc_id""",
     "q89_corpus_diff" ->
       """WITH a AS (SELECT doc_id, MD5(text) AS ha FROM documents),
          v2 AS (SELECT doc_id,

@@ -396,6 +396,19 @@ class DedupSpec extends SparkSuite {
     assert(keepers.subsetOf(kept))
   }
 
+  test("upsert: kept/updated/inserted partition the merged corpus; base never shuffles") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val batch = Seq((2L, "two v2"), (9L, "nine")).toDF("doc_id", "text")
+    val got = Dedup.upsert(base, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "one", "kept"), (3L, "three", "kept"),
+      (2L, "two v2", "updated"), (9L, "nine", "inserted")))
+    val plan = Dedup.upsert(base, batch).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"base side must never shuffle:\n$plan")
+  }
+
   test("bigramSurprisal: common-bigram text scores below rare-bigram text") {
     val corpus = ((0L until 20L).map(i => (i, "x y x y x y x y")) :+
       (99L, "q w e r t z u i")).toDF("doc_id", "text")
