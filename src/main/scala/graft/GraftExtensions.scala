@@ -121,6 +121,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CollectMinKByScoreStr(args.head, args(1),
             intArg(args(2), "collect_min_k_by_str")).toAggregateExpression()
       }))
+    unary("deflate_ratio",
+      "deflate_ratio(str) - DEFLATE compressed/raw byte ratio (redundancy signal)",
+      DeflateRatioExpr)
+    ext.injectFunction((FunctionIdentifier("multi_match"),
+      info("multi_match",
+        "multi_match(text, 'p1', 'p2', ...) - distinct indexes of the literal " +
+          "patterns found in text (one Aho-Corasick pass), ascending"), {
+        args: Seq[Expression] =>
+          require(args.size >= 2,
+            s"multi_match expects text + at least 1 pattern, got ${args.size}")
+          val pats = args.tail.map {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+            case other => throw new IllegalArgumentException(
+              s"multi_match patterns must be literal strings, got: $other")
+          }
+          MultiMatchExpr(args.head, new AhoCorasick(pats))
+      }))
     ext.injectFunction((FunctionIdentifier("remove_covered"),
       info("remove_covered",
         "remove_covered(array<string>, array<int>, n) - drop tokens covered " +

@@ -110,6 +110,17 @@ class GraftExtensionsSpec extends SparkSuite {
       .map(x => (x.getDouble(0), x.getLong(1))) == Seq((1.0, 9L)))
   }
 
+  test("curation kernels callable from SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT multi_match('the vector join path', 'vector join', 'nope') AS m,
+                deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS lo,
+                deflate_ratio('') AS empty
+      """).collect().head
+    assert(r.getSeq[Int](0) == Seq(0))
+    assert(r.getDouble(1) < 0.5 && r.getDouble(2) == 1.0)
+  }
+
   test("collect_min_k_by_str string-payload aggregate callable from SQL") {
     registered
     // heavy-hitters shape: score = -count, payload = the token; equal
