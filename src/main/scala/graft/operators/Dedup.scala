@@ -249,7 +249,16 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = labels.as("l").join(und.as("e"), col("l.node") === col("e.src"))
         .select(col("e.dst").as("node"), col("l.comp").as("comp"))
-      val next = labels.select("node", "comp").union(msgs)
+      // pointer jumping: also adopt the label OF my current label
+      // (comp(comp(node))). Plain hash-min needs O(diameter) rounds —
+      // a 1M-link duplicate chain would silently mislabel under any
+      // fixed iteration cap; with the jump hop label distances halve
+      // per round, so `maxIter` rounds cover diameter 2^maxIter and
+      // the cap is a true runaway valve, not a correctness bound.
+      val jump = labels.as("l")
+        .join(labels.as("m"), col("l.comp") === col("m.node"))
+        .select(col("l.node").as("node"), col("m.comp").as("comp"))
+      val next = labels.select("node", "comp").union(msgs).union(jump)
         .groupBy("node").agg(min("comp").as("comp")).localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "node")

@@ -381,6 +381,15 @@ class DedupSpec extends SparkSuite {
     assert(got.length == 10 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("connectedComponents: pointer jumping labels a 60-path in log rounds") {
+    // diameter 59: plain hash-min propagation needs 59 rounds — a cap
+    // of 9 would silently mislabel the far end. With the comp(comp)
+    // jump hop, distances halve per round: 9 rounds cover 2^9 links.
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(edges, maxIter = 9).collect()
+    assert(got.length == 60 && got.forall(_.getLong(1) == 0L))
+  }
+
   test("nearDeduplicate: keeps exactly each cluster's min-id member") {
     val docs = Tables(spark, sf("0.001")).documents
     val kept = Dedup.nearDeduplicate(docs)
