@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -541,12 +541,24 @@ object Similarity {
     * set; the refine pool (≤ `refineFactor·k·|queries|` rows) joins
     * back to the raw vectors as the broadcast build side.
     */
-  def pqTopKIvf(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      numLists: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-      iters: Int = 10, sampleN: Int = 4096, seed: Long = 42L,
-      refineFactor: Int = 4,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+  /** A built IVF-PQ index: coarse centroids, residual codebooks, and
+    * the encoded corpus (id, list_id, m-byte code). Build once
+    * ([[buildIvfPqIndex]]), persist ([[saveIvfPqIndex]] /
+    * [[loadIvfPqIndex]]), then serve any number of query batches
+    * ([[pqTopKIvfIndexed]]) — the production lifecycle: the expensive
+    * train+encode scan is paid once per corpus snapshot, not once per
+    * search.
+    */
+  final case class IvfPqIndex(centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], codes: DataFrame)
+
+  /** Steps 1-3 of the IVF-PQ pipeline: coarse quantizer, residual PQ
+    * codebooks on the bounded sample, and the one-broadcast-pass
+    * corpus encode. */
+  def buildIvfPqIndex(emb: DataFrame, numLists: Int = 16, m: Int = 8,
+      ksub: Int = 16, iters: Int = 10, sampleN: Int = 4096,
+      seed: Long = 42L, vecCol: String = "embedding",
+      idCol: String = "vec_id"): IvfPqIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
     def ip(a: Array[Float], b: Array[Float]): Double = {
@@ -624,6 +636,62 @@ object Similarity {
           (id, best, code)
         }
       }.toDF(idCol, "list_id", "code")
+    IvfPqIndex(centroids, codebooks, coded)
+  }
+
+  /** Persist a built index: centroids / codebooks / codes as three
+    * parquet tables under `path` — the index artifact a serving tier
+    * loads without re-scanning the corpus. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("list_id", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (v, c) => (sub, c, v.toSeq) }
+    }.toSeq.toDF("sub", "code", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted index ([[saveIvfPqIndex]] layout). The tiny
+    * centroid/codebook tables collect to driver arrays (that is their
+    * runtime form — they broadcast); the codes stay distributed. */
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Array[Float])].collect()
+    val codebooks = cbRows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, xs) => xs.sortBy(_._2).map(_._3) }
+    IvfPqIndex(centroids, codebooks, spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Steps 4-6 of the IVF-PQ pipeline against a prebuilt index: ADC
+    * tables for the probed lists, bounded candidate top-R over the
+    * codes, exact L2 re-rank of the refine pool. */
+  def pqTopKIvfIndexed(index: IvfPqIndex, emb: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int = 4, refineFactor: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = index.centroids
+    val codebooks = index.codebooks
+    val coded = index.codes
+    val m = codebooks.length
+    def ip(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    def residual(v: Array[Float], list: Int): Array[Float] = {
+      val c = centroids(list)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
     // 4. per-(query, probed list) ADC tables: exact subspace distances
     //    of the query residual to each residual codebook centroid
     val qVecs = emb.filter(col(idCol).isin(queryIds: _*))
@@ -692,4 +760,18 @@ object Similarity {
         round(sqrt(greatest(col("s.score"), lit(0.0))), 4).as("dist"),
         (col("pos") + 1).cast("bigint").as("rn"))
   }
+
+  /** One-shot form: build the index and search it (q85). Production
+    * callers split the halves — [[buildIvfPqIndex]] +
+    * [[saveIvfPqIndex]] once per corpus snapshot, [[loadIvfPqIndex]] +
+    * [[pqTopKIvfIndexed]] per query batch. */
+  def pqTopKIvf(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      numLists: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 10, sampleN: Int = 4096, seed: Long = 42L,
+      refineFactor: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pqTopKIvfIndexed(
+      buildIvfPqIndex(emb, numLists, m, ksub, iters, sampleN, seed,
+        vecCol, idCol),
+      emb, queryIds, k, nprobe, refineFactor, vecCol, idCol)
 }

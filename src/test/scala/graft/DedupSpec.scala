@@ -839,6 +839,33 @@ class DedupSpec extends SparkSuite {
     assert(part.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("IVF-PQ index save/load round-trip serves identical top-k") {
+    import graft.operators.Similarity
+    val emb = blobEmb
+    val index = Similarity.buildIvfPqIndex(emb, numLists = 3, m = 4,
+      ksub = 4, sampleN = 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toFile
+    try {
+      Similarity.saveIvfPqIndex(index, dir.getPath)
+      val loaded = Similarity.loadIvfPqIndex(spark, dir.getPath)
+      // artifacts survive the parquet round-trip bit-exactly
+      assert(loaded.centroids.map(_.toSeq).toSeq ==
+        index.centroids.map(_.toSeq).toSeq)
+      assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+        index.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      def search(ix: Similarity.IvfPqIndex) =
+        Similarity.pqTopKIvfIndexed(ix, emb, queryIds = Seq(0L, 10L, 20L),
+          k = 3, nprobe = 3, refineFactor = 8)
+          .collect().map(_.toString).sorted.toSeq
+      assert(search(loaded) == search(index) && search(loaded).nonEmpty)
+      // and the one-shot form is exactly build + search
+      val oneShot = Similarity.pqTopKIvf(emb, queryIds = Seq(0L, 10L, 20L),
+        k = 3, numLists = 3, nprobe = 3, m = 4, ksub = 4, sampleN = 12,
+        refineFactor = 8).collect().map(_.toString).sorted.toSeq
+      assert(oneShot == search(index))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("pqTopK: ADC neighbors come from the query's blob; codes deterministic") {
     val emb = blobEmb
     val got = Similarity.pqTopK(emb, queryIds = Seq(0L, 10L, 20L), k = 3,
