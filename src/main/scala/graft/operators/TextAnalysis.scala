@@ -917,12 +917,38 @@ object TextAnalysis {
     * tokenize pass per warm session instead of each paying their own.
     */
   def tokenPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
-      .select(col("doc_id"), col("p.tok").as("tok"),
-        col("p.tf").cast("long").as("tf"))
+      idCol: String = "doc_id"): DataFrame = {
+    // carry `source` through the cache when the frame has it: the
+    // per-source consumers (heavy hitters) then share the SAME cached
+    // tokenize pass as the per-token ones (inverted index, surprisal)
+    // — columnar cache reads prune the extra column for consumers that
+    // never touch it, so they pay nothing for the wider cache row
+    val carry = docs.columns.filter(_ == "source").toSeq.map(col)
+    docs.select(col(idCol).as("doc_id") +: carry :+
+        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"): _*)
+      .select(col("doc_id") +: carry :+ col("p.tok").as("tok") :+
+        col("p.tf").cast("long").as("tf"): _*)
       .persist()
+  }
+
+  /** Per-source heavy hitters over the SHARED [[tokenPairs]] cache —
+    * the q91 form of [[graft.operators.Sampling.heavyHitters]] (which
+    * stays the generic any-frame variant): in a warm session the
+    * tokenize pass is already cached by the other corpus-statistics
+    * queries, so this costs two small aggregations.
+    */
+  def sourceHeavyHitters(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = tokenPairs(docs, textCol, idCol)
+      .groupBy(col("source"), col("tok"))
+      .agg(sum("tf").as("cnt"))
+    counts.groupBy(col("source"))
+      .agg(graft.functions.BoundedAgg.collect_min_k_by_str(
+        -col("cnt").cast("double"), col("tok"), k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+        col("p.value").as("tok"), (-col("p.score")).cast("long").as("cnt"))
+  }
 
   // ----------------------------------------------------- inverted index
 

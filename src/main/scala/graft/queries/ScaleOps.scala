@@ -489,8 +489,7 @@ object ScaleOps {
     * ([[graft.operators.Sampling.heavyHitters]]); no corpus-wide window
     * sort. */
   def q91(s: SparkSession, d: String): DataFrame =
-    graft.operators.Sampling.heavyHitters(Tables(s, d).documents,
-      groupCol = "source", textCol = "text", k = 5)
+    TextAnalysis.sourceHeavyHitters(Tables(s, d).documents, k = 5)
       .orderBy("source", "rn")
 
   /** The q92 blocklist: phrases chosen to hit the synthetic corpus at
