@@ -761,6 +761,29 @@ object Similarity {
         (col("pos") + 1).cast("bigint").as("rn"))
   }
 
+  /** Recall@k report — the evaluation loop that tunes an approximate
+    * index (nprobe / m / ksub / refineFactor): per query, the fraction
+    * of the exact top-k the approximate result found, plus the
+    * corpus-level mean as the last row (query_id = -1). Both inputs
+    * are (query_id, id, rn) frames from any of the top-k operators;
+    * only the top-k rows per query exist, so every join here is
+    * dashboard-sized.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val a = approx.filter(col("rn") <= k).select(col("query_id"), col(idCol))
+    val e = exact.filter(col("rn") <= k).select(col("query_id"), col(idCol))
+    val hits = e.join(a, Seq("query_id", idCol), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val per = e.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n"), 4)
+          .as("recall"))
+    per.unionByName(per.agg(lit(-1L).as("query_id"),
+      round(avg("recall"), 4).as("recall")))
+  }
+
   /** One-shot form: build the index and search it (q85). Production
     * callers split the halves — [[buildIvfPqIndex]] +
     * [[saveIvfPqIndex]] once per corpus snapshot, [[loadIvfPqIndex]] +

@@ -588,6 +588,30 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q100 ANN recall report (rows-only — float geometry): recall@5 of
+    * a 2-probe IVF-PQ search against the exact full-probe + deep-refine
+    * form, per query plus the mean row — the evaluation loop that
+    * tunes an approximate index ([[Similarity.recallAtK]]). */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d).embeddings
+    val qs = Seq(0L, 1L, 2L, 3L)
+    val exact = Similarity.pqTopKIvf(emb, qs, k = 5, numLists = 16,
+      nprobe = 16, refineFactor = 64)
+    val approx = Similarity.pqTopKIvf(emb, qs, k = 5, numLists = 16,
+      nprobe = 2)
+    Similarity.recallAtK(approx, exact, k = 5).orderBy("query_id")
+  }
+
+  /** Q101 salted aggregation (oracled): the skew-safe two-phase count
+    * — a hot key spreads over 8 salt reducers before the tiny per-key
+    * recombination; result identical to the plain GROUP BY
+    * ([[graft.operators.Partitioning.saltedCount]]). */
+  def q101(s: SparkSession, d: String): DataFrame =
+    graft.operators.Partitioning.saltedCount(
+      Tables(s, d).lineitem.select("l_returnflag", "l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"), saltBuckets = 8)
+      .orderBy("l_returnflag", "l_linestatus")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -621,6 +645,7 @@ object ScaleOps {
     "q94_compression_ratio" -> q94, "q95_near_dedup_apply" -> q95,
     "q96_cross_contamination" -> q96, "q97_temperature_mix" -> q97,
     "q98_bigram_surprisal" -> q98, "q99_corpus_upsert" -> q99,
+    "q100_ann_recall" -> q100, "q101_salted_agg" -> q101,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1100,6 +1125,10 @@ object ScaleOps {
            FROM walk w JOIN c ON c.shard = w.shard AND c.rn = w.rn + 1)
          SELECT shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens
          FROM walk ORDER BY shard, seq_idx, seq_pos""",
+    "q101_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q99_corpus_upsert" ->
       """WITH batch AS (
            SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 7 = 0

@@ -866,6 +866,21 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("recallAtK: self-recall is 1.0, misses lower it, mean row appended") {
+    import graft.operators.Similarity
+    val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L), (1L, 21L, 2L))
+      .toDF("query_id", "vec_id", "rn")
+    val self = Similarity.recallAtK(exact, exact, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(self == Map(0L -> 1.0, 1L -> 1.0, -1L -> 1.0))
+    // approx missed one of query 1's two ids
+    val approx = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L), (1L, 99L, 2L))
+      .toDF("query_id", "vec_id", "rn")
+    val got = Similarity.recallAtK(approx, exact, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 1.0, 1L -> 0.5, -1L -> 0.75))
+  }
+
   test("pqTopK: ADC neighbors come from the query's blob; codes deterministic") {
     val emb = blobEmb
     val got = Similarity.pqTopK(emb, queryIds = Seq(0L, 10L, 20L), k = 3,
