@@ -298,10 +298,11 @@ case class CollectMinKByScoreStr(left: Expression, right: Expression, k: Int,
   }
 
   override def serialize(buf: java.util.TreeSet[(Double, UTF8String)]): Array[Byte] = {
+    // 8-byte score + 4-byte length + payload per entry
     var bytes = 0
     val sit = buf.iterator()
     while (sit.hasNext) bytes += 12 + sit.next()._2.numBytes()
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size + bytes)
+    val bb = ByteBuffer.allocate(4 + bytes)
     bb.putInt(buf.size)
     val it = buf.iterator()
     while (it.hasNext) {

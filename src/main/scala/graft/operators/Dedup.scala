@@ -290,9 +290,13 @@ object Dedup {
       n: Int = 8, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import graft.operators.TextAnalysis.tokens
+    // shingles (Sketch.ngrams) already emits DISTINCT grams per row;
+    // a zero-token document's whole-text fallback gram is the empty
+    // string — excluded on both engines (the oracle filters gram <> '')
     def gramHashes(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
       df.select(cols :+
-        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"): _*)
+        explode(shingles(tokens(col(textCol)), n)).as("gram"): _*)
+        .filter(col("gram") =!= "")
         .withColumn("gh", xxhash64(col("gram"))).drop("gram")
     val benchGrams = gramHashes(benchmark, Nil).select("gh").distinct()
     gramHashes(corpus, Seq(col(idCol).as("doc_id")))
@@ -310,9 +314,10 @@ object Dedup {
     * discipline as [[deduplicate]]).
     */
   def nearDeduplicate(docs: DataFrame, n: Int = 2, threshold: Double = 0.2,
-      maxDocFreq: Long = 100L, idCol: String = "doc_id"): DataFrame = {
-    val edges = ngramJaccardPairs(docs, n = n, threshold = threshold,
-      maxDocFreq = maxDocFreq)
+      maxDocFreq: Long = 100L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = ngramJaccardPairs(docs, textCol = textCol, idCol = idCol,
+      n = n, threshold = threshold, maxDocFreq = maxDocFreq)
     val losers = connectedComponents(edges)
       .filter(col("node") =!= col("comp"))
       .select(col("node").as(idCol))

@@ -34,6 +34,15 @@ object Sampling {
     */
   def groupSample(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
+    // fail fast on a non-numeric id: a silent cast-to-null would make
+    // the bounded aggregate drop every row and return an empty sample
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"groupSample needs an integral id column; $idCol is $idType")
     val scored = df.select(col(groupCol), col(idCol).cast("long").as("__id"),
       hashScore(col(idCol).cast("long")).cast("double").as("__s"))
     scored.groupBy(col(groupCol))
@@ -59,7 +68,7 @@ object Sampling {
     // occurrence — in-document repetition collapses before any shuffle
     val toks = df.select(col(groupCol),
       explode(graft.functions.Sketch.token_tf(
-        filter(split(col(textCol), " "), t => t =!= ""))).as("p"))
+        graft.operators.TextAnalysis.tokens(col(textCol)))).as("p"))
     val counts = toks.groupBy(col(groupCol), col("p.tok").as("tok"))
       .agg(sum(col("p.tf")).as("cnt"))
     counts.groupBy(col(groupCol))
