@@ -178,6 +178,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramsAll laws: count, order, and distinct-form agreement") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toksGen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd"))
+    forAllSamples(Gen.zip(toksGen, Gen.choose(1, 4)), n = 300) {
+      case (toks, n) =>
+        def arr(xs: Seq[String]) =
+          new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+        def strs(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        val all = strs(graft.functions.Sketch.ngramsAll(arr(toks), n))
+        val dis = strs(graft.functions.Sketch.ngrams(arr(toks), n))
+        if (toks.isEmpty) assert(all.isEmpty && dis.isEmpty)
+        else if (toks.length < n) {
+          assert(all == Seq(toks.mkString(" ")) && dis == all)
+        } else {
+          // one gram per start position, in order
+          assert(all.length == toks.length - n + 1)
+          assert(all == toks.sliding(n).map(_.mkString(" ")).toSeq)
+          // the distinct form is exactly first-seen dedup of the stream
+          assert(dis == all.distinct)
+        }
+    }
+  }
+
   test("AhoCorasick matches String.contains on random pattern sets") {
     import org.apache.spark.unsafe.types.UTF8String
     // small alphabet forces overlaps, shared prefixes/suffixes and

@@ -322,6 +322,32 @@ class StreamingSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("streaming decontamination: broadcast digest guard streams unchanged") {
+    // the benchmark side is batch (broadcast digests); the corpus side
+    // streams — the guard a pipeline runs on every incoming delivery
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-decon-stream").toFile
+    val docs = Tables(spark, sf("0.001")).documents.select("doc_id", "text")
+    val benchmark = docs.filter(col("doc_id") % 7 === 0)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = graft.operators.Dedup.decontaminate(streamed, benchmark)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tdecon").start()
+      q.processAllAvailable(); q.stop()
+      val s = spark.table("tdecon").collect().map(_.getLong(0)).sorted.toSeq
+      val b = graft.operators.Dedup.decontaminate(docs, benchmark)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(s == b && s.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("streaming blocklist + compression ratio: row-local kernels stream unchanged") {
     // the Aho–Corasick automaton and the Deflater kernel are row-local
     // references on the plan — the SAME operator definitions run on a
