@@ -100,6 +100,58 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
   /** Codegen entry: boxed array for GenericArrayData. */
   def matchedArray(text: UTF8String): GenericArrayData =
     new GenericArrayData(matchedIds(text).map(Int.box): Array[Any])
+
+  @transient private lazy val patLens: Array[Int] =
+    patterns.map(_.getBytes("UTF-8").length).toArray
+
+  /** Redact every blocklist occurrence in ONE pass: leftmost match
+    * wins, longest pattern on a shared start; non-overlapping
+    * selection left to right. Returns (redacted text, number of
+    * replacements). Byte-exact UTF-8 — a pattern match always spans
+    * complete characters, so splicing at its byte bounds is safe.
+    */
+  def redact(text: UTF8String, replacement: UTF8String): (UTF8String, Int) = {
+    val bytes = text.getBytes
+    // all occurrences as (start, end), then greedy leftmost-longest
+    val occ = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = delta(s)(bytes(i) & 0xff)
+      val o = outputs(s)
+      var j = 0
+      while (j < o.length) {
+        val len = patLens(o(j))
+        occ += ((i + 1 - len, i + 1))
+        j += 1
+      }
+      i += 1
+    }
+    if (occ.isEmpty) return (text, 0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lastEnd = 0
+    for ((st, en) <- occ.sortBy { case (st, en) => (st, -(en - st)) }) {
+      if (st >= lastEnd) { picked += ((st, en)); lastEnd = en }
+    }
+    val rep = replacement.getBytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var pos = 0
+    for ((st, en) <- picked) {
+      out.write(bytes, pos, st - pos)
+      out.write(rep, 0, rep.length)
+      pos = en
+    }
+    out.write(bytes, pos, bytes.length - pos)
+    (UTF8String.fromBytes(out.toByteArray), picked.size)
+  }
+
+  /** Codegen entry for [[redact]]: struct(redacted, n_redacted). */
+  def redactRow(text: UTF8String,
+      replacement: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (r, n) = redact(text, replacement)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r, n.toLong))
+  }
 }
 
 /** `multi_match(text)` for a fixed pattern list: distinct matched
@@ -117,6 +169,31 @@ case class MultiMatchExpr(child: Expression, ac: AhoCorasick)
     defineCodeGen(ctx, ev, c => s"$ref.matchedArray($c)")
   }
   override protected def withNewChildInternal(c: Expression): MultiMatchExpr =
+    copy(child = c)
+}
+
+/** `multi_redact(text)` for a fixed pattern list + replacement:
+  * struct(redacted string, n_redacted bigint) — one automaton pass
+  * replaces every non-overlapping blocklist occurrence
+  * (leftmost-longest selection, [[AhoCorasick.redact]]).
+  */
+case class MultiRedactExpr(child: Expression, ac: AhoCorasick,
+    replacement: String) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_redacted", LongType, nullable = false)))
+  override def prettyName: String = "multi_redact"
+  @transient private lazy val rep = UTF8String.fromString(replacement)
+  override def nullSafeEval(in: Any): Any =
+    ac.redactRow(in.asInstanceOf[UTF8String], rep)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac, classOf[AhoCorasick].getName)
+    val repRef = ctx.addReferenceObj("rep",
+      UTF8String.fromString(replacement), classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"$acRef.redactRow($c, $repRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): MultiRedactExpr =
     copy(child = c)
 }
 
@@ -183,6 +260,9 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
 object CurationFunctions {
   def multi_match(text: Column, ac: AhoCorasick): Column =
     ColumnBridge.column(MultiMatchExpr(ColumnBridge.expression(text), ac))
+  def multi_redact(text: Column, ac: AhoCorasick, replacement: String): Column =
+    ColumnBridge.column(
+      MultiRedactExpr(ColumnBridge.expression(text), ac, replacement))
   def bloom_might_contain(hash: Column, filter: BloomFilter): Column =
     ColumnBridge.column(
       BloomMightContainExpr(ColumnBridge.expression(hash), filter))

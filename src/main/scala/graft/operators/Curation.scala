@@ -26,6 +26,23 @@ object Curation {
       .filter(size(col("matched")) > 0)
   }
 
+  /** Blocklist REDACTION — the repair counterpart of
+    * [[blocklistMatches]]'s report: every non-overlapping blocklist
+    * occurrence is replaced in ONE automaton pass (leftmost match,
+    * longest pattern on a shared start). Output keeps every document
+    * with its redaction count; same broadcast-automaton, row-local,
+    * shuffle-free shape.
+    */
+  def blocklistRedact(docs: DataFrame, patterns: Seq[String],
+      replacement: String = "[BLOCKED]", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ac = new AhoCorasick(patterns)
+    docs.select(col(idCol),
+        CurationFunctions.multi_redact(col(textCol), ac, replacement).as("r"))
+      .select(col(idCol), col("r.redacted").as("redacted"),
+        col("r.n_redacted").as("n_redacted"))
+  }
+
   /** Bloom-filter decontamination — the [[Dedup.decontaminate]] scale
     * path for when the benchmark's exact digest set outgrows a
     * broadcast hash join (1B benchmark digests = 16+ GB exact vs

@@ -140,6 +140,51 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "est_jaccard")
   }
 
+  /** MinHash signature table (id, sig) — the PERSISTABLE form of the
+    * fuzzy-dedup index: compute once per corpus snapshot, store as
+    * parquet, and band-join each incoming delivery against it
+    * ([[minHashLshPairsAcross]]) without re-signing the corpus.
+    */
+  def minHashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3,
+      numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minHashSignature(shingles(tokensOf(col(textCol)), shingleSize),
+        numHashes).as("sig"))
+
+  /** Incremental fuzzy dedup: near-dup candidate pairs BETWEEN a new
+    * delivery and the existing corpus, over their signature tables —
+    * the per-delivery guard that keeps a continuously-ingested corpus
+    * deduplicated without ever re-pairing the corpus against itself.
+    * Same banding/verify discipline as [[minHashLshPairs]]; only band
+    * keys meet in the join, and the corpus side's signatures are the
+    * stored index. Returns (corpus_id, batch_id, est_jaccard).
+    */
+  def minHashLshPairsAcross(corpusSigs: DataFrame, batchSigs: DataFrame,
+      bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = 64
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame, idOut: String) =
+      sigs.select(col("id").as(idOut),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bkey")))
+    val cand = banded(corpusSigs, "corpus_id")
+      .join(banded(batchSigs, "batch_id"), Seq("band", "bkey"))
+      .select("corpus_id", "batch_id").distinct()
+    cand
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a")),
+        "corpus_id")
+      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_b")),
+        "batch_id")
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("corpus_id", "batch_id", "est_jaccard")
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array — pure row-local projection via the

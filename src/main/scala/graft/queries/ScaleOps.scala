@@ -620,6 +620,32 @@ object ScaleOps {
       Seq("l_returnflag", "l_linestatus"), saltBuckets = 8)
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Q102 incremental fuzzy dedup (rows-only — sketch): the q89-shaped
+    * delivery (every 7th doc lightly edited) band-joined against the
+    * CORPUS signature index — the per-delivery near-dup guard that
+    * never re-pairs the corpus with itself
+    * ([[Dedup.minHashLshPairsAcross]]). */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    Dedup.minHashLshPairsAcross(
+      Dedup.minHashSignatures(docs), Dedup.minHashSignatures(batch),
+      minEstJaccard = 0.5)
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** Q103 blocklist redaction (rows-only — leftmost-longest selection
+    * is the declared engine semantics): one automaton pass replaces
+    * every banned phrase, keeping the document and its count
+    * ([[graft.operators.Curation.blocklistRedact]]). */
+  def q103(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.blocklistRedact(Tables(s, d).documents,
+      Blocklist)
+      .filter(col("n_redacted") > 0)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -654,6 +680,7 @@ object ScaleOps {
     "q96_cross_contamination" -> q96, "q97_temperature_mix" -> q97,
     "q98_bigram_surprisal" -> q98, "q99_corpus_upsert" -> q99,
     "q100_ann_recall" -> q100, "q101_salted_agg" -> q101,
+    "q102_incremental_near_dedup" -> q102, "q103_blocklist_redact" -> q103,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive

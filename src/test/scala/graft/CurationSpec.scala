@@ -34,6 +34,74 @@ class CurationSpec extends SparkSuite {
       Seq(0))
   }
 
+  test("blocklistRedact: leftmost-longest single-pass replacement") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ac = new AhoCorasick(Seq("ab", "abc", "ca"))
+    def red(s: String) = {
+      val (r, n) = ac.redact(UTF8String.fromString(s),
+        UTF8String.fromString("[X]"))
+      (r.toString, n)
+    }
+    // longest pattern wins at a shared start; scan resumes after it
+    assert(red("abcab") == ("[X][X]", 2))
+    // overlap: leftmost occurrence wins, the overlapped "ca" is skipped
+    assert(red("xabcay") == ("x[X]ay", 1))
+    assert(red("zzz") == ("zzz", 0))
+    // operator plumbing over a frame
+    import spark.implicits._
+    val out = Curation.blocklistRedact(
+      Seq((1L, "keep abc here")).toDF("doc_id", "text"), Seq("abc"))
+      .collect().head
+    assert(out.getString(1) == "keep [BLOCKED] here" && out.getLong(2) == 1L)
+  }
+
+  test("blocklistRedact fuzz: matches a naive leftmost-longest scanner") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 300).foreach { _ =>
+      val pats = (0 until 1 + rnd.nextInt(4)).map(_ => randStr(1 + rnd.nextInt(3)))
+        .distinct
+      val text = randStr(rnd.nextInt(24))
+      val ac = new AhoCorasick(pats)
+      val (got, nGot) = ac.redact(UTF8String.fromString(text),
+        UTF8String.fromString("#"))
+      // naive reference: at each position take the longest matching
+      // pattern, else advance one char
+      val sb = new StringBuilder
+      var i = 0
+      var n = 0
+      while (i < text.length) {
+        val hit = pats.filter(p => text.startsWith(p, i))
+          .sortBy(-_.length).headOption
+        hit match {
+          case Some(p) => sb += '#'; i += p.length; n += 1
+          case None => sb += text(i); i += 1
+        }
+      }
+      assert(got.toString == sb.toString && nGot == n,
+        s"pats=$pats text='$text' got='$got' want='$sb'")
+    }
+  }
+
+  test("minHashLshPairsAcross: edited delivery pairs with its original") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val pairs = Dedup.minHashLshPairsAcross(
+      Dedup.minHashSignatures(corpus), Dedup.minHashSignatures(batch),
+      minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every edited doc must rediscover its own original at high estimate
+    val selfPairs = pairs.filter { case (c, b, _) => b - 1000000L == c }
+    assert(selfPairs.length == corpus.filter(col("doc_id") % 7 === 0).count())
+    assert(selfPairs.forall(_._3 >= 0.8), selfPairs.take(5).toSeq)
+  }
+
   test("blocklistMatches equals the per-pattern contains chain") {
     val pats = Seq("window window", "vector join", "slow join sort")
     val got = Curation.blocklistMatches(docs, pats)
