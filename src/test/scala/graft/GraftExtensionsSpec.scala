@@ -36,15 +36,17 @@ class GraftExtensionsSpec extends SparkSuite {
     registered
     val r = spark.sql(
       """SELECT ngrams(array('a','b','c'), 2) AS g,
+                ngrams_all(array('a','b','a','b'), 2) AS ga,
                 size(min_hash(array(1L, 2L, 3L), 8)) AS mh,
                 sim_hash(array(5L)) AS sh,
                 size(winnow(array(1L, 9L, 3L, 7L, 2L), 2)) AS wn
       """).collect().head
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
-    assert(r.getInt(1) == 8)
+    assert(r.getSeq[String](1) == Seq("a b", "b a", "a b"))
+    assert(r.getInt(2) == 8)
     // single-element simhash: every set bit wins its majority vote
-    assert(r.getLong(2) == 5L)
-    assert(r.getInt(3) >= 1)
+    assert(r.getLong(3) == 5L)
+    assert(r.getInt(4) >= 1)
   }
 
   test("token_tf callable from SQL") {
