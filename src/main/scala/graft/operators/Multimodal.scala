@@ -187,9 +187,14 @@ object Multimodal {
     var off = 12
     var channels = 0; var rate = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (off + 8 <= content.length) {
+    var ok = true
+    while (ok && off + 8 <= content.length) {
       val id = new String(content, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val len = le32(off + 4)
+      // adversarial-input discipline (same as the AVI walk): the chunk
+      // length is UNSIGNED 32-bit, and the word-aligned advance runs in
+      // Long space — a crafted length can otherwise stall the loop
+      // (advance 0) or overflow `off` negative and crash the task
+      val lenL = le32(off + 4) & 0xFFFFFFFFL
       if (id == "fmt " && off + 8 + 16 <= content.length) {
         val audioFormat = le16(off + 8)
         if (audioFormat != 1) return None // PCM only
@@ -198,9 +203,11 @@ object Multimodal {
         bits = le16(off + 22)
       } else if (id == "data") {
         dataOff = off + 8
-        dataLen = math.min(len, content.length - dataOff)
+        dataLen = math.min(lenL, (content.length - dataOff).toLong).toInt
       }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      val next = off.toLong + 8L + lenL + (lenL & 1L)
+      if (next <= off || next > Int.MaxValue) ok = false
+      else off = next.toInt
     }
     if (channels <= 0 || rate <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) return None
     val bytesPerSample = bits / 8

@@ -53,6 +53,21 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(rms > 0.0)
     // malformed bytes are rejected, and audioFeatures drops them
     assert(Multimodal.decodeWav("RIFFnope".getBytes).isEmpty)
+    // adversarial chunk lengths must terminate, not stall or crash:
+    // a length whose word-aligned advance is zero (0xFFFFFFF8 = -8 as
+    // a signed int) previously looped forever; a huge one overflowed
+    // the offset negative and threw
+    def evil(len: Long): Array[Byte] = {
+      val bytes = wav.clone()
+      // overwrite the first chunk header after "WAVE" with a bad length
+      bytes(16) = (len & 0xFF).toByte
+      bytes(17) = ((len >> 8) & 0xFF).toByte
+      bytes(18) = ((len >> 16) & 0xFF).toByte
+      bytes(19) = ((len >> 24) & 0xFF).toByte
+      bytes
+    }
+    assert(Multimodal.decodeWav(evil(0xFFFFFFF8L)).isEmpty)
+    assert(Multimodal.decodeWav(evil(0x7FFFFFFFL)).isEmpty)
     val mixed = Seq(
       Multimodal.MediaRow(0L, "audio/wav", wav, Map.empty),
       Multimodal.MediaRow(1L, "audio/wav", Array.fill[Byte](10)(1), Map.empty)).toDS()
