@@ -43,4 +43,35 @@ object Profiling {
       (c, longAt(i * 4), longAt(i * 4 + 1), strAt(i * 4 + 2), strAt(i * 4 + 3))
     }.toDF("column_name", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  /** Source-mixture drift between two corpus snapshots — the
+    * governance check that a refresh did not silently shift the
+    * training mixture: per source, token totals and shares in each
+    * snapshot plus the log share ratio (integer micronats, the q79
+    * rounding discipline, so the value hashes across engines; 0 for a
+    * source present in only one snapshot is encoded as null).
+    *
+    * Scale shape: each snapshot reduces to one #sources-row aggregate
+    * (map-side combined token sums); everything after is
+    * dashboard-sized.
+    */
+  def mixtureDrift(a: DataFrame, b: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def shares(df: DataFrame, n: String) = {
+      val t = df.groupBy(col(sourceCol).as("source"))
+        .agg(sum(size(filter(split(col(textCol), " "), x => x =!= "")))
+          .cast("long").as(s"toks_$n"))
+      t.crossJoin(broadcast(t.agg(sum(s"toks_$n").cast("double").as(s"tt_$n"))))
+        .select(col("source"), col(s"toks_$n"),
+          (col(s"toks_$n") / col(s"tt_$n")).as(s"share_$n"))
+    }
+    shares(a, "a").join(shares(b, "b"), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("toks_a"), lit(0L)).as("toks_a"),
+        coalesce(col("toks_b"), lit(0L)).as("toks_b"),
+        round(coalesce(col("share_a"), lit(0.0)), 4).as("share_a"),
+        round(coalesce(col("share_b"), lit(0.0)), 4).as("share_b"),
+        round(log(col("share_b") / col("share_a")) * lit(1e6))
+          .cast("long").as("drift_micronats"))
+  }
 }

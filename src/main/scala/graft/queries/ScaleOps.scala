@@ -646,6 +646,21 @@ object ScaleOps {
       .filter(col("n_redacted") > 0)
       .orderBy("doc_id")
 
+  /** Q104 mixture drift (oracled): per-source token share in the base
+    * corpus vs the q89-shaped v2 snapshot, with the log share ratio in
+    * integer micronats — the governance check that a refresh did not
+    * silently shift the training mixture
+    * ([[graft.operators.Profiling.mixtureDrift]]). */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select("doc_id", "source", "text")
+    val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.Profiling.mixtureDrift(docs, v2)
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -681,6 +696,7 @@ object ScaleOps {
     "q98_bigram_surprisal" -> q98, "q99_corpus_upsert" -> q99,
     "q100_ann_recall" -> q100, "q101_salted_agg" -> q101,
     "q102_incremental_near_dedup" -> q102, "q103_blocklist_redact" -> q103,
+    "q104_mixture_drift" -> q104,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1161,6 +1177,25 @@ object ScaleOps {
            FROM walk w JOIN c ON c.shard = w.shard AND c.rn = w.rn + 1)
          SELECT shard, seq_idx, seq_pos, doc_id, chunk_idx, n_tokens
          FROM walk ORDER BY shard, seq_idx, seq_pos""",
+    "q104_mixture_drift" ->
+      """WITH v2 AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 0),
+         sa AS (SELECT source,
+             CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> ''))) AS BIGINT) AS toks_a
+           FROM documents GROUP BY source),
+         sb AS (SELECT source,
+             CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> ''))) AS BIGINT) AS toks_b
+           FROM v2 GROUP BY source),
+         ta AS (SELECT CAST(SUM(toks_a) AS DOUBLE) AS tt_a FROM sa),
+         tb AS (SELECT CAST(SUM(toks_b) AS DOUBLE) AS tt_b FROM sb)
+         SELECT COALESCE(sa.source, sb.source) AS source,
+           COALESCE(toks_a, 0) AS toks_a, COALESCE(toks_b, 0) AS toks_b,
+           ROUND(COALESCE(toks_a / tt_a, 0.0e0), 4) AS share_a,
+           ROUND(COALESCE(toks_b / tt_b, 0.0e0), 4) AS share_b,
+           CAST(ROUND(LN((toks_b / tt_b) / (toks_a / tt_a)) * 1e6) AS BIGINT) AS drift_micronats
+         FROM sa FULL OUTER JOIN sb ON sa.source = sb.source, ta, tb
+         ORDER BY source""",
     "q101_salted_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
