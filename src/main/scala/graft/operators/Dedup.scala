@@ -113,18 +113,13 @@ object Dedup {
       idCol: String = "doc_id", shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minHashSignature(shingles(tokensOf(col(textCol)), shingleSize), numHashes).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
+    val sig = minHashSignatures(docs, textCol, idCol, shingleSize, numHashes)
     // Candidate pairs first (compact 16-byte rows through the band join
     // and the distinct), then the signatures join back ONCE per doc and
     // the 64-element comparison runs once per candidate pair — not once
     // per shared band, which for boilerplate-heavy corpora multiplies
     // the array work by the band count.
+    val banded = bandKeys(sig, "id", bands, numHashes)
     val a = banded.select(col("band"), col("bkey"), col("id").as("doc_id_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("doc_id_b"))
     val cand = a.join(b, Seq("band", "bkey"))
@@ -133,9 +128,8 @@ object Dedup {
     cand
       .join(sig.select(col("id").as("doc_id_a"), col("sig").as("sig_a")), "doc_id_a")
       .join(sig.select(col("id").as("doc_id_b"), col("sig").as("sig_b")), "doc_id_b")
-      .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)).cast("double") / numHashes, 4))
+      .withColumn("est_jaccard",
+        estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_id_a", "doc_id_b", "est_jaccard")
   }
@@ -160,27 +154,39 @@ object Dedup {
     * keys meet in the join, and the corpus side's signatures are the
     * stored index. Returns (corpus_id, batch_id, est_jaccard).
     */
-  def minHashLshPairsAcross(corpusSigs: DataFrame, batchSigs: DataFrame,
-      bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
-    val numHashes = 64
+  /** Band keys of a signature table — the shared LSH banding
+    * expression of [[minHashLshPairs]] and [[minHashLshPairsAcross]]
+    * (one definition so the self-pair and across-pair paths cannot
+    * diverge). */
+  private def bandKeys(sigs: DataFrame, idOut: String, bands: Int,
+      numHashes: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    def banded(sigs: DataFrame, idOut: String) =
-      sigs.select(col("id").as(idOut),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-          .as(Seq("band", "bkey")))
-    val cand = banded(corpusSigs, "corpus_id")
-      .join(banded(batchSigs, "batch_id"), Seq("band", "bkey"))
+    sigs.select(col("id").as(idOut),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** Signature-agreement estimate — the shared verify expression. */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    round(size(filter(zip_with(sigA, sigB, (x, y) => x === y), eq => eq))
+      .cast("double") / numHashes, 4)
+
+  def minHashLshPairsAcross(corpusSigs: DataFrame, batchSigs: DataFrame,
+      bands: Int = 16, numHashes: Int = 64,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val cand = bandKeys(corpusSigs, "corpus_id", bands, numHashes)
+      .join(bandKeys(batchSigs, "batch_id", bands, numHashes),
+        Seq("band", "bkey"))
       .select("corpus_id", "batch_id").distinct()
     cand
       .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a")),
         "corpus_id")
       .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_b")),
         "batch_id")
-      .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)).cast("double") / numHashes, 4))
+      .withColumn("est_jaccard",
+        estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("corpus_id", "batch_id", "est_jaccard")
   }

@@ -195,7 +195,10 @@ object Multimodal {
       // Long space — a crafted length can otherwise stall the loop
       // (advance 0) or overflow `off` negative and crash the task
       val lenL = le32(off + 4) & 0xFFFFFFFFL
-      if (id == "fmt " && off + 8 + 16 <= content.length) {
+      // the fmt fields are only read if the chunk DECLARES them: a
+      // short fmt chunk would otherwise read the next chunk's bytes
+      // as channels/rate/bits
+      if (id == "fmt " && lenL >= 16 && off + 8 + 16 <= content.length) {
         val audioFormat = le16(off + 8)
         if (audioFormat != 1) return None // PCM only
         channels = le16(off + 10)
@@ -205,8 +208,10 @@ object Multimodal {
         dataOff = off + 8
         dataLen = math.min(lenL, (content.length - dataOff).toLong).toInt
       }
+      // lenL >= 0 by the unsigned widening, so the advance is always
+      // positive — only the Int overflow needs an explicit stop
       val next = off.toLong + 8L + lenL + (lenL & 1L)
-      if (next <= off || next > Int.MaxValue) ok = false
+      if (next > Int.MaxValue) ok = false
       else off = next.toInt
     }
     if (channels <= 0 || rate <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) return None

@@ -59,7 +59,7 @@ object Profiling {
       sourceCol: String = "source"): DataFrame = {
     def shares(df: DataFrame, n: String) = {
       val t = df.groupBy(col(sourceCol).as("source"))
-        .agg(sum(size(filter(split(col(textCol), " "), x => x =!= "")))
+        .agg(sum(size(graft.operators.TextAnalysis.tokens(col(textCol))))
           .cast("long").as(s"toks_$n"))
       t.crossJoin(broadcast(t.agg(sum(s"toks_$n").cast("double").as(s"tt_$n"))))
         .select(col("source"), col(s"toks_$n"),
@@ -71,7 +71,11 @@ object Profiling {
         coalesce(col("toks_b"), lit(0L)).as("toks_b"),
         round(coalesce(col("share_a"), lit(0.0)), 4).as("share_a"),
         round(coalesce(col("share_b"), lit(0.0)), 4).as("share_b"),
-        round(log(col("share_b") / col("share_a")) * lit(1e6))
-          .cast("long").as("drift_micronats"))
+        // null drift when either side is absent or zero-token: log of
+        // 0 or of Inf is not a drift number, and the oracle's CASE
+        // guard mirrors exactly this
+        when(col("share_a") > 0.0 && col("share_b") > 0.0,
+          round(log(col("share_b") / col("share_a")) * lit(1e6))
+            .cast("long")).as("drift_micronats"))
   }
 }

@@ -1193,7 +1193,9 @@ object ScaleOps {
            COALESCE(toks_a, 0) AS toks_a, COALESCE(toks_b, 0) AS toks_b,
            ROUND(COALESCE(toks_a / tt_a, 0.0e0), 4) AS share_a,
            ROUND(COALESCE(toks_b / tt_b, 0.0e0), 4) AS share_b,
-           CAST(ROUND(LN((toks_b / tt_b) / (toks_a / tt_a)) * 1e6) AS BIGINT) AS drift_micronats
+           CASE WHEN COALESCE(toks_a, 0) > 0 AND COALESCE(toks_b, 0) > 0
+                THEN CAST(ROUND(LN((toks_b / tt_b) / (toks_a / tt_a)) * 1e6) AS BIGINT)
+                ELSE NULL END AS drift_micronats
          FROM sa FULL OUTER JOIN sb ON sa.source = sb.source, ta, tb
          ORDER BY source""",
     "q101_salted_agg" ->
