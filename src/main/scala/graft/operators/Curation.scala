@@ -63,6 +63,54 @@ object Curation {
       !CurationFunctions.bloom_might_contain(xxhash64(col(textCol)), bloom))
   }
 
+  /** The end-to-end curation funnel — the composition a training-data
+    * team actually ships, each stage applied to the SURVIVORS of the
+    * previous one (so quality percentile bounds and dedup pair
+    * generation see the stage's real input, exactly like a production
+    * run): blocklist → quality rules → exact dedup → near dedup →
+    * benchmark decontamination. Returns the funnel report
+    * (stage, docs_in, docs_out, dropped) — six counts total; each
+    * intermediate survivor set is persisted so no stage recomputes its
+    * predecessors, and [[finalSurvivors]] exposes the surviving corpus
+    * for export.
+    */
+  def curationFunnel(docs: DataFrame, benchmark: DataFrame,
+      patterns: Seq[String], textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val stages = curationStages(docs, benchmark, patterns, textCol, idCol)
+    val counts = stages.map { case (_, df) => df.count() }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    stages.map(_._1).zip(counts).sliding(2).map {
+      case Seq((_, in), (stage, out)) => (stage, in, out, in - out)
+    }.toSeq.toDF("stage", "docs_in", "docs_out", "dropped")
+  }
+
+  /** The funnel's surviving corpus (the last stage's frame). */
+  def finalSurvivors(docs: DataFrame, benchmark: DataFrame,
+      patterns: Seq[String], textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    curationStages(docs, benchmark, patterns, textCol, idCol).last._2
+
+  private def curationStages(docs: DataFrame, benchmark: DataFrame,
+      patterns: Seq[String], textCol: String,
+      idCol: String): Seq[(String, DataFrame)] = {
+    val s0 = docs
+    val s1 = s0.join(
+      blocklistMatches(s0, patterns, textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_anti").persist()
+    val s2 = s1.join(
+      graft.operators.TextAnalysis.curationDecisions(s1, textCol, idCol)
+        .filter(col("keep")).select(col(idCol)),
+      Seq(idCol), "left_semi").persist()
+    val s3 = Dedup.deduplicate(s2, textCol, idCol).persist()
+    val s4 = Dedup.nearDeduplicate(s3, textCol = textCol, idCol = idCol)
+      .persist()
+    val s5 = Dedup.decontaminate(s4, benchmark, textCol)
+    Seq("input" -> s0, "blocklist" -> s1, "quality" -> s2,
+      "exact_dedup" -> s3, "near_dedup" -> s4, "decontaminate" -> s5)
+  }
+
   /** Compression-ratio quality signal (deflate bytes / raw bytes) plus
     * the band verdict quality pipelines cut on: `repetitive` below
     * `lo` (templated/looped text), `junk` above `hi` (incompressible

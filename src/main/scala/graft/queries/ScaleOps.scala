@@ -661,6 +661,19 @@ object ScaleOps {
       .orderBy("source")
   }
 
+  /** Q105 curation funnel (rows-only — the report is six driver-side
+    * counts by design): the full shipping composition blocklist →
+    * quality → exact dedup → near dedup → decontamination, each stage
+    * over the previous stage's survivors
+    * ([[graft.operators.Curation.curationFunnel]]). */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    graft.operators.Curation.curationFunnel(docs,
+      benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+      patterns = Blocklist)
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -696,7 +709,7 @@ object ScaleOps {
     "q98_bigram_surprisal" -> q98, "q99_corpus_upsert" -> q99,
     "q100_ann_recall" -> q100, "q101_salted_agg" -> q101,
     "q102_incremental_near_dedup" -> q102, "q103_blocklist_redact" -> q103,
-    "q104_mixture_drift" -> q104,
+    "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive

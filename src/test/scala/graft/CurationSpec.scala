@@ -102,6 +102,30 @@ class CurationSpec extends SparkSuite {
     assert(selfPairs.forall(_._3 >= 0.8), selfPairs.take(5).toSeq)
   }
 
+  test("curationFunnel: monotone funnel; survivors pass every guard") {
+    val docs10 = Tables(spark, sf("0.01")).documents
+    val benchmark = docs10.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val pats = Seq("window window", "vector join")
+    val funnel = Curation.curationFunnel(docs10, benchmark, pats)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(funnel.map(_._1) ==
+      Seq("blocklist", "quality", "exact_dedup", "near_dedup", "decontaminate"))
+    // chained: each stage's input is the previous stage's output,
+    // counts never increase, nothing lost unaccounted
+    funnel.sliding(2).foreach { case Seq(a, b) => assert(a._3 == b._2) }
+    funnel.foreach { case (_, in, out, dropped) =>
+      assert(out <= in && dropped == in - out)
+    }
+    assert(funnel.count(_._4 > 0) >= 3, s"degenerate funnel: $funnel")
+    // the surviving corpus passes every individual guard re-run
+    val fin = Curation.finalSurvivors(docs10, benchmark, pats).persist()
+    assert(Curation.blocklistMatches(fin, pats).count() == 0L)
+    assert(Dedup.exactDupGroups(fin).count() == 0L)
+    assert(Dedup.decontaminate(fin, benchmark).count() == fin.count())
+    assert(fin.count() == funnel.last._3)
+  }
+
   test("blocklistMatches equals the per-pattern contains chain") {
     val pats = Seq("window window", "vector join", "slow join sort")
     val got = Curation.blocklistMatches(docs, pats)
