@@ -79,6 +79,10 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     val stages = curationStages(docs, benchmark, patterns, textCol, idCol)
     val counts = stages.map { case (_, df) => df.count() }
+    // the report is six local longs — release the stage caches rather
+    // than leaking four persisted frames per invocation (the returned
+    // frame has no lineage into them)
+    stages.foreach { case (_, df) => df.unpersist(); () }
     val spark = docs.sparkSession
     import spark.implicits._
     stages.map(_._1).zip(counts).sliding(2).map {
