@@ -81,8 +81,9 @@ object Curation {
     val counts = stages.map { case (_, df) => df.count() }
     // the report is six local longs — release the stage caches rather
     // than leaking four persisted frames per invocation (the returned
-    // frame has no lineage into them)
-    stages.foreach { case (_, df) => df.unpersist(); () }
+    // frame has no lineage into them). Skip stage 0: it is the caller's
+    // own frame, and unpersisting it would drop a cache the caller owns.
+    stages.drop(1).foreach { case (_, df) => df.unpersist(); () }
     val spark = docs.sparkSession
     import spark.implicits._
     stages.map(_._1).zip(counts).sliding(2).map {

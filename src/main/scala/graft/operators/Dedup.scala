@@ -375,6 +375,38 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[nearDeduplicate]] with a QUALITY-AWARE keeper: per near-dup
+    * cluster, keep the member with the highest `scoreCol` (ties → the
+    * smallest id) instead of the smallest id unconditionally — the rule
+    * production pipelines actually want once a quality signal exists
+    * (min-id throws away the best-written copy whenever it happens to
+    * carry a larger id). Same machinery: q35's df-pruned Jaccard edges,
+    * q53's hash-min components; the keeper election adds ONE narrow
+    * (id, score) join against the cluster-member table — ids and
+    * scores flow through the loop, the corpus text still joins exactly
+    * once, by id, at the final left-anti.
+    */
+  def nearDeduplicateBy(docs: DataFrame, scoreCol: String,
+      n: Int = 2, threshold: Double = 0.2, maxDocFreq: Long = 100L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val edges = ngramJaccardPairs(docs, textCol = textCol, idCol = idCol,
+      n = n, threshold = threshold, maxDocFreq = maxDocFreq)
+    // cluster members only (nodes that appear in some edge) — a small
+    // minority of the corpus; everything outside is implicitly a keeper
+    val members = connectedComponents(edges)
+      .join(docs.select(col(idCol).as("node"),
+        col(scoreCol).cast("double").as("__score")), Seq("node"))
+    // deterministic argmax: min_by over (-score, id) — highest score,
+    // then smallest id; the struct includes the id so ties cannot occur
+    val keepers = members.groupBy(col("comp"))
+      .agg(min_by(col("node"),
+        struct(negate(col("__score")), col("node"))).as("keeper"))
+    val losers = members.join(keepers, Seq("comp"))
+      .filter(col("node") =!= col("keeper"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: sign-LSH bucket join (Similarity.signLsh)

@@ -25,6 +25,20 @@ object Sampling {
     */
   def hashScore(id: Column): Column = (id * lit(2654435761L)) % lit(1000003L)
 
+  /** Fail fast on a non-integral id: a silent cast-to-null would make
+    * the hash-keyed selection drop every row and return an empty
+    * sample. */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"$op needs an integral id column; $idCol is $idType")
+  }
+
   /** k documents per group, selected by the deterministic [[hashScore]]
     * order (score asc, id asc) — a reproducible per-group random sample
     * (QA/eyeball sets, per-source eval carve-outs). One bounded
@@ -34,15 +48,7 @@ object Sampling {
     */
   def groupSample(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
-    // fail fast on a non-numeric id: a silent cast-to-null would make
-    // the bounded aggregate drop every row and return an empty sample
-    val idType = df.schema(idCol).dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(idType),
-      s"groupSample needs an integral id column; $idCol is $idType")
+    requireIntegralId(df, idCol, "groupSample")
     val scored = df.select(col(groupCol), col(idCol).cast("long").as("__id"),
       hashScore(col(idCol).cast("long")).cast("double").as("__s"))
     scored.groupBy(col(groupCol))
@@ -78,4 +84,114 @@ object Sampling {
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
         col("p.value").as("tok"), (-col("p.score")).cast("long").as("cnt"))
   }
+
+  /** Weighted sample WITHOUT replacement — k documents drawn with
+    * probability proportional to a weight column (tokens, chars, a
+    * quality score): the "sample tokens, not documents" draw behind
+    * representative QA sets and weighted eval carve-outs. The
+    * Efraimidis–Spirakis exponential-key order: each row gets
+    * `key = -ln(u) / w` for a uniform `u` and weight `w`, and the k
+    * SMALLEST keys are exactly a weighted draw without replacement.
+    * `u` is the deterministic [[hashScore]] uniform (content- and
+    * layout-independent, so the draw never re-rolls across runs,
+    * engines, or cluster layouts) shifted to (0,1) — `ln(0)` cannot
+    * occur; the key is rounded to integer micronats once (the q79
+    * discipline) so the declared query hashes across engines, with id
+    * as the total-order tie-break. Non-positive weights clamp to 1.
+    *
+    * Scale shape: one narrow scan, then `TakeOrderedAndProject` — each
+    * partition surrenders at most k rows; no full sort, no window, and
+    * the corpus never shuffles.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, idCol: String,
+      k: Int): DataFrame = {
+    requireIntegralId(df, idCol, "weightedSample")
+    val u = (hashScore(col(idCol).cast("long")).cast("double") + lit(0.5)) /
+      lit(1000003.0)
+    val key = round(-log(u) /
+        greatest(col(weightCol).cast("double"), lit(1.0)) * lit(1e6))
+      .cast("long")
+    df.withColumn("key_m", key)
+      .orderBy(col("key_m"), col(idCol))
+      .limit(k)
+  }
+
+  /** Approximate heavy hitters — [[heavyHitters]]'s 100 TB path for
+    * when the distinct (group, token) count table itself outgrows its
+    * exchange (a web-scale corpus carries billions of distinct tokens;
+    * the exact form shuffles every one of them once). Per-partition
+    * frequent-items summaries (Spark's `approx_top_k`, a Misra–Gries
+    * sketch capped at `maxTracked` counters) merge map-side, so the
+    * only exchange is O(groups × maxTracked) sketch entries however
+    * large the vocabulary. Counts are EXACT while a group's vocabulary
+    * fits inside `maxTracked` — the regime the shared q91 oracle
+    * checks — and carry the standard n/maxTracked over-count bound
+    * beyond it. The sketch's own output order is not contractual, so
+    * the final top-k re-ranks with the bounded (count desc, token asc)
+    * aggregate over the DASHBOARD-sized estimate rows (≤ sketchK per
+    * group), never the corpus.
+    *
+    * Output: (group, rank 1-based, tok, cnt) rows — [[heavyHitters]]'s
+    * exact shape.
+    */
+  def approxHeavyHitters(df: DataFrame, groupCol: String, textCol: String,
+      k: Int, sketchK: Int = 64, maxTracked: Int = 4096): DataFrame = {
+    require(k <= sketchK, s"k=$k must not exceed sketchK=$sketchK")
+    val toks = df.select(col(groupCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val est = toks.groupBy(col(groupCol))
+      .agg(expr(s"approx_top_k(tok, $sketchK, $maxTracked)").as("top"))
+      .select(col(groupCol), explode(col("top")).as("p"))
+      .select(col(groupCol), col("p.item").as("tok"),
+        col("p.count").as("cnt"))
+    rerank(est, groupCol, k)
+  }
+
+  /** Incremental heavy-hitters index, accumulate half: summarize a
+    * corpus snapshot (or one delivery) into a per-group mergeable
+    * sketch STATE — the q102 persisted-index discipline applied to the
+    * vocabulary dashboard. The state is a plain struct (parquet-
+    * persistable); [[heavyHittersCombine]] folds a delivery's states
+    * into the stored ones without rescanning the corpus, and
+    * [[heavyHittersEstimate]] serves the dashboard from state alone.
+    */
+  def heavyHittersAccumulate(df: DataFrame, groupCol: String,
+      textCol: String, maxTracked: Int = 4096): DataFrame =
+    df.select(col(groupCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"approx_top_k_accumulate(tok, $maxTracked)").as("state"))
+
+  /** Incremental heavy-hitters index, combine half: fold any number of
+    * per-group states (stored index + new deliveries, unioned) into
+    * one state per group. Sketch-sized rows in, sketch-sized rows out.
+    */
+  def heavyHittersCombine(states: DataFrame, groupCol: String,
+      maxTracked: Int = 4096): DataFrame =
+    states.groupBy(col(groupCol))
+      .agg(expr(s"approx_top_k_combine(state, $maxTracked)").as("state"))
+
+  /** Incremental heavy-hitters index, serve half: the (group, rn, tok,
+    * cnt) dashboard from sketch state alone — no corpus scan. */
+  def heavyHittersEstimate(states: DataFrame, groupCol: String, k: Int,
+      sketchK: Int = 64): DataFrame = {
+    require(k <= sketchK, s"k=$k must not exceed sketchK=$sketchK")
+    val est = states
+      .select(col(groupCol),
+        explode(expr(s"approx_top_k_estimate(state, $sketchK)")).as("p"))
+      .select(col(groupCol), col("p.item").as("tok"),
+        col("p.count").as("cnt"))
+    rerank(est, groupCol, k)
+  }
+
+  /** Deterministic (count desc, token asc) top-k over sketch-estimate
+    * rows via the bounded aggregate — the input is dashboard-sized
+    * (≤ sketchK rows per group), so this never touches the corpus. */
+  private def rerank(est: DataFrame, groupCol: String, k: Int): DataFrame =
+    est.groupBy(col(groupCol))
+      .agg(BoundedAgg.collect_min_k_by_str(
+        -col("cnt").cast("double"), col("tok"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
+        col("p.value").as("tok"), (-col("p.score")).cast("long").as("cnt"))
 }

@@ -674,6 +674,44 @@ object ScaleOps {
       .orderBy("stage")
   }
 
+  /** Q91b approximate heavy hitters (oracled in its exact regime):
+    * the q91 dashboard on the sketch path — per-partition Misra–Gries
+    * summaries (`approx_top_k`) merge map-side, so the exchange is
+    * O(sources × maxTracked) sketch entries however large the
+    * vocabulary, where q91's exact form shuffles every distinct
+    * (source, token) once. Counts are exact while a source's
+    * vocabulary fits the 4096-counter budget (this corpus: 31 — the
+    * declared oracle regime, shared with q91); beyond it they carry
+    * the n/maxTracked over-count bound
+    * ([[graft.operators.Sampling.approxHeavyHitters]]). */
+  def q91b(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.approxHeavyHitters(
+      Tables(s, d).documents, groupCol = "source", textCol = "text", k = 5)
+      .orderBy("source", "rn")
+
+  /** Q106 weighted corpus sample (oracled): 50 documents drawn without
+    * replacement with probability ∝ length — the Efraimidis–Spirakis
+    * exponential-key draw behind token-representative QA sets, with
+    * the deterministic hash uniform and micronat-rounded keys so the
+    * draw reproduces across engines
+    * ([[graft.operators.Sampling.weightedSample]]). */
+  def q106(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      Tables(s, d).documents.select("doc_id", "source", "n_chars"),
+      weightCol = "n_chars", idCol = "doc_id", k = 50)
+
+  /** Q107 quality-keeper near-dedup (oracled): q95 with the keeper
+    * elected by quality instead of min id — per near-dup cluster keep
+    * the LONGEST member (score = n_chars, ties → smallest id), the
+    * rule production pipelines switch to once a quality signal exists
+    * ([[Dedup.nearDeduplicateBy]]; ids and scores in the loop, corpus
+    * joins once). */
+  def q107(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDeduplicateBy(Tables(s, d).documents, scoreCol = "n_chars",
+      n = 2, threshold = 0.2, maxDocFreq = 100L)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -710,6 +748,8 @@ object ScaleOps {
     "q100_ann_recall" -> q100, "q101_salted_agg" -> q101,
     "q102_incremental_near_dedup" -> q102, "q103_blocklist_redact" -> q103,
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
+    "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
+    "q107_quality_keeper_dedup" -> q107,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -769,6 +809,21 @@ object ScaleOps {
               WHEN ROUND(stop_ratio, 4) < 0.01 THEN 'low_stopword'
               ELSE 'ok' END AS reason
          FROM s, b)"""
+
+  /** Shared by q91 (exact) and q91b (sketch, exact in this vocabulary
+    * regime): top-5 most frequent tokens per source. */
+  private val HeavyHittersOracle =
+    """WITH toks AS (
+         SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+           t -> t <> '')) AS tok FROM documents),
+       counts AS (SELECT source, tok, COUNT(*) AS cnt FROM toks
+         GROUP BY source, tok)
+       SELECT source, rn, tok, cnt FROM (
+         SELECT source, tok, cnt,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY cnt DESC, tok) AS rn
+         FROM counts)
+       WHERE rn <= 5 ORDER BY source, rn"""
 
   val oracleSql: Map[String, String] = Map(
     "q31_dedup_exact" ->
@@ -979,6 +1034,19 @@ object ScaleOps {
          comp AS (SELECT n AS node, MIN(m) AS component FROM reach GROUP BY n)
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         ORDER BY doc_id"""),
+    "q107_quality_keeper_dedup" -> (ComponentsOracleCte + """,
+         comp AS (SELECT n AS node, MIN(m) AS component FROM reach GROUP BY n),
+         sc AS (SELECT comp.node, comp.component, d.n_chars
+                FROM comp JOIN documents d ON comp.node = d.doc_id),
+         keep AS (SELECT component, node FROM (
+             SELECT component, node,
+               ROW_NUMBER() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, node) AS rn FROM sc)
+           WHERE rn = 1)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (
+           SELECT node FROM sc WHERE node NOT IN (SELECT node FROM keep))
          ORDER BY doc_id"""),
     "q74_span_removal" ->
       """WITH t AS (SELECT doc_id,
@@ -1252,18 +1320,18 @@ object ScaleOps {
                ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY source, rn""",
-    "q91_heavy_hitters" ->
-      """WITH toks AS (
-           SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
-             t -> t <> '')) AS tok FROM documents),
-         counts AS (SELECT source, tok, COUNT(*) AS cnt FROM toks
-           GROUP BY source, tok)
-         SELECT source, rn, tok, cnt FROM (
-           SELECT source, tok, cnt,
-             ROW_NUMBER() OVER (PARTITION BY source
-               ORDER BY cnt DESC, tok) AS rn
-           FROM counts)
-         WHERE rn <= 5 ORDER BY source, rn""",
+    "q91_heavy_hitters" -> HeavyHittersOracle,
+    // q91b is exact while per-source vocabulary fits the sketch budget
+    // (31 tokens vs 4096 counters here) — same declared result as q91
+    "q91b_heavy_hitters_approx" -> HeavyHittersOracle,
+    "q106_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, source, n_chars,
+           CAST(ROUND(-LN((CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) + 0.5e0)
+               / 1000003.0e0)
+             / GREATEST(CAST(n_chars AS DOUBLE), 1.0e0) * 1e6) AS BIGINT) AS key_m
+           FROM documents)
+         SELECT doc_id, source, n_chars, key_m FROM s
+         ORDER BY key_m, doc_id LIMIT 50""",
     "q92_blocklist" -> {
       val flags = Blocklist.zipWithIndex.map { case (p, i) =>
         s"CAST(CASE WHEN POSITION('$p' IN text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS m$i"

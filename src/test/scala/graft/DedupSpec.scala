@@ -405,6 +405,46 @@ class DedupSpec extends SparkSuite {
     assert(keepers.subsetOf(kept))
   }
 
+  test("nearDeduplicateBy: elects the highest-score member per cluster") {
+    // one near-dup cluster where the BEST (longest) copy carries the
+    // LARGEST id — min-id keeps doc 1, the quality keeper must keep 3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", 22L),
+      (2L, "alpha beta gamma delta epsilon", 30L),
+      (3L, "alpha beta gamma delta epsilon zeta", 36L),
+      (9L, "completely unrelated content here", 33L))
+      .toDF("doc_id", "text", "n_chars")
+    val byQuality = Dedup.nearDeduplicateBy(docs, "n_chars",
+        threshold = 0.1, maxDocFreq = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byQuality == Set(3L, 9L), s"got $byQuality")
+    val byMinId = Dedup.nearDeduplicate(docs, threshold = 0.1,
+        maxDocFreq = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byMinId == Set(1L, 9L), s"got $byMinId")
+    // identical clustering, one keeper each — survivor COUNT matches
+    assert(byQuality.size == byMinId.size)
+  }
+
+  test("nearDeduplicateBy on the corpus: same clusters as min-id, " +
+      "keeper maximizes score") {
+    val docs = Tables(spark, sf("0.001")).documents
+    val keptBy = Dedup.nearDeduplicateBy(docs, "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val comps = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2,
+          maxDocFreq = 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantKeepers = comps.groupBy(_._2).values.map { members =>
+      members.map(_._1).minBy(n => (-chars(n), n))
+    }.toSet
+    val losers = comps.map(_._1).toSet -- wantKeepers
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBy == all -- losers && losers.nonEmpty)
+  }
+
   test("upsert: kept/updated/inserted partition the merged corpus; base never shuffles") {
     val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
     val batch = Seq((2L, "two v2"), (9L, "nine")).toDF("doc_id", "text")

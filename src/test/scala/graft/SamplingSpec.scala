@@ -70,6 +70,99 @@ class SamplingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("approxHeavyHitters equals the exact form while vocab fits the sketch") {
+    val got = Sampling.approxHeavyHitters(docs, "source", "text", 5)
+      .orderBy("source", "rn")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val want = Sampling.heavyHitters(docs, "source", "text", 5)
+      .orderBy("source", "rn")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("heavy-hitters sketch lifecycle: accumulate + combine + estimate; " +
+      "state survives parquet") {
+    // two "deliveries" (doc_id parity) summarized independently, folded,
+    // then served from state alone — must equal the one-shot sketch
+    val a = Sampling.heavyHittersAccumulate(
+      docs.filter(col("doc_id") % 2 === 0), "source", "text")
+    val b = Sampling.heavyHittersAccumulate(
+      docs.filter(col("doc_id") % 2 === 1), "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh").toFile
+    try {
+      // the stored-index half: state persists and reloads as plain rows
+      a.write.mode("overwrite").parquet(new java.io.File(dir, "idx").toString)
+      val stored = spark.read.parquet(new java.io.File(dir, "idx").toString)
+      val combined = Sampling.heavyHittersCombine(
+        stored.unionByName(b), "source")
+      val got = Sampling.heavyHittersEstimate(combined, "source", 5)
+        .orderBy("source", "rn")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val want = Sampling.approxHeavyHitters(docs, "source", "text", 5)
+        .orderBy("source", "rn")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == want && got.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("weightedSample: parity with the full-sort form, bias, determinism") {
+    val base = Tables(spark, sf("0.01")).documents
+      .select("doc_id", "source", "n_chars")
+    val got = Sampling.weightedSample(base, "n_chars", "doc_id", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // independent formulation: full sort over explicitly-computed keys
+    val u = (Sampling.hashScore(col("doc_id")).cast("double") + lit(0.5)) /
+      lit(1000003.0)
+    val want = base
+      .withColumn("key_m",
+        round(-log(u) / greatest(col("n_chars").cast("double"), lit(1.0))
+          * lit(1e6)).cast("long"))
+      .orderBy("key_m", "doc_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == want && got.size == 50)
+    // heavier documents are overrepresented: the length-weighted draw's
+    // mean length must exceed the corpus mean
+    val sampleMean = base.join(
+        Sampling.weightedSample(base, "n_chars", "doc_id", 50)
+          .select("doc_id"), Seq("doc_id"))
+      .agg(avg("n_chars")).head.getDouble(0)
+    val corpusMean = base.agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted draw not length-biased: $sampleMean <= $corpusMean")
+    // layout-independent: a different partitioning draws the same set
+    val re = Sampling.weightedSample(base.repartition(17), "n_chars",
+      "doc_id", 50).collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(re == got)
+  }
+
+  test("weightedSample plans TakeOrdered, never a global sort") {
+    val p = SparkEntry.queries("q106_weighted_sample")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q106 expected TakeOrderedAndProject in:\n$p")
+    assert(!p.contains("Sort ["), s"q106 must not plan a global sort:\n$p")
+  }
+
+  test("q91b plan: sketches merge map-side; no corpus-wide window") {
+    val p = SparkEntry.queries("q91b_heavy_hitters_approx")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("approx_top_k"), s"q91b expected the sketch agg in:\n$p")
+    assert(p.contains("partial_"),
+      s"q91b expected map-side partial sketches in:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"q91b must not plan a window rank pass:\n$p")
+  }
+
   test("q90/q91 plans use the bounded aggregate, never a window sort") {
     for (name <- Seq("q90_group_sample", "q91_heavy_hitters")) {
       val p = SparkEntry.queries(name)(spark, sf("0.001"))
