@@ -44,6 +44,38 @@ object Profiling {
     }.toDF("column_name", "n_nulls", "n_distinct", "min_value", "max_value")
   }
 
+  /** Key-skew diagnostic — the pre-join/pre-aggregation check that
+    * finds hot keys BEFORE they melt an executor at 100 TB (and sizes
+    * the mitigation: `skew` is how many fair shares of the table the
+    * key holds, i.e. the salt factor a q101-style salted aggregation
+    * or an AQE skew-join split needs). Reports the k hottest keys with
+    * count, share of all rows, and skew factor = count / (rows /
+    * distinct keys).
+    *
+    * Scale shape: per-key counts are ONE map-side-combined aggregate;
+    * the totals (rows + distinct keys) are one tiny aggregate over the
+    * counts frame — the corpus is scanned once and never rescanned;
+    * the hottest-k selection is the bounded string-payload top-k
+    * (partial buffers truncate to k map-side), so no window and no
+    * sort anywhere. Keys render as strings so any key type profiles.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").cast("double").as("total"),
+      count(lit(1)).cast("double").as("nkeys"))
+    counts.agg(graft.functions.BoundedAgg.collect_min_k_by_str(
+        -col("cnt").cast("double"), col("key"), k).as("top"))
+      .crossJoin(broadcast(totals))
+      .select(posexplode(col("top")).as(Seq("pos", "p")),
+        col("total"), col("nkeys"))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("p.value").as("key"),
+        (-col("p.score")).cast("long").as("cnt"),
+        round(-col("p.score") / col("total"), 4).as("share"),
+        round(-col("p.score") * col("nkeys") / col("total"), 4).as("skew"))
+  }
+
   /** Source-mixture drift between two corpus snapshots — the
     * governance check that a refresh did not silently shift the
     * training mixture: per source, token totals and shares in each

@@ -712,6 +712,16 @@ object ScaleOps {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Q108 key-skew report (oracled): the 20 hottest event users with
+    * row share and skew factor (fair shares held = the salt factor a
+    * mitigation needs) — the diagnostic a pipeline runs BEFORE joining
+    * or aggregating a 100 TB table on a suspect key
+    * ([[graft.operators.Profiling.skewReport]]; one corpus scan, one
+    * counts-frame aggregate, bounded top-k, no window). */
+  def q108(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiling.skewReport(Tables(s, d).events,
+      keyCol = "user_id", k = 20)
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -749,7 +759,7 @@ object ScaleOps {
     "q102_incremental_near_dedup" -> q102, "q103_blocklist_redact" -> q103,
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
-    "q107_quality_keeper_dedup" -> q107,
+    "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1324,6 +1334,16 @@ object ScaleOps {
     // q91b is exact while per-source vocabulary fits the sketch budget
     // (31 tokens vs 4096 counters here) — same declared result as q91
     "q91b_heavy_hitters_approx" -> HeavyHittersOracle,
+    "q108_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                      CAST(COUNT(*) AS DOUBLE) AS nkeys FROM c),
+         r AS (SELECT key, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank FROM c)
+         SELECT rank, key, cnt, ROUND(cnt / total, 4) AS share,
+           ROUND(cnt * nkeys / total, 4) AS skew
+         FROM r, t WHERE rank <= 20 ORDER BY rank""",
     "q106_weighted_sample" ->
       """WITH s AS (SELECT doc_id, source, n_chars,
            CAST(ROUND(-LN((CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) + 0.5e0)

@@ -782,6 +782,23 @@ class DedupSpec extends SparkSuite {
     assert(only.map(_.getString(0)).toSeq == Seq("s"))
   }
 
+  test("skewReport: hot keys ranked with share and fair-share factor") {
+    import graft.operators.Profiling
+    // 10 rows over 4 keys → mean 2.5 rows/key; "a" holds 6 = 2.4 shares
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val got = Profiling.skewReport(df, "k", k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, "a", 6L, 0.6, 2.4), (2L, "b", 2L, 0.2, 0.8),
+      (3L, "c", 1L, 0.1, 0.4)), s"got $got")
+    // bounded top-k, never a window rank over the counts
+    val p = Profiling.skewReport(df, "k", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("collect_min_k"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("classifierScores: learns the seed rule's source signal, deterministic") {
     val docs = Tables(spark, sf("0.001")).documents
     val scored = TextAnalysis.classifierScores(docs,
