@@ -179,6 +179,67 @@ object StreamOps {
     }
   }
 
+  /** Streaming heavy-hitters index maintenance — the
+    * [[graft.operators.Sampling]] accumulate/combine/estimate sketch
+    * lifecycle mapped onto micro-batches: each batch is summarized into
+    * per-group frequent-items deltas, folded into the stored state, and
+    * the state table advanced as a new batchId-versioned directory
+    * (committed = `_SUCCESS` present; superseded versions retire only
+    * after the new one commits; a replayed batch whose id already
+    * committed is skipped, so foreachBatch's at-least-once retries
+    * cannot double-count). State stays O(groups × maxTracked) rows
+    * however much text streams through; the dashboard is served from
+    * state alone ([[heavyHittersIndexState]] →
+    * `Sampling.heavyHittersEstimate`), never from stream history.
+    */
+  def streamingHeavyHittersIndex(docs: DataFrame, stateDir: String,
+      groupCol: String = "source", textCol: String = "text",
+      maxTracked: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestState(spark, stateDir)
+        if (!prev.exists(_._1 >= batchId)) {
+          val delta = graft.operators.Sampling.heavyHittersAccumulate(
+            batch.toDF(), groupCol, textCol, maxTracked)
+          val all = prev.map(p => spark.read.parquet(p._2).unionByName(delta))
+            .getOrElse(delta)
+          graft.operators.Sampling
+            .heavyHittersCombine(all, groupCol, maxTracked)
+            .write.mode("overwrite").parquet(s"$stateDir/state-$batchId")
+          val dir = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+          prev.foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p._2), true))
+        }
+        ()
+      }
+      .start()
+
+  /** Latest committed state table written by
+    * [[streamingHeavyHittersIndex]] — feed it to
+    * `Sampling.heavyHittersEstimate` (or keep folding deliveries in
+    * with `heavyHittersCombine`). */
+  def heavyHittersIndexState(spark: SparkSession, stateDir: String): DataFrame =
+    latestState(spark, stateDir).map(p => spark.read.parquet(p._2))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed heavy-hitters state under $stateDir"))
+
+  /** Newest `state-<batchId>` directory carrying a `_SUCCESS` marker. */
+  private def latestState(spark: SparkSession,
+      stateDir: String): Option[(Long, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("state-\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(s => (s.getPath.getName.stripPrefix("state-").toLong,
+        s.getPath.toString))
+      .sortBy(_._1).lastOption
+  }
+
   /** Stream-stream correlation join: every `typeB` event joined to the
     * `typeA` events of the same user that precede it within `within` —
     * the attribution/conversion-funnel shape (view → purchase). Defined

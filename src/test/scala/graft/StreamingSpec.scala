@@ -322,6 +322,40 @@ class StreamingSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("streaming heavy-hitters index: per-batch sketch folds equal the " +
+      "batch sketch; one committed state version remains") {
+    val dir = Files.createTempDirectory("graft-hh-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-hh-state").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "source", "text")
+    (0 until 3).foreach { c =>
+      docs.filter(col("doc_id") % 3 === c).coalesce(1)
+        .write.mode("append").parquet(dir.getPath)
+      Thread.sleep(1100)
+    }
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getPath)
+      val q = StreamOps.streamingHeavyHittersIndex(streamed,
+        stateDir.getPath, groupCol = "source", textCol = "text")
+      q.processAllAvailable(); q.stop()
+      val got = graft.operators.Sampling.heavyHittersEstimate(
+          StreamOps.heavyHittersIndexState(spark, stateDir.getPath),
+          "source", 5)
+        .orderBy("source", "rn").collect().map(_.toString).toSeq
+      val want = graft.operators.Sampling.approxHeavyHitters(
+          docs, "source", "text", 5)
+        .orderBy("source", "rn").collect().map(_.toString).toSeq
+      assert(got == want && got.nonEmpty)
+      // superseded versions retired: exactly one committed state dir
+      val versions = stateDir.listFiles.filter(_.getName.startsWith("state-"))
+      assert(versions.length == 1, versions.mkString(", "))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
   test("streaming decontamination: broadcast digest guard streams unchanged") {
     // the benchmark side is batch (broadcast digests); the corpus side
     // streams — the guard a pipeline runs on every incoming delivery
