@@ -76,6 +76,53 @@ object Profiling {
         round(-col("p.score") * col("nkeys") / col("total"), 4).as("skew"))
   }
 
+  /** Per-group distinct-vocabulary sketch — the HLL state half of an
+    * incremental distinct-count index (Spark's DataSketches
+    * `hll_sketch_agg`): summarize a snapshot or delivery ONCE into one
+    * binary sketch row per group, persist as parquet, and keep folding
+    * deliveries in with [[vocabCombine]] — distinct-token tracking
+    * across snapshots without ever rescanning the corpus. Sketches are
+    * exact in HLL's sparse regime (small vocabularies) and ±~2%
+    * beyond.
+    */
+  def vocabSketch(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(expr("hll_sketch_agg(tok)").as("state"))
+
+  /** Fold any number of per-group vocabulary sketches (stored index +
+    * new deliveries, unioned) into one state row per group. */
+  def vocabCombine(states: DataFrame, groupCol: String = "source"): DataFrame =
+    states.groupBy(col(groupCol))
+      .agg(expr("hll_union_agg(state)").as("state"))
+
+  /** Vocabulary growth a delivery introduces per group — the drift /
+    * anomaly signal that catches a broken scraper or an injected
+    * corpus as a vocabulary explosion: distinct-token estimate before
+    * (the stored index), after (index ∪ delivery), and the newly-added
+    * difference. Everything is sketch-sized after the delivery's one
+    * summarization pass; groups absent from either side report 0.
+    */
+  def vocabGrowth(baseState: DataFrame, delivery: DataFrame,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val before = baseState
+      .select(col(groupCol),
+        expr("hll_sketch_estimate(state)").as("vocab_before"))
+    val after = vocabCombine(
+        baseState.unionByName(vocabSketch(delivery, groupCol, textCol)),
+        groupCol)
+      .select(col(groupCol),
+        expr("hll_sketch_estimate(state)").as("vocab_after"))
+    before.join(after, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("vocab_before"), lit(0L)).as("vocab_before"),
+        coalesce(col("vocab_after"), lit(0L)).as("vocab_after"),
+        (coalesce(col("vocab_after"), lit(0L)) -
+          coalesce(col("vocab_before"), lit(0L))).as("vocab_new"))
+  }
+
   /** Source-mixture drift between two corpus snapshots — the
     * governance check that a refresh did not silently shift the
     * training mixture: per source, token totals and shares in each

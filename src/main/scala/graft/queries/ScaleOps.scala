@@ -722,6 +722,22 @@ object ScaleOps {
     graft.operators.Profiling.skewReport(Tables(s, d).events,
       keyCol = "user_id", k = 20)
 
+  /** Q109 vocabulary growth (rows-only — HLL estimates by design,
+    * spec'd exact-in-sparse-regime vs true distincts): per-source
+    * distinct-token count before a delivery, after folding it into the
+    * stored HLL index, and the newly-added difference — the
+    * drift/anomaly signal that catches a broken scraper as a
+    * vocabulary explosion without rescanning the corpus
+    * ([[graft.operators.Profiling.vocabGrowth]]). */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    graft.operators.Profiling.vocabGrowth(
+      graft.operators.Profiling.vocabSketch(
+        docs.filter(col("doc_id") % 2 === 0)),
+      docs.filter(col("doc_id") % 2 === 1))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -760,6 +776,7 @@ object ScaleOps {
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
     "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,
+    "q109_vocab_growth" -> q109,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive

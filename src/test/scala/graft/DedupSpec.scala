@@ -799,6 +799,41 @@ class DedupSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("vocabGrowth: sparse-regime HLL equals exact distincts; " +
+      "state survives parquet") {
+    import graft.operators.Profiling
+    val docs = Tables(spark, sf("0.001")).documents
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delivery = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab").toFile
+    try {
+      Profiling.vocabSketch(base).write.mode("overwrite")
+        .parquet(new java.io.File(dir, "idx").toString)
+      val stored = spark.read.parquet(new java.io.File(dir, "idx").toString)
+      val got = Profiling.vocabGrowth(stored, delivery).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // 31-token vocabularies sit deep inside HLL's exact sparse
+      // regime — the estimates must equal the true distinct counts
+      def exact(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("source").agg(countDistinct("tok").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val eb = exact(base)
+      val ea = exact(docs)
+      assert(got.nonEmpty)
+      got.foreach { case (src, (before, after, grew)) =>
+        // a source can be entirely absent from the base half — the
+        // growth report shows it appearing with before = 0
+        assert(before == eb.getOrElse(src, 0L),
+          s"$src before $before != ${eb.getOrElse(src, 0L)}")
+        assert(after == ea(src), s"$src after $after != ${ea(src)}")
+        assert(grew == after - before)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("classifierScores: learns the seed rule's source signal, deterministic") {
     val docs = Tables(spark, sf("0.001")).documents
     val scored = TextAnalysis.classifierScores(docs,
