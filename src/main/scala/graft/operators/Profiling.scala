@@ -123,6 +123,49 @@ object Profiling {
           coalesce(col("vocab_before"), lit(0L))).as("vocab_new"))
   }
 
+  /** Incremental quantile statistics (Spark's DataSketches KLL
+    * built-ins) — corpus distribution stats maintained as a persisted
+    * MERGEABLE sketch instead of recomputed with a corpus-wide
+    * percentile pass per refresh: sketch each delivery once into one
+    * binary row, fold into the stored state with [[quantileCombine]],
+    * and read any quantile from state alone ([[quantilesFromSketch]],
+    * [[lengthBandFilterFromSketch]]). Rank error ~1.65% at the
+    * default sketch size — a band boundary moves by at most that rank
+    * error vs the exact two-pass bounds.
+    */
+  def quantileSketch(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(expr(s"kll_sketch_agg_bigint(CAST(`$valueCol` AS BIGINT))")
+      .as("state"))
+
+  /** Fold any number of quantile-sketch states (stored + deliveries,
+    * unioned) into one. */
+  def quantileCombine(states: DataFrame): DataFrame =
+    states.agg(expr("kll_merge_agg_bigint(state)").as("state"))
+
+  /** (quantile, value) rows read from sketch state alone. */
+  def quantilesFromSketch(state: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "quantilesFromSketch needs at least one quantile")
+    state.select(explode(array(qs.map(q =>
+        struct(lit(q).as("quantile"),
+          expr(s"kll_sketch_get_quantile_bigint(state, ${q}d)")
+            .as("value"))): _*)).as("r"))
+      .select(col("r.quantile"), col("r.value"))
+  }
+
+  /** The q60 length-band corpus cut with bounds served from the
+    * persisted sketch: one broadcast bounds row, row-local filter —
+    * the corpus is never scanned to FIND the band, only to apply it. */
+  def lengthBandFilterFromSketch(docs: DataFrame, state: DataFrame,
+      lo: Double = 0.05, hi: Double = 0.95,
+      lengthCol: String = "n_chars"): DataFrame = {
+    val bounds = state.select(
+      expr(s"kll_sketch_get_quantile_bigint(state, ${lo}d)").as("__lo"),
+      expr(s"kll_sketch_get_quantile_bigint(state, ${hi}d)").as("__hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col(lengthCol) >= col("__lo") && col(lengthCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Source-mixture drift between two corpus snapshots — the
     * governance check that a refresh did not silently shift the
     * training mixture: per source, token totals and shares in each

@@ -738,6 +738,25 @@ object ScaleOps {
       .orderBy("source")
   }
 
+  /** Q110 incremental length band (rows-only — KLL rank estimates by
+    * design, spec'd against the exact band): q60's [p05, p95] corpus
+    * cut with the bounds served from a persisted KLL sketch — the
+    * stored stats fold each delivery in with one tiny merge instead of
+    * re-running a corpus-wide percentile pass
+    * ([[graft.operators.Profiling.lengthBandFilterFromSketch]]). */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val stored = graft.operators.Profiling.quantileSketch(
+      docs.filter(col("doc_id") % 2 === 0), "n_chars")
+    val delivery = graft.operators.Profiling.quantileSketch(
+      docs.filter(col("doc_id") % 2 === 1), "n_chars")
+    val state = graft.operators.Profiling.quantileCombine(
+      stored.unionByName(delivery))
+    graft.operators.Profiling.lengthBandFilterFromSketch(docs, state)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -776,7 +795,7 @@ object ScaleOps {
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
     "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,
-    "q109_vocab_growth" -> q109,
+    "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive

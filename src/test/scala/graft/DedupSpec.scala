@@ -834,6 +834,36 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("quantile sketch lifecycle: merged bounds track the exact band; " +
+      "filter applies sketch bounds exactly") {
+    import graft.operators.Profiling
+    val docs = Tables(spark, sf("0.01")).documents
+    val state = Profiling.quantileCombine(
+      Profiling.quantileSketch(docs.filter(col("doc_id") % 2 === 0), "n_chars")
+        .unionByName(Profiling.quantileSketch(
+          docs.filter(col("doc_id") % 2 === 1), "n_chars")))
+    // the merged sketch saw every row
+    val n = state.select(expr("kll_sketch_get_n_bigint(state)"))
+      .head.getLong(0)
+    assert(n == docs.count())
+    // sketch bounds sit inside a ±3-rank-point bracket of the exact ones
+    val qs = Profiling.quantilesFromSketch(state, Seq(0.05, 0.5, 0.95))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    def exactQ(p: Double): Long = docs.stat
+      .approxQuantile("n_chars", Array(p), 0.0).head.toLong
+    assert(qs(0.05) >= exactQ(0.02) && qs(0.05) <= exactQ(0.08),
+      s"p05 ${qs(0.05)} outside [${exactQ(0.02)}, ${exactQ(0.08)}]")
+    assert(qs(0.95) >= exactQ(0.92) && qs(0.95) <= exactQ(0.98),
+      s"p95 ${qs(0.95)} outside [${exactQ(0.92)}, ${exactQ(0.98)}]")
+    assert(qs(0.05) <= qs(0.5) && qs(0.5) <= qs(0.95))
+    // the filter applies exactly the bounds the sketch reports
+    val kept = Profiling.lengthBandFilterFromSketch(docs, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(col("n_chars").between(qs(0.05), qs(0.95)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == want && kept.nonEmpty && kept.size < docs.count())
+  }
+
   test("classifierScores: learns the seed rule's source signal, deterministic") {
     val docs = Tables(spark, sf("0.001")).documents
     val scored = TextAnalysis.classifierScores(docs,
