@@ -123,6 +123,51 @@ object Profiling {
           coalesce(col("vocab_before"), lit(0L))).as("vocab_new"))
   }
 
+  /** Per-group distinct-vocabulary THETA sketch — [[vocabSketch]]'s
+    * set-algebra sibling (DataSketches theta supports union,
+    * intersection AND difference, where HLL only unions): same
+    * summarize-once, parquet-persistable, `theta_union_agg`-foldable
+    * state discipline. */
+  def vocabThetaSketch(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(expr("theta_sketch_agg(tok)").as("state"))
+
+  /** Vocabulary Venn report between two snapshot states — the full
+    * between-snapshot set algebra [[vocabGrowth]] cannot express
+    * (union-only HLL has no "lost"): per group, distinct tokens only
+    * in A (vocab_lost — types that disappeared from the refresh, the
+    * signature of a source going dark or a filter overtightening),
+    * shared, and only in B (vocab_gained). Sketch-sized everywhere;
+    * groups absent from one side report zeros on that side. Exact in
+    * theta's sparse regime, ±~2% beyond.
+    */
+  def vocabVenn(stateA: DataFrame, stateB: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    val a = stateA.select(col(groupCol), col("state").as("__sa"))
+    val b = stateB.select(col(groupCol), col("state").as("__sb"))
+    a.join(b, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        when(col("__sa").isNull, lit(0L))
+          .when(col("__sb").isNull,
+            expr("theta_sketch_estimate(__sa)"))
+          .otherwise(expr(
+            "theta_sketch_estimate(theta_difference(__sa, __sb))"))
+          .as("vocab_lost"),
+        when(col("__sa").isNull || col("__sb").isNull, lit(0L))
+          .otherwise(expr(
+            "theta_sketch_estimate(theta_intersection(__sa, __sb))"))
+          .as("vocab_shared"),
+        when(col("__sb").isNull, lit(0L))
+          .when(col("__sa").isNull,
+            expr("theta_sketch_estimate(__sb)"))
+          .otherwise(expr(
+            "theta_sketch_estimate(theta_difference(__sb, __sa))"))
+          .as("vocab_gained"))
+  }
+
   /** Incremental quantile statistics (Spark's DataSketches KLL
     * built-ins) — corpus distribution stats maintained as a persisted
     * MERGEABLE sketch instead of recomputed with a corpus-wide

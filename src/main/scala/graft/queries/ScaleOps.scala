@@ -757,6 +757,23 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q111 vocabulary Venn (rows-only — theta estimates by design,
+    * spec'd exact-in-sparse-regime vs true set ops): per-source
+    * distinct tokens lost / shared / gained between two snapshot
+    * sketches — the between-snapshot set algebra q109's union-only HLL
+    * cannot express; "lost" is the signature of a source going dark or
+    * a filter overtightening
+    * ([[graft.operators.Profiling.vocabVenn]]). */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    graft.operators.Profiling.vocabVenn(
+      graft.operators.Profiling.vocabThetaSketch(
+        docs.filter(col("doc_id") % 3 =!= 0)),
+      graft.operators.Profiling.vocabThetaSketch(
+        docs.filter(col("doc_id") % 2 =!= 0)))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -796,6 +813,7 @@ object ScaleOps {
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
     "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,
     "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
+    "q111_vocab_venn" -> q111,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive

@@ -864,6 +864,34 @@ class DedupSpec extends SparkSuite {
     assert(kept == want && kept.nonEmpty && kept.size < docs.count())
   }
 
+  test("vocabVenn: sparse-regime theta equals exact set algebra; " +
+      "absent sides report zeros") {
+    import graft.operators.Profiling
+    val docs = Tables(spark, sf("0.001")).documents
+    val aDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val bDocs = docs.filter(col("doc_id") % 2 =!= 0)
+    val got = Profiling.vocabVenn(
+        Profiling.vocabThetaSketch(aDocs), Profiling.vocabThetaSketch(bDocs))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).map { case (s, ts) => s -> ts.map(_._2).toSet }
+    val sa = sets(aDocs)
+    val sb = sets(bDocs)
+    assert(got.nonEmpty)
+    got.foreach { case (src, (lost, shared, gained)) =>
+      val ea = sa.getOrElse(src, Set.empty[String])
+      val eb = sb.getOrElse(src, Set.empty[String])
+      assert(lost == (ea -- eb).size.toLong, s"$src lost")
+      assert(shared == (ea & eb).size.toLong, s"$src shared")
+      assert(gained == (eb -- ea).size.toLong, s"$src gained")
+    }
+  }
+
   test("classifierScores: learns the seed rule's source signal, deterministic") {
     val docs = Tables(spark, sf("0.001")).documents
     val scored = TextAnalysis.classifierScores(docs,
