@@ -33,9 +33,12 @@ object TextNormalization {
   def normalize(text: String): String = {
     val sb = new StringBuilder(text.length)
     text.foreach(c => sb.append(replacements.getOrElse(c, c.toString)))
+    // (?U): the reference regexes are Python's Unicode-aware \s (thin
+    // space, NBSP, ideographic space all collapse); Java's default \s
+    // is ASCII-only and would leave them behind
     sb.toString
-      .replaceAll("\\s*\\n\\s*", "\n")
-      .replaceAll("\\s{2,}", " ")
+      .replaceAll("(?U)\\s*\\n\\s*", "\n")
+      .replaceAll("(?U)\\s{2,}", " ")
   }
 
   /** Delimiters (utils/tokenizer.py:10-15): DELFT/GROBID sets + common
@@ -46,11 +49,20 @@ object TextNormalization {
       "†‡§¶⁋ǂ"
 
   private val delimiterRegex =
-    ("(" + delimiters.map(c => java.util.regex.Pattern.quote(c.toString)).mkString("|") +
+    ("(?U)(" + delimiters.map(c => java.util.regex.Pattern.quote(c.toString)).mkString("|") +
       "|\\s)").r
+
+  /** Blank in the Python `str.strip()` sense: Unicode whitespace
+    * including the Zs spaces (NBSP, thin space) Java's `trim`/
+    * `isWhitespace` alone would miss. */
+  private def isBlank(s: String): Boolean =
+    s.forall(c => Character.isWhitespace(c) || Character.isSpaceChar(c))
 
   /** iter_tokenized_tokens: regex split keeping the delimiters as
     * tokens; whitespace-only tokens dropped unless `keepWhitespace`.
+    * The `(?U)` flag mirrors Python's Unicode `\s` — a thin-space
+    * (U+2009) separated pair must split, and the thin-space token must
+    * count as blank.
     */
   def tokenize(text: String, keepWhitespace: Boolean = false): List[String] = {
     val parts = scala.collection.mutable.ListBuffer.empty[String]
@@ -62,6 +74,6 @@ object TextNormalization {
     }
     if (last < text.length) parts += text.substring(last)
     if (keepWhitespace) parts.toList
-    else parts.toList.filter(_.trim.nonEmpty)
+    else parts.toList.filterNot(isBlank)
   }
 }

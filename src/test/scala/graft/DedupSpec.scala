@@ -838,10 +838,16 @@ class DedupSpec extends SparkSuite {
       "filter applies sketch bounds exactly") {
     import graft.operators.Profiling
     val docs = Tables(spark, sf("0.01")).documents
-    val state = Profiling.quantileCombine(
+    // materialize ONE sketch state (KLL compaction is randomized —
+    // re-evaluating the lazy plan per action could shift a bound by a
+    // rank point; production q110 stores the state, so mirror that)
+    val combined = Profiling.quantileCombine(
       Profiling.quantileSketch(docs.filter(col("doc_id") % 2 === 0), "n_chars")
         .unionByName(Profiling.quantileSketch(
           docs.filter(col("doc_id") % 2 === 1), "n_chars")))
+    val state = spark.createDataFrame(
+      spark.sparkContext.parallelize(combined.collect().toIndexedSeq),
+      combined.schema)
     // the merged sketch saw every row
     val n = state.select(expr("kll_sketch_get_n_bigint(state)"))
       .head.getLong(0)

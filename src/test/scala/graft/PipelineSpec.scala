@@ -517,6 +517,31 @@ class PipelineSpec extends SparkSuite {
     assert(TextNormalization.normalize("a    b") == "a b")
   }
 
+  test("tokenize/normalize: reference unicode-whitespace cases") {
+    // tests/utils/tokenizer_test.py — thin space (U+2009) splits like
+    // Python's unicode \s, and the blank token drops without
+    // keep_whitespace
+    assert(TextNormalization.tokenize("token1 token2") ==
+      List("token1", "token2"))
+    assert(TextNormalization.tokenize("token1\u2009token2") ==
+      List("token1", "token2"))
+    assert(TextNormalization.tokenize("token1\ntoken2") ==
+      List("token1", "token2"))
+    assert(TextNormalization.tokenize("token1 token2", keepWhitespace = true) ==
+      List("token1", " ", "token2"))
+    assert(TextNormalization.tokenize("token1\ntoken2", keepWhitespace = true) ==
+      List("token1", "\n", "token2"))
+    // NBSP is both a declared delimiter and unicode whitespace
+    assert(TextNormalization.tokenize("a\u00a0b") == List("a", "b"))
+    // tests/utils/text_test.py — dash/quote folds plus unicode-space
+    // collapse in normalize
+    assert(TextNormalization.normalize("\u2013") == "-")
+    assert(TextNormalization.normalize("\u2019") == "'")
+    assert(TextNormalization.normalize("a   b") == "a b")
+    assert(TextNormalization.normalize("a \u2009\nb") == "a\nb")
+    assert(TextNormalization.normalize("a\u00a0\u00a0b") == "a b")
+  }
+
   test("ref matching: exact key, then token-vote fallback with tie rejection") {
     val citations = Seq(
       (0L, 1L, "Smith et al. 2020"),

@@ -24,7 +24,10 @@ class PropertySpec extends AnyFunSuite {
 
   private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
     Gen.alphaNumStr.map(_.take(8)),
-    Gen.oneOf(" ", ",", ".", "-", "(", ")", "'", "†", "\t"),
+    // includes thin space + NBSP: unicode whitespace must behave like
+    // Python's \s in the tokenizer (split AND count as blank)
+    Gen.oneOf(" ", ",", ".", "-", "(", ")", "'", "†", "\t",
+      " ", " "),
   )).map(_.mkString)
 
   test("tokenize(keepWhitespace) concatenates back to the input") {
@@ -36,7 +39,8 @@ class PropertySpec extends AnyFunSuite {
   test("tokenize without whitespace = keepWhitespace minus blank tokens") {
     forAllSamples(textGen) { text =>
       val kept = TextNormalization.tokenize(text, keepWhitespace = true)
-        .filter(_.trim.nonEmpty)
+        .filter(_.exists(c =>
+          !Character.isWhitespace(c) && !Character.isSpaceChar(c)))
       assert(TextNormalization.tokenize(text) == kept)
     }
   }
