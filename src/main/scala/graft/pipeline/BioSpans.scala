@@ -42,24 +42,50 @@ object BioSpans {
     * LayoutBlock text semantics) + first-token position keys.
     */
   def spans(labeled: DataFrame): DataFrame = {
-    val withIds = assignSpanIds(labeled)
-    withIds
+    // tolerate geometry-less token frames (synthetic labels in tests,
+    // re-labeled text): a typed null struct merges to a null coords
+    val withGeom =
+      if (labeled.columns.contains("coords")) labeled
+      else labeled.withColumn("coords", lit(null).cast(
+        "struct<x:double,y:double,width:double,height:double,page_number:int>"))
+    val withIds = assignSpanIds(withGeom)
+    val collected = withIds
       .groupBy("doc_id", "span_id")
       .agg(
         first(col("tag")).as("tag"),
-        rtrim(concat_ws("", transform(
-          array_sort(collect_list(struct(
-            col("page_idx"), col("block_idx"), col("line_idx"), col("token_idx"),
-            col("text"), col("whitespace")))),
-          t => concat(t.getField("text"), t.getField("whitespace"))))).as("text"),
+        array_sort(collect_list(struct(
+          col("page_idx"), col("block_idx"), col("line_idx"), col("token_idx"),
+          col("text"), col("whitespace"), col("coords")))).as("_toks"),
         min(struct(pos: _*)).as("first_pos"),
         count(lit(1)).as("n_tokens"))
-      .select(col("doc_id"), col("span_id"), col("tag"), col("text"),
+    // merged per-page boxes → TEI coords string (Coordinates.formatMerged
+    // twin; tokens are page-monotone in reading order, so grouping by
+    // page equals the reference's consecutive-same-page merge)
+    val boxed = transform(
+      filter(col("_toks"), t => t.getField("coords").isNotNull),
+      t => t.getField("coords"))
+    val mergedParts = transform(
+      array_distinct(transform(boxed, c => c.getField("page_number"))),
+      p => {
+        val onPage = filter(boxed, c => c.getField("page_number") === p)
+        val x = array_min(transform(onPage, c => c.getField("x")))
+        val y = array_min(transform(onPage, c => c.getField("y")))
+        val x2 = array_max(transform(onPage,
+          c => c.getField("x") + c.getField("width")))
+        val y2 = array_max(transform(onPage,
+          c => c.getField("y") + c.getField("height")))
+        format_string("%d,%.2f,%.2f,%.2f,%.2f", p, x, y, x2 - x, y2 - y)
+      })
+    collected
+      .select(col("doc_id"), col("span_id"), col("tag"),
+        rtrim(concat_ws("", transform(col("_toks"),
+          t => concat(t.getField("text"), t.getField("whitespace"))))).as("text"),
         col("first_pos.page_idx").as("first_page_idx"),
         col("first_pos.block_idx").as("first_block_idx"),
         col("first_pos.line_idx").as("first_line_idx"),
         col("first_pos.token_idx").as("first_token_idx"),
-        col("n_tokens"))
+        col("n_tokens"),
+        when(size(mergedParts) > 0, array_join(mergedParts, ";")).as("coords"))
   }
 
   /** B4 filter-by-label: keep tokens of the given stripped tags —

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import java.util.Locale
+
+/** Page-coordinate merging and the TEI `coords` attribute format
+  * (reference `document/layout_document.py:65-98` get_merged_with /
+  * get_merged_coordinates_list and `document/tei/common.py:87-101`
+  * format_coordinates / format_coordinates_list).
+  *
+  * The merge folds an ordered coordinate list pairwise: a pending box
+  * absorbs the next one while they share a page (union bbox), a page
+  * change flushes the pending box. Tokens arrive in reading order, so
+  * the result is one box per visited page, in visit order.
+  */
+object Coordinates {
+
+  /** Union bbox of two same-page boxes (layout_document.py:65-77). */
+  def union(a: Coords, b: Coords): Coords = {
+    require(a.page_number == b.page_number,
+      "cannot merge coordinates on different pages")
+    val x = math.min(a.x, b.x)
+    val y = math.min(a.y, b.y)
+    Coords(x, y,
+      math.max(a.x + a.width, b.x + b.width) - x,
+      math.max(a.y + a.height, b.y + b.height) - y,
+      a.page_number)
+  }
+
+  /** Pairwise ordered merge (layout_document.py:80-98). */
+  def merge(cs: Seq[Coords]): Seq[Coords] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Coords]
+    var pending: Coords = null
+    cs.foreach { c =>
+      if (pending == null) pending = c
+      else if (c.page_number != pending.page_number) {
+        out += pending; pending = c
+      } else pending = union(pending, c)
+    }
+    if (pending != null) out += pending
+    out.toList
+  }
+
+  /** "%d,%.2f,%.2f,%.2f,%.2f" (tei/common.py:87-94). */
+  def format(c: Coords): String =
+    "%d,%.2f,%.2f,%.2f,%.2f".formatLocal(Locale.ROOT,
+      c.page_number, c.x, c.y, c.width, c.height)
+
+  /** ';'-joined list (tei/common.py:97-101); null when empty so a
+    * missing attribute and an absent coordinate list are the same. */
+  def formatList(cs: Seq[Coords]): String =
+    if (cs.isEmpty) null else cs.map(format).mkString(";")
+
+  /** Merge an ordered token-coordinate stream straight to the
+    * attribute string (tokens without coordinates are skipped, as the
+    * reference's `if token.coordinates` does). */
+  def formatMerged(cs: Seq[Coords]): String = formatList(merge(cs))
+
+  /** Inverse of [[formatList]] — lets derived elements (a `<p>`
+    * fragment, a figure wrapper) re-merge their children's already
+    * formatted coords without threading raw boxes through every node. */
+  def parse(s: String): Seq[Coords] =
+    if (s == null || s.isEmpty) Nil
+    else s.split(";").toSeq.map { part =>
+      val f = part.split(",")
+      Coords(f(1).toDouble, f(2).toDouble, f(3).toDouble, f(4).toDouble,
+        f(0).toInt)
+    }
+
+  /** Re-merge formatted child coords into a parent attribute value
+    * (null-safe: children without coords contribute nothing; null when
+    * nothing contributes). */
+  def mergeFormatted(ss: Seq[String]): String =
+    formatList(merge(ss.filter(s => s != null && s.nonEmpty).flatMap(parse)))
+}

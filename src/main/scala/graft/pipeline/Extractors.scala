@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Extractors {
 
-  /** Fold input: one BIO span. */
-  final case class Span(span_id: Long, tag: String, text: String)
+  /** Fold input: one BIO span. `coords` is the span's merged
+    * page-coordinate list already in the TEI attribute format
+    * ([[Coordinates.formatMerged]]; null when no token carried
+    * coordinates — synthesized spans from re-labeled text, fixtures
+    * without geometry). */
+  final case class Span(span_id: Long, tag: String, text: String,
+      coords: String = null)
 
   /** grobid BiblioItem abstract-prefix regex
     * (models/header/extract.py:25). */
@@ -45,9 +50,10 @@ object Extractors {
   def headerFold(docId: Long, spans: Seq[Span]): Seq[SemanticNode] = {
     val out = scala.collection.mutable.ListBuffer.empty[SemanticNode]
     var nextId = 0L
-    def emit(tpe: String, text: String, parent: Long = -1L): Long = {
+    def emit(tpe: String, text: String, parent: Long = -1L,
+        coords: String = null): Long = {
       val id = nextId; nextId += 1
-      out += SemanticNode(docId, id, parent, tpe, text, null)
+      out += SemanticNode(docId, id, parent, tpe, text, null, coords)
       id
     }
     var hasTitle = false
@@ -59,9 +65,10 @@ object Extractors {
       prevLabel = s.tag
       s.tag match {
         case "<title>" if !hasTitle =>
-          emit("title", s.text); hasTitle = true
+          emit("title", s.text, coords = s.coords); hasTitle = true
         case "<abstract>" if !hasAbstract =>
-          emit("abstract", cleanAbstract(s.text)); hasAbstract = true
+          emit("abstract", cleanAbstract(s.text), coords = s.coords)
+          hasAbstract = true
         case t @ ("<affiliation>" | "<address>") =>
           if (affParent >= 0 && t == "<affiliation>" &&
               (previous == "<affiliation>" || previous == "<address>")) {
@@ -69,16 +76,35 @@ object Extractors {
           }
           if (affParent < 0) affParent = emit("raw_affiliation_address", "")
           emit(if (t == "<affiliation>") "raw_affiliation" else "raw_address",
-            s.text, affParent)
+            s.text, affParent, s.coords)
         case other =>
           affParent = -1L
           other match {
-            case "<author>" => emit("raw_authors", s.text)
-            case tag => emit(s"note[$tag]", s.text) // E8 fallback
+            case "<author>" => emit("raw_authors", s.text, coords = s.coords)
+            case tag => emit(s"note[$tag]", s.text, coords = s.coords) // E8
           }
       }
     }
-    out.toList
+    // the <affiliation> element's coords are the merged run
+    // (tei/author.py:69-73 get_default_attributes over the whole
+    // affiliation-address content) — fill parents from their children
+    mergeParentCoords(out.toList, Set("raw_affiliation_address"))
+  }
+
+  /** Post-pass: a container node's coords = re-merge of its children's
+    * (the reference merges the whole semantic content's tokens; our
+    * children carry the spans' formatted boxes). */
+  private[pipeline] def mergeParentCoords(nodes: Seq[SemanticNode],
+      parentTypes: Set[String]): Seq[SemanticNode] = {
+    val byParent = nodes.groupBy(_.parent_id)
+    nodes.map { n =>
+      if (!parentTypes.contains(n.node_type) || n.coords != null) n
+      else {
+        val merged = Coordinates.mergeFormatted(
+          byParent.getOrElse(n.node_id, Nil).map(_.coords))
+        if (merged == null) n else n.copy(coords = merged)
+      }
+    }
   }
 
   /** E7 figure/table fold (models/figure/extract.py:24-44): `<label>` +
@@ -96,23 +122,26 @@ object Extractors {
             out += SemanticNode(docId, parent, -1L, kind, "", null)
           }
           val tpe = if (s.tag == "<label>") "label" else "caption"
-          out += SemanticNode(docId, nextId, parent, tpe, s.text, null)
+          out += SemanticNode(docId, nextId, parent, tpe, s.text, null, s.coords)
           nextId += 1
         case _ => parent = -1L
       }
     }
-    out.toList
+    // <figure>/<table type=figure> element coords span label+caption
+    // (tei/figure_table.py:33,66 get_default_attributes)
+    mergeParentCoords(out.toList, Set(kind))
   }
 
   /** Run the header fold over a span DataFrame (BioSpans.spans output). */
   def headerSemantics(spans: DataFrame): Dataset[SemanticNode] = {
     val sparkSession = spans.sparkSession
     import sparkSession.implicits._
-    spans.select(col("doc_id"), col("span_id"), col("tag"), col("text"))
-      .as[(Long, Long, String, String)]
+    spans.select(col("doc_id"), col("span_id"), col("tag"), col("text"),
+        col("coords"))
+      .as[(Long, Long, String, String, String)]
       .groupByKey(_._1)
       .flatMapGroups { (docId, it) =>
-        headerFold(docId, it.map(r => Span(r._2, r._3, r._4)).toSeq).iterator
+        headerFold(docId, it.map(r => Span(r._2, r._3, r._4, r._5)).toSeq).iterator
       }
   }
 

@@ -223,10 +223,14 @@ private[graft] object LocalLabelers {
     var curTag: String = null
     var open = false
     val sb = new StringBuilder
+    // merged-as-we-go page boxes (Coordinates.merge over the span's
+    // token coordinates in reading order)
+    val boxes = new ListBuffer[Coords]
     def flush(): Unit = if (open) {
       var end = sb.length
       while (end > 0 && sb.charAt(end - 1) <= ' ') end -= 1
-      out += Extractors.Span(spanId, curTag, sb.substring(0, end))
+      out += Extractors.Span(spanId, curTag, sb.substring(0, end),
+        Coordinates.formatList(boxes.toList))
     }
     labeled.foreach { case (t, label) =>
       val tag = stripTag(label)
@@ -235,11 +239,17 @@ private[graft] object LocalLabelers {
         spanId += 1
         curTag = tag
         sb.clear()
+        boxes.clear()
         open = true
       }
       // concat_ws skips the element when concat(text, whitespace) is null
       if (t.text != null && t.whitespace != null)
         sb.append(t.text).append(t.whitespace)
+      t.coords.foreach { c =>
+        if (boxes.nonEmpty && boxes.last.page_number == c.page_number)
+          boxes(boxes.length - 1) = Coordinates.union(boxes.last, c)
+        else boxes += c
+      }
     }
     flush()
     out.toIndexedSeq

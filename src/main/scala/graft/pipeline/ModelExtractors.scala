@@ -21,9 +21,9 @@ object ModelExtractors {
     val out = ListBuffer.empty[SemanticNode]
     private var nextId = 0L
     def emit(tpe: String, text: String, parent: Long = -1L,
-        contentId: String = null): Long = {
+        contentId: String = null, coords: String = null): Long = {
       val id = nextId; nextId += 1
-      out += SemanticNode(docId, id, parent, tpe, text, contentId)
+      out += SemanticNode(docId, id, parent, tpe, text, contentId, coords)
       id
     }
   }
@@ -94,7 +94,7 @@ object ModelExtractors {
   def citationFold(docId: Long, spans: Seq[Span], contentId: String): Seq[SemanticNode] = {
     if (spans.isEmpty) return Nil
     val e = new Emitter(docId)
-    val fields = ListBuffer.empty[(String, String, String)] // (type, text, content_id)
+    val fields = ListBuffer.empty[(String, String, String, String)] // (type, text, content_id, coords)
     spans.sortBy(_.span_id).foreach { s =>
       s.tag match {
         case "<pages>" =>
@@ -103,34 +103,38 @@ object ModelExtractors {
             (from, to) match {
               case (Some(f), Some(t)) => s"$f-$t"
               case _ => s.text
-            }, null))
+            }, null, s.coords))
         case "<web>" =>
           val value = s.text.replaceAll("\\s", "")
           val doi = DoiP.matcher(value)
-          if (doi.find()) fields += (("external_id", doi.group(1), "doi"))
-          else fields += (("external_url", value, null))
+          if (doi.find()) fields += (("external_id", doi.group(1), "doi", s.coords))
+          else fields += (("external_url", value, null, s.coords))
         case "<pubnum>" =>
           val (idType, value) = detectExternalId(s.text)
-          fields += (("external_id", value, idType.orNull))
+          fields += (("external_id", value, idType.orNull, s.coords))
         case "<date>" =>
-          fields += (("date", parseYear(s.text).map(_.toString).getOrElse(s.text), null))
+          fields += (("date", parseYear(s.text).map(_.toString).getOrElse(s.text),
+            null, s.coords))
         case tag if CitationTagTypes.contains(tag) =>
-          fields += ((CitationTagTypes(tag), s.text, null))
+          fields += ((CitationTagTypes(tag), s.text, null, s.coords))
         case tag =>
-          fields += ((s"note[$tag]", s.text, null))
+          fields += ((s"note[$tag]", s.text, null, s.coords))
       }
     }
-    val valid = fields.exists { case (t, _, _) => ValidReferenceTypes(t) }
+    val valid = fields.exists { case (t, _, _, _) => ValidReferenceTypes(t) }
     if (valid) {
       val ref = e.emit("reference", "", contentId = contentId)
-      fields.foreach { case (t, txt, cid) => e.emit(t, txt, ref, cid) }
+      fields.foreach { case (t, txt, cid, cs) => e.emit(t, txt, ref, cid, cs) }
     } else {
       val inv = e.emit("invalid_reference", "")
-      fields.foreach { case (t, txt, cid) =>
-        if (t != "raw_reference_text") e.emit(t, txt, inv, cid)
+      fields.foreach { case (t, txt, cid, cs) =>
+        if (t != "raw_reference_text") e.emit(t, txt, inv, cid, cs)
       }
     }
-    e.out.toList
+    // <biblStruct> coords cover the whole reference
+    // (tei/references.py:46,59 get_default_attributes)
+    Extractors.mergeParentCoords(e.out.toList,
+      Set("reference", "invalid_reference"))
   }
 
   // ------------------------------------------ E6: reference segmenter
@@ -156,24 +160,26 @@ object ModelExtractors {
             refParent = e.emit("raw_reference", "", contentId = s"b$refCount")
             refCount += 1
           }
-          e.emit("label", s.text, refParent)
+          e.emit("label", s.text, refParent, coords = s.coords)
         case "<reference>" =>
           if (refParent < 0 && isFirstRef && !looksLikeReference(s.text)) {
-            e.emit("heading", s.text)
+            e.emit("heading", s.text, coords = s.coords)
             isFirstRef = false
           } else {
             if (refParent < 0) {
               refParent = e.emit("raw_reference", "", contentId = s"b$refCount")
               refCount += 1
             }
-            e.emit("raw_reference_text", s.text, refParent)
+            e.emit("raw_reference_text", s.text, refParent, coords = s.coords)
             refParent = -1L
             isFirstRef = false
           }
-        case tag => e.emit(s"note[$tag]", s.text)
+        case tag => e.emit(s"note[$tag]", s.text, coords = s.coords)
       }
     }
-    e.out.toList
+    // a raw <biblStruct>'s coords cover label + reference text
+    // (tei/references.py:46)
+    Extractors.mergeParentCoords(e.out.toList, Set("raw_reference"))
   }
 
   // ------------------------------------------------------- E4: names
@@ -352,7 +358,7 @@ object ModelExtractors {
       s.tag match {
         case "<marker>" =>
           newAff()
-          e.emit("marker", s.text, aff)
+          e.emit("marker", s.text, aff, coords = s.coords)
         case tag =>
           val (prefix, cleaned, suffix) =
             if (tag == "<country>") cleanCountry(s.text) else ("", s.text, "")
@@ -361,17 +367,20 @@ object ModelExtractors {
           if (aff >= 0 && tpe == "institution" && affHasInstitution)
             aff = -1L // second institution closes the current affiliation
           if (aff < 0 && isNote) {
-            e.emit(tpe, s.text) // standalone note outside any affiliation
+            // standalone note outside any affiliation
+            e.emit(tpe, s.text, coords = s.coords)
           } else {
             if (aff < 0) newAff()
             if (prefix.nonEmpty) e.emit(s"note[${tag}-prefix]", prefix, aff)
-            e.emit(tpe, cleaned, aff)
+            e.emit(tpe, cleaned, aff, coords = s.coords)
             if (suffix.nonEmpty) e.emit(s"note[${tag}-suffix]", suffix, aff)
             if (tpe == "institution") affHasInstitution = true
           }
       }
     }
-    e.out.toList
+    // the <affiliation> element's coords cover its whole content
+    // (tei/author.py:69-73)
+    Extractors.mergeParentCoords(e.out.toList, Set("affiliation_address"))
   }
 
   // --------------------------------------------------- E2: fulltext
@@ -411,20 +420,24 @@ object ModelExtractors {
       previousTag = s.tag
       s.tag match {
         case "O" =>
-          if (section >= 0) e.emit("note[fulltext:other]", s.text, section)
-          else e.emit("note[fulltext:other]", s.text)
+          if (section >= 0)
+            e.emit("note[fulltext:other]", s.text, section, coords = s.coords)
+          else e.emit("note[fulltext:other]", s.text, coords = s.coords)
         case "<section>" =>
           paragraph = -1L; rawEquation = -1L
           section = e.emit("section", "", contentId = sectionType)
-          val heading = e.emit("heading", "", section)
+          // <head> carries the heading block's coords (tei/section.py:45)
+          val heading = e.emit("heading", "", section, coords = s.coords)
           val (label, title) = sectionLabelAndTitle(s.text)
           label.foreach(l => e.emit("label", l, heading))
           e.emit("title", title, heading)
         case tag =>
           if (section < 0) section = e.emit("section", "", contentId = sectionType)
           tag match {
-            case "<figure>" => e.emit("raw_figure", s.text, section)
-            case "<table>" => e.emit("raw_table", s.text, section)
+            case "<figure>" =>
+              e.emit("raw_figure", s.text, section, coords = s.coords)
+            case "<table>" =>
+              e.emit("raw_table", s.text, section, coords = s.coords)
             case "<equation>" | "<equation_label>" =>
               if (paragraph < 0) paragraph = e.emit("paragraph", "", section)
               val isContent = tag == "<equation>"
@@ -435,21 +448,26 @@ object ModelExtractors {
                 rawEquationHasContent = false
               }
               if (isContent) {
-                e.emit("raw_equation_content", s.text, rawEquation)
+                e.emit("raw_equation_content", s.text, rawEquation,
+                  coords = s.coords)
                 rawEquationHasContent = true
-              } else e.emit("label", s.text, rawEquation)
+              } else e.emit("label", s.text, rawEquation, coords = s.coords)
             case _ =>
               if (paragraph < 0 || (tag == "<paragraph>" && prev == "<paragraph>"))
                 paragraph = e.emit("paragraph", "", section)
               rawEquation = -1L
               ParagraphMarkerTypes.get(tag) match {
-                case Some(t) => e.emit(t, s.text, paragraph)
-                case None if tag == "<paragraph>" => e.emit("text", s.text, paragraph)
-                case None => e.emit(s"note[$tag]", s.text, paragraph)
+                case Some(t) => e.emit(t, s.text, paragraph, coords = s.coords)
+                case None if tag == "<paragraph>" =>
+                  e.emit("text", s.text, paragraph, coords = s.coords)
+                case None =>
+                  e.emit(s"note[$tag]", s.text, paragraph, coords = s.coords)
               }
           }
       }
     }
-    e.out.toList
+    // <formula> coords cover the raw equation's content + label
+    // (tei/equation.py:36 get_default_attributes)
+    Extractors.mergeParentCoords(e.out.toList, Set("raw_equation"))
   }
 }

@@ -21,6 +21,13 @@ import graft.pipeline.Extractors.Span
   */
 object Processor {
 
+  /** Tolerant boundary for node frames built before the `coords`
+    * column existed (ad-hoc test frames, external callers): absent →
+    * null string column, so `.as[SemanticNode]` resolves. */
+  def withCoordsColumn(nodes: DataFrame): DataFrame =
+    if (nodes.columns.contains("coords")) nodes
+    else nodes.withColumn("coords", lit(null).cast("string"))
+
   final case class Config(
       extractAuthors: Boolean = true,
       extractAffiliations: Boolean = true,
@@ -345,9 +352,9 @@ object Processor {
   def process(headerNodes: DataFrame, config: Config = Config()): Dataset[SemanticNode] = {
     val sparkSession = headerNodes.sparkSession
     import sparkSession.implicits._
-    headerNodes
+    Processor.withCoordsColumn(headerNodes)
       .select(col("doc_id"), col("node_id"), col("parent_id"),
-        col("node_type"), col("text"), col("content_id"))
+        col("node_type"), col("text"), col("content_id"), col("coords"))
       .as[SemanticNode]
       .groupByKey(_.doc_id)
       .flatMapGroups { (docId, it) => processDocument(docId, it.toSeq, config).iterator }

@@ -79,4 +79,8 @@ final case class SemanticNode(
     parent_id: Long,
     node_type: String,
     text: String,
-    content_id: String)
+    content_id: String,
+    /** Merged page coordinates in the TEI `coords` attribute format
+      * (`page,x,y,w,h[;…]`, tei/common.py:87-101); null when the
+      * node's source tokens carried no geometry. */
+    coords: String = null)

@@ -35,8 +35,9 @@ object SemanticViews {
     val sparkSession = nodes.sparkSession
     import sparkSession.implicits._
     val roots = rootTypes.toSet
-    nodes.select(col("doc_id"), col("node_id"), col("parent_id"),
-        col("node_type"), col("text"), col("content_id"))
+    Processor.withCoordsColumn(nodes)
+      .select(col("doc_id"), col("node_id"), col("parent_id"),
+        col("node_type"), col("text"), col("content_id"), col("coords"))
       .as[SemanticNode]
       .groupByKey(_.doc_id)
       .flatMapGroups { (_, it) =>

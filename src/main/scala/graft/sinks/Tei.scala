@@ -19,6 +19,17 @@ object Tei {
     if (s == null) ""
     else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** ` coords="…"` attribute when the node carries merged page boxes
+    * (tei/common.py:104-114 get_default_attributes_for_layout_block —
+    * emitted wherever the reference enables coordinates; absent
+    * coords, absent attribute). */
+  private def coordsAttr(n: SemanticNode): String =
+    if (n.coords == null || n.coords.isEmpty) ""
+    else s""" coords="${esc(n.coords)}""""
+
+  private def coordsAttr(merged: String): String =
+    if (merged == null || merged.isEmpty) "" else s""" coords="${esc(merged)}""""
+
   /** Naive fallback when the name model pass did not run (raw_authors
     * nodes): first token → forename, rest → surname. */
   private def rawAuthorXml(raw: String): String = {
@@ -75,7 +86,7 @@ object Tei {
       kids: Long => Seq[SemanticNode]): String = {
     val sb = new StringBuilder
     val id = Option(ref.content_id).map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
-    sb ++= s"<biblStruct$id><analytic>"
+    sb ++= s"<biblStruct$id${coordsAttr(ref)}><analytic>"
     cs.filter(_.node_type == "title").foreach(t =>
       sb ++= s"""<title level="a" type="main">${esc(t.text)}</title>""")
     cs.foreach { c =>
@@ -129,7 +140,8 @@ object Tei {
     * not one address per field. */
   private def affiliationXml(aff: SemanticNode, children: Seq[SemanticNode]): String = {
     val sb = new StringBuilder(
-      s"""<affiliation key="${esc(Option(aff.content_id).getOrElse(""))}">""")
+      s"""<affiliation key="${esc(Option(aff.content_id).getOrElse(""))}"""" +
+        s"${coordsAttr(aff)}>")
     // raw_affiliation note: every child's text in order, marker as label
     sb ++= """<note type="raw_affiliation">"""
     children.zipWithIndex.foreach { case (c, i) =>
@@ -183,8 +195,8 @@ object Tei {
     val childrenOf = ordered.groupBy(_.parent_id)
     def kids(id: Long): Seq[SemanticNode] = childrenOf.getOrElse(id, Nil)
 
-    val title = ordered.find(n => n.node_type == "title" && n.parent_id < 0).map(_.text)
-    val abstractText = ordered.find(n => n.node_type == "abstract" && n.parent_id < 0).map(_.text)
+    val title = ordered.find(n => n.node_type == "title" && n.parent_id < 0)
+    val abstractNode = ordered.find(n => n.node_type == "abstract" && n.parent_id < 0)
 
     // affiliations keyed by their concatenated marker text
     // (tei_document.py:68-73 affiliations_by_marker); each author's
@@ -235,6 +247,7 @@ object Tei {
             val htitle = kids(c.node_id).find(_.node_type == "title").map(_.text)
             bodySb ++= "<head"
             label.foreach(l => bodySb ++= s""" n="${esc(l)}"""")
+            bodySb ++= coordsAttr(c)
             bodySb ++= s">${esc(htitle.getOrElse(""))}</head>"
           case "paragraph" =>
             // citation target = matched content id (tei/citation.py:44-45)
@@ -244,11 +257,21 @@ object Tei {
             // equation SPLITS the paragraph — <formula> renders as a
             // SIBLING of the <p> fragments, never nested inside one
             var fragment = List.empty[String]
+            var fragmentCoords = List.empty[String]
             def flushFragment(): Unit = {
               if (fragment.nonEmpty) {
-                bodySb ++= s"<p>${fragment.reverse.mkString(" ")}</p>"
+                // <p> coords re-merge the fragment's members
+                // (tei/section.py:96 per flat paragraph fragment)
+                val pc = graft.pipeline.Coordinates
+                  .mergeFormatted(fragmentCoords.reverse)
+                bodySb ++= s"<p${coordsAttr(pc)}>${fragment.reverse.mkString(" ")}</p>"
                 fragment = Nil
+                fragmentCoords = Nil
               }
+            }
+            def push(xml: String, n: SemanticNode): Unit = {
+              fragment ::= xml
+              fragmentCoords ::= n.coords
             }
             kids(c.node_id).foreach { p =>
               p.node_type match {
@@ -263,15 +286,15 @@ object Tei {
                     }
                   }
                   flushFragment()
-                  bodySb ++= s"<formula>${eqParts.mkString(" ")}</formula>"
-                case "text" => fragment ::= esc(p.text)
+                  bodySb ++= s"<formula${coordsAttr(p)}>${eqParts.mkString(" ")}</formula>"
+                case "text" => push(esc(p.text), p)
                 case "reference_citation" =>
-                  fragment ::= s"""<ref type="bibr"${target(p)}>${esc(p.text)}</ref>"""
+                  push(s"""<ref type="bibr"${target(p)}${coordsAttr(p)}>${esc(p.text)}</ref>""", p)
                 case "figure_citation" =>
-                  fragment ::= s"""<ref type="figure"${target(p)}>${esc(p.text)}</ref>"""
+                  push(s"""<ref type="figure"${target(p)}${coordsAttr(p)}>${esc(p.text)}</ref>""", p)
                 case "table_citation" =>
-                  fragment ::= s"""<ref type="table"${target(p)}>${esc(p.text)}</ref>"""
-                case _ => fragment ::= esc(p.text)
+                  push(s"""<ref type="table"${target(p)}${coordsAttr(p)}>${esc(p.text)}</ref>""", p)
+                case _ => push(esc(p.text), p)
               }
             }
             flushFragment()
@@ -280,27 +303,30 @@ object Tei {
             val idAttr = Option(c.content_id)
               .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
             val typeAttr = if (c.node_type == "table") """ type="table"""" else ""
-            bodySb ++= s"<figure$typeAttr$idAttr>"
+            bodySb ++= s"<figure$typeAttr$idAttr${coordsAttr(c)}>"
             kids(c.node_id).foreach { k =>
               k.node_type match {
                 case "label" =>
-                  bodySb ++= s"<head>${esc(k.text)}</head><label>${esc(k.text)}</label>"
-                case "caption" => bodySb ++= s"<figDesc>${esc(k.text)}</figDesc>"
+                  bodySb ++= s"<head${coordsAttr(k)}>${esc(k.text)}</head>" +
+                    s"<label${coordsAttr(k)}>${esc(k.text)}</label>"
+                case "caption" =>
+                  bodySb ++= s"<figDesc${coordsAttr(k)}>${esc(k.text)}</figDesc>"
                 case "graphic" => bodySb ++= graphicXml(k)
                 case _ => ()
               }
             }
             bodySb ++= "</figure>"
-          case "raw_figure" => bodySb ++= s"<figure>${esc(c.text)}</figure>"
+          case "raw_figure" =>
+            bodySb ++= s"<figure${coordsAttr(c)}>${esc(c.text)}</figure>"
           case "raw_table" =>
-            bodySb ++= s"""<figure type="table">${esc(c.text)}</figure>"""
+            bodySb ++= s"""<figure type="table"${coordsAttr(c)}>${esc(c.text)}</figure>"""
           case t if t.startsWith("note[") =>
             // tei/misc.py:21-40 (SemanticMixedNote): unlabeled content
             // kept as <note type="...">; the bracketed fold reason maps
             // to the note type, "fulltext:other" → "other"
             val noteType = t.stripPrefix("note[").stripSuffix("]")
               .split(":").last
-            bodySb ++= s"""<note type="${esc(noteType)}">${esc(c.text)}</note>"""
+            bodySb ++= s"""<note type="${esc(noteType)}"${coordsAttr(c)}>${esc(c.text)}</note>"""
           case _ => ()
         }
       }
@@ -343,7 +369,7 @@ object Tei {
               .map(_.text).mkString(" ")
             val idAttr = Option(r.content_id)
               .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
-            backSb ++= s"<bibl$idAttr>${esc(raw)}</bibl>"
+            backSb ++= s"<bibl$idAttr${coordsAttr(r)}>${esc(raw)}</bibl>"
           case _ => ()
         }
       }
@@ -364,15 +390,17 @@ object Tei {
     sb ++= """<TEI xmlns="http://www.tei-c.org/ns/1.0">"""
     sb ++= "<teiHeader><fileDesc>"
     sb ++= "<titleStmt>"
-    title.foreach(t => sb ++= s"""<title level="a" type="main">${esc(t)}</title>""")
+    title.foreach(t =>
+      sb ++= s"""<title level="a" type="main"${coordsAttr(t)}>${esc(t.text)}</title>""")
     sb ++= "</titleStmt>"
     sb ++= "<sourceDesc><biblStruct><analytic>"
     authorXmls.foreach(sb ++= _)
     dummyAuthor.foreach(sb ++= _)
     sb ++= "</analytic></biblStruct></sourceDesc>"
     sb ++= "</fileDesc>"
-    abstractText.filter(_.nonEmpty).foreach { t =>
-      sb ++= s"<profileDesc><abstract><p>${esc(t)}</p></abstract></profileDesc>"
+    abstractNode.filter(_.text.nonEmpty).foreach { t =>
+      sb ++= "<profileDesc><abstract>" +
+        s"<p${coordsAttr(t)}>${esc(t.text)}</p></abstract></profileDesc>"
     }
     sb ++= "</teiHeader>"
     val backXml = if (backSb.nonEmpty) s"<back>${backSb.toString}</back>" else "<back/>"
@@ -386,7 +414,9 @@ object Tei {
   def serialize(nodes: DataFrame): DataFrame = {
     val sparkSession = nodes.sparkSession
     import sparkSession.implicits._
-    nodes.select("doc_id", "node_id", "parent_id", "node_type", "text", "content_id")
+    graft.pipeline.Processor.withCoordsColumn(nodes)
+      .select("doc_id", "node_id", "parent_id", "node_type", "text",
+        "content_id", "coords")
       .as[SemanticNode]
       .groupByKey(_.doc_id)
       .mapGroups { (docId, it) => (docId, buildTei(it.toSeq)) }

@@ -231,6 +231,36 @@ class ModelExtractorsSpec extends AnyFunSuite {
     assert(detectExternalId("just text")._1.isEmpty)
   }
 
+  test("detectExternalId: reference label-variant matrix") {
+    // citation/extract_test.py TestParsePubNum — every labeled variant
+    val pii = "S0123-1234(11)01234-5"
+    val cases = Seq(
+      ("xyz", None, "xyz"),
+      ("doi: 10.1234/test", Some("doi"), "10.1234/test"),
+      ("10.1234/test", Some("doi"), "10.1234/test"),
+      ("PMID: 1234567", Some("pmid"), "1234567"),
+      ("PMID1234567", Some("pmid"), "1234567"),
+      ("PubMed: 1234567", Some("pmid"), "1234567"),
+      ("PubMedID: 1234567", Some("pmid"), "1234567"),
+      ("PMC1234567", Some("pmcid"), "PMC1234567"),
+      ("PMCPMC1234567", Some("pmcid"), "PMC1234567"),
+      ("PubMed Central: PMC1234567", Some("pmcid"), "PMC1234567"),
+      ("arXiv: 0706.0001", Some("arxiv"), "0706.0001"),
+      ("arXiv: math.GT/0309136", Some("arxiv"), "math.GT/0309136"),
+      (pii, Some("pii"), pii.replaceAll("\\s", "")),
+      ("pii: " + pii, Some("pii"), pii),
+      (pii + " [pii]", Some("pii"), pii))
+    cases.foreach { case (in, wantType, wantValue) =>
+      val (gotType, gotValue) = detectExternalId(in)
+      assert(gotType == wantType && gotValue == wantValue,
+        s"$in -> ($gotType, $gotValue), want ($wantType, $wantValue)")
+    }
+    // TestParsePageRange / TestParseWeb / TestParseDate residuals
+    assert(parsePageRange(" 12 - 15 ") == (Some("12"), Some("15")))
+    assert(parsePageRange("1234-56") == (Some("1234"), Some("1256")))
+    assert(parseYear("1991-01-01").contains(1991))
+  }
+
   test("parseYear finds 4-digit year") {
     assert(parseYear("(2020)").contains(2020))
     assert(parseYear("May 7, 1999").contains(1999))
@@ -338,5 +368,36 @@ class ModelExtractorsSpec extends AnyFunSuite {
     assert(eq.size == 1)
     assert(byType(nodes, "raw_equation_content").head.parent_id == eq.head.node_id)
     assert(byType(nodes, "raw_figure").exists(_.parent_id == sections(1).node_id))
+  }
+
+  test("fulltextFold: reference equation/label/note corner cases") {
+    // fulltext/extract_test.py: label AFTER content stays in the same
+    // raw equation; a second content span starts a new one
+    val after = fulltextFold(0L, spansOf(
+      "<paragraph>" -> "p1",
+      "<equation>" -> "Equation 1",
+      "<equation_label>" -> "(1)",
+      "<paragraph>" -> "p2"))
+    val eqAfter = byType(after, "raw_equation")
+    assert(eqAfter.size == 1)
+    assert(byType(after, "raw_equation_content").map(_.text) == Seq("Equation 1"))
+    assert(byType(after, "label").filter(_.parent_id == eqAfter.head.node_id)
+      .map(_.text) == Seq("(1)"))
+    // two label-less equations -> two raw equations
+    val multi = fulltextFold(0L, spansOf(
+      "<paragraph>" -> "p1",
+      "<equation>" -> "Equation 1",
+      "<equation>" -> "Equation 2",
+      "<paragraph>" -> "p2"))
+    assert(byType(multi, "raw_equation").size == 2)
+    assert(byType(multi, "raw_equation_content").map(_.text) ==
+      Seq("Equation 1", "Equation 2"))
+    // single number without dot is still a label
+    assert(sectionLabelAndTitle("1 Introduction") == (Some("1"), "Introduction"))
+    assert(sectionLabelAndTitle("1.2.3. Results") == (Some("1.2.3."), "Results"))
+    // 'O' text before any section -> standalone body note
+    val o = fulltextFold(0L, spansOf("O" -> "stray text"))
+    assert(o.exists(n =>
+      n.node_type == "note[fulltext:other]" && n.parent_id < 0))
   }
 }

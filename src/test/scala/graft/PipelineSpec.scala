@@ -98,7 +98,9 @@ class PipelineSpec extends SparkSuite {
 
     val nodes = Extractors.headerSemantics(spans)
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
-    assert(tei.contains("""<title level="a" type="main">A Title</title>"""))
+    // tei/common.py:104-114: elements with geometry carry coords
+    assert(tei.contains("""<title level="a" type="main" """ +
+      """coords="1,100.00,60.00,66.00,18.00">A Title</title>"""))
     assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
   }
 
@@ -271,8 +273,11 @@ class PipelineSpec extends SparkSuite {
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
     assert(tei.contains("""<title level="a" type="main">A Title</title>"""))
     assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
-    assert(tei.contains("""<head n="1.">Methods</head>"""))
-    assert(tei.contains("<p>We did</p>") && tei.contains("<p>things</p>"))
+    assert(tei.contains("""<head n="1." """ +
+      """coords="1,100.00,200.00,80.00,10.00">Methods</head>"""))
+    assert(tei.contains(
+      """<p coords="1,100.00,214.00,55.00,10.00">We did</p>"""))
+    assert(tei.contains("""<p coords="1,100.00,228.00,45.00,10.00">things</p>"""))
   }
 
   test("documentPipeline: acknowledgement/annex views render into TEI back") {
@@ -292,10 +297,12 @@ class PipelineSpec extends SparkSuite {
     val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
     val nodes = graft.pipeline.Processor.documentPipeline(tokens)
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
-    assert(tei.contains("""<div type="acknowledgement"><head>Acknowledgements</head>""" +
-      "<p>we thank everyone</p></div>"), tei)
-    assert(tei.contains("""<div type="annex"><div><head>Appendix</head>""" +
-      "<p>extra details</p></div></div>"), tei)
+    assert(tei.contains("""<div type="acknowledgement">""" +
+      """<head coords="1,100.00,500.00,30.00,10.00">Acknowledgements</head>""" +
+      """<p coords="1,100.00,514.00,110.00,10.00">we thank everyone</p></div>"""), tei)
+    assert(tei.contains("""<div type="annex"><div>""" +
+      """<head coords="1,100.00,550.00,30.00,10.00">Appendix</head>""" +
+      """<p coords="1,100.00,564.00,70.00,10.00">extra details</p></div></div>"""), tei)
     // back divs must not leak into the body: this fixture has no body
     // blocks at all, so the body element renders empty
     assert(tei.contains("<body/>"), tei)
@@ -350,8 +357,10 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains(
       """<figure type="table" xml:id="tab_0"><head>Table 1</head><label>Table 1</label>""" +
         "<figDesc>data summary</figDesc></figure>"), tei)
-    assert(tei.contains("""<ref type="figure" target="#fig_0">Figure 1</ref>"""), tei)
-    assert(tei.contains("""<ref type="table" target="#tab_0">Table 1</ref>"""), tei)
+    assert(tei.contains("""<ref type="figure" target="#fig_0" """ +
+      """coords="1,180.00,214.00,70.00,10.00">Figure 1</ref>"""), tei)
+    assert(tei.contains("""<ref type="table" target="#tab_0" """ +
+      """coords="1,300.00,214.00,70.00,10.00">Table 1</ref>"""), tei)
   }
 
   test("documentPipeline: matched graphics render in figures, unmatched in back") {
@@ -423,7 +432,7 @@ class PipelineSpec extends SparkSuite {
     assert(tei.indexOf("""xml:id="b0"""") < tei.indexOf("""xml:id="b1""""), tei)
     assert(tei.contains("""<surname>Jones</surname>"""), tei)
     // the body [1] marker resolves to the first reference (F1)
-    assert(tei.contains("""<ref type="bibr" target="#b0">"""), tei)
+    assert(tei.contains("""<ref type="bibr" target="#b0" coords="1,220.00,"""), tei)
     // references must not leak into the body sections
     assert(!tei.substring(tei.indexOf("<body"), tei.indexOf("<back"))
       .contains("Measuring"), tei)
@@ -515,6 +524,31 @@ class PipelineSpec extends SparkSuite {
       "\"quoted\" - dash")
     assert(TextNormalization.normalize("a  \n  b") == "a\nb")
     assert(TextNormalization.normalize("a    b") == "a b")
+  }
+
+  test("coordinates: reference merge cases, format round-trip") {
+    import graft.pipeline.{Coordinates, Coords}
+    // layout_document_test.py TestGetMergedCoordinatesList
+    assert(Coordinates.merge(Seq(
+      Coords(10, 10, 100, 100, 1), Coords(110, 10, 100, 100, 1))) ==
+      Seq(Coords(10, 10, 110 - 10 + 100, 100, 1)))       // same line
+    assert(Coordinates.merge(Seq(
+      Coords(10, 10, 100, 100, 1), Coords(10, 110, 100, 100, 1))) ==
+      Seq(Coords(10, 10, 100, 110 - 10 + 100, 1)))       // stacked
+    val crossPage = Seq(
+      Coords(10, 10, 100, 100, 1), Coords(110, 10, 100, 100, 2))
+    assert(Coordinates.merge(crossPage) == crossPage)    // page change
+    // tei/common.py:87-101 attribute format + parse inverse
+    val c = Coords(10.5, 20.25, 30.0, 40.125, 3)
+    assert(Coordinates.format(c) == "3,10.50,20.25,30.00,40.13")
+    assert(Coordinates.formatList(Nil) == null)
+    val formatted = Coordinates.formatList(crossPage)
+    assert(formatted == "1,10.00,10.00,100.00,100.00;2,110.00,10.00,100.00,100.00")
+    assert(Coordinates.parse(formatted) == crossPage)
+    // parent re-merge over formatted children (same page unions)
+    assert(Coordinates.mergeFormatted(Seq(
+      "1,10.00,10.00,100.00,100.00", null, "1,110.00,10.00,100.00,100.00")) ==
+      "1,10.00,10.00,200.00,100.00")
   }
 
   test("tokenize/normalize: reference unicode-whitespace cases") {
