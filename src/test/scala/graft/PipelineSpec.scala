@@ -482,6 +482,34 @@ class PipelineSpec extends SparkSuite {
     assert(nodes.exists(n => n.node_type == "note[<title>]"))
   }
 
+  test("header fold: reference affiliation-split matrix") {
+    // header/extract_test.py TestHeaderSemanticExtractor split cases
+    def affTexts(tags: (String, String)*): Seq[Seq[String]] = {
+      val nodes = Extractors.headerFold(0L, tags.zipWithIndex.map {
+        case ((tag, text), i) => Extractors.Span(i.toLong, tag, text)
+      })
+      val parents = nodes.filter(_.node_type == "raw_affiliation_address")
+      parents.map(p => nodes.filter(c => c.parent_id == p.node_id &&
+        c.node_type == "raw_affiliation").map(_.text))
+    }
+    // one aff + address -> one parent
+    assert(affTexts("<affiliation>" -> "Aff 1", "<address>" -> "Addr 1") ==
+      Seq(Seq("Aff 1")))
+    // aff, aff (no address) -> split
+    assert(affTexts("<affiliation>" -> "Aff 1", "<affiliation>" -> "Aff 2") ==
+      Seq(Seq("Aff 1"), Seq("Aff 2")))
+    // aff, addr, aff, addr -> split pairs
+    assert(affTexts("<affiliation>" -> "Aff 1", "<address>" -> "Addr 1",
+      "<affiliation>" -> "Aff 2", "<address>" -> "Addr 2") ==
+      Seq(Seq("Aff 1"), Seq("Aff 2")))
+    // separated by O -> split
+    assert(affTexts("<affiliation>" -> "Aff 1", "O" -> "other",
+      "<affiliation>" -> "Aff 2") == Seq(Seq("Aff 1"), Seq("Aff 2")))
+    // separated by a known label -> split
+    assert(affTexts("<affiliation>" -> "Aff 1", "<author>" -> "Jane Doe",
+      "<affiliation>" -> "Aff 2") == Seq(Seq("Aff 1"), Seq("Aff 2")))
+  }
+
   test("F2/G7: figure-id assignment + affiliation-by-marker grouping") {
     // figure citations matched against figure labels (F2)
     val citations = Seq((0L, 1L, "Fig. 2"), (0L, 2L, "Figure 1")).toDF("doc_id", "item_id", "text")
