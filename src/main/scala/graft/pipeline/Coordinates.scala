@@ -72,3 +72,31 @@ object Coordinates {
   def mergeFormatted(ss: Seq[String]): String =
     formatList(merge(ss.filter(s => s != null && s.nonEmpty).flatMap(parse)))
 }
+
+/** Styled token runs over a span/node text, encoded `start,end,mask`
+  * (';'-joined; mask bits 1=bold 2=italic 4=subscript 8=superscript —
+  * the tei/common.py:61-71 style order). The TEI sink renders them as
+  * nested `<hi rend="…">` wrappers; folds that cut or shift a node's
+  * text re-base the runs with [[slice]]. */
+object StyleRuns {
+
+  def parse(s: String): Seq[(Int, Int, Int)] =
+    if (s == null || s.isEmpty) Nil
+    else s.split(";").toSeq.map { r =>
+      val f = r.split(",")
+      (f(0).toInt, f(1).toInt, f(2).toInt)
+    }
+
+  def format(runs: Seq[(Int, Int, Int)]): String =
+    if (runs.isEmpty) null
+    else runs.map { case (a, b, m) => s"$a,$b,$m" }.mkString(";")
+
+  /** Runs for `text.substring(from, until)`, re-based to 0; runs
+    * falling outside the window are clipped or dropped. */
+  def slice(s: String, from: Int, until: Int): String =
+    format(parse(s).flatMap { case (a, b, m) =>
+      val a2 = math.max(a, from)
+      val b2 = math.min(b, until)
+      if (b2 > a2) Some((a2 - from, b2 - from, m)) else None
+    })
+}

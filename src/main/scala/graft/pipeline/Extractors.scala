@@ -24,9 +24,13 @@ object Extractors {
     * page-coordinate list already in the TEI attribute format
     * ([[Coordinates.formatMerged]]; null when no token carried
     * coordinates — synthesized spans from re-labeled text, fixtures
-    * without geometry). */
+    * without geometry). `styles` encodes the styled token runs over
+    * `text` as `start,end,mask` triples (';'-joined; mask bits
+    * 1=bold 2=italic 4=subscript 8=superscript, the
+    * tei/common.py:61-71 style order); null when every token is
+    * plain. */
   final case class Span(span_id: Long, tag: String, text: String,
-      coords: String = null)
+      coords: String = null, styles: String = null)
 
   /** grobid BiblioItem abstract-prefix regex
     * (models/header/extract.py:25). */
@@ -51,9 +55,9 @@ object Extractors {
     val out = scala.collection.mutable.ListBuffer.empty[SemanticNode]
     var nextId = 0L
     def emit(tpe: String, text: String, parent: Long = -1L,
-        coords: String = null): Long = {
+        coords: String = null, styles: String = null): Long = {
       val id = nextId; nextId += 1
-      out += SemanticNode(docId, id, parent, tpe, text, null, coords)
+      out += SemanticNode(docId, id, parent, tpe, text, null, coords, styles)
       id
     }
     var hasTitle = false
@@ -65,9 +69,15 @@ object Extractors {
       prevLabel = s.tag
       s.tag match {
         case "<title>" if !hasTitle =>
-          emit("title", s.text, coords = s.coords); hasTitle = true
+          emit("title", s.text, coords = s.coords, styles = s.styles)
+          hasTitle = true
         case "<abstract>" if !hasAbstract =>
-          emit("abstract", cleanAbstract(s.text), coords = s.coords)
+          val cleaned = cleanAbstract(s.text)
+          // the prefix strip shifts every styled run left
+          val shifted = if (s.text == null) null
+            else StyleRuns.slice(s.styles,
+              s.text.length - cleaned.length, s.text.length)
+          emit("abstract", cleaned, coords = s.coords, styles = shifted)
           hasAbstract = true
         case t @ ("<affiliation>" | "<address>") =>
           if (affParent >= 0 && t == "<affiliation>" &&
@@ -76,12 +86,14 @@ object Extractors {
           }
           if (affParent < 0) affParent = emit("raw_affiliation_address", "")
           emit(if (t == "<affiliation>") "raw_affiliation" else "raw_address",
-            s.text, affParent, s.coords)
+            s.text, affParent, s.coords, s.styles)
         case other =>
           affParent = -1L
           other match {
-            case "<author>" => emit("raw_authors", s.text, coords = s.coords)
-            case tag => emit(s"note[$tag]", s.text, coords = s.coords) // E8
+            case "<author>" =>
+              emit("raw_authors", s.text, coords = s.coords, styles = s.styles)
+            case tag => // E8
+              emit(s"note[$tag]", s.text, coords = s.coords, styles = s.styles)
           }
       }
     }
@@ -122,7 +134,8 @@ object Extractors {
             out += SemanticNode(docId, parent, -1L, kind, "", null)
           }
           val tpe = if (s.tag == "<label>") "label" else "caption"
-          out += SemanticNode(docId, nextId, parent, tpe, s.text, null, s.coords)
+          out += SemanticNode(docId, nextId, parent, tpe, s.text, null,
+            s.coords, s.styles)
           nextId += 1
         case _ => parent = -1L
       }

@@ -21,9 +21,11 @@ object ModelExtractors {
     val out = ListBuffer.empty[SemanticNode]
     private var nextId = 0L
     def emit(tpe: String, text: String, parent: Long = -1L,
-        contentId: String = null, coords: String = null): Long = {
+        contentId: String = null, coords: String = null,
+        styles: String = null): Long = {
       val id = nextId; nextId += 1
-      out += SemanticNode(docId, id, parent, tpe, text, contentId, coords)
+      out += SemanticNode(docId, id, parent, tpe, text, contentId, coords,
+        styles)
       id
     }
   }
@@ -160,21 +162,24 @@ object ModelExtractors {
             refParent = e.emit("raw_reference", "", contentId = s"b$refCount")
             refCount += 1
           }
-          e.emit("label", s.text, refParent, coords = s.coords)
+          e.emit("label", s.text, refParent, coords = s.coords,
+            styles = s.styles)
         case "<reference>" =>
           if (refParent < 0 && isFirstRef && !looksLikeReference(s.text)) {
-            e.emit("heading", s.text, coords = s.coords)
+            e.emit("heading", s.text, coords = s.coords, styles = s.styles)
             isFirstRef = false
           } else {
             if (refParent < 0) {
               refParent = e.emit("raw_reference", "", contentId = s"b$refCount")
               refCount += 1
             }
-            e.emit("raw_reference_text", s.text, refParent, coords = s.coords)
+            e.emit("raw_reference_text", s.text, refParent,
+              coords = s.coords, styles = s.styles)
             refParent = -1L
             isFirstRef = false
           }
-        case tag => e.emit(s"note[$tag]", s.text, coords = s.coords)
+        case tag => e.emit(s"note[$tag]", s.text, coords = s.coords,
+          styles = s.styles)
       }
     }
     // a raw <biblStruct>'s coords cover label + reference text
@@ -421,23 +426,29 @@ object ModelExtractors {
       s.tag match {
         case "O" =>
           if (section >= 0)
-            e.emit("note[fulltext:other]", s.text, section, coords = s.coords)
-          else e.emit("note[fulltext:other]", s.text, coords = s.coords)
+            e.emit("note[fulltext:other]", s.text, section, coords = s.coords,
+              styles = s.styles)
+          else e.emit("note[fulltext:other]", s.text, coords = s.coords,
+            styles = s.styles)
         case "<section>" =>
           paragraph = -1L; rawEquation = -1L
           section = e.emit("section", "", contentId = sectionType)
           // <head> carries the heading block's coords (tei/section.py:45)
           val heading = e.emit("heading", "", section, coords = s.coords)
           val (label, title) = sectionLabelAndTitle(s.text)
-          label.foreach(l => e.emit("label", l, heading))
-          e.emit("title", title, heading)
+          label.foreach(l => e.emit("label", l, heading,
+            styles = StyleRuns.slice(s.styles, 0, l.length)))
+          e.emit("title", title, heading, styles = StyleRuns.slice(
+            s.styles, s.text.length - title.length, s.text.length))
         case tag =>
           if (section < 0) section = e.emit("section", "", contentId = sectionType)
           tag match {
             case "<figure>" =>
-              e.emit("raw_figure", s.text, section, coords = s.coords)
+              e.emit("raw_figure", s.text, section, coords = s.coords,
+                styles = s.styles)
             case "<table>" =>
-              e.emit("raw_table", s.text, section, coords = s.coords)
+              e.emit("raw_table", s.text, section, coords = s.coords,
+                styles = s.styles)
             case "<equation>" | "<equation_label>" =>
               if (paragraph < 0) paragraph = e.emit("paragraph", "", section)
               val isContent = tag == "<equation>"
@@ -449,19 +460,23 @@ object ModelExtractors {
               }
               if (isContent) {
                 e.emit("raw_equation_content", s.text, rawEquation,
-                  coords = s.coords)
+                  coords = s.coords, styles = s.styles)
                 rawEquationHasContent = true
-              } else e.emit("label", s.text, rawEquation, coords = s.coords)
+              } else e.emit("label", s.text, rawEquation, coords = s.coords,
+                styles = s.styles)
             case _ =>
               if (paragraph < 0 || (tag == "<paragraph>" && prev == "<paragraph>"))
                 paragraph = e.emit("paragraph", "", section)
               rawEquation = -1L
               ParagraphMarkerTypes.get(tag) match {
-                case Some(t) => e.emit(t, s.text, paragraph, coords = s.coords)
+                case Some(t) => e.emit(t, s.text, paragraph, coords = s.coords,
+                  styles = s.styles)
                 case None if tag == "<paragraph>" =>
-                  e.emit("text", s.text, paragraph, coords = s.coords)
+                  e.emit("text", s.text, paragraph, coords = s.coords,
+                    styles = s.styles)
                 case None =>
-                  e.emit(s"note[$tag]", s.text, paragraph, coords = s.coords)
+                  e.emit(s"note[$tag]", s.text, paragraph, coords = s.coords,
+                    styles = s.styles)
               }
           }
       }

@@ -21,12 +21,16 @@ import graft.pipeline.Extractors.Span
   */
 object Processor {
 
-  /** Tolerant boundary for node frames built before the `coords`
-    * column existed (ad-hoc test frames, external callers): absent →
-    * null string column, so `.as[SemanticNode]` resolves. */
-  def withCoordsColumn(nodes: DataFrame): DataFrame =
-    if (nodes.columns.contains("coords")) nodes
-    else nodes.withColumn("coords", lit(null).cast("string"))
+  /** Tolerant boundary for node frames built before the `coords`/
+    * `styles` columns existed (ad-hoc test frames, external callers):
+    * absent → null string columns, so `.as[SemanticNode]` resolves. */
+  def withCoordsColumn(nodes: DataFrame): DataFrame = {
+    val withC =
+      if (nodes.columns.contains("coords")) nodes
+      else nodes.withColumn("coords", lit(null).cast("string"))
+    if (withC.columns.contains("styles")) withC
+    else withC.withColumn("styles", lit(null).cast("string"))
+  }
 
   final case class Config(
       extractAuthors: Boolean = true,
@@ -354,7 +358,8 @@ object Processor {
     import sparkSession.implicits._
     Processor.withCoordsColumn(headerNodes)
       .select(col("doc_id"), col("node_id"), col("parent_id"),
-        col("node_type"), col("text"), col("content_id"), col("coords"))
+        col("node_type"), col("text"), col("content_id"), col("coords"),
+        col("styles"))
       .as[SemanticNode]
       .groupByKey(_.doc_id)
       .flatMapGroups { (docId, it) => processDocument(docId, it.toSeq, config).iterator }

@@ -83,4 +83,9 @@ final case class SemanticNode(
     /** Merged page coordinates in the TEI `coords` attribute format
       * (`page,x,y,w,h[;…]`, tei/common.py:87-101); null when the
       * node's source tokens carried no geometry. */
-    coords: String = null)
+    coords: String = null,
+    /** Styled token runs over `text` as `start,end,mask` triples
+      * (';'-joined; mask bits 1=bold 2=italic 4=subscript
+      * 8=superscript) — the sink renders them as nested
+      * `<hi rend="…">` wrappers (tei/common.py:61-84); null = plain. */
+    styles: String = null)

@@ -37,7 +37,8 @@ object SemanticViews {
     val roots = rootTypes.toSet
     Processor.withCoordsColumn(nodes)
       .select(col("doc_id"), col("node_id"), col("parent_id"),
-        col("node_type"), col("text"), col("content_id"), col("coords"))
+        col("node_type"), col("text"), col("content_id"), col("coords"),
+        col("styles"))
       .as[SemanticNode]
       .groupByKey(_.doc_id)
       .flatMapGroups { (_, it) =>

@@ -24,6 +24,10 @@ object Jats {
       |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
       |    xmlns:tei="http://www.tei-c.org/ns/1.0">
       |  <xsl:output method="xml" omit-xml-declaration="yes"/>
+      |  <!-- tei-to-jats.xsl:12-13 — styled runs unwrap by default,
+      |       opt-in <b>/<i> via parameters -->
+      |  <xsl:param name="output_bold" select="'false'"/>
+      |  <xsl:param name="output_italic" select="'false'"/>
       |  <xsl:template match="/tei:TEI">
       |    <article>
       |      <front>
@@ -169,16 +173,36 @@ object Jats {
       |        <xsl:apply-templates select="tei:head"/>
       |        <p><xsl:value-of select="tei:figDesc"/></p>
       |      </caption>
-      |      <table><tbody><tr><td><xsl:value-of select="text()"/></td></tr></tbody></table>
+      |      <table><tbody><tr><td><xsl:apply-templates
+      |        select="node()[not(self::tei:head|self::tei:label|self::tei:figDesc)]"/></td></tr></tbody></table>
       |    </table-wrap>
+      |  </xsl:template>
+      |  <!-- tei-to-jats.xsl:401-422 -->
+      |  <xsl:template match="tei:hi[@rend='italic']">
+      |    <xsl:choose>
+      |      <xsl:when test="$output_italic = 'true'">
+      |        <i><xsl:apply-templates select="node()"/></i>
+      |      </xsl:when>
+      |      <xsl:otherwise><xsl:apply-templates select="node()"/></xsl:otherwise>
+      |    </xsl:choose>
+      |  </xsl:template>
+      |  <xsl:template match="tei:hi[@rend='bold']">
+      |    <xsl:choose>
+      |      <xsl:when test="$output_bold = 'true'">
+      |        <b><xsl:apply-templates select="node()"/></b>
+      |      </xsl:when>
+      |      <xsl:otherwise><xsl:apply-templates select="node()"/></xsl:otherwise>
+      |    </xsl:choose>
       |  </xsl:template>
       |</xsl:stylesheet>""".stripMargin
 
-  def transform(tei: String): String = {
+  def transform(tei: String,
+      params: Map[String, String] = Map.empty): String = {
     val factory = TransformerFactory.newInstance()
     val t = factory.newTemplates(new StreamSource(new StringReader(Stylesheet)))
       .newTransformer()
     t.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
+    params.foreach { case (k, v) => t.setParameter(k, v) }
     val out = new StringWriter()
     t.transform(new StreamSource(new StringReader(tei)), new StreamResult(out))
     out.toString

@@ -30,6 +30,36 @@ object Tei {
   private def coordsAttr(merged: String): String =
     if (merged == null || merged.isEmpty) "" else s""" coords="${esc(merged)}""""
 
+  /** Render node text with its styled runs as nested `<hi rend="…">`
+    * wrappers (tei/common.py:74-84 get_element_for_styles — outermost
+    * style first in the bold/italic/subscript/superscript order;
+    * tei/common.py:115-151 run grouping happened span-side). */
+  private def styledXml(text: String, styles: String): String = {
+    if (text == null) return ""
+    if (styles == null || styles.isEmpty) return esc(text)
+    val sb = new StringBuilder
+    var pos = 0
+    graft.pipeline.StyleRuns.parse(styles)
+      .filter { case (a, b, _) => a < text.length && b > a }
+      .sortBy(_._1)
+      .foreach { case (a, b, m) =>
+        val from = math.max(a, pos)
+        val until = math.min(b, text.length)
+        if (from > pos) sb ++= esc(text.substring(pos, from))
+        if (until > from) {
+          val inner = esc(text.substring(from, until))
+          val names = Seq(1 -> "bold", 2 -> "italic", 4 -> "subscript",
+            8 -> "superscript").collect { case (bit, n) if (m & bit) != 0 => n }
+          sb ++= names.foldRight(inner)((n, acc) => s"""<hi rend="$n">$acc</hi>""")
+          pos = until
+        }
+      }
+    if (pos < text.length) sb ++= esc(text.substring(pos))
+    sb.toString
+  }
+
+  private def styledXml(n: SemanticNode): String = styledXml(n.text, n.styles)
+
   /** Naive fallback when the name model pass did not run (raw_authors
     * nodes): first token → forename, rest → surname. */
   private def rawAuthorXml(raw: String): String = {
@@ -147,7 +177,7 @@ object Tei {
     children.zipWithIndex.foreach { case (c, i) =>
       if (i > 0) sb ++= " "
       if (c.node_type == "marker") sb ++= s"<label>${esc(c.text)}</label>"
-      else sb ++= esc(c.text)
+      else sb ++= styledXml(c)
     }
     sb ++= "</note>"
     children.foreach { c =>
@@ -280,21 +310,21 @@ object Tei {
                   // label as a nested <label>, order as emitted
                   val eqParts = kids(p.node_id).map { k =>
                     k.node_type match {
-                      case "raw_equation_content" => esc(k.text)
-                      case "label" => s"<label>${esc(k.text)}</label>"
-                      case _ => esc(k.text)
+                      case "raw_equation_content" => styledXml(k)
+                      case "label" => s"<label>${styledXml(k)}</label>"
+                      case _ => styledXml(k)
                     }
                   }
                   flushFragment()
                   bodySb ++= s"<formula${coordsAttr(p)}>${eqParts.mkString(" ")}</formula>"
-                case "text" => push(esc(p.text), p)
+                case "text" => push(styledXml(p), p)
                 case "reference_citation" =>
-                  push(s"""<ref type="bibr"${target(p)}${coordsAttr(p)}>${esc(p.text)}</ref>""", p)
+                  push(s"""<ref type="bibr"${target(p)}${coordsAttr(p)}>${styledXml(p)}</ref>""", p)
                 case "figure_citation" =>
-                  push(s"""<ref type="figure"${target(p)}${coordsAttr(p)}>${esc(p.text)}</ref>""", p)
+                  push(s"""<ref type="figure"${target(p)}${coordsAttr(p)}>${styledXml(p)}</ref>""", p)
                 case "table_citation" =>
-                  push(s"""<ref type="table"${target(p)}${coordsAttr(p)}>${esc(p.text)}</ref>""", p)
-                case _ => push(esc(p.text), p)
+                  push(s"""<ref type="table"${target(p)}${coordsAttr(p)}>${styledXml(p)}</ref>""", p)
+                case _ => push(styledXml(p), p)
               }
             }
             flushFragment()
@@ -307,26 +337,26 @@ object Tei {
             kids(c.node_id).foreach { k =>
               k.node_type match {
                 case "label" =>
-                  bodySb ++= s"<head${coordsAttr(k)}>${esc(k.text)}</head>" +
-                    s"<label${coordsAttr(k)}>${esc(k.text)}</label>"
+                  bodySb ++= s"<head${coordsAttr(k)}>${styledXml(k)}</head>" +
+                    s"<label${coordsAttr(k)}>${styledXml(k)}</label>"
                 case "caption" =>
-                  bodySb ++= s"<figDesc${coordsAttr(k)}>${esc(k.text)}</figDesc>"
+                  bodySb ++= s"<figDesc${coordsAttr(k)}>${styledXml(k)}</figDesc>"
                 case "graphic" => bodySb ++= graphicXml(k)
                 case _ => ()
               }
             }
             bodySb ++= "</figure>"
           case "raw_figure" =>
-            bodySb ++= s"<figure${coordsAttr(c)}>${esc(c.text)}</figure>"
+            bodySb ++= s"<figure${coordsAttr(c)}>${styledXml(c)}</figure>"
           case "raw_table" =>
-            bodySb ++= s"""<figure type="table"${coordsAttr(c)}>${esc(c.text)}</figure>"""
+            bodySb ++= s"""<figure type="table"${coordsAttr(c)}>${styledXml(c)}</figure>"""
           case t if t.startsWith("note[") =>
             // tei/misc.py:21-40 (SemanticMixedNote): unlabeled content
             // kept as <note type="...">; the bracketed fold reason maps
             // to the note type, "fulltext:other" → "other"
             val noteType = t.stripPrefix("note[").stripSuffix("]")
               .split(":").last
-            bodySb ++= s"""<note type="${esc(noteType)}"${coordsAttr(c)}>${esc(c.text)}</note>"""
+            bodySb ++= s"""<note type="${esc(noteType)}"${coordsAttr(c)}>${styledXml(c)}</note>"""
           case _ => ()
         }
       }
@@ -366,7 +396,7 @@ object Tei {
           case "raw_reference"
               if !Option(r.content_id).exists(parsedIds) =>
             val raw = kids(r.node_id).filter(_.node_type == "raw_reference_text")
-              .map(_.text).mkString(" ")
+              .map(styledXml).mkString(" ")
             val idAttr = Option(r.content_id)
               .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
             backSb ++= s"<bibl$idAttr${coordsAttr(r)}>${esc(raw)}</bibl>"
@@ -391,7 +421,7 @@ object Tei {
     sb ++= "<teiHeader><fileDesc>"
     sb ++= "<titleStmt>"
     title.foreach(t =>
-      sb ++= s"""<title level="a" type="main"${coordsAttr(t)}>${esc(t.text)}</title>""")
+      sb ++= s"""<title level="a" type="main"${coordsAttr(t)}>${styledXml(t)}</title>""")
     sb ++= "</titleStmt>"
     sb ++= "<sourceDesc><biblStruct><analytic>"
     authorXmls.foreach(sb ++= _)
@@ -400,7 +430,7 @@ object Tei {
     sb ++= "</fileDesc>"
     abstractNode.filter(_.text.nonEmpty).foreach { t =>
       sb ++= "<profileDesc><abstract>" +
-        s"<p${coordsAttr(t)}>${esc(t.text)}</p></abstract></profileDesc>"
+        s"<p${coordsAttr(t)}>${styledXml(t)}</p></abstract></profileDesc>"
     }
     sb ++= "</teiHeader>"
     val backXml = if (backSb.nonEmpty) s"<back>${backSb.toString}</back>" else "<back/>"
@@ -416,7 +446,7 @@ object Tei {
     import sparkSession.implicits._
     graft.pipeline.Processor.withCoordsColumn(nodes)
       .select("doc_id", "node_id", "parent_id", "node_type", "text",
-        "content_id", "coords")
+        "content_id", "coords", "styles")
       .as[SemanticNode]
       .groupByKey(_.doc_id)
       .mapGroups { (docId, it) => (docId, buildTei(it.toSeq)) }

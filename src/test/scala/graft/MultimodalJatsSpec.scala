@@ -163,6 +163,31 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(df.collect().head.getString(1).contains("<article-title>A Title</article-title>"))
   }
 
+  test("JATS: hi-rend unwraps by default, opt-in <b>/<i> via parameters") {
+    // tei_to_jats_xslt_test.py:530-579
+    val tei = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader>""" +
+      """<fileDesc><titleStmt><title level="a" type="main">T</title>""" +
+      """</titleStmt></fileDesc></teiHeader><text><body><div>""" +
+      """<head><hi rend="italic">Introduction</hi></head>""" +
+      """<p>plain <hi rend="bold">bold text</hi> and """ +
+      """<hi rend="italic">italic text</hi> end</p>""" +
+      """</div></body><back/></text></TEI>"""
+    val off = Jats.transform(tei)
+    assert(off.contains("<title>Introduction</title>"), off)
+    assert(off.contains("<p>plain bold text and italic text end</p>"), off)
+    val on = Jats.transform(tei,
+      Map("output_bold" -> "true", "output_italic" -> "true"))
+    assert(on.contains("<title><i>Introduction</i></title>"), on)
+    assert(on.contains("<p>plain <b>bold text</b> and <i>italic text</i> end</p>"), on)
+    // raw-table cell keeps text around styled runs
+    val rawTable = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader>""" +
+      """<fileDesc><titleStmt><title level="a" type="main">T</title>""" +
+      """</titleStmt></fileDesc></teiHeader><text><body><div>""" +
+      """<figure type="table">before <hi rend="bold">mid</hi> after</figure>""" +
+      """</div></body><back/></text></TEI>"""
+    assert(Jats.transform(rawTable).contains("<td>before mid after</td>"))
+  }
+
   test("JATS: body divs become secs with xrefs, figures and ack map to JATS shapes") {
     val tei = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>""" +
       """<titleStmt><title level="a" type="main">A Title</title></titleStmt>""" +

@@ -554,6 +554,51 @@ class PipelineSpec extends SparkSuite {
     assert(TextNormalization.normalize("a    b") == "a b")
   }
 
+  test("styled runs: reference hi-rend cases through spans -> fold -> TEI") {
+    import graft.pipeline.{FontInfo, LocalLabelers, TokenRow}
+    // tei/common_test.py TestIterLayoutBlockTeiChildren, ported against
+    // the span-run encoding + sink rendering
+    def font(b: Boolean = false, i: Boolean = false, sub: Boolean = false,
+        sup: Boolean = false) = FontInfo("f1", null, None, b, i, sub, sup)
+    def tok(idx: Int, text: String, f: FontInfo) =
+      TokenRow(0L, 0, 0, 0, idx, text, " ", f, None, 1, None, None)
+    def teiFor(tag: String, tokens: TokenRow*): String = {
+      val labeled = tokens.toIndexedSeq.map(t =>
+        (t, if (t.token_idx == 0) s"B-$tag" else s"I-$tag"))
+      val nodes = Extractors.headerFold(0L, LocalLabelers.spansLocal(labeled))
+      Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    }
+    // italic / bold / subscript / superscript single styled token
+    assert(teiFor("<title>", tok(0, "token1", font()),
+      tok(1, "token2", font(i = true)), tok(2, "token3", font()))
+      .contains("""token1 <hi rend="italic">token2</hi> token3"""))
+    assert(teiFor("<title>", tok(0, "token1", font()),
+      tok(1, "token2", font(b = true)), tok(2, "token3", font()))
+      .contains("""token1 <hi rend="bold">token2</hi> token3"""))
+    assert(teiFor("<title>", tok(0, "token1", font()),
+      tok(1, "token2", font(sub = true)), tok(2, "token3", font()))
+      .contains("""token1 <hi rend="subscript">token2</hi> token3"""))
+    assert(teiFor("<title>", tok(0, "token1", font()),
+      tok(1, "token2", font(sup = true)), tok(2, "token3", font()))
+      .contains("""token1 <hi rend="superscript">token2</hi> token3"""))
+    // bold+italics nest bold outermost
+    assert(teiFor("<title>", tok(0, "token1", font()),
+      tok(1, "token2", font(b = true, i = true)), tok(2, "token3", font()))
+      .contains(
+        """token1 <hi rend="bold"><hi rend="italic">token2</hi></hi> token3"""))
+    // consecutive same-style tokens combine into ONE wrapper pair,
+    // joining whitespace inside
+    assert(teiFor("<title>", tok(0, "token1", font()),
+      tok(1, "token2", font(b = true, i = true)),
+      tok(2, "token3", font(b = true, i = true)), tok(3, "token4", font()))
+      .contains("""token1 <hi rend="bold"><hi rend="italic">token2 """ +
+        """token3</hi></hi> token4"""))
+    // abstract prefix strip re-bases the runs (StyleRuns.slice)
+    val abs = teiFor("<abstract>", tok(0, "Abstract:", font()),
+      tok(1, "the", font()), tok(2, "content", font(b = true)))
+    assert(abs.contains("""<p>the <hi rend="bold">content</hi></p>"""), abs)
+  }
+
   test("coordinates: reference merge cases, format round-trip") {
     import graft.pipeline.{Coordinates, Coords}
     // layout_document_test.py TestGetMergedCoordinatesList
