@@ -24,6 +24,46 @@ object Lexicon {
       .filter(col("word") =!= "" && !col("word").startsWith("#"))
       .distinct()
 
+  /** Load a GROBID-style TEI-XML lexicon (lookup/xml_lookup.py:22-31:
+    * every `<cell>` text content anywhere in the document becomes an
+    * entry, lowercased — the country-table format where a row holds
+    * a2code/a3code/name cells). Reads whole files so the XML parses
+    * intact; multi-file lexicon directories distribute per file. */
+  def fromTeiXmlFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path).as[String]
+      .flatMap { xml =>
+        val words = scala.collection.mutable.ListBuffer.empty[String]
+        val f = javax.xml.stream.XMLInputFactory.newInstance()
+        f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+        f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+        val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+        var inCell = 0
+        val sb = new StringBuilder
+        import javax.xml.stream.XMLStreamConstants._
+        while (r.hasNext) {
+          r.next() match {
+            case START_ELEMENT if r.getLocalName == "cell" =>
+              inCell += 1; sb.clear()
+            case CHARACTERS | CDATA if inCell > 0 => sb ++= r.getText
+            case END_ELEMENT if r.getLocalName == "cell" && inCell > 0 =>
+              inCell -= 1
+              val w = sb.toString.trim.toLowerCase
+              if (w.nonEmpty) words += w
+            case _ => ()
+          }
+        }
+        r.close()
+        words.toList
+      }
+      .toDF("word").distinct()
+  }
+
+  /** MergedTextLookUp analog (lookup/__init__.py:19-31): membership in
+    * any of the given lexica. */
+  def merged(lexica: Seq[DataFrame]): DataFrame =
+    lexica.reduceLeft(_ unionByName _).distinct()
+
   /** Add a '1'/'0' membership flag column via broadcast semi-join
     * (left join + presence flag keeps all token rows). */
   def membershipFlag(tokens: DataFrame, lexicon: DataFrame,

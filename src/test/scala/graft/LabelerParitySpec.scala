@@ -182,17 +182,20 @@ class LabelerParitySpec extends SparkSuite {
     }
   }
 
-  test("BIO spans: window and local forms agree") {
+  test("BIO spans: window and local forms agree (text AND merged coords)") {
     val labeled = new SegmentationRuleLabeler().label(corpus)
     val w = BioSpans.spans(labeled)
-      .select("doc_id", "span_id", "tag", "text")
-      .as[(Long, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+      .select("doc_id", "span_id", "tag", "text", "coords")
+      .as[(Long, Long, String, String, String)].collect()
+      .sortBy(r => (r._1, r._2))
     val rows = corpus.as[TokenRow].collect().toIndexedSeq
     val l = rows.groupBy(_.doc_id).toSeq.flatMap { case (docId, ts) =>
       LocalLabelers.spansLocal(
         LocalLabelers.segmentationLabels(LocalLabelers.ordered(ts)))
-        .map(s => (docId, s.span_id, s.tag, s.text))
+        .map(s => (docId, s.span_id, s.tag, s.text, s.coords))
     }.sortBy(r => (r._1, r._2))
     assert(w.toSeq == l)
+    // the corpus fixture must actually exercise the coords path
+    assert(l.exists(_._5 != null))
   }
 }

@@ -251,4 +251,29 @@ class MultimodalJatsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[String]("in_lexicon")).toMap
     assert(flagged == Map(0L -> "1", 1L -> "0", 2L -> "1"))
   }
+
+  test("TEI-XML lexicon: every cell text becomes a case-insensitive entry") {
+    // lookup/xml_lookup_test.py — the GROBID country-table format
+    val dir = java.nio.file.Files.createTempDirectory("lex").toFile
+    try {
+      val xml = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body>""" +
+        """<div><table><row>""" +
+        """<cell role="a2code">GB</cell><cell role="a3code">GBR</cell>""" +
+        """<cell role="name">UNITED KINGDOM</cell><cell role="name">UK</cell>""" +
+        """</row></table></div></body></text></TEI>"""
+      java.nio.file.Files.write(
+        new java.io.File(dir, "country.xml").toPath,
+        xml.getBytes("UTF-8"))
+      val lex = Lexicon.fromTeiXmlFile(spark, dir.getAbsolutePath)
+      val words = lex.collect().map(_.getString(0)).toSet
+      assert(words == Set("gb", "gbr", "united kingdom", "uk"))
+      // contains() is lower-cased membership; merged() is any-of
+      val toks = Seq((0L, "uk"), (1L, "GB"), (2L, "OTHER"), (3L, "france"))
+        .toDF("id", "text")
+      val merged = Lexicon.merged(Seq(lex, Seq("france").toDF("word")))
+      val flagged = Lexicon.membershipFlag(toks, merged)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("in_lexicon")).toMap
+      assert(flagged == Map(0L -> "1", 1L -> "1", 2L -> "0", 3L -> "1"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
