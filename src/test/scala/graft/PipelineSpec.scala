@@ -554,6 +554,26 @@ class PipelineSpec extends SparkSuite {
     assert(TextNormalization.normalize("a    b") == "a b")
   }
 
+  test("documentPipeline: empty and token-less documents do not fail") {
+    // processor_test.py test_should_not_fail_with_empty_document
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      fixtureTokens.toDF().schema)
+    assert(graft.pipeline.Processor.documentPipeline(empty).count() == 0L)
+    val emptyTei = Tei.serialize(
+      graft.pipeline.Processor.documentPipeline(empty).toDF())
+    assert(emptyTei.count() == 0L)
+    // a document whose only page has no text still renders a TEI shell
+    val blank = """<?xml version="1.0"?><alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">""" +
+      """<Layout><Page WIDTH="595" HEIGHT="842" PHYSICAL_IMG_NR="1"/></Layout></alto>"""
+    val toks = AltoReader.tokensPermissive(Seq((7L, blank)).toDS()).toDF()
+    val tei = graft.pipeline.Processor.documentTei(toks)
+    val got = tei.collect()
+    // zero tokens -> zero docs in the fold (the reference returns an
+    // empty semantic document; our contract is no row, not a crash)
+    assert(got.isEmpty || got.head.getString(1).contains("<TEI"))
+  }
+
   test("styled runs: reference hi-rend cases through spans -> fold -> TEI") {
     import graft.pipeline.{FontInfo, LocalLabelers, TokenRow}
     // tei/common_test.py TestIterLayoutBlockTeiChildren, ported against
