@@ -41,51 +41,65 @@ object BioSpans {
     * (`text + whitespace` per token, trailing whitespace trimmed —
     * LayoutBlock text semantics) + first-token position keys.
     */
+  /** Seq[Row] of the collected token structs → (text, coords, styles)
+    * via the SAME [[SpanAssembly.assemble]] the local span form uses —
+    * one implementation, provable parity. A UDF (not HOF expressions)
+    * because the styled-run offset fold has no clean Column form; the
+    * per-span arrays are small and this DataFrame path is the
+    * secondary entry (the documentPipeline fold never goes through
+    * Catalyst for span assembly at all). */
+  private val assembleUdf = udf { toks: Seq[org.apache.spark.sql.Row] =>
+    val spanToks = toks.map { r =>
+      val coords = Option(r.getAs[org.apache.spark.sql.Row]("coords")).map(c =>
+        Coords(c.getAs[Double]("x"), c.getAs[Double]("y"),
+          c.getAs[Double]("width"), c.getAs[Double]("height"),
+          c.getAs[Int]("page_number")))
+      val font = Option(r.getAs[org.apache.spark.sql.Row]("font")).map(f =>
+        FontInfo(f.getAs[String]("font_id"), f.getAs[String]("font_family"),
+          Option(f.getAs[java.lang.Double]("font_size")).map(_.doubleValue),
+          f.getAs[Boolean]("is_bold"), f.getAs[Boolean]("is_italics"),
+          f.getAs[Boolean]("is_subscript"), f.getAs[Boolean]("is_superscript")))
+        .orNull
+      SpanAssembly.SpanTok(r.getAs[String]("text"),
+        r.getAs[String]("whitespace"), coords, font)
+    }
+    val (text, coords, styles) = SpanAssembly.assemble(spanToks)
+    (text, coords, styles)
+  }
+
   def spans(labeled: DataFrame): DataFrame = {
-    // tolerate geometry-less token frames (synthetic labels in tests,
-    // re-labeled text): a typed null struct merges to a null coords
-    val withGeom =
-      if (labeled.columns.contains("coords")) labeled
-      else labeled.withColumn("coords", lit(null).cast(
+    // tolerate geometry-/font-less token frames (synthetic labels in
+    // tests, re-labeled text): typed null structs assemble to nulls
+    var withGeom = labeled
+    if (!withGeom.columns.contains("coords"))
+      withGeom = withGeom.withColumn("coords", lit(null).cast(
         "struct<x:double,y:double,width:double,height:double,page_number:int>"))
+    if (!withGeom.columns.contains("font"))
+      withGeom = withGeom.withColumn("font", lit(null).cast(
+        "struct<font_id:string,font_family:string,font_size:double," +
+          "is_bold:boolean,is_italics:boolean,is_subscript:boolean," +
+          "is_superscript:boolean>"))
     val withIds = assignSpanIds(withGeom)
-    val collected = withIds
+    withIds
       .groupBy("doc_id", "span_id")
       .agg(
         first(col("tag")).as("tag"),
         array_sort(collect_list(struct(
           col("page_idx"), col("block_idx"), col("line_idx"), col("token_idx"),
-          col("text"), col("whitespace"), col("coords")))).as("_toks"),
+          col("text"), col("whitespace"), col("coords"), col("font"))))
+          .as("_toks"),
         min(struct(pos: _*)).as("first_pos"),
         count(lit(1)).as("n_tokens"))
-    // merged per-page boxes → TEI coords string (Coordinates.formatMerged
-    // twin; tokens are page-monotone in reading order, so grouping by
-    // page equals the reference's consecutive-same-page merge)
-    val boxed = transform(
-      filter(col("_toks"), t => t.getField("coords").isNotNull),
-      t => t.getField("coords"))
-    val mergedParts = transform(
-      array_distinct(transform(boxed, c => c.getField("page_number"))),
-      p => {
-        val onPage = filter(boxed, c => c.getField("page_number") === p)
-        val x = array_min(transform(onPage, c => c.getField("x")))
-        val y = array_min(transform(onPage, c => c.getField("y")))
-        val x2 = array_max(transform(onPage,
-          c => c.getField("x") + c.getField("width")))
-        val y2 = array_max(transform(onPage,
-          c => c.getField("y") + c.getField("height")))
-        format_string("%d,%.2f,%.2f,%.2f,%.2f", p, x, y, x2 - x, y2 - y)
-      })
-    collected
+      .withColumn("_asm", assembleUdf(col("_toks")))
       .select(col("doc_id"), col("span_id"), col("tag"),
-        rtrim(concat_ws("", transform(col("_toks"),
-          t => concat(t.getField("text"), t.getField("whitespace"))))).as("text"),
+        col("_asm._1").as("text"),
         col("first_pos.page_idx").as("first_page_idx"),
         col("first_pos.block_idx").as("first_block_idx"),
         col("first_pos.line_idx").as("first_line_idx"),
         col("first_pos.token_idx").as("first_token_idx"),
         col("n_tokens"),
-        when(size(mergedParts) > 0, array_join(mergedParts, ";")).as("coords"))
+        col("_asm._2").as("coords"),
+        col("_asm._3").as("styles"))
   }
 
   /** B4 filter-by-label: keep tokens of the given stripped tags —

@@ -73,6 +73,63 @@ object Coordinates {
     formatList(merge(ss.filter(s => s != null && s.nonEmpty).flatMap(parse)))
 }
 
+/** Shared span assembly: ordered tokens → (text, coords, styles), the
+  * single source of truth for BOTH span forms ([[LocalLabelers.spansLocal]]
+  * streams through it per span; [[BioSpans.spans]] applies it to the
+  * collected token array) so the window/local parity pin covers all
+  * three fields by construction. */
+object SpanAssembly {
+
+  final case class SpanTok(text: String, whitespace: String,
+      coords: Option[Coords], font: FontInfo)
+
+  private def styleMask(f: FontInfo): Int =
+    (if (f != null && f.is_bold) 1 else 0) |
+      (if (f != null && f.is_italics) 2 else 0) |
+      (if (f != null && f.is_subscript) 4 else 0) |
+      (if (f != null && f.is_superscript) 8 else 0)
+
+  /** text + whitespace reassembly with trailing-blank trim, merged
+    * page boxes, and styled runs (same-style neighbours merge with the
+    * joining whitespace inside; boundary whitespace stays plain —
+    * tei/common.py:115-151). */
+  def assemble(toks: Seq[SpanTok]): (String, String, String) = {
+    val sb = new StringBuilder
+    val boxes = scala.collection.mutable.ListBuffer.empty[Coords]
+    val runs = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int)]
+    var runStart = 0
+    var runEnd = 0
+    var runMask = 0
+    def closeRun(): Unit = {
+      if (runMask != 0 && runEnd > runStart) runs += ((runStart, runEnd, runMask))
+      runMask = 0
+    }
+    toks.foreach { t =>
+      // concat_ws skips the element when concat(text, whitespace) is null
+      if (t.text != null && t.whitespace != null) {
+        val mask = styleMask(t.font)
+        if (mask != runMask) { closeRun(); runStart = sb.length; runMask = mask }
+        sb.append(t.text)
+        runEnd = sb.length
+        sb.append(t.whitespace)
+      }
+      t.coords.foreach { c =>
+        if (boxes.nonEmpty && boxes.last.page_number == c.page_number)
+          boxes(boxes.length - 1) = Coordinates.union(boxes.last, c)
+        else boxes += c
+      }
+    }
+    var end = sb.length
+    while (end > 0 && sb.charAt(end - 1) <= ' ') end -= 1
+    closeRun()
+    val styles = runs.collect {
+      case (s, e, m) if s < end => s"$s,${math.min(e, end)},$m"
+    }
+    (sb.substring(0, end), Coordinates.formatList(boxes.toList),
+      if (styles.isEmpty) null else styles.mkString(";"))
+  }
+}
+
 /** Styled token runs over a span/node text, encoded `start,end,mask`
   * (';'-joined; mask bits 1=bold 2=italic 4=subscript 8=superscript —
   * the tei/common.py:61-71 style order). The TEI sink renders them as

@@ -150,11 +150,12 @@ object Extractors {
     val sparkSession = spans.sparkSession
     import sparkSession.implicits._
     spans.select(col("doc_id"), col("span_id"), col("tag"), col("text"),
-        col("coords"))
-      .as[(Long, Long, String, String, String)]
+        col("coords"), col("styles"))
+      .as[(Long, Long, String, String, String, String)]
       .groupByKey(_._1)
       .flatMapGroups { (docId, it) =>
-        headerFold(docId, it.map(r => Span(r._2, r._3, r._4, r._5)).toSeq).iterator
+        headerFold(docId,
+          it.map(r => Span(r._2, r._3, r._4, r._5, r._6)).toSeq).iterator
       }
   }
 

@@ -222,36 +222,10 @@ private[graft] object LocalLabelers {
     var spanId = 0L
     var curTag: String = null
     var open = false
-    val sb = new StringBuilder
-    // merged-as-we-go page boxes (Coordinates.merge over the span's
-    // token coordinates in reading order)
-    val boxes = new ListBuffer[Coords]
-    // styled token runs over the span text (tei/common.py:115-151
-    // grouping: same-style neighbours merge, the joining whitespace
-    // stays inside the run; boundary whitespace stays plain)
-    val runs = new ListBuffer[(Int, Int, Int)]
-    var runStart = 0
-    var runEnd = 0
-    var runMask = 0
-    def styleMask(f: FontInfo): Int =
-      (if (f != null && f.is_bold) 1 else 0) |
-        (if (f != null && f.is_italics) 2 else 0) |
-        (if (f != null && f.is_subscript) 4 else 0) |
-        (if (f != null && f.is_superscript) 8 else 0)
-    def closeRun(): Unit = {
-      if (runMask != 0 && runEnd > runStart) runs += ((runStart, runEnd, runMask))
-      runMask = 0
-    }
+    val toks = new ListBuffer[SpanAssembly.SpanTok]
     def flush(): Unit = if (open) {
-      var end = sb.length
-      while (end > 0 && sb.charAt(end - 1) <= ' ') end -= 1
-      closeRun()
-      val styles = runs.collect {
-        case (s, e, m) if s < end => s"$s,${math.min(e, end)},$m"
-      }
-      out += Extractors.Span(spanId, curTag, sb.substring(0, end),
-        Coordinates.formatList(boxes.toList),
-        if (styles.isEmpty) null else styles.mkString(";"))
+      val (text, coords, styles) = SpanAssembly.assemble(toks.toList)
+      out += Extractors.Span(spanId, curTag, text, coords, styles)
     }
     labeled.foreach { case (t, label) =>
       val tag = stripTag(label)
@@ -259,25 +233,10 @@ private[graft] object LocalLabelers {
         flush()
         spanId += 1
         curTag = tag
-        sb.clear()
-        boxes.clear()
-        runs.clear()
-        runMask = 0
+        toks.clear()
         open = true
       }
-      // concat_ws skips the element when concat(text, whitespace) is null
-      if (t.text != null && t.whitespace != null) {
-        val mask = styleMask(t.font)
-        if (mask != runMask) { closeRun(); runStart = sb.length; runMask = mask }
-        sb.append(t.text)
-        runEnd = sb.length
-        sb.append(t.whitespace)
-      }
-      t.coords.foreach { c =>
-        if (boxes.nonEmpty && boxes.last.page_number == c.page_number)
-          boxes(boxes.length - 1) = Coordinates.union(boxes.last, c)
-        else boxes += c
-      }
+      toks += SpanAssembly.SpanTok(t.text, t.whitespace, t.coords, t.font)
     }
     flush()
     out.toIndexedSeq

@@ -120,11 +120,13 @@ object Processor {
   /** Rule stand-in for the affiliation model: raw affiliation text →
     * `<institution>`, raw address text → `<addrLine>`. */
   private[pipeline] def affiliationSpansOf(
-      children: Seq[(String, String)]): Seq[Span] =
+      children: Seq[(String, String, String)]): Seq[Span] =
     children.zipWithIndex.map {
-      case (("raw_affiliation", text), i) => Span(i.toLong, "<institution>", text)
-      case (("raw_address", text), i) => Span(i.toLong, "<addrLine>", text)
-      case ((_, text), i) => Span(i.toLong, "O", text)
+      case (("raw_affiliation", text, cs), i) =>
+        Span(i.toLong, "<institution>", text, cs)
+      case (("raw_address", text, cs), i) =>
+        Span(i.toLong, "<addrLine>", text, cs)
+      case ((_, text, cs), i) => Span(i.toLong, "O", text, cs)
     }
 
   /** Rule stand-in for the figure/table model
@@ -168,7 +170,13 @@ object Processor {
           if (folded.isEmpty)
             out += n.copy(node_id = base, parent_id = mapParent(n.parent_id))
           else folded.foreach { f =>
-            out += f.copy(node_id = base + f.node_id,
+            // the raw node's merged boxes become the <figure> element's
+            // coords (label/caption substrings cannot re-derive offsets
+            // into the raw text, so only the container keeps geometry)
+            val withGeom =
+              if (f.parent_id < 0 && f.coords == null) f.copy(coords = n.coords)
+              else f
+            out += withGeom.copy(node_id = base + f.node_id,
               parent_id = if (f.parent_id < 0) mapParent(n.parent_id)
                 else base + f.parent_id)
           }
@@ -283,16 +291,19 @@ object Processor {
     val out = scala.collection.mutable.ListBuffer.empty[SemanticNode]
     var nextId = 0L
     val idMap = scala.collection.mutable.Map.empty[Long, Long]
-    def add(tpe: String, text: String, parent: Long, contentId: String): Long = {
+    def add(tpe: String, text: String, parent: Long, contentId: String,
+        coords: String = null, styles: String = null): Long = {
       val id = nextId; nextId += 1
-      out += SemanticNode(docId, id, parent, tpe, text, contentId)
+      out += SemanticNode(docId, id, parent, tpe, text, contentId, coords,
+        styles)
       id
     }
     def graft(grafted: Seq[SemanticNode], parent: Long): Unit = {
       val gMap = scala.collection.mutable.Map.empty[Long, Long]
       grafted.foreach { g =>
         val mapped = if (g.parent_id < 0) parent else gMap(g.parent_id)
-        gMap(g.node_id) = add(g.node_type, g.text, mapped, g.content_id)
+        gMap(g.node_id) = add(g.node_type, g.text, mapped, g.content_id,
+          g.coords, g.styles)
       }
     }
     nodes.sortBy(_.node_id).foreach { n =>
@@ -305,7 +316,8 @@ object Processor {
           graft(ModelExtractors.nameFold(docId, nameSpansOf(n.text), "editor"),
             parent)
         case _ =>
-          idMap(n.node_id) = add(n.node_type, n.text, parent, n.content_id)
+          idMap(n.node_id) = add(n.node_type, n.text, parent, n.content_id,
+            n.coords, n.styles)
       }
     }
     out.toList
@@ -318,16 +330,19 @@ object Processor {
       config: Config = Config()): Seq[SemanticNode] = {
     val out = scala.collection.mutable.ListBuffer.empty[SemanticNode]
     var nextId = 0L
-    def add(tpe: String, text: String, parent: Long, contentId: String): Long = {
+    def add(tpe: String, text: String, parent: Long, contentId: String,
+        coords: String = null, styles: String = null): Long = {
       val id = nextId; nextId += 1
-      out += SemanticNode(docId, id, parent, tpe, text, contentId)
+      out += SemanticNode(docId, id, parent, tpe, text, contentId, coords,
+        styles)
       id
     }
     def graft(nodes: Seq[SemanticNode], parent: Long): Unit = {
       val idMap = scala.collection.mutable.Map.empty[Long, Long]
       nodes.foreach { n =>
         val mappedParent = if (n.parent_id < 0) parent else idMap(n.parent_id)
-        idMap(n.node_id) = add(n.node_type, n.text, mappedParent, n.content_id)
+        idMap(n.node_id) = add(n.node_type, n.text, mappedParent, n.content_id,
+          n.coords, n.styles)
       }
     }
     val ordered = headerNodes.sortBy(_.node_id)
@@ -339,13 +354,14 @@ object Processor {
           graft(ModelExtractors.nameFold(docId, nameSpansOf(n.text)), container)
         case "raw_affiliation_address" if config.extractAffiliations =>
           val kids = childrenOf.getOrElse(n.node_id, Nil)
-            .map(c => (c.node_type, c.text))
+            .map(c => (c.node_type, c.text, c.coords))
           val folded = ModelExtractors.affiliationFold(docId, affiliationSpansOf(kids))
           graft(folded, -1L)
         case _ =>
-          val id = add(n.node_type, n.text, -1L, n.content_id)
+          val id = add(n.node_type, n.text, -1L, n.content_id, n.coords,
+            n.styles)
           childrenOf.getOrElse(n.node_id, Nil).foreach { c =>
-            add(c.node_type, c.text, id, c.content_id)
+            add(c.node_type, c.text, id, c.content_id, c.coords, c.styles)
           }
       }
     }

@@ -56,7 +56,10 @@ object TextNormalization {
     * including the Zs spaces (NBSP, thin space) Java's `trim`/
     * `isWhitespace` alone would miss. */
   private def isBlank(s: String): Boolean =
-    s.forall(c => Character.isWhitespace(c) || Character.isSpaceChar(c))
+    // U+0085 NEL: Python \s and (?U)\s both match it, but neither
+    // Character.isWhitespace nor isSpaceChar does on the JVM
+    s.forall(c => Character.isWhitespace(c) || Character.isSpaceChar(c) ||
+      c == '\u0085')
 
   /** iter_tokenized_tokens: regex split keeping the delimiters as
     * tokens; whitespace-only tokens dropped unless `keepWhitespace`.

@@ -274,11 +274,11 @@ object Tei {
         c.node_type match {
           case "heading" =>
             val label = kids(c.node_id).find(_.node_type == "label").map(_.text)
-            val htitle = kids(c.node_id).find(_.node_type == "title").map(_.text)
+            val htitle = kids(c.node_id).find(_.node_type == "title")
             bodySb ++= "<head"
             label.foreach(l => bodySb ++= s""" n="${esc(l)}"""")
             bodySb ++= coordsAttr(c)
-            bodySb ++= s">${esc(htitle.getOrElse(""))}</head>"
+            bodySb ++= s">${htitle.map(styledXml).getOrElse("")}</head>"
           case "paragraph" =>
             // citation target = matched content id (tei/citation.py:44-45)
             def target(p: SemanticNode): String =
@@ -399,7 +399,7 @@ object Tei {
               .map(styledXml).mkString(" ")
             val idAttr = Option(r.content_id)
               .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
-            backSb ++= s"<bibl$idAttr${coordsAttr(r)}>${esc(raw)}</bibl>"
+            backSb ++= s"<bibl$idAttr${coordsAttr(r)}>$raw</bibl>"
           case _ => ()
         }
       }

@@ -38,17 +38,19 @@ object Lexicon {
         f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
         f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
         val r = f.createXMLStreamReader(new java.io.StringReader(xml))
-        var inCell = 0
-        val sb = new StringBuilder
+        // a stack of builders: nested cells each collect their own
+        // subtree text, like lxml's per-node text content over the
+        // //tei:cell node set (outer AND inner both become entries)
+        val open = scala.collection.mutable.Stack.empty[StringBuilder]
         import javax.xml.stream.XMLStreamConstants._
         while (r.hasNext) {
           r.next() match {
             case START_ELEMENT if r.getLocalName == "cell" =>
-              inCell += 1; sb.clear()
-            case CHARACTERS | CDATA if inCell > 0 => sb ++= r.getText
-            case END_ELEMENT if r.getLocalName == "cell" && inCell > 0 =>
-              inCell -= 1
-              val w = sb.toString.trim.toLowerCase
+              open.push(new StringBuilder)
+            case CHARACTERS | CDATA if open.nonEmpty =>
+              open.foreach(_ ++= r.getText)
+            case END_ELEMENT if r.getLocalName == "cell" && open.nonEmpty =>
+              val w = open.pop().toString.trim.toLowerCase
               if (w.nonEmpty) words += w
             case _ => ()
           }

@@ -30,7 +30,9 @@ class GraftFacadeSpec extends SparkSuite {
       val row = out.head
       val tei = row.getAs[String]("tei")
       val jats = row.getAs[String]("jats")
-      assert(tei.contains("""<title level="a" type="main">A Title</title>"""))
+      assert(tei.contains("""<title level="a" type="main" """ +
+        """coords="1,100.00,60.00,66.00,18.00">""" +
+        """<hi rend="bold">A Title</hi></title>"""))
       assert(jats.contains("<article-title>A Title</article-title>"))
 
       val train = Graft.headerTrainingData(tokens).collect()

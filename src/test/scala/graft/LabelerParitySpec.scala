@@ -182,20 +182,23 @@ class LabelerParitySpec extends SparkSuite {
     }
   }
 
-  test("BIO spans: window and local forms agree (text AND merged coords)") {
+  test("BIO spans: window and local forms agree (text, coords AND styles)") {
     val labeled = new SegmentationRuleLabeler().label(corpus)
     val w = BioSpans.spans(labeled)
-      .select("doc_id", "span_id", "tag", "text", "coords")
-      .as[(Long, Long, String, String, String)].collect()
+      .select("doc_id", "span_id", "tag", "text", "coords", "styles")
+      .as[(Long, Long, String, String, String, String)].collect()
       .sortBy(r => (r._1, r._2))
     val rows = corpus.as[TokenRow].collect().toIndexedSeq
     val l = rows.groupBy(_.doc_id).toSeq.flatMap { case (docId, ts) =>
       LocalLabelers.spansLocal(
         LocalLabelers.segmentationLabels(LocalLabelers.ordered(ts)))
-        .map(s => (docId, s.span_id, s.tag, s.text, s.coords))
+        .map(s => (docId, s.span_id, s.tag, s.text, s.coords, s.styles))
     }.sortBy(r => (r._1, r._2))
     assert(w.toSeq == l)
-    // the corpus fixture must actually exercise the coords path
+    // the corpus fixture must actually exercise the geometry and style
+    // paths (both forms share SpanAssembly, but a fixture that never
+    // produces a box or run would make this pin vacuous)
     assert(l.exists(_._5 != null))
+    assert(l.exists(_._6 != null))
   }
 }

@@ -267,6 +267,19 @@ class MultimodalJatsSpec extends SparkSuite {
       val lex = Lexicon.fromTeiXmlFile(spark, dir.getAbsolutePath)
       val words = lex.collect().map(_.getString(0)).toSet
       assert(words == Set("gb", "gbr", "united kingdom", "uk"))
+      // nested cells: outer keeps its full subtree text, inner is its
+      // own entry (lxml //tei:cell semantics)
+      val nestedXml = """<TEI xmlns="http://www.tei-c.org/ns/1.0">""" +
+        """<text><body><table><row>""" +
+        """<cell>United <cell>Kingdom</cell></cell>""" +
+        """</row></table></body></text></TEI>"""
+      java.nio.file.Files.write(
+        new java.io.File(dir, "nested.xml").toPath,
+        nestedXml.getBytes("UTF-8"))
+      val nested = Lexicon.fromTeiXmlFile(
+          spark, new java.io.File(dir, "nested.xml").getAbsolutePath)
+        .collect().map(_.getString(0)).toSet
+      assert(nested == Set("united kingdom", "kingdom"), nested)
       // contains() is lower-cased membership; merged() is any-of
       val toks = Seq((0L, "uk"), (1L, "GB"), (2L, "OTHER"), (3L, "france"))
         .toDF("id", "text")

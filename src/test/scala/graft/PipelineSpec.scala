@@ -98,9 +98,11 @@ class PipelineSpec extends SparkSuite {
 
     val nodes = Extractors.headerSemantics(spans)
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
-    // tei/common.py:104-114: elements with geometry carry coords
+    // tei/common.py:104-114: elements with geometry carry coords, and
+    // the bold title font renders as a styled run
     assert(tei.contains("""<title level="a" type="main" """ +
-      """coords="1,100.00,60.00,66.00,18.00">A Title</title>"""))
+      """coords="1,100.00,60.00,66.00,18.00">""" +
+      """<hi rend="bold">A Title</hi></title>"""))
     assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
   }
 
@@ -271,7 +273,9 @@ class PipelineSpec extends SparkSuite {
     val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
     val nodes = graft.pipeline.Processor.documentPipeline(tokens)
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
-    assert(tei.contains("""<title level="a" type="main">A Title</title>"""))
+    assert(tei.contains("""<title level="a" type="main" """ +
+      """coords="1,100.00,60.00,66.00,18.00">""" +
+      """<hi rend="bold">A Title</hi></title>"""))
     assert(tei.contains("<forename type=\"first\">Jane</forename><surname>Doe</surname>"))
     assert(tei.contains("""<head n="1." """ +
       """coords="1,100.00,200.00,80.00,10.00">Methods</head>"""))
@@ -351,11 +355,16 @@ class PipelineSpec extends SparkSuite {
     val tokens = AltoReader.tokens(Seq((0L, xml)).toDS()).toDF()
     val nodes = graft.pipeline.Processor.documentPipeline(tokens)
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    // the raw block's merged boxes become the <figure> element's coords
+    // (tei/figure_table.py:33,66)
     assert(tei.contains(
-      """<figure xml:id="fig_0"><head>Figure 1</head><label>Figure 1</label>""" +
+      """<figure xml:id="fig_0" coords="1,100.00,600.00,190.00,10.00">""" +
+        """<head>Figure 1</head><label>Figure 1</label>""" +
         "<figDesc>sample caption</figDesc></figure>"), tei)
     assert(tei.contains(
-      """<figure type="table" xml:id="tab_0"><head>Table 1</head><label>Table 1</label>""" +
+      """<figure type="table" xml:id="tab_0" """ +
+        """coords="1,100.00,620.00,190.00,10.00">""" +
+        """<head>Table 1</head><label>Table 1</label>""" +
         "<figDesc>data summary</figDesc></figure>"), tei)
     assert(tei.contains("""<ref type="figure" target="#fig_0" """ +
       """coords="1,180.00,214.00,70.00,10.00">Figure 1</ref>"""), tei)
@@ -660,6 +669,9 @@ class PipelineSpec extends SparkSuite {
       List("token1", "\n", "token2"))
     // NBSP is both a declared delimiter and unicode whitespace
     assert(TextNormalization.tokenize("a\u00a0b") == List("a", "b"))
+    // U+0085 NEL: Python \s matches it; the JVM's Character classes
+    // do not, so the blank filter names it explicitly
+    assert(TextNormalization.tokenize("a\u0085b") == List("a", "b"))
     // tests/utils/text_test.py — dash/quote folds plus unicode-space
     // collapse in normalize
     assert(TextNormalization.normalize("\u2013") == "-")
