@@ -10,6 +10,37 @@ import graft.sources.AltoReader
 class HeaderFeaturesSpec extends SparkSuite {
   import spark.implicits._
 
+  test("digit/caps/punct classification matrices match the reference") {
+    import graft.pipeline.Features
+    import org.apache.spark.sql.functions.col
+    // models/data_test.py TestGetDigitFeature / CapitalisationFeature /
+    // PunctuationTypeFeature — the full expectation matrices
+    val inputs = Seq(
+      "abc", "123", "abc123xyz", "ABC", "Abc", "*",
+      "(", "[", ")", "]", ".", ",", "-", "\u2013",
+      "\"", "'", "`", "\u2019", ",,", "::", ";;", "??", "..")
+    val got = inputs.toDF("text").select(col("text"),
+        Features.digitFeature().as("d"),
+        Features.capitalisationFeature().as("c"),
+        Features.punctuationTypeFeature().as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(got("abc") == ("NODIGIT", "NOCAPS", "NOPUNCT"))
+    assert(got("123")._1 == "ALLDIGIT")
+    assert(got("abc123xyz")._1 == "CONTAINSDIGITS")
+    assert(got("ABC")._2 == "ALLCAP")
+    assert(got("Abc")._2 == "INITCAP")
+    assert(got("*")._2 == "ALLCAP") // symbols count as ALLCAP
+    Seq("(", "[").foreach(t => assert(got(t)._3 == "OPENBRACKET"))
+    Seq(")", "]").foreach(t => assert(got(t)._3 == "ENDBRACKET"))
+    assert(got(".")._3 == "DOT")
+    assert(got(",")._3 == "COMMA")
+    Seq("-", "\u2013").foreach(t => assert(got(t)._3 == "HYPHEN"))
+    Seq("\"", "'", "`", "\u2019").foreach(t => assert(got(t)._3 == "QUOTE"))
+    Seq(",,", "::", ";;", "??", "..").foreach(t =>
+      assert(got(t)._3 == "PUNCT", t))
+  }
+
   test("32-feature token data lines match hand-derived reference values") {
     val toks = AltoReader.tokens(Seq((0L, new PipelineSpec().altoXml)).toDS()).toDF()
     val lines = HeaderFeatures.dataLines(toks)
