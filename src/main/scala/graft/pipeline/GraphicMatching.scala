@@ -109,7 +109,11 @@ object GraphicMatching {
         (col("height") / col("page_height")).as("nh"),
         col("page_number"))
 
-    val g = norm(graphics, "graphic_id")
+    // an empty (zero-area) graphic never matches
+    // (graphic_matching_test.py test_should_not_match_empty_graphic;
+    // BoundingBox.is_empty excludes it from the candidate boxes)
+    val g = norm(graphics.filter(col("width") > 0 && col("height") > 0),
+      "graphic_id")
     val c = norm(candidates, "candidate_id")
     // spatial theta-join: same doc, adjacent pages, gap distance bound.
     // The equi part (doc_id) hash-partitions; the rest is a post-filter.
@@ -117,10 +121,17 @@ object GraphicMatching {
       col("g.nx") - (col("c.nx") + col("c.nw")))
     val dy = greatest(lit(0.0), col("c.ny") - (col("g.ny") + col("g.nh")),
       col("g.ny") - (col("c.ny") + col("c.nh")))
+    // the distance pre-filter carries ONE PAGE of slack beyond the
+    // greedy bound: a continuation graphic matches through boxes its
+    // candidate ABSORBED in an earlier round (graphic_matching_test.py
+    // test_should_match_continuation_graphic_at_the_top_of_the_next_
+    // page), so the original-coordinates gap can exceed maxDistance by
+    // up to the absorbed graphic's extent (≤ 1 normalized page within
+    // the page-adjacency bound). The fold applies the exact bound.
     val pairs = g.as("g").join(c.as("c"),
         col("g.doc_id") === col("c.doc_id") &&
           abs(col("g.page_number") - col("c.page_number")) <= 1 &&
-          sqrt(dx * dx + dy * dy) <= maxDistance)
+          sqrt(dx * dx + dy * dy) <= maxDistance + 1.0)
       .select(col("g.doc_id").as("doc_id"),
         col("g.id").as("graphic_id"),
         struct(col("g.nx").as("x"), col("g.ny").as("y"), col("g.nw").as("width"),

@@ -204,4 +204,37 @@ class GraphicMatchingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(ms == Set((0L, "g1", "fig1"), (1L, "g1", "figA")))
   }
+
+  test("matchGraphics: reference page-boundary and empty-graphic cases") {
+    // graphic_matching_test.py BoundingBoxDistanceGraphicMatcher —
+    // page 100x200, candidate at the bottom of page 1
+    def gdf(rows: (Long, String, Double, Double, Double, Double, Int)*) =
+      rows.map { case (d, id, x, y, w, h, p) => (d, id, x, y, w, h, p, 100.0, 200.0) }
+        .toDF("doc_id", "graphic_id", "x", "y", "width", "height",
+          "page_number", "page_width", "page_height")
+    def cdf(rows: (Long, String, Double, Double, Double, Double, Int)*) =
+      rows.map { case (d, id, x, y, w, h, p) => (d, id, x, y, w, h, p, 100.0, 200.0) }
+        .toDF("doc_id", "candidate_id", "x", "y", "width", "height",
+          "page_number", "page_width", "page_height")
+    def matches(g: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      GraphicMatching.matchGraphics(g, c).collect()
+        .map(r => r.getString(1) -> r.getString(2)).toSet
+    // a zero-area graphic never matches, even at identical coordinates
+    assert(matches(gdf((0L, "empty", 20, 180, 0, 0, 1)),
+      cdf((0L, "cand", 20, 180, 60, 20, 1))).isEmpty)
+    // the same box a whole page away stays unmatched (distance 1.0)
+    assert(matches(gdf((0L, "far", 20, 100, 60, 20, 2)),
+      cdf((0L, "cand", 20, 100, 60, 20, 1))).isEmpty)
+    // a graphic at the TOP of the NEXT page matches the candidate at
+    // the bottom of the previous one (cross-page gap 0.05 < 0.3)
+    assert(matches(gdf((0L, "g1", 20, 10, 60, 50, 2)),
+      cdf((0L, "cand", 20, 180, 60, 20, 1))) == Set("g1" -> "cand"))
+    // continuation: BOTH page-1 and page-2 graphics match the same
+    // candidate across greedy rounds (winners stay in the pool)
+    assert(matches(
+      gdf((0L, "g1", 20, 140, 60, 50, 1), (0L, "g2", 20, 10, 60, 50, 2)),
+      cdf((0L, "cand", 20, 110, 60, 20, 1))) ==
+      Set("g1" -> "cand", "g2" -> "cand"))
+  }
 }
