@@ -115,8 +115,10 @@ object ModelExtractors {
           val (idType, value) = detectExternalId(s.text)
           fields += (("external_id", value, idType.orNull, s.coords))
         case "<date>" =>
-          fields += (("date", parseYear(s.text).map(_.toString).getOrElse(s.text),
-            null, s.coords))
+          // tei/references.py:94-106: the element keeps the raw block
+          // text; the parsed year rides separately as the when= value
+          fields += (("date", s.text,
+            parseYear(s.text).map(_.toString).orNull, s.coords))
         case tag if CitationTagTypes.contains(tag) =>
           fields += ((CitationTagTypes(tag), s.text, null, s.coords))
         case tag =>

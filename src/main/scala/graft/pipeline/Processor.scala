@@ -104,14 +104,32 @@ object Processor {
     var nextId = segNodes.map(_.node_id).maxOption.getOrElse(-1L) + 1
     val textByParent = segNodes.filter(_.node_type == "raw_reference_text")
       .groupBy(_.parent_id)
+    val labelByParent = segNodes.filter(_.node_type == "label")
+      .groupBy(_.parent_id)
     val citNodes = segNodes.filter(_.node_type == "raw_reference").flatMap { r =>
       textByParent.getOrElse(r.node_id, Nil).flatMap { t =>
         val folded = ModelExtractors.citationFold(docId,
           citationSpansOf(t.text), r.content_id)
         val offset = nextId
         nextId += folded.size
-        folded.map(n => n.copy(node_id = n.node_id + offset,
+        val shifted = folded.map(n => n.copy(node_id = n.node_id + offset,
           parent_id = if (n.parent_id < 0) -1L else n.parent_id + offset))
+        // citation/extract.py:214-217: the parsed reference STARTS
+        // with the raw reference's content — the segmenter label and
+        // (for valid refs) the raw reference text render inside the
+        // parsed <biblStruct> as typed notes. Invalid references drop
+        // the raw text (extract.py:172-179).
+        val root = shifted.find(_.parent_id < 0)
+        val inherited = root.toSeq.flatMap { rt =>
+          val keepRaw = rt.node_type == "reference"
+          val copies = labelByParent.getOrElse(r.node_id, Nil) ++
+            (if (keepRaw) Seq(t) else Nil)
+          copies.map { c =>
+            val id = nextId; nextId += 1
+            c.copy(node_id = id, parent_id = rt.node_id)
+          }
+        }
+        shifted ++ inherited
       }
     }
     segNodes ++ citNodes

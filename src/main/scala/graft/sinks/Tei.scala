@@ -116,9 +116,17 @@ object Tei {
       kids: Long => Seq[SemanticNode]): String = {
     val sb = new StringBuilder
     val id = Option(ref.content_id).map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
-    sb ++= s"<biblStruct$id${coordsAttr(ref)}><analytic>"
+    sb ++= s"<biblStruct$id${coordsAttr(ref)}>"
+    // inherited raw-reference content renders first
+    // (citation/extract.py:214-217 copies it in before the fields;
+    // references.py:67-75 renders label/raw text as typed notes)
+    cs.filter(_.node_type == "label").foreach(l =>
+      sb ++= s"""<note type="label">${styledXml(l)}</note>""")
+    cs.filter(_.node_type == "raw_reference_text").foreach(t =>
+      sb ++= s"""<note type="raw_reference">${styledXml(t)}</note>""")
+    sb ++= "<analytic>"
     cs.filter(_.node_type == "title").foreach(t =>
-      sb ++= s"""<title level="a" type="main">${esc(t.text)}</title>""")
+      sb ++= s"""<title level="a" type="main">${styledXml(t)}</title>""")
     cs.foreach { c =>
       c.node_type match {
         case "author" => sb ++= authorXml(kids(c.node_id))
@@ -132,16 +140,26 @@ object Tei {
     }
     sb ++= "</analytic><monogr>"
     cs.filter(_.node_type == "journal").foreach(j =>
-      sb ++= s"""<title level="j">${esc(j.text)}</title>""")
+      sb ++= s"""<title level="j">${styledXml(j)}</title>""")
     cs.filter(_.node_type == "editor").foreach(ed =>
       sb ++= authorXml(kids(ed.node_id), "editor"))
+    // editors the name pass left raw render as-is
+    // (factories.py:113 SemanticRawEditors -> monogr/editor)
+    cs.filter(_.node_type == "raw_editors").foreach(ed =>
+      sb ++= s"<editor>${styledXml(ed)}</editor>")
     sb ++= "<imprint>"
-    cs.filter(_.node_type == "date").foreach(dt =>
-      sb ++= s"""<date type="published" when="${esc(dt.text)}"/>""")
+    // the first date is assumed published (tei/references.py:96-99);
+    // the element keeps the raw text, the parsed year is the when=
+    cs.filter(_.node_type == "date").zipWithIndex.foreach { case (dt, i) =>
+      val typeAttr = if (i == 0) """ type="published"""" else ""
+      val when = Option(dt.content_id)
+        .map(y => s""" when="${esc(y)}"""").getOrElse("")
+      sb ++= s"<date$typeAttr$when>${styledXml(dt)}</date>"
+    }
     cs.filter(_.node_type == "volume").foreach(v =>
-      sb ++= s"""<biblScope unit="volume">${esc(v.text)}</biblScope>""")
+      sb ++= s"""<biblScope unit="volume">${styledXml(v)}</biblScope>""")
     cs.filter(_.node_type == "issue").foreach(v =>
-      sb ++= s"""<biblScope unit="issue">${esc(v.text)}</biblScope>""")
+      sb ++= s"""<biblScope unit="issue">${styledXml(v)}</biblScope>""")
     cs.filter(_.node_type == "page_range").foreach { p =>
       val parts = p.text.split("-", 2)
       if (parts.length == 2)
@@ -149,12 +167,22 @@ object Tei {
       else sb ++= s"""<biblScope unit="page">${esc(p.text)}</biblScope>"""
     }
     cs.filter(_.node_type == "publisher").foreach(v =>
-      sb ++= s"<publisher>${esc(v.text)}</publisher>")
-    cs.filter(_.node_type == "location").foreach(v =>
-      sb ++= s"<pubPlace>${esc(v.text)}</pubPlace>")
+      sb ++= s"<publisher>${styledXml(v)}</publisher>")
+    sb ++= "</imprint>"
+    // location -> monogr/meeting/address/addrLine
+    // (factories.py:129,150 SemanticLocation parent path)
+    val locations = cs.filter(_.node_type == "location")
+    if (locations.nonEmpty) {
+      sb ++= "<meeting><address>"
+      locations.foreach(v => sb ++= s"<addrLine>${styledXml(v)}</addrLine>")
+      sb ++= "</address></meeting>"
+    }
+    sb ++= "</monogr>"
+    // external url -> direct <ref type="url"> child
+    // (factories.py:130, no parent path)
     cs.filter(_.node_type == "external_url").foreach(v =>
-      sb ++= s"""<ptr target="${esc(v.text)}"/>""")
-    sb ++= "</imprint></monogr></biblStruct>"
+      sb ++= s"""<ref type="url">${esc(v.text)}</ref>""")
+    sb ++= "</biblStruct>"
     sb.toString
   }
 
@@ -382,7 +410,8 @@ object Tei {
     // preferred; raw references with no parsed sibling (same content
     // id) fall back to a raw <bibl>
     val refRoots = ordered.filter(n => n.parent_id < 0 &&
-      (n.node_type == "reference" || n.node_type == "raw_reference"))
+      (n.node_type == "reference" || n.node_type == "raw_reference" ||
+        n.node_type == "invalid_reference"))
     if (refRoots.nonEmpty) {
       val parsedIds = refRoots.filter(_.node_type == "reference")
         .flatMap(n => Option(n.content_id)).toSet
@@ -395,11 +424,27 @@ object Tei {
           case "reference" => backSb ++= biblStructXml(r, kids(r.node_id), kids)
           case "raw_reference"
               if !Option(r.content_id).exists(parsedIds) =>
-            val raw = kids(r.node_id).filter(_.node_type == "raw_reference_text")
-              .map(styledXml).mkString(" ")
+            // an unparsed raw reference is ALSO a <biblStruct>
+            // (references.py:31-49): label and raw text as typed notes
             val idAttr = Option(r.content_id)
               .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
-            backSb ++= s"<bibl$idAttr${coordsAttr(r)}>$raw</bibl>"
+            backSb ++= s"<biblStruct$idAttr${coordsAttr(r)}>"
+            kids(r.node_id).foreach { c =>
+              c.node_type match {
+                case "label" =>
+                  backSb ++= s"""<note type="label">${styledXml(c)}</note>"""
+                case "raw_reference_text" =>
+                  backSb ++= s"""<note type="raw_reference">${styledXml(c)}</note>"""
+                case _ => ()
+              }
+            }
+            backSb ++= "</biblStruct>"
+          case "invalid_reference" =>
+            // demoted references render as a note of their remaining
+            // content (extract.py:172-179 + the generic note factory)
+            val text = kids(r.node_id).map(_.text).filter(_ != null)
+              .filter(_.nonEmpty).mkString(" ")
+            backSb ++= s"""<note type="invalid_reference">${esc(text)}</note>"""
           case _ => ()
         }
       }

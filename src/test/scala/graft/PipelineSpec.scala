@@ -431,12 +431,19 @@ class PipelineSpec extends SparkSuite {
     val nodes = graft.pipeline.Processor.documentPipeline(tokens)
     val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
     assert(tei.contains("""<div type="references"><head>References</head><listBibl>"""), tei)
-    assert(tei.contains("""<biblStruct xml:id="b0"><analytic>""" +
+    // the parsed biblStruct starts with the inherited raw-reference
+    // content (citation/extract.py:214-217): the segmenter label and
+    // raw text as typed notes; the date keeps its raw text with the
+    // parsed year as when= (tei/references.py:94-106)
+    assert(tei.contains("""<biblStruct xml:id="b0">""" +
+      """<note type="label">1.</note>""" +
+      """<note type="raw_reference">Alice Smith Measuring Things 2020</note>""" +
+      """<analytic>""" +
       """<title level="a" type="main">Measuring Things</title>""" +
       """<author><persName><forename type="first">Alice</forename>""" +
       """<surname>Smith</surname></persName></author></analytic>""" +
-      """<monogr><imprint><date type="published" when="2020"/></imprint>""" +
-      "</monogr></biblStruct>"), tei)
+      """<monogr><imprint><date type="published" when="2020">2020</date>""" +
+      "</imprint></monogr></biblStruct>"), tei)
     // second reference parsed too, in label order
     assert(tei.indexOf("""xml:id="b0"""") < tei.indexOf("""xml:id="b1""""), tei)
     assert(tei.contains("""<surname>Jones</surname>"""), tei)
@@ -561,6 +568,52 @@ class PipelineSpec extends SparkSuite {
       "\"quoted\" - dash")
     assert(TextNormalization.normalize("a  \n  b") == "a\nb")
     assert(TextNormalization.normalize("a    b") == "a b")
+  }
+
+  test("TEI biblStruct: reference field-path matrix " +
+      "(tei/reference_test.py test_should_add_all_fields)") {
+    import graft.pipeline.SemanticNode
+    def n(id: Long, parent: Long, tpe: String, text: String, cid: String = null) =
+      SemanticNode(0L, id, parent, tpe, text, cid)
+    val nodes = Seq(
+      n(0, -1, "reference", "", "b0"),
+      n(1, 0, "label", "1."),
+      n(2, 0, "title", "Title 1"),
+      n(3, 0, "author", ""),
+      n(4, 3, "given_name", "Given Name 1"),
+      n(5, 3, "surname", "Surname 1"),
+      n(6, 0, "raw_editors", "Editor 1"),
+      n(7, 0, "journal", "Journal 1"),
+      n(8, 0, "volume", "Volume 1"),
+      n(9, 0, "issue", "Issue 1"),
+      n(10, 0, "page_range", "12-15"),
+      n(11, 0, "publisher", "Publisher 1"),
+      n(12, 0, "location", "Location 1"),
+      n(13, 0, "external_url", "http://host/path"),
+      n(14, 0, "external_id", "10.1234/test", "doi"),
+      n(15, 0, "date", "1991", "1991"),
+      n(16, 0, "date", "1992", "1992"))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    assert(tei.contains("""<note type="label">1.</note>"""), tei)
+    assert(tei.contains(
+      """<analytic><title level="a" type="main">Title 1</title>"""), tei)
+    assert(tei.contains("""<forename type="first">Given Name 1</forename>"""), tei)
+    assert(tei.contains("""<idno type="DOI">10.1234/test</idno>"""), tei)
+    // raw editors render as monogr/editor text
+    assert(tei.contains("""<editor>Editor 1</editor>"""), tei)
+    assert(tei.contains("""<title level="j">Journal 1</title>"""), tei)
+    assert(tei.contains("""<biblScope unit="volume">Volume 1</biblScope>"""), tei)
+    assert(tei.contains("""<biblScope unit="issue">Issue 1</biblScope>"""), tei)
+    assert(tei.contains("""<biblScope unit="page" from="12" to="15"/>"""), tei)
+    assert(tei.contains("<publisher>Publisher 1</publisher>"), tei)
+    // location -> monogr/meeting/address/addrLine, not imprint/pubPlace
+    assert(tei.contains(
+      "<meeting><address><addrLine>Location 1</addrLine></address></meeting>"), tei)
+    // external url -> direct <ref type="url"> child of biblStruct
+    assert(tei.contains("""<ref type="url">http://host/path</ref></biblStruct>"""), tei)
+    // first date is published, the second is untyped; both keep text
+    assert(tei.contains("""<date type="published" when="1991">1991</date>"""), tei)
+    assert(tei.contains("""<date when="1992">1992</date>"""), tei)
   }
 
   test("documentPipeline: empty and token-less documents do not fail") {
