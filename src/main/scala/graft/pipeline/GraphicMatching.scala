@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Graphic ↔ figure bounding-box matching (SURVEY.md F3; reference
   * `processors/graphic_matching.py:97-494`).
   *
-  * Scale shape: the O(graphics × candidates) distance computation is a
-  * spatial theta-join pruned by (same doc, |page diff| ≤ 1, distance ≤
-  * maxDistance) — executed as a Spark join so the corpus fans out by
-  * document; the greedy multi-round 1–1 assignment (matched candidates
-  * absorb the graphic's box and re-match) operates on the few surviving
-  * pairs per document, as a per-doc fold (the reference runs the same
-  * loop in-process per request).
+  * Scale shape: the corpus fans out by document — one tagged-union
+  * shuffle co-locates each document's graphics and candidates (both a
+  * handful of rows per document), and the greedy multi-round 1–1
+  * assignment (matched candidates absorb the graphic's box and
+  * re-match) runs as the reference's exact in-process loop per doc.
+  * No pairwise pre-filter join: the O(graphics × candidates) distance
+  * work is per-document-bounded, and absorbed-box continuation chains
+  * keep the reference's unbounded reach.
   */
 object GraphicMatching {
 
@@ -49,7 +50,9 @@ object GraphicMatching {
     * proposes its closest candidate; per candidate only the best
     * proposal wins; winners absorb the graphic's boxes (so subsequent
     * rounds measure against the union) and matched graphics leave the
-    * pool. Rounds repeat until no graphic matches.
+    * pool. Rounds repeat until no graphic matches. Acceptance is the
+    * reference's strict bound (`euclidean_distance < max_distance`,
+    * graphic_matching.py:334-335).
     */
   def greedyAssign(
       graphics: Seq[(String, Seq[Box])],
@@ -68,7 +71,7 @@ object GraphicMatching {
         if (scored.isEmpty) None
         else {
           val best = scored.minBy(_._3)
-          if (best._3 <= maxDistance) Some((gid, gBoxes, best._1, best._3)) else None
+          if (best._3 < maxDistance) Some((gid, gBoxes, best._1, best._3)) else None
         }
       }
       // per candidate: best proposal wins
@@ -88,8 +91,32 @@ object GraphicMatching {
     matches.sortBy(identity).toList
   }
 
-  /** Distributed stage: graphics × candidates pruned by the spatial
-    * theta-join, then the per-doc greedy fold on survivors.
+  /** Exact per-document assignment, shared by the distributed stage
+    * and the pipeline's in-fold matcher ([[Processor]]): zero-area
+    * boxes never enter the matcher (a falsy `LayoutPageCoordinates`
+    * is excluded from the ref lists, graphic_matching.py:299-316 with
+    * layout_document.py:56-57 — graphic_matching_test.py
+    * test_should_not_match_empty_graphic), ids sort for a
+    * deterministic proposal/winner order, then the greedy multi-round
+    * loop runs over the FULL per-document sets — no pairwise
+    * pre-filter, so continuation chains through absorbed boxes are
+    * never pruned away regardless of the absorbed extent. */
+  def assignDocument(
+      graphics: Seq[(String, Seq[Box])],
+      candidates: Seq[(String, Seq[Box])],
+      maxDistance: Double = DefaultMaxDistance): Seq[(String, String)] = {
+    val gs = graphics
+      .map { case (id, bs) => (id, bs.filter(b => b.width > 0 && b.height > 0)) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val cs = candidates.filter(_._2.nonEmpty).sortBy(_._1)
+    greedyAssign(gs, cs, maxDistance)
+  }
+
+  /** Distributed stage: both sides shuffle ONCE by doc_id (a tagged
+    * union, not a join — graphics and candidates per document are a
+    * handful of rows, so the per-doc sets are tiny), then
+    * [[assignDocument]] runs the reference's exact greedy loop on the
+    * full sets.
     *
     * @param graphics  (doc_id, graphic_id, x, y, width, height, page_number,
     *                  page_width, page_height)
@@ -101,56 +128,25 @@ object GraphicMatching {
     val sparkSession = graphics.sparkSession
     import sparkSession.implicits._
 
-    def norm(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("doc_id"), col(idCol).as("id"),
+    def norm(df: DataFrame, idCol: String, side: String): DataFrame =
+      df.select(col("doc_id"), lit(side).as("side"), col(idCol).as("id"),
         (col("x") / col("page_width")).as("nx"),
         (col("y") / col("page_height") + col("page_number")).as("ny"),
         (col("width") / col("page_width")).as("nw"),
         (col("height") / col("page_height")).as("nh"),
         col("page_number"))
 
-    // an empty (zero-area) graphic never matches
-    // (graphic_matching_test.py test_should_not_match_empty_graphic;
-    // BoundingBox.is_empty excludes it from the candidate boxes)
-    val g = norm(graphics.filter(col("width") > 0 && col("height") > 0),
-      "graphic_id")
-    val c = norm(candidates, "candidate_id")
-    // spatial theta-join: same doc, adjacent pages, gap distance bound.
-    // The equi part (doc_id) hash-partitions; the rest is a post-filter.
-    val dx = greatest(lit(0.0), col("c.nx") - (col("g.nx") + col("g.nw")),
-      col("g.nx") - (col("c.nx") + col("c.nw")))
-    val dy = greatest(lit(0.0), col("c.ny") - (col("g.ny") + col("g.nh")),
-      col("g.ny") - (col("c.ny") + col("c.nh")))
-    // the distance pre-filter carries ONE PAGE of slack beyond the
-    // greedy bound: a continuation graphic matches through boxes its
-    // candidate ABSORBED in an earlier round (graphic_matching_test.py
-    // test_should_match_continuation_graphic_at_the_top_of_the_next_
-    // page), so the original-coordinates gap can exceed maxDistance by
-    // up to the absorbed graphic's extent (≤ 1 normalized page within
-    // the page-adjacency bound). The fold applies the exact bound.
-    val pairs = g.as("g").join(c.as("c"),
-        col("g.doc_id") === col("c.doc_id") &&
-          abs(col("g.page_number") - col("c.page_number")) <= 1 &&
-          sqrt(dx * dx + dy * dy) <= maxDistance + 1.0)
-      .select(col("g.doc_id").as("doc_id"),
-        col("g.id").as("graphic_id"),
-        struct(col("g.nx").as("x"), col("g.ny").as("y"), col("g.nw").as("width"),
-          col("g.nh").as("height"), col("g.page_number").as("pageNumber")).as("gbox"),
-        col("c.id").as("candidate_id"),
-        struct(col("c.nx").as("x"), col("c.ny").as("y"), col("c.nw").as("width"),
-          col("c.nh").as("height"), col("c.page_number").as("pageNumber")).as("cbox"))
-
-    pairs.as[(Long, String, Box, String, Box)]
+    norm(graphics, "graphic_id", "g")
+      .unionByName(norm(candidates, "candidate_id", "c"))
+      .as[(Long, String, String, Double, Double, Double, Double, Int)]
       .groupByKey(_._1)
       .flatMapGroups { (docId, it) =>
-        val rows = it.toSeq
-        val gs = rows.groupBy(_._2).map { case (gid, rs) =>
-          (gid, rs.map(_._3).distinct)
-        }.toSeq.sortBy(_._1)
-        val cs = rows.groupBy(_._4).map { case (cid, rs) =>
-          (cid, rs.map(_._5).distinct)
-        }.toSeq.sortBy(_._1)
-        greedyAssign(gs, cs, maxDistance).iterator
+        val all = it.toSeq
+        def boxes(side: String): Seq[(String, Seq[Box])] =
+          all.filter(_._2 == side).groupBy(_._3).map { case (id, rs) =>
+            (id, rs.map(r => Box(r._4, r._5, r._6, r._7, r._8)).distinct)
+          }.toSeq
+        assignDocument(boxes("g"), boxes("c"), maxDistance).iterator
           .map { case (gid, cid) => (docId, gid, cid) }
       }
       .toDF("doc_id", "graphic_id", "candidate_id")

@@ -130,7 +130,10 @@ object ModelExtractors {
       val ref = e.emit("reference", "", contentId = contentId)
       fields.foreach { case (t, txt, cid, cs) => e.emit(t, txt, ref, cid, cs) }
     } else {
-      val inv = e.emit("invalid_reference", "")
+      // the invalid reference keeps the raw reference's content id so
+      // it REPLACES the raw reference in the list (processor.py:612-623
+      // swaps the parsed-or-invalid result in place)
+      val inv = e.emit("invalid_reference", "", contentId = contentId)
       fields.foreach { case (t, txt, cid, cs) =>
         if (t != "raw_reference_text") e.emit(t, txt, inv, cid, cs)
       }

@@ -110,25 +110,28 @@ object Processor {
       textByParent.getOrElse(r.node_id, Nil).flatMap { t =>
         val folded = ModelExtractors.citationFold(docId,
           citationSpansOf(t.text), r.content_id)
-        val offset = nextId
-        nextId += folded.size
-        val shifted = folded.map(n => n.copy(node_id = n.node_id + offset,
-          parent_id = if (n.parent_id < 0) -1L else n.parent_id + offset))
         // citation/extract.py:214-217: the parsed reference STARTS
         // with the raw reference's content — the segmenter label and
         // (for valid refs) the raw reference text render inside the
-        // parsed <biblStruct> as typed notes. Invalid references drop
-        // the raw text (extract.py:172-179).
-        val root = shifted.find(_.parent_id < 0)
-        val inherited = root.toSeq.flatMap { rt =>
-          val keepRaw = rt.node_type == "reference"
-          val copies = labelByParent.getOrElse(r.node_id, Nil) ++
-            (if (keepRaw) Seq(t) else Nil)
-          copies.map { c =>
-            val id = nextId; nextId += 1
-            c.copy(node_id = id, parent_id = rt.node_id)
-          }
+        // parsed <biblStruct> as typed notes, BEFORE the parsed
+        // fields (sibling order is node-id order, so the copies take
+        // the ids right after the root). Invalid references drop the
+        // raw text (extract.py:172-179).
+        val keepRaw = folded.find(_.parent_id < 0)
+          .exists(_.node_type == "reference")
+        val copies0 = labelByParent.getOrElse(r.node_id, Nil) ++
+          (if (keepRaw) Seq(t) else Nil)
+        val nCopies = copies0.size
+        val offset = nextId
+        val shifted = folded.map { n =>
+          if (n.parent_id < 0) n.copy(node_id = offset, parent_id = -1L)
+          else n.copy(node_id = n.node_id + offset + nCopies,
+            parent_id = offset)
         }
+        val inherited = copies0.zipWithIndex.map { case (c, i) =>
+          c.copy(node_id = offset + 1 + i, parent_id = offset)
+        }
+        nextId = offset + nCopies + folded.size
         shifted ++ inherited
       }
     }
@@ -603,34 +606,25 @@ object Processor {
       x: Double, y: Double, width: Double, height: Double,
       page_number: Int, page_width: Double, page_height: Double)
 
-  /** Per-document F3 bbox matching — the same prune (same doc,
-    * |page diff| ≤ 1, normalized gap distance ≤ maxDistance) and greedy
-    * multi-round 1–1 assignment [[GraphicMatching.matchGraphics]] runs
-    * as a join + fold, computed locally inside the pipeline's cogroup
+  /** Per-document F3 bbox matching — the SAME
+    * [[GraphicMatching.assignDocument]] the distributed stage runs
+    * (zero-area exclusion + exact greedy multi-round assignment over
+    * the full sets), computed locally inside the pipeline's cogroup
     * (the reference matches per document too,
     * `processors/graphic_matching.py:371-459`).
     */
   private[pipeline] def matchGraphicsLocal(gs: Seq[GraphicIn],
       cs: Seq[CandidateRow],
       maxDistance: Double = GraphicMatching.DefaultMaxDistance): Seq[(String, String)] = {
-    import GraphicMatching.{Box, distance, normalized}
-    val gn = gs.map(g => g.graphic_id -> normalized(
-      Box(g.x, g.y, g.width, g.height, g.page_number), g.page_width, g.page_height))
-    val cn = cs.map(c => c.candidate_id -> normalized(
-      Box(c.x, c.y, c.width, c.height, c.page_number), c.page_width, c.page_height))
-    val pairs = for {
-      (gid, gb) <- gn
-      (cid, cb) <- cn
-      if math.abs(gb.pageNumber - cb.pageNumber) <= 1 &&
-        distance(gb, cb) <= maxDistance
-    } yield (gid, gb, cid, cb)
-    val gSurv = pairs.groupBy(_._1).map { case (gid, ps) =>
-      (gid, ps.map(_._2).distinct)
-    }.toSeq.sortBy(_._1)
-    val cSurv = pairs.groupBy(_._3).map { case (cid, ps) =>
-      (cid, ps.map(_._4).distinct)
-    }.toSeq.sortBy(_._1)
-    GraphicMatching.greedyAssign(gSurv, cSurv, maxDistance)
+    import GraphicMatching.{Box, normalized}
+    GraphicMatching.assignDocument(
+      gs.map(g => g.graphic_id -> Seq(normalized(
+        Box(g.x, g.y, g.width, g.height, g.page_number),
+        g.page_width, g.page_height))),
+      cs.map(c => c.candidate_id -> Seq(normalized(
+        Box(c.x, c.y, c.width, c.height, c.page_number),
+        c.page_width, c.page_height))),
+      maxDistance)
   }
 
   /** Graphic render text: `<type>|<page,x,y,w,h>[|<url>]`

@@ -413,39 +413,59 @@ object Tei {
       (n.node_type == "reference" || n.node_type == "raw_reference" ||
         n.node_type == "invalid_reference"))
     if (refRoots.nonEmpty) {
-      val parsedIds = refRoots.filter(_.node_type == "reference")
-        .flatMap(n => Option(n.content_id)).toSet
+      // a parsed (or demoted-invalid) reference REPLACES its raw
+      // reference IN PLACE in the list (processor.py:612-623 swaps the
+      // parse result at the raw reference's position), so rendering
+      // follows the raw references' segmenter order and parsed roots
+      // render at their raw sibling's slot, not appended at the end
+      val replacementById = refRoots
+        .filter(n => n.node_type != "raw_reference")
+        .flatMap(n => Option(n.content_id).map(_ -> n)).toMap
+      def renderInvalid(r: SemanticNode): Unit = {
+        // demoted references render as a note of their remaining
+        // content (extract.py:172-179 + the generic note factory)
+        val text = kids(r.node_id).map(_.text).filter(_ != null)
+          .filter(_.nonEmpty).mkString(" ")
+        backSb ++= s"""<note type="invalid_reference">${esc(text)}</note>"""
+      }
+      def renderParsed(r: SemanticNode): Unit = r.node_type match {
+        case "reference" => backSb ++= biblStructXml(r, kids(r.node_id), kids)
+        case _ => renderInvalid(r)
+      }
       backSb ++= """<div type="references">"""
       ordered.find(n => n.parent_id < 0 && n.node_type == "heading")
         .foreach(h => backSb ++= s"<head>${esc(h.text)}</head>")
       backSb ++= "<listBibl>"
       refRoots.foreach { r =>
         r.node_type match {
-          case "reference" => backSb ++= biblStructXml(r, kids(r.node_id), kids)
-          case "raw_reference"
-              if !Option(r.content_id).exists(parsedIds) =>
-            // an unparsed raw reference is ALSO a <biblStruct>
-            // (references.py:31-49): label and raw text as typed notes
-            val idAttr = Option(r.content_id)
-              .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
-            backSb ++= s"<biblStruct$idAttr${coordsAttr(r)}>"
-            kids(r.node_id).foreach { c =>
-              c.node_type match {
-                case "label" =>
-                  backSb ++= s"""<note type="label">${styledXml(c)}</note>"""
-                case "raw_reference_text" =>
-                  backSb ++= s"""<note type="raw_reference">${styledXml(c)}</note>"""
-                case _ => ()
-              }
+          case "raw_reference" =>
+            Option(r.content_id).flatMap(replacementById.get) match {
+              case Some(parsed) => renderParsed(parsed)
+              case None =>
+                // an unparsed raw reference is ALSO a <biblStruct>
+                // (references.py:31-49): label and raw text as typed notes
+                val idAttr = Option(r.content_id)
+                  .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
+                backSb ++= s"<biblStruct$idAttr${coordsAttr(r)}>"
+                kids(r.node_id).foreach { c =>
+                  c.node_type match {
+                    case "label" =>
+                      backSb ++= s"""<note type="label">${styledXml(c)}</note>"""
+                    case "raw_reference_text" =>
+                      backSb ++= s"""<note type="raw_reference">${styledXml(c)}</note>"""
+                    case _ => ()
+                  }
+                }
+                backSb ++= "</biblStruct>"
             }
-            backSb ++= "</biblStruct>"
-          case "invalid_reference" =>
-            // demoted references render as a note of their remaining
-            // content (extract.py:172-179 + the generic note factory)
-            val text = kids(r.node_id).map(_.text).filter(_ != null)
-              .filter(_.nonEmpty).mkString(" ")
-            backSb ++= s"""<note type="invalid_reference">${esc(text)}</note>"""
-          case _ => ()
+          case _ =>
+            // roots with no raw sibling in this node set (direct fold
+            // output) render at their own position; roots that replaced
+            // a raw reference already rendered at its slot
+            val replacesRaw = Option(r.content_id).exists(id =>
+              refRoots.exists(o => o.node_type == "raw_reference" &&
+                o.content_id == id))
+            if (!replacesRaw) renderParsed(r)
         }
       }
       backSb ++= "</listBibl></div>"

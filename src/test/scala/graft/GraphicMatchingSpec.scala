@@ -236,5 +236,34 @@ class GraphicMatchingSpec extends SparkSuite {
       gdf((0L, "g1", 20, 140, 60, 50, 1), (0L, "g2", 20, 10, 60, 50, 2)),
       cdf((0L, "cand", 20, 110, 60, 20, 1))) ==
       Set("g1" -> "cand", "g2" -> "cand"))
+    // acceptance is the reference's STRICT bound (graphic_matching.py:
+    // 334-335 euclidean < max_distance): a gap of exactly 0.3 does
+    // not match (cand bottom ny 1.8, graphic top ny 2.1)
+    assert(matches(gdf((0L, "g1", 20, 20, 60, 40, 2)),
+      cdf((0L, "cand", 20, 150, 60, 10, 1))).isEmpty)
+    // a continuation CHAIN through a tall absorbed graphic reaches a
+    // page the candidate is not adjacent to (the reference's greedy
+    // has no page bound; a pairwise page-adjacency pre-filter would
+    // wrongly drop g2): cand p1 ny 1.75-1.8; g1 p2 ny 2.05-2.95 (gap
+    // 0.25, round 1); g2 p3 ny 3.0-3.2 (gap 0.05 to the absorbed box,
+    // round 2, but 1.2 to the candidate itself, 2 pages away)
+    assert(matches(
+      gdf((0L, "g1", 20, 10, 60, 180, 2), (0L, "g2", 20, 0, 60, 40, 3)),
+      cdf((0L, "cand", 20, 150, 60, 10, 1))) ==
+      Set("g1" -> "cand", "g2" -> "cand"))
+  }
+
+  test("assignDocument parity: the distributed and the in-fold form agree") {
+    // the same chain scenario, page 100x200, through assignDocument
+    // (the function Processor.matchGraphicsLocal delegates to)
+    def nb(x: Double, y: Double, w: Double, h: Double, p: Int) =
+      GraphicMatching.normalized(Box(x, y, w, h, p), 100, 200)
+    val gs = Seq(
+      "g1" -> Seq(nb(20, 10, 60, 180, 2)),
+      "g2" -> Seq(nb(20, 0, 60, 40, 3)),
+      "empty" -> Seq(nb(20, 150, 0, 0, 1)))
+    val cs = Seq("cand" -> Seq(nb(20, 150, 60, 10, 1)))
+    assert(GraphicMatching.assignDocument(gs, cs) ==
+      Seq("g1" -> "cand", "g2" -> "cand"))
   }
 }

@@ -289,7 +289,9 @@ class ModelExtractorsSpec extends AnyFunSuite {
     val nodes = citationFold(0L, spansOf("<date>" -> "2020", "<pages>" -> "1-2"),
       contentId = "b0")
     assert(byType(nodes, "reference").isEmpty)
-    assert(byType(nodes, "invalid_reference").size == 1)
+    // the invalid root keeps the raw reference's content id so it can
+    // replace the raw reference in place (processor.py:612-623)
+    assert(byType(nodes, "invalid_reference").map(_.content_id) == Seq("b0"))
   }
 
   // ----------------------------------------------- reference segmenter

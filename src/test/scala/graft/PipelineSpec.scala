@@ -616,6 +616,56 @@ class PipelineSpec extends SparkSuite {
     assert(tei.contains("""<date when="1992">1992</date>"""), tei)
   }
 
+  test("TEI listBibl: parsed references replace their raw sibling IN PLACE " +
+      "(processor.py _extract_reference_fields_from_raw_references)") {
+    import graft.pipeline.SemanticNode
+    def n(id: Long, parent: Long, tpe: String, text: String, cid: String = null) =
+      SemanticNode(0L, id, parent, tpe, text, cid)
+    // segmenter order: b0 (parsed), b1 (no parse result -> raw
+    // fallback); the parsed biblStruct must render at b0's slot,
+    // BEFORE b1's fallback, not appended after it
+    val nodes = Seq(
+      n(0, -1, "raw_reference", "", "b0"),
+      n(1, 0, "label", "1."),
+      n(2, 0, "raw_reference_text", "Smith J. Title. 2020"),
+      n(3, -1, "raw_reference", "", "b1"),
+      n(4, 3, "label", "2."),
+      n(5, 3, "raw_reference_text", "Unparsed text"),
+      n(10, -1, "reference", "", "b0"),
+      n(11, 10, "label", "1."),
+      n(12, 10, "raw_reference_text", "Smith J. Title. 2020"),
+      n(13, 10, "title", "Title"))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    val parsedAt = tei.indexOf("""<biblStruct xml:id="b0"""")
+    val fallbackAt = tei.indexOf("""<biblStruct xml:id="b1"""")
+    assert(parsedAt >= 0 && fallbackAt >= 0, tei)
+    assert(parsedAt < fallbackAt, tei)
+    // exactly one b0 biblStruct: the raw sibling is replaced, not doubled
+    assert(tei.indexOf("""<biblStruct xml:id="b0"""", parsedAt + 1) < 0, tei)
+    assert(tei.contains("""<title level="a" type="main">Title</title>"""), tei)
+  }
+
+  test("TEI listBibl: demoted invalid reference replaces the raw sibling " +
+      "and starts with its label (extract.py:172-179,214-217)") {
+    import graft.pipeline.SemanticNode
+    def n(id: Long, parent: Long, tpe: String, text: String, cid: String = null) =
+      SemanticNode(0L, id, parent, tpe, text, cid)
+    val nodes = Seq(
+      n(0, -1, "raw_reference", "", "b0"),
+      n(1, 0, "label", "12."),
+      n(2, 0, "raw_reference_text", "2020 1-2"),
+      n(10, -1, "invalid_reference", "", "b0"),
+      n(11, 10, "label", "12."),
+      n(12, 10, "date", "2020", "2020"),
+      n(13, 10, "page_range", "1-2"))
+    val tei = Tei.serialize(nodes.toDF()).collect().head.getString(1)
+    // the raw reference does NOT render its own biblStruct
+    assert(!tei.contains("""<biblStruct xml:id="b0""""), tei)
+    // the invalid note renders in its place, label first
+    assert(tei.contains(
+      """<note type="invalid_reference">12. 2020 1-2</note>"""), tei)
+  }
+
   test("documentPipeline: empty and token-less documents do not fail") {
     // processor_test.py test_should_not_fail_with_empty_document
     val empty = spark.createDataFrame(
