@@ -253,6 +253,38 @@ class GraphicMatchingSpec extends SparkSuite {
       Set("g1" -> "cand", "g2" -> "cand"))
   }
 
+  test("assignDocument parity: distributed output equals the per-doc loop " +
+      "on random box sets") {
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 8).map { d =>
+      def box() = (rnd.nextDouble() * 80, rnd.nextDouble() * 180,
+        rnd.nextInt(4) * 20.0, rnd.nextInt(4) * 15.0, // width/height may be 0
+        1 + rnd.nextInt(3))
+      val gs = (0 until 1 + rnd.nextInt(5)).map(i => (s"g$i", box()))
+      val cs = (0 until 1 + rnd.nextInt(4)).map(i => (s"c$i", box()))
+      (d.toLong, gs, cs)
+    }
+    val gdf = docs.flatMap { case (d, gs, _) => gs.map { case (id, (x, y, w, h, p)) =>
+      (d, id, x, y, w, h, p, 100.0, 200.0) } }
+      .toDF("doc_id", "graphic_id", "x", "y", "width", "height",
+        "page_number", "page_width", "page_height")
+    val cdf = docs.flatMap { case (d, _, cs) => cs.map { case (id, (x, y, w, h, p)) =>
+      (d, id, x, y, w, h, p, 100.0, 200.0) } }
+      .toDF("doc_id", "candidate_id", "x", "y", "width", "height",
+        "page_number", "page_width", "page_height")
+    val distributed = GraphicMatching.matchGraphics(gdf, cdf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val local = docs.flatMap { case (d, gs, cs) =>
+      GraphicMatching.assignDocument(
+        gs.map { case (id, (x, y, w, h, p)) =>
+          id -> Seq(GraphicMatching.normalized(Box(x, y, w, h, p), 100, 200)) },
+        cs.map { case (id, (x, y, w, h, p)) =>
+          id -> Seq(GraphicMatching.normalized(Box(x, y, w, h, p), 100, 200)) })
+        .map { case (g, c) => (d, g, c) }
+    }.toSet
+    assert(distributed == local)
+  }
+
   test("assignDocument parity: the distributed and the in-fold form agree") {
     // the same chain scenario, page 100x200, through assignDocument
     // (the function Processor.matchGraphicsLocal delegates to)
