@@ -92,11 +92,13 @@ object GraphicMatching {
   }
 
   /** Exact per-document assignment, shared by the distributed stage
-    * and the pipeline's in-fold matcher ([[Processor]]): zero-area
+    * and the pipeline's in-fold matcher ([[Processor]]): entries with
+    * the same id merge into one multi-box ref, zero-area GRAPHIC
     * boxes never enter the matcher (a falsy `LayoutPageCoordinates`
-    * is excluded from the ref lists, graphic_matching.py:299-316 with
-    * layout_document.py:56-57 — graphic_matching_test.py
-    * test_should_not_match_empty_graphic), ids sort for a
+    * is excluded from the graphics ref list, graphic_matching.py:
+    * 299-316 with layout_document.py:56-57 — graphic_matching_test.py
+    * test_should_not_match_empty_graphic; candidate boxes carry no
+    * such guard in the reference either), ids sort for a
     * deterministic proposal/winner order, then the greedy multi-round
     * loop runs over the FULL per-document sets — no pairwise
     * pre-filter, so continuation chains through absorbed boxes are
@@ -105,10 +107,14 @@ object GraphicMatching {
       graphics: Seq[(String, Seq[Box])],
       candidates: Seq[(String, Seq[Box])],
       maxDistance: Double = DefaultMaxDistance): Seq[(String, String)] = {
-    val gs = graphics
+    def grouped(xs: Seq[(String, Seq[Box])]): Seq[(String, Seq[Box])] =
+      xs.groupBy(_._1).map { case (id, es) =>
+        (id, es.flatMap(_._2).distinct)
+      }.toSeq
+    val gs = grouped(graphics)
       .map { case (id, bs) => (id, bs.filter(b => b.width > 0 && b.height > 0)) }
       .filter(_._2.nonEmpty).sortBy(_._1)
-    val cs = candidates.filter(_._2.nonEmpty).sortBy(_._1)
+    val cs = grouped(candidates).filter(_._2.nonEmpty).sortBy(_._1)
     greedyAssign(gs, cs, maxDistance)
   }
 
@@ -143,9 +149,9 @@ object GraphicMatching {
       .flatMapGroups { (docId, it) =>
         val all = it.toSeq
         def boxes(side: String): Seq[(String, Seq[Box])] =
-          all.filter(_._2 == side).groupBy(_._3).map { case (id, rs) =>
-            (id, rs.map(r => Box(r._4, r._5, r._6, r._7, r._8)).distinct)
-          }.toSeq
+          all.filter(_._2 == side)
+            .map(r => (r._3, Seq(Box(r._4, r._5, r._6, r._7, r._8))))
+        // assignDocument merges same-id entries into multi-box refs
         assignDocument(boxes("g"), boxes("c"), maxDistance).iterator
           .map { case (gid, cid) => (docId, gid, cid) }
       }

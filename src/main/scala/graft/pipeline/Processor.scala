@@ -110,32 +110,75 @@ object Processor {
       textByParent.getOrElse(r.node_id, Nil).flatMap { t =>
         val folded = ModelExtractors.citationFold(docId,
           citationSpansOf(t.text), r.content_id)
-        // citation/extract.py:214-217: the parsed reference STARTS
-        // with the raw reference's content — the segmenter label and
-        // (for valid refs) the raw reference text render inside the
-        // parsed <biblStruct> as typed notes, BEFORE the parsed
-        // fields (sibling order is node-id order, so the copies take
-        // the ids right after the root). Invalid references drop the
-        // raw text (extract.py:172-179).
-        val keepRaw = folded.find(_.parent_id < 0)
-          .exists(_.node_type == "reference")
-        val copies0 = labelByParent.getOrElse(r.node_id, Nil) ++
-          (if (keepRaw) Seq(t) else Nil)
-        val nCopies = copies0.size
-        val offset = nextId
-        val shifted = folded.map { n =>
-          if (n.parent_id < 0) n.copy(node_id = offset, parent_id = -1L)
-          else n.copy(node_id = n.node_id + offset + nCopies,
-            parent_id = offset)
+        // an empty parse (whitespace-only raw text) yields no root —
+        // emitting inherited copies anyway would orphan them onto a
+        // nonexistent parent id
+        if (folded.isEmpty) Nil
+        else {
+          // citation/extract.py:214-217: the parsed reference STARTS
+          // with the raw reference's content — the segmenter label and
+          // (for valid refs) the raw reference text render inside the
+          // parsed <biblStruct> as typed notes, BEFORE the parsed
+          // fields (sibling order is node-id order, so the copies take
+          // the ids right after the root). Invalid references drop the
+          // raw text (extract.py:172-179).
+          val keepRaw = folded.find(_.parent_id < 0)
+            .exists(_.node_type == "reference")
+          val copies0 = labelByParent.getOrElse(r.node_id, Nil) ++
+            (if (keepRaw) Seq(t) else Nil)
+          val nCopies = copies0.size
+          val offset = nextId
+          val shifted = folded.map { n =>
+            if (n.parent_id < 0) n.copy(node_id = offset, parent_id = -1L)
+            else n.copy(node_id = n.node_id + offset + nCopies,
+              parent_id = offset)
+          }
+          val inherited = copies0.zipWithIndex.map { case (c, i) =>
+            c.copy(node_id = offset + 1 + i, parent_id = offset)
+          }
+          nextId = offset + nCopies + folded.size
+          shifted ++ inherited
         }
-        val inherited = copies0.zipWithIndex.map { case (c, i) =>
-          c.copy(node_id = offset + 1 + i, parent_id = offset)
-        }
-        nextId = offset + nCopies + folded.size
-        shifted ++ inherited
       }
     }
-    segNodes ++ citNodes
+    renumberReferenceIds(segNodes ++ citNodes)
+  }
+
+  /** The reference processor RE-ASSIGNS reference content ids after
+    * citation parsing (`processor.py:241` `_assign_content_ids` over
+    * the final `SemanticReference` list): valid references get
+    * contiguous `b<k>` ids in document order, DEMOTED (invalid)
+    * references leave the sequence — they are not `SemanticReference`
+    * and render with no xml:id. Each raw reference keeps the same id
+    * as its parse result so the sink's in-place replacement pairing
+    * holds; demoted pairs get an out-of-band id that never renders.
+    */
+  private[pipeline] def renumberReferenceIds(
+      nodes: Seq[SemanticNode]): Seq[SemanticNode] = {
+    val parseRootsByRawId = nodes
+      .filter(n => n.parent_id < 0 && n.content_id != null &&
+        (n.node_type == "reference" || n.node_type == "invalid_reference"))
+      .groupBy(_.content_id)
+    var valid = 0
+    var invalid = 0
+    val idMap: Map[String, String] = nodes
+      .filter(n => n.node_type == "raw_reference" && n.content_id != null)
+      .sortBy(_.node_id)
+      .map { r =>
+        val roots = parseRootsByRawId.getOrElse(r.content_id, Nil)
+        val demoted = roots.nonEmpty && roots.forall(_.node_type == "invalid_reference")
+        if (demoted) { val id = s"invalid_ref_$invalid"; invalid += 1; r.content_id -> id }
+        else { val id = s"b$valid"; valid += 1; r.content_id -> id }
+      }.toMap
+    if (idMap.forall { case (k, v) => k == v }) nodes
+    else nodes.map { n =>
+      val isRefRoot = n.node_type == "raw_reference" ||
+        (n.parent_id < 0 &&
+          (n.node_type == "reference" || n.node_type == "invalid_reference"))
+      if (isRefRoot && n.content_id != null && idMap.contains(n.content_id))
+        n.copy(content_id = idMap(n.content_id))
+      else n
+    }
   }
 
   /** Rule stand-in for the affiliation model: raw affiliation text →
@@ -224,7 +267,8 @@ object Processor {
     */
   private[pipeline] def matchContentIdsLocal(
       citations: Seq[(Long, String)],
-      candidates: Seq[(String, String)]): Map[Long, String] = {
+      candidates: Seq[(String, String)],
+      partialCandidates: Seq[(String, String)] = Nil): Map[Long, String] = {
     def normKey(s: String): String = s.toLowerCase.replaceAll("[^a-z0-9]", "")
     def prefixKey(s: String, n: Int = 1): String =
       s.split("\\s+").filter(_.nonEmpty).map { t =>
@@ -233,7 +277,11 @@ object Processor {
     val byExact = candidates.map { case (id, lt) => normKey(lt) -> id }.toMap
     val byPrefix = candidates.map { case (id, lt) => prefixKey(lt) -> id }
       .filter(_._1.nonEmpty).toMap
-    val candTokens = candidates.map { case (id, lt) =>
+    // the partial (token-vote) fallback runs over its OWN text source
+    // (processor.py:244-251: Simple over labels, Partial over raw
+    // reference texts; figures/tables chain NO partial matcher,
+    // processor.py:257-267)
+    val candTokens = partialCandidates.map { case (id, lt) =>
       id -> lt.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
     }
     citations.flatMap { case (nid, text) =>
@@ -281,17 +329,29 @@ object Processor {
       withIds.filter(_.node_type == citType).map(n => n.node_id -> n.text)
     // reference citations match against reference LABELS ("1.", "[2]"),
     // candidate ids are the b<n> content ids shared by raw + parsed
-    // reference nodes (processors/fulltext/processor.py:239-267 routes
-    // all three citation types through the same matcher)
-    val refCandidates: Seq[(String, String)] =
-      withIds.filter(_.node_type == "label").flatMap { l =>
-        byId.get(l.parent_id).filter(_.node_type == "raw_reference")
-          .map(p => (p.content_id, l.text))
+    // reference nodes. A DEMOTED (invalid) reference is not a citation
+    // target: the reference matcher iterates SemanticReference only
+    // (processor.py:239-244), so its markers stay unresolved and the
+    // TEI never emits a target=#bN with no matching xml:id
+    val demotedIds = withIds.filter(_.node_type == "invalid_reference")
+      .flatMap(n => Option(n.content_id)).toSet
+    def refTexts(childType: String): Seq[(String, String)] =
+      withIds.filter(_.node_type == childType).flatMap { c =>
+        byId.get(c.parent_id).filter(p => p.node_type == "raw_reference" &&
+            !Option(p.content_id).exists(demotedIds))
+          .map(p => (p.content_id, c.text))
       }
+    val refCandidates = refTexts("label")
+    // the vote fallback runs over the RAW REFERENCE TEXTS
+    // (processor.py:244-251: ChainedContentIdMatcher of Simple(labels)
+    // + Partial(raw texts)); figures/tables chain the Simple matcher
+    // only (processor.py:257-267)
+    val refPartial = refTexts("raw_reference_text")
     val matched =
       matchContentIdsLocal(citationsOf("figure_citation"), labelsOf("figure")) ++
         matchContentIdsLocal(citationsOf("table_citation"), labelsOf("table")) ++
-        matchContentIdsLocal(citationsOf("reference_citation"), refCandidates)
+        matchContentIdsLocal(citationsOf("reference_citation"), refCandidates,
+          refPartial)
     withIds.map(n =>
       matched.get(n.node_id).map(t => n.copy(content_id = t)).getOrElse(n))
   }

@@ -49,15 +49,18 @@ object RefMatching {
     * candidate), keep the strict top-1 (ties rejected —
     * ref_matching.py:79-93).
     */
-  def matchContentIds(citations: DataFrame, candidates: DataFrame): DataFrame = {
+  /** SimpleContentIdMatcher as joins: exact normalized-key equi-join,
+    * then token-prefix key equi-join for the leftovers. Returns
+    * (doc_id, item_id, text, content_id?) with content_id null for
+    * still-unmatched citations. */
+  private def simpleStage(citations: DataFrame, candidates: DataFrame): DataFrame = {
     val cit = citations.select(col("doc_id"), col("item_id"),
       normalizedKey(col("text")).as("k1"),
       tokenPrefixKey(col("text")).as("k2"),
       col("text"))
     val cand = candidates.select(col("doc_id"), col("content_id"),
       normalizedKey(col("label_text")).as("k1"),
-      tokenPrefixKey(col("label_text")).as("k2"),
-      col("label_text"))
+      tokenPrefixKey(col("label_text")).as("k2"))
 
     val exact = cit.join(cand.select(col("doc_id"), col("k1"), col("content_id").as("m1")),
       Seq("doc_id", "k1"), "left")
@@ -70,7 +73,22 @@ object RefMatching {
         .groupBy("doc_id", "k2").agg(max(col("content_id")).as("m2")),
       Seq("doc_id", "k2"), "left")
 
-    val direct = prefix.withColumn("content_id", coalesce(col("m1"), col("m2")))
+    prefix.withColumn("content_id", coalesce(col("m1"), col("m2")))
+      .select("doc_id", "item_id", "text", "content_id")
+  }
+
+  /** The generic chain with the partial matcher over the candidates'
+    * own label text (the shape the reference unit tests exercise). */
+  def matchContentIds(citations: DataFrame, candidates: DataFrame): DataFrame =
+    matchContentIds(citations, candidates, candidates)
+
+  /** The reference-citation chain (`processor.py:244-251`): Simple
+    * over `candidates` (labels), then Partial token-vote over
+    * `partialCandidates` (raw reference texts) — the two stages read
+    * DIFFERENT text sources, as `ChainedContentIdMatcher` does. */
+  def matchContentIds(citations: DataFrame, candidates: DataFrame,
+      partialCandidates: DataFrame): DataFrame = {
+    val direct = simpleStage(citations, candidates)
 
     // partial vote matching only for still-unmatched citations
     val unmatched = direct.filter(col("content_id").isNull)
@@ -78,7 +96,7 @@ object RefMatching {
     val citTokens = unmatched.select(col("doc_id"), col("item_id"),
       explode(array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
         t => t =!= ""))).as("tok"))
-    val candTokens = candidates.select(col("doc_id"), col("content_id"),
+    val candTokens = partialCandidates.select(col("doc_id"), col("content_id"),
       explode(array_distinct(filter(split(lower(col("label_text")), "[^a-z0-9]+"),
         t => t =!= ""))).as("tok"))
     val votes = citTokens.join(candTokens, Seq("doc_id", "tok"))
@@ -100,14 +118,17 @@ object RefMatching {
       .dropDuplicates("doc_id", "item_id")
   }
 
-  /** F2: figure/table citation → content-id assignment — the same
-    * matcher chain against figure/table *labels*
-    * (`processors/fulltext/processor.py:252-267`; ids `fig_0…`/`tab_0…`
-    * from `Extractors.assignContentIds`). Label-only matching uses a
-    * prefix length of 1 effectively — the label text IS the key.
+  /** F2: figure/table citation → content-id assignment — the SIMPLE
+    * matcher only against figure/table *labels*
+    * (`processors/fulltext/processor.py:252-267` chains no partial
+    * matcher for figures/tables; ids `fig_0…`/`tab_0…` from
+    * `Extractors.assignContentIds`).
     */
   def matchFigureTableIds(citations: DataFrame, figures: DataFrame): DataFrame =
-    matchContentIds(citations, figures)
+    simpleStage(citations, figures)
+      .filter(col("content_id").isNotNull)
+      .select("doc_id", "item_id", "content_id")
+      .dropDuplicates("doc_id", "item_id")
 
   /** G7: affiliation-by-marker grouping for TEI author building
     * (`document/tei_document.py:68-73`): markers map each author's

@@ -421,6 +421,9 @@ object Tei {
       val replacementById = refRoots
         .filter(n => n.node_type != "raw_reference")
         .flatMap(n => Option(n.content_id).map(_ -> n)).toMap
+      val rawIds = refRoots.collect {
+        case o if o.node_type == "raw_reference" => o.content_id
+      }.filter(_ != null).toSet
       def renderInvalid(r: SemanticNode): Unit = {
         // demoted references render as a note of their remaining
         // content (extract.py:172-179 + the generic note factory)
@@ -462,10 +465,7 @@ object Tei {
             // roots with no raw sibling in this node set (direct fold
             // output) render at their own position; roots that replaced
             // a raw reference already rendered at its slot
-            val replacesRaw = Option(r.content_id).exists(id =>
-              refRoots.exists(o => o.node_type == "raw_reference" &&
-                o.content_id == id))
-            if (!replacesRaw) renderParsed(r)
+            if (!Option(r.content_id).exists(rawIds)) renderParsed(r)
         }
       }
       backSb ++= "</listBibl></div>"

@@ -298,4 +298,21 @@ class GraphicMatchingSpec extends SparkSuite {
     assert(GraphicMatching.assignDocument(gs, cs) ==
       Seq("g1" -> "cand", "g2" -> "cand"))
   }
+
+  test("assignDocument: duplicate ids merge into one multi-box ref") {
+    def nb(x: Double, y: Double, w: Double, h: Double, p: Int) =
+      GraphicMatching.normalized(Box(x, y, w, h, p), 100, 200)
+    // the same graphic id arrives as two rows (one box per page); it
+    // must propose ONCE with the box union, not double-match two
+    // candidates
+    val gs = Seq(
+      "g1" -> Seq(nb(20, 150, 60, 40, 1)),
+      "g1" -> Seq(nb(20, 10, 60, 40, 2)))
+    val cs = Seq(
+      "c1" -> Seq(nb(20, 120, 60, 20, 1)),
+      "c2" -> Seq(nb(20, 60, 60, 20, 2)))
+    val ms = GraphicMatching.assignDocument(gs, cs)
+    assert(ms.size == 1, ms)
+    assert(ms.head._1 == "g1")
+  }
 }

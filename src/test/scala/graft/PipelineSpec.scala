@@ -534,7 +534,8 @@ class PipelineSpec extends SparkSuite {
     val m = RefMatching.matchFigureTableIds(citations, figures)
       .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
     assert(m(2L) == "fig_0") // exact normalized key "figure1"
-    assert(m(1L) == "fig_1") // partial vote: "2" only in fig_1's label
+    assert(m(1L) == "fig_1") // token-prefix key "f2" (no partial
+                             // matcher for figures, processor.py:257-259)
 
     // affiliations grouped by marker (G7)
     val affs = Seq((0L, "aff0", "1"), (0L, "aff1", "1"), (0L, "aff2", "2"))

@@ -35,6 +35,54 @@ class CitationPassSpec extends AnyFunSuite {
     assert(nodes.map(_.node_id).distinct.size == nodes.size)
   }
 
+  test("whitespace-only raw text: no parse, no orphaned label copies") {
+    val nodes = Processor.citationPass(0L, segNodes("   "))
+    assert(nodes == segNodes("   "))
+    // every non-root parent id must exist
+    val ids = nodes.map(_.node_id).toSet
+    assert(nodes.filter(_.parent_id >= 0).forall(n => ids(n.parent_id)))
+  }
+
+  test("renumberReferenceIds: demoted pairs leave the b-sequence, " +
+      "valid references renumber contiguously (processor.py:241)") {
+    // segmenter order: b0 demoted, b1 valid, b2 unparsed raw
+    val nodes = Seq(
+      n(0L, -1L, "raw_reference", "", "b0"),
+      n(10L, -1L, "invalid_reference", "", "b0"),
+      n(20L, -1L, "raw_reference", "", "b1"),
+      n(30L, -1L, "reference", "", "b1"),
+      n(40L, -1L, "raw_reference", "", "b2"))
+    val out = Processor.renumberReferenceIds(nodes)
+    def cid(id: Long) = out.find(_.node_id == id).get.content_id
+    // the valid pair takes b0 (the demoted pair does not consume an id)
+    assert(cid(20L) == "b0" && cid(30L) == "b0")
+    // the unparsed raw consumes the next id
+    assert(cid(40L) == "b1")
+    // the demoted pair keeps an out-of-band id, still shared for the
+    // sink's in-place replacement pairing
+    assert(cid(0L) == cid(10L) && cid(0L).startsWith("invalid_ref_"))
+  }
+
+  test("reference markers: label match, then raw-text vote; demoted " +
+      "references are never targets (processor.py:239-251)") {
+    val nodes = Seq(
+      n(100L, -1L, "reference_citation", "Smith 2020"),
+      n(101L, -1L, "reference_citation", "99."),
+      n(0L, -1L, "raw_reference", "", "b0"),
+      n(1L, 0L, "label", "1."),
+      n(2L, 0L, "raw_reference_text", "J Smith, A title, 2020"),
+      n(10L, -1L, "reference", "", "b0"),
+      n(20L, -1L, "raw_reference", "", "invalid_ref_0"),
+      n(21L, 20L, "label", "99."),
+      n(30L, -1L, "invalid_reference", "", "invalid_ref_0"))
+    val out = Processor.assignIdsAndTargets(nodes)
+    // author-year marker resolves through the raw-text vote fallback
+    assert(out.find(_.node_id == 100L).get.content_id == "b0")
+    // the demoted reference's own label "99." is NOT a candidate, so
+    // its marker stays unresolved — no dangling target=#id in TEI
+    assert(out.find(_.node_id == 101L).get.content_id == null)
+  }
+
   test("two raw references: parsed siblings keep disjoint id ranges") {
     val nodes = Processor.citationPass(0L,
       segNodes("Smith J. A title. Journal 2020") ++ Seq(
