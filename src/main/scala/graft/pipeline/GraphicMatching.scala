@@ -103,6 +103,16 @@ object GraphicMatching {
     * loop runs over the FULL per-document sets — no pairwise
     * pre-filter, so continuation chains through absorbed boxes are
     * never pruned away regardless of the absorbed extent. */
+  /** Natural (trailing-number-aware) id order: `fig_2` before
+    * `fig_10`, `b9` before `b10` — document order for the
+    * `iter_ids`-generated ids, so exact-distance ties resolve the way
+    * the reference's document-ordered candidate list does. */
+  private def naturalKey(id: String): (String, Long) =
+    "([0-9]+)$".r.findFirstIn(id) match {
+      case Some(d) => (id.dropRight(d.length), d.toLong)
+      case None => (id, -1L)
+    }
+
   def assignDocument(
       graphics: Seq[(String, Seq[Box])],
       candidates: Seq[(String, Seq[Box])],
@@ -113,8 +123,9 @@ object GraphicMatching {
       }.toSeq
     val gs = grouped(graphics)
       .map { case (id, bs) => (id, bs.filter(b => b.width > 0 && b.height > 0)) }
-      .filter(_._2.nonEmpty).sortBy(_._1)
-    val cs = grouped(candidates).filter(_._2.nonEmpty).sortBy(_._1)
+      .filter(_._2.nonEmpty).sortBy(e => naturalKey(e._1))
+    val cs = grouped(candidates).filter(_._2.nonEmpty)
+      .sortBy(e => naturalKey(e._1))
     greedyAssign(gs, cs, maxDistance)
   }
 

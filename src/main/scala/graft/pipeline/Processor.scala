@@ -106,14 +106,30 @@ object Processor {
       .groupBy(_.parent_id)
     val labelByParent = segNodes.filter(_.node_type == "label")
       .groupBy(_.parent_id)
+    // a raw reference whose block yields NO parseable entities demotes
+    // to an invalid reference holding the label (the reference's
+    // citation model parses EVERY raw reference; label-only or
+    // whitespace-only blocks cannot produce a valid field, and a raw
+    // reference must never survive the pass un-replaced —
+    // processor.py:612-623 asserts a parse result per raw reference)
+    def demoteWithLabel(r: SemanticNode): Seq[SemanticNode] = {
+      val copies0 = labelByParent.getOrElse(r.node_id, Nil)
+      val offset = nextId
+      val root = SemanticNode(docId, offset, -1L, "invalid_reference", "",
+        r.content_id, null, null)
+      val copies = copies0.zipWithIndex.map { case (c, i) =>
+        c.copy(node_id = offset + 1 + i, parent_id = offset)
+      }
+      nextId = offset + 1 + copies0.size
+      root +: copies
+    }
     val citNodes = segNodes.filter(_.node_type == "raw_reference").flatMap { r =>
-      textByParent.getOrElse(r.node_id, Nil).flatMap { t =>
+      val texts = textByParent.getOrElse(r.node_id, Nil)
+      if (texts.isEmpty) demoteWithLabel(r)
+      else texts.flatMap { t =>
         val folded = ModelExtractors.citationFold(docId,
           citationSpansOf(t.text), r.content_id)
-        // an empty parse (whitespace-only raw text) yields no root —
-        // emitting inherited copies anyway would orphan them onto a
-        // nonexistent parent id
-        if (folded.isEmpty) Nil
+        if (folded.isEmpty) demoteWithLabel(r)
         else {
           // citation/extract.py:214-217: the parsed reference STARTS
           // with the raw reference's content — the segmenter label and
@@ -280,22 +296,46 @@ object Processor {
     // the partial (token-vote) fallback runs over its OWN text source
     // (processor.py:244-251: Simple over labels, Partial over raw
     // reference texts; figures/tables chain NO partial matcher,
-    // processor.py:257-267)
-    val candTokens = partialCandidates.map { case (id, lt) =>
-      id -> lt.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    // processor.py:257-267). EXACT PartialContentIdMatcher semantics
+    // (ref_matching.py:67-93): tokens come from the reference
+    // tokenizer and are normalized PER TOKEN — punctuation normalizes
+    // to "" and still votes; duplicates count; and the winner is the
+    // FIRST candidate in vote-insertion order (python's Counter keeps
+    // insertion order and the matcher returns keys[0] unless its
+    // count equals keys[1]'s — NOT the max-count candidate).
+    def partialTokens(s: String): List[String] =
+      TextNormalization.tokenize(s).map(normKey)
+    val candIndex: Map[String, List[String]] = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ListBuffer[String]]
+      partialCandidates.foreach { case (id, lt) =>
+        partialTokens(lt).foreach { tok =>
+          m.getOrElseUpdate(tok,
+            scala.collection.mutable.ListBuffer.empty[String]) += id
+        }
+      }
+      m.view.mapValues(_.toList).toMap
+    }
+    def partialMatch(text: String): Option[String] = {
+      val toks = partialTokens(text)
+      if (toks.isEmpty) return None
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      toks.foreach { tok =>
+        candIndex.getOrElse(tok, Nil).foreach { id =>
+          counts.update(id, counts.getOrElse(id, 0) + 1)
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val keys = counts.keys.toList
+        if (keys.sizeIs >= 2 && counts(keys.head) == counts(keys(1))) None
+        else Some(keys.head)
+      }
     }
     citations.flatMap { case (nid, text) =>
-      val direct = byExact.get(normKey(text)).orElse(byPrefix.get(prefixKey(text)))
-      direct.orElse {
-        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
-        val votes = candTokens.map { case (id, ct) => id -> (toks & ct).size }
-          .filter(_._2 > 0)
-        if (votes.isEmpty) None
-        else {
-          val top = votes.filter(_._2 == votes.map(_._2).max)
-          if (top.size == 1) Some(top.head._1) else None
-        }
-      }.map(nid -> _)
+      byExact.get(normKey(text)).orElse(byPrefix.get(prefixKey(text)))
+        .orElse(partialMatch(text))
+        .map(nid -> _)
     }.toMap
   }
 

@@ -62,11 +62,17 @@ object RefMatching {
       normalizedKey(col("label_text")).as("k1"),
       tokenPrefixKey(col("label_text")).as("k2"))
 
-    val exact = cit.join(cand.select(col("doc_id"), col("k1"), col("content_id").as("m1")),
+    // duplicate keys: deterministic winner (the reference builds a
+    // dict in candidate order, so duplicates overwrite; DataFrames
+    // carry no row order, so max(content_id) is the deterministic
+    // stand-in — the per-document fold form keeps exact dict
+    // last-wins order). Without the aggregate a duplicate key would
+    // fan the citation into several rows and the final dropDuplicates
+    // would keep an arbitrary one.
+    val exact = cit.join(
+      cand.select(col("doc_id"), col("k1"), col("content_id"))
+        .groupBy("doc_id", "k1").agg(max(col("content_id")).as("m1")),
       Seq("doc_id", "k1"), "left")
-    // duplicate prefix keys: deterministic winner (the reference builds a
-    // dict in candidate order, so duplicates overwrite — max content_id
-    // is the deterministic equivalent)
     val prefix = exact.join(
       cand.select(col("doc_id"), col("k2"), col("content_id"))
         .filter(col("k2") =!= "")
@@ -85,7 +91,20 @@ object RefMatching {
   /** The reference-citation chain (`processor.py:244-251`): Simple
     * over `candidates` (labels), then Partial token-vote over
     * `partialCandidates` (raw reference texts) — the two stages read
-    * DIFFERENT text sources, as `ChainedContentIdMatcher` does. */
+    * DIFFERENT text sources, as `ChainedContentIdMatcher` does.
+    *
+    * DECLARED DIVERGENCE of this corpus-scale form: the vote stage
+    * keeps the strict top-1-by-votes winner over distinct
+    * alphanumeric tokens, where the reference's
+    * `PartialContentIdMatcher` counts duplicate and
+    * punctuation-normalized-empty tokens and returns the FIRST
+    * candidate in Counter insertion order (`ref_matching.py:85-93`).
+    * The per-document fold form ([[Processor.matchContentIdsLocal]])
+    * — the path the document pipeline actually runs — implements the
+    * reference's exact semantics; this join form trades that
+    * order-dependence (meaningless under a shuffle) for the
+    * deterministic vote count. Both agree on the reference's own
+    * matcher test matrix. */
   def matchContentIds(citations: DataFrame, candidates: DataFrame,
       partialCandidates: DataFrame): DataFrame = {
     val direct = simpleStage(citations, candidates)

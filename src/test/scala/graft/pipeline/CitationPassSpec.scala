@@ -35,9 +35,18 @@ class CitationPassSpec extends AnyFunSuite {
     assert(nodes.map(_.node_id).distinct.size == nodes.size)
   }
 
-  test("whitespace-only raw text: no parse, no orphaned label copies") {
+  test("whitespace-only raw text: demoted to an invalid reference " +
+      "with the label, no orphaned copies") {
+    // the reference's citation model parses every raw reference; an
+    // unparseable block can only demote (it never survives raw)
     val nodes = Processor.citationPass(0L, segNodes("   "))
-    assert(nodes == segNodes("   "))
+    val inv = nodes.find(_.node_type == "invalid_reference").get
+    assert(inv.content_id.startsWith("invalid_ref_"))
+    val kids = nodes.filter(_.parent_id == inv.node_id)
+    assert(kids.map(n => (n.node_type, n.text)) == Seq(("label", "12.")))
+    // the raw sibling shares the out-of-band id for sink suppression
+    assert(nodes.find(_.node_type == "raw_reference").get.content_id ==
+      inv.content_id)
     // every non-root parent id must exist
     val ids = nodes.map(_.node_id).toSet
     assert(nodes.filter(_.parent_id >= 0).forall(n => ids(n.parent_id)))
@@ -72,15 +81,34 @@ class CitationPassSpec extends AnyFunSuite {
       n(1L, 0L, "label", "1."),
       n(2L, 0L, "raw_reference_text", "J Smith, A title, 2020"),
       n(10L, -1L, "reference", "", "b0"),
+      n(3L, -1L, "raw_reference", "", "b1"),
+      n(4L, 3L, "label", "2."),
+      n(5L, 3L, "raw_reference_text", "K Jones, Other work, 2021"),
+      n(11L, -1L, "reference", "", "b1"),
       n(20L, -1L, "raw_reference", "", "invalid_ref_0"),
       n(21L, 20L, "label", "99."),
       n(30L, -1L, "invalid_reference", "", "invalid_ref_0"))
     val out = Processor.assignIdsAndTargets(nodes)
     // author-year marker resolves through the raw-text vote fallback
     assert(out.find(_.node_id == 100L).get.content_id == "b0")
-    // the demoted reference's own label "99." is NOT a candidate, so
-    // its marker stays unresolved — no dangling target=#id in TEI
+    // the demoted reference's own label "99." is NOT a candidate; its
+    // punctuation-token votes tie across b0/b1 (the reference Counter
+    // semantics) — the marker stays unresolved, no dangling target
     assert(out.find(_.node_id == 101L).get.content_id == null)
+  }
+
+  test("partial matcher follows the reference's Counter semantics: " +
+      "first-encountered wins, punctuation tokens vote (ref_matching.py:85-93)") {
+    // reference behavior verified against the vendored python: the
+    // winner is keys[0] in vote-insertion order, NOT the max count
+    val out = Processor.matchContentIdsLocal(
+      Seq((1L, "2020 Smith")),
+      candidates = Seq(("b0", "1."), ("b1", "2.")),
+      partialCandidates = Seq(
+        ("b0", "Year 2020"), ("b1", "Smith B. Title 2020")))
+    // b0 is first-encountered via the "2020" token and its count (1)
+    // differs from b1's (2) -> b0 wins despite fewer votes
+    assert(out == Map(1L -> "b0"))
   }
 
   test("two raw references: parsed siblings keep disjoint id ranges") {
