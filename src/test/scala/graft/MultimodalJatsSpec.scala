@@ -230,7 +230,8 @@ class MultimodalJatsSpec extends SparkSuite {
       """</imprint></monogr></biblStruct>""" +
       """</listBibl></div></back></text></TEI>"""
     val jats = Jats.transform(tei)
-    assert(jats.contains("""<ref id="b0"><element-citation>"""), jats)
+    assert(jats.contains(
+      """<ref id="b0"><element-citation publication-type="journal">"""), jats)
     assert(jats.contains("""<person-group person-group-type="author"><name>""" +
       "<surname>Smith</surname><given-names>Alice</given-names></name></person-group>"), jats)
     assert(jats.contains("<article-title>Measuring Things</article-title>"), jats)
@@ -238,7 +239,8 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(jats.contains("<year>2020</year>") && jats.contains("<volume>12</volume>"), jats)
     assert(jats.contains("<fpage>123</fpage><lpage>127</lpage>"), jats)
     // the article contrib-group contains ONLY the header author
-    val contribs = jats.substring(jats.indexOf("<contrib-group>"),
+    val contribs = jats.substring(
+      jats.indexOf("""<contrib-group content-type="author">"""),
       jats.indexOf("</contrib-group>"))
     assert(contribs.contains("Doe") && !contribs.contains("Smith"), contribs)
   }
