@@ -62,6 +62,28 @@ class XmlValiditySpec extends SparkSuite {
     assertAllParse(xml, "training-TEI")
   }
 
+  test("permissive ALTO parse: random truncations never throw; every " +
+      "input lands in tokens or quarantine") {
+    // a StAX walk over byte-truncated XML must fail CLEANLY per
+    // document (quarantined), not hang or poison the partition
+    val base = PipelineOps.altoOf(0L, "plain words fill the body line " +
+      "so every view has content here and more beyond")
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 24).map { i =>
+      val cut = 1 + rnd.nextInt(base.length - 1)
+      (i.toLong, base.take(cut))
+    } :+ (0L, base)
+    val ds = docs.toDS()
+    val okIds = AltoReader.tokensPermissive(ds).collect().map(_.doc_id).toSet
+    val badIds = AltoReader.quarantine(ds).collect().map(_.getLong(0)).toSet
+    assert(okIds(0L))
+    // no doc is silently lost: parsed and quarantined cover all inputs
+    // (a truncation can still be well-formed up to the cut, so the two
+    // sets may overlap only for docs whose prefix parses)
+    assert((okIds ++ badIds) == docs.map(_._1).toSet,
+      s"lost: ${docs.map(_._1).toSet -- okIds -- badIds}")
+  }
+
   test("TEI and JATS survive XML-special and non-ASCII token text") {
     // tokens exercising every escaping path: bare specials, entity
     // look-alikes, CDATA terminator, quotes, accents, CJK, and a
