@@ -74,17 +74,31 @@ object GraphicMatching {
           if (best._3 < maxDistance) Some((gid, gBoxes, best._1, best._3)) else None
         }
       }
-      // per candidate: best proposal wins
-      val winners = proposals.groupBy(_._3).map { case (_, ps) => ps.minBy(_._4) }.toSeq
+      // per candidate: best proposal wins — first proposal holds the
+      // slot unless a later one is STRICTLY better (is_better_than,
+      // graphic_matching.py:383-408), preserving proposal order
+      val winners = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, Seq[Box], String, Double)]
+      proposals.foreach { p =>
+        winners.get(p._3) match {
+          case Some(prev) if prev._4 <= p._4 => ()
+          case _ => winners.update(p._3, p)
+        }
+      }
       if (winners.isEmpty) done = true
       else {
-        matches ++= winners.map(w => (w._1, w._3))
-        val matchedG = winners.map(_._1).toSet
-        // winners absorb the graphic's boxes for subsequent rounds
-        val absorbed = winners.map(w => w._3 -> w._2).toMap
-        cands = cands.map { case (cid, boxes) =>
-          (cid, boxes ++ absorbed.getOrElse(cid, Nil))
-        }
+        matches ++= winners.values.map(w => (w._1, w._3))
+        val matchedG = winners.values.map(_._1).toSet
+        // ONLY the candidates matched this round survive into the next
+        // one, in match-insertion order, with the winner's boxes
+        // absorbed (iter_remaining_candidate_bounding_box_refs,
+        // graphic_matching.py:410-417 — an unmatched candidate never
+        // re-enters the pool)
+        cands = winners.values.map { w =>
+          val current = cands.collectFirst { case (cid, bs) if cid == w._3 => bs }
+            .getOrElse(Nil)
+          (w._3, current ++ w._2)
+        }.toSeq
         remainingGraphics = remainingGraphics.filterNot(g => matchedG(g._1))
       }
     }
@@ -106,11 +120,14 @@ object GraphicMatching {
   /** Natural (trailing-number-aware) id order: `fig_2` before
     * `fig_10`, `b9` before `b10` — document order for the
     * `iter_ids`-generated ids, so exact-distance ties resolve the way
-    * the reference's document-ordered candidate list does. */
-  private def naturalKey(id: String): (String, Long) =
+    * the reference's document-ordered candidate list does. The digit
+    * run compares as (length, digits) — numeric order without parsing,
+    * so an id ending in more digits than a Long holds cannot crash
+    * the matching task. */
+  private def naturalKey(id: String): (String, Int, String) =
     "([0-9]+)$".r.findFirstIn(id) match {
-      case Some(d) => (id.dropRight(d.length), d.toLong)
-      case None => (id, -1L)
+      case Some(d) => (id.dropRight(d.length), d.length, d)
+      case None => (id, -1, "")
     }
 
   def assignDocument(
@@ -133,7 +150,9 @@ object GraphicMatching {
     * union, not a join — graphics and candidates per document are a
     * handful of rows, so the per-doc sets are tiny), then
     * [[assignDocument]] runs the reference's exact greedy loop on the
-    * full sets.
+    * full sets. This schema carries no graphic type: exclude ignored
+    * types (svg, graphic_matching.py:461-466) BEFORE calling, as the
+    * pipeline's [[Processor]] fold form does.
     *
     * @param graphics  (doc_id, graphic_id, x, y, width, height, page_number,
     *                  page_width, page_height)

@@ -291,8 +291,10 @@ object Processor {
         normKey(if (t.exists(_.isDigit)) t else t.take(n))
       }.mkString
     val byExact = candidates.map { case (id, lt) => normKey(lt) -> id }.toMap
-    val byPrefix = candidates.map { case (id, lt) => prefixKey(lt) -> id }
-      .filter(_._1.nonEmpty).toMap
+    // no empty-key filter: the reference's prefix dict keeps the ''
+    // key, so an all-punctuation prefix matches at this stage
+    // (ref_matching.py:51-63)
+    val byPrefix = candidates.map { case (id, lt) => prefixKey(lt) -> id }.toMap
     // the partial (token-vote) fallback runs over its OWN text source
     // (processor.py:244-251: Simple over labels, Partial over raw
     // reference texts; figures/tables chain NO partial matcher,
@@ -718,7 +720,11 @@ object Processor {
       maxDistance: Double = GraphicMatching.DefaultMaxDistance): Seq[(String, String)] = {
     import GraphicMatching.{Box, normalized}
     GraphicMatching.assignDocument(
-      gs.map(g => g.graphic_id -> Seq(normalized(
+      // svg graphics never enter the bbox matcher — they represent the
+      // whole page, not an image (graphic_matching.py:461-466
+      // ignored_graphic_types) — but they stay in the graphics list
+      // and land in the unmatched back note
+      gs.filter(_.graphic_type != "svg").map(g => g.graphic_id -> Seq(normalized(
         Box(g.x, g.y, g.width, g.height, g.page_number),
         g.page_width, g.page_height))),
       cs.map(c => c.candidate_id -> Seq(normalized(

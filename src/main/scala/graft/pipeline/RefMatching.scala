@@ -73,9 +73,10 @@ object RefMatching {
       cand.select(col("doc_id"), col("k1"), col("content_id"))
         .groupBy("doc_id", "k1").agg(max(col("content_id")).as("m1")),
       Seq("doc_id", "k1"), "left")
+    // no empty-key filter on k2: the reference's prefix dict keeps
+    // the '' key (ref_matching.py:51-63)
     val prefix = exact.join(
       cand.select(col("doc_id"), col("k2"), col("content_id"))
-        .filter(col("k2") =!= "")
         .groupBy("doc_id", "k2").agg(max(col("content_id")).as("m2")),
       Seq("doc_id", "k2"), "left")
 

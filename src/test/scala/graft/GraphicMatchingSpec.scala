@@ -299,6 +299,26 @@ class GraphicMatchingSpec extends SparkSuite {
       Seq("g1" -> "cand", "g2" -> "cand"))
   }
 
+  test("greedyAssign rounds >= 2: only previously-matched candidates " +
+      "stay in the pool, in match-insertion order") {
+    // graphic_matching.py:410-417 iter_remaining_candidate_bounding_
+    // box_refs: the next round's candidate list is EXACTLY this
+    // round's matches (extended), in the order they were won. g3 sits
+    // out round 1 (0.316 > 0.3 to both originals) and in round 2 ties
+    // at distance 0.0 against both extended candidates — the winner
+    // must be the FIRST-matched one (c2, won by g1), not the
+    // naturally-first id (c1)
+    val cs = Seq(
+      "c1" -> Seq(Box(0.0, 1.55, 0.1, 0.1, 1)),
+      "c2" -> Seq(Box(0.0, 1.0, 0.1, 0.1, 1)))
+    val gs = Seq(
+      "g1" -> Seq(Box(0.0, 1.15, 0.5, 0.1, 1)),
+      "g2" -> Seq(Box(0.0, 1.40, 0.5, 0.1, 1)),
+      "g3" -> Seq(Box(0.4, 1.20, 0.1, 0.25, 1)))
+    assert(GraphicMatching.assignDocument(gs, cs) ==
+      Seq("g1" -> "c2", "g2" -> "c1", "g3" -> "c2"))
+  }
+
   test("assignDocument: duplicate ids merge into one multi-box ref") {
     def nb(x: Double, y: Double, w: Double, h: Double, p: Int) =
       GraphicMatching.normalized(Box(x, y, w, h, p), 100, 200)
