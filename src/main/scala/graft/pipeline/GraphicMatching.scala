@@ -93,12 +93,10 @@ object GraphicMatching {
         // one, in match-insertion order, with the winner's boxes
         // absorbed (iter_remaining_candidate_bounding_box_refs,
         // graphic_matching.py:410-417 — an unmatched candidate never
-        // re-enters the pool)
-        cands = winners.values.map { w =>
-          val current = cands.collectFirst { case (cid, bs) if cid == w._3 => bs }
-            .getOrElse(Nil)
-          (w._3, current ++ w._2)
-        }.toSeq
+        // re-enters the pool). Every winner's id was scored from the
+        // current pool, so the lookup cannot miss.
+        val byId = cands.toMap
+        cands = winners.values.map(w => (w._3, byId(w._3) ++ w._2)).toSeq
         remainingGraphics = remainingGraphics.filterNot(g => matchedG(g._1))
       }
     }
@@ -214,14 +212,19 @@ object GraphicMatching {
       RefMatching.normalizedKey(col("label_text")).as("k1"),
       RefMatching.tokenPrefixKey(col("label_text"), prefixLength).as("k2"))
     // duplicate keys: the reference's dict comprehension keeps the last
-    // candidate — max(candidate_id) is the deterministic analog
-    val c1 = cand.filter(col("k1") =!= "")
+    // candidate — max(candidate_id) is the deterministic analog. The
+    // '' key stays (SimpleContentIdMatcher keeps it): a label-less
+    // candidate can match a punctuation-only line
+    val c1 = cand
       .groupBy("doc_id", "k1").agg(max(col("candidate_id")).as("m1"))
-    val c2 = cand.filter(col("k2") =!= "")
+    val c2 = cand
       .groupBy("doc_id", "k2").agg(max(col("candidate_id")).as("m2"))
+    // only STRICTLY empty lines are skipped (graphic_matching.py:533-535
+    // `if not graphic_text_line`); a whitespace-only line still probes
+    // the matcher with its ''-normalized key
     val lines = graphicLines.select(col("doc_id"), col("graphic_id"),
         posexplode(col("lines")).as(Seq("line_idx", "line")))
-      .filter(trim(col("line")) =!= "")
+      .filter(col("line") =!= "")
     val joined = lines
       .withColumn("k1", RefMatching.normalizedKey(col("line")))
       .withColumn("k2", RefMatching.tokenPrefixKey(col("line"), prefixLength))
