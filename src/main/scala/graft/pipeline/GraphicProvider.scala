@@ -170,6 +170,94 @@ object GraphicProvider {
     * ONE pass over the detector output — no re-evaluation of the
     * (expensive) upstream render+detect stage and no persist needed.
     */
+  /** Tokens mostly inside any CV box leave the token table
+    * (`_remove_tokens_within_bounding_box_flatmap_fn` with
+    * `are_page_coordinates_within_bounding_box`,
+    * processors/graphic_provider.py:150-235: intersection ≥
+    * `minAreaRatio` of the TOKEN's own area; tokens without
+    * coordinates or with zero area always stay). Broadcast anti-join —
+    * the corpus-sized token table never shuffles; CV boxes are a few
+    * rows per candidate page. The reference's follow-up
+    * `remove_empty_blocks` is structural-only here: block grouping is
+    * positional, so emptied blocks simply stop existing. */
+  def removeTokensWithinBoxes(tokens: DataFrame, boxes: DataFrame,
+      minAreaRatio: Double = 0.5): DataFrame = {
+    val b = broadcast(boxes.select(col("doc_id").as("b_doc"),
+      col("page_number").as("b_page"), col("x").as("bx"), col("y").as("by"),
+      col("width").as("bw"), col("height").as("bh")))
+    val tx = col("coords.x"); val ty = col("coords.y")
+    val tw = col("coords.width"); val th = col("coords.height")
+    val ix = greatest(lit(0.0),
+      least(tx + tw, col("bx") + col("bw")) - greatest(tx, col("bx")))
+    val iy = greatest(lit(0.0),
+      least(ty + th, col("by") + col("bh")) - greatest(ty, col("by")))
+    tokens.join(b,
+      col("doc_id") === col("b_doc") && col("page_number") === col("b_page") &&
+        col("coords").isNotNull && tw * th > 0 &&
+        ix * iy >= lit(minAreaRatio) * tw * th,
+      "left_anti")
+  }
+
+  /** Embedded graphics mostly inside any CV box leave the graphics
+    * table (`is_layout_graphic_within_bounding_box`, same ≥
+    * `minAreaRatio`-of-own-area containment). */
+  def removeGraphicsWithinBoxes(graphics: DataFrame, boxes: DataFrame,
+      minAreaRatio: Double = 0.5): DataFrame = {
+    val b = broadcast(boxes.select(col("doc_id").as("b_doc"),
+      col("page_number").as("b_page"), col("x").as("bx"), col("y").as("by"),
+      col("width").as("bw"), col("height").as("bh")))
+    val ix = greatest(lit(0.0),
+      least(col("x") + col("width"), col("bx") + col("bw")) -
+        greatest(col("x"), col("bx")))
+    val iy = greatest(lit(0.0),
+      least(col("y") + col("height"), col("by") + col("bh")) -
+        greatest(col("y"), col("by")))
+    graphics.join(b,
+      col("doc_id") === col("b_doc") && col("page_number") === col("b_page") &&
+        col("width") * col("height") > 0 &&
+        ix * iy >= lit(minAreaRatio) * col("width") * col("height"),
+      "left_anti")
+  }
+
+  /** The CV-graphics document rewrite
+    * (`get_layout_document_with_text_and_graphics_replaced_by_graphics`
+    * / `..._graphics_replaced_by_graphics`,
+    * processors/graphic_provider.py:238-310, wired at
+    * fulltext/processor.py:310-335): embedded graphics inside a CV box
+    * are replaced by the CV detection, overlapping text leaves the
+    * token table when `replaceText` is on
+    * (config `replace_text_by_cv_graphic`).
+    *
+    * @param tokens    ALTO token table (coords struct + page dims)
+    * @param graphics  [[graft.pipeline.Processor.graphicsForMatching]] shape
+    * @param cvBoxes   [[detectBoxes]] output
+    * @return (rewritten tokens, rewritten graphics) — the CV boxes join
+    *         the graphics table under their `cv_id` with the detector's
+    *         category as the type, page dims attached from the tokens
+    *         (the reference attaches the cropped page-image graphic
+    *         here; the box + category is this engine's declared
+    *         equivalent until a real CV backend renders crops)
+    */
+  def replaceByCvGraphics(tokens: DataFrame, graphics: DataFrame,
+      cvBoxes: DataFrame, replaceText: Boolean = true,
+      minAreaRatio: Double = 0.5): (DataFrame, DataFrame) = {
+    val newTokens =
+      if (replaceText) removeTokensWithinBoxes(tokens, cvBoxes, minAreaRatio)
+      else tokens
+    val pageDims = tokens.filter(col("page_width").isNotNull)
+      .groupBy(col("doc_id"), col("page_number"))
+      .agg(first(col("page_width")).as("page_width"),
+        first(col("page_height")).as("page_height"))
+    val added = cvBoxes.join(broadcast(pageDims), Seq("doc_id", "page_number"))
+      .select(col("doc_id"), col("cv_id").as("graphic_id"),
+        col("category").as("graphic_type"),
+        col("x"), col("y"), col("width"), col("height"),
+        col("page_number"), col("page_width"), col("page_height"))
+    (newTokens,
+      removeGraphicsWithinBoxes(graphics, cvBoxes, minAreaRatio)
+        .unionByName(added))
+  }
+
   def reconcileCvBoxesOuter(cvBoxes: DataFrame, graphics: DataFrame,
       threshold: Double = 0.80,
       ignoredGraphicTypes: Seq[String] = Seq("svg")): DataFrame = {

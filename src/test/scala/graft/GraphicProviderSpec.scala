@@ -83,6 +83,48 @@ class GraphicProviderSpec extends SparkSuite {
     assert(r.map(_._5) == Seq("Figure"))
   }
 
+  test("CV rewrite: tokens and graphics within the box replaced, " +
+      "coordinate-less tokens kept (graphic_provider_test.py " +
+      "test_should_replace_text_and_graphics_within_bounding_box...)") {
+    // reference geometry: CV box (10,90,100x50); keep at (10,10,100x20)
+    // does not overlap, remove at (10,100,100x20) is fully inside
+    val base = Seq(
+      (0L, "keep", 10.0, 10.0, 100.0, 20.0),
+      (0L, "remove", 10.0, 100.0, 100.0, 20.0),
+      (0L, "halfout", 10.0, 70.0, 100.0, 30.0), // 1/3 inside -> kept
+    ).toDF("doc_id", "text", "cx", "cy", "cw", "ch")
+      .withColumn("page_number", org.apache.spark.sql.functions.lit(1))
+      .withColumn("page_width", org.apache.spark.sql.functions.lit(200.0))
+      .withColumn("page_height", org.apache.spark.sql.functions.lit(200.0))
+      .selectExpr("doc_id", "text",
+        "named_struct('x', cx, 'y', cy, 'width', cw, 'height', ch) as coords",
+        "page_number", "page_width", "page_height")
+    val noCoords = Seq((0L, "nocoords")).toDF("doc_id", "text")
+      .withColumn("coords", org.apache.spark.sql.functions
+        .lit(null).cast(base.schema("coords").dataType))
+      .withColumn("page_number", org.apache.spark.sql.functions.lit(1))
+      .withColumn("page_width", org.apache.spark.sql.functions.lit(200.0))
+      .withColumn("page_height", org.apache.spark.sql.functions.lit(200.0))
+    val tokens = base.unionByName(noCoords)
+    val graphics = Seq(
+      (0L, "keep-graphic", "png", 10.0, 10.0, 100.0, 20.0, 1, 200.0, 200.0),
+      (0L, "remove-graphic", "png", 10.0, 100.0, 100.0, 20.0, 1, 200.0, 200.0),
+    ).toDF("doc_id", "graphic_id", "graphic_type", "x", "y", "width",
+      "height", "page_number", "page_width", "page_height")
+    val cv = Seq((0L, 1, "cv_1_0", 10.0, 90.0, 100.0, 50.0, "new-graphic"))
+      .toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height",
+        "category")
+    val (t2, g2) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv)
+    assert(t2.collect().map(_.getString(1)).toSet ==
+      Set("keep", "halfout", "nocoords"))
+    val gRows = g2.collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(gRows == Set(("keep-graphic", "png"), ("cv_1_0", "new-graphic")))
+    // replaceText = false keeps every token
+    val (t3, _) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv,
+      replaceText = false)
+    assert(t3.count() == 4)
+  }
+
   test("F5 outer: one row per CV box, unmatched boxes keep null graphic_id") {
     val cv = Seq(
       (0L, 1, "cv1", 10.0, 10.0, 100.0, 100.0),
