@@ -211,14 +211,17 @@ object GraphicMatching {
     val cand = candidates.select(col("doc_id"), col("candidate_id"),
       RefMatching.normalizedKey(col("label_text")).as("k1"),
       RefMatching.tokenPrefixKey(col("label_text"), prefixLength).as("k2"))
-    // duplicate keys: the reference's dict comprehension keeps the last
-    // candidate — max(candidate_id) is the deterministic analog. The
-    // '' key stays (SimpleContentIdMatcher keeps it): a label-less
-    // candidate can match a punctuation-only line
+    // duplicate keys: the reference's dict comprehension keeps the
+    // LAST candidate in document order — natural-order max
+    // ((length, id): fig_10 beats fig_9) is the deterministic analog
+    // for iter_ids-generated ids. The '' key stays
+    // (SimpleContentIdMatcher keeps it): a label-less candidate can
+    // match a punctuation-only line
+    def lastId(c: Column): Column = max_by(c, struct(length(c), c))
     val c1 = cand
-      .groupBy("doc_id", "k1").agg(max(col("candidate_id")).as("m1"))
+      .groupBy("doc_id", "k1").agg(lastId(col("candidate_id")).as("m1"))
     val c2 = cand
-      .groupBy("doc_id", "k2").agg(max(col("candidate_id")).as("m2"))
+      .groupBy("doc_id", "k2").agg(lastId(col("candidate_id")).as("m2"))
     // only STRICTLY empty lines are skipped (graphic_matching.py:533-535
     // `if not graphic_text_line`); a whitespace-only line still probes
     // the matcher with its ''-normalized key
@@ -368,8 +371,12 @@ object GraphicMatching {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (d, g, img) =>
+          // raw splitlines output, untrimmed: the matcher itself skips
+          // only STRICTLY empty lines (graphic_matching.py:578-593 +
+          // 533-535), so a whitespace-only OCR line still probes the
+          // '' key like the reference
           val lines = if (img == null || img.isEmpty) Array.empty[String]
-            else ocr(img).split("\n").map(_.trim).filter(_.nonEmpty)
+            else ocr(img).split("\n")
           (d, g, lines)
         }
       }

@@ -170,92 +170,117 @@ object GraphicProvider {
     * ONE pass over the detector output — no re-evaluation of the
     * (expensive) upstream render+detect stage and no persist needed.
     */
-  /** Tokens mostly inside any CV box leave the token table
-    * (`_remove_tokens_within_bounding_box_flatmap_fn` with
-    * `are_page_coordinates_within_bounding_box`,
-    * processors/graphic_provider.py:150-235: intersection ≥
-    * `minAreaRatio` of the TOKEN's own area; tokens without
-    * coordinates or with zero area always stay). Broadcast anti-join —
-    * the corpus-sized token table never shuffles; CV boxes are a few
-    * rows per candidate page. The reference's follow-up
-    * `remove_empty_blocks` is structural-only here: block grouping is
-    * positional, so emptied blocks simply stop existing. */
-  def removeTokensWithinBoxes(tokens: DataFrame, boxes: DataFrame,
-      minAreaRatio: Double = 0.5): DataFrame = {
+  /** Broadcast anti-join dropping rows mostly inside any box
+    * (`are_page_coordinates_within_bounding_box`,
+    * processors/graphic_provider.py:150-175: intersection ≥
+    * `minAreaRatio` of the ITEM's own area; zero-area items always
+    * stay). `boxes` needs (doc_id, page_number, x, y, width, height).
+    * The corpus-sized side never shuffles. */
+  private def removeWithinBoxes(df: DataFrame, boxes: DataFrame,
+      itemX: Column, itemY: Column, itemW: Column, itemH: Column,
+      extraCondition: Column, minAreaRatio: Double): DataFrame = {
     val b = broadcast(boxes.select(col("doc_id").as("b_doc"),
       col("page_number").as("b_page"), col("x").as("bx"), col("y").as("by"),
       col("width").as("bw"), col("height").as("bh")))
-    val tx = col("coords.x"); val ty = col("coords.y")
-    val tw = col("coords.width"); val th = col("coords.height")
     val ix = greatest(lit(0.0),
-      least(tx + tw, col("bx") + col("bw")) - greatest(tx, col("bx")))
+      least(itemX + itemW, col("bx") + col("bw")) - greatest(itemX, col("bx")))
     val iy = greatest(lit(0.0),
-      least(ty + th, col("by") + col("bh")) - greatest(ty, col("by")))
-    tokens.join(b,
+      least(itemY + itemH, col("by") + col("bh")) - greatest(itemY, col("by")))
+    df.join(b,
       col("doc_id") === col("b_doc") && col("page_number") === col("b_page") &&
-        col("coords").isNotNull && tw * th > 0 &&
-        ix * iy >= lit(minAreaRatio) * tw * th,
+        extraCondition && itemW * itemH > 0 &&
+        ix * iy >= lit(minAreaRatio) * itemW * itemH,
       "left_anti")
   }
 
-  /** Embedded graphics mostly inside any CV box leave the graphics
-    * table (`is_layout_graphic_within_bounding_box`, same ≥
-    * `minAreaRatio`-of-own-area containment). */
+  /** Tokens mostly inside any box leave the token table
+    * (`_remove_tokens_within_bounding_box_flatmap_fn`; tokens without
+    * coordinates always stay). The reference's follow-up
+    * `remove_empty_blocks` is structural-only here: block grouping is
+    * positional, so emptied blocks simply stop existing. */
+  def removeTokensWithinBoxes(tokens: DataFrame, boxes: DataFrame,
+      minAreaRatio: Double = 0.5): DataFrame =
+    removeWithinBoxes(tokens, boxes,
+      col("coords.x"), col("coords.y"),
+      col("coords.width"), col("coords.height"),
+      col("coords").isNotNull, minAreaRatio)
+
+  /** Embedded graphics mostly inside any box leave the graphics table
+    * (`is_layout_graphic_within_bounding_box`). */
   def removeGraphicsWithinBoxes(graphics: DataFrame, boxes: DataFrame,
-      minAreaRatio: Double = 0.5): DataFrame = {
-    val b = broadcast(boxes.select(col("doc_id").as("b_doc"),
-      col("page_number").as("b_page"), col("x").as("bx"), col("y").as("by"),
-      col("width").as("bw"), col("height").as("bh")))
-    val ix = greatest(lit(0.0),
-      least(col("x") + col("width"), col("bx") + col("bw")) -
-        greatest(col("x"), col("bx")))
-    val iy = greatest(lit(0.0),
-      least(col("y") + col("height"), col("by") + col("bh")) -
-        greatest(col("y"), col("by")))
-    graphics.join(b,
-      col("doc_id") === col("b_doc") && col("page_number") === col("b_page") &&
-        col("width") * col("height") > 0 &&
-        ix * iy >= lit(minAreaRatio) * col("width") * col("height"),
-      "left_anti")
-  }
+      minAreaRatio: Double = 0.5): DataFrame =
+    removeWithinBoxes(graphics, boxes,
+      col("x"), col("y"), col("width"), col("height"),
+      lit(true), minAreaRatio)
 
   /** The CV-graphics document rewrite
     * (`get_layout_document_with_text_and_graphics_replaced_by_graphics`
     * / `..._graphics_replaced_by_graphics`,
     * processors/graphic_provider.py:238-310, wired at
-    * fulltext/processor.py:310-335): embedded graphics inside a CV box
-    * are replaced by the CV detection, overlapping text leaves the
-    * token table when `replaceText` is on
-    * (config `replace_text_by_cv_graphic`).
+    * fulltext/processor.py:310-335), reconcile-first as the CV
+    * provider does (`cv_graphic_provider.py:147-157`): a CV box whose
+    * embedded graphic overlaps ≥ `reconcileThreshold` yields THAT
+    * graphic — id, type and asset linkage survive — and only
+    * unmatched boxes become new `cv_id` graphics (the reference
+    * attaches a cropped page image there; box + detector category is
+    * this engine's declared equivalent until a real CV backend
+    * renders crops). Embedded graphics inside any resulting semantic
+    * box are replaced, and with `replaceText` on (config
+    * `replace_text_by_cv_graphic`) overlapping tokens leave the token
+    * table.
     *
-    * @param tokens    ALTO token table (coords struct + page dims)
+    * Derive F4 related lines ([[GraphicMatching.relatedLines]]) from
+    * the PRE-rewrite token table: the reference attaches the related
+    * block BEFORE removing caption tokens. Boxes are assumed
+    * overlap-suppressed ([[detectBoxesScored]], the shipped config) —
+    * the reference's sequential rewrite lets a later box swallow an
+    * earlier box's graphic, which cannot occur on suppressed output.
+    *
+    * @param tokens    ALTO token table (coords struct)
     * @param graphics  [[graft.pipeline.Processor.graphicsForMatching]] shape
     * @param cvBoxes   [[detectBoxes]] output
-    * @return (rewritten tokens, rewritten graphics) — the CV boxes join
-    *         the graphics table under their `cv_id` with the detector's
-    *         category as the type, page dims attached from the tokens
-    *         (the reference attaches the cropped page-image graphic
-    *         here; the box + category is this engine's declared
-    *         equivalent until a real CV backend renders crops)
+    * @param pages     (doc_id, page_number, width, height) — page dims
+    *                  for the new graphics rows (token-derived dims
+    *                  would silently drop boxes on token-less pages,
+    *                  exactly the scanned pages CV targets)
+    * @return (rewritten tokens, rewritten graphics)
     */
   def replaceByCvGraphics(tokens: DataFrame, graphics: DataFrame,
-      cvBoxes: DataFrame, replaceText: Boolean = true,
-      minAreaRatio: Double = 0.5): (DataFrame, DataFrame) = {
-    val newTokens =
-      if (replaceText) removeTokensWithinBoxes(tokens, cvBoxes, minAreaRatio)
-      else tokens
-    val pageDims = tokens.filter(col("page_width").isNotNull)
-      .groupBy(col("doc_id"), col("page_number"))
-      .agg(first(col("page_width")).as("page_width"),
-        first(col("page_height")).as("page_height"))
-    val added = cvBoxes.join(broadcast(pageDims), Seq("doc_id", "page_number"))
+      cvBoxes: DataFrame, pages: DataFrame, replaceText: Boolean = true,
+      minAreaRatio: Double = 0.5,
+      reconcileThreshold: Double = 0.80): (DataFrame, DataFrame) = {
+    val rec = reconcileCvBoxes(cvBoxes, graphics, reconcileThreshold)
+      .select(col("doc_id"), col("cv_id"), col("graphic_id"))
+    val keptEmbedded = graphics.join(
+      rec.select(col("doc_id"), col("graphic_id")),
+      Seq("doc_id", "graphic_id"), "left_semi")
+    val newBoxes = cvBoxes.join(rec.select(col("doc_id"), col("cv_id")),
+      Seq("doc_id", "cv_id"), "left_anti")
+    // removal is driven by the SEMANTIC graphic boxes: unmatched CV
+    // detections at their detected box, reconciled ones at the
+    // embedded graphic's own coordinates (the reference removes
+    // within the yielded layout graphic's bbox and re-appends it)
+    val semanticBoxes = newBoxes
+      .select(col("doc_id"), col("page_number"), col("x"), col("y"),
+        col("width"), col("height"))
+      .unionByName(keptEmbedded.select(col("doc_id"), col("page_number"),
+        col("x"), col("y"), col("width"), col("height")))
+    val survivors = removeGraphicsWithinBoxes(graphics, semanticBoxes,
+        minAreaRatio)
+      .join(rec.select(col("doc_id"), col("graphic_id")),
+        Seq("doc_id", "graphic_id"), "left_anti")
+    val added = newBoxes.join(
+        broadcast(pages.select(col("doc_id"), col("page_number"),
+          col("width").as("page_width"), col("height").as("page_height"))),
+        Seq("doc_id", "page_number"), "left")
       .select(col("doc_id"), col("cv_id").as("graphic_id"),
         col("category").as("graphic_type"),
         col("x"), col("y"), col("width"), col("height"),
         col("page_number"), col("page_width"), col("page_height"))
-    (newTokens,
-      removeGraphicsWithinBoxes(graphics, cvBoxes, minAreaRatio)
-        .unionByName(added))
+    val newTokens =
+      if (replaceText) removeTokensWithinBoxes(tokens, semanticBoxes, minAreaRatio)
+      else tokens
+    (newTokens, survivors.unionByName(keptEmbedded).unionByName(added))
   }
 
   def reconcileCvBoxesOuter(cvBoxes: DataFrame, graphics: DataFrame,

@@ -64,20 +64,22 @@ object RefMatching {
 
     // duplicate keys: deterministic winner (the reference builds a
     // dict in candidate order, so duplicates overwrite; DataFrames
-    // carry no row order, so max(content_id) is the deterministic
-    // stand-in — the per-document fold form keeps exact dict
-    // last-wins order). Without the aggregate a duplicate key would
-    // fan the citation into several rows and the final dropDuplicates
-    // would keep an arbitrary one.
+    // carry no row order, so natural-order max — (length, id), so
+    // b10 beats b9 like the last-inserted dict entry for
+    // iter_ids-generated ids — is the deterministic stand-in; the
+    // per-document fold form keeps exact dict last-wins order).
+    // Without the aggregate a duplicate key would fan the citation
+    // into several rows and the final dropDuplicates would keep an
+    // arbitrary one. No empty-key filter: the reference's dicts keep
+    // the '' key (ref_matching.py:51-63).
+    def lastId(c: Column): Column = max_by(c, struct(length(c), c))
     val exact = cit.join(
       cand.select(col("doc_id"), col("k1"), col("content_id"))
-        .groupBy("doc_id", "k1").agg(max(col("content_id")).as("m1")),
+        .groupBy("doc_id", "k1").agg(lastId(col("content_id")).as("m1")),
       Seq("doc_id", "k1"), "left")
-    // no empty-key filter on k2: the reference's prefix dict keeps
-    // the '' key (ref_matching.py:51-63)
     val prefix = exact.join(
       cand.select(col("doc_id"), col("k2"), col("content_id"))
-        .groupBy("doc_id", "k2").agg(max(col("content_id")).as("m2")),
+        .groupBy("doc_id", "k2").agg(lastId(col("content_id")).as("m2")),
       Seq("doc_id", "k2"), "left")
 
     prefix.withColumn("content_id", coalesce(col("m1"), col("m2")))

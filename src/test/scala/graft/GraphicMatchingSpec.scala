@@ -57,6 +57,29 @@ class GraphicMatchingSpec extends SparkSuite {
     }
   }
 
+  test("F4 text matcher: '' keys kept — a label-less candidate matches a " +
+      "punctuation-only line; natural-order last wins duplicate keys") {
+    // SimpleContentIdMatcher's dicts keep the ''-normalized key
+    // (ref_matching.py:44-63); a whitespace-only line still probes it
+    // (only STRICTLY empty lines skip, graphic_matching.py:533-535)
+    val cand = Seq((0L, "fig_0", "·"), (0L, "fig_1", "Figure 1"))
+      .toDF("doc_id", "candidate_id", "label_text")
+    val punct = Seq((0L, "g0", Array("¶")))
+      .toDF("doc_id", "graphic_id", "lines")
+    assert(GraphicMatching.matchGraphicsByText(punct, cand)
+      .collect().map(_.getString(2)).toSeq == Seq("fig_0"))
+    val blank = Seq((0L, "g0", Array("   ")))
+      .toDF("doc_id", "graphic_id", "lines")
+    assert(GraphicMatching.matchGraphicsByText(blank, cand)
+      .collect().map(_.getString(2)).toSeq == Seq("fig_0"))
+    // duplicate '' keys: the LAST candidate in natural id order wins,
+    // like the reference dict's last-inserted entry (fig_10 > fig_9)
+    val many = (0 to 10).map(i => (0L, s"fig_$i", "·"))
+      .toDF("doc_id", "candidate_id", "label_text")
+    assert(GraphicMatching.matchGraphicsByText(punct, many)
+      .collect().map(_.getString(2)).toSeq == Seq("fig_10"))
+  }
+
   test("F4 text matcher: graphic without related-block lines stays unmatched") {
     val gl = Seq((0L, "g0", Array.empty[String]))
       .toDF("doc_id", "graphic_id", "lines")

@@ -114,15 +114,52 @@ class GraphicProviderSpec extends SparkSuite {
     val cv = Seq((0L, 1, "cv_1_0", 10.0, 90.0, 100.0, 50.0, "new-graphic"))
       .toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height",
         "category")
-    val (t2, g2) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv)
+    val pageTable = Seq((0L, 1, 200.0, 200.0), (0L, 2, 200.0, 200.0))
+      .toDF("doc_id", "page_number", "width", "height")
+    val (t2, g2) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv,
+      pageTable)
     assert(t2.collect().map(_.getString(1)).toSet ==
       Set("keep", "halfout", "nocoords"))
     val gRows = g2.collect().map(r => (r.getString(1), r.getString(2))).toSet
     assert(gRows == Set(("keep-graphic", "png"), ("cv_1_0", "new-graphic")))
     // replaceText = false keeps every token
     val (t3, _) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv,
-      replaceText = false)
+      pageTable, replaceText = false)
     assert(t3.count() == 4)
+    // a CV box on a TOKEN-LESS page (the scanned pages CV targets)
+    // still lands in the graphics table with the page table's dims
+    val cv2 = Seq((0L, 2, "cv_2_0", 5.0, 5.0, 50.0, 50.0, "figure"))
+      .toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height",
+        "category")
+    val (_, g3) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv2,
+      pageTable)
+    val cvRow = g3.filter("graphic_id = 'cv_2_0'").collect().head
+    assert(cvRow.getDouble(cvRow.fieldIndex("page_width")) == 200.0)
+  }
+
+  test("CV rewrite reconciles first: a matching embedded graphic keeps " +
+      "its id and asset linkage (cv_graphic_provider.py:147-157)") {
+    val tokens = Seq((0L, "caption"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text",
+        "named_struct('x', 12.0, 'y', 95.0, 'width', 20.0, 'height', 5.0) as coords",
+        "1 as page_number")
+    val graphics = Seq(
+      (0L, "embedded.png", "png", 10.0, 90.0, 100.0, 50.0, 1, 200.0, 200.0))
+      .toDF("doc_id", "graphic_id", "graphic_type", "x", "y", "width",
+        "height", "page_number", "page_width", "page_height")
+    // the CV box coincides with the embedded PNG (ratio 1.0 >= 0.80)
+    val cv = Seq((0L, 1, "cv_1_0", 10.0, 90.0, 100.0, 50.0, "figure"))
+      .toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height",
+        "category")
+    val pageTable = Seq((0L, 1, 200.0, 200.0))
+      .toDF("doc_id", "page_number", "width", "height")
+    val (t2, g2) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv,
+      pageTable)
+    // the embedded graphic survives under its own id; no cv row added
+    assert(g2.collect().map(_.getString(1)).toSeq == Seq("embedded.png"))
+    // text inside the reconciled graphic's box is still replaced
+    assert(t2.count() == 0)
   }
 
   test("F5 outer: one row per CV box, unmatched boxes keep null graphic_id") {
