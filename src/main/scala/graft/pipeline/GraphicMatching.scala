@@ -212,16 +212,14 @@ object GraphicMatching {
       RefMatching.normalizedKey(col("label_text")).as("k1"),
       RefMatching.tokenPrefixKey(col("label_text"), prefixLength).as("k2"))
     // duplicate keys: the reference's dict comprehension keeps the
-    // LAST candidate in document order — natural-order max
-    // ((length, id): fig_10 beats fig_9) is the deterministic analog
-    // for iter_ids-generated ids. The '' key stays
-    // (SimpleContentIdMatcher keeps it): a label-less candidate can
-    // match a punctuation-only line
-    def lastId(c: Column): Column = max_by(c, struct(length(c), c))
-    val c1 = cand
-      .groupBy("doc_id", "k1").agg(lastId(col("candidate_id")).as("m1"))
-    val c2 = cand
-      .groupBy("doc_id", "k2").agg(lastId(col("candidate_id")).as("m2"))
+    // LAST candidate in document order — [[RefMatching.lastIdNatural]]
+    // is the deterministic analog for iter_ids-generated ids. The ''
+    // key stays (SimpleContentIdMatcher keeps it): a label-less
+    // candidate can match a punctuation-only line
+    val c1 = cand.groupBy("doc_id", "k1")
+      .agg(RefMatching.lastIdNatural(col("candidate_id")).as("m1"))
+    val c2 = cand.groupBy("doc_id", "k2")
+      .agg(RefMatching.lastIdNatural(col("candidate_id")).as("m2"))
     // only STRICTLY empty lines are skipped (graphic_matching.py:533-535
     // `if not graphic_text_line`); a whitespace-only line still probes
     // the matcher with its ''-normalized key
@@ -374,9 +372,11 @@ object GraphicMatching {
           // raw splitlines output, untrimmed: the matcher itself skips
           // only STRICTLY empty lines (graphic_matching.py:578-593 +
           // 533-535), so a whitespace-only OCR line still probes the
-          // '' key like the reference
+          // '' key like the reference. CRLF/CR split like python's
+          // splitlines, so a blank CRLF line is strictly empty, not
+          // a stray "\r" that would probe the '' key
           val lines = if (img == null || img.isEmpty) Array.empty[String]
-            else ocr(img).split("\n")
+            else ocr(img).split("\r\n|\r|\n")
           (d, g, lines)
         }
       }

@@ -162,14 +162,6 @@ object GraphicProvider {
       .filter(col("graphic_id").isNotNull)
       .select("doc_id", "cv_id", "graphic_id", "area_ratio")
 
-  /** F5/H3, outer form: one output row per CV box, `graphic_id` /
-    * `area_ratio` null when no embedded graphic overlaps above the
-    * threshold (in the reference those unmatched boxes fall through to
-    * page-image cropping). Keeping unmatched boxes lets a consumer
-    * derive both the per-doc detection count and the matched count from
-    * ONE pass over the detector output — no re-evaluation of the
-    * (expensive) upstream render+detect stage and no persist needed.
-    */
   /** Broadcast anti-join dropping rows mostly inside any box
     * (`are_page_coordinates_within_bounding_box`,
     * processors/graphic_provider.py:150-175: intersection ≥
@@ -249,26 +241,35 @@ object GraphicProvider {
       cvBoxes: DataFrame, pages: DataFrame, replaceText: Boolean = true,
       minAreaRatio: Double = 0.5,
       reconcileThreshold: Double = 0.80): (DataFrame, DataFrame) = {
+    // the reconcile aggregate (and, through it, the detector output)
+    // feeds several branches of BOTH returned frames — persist the
+    // tiny per-doc result so materializing them does not re-run the
+    // render+detect stage per consumer
     val rec = reconcileCvBoxes(cvBoxes, graphics, reconcileThreshold)
-      .select(col("doc_id"), col("cv_id"), col("graphic_id"))
-    val keptEmbedded = graphics.join(
-      rec.select(col("doc_id"), col("graphic_id")),
-      Seq("doc_id", "graphic_id"), "left_semi")
+      .select(col("doc_id"), col("cv_id"), col("graphic_id")).persist()
     val newBoxes = cvBoxes.join(rec.select(col("doc_id"), col("cv_id")),
-      Seq("doc_id", "cv_id"), "left_anti")
+        Seq("doc_id", "cv_id"), "left_anti")
+      .persist()
+    val newBoxGeom = newBoxes.select(col("doc_id"), col("page_number"),
+      col("x"), col("y"), col("width"), col("height"))
+    // a reconciled graphic survives under its own id — unless it is
+    // also mostly inside an UNMATCHED new box, which the reference's
+    // sequential rewrite (processing the bigger box after) replaces
+    val keptEmbedded = removeGraphicsWithinBoxes(
+      graphics.join(rec.select(col("doc_id"), col("graphic_id")),
+        Seq("doc_id", "graphic_id"), "left_semi"),
+      newBoxGeom, minAreaRatio)
     // removal is driven by the SEMANTIC graphic boxes: unmatched CV
     // detections at their detected box, reconciled ones at the
     // embedded graphic's own coordinates (the reference removes
-    // within the yielded layout graphic's bbox and re-appends it)
-    val semanticBoxes = newBoxes
-      .select(col("doc_id"), col("page_number"), col("x"), col("y"),
-        col("width"), col("height"))
+    // within the yielded layout graphic's bbox and re-appends it —
+    // so a reconciled graphic needs no extra exclusion from the
+    // survivors: its own box removes it at ratio 1.0)
+    val semanticBoxes = newBoxGeom
       .unionByName(keptEmbedded.select(col("doc_id"), col("page_number"),
         col("x"), col("y"), col("width"), col("height")))
     val survivors = removeGraphicsWithinBoxes(graphics, semanticBoxes,
-        minAreaRatio)
-      .join(rec.select(col("doc_id"), col("graphic_id")),
-        Seq("doc_id", "graphic_id"), "left_anti")
+      minAreaRatio)
     val added = newBoxes.join(
         broadcast(pages.select(col("doc_id"), col("page_number"),
           col("width").as("page_width"), col("height").as("page_height"))),
@@ -283,6 +284,14 @@ object GraphicProvider {
     (newTokens, survivors.unionByName(keptEmbedded).unionByName(added))
   }
 
+  /** F5/H3, outer form: one output row per CV box, `graphic_id` /
+    * `area_ratio` null when no embedded graphic overlaps above the
+    * threshold (in the reference those unmatched boxes fall through to
+    * page-image cropping). Keeping unmatched boxes lets a consumer
+    * derive both the per-doc detection count and the matched count from
+    * ONE pass over the detector output — no re-evaluation of the
+    * (expensive) upstream render+detect stage and no persist needed.
+    */
   def reconcileCvBoxesOuter(cvBoxes: DataFrame, graphics: DataFrame,
       threshold: Double = 0.80,
       ignoredGraphicTypes: Seq[String] = Seq("svg")): DataFrame = {

@@ -29,6 +29,22 @@ object RefMatching {
     * concatenate. ("Fig 1" and "Figure 1" share the prefix-3 key
     * "fig1"; "F 1" does not.)
     */
+  /** Duplicate-key winner for join-form matchers: natural id order —
+    * (prefix, digit-run length, digits), so `b10` beats `b9` and
+    * `fig_10` beats `fig_9` — the same ordering
+    * [[GraphicMatching.assignDocument]] sorts by. The reference's
+    * dict keeps the LAST-inserted candidate in document order; for
+    * `iter_ids`-generated ids within one family that IS natural
+    * order. Across mixed families (fig_/tab_ interleaved) document
+    * order is not derivable from ids at all — this is the declared
+    * deterministic stand-in; the per-document fold form keeps exact
+    * dict order. */
+  def lastIdNatural(c: Column): Column = {
+    val digits = regexp_extract(c, "([0-9]+)$", 1)
+    max_by(c, struct(regexp_replace(c, "[0-9]+$", ""),
+      length(digits), digits))
+  }
+
   def tokenPrefixKey(c: Column, prefixLength: Int = 1): Column =
     concat_ws("", transform(
       filter(split(c, "\\s+"), t => t =!= ""),
@@ -64,22 +80,21 @@ object RefMatching {
 
     // duplicate keys: deterministic winner (the reference builds a
     // dict in candidate order, so duplicates overwrite; DataFrames
-    // carry no row order, so natural-order max — (length, id), so
-    // b10 beats b9 like the last-inserted dict entry for
-    // iter_ids-generated ids — is the deterministic stand-in; the
-    // per-document fold form keeps exact dict last-wins order).
-    // Without the aggregate a duplicate key would fan the citation
-    // into several rows and the final dropDuplicates would keep an
-    // arbitrary one. No empty-key filter: the reference's dicts keep
-    // the '' key (ref_matching.py:51-63).
-    def lastId(c: Column): Column = max_by(c, struct(length(c), c))
+    // carry no row order, so [[lastIdNatural]] is the deterministic
+    // stand-in; the per-document fold form keeps exact dict last-wins
+    // order). Without the aggregate a duplicate key would fan the
+    // citation into several rows and the final dropDuplicates would
+    // keep an arbitrary one. No empty-key filter: the reference's
+    // dicts keep the '' key (ref_matching.py:51-63).
     val exact = cit.join(
       cand.select(col("doc_id"), col("k1"), col("content_id"))
-        .groupBy("doc_id", "k1").agg(lastId(col("content_id")).as("m1")),
+        .groupBy("doc_id", "k1")
+        .agg(lastIdNatural(col("content_id")).as("m1")),
       Seq("doc_id", "k1"), "left")
     val prefix = exact.join(
       cand.select(col("doc_id"), col("k2"), col("content_id"))
-        .groupBy("doc_id", "k2").agg(lastId(col("content_id")).as("m2")),
+        .groupBy("doc_id", "k2")
+        .agg(lastIdNatural(col("content_id")).as("m2")),
       Seq("doc_id", "k2"), "left")
 
     prefix.withColumn("content_id", coalesce(col("m1"), col("m2")))

@@ -160,6 +160,17 @@ class GraphicProviderSpec extends SparkSuite {
     assert(g2.collect().map(_.getString(1)).toSeq == Seq("embedded.png"))
     // text inside the reconciled graphic's box is still replaced
     assert(t2.count() == 0)
+    // ... but a reconciled graphic mostly inside an UNMATCHED bigger
+    // box is replaced by that box (the reference's sequential rewrite
+    // processing the bigger box afterwards removes it)
+    val cv2 = Seq(
+      (0L, 1, "cv_1_0", 10.0, 90.0, 100.0, 50.0, "figure"), // reconciles
+      (0L, 1, "cv_1_1", 5.0, 85.0, 180.0, 110.0, "figure")  // unmatched, contains it
+    ).toDF("doc_id", "page_number", "cv_id", "x", "y", "width", "height",
+      "category")
+    val (_, g3) = GraphicProvider.replaceByCvGraphics(tokens, graphics, cv2,
+      pageTable)
+    assert(g3.collect().map(_.getString(1)).toSet == Set("cv_1_1"))
   }
 
   test("F5 outer: one row per CV box, unmatched boxes keep null graphic_id") {
