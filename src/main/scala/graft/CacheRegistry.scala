@@ -1,0 +1,129 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Session-scoped registry of every cache the library creates —
+  * persisted frames and `localCheckpoint` storage blocks — so a
+  * long-lived session (a notebook, the REST service, the driver's
+  * 132-query bench) can return executor storage to its baseline
+  * instead of accumulating cached plans without bound. Before round 8
+  * the library held eight `.persist()` sites with no `unpersist` path:
+  * each invocation grew storage memory AND the `CacheManager`'s
+  * cached-plan list that every subsequent action scans for plan
+  * matches.
+  *
+  * Two scopes:
+  *  - '''ephemeral''' (default) — single-query caches (a narrow
+  *    projection feeding two branches of one plan). Released by
+  *    [[release]]; [[graft.Verify]] and [[graft.Bench]] call it after
+  *    every query's action completes.
+  *  - '''shared''' — cross-query caches that amortize over a warm
+  *    session (the [[graft.operators.TextAnalysis.tokenPairs]]
+  *    tokenize pass shared by the corpus-statistics family). Survive
+  *    plain [[release]]; dropped by `release(includeShared = true)`.
+  *
+  * Registration does NOT change laziness: a persisted frame still
+  * materializes inside whichever consumer action runs first, exactly
+  * as before — the registry only remembers how to let the storage go.
+  * Cleanup is idempotent (Spark's `unpersist` on an uncached plan is a
+  * no-op), so registering the same shared plan once per consumer query
+  * is safe.
+  */
+object CacheRegistry {
+
+  private final case class Entry(id: Long, shared: Boolean,
+      cleanup: () => Unit)
+
+  private val nextId = new AtomicLong()
+  // keyed by SparkContext-owning session object; suites and the
+  // bench/verify mains drive one session, service requests share it
+  private val entries =
+    new ConcurrentHashMap[SparkSession, mutable.ArrayBuffer[Entry]]()
+
+  private def add(s: SparkSession, shared: Boolean,
+      cleanup: () => Unit): Unit = {
+    val buf = entries.computeIfAbsent(s,
+      _ => mutable.ArrayBuffer.empty[Entry])
+    buf.synchronized {
+      buf += Entry(nextId.incrementAndGet(), shared, cleanup); ()
+    }
+  }
+
+  /** `df.persist()` plus a registered release handle. Lazy exactly like
+    * bare `persist`: the first consumer action materializes the cache.
+    */
+  def persist[T](df: Dataset[T], shared: Boolean = false): Dataset[T] = {
+    df.persist()
+    add(df.sparkSession, shared, () => { df.unpersist(blocking = false); () })
+    df
+  }
+
+  /** Eager lineage-truncating checkpoint whose storage blocks are
+    * released with the registry. `Dataset.localCheckpoint` offers no
+    * public handle to the RDD it persists, so the handle is recovered
+    * by diffing the context's persistent-RDD ids around the (eager)
+    * call — queries and suites build plans sequentially per session,
+    * so the diff is exact.
+    */
+  def localCheckpoint[T](df: Dataset[T], shared: Boolean = false): Dataset[T] = {
+    val (out, release) = localCheckpointWithRelease(df)
+    add(df.sparkSession, shared, release)
+    out
+  }
+
+  /** The [[localCheckpoint]] mechanics with the release handle returned
+    * to the caller instead of registered — for iterative plans
+    * ([[graft.operators.Dedup.connectedComponents]]) that retire each
+    * round's checkpoint as soon as the next round is materialized,
+    * instead of holding every round's blocks until end-of-query.
+    */
+  def localCheckpointWithRelease[T](df: Dataset[T]): (Dataset[T], () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val added = (sc.getPersistentRDDs.keySet -- before).toSeq
+    val release = () => added.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    (out, release)
+  }
+
+  /** Register an externally-created release handle (e.g. the final
+    * round of an iterative checkpoint loop whose intermediates were
+    * retired inline via [[localCheckpointWithRelease]]). */
+  def registerRelease(spark: SparkSession, shared: Boolean = false)(
+      cleanup: () => Unit): Unit = add(spark, shared, cleanup)
+
+  /** Release every registered cache for `spark` — ephemeral only by
+    * default, everything with `includeShared = true`. A released
+    * `persist` cache is simply recomputed by the next action that
+    * needs it; a released `localCheckpoint` is gone for good (lineage
+    * was truncated), so call this only once the frames a query
+    * returned are no longer actioned — [[graft.Verify]]/[[graft.Bench]]
+    * release after each query's action completes and rebuild the plan
+    * from scratch for the next run.
+    */
+  def release(spark: SparkSession, includeShared: Boolean = false): Unit = {
+    val buf = entries.get(spark)
+    if (buf != null) {
+      val drop = buf.synchronized {
+        val (d, keep) = buf.toVector.partition(e => includeShared || !e.shared)
+        buf.clear()
+        buf ++= keep // retained shared entries stay registered for later
+        d
+      }
+      drop.foreach(_.cleanup())
+    }
+  }
+
+  /** Count of live registered entries (spec hook). */
+  def registered(spark: SparkSession): Int = {
+    val buf = entries.get(spark)
+    if (buf == null) 0 else buf.synchronized(buf.length)
+  }
+}

@@ -13,7 +13,7 @@ import graft.sources.AltoReader
   * Spark stages. A user of the reference maps their calls here:
   *
   * {{{
-  * val tokens = Graft.readAlto(spark, "s3://corpus/alto/")       // ingest
+  * val tokens = Graft.readAlto(spark, "hdfs:///corpus/alto/")    // ingest
   * val nodes  = Graft.process(tokens)                            // models + folds
   * val tei    = Graft.toTei(nodes)                               // (doc_id, tei)
   * val jats   = Graft.toJats(tei)                                // (doc_id, jats)
@@ -77,9 +77,20 @@ object Graft {
     * not run twice for the two output formats. */
   def parse(tokens: DataFrame,
       config: Processor.Config = Processor.Config()): DataFrame = {
-    val tei = toTei(process(tokens, config)).localCheckpoint()
+    val tei = CacheRegistry.localCheckpoint(toTei(process(tokens, config)))
     tei.join(toJats(tei), "doc_id")
   }
+
+  /** Return the session's executor storage to baseline: release every
+    * cache the library registered ([[CacheRegistry]]) — persisted
+    * narrow projections, checkpoint blocks of the document pipeline
+    * and the dedup loops. Ephemeral caches only by default; pass
+    * `includeShared = true` to also drop the warm cross-query caches
+    * (the [[operators.TextAnalysis.tokenPairs]] tokenize pass). Call
+    * after the frames a query returned are fully consumed. */
+  def releaseCaches(spark: SparkSession,
+      includeShared: Boolean = false): Unit =
+    CacheRegistry.release(spark, includeShared)
 
   /** Training-data regeneration (per-model `training_data.py`):
     * header-model training TEI from the rule/CRF labeling. */

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the query's ephemeral caches/checkpoint blocks so the
+      // 132-query dump's executor storage stays flat (shared warm
+      // caches survive and amortize across the corpus-stats queries)
+      Graft.releaseCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

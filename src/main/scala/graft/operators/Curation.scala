@@ -103,14 +103,14 @@ object Curation {
     val s0 = docs
     val s1 = s0.join(
       blocklistMatches(s0, patterns, textCol, idCol).select(col(idCol)),
-      Seq(idCol), "left_anti").persist()
+      Seq(idCol), "left_anti").transform(graft.CacheRegistry.persist(_))
     val s2 = s1.join(
       graft.operators.TextAnalysis.curationDecisions(s1, textCol, idCol)
         .filter(col("keep")).select(col(idCol)),
-      Seq(idCol), "left_semi").persist()
-    val s3 = Dedup.deduplicate(s2, textCol, idCol).persist()
+      Seq(idCol), "left_semi").transform(graft.CacheRegistry.persist(_))
+    val s3 = Dedup.deduplicate(s2, textCol, idCol).transform(graft.CacheRegistry.persist(_))
     val s4 = Dedup.nearDeduplicate(s3, textCol = textCol, idCol = idCol)
-      .persist()
+      .transform(graft.CacheRegistry.persist(_))
     val s5 = Dedup.decontaminate(s4, benchmark, textCol)
     Seq("input" -> s0, "blocklist" -> s1, "quality" -> s2,
       "exact_dedup" -> s3, "near_dedup" -> s4, "decontaminate" -> s5)

@@ -290,11 +290,18 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_id_a",
       dstCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct().localCheckpoint()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    // every checkpoint in the loop carries a release handle: round N's
+    // blocks are retired as soon as round N+1 is materialized and the
+    // convergence probe has read them — before round 8 the loop leaked
+    // one label-table's worth of storage per iteration per invocation
+    val (und, releaseUnd) = graft.CacheRegistry.localCheckpointWithRelease(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct())
+    var (labels, releaseLabels) =
+      graft.CacheRegistry.localCheckpointWithRelease(
+        und.select(col("src").as("node")).distinct()
+          .withColumn("comp", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -309,15 +316,22 @@ object Dedup {
       val jump = labels.as("l")
         .join(labels.as("m"), col("l.comp") === col("m.node"))
         .select(col("l.node").as("node"), col("m.comp").as("comp"))
-      val next = labels.select("node", "comp").union(msgs).union(jump)
-        .groupBy("node").agg(min("comp").as("comp")).localCheckpoint()
+      val (next, releaseNext) = graft.CacheRegistry.localCheckpointWithRelease(
+        labels.select("node", "comp").union(msgs).union(jump)
+          .groupBy("node").agg(min("comp").as("comp")))
       val changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "node")
         .filter(col("comp") =!= col("prev")).limit(1).count()
+      releaseLabels() // previous round's blocks: fully consumed above
       labels = next
+      releaseLabels = releaseNext
       converged = changed == 0L
       iter += 1
     }
+    releaseUnd() // the edge table: only the loop read it
+    // the returned frame IS the final checkpoint — its blocks live
+    // until the caller's Graft.releaseCaches
+    graft.CacheRegistry.registerRelease(edges.sparkSession)(releaseLabels)
     labels
   }
 

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.CacheRegistry
+
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting. Everything
   * is a row-local projection built from codegen'd built-ins (no UDF, no
@@ -393,7 +395,7 @@ object TextAnalysis {
     // corpus row, so the cached footprint is small
     val withH = rows.withColumn("_h", h)
       .withColumn("_hb", substring(col("_h"), 1, 2))
-      .persist()
+      .transform(CacheRegistry.persist(_))
     val hist = withH.groupBy(col(stratumCol).as("_s"), col("_hb").as("_b"))
       .agg(count(lit(1)).as("_n")).collect()
     val byStratum = hist.groupBy(_.get(0))
@@ -603,7 +605,7 @@ object TextAnalysis {
     // checkpoint job), the same call q66 makes
     val toked = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
-      .persist()
+      .transform(CacheRegistry.persist(_))
     val pos = toked.select(col("doc_id"),
       posexplode(Sketch.gram_hash_positions(col("toks"), n))
         .as(Seq("pos", "gh")))
@@ -684,7 +686,7 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         graft.functions.Sketch.token_tf(col("toks")).as("tfs"))
       .select(col("doc_id") +: col("dl") +: tfCols: _*)
-      .persist()
+      .transform(CacheRegistry.persist(_))
     val aggCols = sum(col("dl")).as("sdl") +:
       count(lit(1)).as("n") +:
       terms.indices.map(i =>
@@ -736,11 +738,11 @@ object TextAnalysis {
     val ranged = docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
-      .localCheckpoint()
+      .transform(CacheRegistry.localCheckpoint(_))
       .repartitionByRange(numPartitions, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-      .localCheckpoint()
+      .transform(CacheRegistry.localCheckpoint(_))
     val partSums: Array[(Int, Long)] = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var acc = 0L
@@ -830,7 +832,7 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
         col(sourceCol).as("source"),
         tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
-      .persist()
+      .transform(CacheRegistry.persist(_))
 
   /** Shared rate computation + reproducible keep rule over the
     * persisted narrow projection and a tiny (source, toks, w) frame.
@@ -881,7 +883,7 @@ object TextAnalysis {
           graft.functions.Sketch.word_ngrams_all(tokens(col(textCol)), 2))).as("p"))
       .select(col("doc_id"), col("p.tok").as("gram"),
         col("p.tf").cast("long").as("tf"))
-      .persist()
+      .transform(CacheRegistry.persist(_))
     val c12 = bg.groupBy("gram").agg(sum("tf").as("c12"))
     val uni = tokenPairs(docs, textCol, idCol)
       .groupBy("tok").agg(sum("tf").as("c1"))
@@ -928,7 +930,7 @@ object TextAnalysis {
         explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"): _*)
       .select(col("doc_id") +: carry :+ col("p.tok").as("tok") :+
         col("p.tf").cast("long").as("tf"): _*)
-      .persist()
+      .transform(CacheRegistry.persist(_, shared = true))
   }
 
   /** Per-source heavy hitters over the SHARED [[tokenPairs]] cache —
@@ -1005,7 +1007,7 @@ object TextAnalysis {
     // aggregate and the scoring join — tokenized once, and the model
     // aggregate fuses into the action that materializes the cache
     val tf = tokenPairs(docs, textCol, idCol)
-    val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt")).persist()
+    val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt")).transform(CacheRegistry.persist(_))
     val total = vocab.agg(sum("cnt").as("total"))
     val terms = vocab.crossJoin(broadcast(total))
       .select(col("tok"),
@@ -1176,7 +1178,7 @@ object TextAnalysis {
         explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
       .select(col("doc_id"), col("is_target"), col("p.tok").as("tok"),
         col("p.tf").cast("long").as("tf"))
-      .persist()
+      .transform(CacheRegistry.persist(_))
     val raw = tf.groupBy("tok").agg(sum("tf").as("cnt_r"))
     val tgt = tf.filter(col("is_target")).groupBy("tok").agg(sum("tf").as("cnt_t"))
     val model0 = raw.join(tgt, Seq("tok"), "left")

@@ -246,10 +246,11 @@ object GraphicProvider {
     // tiny per-doc result so materializing them does not re-run the
     // render+detect stage per consumer
     val rec = reconcileCvBoxes(cvBoxes, graphics, reconcileThreshold)
-      .select(col("doc_id"), col("cv_id"), col("graphic_id")).persist()
+      .select(col("doc_id"), col("cv_id"), col("graphic_id"))
+      .transform(graft.CacheRegistry.persist(_))
     val newBoxes = cvBoxes.join(rec.select(col("doc_id"), col("cv_id")),
         Seq("doc_id", "cv_id"), "left_anti")
-      .persist()
+      .transform(graft.CacheRegistry.persist(_))
     val newBoxGeom = newBoxes.select(col("doc_id"), col("page_number"),
       col("x"), col("y"), col("width"), col("height"))
     // a reconciled graphic survives under its own id — unless it is

@@ -156,7 +156,7 @@ object PipelineOps {
     // the whole fused parse+fold+TEI fold twice; checkpointing the
     // (small) tei table caps the double execution at a block read
     graft.pipeline.Processor.documentTei(tokenTable(s, d))
-      .localCheckpoint()
+      .transform(graft.CacheRegistry.localCheckpoint(_))
       .orderBy("doc_id")
 
   /** P13 graphics-wired pipeline (F3 in the main DAG,
@@ -169,13 +169,13 @@ object PipelineOps {
     // one StAX pass shared by the token AND graphic sides (then
     // checkpointed): tokens feed pageDims + two pipeline folds, so an
     // unshared plan re-parsed the corpus four times
-    val parsed = AltoReader.parsedDocs(altoCorpus(s, d)).localCheckpoint()
+    val parsed = graft.CacheRegistry.localCheckpoint(AltoReader.parsedDocs(altoCorpus(s, d)))
     val tokens = AltoReader.tokensOf(parsed).toDF()
     val graphics = graft.pipeline.Processor.graphicsForMatching(
       tokens, AltoReader.graphicsOf(parsed).toDF())
     graft.pipeline.Processor.documentTei(
         tokens, graft.pipeline.Processor.Config(), Some(graphics))
-      .localCheckpoint() // cap orderBy's sampling re-execution (see p04)
+      .transform(graft.CacheRegistry.localCheckpoint(_)) // cap orderBy's sampling re-execution (see p04)
       .select(col("doc_id"),
         (size(split(col("tei"), "<graphic ")) - 1).cast("bigint").as("n_graphics"),
         col("tei").contains("unmatched_graphics").cast("int").cast("bigint")

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit semantics of the session cache registry (the query-sweep gate
+  * lives in QueriesSpec: every SparkEntry query must leave
+  * `getPersistentRDDs` at baseline after `Graft.releaseCaches`).
+  */
+class CacheRegistrySpec extends SparkSuite {
+
+  private def persistentCount = spark.sparkContext.getPersistentRDDs.size
+
+  test("persist registers and release drops storage; shared survives plain release") {
+    import spark.implicits._
+    Graft.releaseCaches(spark, includeShared = true)
+    val base = persistentCount
+    // distinct data on purpose: the CacheManager dedupes canonically
+    // equal plans, and two identical local relations would share ONE
+    // cache entry (column names are not part of the canonical form)
+    val eph = CacheRegistry.persist((1 to 100).toDF("n"))
+    val shr = CacheRegistry.persist((1 to 200).toDF("m"), shared = true)
+    assert(eph.count() == 100 && shr.count() == 200)
+    assert(persistentCount == base + 2)
+    Graft.releaseCaches(spark) // ephemeral only
+    assert(persistentCount == base + 1)
+    // the released frame is still correct — just recomputed
+    assert(eph.agg(sum("n")).head.getLong(0) == 5050L)
+    Graft.releaseCaches(spark, includeShared = true)
+    assert(persistentCount == base)
+    assert(shr.agg(sum("m")).head.getLong(0) == 20100L)
+  }
+
+  test("localCheckpoint blocks are released with the registry") {
+    import spark.implicits._
+    Graft.releaseCaches(spark, includeShared = true)
+    val base = persistentCount
+    val ck = CacheRegistry.localCheckpoint((1 to 50).toDF("n"))
+    assert(persistentCount == base + 1)
+    assert(ck.count() == 50) // consumed before release (lineage is truncated)
+    Graft.releaseCaches(spark)
+    assert(persistentCount == base)
+  }
+
+  test("localCheckpointWithRelease retires blocks inline (iterative-loop shape)") {
+    import spark.implicits._
+    Graft.releaseCaches(spark, includeShared = true)
+    val base = persistentCount
+    var (labels, release) =
+      CacheRegistry.localCheckpointWithRelease((1 to 20).toDF("n"))
+    (1 to 3).foreach { _ =>
+      val (next, releaseNext) = CacheRegistry.localCheckpointWithRelease(
+        labels.select((col("n") + 1).as("n")))
+      release() // previous round retired as soon as the next is materialized
+      labels = next
+      release = releaseNext
+      assert(persistentCount == base + 1) // never more than one round live
+    }
+    assert(labels.agg(min("n")).head.getInt(0) == 4)
+    release()
+    assert(persistentCount == base)
+  }
+
+  test("connectedComponents leaves storage at baseline after releaseCaches") {
+    import spark.implicits._
+    Graft.releaseCaches(spark, includeShared = true)
+    val base = persistentCount
+    // a 9-node chain forces multiple pointer-jumping rounds
+    val edges = (1L to 8L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val comps = operators.Dedup.connectedComponents(edges)
+    assert(comps.agg(countDistinct("comp")).head.getLong(0) == 1L)
+    // only the final labels checkpoint is live while the result is used
+    assert(persistentCount == base + 1, spark.sparkContext.getPersistentRDDs)
+    Graft.releaseCaches(spark)
+    assert(persistentCount == base)
+  }
+}

@@ -17,10 +17,24 @@ class QueriesSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracleSql without queries impl: $missing")
   }
 
-  test("every query runs at sf0.001") {
+  test("every query runs at sf0.001 and releases its caches to baseline") {
+    // cache-lifecycle gate (VERDICT r7 #1): after each query's action
+    // plus a full releaseCaches, the context must hold no persistent
+    // RDDs beyond what existed before the query — persisted frames,
+    // pipeline checkpoint blocks, and the dedup loop's per-round
+    // checkpoints all have to go through the registry to pass this.
+    val sc = spark.sparkContext
+    Graft.releaseCaches(spark, includeShared = true)
+    val baseline = sc.getPersistentRDDs.keySet
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, sf("0.001")).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      val run =
+        try { fn(spark, sf("0.001")).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      Graft.releaseCaches(spark, includeShared = true)
+      val leaked = sc.getPersistentRDDs.keySet -- baseline
+      run.orElse(
+        if (leaked.nonEmpty) Some(s"$name: leaked persistent RDDs $leaked")
+        else None)
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
