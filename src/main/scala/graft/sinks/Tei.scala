@@ -295,6 +295,36 @@ object Tei {
     // content_id) render into <back> — <div type="acknowledgement">
     // directly, annex sections inside the <div type="annex"> container
     // (document/tei/document.py:125-155, tei/section.py:127)
+    // tei/figure_table.py:32-87: label renders as head AND label
+    def figureXml(c: SemanticNode): String = {
+      val fsb = new StringBuilder
+      val idAttr = Option(c.content_id)
+        .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
+      val typeAttr = if (c.node_type == "table") """ type="table"""" else ""
+      fsb ++= s"<figure$typeAttr$idAttr${coordsAttr(c)}>"
+      kids(c.node_id).foreach { k =>
+        k.node_type match {
+          case "label" =>
+            fsb ++= s"<head${coordsAttr(k)}>${styledXml(k)}</head>" +
+              s"<label${coordsAttr(k)}>${styledXml(k)}</label>"
+          case "caption" =>
+            fsb ++= s"<figDesc${coordsAttr(k)}>${styledXml(k)}</figDesc>"
+          case "graphic" => fsb ++= graphicXml(k)
+          case _ => ()
+        }
+      }
+      fsb ++= "</figure>"
+      fsb.toString
+    }
+
+    // tei_document.py:124-129/157-162 iter_by_types_recursively: every
+    // figure/table in the section subtree, depth-first document order
+    def figuresOf(s: SemanticNode): Seq[SemanticNode] =
+      kids(s.node_id).flatMap { c =>
+        if (c.node_type == "figure" || c.node_type == "table") c +: figuresOf(c)
+        else figuresOf(c)
+      }
+
     def sectionDiv(s: SemanticNode, typeAttr: Option[String]): String = {
       val bodySb = new StringBuilder
       bodySb ++= typeAttr.map(t => s"""<div type="$t">""").getOrElse("<div>")
@@ -357,23 +387,11 @@ object Tei {
             }
             flushFragment()
           case "figure" | "table" =>
-            // tei/figure_table.py:32-87: label renders as head AND label
-            val idAttr = Option(c.content_id)
-              .map(i => s""" xml:id="${esc(i)}"""").getOrElse("")
-            val typeAttr = if (c.node_type == "table") """ type="table"""" else ""
-            bodySb ++= s"<figure$typeAttr$idAttr${coordsAttr(c)}>"
-            kids(c.node_id).foreach { k =>
-              k.node_type match {
-                case "label" =>
-                  bodySb ++= s"<head${coordsAttr(k)}>${styledXml(k)}</head>" +
-                    s"<label${coordsAttr(k)}>${styledXml(k)}</label>"
-                case "caption" =>
-                  bodySb ++= s"<figDesc${coordsAttr(k)}>${styledXml(k)}</figDesc>"
-                case "graphic" => bodySb ++= graphicXml(k)
-                case _ => ()
-              }
-            }
-            bodySb ++= "</figure>"
+            // skipped here — tei/section.py:118-121 "rendered at parent
+            // level": figures/tables leave their section div and render
+            // directly under body / the back annex (tei_document.py:
+            // 124-129, 157-162); see figureXml collection below
+            ()
           case "raw_figure" =>
             bodySb ++= s"<figure${coordsAttr(c)}>${styledXml(c)}</figure>"
           case "raw_table" =>
@@ -389,21 +407,44 @@ object Tei {
         }
       }
       bodySb ++= "</div>"
-      bodySb.toString
+      val xml = bodySb.toString
+      val open = typeAttr.map(t => s"""<div type="$t">""").getOrElse("<div>")
+      // tei/section.py:122-125: a section whose remaining content is
+      // empty (e.g. its only children were the lifted figures/tables)
+      // yields NO div at all
+      if (xml == open + "</div>") "" else xml
     }
 
     val rootSections = ordered.filter(n => n.parent_id < 0 && n.node_type == "section")
     def sectionType(s: SemanticNode): String = Option(s.content_id).getOrElse("")
     val bodySb = new StringBuilder
     val backSb = new StringBuilder
-    rootSections.filter(s => sectionType(s) != "acknowledgement" &&
-      sectionType(s) != "annex").foreach(s => bodySb ++= sectionDiv(s, None))
+    val bodySections = rootSections.filter(s =>
+      sectionType(s) != "acknowledgement" && sectionType(s) != "annex")
+    // body children in document order: section divs and body-level
+    // notes interleaved (tei_document.py:114-123 — a root fulltext
+    // note is body_section content, get_body().add_note)
+    ordered.filter(_.parent_id < 0).foreach { n =>
+      if (n.node_type == "section" && sectionType(n) != "acknowledgement" &&
+          sectionType(n) != "annex")
+        bodySb ++= sectionDiv(n, None)
+      else if (n.node_type.startsWith("note[fulltext:")) {
+        val t = n.node_type.stripPrefix("note[fulltext:").stripSuffix("]")
+        bodySb ++= s"""<note type="${esc(t)}"${coordsAttr(n)}>${styledXml(n)}</note>"""
+      }
+    }
+    // body figures/tables render AFTER the section divs, directly under
+    // <body> (tei_document.py:124-129)
+    bodySections.flatMap(figuresOf).foreach(f => bodySb ++= figureXml(f))
     rootSections.filter(sectionType(_) == "acknowledgement")
       .foreach(s => backSb ++= sectionDiv(s, Some("acknowledgement")))
-    val annexDivs = rootSections.filter(sectionType(_) == "annex")
-      .map(sectionDiv(_, None))
-    if (annexDivs.nonEmpty)
-      backSb ++= s"""<div type="annex">${annexDivs.mkString}</div>"""
+    val annexSections = rootSections.filter(sectionType(_) == "annex")
+    val annexDivs = annexSections.map(sectionDiv(_, None)).filter(_.nonEmpty)
+    // back figures/tables render inside the annex container, after its
+    // divs (tei_document.py:157-162 append to get_back_annex_element)
+    val annexFigures = annexSections.flatMap(figuresOf).map(figureXml)
+    if (annexDivs.nonEmpty || annexFigures.nonEmpty)
+      backSb ++= s"""<div type="annex">${annexDivs.mkString}${annexFigures.mkString}</div>"""
 
     // references back matter (document/tei/references.py: <div
     // type="references"><listBibl> of biblStructs): parsed references
@@ -496,6 +537,18 @@ object Tei {
     abstractNode.filter(_.text.nonEmpty).foreach { t =>
       sb ++= "<profileDesc><abstract>" +
         s"<p${coordsAttr(t)}>${styledXml(t)}</p></abstract></profileDesc>"
+    }
+    // tei_document.py:92-99: front content not folded into title /
+    // abstract / author / affiliation renders as a teiHeader-level
+    // note whose type is the model's raw tag (e.g. a SECOND <title>
+    // span → <note type="&lt;title&gt;">, get_tei_note_for_
+    // semantic_content keeps the tag verbatim); fulltext-fold and
+    // unmatched-graphics notes belong to body/back, not here
+    ordered.filter(n => n.parent_id < 0 && n.node_type.startsWith("note[") &&
+        !n.node_type.startsWith("note[fulltext:") &&
+        n.node_type != "note[unmatched_graphics]").foreach { n =>
+      val t = n.node_type.stripPrefix("note[").stripSuffix("]")
+      sb ++= s"""<note type="${esc(t)}"${coordsAttr(n)}>${styledXml(n)}</note>"""
     }
     sb ++= "</teiHeader>"
     val backXml = if (backSb.nonEmpty) s"<back>${backSb.toString}</back>" else "<back/>"
