@@ -905,6 +905,95 @@ object TextAnalysis {
           (col("dl") * lit(1e6)), lit(0.0)), 4).as("surprisal"))
   }
 
+  /** 5-gram stupid-backoff surprisal — the production CCNet/KenLM
+    * filter shape: an n-gram LM trained on a REFERENCE slice (`refPred`
+    * — Wikipedia in CCNet; `source='src0'` in the declared query)
+    * scores every document in the corpus by mean per-token surprisal.
+    * Stupid backoff (Brants et al. 2007): at token position i with
+    * context length k = min(maxN, i+1), take the LONGEST n ≤ k whose
+    * n-gram ending at i occurs in the reference, and score
+    * `S = alpha^(k−n) · c_n(gram)/c_{n−1}(prefix)` (unigram base
+    * `c_1(w)/N`); a token absent from the reference vocabulary scores
+    * `alpha^(k−1) / N`. Training on a reference slice (not the scored
+    * corpus itself) is what makes backoff live: self-trained counts
+    * would contain every scored n-gram by construction.
+    *
+    * Cross-engine determinism: the per-step backoff penalty is the
+    * integer constant `round(ln(1/0.4)·1e6) = 916291` micronats and the
+    * count-ratio term is rounded ONCE to integer micronats, so the
+    * per-document accumulation is an exact integer sum (the q79/q98
+    * discipline); only the final division is float. `alpha` is fixed at
+    * 0.4 (the published constant) to keep the penalty integral.
+    *
+    * Scale shape: the model is built from the reference slice only
+    * (counts for n = 1..maxN joined to their own n−1 prefixes —
+    * reference-sized work); the corpus explodes each token position
+    * into its ≤ maxN candidate suffix grams IN ONE pass over the token
+    * array (no per-position array duplication) and shuffles only
+    * (n, gram-hash-sized) rows through the scoring join, then two
+    * narrow integer aggregations (per-position best-n, per-document
+    * sum). The corpus text itself is never shuffled.
+    */
+  def stupidBackoffSurprisal(docs: DataFrame, refPred: Column,
+      maxN: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val Pen = 916291L // round(ln(1/0.4)*1e6): one backoff step
+    val toked = docs.select(col(idCol).as("doc_id"), refPred.as("is_ref"),
+      tokens(col(textCol)).as("toks"))
+    // all (pos, n, gram, prefix) candidates in one flatten pass
+    val candCol = explode(flatten(expr(
+      s"""transform(sequence(0, size(toks) - 1), pos ->
+            transform(sequence(1, least($maxN, pos + 1)), n ->
+              struct(pos as pos, least($maxN, pos + 1) as k, n as n,
+                array_join(slice(toks, pos - n + 2, n), ' ') as gram,
+                array_join(slice(toks, pos - n + 2, n - 1), ' ') as prefix)))"""
+    ))).as("g")
+    def cands(frame: DataFrame) = frame
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), candCol)
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.k").as("k"),
+        col("g.n").as("n"), col("g.gram").as("gram"),
+        col("g.prefix").as("prefix"))
+    // reference model: c_n(gram) with c_{n-1}(prefix); n=1 backs onto N
+    val counts = cands(toked.filter(col("is_ref")))
+      .groupBy("n", "gram", "prefix").agg(count(lit(1)).as("cn"))
+      .transform(CacheRegistry.persist(_))
+    val totals = counts.filter(col("n") === 1)
+      .agg(greatest(sum("cn"), lit(1L)).as("nt"))
+    val model = counts.as("c")
+      .join(counts.as("p"),
+        col("c.n") === col("p.n") + 1 && col("c.prefix") === col("p.gram"),
+        "left")
+      .select(col("c.n").as("n"), col("c.gram").as("gram"),
+        col("c.cn").as("cn"), col("p.cn").as("cp"))
+    // per-position best (longest matched n); positions with no match
+    // at any n are out-of-vocabulary
+    val corpus = cands(toked)
+    val best = corpus.join(model, Seq("n", "gram"))
+      .groupBy("doc_id", "pos")
+      .agg(max("n").as("bn"), max_by(col("cn"), col("n")).as("bcn"),
+        max_by(col("cp"), col("n")).as("bcp"))
+    val scored = corpus.filter(col("n") === 1)
+      .select(col("doc_id"), col("pos"), col("k"))
+      .join(best, Seq("doc_id", "pos"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        when(col("bn").isNull,
+          round(log(col("nt").cast("double")) * lit(1e6)).cast("long") +
+            (col("k") - 1) * Pen)
+          .otherwise((col("k") - col("bn")) * Pen +
+            round(log(coalesce(col("bcp"), col("nt")).cast("double") /
+              col("bcn")) * lit(1e6)).cast("long"))
+          .as("mn"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum("mn").as("sn"), count(lit(1)).as("dl"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dl"), lit(0L)).cast("bigint").as("dl"),
+        round(coalesce(col("sn").cast("double") /
+          (col("dl") * lit(1e6)), lit(0.0)), 4).as("surprisal"))
+  }
+
   // ------------------------------------------- shared tokenized projection
 
   /** The shared (doc_id, tok, tf) projection every corpus-statistics

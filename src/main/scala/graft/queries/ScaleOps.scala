@@ -774,6 +774,17 @@ object ScaleOps {
       .orderBy("source")
   }
 
+  /** Q112 5-gram stupid-backoff surprisal (oracled): the production
+    * CCNet/KenLM perplexity-filter shape — a 5-gram LM trained on the
+    * src0 reference slice scores every document, longest-match backoff
+    * with the integer 916291-micronat step penalty so the accumulation
+    * stays an exact integer sum
+    * ([[TextAnalysis.stupidBackoffSurprisal]]). */
+  def q112(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stupidBackoffSurprisal(Tables(s, d).documents,
+      refPred = col("source") === "src0")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -813,7 +824,7 @@ object ScaleOps {
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
     "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,
     "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
-    "q111_vocab_venn" -> q111,
+    "q111_vocab_venn" -> q111, "q112_backoff_surprisal" -> q112,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1193,6 +1204,37 @@ object ScaleOps {
            ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:100], ',') AS postings
          FROM tf GROUP BY tok HAVING COUNT(*) >= 3
          ORDER BY tok""",
+    "q112_backoff_surprisal" ->
+      """WITH t AS (SELECT doc_id, source,
+           LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         cd AS (SELECT doc_id, source, i, LEAST(5, i) AS k, n,
+               ARRAY_TO_STRING(toks[i-n+1:i], ' ') AS gram,
+               ARRAY_TO_STRING(toks[i-n+1:i-1], ' ') AS prefix
+               FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS u(i),
+                    UNNEST(GENERATE_SERIES(1, LEAST(5, i))) AS w(n)),
+         cnts AS (SELECT n, gram, prefix, CAST(COUNT(*) AS BIGINT) AS cn
+               FROM cd WHERE source = 'src0' GROUP BY 1, 2, 3),
+         tot AS (SELECT GREATEST(CAST(COALESCE(SUM(CASE WHEN n = 1 THEN cn END), 0) AS BIGINT), 1) AS nt FROM cnts),
+         model AS (SELECT c.n, c.gram, c.cn, p.cn AS cp
+               FROM cnts c LEFT JOIN cnts p
+                 ON p.n = c.n - 1 AND p.gram = c.prefix),
+         best AS (SELECT cd.doc_id, cd.i, MAX(m.n) AS bn,
+               MAX_BY(m.cn, m.n) AS bcn, MAX_BY(m.cp, m.n) AS bcp
+               FROM cd JOIN model m USING (n, gram) GROUP BY 1, 2),
+         scored AS (SELECT p.doc_id,
+               CASE WHEN b.bn IS NULL THEN
+                 CAST(ROUND(LN(CAST(tot.nt AS DOUBLE)) * 1e6) AS BIGINT) + (p.k - 1) * 916291
+               ELSE (p.k - b.bn) * 916291 +
+                 CAST(ROUND(LN(CAST(COALESCE(b.bcp, tot.nt) AS DOUBLE) / b.bcn) * 1e6) AS BIGINT)
+               END AS mn
+               FROM (SELECT doc_id, i, k FROM cd WHERE n = 1) p
+               CROSS JOIN tot
+               LEFT JOIN best b ON p.doc_id = b.doc_id AND p.i = b.i),
+         pd AS (SELECT doc_id, CAST(SUM(mn) AS BIGINT) AS sn,
+               CAST(COUNT(*) AS BIGINT) AS dl FROM scored GROUP BY 1)
+         SELECT d.doc_id, COALESCE(pd.dl, 0) AS dl,
+           ROUND(COALESCE(CAST(pd.sn AS DOUBLE)/(pd.dl * 1e6), 0.0e0), 4) AS surprisal
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     "q98_bigram_surprisal" ->
       """WITH t AS (SELECT doc_id,
            LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),

@@ -1056,4 +1056,34 @@ class DedupSpec extends SparkSuite {
     assert(c1 == c2)
     assert(c1.values.forall(_.length == 4)) // m bytes per vector
   }
+
+  test("stupidBackoffSurprisal: OOV/backoff math and bigram-model ordering agreement") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "ref"),
+      (1L, "the cat sat on the mat", "other"), // exact reference text
+      (2L, "zz qq ww ee rr tt", "other"),      // fully OOV
+      (3L, "the the the the the the", "other") // repetitive, in-vocab token
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .stupidBackoffSurprisal(docs, refPred = col("source") === "ref")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every doc scored with its token count as dl
+    assert(got.keySet == Set(0L, 1L, 2L, 3L) && got(2L)._1 == 6L)
+    // the reference text itself: every longest n-gram matches with
+    // count ratio 1 after position 0 → only position surprisals from
+    // the unigram base at pos 0; strictly below the OOV doc
+    assert(got(1L)._2 < got(2L)._2, got)
+    // fully-OOV doc: position i scores ln(N=6 tokens) + (k-1)*0.916291
+    // nats; mean over k=1,2,3,4,5,5 backoff ladders
+    val lnN = math.round(math.log(6.0) * 1e6)
+    val expected2 = (0 until 6).map(i => lnN + math.min(i, 4) * 916291L).sum /
+      (6.0 * 1e6)
+    assert(math.abs(got(2L)._2 - (math.rint(expected2 * 1e4) / 1e4)) < 1e-9, got)
+    // ordering agreement with the bigram model where both models see
+    // the same signal: repetitive in-vocab text below gibberish
+    val bg = graft.operators.TextAnalysis.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(3L)._2 < got(2L)._2 && bg(3L) < bg(2L), (got, bg))
+  }
 }
