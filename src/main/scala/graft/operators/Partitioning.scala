@@ -77,6 +77,44 @@ object Partitioning {
       .drop("_rb")
   }
 
+  /** Salted equi-join for skewed probe keys — the join-side
+    * counterpart of [[saltedCount]], and the shape that saves a 100 TB
+    * job when ONE hot key (a bot user, a null-ish default id) would
+    * otherwise send its whole partition to a single reducer: the big
+    * side spreads each hot key's rows over `saltBuckets` sub-keys with
+    * the deterministic row salt, the (small) build side replicates its
+    * matching rows once per salt, and the join runs on
+    * `(key, salt)` — non-hot keys keep salt 0 and pay nothing. The
+    * result is row-identical to the plain join (each big row meets
+    * exactly the one build replica carrying its salt).
+    *
+    * Complementary to AQE's runtime skew split: AQE splits oversized
+    * PARTITIONS after the shuffle files exist; salting splits the KEY
+    * before the exchange, which also covers aggregation-after-join
+    * pipelines AQE skew handling does not reach. `hotKeys` is
+    * typically the bounded output of [[Profiling.skewReport]] (top-k
+    * keys with their skew factor = the `saltBuckets` a mitigation
+    * needs) — a handful of literals, never a corpus-sized list.
+    */
+  def saltedJoin(big: DataFrame, dim: DataFrame, bigKey: String,
+      dimKey: String, hotKeys: Seq[Long], saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val hotBig =
+      if (hotKeys.isEmpty) lit(false) else col(bigKey).isin(hotKeys: _*)
+    val hotDim =
+      if (hotKeys.isEmpty) lit(false) else col(dimKey).isin(hotKeys: _*)
+    val bigS = big.withColumn("_salt",
+      when(hotBig, deterministicSalt(big, saltBuckets)).otherwise(lit(0L)))
+    val dimS = dim.withColumn("_salt", explode(
+      when(hotDim, sequence(lit(0L), lit(saltBuckets.toLong - 1L)))
+        .otherwise(array(lit(0L)))))
+    bigS.join(dimS,
+        bigS(bigKey) === dimS(dimKey) && bigS("_salt") === dimS("_salt"),
+        joinType)
+      .drop("_salt")
+  }
+
   /** Salted sum over a numeric column (same two-phase shape). */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int): DataFrame = {

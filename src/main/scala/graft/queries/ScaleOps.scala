@@ -785,6 +785,29 @@ object ScaleOps {
       refPred = col("source") === "src0")
       .orderBy("doc_id")
 
+  /** Q113 salted skew join (oracled): events ⋈ customer on the skewed
+    * user key with the hot keys (q108's skew report, bounded top-20
+    * collect) spread over N = max(2, ⌈max skew⌉) salts on the probe
+    * side and replicated ×N on the build side — row-identical to the
+    * plain join, which is exactly what the oracle checks
+    * ([[graft.operators.Partitioning.saltedJoin]]). */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val events = Tables(s, d).events
+      .select("event_id", "user_id", "event_type", "value")
+    val rep = graft.operators.Profiling.skewReport(events, "user_id", k = 20)
+      .select(col("key").cast("long").as("key"), col("skew")).collect()
+    val hotKeys = rep.map(_.getLong(0)).toSeq
+    val saltBuckets = math.max(2,
+      math.ceil(rep.map(_.getDouble(1)).foldLeft(0.0)(math.max)).toInt)
+    graft.operators.Partitioning.saltedJoin(events, Tables(s, d).customer,
+        bigKey = "user_id", dimKey = "c_custkey",
+        hotKeys = hotKeys, saltBuckets = saltBuckets)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"), col("c_name"),
+        col("c_mktsegment"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -825,6 +848,7 @@ object ScaleOps {
     "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,
     "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
     "q111_vocab_venn" -> q111, "q112_backoff_surprisal" -> q112,
+    "q113_salted_join" -> q113,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1204,6 +1228,11 @@ object ScaleOps {
            ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:100], ',') AS postings
          FROM tf GROUP BY tok HAVING COUNT(*) >= 3
          ORDER BY tok""",
+    "q113_salted_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+           ROUND(e.value, 4) AS value, c.c_name, c.c_mktsegment
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     "q112_backoff_surprisal" ->
       """WITH t AS (SELECT doc_id, source,
            LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),

@@ -84,4 +84,32 @@ class PartitioningSpec extends SparkSuite {
     val base = t.lineitem
     assert(saltOf(base) == saltOf(base.repartition(7)))
   }
+
+  test("saltedJoin is row-identical to the plain join on a skewed fixture") {
+    import spark.implicits._
+    // one hot key (1000 rows on key 7) + a long uniform tail
+    val big = ((1 to 1000).map(i => (7L, s"e$i")) ++
+      (1 to 50).map(i => (i.toLong + 100L, s"t$i"))).toDF("k", "payload")
+    val dim = ((7L, "hot") +: (1 to 50).map(i => (i.toLong + 100L, s"d$i")))
+      .toDF("k2", "name")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val plain = big.join(dim, col("k") === col("k2"))
+    for (buckets <- Seq(1, 4, 16)) {
+      val salted = Partitioning.saltedJoin(big, dim, "k", "k2",
+        hotKeys = Seq(7L), saltBuckets = buckets)
+      assert(rows(salted) == rows(plain), s"buckets=$buckets")
+    }
+    // left join: unmatched big rows survive exactly once too
+    val bigPlus = big.union(Seq((999L, "orphan")).toDF("k", "payload"))
+    val saltedLeft = Partitioning.saltedJoin(bigPlus, dim, "k", "k2",
+      hotKeys = Seq(7L), saltBuckets = 8, joinType = "left")
+    assert(saltedLeft.count() == plain.count() + 1)
+    // hot-key build rows really replicate across salts (the mechanism)
+    val dimS = dim.withColumn("_salt", explode(
+      when(col("k2").isin(7L), sequence(lit(0L), lit(7L)))
+        .otherwise(array(lit(0L)))))
+    assert(dimS.filter(col("k2") === 7L).count() == 8)
+  }
 }
