@@ -592,9 +592,24 @@ object Similarity {
     val codebooks = trainPqOnPoints(
       sample.map(v => residual(v, nearestList(v))), m, ksub, iters, seed)
     // 3. encode: (id, list, m-byte residual code), one broadcast pass
+    IvfPqIndex(centroids, codebooks,
+      encodeIvfPq(emb, centroids, codebooks, vecCol, idCol))
+  }
+
+  /** The index's encode pass on its own: assign each vector to its
+    * nearest coarse list and PQ-code the residual against the given
+    * (frozen) codebooks — one broadcast mapPartitions pass, no shuffle.
+    * [[buildIvfPqIndex]] uses it for the initial corpus;
+    * [[appendToIvfPqIndex]] reuses it verbatim for deliveries. */
+  private[graft] def encodeIvfPq(emb: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcB = spark.sparkContext.broadcast(codebooks)
-    val coded = emb.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+    emb.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcC.value
         val cbs = bcB.value
@@ -636,8 +651,27 @@ object Similarity {
           (id, best, code)
         }
       }.toDF(idCol, "list_id", "code")
-    IvfPqIndex(centroids, codebooks, coded)
   }
+
+  /** Incremental index maintenance — the q102/q109 delivery discipline
+    * applied to the ANN index: encode a delivery's vectors against the
+    * FROZEN centroids and codebooks (no retrain, no touch of the
+    * existing codes) and append to the codes table. With fixed
+    * centroids the result is code-identical to re-encoding the whole
+    * union, so `build(base) + append(delta)` serves exactly the top-k
+    * of an index whose codes cover `base ∪ delta` (DedupSpec pins
+    * this). Caveat — quantizer drift: the frozen coarse/PQ centroids
+    * were trained on the base sample; if the delivery distribution
+    * shifts (new embedding model, new modality), residuals grow and
+    * recall decays even though results stay well-defined. Production
+    * practice: monitor per-list occupancy and mean residual energy of
+    * deliveries (q108/q109-style drift reports) and retrain+re-encode
+    * when they move; retraining is the full [[buildIvfPqIndex]] pass.
+    */
+  def appendToIvfPqIndex(index: IvfPqIndex, delivery: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encodeIvfPq(delivery, index.centroids, index.codebooks, vecCol, idCol)))
 
   /** Persist a built index: centroids / codebooks / codes as three
     * parquet tables under `path` — the index artifact a serving tier

@@ -1022,6 +1022,37 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("appendToIvfPqIndex: build(base)+append(delta) equals the frozen-" +
+      "params full encode, code-identical and top-k-identical") {
+    import graft.operators.Similarity
+    val emb = blobEmb
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 =!= 0)
+    val idx = Similarity.buildIvfPqIndex(base, numLists = 3, m = 4,
+      ksub = 4, sampleN = 12)
+    val appended = Similarity.appendToIvfPqIndex(idx, delta)
+    // frozen centroids/codebooks: the appended codes table must be
+    // byte-identical to encoding the whole union in one pass
+    def codeMap(codes: org.apache.spark.sql.DataFrame) = codes.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("list_id"), r.getAs[Array[Byte]]("code").toSeq)).toMap
+    val full = Similarity.encodeIvfPq(emb, idx.centroids, idx.codebooks)
+    assert(codeMap(appended.codes) == codeMap(full))
+    assert(appended.codes.count() == 12)
+    // and the served top-k is the same
+    def search(ix: Similarity.IvfPqIndex) =
+      Similarity.pqTopKIvfIndexed(ix, emb, queryIds = Seq(0L, 11L, 20L),
+        k = 3, nprobe = 3, refineFactor = 8)
+        .collect().map(_.toString).sorted.toSeq
+    assert(search(appended) ==
+      search(idx.copy(codes = full)) && search(appended).nonEmpty)
+    // append keeps frozen artifacts untouched
+    assert(appended.centroids.map(_.toSeq).toSeq ==
+      idx.centroids.map(_.toSeq).toSeq)
+    assert(appended.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("recallAtK: self-recall is 1.0, misses lower it, mean row appended") {
     import graft.operators.Similarity
     val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L), (1L, 21L, 2L))
