@@ -130,4 +130,129 @@ object Curation {
         when(col("ratio") < lo, lit("repetitive"))
           .when(col("ratio") > hi, lit("junk"))
           .otherwise(lit("ok")))
+
+  // ------------------------------------------- incremental (stored-state) funnel
+
+  /** The persisted half of the incremental [[curationFunnel]]: the
+    * curated survivor corpus so far plus the FROZEN quality bounds the
+    * base run established (the q110 stored-stats discipline — a small
+    * delivery must not be judged against its own percentiles). */
+  final case class FunnelState(survivors: DataFrame,
+      lenLo: Double, lenHi: Double)
+
+  /** Initialize funnel state from a base corpus: the same stage
+    * composition as [[curationFunnel]], with the quality bounds
+    * computed once on the post-blocklist input and frozen into the
+    * state for every later delivery. */
+  def initialFunnelState(docs: DataFrame, benchmark: DataFrame,
+      patterns: Seq[String], textCol: String = "text",
+      idCol: String = "doc_id"): FunnelState = {
+    val s1 = docs.join(
+      blocklistMatches(docs, patterns, textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_anti")
+    val b = s1.agg(expr("percentile(n_chars, 0.05)"),
+      expr("percentile(n_chars, 0.95)")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val s2 = s1.join(
+      graft.operators.TextAnalysis.curationDecisions(s1, textCol, idCol,
+        frozenBounds = Some((lo, hi)))
+        .filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+    val s3 = Dedup.deduplicate(s2, textCol, idCol)
+    val s4 = Dedup.nearDeduplicate(s3, textCol = textCol, idCol = idCol)
+    FunnelState(Dedup.decontaminate(s4, benchmark, textCol), lo, hi)
+  }
+
+  /** Incremental curation funnel — the q89/q99 delivery discipline
+    * applied to q105: fold ONE delivery batch through the funnel
+    * against the stored state, returning the new state and the
+    * per-stage delta report, without re-running any stage over the
+    * stored corpus. Stage shapes: blocklist and decontamination are
+    * row-local; quality uses the state's frozen bounds; exact dedup
+    * anti-joins the delivery's digests against the survivors' (digests
+    * only shuffle); near dedup pairs the delivery WITHIN itself plus
+    * ACROSS to the stored survivors — the stored side's gram explode
+    * is semi-join-pruned to grams the (small) delivery actually
+    * contains, so the stored corpus is scanned but never re-paired
+    * with itself. A delivery doc in a cluster that touches ANY stored
+    * survivor drops (ids are append-only, so the stored doc is always
+    * the min-id keeper); pure-delivery clusters keep their min id —
+    * with append-only ids this equals the full recompute under the
+    * same frozen bounds (CurationSpec pins it on a two-delivery
+    * fixture). Declared divergence, inherent to ANY incremental dedup:
+    * a chain that runs through a document an EARLIER funnel dropped
+    * cannot be seen (the state only stores survivors).
+    */
+  def incrementalFunnel(state: FunnelState, delivery: DataFrame,
+      benchmark: DataFrame, patterns: Seq[String],
+      n: Int = 2, threshold: Double = 0.2, textCol: String = "text",
+      idCol: String = "doc_id"): (FunnelState, DataFrame) = {
+    val spark = delivery.sparkSession
+    val s0 = delivery
+    val s1 = s0.join(
+      blocklistMatches(s0, patterns, textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_anti").transform(graft.CacheRegistry.persist(_))
+    val s2 = s1.join(
+      graft.operators.TextAnalysis.curationDecisions(s1, textCol, idCol,
+        frozenBounds = Some((state.lenLo, state.lenHi)))
+        .filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+      .transform(graft.CacheRegistry.persist(_))
+    // exact dedup: within-delivery keep-min, then digest anti-join vs
+    // the stored survivors (8-byte digests only; stored text never moves)
+    val storedDigests = state.survivors
+      .select(xxhash64(col(textCol)).as("__d")).distinct()
+    val s3w = Dedup.deduplicate(s2, textCol, idCol)
+    val s3 = s3w.join(storedDigests,
+        xxhash64(s3w(textCol)) === col("__d"), "left_anti")
+      .transform(graft.CacheRegistry.persist(_))
+    // near dedup: within-delivery edges + delivery↔stored cross edges
+    val within = Dedup.ngramJaccardPairs(s3, textCol = textCol,
+      idCol = idCol, n = n, threshold = threshold)
+    val dGrams = s3.select(col(idCol).as("did"),
+      Dedup.shingles(Dedup.tokensOf(col(textCol)), n)
+        .as("grams"))
+    val dSizes = dGrams.select(col("did"),
+      size(col("grams")).cast("bigint").as("dng"))
+    val dExp = dGrams.select(col("did"), explode(col("grams")).as("gram"))
+    val sGrams = state.survivors.select(col(idCol).as("sid"),
+      Dedup.shingles(Dedup.tokensOf(col(textCol)), n)
+        .as("grams"))
+    val sSizes = sGrams.select(col("sid"),
+      size(col("grams")).cast("bigint").as("sng"))
+    // prune the stored explode to the delivery's gram set before the
+    // exchange — stored rows without a delivery gram never shuffle
+    val sExp = sGrams.select(col("sid"), explode(col("grams")).as("gram"))
+      .join(broadcast(dExp.select("gram").distinct()), Seq("gram"),
+        "left_semi")
+    val cross = dExp.join(sExp, Seq("gram"))
+      .groupBy("did", "sid").agg(count(lit(1)).as("inter"))
+      .join(dSizes, Seq("did")).join(broadcast(sSizes), Seq("sid"))
+      .filter(round(col("inter").cast("double") /
+        (col("dng") + col("sng") - col("inter")), 4) >= threshold)
+      .select(col("did"))
+    // component label per delivery doc (own id when unpaired); a
+    // component touching a stored survivor drops whole
+    val comps = Dedup.connectedComponents(within)
+    val labeled = s3.select(col(idCol).as("did"))
+      .join(comps.withColumnRenamed("node", "did"), Seq("did"), "left")
+      .select(col("did"), coalesce(col("comp"), col("did")).as("comp"))
+    val tainted = labeled.join(cross.distinct(), Seq("did"), "left_semi")
+      .select(col("comp")).distinct()
+    val keepers = labeled.join(tainted, Seq("comp"), "left_anti")
+      .groupBy("comp").agg(min("did").as("did"))
+      .select(col("did").as(idCol))
+    val s4 = s3.join(keepers, Seq(idCol), "left_semi")
+      .transform(graft.CacheRegistry.persist(_))
+    val s5 = Dedup.decontaminate(s4, benchmark, textCol)
+    val stages = Seq("input" -> s0, "blocklist" -> s1, "quality" -> s2,
+      "exact_dedup" -> s3, "near_dedup" -> s4, "decontaminate" -> s5)
+    val counts = stages.map(_._2.count())
+    import spark.implicits._
+    val report = stages.map(_._1).zip(counts).sliding(2).map {
+      case Seq((_, in), (stage, out)) => (stage, in, out, in - out)
+    }.toSeq.toDF("stage", "docs_in", "docs_out", "dropped")
+    val newState = state.copy(survivors = state.survivors
+      .select(col(idCol), col(textCol), col("n_chars"))
+      .unionByName(s5.select(col(idCol), col(textCol), col("n_chars"))))
+    (newState, report)
+  }
 }

@@ -495,10 +495,19 @@ object TextAnalysis {
   def curationDecisions(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", lenCol: String = "n_chars",
       pLo: Double = 0.05, pHi: Double = 0.95,
-      maxRep: Double = 0.06, minStopword: Double = 0.01): DataFrame = {
-    val bounds = docs.agg(
-      expr(s"percentile($lenCol, $pLo)").as("len_lo"),
-      expr(s"percentile($lenCol, $pHi)").as("len_hi"))
+      maxRep: Double = 0.06, minStopword: Double = 0.01,
+      frozenBounds: Option[(Double, Double)] = None): DataFrame = {
+    // frozenBounds: the incremental-funnel discipline — a delivery is
+    // judged against the STORED corpus percentile bounds (q110-style
+    // persisted stats), not its own tiny distribution
+    val bounds = frozenBounds match {
+      case Some((lo, hi)) =>
+        docs.sparkSession.range(1).select(lit(lo).as("len_lo"),
+          lit(hi).as("len_hi"))
+      case None => docs.agg(
+        expr(s"percentile($lenCol, $pLo)").as("len_lo"),
+        expr(s"percentile($lenCol, $pHi)").as("len_hi"))
+    }
     // Stage 1 materializes each expensive kernel exactly once as a
     // column. The projection boundary is load-bearing: referencing
     // `text_stats(text)` straight from the `when`-chain re-evaluates

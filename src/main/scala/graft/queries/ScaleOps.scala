@@ -674,6 +674,26 @@ object ScaleOps {
       .orderBy("stage")
   }
 
+  /** Q105b incremental curation funnel (rows-only — q105's composition
+    * is the declared non-SQL set): the q89/q99 delivery discipline on
+    * q105 — base corpus (doc_id < 250) establishes the stored survivor
+    * state and frozen quality bounds, the delivery (doc_id ≥ 250)
+    * folds through blocklist → frozen-bounds quality → digest-anti
+    * exact dedup → within+cross near dedup → decontamination WITHOUT
+    * re-running any stage over the stored corpus; output is the
+    * per-stage delta report (CurationSpec pins incremental ≡
+    * frozen-bounds full recompute on a two-delivery fixture)
+    * ([[graft.operators.Curation.incrementalFunnel]]). */
+  def q105b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val state = graft.operators.Curation.initialFunnelState(
+      docs.filter(col("doc_id") < 250), benchmark, Blocklist)
+    val (_, report) = graft.operators.Curation.incrementalFunnel(
+      state, docs.filter(col("doc_id") >= 250), benchmark, Blocklist)
+    report.orderBy("stage")
+  }
+
   /** Q91b approximate heavy hitters (oracled in its exact regime):
     * the q91 dashboard on the sketch path — per-partition Misra–Gries
     * summaries (`approx_top_k`) merge map-side, so the exchange is
@@ -848,7 +868,7 @@ object ScaleOps {
     "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,
     "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
     "q111_vocab_venn" -> q111, "q112_backoff_surprisal" -> q112,
-    "q113_salted_join" -> q113,
+    "q113_salted_join" -> q113, "q105b_incremental_funnel" -> q105b,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive

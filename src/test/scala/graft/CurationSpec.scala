@@ -126,6 +126,73 @@ class CurationSpec extends SparkSuite {
     assert(fin.count() == funnel.last._3)
   }
 
+  test("incrementalFunnel: two deliveries fold to the same survivors and " +
+      "stage counts as a frozen-bounds full recompute") {
+    import spark.implicits._
+    def d(id: Long, text: String, nChars: Long = 60L) = (id, text, nChars)
+    val pats = Seq("forbidden spell")
+    val base = Seq(
+      d(1, "the quick brown fox jumps over the lazy dog today"),
+      d(2, "a curious cat walks along the narrow garden wall now"),
+      d(3, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      d(4, "a curious cat walks along the narrow garden fence now"), // near-dup of 2
+      d(5, "many ships sail across the wide ocean under bright stars"),
+      d(6, "old trees grow beside the quiet river and the green hill"),
+      d(7, "children read wonderful books inside the warm village library"),
+      d(8, "the baker sells fresh bread and sweet cakes every morning"),
+      d(9, "this exact text sits in the held out benchmark set"),
+      d(10, "he cast the forbidden spell and the tower fell down")
+    ).toDF("doc_id", "text", "n_chars")
+    val d1 = Seq(
+      d(11, "the quick brown fox jumps over the lazy dog today"), // exact dup of survivor 1
+      d(12, "a curious cat walks along the narrow garden gate now"), // near-dup of survivor 2
+      d(13, "seven silver birds fly over the cold misty northern lake"),
+      d(14, "xx yy", 2L), // frozen-bounds quality drop
+      d(15, "another forbidden spell appears in this delivery text here")
+    ).toDF("doc_id", "text", "n_chars")
+    val d2 = Seq(
+      d(16, "seven silver birds fly over the cold misty northern sea"), // near-dup of d1 survivor 13
+      d(17, "seven silver birds fly over the cold misty northern lake"), // exact dup of 13
+      d(18, "golden wheat fields stretch toward the far sunny horizon line"),
+      d(19, "golden wheat fields stretch toward the far sunny horizon line") // in-delivery dup
+    ).toDF("doc_id", "text", "n_chars")
+    val benchmark = Seq(
+      (900L, "this exact text sits in the held out benchmark set"))
+      .toDF("doc_id", "text")
+
+    val state0 = Curation.initialFunnelState(base, benchmark, pats)
+    assert(state0.lenLo == 60.0 && state0.lenHi == 60.0)
+    assert(state0.survivors.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 5L, 6L, 7L, 8L))
+    val (state1, rep1) = Curation.incrementalFunnel(state0, d1, benchmark, pats)
+    val (state2, rep2) = Curation.incrementalFunnel(state1, d2, benchmark, pats)
+    def reportOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(reportOf(rep1) == Seq(
+      ("blocklist", 5L, 4L, 1L), ("quality", 4L, 3L, 1L),
+      ("exact_dedup", 3L, 2L, 1L), ("near_dedup", 2L, 1L, 1L),
+      ("decontaminate", 1L, 1L, 0L)), reportOf(rep1))
+    assert(reportOf(rep2) == Seq(
+      ("blocklist", 4L, 4L, 0L), ("quality", 4L, 4L, 0L),
+      ("exact_dedup", 4L, 2L, 2L), ("near_dedup", 2L, 1L, 1L),
+      ("decontaminate", 1L, 1L, 0L)), reportOf(rep2))
+
+    // the folded survivor corpus equals a full recompute over
+    // base ∪ d1 ∪ d2 under the SAME frozen bounds
+    val all = base.unionByName(d1).unionByName(d2)
+    val f1 = all.join(Curation.blocklistMatches(all, pats).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val f2 = f1.join(graft.operators.TextAnalysis.curationDecisions(f1,
+        frozenBounds = Some((state0.lenLo, state0.lenHi)))
+      .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val full = Dedup.decontaminate(
+      Dedup.nearDeduplicate(Dedup.deduplicate(f2)), benchmark)
+    val fullIds = full.collect().map(_.getLong(0)).sorted.toSeq
+    val incIds = state2.survivors.collect().map(_.getLong(0)).sorted.toSeq
+    assert(incIds == fullIds && incIds == Seq(1L, 2L, 5L, 6L, 7L, 8L, 13L, 18L),
+      s"inc=$incIds full=$fullIds")
+  }
+
   test("blocklistMatches equals the per-pattern contains chain") {
     val pats = Seq("window window", "vector join", "slow join sort")
     val got = Curation.blocklistMatches(docs, pats)
