@@ -269,6 +269,25 @@ final class GraftService(
     Processor.documentPipeline(pageRange(tokensOf(xml), params), config)
       .collect().toSeq
 
+  /** The asset-zip pipeline variant: a zip Accept FORCES graphic-asset
+    * extraction (`app/parser.py:401-410` flips
+    * `extract_graphic_assets=True` for ASSET_ZIP_MEDIA_TYPES
+    * regardless of the session config), so the document's ALTO
+    * graphics are parsed, matched into figures (F3) and carry
+    * `<graphic url=…>` asset ids the zip entries are named by. */
+  private def pipelineNodesWithAssets(xml: String,
+      params: Map[String, String]): Seq[SemanticNode] = {
+    import spark.implicits._
+    val docId = math.abs(scala.util.hashing.MurmurHash3.stringHash(xml)).toLong
+    val parsed = AltoReader.parsedDocs(spark.createDataset(Seq((docId, xml))))
+    val toks = pageRange(AltoReader.tokensOf(parsed).toDF(), params)
+    val graphics = Processor.graphicsForMatching(
+      toks, AltoReader.graphicsOf(parsed).toDF())
+    Processor.documentPipeline(toks,
+        config.copy(extractGraphicAssets = true), Some(graphics))
+      .collect().toSeq
+  }
+
   /** Root-subtree filter: keep the listed root node types and all
     * their descendants — the response-shaping counterpart of the
     * reference's per-request processor config
@@ -346,11 +365,23 @@ final class GraftService(
   }
 
   private def convert(ex: HttpExchange): Response = {
-    val mediaType = negotiate(ex, Seq(JatsXml, TeiXml, JatsZip, TeiZip))
+    // the reference's full convert priority list INCLUDING the PDF
+    // source passthrough (`routers/convert.py:113-124`)
+    val mediaType = negotiate(ex, Seq(JatsXml, TeiXml, JatsZip, TeiZip, Pdf))
+    if (mediaType == Pdf)
+      // reference returns the (converted) source PDF; our source is
+      // ALTO — producing the PDF needs the A1/A3 binary seam
+      return Response.detail(501,
+        "PDF passthrough requires the PDF source seam; " +
+          "submit ALTO XML and request TEI/JATS")
     val params = queryParams(ex)
     val xml = new String(checkedSource(ex), StandardCharsets.UTF_8)
+    val nodes =
+      if (mediaType == JatsZip || mediaType == TeiZip)
+        pipelineNodesWithAssets(xml, params)
+      else pipelineNodes(xml, params)
     renderDocument(
-      subtree(pipelineNodes(xml, params), includesFilter(params.get("includes"))),
+      subtree(nodes, includesFilter(params.get("includes"))),
       mediaType)
   }
 

@@ -105,6 +105,56 @@ class ServiceSpec extends SparkSuite {
     assert(r.body().take(2).sameElements("PK".getBytes))
   }
 
+  test("convert Accept matrix matches the reference status codes " +
+      "(routers/convert.py:113-124) and zip forces asset extraction " +
+      "(app/parser.py:401-410)") {
+    def postBytes(accept: String): HttpResponse[Array[Byte]] = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/convert"))
+        .header("Accept", accept)
+        .POST(BodyPublishers.ofString(alto)).build(),
+      BodyHandlers.ofByteArray())
+    // the full priority list: xml forms answer XML, zip forms answer
+    // zip, PDF passthrough is the declared 501 seam (the reference
+    // returns the converted source PDF; our source is ALTO), anything
+    // else is 406
+    val matrix = Seq(
+      "application/vnd.jats+xml" -> (200, "application/xml"),
+      "application/tei+xml" -> (200, "application/xml"),
+      "application/vnd.jats+xml+zip" -> (200, "application/zip"),
+      "application/tei+xml+zip" -> (200, "application/zip"),
+      "application/pdf" -> (501, ""),
+      "text/plain" -> (406, ""),
+      "image/png, text/html" -> (406, ""))
+    matrix.foreach { case (accept, (code, ct)) =>
+      val r = postBytes(accept)
+      assert(r.statusCode() == code, s"$accept -> ${r.statusCode()}")
+      if (code == 200)
+        assert(r.headers().firstValue("Content-Type").get() == ct, accept)
+    }
+    // */* and a missing Accept pick the first (JATS XML), reference
+    // priority order
+    assert(postBytes("*/*").statusCode() == 200)
+    val noAccept = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/convert"))
+        .POST(BodyPublishers.ofString(alto)).build(),
+      BodyHandlers.ofByteArray())
+    assert(noAccept.statusCode() == 200)
+    assert(new String(noAccept.body()).contains("<article"), "JATS default")
+    // zip-forces-extract_graphic_assets: the TEI inside the zip carries
+    // <graphic url=…> asset ids, while the plain XML response keeps the
+    // session default (graphics/bounding boxes off — no <graphic> at
+    // all, matching the reference default config)
+    val plainTei = post("/api/convert", accept = Some("application/tei+xml"))
+    assert(!plainTei.body().contains("<graphic "), plainTei.body().take(400))
+    val zipBytes = postBytes("application/tei+xml+zip").body()
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zipBytes))
+    val entries = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .map(e => e.getName -> new String(zin.readAllBytes())).toMap
+    assert(entries.contains("tei.xml"), entries.keySet)
+    assert(entries("tei.xml").contains("url="), entries("tei.xml").take(400))
+  }
+
   test("pdfalto echoes ALTO and reports 501 for PDF input") {
     val ok = post("/api/pdfalto")
     assert(ok.statusCode() == 200)
