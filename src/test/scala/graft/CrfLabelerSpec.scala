@@ -187,6 +187,55 @@ class CrfLabelerSpec extends SparkSuite {
     }
   }
 
+  test("wapiti native: dense (zero-included) dump equals the sparse dump; " +
+      "* observation takes unigram then bigram blocks") {
+    // layout with labels {O,Y}: u:Title -> ids 0,1; *Mix -> unigram
+    // 2,3 then bigram 4..7; b -> 8..11. Weights mix hex floats and
+    // plain decimals (both appear in real dumps).
+    val header =
+      """#mdl#2#12
+        |#rdr#3/2/0
+        |#pat#3
+        |u:%x[0,0]
+        |*%x[0,1]
+        |b
+        |#qrk#2
+        |O
+        |Y
+        |#qrk#3
+        |u:Title
+        |*Mix
+        |b
+        |""".stripMargin
+    val sparse = header +
+      """1=0x1p+1
+        |3=1.25
+        |7=0x1.8p+0
+        |10=0x1p-1
+        |""".stripMargin
+    // the dense dump writes EVERY feature id, zeros included
+    val sparseW = Map(1L -> 2.0, 3L -> 1.25, 7L -> 1.5, 10L -> 0.5)
+    val dense = header + (0L to 11L).map(id =>
+      s"$id=${sparseW.getOrElse(id, 0.0)}").mkString("", "\n", "\n")
+    val ms = CrfModel.parse(sparse)
+    val md = CrfModel.parse(dense)
+    assert(ms.labels == md.labels)
+    assert(ms.unigram.keySet == md.unigram.keySet &&
+      ms.unigram.forall { case (k, v) => md.unigram(k).toSeq == v.toSeq })
+    assert(ms.bigramObs.keySet == md.bigramObs.keySet &&
+      ms.bigramObs.forall { case (k, v) => md.bigramObs(k).toSeq == v.toSeq })
+    assert(ms.transition.map(_.toSeq).toSeq == md.transition.map(_.toSeq).toSeq)
+    // the * observation carries BOTH blocks: unigram Y weight at id 3,
+    // bigram [Y->Y] at id 7 (offset 4 + prev*2 + next = 4+3)
+    assert(ms.unigram("*Mix").toSeq == Seq(0.0, 1.25))
+    assert(ms.bigramObs("*Mix").toSeq == Seq(0.0, 0.0, 0.0, 1.5))
+    // constant b folds to static transitions: id 10 = [Y][O]
+    assert(ms.transition(1)(0) == 0.5)
+    // and both decode identically on data exercising every block
+    val data = Seq("Title Mix", "other Mix", "Title Mix", "other other")
+    assert(ms.decode(data) == md.decode(data))
+  }
+
   test("parse: a unigram pattern id beginning with B is not a transition") {
     val m = CrfModel.parse(
       """[labels]

@@ -182,6 +182,22 @@ class LabelerParitySpec extends SparkSuite {
     }
   }
 
+  test("lattice: degenerate single-state lattice decodes to that state, " +
+      "masked or not") {
+    // a one-label tagset (e.g. a model trained on a single class) must
+    // not trip the transition machinery: there is exactly one path
+    val labels = IndexedSeq("O")
+    val mask = NeuralLabeler.bioMask(labels)
+    for (n <- Seq(1, 2, 7)) {
+      val scores = Seq.fill(n)(Array(-3.5f))
+      assert(NeuralLabeler.decode(scores, 1, Some(mask)) ==
+        IndexedSeq.fill(n)(0))
+      assert(NeuralLabeler.decode(scores, 1, None) == IndexedSeq.fill(n)(0))
+    }
+    // and the zero-length sequence stays empty rather than throwing
+    assert(NeuralLabeler.decode(Seq.empty, 1, Some(mask)).isEmpty)
+  }
+
   test("BIO spans: window and local forms agree (text, coords AND styles)") {
     val labeled = new SegmentationRuleLabeler().label(corpus)
     val w = BioSpans.spans(labeled)
