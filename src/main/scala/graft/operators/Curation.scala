@@ -147,9 +147,13 @@ object Curation {
   def initialFunnelState(docs: DataFrame, benchmark: DataFrame,
       patterns: Seq[String], textCol: String = "text",
       idCol: String = "doc_id"): FunnelState = {
+    // s1 feeds the percentile action AND the stage chain; s3 feeds the
+    // near-dup edge loop (eager checkpoints) AND the survivor chain —
+    // persist both so the base scan+automaton pass runs once, not per
+    // consumer
     val s1 = docs.join(
       blocklistMatches(docs, patterns, textCol, idCol).select(col(idCol)),
-      Seq(idCol), "left_anti")
+      Seq(idCol), "left_anti").transform(graft.CacheRegistry.persist(_))
     val b = s1.agg(expr("percentile(n_chars, 0.05)"),
       expr("percentile(n_chars, 0.95)")).head()
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
@@ -158,8 +162,14 @@ object Curation {
         frozenBounds = Some((lo, hi)))
         .filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
     val s3 = Dedup.deduplicate(s2, textCol, idCol)
+      .transform(graft.CacheRegistry.persist(_))
     val s4 = Dedup.nearDeduplicate(s3, textCol = textCol, idCol = idCol)
-    FunnelState(Dedup.decontaminate(s4, benchmark, textCol), lo, hi)
+    // the survivor table is the STATE — every incremental stage reads
+    // it (digest anti-join, cross-pair gram scan, the fold-in union),
+    // so persist it instead of re-running the whole base funnel DAG
+    // per consumer (registered; Graft.releaseCaches drops it)
+    FunnelState(Dedup.decontaminate(s4, benchmark, textCol)
+      .transform(graft.CacheRegistry.persist(_)), lo, hi)
   }
 
   /** Incremental curation funnel — the q89/q99 delivery discipline
@@ -252,7 +262,8 @@ object Curation {
     }.toSeq.toDF("stage", "docs_in", "docs_out", "dropped")
     val newState = state.copy(survivors = state.survivors
       .select(col(idCol), col(textCol), col("n_chars"))
-      .unionByName(s5.select(col(idCol), col(textCol), col("n_chars"))))
+      .unionByName(s5.select(col(idCol), col(textCol), col("n_chars")))
+      .transform(graft.CacheRegistry.persist(_)))
     (newState, report)
   }
 }

@@ -945,7 +945,7 @@ object TextAnalysis {
     */
   def stupidBackoffSurprisal(docs: DataFrame, refPred: Column,
       maxN: Int = 5, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", broadcastModel: Boolean = true): DataFrame = {
     val Pen = 916291L // round(ln(1/0.4)*1e6): one backoff step
     val toked = docs.select(col(idCol).as("doc_id"), refPred.as("is_ref"),
       tokens(col(textCol)).as("toks"))
@@ -978,12 +978,26 @@ object TextAnalysis {
     // per-position best (longest matched n); positions with no match
     // at any n are out-of-vocabulary
     val corpus = cands(toked)
-    val best = corpus.join(model, Seq("n", "gram"))
+    // reference LMs are corpus-fraction-sized (CCNet: Wikipedia): ship
+    // the model to the candidates so the 5-per-token gram explode never
+    // shuffles — the unigramSurprisal broadcastVocab rule; set false
+    // for a reference corpus too large to broadcast and the same plan
+    // runs as a shuffle join
+    val modelSide = if (broadcastModel) broadcast(model) else model
+    val best = corpus.join(modelSide, Seq("n", "gram"))
       .groupBy("doc_id", "pos")
       .agg(max("n").as("bn"), max_by(col("cn"), col("n")).as("bcn"),
         max_by(col("cp"), col("n")).as("bcp"))
-    val scored = corpus.filter(col("n") === 1)
-      .select(col("doc_id"), col("pos"), col("k"))
+    // one (doc_id, pos, k) row per token position — derived directly
+    // from the token array rather than filtering the candidate frame,
+    // so the 5-gram string explode is built once (for the model join),
+    // not twice
+    val positions = toked.filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, size(toks) - 1)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        least(lit(maxN), col("pos") + 1).as("k"))
+    val scored = positions
       .join(best, Seq("doc_id", "pos"), "left")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),

@@ -687,10 +687,14 @@ object ScaleOps {
   def q105b(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d).documents
     val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    // scale-relative split: the stored corpus is 90% of the table, the
+    // delivery the remaining 10% — the production shape (a delivery is
+    // small against the curated corpus) at every SF
     val state = graft.operators.Curation.initialFunnelState(
-      docs.filter(col("doc_id") < 250), benchmark, Blocklist)
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), benchmark, Blocklist)
     val (_, report) = graft.operators.Curation.incrementalFunnel(
-      state, docs.filter(col("doc_id") >= 250), benchmark, Blocklist)
+      state, docs.filter(pmod(col("doc_id"), lit(10)) === 0), benchmark,
+      Blocklist)
     report.orderBy("stage")
   }
 
