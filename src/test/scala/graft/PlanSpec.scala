@@ -246,6 +246,23 @@ class PlanSpec extends SparkSuite {
       s"documentTei should be one token shuffle (+report sort), found $exchanges:\n${p.take(4000)}")
   }
 
+  test("q112 backoff surprisal: broadcast model, no window, no cartesian") {
+    val p = plan("q112_backoff_surprisal")
+    // the reference-slice LM ships to the candidate grams — the
+    // 5-per-token explode must not shuffle through a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), s"no per-position window expected:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q113 salted join: equi hash join, never a nested loop") {
+    val p = plan("q113_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"salted join must stay an equi join:\n${p.take(3000)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("ingest doc_id assignment has no single-partition exchange") {
     // xxhash64(path) replaces the old row_number-over-global-window id:
     // a Window.orderBy(path) with no partition spec plans as
