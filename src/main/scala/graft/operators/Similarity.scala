@@ -673,6 +673,96 @@ object Similarity {
     index.copy(codes = index.codes.unionByName(
       encodeIvfPq(delivery, index.centroids, index.codebooks, vecCol, idCol)))
 
+  /** The retrain trigger for [[appendToIvfPqIndex]]'s frozen-quantizer
+    * caveat: per coarse list, the base index's vector share vs a
+    * delivery's, and the delivery's mean residual energy (‖v − c‖²)
+    * against the frozen centroid. A distribution shift shows up as (a)
+    * occupancy moving between lists (`share_delta`) and (b) residual
+    * energy rising above the base line (`energy_ratio` > 1) — when
+    * either moves materially, re-run [[buildIvfPqIndex]] and re-encode;
+    * until then appends keep full fidelity. One broadcast pass per
+    * side: each vector computes its nearest list and residual in place
+    * (nothing corpus-sized shuffles — the exchange carries one
+    * (list, count, energy) partial per partition), and the report is
+    * `numLists` rows.
+    */
+  def ivfIndexDriftReport(index: IvfPqIndex, base: DataFrame,
+      delivery: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(index.centroids)
+    // per vector: assigned list, full residual energy (PQ-fidelity
+    // proxy: what the codebooks must explain), and angular drift
+    // 1 − cos(v, centroid) (direction shift — magnitude-blind, the
+    // signal a new embedding model moves first)
+    def listEnergy(emb: DataFrame): DataFrame =
+      emb.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bcC.value
+          it.map { case (_, v) =>
+            var best = 0
+            var bestS = Double.NegativeInfinity
+            var c = 0
+            while (c < cs.length) {
+              var d = 0.0
+              var j = 0
+              while (j < v.length) { d += cs(c)(j).toDouble * v(j); j += 1 }
+              if (d > bestS) { bestS = d; best = c }
+              c += 1
+            }
+            var e = 0.0
+            var nv = 0.0
+            var nc = 0.0
+            var j = 0
+            while (j < v.length) {
+              val cj = cs(best)(j)
+              val r = v(j).toDouble - cj
+              e += r * r
+              nv += v(j).toDouble * v(j)
+              nc += cj.toDouble * cj
+              j += 1
+            }
+            val denom = math.sqrt(nv * nc)
+            val cosd = if (denom > 0) 1.0 - bestS / denom else 1.0
+            (best, e, cosd)
+          }
+        }.toDF("list_id", "energy", "cosd")
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("n"), sum("energy").as("se"),
+          sum("cosd").as("sc"))
+    val b = listEnergy(base)
+      .select(col("list_id"), col("n").as("base_n"), col("se").as("base_se"),
+        col("sc").as("base_sc"))
+    val d = listEnergy(delivery)
+      .select(col("list_id"), col("n").as("del_n"), col("se").as("del_se"),
+        col("sc").as("del_sc"))
+    val totals = b.agg(sum("base_n").as("bt")).crossJoin(
+      d.agg(sum("del_n").as("dt")))
+    // numLists-row join: every side is report-sized
+    b.join(d, Seq("list_id"), "full")
+      .crossJoin(broadcast(totals))
+      .select(col("list_id"),
+        coalesce(col("base_n"), lit(0L)).cast("bigint").as("base_n"),
+        coalesce(col("del_n"), lit(0L)).cast("bigint").as("del_n"),
+        round(coalesce(col("del_n"), lit(0L)).cast("double") / col("dt") -
+          coalesce(col("base_n"), lit(0L)).cast("double") / col("bt"), 4)
+          .as("share_delta"),
+        round(
+          (coalesce(col("del_se"), lit(0.0)) /
+            greatest(coalesce(col("del_n"), lit(0L)), lit(1L))) /
+          greatest(coalesce(col("base_se"), lit(0.0)) /
+            greatest(coalesce(col("base_n"), lit(0L)), lit(1L)), lit(1e-12)),
+          4).as("energy_ratio"),
+        round(coalesce(col("base_sc"), lit(0.0)) /
+          greatest(coalesce(col("base_n"), lit(0L)), lit(1L)), 4)
+          .as("base_cos_drift"),
+        round(coalesce(col("del_sc"), lit(0.0)) /
+          greatest(coalesce(col("del_n"), lit(0L)), lit(1L)), 4)
+          .as("del_cos_drift"))
+      .orderBy("list_id")
+  }
+
   /** Persist a built index: centroids / codebooks / codes as three
     * parquet tables under `path` — the index artifact a serving tier
     * loads without re-scanning the corpus. */

@@ -832,6 +832,20 @@ object ScaleOps {
       .orderBy("event_id")
   }
 
+  /** Q114 ANN index drift report (rows-only — float geometry by
+    * design): per coarse list, base-vs-delivery occupancy share delta
+    * and the delivery's residual-energy ratio against the frozen
+    * centroids — the monitoring signal that decides between
+    * `appendToIvfPqIndex` (fold the delivery in) and a full retrain
+    * ([[graft.operators.Similarity.ivfIndexDriftReport]]). */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d).embeddings
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val idx = graft.operators.Similarity.buildIvfPqIndex(base)
+    graft.operators.Similarity.ivfIndexDriftReport(idx, base,
+      emb.filter(col("vec_id") % 2 =!= 0))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -873,6 +887,7 @@ object ScaleOps {
     "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
     "q111_vocab_venn" -> q111, "q112_backoff_surprisal" -> q112,
     "q113_salted_join" -> q113, "q105b_incremental_funnel" -> q105b,
+    "q114_index_drift" -> q114,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive

@@ -1053,6 +1053,35 @@ class DedupSpec extends SparkSuite {
       idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("ivfIndexDriftReport: in-distribution delivery reads flat; a shifted " +
+      "delivery shows rising residual energy") {
+    import graft.operators.Similarity
+    val emb = blobEmb
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.buildIvfPqIndex(base, numLists = 3, m = 4,
+      ksub = 4, sampleN = 12)
+    // in-distribution: the odd half of the same blobs — occupancy
+    // shares stay put and residual energy stays in the base's band
+    val flat = Similarity.ivfIndexDriftReport(idx, base,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(6)))
+    assert(flat.nonEmpty && flat.map(_._1).sum == 6 && flat.map(_._2).sum == 6)
+    flat.foreach { case (_, _, shareDelta, delCos) =>
+      assert(math.abs(shareDelta) < 0.2, flat.toSeq)
+      assert(delCos < 0.05, flat.toSeq) // same blobs: near-zero angle
+    }
+    // shifted: vectors along a direction no centroid covers — the
+    // angular drift must leave the in-distribution band entirely
+    val shifted = (0 until 6).map { i =>
+      val v = Array.fill(8)(0.0f); v(6) = 10.0f; v(7) = 0.01f * i
+      (100L + i, v)
+    }.toDF("vec_id", "embedding")
+    val drift = Similarity.ivfIndexDriftReport(idx, base, shifted)
+      .collect().map(r => r.getDouble(6))
+    assert(drift.max > 0.5, drift.toSeq)
+  }
+
   test("recallAtK: self-recall is 1.0, misses lower it, mean row appended") {
     import graft.operators.Similarity
     val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L), (1L, 21L, 2L))
