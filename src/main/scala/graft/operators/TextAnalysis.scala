@@ -949,22 +949,31 @@ object TextAnalysis {
     val Pen = 916291L // round(ln(1/0.4)*1e6): one backoff step
     val toked = docs.select(col(idCol).as("doc_id"), refPred.as("is_ref"),
       tokens(col(textCol)).as("toks"))
-    // all (pos, n, gram, prefix) candidates in one flatten pass
-    val candCol = explode(flatten(expr(
-      s"""transform(sequence(0, size(toks) - 1), pos ->
-            transform(sequence(1, least($maxN, pos + 1)), n ->
-              struct(pos as pos, least($maxN, pos + 1) as k, n as n,
-                array_join(slice(toks, pos - n + 2, n), ' ') as gram,
-                array_join(slice(toks, pos - n + 2, n - 1), ' ') as prefix)))"""
-    ))).as("g")
-    def cands(frame: DataFrame) = frame
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), candCol)
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.k").as("k"),
-        col("g.n").as("n"), col("g.gram").as("gram"),
-        col("g.prefix").as("prefix"))
+    // all (pos, n, gram[, prefix]) candidates in one flatten pass; the
+    // prefix string is generated ONLY for the model side (the scoring
+    // explode is 5 rows per corpus token — carrying a second string
+    // per row through the join would double its width for nothing)
+    def candCol(withPrefix: Boolean) = {
+      val prefixField = if (withPrefix)
+        ",\n                array_join(slice(toks, pos - n + 2, n - 1), ' ') as prefix"
+      else ""
+      explode(flatten(expr(
+        s"""transform(sequence(0, size(toks) - 1), pos ->
+              transform(sequence(1, least($maxN, pos + 1)), n ->
+                struct(pos as pos, least($maxN, pos + 1) as k, n as n,
+                  array_join(slice(toks, pos - n + 2, n), ' ') as gram$prefixField)))"""
+      ))).as("g")
+    }
+    def cands(frame: DataFrame, withPrefix: Boolean = false) = {
+      val cols = Seq(col("g.pos").as("pos"), col("g.k").as("k"),
+        col("g.n").as("n"), col("g.gram").as("gram")) ++
+        (if (withPrefix) Seq(col("g.prefix").as("prefix")) else Nil)
+      frame.filter(size(col("toks")) > 0)
+        .select(col("doc_id"), candCol(withPrefix))
+        .select(col("doc_id") +: cols: _*)
+    }
     // reference model: c_n(gram) with c_{n-1}(prefix); n=1 backs onto N
-    val counts = cands(toked.filter(col("is_ref")))
+    val counts = cands(toked.filter(col("is_ref")), withPrefix = true)
       .groupBy("n", "gram", "prefix").agg(count(lit(1)).as("cn"))
       .transform(CacheRegistry.persist(_))
     val totals = counts.filter(col("n") === 1)
