@@ -121,6 +121,27 @@ object CacheRegistry {
     }
   }
 
+  /** Scope marker for [[releaseSince]]: a point in the registration
+    * order. */
+  def mark(): Long = nextId.get()
+
+  /** Release only the EPHEMERAL caches registered after `mark` — the
+    * scoped form for long-lived hosts (a streaming foreachBatch, a
+    * server request) that must clean up their own batch's caches
+    * without touching frames other in-flight work still holds. */
+  def releaseSince(spark: SparkSession, mark: Long): Unit = {
+    val buf = entries.get(spark)
+    if (buf != null) {
+      val drop = buf.synchronized {
+        val (d, keep) = buf.toVector.partition(e => !e.shared && e.id > mark)
+        buf.clear()
+        buf ++= keep
+        d
+      }
+      drop.foreach(_.cleanup())
+    }
+  }
+
   /** Count of live registered entries (spec hook). */
   def registered(spark: SparkSession): Int = {
     val buf = entries.get(spark)

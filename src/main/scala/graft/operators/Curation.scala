@@ -140,6 +140,27 @@ object Curation {
   final case class FunnelState(survivors: DataFrame,
       lenLo: Double, lenHi: Double)
 
+  /** Persist funnel state: the survivor table plus the frozen bounds
+    * as parquet under `path` (`bounds` written LAST — its `_SUCCESS`
+    * is the state version's commit marker for the streaming form). */
+  def saveFunnelState(state: FunnelState, path: String): Unit = {
+    val spark = state.survivors.sparkSession
+    import spark.implicits._
+    state.survivors.write.mode("overwrite").parquet(s"$path/survivors")
+    Seq((state.lenLo, state.lenHi)).toDF("len_lo", "len_hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+  }
+
+  /** Load a persisted funnel state ([[saveFunnelState]] layout). The
+    * survivors stay a lazy parquet scan; only the 1-row bounds
+    * collect. */
+  def loadFunnelState(spark: org.apache.spark.sql.SparkSession,
+      path: String): FunnelState = {
+    val b = spark.read.parquet(s"$path/bounds").head()
+    FunnelState(spark.read.parquet(s"$path/survivors"),
+      b.getAs[Double]("len_lo"), b.getAs[Double]("len_hi"))
+  }
+
   /** Initialize funnel state from a base corpus: the same stage
     * composition as [[curationFunnel]], with the quality bounds
     * computed once on the post-blocklist input and frozen into the

@@ -216,6 +216,62 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming curation funnel — [[graft.operators.Curation
+    * .incrementalFunnel]]'s delivery discipline on micro-batches: the
+    * FIRST batch establishes the stored survivor corpus and frozen
+    * quality bounds (`initialFunnelState`), every later batch folds
+    * through blocklist → frozen-bounds quality → digest-anti exact
+    * dedup → within+cross near dedup → decontamination against the
+    * stored state, writing the new state as a batchId-versioned
+    * directory (committed = `bounds/_SUCCESS`, written last; replayed
+    * batch ids skip — the at-least-once foreachBatch rule) and the
+    * per-stage delta report as `report-<batchId>`. Each batch's
+    * ephemeral caches are released with a registry scope mark, so a
+    * long-running stream's executor storage stays flat without
+    * touching frames other in-flight work holds.
+    */
+  def streamingCurationFunnel(docs: DataFrame, stateDir: String,
+      benchmark: DataFrame, patterns: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestState(spark, stateDir, marker = "bounds/_SUCCESS")
+        if (!prev.exists(_._1 >= batchId)) {
+          val mark = graft.CacheRegistry.mark()
+          val next = prev match {
+            case None =>
+              graft.operators.Curation.initialFunnelState(
+                batch.toDF(), benchmark, patterns)
+            case Some((_, p)) =>
+              val st = graft.operators.Curation.loadFunnelState(spark, p)
+              val (ns, report) = graft.operators.Curation
+                .incrementalFunnel(st, batch.toDF(), benchmark, patterns)
+              report.coalesce(1).write.mode("overwrite")
+                .parquet(s"$stateDir/report-$batchId")
+              ns
+          }
+          graft.operators.Curation.saveFunnelState(next,
+            s"$stateDir/state-$batchId")
+          val dir = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+          prev.foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p._2), true))
+          graft.CacheRegistry.releaseSince(spark, mark)
+        }
+        ()
+      }
+      .start()
+
+  /** Latest committed funnel state written by
+    * [[streamingCurationFunnel]]. */
+  def curationFunnelState(spark: SparkSession,
+      stateDir: String): graft.operators.Curation.FunnelState =
+    latestState(spark, stateDir, marker = "bounds/_SUCCESS")
+      .map(p => graft.operators.Curation.loadFunnelState(spark, p._2))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed funnel state under $stateDir"))
+
   /** Latest committed state table written by
     * [[streamingHeavyHittersIndex]] — feed it to
     * `Sampling.heavyHittersEstimate` (or keep folding deliveries in
@@ -225,16 +281,18 @@ object StreamOps {
       .getOrElse(throw new IllegalStateException(
         s"no committed heavy-hitters state under $stateDir"))
 
-  /** Newest `state-<batchId>` directory carrying a `_SUCCESS` marker. */
-  private def latestState(spark: SparkSession,
-      stateDir: String): Option[(Long, String)] = {
+  /** Newest `state-<batchId>` directory carrying the commit marker
+    * (`_SUCCESS` for single-table states; a last-written sub-table's
+    * `_SUCCESS` for multi-table ones). */
+  private def latestState(spark: SparkSession, stateDir: String,
+      marker: String = "_SUCCESS"): Option[(Long, String)] = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) None
     else fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.matches("state-\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, marker)))
       .map(s => (s.getPath.getName.stripPrefix("state-").toLong,
         s.getPath.toString))
       .sortBy(_._1).lastOption

@@ -60,6 +60,24 @@ class CacheRegistrySpec extends SparkSuite {
     assert(persistentCount == base)
   }
 
+  test("releaseSince drops only ephemeral caches registered after the mark") {
+    import spark.implicits._
+    Graft.releaseCaches(spark, includeShared = true)
+    val base = persistentCount
+    val before = CacheRegistry.persist((1 to 30).toDF("a"))
+    assert(before.count() == 30)
+    val mark = CacheRegistry.mark()
+    val scopedEph = CacheRegistry.persist((1 to 40).toDF("b"))
+    val scopedShr = CacheRegistry.persist((1 to 50).toDF("c"), shared = true)
+    assert(scopedEph.count() == 40 && scopedShr.count() == 50)
+    assert(persistentCount == base + 3)
+    CacheRegistry.releaseSince(spark, mark)
+    // pre-mark ephemeral and the shared entry survive; the scoped one is gone
+    assert(persistentCount == base + 2)
+    Graft.releaseCaches(spark, includeShared = true)
+    assert(persistentCount == base)
+  }
+
   test("connectedComponents leaves storage at baseline after releaseCaches") {
     import spark.implicits._
     Graft.releaseCaches(spark, includeShared = true)

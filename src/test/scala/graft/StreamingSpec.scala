@@ -356,6 +356,55 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming curation funnel: per-batch state folds equal the " +
+      "sequential incremental path; one committed state remains") {
+    import graft.operators.Curation
+    val dir = Files.createTempDirectory("graft-funnel-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-funnel-state").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text", "n_chars")
+    val pats = Seq("window window", "vector join")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    // append-only id splits: base then two deliveries, arriving as
+    // three files in timestamp order
+    val splits = Seq(col("doc_id") < 30,
+      col("doc_id") >= 30 && col("doc_id") < 40, col("doc_id") >= 40)
+    splits.foreach { pred =>
+      docs.filter(pred).coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(1100)
+    }
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingCurationFunnel(streamed, stateDir.getPath,
+        benchmark, pats)
+      q.processAllAvailable(); q.stop()
+      val got = StreamOps.curationFunnelState(spark, stateDir.getPath)
+      // sequential batch-side incremental path over the same splits
+      val s0 = Curation.initialFunnelState(docs.filter(splits(0)),
+        benchmark, pats)
+      val (s1, _) = Curation.incrementalFunnel(s0, docs.filter(splits(1)),
+        benchmark, pats)
+      val (s2, _) = Curation.incrementalFunnel(s1, docs.filter(splits(2)),
+        benchmark, pats)
+      def ids(st: Curation.FunnelState) =
+        st.survivors.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got.lenLo == s2.lenLo && got.lenHi == s2.lenHi)
+      assert(ids(got) == ids(s2) && ids(got).nonEmpty)
+      // exactly one committed state version; delta reports persisted
+      val versions = stateDir.listFiles.filter(_.getName.startsWith("state-"))
+      assert(versions.length == 1, versions.mkString(", "))
+      val reports = stateDir.listFiles.filter(_.getName.startsWith("report-"))
+      assert(reports.length == 2, reports.mkString(", "))
+      val rep = spark.read.parquet(reports.head.getPath)
+      assert(rep.count() == 5) // five funnel stages per delivery
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
   test("streaming decontamination: broadcast digest guard streams unchanged") {
     // the benchmark side is batch (broadcast digests); the corpus side
     // streams — the guard a pipeline runs on every incoming delivery
