@@ -216,6 +216,73 @@ object Sketch {
     new GenericArrayData(out)
   }
 
+  /** Per-row hashed-bigram term frequencies: token array → array of
+    * (gh, w1, tf) structs, first-seen order — the [[tokenTf]] pass one
+    * n up, with the gram identified by its FNV-1a-64 hash (the
+    * [[gramHashPositions]] hashing, 0x20 separator) instead of a
+    * materialized string, and the conditioning first token carried for
+    * the LM's prefix-count join. Inputs shorter than 2 tokens collapse
+    * to one whole-text gram (the shingles convention bigramSurprisal's
+    * oracle declares). Native because the string route materializes a
+    * ~2·token-length gram per corpus position before hashing it away.
+    */
+  def bigramHashTf(toks: ArrayData): ArrayData = {
+    val cnt = toks.numElements()
+    def tokU(i: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val u = toks.getUTF8String(i)
+      if (u == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else u
+    }
+    def fnv(h0: Long, u: org.apache.spark.unsafe.types.UTF8String): Long = {
+      var h = h0
+      val bytes = u.getBytes
+      var k = 0
+      while (k < bytes.length) {
+        h ^= (bytes(k) & 0xffL); h *= 1099511628211L
+        k += 1
+      }
+      h
+    }
+    val Basis = -3750763034362895579L // FNV-1a 64 offset basis
+    if (cnt < 2) {
+      // whole-text fallback gram; w1 = its first token ("" when empty)
+      var h = Basis
+      var i = 0
+      while (i < cnt) {
+        if (i > 0) { h ^= 0x20L; h *= 1099511628211L }
+        h = fnv(h, tokU(i))
+        i += 1
+      }
+      val w1 = if (cnt == 0) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else tokU(0)
+      return new GenericArrayData(Array[Any](
+        org.apache.spark.sql.catalyst.InternalRow(h, w1, 1L)))
+    }
+    // gh -> (w1 of first occurrence, count); LinkedHashMap keeps
+    // first-seen order like tokenTf
+    val counts = new java.util.LinkedHashMap[
+      java.lang.Long, Array[Any]]()
+    var i = 0
+    while (i <= cnt - 2) {
+      var h = fnv(Basis, tokU(i))
+      h ^= 0x20L; h *= 1099511628211L
+      h = fnv(h, tokU(i + 1))
+      val prev = counts.get(h)
+      if (prev == null) counts.put(h, Array[Any](tokU(i).clone(), 1L))
+      else prev(1) = prev(1).asInstanceOf[Long] + 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Drop every token covered by an `n`-token span starting at any of
     * the (sorted ascending) `starts` positions — one merged-interval
     * sweep, O(tokens + starts), replacing the O(tokens × starts)
@@ -424,6 +491,8 @@ object Sketch {
       ColumnBridge.expression(toks), ColumnBridge.expression(starts), n))
   def token_tf(toks: Column): Column =
     ColumnBridge.column(TokenTfExpr(ColumnBridge.expression(toks)))
+  def bigram_hash_tf(toks: Column): Column =
+    ColumnBridge.column(BigramHashTfExpr(ColumnBridge.expression(toks)))
   def rep_gram_stats(toks: Column, nTop: Int, nDup: Int): Column =
     ColumnBridge.column(RepGramStatsExpr(ColumnBridge.expression(toks), nTop, nDup))
   def dot_product(a: Column, b: Column): Column =
@@ -503,6 +572,21 @@ case class NgramsExpr(child: Expression, n: Int, distinct: Boolean = true)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.$kernel($c, $n)")
   override protected def withNewChildInternal(c: Expression): NgramsExpr = copy(child = c)
+}
+
+case class BigramHashTfExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gh", LongType, nullable = false),
+    StructField("w1", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_hash_tf"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.bigramHashTf(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.bigramHashTf($c)")
+  override protected def withNewChildInternal(c: Expression): BigramHashTfExpr =
+    copy(child = c)
 }
 
 case class TokenTfExpr(child: Expression) extends UnaryExpression {

