@@ -1308,15 +1308,27 @@ object TextAnalysis {
     */
   def dsirSelect(docs: DataFrame, targetPred: Column, topN: Int = 200,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
-        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
-      .select(col("doc_id"), col("is_target"), col("p.tok").as("tok"),
-        col("p.tf").cast("long").as("tf"))
-      .transform(CacheRegistry.persist(_))
-    val raw = tf.groupBy("tok").agg(sum("tf").as("cnt_r"))
-    val tgt = tf.filter(col("is_target")).groupBy("tok").agg(sum("tf").as("cnt_t"))
-    val model0 = raw.join(tgt, Seq("tok"), "left")
-      .select(col("tok"), col("cnt_r"), coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
+    // rides the SHARED tokenPairs projection when the target predicate
+    // can be evaluated over its carried columns (doc_id + source —
+    // the by-source slice every DSIR run in this engine uses): in a
+    // warm session the tokenize pass is already cached by the other
+    // corpus-statistics queries, and both consumers read it for free.
+    // Predicates over other columns fall back to a dedicated pass. The
+    // raw and target counts come out of ONE conditional aggregation —
+    // one exchange and no raw⋈target join.
+    val sharedCols = Set("doc_id") ++
+      (if (docs.columns.contains("source")) Set("source") else Set.empty)
+    val predRefs = org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(targetPred).references.map(_.name).toSet
+    val tf =
+      if ((predRefs -- sharedCols).isEmpty && idCol == "doc_id")
+        tokenPairs(docs, textCol, idCol).withColumn("is_target", targetPred)
+      else docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+          explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+        .select(col("doc_id"), col("is_target"), col("p.tok").as("tok"),
+          col("p.tf").cast("long").as("tf"))
+    val model0 = tf.groupBy("tok").agg(sum("tf").as("cnt_r"),
+      coalesce(sum(when(col("is_target"), col("tf"))), lit(0L)).as("cnt_t"))
     val totals = model0.agg(count(lit(1)).as("v"), sum("cnt_r").as("total_r"),
       sum("cnt_t").as("total_t"))
     val model = model0.crossJoin(broadcast(totals))
