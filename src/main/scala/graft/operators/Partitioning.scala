@@ -100,10 +100,13 @@ object Partitioning {
       dimKey: String, hotKeys: Seq[Long], saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
-    val hotBig =
-      if (hotKeys.isEmpty) lit(false) else col(bigKey).isin(hotKeys: _*)
-    val hotDim =
-      if (hotKeys.isEmpty) lit(false) else col(dimKey).isin(hotKeys: _*)
+    // no hot keys → the plain join, zero overhead: salting an unskewed
+    // join only pays the replication machinery (the q108 report is the
+    // gate — salt exactly what it flags)
+    if (hotKeys.isEmpty)
+      return big.join(dim, big(bigKey) === dim(dimKey), joinType)
+    val hotBig = col(bigKey).isin(hotKeys: _*)
+    val hotDim = col(dimKey).isin(hotKeys: _*)
     val bigS = big.withColumn("_salt",
       when(hotBig, deterministicSalt(big, saltBuckets)).otherwise(lit(0L)))
     val dimS = dim.withColumn("_salt", explode(

@@ -818,7 +818,11 @@ object ScaleOps {
   def q113(s: SparkSession, d: String): DataFrame = {
     val events = Tables(s, d).events
       .select("event_id", "user_id", "event_type", "value")
+    // salt exactly what the report flags: keys holding ≥2 fair shares.
+    // On an unskewed corpus the list is empty and saltedJoin falls
+    // through to the plain join — salting pays only when it must
     val rep = graft.operators.Profiling.skewReport(events, "user_id", k = 20)
+      .filter(col("skew") >= 2.0)
       .select(col("key").cast("long").as("key"), col("skew")).collect()
     val hotKeys = rep.map(_.getLong(0)).toSeq
     val saltBuckets = math.max(2,
