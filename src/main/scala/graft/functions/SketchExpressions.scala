@@ -283,6 +283,43 @@ object Sketch {
     new GenericArrayData(out)
   }
 
+  /** Sliding-window chunking: token array → array of
+    * (chunk_idx, n_tokens, chunk_text) structs for windows of
+    * `chunkSize` tokens every `stride` — one row-local pass. Native
+    * because the declarative routes both lose: exploding start
+    * positions duplicates the full token array once per chunk before
+    * any slice runs, and a `transform(sequence(...), s -> slice(...))`
+    * lambda pays interpreted per-element evaluation (measured slower
+    * than the duplication at short-document sizes). An empty input
+    * yields one empty chunk (the chunker's every-document contract).
+    */
+  def chunkTexts(toks: ArrayData, chunkSize: Int, stride: Int): ArrayData = {
+    val cnt = toks.numElements()
+    def tok(i: Int): String = {
+      val u = toks.getUTF8String(i)
+      if (u == null) "" else u.toString
+    }
+    val nChunks = if (cnt == 0) 1 else (cnt - 1) / stride + 1
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(cnt, start + chunkSize)
+      val sb = new java.lang.StringBuilder
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(' ')
+        sb.append(tok(i))
+        i += 1
+      }
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(
+        c.toLong, (end - start).toLong,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Drop every token covered by an `n`-token span starting at any of
     * the (sorted ascending) `starts` positions — one merged-interval
     * sweep, O(tokens + starts), replacing the O(tokens × starts)
@@ -493,6 +530,9 @@ object Sketch {
     ColumnBridge.column(TokenTfExpr(ColumnBridge.expression(toks)))
   def bigram_hash_tf(toks: Column): Column =
     ColumnBridge.column(BigramHashTfExpr(ColumnBridge.expression(toks)))
+  def chunk_texts(toks: Column, chunkSize: Int, stride: Int): Column =
+    ColumnBridge.column(
+      ChunkTextsExpr(ColumnBridge.expression(toks), chunkSize, stride))
   def rep_gram_stats(toks: Column, nTop: Int, nDup: Int): Column =
     ColumnBridge.column(RepGramStatsExpr(ColumnBridge.expression(toks), nTop, nDup))
   def dot_product(a: Column, b: Column): Column =
@@ -572,6 +612,24 @@ case class NgramsExpr(child: Expression, n: Int, distinct: Boolean = true)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.$kernel($c, $n)")
   override protected def withNewChildInternal(c: Expression): NgramsExpr = copy(child = c)
+}
+
+case class ChunkTextsExpr(child: Expression, chunkSize: Int, stride: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chunk_texts"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.chunkTexts(in.asInstanceOf[ArrayData], chunkSize, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.chunkTexts($c, $chunkSize, $stride)")
+  override protected def withNewChildInternal(c: Expression): ChunkTextsExpr =
+    copy(child = c)
 }
 
 case class BigramHashTfExpr(child: Expression) extends UnaryExpression {

@@ -256,18 +256,17 @@ object TextAnalysis {
   def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
-    val toks = tokens(col(textCol))
+    // one row-local native pass (see [[graft.functions.Sketch
+    // .chunkTexts]]): exploding start positions first duplicates the
+    // token array once per chunk (≈ len/stride × the corpus for long
+    // documents), and the transform-lambda route pays interpreted
+    // per-element evaluation
     docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
-          lit(stride))).as("start"))
-      .select(col("doc_id"),
-        (col("start") / stride).cast("bigint").as("chunk_idx"),
-        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("chunk")).cast("bigint").as("n_tokens"),
-        array_join(col("chunk"), " ").as("chunk_text"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.Sketch.chunk_texts(
+          tokens(col(textCol)), chunkSize, stride)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
   }
 
   /** Greedy sequence packing — the step between [[chunkDocuments]] and
