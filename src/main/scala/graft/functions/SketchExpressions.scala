@@ -252,8 +252,11 @@ object Sketch {
         h = fnv(h, tokU(i))
         i += 1
       }
+      // clone: the source UTF8String may alias a buffer the scan
+      // reuses for the next row (the same reason tokenTf round-trips
+      // through java Strings)
       val w1 = if (cnt == 0) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-        else tokU(0)
+        else tokU(0).clone()
       return new GenericArrayData(Array[Any](
         org.apache.spark.sql.catalyst.InternalRow(h, w1, 1L)))
     }

@@ -215,8 +215,9 @@ object Curation {
     */
   def incrementalFunnel(state: FunnelState, delivery: DataFrame,
       benchmark: DataFrame, patterns: Seq[String],
-      n: Int = 2, threshold: Double = 0.2, textCol: String = "text",
-      idCol: String = "doc_id"): (FunnelState, DataFrame) = {
+      n: Int = 2, threshold: Double = 0.2, maxDocFreq: Long = 100L,
+      textCol: String = "text", idCol: String = "doc_id")
+      : (FunnelState, DataFrame) = {
     val spark = delivery.sparkSession
     val s0 = delivery
     val s1 = s0.join(
@@ -235,15 +236,18 @@ object Curation {
     val s3 = s3w.join(storedDigests,
         xxhash64(s3w(textCol)) === col("__d"), "left_anti")
       .transform(graft.CacheRegistry.persist(_))
-    // near dedup: within-delivery edges + delivery↔stored cross edges
-    val within = Dedup.ngramJaccardPairs(s3, textCol = textCol,
-      idCol = idCol, n = n, threshold = threshold)
+    // near dedup: within-delivery edges + delivery↔stored cross edges.
+    // Both use the UNION document frequency for the df prune (delta
+    // count + stored count of each delta gram) — computable without
+    // re-pairing the stored corpus, and EXACTLY what the full
+    // recompute's `nearDeduplicate(maxDocFreq)` prunes on, so parity
+    // holds even when a templated gram crosses the threshold.
     val dGrams = s3.select(col(idCol).as("did"),
       Dedup.shingles(Dedup.tokensOf(col(textCol)), n)
         .as("grams"))
     val dSizes = dGrams.select(col("did"),
       size(col("grams")).cast("bigint").as("dng"))
-    val dExp = dGrams.select(col("did"), explode(col("grams")).as("gram"))
+    val dExpAll = dGrams.select(col("did"), explode(col("grams")).as("gram"))
     val sGrams = state.survivors.select(col(idCol).as("sid"),
       Dedup.shingles(Dedup.tokensOf(col(textCol)), n)
         .as("grams"))
@@ -251,9 +255,37 @@ object Curation {
       size(col("grams")).cast("bigint").as("sng"))
     // prune the stored explode to the delivery's gram set before the
     // exchange — stored rows without a delivery gram never shuffle
-    val sExp = sGrams.select(col("sid"), explode(col("grams")).as("gram"))
-      .join(broadcast(dExp.select("gram").distinct()), Seq("gram"),
-        "left_semi")
+    // the pruned explodes are CHECKPOINTED, not just persisted: each is
+    // referenced 2-3 times below and a persisted plan still embeds its
+    // whole subtree per reference — with the survivors scan and the
+    // rare-gram aggregate nested inside, the un-truncated plan TREE
+    // grows multiplicatively (it OOMed the streaming form's plan
+    // stringification). Both frames are delivery-sized, so the eager
+    // cut is cheap; blocks release with the registry.
+    val sExpAll = graft.CacheRegistry.localCheckpoint(
+      sGrams.select(col("sid"), explode(col("grams")).as("gram"))
+        .join(broadcast(dExpAll.select("gram").distinct()), Seq("gram"),
+          "left_semi"))
+    val rareGrams = dExpAll.groupBy("gram").agg(count(lit(1)).as("dc"))
+      .join(sExpAll.groupBy("gram").agg(count(lit(1)).as("sc")),
+        Seq("gram"), "left")
+      .filter(col("dc") + coalesce(col("sc"), lit(0L)) <= maxDocFreq)
+      .select("gram")
+    val dExp = graft.CacheRegistry.localCheckpoint(
+      dExpAll.join(broadcast(rareGrams), Seq("gram"), "left_semi"))
+    val sExp = sExpAll.join(broadcast(rareGrams), Seq("gram"), "left_semi")
+    val within = dExp.as("a")
+      .join(dExp.as("b"),
+        col("a.gram") === col("b.gram") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("doc_id_a"), col("b.did").as("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(dSizes.withColumnRenamed("did", "doc_id_a")
+        .withColumnRenamed("dng", "ng_a"), "doc_id_a")
+      .join(dSizes.withColumnRenamed("did", "doc_id_b")
+        .withColumnRenamed("dng", "ng_b"), "doc_id_b")
+      .filter(round(col("inter").cast("double") /
+        (col("ng_a") + col("ng_b") - col("inter")), 4) >= threshold)
+      .select("doc_id_a", "doc_id_b")
     val cross = dExp.join(sExp, Seq("gram"))
       .groupBy("did", "sid").agg(count(lit(1)).as("inter"))
       .join(dSizes, Seq("did")).join(broadcast(sSizes), Seq("sid"))
