@@ -86,9 +86,20 @@ object CacheRegistry {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    val added = (sc.getPersistentRDDs.keySet -- before).toSeq
-    val release = () => added.foreach { id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    // primary handle: the checkpointed RDD straight off the result's
+    // plan (exact even when concurrent work persists other RDDs);
+    // id-diff only as a fallback for a future plan shape
+    val planRdd = out.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+    val release = planRdd match {
+      case Some(rdd) => () => { rdd.unpersist(blocking = false); () }
+      case None =>
+        val added = (sc.getPersistentRDDs.keySet -- before).toSeq
+        () => added.foreach { id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+        }
     }
     (out, release)
   }
