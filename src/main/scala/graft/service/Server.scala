@@ -281,8 +281,10 @@ final class GraftService(
     val docId = math.abs(scala.util.hashing.MurmurHash3.stringHash(xml)).toLong
     val parsed = AltoReader.parsedDocs(spark.createDataset(Seq((docId, xml))))
     val toks = pageRange(AltoReader.tokensOf(parsed).toDF(), params)
+    // the page range prunes graphics too: the reference's pdfalto
+    // -f/-l limits the whole ALTO output, tokens AND illustrations
     val graphics = Processor.graphicsForMatching(
-      toks, AltoReader.graphicsOf(parsed).toDF())
+      toks, pageRange(AltoReader.graphicsOf(parsed).toDF(), params))
     Processor.documentPipeline(toks,
         config.copy(extractGraphicAssets = true), Some(graphics))
       .collect().toSeq
