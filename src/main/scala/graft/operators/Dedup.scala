@@ -298,6 +298,17 @@ object Dedup {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
         .distinct())
+    // empty edge set → empty label table, no loop: a clean corpus (or
+    // a clean delivery batch in the incremental funnel) should not pay
+    // label-propagation job rounds to learn there is nothing to label
+    if (und.limit(1).count() == 0L) {
+      releaseUnd()
+      // derived from the caller's frame, not the released checkpoint
+      // (a released checkpoint cannot be re-actioned); limit(0) folds
+      // to an empty relation
+      return edges.select(col(srcCol).as("node"), col(srcCol).as("comp"))
+        .limit(0)
+    }
     var (labels, releaseLabels) =
       graft.CacheRegistry.localCheckpointWithRelease(
         und.select(col("src").as("node")).distinct()
