@@ -49,6 +49,14 @@ object Graft {
   def readAltoStream(spark: SparkSession, path: String): DataFrame =
     graft.streaming.StreamOps.streamingAltoTokens(spark, path)
 
+  /** JSONL corpus ingestion (the Dolma/FineWeb interchange shape) into
+    * the documents schema — the whole operator surface (dedup,
+    * curation, mixture, sharding) runs on it unchanged; pair with
+    * [[sources.JsonlCorpus.quarantine]] for malformed lines and
+    * [[sources.JsonlCorpus.write]] for the export side. */
+  def readDocumentsJsonl(spark: SparkSession, path: String): DataFrame =
+    sources.JsonlCorpus.read(spark, path)
+
   /** Dead-letter record for a permissive read: (doc_id, error). */
   def quarantine(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
