@@ -72,9 +72,13 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(once) // warm-up: codegen + parquet footers
+    // failed reps (-1 sentinel) are excluded from median/min instead of
+    // polluting them; a query with NO successful rep reports -1 and is
+    // counted in "failed" so the driver sees it explicitly
     val results = names.map { n =>
-      val ts = (1 to reps).map(_ => once(n)).sorted
-      n -> (ts(ts.length / 2), ts.head)
+      val ts = (1 to reps).map(_ => once(n)).filter(_ >= 0).sorted
+      if (ts.isEmpty) n -> (-1.0, -1.0)
+      else n -> (ts(ts.length / 2), ts.head)
     }
 
     val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + f"$med%.3f" }
@@ -82,7 +86,8 @@ object Bench {
     val qmins = results.map { case (k, (_, mn)) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"sf":"$sfDir"}""")
+    val failed = results.count(_._2._1 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

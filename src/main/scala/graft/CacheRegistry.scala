@@ -37,7 +37,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 object CacheRegistry {
 
   private final case class Entry(id: Long, shared: Boolean,
-      cleanup: () => Unit)
+      cleanup: () => Unit, planKey: Option[Int] = None)
 
   private val nextId = new AtomicLong()
   // keyed by SparkContext-owning session object; suites and the
@@ -45,12 +45,33 @@ object CacheRegistry {
   private val entries =
     new ConcurrentHashMap[SparkSession, mutable.ArrayBuffer[Entry]]()
 
+  /** Evict entries keyed by sessions whose context has stopped — a
+    * stopped context's caches are gone with it, so the handles only
+    * leak map entries in a multi-session JVM. Swept on every
+    * registration (sessions are few); [[forget]] is the explicit
+    * form. */
+  private def sweepStopped(): Unit = {
+    val it = entries.keySet.iterator
+    while (it.hasNext) {
+      if (it.next().sparkContext.isStopped) it.remove()
+    }
+  }
+
   private def add(s: SparkSession, shared: Boolean,
-      cleanup: () => Unit): Unit = {
+      cleanup: () => Unit, planKey: Option[Int] = None): Unit = {
+    sweepStopped()
     val buf = entries.computeIfAbsent(s,
       _ => mutable.ArrayBuffer.empty[Entry])
     buf.synchronized {
-      buf += Entry(nextId.incrementAndGet(), shared, cleanup); ()
+      // shared caches register once per canonicalized plan: the hub
+      // frames (tokenPairs/tokenTable) re-register on every consumer
+      // query, and duplicate entries would pin one Dataset plan per
+      // query for the life of the warm session
+      val dup = shared && planKey.isDefined &&
+        buf.exists(e => e.shared && e.planKey == planKey)
+      if (!dup) {
+        buf += Entry(nextId.incrementAndGet(), shared, cleanup, planKey); ()
+      }
     }
   }
 
@@ -59,7 +80,10 @@ object CacheRegistry {
     */
   def persist[T](df: Dataset[T], shared: Boolean = false): Dataset[T] = {
     df.persist()
-    add(df.sparkSession, shared, () => { df.unpersist(blocking = false); () })
+    val key = if (shared)
+      Some(df.queryExecution.analyzed.semanticHash()) else None
+    add(df.sparkSession, shared,
+      () => { df.unpersist(blocking = false); () }, key)
     df
   }
 
@@ -151,6 +175,14 @@ object CacheRegistry {
       }
       drop.foreach(_.cleanup())
     }
+  }
+
+  /** Drop a session's registrations without running cleanups — for a
+    * session that is stopping (its caches die with the context). The
+    * stopped-session sweep calls the same path automatically on the
+    * next registration. */
+  def forget(spark: SparkSession): Unit = {
+    entries.remove(spark); ()
   }
 
   /** Count of live registered entries (spec hook). */

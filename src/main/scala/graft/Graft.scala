@@ -52,8 +52,12 @@ object Graft {
   /** JSONL corpus ingestion (the Dolma/FineWeb interchange shape) into
     * the documents schema — the whole operator surface (dedup,
     * curation, mixture, sharding) runs on it unchanged; pair with
-    * [[sources.JsonlCorpus.quarantine]] for malformed lines and
-    * [[sources.JsonlCorpus.write]] for the export side. */
+    * [[sources.JsonlCorpus.quarantine]] for malformed lines (or
+    * [[sources.JsonlCorpus.readAll]] for both sides in one scan) and
+    * [[sources.JsonlCorpus.write]] for the export side. Ids for lines
+    * without an explicit `doc_id` are content hashes — NOT monotone;
+    * renumber with [[operators.Curation.assignMonotoneIds]] before
+    * feeding deliveries to the incremental curation funnel. */
   def readDocumentsJsonl(spark: SparkSession, path: String): DataFrame =
     sources.JsonlCorpus.read(spark, path)
 

@@ -136,29 +136,102 @@ object Curation {
   /** The persisted half of the incremental [[curationFunnel]]: the
     * curated survivor corpus so far plus the FROZEN quality bounds the
     * base run established (the q110 stored-stats discipline — a small
-    * delivery must not be judged against its own percentiles). */
+    * delivery must not be judged against its own percentiles).
+    *
+    * Survivor ids must be append-only monotone (every delivery id >
+    * every stored id): keeper election is min-id, so a monotone id is
+    * what makes "the stored doc is always the keeper" equal the full
+    * recompute. Content-hash ids (e.g.
+    * [[graft.sources.JsonlCorpus.read]]'s xxhash64 fallback) violate
+    * this — renumber such deliveries with
+    * [[assignMonotoneIds]] before folding them in.
+    *
+    * State is append-only on disk: `newDelta` is the survivor rows
+    * added since the state was loaded (what [[saveFunnelState]] must
+    * write), `liveDeltas` the on-disk delta directories (relative to
+    * the state root) already backing `survivors`. A 100 TB survivor
+    * corpus must never be rewritten per delivery — only the delta
+    * lands, and the manifest grows by one line.
+    */
   final case class FunnelState(survivors: DataFrame,
-      lenLo: Double, lenHi: Double)
+      lenLo: Double, lenHi: Double,
+      newDelta: Option[DataFrame] = None,
+      liveDeltas: Seq[String] = Seq.empty)
 
-  /** Persist funnel state: the survivor table plus the frozen bounds
-    * as parquet under `path` (`bounds` written LAST — its `_SUCCESS`
-    * is the state version's commit marker for the streaming form). */
+  /** Persist funnel state under `path` (one version directory, e.g.
+    * `.../state-7`). Append-only layout: only `newDelta` is written
+    * (as `<path>/delta`); `<path>/manifest` lists every live delta
+    * directory relative to the state ROOT (the version dir's parent),
+    * the prior `liveDeltas` plus the new one, so `loadFunnelState`
+    * unions them back. With `newDelta = None` the FULL survivor view
+    * is written as a single delta — the compaction form (and the
+    * fallback for hand-built states). `bounds` is written LAST — its
+    * `_SUCCESS` is the version's commit marker for the streaming form.
+    */
   def saveFunnelState(state: FunnelState, path: String): Unit = {
     val spark = state.survivors.sparkSession
     import spark.implicits._
-    state.survivors.write.mode("overwrite").parquet(s"$path/survivors")
+    val version = new org.apache.hadoop.fs.Path(path).getName
+    val (delta, prior) = state.newDelta match {
+      case Some(d) => (d, state.liveDeltas)
+      case None => (state.survivors, Seq.empty[String]) // full snapshot
+    }
+    delta.write.mode("overwrite").parquet(s"$path/delta")
+    (prior :+ s"$version/delta").toDF("delta_dir")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     Seq((state.lenLo, state.lenHi)).toDF("len_lo", "len_hi")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
   }
 
   /** Load a persisted funnel state ([[saveFunnelState]] layout). The
-    * survivors stay a lazy parquet scan; only the 1-row bounds
-    * collect. */
+    * survivors stay a lazy union of the manifest's delta scans; only
+    * the 1-row bounds and the (one-line-per-delivery) manifest
+    * collect. A legacy single-table state (`survivors/` dir, no
+    * manifest) loads as one delta. */
   def loadFunnelState(spark: org.apache.spark.sql.SparkSession,
       path: String): FunnelState = {
     val b = spark.read.parquet(s"$path/bounds").head()
-    FunnelState(spark.read.parquet(s"$path/survivors"),
-      b.getAs[Double]("len_lo"), b.getAs[Double]("len_hi"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = p.getParent
+    val entries: Seq[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "manifest")))
+        spark.read.parquet(s"$path/manifest")
+          .collect().map(_.getString(0)).toSeq
+      else Seq(s"${p.getName}/survivors")
+    val survivors = entries
+      .map(e => spark.read.parquet(
+        new org.apache.hadoop.fs.Path(root, e).toString))
+      .reduce(_.unionByName(_))
+    FunnelState(survivors, b.getAs[Double]("len_lo"),
+      b.getAs[Double]("len_hi"), None, entries)
+  }
+
+  /** Renumber a delivery with ids strictly greater than every stored
+    * survivor id — the [[FunnelState]] monotone-id precondition for
+    * corpora whose natural ids are content hashes
+    * ([[graft.sources.JsonlCorpus.read]]). Deterministic given the
+    * input's partitioning (RDD zipWithIndex), one count job over the
+    * delivery only — the stored corpus contributes a single max().
+    */
+  def assignMonotoneIds(state: FunnelState, delivery: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = delivery.sparkSession
+    val base = state.survivors.agg(max(col(idCol))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val others = delivery.columns.filter(_ != idCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      delivery.schema.fields.filter(_.name != idCol) :+
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val renumbered = delivery.drop(idCol).rdd.zipWithIndex().map {
+      case (row, i) => org.apache.spark.sql.Row.fromSeq(
+        row.toSeq :+ (base + 1L + i))
+    }
+    spark.createDataFrame(renumbered, schema)
+      .select((idCol +: others.toSeq).map(col): _*)
   }
 
   /** Initialize funnel state from a base corpus: the same stage
@@ -189,8 +262,14 @@ object Curation {
     // it (digest anti-join, cross-pair gram scan, the fold-in union),
     // so persist it instead of re-running the whole base funnel DAG
     // per consumer (registered; Graft.releaseCaches drops it)
-    FunnelState(Dedup.decontaminate(s4, benchmark, textCol)
-      .transform(graft.CacheRegistry.persist(_)), lo, hi)
+    val survivors = Dedup.decontaminate(s4, benchmark, textCol)
+      .transform(graft.CacheRegistry.persist(_))
+    // the base run's whole survivor set is the first on-disk delta,
+    // projected to the canonical state shape so later delivery deltas
+    // union with it under any input's extra columns
+    FunnelState(survivors, lo, hi,
+      newDelta = Some(survivors.select(col(idCol), col(textCol),
+        col("n_chars"))))
   }
 
   /** Incremental curation funnel — the q89/q99 delivery discipline
@@ -229,17 +308,66 @@ object Curation {
         .filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
       .transform(graft.CacheRegistry.persist(_))
     // exact dedup: within-delivery keep-min, then digest anti-join vs
-    // the stored survivors (8-byte digests only; stored text never moves)
+    // the stored survivors (8-byte digests only; stored text never
+    // moves). CHECKPOINTED, not persisted: s3 is referenced by every
+    // downstream stage and the keeper election, and truncating here
+    // keeps the survivors relation out of every later broadcast build's
+    // lineage (see incrementalNearDupKeepers' no-corpus-broadcast
+    // contract) as well as out of the multiplicative plan-tree growth
+    // that OOMed the streaming form's plan stringification.
     val storedDigests = state.survivors
       .select(xxhash64(col(textCol)).as("__d")).distinct()
     val s3w = Dedup.deduplicate(s2, textCol, idCol)
-    val s3 = s3w.join(storedDigests,
-        xxhash64(s3w(textCol)) === col("__d"), "left_anti")
+    val s3 = graft.CacheRegistry.localCheckpoint(
+      s3w.join(storedDigests,
+        xxhash64(s3w(textCol)) === col("__d"), "left_anti"))
+    val keepers = incrementalNearDupKeepers(state.survivors, s3,
+      n, threshold, maxDocFreq, textCol, idCol)
+    val s4 = s3.join(keepers, Seq(idCol), "left_semi")
       .transform(graft.CacheRegistry.persist(_))
-    // near dedup: within-delivery edges + delivery↔stored cross edges.
-    // Both use the UNION document frequency for the df prune (delta
-    // count + stored count of each delta gram) — computable without
-    // re-pairing the stored corpus, and EXACTLY what the full
+    val s5 = Dedup.decontaminate(s4, benchmark, textCol)
+    val stages = Seq("input" -> s0, "blocklist" -> s1, "quality" -> s2,
+      "exact_dedup" -> s3, "near_dedup" -> s4, "decontaminate" -> s5)
+    val counts = stages.map(_._2.count())
+    import spark.implicits._
+    val report = stages.map(_._1).zip(counts).sliding(2).map {
+      case Seq((_, in), (stage, out)) => (stage, in, out, in - out)
+    }.toSeq.toDF("stage", "docs_in", "docs_out", "dropped")
+    // append-only state: the delivery's survivors are the new delta;
+    // in-memory multi-fold (state1 → state2 without a save between)
+    // accumulates deltas so a single save still lands every new row
+    val delta = s5.select(col(idCol), col(textCol), col("n_chars"))
+    val newState = state.copy(
+      survivors = state.survivors
+        .select(col(idCol), col(textCol), col("n_chars"))
+        .unionByName(delta)
+        .transform(graft.CacheRegistry.persist(_)),
+      newDelta = Some(state.newDelta.map(_.unionByName(delta))
+        .getOrElse(delta)))
+    (newState, report)
+  }
+
+  /** Near-dup keeper election for one delivery against the stored
+    * survivors: within-delivery edges cluster via connected components;
+    * a delivery doc whose cluster touches ANY stored survivor drops
+    * whole; surviving clusters keep their min id.
+    *
+    * Broadcast discipline (the 100 TB contract, pinned by
+    * CurationSpec): NO survivors-derived frame is ever under a
+    * broadcast hint. The stored corpus is scanned (explode semi-pruned
+    * to delivery grams; per-survivor gram counts computed only for the
+    * candidate sids the pair aggregate surfaced) but every broadcast
+    * build is delivery-bounded — candidate pairs are at most
+    * |delivery grams| × maxDocFreq rows. The r8 form broadcast a
+    * per-survivor size table: a stored-corpus-cardinality collect at
+    * exactly the scale this operator exists for.
+    */
+  private[graft] def incrementalNearDupKeepers(survivors: DataFrame,
+      s3: DataFrame, n: Int, threshold: Double, maxDocFreq: Long,
+      textCol: String, idCol: String): DataFrame = {
+    // Both edge kinds use the UNION document frequency for the df prune
+    // (delta count + stored count of each delta gram) — computable
+    // without re-pairing the stored corpus, and EXACTLY what the full
     // recompute's `nearDeduplicate(maxDocFreq)` prunes on, so parity
     // holds even when a templated gram crosses the threshold.
     val dGrams = s3.select(col(idCol).as("did"),
@@ -248,11 +376,9 @@ object Curation {
     val dSizes = dGrams.select(col("did"),
       size(col("grams")).cast("bigint").as("dng"))
     val dExpAll = dGrams.select(col("did"), explode(col("grams")).as("gram"))
-    val sGrams = state.survivors.select(col(idCol).as("sid"),
+    val sGrams = survivors.select(col(idCol).as("sid"),
       Dedup.shingles(Dedup.tokensOf(col(textCol)), n)
         .as("grams"))
-    val sSizes = sGrams.select(col("sid"),
-      size(col("grams")).cast("bigint").as("sng"))
     // prune the stored explode to the delivery's gram set before the
     // exchange — stored rows without a delivery gram never shuffle
     // the pruned explodes are CHECKPOINTED, not just persisted: each is
@@ -286,9 +412,26 @@ object Curation {
       .filter(round(col("inter").cast("double") /
         (col("ng_a") + col("ng_b") - col("inter")), 4) >= threshold)
       .select("doc_id_a", "doc_id_b")
-    val cross = dExp.join(sExp, Seq("gram"))
-      .groupBy("did", "sid").agg(count(lit(1)).as("inter"))
-      .join(dSizes, Seq("did")).join(broadcast(sSizes), Seq("sid"))
+    // candidate (delivery, stored) pairs with shared-rare-gram counts —
+    // delivery-pair-bounded; checkpointed because it feeds both the sid
+    // prune and the verdict join
+    val crossAgg = graft.CacheRegistry.localCheckpoint(
+      dExp.join(sExp, Seq("gram"))
+        .groupBy("did", "sid").agg(count(lit(1)).as("inter")))
+    // stored-side gram counts ONLY for candidate sids: the survivors
+    // scan is semi-pruned by the (pair-bounded) candidate set BEFORE
+    // the shingle-size projection, and the verdict join broadcasts the
+    // pair table into that scan — the corpus streams as the probe side
+    // of both joins, never as a build
+    val candSids = crossAgg.select(col("sid")).distinct()
+    val sSizes = survivors
+      .join(broadcast(candSids.withColumnRenamed("sid", idCol)),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("sid"),
+        size(Dedup.shingles(Dedup.tokensOf(col(textCol)), n))
+          .cast("bigint").as("sng"))
+    val cross = sSizes
+      .join(broadcast(crossAgg.join(dSizes, Seq("did"))), Seq("sid"))
       .filter(round(col("inter").cast("double") /
         (col("dng") + col("sng") - col("inter")), 4) >= threshold)
       .select(col("did"))
@@ -300,23 +443,8 @@ object Curation {
       .select(col("did"), coalesce(col("comp"), col("did")).as("comp"))
     val tainted = labeled.join(cross.distinct(), Seq("did"), "left_semi")
       .select(col("comp")).distinct()
-    val keepers = labeled.join(tainted, Seq("comp"), "left_anti")
+    labeled.join(tainted, Seq("comp"), "left_anti")
       .groupBy("comp").agg(min("did").as("did"))
       .select(col("did").as(idCol))
-    val s4 = s3.join(keepers, Seq(idCol), "left_semi")
-      .transform(graft.CacheRegistry.persist(_))
-    val s5 = Dedup.decontaminate(s4, benchmark, textCol)
-    val stages = Seq("input" -> s0, "blocklist" -> s1, "quality" -> s2,
-      "exact_dedup" -> s3, "near_dedup" -> s4, "decontaminate" -> s5)
-    val counts = stages.map(_._2.count())
-    import spark.implicits._
-    val report = stages.map(_._1).zip(counts).sliding(2).map {
-      case Seq((_, in), (stage, out)) => (stage, in, out, in - out)
-    }.toSeq.toDF("stage", "docs_in", "docs_out", "dropped")
-    val newState = state.copy(survivors = state.survivors
-      .select(col(idCol), col(textCol), col("n_chars"))
-      .unionByName(s5.select(col(idCol), col(textCol), col("n_chars")))
-      .transform(graft.CacheRegistry.persist(_)))
-    (newState, report)
   }
 }

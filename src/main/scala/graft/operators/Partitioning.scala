@@ -95,11 +95,23 @@ object Partitioning {
     * typically the bounded output of [[Profiling.skewReport]] (top-k
     * keys with their skew factor = the `saltBuckets` a mitigation
     * needs) — a handful of literals, never a corpus-sized list.
+    *
+    * Join types: inner and left(-outer) only — row-identity holds
+    * because every BIG row meets exactly the one dim replica carrying
+    * its salt. For right/full outer joins the replicated dim side
+    * breaks it (an unmatched hot dim key would surface once per
+    * replica), so those are rejected rather than silently wrong; flip
+    * the sides and use "left".
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, bigKey: String,
       dimKey: String, hotKeys: Seq[Long], saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    require(Set("inner", "left", "leftouter", "left_outer")
+        .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType': the " +
+        "salt-replicated dim side would emit one null-extended row per " +
+        "replica for an unmatched hot dim key under right/full joins")
     // no hot keys → the plain join, zero overhead: salting an unskewed
     // join only pays the replication machinery (the q108 report is the
     // gate — salt exactly what it flags)

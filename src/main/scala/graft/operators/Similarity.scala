@@ -763,6 +763,51 @@ object Similarity {
       .orderBy("list_id")
   }
 
+  /** The drift-gated maintenance decision [[appendToIvfPqIndex]] and
+    * [[ivfIndexDriftReport]] leave to the caller, as one operator: run
+    * the drift report, and if every list stays inside the thresholds
+    * APPEND the delivery under the frozen quantizers; otherwise leave
+    * the index untouched and return the retrain verdict (the caller
+    * re-runs [[buildIvfPqIndex]] over base ∪ deliveries and re-encodes).
+    *
+    * Thresholds: `maxShareDelta` caps per-list occupancy movement
+    * (|delivery share − base share|), `maxEnergyRatio` caps the
+    * delivery's mean residual energy vs the base's per list (only
+    * lists the delivery populates are judged on energy). The report is
+    * numLists rows — the collect here is bounded by construction.
+    */
+  final case class IndexMaintenance(index: IvfPqIndex, appended: Boolean,
+      retrainReason: Option[String], report: DataFrame)
+
+  def maintainIvfPqIndex(index: IvfPqIndex, base: DataFrame,
+      delivery: DataFrame, maxShareDelta: Double = 0.25,
+      maxEnergyRatio: Double = 3.0, vecCol: String = "embedding",
+      idCol: String = "vec_id"): IndexMaintenance = {
+    if (delivery.isEmpty)
+      return IndexMaintenance(index, appended = true, None,
+        delivery.sparkSession.emptyDataFrame)
+    val report = graft.CacheRegistry.persist(
+      ivfIndexDriftReport(index, base, delivery, vecCol, idCol))
+    val rows = report
+      .select("list_id", "del_n", "share_delta", "energy_ratio").collect()
+    val occBreach = rows.filter(r =>
+      !r.isNullAt(2) && math.abs(r.getDouble(2)) > maxShareDelta)
+    val engBreach = rows.filter(r => r.getLong(1) > 0 &&
+      !r.isNullAt(3) && r.getDouble(3) > maxEnergyRatio)
+    if (occBreach.isEmpty && engBreach.isEmpty)
+      IndexMaintenance(appendToIvfPqIndex(index, delivery, vecCol, idCol),
+        appended = true, None, report)
+    else {
+      val reasons =
+        occBreach.map(r => s"list ${r.get(0)} occupancy moved " +
+          f"${r.getDouble(2)}%.4f (>|$maxShareDelta|)") ++
+        engBreach.map(r => s"list ${r.get(0)} residual energy " +
+          f"${r.getDouble(3)}%.2fx base (>$maxEnergyRatio)")
+      IndexMaintenance(index, appended = false,
+        Some(reasons.mkString("; ")), report)
+    }
+  }
+
   /** Persist a built index: centroids / codebooks / codes as three
     * parquet tables under `path` — the index artifact a serving tier
     * loads without re-scanning the corpus. */

@@ -441,8 +441,13 @@ object Tei {
     val annexSections = rootSections.filter(sectionType(_) == "annex")
     val annexDivs = annexSections.map(sectionDiv(_, None)).filter(_.nonEmpty)
     // back figures/tables render inside the annex container, after its
-    // divs (tei_document.py:157-162 append to get_back_annex_element)
-    val annexFigures = annexSections.flatMap(figuresOf).map(figureXml)
+    // divs — collected from the WHOLE back section in document order,
+    // acknowledgement sections included (tei_document.py:157-162
+    // iterates back_section recursively and appends to the back ANNEX
+    // element, so an acknowledgement figure lands in the annex too)
+    val backSections = rootSections.filter(s =>
+      sectionType(s) == "acknowledgement" || sectionType(s) == "annex")
+    val annexFigures = backSections.flatMap(figuresOf).map(figureXml)
     if (annexDivs.nonEmpty || annexFigures.nonEmpty)
       backSb ++= s"""<div type="annex">${annexDivs.mkString}${annexFigures.mkString}</div>"""
 

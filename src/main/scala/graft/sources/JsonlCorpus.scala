@@ -34,40 +34,51 @@ object JsonlCorpus {
     // by any consumer that does not select it
     StructField("_corrupt_record", StringType)))
 
+  private def rawRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** The single-scan form: every input line classified in ONE
+    * PERMISSIVE pass — good documents carry a null
+    * `quarantine_reason`; malformed/unusable lines carry the reason
+    * plus the raw line in `quarantine_line`. [[read]]/[[quarantine]]
+    * are filters over this shape; a pipeline that needs BOTH sides
+    * (ingest + dead-letter export) should consume this frame so the
+    * corpus is read once, not once per side. */
+  def readAll(spark: SparkSession, path: String): DataFrame =
+    rawRead(spark, path).select(
+      coalesce(col("doc_id"),
+        pmod(xxhash64(col("text")), lit(Long.MaxValue))).as("doc_id"),
+      col("text"),
+      col("lang"),
+      col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      when(col("_corrupt_record").isNotNull, "malformed_json")
+        .when(col("text").isNull, "missing_text").as("quarantine_reason"),
+      coalesce(col("_corrupt_record"), to_json(struct(col("doc_id"),
+        col("text"), col("lang"), col("source")))).as("quarantine_line"))
+
   /** Read a JSONL corpus directory into the documents shape.
     * Malformed lines yield null fields plus the raw line in
     * `_corrupt_record` (PERMISSIVE mode); [[quarantine]] exposes them,
     * and the main frame drops them. Documents without an explicit
     * `doc_id` get a stable content-derived id (xxhash64 of the line),
-    * so re-reads are deterministic. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.schema(Schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-    raw.filter(col("_corrupt_record").isNull && col("text").isNotNull)
-      .select(
-        coalesce(col("doc_id"),
-          pmod(xxhash64(col("text")), lit(Long.MaxValue))).as("doc_id"),
-        col("text"),
-        col("lang"),
-        col("source"),
-        length(col("text")).cast("long").as("n_chars"))
-  }
+    * so re-reads are deterministic — but content-hash ids are NOT
+    * monotone: before folding such a corpus through
+    * [[graft.operators.Curation.incrementalFunnel]] (whose keeper
+    * election assumes append-only ids), renumber deliveries with
+    * [[graft.operators.Curation.assignMonotoneIds]]. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readAll(spark, path).filter(col("quarantine_reason").isNull)
+      .drop("quarantine_reason", "quarantine_line")
 
   /** Malformed/unusable lines of a JSONL read: (line, reason). */
-  def quarantine(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.schema(Schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-    raw.filter(col("_corrupt_record").isNotNull || col("text").isNull)
-      .select(
-        coalesce(col("_corrupt_record"), to_json(struct(col("doc_id"),
-          col("text"), col("lang"), col("source")))).as("line"),
-        when(col("_corrupt_record").isNotNull, "malformed_json")
-          .otherwise("missing_text").as("reason"))
-  }
+  def quarantine(spark: SparkSession, path: String): DataFrame =
+    readAll(spark, path).filter(col("quarantine_reason").isNotNull)
+      .select(col("quarantine_line").as("line"),
+        col("quarantine_reason").as("reason"))
 
   /** Write a documents-shaped frame as a JSONL shard directory. With
     * `shardCol` set (e.g. the q76 token-budget shard id) each shard
@@ -80,13 +91,13 @@ object JsonlCorpus {
       shardCol: Option[String] = None): Unit = {
     val cols = Seq("doc_id", "text", "lang", "source")
       .filter(docs.columns.contains)
-    val out = docs.select(cols.map(col): _*)
     shardCol match {
       case Some(c) =>
         docs.select((cols :+ c).distinct.map(col): _*)
           .repartition(col(c))
           .write.mode("overwrite").partitionBy(c).json(path)
-      case None => out.write.mode("overwrite").json(path)
+      case None =>
+        docs.select(cols.map(col): _*).write.mode("overwrite").json(path)
     }
   }
 }

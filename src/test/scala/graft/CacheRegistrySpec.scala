@@ -78,6 +78,43 @@ class CacheRegistrySpec extends SparkSuite {
     assert(persistentCount == base)
   }
 
+  test("shared registrations dedupe by canonicalized plan: a hub frame " +
+      "re-registered per consumer query holds ONE entry") {
+    import spark.implicits._
+    Graft.releaseCaches(spark, includeShared = true)
+    CacheRegistry.forget(spark)
+    val base = CacheRegistry.registered(spark)
+    // the tokenPairs/tokenTable pattern: every consumer query calls the
+    // hub builder, which persists the same projection again
+    def hub() = CacheRegistry.persist(
+      (1 to 60).toDF("h").select((col("h") * 2).as("h2")), shared = true)
+    val frames = (1 to 5).map(_ => hub())
+    assert(frames.head.count() == 60)
+    assert(CacheRegistry.registered(spark) == base + 1,
+      s"expected one shared entry, got ${CacheRegistry.registered(spark) - base}")
+    // a DIFFERENT shared plan still registers separately
+    val other = CacheRegistry.persist((1 to 7).toDF("z"), shared = true)
+    assert(other.count() == 7)
+    assert(CacheRegistry.registered(spark) == base + 2)
+    Graft.releaseCaches(spark, includeShared = true)
+  }
+
+  test("forget drops a session's registrations without touching others") {
+    Graft.releaseCaches(spark, includeShared = true)
+    CacheRegistry.forget(spark)
+    val s2 = spark.newSession()
+    val main = CacheRegistry.persist(spark.range(10).toDF("a"))
+    val second = CacheRegistry.persist(s2.range(20).toDF("b"))
+    assert(main.count() == 10 && second.count() == 20)
+    assert(CacheRegistry.registered(spark) == 1 &&
+      CacheRegistry.registered(s2) == 1)
+    CacheRegistry.forget(s2)
+    assert(CacheRegistry.registered(s2) == 0 &&
+      CacheRegistry.registered(spark) == 1)
+    second.unpersist() // forget does not clean up; drop the block directly
+    Graft.releaseCaches(spark, includeShared = true)
+  }
+
   test("connectedComponents leaves storage at baseline after releaseCaches") {
     import spark.implicits._
     Graft.releaseCaches(spark, includeShared = true)

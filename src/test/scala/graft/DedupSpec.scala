@@ -1082,6 +1082,34 @@ class DedupSpec extends SparkSuite {
     assert(drift.max > 0.5, drift.toSeq)
   }
 
+  test("maintainIvfPqIndex: in-distribution delivery appends under frozen " +
+      "quantizers; a shifted delivery returns a retrain verdict untouched") {
+    import graft.operators.Similarity
+    val emb = blobEmb
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.buildIvfPqIndex(base, numLists = 3, m = 4,
+      ksub = 4, sampleN = 12)
+    // in-distribution: drift inside thresholds → appended, codes equal
+    // the frozen-params full encode (same contract as appendToIvfPqIndex)
+    val inDist = Similarity.maintainIvfPqIndex(idx, base,
+      emb.filter(col("vec_id") % 2 =!= 0))
+    assert(inDist.appended && inDist.retrainReason.isEmpty)
+    assert(inDist.index.codes.count() == 12)
+    assert(inDist.index.centroids.map(_.toSeq).toSeq ==
+      idx.centroids.map(_.toSeq).toSeq)
+    // shifted: a direction no centroid covers → verdict, index untouched
+    val shifted = (0 until 6).map { i =>
+      val v = Array.fill(8)(0.0f); v(6) = 10.0f; v(7) = 0.01f * i
+      (100L + i, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.maintainIvfPqIndex(idx, base, shifted)
+    assert(!out.appended && out.retrainReason.isDefined,
+      out.retrainReason.toString)
+    assert(out.index.codes.count() == idx.codes.count())
+    // the verdict names the breached lists (actionable, not a boolean)
+    assert(out.retrainReason.get.contains("list "), out.retrainReason.get)
+  }
+
   test("recallAtK: self-recall is 1.0, misses lower it, mean row appended") {
     import graft.operators.Similarity
     val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L), (1L, 21L, 2L))

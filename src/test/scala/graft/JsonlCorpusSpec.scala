@@ -42,6 +42,62 @@ class JsonlCorpusSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("readAll classifies every line in ONE scan: good rows and " +
+      "quarantine rows from a single json relation") {
+    val dir = Files.createTempDirectory("graft-jsonl-one").toFile
+    try {
+      val lines = Seq(
+        """{"doc_id": 1, "text": "good line one", "lang": "en", "source": "web"}""",
+        """broken {""",
+        """{"doc_id": 2, "lang": "en", "source": "web"}""",
+        """{"doc_id": 3, "text": "good line two", "lang": "en", "source": "web"}""")
+      Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      val all = JsonlCorpus.readAll(spark, dir.getPath)
+      // exactly one file scan in the plan — read+quarantine without a
+      // second pass over 100k shards
+      val scans = all.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("FileScan json"))
+      assert(scans == 1, all.queryExecution.executedPlan.toString)
+      val rows = all.collect()
+      assert(rows.length == 4)
+      val good = rows.filter(_.isNullAt(5))
+      val bad = rows.filterNot(_.isNullAt(5))
+      assert(good.map(_.getString(1)).sorted.toSeq ==
+        Seq("good line one", "good line two"))
+      assert(bad.map(_.getString(5)).sorted.toSeq ==
+        Seq("malformed_json", "missing_text"))
+      // the filtered views agree with the one-scan classification
+      assert(JsonlCorpus.read(spark, dir.getPath).count() == 2)
+      assert(JsonlCorpus.quarantine(spark, dir.getPath).count() == 2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("gzipped multi-shard corpus reads in parallel with per-file decompression") {
+    val dir = Files.createTempDirectory("graft-jsonl-gz").toFile
+    try {
+      def gz(name: String, lines: Seq[String]): Unit = {
+        val out = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(new java.io.File(dir, name)))
+        out.write(lines.mkString("\n").getBytes("UTF-8"))
+        out.close()
+      }
+      gz("shard-00.jsonl.gz", Seq(
+        """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web"}""",
+        """{"doc_id": 2, "text": "gamma delta", "lang": "en", "source": "web"}"""))
+      gz("shard-01.jsonl.gz", Seq(
+        """{"doc_id": 3, "text": "epsilon zeta", "lang": "de", "source": "books"}""",
+        """not json"""))
+      val docs = JsonlCorpus.read(spark, dir.getPath)
+      assert(docs.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 3L))
+      assert(JsonlCorpus.quarantine(spark, dir.getPath).count() == 1)
+      // two gz shards → (at least) two input partitions: per-FILE
+      // parallelism survives even though gzip itself is unsplittable
+      assert(docs.rdd.getNumPartitions >= 2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("write/read round-trip preserves the corpus; sharded layout splits by column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jsonl-w").toFile

@@ -111,5 +111,14 @@ class PartitioningSpec extends SparkSuite {
       when(col("k2").isin(7L), sequence(lit(0L), lit(7L)))
         .otherwise(array(lit(0L)))))
     assert(dimS.filter(col("k2") === 7L).count() == 8)
+    // right/full outer joins are rejected, not silently wrong: an
+    // unmatched hot dim key would surface once per salt replica
+    for (jt <- Seq("right", "rightouter", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Partitioning.saltedJoin(big, dim, "k", "k2",
+          hotKeys = Seq(7L), saltBuckets = 8, joinType = jt)
+      }
+      assert(e.getMessage.contains("inner/left"), s"$jt: ${e.getMessage}")
+    }
   }
 }

@@ -357,7 +357,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming curation funnel: per-batch state folds equal the " +
-      "sequential incremental path; one committed state remains") {
+      "sequential incremental path; state writes are append-only deltas") {
     import graft.operators.Curation
     val dir = Files.createTempDirectory("graft-funnel-stream").toFile
     val stateDir = Files.createTempDirectory("graft-funnel-state").toFile
@@ -392,13 +392,141 @@ class StreamingSpec extends SparkSuite {
         st.survivors.collect().map(_.getLong(0)).sorted.toSeq
       assert(got.lenLo == s2.lenLo && got.lenHi == s2.lenHi)
       assert(ids(got) == ids(s2) && ids(got).nonEmpty)
-      // exactly one committed state version; delta reports persisted
+      // append-only state: all three versions remain (their deltas stay
+      // referenced by the latest manifest); each version dir holds ONLY
+      // its batch's survivor delta — write cost per batch is O(delta),
+      // never an O(corpus) survivor rewrite
       val versions = stateDir.listFiles.filter(_.getName.startsWith("state-"))
-      assert(versions.length == 1, versions.mkString(", "))
+        .sortBy(_.getName)
+      assert(versions.map(_.getName).toSeq ==
+        Seq("state-0", "state-1", "state-2"), versions.mkString(", "))
+      def deltaRows(v: String) =
+        spark.read.parquet(s"${stateDir.getPath}/$v/delta").count()
+      val baseRows = deltaRows("state-0")
+      val d1Rows = deltaRows("state-1")
+      val d2Rows = deltaRows("state-2")
+      assert(baseRows + d1Rows + d2Rows == ids(got).size.toLong,
+        s"deltas $baseRows+$d1Rows+$d2Rows must partition the survivors")
+      // each version holds exactly ITS batch's funnel output — the
+      // stored corpus is never rewritten (growth ∝ delta, not corpus)
+      def reportOut(b: Int) = spark.read
+        .parquet(s"${stateDir.getPath}/report-$b")
+        .filter(col("stage") === "decontaminate")
+        .head().getAs[Long]("docs_out")
+      assert(d1Rows == reportOut(1) && d2Rows == reportOut(2),
+        s"d1=$d1Rows/${reportOut(1)} d2=$d2Rows/${reportOut(2)}")
+      // batch 1's write is sized by its 5-doc delta, not by the
+      // 21-doc corpus it folded into
+      def dirBytes(f: String): Long = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(stateDir, f))
+      assert(d1Rows < baseRows &&
+        dirBytes("state-1/delta") < dirBytes("state-0/delta"),
+        s"base=$baseRows d1=$d1Rows bytes=${dirBytes("state-1/delta")}/${dirBytes("state-0/delta")}")
       val reports = stateDir.listFiles.filter(_.getName.startsWith("report-"))
       assert(reports.length == 2, reports.mkString(", "))
       val rep = spark.read.parquet(reports.head.getPath)
       assert(rep.count() == 5) // five funnel stages per delivery
+      // save/load round-trip of the final state preserves the view
+      assert(ids(Curation.loadFunnelState(spark,
+        s"${stateDir.getPath}/state-2")) == ids(s2))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
+  test("streaming curation funnel: compaction folds deltas into one " +
+      "snapshot and retires unreferenced versions") {
+    import graft.operators.Curation
+    val dir = Files.createTempDirectory("graft-funnel-compact").toFile
+    val stateDir = Files.createTempDirectory("graft-funnel-cstate").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text", "n_chars")
+    val pats = Seq("window window", "vector join")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val splits = Seq(col("doc_id") < 30,
+      col("doc_id") >= 30 && col("doc_id") < 40, col("doc_id") >= 40)
+    splits.foreach { pred =>
+      docs.filter(pred).coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(1100)
+    }
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      // compactEvery=2: every incremental batch triggers a snapshot
+      val q = StreamOps.streamingCurationFunnel(streamed, stateDir.getPath,
+        benchmark, pats, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      // only the latest (snapshot) version remains
+      val versions = stateDir.listFiles.filter(_.getName.startsWith("state-"))
+      assert(versions.map(_.getName).toSeq == Seq("state-2"),
+        versions.mkString(", "))
+      val got = StreamOps.curationFunnelState(spark, stateDir.getPath)
+      assert(got.liveDeltas == Seq("state-2/delta"), got.liveDeltas)
+      // still equals the sequential incremental fold
+      val s0 = Curation.initialFunnelState(docs.filter(splits(0)),
+        benchmark, pats)
+      val (s1, _) = Curation.incrementalFunnel(s0, docs.filter(splits(1)),
+        benchmark, pats)
+      val (s2, _) = Curation.incrementalFunnel(s1, docs.filter(splits(2)),
+        benchmark, pats)
+      def ids(st: Curation.FunnelState) =
+        st.survivors.collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(got) == ids(s2) && ids(got).nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
+  test("funnel state recovery: an uncommitted (torn) version is skipped " +
+      "and a batch retry overwrites it cleanly") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-funnel-torn").toFile
+    val stateDir = Files.createTempDirectory("graft-funnel-tstate").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text", "n_chars")
+    val pats = Seq("window window", "vector join")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val splits = Seq(col("doc_id") < 30, col("doc_id") >= 30)
+    splits.foreach { pred =>
+      docs.filter(pred).coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(1100)
+    }
+    // simulate a crash between the delta/manifest writes and the bounds
+    // commit marker: state-1 has a (garbage) delta and manifest but no
+    // bounds/_SUCCESS — batch 1 must treat it as never written and
+    // retry over it; a torn FUTURE version (state-9) must likewise
+    // never be served
+    for (v <- Seq("state-1", "state-9")) {
+      Seq((999999L, "torn garbage row", 16L))
+        .toDF("doc_id", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"${stateDir.getPath}/$v/delta")
+      Seq(s"$v/delta").toDF("delta_dir")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${stateDir.getPath}/$v/manifest")
+    }
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingCurationFunnel(streamed, stateDir.getPath,
+        benchmark, pats)
+      q.processAllAvailable(); q.stop()
+      // batch 1 retried over the torn state-1: it is committed now
+      assert(new java.io.File(stateDir, "state-1/bounds/_SUCCESS").exists())
+      val got = StreamOps.curationFunnelState(spark, stateDir.getPath)
+      val s0 = Curation.initialFunnelState(docs.filter(splits(0)),
+        benchmark, pats)
+      val (s1, _) = Curation.incrementalFunnel(s0, docs.filter(splits(1)),
+        benchmark, pats)
+      def ids(st: Curation.FunnelState) =
+        st.survivors.collect().map(_.getLong(0)).sorted.toSeq
+      // the garbage row never leaks into the served state (state-9 is
+      // torn, so the newest COMMITTED version — state-1 — is served)
+      assert(ids(got) == ids(s1) && !ids(got).contains(999999L))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
       org.apache.commons.io.FileUtils.deleteDirectory(stateDir)

@@ -97,6 +97,88 @@ class TeiDocumentSpec extends SparkSuite {
       """<ref type="bibr" target="#b0">Ref 1</ref></p>"""), xml)
   }
 
+  test("single author renders roleName/forename first+middle/surname/genName " +
+      "in persName order (test_should_add_single_author)") {
+    val xml = tei(Seq(
+      n(0, -1, "authors", ""),
+      n(1, 0, "author", ""),
+      n(2, 1, "name_title", "Title1"),
+      n(3, 1, "given_name", "Given1"),
+      n(4, 1, "middle_name", "Middle1"),
+      n(5, 1, "surname", "Surname1"),
+      n(6, 1, "name_suffix", "Suffix1")))
+    assert(xml.contains("<author><persName>" +
+      "<roleName>Title1</roleName>" +
+      """<forename type="first">Given1</forename>""" +
+      """<forename type="middle">Middle1</forename>""" +
+      "<surname>Surname1</surname>" +
+      "<genName>Suffix1</genName></persName></author>"), xml)
+  }
+
+  test("multiple given names and a particle surname keep one element each " +
+      "(tei/factories.py per-content forename rendering)") {
+    // two SemanticGivenName contents each yield their own
+    // forename[@type=first]; a multi-token particle surname stays ONE
+    // surname element with the fold's title-cased join
+    val xml = tei(Seq(
+      n(0, -1, "authors", ""),
+      n(1, 0, "author", ""),
+      n(2, 1, "given_name", "Jean"),
+      n(3, 1, "given_name", "Paul"),
+      n(4, 1, "surname", "Van Der Berg")))
+    assert(xml.contains("""<forename type="first">Jean</forename>""" +
+      """<forename type="first">Paul</forename>""" +
+      "<surname>Van Der Berg</surname>"), xml)
+  }
+
+  test("marker-matched affiliation renders inside the author: key attr, " +
+      "raw_affiliation note with label, orgName " +
+      "(test_should_add_single_author_with_affiliation)") {
+    val xml = tei(Seq(
+      n(0, -1, "authors", ""),
+      n(1, 0, "author", ""),
+      n(2, 1, "given_name", "Given1"),
+      n(3, 1, "surname", "Surname1"),
+      n(4, 1, "marker", "1"),
+      n(5, -1, "affiliation_address", "", "aff0"),
+      n(6, 5, "marker", "1"),
+      n(7, 5, "institution", "Institution1")))
+    assert(xml.contains("""<affiliation key="aff0">""" +
+      """<note type="raw_affiliation"><label>1</label> Institution1</note>""" +
+      """<orgName type="institution">Institution1</orgName></affiliation>"""),
+      xml)
+    // inside the author element, after persName; author marker as note
+    assert(xml.contains("""<note type="marker">1</note></persName><affiliation"""), xml)
+    assert(xml.contains("</affiliation></author>"), xml)
+  }
+
+  test("orphan affiliation renders under a dummy author " +
+      "(test_should_add_orphan_affiliation)") {
+    val xml = tei(Seq(
+      n(0, -1, "affiliation_address", "", "aff0"),
+      n(1, 0, "marker", "1"),
+      n(2, 0, "institution", "Institution1")))
+    assert(xml.contains("<author><note type=\"dummy_author\">" +
+      "Dummy author for orphan affiliations</note>" +
+      """<affiliation key="aff0">"""), xml)
+  }
+
+  test("acknowledgement-section figures render in the back annex container " +
+      "(tei_document.py:157-162 recursive back-section figure collection)") {
+    val xml = tei(Seq(
+      n(0, -1, "section", "", "acknowledgement"),
+      n(1, 0, "paragraph", ""),
+      n(2, 1, "text", "Thanks"),
+      n(3, 0, "figure", "", "fig_0"),
+      n(4, 3, "label", "Label 1")))
+    // the ack div keeps its prose; the figure lifts into the ANNEX
+    // container (the reference appends every back-section figure to
+    // the back annex element, acknowledgement sections included)
+    assert(xml.contains("""<div type="acknowledgement"><p>Thanks</p></div>"""), xml)
+    assert(xml.contains("""<div type="annex"><figure xml:id="fig_0">""" +
+      "<head>Label 1</head><label>Label 1</label></figure></div>"), xml)
+  }
+
   test("front content not folded into title/abstract/authors renders as a " +
       "teiHeader note with the raw tag as type (tei_document.py:92-99)") {
     val xml = tei(Seq(
