@@ -824,9 +824,11 @@ object Similarity {
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
-  /** Load a persisted index ([[saveIvfPqIndex]] layout). The tiny
+  /** Load a persisted index ([[saveIvfPqIndex]] layout, plus any
+    * committed [[appendIvfPqIndexDelta]] delta dirs). The tiny
     * centroid/codebook tables collect to driver arrays (that is their
-    * runtime form — they broadcast); the codes stay distributed. */
+    * runtime form — they broadcast); the codes stay distributed as a
+    * lazy union of the base snapshot and the delta scans. */
   def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -835,7 +837,50 @@ object Similarity {
       .as[(Int, Int, Array[Float])].collect()
     val codebooks = cbRows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, xs) => xs.sortBy(_._2).map(_._3) }
-    IvfPqIndex(centroids, codebooks, spark.read.parquet(s"$path/codes"))
+    val codes = committedCodeDeltas(spark, path)
+      .map(d => spark.read.parquet(d))
+      .foldLeft(spark.read.parquet(s"$path/codes"))(_.unionByName(_))
+    IvfPqIndex(centroids, codebooks, codes)
+  }
+
+  private def committedCodeDeltas(spark: SparkSession,
+      path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("codes-delta-\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .sortBy(_.getPath.getName.stripPrefix("codes-delta-").toLong)
+      .map(_.getPath.toString)
+  }
+
+  /** Append-only PERSISTED-index maintenance — the on-disk counterpart
+    * of [[appendToIvfPqIndex]]: the delivery encodes against the
+    * stored FROZEN quantizers and lands as `codes-delta-<k>` next to
+    * the base snapshot; the stored codes are NEVER rewritten, so
+    * per-delivery write cost is O(delta) (a full `saveIvfPqIndex` per
+    * delivery rewrites the whole codes table — the same O(corpus)
+    * cliff the funnel state had). A delta commits via its own parquet
+    * `_SUCCESS`; an uncommitted (torn) dir is ignored by load and
+    * overwritten by the next append (retry-safe). Compaction, when the
+    * delta list grows long, is `saveIvfPqIndex(loadIvfPqIndex(path),
+    * freshPath)` — quantizers are immutable, so the snapshot is just
+    * the unioned codes. Returns the refreshed index view.
+    */
+  def appendIvfPqIndexDelta(spark: SparkSession, path: String,
+      delivery: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): IvfPqIndex = {
+    val index = loadIvfPqIndex(spark, path)
+    val delta = encodeIvfPq(delivery, index.centroids, index.codebooks,
+      vecCol, idCol)
+    val next = committedCodeDeltas(spark, path)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("codes-delta-").toLong)
+      .foldLeft(-1L)(math.max) + 1
+    delta.write.mode("overwrite").parquet(s"$path/codes-delta-$next")
+    loadIvfPqIndex(spark, path)
   }
 
   /** Steps 4-6 of the IVF-PQ pipeline against a prebuilt index: ADC

@@ -1082,6 +1082,50 @@ class DedupSpec extends SparkSuite {
     assert(drift.max > 0.5, drift.toSeq)
   }
 
+  test("appendIvfPqIndexDelta: persisted appends land as O(delta) dirs, " +
+      "never rewriting the stored codes; torn deltas ignored and retried over") {
+    import graft.operators.Similarity
+    val emb = blobEmb
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val d1 = emb.filter(col("vec_id") % 3 === 1)
+    val d2 = emb.filter(col("vec_id") % 3 === 2)
+    val idx = Similarity.buildIvfPqIndex(base, numLists = 3, m = 4,
+      ksub = 4, sampleN = 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-delta").toFile
+    try {
+      Similarity.saveIvfPqIndex(idx, dir.getPath)
+      val baseCodesMtime = new java.io.File(dir, "codes").lastModified()
+      val after1 = Similarity.appendIvfPqIndexDelta(spark, dir.getPath, d1)
+      val after2 = Similarity.appendIvfPqIndexDelta(spark, dir.getPath, d2)
+      // the stored base codes were never rewritten
+      assert(new java.io.File(dir, "codes").lastModified() == baseCodesMtime)
+      // each delta dir holds exactly its delivery's codes
+      assert(spark.read.parquet(s"${dir.getPath}/codes-delta-0").count() ==
+        d1.count())
+      assert(spark.read.parquet(s"${dir.getPath}/codes-delta-1").count() ==
+        d2.count())
+      // the loaded union is code-identical to a frozen-params full encode
+      def codeMap(codes: org.apache.spark.sql.DataFrame) = codes.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Int]("list_id"), r.getAs[Array[Byte]]("code").toSeq)).toMap
+      val full = Similarity.encodeIvfPq(emb, idx.centroids, idx.codebooks)
+      assert(codeMap(after2.codes) == codeMap(full))
+      assert(after1.codes.count() == base.count() + d1.count())
+      // torn delta: strip the commit marker → load ignores it, and the
+      // next append overwrites the slot instead of leaking it
+      // (materialize the pre-torn code map eagerly — the retry below
+      // overwrites the delta files this lazy scan would re-read)
+      val reloadedCodes = codeMap(
+        Similarity.loadIvfPqIndex(spark, dir.getPath).codes)
+      assert(new java.io.File(dir, "codes-delta-1/_SUCCESS").delete())
+      assert(Similarity.loadIvfPqIndex(spark, dir.getPath).codes.count() ==
+        base.count() + d1.count())
+      val retried = Similarity.appendIvfPqIndexDelta(spark, dir.getPath, d2)
+      assert(codeMap(retried.codes) == reloadedCodes)
+      assert(!new java.io.File(dir, "codes-delta-2").exists())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("maintainIvfPqIndex: in-distribution delivery appends under frozen " +
       "quantizers; a shifted delivery returns a retrain verdict untouched") {
     import graft.operators.Similarity
