@@ -58,6 +58,35 @@ object Sampling {
         col("p.id").as(idCol))
   }
 
+  /** Per-group document CAP — the FineWeb-style domain/host cap at the
+    * `groupCol` granularity: keep at most `cap` documents per group,
+    * preferring the highest `scoreCol` (ties → smallest id), so one
+    * over-represented domain cannot dominate the training mixture. The
+    * window formulation (`row_number() OVER (PARTITION BY group ORDER
+    * BY score DESC, id)`) funnels every group through one reducer and
+    * sorts the whole corpus — the class-count parallelism ceiling at
+    * 100 TB with a handful of domains; the bounded `collect_min_k_by`
+    * aggregate truncates to `cap` (−score, id) pairs map-side, so the
+    * only exchange carries ≤ cap·groups rows and no sort happens
+    * anywhere. Scores must stay < 2^53 for the double to hold them
+    * exactly (lengths/token counts do).
+    *
+    * Output: (group, id, rank 1-based) keeper rows; left-semi join the
+    * ids back to materialize the capped corpus — ids only, the text
+    * never shuffles.
+    */
+  def groupCap(df: DataFrame, groupCol: String, cap: Int,
+      scoreCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    requireIntegralId(df, idCol, "groupCap")
+    df.select(col(groupCol), col(idCol).cast("long").as("__id"),
+        negate(col(scoreCol).cast("double")).as("__s"))
+      .groupBy(col(groupCol))
+      .agg(BoundedAgg.collect_min_k_by(col("__s"), col("__id"), cap).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col(groupCol), col("p.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Top-k most frequent tokens per group (the per-source vocabulary
     * dashboard / domain-signature report). Stage 1: one map-side
     * combined count per (group, token). Stage 2: bounded string-payload

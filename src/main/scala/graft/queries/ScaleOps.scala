@@ -850,6 +850,17 @@ object ScaleOps {
       emb.filter(col("vec_id") % 2 =!= 0))
   }
 
+  /** Q115 per-source document cap (oracled): the FineWeb-style domain
+    * cap — at most 25 keepers per source by (n_chars desc, doc_id
+    * asc), each with its rank. The bounded `collect_min_k_by`
+    * aggregate replaces the per-source row_number window: no corpus
+    * sort, the one exchange carries ≤ 25·sources rows
+    * ([[graft.operators.Sampling.groupCap]]). */
+  def q115(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.groupCap(Tables(s, d).documents,
+      groupCol = "source", cap = 25)
+      .orderBy("source", "rank")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -891,7 +902,7 @@ object ScaleOps {
     "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
     "q111_vocab_venn" -> q111, "q112_backoff_surprisal" -> q112,
     "q113_salted_join" -> q113, "q105b_incremental_funnel" -> q105b,
-    "q114_index_drift" -> q114,
+    "q114_index_drift" -> q114, "q115_source_cap" -> q115,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1276,6 +1287,13 @@ object ScaleOps {
            ROUND(e.value, 4) AS value, c.c_name, c.c_mktsegment
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+    "q115_source_cap" ->
+      """SELECT source, doc_id, rank FROM (
+           SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+           FROM documents)
+         WHERE rank <= 25 ORDER BY source, rank""",
     "q112_backoff_surprisal" ->
       """WITH t AS (SELECT doc_id, source,
            LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),

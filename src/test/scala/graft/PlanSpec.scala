@@ -246,6 +246,15 @@ class PlanSpec extends SparkSuite {
       s"documentTei should be one token shuffle (+report sort), found $exchanges:\n${p.take(4000)}")
   }
 
+  test("q115 source cap is the bounded aggregate, never a per-source window sort") {
+    val p = plan("q115_source_cap")
+    assert(p.contains("collect_min_k_by"),
+      s"expected the bounded pair aggregate in:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"domain cap must not sort the corpus through a per-source window:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial buffers in:\n$p")
+  }
+
   test("q112 backoff surprisal: broadcast model, no window, no cartesian") {
     val p = plan("q112_backoff_surprisal")
     // the reference-slice LM ships to the candidate grams — the

@@ -28,6 +28,29 @@ class SamplingSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("groupCap equals the per-group row_number window; keeps the best, " +
+      "drops the over-represented tail") {
+    val docs = Tables(spark, sf("0.001")).documents
+    val got = Sampling.groupCap(docs, "source", cap = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = docs.withColumn("rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 7)
+      .select("source", "doc_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // the cap binds: every source with > 7 docs surrenders its tail
+    val perSource = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerSource = got.groupBy(_._1).view.mapValues(_.size).toMap
+    perSource.foreach { case (s, n) =>
+      assert(keptPerSource(s) == math.min(n, 7L).toInt, s"$s: $n")
+    }
+  }
+
   test("heavyHitters equals the count + window-rank formulation") {
     val got = Sampling.heavyHitters(docs, "source", "text", 5)
       .orderBy("source", "rn")
