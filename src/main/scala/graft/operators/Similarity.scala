@@ -871,17 +871,24 @@ object Similarity {
     */
   def appendIvfPqIndexDelta(spark: SparkSession, path: String,
       delivery: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id"): IvfPqIndex = {
+      idCol: String = "vec_id", slot: Option[Long] = None): IvfPqIndex = {
     val index = loadIvfPqIndex(spark, path)
     val delta = encodeIvfPq(delivery, index.centroids, index.codebooks,
       vecCol, idCol)
-    val next = committedCodeDeltas(spark, path)
-      .map(d => new org.apache.hadoop.fs.Path(d).getName
-        .stripPrefix("codes-delta-").toLong)
-      .foldLeft(-1L)(math.max) + 1
+    // explicit slot = the streaming batchId discipline (a committed
+    // slot makes a replayed batch a no-op — see committedDeltaSlots);
+    // default = next free integer after the committed ones
+    val next = slot.getOrElse(committedDeltaSlots(spark, path)
+      .foldLeft(-1L)(math.max) + 1)
     delta.write.mode("overwrite").parquet(s"$path/codes-delta-$next")
     loadIvfPqIndex(spark, path)
   }
+
+  /** Committed delta slot numbers under a persisted index path. */
+  def committedDeltaSlots(spark: SparkSession, path: String): Seq[Long] =
+    committedCodeDeltas(spark, path)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("codes-delta-").toLong)
 
   /** Steps 4-6 of the IVF-PQ pipeline against a prebuilt index: ADC
     * tables for the probed lists, bounded candidate top-R over the

@@ -290,6 +290,53 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ANN index maintenance — the drift-gated append loop on
+    * micro-batches, completing the funnel/index symmetry: each batch of
+    * delivery vectors is judged against the PERSISTED index's frozen
+    * quantizers ([[graft.operators.Similarity.ivfIndexDriftReport]] vs
+    * `baseSample`, the same thresholds as `maintainIvfPqIndex`); an
+    * in-distribution batch appends as the self-committing
+    * `codes-delta-<batchId>` (O(delta) write, stored codes untouched),
+    * a drifted batch is quarantined — raw vectors to
+    * `pending-<batchId>`, the verdict to `drift-report-<batchId>` — so
+    * a retrain job has both the evidence and the withheld vectors.
+    * Slots are BATCH ids: a replayed batch whose slot already committed
+    * skips (at-least-once foreachBatch retries are no-ops), and a torn
+    * delta (no `_SUCCESS`) is ignored by load and overwritten by the
+    * retry. `baseSample` should be a bounded representative sample of
+    * the indexed corpus — the drift report scans it per batch.
+    */
+  def streamingIndexMaintenance(vectors: DataFrame, indexPath: String,
+      baseSample: DataFrame, maxShareDelta: Double = 0.25,
+      maxEnergyRatio: Double = 3.0, vecCol: String = "embedding",
+      idCol: String = "vec_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val done = graft.operators.Similarity
+          .committedDeltaSlots(spark, indexPath).contains(batchId)
+        if (!done && !batch.isEmpty) {
+          val mark = graft.CacheRegistry.mark()
+          val index = graft.operators.Similarity
+            .loadIvfPqIndex(spark, indexPath)
+          val verdict = graft.operators.Similarity.maintainIvfPqIndex(
+            index, baseSample, batch.toDF(), maxShareDelta,
+            maxEnergyRatio, vecCol, idCol)
+          if (verdict.retrainReason.isEmpty)
+            graft.operators.Similarity.appendIvfPqIndexDelta(spark,
+              indexPath, batch.toDF(), vecCol, idCol, slot = Some(batchId))
+          else {
+            batch.toDF().write.mode("overwrite")
+              .parquet(s"$indexPath/pending-$batchId")
+            verdict.report.coalesce(1).write.mode("overwrite")
+              .parquet(s"$indexPath/drift-report-$batchId")
+          }
+          graft.CacheRegistry.releaseSince(spark, mark)
+        }
+        ()
+      }
+      .start()
+
   /** Latest committed funnel state written by
     * [[streamingCurationFunnel]]. */
   def curationFunnelState(spark: SparkSession,

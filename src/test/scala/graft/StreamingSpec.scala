@@ -533,6 +533,74 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming index maintenance: in-distribution batches append as " +
+      "batch-id delta slots, replays skip, drifted batches quarantine") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-idx-stream").toFile
+    val idxDir = Files.createTempDirectory("graft-idx-state").toFile
+    val emb = Tables(spark, sf("0.001")).embeddings
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.buildIvfPqIndex(base, numLists = 3, m = 4,
+      ksub = 8, sampleN = 64)
+    Similarity.saveIvfPqIndex(idx, idxDir.getPath)
+    // two in-distribution delivery files, then one shifted file
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    odd.filter(col("vec_id") % 4 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    odd.filter(col("vec_id") % 4 === 3).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    (0 until 20).map { i =>
+      val v = Array.fill(64)(0.0f); v(60) = 50.0f; v(61) = 0.01f * i
+      (9000L + i, v)
+    }.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      def stream() = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingIndexMaintenance(stream(), idxDir.getPath,
+        base, maxShareDelta = 0.5)
+      q.processAllAvailable(); q.stop()
+      // batches 0/1 appended at their batch-id slots; batch 2 quarantined
+      assert(new java.io.File(idxDir, "codes-delta-0/_SUCCESS").exists())
+      assert(new java.io.File(idxDir, "codes-delta-1/_SUCCESS").exists())
+      assert(!new java.io.File(idxDir, "codes-delta-2").exists())
+      assert(new java.io.File(idxDir, "pending-2").exists() &&
+        new java.io.File(idxDir, "drift-report-2").exists())
+      // served view equals the frozen-params full encode over base ∪ odd
+      def codeMap(codes: org.apache.spark.sql.DataFrame) = codes.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Int]("list_id"), r.getAs[Array[Byte]]("code").toSeq)).toMap
+      assert(codeMap(Similarity.loadIvfPqIndex(spark, idxDir.getPath).codes) ==
+        codeMap(Similarity.encodeIvfPq(base.unionByName(odd),
+          idx.centroids, idx.codebooks)))
+      // the quarantined report names the breach; pending holds the vectors
+      val rep = spark.read.parquet(s"${idxDir.getPath}/drift-report-2")
+      assert(rep.filter(col("del_n") > 0).count() > 0)
+      assert(spark.read.parquet(s"${idxDir.getPath}/pending-2").count() == 20)
+      // replay (fresh query, no checkpoint → same batch ids): committed
+      // slots are no-ops — the delta dirs' files stay untouched
+      val mtimes = idxDir.listFiles
+        .filter(_.getName.startsWith("codes-delta"))
+        .map(f => f.getName -> f.lastModified).toMap
+      val q2 = StreamOps.streamingIndexMaintenance(stream(), idxDir.getPath,
+        base, maxShareDelta = 0.5)
+      q2.processAllAvailable(); q2.stop()
+      val after = idxDir.listFiles
+        .filter(_.getName.startsWith("codes-delta"))
+        .map(f => f.getName -> f.lastModified).toMap
+      assert(after == mtimes, s"$mtimes -> $after")
+      assert(!new java.io.File(idxDir, "codes-delta-2").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(idxDir)
+    }
+  }
+
   test("streaming decontamination: broadcast digest guard streams unchanged") {
     // the benchmark side is batch (broadcast digests); the corpus side
     // streams — the guard a pipeline runs on every incoming delivery
