@@ -861,6 +861,30 @@ object ScaleOps {
       groupCol = "source", cap = 25)
       .orderBy("source", "rank")
 
+  /** Q116 near-dup cluster-size histogram (oracled): the dedup
+    * dashboard's shape report — how many clusters of each size the
+    * near-dup graph holds and how many documents they bind (singletons
+    * included via their own id as the component label). The expensive
+    * machinery (df-pruned Jaccard edges + hash-min components) is the
+    * shared q53 path; the histogram itself is two id-only aggregations
+    * — nothing wider than (component, count) ever shuffles. */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val comps = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2,
+        maxDocFreq = 100L))
+    docs.select(col("doc_id"))
+      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("component"))
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+      .select(col("cluster_size").cast("bigint").as("cluster_size"),
+        col("n_clusters").cast("bigint").as("n_clusters"),
+        col("n_docs").cast("bigint").as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -903,6 +927,7 @@ object ScaleOps {
     "q111_vocab_venn" -> q111, "q112_backoff_surprisal" -> q112,
     "q113_salted_join" -> q113, "q105b_incremental_funnel" -> q105b,
     "q114_index_drift" -> q114, "q115_source_cap" -> q115,
+    "q116_cluster_histogram" -> q116,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1183,6 +1208,16 @@ object ScaleOps {
     "q53_dedup_components" -> (ComponentsOracleCte + """
          SELECT n AS doc_id, MIN(m) AS component FROM reach
          GROUP BY n ORDER BY doc_id"""),
+    "q116_cluster_histogram" -> (ComponentsOracleCte + """,
+         comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+         labeled AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+                     FROM documents d LEFT JOIN comp c USING (doc_id)),
+         csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+                    FROM labeled GROUP BY component)
+         SELECT CAST(sz AS BIGINT) AS cluster_size,
+                CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(SUM(sz) AS BIGINT) AS n_docs
+         FROM csizes GROUP BY sz ORDER BY cluster_size"""),
     "q95_near_dedup_apply" -> (ComponentsOracleCte + """,
          comp AS (SELECT n AS node, MIN(m) AS component FROM reach GROUP BY n)
          SELECT doc_id, n_chars FROM documents

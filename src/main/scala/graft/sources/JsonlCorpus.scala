@@ -80,6 +80,31 @@ object JsonlCorpus {
       .select(col("quarantine_line").as("line"),
         col("quarantine_reason").as("reason"))
 
+  /** Streaming JSONL ingestion — the same documents shape as [[read]],
+    * fed incrementally as new shards land in the directory (the
+    * landing-zone pattern: a crawler/exporter drops `.jsonl(.gz)`
+    * shards, downstream curation folds them as micro-batches via
+    * `foreachBatch` — e.g. straight into
+    * [[graft.streaming.StreamOps.streamingCurationFunnel]]). The
+    * explicit schema keeps the no-inference contract; quarantine rows
+    * are DROPPED here (a stream can't fork cheaply — land the raw
+    * shards and run [[quarantine]] batch-side for the dead-letter
+    * audit). */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.readStream.schema(Schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    raw.filter(col("_corrupt_record").isNull && col("text").isNotNull)
+      .select(
+        coalesce(col("doc_id"),
+          pmod(xxhash64(col("text")), lit(Long.MaxValue))).as("doc_id"),
+        col("text"),
+        col("lang"),
+        col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
   /** Write a documents-shaped frame as a JSONL shard directory. With
     * `shardCol` set (e.g. the q76 token-budget shard id) each shard
     * becomes its own output partition — the layout a training job
@@ -88,16 +113,19 @@ object JsonlCorpus {
     * stable order, so byte-level diffs between exports are
     * meaningful. */
   def write(docs: DataFrame, path: String,
-      shardCol: Option[String] = None): Unit = {
+      shardCol: Option[String] = None,
+      compression: Option[String] = None): Unit = {
     val cols = Seq("doc_id", "text", "lang", "source")
       .filter(docs.columns.contains)
+    def writer(df: DataFrame) = compression
+      .foldLeft(df.write.mode("overwrite"))((w, c) => w.option("compression", c))
     shardCol match {
       case Some(c) =>
-        docs.select((cols :+ c).distinct.map(col): _*)
-          .repartition(col(c))
-          .write.mode("overwrite").partitionBy(c).json(path)
+        writer(docs.select((cols :+ c).distinct.map(col): _*)
+          .repartition(col(c)))
+          .partitionBy(c).json(path)
       case None =>
-        docs.select(cols.map(col): _*).write.mode("overwrite").json(path)
+        writer(docs.select(cols.map(col): _*)).json(path)
     }
   }
 }

@@ -98,6 +98,50 @@ class JsonlCorpusSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("gzip export round-trips: compressed shards read back identically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl-gzw").toFile
+    try {
+      val docs = Tables(spark, sf("0.001")).documents
+        .select("doc_id", "text", "lang", "source")
+      JsonlCorpus.write(docs, s"${dir.getPath}/gz", compression = Some("gzip"))
+      val files = new java.io.File(s"${dir.getPath}/gz").listFiles
+        .filter(_.getName.endsWith(".json.gz"))
+      assert(files.nonEmpty, "expected .json.gz shards")
+      val back = JsonlCorpus.read(spark, s"${dir.getPath}/gz")
+      val orig = docs.select("doc_id", "text").as[(Long, String)]
+        .collect().sorted.toSeq
+      val round = back.select("doc_id", "text").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(round == orig)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("streaming JSONL ingestion equals the batch read as shards land") {
+    val dir = Files.createTempDirectory("graft-jsonl-stream").toFile
+    try {
+      def shard(name: String, lines: Seq[String]): Unit = {
+        Files.write(new java.io.File(dir, name).toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+        Thread.sleep(1100)
+      }
+      shard("s0.jsonl", Seq(
+        """{"doc_id": 1, "text": "first shard doc", "lang": "en", "source": "web"}""",
+        """broken json {"""))
+      shard("s1.jsonl", Seq(
+        """{"text": "id-less doc, stable hash", "lang": "de", "source": "books"}""",
+        """{"doc_id": 3, "text": "second shard doc", "lang": "en", "source": "web"}"""))
+      val q = JsonlCorpus.readStream(spark, dir.getPath)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tjsonl").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("tjsonl").collect().map(_.toString).sorted.toSeq
+      val batch = JsonlCorpus.read(spark, dir.getPath)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch && streamed.length == 3)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("write/read round-trip preserves the corpus; sharded layout splits by column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jsonl-w").toFile
