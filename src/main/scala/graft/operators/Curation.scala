@@ -207,6 +207,19 @@ object Curation {
       b.getAs[Double]("len_hi"), None, entries)
   }
 
+  /** Fold a state's delta chain into ONE snapshot version — the batch
+    * counterpart of the streaming host's threshold compaction, for
+    * callers driving [[saveFunnelState]]/[[loadFunnelState]] manually:
+    * without it the manifest (and [[loadFunnelState]]'s union plan)
+    * grows one delta per save. Writes the full survivor view to `to`
+    * (a fresh version dir — never compact in place, the old versions
+    * stay readable until the new commit marker lands); the caller
+    * retires the old version dirs afterwards. */
+  def compactFunnelState(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit =
+    saveFunnelState(loadFunnelState(spark, from)
+      .copy(newDelta = None, liveDeltas = Seq.empty), to)
+
   /** Renumber a delivery with ids strictly greater than every stored
     * survivor id — the [[FunnelState]] monotone-id precondition for
     * corpora whose natural ids are content hashes
@@ -361,6 +374,12 @@ object Curation {
     * |delivery grams| × maxDocFreq rows. The r8 form broadcast a
     * per-survivor size table: a stored-corpus-cardinality collect at
     * exactly the scale this operator exists for.
+    *
+    * Scale contract: the broadcasts are DELIVERY-pair-bounded, so the
+    * incremental path assumes deliveries ≪ stored corpus (the
+    * daily-drop regime it exists for). A delivery approaching corpus
+    * scale blows the pair bound no matter the join strategy — run the
+    * full `nearDeduplicate` recompute for those instead.
     */
   private[graft] def incrementalNearDupKeepers(survivors: DataFrame,
       s3: DataFrame, n: Int, threshold: Double, maxDocFreq: Long,

@@ -288,10 +288,9 @@ class CurationSpec extends SparkSuite {
       assert(deltaIds("state-2") == Seq(13L, 18L))
       val l2 = Curation.loadFunnelState(spark, s"$root/state-2")
       assert(ids(l2) == Seq(1L, 2L, 5L, 6L, 13L, 18L))
-      // compaction form: newDelta = None writes the full view as one
-      // delta and the manifest references only it
-      Curation.saveFunnelState(
-        l2.copy(newDelta = None, liveDeltas = Seq.empty), s"$root/state-3")
+      // compaction: the helper folds the delta chain into one snapshot
+      // version whose manifest references only its own delta
+      Curation.compactFunnelState(spark, s"$root/state-2", s"$root/state-3")
       val l3 = Curation.loadFunnelState(spark, s"$root/state-3")
       assert(l3.liveDeltas == Seq("state-3/delta") && ids(l3) == ids(l2))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
