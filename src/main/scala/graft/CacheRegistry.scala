@@ -36,8 +36,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object CacheRegistry {
 
+  // planKey holds the CANONICALIZED logical plan for shared dedupe:
+  // structural equality, not a 32-bit hash — a hash collision would
+  // skip registering a DISTINCT persisted frame, pinning its storage
+  // with no release handle (the exact leak this registry prevents).
+  // Entries already capture the whole Dataset in their cleanup
+  // closure, so holding the plan adds no material footprint.
   private final case class Entry(id: Long, shared: Boolean,
-      cleanup: () => Unit, planKey: Option[Int] = None)
+      cleanup: () => Unit,
+      planKey: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None)
 
   private val nextId = new AtomicLong()
   // keyed by SparkContext-owning session object; suites and the
@@ -58,7 +65,8 @@ object CacheRegistry {
   }
 
   private def add(s: SparkSession, shared: Boolean,
-      cleanup: () => Unit, planKey: Option[Int] = None): Unit = {
+      cleanup: () => Unit,
+      planKey: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None): Unit = {
     sweepStopped()
     val buf = entries.computeIfAbsent(s,
       _ => mutable.ArrayBuffer.empty[Entry])
@@ -68,7 +76,8 @@ object CacheRegistry {
       // query, and duplicate entries would pin one Dataset plan per
       // query for the life of the warm session
       val dup = shared && planKey.isDefined &&
-        buf.exists(e => e.shared && e.planKey == planKey)
+        buf.exists(e => e.shared &&
+          e.planKey.zip(planKey).exists { case (a, b) => a.sameResult(b) })
       if (!dup) {
         buf += Entry(nextId.incrementAndGet(), shared, cleanup, planKey); ()
       }
@@ -81,7 +90,7 @@ object CacheRegistry {
   def persist[T](df: Dataset[T], shared: Boolean = false): Dataset[T] = {
     df.persist()
     val key = if (shared)
-      Some(df.queryExecution.analyzed.semanticHash()) else None
+      Some(df.queryExecution.analyzed.canonicalized) else None
     add(df.sparkSession, shared,
       () => { df.unpersist(blocking = false); () }, key)
     df

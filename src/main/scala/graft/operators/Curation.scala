@@ -234,6 +234,17 @@ object Curation {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+    // fail fast on Long overflow instead of silently wrapping to
+    // NEGATIVE (= smaller-than-everything) ids: content-hash bases are
+    // uniform in [0, 2^63), so a base near Long.MaxValue leaves less
+    // headroom than a large delivery needs — renumber the STORED
+    // corpus once (compact + re-id) rather than corrupting keeper
+    // election
+    val n = delivery.count()
+    require(base <= Long.MaxValue - 1L - n,
+      s"assignMonotoneIds: stored max id $base leaves no headroom for " +
+        s"a $n-row delivery without Long overflow; renumber the stored " +
+        "corpus to a dense id range first")
     val others = delivery.columns.filter(_ != idCol)
     val schema = org.apache.spark.sql.types.StructType(
       delivery.schema.fields.filter(_.name != idCol) :+

@@ -78,8 +78,13 @@ object Sampling {
   def groupCap(df: DataFrame, groupCol: String, cap: Int,
       scoreCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
     requireIntegralId(df, idCol, "groupCap")
+    // null scores rank LAST (the window's `score DESC NULLS LAST, id`)
+    // rather than being dropped: the bounded aggregate skips null
+    // score inputs, which would silently evict null-score documents
+    // from the capped corpus even with cap headroom
     df.select(col(groupCol), col(idCol).cast("long").as("__id"),
-        negate(col(scoreCol).cast("double")).as("__s"))
+        coalesce(negate(col(scoreCol).cast("double")),
+          lit(Double.MaxValue)).as("__s"))
       .groupBy(col(groupCol))
       .agg(BoundedAgg.collect_min_k_by(col("__s"), col("__id"), cap).as("top"))
       .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))

@@ -773,11 +773,37 @@ object Similarity {
     * Thresholds: `maxShareDelta` caps per-list occupancy movement
     * (|delivery share − base share|), `maxEnergyRatio` caps the
     * delivery's mean residual energy vs the base's per list (only
-    * lists the delivery populates are judged on energy). The report is
-    * numLists rows — the collect here is bounded by construction.
+    * lists the delivery populates are judged on energy). The occupancy
+    * gate is SAMPLING-AWARE: a small delivery's per-list shares are
+    * binomial draws with std ≤ 0.5/√n, so the effective threshold is
+    * `max(maxShareDelta, 1/√n)` — without the floor a single-vector
+    * delivery ALWAYS breaches (its one list jumps to share 1.0) and
+    * the index silently stops growing on drip-fed streams. The report
+    * is numLists rows — the collect here is bounded by construction.
     */
   final case class IndexMaintenance(index: IvfPqIndex, appended: Boolean,
       retrainReason: Option[String], report: DataFrame)
+
+  /** The drift report's schema (for empty-delivery short-circuits and
+    * external writers that need a stable frame shape). */
+  private def emptyDriftReport(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("base_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("del_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("share_delta",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("energy_ratio",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("base_cos_drift",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("del_cos_drift",
+          org.apache.spark.sql.types.DoubleType))))
 
   def maintainIvfPqIndex(index: IvfPqIndex, base: DataFrame,
       delivery: DataFrame, maxShareDelta: Double = 0.25,
@@ -785,13 +811,19 @@ object Similarity {
       idCol: String = "vec_id"): IndexMaintenance = {
     if (delivery.isEmpty)
       return IndexMaintenance(index, appended = true, None,
-        delivery.sparkSession.emptyDataFrame)
+        emptyDriftReport(delivery.sparkSession))
     val report = graft.CacheRegistry.persist(
       ivfIndexDriftReport(index, base, delivery, vecCol, idCol))
     val rows = report
       .select("list_id", "del_n", "share_delta", "energy_ratio").collect()
+    // sampling-aware occupancy floor: 2 binomial stds at the delivery's
+    // size (share std ≤ 0.5/√n ⇒ 2·std ≤ 1/√n). Only the delivery
+    // share is noisy — the base side is the full stored corpus — so
+    // the delta inherits the delivery's std alone
+    val delTotal = math.max(rows.map(_.getLong(1)).sum, 1L)
+    val effShareDelta = math.max(maxShareDelta, 1.0 / math.sqrt(delTotal.toDouble))
     val occBreach = rows.filter(r =>
-      !r.isNullAt(2) && math.abs(r.getDouble(2)) > maxShareDelta)
+      !r.isNullAt(2) && math.abs(r.getDouble(2)) > effShareDelta)
     val engBreach = rows.filter(r => r.getLong(1) > 0 &&
       !r.isNullAt(3) && r.getDouble(3) > maxEnergyRatio)
     if (occBreach.isEmpty && engBreach.isEmpty)
@@ -800,7 +832,7 @@ object Similarity {
     else {
       val reasons =
         occBreach.map(r => s"list ${r.get(0)} occupancy moved " +
-          f"${r.getDouble(2)}%.4f (>|$maxShareDelta|)") ++
+          f"${r.getDouble(2)}%.4f (>|$effShareDelta%.4f|)") ++
         engBreach.map(r => s"list ${r.get(0)} residual energy " +
           f"${r.getDouble(3)}%.2fx base (>$maxEnergyRatio)")
       IndexMaintenance(index, appended = false,
@@ -873,6 +905,16 @@ object Similarity {
       delivery: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", slot: Option[Long] = None): IvfPqIndex = {
     val index = loadIvfPqIndex(spark, path)
+    writeIndexDelta(spark, path, index, delivery, vecCol, idCol, slot)
+    loadIvfPqIndex(spark, path)
+  }
+
+  /** The delta write with an ALREADY-LOADED index — the streaming host
+    * holds one loaded view per batch and must not pay a second
+    * centroid/codebook collect + delta listing per append. */
+  private[graft] def writeIndexDelta(spark: SparkSession, path: String,
+      index: IvfPqIndex, delivery: DataFrame, vecCol: String,
+      idCol: String, slot: Option[Long]): Unit = {
     val delta = encodeIvfPq(delivery, index.centroids, index.codebooks,
       vecCol, idCol)
     // explicit slot = the streaming batchId discipline (a committed
@@ -881,7 +923,6 @@ object Similarity {
     val next = slot.getOrElse(committedDeltaSlots(spark, path)
       .foldLeft(-1L)(math.max) + 1)
     delta.write.mode("overwrite").parquet(s"$path/codes-delta-$next")
-    loadIvfPqIndex(spark, path)
   }
 
   /** Committed delta slot numbers under a persisted index path. */

@@ -315,6 +315,15 @@ class CurationSpec extends SparkSuite {
     // schema and column order unchanged
     assert(Curation.assignMonotoneIds(state, delivery).columns.toSeq ==
       Seq("doc_id", "text", "n_chars"))
+    // no-headroom base (hash id near Long.MaxValue): fail fast instead
+    // of wrapping to negative ids that silently corrupt keeper election
+    val nearMax = Curation.FunnelState(
+      Seq((Long.MaxValue - 1L, "stored", 6L)).toDF("doc_id", "text", "n_chars"),
+      0.0, 100.0)
+    val e = intercept[IllegalArgumentException] {
+      Curation.assignMonotoneIds(nearMax, delivery).collect()
+    }
+    assert(e.getMessage.contains("headroom"), e.getMessage)
   }
 
   test("blocklistMatches equals the per-pattern contains chain") {

@@ -51,6 +51,32 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("groupCap ranks null scores last (NULLS LAST), never drops them") {
+    import spark.implicits._
+    val probe = Seq(
+      ("a", 1L, Some(50L)), ("a", 2L, None), ("a", 3L, Some(90L)),
+      ("a", 4L, None), ("b", 5L, None)).map {
+        case (g, id, sc) => (g, id, sc.map(Long.box).orNull)
+      }.toDF("grp", "id", "score")
+      .withColumn("score", col("score").cast("long"))
+    val got = Sampling.groupCap(probe, "grp", cap = 3,
+        scoreCol = "score", idCol = "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // a: 90 → rank 1, 50 → rank 2, then the smaller-id null (id 2);
+    // b's only doc keeps rank 1 despite its null score
+    assert(got == Seq(("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 1L),
+      ("b", 5L, 1L)), got)
+    // parity with the window formulation's NULLS LAST semantics
+    val want = probe.withColumn("rank",
+        row_number().over(Window.partitionBy("grp")
+          .orderBy(col("score").desc_nulls_last, col("id"))).cast("long"))
+      .filter(col("rank") <= 3).select("grp", "id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == want)
+  }
+
   test("heavyHitters equals the count + window-rank formulation") {
     val got = Sampling.heavyHitters(docs, "source", "text", 5)
       .orderBy("source", "rn")
