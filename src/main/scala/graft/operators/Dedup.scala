@@ -258,6 +258,33 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "j")
   }
 
+  /** Near-dup provenance overlap matrix: for every unordered pair of
+    * sources, how many near-dup document pairs ([[ngramJaccardPairs]]
+    * semantics) cross them and the mean similarity of those pairs —
+    * the dashboard that tells a corpus owner WHICH feeds are
+    * re-crawling each other before any keeper policy runs. Diagonal
+    * rows (same source on both sides) report intra-feed duplication.
+    *
+    * The pair list is the already-pruned Jaccard graph (edges, not
+    * corpus); the only corpus-side touch is two id→source projection
+    * joins, so nothing wider than `(id, source)` shuffles.
+    */
+  def nearDupSourceOverlap(docs: DataFrame, n: Int = 2,
+      threshold: Double = 0.2, maxDocFreq: Long = Long.MaxValue,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold,
+      maxDocFreq)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.toDF("doc_id_a", "src_a"), Seq("doc_id_a"))
+      .join(src.toDF("doc_id_b", "src_b"), Seq("doc_id_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("j")), 3).as("mean_j"))
+  }
+
   // ------------------------------------------------ connected components
 
   /** Connected components over a near-dup pair list — the step that
@@ -379,6 +406,45 @@ object Dedup {
       .join(broadcast(benchGrams), Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[crossContamination]] from the EVAL side: per BENCHMARK item, how
+    * compromised is it — the report an eval owner reads to decide which
+    * items to retire (the corpus-side report decides which documents to
+    * cut; both reports come from the same gram match). For every
+    * benchmark document: its distinct `n`-gram count, how many of those
+    * grams appear anywhere in the corpus, that fraction, and the number
+    * of distinct corpus documents sharing at least one gram. Clean
+    * items report zeros (the report is benchmark-sized, one row each).
+    *
+    * Scale shape: the benchmark's `(gh, doc_id)` gram table is tiny and
+    * broadcasts into the corpus's row-local distinct-gram explode — the
+    * corpus never shuffles; only the matched `(bench id, gh, corpus id)`
+    * rows (dup-bounded) reach the two aggregations.
+    */
+  def benchmarkContamination(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.operators.TextAnalysis.tokens
+    def gramHashes(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      df.select(cols :+
+        explode(shingles(tokens(col(textCol)), n)).as("gram"): _*)
+        .filter(col("gram") =!= "")
+        .withColumn("gh", xxhash64(col("gram"))).drop("gram")
+    val benchGrams = graft.CacheRegistry.persist(
+      gramHashes(benchmark, Seq(col(idCol).as("bid"))))
+    val matched = gramHashes(corpus, Seq(col(idCol).as("cid")))
+      .join(broadcast(benchGrams), Seq("gh"))
+    val hits = matched.groupBy("bid")
+      .agg(countDistinct(col("gh")).as("n_dirty_grams"),
+        countDistinct(col("cid")).as("n_corpus_docs"))
+    benchGrams.groupBy("bid").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("bid"), "left")
+      .select(col("bid").as(idCol), col("n_grams"),
+        coalesce(col("n_dirty_grams"), lit(0L)).as("n_dirty_grams"),
+        round(coalesce(col("n_dirty_grams"), lit(0L)) /
+          col("n_grams").cast("double"), 4).as("dirty_frac"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
   }
 
   /** Apply fuzzy dedup end-to-end: near-dup edges (df-pruned n-gram

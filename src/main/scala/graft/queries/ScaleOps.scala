@@ -885,6 +885,48 @@ object ScaleOps {
       .orderBy("cluster_size")
   }
 
+  /** Q117 incremental shared-span removal (oracled): the q74
+    * exact-substring dedup at DELIVERY time — the stored corpus
+    * (doc_id % 4 ≠ 0) is represented ONLY by its gram-df table
+    * ([[TextAnalysis.spanGramDfs]]); the delivery (doc_id % 4 = 0) is
+    * cut against stored-plus-delivery dfs without rescanning stored
+    * text ([[TextAnalysis.removeSharedSpansIncremental]]). Disjoint doc
+    * sets make the incremental result EXACTLY the full-union q74
+    * restricted to delivery rows — which is what the oracle computes. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val stored = TextAnalysis.spanGramDfs(
+      docs.filter(pmod(col("doc_id"), lit(4)) =!= 0), n = 8)
+    TextAnalysis.removeSharedSpansIncremental(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), stored, n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Q118 near-dup source-overlap matrix (oracled): which feeds are
+    * re-crawling each other — per unordered source pair, the count and
+    * mean similarity of cross-source near-dup document pairs on the
+    * q35 pruned-Jaccard graph
+    * ([[graft.operators.Dedup.nearDupSourceOverlap]]). */
+  def q118(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupSourceOverlap(Tables(s, d).documents, n = 2,
+      threshold = 0.2, maxDocFreq = 100L)
+      .orderBy("source_a", "source_b")
+
+  /** Q119 benchmark contamination report (oracled): q96 from the EVAL
+    * side — per benchmark item (doc_id % 7 = 0, the q96 slice), its
+    * distinct-8-gram count, how many of those grams leak into the rest
+    * of the corpus, that fraction, and the distinct corpus documents
+    * touching it ([[graft.operators.Dedup.benchmarkContamination]]) —
+    * the report that decides which eval items to RETIRE, where q96
+    * decides which corpus documents to cut. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    Dedup.benchmarkContamination(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -928,6 +970,9 @@ object ScaleOps {
     "q113_salted_join" -> q113, "q105b_incremental_funnel" -> q105b,
     "q114_index_drift" -> q114, "q115_source_cap" -> q115,
     "q116_cluster_histogram" -> q116,
+    "q117_incremental_span_removal" -> q117,
+    "q118_source_overlap" -> q118,
+    "q119_benchmark_contamination" -> q119,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1329,6 +1374,79 @@ object ScaleOps {
                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
            FROM documents)
          WHERE rank <= 25 ORDER BY source, rank""",
+    // q117: the oracle is q74's full-union shared-span removal (string
+    // grams vs Spark's FNV hashes — the q74 collision stance) restricted
+    // to the delivery slice: the incremental operator's defining
+    // equivalence, checked end-to-end
+    "q117_incremental_span_removal" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         g AS (SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+7], ' ') AS gram
+               FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks)-7)) AS u(i)
+               WHERE LEN(toks) >= 8),
+         dfq AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                 GROUP BY gram HAVING COUNT(*) >= 2),
+         st AS (SELECT doc_id, LIST_SORT(LIST(DISTINCT i)) AS starts
+                FROM g JOIN dfq USING (gram) GROUP BY doc_id),
+         c AS (SELECT t.doc_id, toks, COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+               FROM t LEFT JOIN st USING (doc_id)
+               WHERE t.doc_id % 4 = 0),
+         k AS (SELECT doc_id, toks,
+               LIST_FILTER(toks, (x, p) ->
+                 LEN(LIST_FILTER(starts, s -> s <= p AND p <= s + 7)) = 0) AS kept
+               FROM c)
+         SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(toks) - LEN(kept) AS BIGINT) AS n_removed,
+           COALESCE(ARRAY_TO_STRING(kept, ' '), '') AS cleaned_text
+         FROM k ORDER BY doc_id""",
+    "q119_benchmark_contamination" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 8 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-7),
+                i -> ARRAY_TO_STRING(toks[i:i+7], ' ')))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+         g0 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         g AS (SELECT doc_id, gram FROM g0 WHERE gram <> ''),
+         b AS (SELECT doc_id AS bid, gram FROM g WHERE doc_id % 7 = 0),
+         c AS (SELECT doc_id AS cid, gram FROM g WHERE doc_id % 7 <> 0),
+         m AS (SELECT b.bid, b.gram, c.cid FROM b JOIN c USING (gram)),
+         h AS (SELECT bid, COUNT(DISTINCT gram) AS n_dirty_grams,
+                      COUNT(DISTINCT cid) AS n_corpus_docs
+               FROM m GROUP BY bid),
+         nb AS (SELECT bid, CAST(COUNT(*) AS BIGINT) AS n_grams FROM b GROUP BY bid)
+         SELECT nb.bid AS doc_id, nb.n_grams,
+           CAST(COALESCE(h.n_dirty_grams, 0) AS BIGINT) AS n_dirty_grams,
+           ROUND(CAST(COALESCE(h.n_dirty_grams, 0) AS DOUBLE) / nb.n_grams, 4)
+             AS dirty_frac,
+           CAST(COALESCE(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
+         FROM nb LEFT JOIN h USING (bid) ORDER BY doc_id""",
+    "q118_source_overlap" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
+         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+         sizes AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gsets),
+         g0 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 100),
+         g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare ON g0.gram = rare.gram),
+         pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_id_a, doc_id_b,
+                ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) AS j
+                FROM pairs JOIN sizes s1 ON doc_id_a = s1.doc_id
+                           JOIN sizes s2 ON doc_id_b = s2.doc_id
+                WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2)
+         SELECT LEAST(da.source, db.source) AS source_a,
+                GREATEST(da.source, db.source) AS source_b,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                ROUND(AVG(j), 3) AS mean_j
+         FROM jp JOIN documents da ON jp.doc_id_a = da.doc_id
+                 JOIN documents db ON jp.doc_id_b = db.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q112_backoff_surprisal" ->
       """WITH t AS (SELECT doc_id, source,
            LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),

@@ -250,7 +250,11 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val prev = latestState(spark, stateDir, marker = "bounds/_SUCCESS")
-        if (!prev.exists(_._1 >= batchId)) {
+        // empty batches skip entirely: initialFunnelState's percentile
+        // over zero rows would NPE, and an empty incremental fold would
+        // write a pointless state version (file sources deliver empty
+        // batch 0 at startup routinely)
+        if (!prev.exists(_._1 >= batchId) && !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
           val folded = prev match {
             case None =>
@@ -274,13 +278,24 @@ object StreamOps {
             // the snapshot manifest references only its own delta —
             // every older version is unreferenced and retires (after
             // the new commit marker landed, so a crash here at worst
-            // leaves retirable dirs for the next compaction)
+            // leaves retirable dirs for the next compaction). Older
+            // per-delivery REPORTS retire with them: the cumulative
+            // truth lives in the state; a pipeline that wants the full
+            // audit trail copies reports out before they age past a
+            // compaction window (else 1-minute batches accrete ~500k
+            // small dirs a year and degrade the very listings this
+            // host performs each batch)
             val dir = new org.apache.hadoop.fs.Path(stateDir)
             val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
             fs.listStatus(dir).toSeq
-              .filter(s => s.isDirectory &&
-                s.getPath.getName.matches("state-\\d+") &&
-                s.getPath.getName.stripPrefix("state-").toLong < batchId)
+              .filter { s =>
+                val n = s.getPath.getName
+                s.isDirectory &&
+                  ((n.matches("state-\\d+") &&
+                    n.stripPrefix("state-").toLong < batchId) ||
+                   (n.matches("report-\\d+") &&
+                    n.stripPrefix("report-").toLong < batchId))
+              }
               .foreach(s => fs.delete(s.getPath, true))
           }
           graft.CacheRegistry.releaseSince(spark, mark)
@@ -323,14 +338,62 @@ object StreamOps {
             index, baseSample, batch.toDF(), maxShareDelta,
             maxEnergyRatio, vecCol, idCol)
           if (verdict.retrainReason.isEmpty)
-            graft.operators.Similarity.appendIvfPqIndexDelta(spark,
-              indexPath, batch.toDF(), vecCol, idCol, slot = Some(batchId))
+            // reuse the batch's loaded index view — a second
+            // load-per-append doubles the centroid/codebook collects
+            graft.operators.Similarity.writeIndexDelta(spark, indexPath,
+              index, batch.toDF(), vecCol, idCol, slot = Some(batchId))
           else {
             batch.toDF().write.mode("overwrite")
               .parquet(s"$indexPath/pending-$batchId")
             verdict.report.coalesce(1).write.mode("overwrite")
               .parquet(s"$indexPath/drift-report-$batchId")
           }
+          graft.CacheRegistry.releaseSince(spark, mark)
+        }
+        ()
+      }
+      .start()
+
+  /** Streaming shared-span removal — the q117 delivery discipline on
+    * micro-batches (the sub-document sibling of [[dedupedDocs]]'
+    * document-level stream dedup): each batch is cut against the
+    * gram-df state accumulated from every EARLIER batch plus the
+    * batch's own grams
+    * ([[graft.operators.TextAnalysis.removeSharedSpansIncremental]] —
+    * chronologically incremental: earlier batches' text is immutable,
+    * exactly the landing-zone semantics), cleaned rows land as
+    * `cleaned-<batchId>` under `outDir`, and the batch's gram dfs fold
+    * into the state as the self-committing `dfs-delta-<batchId>`
+    * (O(delta) write, stored deltas never rewritten). Commit order:
+    * cleaned rows first, df delta (the commit marker) last — a crash
+    * between the two retries the batch, whose `overwrite` of
+    * `cleaned-<batchId>` is idempotent; a replayed batch whose slot
+    * already committed skips entirely.
+    */
+  def streamingSpanDedup(docs: DataFrame, stateDir: String, outDir: String,
+      n: Int = 8, minDf: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.TextAnalysis
+        val slots = TextAnalysis.committedSpanDfSlots(spark, stateDir)
+        if (!slots.contains(batchId) && !batch.isEmpty) {
+          val mark = graft.CacheRegistry.mark()
+          val stored =
+            if (slots.isEmpty)
+              // first delivery: cut against delivery-internal dfs only
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("gh", LongType),
+                  StructField("df", LongType))))
+            else TextAnalysis.loadSpanDfIndex(spark, stateDir)
+          TextAnalysis.removeSharedSpansIncremental(batch.toDF(), stored,
+              n, minDf, textCol, idCol)
+            .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
+          TextAnalysis.saveSpanDfDelta(spark, stateDir,
+            TextAnalysis.spanGramDfs(batch.toDF(), n, textCol, idCol),
+            slot = Some(batchId))
           graft.CacheRegistry.releaseSince(spark, mark)
         }
         ()

@@ -32,6 +32,153 @@ class DedupSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("removeSharedSpansIncremental on a gram-df index equals the batch " +
+      "operator over the full union restricted to delivery rows") {
+    // stored: boilerplate A shared with one delivery doc; delivery also
+    // shares a span WITHIN itself (state df 0 + delivery df 2); a
+    // delivery doc with unique text must pass through untouched
+    val stored = Seq(
+      (0L, "h1 h2 h3 h4 h5 h6 h7 h8 tail0 a b"),
+      (1L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val delivery = Seq(
+      (10L, "pre h1 h2 h3 h4 h5 h6 h7 h8 post"),      // cut via STORED df
+      (11L, "d1 d2 d3 d4 d5 d6 d7 d8 only11"),        // cut via DELIVERY df
+      (12L, "d1 d2 d3 d4 d5 d6 d7 d8 only12"),
+      (13L, "unique fresh words nothing shared at all here now")
+    ).toDF("doc_id", "text")
+    val inc = TextAnalysis.removeSharedSpansIncremental(delivery,
+        TextAnalysis.spanGramDfs(stored, n = 8), n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val batch = TextAnalysis.removeSharedSpans(
+        stored.unionByName(delivery), n = 8, minDf = 2)
+      .filter(col("doc_id") >= 10L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(inc.toSeq == batch.toSeq, inc.toSeq)
+    // the fixture exercises both df sources: 10 cut by stored grams,
+    // 11/12 by each other, 13 untouched
+    assert(inc(0)._3 > 0 && inc(1)._3 > 0 && inc(3)._3 == 0L, inc.toSeq)
+  }
+
+  test("span-df index: fold equals union resummarize; persisted deltas " +
+      "are O(delta), torn deltas ignored, replayed slots idempotent") {
+    val a = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val b = Seq((1L, "w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text")
+    val folded = TextAnalysis.foldSpanGramDfs(
+        TextAnalysis.spanGramDfs(a, n = 8), TextAnalysis.spanGramDfs(b, n = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val full = TextAnalysis.spanGramDfs(a.unionByName(b), n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(folded == full)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spandf").toFile
+    try {
+      TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
+        TextAnalysis.spanGramDfs(a, n = 8), slot = Some(0L))
+      TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
+        TextAnalysis.spanGramDfs(b, n = 8))            // auto-slot = 1
+      // a torn delta (no _SUCCESS) must be invisible to load
+      val torn = new java.io.File(dir, "dfs-delta-7")
+      assert(torn.mkdir())
+      val loaded = TextAnalysis.loadSpanDfIndex(spark, dir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(loaded == full)
+      assert(TextAnalysis.committedSpanDfSlots(spark, dir.getPath)
+        .sorted == Seq(0L, 1L))
+      // replay: overwriting slot 1 with the same delivery changes nothing
+      TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
+        TextAnalysis.spanGramDfs(b, n = 8), slot = Some(1L))
+      val replayed = TextAnalysis.loadSpanDfIndex(spark, dir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(replayed == full)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("removeSharedSpansIncremental: the stored df table is never a " +
+      "broadcast build (the 100 TB driver-OOM guard)") {
+    // the stored gram-df table is corpus-gram-cardinality; it may be
+    // SCANNED (semi-pruned probe side) but a broadcast build over it
+    // collects corpus-scale rows to the driver — pin it structurally
+    // the way CurationSpec pins the funnel's survivors relation
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spandf-pin")
+    try {
+      val docs10 = Tables(spark, sf("0.001")).documents
+        .select("doc_id", "text")
+      TextAnalysis.spanGramDfs(docs10.filter(col("doc_id") % 4 =!= 0), n = 8)
+        .write.mode("overwrite").parquet(s"$tmp/dfs")
+      val stored = spark.read.parquet(s"$tmp/dfs")
+      val out = TextAnalysis.removeSharedSpansIncremental(
+        docs10.filter(col("doc_id") % 4 === 0), stored, n = 8)
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def storedIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("graft-spandf-pin"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val plan = out.queryExecution.optimizedPlan
+      val joins = plan.collect { case j: Join => j }
+      val offenders = joins.filter { j =>
+        (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+          storedIn(j.left)) ||
+        (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+          storedIn(j.right))
+      }
+      assert(offenders.isEmpty,
+        s"stored-df broadcast builds:\n${offenders.mkString("\n")}")
+      assert(joins.exists(j =>
+        j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))),
+        s"expected a broadcast-hinted delivery-gram build in:\n$plan")
+      assert(storedIn(plan), s"stored-df scan missing from:\n$plan")
+      assert(out.count() > 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("benchmarkContamination reports per-eval-item gram leakage with " +
+      "zeros for clean items") {
+    // bench doc 100 shares its whole 8-gram with corpus docs 0 and 1;
+    // bench doc 101 is clean. Short docs use the whole-text fallback
+    // gram (the q96 shingle convention).
+    val corpus = Seq(
+      (0L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (1L, "pre s1 s2 s3 s4 s5 s6 s7 s8"),
+      (2L, "c1 c2 c3")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "s1 s2 s3 s4 s5 s6 s7 s8 extra"), // grams: 2, dirty: 1
+      (101L, "b1 b2 b3 b4 b5 b6 b7 b8")        // grams: 1, dirty: 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.benchmarkContamination(corpus, bench)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (100L, 2L, 1L, 0.5, 2L),
+      (101L, 1L, 0L, 0.0, 0L)), got)
+  }
+
+  test("nearDupSourceOverlap reports cross- and intra-source pair counts " +
+      "with mean similarity") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps", "sA"),
+      (1L, "the quick brown fox jumps", "sB"),   // j=1.0 with doc 0
+      (2L, "the quick brown fox leaps", "sB"),   // j=0.6 with docs 0 and 1
+      (3L, "totally unrelated words here now", "sC")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.nearDupSourceOverlap(corpus, n = 2, threshold = 0.2)
+      .orderBy("source_a", "source_b")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("sA", "sB", 2L, 0.8),   // (0,1) j=1.0 and (0,2) j=0.6
+      ("sB", "sB", 1L, 0.6)), got)
+  }
+
   test("native normalized_key is byte-identical to the regexp formulation") {
     import org.apache.spark.sql.functions.{lower, regexp_replace}
     val texts = Seq("Hello, World! 42", "ÄÖÜ déjà-vu", "a  b\tc", "", "123",
@@ -1152,6 +1299,17 @@ class DedupSpec extends SparkSuite {
     assert(out.index.codes.count() == idx.codes.count())
     // the verdict names the breached lists (actionable, not a boolean)
     assert(out.retrainReason.get.contains("list "), out.retrainReason.get)
+    // sampling-aware floor: a SINGLE in-distribution vector puts share
+    // 1.0 in its list — without the 2/√n floor that always breached
+    // and drip-fed streams could never grow the index
+    val one = Similarity.maintainIvfPqIndex(idx, base,
+      emb.filter(col("vec_id") === 1L))
+    assert(one.appended && one.retrainReason.isEmpty,
+      one.retrainReason.toString)
+    // empty delivery: trivial append, report keeps the drift schema
+    val none = Similarity.maintainIvfPqIndex(idx, base,
+      emb.filter(col("vec_id") === -999L))
+    assert(none.appended && none.report.columns.contains("share_delta"))
   }
 
   test("recallAtK: self-recall is 1.0, misses lower it, mean row appended") {

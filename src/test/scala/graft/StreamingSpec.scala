@@ -533,6 +533,99 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming curation funnel: an empty first batch is skipped, not " +
+      "an NPE — the state initializes from the first non-empty batch") {
+    import graft.operators.Curation
+    val dir = Files.createTempDirectory("graft-funnel-empty").toFile
+    val stateDir = Files.createTempDirectory("graft-funnel-estate").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text", "n_chars")
+    val pats = Seq("window window")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    // file-source startup shape: an EMPTY shard lands first
+    docs.filter(lit(false)).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") < 30).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingCurationFunnel(streamed, stateDir.getPath,
+        benchmark, pats)
+      q.processAllAvailable(); q.stop()
+      val got = StreamOps.curationFunnelState(spark, stateDir.getPath)
+      val want = Curation.initialFunnelState(docs.filter(col("doc_id") < 30),
+        benchmark, pats)
+      def ids(st: Curation.FunnelState) =
+        st.survivors.collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(got) == ids(want) && ids(got).nonEmpty)
+      assert(got.lenLo == want.lenLo && got.lenHi == want.lenHi)
+      // the empty batch wrote NO state version
+      val versions = stateDir.listFiles.filter(_.getName.startsWith("state-"))
+        .map(_.getName).sorted.toSeq
+      assert(versions == Seq("state-1"), versions)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
+  test("streaming span dedup: each batch is cut against all earlier " +
+      "batches' gram dfs plus its own; state grows by O(delta) slots") {
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft-span-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-span-state").toFile
+    val outDir = Files.createTempDirectory("graft-span-out").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+    // three chronological chunks (deterministic id ranges)
+    val cuts = Seq(0L -> 150L, 150L -> 300L, 300L -> 10000L)
+    cuts.foreach { case (lo, hi) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+        .write.mode("append").parquet(dir.getPath)
+      Thread.sleep(1100)
+    }
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingSpanDedup(streamed, stateDir.getPath,
+        outDir.getPath, n = 8)
+      q.processAllAvailable(); q.stop()
+      // exactly one committed df delta and one cleaned dir per batch
+      assert(TextAnalysis.committedSpanDfSlots(spark, stateDir.getPath)
+        .sorted == Seq(0L, 1L, 2L))
+      // batch k's cleaned output ≡ the incremental cut against the
+      // union of every earlier chunk's gram dfs (chronological
+      // semantics; batch 0 is cut against itself only)
+      cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
+        val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val storedDfs =
+          if (k == 0) TextAnalysis.spanGramDfs(docs.filter(lit(false)), n = 8)
+          else TextAnalysis.spanGramDfs(
+            docs.filter(col("doc_id") < cuts(k)._1), n = 8)
+        val want = TextAnalysis
+          .removeSharedSpansIncremental(chunk, storedDfs, n = 8)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val got = spark.read.parquet(s"${outDir.getPath}/cleaned-$k")
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        assert(got == want, s"batch $k")
+        assert(got.nonEmpty)
+      }
+      // the last batch really was cut by earlier batches' grams: at
+      // least one of its docs lost tokens (sf0.001 documents share
+      // boilerplate across the id range)
+      val last = spark.read.parquet(s"${outDir.getPath}/cleaned-2")
+      assert(last.filter(col("n_removed") > 0).count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
   test("streaming index maintenance: in-distribution batches append as " +
       "batch-id delta slots, replays skip, drifted batches quarantine") {
     import spark.implicits._
