@@ -205,14 +205,25 @@ object Dedup {
     * popcount verification.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(docs.select(col(idCol).as("id"),
+      simHash64(tokensOf(col(textCol))).as("sim")), "id", "sim", maxHamming)
+
+  /** Hamming-≤k pairs over ANY 64-bit signature column (SimHash,
+    * image dHash, audio fingerprint …) by 4×16-bit pigeonhole banding:
+    * a pair within Hamming distance ≤ 3 shares at least one exact
+    * chunk, so candidate generation is an equi-join on (chunk index,
+    * chunk value) — only candidates pay the popcount verification, and
+    * the exchange carries (chunk, 2-byte value, id, 8-byte sig) rows,
+    * never the underlying media/text. */
+  def hamming64Pairs(sig: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for distance <= 3")
-    val sig = docs.select(col(idCol).as("id"),
-      simHash64(tokensOf(col(textCol))).as("sim"))
-    val chunked = sig.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "cval")))
+    val chunked = sig.select(col(idCol).as("id"), col(hashCol).as("sim"))
+      .select(col("id"), col("sim"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk", "cval")))
     val a = chunked.select(col("chunk"), col("cval"),
       col("id").as("doc_id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("cval"),

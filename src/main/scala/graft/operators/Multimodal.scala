@@ -170,6 +170,101 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of an image — the standard
+    * perceptual near-dup signature: a 9×8 block-averaged luma grid,
+    * one bit per horizontal neighbor pair (`mean(r,c) > mean(r,c+1)`).
+    * Invariant to uniform brightness shifts, re-encoding (PNG↔BMP) and
+    * integer rescaling (block means are scale-stable); flips only where
+    * local gradients change — which is what "different image" means.
+    * All-integer accumulation and a cross-multiplied mean compare
+    * (`sum_a·cnt_b > sum_b·cnt_a`) keep it bit-deterministic across
+    * JVMs — no float pixel paths, no platform scaler.
+    *
+    * Returns None when no installed codec recognizes the bytes.
+    */
+  private[graft] def dHash64(content: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(content)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val (gw, gh) = (9, 8)
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val gray = bi.getColorModel.getNumComponents == 1
+      val sums = new Array[Long](gw * gh)
+      val counts = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * gw / w, gw - 1)
+          val luma =
+            if (gray) bi.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = bi.getRGB(x, y)
+              (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+            }
+          sums(gy * gw + gx) += luma
+          counts(gy * gw + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < gw - 1) {
+          val l = r * gw + c
+          // exact mean compare without division: empty blocks (counts
+          // 0, sub-9px-wide images) read as mean 0 on both sides
+          if (sums(l) * counts(l + 1) > sums(l + 1) * counts(l))
+            hash |= 1L << (r * (gw - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+  }
+
+  final case class ImageHash(
+      doc_id: Long,
+      media_type: String,
+      dhash: Long,
+      decoded: Boolean)
+
+  /** Per-image 64-bit perceptual hashes ([[dHash64]]) — the signature
+    * table image near-dedup runs on. Bytes that no codec decodes fall
+    * back to a deterministic FNV fold of the content (flagged
+    * `decoded = false`): exact byte-dups still collide, and the
+    * plumbing carries rows a real deployment would route to an
+    * external decoder. Row-local mapPartitions — only (id, 8-byte
+    * hash) rows ever leave the scan. */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      dHash64(m.content) match {
+        case Some(hs) => ImageHash(m.doc_id, m.media_type, hs, decoded = true)
+        case None =>
+          var f = 1125899906842597L
+          m.content.foreach(b => f = f * 31 + b)
+          ImageHash(m.doc_id, m.media_type, f, decoded = false)
+      }
+    })
+  }
+
+  /** Image near-dup pairs: dHash signatures into the generic 4×16-bit
+    * pigeonhole Hamming join ([[graft.operators.Dedup.hamming64Pairs]]
+    * — the same banding text SimHash uses). Media bytes never shuffle;
+    * the join carries 8-byte signatures only. */
+  def imageNearDupPairs(media: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.hamming64Pairs(
+      imageHashes(media).toDF(), "doc_id", "dhash", maxHamming)
+
   // ------------------------------------------------------- audio decode
 
   /** Real WAV decode: RIFF chunk walk (fmt + data), 8/16-bit PCM, all

@@ -495,6 +495,20 @@ object PipelineOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** P17 image perceptual-hash dedup (rows-only): docs rendered as real
+    * PNGs, REAL ImageIO decode → 9×8 dHash → 4×16-bit pigeonhole
+    * Hamming-≤3 pairs (the image analog of q37's text SimHash; exact
+    * text dups render byte-identical PNGs, so the pair list is the
+    * image-side view of q31's exact groups plus render-level near
+    * dups). Media bytes never shuffle — the join carries 8-byte
+    * signatures. */
+  def p17(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.imageNearDupPairs(
+        Multimodal.mediaFromDocuments(Tables(s, d).documents))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -512,5 +526,6 @@ object PipelineOps {
     "p14_training_data" -> p14,
     "p15_delft_data" -> p15,
     "p16_video" -> p16,
+    "p17_image_dedup" -> p17,
   )
 }

@@ -45,6 +45,61 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(r.width >= 64 && r.embedding.length == 8) // stub semantics
   }
 
+  test("multimodal: dHash is invariant to re-encode, uniform brightness " +
+      "and exact upscale; flips on a genuinely different image") {
+    // 72x64 (multiples of the 9x8 grid, so blocks align exactly):
+    // horizontal gradient + a dark box, luma <= 200 so +10 never clips
+    def render(shift: Int, invert: Boolean, scale: Int,
+        format: String): Array[Byte] = {
+      val (w, h) = (72 * scale, 64 * scale)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gx = x / scale
+        val gy = y / scale
+        val base = (gx * 200 / 71) min 200
+        val boxed = if (gx >= 18 && gx < 36 && gy >= 16 && gy < 48) 20 else base
+        val v = (if (invert) 200 - boxed else boxed) + shift
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+    val base = Multimodal.dHash64(render(0, invert = false, 1, "png")).get
+    assert(Multimodal.dHash64(render(0, invert = false, 1, "bmp")).get == base,
+      "re-encoding must not move the hash")
+    assert(Multimodal.dHash64(render(10, invert = false, 1, "png")).get == base,
+      "uniform brightness must not move the hash (difference hash)")
+    assert(Multimodal.dHash64(render(0, invert = false, 2, "png")).get == base,
+      "exact 2x upscale must not move the hash (block means stable)")
+    val inv = Multimodal.dHash64(render(0, invert = true, 1, "png")).get
+    assert(java.lang.Long.bitCount(base ^ inv) > 3,
+      s"inverted gradient must flip bits, got ${java.lang.Long.bitCount(base ^ inv)}")
+  }
+
+  test("multimodal: imageNearDupPairs pairs identical renders, skips " +
+      "different images, and still exact-pairs undecodable byte dups") {
+    val same = Multimodal.textToPng("identical content here")
+    val junk = Array.fill[Byte](64)(13)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image/png", same, Map.empty),
+      Multimodal.MediaRow(1L, "image/png", same, Map.empty),
+      Multimodal.MediaRow(2L, "image/png",
+        Multimodal.textToPng("completely different other words"), Map.empty),
+      Multimodal.MediaRow(3L, "application/octet-stream", junk, Map.empty),
+      Multimodal.MediaRow(4L, "application/octet-stream", junk, Map.empty)
+    ).toDS()
+    val hashes = Multimodal.imageHashes(media).collect()
+    assert(hashes.filter(_.doc_id <= 2).forall(_.decoded))
+    assert(hashes.filter(_.doc_id >= 3).forall(!_.decoded))
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 1L, 0L)), pairs)    // identical renders
+    assert(pairs.contains((3L, 4L, 0L)), pairs)    // byte-dup fallback
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
+  }
+
   test("multimodal: WAV encode→decode round-trip (PCM chunk walk)") {
     val text = "hello wav world"
     val wav = Multimodal.textToWav(text)
