@@ -273,8 +273,14 @@ object Multimodal {
     * identically on any executor. Returns None unless the bytes are a
     * well-formed RIFF/WAVE with a PCM fmt chunk.
     */
-  private[graft] def decodeWav(content: Array[Byte]): Option[(Int, Int, Int, Long, Double)] = {
-    def le16(o: Int): Int = (content(o) & 0xFF) | ((content(o + 1) & 0xFF) << 8)
+  private def wavLe16(content: Array[Byte], o: Int): Int =
+    (content(o) & 0xFF) | ((content(o + 1) & 0xFF) << 8)
+
+  /** RIFF/WAVE walk shared by [[decodeWav]] and [[wavEnergyHash64]]:
+    * returns (channels, rate, bits, dataOff, dataLen) for well-formed
+    * 8/16-bit PCM, None otherwise. */
+  private def wavPcm(content: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    def le16(o: Int): Int = wavLe16(content, o)
     def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
     if (content.length < 44) return None
     if (!(content(0) == 'R' && content(1) == 'I' && content(2) == 'F' && content(3) == 'F' &&
@@ -309,22 +315,109 @@ object Multimodal {
       if (next > Int.MaxValue) ok = false
       else off = next.toInt
     }
-    if (channels <= 0 || rate <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) return None
-    val bytesPerSample = bits / 8
-    val nValues = dataLen / bytesPerSample
-    var sumSq = 0.0
-    var i = 0
-    while (i < nValues) {
-      val v =
-        if (bits == 16) le16(dataOff + i * 2).toShort.toInt
-        else (content(dataOff + i) & 0xFF) - 128
-      sumSq += v.toDouble * v
-      i += 1
-    }
-    val nFrames = nValues.toLong / channels
-    val rms = if (nValues == 0) 0.0 else math.sqrt(sumSq / nValues)
-    Some((channels, rate, bits, nFrames, rms))
+    if (channels <= 0 || rate <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) None
+    else Some((channels, rate, bits, dataOff, dataLen))
   }
+
+  private[graft] def decodeWav(content: Array[Byte]): Option[(Int, Int, Int, Long, Double)] =
+    wavPcm(content).map { case (channels, rate, bits, dataOff, dataLen) =>
+      val bytesPerSample = bits / 8
+      val nValues = dataLen / bytesPerSample
+      var sumSq = 0.0
+      var i = 0
+      while (i < nValues) {
+        val v =
+          if (bits == 16) wavLe16(content, dataOff + i * 2).toShort.toInt
+          else (content(dataOff + i) & 0xFF) - 128
+        sumSq += v.toDouble * v
+        i += 1
+      }
+      val nFrames = nValues.toLong / channels
+      val rms = if (nValues == 0) 0.0 else math.sqrt(sumSq / nValues)
+      (channels, rate, bits, nFrames, rms)
+    }
+
+  /** 64-bit audio fingerprint — the audio analog of [[dHash64]]: total
+    * |amplitude| per window over 65 equal time windows, one bit per
+    * consecutive-window energy DELTA (`e(w+1) > e(w)`). All-integer
+    * accumulation (Long sums of |sample|), so the signature is
+    * bit-deterministic; the delta form makes it invariant to uniform
+    * GAIN (scaling every sample scales every window sum by the same
+    * factor — comparisons unchanged short of clipping), the audio
+    * counterpart of dHash's brightness invariance. Returns None unless
+    * the bytes are well-formed 8/16-bit PCM WAV.
+    */
+  private[graft] def wavEnergyHash64(content: Array[Byte]): Option[Long] =
+    wavPcm(content).map { case (_, _, bits, dataOff, dataLen) =>
+      val bytesPerSample = bits / 8
+      val n = dataLen / bytesPerSample
+      val win = 65
+      val e = new Array[Long](win)
+      var i = 0
+      while (i < n) {
+        val v =
+          if (bits == 16) wavLe16(content, dataOff + i * 2).toShort.toInt
+          else (content(dataOff + i) & 0xFF) - 128
+        // i*win stays far under Long overflow for any 32-bit data chunk
+        e((i.toLong * win / n).toInt) += math.abs(v)
+        i += 1
+      }
+      var hash = 0L
+      var w = 0
+      while (w < win - 1) {
+        if (e(w + 1) > e(w)) hash |= 1L << w
+        w += 1
+      }
+      hash
+    }
+
+  /** Per-audio 64-bit fingerprints — the WAV signature table audio
+    * near-dedup runs on (same contract as [[imageHashes]]: undecodable
+    * bytes fall back to a flagged deterministic content fold so exact
+    * byte-dups still pair; row-local, only (id, 8-byte hash) rows leave
+    * the scan). */
+  def audioHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      wavEnergyHash64(m.content) match {
+        case Some(hs) => ImageHash(m.doc_id, m.media_type, hs, decoded = true)
+        case None =>
+          var f = 1125899906842597L
+          m.content.foreach(b => f = f * 31 + b)
+          ImageHash(m.doc_id, m.media_type, f, decoded = false)
+      }
+    })
+  }
+
+  /** Audio near-dup pairs: energy-delta fingerprints into the generic
+    * 4×16-bit pigeonhole Hamming join — the third consumer of
+    * [[graft.operators.Dedup.hamming64Pairs]] after text SimHash and
+    * image dHash. */
+  def audioNearDupPairs(media: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.hamming64Pairs(
+      audioHashes(media).toDF(), "doc_id", "dhash", maxHamming)
+
+  /** Rescale every 16-bit PCM sample by `num/den` (clipped) — the
+    * "re-normalized re-delivery" transform p18 uses to exercise the
+    * fingerprint's gain invariance on realistic data. Non-WAV bytes
+    * pass through unchanged. */
+  private[graft] def scaleWavGain(content: Array[Byte], num: Int,
+      den: Int): Array[Byte] =
+    wavPcm(content) match {
+      case Some((_, _, 16, dataOff, dataLen)) =>
+        val out = content.clone()
+        var i = 0
+        while (i + 1 < dataLen) {
+          val s = wavLe16(content, dataOff + i).toShort.toInt
+          val v = math.max(-32768, math.min(32767, s * num / den))
+          out(dataOff + i) = (v & 0xFF).toByte
+          out(dataOff + i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 2
+        }
+        out
+      case _ => content
+    }
 
   /** Batched per-partition audio featurization over WAV binary rows;
     * non-WAV rows are dropped (a production pipeline routes them to the

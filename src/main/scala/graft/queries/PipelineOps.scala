@@ -509,6 +509,24 @@ object PipelineOps {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** P18 audio fingerprint dedup (rows-only): the corpus's WAV renders
+    * plus a RE-NORMALIZED re-delivery (every sample at half gain, ids
+    * offset by 10⁷) — the cross-delivery audio dedup scenario. The
+    * 65-window energy-delta fingerprint is gain-invariant, so every
+    * original pairs its re-render at Hamming 0 through the same
+    * pigeonhole pair join as p17/q37; md5 of the bytes would pair
+    * nothing. */
+  def p18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val orig = Multimodal.wavFromDocuments(Tables(s, d).documents)
+    val redelivered = orig.map(m => m.copy(
+      doc_id = m.doc_id + 10000000L,
+      content = Multimodal.scaleWavGain(m.content, 1, 2)))
+    Multimodal.audioNearDupPairs(orig.union(redelivered))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -527,5 +545,6 @@ object PipelineOps {
     "p15_delft_data" -> p15,
     "p16_video" -> p16,
     "p17_image_dedup" -> p17,
+    "p18_audio_dedup" -> p18,
   )
 }

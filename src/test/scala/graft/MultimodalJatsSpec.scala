@@ -100,6 +100,54 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
   }
 
+  test("multimodal: wavEnergyHash64 is gain-invariant and content-" +
+      "sensitive; audioNearDupPairs pairs identical renders only") {
+    // minimal 16-bit mono PCM WAV around an explicit sample array
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(i * 2) = (s & 0xFF).toByte
+        data(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xFF))
+      def le16(v: Int) = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xFF))
+      out.write("RIFF".getBytes); le32(36 + data.length)
+      out.write("WAVE".getBytes); out.write("fmt ".getBytes); le32(16)
+      le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+      out.write("data".getBytes); le32(data.length); out.write(data)
+      out.toByteArray
+    }
+    // a varying envelope, |sample| <= 1000 so x2 gain never clips
+    val base = Array.tabulate[Short](4000)(i =>
+      ((math.sin(i / 40.0) * (300 + (i % 700))).toInt).toShort)
+    val h = Multimodal.wavEnergyHash64(wav(base)).get
+    val doubled = base.map(s => (s * 2).toShort)
+    assert(Multimodal.wavEnergyHash64(wav(doubled)).get == h,
+      "uniform gain must not move the fingerprint")
+    val other = Array.tabulate[Short](4000)(i =>
+      ((math.cos(i / 17.0) * (900 - (i % 800))).toInt).toShort)
+    val hOther = Multimodal.wavEnergyHash64(wav(other)).get
+    assert(java.lang.Long.bitCount(h ^ hOther) > 3,
+      s"different audio must flip bits, got ${java.lang.Long.bitCount(h ^ hOther)}")
+    // pair fixture: identical renders and a half-gain re-render pair at
+    // hamming 0 (textToWav samples are multiples of 256, so halving is
+    // exact); a different signal stays unpaired
+    val sameWav = Multimodal.textToWav("identical speech content")
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio/wav", sameWav, Map.empty),
+      Multimodal.MediaRow(1L, "audio/wav", sameWav, Map.empty),
+      Multimodal.MediaRow(2L, "audio/wav", wav(other), Map.empty),
+      Multimodal.MediaRow(3L, "audio/wav",
+        Multimodal.scaleWavGain(sameWav, 1, 2), Map.empty)
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 1L, 0L)), pairs)
+    assert(pairs.contains((0L, 3L, 0L)), pairs)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
+  }
+
   test("multimodal: WAV encode→decode round-trip (PCM chunk walk)") {
     val text = "hello wav world"
     val wav = Multimodal.textToWav(text)
