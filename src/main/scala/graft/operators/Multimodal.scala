@@ -635,6 +635,88 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", out)
       out.toByteArray
     }
+    framesToAvi(jpegs, w, h, fps)
+  }
+
+  /** Re-containerize an AVI: same JPEG frame payloads, new frame rate —
+    * the "same video re-muxed by a different exporter" transform p19
+    * uses (byte-different file, identical frame content). Undecodable
+    * containers pass through unchanged. */
+  private[graft] def remuxAvi(content: Array[Byte], fps: Int): Array[Byte] =
+    decodeAvi(content) match {
+      case Some((w, h, _, frames)) => framesToAvi(frames, w, h, fps)
+      case None => content
+    }
+
+  final case class VideoFrameHash(
+      doc_id: Long,
+      frame_idx: Int,
+      fhash: Long,
+      decoded: Boolean)
+
+  /** Per-frame 64-bit perceptual hashes of a video corpus: AVI
+    * container walk, then [[dHash64]] on each JPEG frame — the
+    * signature table video near-dedup runs on. A container no codec
+    * opens contributes ONE fallback row (frame_idx −1, content fold,
+    * `decoded = false`) so exact byte-dups still pair. Row-local; only
+    * (id, idx, 8-byte hash) rows leave the scan. */
+  def videoFrameHashes(media: Dataset[MediaRow]): Dataset[VideoFrameHash] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      decodeAvi(m.content) match {
+        case Some((_, _, _, frames)) if frames.nonEmpty =>
+          frames.iterator.zipWithIndex.map { case (f, i) =>
+            VideoFrameHash(m.doc_id, i,
+              dHash64(f).getOrElse {
+                var g = 1125899906842597L
+                f.foreach(b => g = g * 31 + b)
+                g
+              }, decoded = true)
+          }.toSeq
+        case _ =>
+          var g = 1125899906842597L
+          m.content.foreach(b => g = g * 31 + b)
+          Seq(VideoFrameHash(m.doc_id, -1, g, decoded = false))
+      }
+    }
+  }
+
+  /** Video near-dup pairs by shared-frame-signature overlap: two videos
+    * pair when at least `minShared` DISTINCT frame dHashes coincide —
+    * re-muxed / re-timed / re-encoded copies share their frames even
+    * when no container byte matches. The inverted-index self-join runs
+    * on (8-byte hash, id) rows only; `maxDocFreq` prunes background
+    * frames (intros, black frames) shared by more than that many
+    * videos — the same stopword-gram discipline as
+    * [[graft.operators.Dedup.ngramJaccardPairs]], and the guard against
+    * the quadratic candidate blowup a ubiquitous frame causes.
+    * Returns (doc_id_a, doc_id_b, shared_frames, frames_a, frames_b).
+    */
+  def videoNearDupPairs(media: Dataset[MediaRow], minShared: Int = 2,
+      maxDocFreq: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashes = videoFrameHashes(media).toDF()
+      .select(col("doc_id").as("id"), col("fhash")).distinct()
+    val sizes = hashes.groupBy("id").agg(count(lit(1)).as("nf"))
+    val rare = hashes.groupBy("fhash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("fhash")
+    val pruned = hashes.join(rare, Seq("fhash"), "left_semi")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+      .join(sizes.toDF("doc_id_a", "frames_a"), Seq("doc_id_a"))
+      .join(sizes.toDF("doc_id_b", "frames_b"), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("shared_frames"),
+        col("frames_a"), col("frames_b"))
+  }
+
+  /** Build an MJPEG-in-AVI container around existing JPEG frame
+    * payloads — [[textToAvi]]'s tail, shared with [[remuxAvi]]. */
+  private[graft] def framesToAvi(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val buf = java.nio.ByteBuffer

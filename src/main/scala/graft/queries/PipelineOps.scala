@@ -527,6 +527,22 @@ object PipelineOps {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** P19 video near-dup (rows-only): the corpus's MJPEG-AVI renders
+    * plus a RE-MUXED re-delivery (same JPEG frames, different frame
+    * rate and container bytes, ids offset by 10⁷) — re-containerized
+    * copies must pair on shared frame dHashes where byte digests pair
+    * nothing. Background frames shared by >20 videos are df-pruned. */
+  def p19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val orig = aviFixture(s, d).as[Multimodal.MediaRow]
+    val remuxed = orig.map(m => m.copy(
+      doc_id = m.doc_id + 10000000L,
+      content = Multimodal.remuxAvi(m.content, fps = 8)))
+    Multimodal.videoNearDupPairs(orig.union(remuxed))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -546,5 +562,6 @@ object PipelineOps {
     "p16_video" -> p16,
     "p17_image_dedup" -> p17,
     "p18_audio_dedup" -> p18,
+    "p19_video_dedup" -> p19,
   )
 }

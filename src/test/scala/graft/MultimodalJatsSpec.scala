@@ -148,6 +148,37 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
   }
 
+  test("multimodal: videoNearDupPairs pairs a re-muxed copy on shared " +
+      "frame hashes, skips unrelated videos, prunes background frames") {
+    val a = Multimodal.textToAvi(
+      "the first video's text content, long enough for several frames " +
+        "of distinct pixel payloads rendered into the mjpeg stream here")
+    val b = Multimodal.textToAvi(
+      "a completely different second video body with other frame bytes " +
+        "that never coincide with the first one's jpeg frame payloads!!")
+    val aRemux = Multimodal.remuxAvi(a, fps = 8)
+    assert(!java.util.Arrays.equals(a, aRemux),
+      "remux must change the container bytes")
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video/avi", a, Map.empty),
+      Multimodal.MediaRow(1L, "video/avi", aRemux, Map.empty),
+      Multimodal.MediaRow(2L, "video/avi", b, Map.empty)
+    ).toDS()
+    val pairs = Multimodal.videoNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 2L), pairs)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
+    // df pruning: a frame hash present in MORE than maxDocFreq videos
+    // generates no candidates at all
+    val many = (0L until 5L).map(i =>
+      Multimodal.MediaRow(10L + i, "video/avi",
+        Multimodal.textToAvi("identical background"), Map.empty)).toDS()
+    assert(Multimodal.videoNearDupPairs(many, minShared = 1,
+      maxDocFreq = 4L).isEmpty)
+    assert(Multimodal.videoNearDupPairs(many, minShared = 1,
+      maxDocFreq = 5L).count() == 10L) // all C(5,2) pairs once allowed
+  }
+
   test("multimodal: WAV encode→decode round-trip (PCM chunk walk)") {
     val text = "hello wav world"
     val wav = Multimodal.textToWav(text)
