@@ -259,11 +259,14 @@ object Multimodal {
   /** Image near-dup pairs: dHash signatures into the generic 4×16-bit
     * pigeonhole Hamming join ([[graft.operators.Dedup.hamming64Pairs]]
     * — the same banding text SimHash uses). Media bytes never shuffle;
-    * the join carries 8-byte signatures only. */
+    * the join carries 8-byte signatures only. The signature table is
+    * persisted first: both sides of the self-join read it, and
+    * re-executing the subtree would DECODE EVERY IMAGE TWICE. */
   def imageNearDupPairs(media: Dataset[MediaRow],
       maxHamming: Int = 3): DataFrame =
     graft.operators.Dedup.hamming64Pairs(
-      imageHashes(media).toDF(), "doc_id", "dhash", maxHamming)
+      graft.CacheRegistry.persist(imageHashes(media).toDF()),
+      "doc_id", "dhash", maxHamming)
 
   // ------------------------------------------------------- audio decode
 
@@ -396,7 +399,8 @@ object Multimodal {
   def audioNearDupPairs(media: Dataset[MediaRow],
       maxHamming: Int = 3): DataFrame =
     graft.operators.Dedup.hamming64Pairs(
-      audioHashes(media).toDF(), "doc_id", "dhash", maxHamming)
+      graft.CacheRegistry.persist(audioHashes(media).toDF()),
+      "doc_id", "dhash", maxHamming)
 
   /** Rescale every 16-bit PCM sample by `num/den` (clipped) — the
     * "re-normalized re-delivery" transform p18 uses to exercise the
@@ -695,8 +699,11 @@ object Multimodal {
   def videoNearDupPairs(media: Dataset[MediaRow], minShared: Int = 2,
       maxDocFreq: Long = 20L): DataFrame = {
     import org.apache.spark.sql.functions._
-    val hashes = videoFrameHashes(media).toDF()
-      .select(col("doc_id").as("id"), col("fhash")).distinct()
+    // persisted: sizes, the df prune and BOTH self-join sides read this
+    // frame — re-executing the subtree would re-decode every video
+    val hashes = graft.CacheRegistry.persist(
+      videoFrameHashes(media).toDF()
+        .select(col("doc_id").as("id"), col("fhash")).distinct())
     val sizes = hashes.groupBy("id").agg(count(lit(1)).as("nf"))
     val rare = hashes.groupBy("fhash").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("fhash")
