@@ -709,11 +709,17 @@ object TextAnalysis {
           Sketch.gram_hash_positions(col("toks"), n))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("ddf"))
       .transform(CacheRegistry.persist(_))
-    // stored dfs pruned to the delivery's grams BEFORE any join: the
-    // broadcast build is the delivery gram set (delivery-bounded); the
-    // corpus-scale df table streams through as the probe side
+    // stored dfs pruned to the delivery's grams BEFORE anything else:
+    // the broadcast build is the delivery gram set (delivery-bounded);
+    // the corpus-scale df table streams through as the probe side. The
+    // df-sum aggregate runs AFTER the prune — `storedDfs` may be the
+    // raw multi-delta union ([[loadSpanDfIndex]]), and aggregating it
+    // first would shuffle the ENTIRE gram table per delivery where the
+    // pruned aggregate is delivery-sized (summing an already-aggregated
+    // single-snapshot table is a no-op semantically)
     val sdf = storedDfs.join(broadcast(ddf.select("gh")), Seq("gh"),
-      "left_semi")
+        "left_semi")
+      .groupBy("gh").agg(sum("df").as("df"))
     val shared = ddf.join(sdf, Seq("gh"), "left")
       .filter(col("ddf") + coalesce(col("df"), lit(0L)) >= minDf)
       .select("gh")
@@ -766,18 +772,30 @@ object TextAnalysis {
       .map(_.getPath.getName.stripPrefix("dfs-delta-").toLong)
   }
 
-  /** Load the span-df index as the lazy df-sum over committed deltas.
-    * One delta loads without the aggregate (the common single-snapshot
-    * case keeps its scan-only plan). */
+  /** Load the span-df index as the RAW union of committed deltas — a
+    * gram may appear once per delta; the per-gram sum is the
+    * consumer's job AFTER its own pruning
+    * ([[removeSharedSpansIncremental]] aggregates post-semi-join, so a
+    * delivery never pays a corpus-gram-scale shuffle just to read the
+    * state). [[compactSpanDfIndex]] folds the union into one
+    * pre-aggregated delta when the delta count grows. */
   def loadSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val slots = committedSpanDfSlots(spark, path)
     require(slots.nonEmpty, s"no committed span-df deltas under $path")
-    val parts = slots.sorted.map(k =>
-      spark.read.parquet(s"$path/dfs-delta-$k"))
-    if (parts.length == 1) parts.head
-    else parts.reduce(_.unionByName(_)).groupBy("gh").agg(sum("df").as("df"))
+    slots.sorted.map(k => spark.read.parquet(s"$path/dfs-delta-$k"))
+      .reduce(_.unionByName(_))
   }
+
+  /** Fold every committed delta under `from` into ONE aggregated delta
+    * at `to` (slot 0), sorted by gram hash so parquet zone maps can
+    * skip row groups under future semi-join prunes. */
+  def compactSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit =
+    saveSpanDfDelta(spark, to,
+      loadSpanDfIndex(spark, from).groupBy("gh").agg(sum("df").as("df"))
+        .sortWithinPartitions("gh"),
+      slot = Some(0L))
 
   // --------------------------------------------------- BM25 ranked search
 

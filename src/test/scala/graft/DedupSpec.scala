@@ -59,6 +59,18 @@ class DedupSpec extends SparkSuite {
     // the fixture exercises both df sources: 10 cut by stored grams,
     // 11/12 by each other, 13 untouched
     assert(inc(0)._3 > 0 && inc(1)._3 > 0 && inc(3)._3 == 0L, inc.toSeq)
+    // the raw multi-delta union form (loadSpanDfIndex's contract — a
+    // gram may repeat per delta) reads identically: the operator sums
+    // after its own pruning
+    val rawUnion = TextAnalysis.spanGramDfs(
+        stored.filter(col("doc_id") === 0L), n = 8)
+      .unionByName(TextAnalysis.spanGramDfs(
+        stored.filter(col("doc_id") === 1L), n = 8))
+    val incRaw = TextAnalysis.removeSharedSpansIncremental(delivery,
+        rawUnion, n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(incRaw.toSeq == inc.toSeq)
   }
 
   test("span-df index: fold equals union resummarize; persisted deltas " +
@@ -81,17 +93,28 @@ class DedupSpec extends SparkSuite {
       // a torn delta (no _SUCCESS) must be invisible to load
       val torn = new java.io.File(dir, "dfs-delta-7")
       assert(torn.mkdir())
-      val loaded = TextAnalysis.loadSpanDfIndex(spark, dir.getPath)
+      // load is the RAW delta union (a gram may repeat per delta);
+      // consumers aggregate after their own pruning
+      def loadedSum = TextAnalysis.loadSpanDfIndex(spark, dir.getPath)
+        .groupBy("gh").agg(sum("df").as("df"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      assert(loaded == full)
+      assert(loadedSum == full)
       assert(TextAnalysis.committedSpanDfSlots(spark, dir.getPath)
         .sorted == Seq(0L, 1L))
       // replay: overwriting slot 1 with the same delivery changes nothing
       TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
         TextAnalysis.spanGramDfs(b, n = 8), slot = Some(1L))
-      val replayed = TextAnalysis.loadSpanDfIndex(spark, dir.getPath)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      assert(replayed == full)
+      assert(loadedSum == full)
+      // compaction folds the union into one aggregated delta; the
+      // incremental operator reads either form identically
+      val cdir = java.nio.file.Files.createTempDirectory("graft-spandf-c")
+      try {
+        TextAnalysis.compactSpanDfIndex(spark, dir.getPath, cdir.toString)
+        assert(TextAnalysis.committedSpanDfSlots(spark, cdir.toString) == Seq(0L))
+        val compacted = TextAnalysis.loadSpanDfIndex(spark, cdir.toString)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(compacted == full)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(cdir.toFile)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
