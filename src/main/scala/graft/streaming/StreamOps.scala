@@ -372,7 +372,9 @@ object StreamOps {
     */
   def streamingSpanDedup(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 8, minDf: Int = 2, textCol: String = "text",
-      idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery =
+      idCol: String = "doc_id", compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -391,14 +393,32 @@ object StreamOps {
           TextAnalysis.removeSharedSpansIncremental(batch.toDF(), stored,
               n, minDf, textCol, idCol)
             .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
-          TextAnalysis.saveSpanDfDelta(spark, stateDir,
-            TextAnalysis.spanGramDfs(batch.toDF(), n, textCol, idCol),
-            slot = Some(batchId))
+          val batchDfs = TextAnalysis.spanGramDfs(batch.toDF(), n,
+            textCol, idCol)
+          if (slots.size + 1 >= compactEvery) {
+            // compaction batch: this slot's delta is the FULL aggregated
+            // union (sorted for zone-map prunes) instead of the raw
+            // batch dfs; older deltas — now redundant — retire only
+            // after the new slot's _SUCCESS lands, so a crash mid-way
+            // leaves a readable (merely uncompacted) state
+            TextAnalysis.saveSpanDfDelta(spark, stateDir,
+              stored.unionByName(batchDfs)
+                .groupBy("gh").agg(sum("df").as("df"))
+                .sortWithinPartitions("gh"),
+              slot = Some(batchId))
+            val dir = new org.apache.hadoop.fs.Path(stateDir)
+            val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+            slots.foreach(k =>
+              fs.delete(new org.apache.hadoop.fs.Path(dir, s"dfs-delta-$k"), true))
+          } else
+            TextAnalysis.saveSpanDfDelta(spark, stateDir, batchDfs,
+              slot = Some(batchId))
           graft.CacheRegistry.releaseSince(spark, mark)
         }
         ()
       }
       .start()
+  }
 
   /** Latest committed funnel state written by
     * [[streamingCurationFunnel]]. */

@@ -591,12 +591,21 @@ class StreamingSpec extends SparkSuite {
       val streamed = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false").parquet(dir.getPath)
+      // compactEvery = 3: the third batch folds the union into its own
+      // slot and retires the two raw deltas — outputs must not change
       val q = StreamOps.streamingSpanDedup(streamed, stateDir.getPath,
-        outDir.getPath, n = 8)
+        outDir.getPath, n = 8, compactEvery = 3)
       q.processAllAvailable(); q.stop()
-      // exactly one committed df delta and one cleaned dir per batch
+      // after compaction only the snapshot slot remains
       assert(TextAnalysis.committedSpanDfSlots(spark, stateDir.getPath)
-        .sorted == Seq(0L, 1L, 2L))
+        .sorted == Seq(2L))
+      // and it holds the aggregated union of all three chunks
+      val stateSum = TextAnalysis.loadSpanDfIndex(spark, stateDir.getPath)
+        .groupBy("gh").agg(sum("df").as("df"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val wantSum = TextAnalysis.spanGramDfs(docs, n = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(stateSum == wantSum)
       // batch k's cleaned output ≡ the incremental cut against the
       // union of every earlier chunk's gram dfs (chronological
       // semantics; batch 0 is cut against itself only)
