@@ -234,25 +234,28 @@ object Curation {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    // fail fast on Long overflow instead of silently wrapping to
-    // NEGATIVE (= smaller-than-everything) ids: content-hash bases are
-    // uniform in [0, 2^63), so a base near Long.MaxValue leaves less
-    // headroom than a large delivery needs — renumber the STORED
-    // corpus once (compact + re-id) rather than corrupting keeper
-    // election
-    val n = delivery.count()
-    require(base <= Long.MaxValue - 1L - n,
-      s"assignMonotoneIds: stored max id $base leaves no headroom for " +
-        s"a $n-row delivery without Long overflow; renumber the stored " +
-        "corpus to a dense id range first")
     val others = delivery.columns.filter(_ != idCol)
     val schema = org.apache.spark.sql.types.StructType(
       delivery.schema.fields.filter(_.name != idCol) :+
         org.apache.spark.sql.types.StructField(idCol,
           org.apache.spark.sql.types.LongType, nullable = false))
     val renumbered = delivery.drop(idCol).rdd.zipWithIndex().map {
-      case (row, i) => org.apache.spark.sql.Row.fromSeq(
-        row.toSeq :+ (base + 1L + i))
+      case (row, i) =>
+        val id = base + 1L + i
+        // fail fast on Long overflow instead of silently wrapping to
+        // NEGATIVE (= smaller-than-everything) ids that corrupt keeper
+        // election: content-hash bases are uniform in [0, 2^63), so a
+        // base near Long.MaxValue leaves less headroom than a large
+        // delivery needs — renumber the STORED corpus (compact + re-id)
+        // first. Detected inside the one existing pass: base >= 0 and
+        // a wrapped id falls below it, so the check is free — no extra
+        // count job over the delivery.
+        if (id < base)
+          throw new IllegalArgumentException(
+            s"assignMonotoneIds: stored max id $base leaves no headroom " +
+              s"for row index $i without Long overflow; renumber the " +
+              "stored corpus to a dense id range first")
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ id)
     }
     spark.createDataFrame(renumbered, schema)
       .select((idCol +: others.toSeq).map(col): _*)

@@ -286,7 +286,12 @@ object Dedup {
       sourceCol: String = "source"): DataFrame = {
     val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold,
       maxDocFreq)
-    val src = docs.select(col(idCol), col(sourceCol))
+    // a NULL source surfaces as its own "(null)" feed: least/greatest
+    // skip nulls, so without the sentinel a null↔'sA' pair would land
+    // in the ('sA','sA') DIAGONAL — blaming a real feed for intra-feed
+    // duplication that actually crosses into the metadata-less one
+    val src = docs.select(col(idCol),
+      coalesce(col(sourceCol), lit("(null)")).as(sourceCol))
     pairs
       .join(src.toDF("doc_id_a", "src_a"), Seq("doc_id_a"))
       .join(src.toDF("doc_id_b", "src_b"), Seq("doc_id_b"))

@@ -713,9 +713,16 @@ object Multimodal {
         col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
       .agg(count(lit(1)).as("shared_frames"))
-      .filter(col("shared_frames") >= minShared)
       .join(sizes.toDF("doc_id_a", "frames_a"), Seq("doc_id_a"))
       .join(sizes.toDF("doc_id_b", "frames_b"), Seq("doc_id_b"))
+      // FULL overlap always pairs regardless of minShared: a pair of
+      // single-frame videos — or of undecodable byte-dups, whose one
+      // fallback row is their whole signature — shares everything it
+      // has, and minShared exists to reject coincidental partial
+      // matches, not exact duplicates
+      .filter(col("shared_frames") >= minShared ||
+        (col("shared_frames") === col("frames_a") &&
+         col("shared_frames") === col("frames_b")))
       .select(col("doc_id_a"), col("doc_id_b"), col("shared_frames"),
         col("frames_a"), col("frames_b"))
   }

@@ -81,10 +81,15 @@ object Sampling {
     // null scores rank LAST (the window's `score DESC NULLS LAST, id`)
     // rather than being dropped: the bounded aggregate skips null
     // score inputs, which would silently evict null-score documents
-    // from the capped corpus even with cap headroom
+    // from the capped corpus even with cap headroom. The sentinel is
+    // NaN — java.lang.Double.compare sorts it strictly after +Inf, so
+    // a -Infinity or -Double.MaxValue score still ranks ABOVE every
+    // null (a finite sentinel collides or inverts there). The one case
+    // outside the window-parity guarantee is a NaN SCORE: it ties with
+    // nulls here, where the window's DESC would rank NaN first.
     df.select(col(groupCol), col(idCol).cast("long").as("__id"),
         coalesce(negate(col(scoreCol).cast("double")),
-          lit(Double.MaxValue)).as("__s"))
+          lit(Double.NaN)).as("__s"))
       .groupBy(col(groupCol))
       .agg(BoundedAgg.collect_min_k_by(col("__s"), col("__id"), cap).as("top"))
       .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "p")))

@@ -784,34 +784,14 @@ object Similarity {
   final case class IndexMaintenance(index: IvfPqIndex, appended: Boolean,
       retrainReason: Option[String], report: DataFrame)
 
-  /** The drift report's schema (for empty-delivery short-circuits and
-    * external writers that need a stable frame shape). */
-  private def emptyDriftReport(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("base_n",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("del_n",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("share_delta",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("energy_ratio",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("base_cos_drift",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("del_cos_drift",
-          org.apache.spark.sql.types.DoubleType))))
-
   def maintainIvfPqIndex(index: IvfPqIndex, base: DataFrame,
       delivery: DataFrame, maxShareDelta: Double = 0.25,
       maxEnergyRatio: Double = 3.0, vecCol: String = "embedding",
       idCol: String = "vec_id"): IndexMaintenance = {
-    if (delivery.isEmpty)
-      return IndexMaintenance(index, appended = true, None,
-        emptyDriftReport(delivery.sparkSession))
+    // an EMPTY delivery needs no special case: the report still emits
+    // its numLists rows (del_n = 0, null shares), null shares breach
+    // nothing, and the verdict is a trivial append — one code path,
+    // one report schema
     val report = graft.CacheRegistry.persist(
       ivfIndexDriftReport(index, base, delivery, vecCol, idCol))
     val rows = report

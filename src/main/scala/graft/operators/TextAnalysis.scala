@@ -692,7 +692,8 @@ object TextAnalysis {
     */
   def removeSharedSpansIncremental(delivery: DataFrame, storedDfs: DataFrame,
       n: Int = 8, minDf: Int = 2, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      deliveryDfs: Option[DataFrame] = None): DataFrame = {
     require(minDf >= 2,
       s"minDf must be >= 2 (got $minDf): df >= 1 would remove every gram-covered token")
     import graft.functions.Sketch
@@ -703,12 +704,18 @@ object TextAnalysis {
       posexplode(Sketch.gram_hash_positions(col("toks"), n))
         .as(Seq("pos", "gh")))
     // delivery-side per-gram df (distinct docs row-local, 8-byte rows);
-    // persisted: it feeds the stored-side prune AND the threshold join
-    val ddf = toked.select(col("doc_id"),
-        explode(array_distinct(
-          Sketch.gram_hash_positions(col("toks"), n))).as("gh"))
-      .groupBy("gh").agg(count(lit(1)).as("ddf"))
-      .transform(CacheRegistry.persist(_))
+    // persisted: it feeds the stored-side prune AND the threshold join.
+    // A host that already materialized the delivery's [[spanGramDfs]]
+    // (the streaming span-dedup saves it as the state delta) passes it
+    // in instead of paying the tokenize+hash+aggregate pass twice.
+    val ddf = deliveryDfs match {
+      case Some(dfs) => dfs.select(col("gh"), col("df").as("ddf"))
+      case None => toked.select(col("doc_id"),
+          explode(array_distinct(
+            Sketch.gram_hash_positions(col("toks"), n))).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("ddf"))
+        .transform(CacheRegistry.persist(_))
+    }
     // stored dfs pruned to the delivery's grams BEFORE anything else:
     // the broadcast build is the delivery gram set (delivery-bounded);
     // the corpus-scale df table streams through as the probe side. The
@@ -749,47 +756,78 @@ object TextAnalysis {
     * as a self-committing `dfs-delta-<slot>` parquet dir (O(delta)
     * write — stored deltas never rewritten, the funnel-state / IVF
     * codes-delta discipline; an explicit slot makes a replayed batch's
-    * overwrite idempotent). [[loadSpanDfIndex]] serves the union as a
-    * lazy sum; compaction = re-save of the loaded union into a fresh
-    * path. Torn writes (no _SUCCESS) are ignored by load. */
+    * overwrite idempotent). Compactions land as `dfs-snap-<slot>` —
+    * the SNAPSHOT kind is what makes the lifecycle crash-safe: a
+    * snapshot at slot k supersedes every part with slot ≤ k BY
+    * CONSTRUCTION ([[loadSpanDfIndex]] ignores them), so deleting the
+    * superseded dirs is pure housekeeping and a crash between the
+    * snapshot's commit marker and the deletes cannot double-count a
+    * gram on replay. Torn writes (no _SUCCESS) are ignored by load. */
   def saveSpanDfDelta(spark: org.apache.spark.sql.SparkSession,
-      path: String, dfs: DataFrame, slot: Option[Long] = None): Unit = {
+      path: String, dfs: DataFrame, slot: Option[Long] = None,
+      snapshot: Boolean = false): Unit = {
     val next = slot.getOrElse(committedSpanDfSlots(spark, path)
       .foldLeft(-1L)(math.max) + 1)
-    dfs.write.mode("overwrite").parquet(s"$path/dfs-delta-$next")
+    val kind = if (snapshot) "snap" else "delta"
+    dfs.write.mode("overwrite").parquet(s"$path/dfs-$kind-$next")
   }
 
-  /** Committed delta slots under a persisted span-df index path. */
-  def committedSpanDfSlots(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Long] = {
+  /** Committed (slot, isSnapshot) parts under a span-df index path. */
+  private def committedSpanDfParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.matches("dfs-delta-\\d+") &&
+        s.getPath.getName.matches("dfs-(delta|snap)-\\d+") &&
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("dfs-delta-").toLong)
+      .map { s =>
+        val n = s.getPath.getName
+        (n.replaceFirst("dfs-(delta|snap)-", "").toLong,
+          n.startsWith("dfs-snap-"))
+      }
   }
 
-  /** Load the span-df index as the RAW union of committed deltas — a
-    * gram may appear once per delta; the per-gram sum is the
-    * consumer's job AFTER its own pruning
+  /** Committed slot numbers (deltas AND snapshots) under a persisted
+    * span-df index path — the replay-skip set for streaming hosts. */
+  def committedSpanDfSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    committedSpanDfParts(spark, path).map(_._1)
+
+  /** LIVE slot numbers: the latest snapshot (if any) plus every delta
+    * after it — what [[loadSpanDfIndex]] actually reads. */
+  def liveSpanDfSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] = {
+    val parts = committedSpanDfParts(spark, path)
+    val snap = parts.filter(_._2).map(_._1).sorted.lastOption
+    snap match {
+      case None => parts.sortBy(_._1)
+      case Some(s) => ((s, true) +:
+        parts.filter(p => !p._2 && p._1 > s)).sortBy(_._1)
+    }
+  }
+
+  /** Load the span-df index as the RAW union of live parts (latest
+    * snapshot + later deltas) — a gram may appear once per part; the
+    * per-gram sum is the consumer's job AFTER its own pruning
     * ([[removeSharedSpansIncremental]] aggregates post-semi-join, so a
     * delivery never pays a corpus-gram-scale shuffle just to read the
-    * state). [[compactSpanDfIndex]] folds the union into one
-    * pre-aggregated delta when the delta count grows. */
+    * state). Parts a snapshot superseded are ignored even if their
+    * dirs still exist (the crash-safety contract above). */
   def loadSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val slots = committedSpanDfSlots(spark, path)
-    require(slots.nonEmpty, s"no committed span-df deltas under $path")
-    slots.sorted.map(k => spark.read.parquet(s"$path/dfs-delta-$k"))
+    val parts = liveSpanDfSlots(spark, path)
+    require(parts.nonEmpty, s"no committed span-df parts under $path")
+    parts.map { case (k, snap) =>
+        spark.read.parquet(s"$path/dfs-${if (snap) "snap" else "delta"}-$k")
+      }
       .reduce(_.unionByName(_))
   }
 
-  /** Fold every committed delta under `from` into ONE aggregated delta
-    * at `to` (slot 0), sorted by gram hash so parquet zone maps can
-    * skip row groups under future semi-join prunes. */
+  /** Fold every live part under `from` into ONE aggregated delta at
+    * `to` (slot 0), sorted by gram hash so parquet zone maps can skip
+    * row groups under future semi-join prunes. */
   def compactSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
       from: String, to: String): Unit =
     saveSpanDfDelta(spark, to,

@@ -382,34 +382,41 @@ object StreamOps {
         val slots = TextAnalysis.committedSpanDfSlots(spark, stateDir)
         if (!slots.contains(batchId) && !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
+          val live = TextAnalysis.liveSpanDfSlots(spark, stateDir)
           val stored =
-            if (slots.isEmpty)
+            if (live.isEmpty)
               // first delivery: cut against delivery-internal dfs only
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 StructType(Seq(StructField("gh", LongType),
                   StructField("df", LongType))))
             else TextAnalysis.loadSpanDfIndex(spark, stateDir)
+          // the batch's gram dfs are BOTH the operator's delivery-df
+          // input and the state delta — computed and persisted once
+          val batchDfs = graft.CacheRegistry.persist(
+            TextAnalysis.spanGramDfs(batch.toDF(), n, textCol, idCol))
           TextAnalysis.removeSharedSpansIncremental(batch.toDF(), stored,
-              n, minDf, textCol, idCol)
+              n, minDf, textCol, idCol, deliveryDfs = Some(batchDfs))
             .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
-          val batchDfs = TextAnalysis.spanGramDfs(batch.toDF(), n,
-            textCol, idCol)
-          if (slots.size + 1 >= compactEvery) {
-            // compaction batch: this slot's delta is the FULL aggregated
-            // union (sorted for zone-map prunes) instead of the raw
-            // batch dfs; older deltas — now redundant — retire only
-            // after the new slot's _SUCCESS lands, so a crash mid-way
-            // leaves a readable (merely uncompacted) state
+          if (live.size + 1 >= compactEvery) {
+            // compaction batch: this slot lands as a SNAPSHOT — the full
+            // aggregated union (sorted for zone-map prunes). A snapshot
+            // at slot k supersedes every part with slot <= k by
+            // construction, so the deletes below are housekeeping: a
+            // crash between the snapshot's _SUCCESS and the deletes
+            // leaves dirs that load already ignores, and the replayed
+            // batch skips without double-counting
             TextAnalysis.saveSpanDfDelta(spark, stateDir,
               stored.unionByName(batchDfs)
                 .groupBy("gh").agg(sum("df").as("df"))
                 .sortWithinPartitions("gh"),
-              slot = Some(batchId))
+              slot = Some(batchId), snapshot = true)
             val dir = new org.apache.hadoop.fs.Path(stateDir)
             val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-            slots.foreach(k =>
-              fs.delete(new org.apache.hadoop.fs.Path(dir, s"dfs-delta-$k"), true))
+            live.foreach { case (k, snap) =>
+              fs.delete(new org.apache.hadoop.fs.Path(dir,
+                s"dfs-${if (snap) "snap" else "delta"}-$k"), true)
+            }
           } else
             TextAnalysis.saveSpanDfDelta(spark, stateDir, batchDfs,
               slot = Some(batchId))

@@ -316,14 +316,19 @@ class CurationSpec extends SparkSuite {
     assert(Curation.assignMonotoneIds(state, delivery).columns.toSeq ==
       Seq("doc_id", "text", "n_chars"))
     // no-headroom base (hash id near Long.MaxValue): fail fast instead
-    // of wrapping to negative ids that silently corrupt keeper election
+    // of wrapping to negative ids that silently corrupt keeper election.
+    // The check runs inside the one renumbering pass (no extra count
+    // job), so the executor-side error surfaces wrapped by Spark.
     val nearMax = Curation.FunnelState(
       Seq((Long.MaxValue - 1L, "stored", 6L)).toDF("doc_id", "text", "n_chars"),
       0.0, 100.0)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Curation.assignMonotoneIds(nearMax, delivery).collect()
     }
-    assert(e.getMessage.contains("headroom"), e.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("headroom")), messages(e))
   }
 
   test("blocklistMatches equals the per-pattern contains chain") {

@@ -115,6 +115,24 @@ class DedupSpec extends SparkSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
         assert(compacted == full)
       } finally org.apache.commons.io.FileUtils.deleteDirectory(cdir.toFile)
+      // the compaction crash window: a SNAPSHOT at slot 1 lands but the
+      // superseded raw deltas were never deleted — load must serve the
+      // snapshot alone (no double-counted grams), and the live set must
+      // name exactly the snapshot
+      TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
+        TextAnalysis.spanGramDfs(a.unionByName(b), n = 8),
+        slot = Some(1L), snapshot = true)
+      assert(TextAnalysis.liveSpanDfSlots(spark, dir.getPath) ==
+        Seq((1L, true)))
+      assert(loadedSum == full)
+      // a delta AFTER the snapshot joins the live set
+      val c = Seq((9L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+      TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
+        TextAnalysis.spanGramDfs(c, n = 8), slot = Some(2L))
+      val fullC = TextAnalysis.spanGramDfs(
+          a.unionByName(b).unionByName(c), n = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(loadedSum == fullC)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
@@ -200,6 +218,15 @@ class DedupSpec extends SparkSuite {
     assert(got == Seq(
       ("sA", "sB", 2L, 0.8),   // (0,1) j=1.0 and (0,2) j=0.6
       ("sB", "sB", 1L, 0.6)), got)
+    // a null source is its own "(null)" feed, never folded into the
+    // other side's diagonal by least/greatest null-skipping
+    val withNull = Seq(
+      (0L, "the quick brown fox jumps", Option("sA")),
+      (1L, "the quick brown fox jumps", Option.empty[String])
+    ).toDF("doc_id", "text", "source")
+    val gotN = Dedup.nearDupSourceOverlap(withNull, n = 2, threshold = 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(gotN == Seq(("(null)", "sA")), gotN)
   }
 
   test("native normalized_key is byte-identical to the regexp formulation") {

@@ -168,6 +168,17 @@ class MultimodalJatsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 2L), pairs)
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
+    // undecodable byte-dups: each contributes ONE fallback row, below
+    // minShared — the full-overlap rule must still pair them
+    val junk = Array.fill[Byte](80)(7)
+    val fallback = Seq(
+      Multimodal.MediaRow(20L, "video/mp4", junk, Map.empty),
+      Multimodal.MediaRow(21L, "video/mp4", junk.clone(), Map.empty),
+      Multimodal.MediaRow(22L, "video/mp4", Array.fill[Byte](80)(9), Map.empty)
+    ).toDS()
+    val fbPairs = Multimodal.videoNearDupPairs(fallback)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fbPairs == Set((20L, 21L, 1L)), fbPairs)
     // df pruning: a frame hash present in MORE than maxDocFreq videos
     // generates no candidates at all
     val many = (0L until 5L).map(i =>

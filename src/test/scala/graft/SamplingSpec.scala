@@ -75,6 +75,23 @@ class SamplingSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sorted.toSeq
     assert(got == want)
+    // float edges: -Infinity and -Double.MaxValue scores still rank
+    // ABOVE nulls under cap pressure (the NaN sentinel sorts after
+    // +Inf; a finite sentinel would collide with -MaxValue and lose
+    // to the negated -Infinity)
+    val edges = Seq(
+      ("a", 1L, Some(Double.NegativeInfinity)),
+      ("a", 2L, Some(-Double.MaxValue)),
+      ("a", 3L, None), ("a", 4L, Some(1.0))).map {
+        case (g, id, sc) => (g, id, sc.map(Double.box).orNull)
+      }.toDF("grp", "id", "score")
+      .withColumn("score", col("score").cast("double"))
+    val gotE = Sampling.groupCap(edges, "grp", cap = 3,
+        scoreCol = "score", idCol = "id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    // 1.0 -> rank 1, -MaxValue -> 2, -Inf -> 3; the null-score doc 3
+    // falls outside the cap
+    assert(gotE == Seq((1L, 3L), (2L, 2L), (4L, 1L)), gotE)
   }
 
   test("heavyHitters equals the count + window-rank formulation") {
