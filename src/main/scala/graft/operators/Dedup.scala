@@ -215,15 +215,31 @@ object Dedup {
     * chunk, so candidate generation is an equi-join on (chunk index,
     * chunk value) — only candidates pay the popcount verification, and
     * the exchange carries (chunk, 2-byte value, id, 8-byte sig) rows,
-    * never the underlying media/text. */
+    * never the underlying media/text.
+    *
+    * `maxBucket` caps candidate generation per (chunk, value) bucket:
+    * a DEGENERATE signature shared by a million members (all-black
+    * thumbnails, silence) otherwise enumerates ~5·10¹¹ candidate pairs
+    * — the quadratic blowup that kills the join at corpus scale. Pairs
+    * inside an over-cap bucket are NOT enumerated (documented recall
+    * cut); that volume is exact-duplicate territory and belongs in the
+    * GROUP form (hash-groupBy keeper election, [[exactDupGroups]]'
+    * shape over the signature), which reports a million-member bucket
+    * as one row instead of half a trillion. */
   def hamming64Pairs(sig: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for distance <= 3")
-    val chunked = sig.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    var chunked = sig.select(col(idCol).as("id"), col(hashCol).as("sim"))
       .select(col("id"), col("sim"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("chunk", "cval")))
+    if (maxBucket != Long.MaxValue) {
+      val small = chunked.groupBy("chunk", "cval")
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket).select("chunk", "cval")
+      chunked = chunked.join(small, Seq("chunk", "cval"), "left_semi")
+    }
     val a = chunked.select(col("chunk"), col("cval"),
       col("id").as("doc_id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("cval"),

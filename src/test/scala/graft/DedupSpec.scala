@@ -203,6 +203,23 @@ class DedupSpec extends SparkSuite {
       (101L, 1L, 0L, 0.0, 0L)), got)
   }
 
+  test("hamming64Pairs maxBucket prunes degenerate buckets from candidate " +
+      "generation, leaves ordinary pairs intact") {
+    import spark.implicits._
+    // ids 0-9 share one degenerate signature; 100/101 differ by one bit
+    // 100/101 share the distinctive 0xABCD chunk (bucket of 2) and
+    // differ by one bit; their zero chunks fall in the pruned buckets
+    val sig = ((0L until 10L).map(i => (i, 0L)) ++
+      Seq((100L, 0xABCD0001L), (101L, 0xABCD0000L))).toDF("id", "h")
+    val capped = Dedup.hamming64Pairs(sig, "id", "h", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), capped)
+    // uncapped default still enumerates the degenerate bucket
+    val full = Dedup.hamming64Pairs(sig, "id", "h")
+      .filter(col("doc_id_a") < 10).count()
+    assert(full == 45L) // C(10,2)
+  }
+
   test("nearDupSourceOverlap reports cross- and intra-source pair counts " +
       "with mean similarity") {
     val corpus = Seq(
