@@ -253,6 +253,18 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** The GROUP form for identical signatures — where [[hamming64Pairs]]'
+    * `maxBucket` sends the exact-duplicate volume: one row per 64-bit
+    * signature shared by ≥2 ids, with the keeper (min id) and member
+    * count. A million-member degenerate bucket is ONE row here versus
+    * half a trillion enumerated pairs; one hash aggregate, map-side
+    * combined, nothing but (8-byte hash, id) in the exchange. */
+  def signatureDupGroups(sig: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    sig.groupBy(col(hashCol).as("sig"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+
   // ----------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct

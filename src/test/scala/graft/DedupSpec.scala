@@ -218,6 +218,10 @@ class DedupSpec extends SparkSuite {
     val full = Dedup.hamming64Pairs(sig, "id", "h")
       .filter(col("doc_id_a") < 10).count()
     assert(full == 45L) // C(10,2)
+    // the GROUP form reports the degenerate bucket as ONE row
+    val groups = Dedup.signatureDupGroups(sig, "id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(groups == Seq((0L, 0L, 10L)), groups)
   }
 
   test("nearDupSourceOverlap reports cross- and intra-source pair counts " +
