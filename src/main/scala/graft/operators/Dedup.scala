@@ -220,12 +220,14 @@ object Dedup {
     * `maxBucket` caps candidate generation per (chunk, value) bucket:
     * a DEGENERATE signature shared by a million members (all-black
     * thumbnails, silence) otherwise enumerates ~5·10¹¹ candidate pairs
-    * — the quadratic blowup that kills the join at corpus scale. Pairs
-    * inside an over-cap bucket are NOT enumerated (documented recall
-    * cut); that volume is exact-duplicate territory and belongs in the
-    * GROUP form (hash-groupBy keeper election, [[exactDupGroups]]'
-    * shape over the signature), which reports a million-member bucket
-    * as one row instead of half a trillion. */
+    * — the quadratic blowup that kills the join at corpus scale. The
+    * recall cut is two-fold and deliberate: (a) pairs of IDENTICAL
+    * over-cap signatures are recovered losslessly by the GROUP form
+    * ([[signatureDupGroups]] — one row per bucket instead of C(n,2)
+    * pairs); (b) genuine Hamming-1..3 pairs whose ONLY shared chunks
+    * are over-cap values (e.g. a popular silence chunk) are LOST —
+    * the standard LSH bucket-cap trade, which is why the default is
+    * uncapped and callers opt in per corpus. */
   def hamming64Pairs(sig: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for distance <= 3")
@@ -314,17 +316,22 @@ object Dedup {
       sourceCol: String = "source"): DataFrame = {
     val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold,
       maxDocFreq)
-    // a NULL source surfaces as its own "(null)" feed: least/greatest
-    // skip nulls, so without the sentinel a null↔'sA' pair would land
-    // in the ('sA','sA') DIAGONAL — blaming a real feed for intra-feed
-    // duplication that actually crosses into the metadata-less one
-    val src = docs.select(col(idCol),
-      coalesce(col(sourceCol), lit("(null)")).as(sourceCol))
+    // a NULL source stays a distinct metadata-less feed (a null
+    // grouping key is a real group): least/greatest SKIP nulls, which
+    // would fold a null↔'sA' pair into the ('sA','sA') DIAGONAL —
+    // blaming a real feed for intra-feed duplication that actually
+    // crosses into the source-less one. A string sentinel would
+    // collide with a feed literally named that, so the unordered pair
+    // is normalized with an explicit null-last comparison instead.
+    val src = docs.select(col(idCol), col(sourceCol))
+    val aFirst = col("src_b").isNull ||
+      (col("src_a").isNotNull && col("src_a") <= col("src_b"))
     pairs
       .join(src.toDF("doc_id_a", "src_a"), Seq("doc_id_a"))
       .join(src.toDF("doc_id_b", "src_b"), Seq("doc_id_b"))
-      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(when(aFirst, col("src_a")).otherwise(col("src_b"))
+          .as("source_a"),
+        when(aFirst, col("src_b")).otherwise(col("src_a")).as("source_b"))
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(col("j")), 3).as("mean_j"))
   }

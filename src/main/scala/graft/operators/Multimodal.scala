@@ -707,14 +707,19 @@ object Multimodal {
     val sizes = hashes.groupBy("id").agg(count(lit(1)).as("nf"))
     val rare = hashes.groupBy("fhash").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("fhash")
+    // frame counts ride the join rows (one extra long) so the filter
+    // runs DIRECTLY on the pair aggregate: the coincidental
+    // 1-shared-frame tail — which dominates the candidate list at
+    // corpus scale — dies here instead of flowing through two
+    // post-aggregation joins first
     val pruned = hashes.join(rare, Seq("fhash"), "left_semi")
+      .join(sizes, Seq("id"))
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .join(sizes.toDF("doc_id_a", "frames_a"), Seq("doc_id_a"))
-      .join(sizes.toDF("doc_id_b", "frames_b"), Seq("doc_id_b"))
+      .agg(count(lit(1)).as("shared_frames"),
+        first(col("a.nf")).as("frames_a"), first(col("b.nf")).as("frames_b"))
       // FULL overlap always pairs regardless of minShared: a pair of
       // single-frame videos — or of undecodable byte-dups, whose one
       // fallback row is their whole signature — shares everything it

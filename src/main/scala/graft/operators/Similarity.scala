@@ -788,10 +788,14 @@ object Similarity {
       delivery: DataFrame, maxShareDelta: Double = 0.25,
       maxEnergyRatio: Double = 3.0, vecCol: String = "embedding",
       idCol: String = "vec_id"): IndexMaintenance = {
-    // an EMPTY delivery needs no special case: the report still emits
-    // its numLists rows (del_n = 0, null shares), null shares breach
-    // nothing, and the verdict is a trivial append — one code path,
-    // one report schema
+    // empty-delivery fast path: the verdict is a trivial append, so
+    // skip the report JOB (listEnergy scans the whole base corpus) —
+    // but return the report PLAN itself, lazily: same single schema
+    // source as the normal path, and a caller who actually reads it
+    // pays for it then (it evaluates to numLists rows with del_n = 0)
+    if (delivery.isEmpty)
+      return IndexMaintenance(index, appended = true, None,
+        ivfIndexDriftReport(index, base, delivery, vecCol, idCol))
     val report = graft.CacheRegistry.persist(
       ivfIndexDriftReport(index, base, delivery, vecCol, idCol))
     val rows = report

@@ -766,10 +766,52 @@ object TextAnalysis {
   def saveSpanDfDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, dfs: DataFrame, slot: Option[Long] = None,
       snapshot: Boolean = false): Unit = {
-    val next = slot.getOrElse(committedSpanDfSlots(spark, path)
-      .foldLeft(-1L)(math.max) + 1)
+    val parts = committedSpanDfParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._1).foldLeft(-1L)(math.max) + 1)
+    // a DELTA below the latest snapshot slot would be committed (so
+    // replays skip it) yet invisible to load (the snapshot supersedes
+    // its slot range) — silently losing its grams forever. That shape
+    // only arises when a NEW checkpoint lineage (batch ids reset to 0)
+    // is pointed at an OLD state dir; fail loudly instead. Snapshots
+    // may land on any slot (they supersede, never get superseded
+    // silently), and replays overwrite their own slot before this
+    // check can fire (the host skips committed slots first).
+    val latestSnap = parts.filter(_._2).map(_._1).sorted.lastOption
+    if (!snapshot) latestSnap.foreach(s => require(next > s,
+      s"saveSpanDfDelta: delta slot $next is superseded by snapshot " +
+        s"$s under $path — a load would never read it (did a new " +
+        "checkpoint lineage get pointed at an old state dir?)"))
     val kind = if (snapshot) "snap" else "delta"
     dfs.write.mode("overwrite").parquet(s"$path/dfs-$kind-$next")
+  }
+
+  /** Delete every committed part a snapshot has superseded (slot <
+    * the latest snapshot's) plus torn dirs below it — housekeeping
+    * only: load already ignores them. Returns the number of dirs
+    * removed. Call after a compaction snapshot commits; also sweeps
+    * orphans a crashed earlier compaction left behind. */
+  def sweepSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val snap = committedSpanDfParts(spark, path)
+      .filter(_._2).map(_._1).sorted.lastOption
+    snap match {
+      case None => 0
+      case Some(s) =>
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val victims = fs.listStatus(dir).toSeq.filter { st =>
+          val n = st.getPath.getName
+          val isSnap = n.startsWith("dfs-snap-")
+          st.isDirectory && n.matches("dfs-(delta|snap)-\\d+") && {
+            val k = n.replaceFirst("dfs-(delta|snap)-", "").toLong
+            // a snapshot covers slot <= s: deltas AT the boundary slot
+            // are superseded too; only the snapshot itself survives
+            k < s || (k == s && !isSnap)
+          }
+        }
+        victims.foreach(st => fs.delete(st.getPath, true))
+        victims.size
+    }
   }
 
   /** Committed (slot, isSnapshot) parts under a span-df index path. */

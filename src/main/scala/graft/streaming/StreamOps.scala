@@ -411,12 +411,10 @@ object StreamOps {
                 .groupBy("gh").agg(sum("df").as("df"))
                 .sortWithinPartitions("gh"),
               slot = Some(batchId), snapshot = true)
-            val dir = new org.apache.hadoop.fs.Path(stateDir)
-            val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-            live.foreach { case (k, snap) =>
-              fs.delete(new org.apache.hadoop.fs.Path(dir,
-                s"dfs-${if (snap) "snap" else "delta"}-$k"), true)
-            }
+            // sweep EVERYTHING the new snapshot superseded — including
+            // orphans a crashed earlier compaction left behind (a
+            // live-set-only delete would never revisit them)
+            TextAnalysis.sweepSpanDfIndex(spark, stateDir)
           } else
             TextAnalysis.saveSpanDfDelta(spark, stateDir, batchDfs,
               slot = Some(batchId))

@@ -125,6 +125,18 @@ class DedupSpec extends SparkSuite {
       assert(TextAnalysis.liveSpanDfSlots(spark, dir.getPath) ==
         Seq((1L, true)))
       assert(loadedSum == full)
+      // a DELTA at a slot the snapshot supersedes would be committed
+      // but never loaded (silent gram loss — the new-checkpoint-on-old-
+      // state-dir shape): rejected loudly
+      val boom = intercept[IllegalArgumentException] {
+        TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
+          TextAnalysis.spanGramDfs(a, n = 8), slot = Some(0L))
+      }
+      assert(boom.getMessage.contains("superseded"), boom.getMessage)
+      // sweep removes the two stale deltas the snapshot superseded
+      // (the crash-window orphans); the torn high-slot dir stays
+      assert(TextAnalysis.sweepSpanDfIndex(spark, dir.getPath) == 2)
+      assert(loadedSum == full)
       // a delta AFTER the snapshot joins the live set
       val c = Seq((9L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
       TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
@@ -239,15 +251,22 @@ class DedupSpec extends SparkSuite {
     assert(got == Seq(
       ("sA", "sB", 2L, 0.8),   // (0,1) j=1.0 and (0,2) j=0.6
       ("sB", "sB", 1L, 0.6)), got)
-    // a null source is its own "(null)" feed, never folded into the
-    // other side's diagonal by least/greatest null-skipping
+    // a null source stays a DISTINCT metadata-less feed (null grouping
+    // key, ordered last), never folded into the other side's diagonal
+    // by least/greatest null-skipping — and never colliding with a
+    // real feed named "(null)"
     val withNull = Seq(
       (0L, "the quick brown fox jumps", Option("sA")),
-      (1L, "the quick brown fox jumps", Option.empty[String])
+      (1L, "the quick brown fox jumps", Option.empty[String]),
+      (2L, "the quick brown fox jumps", Option("(null)"))
     ).toDF("doc_id", "text", "source")
     val gotN = Dedup.nearDupSourceOverlap(withNull, n = 2, threshold = 0.2)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(gotN == Seq(("(null)", "sA")), gotN)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2))).sortBy(_.toString).toSeq
+    assert(gotN == Seq(
+      ("(null)", None, 1L),          // real "(null)" feed ↔ source-less
+      ("(null)", Some("sA"), 1L),    // real "(null)" feed ↔ sA
+      ("sA", None, 1L)), gotN)       // sA ↔ source-less
   }
 
   test("native normalized_key is byte-identical to the regexp formulation") {
