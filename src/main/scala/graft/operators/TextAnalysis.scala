@@ -648,6 +648,51 @@ object TextAnalysis {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
+  /** Span-level decontamination — the surgical form of benchmark
+    * leakage removal: cut from every corpus document each token
+    * covered by an `n`-token window that occurs ANYWHERE in the
+    * benchmark, keeping the document's clean remainder (where
+    * [[graft.operators.Dedup.decontaminate]] drops whole documents on
+    * exact text match and q96 only reports gram counts, this removes
+    * the quoted eval item while saving the surrounding prose — the
+    * Lee-et-al treatment applied to eval leakage). Output columns are
+    * [[removeSharedSpans]]' (`n_tokens`, `n_removed`, `cleaned_text`).
+    *
+    * Scale shape: the benchmark reduces to a distinct 8-byte gram-hash
+    * set that BROADCASTS (eval sets are tiny next to a training
+    * corpus); the corpus's window hashes are row-local
+    * (`gram_hash_positions`), matched `(doc_id, pos)` rows — leak-
+    * bounded, not corpus-bounded — are the only exchange, and text
+    * rides only the final per-document reassembly join.
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.Sketch
+    val benchGrams = benchmark.select(
+        explode(array_distinct(
+          Sketch.gram_hash_positions(tokens(col(textCol)), n))).as("gh"))
+      .distinct()
+    val toked = corpus.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .transform(CacheRegistry.persist(_))
+    val starts = toked.select(col("doc_id"),
+        posexplode(Sketch.gram_hash_positions(col("toks"), n))
+          .as(Seq("pos", "gh")))
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    toked.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("toks"),
+        Sketch.remove_covered(col("toks"), col("starts"), n).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   /** Gram-document-frequency table for INCREMENTAL shared-span removal
     * — the persisted state [[removeSharedSpansIncremental]] reads: one
     * `(gh, df)` row per distinct `n`-token window content, `df` = how

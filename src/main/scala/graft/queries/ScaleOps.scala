@@ -927,6 +927,19 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q120 span-level decontamination (oracled): cut from the corpus
+    * (doc_id % 7 ≠ 0) every token covered by an 8-gram occurring in
+    * the benchmark slice (doc_id % 7 = 0) — q96's report turned into
+    * the repair: the quoted eval item is removed, the surrounding
+    * prose survives ([[TextAnalysis.decontaminateSpans]]). */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    TextAnalysis.decontaminateSpans(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -973,6 +986,7 @@ object ScaleOps {
     "q117_incremental_span_removal" -> q117,
     "q118_source_overlap" -> q118,
     "q119_benchmark_contamination" -> q119,
+    "q120_span_decontaminate" -> q120,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1391,6 +1405,27 @@ object ScaleOps {
          c AS (SELECT t.doc_id, toks, COALESCE(starts, CAST([] AS BIGINT[])) AS starts
                FROM t LEFT JOIN st USING (doc_id)
                WHERE t.doc_id % 4 = 0),
+         k AS (SELECT doc_id, toks,
+               LIST_FILTER(toks, (x, p) ->
+                 LEN(LIST_FILTER(starts, s -> s <= p AND p <= s + 7)) = 0) AS kept
+               FROM c)
+         SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(toks) - LEN(kept) AS BIGINT) AS n_removed,
+           COALESCE(ARRAY_TO_STRING(kept, ' '), '') AS cleaned_text
+         FROM k ORDER BY doc_id""",
+    "q120_span_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         g AS (SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+7], ' ') AS gram
+               FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks)-7)) AS u(i)
+               WHERE LEN(toks) >= 8),
+         b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+         st AS (SELECT doc_id, LIST_SORT(LIST(DISTINCT i)) AS starts
+                FROM g JOIN b USING (gram)
+                WHERE doc_id % 7 <> 0 GROUP BY doc_id),
+         c AS (SELECT t.doc_id, toks, COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+               FROM t LEFT JOIN st USING (doc_id)
+               WHERE t.doc_id % 7 <> 0),
          k AS (SELECT doc_id, toks,
                LIST_FILTER(toks, (x, p) ->
                  LEN(LIST_FILTER(starts, s -> s <= p AND p <= s + 7)) = 0) AS kept

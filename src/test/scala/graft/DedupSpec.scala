@@ -192,6 +192,26 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("decontaminateSpans cuts benchmark-covered spans, keeps clean " +
+      "prose, leaves leak-free documents untouched") {
+    val bench = Seq(
+      (100L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the full benchmark item mid-document
+      (0L, "intro words q1 q2 q3 q4 q5 q6 q7 q8 outro prose here"),
+      (1L, "totally clean document with no benchmark overlap at all"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8")   // the leak IS the document
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateSpans(corpus, bench, n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, 13L, 8L, "intro words outro prose here"),
+      (1L, 9L, 0L, "totally clean document with no benchmark overlap at all"),
+      (2L, 8L, 8L, "")), got)
+  }
+
   test("benchmarkContamination reports per-eval-item gram leakage with " +
       "zeros for clean items") {
     // bench doc 100 shares its whole 8-gram with corpus docs 0 and 1;
