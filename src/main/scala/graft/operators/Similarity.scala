@@ -787,13 +787,17 @@ object Similarity {
   def maintainIvfPqIndex(index: IvfPqIndex, base: DataFrame,
       delivery: DataFrame, maxShareDelta: Double = 0.25,
       maxEnergyRatio: Double = 3.0, vecCol: String = "embedding",
-      idCol: String = "vec_id"): IndexMaintenance = {
+      idCol: String = "vec_id",
+      deliveryNonEmpty: Boolean = false): IndexMaintenance = {
     // empty-delivery fast path: the verdict is a trivial append, so
     // skip the report JOB (listEnergy scans the whole base corpus) —
     // but return the report PLAN itself, lazily: same single schema
     // source as the normal path, and a caller who actually reads it
-    // pays for it then (it evaluates to numLists rows with del_n = 0)
-    if (delivery.isEmpty)
+    // pays for it then (it evaluates to numLists rows with del_n = 0).
+    // A host that already checked emptiness (the streaming loop guards
+    // every batch) passes deliveryNonEmpty = true and skips the
+    // duplicate limit-1 probe.
+    if (!deliveryNonEmpty && delivery.isEmpty)
       return IndexMaintenance(index, appended = true, None,
         ivfIndexDriftReport(index, base, delivery, vecCol, idCol))
     val report = graft.CacheRegistry.persist(

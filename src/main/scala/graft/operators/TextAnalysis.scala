@@ -637,6 +637,19 @@ object TextAnalysis {
           .groupBy("doc_id")
           .agg(sort_array(collect_set(col("pos"))).as("starts"))
       }
+    reassembleCut(toked, starts, n)
+  }
+
+  /** Shared reassembly tail of the span-cut family
+    * ([[removeSharedSpans]], [[removeSharedSpansIncremental]],
+    * [[decontaminateSpans]]): left-join the per-document sorted start
+    * positions onto the tokenized corpus (absent = nothing cut), drop
+    * covered tokens with the O(tokens + starts) native kernel, and
+    * emit the family's output contract
+    * (`doc_id`, `n_tokens`, `n_removed`, `cleaned_text`). */
+  private def reassembleCut(toked: DataFrame, starts: DataFrame,
+      n: Int): DataFrame = {
+    import graft.functions.Sketch
     toked.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
@@ -682,15 +695,7 @@ object TextAnalysis {
       .join(broadcast(benchGrams), Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    toked.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      .select(col("doc_id"), col("toks"),
-        Sketch.remove_covered(col("toks"), col("starts"), n).as("kept"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("bigint").as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+    reassembleCut(toked, starts, n)
   }
 
   /** Gram-document-frequency table for INCREMENTAL shared-span removal
@@ -778,15 +783,7 @@ object TextAnalysis {
     val starts = pos.join(shared, Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    toked.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      .select(col("doc_id"), col("toks"),
-        Sketch.remove_covered(col("toks"), col("starts"), n).as("kept"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("bigint").as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+    reassembleCut(toked, starts, n)
   }
 
   /** Fold a delivery's gram dfs into the stored table — the state
@@ -813,18 +810,20 @@ object TextAnalysis {
       snapshot: Boolean = false): Unit = {
     val parts = committedSpanDfParts(spark, path)
     val next = slot.getOrElse(parts.map(_._1).foldLeft(-1L)(math.max) + 1)
-    // a DELTA below the latest snapshot slot would be committed (so
+    // ANY part below the latest snapshot slot would be committed (so
     // replays skip it) yet invisible to load (the snapshot supersedes
-    // its slot range) — silently losing its grams forever. That shape
-    // only arises when a NEW checkpoint lineage (batch ids reset to 0)
-    // is pointed at an OLD state dir; fail loudly instead. Snapshots
-    // may land on any slot (they supersede, never get superseded
-    // silently), and replays overwrite their own slot before this
-    // check can fire (the host skips committed slots first).
+    // its slot range) — silently losing its grams forever. A low-slot
+    // SNAPSHOT is just as lost as a low-slot delta: load serves only
+    // the LATEST snapshot, and the next sweep deletes the low one.
+    // That shape only arises when a NEW checkpoint lineage (batch ids
+    // reset to 0) is pointed at an OLD state dir; fail loudly instead.
+    // Legit retries never hit this: a torn write has no _SUCCESS (so
+    // its slot is not committed), and hosts skip committed slots
+    // before writing.
     val latestSnap = parts.filter(_._2).map(_._1).sorted.lastOption
-    if (!snapshot) latestSnap.foreach(s => require(next > s,
-      s"saveSpanDfDelta: delta slot $next is superseded by snapshot " +
-        s"$s under $path — a load would never read it (did a new " +
+    latestSnap.foreach(s => require(next > s,
+      s"saveSpanDfDelta: slot $next is superseded by snapshot $s " +
+        s"under $path — a load would never read it (did a new " +
         "checkpoint lineage get pointed at an old state dir?)"))
     val kind = if (snapshot) "snap" else "delta"
     dfs.write.mode("overwrite").parquet(s"$path/dfs-$kind-$next")
@@ -914,13 +913,19 @@ object TextAnalysis {
 
   /** Fold every live part under `from` into ONE aggregated delta at
     * `to` (slot 0), sorted by gram hash so parquet zone maps can skip
-    * row groups under future semi-join prunes. */
+    * row groups under future semi-join prunes. `to` must be a fresh
+    * index dir — compacting INTO a dir with committed parts would race
+    * its slot numbering. */
   def compactSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
-      from: String, to: String): Unit =
+      from: String, to: String): Unit = {
+    require(committedSpanDfParts(spark, to).isEmpty,
+      s"compactSpanDfIndex target $to already holds committed parts — " +
+        "compact into a fresh dir")
     saveSpanDfDelta(spark, to,
       loadSpanDfIndex(spark, from).groupBy("gh").agg(sum("df").as("df"))
         .sortWithinPartitions("gh"),
       slot = Some(0L))
+  }
 
   // --------------------------------------------------- BM25 ranked search
 

@@ -910,7 +910,10 @@ object ScaleOps {
   def q118(s: SparkSession, d: String): DataFrame =
     Dedup.nearDupSourceOverlap(Tables(s, d).documents, n = 2,
       threshold = 0.2, maxDocFreq = 100L)
-      .orderBy("source_a", "source_b")
+      // nulls LAST to match DuckDB's ASC default (Spark's is first) —
+      // only observable when a corpus carries null sources
+      .orderBy(col("source_a").asc_nulls_last,
+        col("source_b").asc_nulls_last)
 
   /** Q119 benchmark contamination report (oracled): q96 from the EVAL
     * side — per benchmark item (doc_id % 7 = 0, the q96 slice), its
@@ -1475,8 +1478,16 @@ object ScaleOps {
                 FROM pairs JOIN sizes s1 ON doc_id_a = s1.doc_id
                            JOIN sizes s2 ON doc_id_b = s2.doc_id
                 WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2)
-         SELECT LEAST(da.source, db.source) AS source_a,
-                GREATEST(da.source, db.source) AS source_b,
+         -- the unordered pair is normalized NULL-LAST (a null source is
+         -- its own feed) exactly like the Spark side: LEAST/GREATEST
+         -- skip nulls and would fold a null↔'sA' pair into the
+         -- ('sA','sA') diagonal
+         SELECT CASE WHEN db.source IS NULL OR (da.source IS NOT NULL
+                  AND da.source <= db.source)
+                THEN da.source ELSE db.source END AS source_a,
+                CASE WHEN db.source IS NULL OR (da.source IS NOT NULL
+                  AND da.source <= db.source)
+                THEN db.source ELSE da.source END AS source_b,
                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
                 ROUND(AVG(j), 3) AS mean_j
          FROM jp JOIN documents da ON jp.doc_id_a = da.doc_id

@@ -336,7 +336,7 @@ object StreamOps {
             .loadIvfPqIndex(spark, indexPath)
           val verdict = graft.operators.Similarity.maintainIvfPqIndex(
             index, baseSample, batch.toDF(), maxShareDelta,
-            maxEnergyRatio, vecCol, idCol)
+            maxEnergyRatio, vecCol, idCol, deliveryNonEmpty = true)
           if (verdict.retrainReason.isEmpty)
             // reuse the batch's loaded index view — a second
             // load-per-append doubles the centroid/codebook collects

@@ -133,6 +133,14 @@ class DedupSpec extends SparkSuite {
           TextAnalysis.spanGramDfs(a, n = 8), slot = Some(0L))
       }
       assert(boom.getMessage.contains("superseded"), boom.getMessage)
+      // a low-slot SNAPSHOT is equally lost (load serves only the
+      // LATEST snapshot; the next sweep would delete it): rejected too
+      val boomSnap = intercept[IllegalArgumentException] {
+        TextAnalysis.saveSpanDfDelta(spark, dir.getPath,
+          TextAnalysis.spanGramDfs(a, n = 8), slot = Some(0L),
+          snapshot = true)
+      }
+      assert(boomSnap.getMessage.contains("superseded"), boomSnap.getMessage)
       // sweep removes the two stale deltas the snapshot superseded
       // (the crash-window orphans); the torn high-slot dir stays
       assert(TextAnalysis.sweepSpanDfIndex(spark, dir.getPath) == 2)
