@@ -1478,10 +1478,6 @@ object ScaleOps {
                 FROM pairs JOIN sizes s1 ON doc_id_a = s1.doc_id
                            JOIN sizes s2 ON doc_id_b = s2.doc_id
                 WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2)
-         -- the unordered pair is normalized NULL-LAST (a null source is
-         -- its own feed) exactly like the Spark side: LEAST/GREATEST
-         -- skip nulls and would fold a null↔'sA' pair into the
-         -- ('sA','sA') diagonal
          SELECT CASE WHEN db.source IS NULL OR (da.source IS NOT NULL
                   AND da.source <= db.source)
                 THEN da.source ELSE db.source END AS source_a,
