@@ -199,7 +199,8 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val prev = latestState(spark, stateDir)
-        if (!prev.exists(_._1 >= batchId)) {
+        if (!replayOrRegression(prev.map(_._1), batchId,
+            "streamingHeavyHittersIndex")) {
           val delta = graft.operators.Sampling.heavyHittersAccumulate(
             batch.toDF(), groupCol, textCol, maxTracked)
           val all = prev.map(p => spark.read.parquet(p._2).unionByName(delta))
@@ -254,7 +255,8 @@ object StreamOps {
         // over zero rows would NPE, and an empty incremental fold would
         // write a pointless state version (file sources deliver empty
         // batch 0 at startup routinely)
-        if (!prev.exists(_._1 >= batchId) && !batch.isEmpty) {
+        if (!replayOrRegression(prev.map(_._1), batchId,
+            "streamingCurationFunnel") && !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
           val folded = prev match {
             case None =>
@@ -328,8 +330,19 @@ object StreamOps {
     vectors.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val done = graft.operators.Similarity
-          .committedDeltaSlots(spark, indexPath).contains(batchId)
+        // delta slots are retained (not retired), so the replay test is
+        // exact membership; a batch id BELOW the max that is not a
+        // committed slot is the lineage-regression shape — writing it
+        // would OVERWRITE the old lineage's same-numbered delta
+        val slots = graft.operators.Similarity
+          .committedDeltaSlots(spark, indexPath)
+        val done = slots.contains(batchId)
+        if (!done && slots.exists(_ > batchId))
+          throw new IllegalStateException(
+            s"streamingIndexMaintenance: batch id $batchId is behind " +
+              s"committed delta slot ${slots.max} — a new checkpoint " +
+              "lineage is pointed at an old index; use a fresh index " +
+              "path or resume the original checkpoint")
         if (!done && !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
           val index = graft.operators.Similarity
@@ -380,6 +393,15 @@ object StreamOps {
         val spark = batch.sparkSession
         import graft.operators.TextAnalysis
         val slots = TextAnalysis.committedSpanDfSlots(spark, stateDir)
+        // slots may be swept by compaction, so exact membership alone
+        // cannot distinguish replay from regression — gate on the max
+        // (saveSpanDfDelta's snapshot guard is the disk-level backstop)
+        if (!slots.contains(batchId) && slots.exists(_ > batchId))
+          throw new IllegalStateException(
+            s"streamingSpanDedup: batch id $batchId is behind committed " +
+              s"slot ${slots.max} — a new checkpoint lineage is pointed " +
+              "at an old state dir; use a fresh state dir or resume the " +
+              "original checkpoint")
         if (!slots.contains(batchId) && !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
           val live = TextAnalysis.liveSpanDfSlots(spark, stateDir)
@@ -442,6 +464,25 @@ object StreamOps {
     latestState(spark, stateDir).map(p => spark.read.parquet(p._2))
       .getOrElse(throw new IllegalStateException(
         s"no committed heavy-hitters state under $stateDir"))
+
+  /** Replay-vs-lineage-regression gate shared by every batchId-slotted
+    * foreachBatch host. Within ONE checkpoint lineage, Structured
+    * Streaming replays at most the LATEST batch (ids are monotone), so
+    * `batchId == latest committed` is a legitimate at-least-once retry
+    * → skip. `batchId < latest` can only mean a NEW checkpoint lineage
+    * (ids reset to 0) was pointed at an OLD state dir — skipping would
+    * silently drop every batch until the new ids catch up, and
+    * processing would fold the same documents twice; fail loudly
+    * instead (fresh state dir, or resume the original checkpoint). */
+  private def replayOrRegression(latest: Option[Long], batchId: Long,
+      what: String): Boolean = latest match {
+    case Some(v) if v == batchId => true
+    case Some(v) if v > batchId => throw new IllegalStateException(
+      s"$what: batch id $batchId is behind the stored version $v — a " +
+        "new checkpoint lineage is pointed at an old state dir; use a " +
+        "fresh state dir or resume the original checkpoint")
+    case _ => false
+  }
 
   /** Newest `state-<batchId>` directory carrying the commit marker
     * (`_SUCCESS` for single-table states; a last-written sub-table's

@@ -635,6 +635,52 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming hosts reject a new checkpoint lineage pointed at an " +
+      "old state dir (batch ids behind the stored version fail loudly)") {
+    import graft.operators.Curation
+    val dir = Files.createTempDirectory("graft-lineage").toFile
+    val stateDir = Files.createTempDirectory("graft-lineage-state").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text", "n_chars")
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    docs.filter(col("doc_id") < 100).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    val dir2 = Files.createTempDirectory("graft-lineage2").toFile
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 260).coalesce(1)
+      .write.mode("append").parquet(dir2.getPath)
+    try {
+      def stream(d: java.io.File) = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(d.getPath)
+      val q1 = StreamOps.streamingCurationFunnel(stream(dir),
+        stateDir.getPath, benchmark, Seq("window window"))
+      q1.processAllAvailable(); q1.stop()
+      // stored version is now 1; a FRESH stream (new source dir, batch
+      // ids reset to 0) against the same state dir must fail loudly —
+      // the old behavior silently dropped every batch until ids caught
+      // up with the stored version
+      val q2 = StreamOps.streamingCurationFunnel(stream(dir2),
+        stateDir.getPath, benchmark, Seq("window window"))
+      val e = intercept[Throwable] { q2.processAllAvailable() }
+      q2.stop()
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("checkpoint lineage")),
+        messages(e))
+      // the stored state survives untouched
+      val st = StreamOps.curationFunnelState(spark, stateDir.getPath)
+      assert(st.survivors.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir2)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
   test("streaming index maintenance: in-distribution batches append as " +
       "batch-id delta slots, replays skip, drifted batches quarantine") {
     import spark.implicits._
