@@ -73,6 +73,29 @@ class DedupSpec extends SparkSuite {
     assert(incRaw.toSeq == inc.toSeq)
   }
 
+  test("removeSharedSpansIncremental ≡ batch over RANDOM corpora (tiny " +
+      "vocab forces heavy cross-doc window collisions)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (1 to 5).foreach { trial =>
+      val corpus = (0L until 24L).map { id =>
+        val len = rnd.nextInt(14)
+        (id, (0 until len)
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val m = trial % 3
+      val stored = corpus.filter(pmod(col("doc_id"), lit(3)) =!= m)
+      val delivery = corpus.filter(pmod(col("doc_id"), lit(3)) === m)
+      val inc = TextAnalysis.removeSharedSpansIncremental(delivery,
+          TextAnalysis.spanGramDfs(stored, n = 3), n = 3)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batch = TextAnalysis.removeSharedSpans(corpus, n = 3, minDf = 2)
+        .filter(pmod(col("doc_id"), lit(3)) === m)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(inc == batch, s"trial $trial")
+    }
+  }
+
   test("span-df index: fold equals union resummarize; persisted deltas " +
       "are O(delta), torn deltas ignored, replayed slots idempotent") {
     val a = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
