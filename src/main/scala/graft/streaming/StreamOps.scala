@@ -330,19 +330,15 @@ object StreamOps {
     vectors.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // delta slots are retained (not retired), so the replay test is
-        // exact membership; a batch id BELOW the max that is not a
-        // committed slot is the lineage-regression shape — writing it
-        // would OVERWRITE the old lineage's same-numbered delta
+        // only the LATEST batch ever replays in-lineage, so the gate is
+        // the max committed slot — NOT membership: delta slots are
+        // dense (retained forever), and a membership skip would treat
+        // every new-lineage batch id that collides with an old slot as
+        // a replay and silently drop it
         val slots = graft.operators.Similarity
           .committedDeltaSlots(spark, indexPath)
-        val done = slots.contains(batchId)
-        if (!done && slots.exists(_ > batchId))
-          throw new IllegalStateException(
-            s"streamingIndexMaintenance: batch id $batchId is behind " +
-              s"committed delta slot ${slots.max} — a new checkpoint " +
-              "lineage is pointed at an old index; use a fresh index " +
-              "path or resume the original checkpoint")
+        val done = replayOrRegression(slots.sorted.lastOption, batchId,
+          "streamingIndexMaintenance")
         if (!done && !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
           val index = graft.operators.Similarity
@@ -393,16 +389,15 @@ object StreamOps {
         val spark = batch.sparkSession
         import graft.operators.TextAnalysis
         val slots = TextAnalysis.committedSpanDfSlots(spark, stateDir)
-        // slots may be swept by compaction, so exact membership alone
-        // cannot distinguish replay from regression — gate on the max
-        // (saveSpanDfDelta's snapshot guard is the disk-level backstop)
-        if (!slots.contains(batchId) && slots.exists(_ > batchId))
-          throw new IllegalStateException(
-            s"streamingSpanDedup: batch id $batchId is behind committed " +
-              s"slot ${slots.max} — a new checkpoint lineage is pointed " +
-              "at an old state dir; use a fresh state dir or resume the " +
-              "original checkpoint")
-        if (!slots.contains(batchId) && !batch.isEmpty) {
+        // gate on the MAX committed slot, not membership: only the
+        // latest batch ever replays in-lineage, slots are dense until
+        // the first compaction sweep, and a membership skip would treat
+        // every colliding new-lineage id as a replay and silently drop
+        // its cleaned output (saveSpanDfDelta's snapshot guard is only
+        // the post-compaction disk-level backstop)
+        val done = replayOrRegression(slots.sorted.lastOption, batchId,
+          "streamingSpanDedup")
+        if (!done && !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
           val live = TextAnalysis.liveSpanDfSlots(spark, stateDir)
           val stored =

@@ -674,6 +674,34 @@ class StreamingSpec extends SparkSuite {
       // the stored state survives untouched
       val st = StreamOps.curationFunnelState(spark, stateDir.getPath)
       assert(st.survivors.count() > 0)
+
+      // same shape against the SLOT-set host: span-dedup slots are
+      // DENSE before the first compaction, so a membership skip would
+      // silently treat the new lineage's colliding ids as replays —
+      // the max-gate must throw instead
+      val spanState = Files.createTempDirectory("graft-lineage-span").toFile
+      val spanOut = Files.createTempDirectory("graft-lineage-out").toFile
+      try {
+        val q3 = StreamOps.streamingSpanDedup(stream(dir),
+          spanState.getPath, spanOut.getPath, n = 8)
+        q3.processAllAvailable(); q3.stop()
+        assert(graft.operators.TextAnalysis
+          .committedSpanDfSlots(spark, spanState.getPath)
+          .sorted == Seq(0L, 1L)) // dense — membership would collide
+        val q4 = StreamOps.streamingSpanDedup(stream(dir2),
+          spanState.getPath, spanOut.getPath, n = 8)
+        val e4 = intercept[Throwable] { q4.processAllAvailable() }
+        q4.stop()
+        assert(messages(e4).exists(_.contains("checkpoint lineage")),
+          messages(e4))
+        // no cleaned output was silently dropped OR written for the
+        // rejected lineage (its ids collide with batch 0/1's dirs, so
+        // equality of the dir count pins "nothing happened")
+        assert(spanOut.listFiles.count(_.getName.startsWith("cleaned-")) == 2)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(spanState)
+        org.apache.commons.io.FileUtils.deleteDirectory(spanOut)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
       org.apache.commons.io.FileUtils.deleteDirectory(dir2)
