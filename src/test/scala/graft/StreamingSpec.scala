@@ -758,14 +758,23 @@ class StreamingSpec extends SparkSuite {
       val rep = spark.read.parquet(s"${idxDir.getPath}/drift-report-2")
       assert(rep.filter(col("del_n") > 0).count() > 0)
       assert(spark.read.parquet(s"${idxDir.getPath}/pending-2").count() == 20)
-      // replay (fresh query, no checkpoint → same batch ids): committed
-      // slots are no-ops — the delta dirs' files stay untouched
+      // a fresh query without a checkpoint re-fires batch ids from 0 —
+      // indistinguishable from a NEW lineage pointed at the old index,
+      // where a membership skip would silently drop genuinely new data
+      // whose ids collide with the dense retained slots. The host
+      // fails loudly (resume the checkpoint, or use a fresh index) and
+      // leaves the stored deltas byte-untouched.
       val mtimes = idxDir.listFiles
         .filter(_.getName.startsWith("codes-delta"))
         .map(f => f.getName -> f.lastModified).toMap
       val q2 = StreamOps.streamingIndexMaintenance(stream(), idxDir.getPath,
         base, maxShareDelta = 0.5)
-      q2.processAllAvailable(); q2.stop()
+      val e2 = intercept[Throwable] { q2.processAllAvailable() }
+      q2.stop()
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e2).exists(_.contains("checkpoint lineage")), msgs(e2))
       val after = idxDir.listFiles
         .filter(_.getName.startsWith("codes-delta"))
         .map(f => f.getName -> f.lastModified).toMap
