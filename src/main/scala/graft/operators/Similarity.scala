@@ -857,10 +857,57 @@ object Similarity {
       .as[(Int, Int, Array[Float])].collect()
     val codebooks = cbRows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, xs) => xs.sortBy(_._2).map(_._3) }
-    val codes = committedCodeDeltas(spark, path)
+    val live = committedCodeDeltas(spark, path)
       .map(d => spark.read.parquet(d))
       .foldLeft(spark.read.parquet(s"$path/codes"))(_.unionByName(_))
+    // tombstones anti-join LAST so they mask base codes AND deltas —
+    // 8-byte id rows only, served as a broadcast anti-join build
+    val stones = committedTombstones(spark, path)
+      .map(d => spark.read.parquet(d))
+      .reduceOption(_.unionByName(_))
+    val codes = stones.fold(live)(t =>
+      live.join(broadcast(t.select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti"))
     IvfPqIndex(centroids, codebooks, codes)
+  }
+
+  /** Tombstone ids out of a PERSISTED index — the deletion half of the
+    * append-only lifecycle (dedup drops documents; their vectors must
+    * stop being served without rewriting the stored codes). Each call
+    * lands an id-only `tombstones-<slot>` dir (O(deleted) write,
+    * `_SUCCESS`-committed, slot rules identical to
+    * [[appendIvfPqIndexDelta]]: explicit slots make replays
+    * idempotent); [[loadIvfPqIndex]] anti-joins the union of committed
+    * tombstone sets over base + deltas, so deletion is visible on the
+    * next load. A LATER append may legitimately re-insert a tombstoned
+    * id (new document version): load applies tombstones to everything,
+    * so re-inserts require either a compaction first or a fresh id —
+    * the documented re-insert rule. Compaction
+    * (`saveIvfPqIndex(loadIvfPqIndex(path), freshPath)`) folds the
+    * mask in physically and drops the tombstone dirs.
+    */
+  def tombstoneIvfPqIndexIds(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id",
+      slot: Option[Long] = None): Unit = {
+    val next = slot.getOrElse(committedTombstones(spark, path)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("tombstones-").toLong)
+      .foldLeft(-1L)(math.max) + 1)
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones-$next")
+  }
+
+  private def committedTombstones(spark: SparkSession,
+      path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("tombstones-\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .sortBy(_.getPath.getName.stripPrefix("tombstones-").toLong)
+      .map(_.getPath.toString)
   }
 
   private def committedCodeDeltas(spark: SparkSession,

@@ -1370,6 +1370,55 @@ class DedupSpec extends SparkSuite {
     assert(drift.max > 0.5, drift.toSeq)
   }
 
+  test("tombstoneIvfPqIndexIds: deleted ids vanish from the served index " +
+      "without rewriting stored codes; torn tombstones ignored; " +
+      "compaction folds the mask in") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = blobEmb
+    val base = emb.filter(col("vec_id") % 3 =!= 2)
+    val d1 = emb.filter(col("vec_id") % 3 === 2)
+    val idx = Similarity.buildIvfPqIndex(base, numLists = 3, m = 4,
+      ksub = 4, sampleN = 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-tomb").toFile
+    try {
+      Similarity.saveIvfPqIndex(idx, dir.getPath)
+      Similarity.appendIvfPqIndexDelta(spark, dir.getPath, d1)
+      val all = Similarity.loadIvfPqIndex(spark, dir.getPath).codes
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // tombstone one base id and one delta id (dedup dropped them)
+      val dead = Seq(all.min, d1.collect().map(_.getLong(0)).min)
+      val codesMtime = new java.io.File(dir, "codes").lastModified()
+      Similarity.tombstoneIvfPqIndexIds(spark, dir.getPath,
+        dead.toDF("vec_id"))
+      val served = Similarity.loadIvfPqIndex(spark, dir.getPath).codes
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(served == all -- dead, (all -- served).toSeq.sorted)
+      // stored codes untouched — deletion is an O(deleted) id write
+      assert(new java.io.File(dir, "codes").lastModified() == codesMtime)
+      // a torn tombstone set is invisible until committed
+      assert(new java.io.File(dir, "tombstones-0/_SUCCESS").delete())
+      assert(Similarity.loadIvfPqIndex(spark, dir.getPath).codes.count() ==
+        all.size)
+      // retry with an explicit slot overwrites it cleanly
+      Similarity.tombstoneIvfPqIndexIds(spark, dir.getPath,
+        dead.toDF("vec_id"), slot = Some(0L))
+      assert(Similarity.loadIvfPqIndex(spark, dir.getPath).codes.count() ==
+        all.size - dead.size)
+      // compaction folds the mask physically: fresh path serves the
+      // same ids with no tombstone dirs
+      val cdir = java.nio.file.Files.createTempDirectory("graft-ivfpq-tc").toFile
+      try {
+        Similarity.saveIvfPqIndex(
+          Similarity.loadIvfPqIndex(spark, dir.getPath), cdir.getPath)
+        val compacted = Similarity.loadIvfPqIndex(spark, cdir.getPath).codes
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(compacted == all -- dead)
+        assert(!cdir.listFiles.exists(_.getName.startsWith("tombstones")))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(cdir)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("appendIvfPqIndexDelta: persisted appends land as O(delta) dirs, " +
       "never rewriting the stored codes; torn deltas ignored and retried over") {
     import graft.operators.Similarity
