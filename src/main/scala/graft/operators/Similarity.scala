@@ -860,14 +860,18 @@ object Similarity {
     val live = committedCodeDeltas(spark, path)
       .map(d => spark.read.parquet(d))
       .foldLeft(spark.read.parquet(s"$path/codes"))(_.unionByName(_))
-    // tombstones anti-join LAST so they mask base codes AND deltas —
-    // 8-byte id rows only, served as a broadcast anti-join build
+    // tombstones anti-join LAST so they mask base codes AND deltas.
+    // NO broadcast hint: deletions are usually tiny (AQE broadcasts a
+    // small side on its own), but a heavy dedup pass can tombstone a
+    // large fraction of the corpus — a forced broadcast build would be
+    // a deletion-cardinality driver collect, the exact survivors-
+    // broadcast cliff the funnel had. The join carries 8-byte ids only
+    // either way; compact when the tombstone volume grows.
     val stones = committedTombstones(spark, path)
       .map(d => spark.read.parquet(d))
       .reduceOption(_.unionByName(_))
     val codes = stones.fold(live)(t =>
-      live.join(broadcast(t.select("vec_id").distinct()),
-        Seq("vec_id"), "left_anti"))
+      live.join(t.select("vec_id").distinct(), Seq("vec_id"), "left_anti"))
     IvfPqIndex(centroids, codebooks, codes)
   }
 
