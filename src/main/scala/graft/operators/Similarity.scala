@@ -857,7 +857,11 @@ object Similarity {
       .as[(Int, Int, Array[Float])].collect()
     val codebooks = cbRows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, xs) => xs.sortBy(_._2).map(_._3) }
-    val live = committedCodeDeltas(spark, path)
+    // ONE directory listing serves both part kinds — this runs once
+    // per micro-batch on the streaming hot path, and an object store
+    // charges per LIST
+    val parts = committedIndexParts(spark, path)
+    val live = parts.filter(_._1 == "codes-delta").map(_._3)
       .map(d => spark.read.parquet(d))
       .foldLeft(spark.read.parquet(s"$path/codes"))(_.unionByName(_))
     // tombstones anti-join LAST so they mask base codes AND deltas.
@@ -865,13 +869,14 @@ object Similarity {
     // small side on its own), but a heavy dedup pass can tombstone a
     // large fraction of the corpus — a forced broadcast build would be
     // a deletion-cardinality driver collect, the exact survivors-
-    // broadcast cliff the funnel had. The join carries 8-byte ids only
-    // either way; compact when the tombstone volume grows.
-    val stones = committedTombstones(spark, path)
+    // broadcast cliff the funnel had. No distinct() either: left_anti
+    // is unaffected by duplicate build keys, and the de-dup would cost
+    // an extra exchange over the tombstone union on every load.
+    val stones = parts.filter(_._1 == "tombstones").map(_._3)
       .map(d => spark.read.parquet(d))
       .reduceOption(_.unionByName(_))
     val codes = stones.fold(live)(t =>
-      live.join(t.select("vec_id").distinct(), Seq("vec_id"), "left_anti"))
+      live.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
     IvfPqIndex(centroids, codebooks, codes)
   }
 
@@ -893,38 +898,31 @@ object Similarity {
   def tombstoneIvfPqIndexIds(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String = "vec_id",
       slot: Option[Long] = None): Unit = {
-    val next = slot.getOrElse(committedTombstones(spark, path)
-      .map(d => new org.apache.hadoop.fs.Path(d).getName
-        .stripPrefix("tombstones-").toLong)
-      .foldLeft(-1L)(math.max) + 1)
+    val next = slot.getOrElse(
+      committedIndexParts(spark, path).filter(_._1 == "tombstones")
+        .map(_._2).foldLeft(-1L)(math.max) + 1)
     ids.select(col(idCol).cast("long").as("vec_id")).distinct()
       .write.mode("overwrite").parquet(s"$path/tombstones-$next")
   }
 
-  private def committedTombstones(spark: SparkSession,
-      path: String): Seq[String] = {
+  /** Committed (kind, slot, dir) parts under an index path in ONE
+    * directory listing — kinds: `codes-delta`, `tombstones`. */
+  private def committedIndexParts(spark: SparkSession,
+      path: String): Seq[(String, Long, String)] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.matches("tombstones-\\d+") &&
+        s.getPath.getName.matches("(codes-delta|tombstones)-\\d+") &&
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .sortBy(_.getPath.getName.stripPrefix("tombstones-").toLong)
-      .map(_.getPath.toString)
-  }
-
-  private def committedCodeDeltas(spark: SparkSession,
-      path: String): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.matches("codes-delta-\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .sortBy(_.getPath.getName.stripPrefix("codes-delta-").toLong)
-      .map(_.getPath.toString)
+      .map { s =>
+        val n = s.getPath.getName
+        val kind = if (n.startsWith("codes-delta-")) "codes-delta"
+          else "tombstones"
+        (kind, n.stripPrefix(kind + "-").toLong, s.getPath.toString)
+      }
+      .sortBy(_._2)
   }
 
   /** Append-only PERSISTED-index maintenance — the on-disk counterpart
@@ -966,9 +964,7 @@ object Similarity {
 
   /** Committed delta slot numbers under a persisted index path. */
   def committedDeltaSlots(spark: SparkSession, path: String): Seq[Long] =
-    committedCodeDeltas(spark, path)
-      .map(d => new org.apache.hadoop.fs.Path(d).getName
-        .stripPrefix("codes-delta-").toLong)
+    committedIndexParts(spark, path).filter(_._1 == "codes-delta").map(_._2)
 
   /** Steps 4-6 of the IVF-PQ pipeline against a prebuilt index: ADC
     * tables for the probed lists, bounded candidate top-R over the

@@ -334,9 +334,15 @@ object StreamOps {
         // the max committed slot — NOT membership: delta slots are
         // dense (retained forever), and a membership skip would treat
         // every new-lineage batch id that collides with an old slot as
-        // a replay and silently drop it
+        // a replay and silently drop it. QUARANTINED batches advance
+        // the gate too (their slot is the drift-report dir — written
+        // last, so it is the quarantine's commit marker): without them
+        // a run that ended in drifted batches would let a new lineage
+        // overwrite the withheld vectors (the retrain evidence) with
+        // no error.
         val slots = graft.operators.Similarity
-          .committedDeltaSlots(spark, indexPath)
+          .committedDeltaSlots(spark, indexPath) ++
+          committedSlots(spark, indexPath, "drift-report")
         val done = replayOrRegression(slots.sorted.lastOption, batchId,
           "streamingIndexMaintenance")
         if (!done && !batch.isEmpty) {
@@ -468,7 +474,16 @@ object StreamOps {
     * (ids reset to 0) was pointed at an OLD state dir — skipping would
     * silently drop every batch until the new ids catch up, and
     * processing would fold the same documents twice; fail loudly
-    * instead (fresh state dir, or resume the original checkpoint). */
+    * instead (fresh state dir, or resume the original checkpoint).
+    *
+    * Known blind spot: a new lineage's batch 0 colliding with a stored
+    * max of exactly 0 (the prior run committed ONE batch) is
+    * indistinguishable from a batch-0 retry by id alone and is
+    * skipped. Disambiguating needs a lineage marker the foreachBatch
+    * API doesn't surface (the query's stable `id` lives in the
+    * checkpoint), so the contract stands: a state dir belongs to ONE
+    * checkpoint lineage — the gate catches every collision except
+    * this single-committed-batch edge. */
   private def replayOrRegression(latest: Option[Long], batchId: Long,
       what: String): Boolean = latest match {
     case Some(v) if v == batchId => true
@@ -477,6 +492,21 @@ object StreamOps {
         "new checkpoint lineage is pointed at an old state dir; use a " +
         "fresh state dir or resume the original checkpoint")
     case _ => false
+  }
+
+  /** Committed `<prefix>-<slot>` dirs (parquet `_SUCCESS` present)
+    * under a path — the generic slot listing for host-side artifacts
+    * (quarantine evidence etc.). */
+  private def committedSlots(spark: SparkSession, path: String,
+      prefix: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches(prefix + "-\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix(prefix + "-").toLong)
   }
 
   /** Newest `state-<batchId>` directory carrying the commit marker

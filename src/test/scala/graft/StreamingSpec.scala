@@ -13,6 +13,12 @@ import graft.streaming.StreamOps
   */
 class StreamingSpec extends SparkSuite {
 
+  /** Every message along a Throwable's cause chain (streaming wraps
+    * foreachBatch errors in StreamingQueryException layers). */
+  private def causeMessages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ causeMessages(t.getCause)
+
   private lazy val batchEvents = Tables(spark, sf("0.001")).events
 
   private def streamEvents(chunks: Int): (org.apache.spark.sql.DataFrame, () => Unit) = {
@@ -666,11 +672,8 @@ class StreamingSpec extends SparkSuite {
         stateDir.getPath, benchmark, Seq("window window"))
       val e = intercept[Throwable] { q2.processAllAvailable() }
       q2.stop()
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("checkpoint lineage")),
-        messages(e))
+      assert(causeMessages(e).exists(_.contains("checkpoint lineage")),
+        causeMessages(e))
       // the stored state survives untouched
       val st = StreamOps.curationFunnelState(spark, stateDir.getPath)
       assert(st.survivors.count() > 0)
@@ -692,8 +695,8 @@ class StreamingSpec extends SparkSuite {
           spanState.getPath, spanOut.getPath, n = 8)
         val e4 = intercept[Throwable] { q4.processAllAvailable() }
         q4.stop()
-        assert(messages(e4).exists(_.contains("checkpoint lineage")),
-          messages(e4))
+        assert(causeMessages(e4).exists(_.contains("checkpoint lineage")),
+          causeMessages(e4))
         // no cleaned output was silently dropped OR written for the
         // rejected lineage (its ids collide with batch 0/1's dirs, so
         // equality of the dir count pins "nothing happened")
@@ -771,10 +774,8 @@ class StreamingSpec extends SparkSuite {
         base, maxShareDelta = 0.5)
       val e2 = intercept[Throwable] { q2.processAllAvailable() }
       q2.stop()
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e2).exists(_.contains("checkpoint lineage")), msgs(e2))
+      assert(causeMessages(e2).exists(_.contains("checkpoint lineage")),
+        causeMessages(e2))
       val after = idxDir.listFiles
         .filter(_.getName.startsWith("codes-delta"))
         .map(f => f.getName -> f.lastModified).toMap
