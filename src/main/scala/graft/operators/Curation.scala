@@ -230,10 +230,17 @@ object Curation {
   def assignMonotoneIds(state: FunnelState, delivery: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val spark = delivery.sparkSession
-    val base = state.survivors.agg(max(col(idCol))).head() match {
+    // cast BEFORE the max so int-typed id columns read back as long
+    // (the groupCap/requireIntegralId discipline) instead of throwing
+    // in getLong; a negative stored max would defeat the overflow
+    // check below (it assumes base >= 0), so fail loudly on it
+    val base = state.survivors.agg(max(col(idCol).cast("long"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+    require(base >= 0,
+      s"assignMonotoneIds: stored max id $base is negative — monotone " +
+        "renumbering requires a non-negative stored id range")
     val others = delivery.columns.filter(_ != idCol)
     val schema = org.apache.spark.sql.types.StructType(
       delivery.schema.fields.filter(_.name != idCol) :+

@@ -205,9 +205,13 @@ object Dedup {
     * popcount verification.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame =
-    hamming64Pairs(docs.select(col(idCol).as("id"),
-      simHash64(tokensOf(col(textCol))).as("sim")), "id", "sim", maxHamming)
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simHash64(tokensOf(col(textCol))).as("sim"))
+    if (maxBucket == Long.MaxValue) hamming64Pairs(sigs, "id", "sim", maxHamming)
+    else hamming64PairsCapped(sigs, "id", "sim", maxHamming, maxBucket)
+  }
 
   /** Hamming-≤k pairs over ANY 64-bit signature column (SimHash,
     * image dHash, audio fingerprint …) by 4×16-bit pigeonhole banding:
@@ -266,6 +270,52 @@ object Dedup {
     sig.groupBy(col(hashCol).as("sig"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)
+
+  /** Capped Hamming pair join with LOSSLESS identical-signature
+    * recovery — the production form of [[hamming64Pairs]] for real
+    * crawls, where degenerate signatures (all-black thumbnails,
+    * silence, empty documents) are routine:
+    *
+    *   - the banding join runs with `maxBucket`, so no (chunk, value)
+    *     bucket ever enumerates more than C(maxBucket, 2) candidates —
+    *     the quadratic cliff is structurally gone;
+    *   - every identical-signature group (the exact-dup volume the cap
+    *     would otherwise drop) is re-emitted as a KEEPER STAR: the
+    *     group's min id pairs each other member at Hamming 0 — n−1
+    *     rows per group instead of C(n, 2), the pair-list encoding of
+    *     [[signatureDupGroups]] (same connectivity, same keeper, and
+    *     the full clique is reconstructible from the star). A
+    *     million-member degenerate bucket costs 10⁶−1 rows, not
+    *     5·10¹¹.
+    *
+    * What is (deliberately) lost vs the uncapped join: Hamming-1..3
+    * pairs of NON-identical signatures whose every shared chunk sits
+    * in an over-cap bucket, and the non-keeper clique edges inside
+    * over-cap identical groups — the standard LSH bucket-cap trade.
+    * Under the cap, output is identical to [[hamming64Pairs]] (star
+    * edges are subsumed by the clique in the final min-agg).
+    *
+    * The signature table is persisted: three consumers read it (the
+    * banding join's two sides share one scan via the self-join, the
+    * group aggregate, and the member re-join), and signatures are
+    * (id, 8 bytes) — negligible storage, expensive to recompute when
+    * the upstream is an image decode. */
+  def hamming64PairsCapped(sig: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+    val s = graft.CacheRegistry.persist(
+      sig.select(col(idCol).as("id"), col(hashCol).as("sig64")))
+    val banded = hamming64Pairs(s, "id", "sig64", maxHamming, maxBucket)
+    val groups = signatureDupGroups(s, "id", "sig64")
+      .select(col("sig").as("sig64"), col("keeper"))
+    // keeper = min(id) per group, so keeper < id on every emitted row
+    val star = s.join(groups, Seq("sig64"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("doc_id_a"), col("id").as("doc_id_b"),
+        lit(0L).as("hamming"))
+    banded.unionByName(star)
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(min(col("hamming")).as("hamming"))
+  }
 
   // ----------------------------------------------- n-gram Jaccard (exact)
 

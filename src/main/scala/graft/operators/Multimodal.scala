@@ -256,17 +256,42 @@ object Multimodal {
     })
   }
 
+  /** Shared pair-join tail of [[imageNearDupPairs]] and
+    * [[audioNearDupPairs]] over a flagged signature table
+    * ([[ImageHash]] shape). Two disciplines, both 100 TB-motivated:
+    *
+    *   - `maxBucket` caps every (chunk, value) candidate bucket, with
+    *     identical-signature volume recovered losslessly as keeper
+    *     stars ([[graft.operators.Dedup.hamming64PairsCapped]]) — a
+    *     million all-black thumbnails or silent WAVs is 10⁶−1 rows,
+    *     not a 5·10¹¹-pair self-join;
+    *   - the join is PARTITIONED BY THE `decoded` FLAG: fallback FNV
+    *     content-folds live in the same 64-bit space as genuine
+    *     perceptual hashes, so a chance Hamming-≤3 collision between
+    *     a fold and a real dHash would emit a spurious near-dup pair
+    *     the consumer cannot filter (the pair output drops the flag).
+    *     Decoded rows pair at `maxHamming`; fallback rows pair only at
+    *     Hamming 0 — i.e. exact byte duplicates, the only relation the
+    *     fold actually attests. */
+  private def flaggedNearDupPairs(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Long): DataFrame = {
+    val h = graft.CacheRegistry.persist(hashes)
+    graft.operators.Dedup.hamming64PairsCapped(
+        h.filter(col("decoded")), "doc_id", "dhash", maxHamming, maxBucket)
+      .unionByName(graft.operators.Dedup.hamming64PairsCapped(
+        h.filter(!col("decoded")), "doc_id", "dhash", 0, maxBucket))
+  }
+
   /** Image near-dup pairs: dHash signatures into the generic 4×16-bit
-    * pigeonhole Hamming join ([[graft.operators.Dedup.hamming64Pairs]]
-    * — the same banding text SimHash uses). Media bytes never shuffle;
-    * the join carries 8-byte signatures only. The signature table is
-    * persisted first: both sides of the self-join read it, and
-    * re-executing the subtree would DECODE EVERY IMAGE TWICE. */
-  def imageNearDupPairs(media: Dataset[MediaRow],
-      maxHamming: Int = 3): DataFrame =
-    graft.operators.Dedup.hamming64Pairs(
-      graft.CacheRegistry.persist(imageHashes(media).toDF()),
-      "doc_id", "dhash", maxHamming)
+    * pigeonhole Hamming join (the same banding text SimHash uses),
+    * capped + decoded-partitioned per [[flaggedNearDupPairs]]. Media
+    * bytes never shuffle; the join carries 8-byte signatures only. The
+    * signature table is persisted first: both sides of the self-join
+    * read it, and re-executing the subtree would DECODE EVERY IMAGE
+    * TWICE. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucket: Long = 100000L): DataFrame =
+    flaggedNearDupPairs(imageHashes(media).toDF(), maxHamming, maxBucket)
 
   // ------------------------------------------------------- audio decode
 
@@ -393,14 +418,12 @@ object Multimodal {
   }
 
   /** Audio near-dup pairs: energy-delta fingerprints into the generic
-    * 4×16-bit pigeonhole Hamming join — the third consumer of
-    * [[graft.operators.Dedup.hamming64Pairs]] after text SimHash and
-    * image dHash. */
-  def audioNearDupPairs(media: Dataset[MediaRow],
-      maxHamming: Int = 3): DataFrame =
-    graft.operators.Dedup.hamming64Pairs(
-      graft.CacheRegistry.persist(audioHashes(media).toDF()),
-      "doc_id", "dhash", maxHamming)
+    * 4×16-bit pigeonhole Hamming join — the third consumer of the
+    * banding machinery after text SimHash and image dHash, capped +
+    * decoded-partitioned per [[flaggedNearDupPairs]]. */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucket: Long = 100000L): DataFrame =
+    flaggedNearDupPairs(audioHashes(media).toDF(), maxHamming, maxBucket)
 
   /** Rescale every 16-bit PCM sample by `num/den` (clipped) — the
     * "re-normalized re-delivery" transform p18 uses to exercise the
@@ -670,12 +693,16 @@ object Multimodal {
       decodeAvi(m.content) match {
         case Some((_, _, _, frames)) if frames.nonEmpty =>
           frames.iterator.zipWithIndex.map { case (f, i) =>
+            // per-frame decoded contract matches ImageHash: a frame
+            // whose JPEG payload dHash64 cannot decode is flagged
+            // false even when the container walked fine
+            val hs = dHash64(f)
             VideoFrameHash(m.doc_id, i,
-              dHash64(f).getOrElse {
+              hs.getOrElse {
                 var g = 1125899906842597L
                 f.foreach(b => g = g * 31 + b)
                 g
-              }, decoded = true)
+              }, decoded = hs.isDefined)
           }.toSeq
         case _ =>
           var g = 1125899906842597L

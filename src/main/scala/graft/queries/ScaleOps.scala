@@ -72,9 +72,15 @@ object ScaleOps {
     Dedup.minHashLshPairs(Tables(s, d).documents, minEstJaccard = 0.2)
       .orderBy("doc_id_a", "doc_id_b")
 
-  /** Q37 SimHash near-dup pairs, Hamming ≤ 3 (sketch — rows-only). */
+  /** Q37 SimHash near-dup pairs, Hamming ≤ 3 (sketch — rows-only).
+    * Runs CAPPED (`maxBucket`): a degenerate signature shared by 10⁶
+    * docs (empty/boilerplate text) is otherwise a ~5·10¹¹-pair
+    * self-join; identical-signature recall stays lossless via the
+    * keeper-star recovery in
+    * [[graft.operators.Dedup.hamming64PairsCapped]]. */
   def q37(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashPairs(Tables(s, d).documents, maxHamming = 3)
+    Dedup.simHashPairs(Tables(s, d).documents, maxHamming = 3,
+      maxBucket = 100000L)
       .orderBy("doc_id_a", "doc_id_b")
 
   /** Q38 LSH-bucketed ANN top-5 for 4 query vectors (rows-only). */
@@ -859,7 +865,9 @@ object ScaleOps {
   def q115(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.groupCap(Tables(s, d).documents,
       groupCol = "source", cap = 25)
-      .orderBy("source", "rank")
+      // nulls LAST to match the DuckDB oracle's ORDER BY default (the
+      // same normalization q118 applies) — Spark defaults nulls first
+      .orderBy(col("source").asc_nulls_last, col("rank"))
 
   /** Q116 near-dup cluster-size histogram (oracled): the dedup
     * dashboard's shape report — how many clusters of each size the

@@ -287,6 +287,48 @@ class DedupSpec extends SparkSuite {
     assert(groups == Seq((0L, 0L, 10L)), groups)
   }
 
+  test("hamming64PairsCapped: a degenerate bucket emits a LINEAR keeper " +
+      "star, genuine near pairs survive, under-cap output = uncapped") {
+    import spark.implicits._
+    // scaled-down million-member crawl pathology: 1000 ids share ONE
+    // degenerate signature (all-black thumbnails / silence / empty
+    // docs); 5000/5001 are a genuine Hamming-1 pair whose distinctive
+    // 0xBEEF chunk bucket has 2 members
+    val sig = ((0L until 1000L).map(i => (i, 0L)) ++
+      Seq((5000L, 0xBEEF0001L), (5001L, 0xBEEF0000L))).toDF("id", "h")
+    val capped = Dedup.hamming64PairsCapped(sig, "id", "h",
+      maxHamming = 3, maxBucket = 100L)
+    val rows = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the genuine pair survives the cap (its shared chunk is under cap)
+    assert(rows.contains((5000L, 5001L, 1L)), rows.take(5).toSeq)
+    // the degenerate group is 999 keeper-star rows, NOT C(1000,2)=499500
+    val star = rows.filter(_._1 == 0L)
+    assert(star.length == 999 && rows.length == 1000, rows.length)
+    assert(star.forall(r => r._3 == 0L && r._2 >= 1L && r._2 <= 999L))
+    // under the cap the composite is byte-identical to the plain join
+    val small = ((0L until 5L).map(i => (i, 42L)) ++
+      Seq((10L, 0xBEEF0001L), (11L, 0xBEEF0000L))).toDF("id", "h")
+    val a = Dedup.hamming64PairsCapped(small, "id", "h", 3, 1000L)
+      .orderBy("doc_id_a", "doc_id_b").collect().toSeq
+    val b = Dedup.hamming64Pairs(small, "id", "h", 3)
+      .orderBy("doc_id_a", "doc_id_b").collect().toSeq
+    assert(a == b, s"capped-under-cap diverged: $a vs $b")
+  }
+
+  test("simHashPairs maxBucket: identical-doc recall stays lossless " +
+      "under a cap that prunes every chunk bucket") {
+    import spark.implicits._
+    // 50 identical docs: every chunk bucket has >= 50 members, so a
+    // cap of 10 prunes ALL of them from the banding join — the star
+    // recovery alone must still connect the group (49 rows, keeper 0)
+    val docs = (0L until 50L).map(i => (i, "same exact text body"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simHashPairs(docs, maxHamming = 3, maxBucket = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == 49 && got.forall(p => p._1 == 0L && p._3 == 0L), got.size)
+  }
+
   test("nearDupSourceOverlap reports cross- and intra-source pair counts " +
       "with mean similarity") {
     val corpus = Seq(

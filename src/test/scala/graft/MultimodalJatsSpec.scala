@@ -100,6 +100,29 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
   }
 
+  test("multimodal: fallback FNV folds pair ONLY exact byte duplicates — " +
+      "a Hamming-1 fold collision emits no near-dup pair") {
+    // two undecodable blobs whose FNV folds provably differ in exactly
+    // bit 0: the fold seed is odd and each of the 64 constant bytes
+    // flips parity (31x keeps parity, +13 flips), so fold(junk1) is odd
+    // and fold(junk2) = fold(junk1) - 1 is its even neighbour — under
+    // the old shared-namespace join they paired at Hamming 1
+    val junk1 = Array.fill[Byte](64)(13)
+    val junk2 = junk1.clone(); junk2(63) = 12
+    val media = Seq(
+      Multimodal.MediaRow(0L, "application/octet-stream", junk1, Map.empty),
+      Multimodal.MediaRow(1L, "application/octet-stream", junk2, Map.empty),
+      Multimodal.MediaRow(2L, "application/octet-stream", junk1.clone(), Map.empty)
+    ).toDS()
+    val hs = Multimodal.imageHashes(media).collect().sortBy(_.doc_id)
+    assert(hs.forall(!_.decoded))
+    assert(java.lang.Long.bitCount(hs(0).dhash ^ hs(1).dhash) == 1,
+      "fixture invariant: folds must differ in exactly one bit")
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 2L, 0L)), pairs)
+  }
+
   test("multimodal: wavEnergyHash64 is gain-invariant and content-" +
       "sensitive; audioNearDupPairs pairs identical renders only") {
     // minimal 16-bit mono PCM WAV around an explicit sample array
