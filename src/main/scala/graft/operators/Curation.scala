@@ -184,10 +184,12 @@ object Curation {
   }
 
   /** Load a persisted funnel state ([[saveFunnelState]] layout). The
-    * survivors stay a lazy union of the manifest's delta scans; only
-    * the 1-row bounds and the (one-line-per-delivery) manifest
-    * collect. A legacy single-table state (`survivors/` dir, no
-    * manifest) loads as one delta. */
+    * survivors stay a lazy FLAT multi-path scan over the manifest's
+    * delta dirs ([[graft.state.SlotStore.readParts]] — one FileScan,
+    * not a per-delta union chain that grows the plan linearly in
+    * delivery count); only the 1-row bounds and the
+    * (one-line-per-delivery) manifest collect. A legacy single-table
+    * state (`survivors/` dir, no manifest) loads as one delta. */
   def loadFunnelState(spark: org.apache.spark.sql.SparkSession,
       path: String): FunnelState = {
     val b = spark.read.parquet(s"$path/bounds").head()
@@ -199,10 +201,8 @@ object Curation {
         spark.read.parquet(s"$path/manifest")
           .collect().map(_.getString(0)).toSeq
       else Seq(s"${p.getName}/survivors")
-    val survivors = entries
-      .map(e => spark.read.parquet(
-        new org.apache.hadoop.fs.Path(root, e).toString))
-      .reduce(_.unionByName(_))
+    val survivors = graft.state.SlotStore.readParts(spark,
+      entries.map(e => new org.apache.hadoop.fs.Path(root, e).toString))
     FunnelState(survivors, b.getAs[Double]("len_lo"),
       b.getAs[Double]("len_hi"), None, entries)
   }

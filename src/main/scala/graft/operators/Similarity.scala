@@ -861,9 +861,10 @@ object Similarity {
     // per micro-batch on the streaming hot path, and an object store
     // charges per LIST
     val parts = committedIndexParts(spark, path)
-    val live = parts.filter(_._1 == "codes-delta").map(_._3)
-      .map(d => spark.read.parquet(d))
-      .foldLeft(spark.read.parquet(s"$path/codes"))(_.unionByName(_))
+    // flat multi-path scan over base + deltas — constant plan size
+    // however many deliveries have landed (see SlotStore.readParts)
+    val live = graft.state.SlotStore.readParts(spark,
+      s"$path/codes" +: parts.filter(_._1 == "codes-delta").map(_._3))
     // tombstones anti-join LAST so they mask base codes AND deltas.
     // NO broadcast hint: deletions are usually tiny (AQE broadcasts a
     // small side on its own), but a heavy dedup pass can tombstone a
@@ -872,11 +873,11 @@ object Similarity {
     // broadcast cliff the funnel had. No distinct() either: left_anti
     // is unaffected by duplicate build keys, and the de-dup would cost
     // an extra exchange over the tombstone union on every load.
-    val stones = parts.filter(_._1 == "tombstones").map(_._3)
-      .map(d => spark.read.parquet(d))
-      .reduceOption(_.unionByName(_))
-    val codes = stones.fold(live)(t =>
-      live.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
+    val stoneDirs = parts.filter(_._1 == "tombstones").map(_._3)
+    val codes = if (stoneDirs.isEmpty) live
+      else live.join(
+        graft.state.SlotStore.readParts(spark, stoneDirs).select("vec_id"),
+        Seq("vec_id"), "left_anti")
     IvfPqIndex(centroids, codebooks, codes)
   }
 
@@ -906,24 +907,12 @@ object Similarity {
   }
 
   /** Committed (kind, slot, dir) parts under an index path in ONE
-    * directory listing — kinds: `codes-delta`, `tombstones`. */
+    * directory listing — kinds: `codes-delta`, `tombstones`
+    * ([[graft.state.SlotStore]]'s shared listing). */
   private def committedIndexParts(spark: SparkSession,
-      path: String): Seq[(String, Long, String)] = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.matches("(codes-delta|tombstones)-\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map { s =>
-        val n = s.getPath.getName
-        val kind = if (n.startsWith("codes-delta-")) "codes-delta"
-          else "tombstones"
-        (kind, n.stripPrefix(kind + "-").toLong, s.getPath.toString)
-      }
-      .sortBy(_._2)
-  }
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("codes-delta", "tombstones"))
 
   /** Append-only PERSISTED-index maintenance — the on-disk counterpart
     * of [[appendToIvfPqIndex]]: the delivery encodes against the

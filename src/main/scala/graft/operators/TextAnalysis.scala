@@ -808,91 +808,47 @@ object TextAnalysis {
   def saveSpanDfDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, dfs: DataFrame, slot: Option[Long] = None,
       snapshot: Boolean = false): Unit = {
-    val parts = committedSpanDfParts(spark, path)
-    val next = slot.getOrElse(parts.map(_._1).foldLeft(-1L)(math.max) + 1)
-    // ANY part below the latest snapshot slot would be committed (so
-    // replays skip it) yet invisible to load (the snapshot supersedes
-    // its slot range) — silently losing its grams forever. A low-slot
-    // SNAPSHOT is just as lost as a low-slot delta: load serves only
-    // the LATEST snapshot, and the next sweep deletes the low one.
-    // That shape only arises when a NEW checkpoint lineage (batch ids
-    // reset to 0) is pointed at an OLD state dir; fail loudly instead.
-    // Legit retries never hit this: a torn write has no _SUCCESS (so
-    // its slot is not committed), and hosts skip committed slots
-    // before writing.
-    val latestSnap = parts.filter(_._2).map(_._1).sorted.lastOption
-    latestSnap.foreach(s => require(next > s,
-      s"saveSpanDfDelta: slot $next is superseded by snapshot $s " +
-        s"under $path — a load would never read it (did a new " +
-        "checkpoint lineage get pointed at an old state dir?)"))
+    val parts = spanDfParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    // a low-slot SNAPSHOT is just as lost as a low-slot delta: load
+    // serves only the LATEST snapshot, and the next sweep deletes the
+    // low one — the shared guard rejects both
+    graft.state.SlotStore.requireNotSuperseded(parts, "dfs-snap", next,
+      "saveSpanDfDelta")
     val kind = if (snapshot) "snap" else "delta"
     dfs.write.mode("overwrite").parquet(s"$path/dfs-$kind-$next")
   }
 
   /** Delete every committed part a snapshot has superseded (slot <
     * the latest snapshot's) plus torn dirs below it — housekeeping
-    * only: load already ignores them. Returns the number of dirs
-    * removed. Call after a compaction snapshot commits; also sweeps
-    * orphans a crashed earlier compaction left behind. */
+    * only: load already ignores them ([[graft.state.SlotStore]]'s
+    * shared sweep). Returns the number of dirs removed. Call after a
+    * compaction snapshot commits; also sweeps orphans a crashed
+    * earlier compaction left behind. */
   def sweepSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
-    val snap = committedSpanDfParts(spark, path)
-      .filter(_._2).map(_._1).sorted.lastOption
-    snap match {
-      case None => 0
-      case Some(s) =>
-        val dir = new org.apache.hadoop.fs.Path(path)
-        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        val victims = fs.listStatus(dir).toSeq.filter { st =>
-          val n = st.getPath.getName
-          val isSnap = n.startsWith("dfs-snap-")
-          st.isDirectory && n.matches("dfs-(delta|snap)-\\d+") && {
-            val k = n.replaceFirst("dfs-(delta|snap)-", "").toLong
-            // a snapshot covers slot <= s: deltas AT the boundary slot
-            // are superseded too; only the snapshot itself survives
-            k < s || (k == s && !isSnap)
-          }
-        }
-        victims.foreach(st => fs.delete(st.getPath, true))
-        victims.size
-    }
-  }
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "dfs-delta", "dfs-snap")
 
-  /** Committed (slot, isSnapshot) parts under a span-df index path. */
-  private def committedSpanDfParts(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(Long, Boolean)] = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.matches("dfs-(delta|snap)-\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map { s =>
-        val n = s.getPath.getName
-        (n.replaceFirst("dfs-(delta|snap)-", "").toLong,
-          n.startsWith("dfs-snap-"))
-      }
-  }
+  /** Committed (prefix, slot, dir) parts under a span-df index path —
+    * one listing via the shared slotted-state core. */
+  private def spanDfParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("dfs-delta", "dfs-snap"))
 
   /** Committed slot numbers (deltas AND snapshots) under a persisted
     * span-df index path — the replay-skip set for streaming hosts. */
   def committedSpanDfSlots(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Long] =
-    committedSpanDfParts(spark, path).map(_._1)
+    spanDfParts(spark, path).map(_._2)
 
   /** LIVE slot numbers: the latest snapshot (if any) plus every delta
     * after it — what [[loadSpanDfIndex]] actually reads. */
   def liveSpanDfSlots(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(Long, Boolean)] = {
-    val parts = committedSpanDfParts(spark, path)
-    val snap = parts.filter(_._2).map(_._1).sorted.lastOption
-    snap match {
-      case None => parts.sortBy(_._1)
-      case Some(s) => ((s, true) +:
-        parts.filter(p => !p._2 && p._1 > s)).sortBy(_._1)
-    }
-  }
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(spanDfParts(spark, path),
+      "dfs-delta", "dfs-snap")
+      .map(p => (p._2, p._1 == "dfs-snap"))
 
   /** Load the span-df index as the RAW union of live parts (latest
     * snapshot + later deltas) — a gram may appear once per part; the
@@ -903,12 +859,12 @@ object TextAnalysis {
     * dirs still exist (the crash-safety contract above). */
   def loadSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val parts = liveSpanDfSlots(spark, path)
+    val parts = graft.state.SlotStore.liveParts(spanDfParts(spark, path),
+      "dfs-delta", "dfs-snap")
     require(parts.nonEmpty, s"no committed span-df parts under $path")
-    parts.map { case (k, snap) =>
-        spark.read.parquet(s"$path/dfs-${if (snap) "snap" else "delta"}-$k")
-      }
-      .reduce(_.unionByName(_))
+    // ONE flat multi-path scan, not a per-part union chain — the plan
+    // stays constant-size however many deltas a stream accretes
+    graft.state.SlotStore.readParts(spark, parts.map(_._3))
   }
 
   /** Fold every live part under `from` into ONE aggregated delta at
@@ -918,7 +874,7 @@ object TextAnalysis {
     * its slot numbering. */
   def compactSpanDfIndex(spark: org.apache.spark.sql.SparkSession,
       from: String, to: String): Unit = {
-    require(committedSpanDfParts(spark, to).isEmpty,
+    require(spanDfParts(spark, to).isEmpty,
       s"compactSpanDfIndex target $to already holds committed parts — " +
         "compact into a fresh dir")
     saveSpanDfDelta(spark, to,

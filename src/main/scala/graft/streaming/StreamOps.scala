@@ -198,6 +198,8 @@ object StreamOps {
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        graft.state.SlotStore.requireLineage(spark, stateDir,
+          "streamingHeavyHittersIndex")
         val prev = latestState(spark, stateDir)
         if (!replayOrRegression(prev.map(_._1), batchId,
             "streamingHeavyHittersIndex")) {
@@ -250,6 +252,8 @@ object StreamOps {
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        graft.state.SlotStore.requireLineage(spark, stateDir,
+          "streamingCurationFunnel")
         val prev = latestState(spark, stateDir, marker = "bounds/_SUCCESS")
         // empty batches skip entirely: initialFunnelState's percentile
         // over zero rows would NPE, and an empty incremental fold would
@@ -330,6 +334,8 @@ object StreamOps {
     vectors.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        graft.state.SlotStore.requireLineage(spark, indexPath,
+          "streamingIndexMaintenance")
         // only the LATEST batch ever replays in-lineage, so the gate is
         // the max committed slot — NOT membership: delta slots are
         // dense (retained forever), and a membership skip would treat
@@ -394,6 +400,8 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.TextAnalysis
+        graft.state.SlotStore.requireLineage(spark, stateDir,
+          "streamingSpanDedup")
         val slots = TextAnalysis.committedSpanDfSlots(spark, stateDir)
         // gate on the MAX committed slot, not membership: only the
         // latest batch ever replays in-lineage, slots are dense until
@@ -466,65 +474,28 @@ object StreamOps {
       .getOrElse(throw new IllegalStateException(
         s"no committed heavy-hitters state under $stateDir"))
 
-  /** Replay-vs-lineage-regression gate shared by every batchId-slotted
-    * foreachBatch host. Within ONE checkpoint lineage, Structured
-    * Streaming replays at most the LATEST batch (ids are monotone), so
-    * `batchId == latest committed` is a legitimate at-least-once retry
-    * → skip. `batchId < latest` can only mean a NEW checkpoint lineage
-    * (ids reset to 0) was pointed at an OLD state dir — skipping would
-    * silently drop every batch until the new ids catch up, and
-    * processing would fold the same documents twice; fail loudly
-    * instead (fresh state dir, or resume the original checkpoint).
-    *
-    * Known blind spot: a new lineage's batch 0 colliding with a stored
-    * max of exactly 0 (the prior run committed ONE batch) is
-    * indistinguishable from a batch-0 retry by id alone and is
-    * skipped. Disambiguating needs a lineage marker the foreachBatch
-    * API doesn't surface (the query's stable `id` lives in the
-    * checkpoint), so the contract stands: a state dir belongs to ONE
-    * checkpoint lineage — the gate catches every collision except
-    * this single-committed-batch edge. */
+  /** Replay-vs-lineage-regression gate — the shared
+    * [[graft.state.SlotStore.replayOrRegression]] discipline. Hosts
+    * call [[graft.state.SlotStore.requireLineage]] FIRST, which also
+    * closes the one collision slot arithmetic cannot see (a new
+    * lineage's batch 0 against a stored max of exactly 0). */
   private def replayOrRegression(latest: Option[Long], batchId: Long,
-      what: String): Boolean = latest match {
-    case Some(v) if v == batchId => true
-    case Some(v) if v > batchId => throw new IllegalStateException(
-      s"$what: batch id $batchId is behind the stored version $v — a " +
-        "new checkpoint lineage is pointed at an old state dir; use a " +
-        "fresh state dir or resume the original checkpoint")
-    case _ => false
-  }
+      what: String): Boolean =
+    graft.state.SlotStore.replayOrRegression(latest, batchId, what)
 
   /** Committed `<prefix>-<slot>` dirs (parquet `_SUCCESS` present)
     * under a path — the generic slot listing for host-side artifacts
     * (quarantine evidence etc.). */
   private def committedSlots(spark: SparkSession, path: String,
-      prefix: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.matches(prefix + "-\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix(prefix + "-").toLong)
-  }
+      prefix: String): Seq[Long] =
+    graft.state.SlotStore.committedParts(spark, path, Seq(prefix)).map(_._2)
 
   /** Newest `state-<batchId>` directory carrying the commit marker
     * (`_SUCCESS` for single-table states; a last-written sub-table's
     * `_SUCCESS` for multi-table ones). */
   private def latestState(spark: SparkSession, stateDir: String,
-      marker: String = "_SUCCESS"): Option[(Long, String)] = {
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.matches("state-\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, marker)))
-      .map(s => (s.getPath.getName.stripPrefix("state-").toLong,
-        s.getPath.toString))
-      .sortBy(_._1).lastOption
-  }
+      marker: String = "_SUCCESS"): Option[(Long, String)] =
+    graft.state.SlotStore.latest(spark, stateDir, "state", marker)
 
   /** Stream-stream correlation join: every `typeB` event joined to the
     * `typeA` events of the same user that precede it within `within` —

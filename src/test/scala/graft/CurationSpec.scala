@@ -379,6 +379,39 @@ class CurationSpec extends SparkSuite {
     assert(r == again)
   }
 
+  test("funnel state: a 50-delta chain loads as ONE flat FileScan " +
+      "(constant plan size) and compaction folds it to a single delta") {
+    val root = java.nio.file.Files.createTempDirectory("graft-funnel-chain")
+    try {
+      val base = docs.select("doc_id", "text", "n_chars")
+      var live = Seq.empty[String]
+      for (i <- 0 until 50) {
+        val slice = base.filter(pmod(col("doc_id"), lit(50)) === i)
+        Curation.saveFunnelState(
+          Curation.FunnelState(slice, 10.0, 90.0, Some(slice), live),
+          s"$root/state-$i")
+        live = live :+ s"state-$i/delta"
+      }
+      val st = Curation.loadFunnelState(spark, s"$root/state-49")
+      assert(st.liveDeltas.size == 50, st.liveDeltas.size)
+      assert(st.survivors.count() == base.count())
+      // the load must be ONE multi-path FileScan, not a 50-way union
+      // chain — the long-running-stream plan-size guarantee
+      val scans = st.survivors.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size == 1,
+        s"expected one flat scan, got ${scans.size}:\n" +
+          st.survivors.queryExecution.executedPlan)
+      assert(scans.head.relation.location.rootPaths.size == 50)
+      // compaction folds the whole chain into one delta dir
+      Curation.compactFunnelState(spark, s"$root/state-49", s"$root/state-50")
+      val c = Curation.loadFunnelState(spark, s"$root/state-50")
+      assert(c.liveDeltas == Seq("state-50/delta"), c.liveDeltas)
+      assert(c.survivors.count() == base.count())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("q92/q93 plans: row-local scans, no join or window over the corpus") {
     val p92 = SparkEntry.queries("q92_blocklist")(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
