@@ -910,6 +910,36 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q117b incremental span removal, PRODUCTION shape (oracled — same
+    * oracle as q117, the outputs are identical by construction): the
+    * stored gram-df index is SERVED from persisted `dfs-snap` state
+    * (built once per scale dir, gh-sorted for zone-map prunes) instead
+    * of rebuilt in-query, so the measured line is the per-delivery cut
+    * alone — what a landing-zone deployment actually pays per delivery
+    * (q117's number folds a full corpus index build into every rep;
+    * BASELINE §23 measured that build as ~56% of the line). */
+  def q117b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    // the cache key folds in the source's size+mtime so a regenerated
+    // corpus invalidates the persisted index instead of serving stale
+    // grams; a torn build (no _SUCCESS) rebuilds on the next call
+    val src = new java.io.File(d, "documents.parquet")
+    val stateDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft-q117-index-" + Integer.toHexString(
+        (d + ":" + src.length + ":" + src.lastModified).hashCode)).getPath
+    if (TextAnalysis.committedSpanDfSlots(s, stateDir).isEmpty)
+      TextAnalysis.saveSpanDfDelta(s, stateDir,
+        TextAnalysis.spanGramDfs(
+            docs.filter(pmod(col("doc_id"), lit(4)) =!= 0), n = 8)
+          .sortWithinPartitions("gh"),
+        slot = Some(0L), snapshot = true)
+    TextAnalysis.removeSharedSpansIncremental(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        TextAnalysis.loadSpanDfIndex(s, stateDir), n = 8)
+      .orderBy("doc_id")
+  }
+
   /** Q118 near-dup source-overlap matrix (oracled): which feeds are
     * re-crawling each other — per unordered source pair, the count and
     * mean similarity of cross-source near-dup document pairs on the
@@ -995,6 +1025,7 @@ object ScaleOps {
     "q114_index_drift" -> q114, "q115_source_cap" -> q115,
     "q116_cluster_histogram" -> q116,
     "q117_incremental_span_removal" -> q117,
+    "q117b_span_removal_served" -> q117b,
     "q118_source_overlap" -> q118,
     "q119_benchmark_contamination" -> q119,
     "q120_span_decontaminate" -> q120,
@@ -1399,11 +1430,34 @@ object ScaleOps {
                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
            FROM documents)
          WHERE rank <= 25 ORDER BY source, rank""",
-    // q117: the oracle is q74's full-union shared-span removal (string
-    // grams vs Spark's FNV hashes — the q74 collision stance) restricted
-    // to the delivery slice: the incremental operator's defining
-    // equivalence, checked end-to-end
+    // q117/q117b: the oracle is q74's full-union shared-span removal
+    // (string grams vs Spark's FNV hashes — the q74 collision stance)
+    // restricted to the delivery slice: the incremental operator's
+    // defining equivalence, checked end-to-end. q117b serves the stored
+    // index from persisted state and produces the IDENTICAL output, so
+    // the same oracle holds for both.
     "q117_incremental_span_removal" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         g AS (SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+7], ' ') AS gram
+               FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks)-7)) AS u(i)
+               WHERE LEN(toks) >= 8),
+         dfq AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                 GROUP BY gram HAVING COUNT(*) >= 2),
+         st AS (SELECT doc_id, LIST_SORT(LIST(DISTINCT i)) AS starts
+                FROM g JOIN dfq USING (gram) GROUP BY doc_id),
+         c AS (SELECT t.doc_id, toks, COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+               FROM t LEFT JOIN st USING (doc_id)
+               WHERE t.doc_id % 4 = 0),
+         k AS (SELECT doc_id, toks,
+               LIST_FILTER(toks, (x, p) ->
+                 LEN(LIST_FILTER(starts, s -> s <= p AND p <= s + 7)) = 0) AS kept
+               FROM c)
+         SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(toks) - LEN(kept) AS BIGINT) AS n_removed,
+           COALESCE(ARRAY_TO_STRING(kept, ' '), '') AS cleaned_text
+         FROM k ORDER BY doc_id""",
+    "q117b_span_removal_served" ->
       """WITH t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
          g AS (SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+7], ' ') AS gram

@@ -272,6 +272,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q118 source overlap: projection joins read only (doc_id, source) " +
+      "and the corpus is never a forced broadcast build") {
+    val df = SparkEntry.queries("q118_source_overlap")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // column pruning reached the scan: every ReadSchema carrying the
+    // source column reads nothing wider than (doc_id, source) — the
+    // corpus projection joins never drag text through an exchange
+    val srcSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+      .filter(_.contains("source:"))
+    assert(srcSchemas.nonEmpty, s"expected a (doc_id, source) scan in:\n$p")
+    srcSchemas.foreach(s => assert(!s.contains("text:"),
+      s"corpus projection scan reads text: $s"))
+    // no broadcast HINT anywhere: the corpus side must never be a
+    // FORCED build (a pair list can be huge too — AQE picks the build
+    // side from runtime stats per scale, edge side at corpus scale)
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+          j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => j
+    }
+    assert(hinted.isEmpty, s"unexpected forced broadcast:\n$hinted")
+  }
+
   test("ingest doc_id assignment has no single-partition exchange") {
     // xxhash64(path) replaces the old row_number-over-global-window id:
     // a Window.orderBy(path) with no partition spec plans as
