@@ -109,22 +109,61 @@ object Dedup {
     * moves `bands` small rows per doc, and AQE handles hot bands
     * (boilerplate-heavy corpora) via skew-join splitting.
     */
+  /** MinHash + LSH banding with the same degenerate-bucket discipline
+    * as [[hamming64PairsCapped]]: `maxBucket` caps candidate
+    * generation per (band, band-key) bucket — a band key shared by 10⁶
+    * documents (empty docs, boilerplate pages: every band of an
+    * identical signature collides) otherwise enumerates ~5·10¹¹
+    * candidate pairs. Identical-SIGNATURE volume is recovered
+    * losslessly as keeper stars (group key = xxhash64 of the
+    * signature, 8 bytes through the exchange instead of the 512-byte
+    * signature; star pairs flow through the SAME signature-verify as
+    * banded candidates, so a 64-bit group-key collision is filtered by
+    * its true estimate rather than trusted). Under the cap the output
+    * is identical to the uncapped join (stars are subsumed by the
+    * distinct). Genuinely-similar-but-not-identical pairs whose every
+    * shared band is over-cap are lost — the standard LSH bucket-cap
+    * trade. */
   def minHashLshPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val sig = minHashSignatures(docs, textCol, idCol, shingleSize, numHashes)
+      minEstJaccard: Double = 0.5,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val capped = maxBucket != Long.MaxValue
+    val sig0 = minHashSignatures(docs, textCol, idCol, shingleSize, numHashes)
+    // capped: the signature table feeds the band join, the group
+    // aggregate, the star member join and the two verify joins —
+    // persist so the shingle+minhash pass runs once
+    val sig = if (capped) graft.CacheRegistry.persist(sig0) else sig0
     // Candidate pairs first (compact 16-byte rows through the band join
     // and the distinct), then the signatures join back ONCE per doc and
     // the 64-element comparison runs once per candidate pair — not once
     // per shared band, which for boilerplate-heavy corpora multiplies
     // the array work by the band count.
-    val banded = bandKeys(sig, "id", bands, numHashes)
+    var banded = bandKeys(sig, "id", bands, numHashes)
+    if (capped) {
+      val small = banded.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket).select("band", "bkey")
+      banded = banded.join(small, Seq("band", "bkey"), "left_semi")
+    }
     val a = banded.select(col("band"), col("bkey"), col("id").as("doc_id_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("doc_id_b"))
-    val cand = a.join(b, Seq("band", "bkey"))
+    var cand = a.join(b, Seq("band", "bkey"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
+    if (capped) {
+      // keeper-star recovery of identical-signature groups the cap may
+      // have dropped: n−1 linear rows per group, never C(n, 2)
+      val hashed = sig.select(col("id"), xxhash64(col("sig")).as("sh"))
+      val groups = hashed.groupBy("sh")
+        .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("sh", "keeper")
+      val star = hashed.join(groups, Seq("sh"))
+        .filter(col("id") =!= col("keeper"))
+        .select(col("keeper").as("doc_id_a"), col("id").as("doc_id_b"))
+      cand = cand.unionByName(star).distinct()
+    }
     cand
       .join(sig.select(col("id").as("doc_id_a"), col("sig").as("sig_a")), "doc_id_a")
       .join(sig.select(col("id").as("doc_id_b"), col("sig").as("sig_b")), "doc_id_b")
@@ -173,13 +212,42 @@ object Dedup {
     round(size(filter(zip_with(sigA, sigB, (x, y) => x === y), eq => eq))
       .cast("double") / numHashes, 4)
 
+  /** `maxBucket` caps the CORPUS side of each (band, band-key) bucket —
+    * the unbounded side at 100 TB (the delivery is delivery-sized by
+    * construction). A batch doc whose only shared bands sit in over-cap
+    * corpus buckets is recovered when its SIGNATURE matches a stored
+    * one: it pairs the group's corpus keeper (min id) — one row per
+    * batch doc, which is all an is-this-delivery-doc-a-dup consumer
+    * needs, never |corpus group| × |batch group| rows. Star pairs flow
+    * through the same signature verify, so group-key collisions are
+    * filtered by their true estimate. Under the cap, output is
+    * identical to the uncapped join. */
   def minHashLshPairsAcross(corpusSigs: DataFrame, batchSigs: DataFrame,
       bands: Int = 16, numHashes: Int = 64,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val cand = bandKeys(corpusSigs, "corpus_id", bands, numHashes)
+      minEstJaccard: Double = 0.5,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val capped = maxBucket != Long.MaxValue
+    var corpusBands = bandKeys(corpusSigs, "corpus_id", bands, numHashes)
+    if (capped) {
+      val small = corpusBands.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket).select("band", "bkey")
+      corpusBands = corpusBands.join(small, Seq("band", "bkey"), "left_semi")
+    }
+    var cand = corpusBands
       .join(bandKeys(batchSigs, "batch_id", bands, numHashes),
         Seq("band", "bkey"))
       .select("corpus_id", "batch_id").distinct()
+    if (capped) {
+      val keepers = corpusSigs
+        .select(col("id"), xxhash64(col("sig")).as("sh"))
+        .groupBy("sh").agg(min(col("id")).as("corpus_id"))
+      val star = batchSigs
+        .select(col("id").as("batch_id"), xxhash64(col("sig")).as("sh"))
+        .join(keepers, Seq("sh"))
+        .select("corpus_id", "batch_id")
+      cand = cand.unionByName(star).distinct()
+    }
     cand
       .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a")),
         "corpus_id")

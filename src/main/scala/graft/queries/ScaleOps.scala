@@ -67,9 +67,14 @@ object ScaleOps {
       maxDocFreq = 100L)
       .orderBy("doc_id_a", "doc_id_b")
 
-  /** Q36 MinHash+LSH near-dup candidates (sketch — rows-only check). */
+  /** Q36 MinHash+LSH near-dup candidates (sketch — rows-only check).
+    * Runs CAPPED like q37: a degenerate band key (every band of 10⁶
+    * identical signatures collides) is otherwise a quadratic candidate
+    * blowup; identical-signature recall stays lossless via the
+    * keeper-star recovery in [[Dedup.minHashLshPairs]]. */
   def q36(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashLshPairs(Tables(s, d).documents, minEstJaccard = 0.2)
+    Dedup.minHashLshPairs(Tables(s, d).documents, minEstJaccard = 0.2,
+      maxBucket = 100000L)
       .orderBy("doc_id_a", "doc_id_b")
 
   /** Q37 SimHash near-dup pairs, Hamming ≤ 3 (sketch — rows-only).
@@ -638,7 +643,7 @@ object ScaleOps {
         concat(col("text"), lit(" v2")).as("text"))
     Dedup.minHashLshPairsAcross(
       Dedup.minHashSignatures(docs), Dedup.minHashSignatures(batch),
-      minEstJaccard = 0.5)
+      minEstJaccard = 0.5, maxBucket = 100000L)
       .orderBy("corpus_id", "batch_id")
   }
 

@@ -76,7 +76,7 @@ object SlotStore {
       snapPrefix: String): Seq[(String, Long, String)] = {
     val snap = parts.filter(_._1 == snapPrefix).map(_._2).sorted.lastOption
     snap match {
-      case None => parts.filter(_._1 == deltaPrefix)
+      case None => parts.filter(_._1 == deltaPrefix).sortBy(_._2)
       case Some(s) => parts.filter(p =>
         (p._1 == snapPrefix && p._2 == s) ||
           (p._1 == deltaPrefix && p._2 > s)).sortBy(_._2)

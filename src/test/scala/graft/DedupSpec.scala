@@ -316,6 +316,62 @@ class DedupSpec extends SparkSuite {
     assert(a == b, s"capped-under-cap diverged: $a vs $b")
   }
 
+  test("minHashLshPairs maxBucket: degenerate band buckets emit linear " +
+      "keeper stars, banded near pairs survive, under-cap = uncapped") {
+    import spark.implicits._
+    val boiler = "the same boilerplate page text repeated on every " +
+      "mirror of the crawl with nothing distinctive in it at all"
+    val longA = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val longB = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    // ids 0-999: one degenerate identical group (every band bucket has
+    // 1000 members); 5000/5001: a genuine near pair in under-cap buckets
+    val docs = ((0L until 1000L).map(i => (i, boiler)) ++
+      Seq((5000L, longA), (5001L, longB))).toDF("doc_id", "text")
+    val got = Dedup.minHashLshPairs(docs, minEstJaccard = 0.5,
+      maxBucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val star = got.filter(_._1 == 0L)
+    assert(star.length == 999 && star.forall(p => p._3 == 1.0),
+      s"${star.length}")
+    assert(got.exists(p => p._1 == 5000L && p._2 == 5001L && p._3 >= 0.5),
+      got.filter(_._1 == 5000L).toSeq)
+    assert(got.length == 1000, got.length) // 999 stars + 1 banded pair
+    // under the cap the composite equals the plain join byte-for-byte
+    val small = (Seq((0L, boiler), (1L, boiler), (2L, longA), (3L, longB)))
+      .toDF("doc_id", "text")
+    val a = Dedup.minHashLshPairs(small, minEstJaccard = 0.5,
+      maxBucket = 1000L).orderBy("doc_id_a", "doc_id_b").collect().toSeq
+    val b = Dedup.minHashLshPairs(small, minEstJaccard = 0.5)
+      .orderBy("doc_id_a", "doc_id_b").collect().toSeq
+    assert(a == b, s"capped-under-cap diverged: $a vs $b")
+  }
+
+  test("minHashLshPairsAcross maxBucket: over-cap corpus groups match " +
+      "each batch dup ONCE via the corpus keeper; banded pairs survive") {
+    import spark.implicits._
+    val boiler = "the same boilerplate page text repeated on every " +
+      "mirror of the crawl with nothing distinctive in it at all"
+    val longA = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val longB = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val corpus = Dedup.minHashSignatures(
+      ((0L until 500L).map(i => (i, boiler)) ++ Seq((600L, longA)))
+        .toDF("doc_id", "text"))
+    val batch = Dedup.minHashSignatures(Seq(
+      (1000L, boiler), (1001L, boiler),           // dups of the big group
+      (1003L, longB),                             // near-edit of 600
+      (1004L, "completely unrelated words that never met the corpus")
+    ).toDF("doc_id", "text"))
+    val got = Dedup.minHashLshPairsAcross(corpus, batch,
+      minEstJaccard = 0.5, maxBucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // each batch dup pairs the group KEEPER exactly once — never the
+    // 500-member clique cross product
+    assert(got.count(_._2 == 1000L) == 1 && got.contains((0L, 1000L, 1.0)), got)
+    assert(got.count(_._2 == 1001L) == 1 && got.contains((0L, 1001L, 1.0)), got)
+    assert(got.exists(p => p._1 == 600L && p._2 == 1003L && p._3 >= 0.5), got)
+    assert(!got.exists(_._2 == 1004L), got)
+  }
+
   test("simHashPairs maxBucket: identical-doc recall stays lossless " +
       "under a cap that prunes every chunk bucket") {
     import spark.implicits._
