@@ -698,6 +698,69 @@ object TextAnalysis {
     reassembleCut(toked, starts, n)
   }
 
+  // ----------------------------------------------- segment-level dedup
+
+  /** Fixed-width segment-level exact deduplication — the
+    * paragraph/line-dedup pass of the C4/CCNet/RefinedWeb lineage
+    * applied at a fixed token granularity (this corpus carries no
+    * newline structure, so the "line" is a `width`-token window): the
+    * corpus is cut into non-overlapping `width`-token segments, each
+    * distinct segment content keeps its FIRST global occurrence
+    * (smallest `(doc_id, seg_idx)`) and every other occurrence —
+    * including repeats inside the same document — is dropped, then
+    * each document is re-assembled from its surviving segments.
+    *
+    * Differs from [[removeSharedSpans]] in both granularity and
+    * policy: q74 cuts every occurrence of any ≥`minDf`-shared sliding
+    * window (no keeper), while this keeps one canonical copy of each
+    * segment, the boilerplate-removal semantics that preserve corpus
+    * coverage (exactly one copy of every paragraph survives).
+    *
+    * Scale shape: segments are formed ROW-LOCAL (`transform` over a
+    * bounded `sequence` + `slice`), and only `(gh, doc_id, seg_idx)`
+    * — 8-byte hash plus ids, never text — reaches the one exchange by
+    * `gh`, where keeper = `min(struct(doc_id, seg_idx))` over the
+    * hash's window (the q74 one-shuffle discipline; collision
+    * semantics equivalent, ~1e-7 at 1M segments). Loser rows
+    * aggregate to per-document drop lists and join back to the
+    * tokenized corpus by `doc_id` exactly once; re-assembly is
+    * row-local. A degenerate segment shared by 10⁶ documents costs
+    * 10⁶ window rows — linear, never the C(n,2) of a pair join.
+    */
+  def segmentDedup(docs: DataFrame, width: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width >= 1, s"width must be >= 1 (got $width)")
+    val toked = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .transform(CacheRegistry.persist(_))
+    // ceil(n/width) fixed windows; the empty-doc guard matters because
+    // sequence(0, -1) would DESCEND (Spark picks step -1), not be empty
+    def segsOf(t: Column): Column =
+      when(size(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0),
+            floor((size(t) + lit(width - 1)) / lit(width)).cast("int") - 1),
+          i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+    val segs = toked.select(col("doc_id"),
+        posexplode(segsOf(col("toks"))).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), xxhash64(col("seg")).as("gh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val drops = segs
+      .withColumn("keeper", min(struct(col("doc_id"), col("seg_idx"))).over(w))
+      .filter(col("keeper.doc_id") =!= col("doc_id") ||
+        col("keeper.seg_idx") =!= col("seg_idx"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("seg_idx"))).as("drops"))
+    toked.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), segsOf(col("toks")).as("segs"),
+        coalesce(col("drops"), array().cast("array<int>")).as("drops"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("bigint").as("n_segments"),
+        size(col("drops")).cast("bigint").as("n_dropped"),
+        array_join(filter(col("segs"),
+          (_, i) => !array_contains(col("drops"), i)), " ").as("cleaned_text"))
+  }
+
   /** Gram-document-frequency table for INCREMENTAL shared-span removal
     * — the persisted state [[removeSharedSpansIncremental]] reads: one
     * `(gh, df)` row per distinct `n`-token window content, `df` = how

@@ -986,6 +986,16 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q121 segment-level dedup (oracled): the C4/RefinedWeb
+    * paragraph-dedup pass at a fixed 16-token granularity — each
+    * distinct segment content keeps its first global occurrence, every
+    * other occurrence is cut and the document re-assembled
+    * ([[TextAnalysis.segmentDedup]]). Complements q74: keep-one
+    * boilerplate removal vs q74's cut-all shared-window removal. */
+  def q121(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.segmentDedup(Tables(s, d).documents, width = 16)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
@@ -1034,6 +1044,7 @@ object ScaleOps {
     "q118_source_overlap" -> q118,
     "q119_benchmark_contamination" -> q119,
     "q120_span_decontaminate" -> q120,
+    "q121_segment_dedup" -> q121,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1526,6 +1537,23 @@ object ScaleOps {
              AS dirty_frac,
            CAST(COALESCE(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
          FROM nb LEFT JOIN h USING (bid) ORDER BY doc_id""",
+    "q121_segment_dedup" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         s AS (SELECT doc_id, i AS seg_idx,
+               ARRAY_TO_STRING(toks[(i*16+1):(i*16+16)], ' ') AS seg
+               FROM t, UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(toks)/16.0) AS BIGINT)-1)) AS u(i)
+               WHERE LEN(toks) >= 1),
+         k AS (SELECT doc_id, seg_idx, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM s),
+         a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                      CAST(SUM(CASE WHEN rn>1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                      COALESCE(STRING_AGG(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn=1), '') AS cleaned_text
+               FROM k GROUP BY doc_id)
+         SELECT t.doc_id, CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+           COALESCE(cleaned_text, '') AS cleaned_text
+         FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
     "q118_source_overlap" ->
       """WITH t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),

@@ -243,6 +243,40 @@ class DedupSpec extends SparkSuite {
       (2L, 8L, 8L, "")), got)
   }
 
+  test("segmentDedup keeps the first global occurrence of each segment, " +
+      "cuts every later one including intra-document repeats") {
+    val corpus = Seq(
+      (0L, "a b c d e f"),       // segs: [a b c][d e f] — both keepers
+      (1L, "a b c x y z"),       // [a b c] dropped (keeper doc 0), [x y z] kept
+      (2L, "d e f d e f"),       // both occurrences lose to doc 0's keeper
+      (3L, "p q"),               // partial trailing segment kept
+      (4L, "")                   // empty doc: zero segments, empty remainder
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentDedup(corpus, width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, "a b c d e f"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 2L, ""),
+      (3L, 1L, 0L, "p q"),
+      (4L, 0L, 0L, "")), got)
+  }
+
+  test("segmentDedup on a degenerate corpus (every doc identical) keeps " +
+      "exactly one copy — the min-id document") {
+    val corpus = (0L until 50L)
+      .map(i => (i, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentDedup(corpus, width = 3)
+    assert(out.filter(col("n_dropped") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.filter(col("cleaned_text") =!= "").count() == 1)
+    // the work is LINEAR in members: one window row per occurrence,
+    // never a pair join — 100 rows total for 50 docs x 2 segments
+    assert(out.count() == 50)
+  }
+
   test("benchmarkContamination reports per-eval-item gram leakage with " +
       "zeros for clean items") {
     // bench doc 100 shares its whole 8-gram with corpus docs 0 and 1;

@@ -295,6 +295,31 @@ class PlanSpec extends SparkSuite {
     assert(hinted.isEmpty, s"unexpected forced broadcast:\n$hinted")
   }
 
+  test("q121 segment dedup: the keeper window's exchange carries only " +
+      "(gh, doc_id, seg_idx) — segment text never shuffles") {
+    // AQE off so the physical tree exposes raw ShuffleExchangeExec
+    // nodes to traversal (AdaptiveSparkPlanExec is a leaf to collect)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q121_segment_dedup")(spark, sf("0.001"))
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+      def integral(t: DataType): Boolean = t match {
+        case LongType | IntegerType => true
+        case s: StructType => s.fields.forall(f => integral(f.dataType))
+        case _ => false
+      }
+      val ghExchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "gh") => e
+      }
+      assert(ghExchanges.nonEmpty, "expected the keeper-window exchange on gh")
+      for (e <- ghExchanges; a <- e.output)
+        assert(integral(a.dataType),
+          s"window exchange carries ${a.name}: ${a.dataType} — " +
+            "only fixed-width hashes and ids may shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ingest doc_id assignment has no single-partition exchange") {
     // xxhash64(path) replaces the old row_number-over-global-window id:
     // a Window.orderBy(path) with no partition spec plans as
