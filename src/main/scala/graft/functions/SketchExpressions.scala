@@ -347,6 +347,34 @@ object Sketch {
     new GenericArrayData(kept.toArray)
   }
 
+  /** Join the elements of `segs` whose index is NOT in the
+    * sorted-ascending `drops` list with a single space — q121's
+    * document reassembly as one two-pointer sweep, O(segs + drops),
+    * replacing the O(segs × drops)
+    * `filter(segs, (_, i) -> !array_contains(drops, i))` HOF
+    * formulation (quadratic row-local work on a long boilerplate-heavy
+    * document where most segments drop). */
+  def joinExceptIndices(segs: ArrayData,
+      drops: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = segs.numElements()
+    val m = drops.numElements()
+    val sb = new java.lang.StringBuilder
+    var di = 0
+    var i = 0
+    var first = true
+    while (i < n) {
+      while (di < m && drops.getInt(di) < i) di += 1
+      if (di < m && drops.getInt(di) == i) di += 1
+      else {
+        if (!first) sb.append(' ')
+        sb.append(segs.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Within-document repetition profile (Gopher-style quality signals,
     * Rae et al. 2021 §A1.1): in ONE row-local pass over the token array
     * compute (a) the most frequent `nTop`-gram — ties broken by
@@ -536,6 +564,9 @@ object Sketch {
   def chunk_texts(toks: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(
       ChunkTextsExpr(ColumnBridge.expression(toks), chunkSize, stride))
+  def join_except(segs: Column, drops: Column): Column =
+    ColumnBridge.column(JoinExceptIndicesExpr(
+      ColumnBridge.expression(segs), ColumnBridge.expression(drops)))
   def rep_gram_stats(toks: Column, nTop: Int, nDup: Int): Column =
     ColumnBridge.column(RepGramStatsExpr(ColumnBridge.expression(toks), nTop, nDup))
   def dot_product(a: Column, b: Column): Column =
@@ -599,6 +630,21 @@ case class RemoveCoveredExpr(left: Expression, right: Expression, n: Int)
       s"graft.functions.Sketch.removeCovered($a, $b, $n)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RemoveCoveredExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class JoinExceptIndicesExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "join_except"
+  override def nullSafeEval(segs: Any, drops: Any): Any =
+    Sketch.joinExceptIndices(
+      segs.asInstanceOf[ArrayData], drops.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketch.joinExceptIndices($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JoinExceptIndicesExpr =
     copy(left = newLeft, right = newRight)
 }
 

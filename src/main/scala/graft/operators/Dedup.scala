@@ -129,18 +129,26 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       minEstJaccard: Double = 0.5,
       maxBucket: Long = Long.MaxValue): DataFrame = {
-    val capped = maxBucket != Long.MaxValue
+    val capped0 = maxBucket != Long.MaxValue
     val sig0 = minHashSignatures(docs, textCol, idCol, shingleSize, numHashes)
     // capped: the signature table feeds the band join, the group
     // aggregate, the star member join and the two verify joins —
     // persist so the shingle+minhash pass runs once
-    val sig = if (capped) graft.CacheRegistry.persist(sig0) else sig0
+    val sig = if (capped0) graft.CacheRegistry.persist(sig0) else sig0
     // Candidate pairs first (compact 16-byte rows through the band join
     // and the distinct), then the signatures join back ONCE per doc and
     // the 64-element comparison runs once per candidate pair — not once
     // per shared band, which for boilerplate-heavy corpora multiplies
     // the array work by the band count.
     var banded = bandKeys(sig, "id", bands, numHashes)
+    // adaptive short-circuit (the q113 salted-join pattern): ONE small
+    // probe over 8-byte band keys decides whether any bucket is
+    // actually over cap — a clean corpus (the common case) then skips
+    // the semi-join prune, the star recovery and its extra distinct,
+    // paying only this probe against the already-persisted signatures
+    val capped = capped0 && !banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).isEmpty
     if (capped) {
       val small = banded.groupBy("band", "bkey")
         .agg(count(lit(1)).as("bn"))
@@ -225,7 +233,19 @@ object Dedup {
   def minHashLshPairsAcross(corpusSigs: DataFrame, batchSigs: DataFrame,
       bands: Int = 16, numHashes: Int = 64,
       minEstJaccard: Double = 0.5,
-      maxBucket: Long = Long.MaxValue): DataFrame = {
+      maxBucket: Long = Long.MaxValue): DataFrame =
+    minHashLshPairsAcrossKeyed(corpusSigs, batchSigs, bands, numHashes,
+      minEstJaccard, maxBucket, xxhash64(_))
+
+  /** [[minHashLshPairsAcross]] with an injectable star group key —
+    * test seam only: DedupSpec forces every signature into ONE star
+    * group (`_ => lit(0)`) to pin that star candidates pass through
+    * the SAME estimate verify as banded ones (a 64-bit group-key
+    * collision must be filtered by its true estimate, never trusted). */
+  private[graft] def minHashLshPairsAcrossKeyed(corpusSigs: DataFrame,
+      batchSigs: DataFrame, bands: Int, numHashes: Int,
+      minEstJaccard: Double, maxBucket: Long,
+      starKey: Column => Column): DataFrame = {
     val capped = maxBucket != Long.MaxValue
     var corpusBands = bandKeys(corpusSigs, "corpus_id", bands, numHashes)
     if (capped) {
@@ -240,10 +260,10 @@ object Dedup {
       .select("corpus_id", "batch_id").distinct()
     if (capped) {
       val keepers = corpusSigs
-        .select(col("id"), xxhash64(col("sig")).as("sh"))
+        .select(col("id"), starKey(col("sig")).as("sh"))
         .groupBy("sh").agg(min(col("id")).as("corpus_id"))
       val star = batchSigs
-        .select(col("id").as("batch_id"), xxhash64(col("sig")).as("sh"))
+        .select(col("id").as("batch_id"), starKey(col("sig")).as("sh"))
         .join(keepers, Seq("sh"))
         .select("corpus_id", "batch_id")
       cand = cand.unionByName(star).distinct()
@@ -680,11 +700,29 @@ object Dedup {
     * probability is `1 - θ/π`, so recall = `1 - (1 - p^nbits)^nBands` —
     * bands buy recall linearly in work where extra bits would cost it
     * exponentially.
+    *
+    * `maxBucket` applies the [[minHashLshPairs]]/[[hamming64PairsCapped]]
+    * degenerate-bucket discipline to the EMBEDDING side: `nbits` derived
+    * from corpus size bounds MEAN bucket occupancy, but a constant
+    * vector emitted by a broken/saturated embedder for 10⁶ documents —
+    * the realistic crawl failure — lands in ONE bucket regardless of
+    * width and is otherwise a ~5·10¹¹-pair self-join. The cap prunes
+    * over-cap buckets from candidate generation; IDENTICAL-vector
+    * volume is recovered losslessly as keeper stars (group key =
+    * `xxhash64(v)`, 8 bytes through the exchange — identical vectors
+    * score cos 1.0 by construction). Star candidates flow through the
+    * SAME cosine verify as bucketed ones, so a 64-bit group-key
+    * collision is filtered by its true cosine rather than trusted.
+    * Under the cap output is identical to the uncapped join (stars are
+    * subsumed by the distinct). Genuinely-near-but-not-identical pairs
+    * whose every shared bucket is over-cap are lost — the standard LSH
+    * bucket-cap trade, same as the lexical family.
     */
   def embeddingCosinePairs(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       nbits: Int = 8, seed: Long = 42L, nBands: Int = 1,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1, maxBucket: Long = Long.MaxValue): DataFrame = {
+    val capped = maxBucket != Long.MaxValue
     // hyperplane dimensionality must match the embeddings: a fixed
     // width would silently hash on a truncated/zero-padded prefix for
     // any other embedding model. Derived from one row (bounded 1-row
@@ -695,31 +733,55 @@ object Dedup {
         .take(1).headOption.map(_.getInt(0)).getOrElse(1)
     // norms are computed once per vector and carried through the join as
     // plain columns (the join output materializes them), so the
-    // O(pairs) stage pays one dot product instead of three array passes
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // O(pairs) stage pays one dot product instead of three array passes.
+    // capped: the vector table feeds the bucket join, the group
+    // aggregate, the star member join and the verify join-backs —
+    // persist so norms and hashes compute once
+    val base0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.l2Norm(col(vecCol)).as("norm"))
+    val base = if (capped) graft.CacheRegistry.persist(base0) else base0
     def scored(pairs: DataFrame): DataFrame = pairs
       .withColumn("cos", round(
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
-    if (nBands <= 1) {
+    // keeper-star recovery of identical-vector groups the cap may have
+    // dropped: n−1 linear rows per group, never C(n, 2). Re-verified by
+    // true cosine downstream (collision-safe; zero vectors score null
+    // and fall out exactly as they would uncapped).
+    def starCand: DataFrame = {
+      val hashed = base.select(col("id"), xxhash64(col("v")).as("vh"))
+      val groups = hashed.groupBy("vh")
+        .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("vh", "keeper")
+      hashed.join(groups, Seq("vh"))
+        .filter(col("id") =!= col("keeper"))
+        .select(col("keeper").as("cid_a"), col("id").as("cid_b"))
+    }
+    def scoredCand(cand: DataFrame): DataFrame = scored(cand
+      .join(base.as("a"), col("cid_a") === col("a.id"))
+      .join(base.as("b"), col("cid_b") === col("b.id")))
+    if (nBands <= 1 && !capped) {
       val bucketed = base.withColumn("bucket",
         Similarity.signLshBucket(col("v"), nbits, planeDim, seed))
       scored(bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")))
     } else {
-      val banded = (0 until nBands).map { band =>
+      var banded = (0 until math.max(nBands, 1)).map { band =>
         base.select(col("id"), concat_ws(":", lit(band),
           Similarity.signLshBucket(col("v"), nbits, planeDim, seed + band)).as("bucket"))
       }.reduce(_ union _)
-      val cand = banded.as("x").join(banded.as("y"),
+      if (capped) {
+        val small = banded.groupBy("bucket")
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucket).select("bucket")
+        banded = banded.join(small, Seq("bucket"), "left_semi")
+      }
+      var cand = banded.as("x").join(banded.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
         .select(col("x.id").as("cid_a"), col("y.id").as("cid_b"))
-        .distinct()
-      scored(cand
-        .join(base.as("a"), col("cid_a") === col("a.id"))
-        .join(base.as("b"), col("cid_b") === col("b.id")))
+      if (capped) cand = cand.unionByName(starCand)
+      scoredCand(cand.distinct())
     }
   }
 
@@ -817,29 +879,77 @@ object Dedup {
     * fixed k (the q43 scale-derivation rule applied to clustering).
     * The quantizer's training sample widens with k (≥ 8 points per
     * centroid) but stays a bounded driver-side array.
+    *
+    * `maxCluster` is the [[embeddingCosinePairs]] degenerate-bucket
+    * discipline for the CLUSTER stage: deriving k bounds MEAN
+    * occupancy, but 10⁶ copies of one constant vector (a broken
+    * embedder — the realistic crawl failure) all assign to the SAME
+    * centroid whatever k is, and the within-cluster join goes C(n,2).
+    * Over-cap clusters are pruned from the pair join; identical-vector
+    * groups inside them still drop their non-keeper members via a
+    * keeper star keyed on `xxhash64(v)` — n−1 linear rows, re-verified
+    * by true cosine (identical vectors score 1.0 ≥ τ; a 64-bit
+    * collision is filtered, not trusted). Under the cap the output is
+    * identical to the uncapped operator; what is lost over-cap is
+    * near-but-not-identical drops inside degenerate clusters — the
+    * standard cap trade.
     */
   def semanticDedup(emb: DataFrame, k: Int = 0, tau: Double = 0.7,
       iters: Int = 10, sampleN: Int = 4096, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      targetOccupancy: Int = 128): DataFrame = {
+      targetOccupancy: Int = 128,
+      maxCluster: Long = Long.MaxValue): DataFrame = {
+    val capped = maxCluster != Long.MaxValue
     val kEff =
       if (k > 0) k
       else deriveClusterCount(emb.count(), targetOccupancy)
     val sampleEff = math.max(sampleN, 8 * kEff)
-    val assigned = Similarity.ivfAssign(emb,
+    val assigned0 = Similarity.ivfAssign(emb,
         Similarity.trainIvfCentroids(emb, kEff, iters, sampleEff, seed,
           vecCol, idCol),
         vecCol, idCol)
       .withColumnRenamed("list_id", "cluster")
-    val side = assigned.select(col("cluster"), col(idCol).as("id"),
+    // capped: the assignment feeds the pair join (both sides), the
+    // cluster-count aggregate, the star group/member joins and the
+    // final anti-join base — persist so the centroid-assign pass (k
+    // dot products per row) runs once
+    val assigned = if (capped) graft.CacheRegistry.persist(assigned0)
+      else assigned0
+    var side = assigned.select(col("cluster"), col(idCol).as("id"),
       col("v"), col("norm"))
-    val dropped = side.as("a").join(side.as("b"),
+    if (capped) {
+      val small = side.groupBy("cluster").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") <= maxCluster).select("cluster")
+      side = side.join(small, Seq("cluster"), "left_semi")
+    }
+    var dropped = side.as("a").join(side.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .filter(Similarity.dot(col("a.v"), col("b.v")) /
         (col("a.norm") * col("b.norm")) >= tau)
       .select(col("b.id").as("drop_id"))
-      .distinct()
-    assigned.join(dropped, assigned(idCol) === dropped("drop_id"), "left_anti")
+    if (capped) {
+      // keeper-star recovery: every identical-vector group (the volume
+      // a degenerate cluster holds) drops its non-keeper members —
+      // keeper = min(id) < member id, so the pair orientation matches
+      // the a.id < b.id rule; the cosine re-verify filters 64-bit
+      // group-key collisions (and zero vectors, which score null here
+      // exactly as they would in the uncapped join)
+      val hashed = assigned.select(col(idCol).as("id"),
+        xxhash64(col("v")).as("vh"), col("v"), col("norm"))
+      val groups = hashed.groupBy("vh")
+        .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("vh", "keeper")
+      val star = hashed.as("b").join(groups, col("b.vh") === groups("vh"))
+        .filter(col("b.id") =!= col("keeper"))
+        .join(hashed.select(col("id").as("keeper"), col("v").as("kv"),
+          col("norm").as("knorm")), Seq("keeper"))
+        .filter(Similarity.dot(col("kv"), col("b.v")) /
+          (col("knorm") * col("b.norm")) >= tau)
+        .select(col("b.id").as("drop_id"))
+      dropped = dropped.unionByName(star)
+    }
+    val drops = dropped.distinct()
+    assigned.join(drops, assigned(idCol) === drops("drop_id"), "left_anti")
       .select(col(idCol), col("cluster"), round(col("norm"), 4).as("norm"))
   }
 }

@@ -730,19 +730,15 @@ object TextAnalysis {
   def segmentDedup(docs: DataFrame, width: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(width >= 1, s"width must be >= 1 (got $width)")
+    // null text coalesces to the empty token array here so every
+    // downstream size/sequence/slice sees a real array (a null toks
+    // would bypass the empty guard below and descend)
     val toked = docs.select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("toks"))
+        coalesce(tokens(col(textCol)),
+          array().cast("array<string>")).as("toks"))
       .transform(CacheRegistry.persist(_))
-    // ceil(n/width) fixed windows; the empty-doc guard matters because
-    // sequence(0, -1) would DESCEND (Spark picks step -1), not be empty
-    def segsOf(t: Column): Column =
-      when(size(t) === 0, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0),
-            floor((size(t) + lit(width - 1)) / lit(width)).cast("int") - 1),
-          i => array_join(slice(t, i * width + 1, lit(width)), " ")))
     val segs = toked.select(col("doc_id"),
-        posexplode(segsOf(col("toks"))).as(Seq("seg_idx", "seg")))
+        posexplode(segmentsOf(col("toks"), width)).as(Seq("seg_idx", "seg")))
       .select(col("doc_id"), col("seg_idx"), xxhash64(col("seg")).as("gh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val drops = segs
@@ -751,15 +747,188 @@ object TextAnalysis {
         col("keeper.seg_idx") =!= col("seg_idx"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("seg_idx"))).as("drops"))
+    reassembleSegments(toked, drops, width)
+  }
+
+  /** ceil(n/width) fixed windows over a token array; the `<= 0` guard
+    * covers both the empty doc (sequence(0, -1) would DESCEND — Spark
+    * picks step -1 — not be empty) and a null-size input. */
+  private def segmentsOf(t: Column, width: Int): Column =
+    when(size(t) <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          floor((size(t) + lit(width - 1)) / lit(width)).cast("int") - 1),
+        i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+
+  /** Shared q121/q121b reassembly: join the per-document sorted drop
+    * lists back to the tokenized corpus (ONE join by doc_id) and
+    * rebuild each document from its surviving segments row-local —
+    * the `join_except` native kernel is an O(segs + drops) two-pointer
+    * sweep, not the O(segs × drops) `array_contains`-per-segment HOF
+    * (quadratic on a long boilerplate-heavy document). */
+  private def reassembleSegments(toked: DataFrame, drops: DataFrame,
+      width: Int): DataFrame =
     toked.join(drops, Seq("doc_id"), "left")
-      .select(col("doc_id"), segsOf(col("toks")).as("segs"),
+      .select(col("doc_id"), segmentsOf(col("toks"), width).as("segs"),
         coalesce(col("drops"), array().cast("array<int>")).as("drops"))
       .select(col("doc_id"),
         size(col("segs")).cast("bigint").as("n_segments"),
         size(col("drops")).cast("bigint").as("n_dropped"),
-        array_join(filter(col("segs"),
-          (_, i) => !array_contains(col("drops"), i)), " ").as("cleaned_text"))
+        graft.functions.Sketch.join_except(col("segs"), col("drops"))
+          .as("cleaned_text"))
+
+  /** Segment keeper table — the PERSISTABLE state behind
+    * [[segmentDedupIncremental]]: one `(gh, k_doc, k_seg)` row per
+    * distinct segment content, carrying the smallest `(doc_id,
+    * seg_idx)` occurrence seen (the [[segmentDedup]] keeper). Flat
+    * columns, not a struct, so parquet zone maps prune on `gh` and the
+    * schema stays engine-portable. */
+  def segmentKeepers(docs: DataFrame, width: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(tokens(col(textCol)),
+          array().cast("array<string>")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(segmentsOf(col("toks"), width)).as(Seq("seg_idx", "seg")))
+      .groupBy(xxhash64(col("seg")).as("gh"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+      .select(col("gh"), col("k.doc_id").as("k_doc"),
+        col("k.seg_idx").as("k_seg"))
+
+  /** Incremental [[segmentDedup]] — the keep-first paragraph dedup at
+    * DELIVERY time (q121b; what [[removeSharedSpansIncremental]] is to
+    * q74): cut from each delivery document every segment occurrence
+    * that is not the global first across `stored ∪ delivery`, where
+    * the stored corpus is represented ONLY by its [[segmentKeepers]]
+    * table. Because the keeper rule is a pure min over `(doc_id,
+    * seg_idx)` and the doc sets are disjoint, the result is IDENTICAL
+    * to running the batch operator over the full union and keeping the
+    * delivery rows — a delivery occurrence survives iff it is the
+    * delivery-side min for its hash AND no stored keeper precedes it.
+    *
+    * Scale shape (the q117 delivery discipline): the stored keeper
+    * table is corpus-segment-scale and is NEVER broadcast — it is
+    * scanned once, left-semi-pruned by the (delivery-bounded,
+    * broadcast) delivery hash set; the min-merge aggregate runs AFTER
+    * the prune, so `storedKeepers` may be the raw multi-delta union
+    * ([[loadSegmentKeeperIndex]]) without a corpus-scale shuffle per
+    * delivery. Everything after the prune is delivery-sized; text
+    * appears only in the final reassembly. Output columns are the
+    * batch operator's (`n_segments`, `n_dropped`, `cleaned_text`).
+    */
+  def segmentDedupIncremental(delivery: DataFrame, storedKeepers: DataFrame,
+      width: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toked = delivery.select(col(idCol).as("doc_id"),
+        coalesce(tokens(col(textCol)),
+          array().cast("array<string>")).as("toks"))
+      .transform(CacheRegistry.persist(_))
+    val segs = toked.select(col("doc_id"),
+        posexplode(segmentsOf(col("toks"), width)).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), xxhash64(col("seg")).as("gh"))
+      .transform(CacheRegistry.persist(_))
+    // stored keepers pruned to the delivery's hashes BEFORE the merge:
+    // the broadcast build is the delivery hash set (delivery-bounded),
+    // the corpus-scale keeper table streams through as the probe side;
+    // the per-hash min-merge (raw deltas may repeat a hash) runs on the
+    // delivery-sized remainder
+    val sk = storedKeepers
+      .join(broadcast(segs.select("gh").distinct()), Seq("gh"), "left_semi")
+      .groupBy("gh")
+      .agg(min(struct(col("k_doc").as("doc_id"),
+        col("k_seg").as("seg_idx"))).as("skeeper"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val drops = segs
+      .withColumn("dkeeper", min(struct(col("doc_id"), col("seg_idx"))).over(w))
+      .join(sk, Seq("gh"), "left")
+      .filter(col("dkeeper.doc_id") =!= col("doc_id") ||
+        col("dkeeper.seg_idx") =!= col("seg_idx") ||
+        (col("skeeper").isNotNull &&
+          struct(col("doc_id"), col("seg_idx")) > col("skeeper")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("seg_idx"))).as("drops"))
+    reassembleSegments(toked, drops, width)
   }
+
+  /** Fold a delivery's keepers into the stored table — the state
+    * update after [[segmentDedupIncremental]] admits a delivery: the
+    * merged keeper per hash is the min across both sides (disjoint doc
+    * sets make this exactly the batch keeper over the union corpus). */
+  def foldSegmentKeepers(stored: DataFrame, deliveryKeepers: DataFrame): DataFrame =
+    stored.unionByName(deliveryKeepers)
+      .groupBy("gh")
+      .agg(min(struct(col("k_doc").as("doc_id"),
+        col("k_seg").as("seg_idx"))).as("k"))
+      .select(col("gh"), col("k.doc_id").as("k_doc"),
+        col("k.seg_idx").as("k_seg"))
+
+  /** Persisted form of the [[segmentKeepers]] state — a fourth
+    * [[graft.state.SlotStore]] client with the span-df lifecycle:
+    * deliveries land as self-committing `seg-delta-<slot>` dirs
+    * (O(delta) writes, stored deltas never rewritten), compactions as
+    * `seg-snap-<slot>` (supersede every part with slot ≤ k BY
+    * CONSTRUCTION — crash-safe), torn writes (no _SUCCESS) ignored. */
+  def saveSegmentKeeperDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepers: DataFrame, slot: Option[Long] = None,
+      snapshot: Boolean = false): Unit = {
+    val parts = segKeeperParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    graft.state.SlotStore.requireNotSuperseded(parts, "seg-snap", next,
+      "saveSegmentKeeperDelta")
+    val kind = if (snapshot) "snap" else "delta"
+    keepers.write.mode("overwrite").parquet(s"$path/seg-$kind-$next")
+  }
+
+  private def segKeeperParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("seg-delta", "seg-snap"))
+
+  /** Committed slot numbers (deltas AND snapshots) — the replay-skip
+    * set for a streaming host. */
+  def committedSegmentKeeperSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    segKeeperParts(spark, path).map(_._2)
+
+  /** Load the keeper index as the RAW union of live parts (latest
+    * snapshot + later deltas) — a hash may appear once per part; the
+    * per-hash min-merge is the consumer's job AFTER its own pruning
+    * ([[segmentDedupIncremental]] merges post-semi-join, so a delivery
+    * never pays a corpus-scale shuffle to read state). ONE flat
+    * multi-path scan — the plan stays constant-size however many
+    * deltas accrete. */
+  def loadSegmentKeeperIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(segKeeperParts(spark, path),
+      "seg-delta", "seg-snap")
+    require(parts.nonEmpty, s"no committed segment-keeper parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(_._3))
+  }
+
+  /** Fold every live part under `from` into ONE merged snapshot at
+    * `to` (slot 0), sorted by hash for zone-map prunes under future
+    * semi-joins. `to` must be a fresh dir. */
+  def compactSegmentKeeperIndex(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    require(segKeeperParts(spark, to).isEmpty,
+      s"compactSegmentKeeperIndex target $to already holds committed " +
+        "parts — compact into a fresh dir")
+    saveSegmentKeeperDelta(spark, to,
+      loadSegmentKeeperIndex(spark, from)
+        .groupBy("gh")
+        .agg(min(struct(col("k_doc").as("doc_id"),
+          col("k_seg").as("seg_idx"))).as("k"))
+        .select(col("gh"), col("k.doc_id").as("k_doc"),
+          col("k.seg_idx").as("k_seg"))
+        .sortWithinPartitions("gh"),
+      slot = Some(0L), snapshot = true)
+  }
+
+  /** Delete every committed part a snapshot has superseded — pure
+    * housekeeping (load already ignores them). */
+  def sweepSegmentKeeperIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "seg-delta", "seg-snap")
 
   /** Gram-document-frequency table for INCREMENTAL shared-span removal
     * — the persisted state [[removeSharedSpansIncremental]] reads: one

@@ -134,7 +134,12 @@ object ScaleOps {
     val n = emb.count()
     val nbits = math.max(4,
       math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt)
-    Dedup.embeddingCosinePairs(emb, threshold = 0.35, nbits = nbits)
+    // CAPPED like q36/q37: nbits bounds MEAN occupancy, but a constant
+    // vector from a broken embedder shares ONE bucket at any width —
+    // identical-vector recall stays lossless via the keeper-star
+    // recovery in [[Dedup.embeddingCosinePairs]]
+    Dedup.embeddingCosinePairs(emb, threshold = 0.35, nbits = nbits,
+      maxBucket = 100000L)
       .orderBy("id_a", "id_b")
   }
 
@@ -396,8 +401,14 @@ object ScaleOps {
     * cosine (≈0.51) so the prune path is exercised. */
   def q82(s: SparkSession, d: String): DataFrame =
     // k auto-derives from corpus size (max(16, n/128) — 16 at the 500-row
-    // test scale, growing linearly so occupancy stays bounded at 100 TB)
-    Dedup.semanticDedup(Tables(s, d).embeddings, tau = 0.4)
+    // test scale, growing linearly so occupancy stays bounded at 100 TB).
+    // CAPPED (`maxCluster`): derived k bounds MEAN occupancy only — a
+    // constant embedding shared by 10⁶ docs assigns to ONE centroid and
+    // is otherwise a C(n,2) within-cluster join; identical-vector drops
+    // stay lossless via the keeper-star recovery in
+    // [[Dedup.semanticDedup]]
+    Dedup.semanticDedup(Tables(s, d).embeddings, tau = 0.4,
+      maxCluster = 100000L)
       .orderBy("vec_id")
 
   /** Q83 product-quantization ANN top-5 for 4 queries (rows-only —
@@ -927,12 +938,16 @@ object ScaleOps {
     val docs = Tables(s, d).documents
     // the cache key folds in the source's size+mtime so a regenerated
     // corpus invalidates the persisted index instead of serving stale
-    // grams; a torn build (no _SUCCESS) rebuilds on the next call
+    // grams; a torn build (no _SUCCESS) rebuilds on the next call.
+    // Full SHA-256 of the key string, not a 32-bit hashCode: a 32-bit
+    // collision across scale dirs would silently serve a stale index
     val src = new java.io.File(d, "documents.parquet")
+    val keyDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((d + ":" + src.length + ":" + src.lastModified)
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val stateDir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft-q117-index-" + Integer.toHexString(
-        (d + ":" + src.length + ":" + src.lastModified).hashCode)).getPath
+      sys.props("java.io.tmpdir"), "graft-q117-index-" + keyDigest).getPath
     if (TextAnalysis.committedSpanDfSlots(s, stateDir).isEmpty)
       TextAnalysis.saveSpanDfDelta(s, stateDir,
         TextAnalysis.spanGramDfs(
@@ -993,8 +1008,30 @@ object ScaleOps {
     * ([[TextAnalysis.segmentDedup]]). Complements q74: keep-one
     * boilerplate removal vs q74's cut-all shared-window removal. */
   def q121(s: SparkSession, d: String): DataFrame =
+    // width = 16 is pinned by the DuckDB oracle (its segment CTE
+    // hardcodes toks[(i*16+1):(i*16+16)] / CEIL(LEN/16.0)) — change
+    // BOTH together or the correctness harness flags a hash mismatch
     TextAnalysis.segmentDedup(Tables(s, d).documents, width = 16)
       .orderBy("doc_id")
+
+  /** Q121b incremental segment dedup (oracled): q121 at DELIVERY time
+    * — the stored corpus (doc_id % 4 ≠ 0) is represented ONLY by its
+    * segment-keeper table ([[TextAnalysis.segmentKeepers]]); the
+    * delivery (doc_id % 4 = 0) is cut against merged keepers without
+    * rescanning stored text ([[TextAnalysis.segmentDedupIncremental]])
+    * — exactly what q117 is to q74, for the keep-one paragraph policy.
+    * Disjoint doc sets make the incremental result EXACTLY the batch
+    * q121 over the union restricted to delivery rows — which is what
+    * the oracle computes. Same width-16 oracle pin as q121. */
+  def q121b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    TextAnalysis.segmentDedupIncremental(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        TextAnalysis.segmentKeepers(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0), width = 16),
+        width = 16)
+      .orderBy("doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
@@ -1045,6 +1082,7 @@ object ScaleOps {
     "q119_benchmark_contamination" -> q119,
     "q120_span_decontaminate" -> q120,
     "q121_segment_dedup" -> q121,
+    "q121b_segment_dedup_incremental" -> q121b,
   )
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
@@ -1537,6 +1575,9 @@ object ScaleOps {
              AS dirty_frac,
            CAST(COALESCE(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
          FROM nb LEFT JOIN h USING (bid) ORDER BY doc_id""",
+    // width 16 is HARDCODED in this CTE (toks[(i*16+1):(i*16+16)],
+    // CEIL(LEN/16.0)) — q121's Scala side passes width = 16 and the
+    // two must change together
     "q121_segment_dedup" ->
       """WITH t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
@@ -1554,6 +1595,28 @@ object ScaleOps {
            CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
            COALESCE(cleaned_text, '') AS cleaned_text
          FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
+    // q121b: incremental ≡ batch-over-the-union restricted to delivery
+    // rows is the operator's DEFINING equivalence (the q117 oracle
+    // pattern) — the oracle is q121's segment CTE with the final
+    // select filtered to the delivery slice. Width 16 pinned as q121.
+    "q121b_segment_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks FROM documents),
+         s AS (SELECT doc_id, i AS seg_idx,
+               ARRAY_TO_STRING(toks[(i*16+1):(i*16+16)], ' ') AS seg
+               FROM t, UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(toks)/16.0) AS BIGINT)-1)) AS u(i)
+               WHERE LEN(toks) >= 1),
+         k AS (SELECT doc_id, seg_idx, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM s),
+         a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                      CAST(SUM(CASE WHEN rn>1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                      COALESCE(STRING_AGG(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn=1), '') AS cleaned_text
+               FROM k GROUP BY doc_id)
+         SELECT t.doc_id, CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+           COALESCE(cleaned_text, '') AS cleaned_text
+         FROM t LEFT JOIN a USING (doc_id)
+         WHERE t.doc_id % 4 = 0 ORDER BY doc_id""",
     "q118_source_overlap" ->
       """WITH t AS (SELECT doc_id,
               LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),

@@ -277,6 +277,91 @@ class DedupSpec extends SparkSuite {
     assert(out.count() == 50)
   }
 
+  test("segmentDedupIncremental equals batch segmentDedup over the union " +
+      "restricted to delivery rows — keeper precedence both directions") {
+    // stored ids sit BETWEEN delivery ids so the struct comparison is
+    // exercised both ways: delivery doc 0 precedes stored keeper 10
+    // (survives), stored keeper 10 precedes delivery doc 20 (dropped)
+    val stored = Seq(
+      (10L, "a b c d e f"),       // keepers for [a b c] and [d e f]
+      (11L, "m n o")              // keeper for [m n o]
+    ).toDF("doc_id", "text")
+    val delivery = Seq(
+      (0L, "a b c u v w"),        // [a b c]: doc 0 < stored 10 → kept
+      (5L, "d e f p q r"),        // [d e f]: stored 10 > 5? no — 5 < 10 → kept
+      (20L, "m n o p q r"),       // [m n o] lost to 11; [p q r] lost to 5
+      (21L, "")                   // empty doc survives as empty
+    ).toDF("doc_id", "text")
+    val inc = TextAnalysis.segmentDedupIncremental(delivery,
+        TextAnalysis.segmentKeepers(stored, width = 3), width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val deliveryIds = Set(0L, 5L, 20L, 21L)
+    val batch = TextAnalysis.segmentDedup(stored.unionByName(delivery),
+        width = 3)
+      .filter(col("doc_id").isin(deliveryIds.toSeq: _*))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(inc == batch, s"incremental $inc vs batch $batch")
+    assert(inc == Seq(
+      (0L, 2L, 0L, "a b c u v w"),
+      (5L, 2L, 0L, "d e f p q r"),
+      (20L, 2L, 2L, ""),
+      (21L, 0L, 0L, "")), inc)
+  }
+
+  test("segment-keeper index: slotted save/load round-trip, raw multi-" +
+      "delta union serves identically, compaction supersedes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-segkeeper")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-segkeeper-c")
+    try {
+      val s1 = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+      val s2 = Seq((11L, "a b c m n o")).toDF("doc_id", "text")
+      // two deliveries land as two deltas — [a b c] appears in BOTH
+      // parts; the consumer's post-prune min-merge must pick doc 10
+      TextAnalysis.saveSegmentKeeperDelta(spark, tmp.toString,
+        TextAnalysis.segmentKeepers(s1, width = 3))
+      TextAnalysis.saveSegmentKeeperDelta(spark, tmp.toString,
+        TextAnalysis.segmentKeepers(s2, width = 3))
+      assert(TextAnalysis.committedSegmentKeeperSlots(spark, tmp.toString)
+        .sorted == Seq(0L, 1L))
+      val delivery = Seq(
+        (0L, "a b c x y z"),      // beats keeper 10 → kept
+        (20L, "m n o d e f")      // loses both segments (11 and 10)
+      ).toDF("doc_id", "text")
+      def serve(keepers: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.segmentDedupIncremental(delivery, keepers, width = 3)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+          .toSeq
+      val fromState = serve(
+        TextAnalysis.loadSegmentKeeperIndex(spark, tmp.toString))
+      val direct = serve(
+        TextAnalysis.segmentKeepers(s1.unionByName(s2), width = 3))
+      assert(fromState == direct, s"$fromState vs $direct")
+      assert(fromState == Seq(
+        (0L, 2L, 0L, "a b c x y z"),
+        (20L, 2L, 2L, "")), fromState)
+      // compaction into a fresh dir folds to ONE snapshot serving the same
+      TextAnalysis.compactSegmentKeeperIndex(spark, tmp.toString, tmp2.toString)
+      assert(serve(TextAnalysis.loadSegmentKeeperIndex(spark, tmp2.toString))
+        == fromState)
+      // foldSegmentKeepers merges min-per-hash exactly like the batch
+      val folded = TextAnalysis.foldSegmentKeepers(
+        TextAnalysis.segmentKeepers(s1, width = 3),
+        TextAnalysis.segmentKeepers(s2, width = 3))
+        .orderBy("gh").collect().toSeq
+      val batchK = TextAnalysis.segmentKeepers(s1.unionByName(s2), width = 3)
+        .orderBy("gh").collect().toSeq
+      assert(folded == batchK)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)
+    }
+  }
+
   test("benchmarkContamination reports per-eval-item gram leakage with " +
       "zeros for clean items") {
     // bench doc 100 shares its whole 8-gram with corpus docs 0 and 1;
@@ -406,6 +491,39 @@ class DedupSpec extends SparkSuite {
     assert(!got.exists(_._2 == 1004L), got)
   }
 
+  test("minHashLshPairsAcross star candidates pass the TRUE estimate " +
+      "verify — a forced 64-bit group-key collision is filtered, not trusted") {
+    import spark.implicits._
+    val boiler = "the same boilerplate page text repeated on every " +
+      "mirror of the crawl with nothing distinctive in it at all"
+    val longA = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val longB = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val corpus = Dedup.minHashSignatures(
+      ((0L until 500L).map(i => (i, boiler)) ++ Seq((600L, longA)))
+        .toDF("doc_id", "text"))
+    val batch = Dedup.minHashSignatures(Seq(
+      (1000L, boiler),                            // true dup of the group
+      (1003L, longB),                             // near-edit of 600
+      (1004L, "completely unrelated words that never met the corpus")
+    ).toDF("doc_id", "text"))
+    // the injected star key maps EVERY signature to group 0 — the worst
+    // possible 64-bit collision: every batch doc is PROPOSED against
+    // corpus keeper 0, and only rows whose true signature estimate
+    // clears the threshold may survive
+    val got = Dedup.minHashLshPairsAcrossKeyed(corpus, batch,
+        bands = 16, numHashes = 64, minEstJaccard = 0.5,
+        maxBucket = 100L, starKey = _ => lit(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the true dup survives its (collision-proposed) star row at est 1.0
+    assert(got.contains((0L, 1000L, 1.0)), got)
+    // the near-edit still pairs 600 through BANDING; its collision star
+    // row against keeper 0 (boiler) fails the verify and is filtered
+    assert(got.exists(p => p._1 == 600L && p._2 == 1003L && p._3 >= 0.5), got)
+    assert(!got.exists(p => p._1 == 0L && p._2 == 1003L), got)
+    // the unrelated doc was proposed by the collision and fully filtered
+    assert(!got.exists(_._2 == 1004L), got)
+  }
+
   test("simHashPairs maxBucket: identical-doc recall stays lossless " +
       "under a cap that prunes every chunk bucket") {
     import spark.implicits._
@@ -417,6 +535,68 @@ class DedupSpec extends SparkSuite {
     val got = Dedup.simHashPairs(docs, maxHamming = 3, maxBucket = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.size == 49 && got.forall(p => p._1 == 0L && p._3 == 0L), got.size)
+  }
+
+  test("embeddingCosinePairs maxBucket: a constant-vector group emits a " +
+      "LINEAR keeper star, genuine near pairs survive, under-cap = uncapped") {
+    // scaled-down broken-embedder pathology: 1000 ids share ONE constant
+    // vector (a saturated encoder emitting the same embedding for every
+    // crawl page) — all land in one sign-LSH bucket whatever nbits is;
+    // 5000/5001 are a genuine near pair (cos ≈ 1) on an orthogonal axis
+    val cv = Array(10.0f, 0.0f, 0.0f, 0.0f)
+    def near(eps: Float) = Array(0.0f, 0.0f, 10.0f, eps)
+    val emb = ((0L until 1000L).map(i => (i, cv)) ++
+      Seq((5000L, near(0.0f)), (5001L, near(0.1f))))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosinePairs(emb, threshold = 0.9, nbits = 6,
+      maxBucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the degenerate group is 999 keeper-star rows at cos 1.0, NOT
+    // C(1000,2) = 499500 enumerated pairs
+    val star = got.filter(_._1 == 0L)
+    assert(star.length == 999 && star.forall(p => p._3 == 1.0),
+      s"${star.length}")
+    // the genuine near pair's bucket is under cap and survives
+    assert(got.exists(p => p._1 == 5000L && p._2 == 5001L && p._3 >= 0.9),
+      got.filter(_._1 == 5000L).toSeq)
+    assert(got.length == 1000, got.length)
+    // under the cap the composite equals the plain join byte-for-byte
+    val small = (Seq((0L, cv), (1L, cv), (2L, near(0.0f)), (3L, near(0.1f))))
+      .toDF("vec_id", "embedding")
+    val a = Dedup.embeddingCosinePairs(small, threshold = 0.9, nbits = 6,
+        maxBucket = 1000L)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = Dedup.embeddingCosinePairs(small, threshold = 0.9, nbits = 6)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b, s"capped-under-cap diverged: $a vs $b")
+  }
+
+  test("semanticDedup maxCluster: a degenerate cluster's identical vectors " +
+      "still collapse via the keeper star, under-cap = uncapped") {
+    // 1000 copies of one constant vector assign to ONE centroid whatever
+    // k is; a 4-member near blob (in-blob cos ≈ 1) sits on an orthogonal
+    // axis in its own under-cap cluster
+    val cv = Array(10.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)
+    def blob(i: Int) = {
+      val v = Array.fill(8)(0.0f); v(4) = 10.0f; v(5) = 0.01f * i; v
+    }
+    val emb = ((0L until 1000L).map(i => (i, cv)) ++
+      (0 until 4).map(i => ((5000 + i).toLong, blob(i))))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, k = 2, tau = 0.9,
+        maxCluster = 100L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // the constant group collapses to its keeper THROUGH the star (its
+    // cluster is over cap, so the pair join never sees it); the near
+    // blob's cluster is under cap and dedups through the normal join
+    assert(kept == Set(0L, 5000L), kept)
+    // under the cap the capped operator equals the uncapped one
+    val a = Dedup.semanticDedup(blobEmb, k = 1, tau = 0.9,
+        maxCluster = 1000L)
+      .orderBy("vec_id").collect().toSeq
+    val b = Dedup.semanticDedup(blobEmb, k = 1, tau = 0.9)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b, s"capped-under-cap diverged: $a vs $b")
   }
 
   test("nearDupSourceOverlap reports cross- and intra-source pair counts " +
