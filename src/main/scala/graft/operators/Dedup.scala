@@ -129,7 +129,12 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       minEstJaccard: Double = 0.5,
       maxBucket: Long = Long.MaxValue): DataFrame = {
-    val capped0 = maxBucket != Long.MaxValue
+    // first-level short-circuit: a band bucket can never hold more
+    // members than the corpus has rows, so ONE metadata-cheap count
+    // retires the whole cap machinery (persist, probe, star) whenever
+    // the corpus itself is under the cap — the sf0.1/sf1 bench regime;
+    // a 100 TB corpus stays on the capped path
+    val capped0 = maxBucket != Long.MaxValue && docs.count() > maxBucket
     val sig0 = minHashSignatures(docs, textCol, idCol, shingleSize, numHashes)
     // capped: the signature table feeds the band join, the group
     // aggregate, the star member join and the two verify joins —
@@ -297,7 +302,10 @@ object Dedup {
       maxBucket: Long = Long.MaxValue): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       simHash64(tokensOf(col(textCol))).as("sim"))
-    if (maxBucket == Long.MaxValue) hamming64Pairs(sigs, "id", "sim", maxHamming)
+    // a chunk bucket can never exceed the corpus row count — one
+    // metadata-cheap count skips the cap machinery at sub-cap sizes
+    if (maxBucket == Long.MaxValue || docs.count() <= maxBucket)
+      hamming64Pairs(sigs, "id", "sim", maxHamming)
     else hamming64PairsCapped(sigs, "id", "sim", maxHamming, maxBucket)
   }
 
@@ -392,6 +400,11 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Long = 100000L): DataFrame = {
     val s = graft.CacheRegistry.persist(
       sig.select(col(idCol).as("id"), col(hashCol).as("sig64")))
+    // the count pays the cache build the banding join reuses either
+    // way; a sub-cap corpus cannot have an over-cap bucket, so the
+    // group aggregate + star join are skipped entirely
+    if (s.count() <= maxBucket)
+      return hamming64Pairs(s, "id", "sig64", maxHamming)
     val banded = hamming64Pairs(s, "id", "sig64", maxHamming, maxBucket)
     val groups = signatureDupGroups(s, "id", "sig64")
       .select(col("sig").as("sig64"), col("keeper"))
@@ -722,7 +735,9 @@ object Dedup {
       idCol: String = "vec_id", threshold: Double = 0.95,
       nbits: Int = 8, seed: Long = 42L, nBands: Int = 1,
       dim: Int = -1, maxBucket: Long = Long.MaxValue): DataFrame = {
-    val capped = maxBucket != Long.MaxValue
+    // an LSH bucket can never exceed the corpus row count — one
+    // metadata-cheap count retires the cap machinery at sub-cap sizes
+    val capped = maxBucket != Long.MaxValue && emb.count() > maxBucket
     // hyperplane dimensionality must match the embeddings: a fixed
     // width would silently hash on a truncated/zero-padded prefix for
     // any other embedding model. Derived from one row (bounded 1-row
@@ -899,10 +914,13 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       targetOccupancy: Int = 128,
       maxCluster: Long = Long.MaxValue): DataFrame = {
-    val capped = maxCluster != Long.MaxValue
+    // a cluster can never exceed the corpus row count — the count that
+    // derives k also retires the cap machinery at sub-cap sizes
+    val n = if (k <= 0 || maxCluster != Long.MaxValue) emb.count() else 0L
+    val capped = maxCluster != Long.MaxValue && n > maxCluster
     val kEff =
       if (k > 0) k
-      else deriveClusterCount(emb.count(), targetOccupancy)
+      else deriveClusterCount(n, targetOccupancy)
     val sampleEff = math.max(sampleN, 8 * kEff)
     val assigned0 = Similarity.ivfAssign(emb,
         Similarity.trainIvfCentroids(emb, kEff, iters, sampleEff, seed,
