@@ -347,30 +347,68 @@ object Sketch {
     new GenericArrayData(kept.toArray)
   }
 
-  /** Join the elements of `segs` whose index is NOT in the
-    * sorted-ascending `drops` list with a single space — q121's
-    * document reassembly as one two-pointer sweep, O(segs + drops),
-    * replacing the O(segs × drops)
-    * `filter(segs, (_, i) -> !array_contains(drops, i))` HOF
-    * formulation (quadratic row-local work on a long boilerplate-heavy
-    * document where most segments drop). */
-  def joinExceptIndices(segs: ArrayData,
-      drops: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
-    val n = segs.numElements()
+  /** One FNV-1a-64 hash per ceil(n/width) NON-overlapping `width`-token
+    * window (the q121 segment), 0x20 separator between tokens — the
+    * [[gramHashPositions]] hashing at segment granularity, with the
+    * trailing partial window hashed over its remaining tokens. Native
+    * because the string route materializes every segment
+    * (`array_join(slice(...))`) just to hash it away — at corpus scale
+    * that is one ~width·token-length allocation per segment on BOTH
+    * the hashing and the reassembly side. */
+  def segmentHashes(toks: ArrayData, width: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt == 0) return new GenericArrayData(Array.empty[Any])
+    val nSegs = (cnt + width - 1) / width
+    val out = new Array[Any](nSegs)
+    var s = 0
+    while (s < nSegs) {
+      val from = s * width
+      val to = math.min(from + width, cnt)
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      var j = from
+      while (j < to) {
+        if (j > from) { h ^= 0x20L; h *= 1099511628211L }
+        val u = toks.getUTF8String(j)
+        if (u != null) {
+          val bytes = u.getBytes
+          var k = 0
+          while (k < bytes.length) {
+            h ^= (bytes(k) & 0xffL); h *= 1099511628211L
+            k += 1
+          }
+        }
+        j += 1
+      }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rebuild a document from the tokens of its SURVIVING segments:
+    * drop every token in windows `[d·width, d·width + width)` for d in
+    * the sorted-ascending `drops` list, join the rest with a single
+    * space — q121's reassembly straight from the token array, one
+    * two-pointer sweep, no per-segment string ever materialized. */
+  def removeSegments(toks: ArrayData, drops: ArrayData,
+      width: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val cnt = toks.numElements()
     val m = drops.numElements()
     val sb = new java.lang.StringBuilder
     var di = 0
     var i = 0
     var first = true
-    while (i < n) {
-      while (di < m && drops.getInt(di) < i) di += 1
-      if (di < m && drops.getInt(di) == i) di += 1
+    while (i < cnt) {
+      val seg = i / width
+      while (di < m && drops.getInt(di) < seg) di += 1
+      if (di < m && drops.getInt(di) == seg) i = (seg + 1) * width
       else {
         if (!first) sb.append(' ')
-        sb.append(segs.getUTF8String(i).toString)
+        val u = toks.getUTF8String(i)
+        if (u != null) sb.append(u.toString)
         first = false
+        i += 1
       }
-      i += 1
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
@@ -564,9 +602,11 @@ object Sketch {
   def chunk_texts(toks: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(
       ChunkTextsExpr(ColumnBridge.expression(toks), chunkSize, stride))
-  def join_except(segs: Column, drops: Column): Column =
-    ColumnBridge.column(JoinExceptIndicesExpr(
-      ColumnBridge.expression(segs), ColumnBridge.expression(drops)))
+  def segment_hashes(toks: Column, width: Int): Column =
+    ColumnBridge.column(SegmentHashesExpr(ColumnBridge.expression(toks), width))
+  def remove_segments(toks: Column, drops: Column, width: Int): Column =
+    ColumnBridge.column(RemoveSegmentsExpr(
+      ColumnBridge.expression(toks), ColumnBridge.expression(drops), width))
   def rep_gram_stats(toks: Column, nTop: Int, nDup: Int): Column =
     ColumnBridge.column(RepGramStatsExpr(ColumnBridge.expression(toks), nTop, nDup))
   def dot_product(a: Column, b: Column): Column =
@@ -633,18 +673,31 @@ case class RemoveCoveredExpr(left: Expression, right: Expression, n: Int)
     copy(left = newLeft, right = newRight)
 }
 
-case class JoinExceptIndicesExpr(left: Expression, right: Expression)
+case class SegmentHashesExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "segment_hashes"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.segmentHashes(in.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.segmentHashes($c, $width)")
+  override protected def withNewChildInternal(c: Expression): SegmentHashesExpr =
+    copy(child = c)
+}
+
+case class RemoveSegmentsExpr(left: Expression, right: Expression, width: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
-  override def prettyName: String = "join_except"
-  override def nullSafeEval(segs: Any, drops: Any): Any =
-    Sketch.joinExceptIndices(
-      segs.asInstanceOf[ArrayData], drops.asInstanceOf[ArrayData])
+  override def prettyName: String = "remove_segments"
+  override def nullSafeEval(toks: Any, drops: Any): Any =
+    Sketch.removeSegments(
+      toks.asInstanceOf[ArrayData], drops.asInstanceOf[ArrayData], width)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.Sketch.joinExceptIndices($a, $b)")
+      s"graft.functions.Sketch.removeSegments($a, $b, $width)")
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): JoinExceptIndicesExpr =
+      newLeft: Expression, newRight: Expression): RemoveSegmentsExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -738,8 +738,8 @@ object TextAnalysis {
           array().cast("array<string>")).as("toks"))
       .transform(CacheRegistry.persist(_))
     val segs = toked.select(col("doc_id"),
-        posexplode(segmentsOf(col("toks"), width)).as(Seq("seg_idx", "seg")))
-      .select(col("doc_id"), col("seg_idx"), xxhash64(col("seg")).as("gh"))
+        posexplode(segmentHashesOf(col("toks"), width))
+          .as(Seq("seg_idx", "gh")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val drops = segs
       .withColumn("keeper", min(struct(col("doc_id"), col("seg_idx"))).over(w))
@@ -750,31 +750,32 @@ object TextAnalysis {
     reassembleSegments(toked, drops, width)
   }
 
-  /** ceil(n/width) fixed windows over a token array; the `<= 0` guard
-    * covers both the empty doc (sequence(0, -1) would DESCEND — Spark
-    * picks step -1 — not be empty) and a null-size input. */
-  private def segmentsOf(t: Column, width: Int): Column =
-    when(size(t) <= 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0),
-          floor((size(t) + lit(width - 1)) / lit(width)).cast("int") - 1),
-        i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+  /** One 8-byte hash per ceil(n/width) non-overlapping window — the
+    * native `segment_hashes` kernel hashes token bytes directly
+    * (0x20-separated FNV-1a-64, the span-gram scheme at segment
+    * granularity), so no per-segment string is ever materialized on
+    * the hashing side. */
+  private def segmentHashesOf(t: Column, width: Int): Column =
+    graft.functions.Sketch.segment_hashes(t, width)
 
   /** Shared q121/q121b reassembly: join the per-document sorted drop
     * lists back to the tokenized corpus (ONE join by doc_id) and
-    * rebuild each document from its surviving segments row-local —
-    * the `join_except` native kernel is an O(segs + drops) two-pointer
-    * sweep, not the O(segs × drops) `array_contains`-per-segment HOF
-    * (quadratic on a long boilerplate-heavy document). */
+    * rebuild each document straight from its token array — the
+    * `remove_segments` native kernel is an O(tokens + drops)
+    * two-pointer sweep that skips dropped windows, never building a
+    * per-segment string (the `array_contains`-per-segment HOF this
+    * replaces was O(segs × drops) row-local and materialized every
+    * segment twice). */
   private def reassembleSegments(toked: DataFrame, drops: DataFrame,
       width: Int): DataFrame =
     toked.join(drops, Seq("doc_id"), "left")
-      .select(col("doc_id"), segmentsOf(col("toks"), width).as("segs"),
-        coalesce(col("drops"), array().cast("array<int>")).as("drops"))
       .select(col("doc_id"),
-        size(col("segs")).cast("bigint").as("n_segments"),
-        size(col("drops")).cast("bigint").as("n_dropped"),
-        graft.functions.Sketch.join_except(col("segs"), col("drops"))
+        // ceil(size/width) — exact for the empty doc too (15/16 = 0)
+        floor((size(col("toks")) + lit(width - 1)) / lit(width))
+          .cast("bigint").as("n_segments"),
+        coalesce(size(col("drops")), lit(0)).cast("bigint").as("n_dropped"),
+        graft.functions.Sketch.remove_segments(col("toks"),
+          coalesce(col("drops"), array().cast("array<int>")), width)
           .as("cleaned_text"))
 
   /** Segment keeper table — the PERSISTABLE state behind
@@ -789,8 +790,9 @@ object TextAnalysis {
         coalesce(tokens(col(textCol)),
           array().cast("array<string>")).as("toks"))
       .select(col("doc_id"),
-        posexplode(segmentsOf(col("toks"), width)).as(Seq("seg_idx", "seg")))
-      .groupBy(xxhash64(col("seg")).as("gh"))
+        posexplode(segmentHashesOf(col("toks"), width))
+          .as(Seq("seg_idx", "gh")))
+      .groupBy(col("gh"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
       .select(col("gh"), col("k.doc_id").as("k_doc"),
         col("k.seg_idx").as("k_seg"))
@@ -824,8 +826,8 @@ object TextAnalysis {
           array().cast("array<string>")).as("toks"))
       .transform(CacheRegistry.persist(_))
     val segs = toked.select(col("doc_id"),
-        posexplode(segmentsOf(col("toks"), width)).as(Seq("seg_idx", "seg")))
-      .select(col("doc_id"), col("seg_idx"), xxhash64(col("seg")).as("gh"))
+        posexplode(segmentHashesOf(col("toks"), width))
+          .as(Seq("seg_idx", "gh")))
       .transform(CacheRegistry.persist(_))
     // stored keepers pruned to the delivery's hashes BEFORE the merge:
     // the broadcast build is the delivery hash set (delivery-bounded),
@@ -889,6 +891,14 @@ object TextAnalysis {
   def committedSegmentKeeperSlots(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Long] =
     segKeeperParts(spark, path).map(_._2)
+
+  /** LIVE slot numbers: the latest snapshot (if any) plus every delta
+    * after it — what [[loadSegmentKeeperIndex]] actually reads. */
+  def liveSegmentKeeperSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(segKeeperParts(spark, path),
+      "seg-delta", "seg-snap")
+      .map(p => (p._2, p._1 == "seg-snap"))
 
   /** Load the keeper index as the RAW union of live parts (latest
     * snapshot + later deltas) — a hash may appear once per part; the

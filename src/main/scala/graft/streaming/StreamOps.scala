@@ -456,6 +456,74 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming segment-level dedup — q121b as a landing-zone host (the
+    * [[streamingSpanDedup]] lifecycle for the keep-one paragraph
+    * policy): each batch is cut against the segment-keeper state
+    * accumulated from every EARLIER batch plus the batch's own
+    * occurrences ([[graft.operators.TextAnalysis.segmentDedupIncremental]]
+    * — chronologically incremental: earlier batches' text is
+    * immutable and their keepers already canonical), cleaned rows land
+    * as `cleaned-<batchId>` under `outDir`, and the batch's keepers
+    * fold into the state as the self-committing `seg-delta-<batchId>`
+    * (O(delta) write). Commit order: cleaned rows first, keeper delta
+    * (the commit marker) last — a crash between the two retries the
+    * batch, whose `overwrite` of `cleaned-<batchId>` is idempotent; a
+    * replayed batch whose slot already committed skips entirely.
+    * Every `compactEvery` live parts the batch lands a full-merge
+    * `seg-snap` snapshot (gh-sorted) and sweeps superseded dirs.
+    */
+  def streamingSegmentDedup(docs: DataFrame, stateDir: String,
+      outDir: String, width: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id", compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.TextAnalysis
+        graft.state.SlotStore.requireLineage(spark, stateDir,
+          "streamingSegmentDedup")
+        val slots = TextAnalysis.committedSegmentKeeperSlots(spark, stateDir)
+        // max-committed-slot gate, not membership — the streamingSpanDedup
+        // rationale (only the latest batch ever replays in-lineage)
+        val done = replayOrRegression(slots.sorted.lastOption, batchId,
+          "streamingSegmentDedup")
+        if (!done && !batch.isEmpty) {
+          val mark = graft.CacheRegistry.mark()
+          val live = TextAnalysis.liveSegmentKeeperSlots(spark, stateDir)
+          val stored =
+            if (live.isEmpty)
+              // first delivery: dedup within the batch only
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("gh", LongType),
+                  StructField("k_doc", LongType),
+                  StructField("k_seg", IntegerType))))
+            else TextAnalysis.loadSegmentKeeperIndex(spark, stateDir)
+          TextAnalysis.segmentDedupIncremental(batch.toDF(), stored,
+              width, textCol, idCol)
+            .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
+          val batchKeepers = TextAnalysis.segmentKeepers(batch.toDF(),
+            width, textCol, idCol)
+          if (live.size + 1 >= compactEvery) {
+            // snapshot slot: the full min-merge (supersedes every part
+            // with slot <= batchId by construction; the sweep below is
+            // housekeeping, crash-safe either side of it)
+            TextAnalysis.saveSegmentKeeperDelta(spark, stateDir,
+              TextAnalysis.foldSegmentKeepers(stored, batchKeepers)
+                .sortWithinPartitions("gh"),
+              slot = Some(batchId), snapshot = true)
+            TextAnalysis.sweepSegmentKeeperIndex(spark, stateDir)
+          } else
+            TextAnalysis.saveSegmentKeeperDelta(spark, stateDir,
+              batchKeepers, slot = Some(batchId))
+          graft.CacheRegistry.releaseSince(spark, mark)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Latest committed funnel state written by
     * [[streamingCurationFunnel]]. */
   def curationFunnelState(spark: SparkSession,

@@ -277,6 +277,51 @@ class DedupSpec extends SparkSuite {
     assert(out.count() == 50)
   }
 
+  test("segmentDedupIncremental: the stored keeper table is never a " +
+      "broadcast build (the 100 TB driver-OOM guard)") {
+    // the stored segment-keeper table is corpus-segment-cardinality;
+    // it may be SCANNED (semi-pruned probe side) but a broadcast build
+    // over it collects corpus-scale rows to the driver — the same
+    // structural pin as removeSharedSpansIncremental's stored-df guard
+    val tmp = java.nio.file.Files.createTempDirectory("graft-segkeeper-pin")
+    try {
+      val docs10 = Tables(spark, sf("0.001")).documents
+        .select("doc_id", "text")
+      TextAnalysis.segmentKeepers(
+          docs10.filter(col("doc_id") % 4 =!= 0), width = 16)
+        .write.mode("overwrite").parquet(s"$tmp/keepers")
+      val stored = spark.read.parquet(s"$tmp/keepers")
+      val out = TextAnalysis.segmentDedupIncremental(
+        docs10.filter(col("doc_id") % 4 === 0), stored, width = 16)
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def storedIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("graft-segkeeper-pin"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val plan = out.queryExecution.optimizedPlan
+      val joins = plan.collect { case j: Join => j }
+      val offenders = joins.filter { j =>
+        (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+          storedIn(j.left)) ||
+        (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+          storedIn(j.right))
+      }
+      assert(offenders.isEmpty,
+        s"stored-keeper broadcast builds:\n${offenders.mkString("\n")}")
+      assert(joins.exists(j =>
+        j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))),
+        s"expected a broadcast-hinted delivery-hash build in:\n$plan")
+      assert(storedIn(plan), s"stored-keeper scan missing from:\n$plan")
+      assert(out.count() > 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("segmentDedupIncremental equals batch segmentDedup over the union " +
       "restricted to delivery rows — keeper precedence both directions") {
     // stored ids sit BETWEEN delivery ids so the struct comparison is

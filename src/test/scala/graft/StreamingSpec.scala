@@ -641,6 +641,65 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming segment dedup: each batch is cut against all earlier " +
+      "batches' keepers plus its own; compaction folds to one snapshot") {
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft-seg-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-seg-state").toFile
+    val outDir = Files.createTempDirectory("graft-seg-out").toFile
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+    val cuts = Seq(0L -> 150L, 150L -> 300L, 300L -> 10000L)
+    cuts.foreach { case (lo, hi) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+        .write.mode("append").parquet(dir.getPath)
+      Thread.sleep(1100)
+    }
+    try {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      // compactEvery = 3: the third batch folds the union into its own
+      // snapshot slot and retires the two raw deltas
+      val q = StreamOps.streamingSegmentDedup(streamed, stateDir.getPath,
+        outDir.getPath, width = 16, compactEvery = 3)
+      q.processAllAvailable(); q.stop()
+      assert(TextAnalysis.committedSegmentKeeperSlots(spark, stateDir.getPath)
+        .sorted == Seq(2L))
+      // the snapshot holds the batch keepers over ALL three chunks
+      val stateK = TextAnalysis.loadSegmentKeeperIndex(spark, stateDir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      val wantK = TextAnalysis.segmentKeepers(docs, width = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      assert(stateK == wantK)
+      // batch k's cleaned output ≡ the incremental cut against the
+      // keepers of every earlier chunk (batch 0 dedups within itself)
+      cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
+        val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val storedK = TextAnalysis.segmentKeepers(
+          if (k == 0) docs.filter(lit(false))
+          else docs.filter(col("doc_id") < cuts(k)._1), width = 16)
+        val want = TextAnalysis
+          .segmentDedupIncremental(chunk, storedK, width = 16)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val got = spark.read.parquet(s"${outDir.getPath}/cleaned-$k")
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        assert(got == want, s"batch $k")
+        assert(got.nonEmpty)
+      }
+      // chronological semantics really bit: some later-batch doc lost
+      // segments to an earlier batch's keeper
+      val last = spark.read.parquet(s"${outDir.getPath}/cleaned-2")
+      assert(last.filter(col("n_dropped") > 0).count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
   test("streaming hosts reject a new checkpoint lineage pointed at an " +
       "old state dir (batch ids behind the stored version fail loudly)") {
     import graft.operators.Curation
