@@ -137,9 +137,12 @@ object ScaleOps {
     // CAPPED like q36/q37: nbits bounds MEAN occupancy, but a constant
     // vector from a broken embedder shares ONE bucket at any width —
     // identical-vector recall stays lossless via the keeper-star
-    // recovery in [[Dedup.embeddingCosinePairs]]
+    // recovery in [[Dedup.embeddingCosinePairs]]. The cap decision is
+    // made HERE from the n already counted for nbits (no bucket can
+    // exceed n), so the operator's internal count guard never pays a
+    // second job on the sub-cap path
     Dedup.embeddingCosinePairs(emb, threshold = 0.35, nbits = nbits,
-      maxBucket = 100000L)
+      maxBucket = if (n > 100000L) 100000L else Long.MaxValue)
       .orderBy("id_a", "id_b")
   }
 
@@ -658,6 +661,39 @@ object ScaleOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Q102b incremental fuzzy dedup, PRODUCTION shape (rows-only —
+    * same sketch semantics and same output as q102 by construction):
+    * the CORPUS MinHash signature index is SERVED from persisted state
+    * (signed once per scale dir — `minHashSignatures` IS the
+    * persistable index, the whole point of the q102 design) instead of
+    * re-signed in-query, so the measured line is the per-delivery
+    * sign + band-join + verify alone — what a landing-zone deployment
+    * pays per delivery (q102 folds a full corpus signing into every
+    * rep; BASELINE §24 measured q102 at ~8 s sf1 where the delivery
+    * side is delivery-sized). The q117b state-dir discipline: cache
+    * key = SHA-256 over path:size:mtime, torn writes (no _SUCCESS)
+    * rebuild. */
+  def q102b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val src = new java.io.File(d, "documents.parquet")
+    val keyDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((d + ":" + src.length + ":" + src.lastModified)
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val stateDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-q102-sigs-" + keyDigest)
+    if (!new java.io.File(stateDir, "_SUCCESS").exists())
+      Dedup.minHashSignatures(docs)
+        .write.mode("overwrite").parquet(stateDir.getPath)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    Dedup.minHashLshPairsAcross(
+      s.read.parquet(stateDir.getPath), Dedup.minHashSignatures(batch),
+      minEstJaccard = 0.5, maxBucket = 100000L)
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Q103 blocklist redaction (rows-only — leftmost-longest selection
     * is the declared engine semantics): one automaton pass replaces
     * every banned phrase, keeping the document and its count
@@ -1067,7 +1103,9 @@ object ScaleOps {
     "q96_cross_contamination" -> q96, "q97_temperature_mix" -> q97,
     "q98_bigram_surprisal" -> q98, "q99_corpus_upsert" -> q99,
     "q100_ann_recall" -> q100, "q101_salted_agg" -> q101,
-    "q102_incremental_near_dedup" -> q102, "q103_blocklist_redact" -> q103,
+    "q102_incremental_near_dedup" -> q102,
+    "q102b_incremental_near_dedup_served" -> q102b,
+    "q103_blocklist_redact" -> q103,
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
     "q107_quality_keeper_dedup" -> q107, "q108_skew_report" -> q108,

@@ -569,6 +569,28 @@ class DedupSpec extends SparkSuite {
     assert(!got.exists(_._2 == 1004L), got)
   }
 
+  test("minHashLshPairsAcross served from a parquet signature index " +
+      "equals the in-memory pair (q102b's defining equivalence)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sig-index")
+    try {
+      val docs = Tables(spark, sf("0.001")).documents
+        .select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val corpusSigs = Dedup.minHashSignatures(docs)
+      corpusSigs.write.mode("overwrite").parquet(s"$tmp/sigs")
+      def pairs(sigs: org.apache.spark.sql.DataFrame) =
+        Dedup.minHashLshPairsAcross(sigs, Dedup.minHashSignatures(batch),
+            minEstJaccard = 0.5, maxBucket = 100000L)
+          .orderBy("corpus_id", "batch_id").collect().map(_.toSeq).toSeq
+      val served = pairs(spark.read.parquet(s"$tmp/sigs"))
+      val direct = pairs(corpusSigs)
+      assert(served == direct, s"served $served vs direct $direct")
+      assert(served.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("simHashPairs maxBucket: identical-doc recall stays lossless " +
       "under a cap that prunes every chunk bucket") {
     import spark.implicits._
