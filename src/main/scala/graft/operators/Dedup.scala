@@ -150,14 +150,18 @@ object Dedup {
     // probe over 8-byte band keys decides whether any bucket is
     // actually over cap — a clean corpus (the common case) then skips
     // the semi-join prune, the star recovery and its extra distinct,
-    // paying only this probe against the already-persisted signatures
-    val capped = capped0 && !banded.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucket).isEmpty
+    // paying only this probe against the already-persisted signatures.
+    // The count table is persisted so the dirty path's prune reuses
+    // the probe's aggregate instead of recomputing it.
+    val counts =
+      if (capped0) Some(graft.CacheRegistry.persist(
+        banded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))))
+      else None
+    val capped = counts.exists(c =>
+      !c.filter(col("bn") > maxBucket).isEmpty)
     if (capped) {
-      val small = banded.groupBy("band", "bkey")
-        .agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= maxBucket).select("band", "bkey")
+      val small = counts.get.filter(col("bn") <= maxBucket)
+        .select("band", "bkey")
       banded = banded.join(small, Seq("band", "bkey"), "left_semi")
     }
     val a = banded.select(col("band"), col("bkey"), col("id").as("doc_id_a"))
@@ -755,15 +759,23 @@ object Dedup {
     val base0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.l2Norm(col(vecCol)).as("norm"))
     val base = if (capped) graft.CacheRegistry.persist(base0) else base0
+    // try_divide, not `/`: ANSI mode (Spark 4's default) turns a
+    // division by zero into a job-aborting error, and a ZERO vector —
+    // an all-zero embedding from the same broken encoder the cap
+    // guards against — has norm 0. try_divide scores it null, the
+    // threshold filter drops the null, and the pair is excluded
+    // (cosine is undefined for the zero vector) instead of killing
+    // the query. Identical on capped and uncapped paths.
     def scored(pairs: DataFrame): DataFrame = pairs
-      .withColumn("cos", round(
-        Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4))
+      .withColumn("cos", round(try_divide(
+        Similarity.dot(col("a.v"), col("b.v")),
+        col("a.norm") * col("b.norm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
     // keeper-star recovery of identical-vector groups the cap may have
     // dropped: n−1 linear rows per group, never C(n, 2). Re-verified by
     // true cosine downstream (collision-safe; zero vectors score null
-    // and fall out exactly as they would uncapped).
+    // under try_divide and fall out exactly as they would uncapped).
     def starCand: DataFrame = {
       val hashed = base.select(col("id"), xxhash64(col("v")).as("vh"))
       val groups = hashed.groupBy("vh")
@@ -787,6 +799,10 @@ object Dedup {
           Similarity.signLshBucket(col("v"), nbits, planeDim, seed + band)).as("bucket"))
       }.reduce(_ union _)
       if (capped) {
+        // persisted: the sign-LSH projection (nbits hyperplane dot
+        // products per row per band) otherwise re-runs for the bucket
+        // count, the semi-join probe side and both self-join sides
+        banded = graft.CacheRegistry.persist(banded)
         val small = banded.groupBy("bucket")
           .agg(count(lit(1)).as("bn"))
           .filter(col("bn") <= maxBucket).select("bucket")
@@ -940,18 +956,21 @@ object Dedup {
         .filter(col("cn") <= maxCluster).select("cluster")
       side = side.join(small, Seq("cluster"), "left_semi")
     }
+    // try_divide: a zero-norm vector (all-zero embedding) scores null
+    // instead of aborting the job under ANSI — it is never dropped and
+    // never drops anything (cosine undefined), capped and uncapped alike
     var dropped = side.as("a").join(side.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .filter(Similarity.dot(col("a.v"), col("b.v")) /
-        (col("a.norm") * col("b.norm")) >= tau)
+      .filter(try_divide(Similarity.dot(col("a.v"), col("b.v")),
+        col("a.norm") * col("b.norm")) >= tau)
       .select(col("b.id").as("drop_id"))
     if (capped) {
       // keeper-star recovery: every identical-vector group (the volume
       // a degenerate cluster holds) drops its non-keeper members —
       // keeper = min(id) < member id, so the pair orientation matches
       // the a.id < b.id rule; the cosine re-verify filters 64-bit
-      // group-key collisions (and zero vectors, which score null here
-      // exactly as they would in the uncapped join)
+      // group-key collisions (and zero vectors, which score null under
+      // try_divide exactly as they would in the uncapped join)
       val hashed = assigned.select(col(idCol).as("id"),
         xxhash64(col("v")).as("vh"), col("v"), col("norm"))
       val groups = hashed.groupBy("vh")
@@ -961,8 +980,8 @@ object Dedup {
         .filter(col("b.id") =!= col("keeper"))
         .join(hashed.select(col("id").as("keeper"), col("v").as("kv"),
           col("norm").as("knorm")), Seq("keeper"))
-        .filter(Similarity.dot(col("kv"), col("b.v")) /
-          (col("knorm") * col("b.norm")) >= tau)
+        .filter(try_divide(Similarity.dot(col("kv"), col("b.v")),
+          col("knorm") * col("b.norm")) >= tau)
         .select(col("b.id").as("drop_id"))
       dropped = dropped.unionByName(star)
     }

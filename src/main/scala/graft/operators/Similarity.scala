@@ -26,8 +26,12 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** try_divide, not `/`: a ZERO vector (dead encoder) has norm 0 and
+    * a plain division aborts the job under ANSI (Spark 4's default) —
+    * try_divide scores it null, which every consumer's threshold
+    * filter or top-k ordering (nulls last under desc) excludes. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
 
 
   /** Deterministic hyperplanes for sign-LSH (fixed seed → same buckets
@@ -56,8 +60,8 @@ object Similarity {
       .select(col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qnorm"))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(
-        dot(col(vecCol), col("qv")) / (l2Norm(col(vecCol)) * col("qnorm")), 6))
+      .withColumn("cos", round(try_divide(
+        dot(col(vecCol), col("qv")), l2Norm(col(vecCol)) * col("qnorm")), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -222,8 +226,8 @@ object Similarity {
     val probes = probeRows.toDF("query_id", "qv", "qnorm", "list_id")
     assigned.join(broadcast(probes), "list_id")
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("cos", round(
-        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("cos", round(try_divide(
+        dot(col("v"), col("qv")), col("norm") * col("qnorm")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))))
       .filter(col("rn") <= k)
@@ -284,8 +288,8 @@ object Similarity {
       negate(col("cos")), col(idCol), k)
     assigned.join(probes, "list_id")
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("cos", round(
-        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("cos", round(try_divide(
+        dot(col("v"), col("qv")), col("norm") * col("qnorm")), 6))
       .groupBy("query_id")
       .agg(tk.as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
@@ -314,8 +318,8 @@ object Similarity {
     queries.join(bucketed, "bucket")
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
-      .withColumn("cos", round(
-        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("cos", round(try_divide(
+        dot(col("v"), col("qv")), col("norm") * col("qnorm")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))))
       .filter(col("rn") <= k)

@@ -773,7 +773,11 @@ object TextAnalysis {
         // ceil(size/width) — exact for the empty doc too (15/16 = 0)
         floor((size(col("toks")) + lit(width - 1)) / lit(width))
           .cast("bigint").as("n_segments"),
-        coalesce(size(col("drops")), lit(0)).cast("bigint").as("n_dropped"),
+        // coalesce the ARRAY before size(), never size() before
+        // coalesce: with spark.sql.ansi.enabled=false, size(null) is
+        // -1 (not null) and would pass straight through the coalesce
+        size(coalesce(col("drops"), array().cast("array<int>")))
+          .cast("bigint").as("n_dropped"),
         graft.functions.Sketch.remove_segments(col("toks"),
           coalesce(col("drops"), array().cast("array<int>")), width)
           .as("cleaned_text"))

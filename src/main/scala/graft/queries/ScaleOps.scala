@@ -16,6 +16,21 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Bench-state cache key shared by the served-index queries (q117b,
+    * q102b): SHA-256 over `dir:size:mtime` of the scale dir's
+    * documents table, so a regenerated corpus invalidates the
+    * persisted index instead of serving stale state, and a collision
+    * across scale dirs is cryptographically impossible (a 32-bit
+    * hashCode was not — VERDICT r10 #5). Torn builds (no _SUCCESS)
+    * rebuild on the next call. */
+  private def stateKeyDigest(d: String): String = {
+    val src = new java.io.File(d, "documents.parquet")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest((d + ":" + src.length + ":" + src.lastModified)
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Q31 exact dedup: duplicate text groups with keeper id. */
   def q31(s: SparkSession, d: String): DataFrame =
     Dedup.exactDupGroups(Tables(s, d).documents).orderBy("h")
@@ -675,13 +690,8 @@ object ScaleOps {
     * rebuild. */
   def q102b(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d).documents
-    val src = new java.io.File(d, "documents.parquet")
-    val keyDigest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((d + ":" + src.length + ":" + src.lastModified)
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
     val stateDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-q102-sigs-" + keyDigest)
+      sys.props("java.io.tmpdir"), "graft-q102-sigs-" + stateKeyDigest(d))
     if (!new java.io.File(stateDir, "_SUCCESS").exists())
       Dedup.minHashSignatures(docs)
         .write.mode("overwrite").parquet(stateDir.getPath)
@@ -972,18 +982,8 @@ object ScaleOps {
     * BASELINE §23 measured that build as ~56% of the line). */
   def q117b(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d).documents
-    // the cache key folds in the source's size+mtime so a regenerated
-    // corpus invalidates the persisted index instead of serving stale
-    // grams; a torn build (no _SUCCESS) rebuilds on the next call.
-    // Full SHA-256 of the key string, not a 32-bit hashCode: a 32-bit
-    // collision across scale dirs would silently serve a stale index
-    val src = new java.io.File(d, "documents.parquet")
-    val keyDigest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((d + ":" + src.length + ":" + src.lastModified)
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
     val stateDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-q117-index-" + keyDigest).getPath
+      sys.props("java.io.tmpdir"), "graft-q117-index-" + stateKeyDigest(d)).getPath
     if (TextAnalysis.committedSpanDfSlots(s, stateDir).isEmpty)
       TextAnalysis.saveSpanDfDelta(s, stateDir,
         TextAnalysis.spanGramDfs(

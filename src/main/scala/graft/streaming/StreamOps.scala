@@ -391,28 +391,48 @@ object StreamOps {
     * `cleaned-<batchId>` is idempotent; a replayed batch whose slot
     * already committed skips entirely.
     */
+  /** Shared foreachBatch scaffold of the slotted-index landing-zone
+    * hosts ([[streamingSpanDedup]], [[streamingSegmentDedup]]) — the
+    * part whose divergence across hosts would silently break
+    * crash-safety, extracted once (the SlotStore rationale one layer
+    * up): the `_LINEAGE` gate, the replay skip, the empty-batch skip
+    * and the ephemeral-cache mark/release bracket. The replay gate is
+    * on the MAX committed slot, not membership: only the latest batch
+    * ever replays in-lineage, slots are dense until the first
+    * compaction sweep, and a membership skip would treat every
+    * colliding new-lineage id as a replay and silently drop its
+    * cleaned output (the save guard is only the post-compaction
+    * disk-level backstop). The host callback does everything that
+    * differs: load state, cut the batch, write output, fold/compact. */
+  private def slottedDedupHost(docs: DataFrame, stateDir: String,
+      host: String,
+      committedSlots: (SparkSession, String) => Seq[Long])(
+      processBatch: (SparkSession, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.state.SlotStore.requireLineage(spark, stateDir, host)
+        val done = replayOrRegression(
+          committedSlots(spark, stateDir).sorted.lastOption, batchId, host)
+        if (!done && !batch.isEmpty) {
+          val mark = graft.CacheRegistry.mark()
+          processBatch(spark, batch.toDF(), batchId)
+          graft.CacheRegistry.releaseSince(spark, mark)
+        }
+        ()
+      }
+      .start()
+
   def streamingSpanDedup(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 8, minDf: Int = 2, textCol: String = "text",
       idCol: String = "doc_id", compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 2, "compactEvery must be >= 2")
-    docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        import graft.operators.TextAnalysis
-        graft.state.SlotStore.requireLineage(spark, stateDir,
-          "streamingSpanDedup")
-        val slots = TextAnalysis.committedSpanDfSlots(spark, stateDir)
-        // gate on the MAX committed slot, not membership: only the
-        // latest batch ever replays in-lineage, slots are dense until
-        // the first compaction sweep, and a membership skip would treat
-        // every colliding new-lineage id as a replay and silently drop
-        // its cleaned output (saveSpanDfDelta's snapshot guard is only
-        // the post-compaction disk-level backstop)
-        val done = replayOrRegression(slots.sorted.lastOption, batchId,
-          "streamingSpanDedup")
-        if (!done && !batch.isEmpty) {
-          val mark = graft.CacheRegistry.mark()
+    import graft.operators.TextAnalysis
+    slottedDedupHost(docs, stateDir, "streamingSpanDedup",
+      TextAnalysis.committedSpanDfSlots) {
+        (spark: SparkSession, batch: DataFrame, batchId: Long) =>
           val live = TextAnalysis.liveSpanDfSlots(spark, stateDir)
           val stored =
             if (live.isEmpty)
@@ -425,8 +445,8 @@ object StreamOps {
           // the batch's gram dfs are BOTH the operator's delivery-df
           // input and the state delta — computed and persisted once
           val batchDfs = graft.CacheRegistry.persist(
-            TextAnalysis.spanGramDfs(batch.toDF(), n, textCol, idCol))
-          TextAnalysis.removeSharedSpansIncremental(batch.toDF(), stored,
+            TextAnalysis.spanGramDfs(batch, n, textCol, idCol))
+          TextAnalysis.removeSharedSpansIncremental(batch, stored,
               n, minDf, textCol, idCol, deliveryDfs = Some(batchDfs))
             .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
           if (live.size + 1 >= compactEvery) {
@@ -449,11 +469,7 @@ object StreamOps {
           } else
             TextAnalysis.saveSpanDfDelta(spark, stateDir, batchDfs,
               slot = Some(batchId))
-          graft.CacheRegistry.releaseSince(spark, mark)
-        }
-        ()
       }
-      .start()
   }
 
   /** Streaming segment-level dedup — q121b as a landing-zone host (the
@@ -477,19 +493,10 @@ object StreamOps {
       idCol: String = "doc_id", compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 2, "compactEvery must be >= 2")
-    docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        import graft.operators.TextAnalysis
-        graft.state.SlotStore.requireLineage(spark, stateDir,
-          "streamingSegmentDedup")
-        val slots = TextAnalysis.committedSegmentKeeperSlots(spark, stateDir)
-        // max-committed-slot gate, not membership — the streamingSpanDedup
-        // rationale (only the latest batch ever replays in-lineage)
-        val done = replayOrRegression(slots.sorted.lastOption, batchId,
-          "streamingSegmentDedup")
-        if (!done && !batch.isEmpty) {
-          val mark = graft.CacheRegistry.mark()
+    import graft.operators.TextAnalysis
+    slottedDedupHost(docs, stateDir, "streamingSegmentDedup",
+      TextAnalysis.committedSegmentKeeperSlots) {
+        (spark: SparkSession, batch: DataFrame, batchId: Long) =>
           val live = TextAnalysis.liveSegmentKeeperSlots(spark, stateDir)
           val stored =
             if (live.isEmpty)
@@ -500,10 +507,10 @@ object StreamOps {
                   StructField("k_doc", LongType),
                   StructField("k_seg", IntegerType))))
             else TextAnalysis.loadSegmentKeeperIndex(spark, stateDir)
-          TextAnalysis.segmentDedupIncremental(batch.toDF(), stored,
+          TextAnalysis.segmentDedupIncremental(batch, stored,
               width, textCol, idCol)
             .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
-          val batchKeepers = TextAnalysis.segmentKeepers(batch.toDF(),
+          val batchKeepers = TextAnalysis.segmentKeepers(batch,
             width, textCol, idCol)
           if (live.size + 1 >= compactEvery) {
             // snapshot slot: the full min-merge (supersedes every part
@@ -517,11 +524,7 @@ object StreamOps {
           } else
             TextAnalysis.saveSegmentKeeperDelta(spark, stateDir,
               batchKeepers, slot = Some(batchId))
-          graft.CacheRegistry.releaseSince(spark, mark)
-        }
-        ()
       }
-      .start()
   }
 
   /** Latest committed funnel state written by

@@ -638,6 +638,42 @@ class DedupSpec extends SparkSuite {
     assert(a == b, s"capped-under-cap diverged: $a vs $b")
   }
 
+  test("zero-norm embeddings (all-zero vectors from a dead encoder) never " +
+      "abort the job under ANSI and never pair — capped or uncapped") {
+    // cosine is undefined for the zero vector; ANSI mode turns the
+    // naive dot/(norm·norm) into a job-aborting DIVIDE_BY_ZERO —
+    // try_divide scores the pair null and the threshold filter drops it
+    val zero = Array.fill(4)(0.0f)
+    def near(eps: Float) = Array(0.0f, 0.0f, 10.0f, eps)
+    val emb = ((0L until 50L).map(i => (i, zero)) ++
+      Seq((100L, near(0.0f)), (101L, near(0.1f))))
+      .toDF("vec_id", "embedding")
+    // uncapped: zero-zero pairs share bucket 0 but score null → absent
+    val plain = Dedup.embeddingCosinePairs(emb, threshold = 0.9, nbits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == Set((100L, 101L)), plain)
+    // capped with the zero group over cap: the star proposes the
+    // zero-vector group, the same try_divide verify drops it
+    val capped = Dedup.embeddingCosinePairs(emb, threshold = 0.9, nbits = 4,
+        maxBucket = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), capped)
+    // semanticDedup, one forced cluster: zero vectors all SURVIVE
+    // (null cosine can drop nothing), the near-dup still collapses
+    val keptPlain = Dedup.semanticDedup(emb, k = 1, tau = 0.9)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((0L until 50L).forall(keptPlain.contains), keptPlain.size)
+    assert(keptPlain.contains(100L) && !keptPlain.contains(101L))
+    // capped with the single cluster over cap: no crash, zero vectors
+    // survive via the star's null-scoring verify; the non-identical
+    // near pair is the documented over-cap recall trade (101 survives)
+    val keptCapped = Dedup.semanticDedup(emb, k = 1, tau = 0.9,
+        maxCluster = 10L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((0L until 50L).forall(keptCapped.contains), keptCapped.size)
+    assert(keptCapped.contains(100L) && keptCapped.contains(101L))
+  }
+
   test("semanticDedup maxCluster: a degenerate cluster's identical vectors " +
       "still collapse via the keeper star, under-cap = uncapped") {
     // 1000 copies of one constant vector assign to ONE centroid whatever
