@@ -42,15 +42,20 @@ object TextAnalysis {
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
 
-  /** Length / punctuation-ratio / stopword-ratio quality features. */
+  /** Length / punctuation-ratio / stopword-ratio quality features.
+    * try_divide: an EMPTY document has 0 chars and 0 tokens, and a
+    * plain division aborts the job under ANSI (Spark 4's default) —
+    * routine crawl input must score null ratios, not kill the pass. */
   def qualityFeatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val st = stats(col(textCol))
     docs.select(col(idCol),
       st.getItem(0).as("n_chars_c"),
       st.getItem(1).as("n_tokens"),
-      round(st.getItem(2).cast("double") / st.getItem(0), 4).as("punct_ratio"),
-      round(st.getItem(3).cast("double") / st.getItem(1), 4).as("stopword_ratio"))
+      round(try_divide(st.getItem(2).cast("double"), st.getItem(0)), 4)
+        .as("punct_ratio"),
+      round(try_divide(st.getItem(3).cast("double"), st.getItem(1)), 4)
+        .as("stopword_ratio"))
   }
 
   // -------------------------------------------------------- language ID
@@ -528,7 +533,9 @@ object TextAnalysis {
     // tokens()-based formulation, one kernel instead of a re-split
     val repRatio = lit(1.0) -
       col("n_distinct_bigrams") / greatest(st.getItem(1) - 1, lit(1)).cast("double")
-    val stopRatio = st.getItem(3).cast("double") / st.getItem(1)
+    // try_divide: an empty doc (0 tokens) otherwise aborts under ANSI
+    // whenever the too_short branch doesn't catch it first (len_lo = 0)
+    val stopRatio = try_divide(st.getItem(3).cast("double"), st.getItem(1))
     val reason = when(col(lenCol) < col("len_lo"), "too_short")
       .when(col(lenCol) > col("len_hi"), "too_long")
       .when(predLang =!= "en", "lang")
