@@ -172,13 +172,8 @@ object Dedup {
     if (capped) {
       // keeper-star recovery of identical-signature groups the cap may
       // have dropped: n−1 linear rows per group, never C(n, 2)
-      val hashed = sig.select(col("id"), xxhash64(col("sig")).as("sh"))
-      val groups = hashed.groupBy("sh")
-        .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("sh", "keeper")
-      val star = hashed.join(groups, Seq("sh"))
-        .filter(col("id") =!= col("keeper"))
-        .select(col("keeper").as("doc_id_a"), col("id").as("doc_id_b"))
+      val star = keeperStars(sig, col("id"), xxhash64(col("sig")))
+        .select(col("star_a").as("doc_id_a"), col("star_b").as("doc_id_b"))
       cand = cand.unionByName(star).distinct()
     }
     cand
@@ -210,6 +205,24 @@ object Dedup {
     * keys meet in the join, and the corpus side's signatures are the
     * stored index. Returns (corpus_id, batch_id, est_jaccard).
     */
+  /** (keeper = min id, member) star pairs of every ≥2-member group
+    * under `key` — the lossless LINEAR encoding of an
+    * identical-signature group (n−1 rows, never C(n,2)) shared by
+    * every capped dedup family (MinHash bands, Hamming chunks,
+    * embedding buckets, semantic clusters). Emitted pairs are
+    * CANDIDATES: each call site re-verifies them with its own
+    * true-similarity filter, so a group-key collision is filtered,
+    * never trusted. Only (8-byte key, id) rows reach the exchange. */
+  private def keeperStars(rows: DataFrame, id: Column, key: Column): DataFrame = {
+    val hashed = rows.select(id.as("id"), key.as("sk"))
+    val groups = hashed.groupBy("sk")
+      .agg(min(col("id")).as("star_a"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("sk", "star_a")
+    hashed.join(groups, Seq("sk"))
+      .filter(col("id") =!= col("star_a"))
+      .select(col("star_a"), col("id").as("star_b"))
+  }
+
   /** Band keys of a signature table — the shared LSH banding
     * expression of [[minHashLshPairs]] and [[minHashLshPairsAcross]]
     * (one definition so the self-pair and across-pair paths cannot
@@ -410,12 +423,11 @@ object Dedup {
     if (s.count() <= maxBucket)
       return hamming64Pairs(s, "id", "sig64", maxHamming)
     val banded = hamming64Pairs(s, "id", "sig64", maxHamming, maxBucket)
-    val groups = signatureDupGroups(s, "id", "sig64")
-      .select(col("sig").as("sig64"), col("keeper"))
-    // keeper = min(id) per group, so keeper < id on every emitted row
-    val star = s.join(groups, Seq("sig64"))
-      .filter(col("id") =!= col("keeper"))
-      .select(col("keeper").as("doc_id_a"), col("id").as("doc_id_b"),
+    // keeper = min(id) per group, so keeper < id on every emitted row;
+    // the key IS the 8-byte signature (no re-hash), so star pairs are
+    // exact Hamming-0 — no downstream verify needed
+    val star = keeperStars(s, col("id"), col("sig64"))
+      .select(col("star_a").as("doc_id_a"), col("star_b").as("doc_id_b"),
         lit(0L).as("hamming"))
     banded.unionByName(star)
       .groupBy("doc_id_a", "doc_id_b")
@@ -734,6 +746,12 @@ object Dedup {
     * subsumed by the distinct). Genuinely-near-but-not-identical pairs
     * whose every shared bucket is over-cap are lost — the standard LSH
     * bucket-cap trade, same as the lexical family.
+    *
+    * Two-level adaptive short-circuit (the [[minHashLshPairs]]
+    * discipline): a metadata-cheap corpus count retires the machinery
+    * entirely when no bucket CAN be over cap, and above the count one
+    * small bucket-count probe sends a clean corpus down the plain plan
+    * — the cap costs the probe, not the persist/prune/star.
     */
   def embeddingCosinePairs(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
@@ -741,7 +759,7 @@ object Dedup {
       dim: Int = -1, maxBucket: Long = Long.MaxValue): DataFrame = {
     // an LSH bucket can never exceed the corpus row count — one
     // metadata-cheap count retires the cap machinery at sub-cap sizes
-    val capped = maxBucket != Long.MaxValue && emb.count() > maxBucket
+    val requested = maxBucket != Long.MaxValue && emb.count() > maxBucket
     // hyperplane dimensionality must match the embeddings: a fixed
     // width would silently hash on a truncated/zero-padded prefix for
     // any other embedding model. Derived from one row (bounded 1-row
@@ -753,12 +771,12 @@ object Dedup {
     // norms are computed once per vector and carried through the join as
     // plain columns (the join output materializes them), so the
     // O(pairs) stage pays one dot product instead of three array passes.
-    // capped: the vector table feeds the bucket join, the group
+    // cap requested: the vector table feeds the bucket join, the group
     // aggregate, the star member join and the verify join-backs —
     // persist so norms and hashes compute once
     val base0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.l2Norm(col(vecCol)).as("norm"))
-    val base = if (capped) graft.CacheRegistry.persist(base0) else base0
+    val base = if (requested) graft.CacheRegistry.persist(base0) else base0
     // try_divide, not `/`: ANSI mode (Spark 4's default) turns a
     // division by zero into a job-aborting error, and a ZERO vector —
     // an all-zero embedding from the same broken encoder the cap
@@ -776,42 +794,63 @@ object Dedup {
     // dropped: n−1 linear rows per group, never C(n, 2). Re-verified by
     // true cosine downstream (collision-safe; zero vectors score null
     // under try_divide and fall out exactly as they would uncapped).
-    def starCand: DataFrame = {
-      val hashed = base.select(col("id"), xxhash64(col("v")).as("vh"))
-      val groups = hashed.groupBy("vh")
-        .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("vh", "keeper")
-      hashed.join(groups, Seq("vh"))
-        .filter(col("id") =!= col("keeper"))
-        .select(col("keeper").as("cid_a"), col("id").as("cid_b"))
-    }
+    def starCand: DataFrame = keeperStars(base, col("id"), xxhash64(col("v")))
+      .select(col("star_a").as("cid_a"), col("star_b").as("cid_b"))
     def scoredCand(cand: DataFrame): DataFrame = scored(cand
       .join(base.as("a"), col("cid_a") === col("a.id"))
       .join(base.as("b"), col("cid_b") === col("b.id")))
-    if (nBands <= 1 && !capped) {
-      val bucketed = base.withColumn("bucket",
+    if (nBands <= 1) {
+      val bucketed0 = base.withColumn("bucket",
         Similarity.signLshBucket(col("v"), nbits, planeDim, seed))
-      scored(bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")))
+      if (!requested)
+        return scored(bucketed0.as("a").join(bucketed0.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")))
+      // persisted: the sign-LSH projection (nbits hyperplane dot
+      // products per row) otherwise re-runs for the bucket count, the
+      // semi-join probe side and both self-join sides
+      val bucketed = graft.CacheRegistry.persist(bucketed0)
+      val counts = graft.CacheRegistry.persist(
+        bucketed.groupBy("bucket").agg(count(lit(1)).as("bn")))
+      // second-level probe: a clean over-count corpus takes the plain
+      // self-join (no prune, no star, no candidate distinct) — the cap
+      // cost is this one small aggregate over (id, bucket) rows
+      val overCap = !counts.filter(col("bn") > maxBucket).isEmpty
+      if (!overCap)
+        scored(bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")))
+      else {
+        val pruned = bucketed
+          .join(counts.filter(col("bn") <= maxBucket).select("bucket"),
+            Seq("bucket"), "left_semi")
+        val cand = pruned.select(col("bucket"), col("id")).as("x")
+          .join(pruned.select(col("bucket"), col("id")).as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("cid_a"), col("y.id").as("cid_b"))
+        scoredCand(cand.unionByName(starCand).distinct())
+      }
     } else {
-      var banded = (0 until math.max(nBands, 1)).map { band =>
+      var banded = (0 until nBands).map { band =>
         base.select(col("id"), concat_ws(":", lit(band),
           Similarity.signLshBucket(col("v"), nbits, planeDim, seed + band)).as("bucket"))
       }.reduce(_ union _)
-      if (capped) {
+      var overCap = false
+      if (requested) {
         // persisted: the sign-LSH projection (nbits hyperplane dot
         // products per row per band) otherwise re-runs for the bucket
         // count, the semi-join probe side and both self-join sides
         banded = graft.CacheRegistry.persist(banded)
-        val small = banded.groupBy("bucket")
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= maxBucket).select("bucket")
-        banded = banded.join(small, Seq("bucket"), "left_semi")
+        val counts = graft.CacheRegistry.persist(
+          banded.groupBy("bucket").agg(count(lit(1)).as("bn")))
+        overCap = !counts.filter(col("bn") > maxBucket).isEmpty
+        if (overCap)
+          banded = banded.join(
+            counts.filter(col("bn") <= maxBucket).select("bucket"),
+            Seq("bucket"), "left_semi")
       }
       var cand = banded.as("x").join(banded.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
         .select(col("x.id").as("cid_a"), col("y.id").as("cid_b"))
-      if (capped) cand = cand.unionByName(starCand)
+      if (overCap) cand = cand.unionByName(starCand)
       scoredCand(cand.distinct())
     }
   }
@@ -933,7 +972,7 @@ object Dedup {
     // a cluster can never exceed the corpus row count — the count that
     // derives k also retires the cap machinery at sub-cap sizes
     val n = if (k <= 0 || maxCluster != Long.MaxValue) emb.count() else 0L
-    val capped = maxCluster != Long.MaxValue && n > maxCluster
+    val requested = maxCluster != Long.MaxValue && n > maxCluster
     val kEff =
       if (k > 0) k
       else deriveClusterCount(n, targetOccupancy)
@@ -943,18 +982,26 @@ object Dedup {
           vecCol, idCol),
         vecCol, idCol)
       .withColumnRenamed("list_id", "cluster")
-    // capped: the assignment feeds the pair join (both sides), the
-    // cluster-count aggregate, the star group/member joins and the
+    // cap requested: the assignment feeds the pair join (both sides),
+    // the cluster-count aggregate, the star group/member joins and the
     // final anti-join base — persist so the centroid-assign pass (k
     // dot products per row) runs once
-    val assigned = if (capped) graft.CacheRegistry.persist(assigned0)
+    val assigned = if (requested) graft.CacheRegistry.persist(assigned0)
       else assigned0
     var side = assigned.select(col("cluster"), col(idCol).as("id"),
       col("v"), col("norm"))
-    if (capped) {
-      val small = side.groupBy("cluster").agg(count(lit(1)).as("cn"))
-        .filter(col("cn") <= maxCluster).select("cluster")
-      side = side.join(small, Seq("cluster"), "left_semi")
+    // second-level probe (the minHashLshPairs discipline): one small
+    // cluster-count aggregate sends a clean over-count corpus down the
+    // plain within-cluster join — no prune, no star, no extra distinct
+    var capped = false
+    if (requested) {
+      val counts = graft.CacheRegistry.persist(
+        side.groupBy("cluster").agg(count(lit(1)).as("cn")))
+      capped = !counts.filter(col("cn") > maxCluster).isEmpty
+      if (capped)
+        side = side.join(
+          counts.filter(col("cn") <= maxCluster).select("cluster"),
+          Seq("cluster"), "left_semi")
     }
     // try_divide: a zero-norm vector (all-zero embedding) scores null
     // instead of aborting the job under ANSI — it is never dropped and
@@ -971,18 +1018,15 @@ object Dedup {
       // the a.id < b.id rule; the cosine re-verify filters 64-bit
       // group-key collisions (and zero vectors, which score null under
       // try_divide exactly as they would in the uncapped join)
-      val hashed = assigned.select(col(idCol).as("id"),
-        xxhash64(col("v")).as("vh"), col("v"), col("norm"))
-      val groups = hashed.groupBy("vh")
-        .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("vh", "keeper")
-      val star = hashed.as("b").join(groups, col("b.vh") === groups("vh"))
-        .filter(col("b.id") =!= col("keeper"))
-        .join(hashed.select(col("id").as("keeper"), col("v").as("kv"),
-          col("norm").as("knorm")), Seq("keeper"))
-        .filter(try_divide(Similarity.dot(col("kv"), col("b.v")),
-          col("knorm") * col("b.norm")) >= tau)
-        .select(col("b.id").as("drop_id"))
+      val vn = assigned.select(col(idCol).as("id"), col("v"), col("norm"))
+      val star = keeperStars(assigned, col(idCol), xxhash64(col("v")))
+        .join(vn.select(col("id").as("star_a"), col("v").as("kv"),
+          col("norm").as("knorm")), Seq("star_a"))
+        .join(vn.select(col("id").as("star_b"), col("v").as("bv"),
+          col("norm").as("bnorm")), Seq("star_b"))
+        .filter(try_divide(Similarity.dot(col("kv"), col("bv")),
+          col("knorm") * col("bnorm")) >= tau)
+        .select(col("star_b").as("drop_id"))
       dropped = dropped.unionByName(star)
     }
     val drops = dropped.distinct()

@@ -828,10 +828,21 @@ object TextAnalysis {
     * delivery. Everything after the prune is delivery-sized; text
     * appears only in the final reassembly. Output columns are the
     * batch operator's (`n_segments`, `n_dropped`, `cleaned_text`).
+    *
+    * `storedPrecedes = true` switches the keeper rule from the batch
+    * operator's global `(doc_id, seg_idx)` min to CHRONOLOGICAL
+    * precedence: a segment present in the stored state always drops
+    * the delivery occurrence, whatever the ids. This is the rule a
+    * STREAMING host needs — its earlier cleaned outputs are immutable,
+    * so a later delivery carrying a smaller doc_id must lose to the
+    * already-published copy or the corpus ends up with two (the
+    * default bidirectional min is for the batch-split form, q121b,
+    * whose oracle is batch-over-the-union and whose "stored" rows are
+    * re-derivable).
     */
   def segmentDedupIncremental(delivery: DataFrame, storedKeepers: DataFrame,
       width: Int = 16, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", storedPrecedes: Boolean = false): DataFrame = {
     val toked = delivery.select(col(idCol).as("doc_id"),
         coalesce(tokens(col(textCol)),
           array().cast("array<string>")).as("toks"))
@@ -851,13 +862,15 @@ object TextAnalysis {
       .agg(min(struct(col("k_doc").as("doc_id"),
         col("k_seg").as("seg_idx"))).as("skeeper"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val storedLoses =
+      if (storedPrecedes) lit(false)
+      else struct(col("doc_id"), col("seg_idx")) < col("skeeper")
     val drops = segs
       .withColumn("dkeeper", min(struct(col("doc_id"), col("seg_idx"))).over(w))
       .join(sk, Seq("gh"), "left")
       .filter(col("dkeeper.doc_id") =!= col("doc_id") ||
         col("dkeeper.seg_idx") =!= col("seg_idx") ||
-        (col("skeeper").isNotNull &&
-          struct(col("doc_id"), col("seg_idx")) > col("skeeper")))
+        (col("skeeper").isNotNull && !storedLoses))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("seg_idx"))).as("drops"))
     reassembleSegments(toked, drops, width)

@@ -476,17 +476,23 @@ object StreamOps {
     * [[streamingSpanDedup]] lifecycle for the keep-one paragraph
     * policy): each batch is cut against the segment-keeper state
     * accumulated from every EARLIER batch plus the batch's own
-    * occurrences ([[graft.operators.TextAnalysis.segmentDedupIncremental]]
-    * — chronologically incremental: earlier batches' text is
-    * immutable and their keepers already canonical), cleaned rows land
-    * as `cleaned-<batchId>` under `outDir`, and the batch's keepers
-    * fold into the state as the self-committing `seg-delta-<batchId>`
-    * (O(delta) write). Commit order: cleaned rows first, keeper delta
-    * (the commit marker) last — a crash between the two retries the
-    * batch, whose `overwrite` of `cleaned-<batchId>` is idempotent; a
-    * replayed batch whose slot already committed skips entirely.
-    * Every `compactEvery` live parts the batch lands a full-merge
-    * `seg-snap` snapshot (gh-sorted) and sweeps superseded dirs.
+    * occurrences, under CHRONOLOGICAL precedence
+    * (`segmentDedupIncremental(storedPrecedes = true)`): a segment an
+    * earlier batch already published always wins, whatever the ids —
+    * earlier cleaned outputs are immutable, so the batch operator's
+    * bidirectional id-min rule would emit a second copy whenever a
+    * later batch carries a smaller doc_id. Cleaned rows land as
+    * `cleaned-<batchId>` under `outDir`; the batch's FIRST-SEEN
+    * keepers (hashes no earlier batch published — an 8-byte anti-join)
+    * commit as the self-committing `seg-delta-<batchId>`, so every
+    * hash appears in exactly ONE state part and the keeper is exact
+    * first-arrival provenance. Commit order: cleaned rows first,
+    * keeper delta (the commit marker) last — a crash between the two
+    * retries the batch, whose `overwrite` of `cleaned-<batchId>` is
+    * idempotent; a replayed batch whose slot already committed skips
+    * entirely. Every `compactEvery` live parts the batch lands a
+    * full-merge `seg-snap` snapshot (gh-sorted) and sweeps superseded
+    * dirs (parts are gh-disjoint, so the merge is a plain union).
     */
   def streamingSegmentDedup(docs: DataFrame, stateDir: String,
       outDir: String, width: Int = 16, textCol: String = "text",
@@ -500,30 +506,35 @@ object StreamOps {
           val live = TextAnalysis.liveSegmentKeeperSlots(spark, stateDir)
           val stored =
             if (live.isEmpty)
-              // first delivery: dedup within the batch only
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                StructType(Seq(StructField("gh", LongType),
-                  StructField("k_doc", LongType),
-                  StructField("k_seg", IntegerType))))
+              // first delivery: dedup within the batch only. The empty
+              // keeper frame derives from the batch itself so the
+              // id-type (long here, string/UUID elsewhere) always
+              // matches — a hardcoded schema would make the struct
+              // comparison cast and fail under ANSI on non-long ids
+              TextAnalysis.segmentKeepers(batch.limit(0), width,
+                textCol, idCol)
             else TextAnalysis.loadSegmentKeeperIndex(spark, stateDir)
           TextAnalysis.segmentDedupIncremental(batch, stored,
-              width, textCol, idCol)
+              width, textCol, idCol, storedPrecedes = true)
             .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
-          val batchKeepers = TextAnalysis.segmentKeepers(batch,
-            width, textCol, idCol)
+          // first-arrival keepers only: hashes some earlier batch
+          // already owns never re-enter the state (8-byte anti-join,
+          // delivery-sized), so parts stay gh-disjoint
+          val newKeepers = TextAnalysis.segmentKeepers(batch,
+              width, textCol, idCol)
+            .join(stored.select("gh"), Seq("gh"), "left_anti")
           if (live.size + 1 >= compactEvery) {
-            // snapshot slot: the full min-merge (supersedes every part
-            // with slot <= batchId by construction; the sweep below is
-            // housekeeping, crash-safe either side of it)
+            // snapshot slot: gh-disjoint parts make the full merge a
+            // plain union (supersedes every part with slot <= batchId
+            // by construction; the sweep below is housekeeping,
+            // crash-safe either side of it)
             TextAnalysis.saveSegmentKeeperDelta(spark, stateDir,
-              TextAnalysis.foldSegmentKeepers(stored, batchKeepers)
-                .sortWithinPartitions("gh"),
+              stored.unionByName(newKeepers).sortWithinPartitions("gh"),
               slot = Some(batchId), snapshot = true)
             TextAnalysis.sweepSegmentKeeperIndex(spark, stateDir)
           } else
             TextAnalysis.saveSegmentKeeperDelta(spark, stateDir,
-              batchKeepers, slot = Some(batchId))
+              newKeepers, slot = Some(batchId))
       }
   }
 

@@ -355,6 +355,20 @@ class DedupSpec extends SparkSuite {
       (5L, 2L, 0L, "d e f p q r"),
       (20L, 2L, 2L, ""),
       (21L, 0L, 0L, "")), inc)
+    // storedPrecedes (the streaming-host rule): a stored hit always
+    // drops the delivery occurrence, whatever the ids — docs 0 and 5
+    // now lose their stored segments too, keeping only fresh content
+    val chrono = TextAnalysis.segmentDedupIncremental(delivery,
+        TextAnalysis.segmentKeepers(stored, width = 3), width = 3,
+        storedPrecedes = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(chrono == Seq(
+      (0L, 2L, 1L, "u v w"),
+      (5L, 2L, 1L, "p q r"),
+      (20L, 2L, 2L, ""),
+      (21L, 0L, 0L, "")), chrono)
   }
 
   test("segment-keeper index: slotted save/load round-trip, raw multi-" +

@@ -675,14 +675,16 @@ class StreamingSpec extends SparkSuite {
         .sorted.toSeq
       assert(stateK == wantK)
       // batch k's cleaned output ≡ the incremental cut against the
-      // keepers of every earlier chunk (batch 0 dedups within itself)
+      // keepers of every earlier chunk (batch 0 dedups within itself) —
+      // under the host's CHRONOLOGICAL rule (stored always precedes)
       cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
         val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
         val storedK = TextAnalysis.segmentKeepers(
           if (k == 0) docs.filter(lit(false))
           else docs.filter(col("doc_id") < cuts(k)._1), width = 16)
         val want = TextAnalysis
-          .segmentDedupIncremental(chunk, storedK, width = 16)
+          .segmentDedupIncremental(chunk, storedK, width = 16,
+            storedPrecedes = true)
           .orderBy("doc_id").collect().map(_.toSeq).toSeq
         val got = spark.read.parquet(s"${outDir.getPath}/cleaned-$k")
           .orderBy("doc_id").collect().map(_.toSeq).toSeq
@@ -693,6 +695,54 @@ class StreamingSpec extends SparkSuite {
       // segments to an earlier batch's keeper
       val last = spark.read.parquet(s"${outDir.getPath}/cleaned-2")
       assert(last.filter(col("n_dropped") > 0).count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
+  test("streaming segment dedup is chronological: a later batch with a " +
+      "SMALLER doc_id still loses to the published copy") {
+    // the batch operator's bidirectional id-min rule would KEEP the
+    // later, smaller-id occurrence — but cleaned-0 is already written
+    // and immutable, so the host must drop it or the corpus carries
+    // the paragraph twice
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-seg-chrono").toFile
+    val stateDir = Files.createTempDirectory("graft-seg-chrono-state").toFile
+    val outDir = Files.createTempDirectory("graft-seg-chrono-out").toFile
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    // batch 0: doc 100 publishes segment [a b c]; batch 1: doc 5
+    // carries the same segment (smaller id) plus its own [x y z]
+    Seq((100L, "a b c")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    Seq((5L, "a b c x y z")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingSegmentDedup(streamed, stateDir.getPath,
+        outDir.getPath, width = 3, compactEvery = 64)
+      q.processAllAvailable(); q.stop()
+      val b0 = spark.read.parquet(s"${outDir.getPath}/cleaned-0")
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+      val b1 = spark.read.parquet(s"${outDir.getPath}/cleaned-1")
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+      assert(b0 == Seq((100L, "a b c")), b0)
+      assert(b1 == Seq((5L, "x y z")), b1)   // [a b c] lost to batch 0
+      // first-arrival state: [a b c]'s keeper stays batch 0's doc 100
+      // (parts are gh-disjoint — the hash never re-enters)
+      val keepers = TextAnalysis
+        .loadSegmentKeeperIndex(spark, stateDir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val abcHash = TextAnalysis.segmentKeepers(
+          Seq((0L, "a b c")).toDF("doc_id", "text"), width = 3)
+        .collect().head.getLong(0)
+      assert(keepers(abcHash) == 100L, keepers)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
       org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
