@@ -602,6 +602,32 @@ class DedupSpec extends SparkSuite {
       val direct = pairs(corpusSigs)
       assert(served == direct, s"served $served vs direct $direct")
       assert(served.nonEmpty)
+      // the persisted index is corpus-signature-scale: it may be
+      // SCANNED but never a broadcast build (the 100 TB driver-OOM
+      // guard, same structural pin as the span/segment stored state)
+      val out = Dedup.minHashLshPairsAcross(
+        spark.read.parquet(s"$tmp/sigs"), Dedup.minHashSignatures(batch),
+        minEstJaccard = 0.5, maxBucket = 100000L)
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def indexIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("graft-sig-index"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val offenders = out.queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+        .filter { j =>
+          (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+            indexIn(j.left)) ||
+          (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+            indexIn(j.right))
+        }
+      assert(offenders.isEmpty,
+        s"signature-index broadcast builds:\n${offenders.mkString("\n")}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
