@@ -771,12 +771,15 @@ object Dedup {
     // norms are computed once per vector and carried through the join as
     // plain columns (the join output materializes them), so the
     // O(pairs) stage pays one dot product instead of three array passes.
-    // cap requested: the vector table feeds the bucket join, the group
-    // aggregate, the star member join and the verify join-backs —
-    // persist so norms and hashes compute once
+    // cap requested, multi-band: the vector table feeds the band
+    // union, the star member join and the verify join-backs — persist
+    // so norms compute once. (The single-band branch persists its
+    // bucketed projection INSTEAD — caching both would hold every
+    // vector twice in executor storage.)
     val base0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.l2Norm(col(vecCol)).as("norm"))
-    val base = if (requested) graft.CacheRegistry.persist(base0) else base0
+    val base = if (requested && nBands > 1)
+      graft.CacheRegistry.persist(base0) else base0
     // try_divide, not `/`: ANSI mode (Spark 4's default) turns a
     // division by zero into a job-aborting error, and a ZERO vector —
     // an all-zero embedding from the same broken encoder the cap
@@ -794,11 +797,12 @@ object Dedup {
     // dropped: n−1 linear rows per group, never C(n, 2). Re-verified by
     // true cosine downstream (collision-safe; zero vectors score null
     // under try_divide and fall out exactly as they would uncapped).
-    def starCand: DataFrame = keeperStars(base, col("id"), xxhash64(col("v")))
-      .select(col("star_a").as("cid_a"), col("star_b").as("cid_b"))
-    def scoredCand(cand: DataFrame): DataFrame = scored(cand
-      .join(base.as("a"), col("cid_a") === col("a.id"))
-      .join(base.as("b"), col("cid_b") === col("b.id")))
+    def starCand(tbl: DataFrame): DataFrame =
+      keeperStars(tbl, col("id"), xxhash64(col("v")))
+        .select(col("star_a").as("cid_a"), col("star_b").as("cid_b"))
+    def scoredCand(cand: DataFrame, tbl: DataFrame): DataFrame = scored(cand
+      .join(tbl.as("a"), col("cid_a") === col("a.id"))
+      .join(tbl.as("b"), col("cid_b") === col("b.id")))
     if (nBands <= 1) {
       val bucketed0 = base.withColumn("bucket",
         Similarity.signLshBucket(col("v"), nbits, planeDim, seed))
@@ -826,7 +830,7 @@ object Dedup {
           .join(pruned.select(col("bucket"), col("id")).as("y"),
             col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
           .select(col("x.id").as("cid_a"), col("y.id").as("cid_b"))
-        scoredCand(cand.unionByName(starCand).distinct())
+        scoredCand(cand.unionByName(starCand(bucketed)).distinct(), bucketed)
       }
     } else {
       var banded = (0 until nBands).map { band =>
@@ -850,8 +854,8 @@ object Dedup {
       var cand = banded.as("x").join(banded.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
         .select(col("x.id").as("cid_a"), col("y.id").as("cid_b"))
-      if (overCap) cand = cand.unionByName(starCand)
-      scoredCand(cand.distinct())
+      if (overCap) cand = cand.unionByName(starCand(base))
+      scoredCand(cand.distinct(), base)
     }
   }
 

@@ -862,9 +862,13 @@ object TextAnalysis {
       .agg(min(struct(col("k_doc").as("doc_id"),
         col("k_seg").as("seg_idx"))).as("skeeper"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    // <= not <, so a delivery occurrence EQUAL to its stored keeper
+    // (a redelivery after its own keepers were folded — outside the
+    // disjoint-sets contract but not worth silently corrupting) stays
+    // kept exactly as the pre-refactor `row > skeeper` drop rule kept it
     val storedLoses =
       if (storedPrecedes) lit(false)
-      else struct(col("doc_id"), col("seg_idx")) < col("skeeper")
+      else struct(col("doc_id"), col("seg_idx")) <= col("skeeper")
     val drops = segs
       .withColumn("dkeeper", min(struct(col("doc_id"), col("seg_idx"))).over(w))
       .join(sk, Seq("gh"), "left")
@@ -876,10 +880,15 @@ object TextAnalysis {
     reassembleSegments(toked, drops, width)
   }
 
-  /** Fold a delivery's keepers into the stored table — the state
-    * update after [[segmentDedupIncremental]] admits a delivery: the
-    * merged keeper per hash is the min across both sides (disjoint doc
-    * sets make this exactly the batch keeper over the union corpus). */
+  /** Fold a delivery's keepers into the stored table under the BATCH
+    * operator's bidirectional rule: the merged keeper per hash is the
+    * min across both sides (disjoint doc sets make this exactly the
+    * batch keeper over the union corpus) — the state update for a
+    * q121b-style batch-split lifecycle, and the merge
+    * [[compactSegmentKeeperIndex]] applies to live parts. The
+    * STREAMING host deliberately does NOT use it: its outputs are
+    * immutable once published, so it stores first-arrival keepers
+    * (an anti-join of new hashes) instead of re-minimizing. */
   def foldSegmentKeepers(stored: DataFrame, deliveryKeepers: DataFrame): DataFrame =
     stored.unionByName(deliveryKeepers)
       .groupBy("gh")
@@ -947,14 +956,12 @@ object TextAnalysis {
     require(segKeeperParts(spark, to).isEmpty,
       s"compactSegmentKeeperIndex target $to already holds committed " +
         "parts — compact into a fresh dir")
+    val live = loadSegmentKeeperIndex(spark, from)
+    // one merge definition: the fold of the live parts with nothing —
+    // min per hash across however many parts repeat it (a no-op per
+    // hash when the parts are the streaming host's gh-disjoint deltas)
     saveSegmentKeeperDelta(spark, to,
-      loadSegmentKeeperIndex(spark, from)
-        .groupBy("gh")
-        .agg(min(struct(col("k_doc").as("doc_id"),
-          col("k_seg").as("seg_idx"))).as("k"))
-        .select(col("gh"), col("k.doc_id").as("k_doc"),
-          col("k.seg_idx").as("k_seg"))
-        .sortWithinPartitions("gh"),
+      foldSegmentKeepers(live, live.limit(0)).sortWithinPartitions("gh"),
       slot = Some(0L), snapshot = true)
   }
 

@@ -518,11 +518,19 @@ object StreamOps {
               width, textCol, idCol, storedPrecedes = true)
             .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
           // first-arrival keepers only: hashes some earlier batch
-          // already owns never re-enter the state (8-byte anti-join,
-          // delivery-sized), so parts stay gh-disjoint
-          val newKeepers = TextAnalysis.segmentKeepers(batch,
-              width, textCol, idCol)
-            .join(stored.select("gh"), Seq("gh"), "left_anti")
+          // already owns never re-enter the state, so parts stay
+          // gh-disjoint. The corpus-scale stored index is pruned FIRST
+          // by a broadcast delivery-hash semi-join (the
+          // segmentDedupIncremental discipline) — putting it directly
+          // on the anti-join's build side would broadcast or shuffle
+          // the whole index per micro-batch
+          val batchKeepers = graft.CacheRegistry.persist(
+            TextAnalysis.segmentKeepers(batch, width, textCol, idCol))
+          val storedHits = stored.select("gh")
+            .join(broadcast(batchKeepers.select("gh")), Seq("gh"),
+              "left_semi")
+          val newKeepers = batchKeepers
+            .join(storedHits, Seq("gh"), "left_anti")
           if (live.size + 1 >= compactEvery) {
             // snapshot slot: gh-disjoint parts make the full merge a
             // plain union (supersedes every part with slot <= batchId

@@ -355,6 +355,17 @@ class DedupSpec extends SparkSuite {
       (5L, 2L, 0L, "d e f p q r"),
       (20L, 2L, 2L, ""),
       (21L, 0L, 0L, "")), inc)
+    // a REDELIVERED corpus whose keepers were already folded (outside
+    // the disjoint contract, the at-least-once retry shape): every
+    // occurrence EQUALS its own stored keeper and must stay KEPT —
+    // the drop rule is strictly-greater, not greater-or-equal
+    val redelivered = TextAnalysis.segmentDedupIncremental(stored,
+        TextAnalysis.segmentKeepers(stored, width = 3), width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(redelivered == Seq(
+      (10L, 0L, "a b c d e f"),
+      (11L, 0L, "m n o")), redelivered)
     // storedPrecedes (the streaming-host rule): a stored hit always
     // drops the delivery occurrence, whatever the ids — docs 0 and 5
     // now lose their stored segments too, keeping only fresh content
