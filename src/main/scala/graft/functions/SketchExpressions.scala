@@ -674,7 +674,13 @@ case class RemoveCoveredExpr(left: Expression, right: Expression, n: Int)
 }
 
 case class SegmentHashesExpr(child: Expression, width: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // a wrong-typed child (e.g. array<bigint>) must fail ANALYSIS, not
+  // misread via ArrayData accessors at runtime (AbstractDataType is
+  // private[sql], so the override's type is inferred)
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "segment_hashes"
@@ -687,7 +693,14 @@ case class SegmentHashesExpr(child: Expression, width: Int)
 }
 
 case class RemoveSegmentsExpr(left: Expression, right: Expression, width: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // the drops column is read via ArrayData.getInt — an array<bigint>
+  // child would silently misread at runtime without this analysis gate
+  // (AbstractDataType is private[sql], so the override's type is inferred)
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType),
+      ArrayType(org.apache.spark.sql.types.IntegerType))
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def prettyName: String = "remove_segments"
   override def nullSafeEval(toks: Any, drops: Any): Any =

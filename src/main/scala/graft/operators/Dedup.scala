@@ -251,13 +251,50 @@ object Dedup {
     * needs, never |corpus group| × |batch group| rows. Star pairs flow
     * through the same signature verify, so group-key collisions are
     * filtered by their true estimate. Under the cap, output is
-    * identical to the uncapped join. */
+    * identical to the uncapped join.
+    *
+    * `overCapBands` / `starKeepers` are the cap's BOOKKEEPING tables,
+    * materializable at index BUILD time ([[minHashOverCapBands]] /
+    * [[minHashStarKeepers]], the q102b served-index shape): the
+    * signature index is immutable between deliveries, so its band
+    * counts and star keepers are too — supplying them turns the
+    * per-delivery corpus-scale aggregates into a broadcast of a tiny
+    * file plus (only when the corpus is actually dirty) one pruned
+    * index scan. Omitted, both are computed from `corpusSigs` in-query
+    * (the q102 in-memory shape). Either way a SECOND-LEVEL PROBE sends
+    * a clean corpus (no over-cap band — the common case) down the
+    * plain plan: no prune, no star recovery, no extra distinct. */
   def minHashLshPairsAcross(corpusSigs: DataFrame, batchSigs: DataFrame,
       bands: Int = 16, numHashes: Int = 64,
       minEstJaccard: Double = 0.5,
-      maxBucket: Long = Long.MaxValue): DataFrame =
+      maxBucket: Long = Long.MaxValue,
+      overCapBands: Option[DataFrame] = None,
+      starKeepers: Option[DataFrame] = None): DataFrame =
     minHashLshPairsAcrossKeyed(corpusSigs, batchSigs, bands, numHashes,
-      minEstJaccard, maxBucket, xxhash64(_))
+      minEstJaccard, maxBucket, xxhash64(_), overCapBands, starKeepers)
+
+  /** Over-cap (band, bkey) list of a signature index — the cap
+    * bookkeeping [[minHashLshPairsAcross]] otherwise re-aggregates per
+    * delivery. TINY by construction: every emitted row represents more
+    * than `maxBucket` corpus signatures, so the table broadcasts.
+    * Build it ONCE when the index is signed (q102b's state dir) with
+    * the same (bands, numHashes, maxBucket) the serve path uses. */
+  def minHashOverCapBands(sigs: DataFrame, bands: Int = 16,
+      numHashes: Int = 64, maxBucket: Long = 100000L): DataFrame =
+    bandKeys(sigs, "id", bands, numHashes)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select("band", "bkey")
+
+  /** Star-keeper table of a signature index — `(sh = xxhash64(sig),
+    * corpus_id = min id)` per identical-signature group: the OTHER
+    * per-delivery corpus aggregate of the capped across-join, equally
+    * immutable between deliveries. One row per DISTINCT signature
+    * (16 bytes each); at serve time it is scanned with the
+    * delivery-side hash set broadcast against it, never aggregated and
+    * never itself broadcast. */
+  def minHashStarKeepers(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), xxhash64(col("sig")).as("sh"))
+      .groupBy("sh").agg(min(col("id")).as("corpus_id"))
 
   /** [[minHashLshPairsAcross]] with an injectable star group key —
     * test seam only: DedupSpec forces every signature into ONE star
@@ -267,26 +304,45 @@ object Dedup {
   private[graft] def minHashLshPairsAcrossKeyed(corpusSigs: DataFrame,
       batchSigs: DataFrame, bands: Int, numHashes: Int,
       minEstJaccard: Double, maxBucket: Long,
-      starKey: Column => Column): DataFrame = {
-    val capped = maxBucket != Long.MaxValue
+      starKey: Column => Column,
+      overCapBands: Option[DataFrame] = None,
+      starKeepers: Option[DataFrame] = None): DataFrame = {
+    val requested = maxBucket != Long.MaxValue
     var corpusBands = bandKeys(corpusSigs, "corpus_id", bands, numHashes)
-    if (capped) {
-      val small = corpusBands.groupBy("band", "bkey")
-        .agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= maxBucket).select("band", "bkey")
-      corpusBands = corpusBands.join(small, Seq("band", "bkey"), "left_semi")
-    }
+    // over-cap band keys: tiny by construction — read from the
+    // persisted index when served (computed ONCE at sign time), one
+    // persisted corpus aggregate otherwise
+    val over = if (!requested) None else Some(overCapBands.getOrElse(
+      graft.CacheRegistry.persist(
+        corpusBands.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket).select("band", "bkey"))))
+    // second-level probe (the minHashLshPairs discipline): a clean
+    // corpus skips the prune, the star recovery and its extra distinct
+    // — and when the list is served state, the probe costs a limit-1
+    // read of a tiny file, not a corpus aggregate
+    val capped = over.exists(o => !o.isEmpty)
+    if (capped)
+      // anti-join against the tiny over-cap list (equivalent to the
+      // semi-join on its complement, but BROADCASTABLE — the under-cap
+      // complement is corpus-band-scale)
+      corpusBands = corpusBands.join(broadcast(over.get),
+        Seq("band", "bkey"), "left_anti")
     var cand = corpusBands
       .join(bandKeys(batchSigs, "batch_id", bands, numHashes),
         Seq("band", "bkey"))
       .select("corpus_id", "batch_id").distinct()
     if (capped) {
-      val keepers = corpusSigs
+      // keepers are corpus-signature-scale: when served they are
+      // SCANNED with the delivery hash set broadcast against them
+      // (the join is its own prune); the in-memory fallback aggregates
+      // corpusSigs under the injectable starKey test seam
+      val keepers = starKeepers.getOrElse(corpusSigs
         .select(col("id"), starKey(col("sig")).as("sh"))
-        .groupBy("sh").agg(min(col("id")).as("corpus_id"))
-      val star = batchSigs
-        .select(col("id").as("batch_id"), starKey(col("sig")).as("sh"))
-        .join(keepers, Seq("sh"))
+        .groupBy("sh").agg(min(col("id")).as("corpus_id")))
+      val star = keepers
+        .join(broadcast(batchSigs
+          .select(col("id").as("batch_id"), starKey(col("sig")).as("sh"))),
+          Seq("sh"))
         .select("corpus_id", "batch_id")
       cand = cand.unionByName(star).distinct()
     }
@@ -432,6 +488,100 @@ object Dedup {
     banded.unionByName(star)
       .groupBy("doc_id_a", "doc_id_b")
       .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Keeper table of a 64-bit signature index — `(sig, corpus_id =
+    * min id)` per distinct signature value: the star-recovery state of
+    * [[hamming64PairsAcross]], materializable at index build time next
+    * to the signatures themselves. The key IS the signature (no
+    * re-hash), so served star pairs are exact Hamming-0 — collision-
+    * free by construction, no downstream verify needed. */
+  def signatureKeepers(sig: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    sig.groupBy(col(hashCol).as("sig"))
+      .agg(min(col(idCol)).as("corpus_id"))
+
+  /** Over-cap (chunk, cval) list of a 64-bit signature index — the cap
+    * bookkeeping of [[hamming64PairsAcross]], materializable at build
+    * time. Tiny by construction (each row represents more than
+    * `maxBucket` corpus signatures), so a delivery broadcasts it. */
+  def signatureOverCapChunks(sig: DataFrame, idCol: String,
+      hashCol: String, maxBucket: Long = 100000L): DataFrame =
+    sig.select(col(hashCol).as("sig"))
+      .select(posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cval")))
+      .groupBy("chunk", "cval").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select("chunk", "cval")
+
+  /** Delivery-time Hamming near-dedup over ANY persisted 64-bit
+    * signature index (image dHash, audio fingerprint, SimHash) — what
+    * [[minHashLshPairsAcross]] is to the lexical family: candidate
+    * pairs BETWEEN a delivery's signatures and the stored corpus
+    * index, by the same 4×16-bit pigeonhole banding as the self-form,
+    * so a landing zone re-ingesting re-encoded media never re-pairs
+    * the corpus against itself. Both sides are (idCol, hashCol)
+    * tables; returns `(corpus_id, batch_id, hamming)` with the min
+    * Hamming per pair.
+    *
+    * `maxBucket` caps the CORPUS side of each (chunk, value) bucket —
+    * the unbounded side at 100 TB. A delivery signature IDENTICAL to
+    * an over-cap stored one (all-black thumbnails, silence) pairs the
+    * group's corpus keeper at Hamming 0 via [[signatureKeepers]]: one
+    * row per delivery doc, never |group|² rows, and exact by
+    * construction (the star key IS the signature). `overCapChunks` /
+    * `starKeepers` serve the cap's bookkeeping from the index build
+    * ([[signatureOverCapChunks]] / [[signatureKeepers]]); omitted,
+    * both are computed in-query. A second-level probe sends a clean
+    * corpus down the plain plan either way. What is lost over-cap:
+    * Hamming-1..k pairs whose every shared chunk is over cap — the
+    * standard bucket-cap trade, same as the self-form. */
+  def hamming64PairsAcross(corpusSig: DataFrame, batchSig: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int = 3,
+      maxBucket: Long = Long.MaxValue,
+      overCapChunks: Option[DataFrame] = None,
+      starKeepers: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only for distance <= 3")
+    def chunked(df: DataFrame, idOut: String, sigOut: String) =
+      df.select(col(idCol).as(idOut), col(hashCol).as(sigOut))
+        .select(col(idOut), col(sigOut),
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col(sigOut), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+            .as(Seq("chunk", "cval")))
+    var corpusChunks = chunked(corpusSig, "corpus_id", "sig_a")
+    val requested = maxBucket != Long.MaxValue
+    // over-cap chunk list: tiny — served from the index when supplied,
+    // one persisted corpus aggregate otherwise
+    val over = if (!requested) None else Some(overCapChunks.getOrElse(
+      graft.CacheRegistry.persist(
+        corpusChunks.groupBy("chunk", "cval").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket).select("chunk", "cval"))))
+    // second-level probe: a clean corpus takes the plain band join
+    val capped = over.exists(o => !o.isEmpty)
+    if (capped)
+      corpusChunks = corpusChunks.join(broadcast(over.get),
+        Seq("chunk", "cval"), "left_anti")
+    var pairs = corpusChunks
+      .join(chunked(batchSig, "batch_id", "sig_b"), Seq("chunk", "cval"))
+      .withColumn("hamming",
+        call_function("bit_count",
+          col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("corpus_id", "batch_id", "hamming")
+    if (capped) {
+      // star recovery: served keepers are SCANNED with the broadcast
+      // delivery signature set against them (never aggregated, never
+      // broadcast); the in-memory fallback aggregates the corpus side
+      val keepers = starKeepers.getOrElse(
+        signatureKeepers(corpusSig, idCol, hashCol))
+      val star = keepers
+        .join(broadcast(batchSig.select(col(idCol).as("batch_id"),
+          col(hashCol).as("sig"))), Seq("sig"))
+        .select(col("corpus_id"), col("batch_id"), lit(0L).as("hamming"))
+      pairs = pairs.unionByName(star)
+    }
+    pairs.groupBy("corpus_id", "batch_id").agg(min(col("hamming")).as("hamming"))
   }
 
   // ----------------------------------------------- n-gram Jaccard (exact)
@@ -756,10 +906,15 @@ object Dedup {
   def embeddingCosinePairs(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       nbits: Int = 8, seed: Long = 42L, nBands: Int = 1,
-      dim: Int = -1, maxBucket: Long = Long.MaxValue): DataFrame = {
+      dim: Int = -1, maxBucket: Long = Long.MaxValue,
+      knownCount: Long = -1L): DataFrame = {
     // an LSH bucket can never exceed the corpus row count — one
-    // metadata-cheap count retires the cap machinery at sub-cap sizes
-    val requested = maxBucket != Long.MaxValue && emb.count() > maxBucket
+    // metadata-cheap count retires the cap machinery at sub-cap sizes.
+    // `knownCount >= 0` is the caller's already-computed row count
+    // (q43 counts the corpus to derive nbits), so the guard never pays
+    // a second count job on either path when the caller supplies it
+    val requested = maxBucket != Long.MaxValue &&
+      (if (knownCount >= 0) knownCount else emb.count()) > maxBucket
     // hyperplane dimensionality must match the embeddings: a fixed
     // width would silently hash on a truncated/zero-padded prefix for
     // any other embedding model. Derived from one row (bounded 1-row
@@ -857,6 +1012,155 @@ object Dedup {
       if (overCap) cand = cand.unionByName(starCand(base))
       scoredCand(cand.distinct(), base)
     }
+  }
+
+  /** Sign-LSH embedding index — the PERSISTABLE form of embedding
+    * near-dedup state (the q102b/q117b production shape for VECTORS):
+    * one row per vector carrying its norm and its per-band sign-LSH
+    * bucket ids, so a delivery can band-join a 100 TB embedding corpus
+    * without ever re-projecting it. Columns `(id, v, norm, buckets)`;
+    * `buckets(b)` is the [[Similarity.signLshBucket]] id under seed
+    * `seed + b` — exactly the self-form's banding, so the across-form
+    * and [[embeddingCosinePairs]] cannot diverge on bucket membership.
+    * Hyperplane dimensionality derives from one data row unless
+    * passed; the SERVE path must use the same (nbits, seed, nBands,
+    * dim) family the index was built with.
+    */
+  def embeddingIndex(emb: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", nbits: Int = 8, seed: Long = 42L,
+      nBands: Int = 1, dim: Int = -1): DataFrame = {
+    val planeDim = if (dim > 0) dim else probeDim(emb, vecCol)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.l2Norm(col(vecCol)).as("norm"),
+      array((0 until nBands).map(b =>
+        Similarity.signLshBucket(col(vecCol), nbits, planeDim, seed + b)): _*)
+        .as("buckets"))
+  }
+
+  /** Hyperplane dimensionality from ONE data row (bounded 1-row job) —
+    * shared by [[embeddingIndex]] / [[embeddingCosinePairsAcross]] so
+    * build and serve derive the same planes from the same family. */
+  private def probeDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .take(1).headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** Over-cap (band, bucket) list of an [[embeddingIndex]] — the cap
+    * bookkeeping of [[embeddingCosinePairsAcross]], materialized ONCE
+    * at index build time. Tiny by construction (every row represents
+    * more than `maxBucket` corpus vectors), so a delivery broadcasts
+    * it instead of re-aggregating corpus bucket counts per call. */
+  def embeddingOverCapBuckets(index: DataFrame,
+      maxBucket: Long = 100000L): DataFrame =
+    index.select(posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select("band", "bucket")
+
+  /** Star-keeper table of an [[embeddingIndex]] — `(sh = xxhash64(v),
+    * corpus_id = min id)` per identical-VECTOR group: the lossless
+    * linear recovery channel for over-cap buckets, immutable between
+    * deliveries like the index itself. Scanned at serve time with the
+    * delivery hash set broadcast against it; never aggregated, never
+    * broadcast. */
+  def embeddingStarKeepers(index: DataFrame): DataFrame =
+    index.select(col("id"), xxhash64(col("v")).as("sh"))
+      .groupBy("sh").agg(min(col("id")).as("corpus_id"))
+
+  /** Delivery-time embedding near-dedup — [[embeddingCosinePairs]]'
+    * ACROSS form (what [[minHashLshPairsAcross]] is to the lexical
+    * family): near-dup candidate pairs BETWEEN a delivery and the
+    * existing corpus, over the corpus's persisted [[embeddingIndex]].
+    * The delivery buckets ROW-LOCALLY with the same hyperplanes; only
+    * band keys and delivery-sized frames shuffle — the corpus is
+    * scanned (band join + verify join + keeper scan), never
+    * re-projected, re-paired against itself, or broadcast. Returns
+    * `(corpus_id, batch_id, cos)`.
+    *
+    * `maxBucket` caps the CORPUS side of each (band, bucket) — the
+    * unbounded side at 100 TB. A delivery vector IDENTICAL to an
+    * over-cap stored one (the constant-vector crawl failure) is
+    * recovered via the star keepers: it pairs the group's corpus
+    * keeper — one row per delivery doc, never |group|² rows. Star
+    * candidates flow through the SAME cosine verify as bucketed ones,
+    * so a 64-bit hash collision is filtered by its true cosine, and a
+    * zero-norm vector scores null under `try_divide` instead of
+    * aborting under ANSI. `overCapBuckets` / `starKeepers` serve the
+    * cap's bookkeeping from the index build ([[embeddingOverCapBuckets]]
+    * / [[embeddingStarKeepers]]); omitted, both are computed in-query.
+    * A second-level probe sends a clean corpus (no over-cap bucket)
+    * down the plain plan either way. */
+  def embeddingCosinePairsAcross(corpusIndex: DataFrame, delivery: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95, nbits: Int = 8, seed: Long = 42L,
+      nBands: Int = 1, dim: Int = -1,
+      maxBucket: Long = Long.MaxValue,
+      overCapBuckets: Option[DataFrame] = None,
+      starKeepers: Option[DataFrame] = None): DataFrame =
+    embeddingCosinePairsAcrossKeyed(corpusIndex, delivery, vecCol, idCol,
+      threshold, nbits, seed, nBands, dim, maxBucket, overCapBuckets,
+      starKeepers, xxhash64(_))
+
+  /** [[embeddingCosinePairsAcross]] with an injectable star group key —
+    * test seam only (the [[minHashLshPairsAcrossKeyed]] discipline):
+    * DedupSpec forces every vector into ONE star group to pin that
+    * star candidates pass the TRUE cosine verify. */
+  private[graft] def embeddingCosinePairsAcrossKeyed(corpusIndex: DataFrame,
+      delivery: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nbits: Int, seed: Long, nBands: Int, dim: Int,
+      maxBucket: Long, overCapBuckets: Option[DataFrame],
+      starKeepers: Option[DataFrame],
+      starKey: Column => Column): DataFrame = {
+    val planeDim = if (dim > 0) dim else probeDim(corpusIndex, "v")
+    // the delivery projection (norms + nBands sign-LSH buckets per row)
+    // feeds the band join, the verify join-back and the star probe —
+    // persist so it computes once; it is delivery-sized by construction
+    val del = graft.CacheRegistry.persist(
+      delivery.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.l2Norm(col(vecCol)).as("norm"),
+        array((0 until nBands).map(b =>
+          Similarity.signLshBucket(col(vecCol), nbits, planeDim, seed + b)): _*)
+          .as("buckets")))
+    val delBands = del.select(col("id").as("batch_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    var corpusBands = corpusIndex.select(col("id").as("corpus_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val requested = maxBucket != Long.MaxValue
+    // over-cap bucket list: tiny — served from the index when supplied
+    // (computed once at build time), one persisted aggregate otherwise
+    val over = if (!requested) None else Some(overCapBuckets.getOrElse(
+      graft.CacheRegistry.persist(
+        corpusBands.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket).select("band", "bucket"))))
+    // second-level probe: a clean corpus takes the plain band join —
+    // no prune, no star, no extra distinct; with served state the
+    // probe is a limit-1 read of a tiny file
+    val capped = over.exists(o => !o.isEmpty)
+    if (capped)
+      corpusBands = corpusBands.join(broadcast(over.get),
+        Seq("band", "bucket"), "left_anti")
+    var cand = corpusBands.join(delBands, Seq("band", "bucket"))
+      .select("corpus_id", "batch_id").distinct()
+    if (capped) {
+      val keepers = starKeepers.getOrElse(
+        corpusIndex.select(col("id"), starKey(col("v")).as("sh"))
+          .groupBy("sh").agg(min(col("id")).as("corpus_id")))
+      val star = keepers
+        .join(broadcast(del.select(col("id").as("batch_id"),
+          starKey(col("v")).as("sh"))), Seq("sh"))
+        .select("corpus_id", "batch_id")
+      cand = cand.unionByName(star).distinct()
+    }
+    // verify: TRUE cosine between the stored and delivery vectors —
+    // star/bucket candidates alike; try_divide drops zero-norm rows
+    // instead of aborting under ANSI
+    cand
+      .join(corpusIndex.select(col("id").as("corpus_id"),
+        col("v").as("va"), col("norm").as("na")), "corpus_id")
+      .join(del.select(col("id").as("batch_id"),
+        col("v").as("vb"), col("norm").as("nb")), "batch_id")
+      .withColumn("cos", round(try_divide(
+        Similarity.dot(col("va"), col("vb")), col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("corpus_id", "batch_id", "cos")
   }
 
   /** Corpus diff — the dataset-versioning primitive behind incremental

@@ -425,6 +425,50 @@ object Multimodal {
       maxBucket: Long = 100000L): DataFrame =
     flaggedNearDupPairs(audioHashes(media).toDF(), maxHamming, maxBucket)
 
+  /** Shared ACROSS tail of [[imageNearDupPairsAcross]] /
+    * [[audioNearDupPairsAcross]] — [[flaggedNearDupPairs]]' delivery-
+    * time form over a PERSISTED corpus signature table (the
+    * [[ImageHash]] schema as parquet): the corpus's media were decoded
+    * ONCE when the index was built; a delivery decodes only itself,
+    * band-joins the stored signatures
+    * ([[graft.operators.Dedup.hamming64PairsAcross]]) and never
+    * re-pairs the corpus. The decoded-flag partition discipline is the
+    * self-form's: decoded rows pair at `maxHamming`, fallback
+    * content-folds only at Hamming 0 (the only relation a fold
+    * attests). The delivery hash table is persisted so the two flag
+    * splits don't decode the delivery twice. */
+  private def flaggedNearDupPairsAcross(corpusHashes: DataFrame,
+      batchHashes: DataFrame, maxHamming: Int,
+      maxBucket: Long): DataFrame = {
+    val b = graft.CacheRegistry.persist(batchHashes)
+    graft.operators.Dedup.hamming64PairsAcross(
+        corpusHashes.filter(col("decoded")), b.filter(col("decoded")),
+        "doc_id", "dhash", maxHamming, maxBucket)
+      .unionByName(graft.operators.Dedup.hamming64PairsAcross(
+        corpusHashes.filter(!col("decoded")), b.filter(!col("decoded")),
+        "doc_id", "dhash", 0, maxBucket))
+  }
+
+  /** Image near-dup pairs ACROSS a delivery and a stored dHash index
+    * (p17b): `corpusHashes` is a persisted [[imageHashes]] table;
+    * only the delivery's images are decoded. Returns
+    * `(corpus_id, batch_id, hamming)`. */
+  def imageNearDupPairsAcross(corpusHashes: DataFrame,
+      delivery: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucket: Long = 100000L): DataFrame =
+    flaggedNearDupPairsAcross(corpusHashes, imageHashes(delivery).toDF(),
+      maxHamming, maxBucket)
+
+  /** Audio near-dup pairs ACROSS a delivery and a stored fingerprint
+    * index (p18b): `corpusHashes` is a persisted [[audioHashes]]
+    * table; the gain-invariant fingerprint pairs a re-normalized
+    * re-delivery at Hamming 0 without re-decoding the corpus. */
+  def audioNearDupPairsAcross(corpusHashes: DataFrame,
+      delivery: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucket: Long = 100000L): DataFrame =
+    flaggedNearDupPairsAcross(corpusHashes, audioHashes(delivery).toDF(),
+      maxHamming, maxBucket)
+
   /** Rescale every 16-bit PCM sample by `num/den` (clipped) — the
     * "re-normalized re-delivery" transform p18 uses to exercise the
     * fingerprint's gain invariance on realistic data. Non-WAV bytes

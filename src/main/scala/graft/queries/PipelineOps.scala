@@ -543,6 +543,56 @@ object PipelineOps {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** P17b image dedup ACROSS a stored signature index (rows-only): the
+    * corpus's dHash table is built ONCE per scale dir and served from
+    * parquet (the q102b state-dir discipline); the delivery — every
+    * 7th doc RE-RENDERED (byte-identical PNG → identical dHash), ids
+    * offset by 10⁷ — decodes only itself and band-joins the index at
+    * Hamming 0 ([[graft.operators.Multimodal.imageNearDupPairsAcross]]).
+    * A landing zone re-ingesting media pays O(delivery) decode +
+    * band join, never a corpus re-decode or self re-pair. */
+  def p17b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables(s, d).documents
+    val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-p17-sig-" + graft.queries.ScaleOps.stateKeyDigest(d))
+    if (!new java.io.File(sigDir, "_SUCCESS").exists())
+      Multimodal.imageHashes(Multimodal.mediaFromDocuments(docs)).toDF()
+        .write.mode("overwrite").parquet(sigDir.getPath)
+    val delivery = Multimodal
+      .mediaFromDocuments(docs.filter(col("doc_id") % 7 === 0))
+      .map(m => m.copy(doc_id = m.doc_id + 10000000L))
+    Multimodal.imageNearDupPairsAcross(
+        s.read.parquet(sigDir.getPath), delivery)
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** P18b audio dedup ACROSS a stored fingerprint index (rows-only):
+    * p18's re-normalized re-delivery (every 7th doc's WAV at HALF
+    * GAIN, ids offset by 10⁷) as the delivery-time operator — the
+    * gain-invariant energy-delta fingerprint pairs each re-render with
+    * its stored original at Hamming 0 through
+    * [[graft.operators.Multimodal.audioNearDupPairsAcross]], decoding
+    * only the delivery. */
+  def p18b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables(s, d).documents
+    val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-p18-sig-" + graft.queries.ScaleOps.stateKeyDigest(d))
+    if (!new java.io.File(sigDir, "_SUCCESS").exists())
+      Multimodal.audioHashes(Multimodal.wavFromDocuments(docs)).toDF()
+        .write.mode("overwrite").parquet(sigDir.getPath)
+    val delivery = Multimodal
+      .wavFromDocuments(docs.filter(col("doc_id") % 7 === 0))
+      .map(m => m.copy(doc_id = m.doc_id + 10000000L,
+        content = Multimodal.scaleWavGain(m.content, 1, 2)))
+    Multimodal.audioNearDupPairsAcross(
+        s.read.parquet(sigDir.getPath), delivery)
+      .orderBy("corpus_id", "batch_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -561,7 +611,9 @@ object PipelineOps {
     "p15_delft_data" -> p15,
     "p16_video" -> p16,
     "p17_image_dedup" -> p17,
+    "p17b_image_dedup_across" -> p17b,
     "p18_audio_dedup" -> p18,
+    "p18b_audio_dedup_across" -> p18b,
     "p19_video_dedup" -> p19,
   )
 }

@@ -514,30 +514,41 @@ object StreamOps {
               TextAnalysis.segmentKeepers(batch.limit(0), width,
                 textCol, idCol)
             else TextAnalysis.loadSegmentKeeperIndex(spark, stateDir)
-          TextAnalysis.segmentDedupIncremental(batch, stored,
+          // ONE pruned read of the corpus-scale keeper index per batch
+          // (VERDICT r11 #3): the broadcast delivery-hash semi-join —
+          // the segmentDedupIncremental discipline; putting the index
+          // on a broadcast build side would OOM the driver at 100 TB —
+          // runs HERE, once, and the persisted delivery-sized result
+          // feeds both the incremental cut (whose internal prune
+          // becomes a no-op over an InMemory scan) and the
+          // first-arrival anti-join below
+          val batchKeepers = graft.CacheRegistry.persist(
+            TextAnalysis.segmentKeepers(batch, width, textCol, idCol))
+          val storedHits = graft.CacheRegistry.persist(
+            stored.join(broadcast(batchKeepers.select("gh")), Seq("gh"),
+              "left_semi"))
+          TextAnalysis.segmentDedupIncremental(batch, storedHits,
               width, textCol, idCol, storedPrecedes = true)
             .write.mode("overwrite").parquet(s"$outDir/cleaned-$batchId")
           // first-arrival keepers only: hashes some earlier batch
           // already owns never re-enter the state, so parts stay
-          // gh-disjoint. The corpus-scale stored index is pruned FIRST
-          // by a broadcast delivery-hash semi-join (the
-          // segmentDedupIncremental discipline) — putting it directly
-          // on the anti-join's build side would broadcast or shuffle
-          // the whole index per micro-batch
-          val batchKeepers = graft.CacheRegistry.persist(
-            TextAnalysis.segmentKeepers(batch, width, textCol, idCol))
-          val storedHits = stored.select("gh")
-            .join(broadcast(batchKeepers.select("gh")), Seq("gh"),
-              "left_semi")
+          // gh-disjoint
           val newKeepers = batchKeepers
-            .join(storedHits, Seq("gh"), "left_anti")
+            .join(storedHits.select("gh"), Seq("gh"), "left_anti")
           if (live.size + 1 >= compactEvery) {
-            // snapshot slot: gh-disjoint parts make the full merge a
-            // plain union (supersedes every part with slot <= batchId
-            // by construction; the sweep below is housekeeping,
-            // crash-safe either side of it)
+            // snapshot slot: a per-hash min-MERGE, not a plain union —
+            // a no-op per hash while the parts honour the gh-disjoint
+            // invariant (the host's anti-join guarantees it), and a
+            // deterministic self-repair if a seeded state dir ever
+            // violated it (duplicate gh rows would otherwise be frozen
+            // into every future snapshot). Supersedes every part with
+            // slot <= batchId by construction; the sweep below is
+            // housekeeping, crash-safe either side of it. The full
+            // `stored` read here is inherent to compaction (it
+            // rewrites the state), not a per-batch cost
             TextAnalysis.saveSegmentKeeperDelta(spark, stateDir,
-              stored.unionByName(newKeepers).sortWithinPartitions("gh"),
+              TextAnalysis.foldSegmentKeepers(stored, newKeepers)
+                .sortWithinPartitions("gh"),
               slot = Some(batchId), snapshot = true)
             TextAnalysis.sweepSegmentKeeperIndex(spark, stateDir)
           } else

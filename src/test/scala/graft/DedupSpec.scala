@@ -642,6 +642,69 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("minHashLshPairsAcross with SERVED cap bookkeeping (over-cap bands " +
+      "+ star keepers from the index build) is byte-identical to the " +
+      "in-memory form and runs NO corpus aggregate per delivery") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-capidx")
+    try {
+      // dirty corpus: 500 boilerplate copies force every band of the
+      // shared signature over a cap of 100; 600 is a clean doc whose
+      // near-edit arrives in the delivery
+      val boiler = "the same boilerplate page text repeated on every " +
+        "mirror of the crawl with nothing distinctive in it at all"
+      val longA = (1 to 30).map(i => s"tok$i").mkString(" ")
+      val longB = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+      val corpus = Dedup.minHashSignatures(
+        ((0L until 500L).map(i => (i, boiler)) ++ Seq((600L, longA)))
+          .toDF("doc_id", "text"))
+      val batch = Dedup.minHashSignatures(Seq(
+        (1000L, boiler), (1003L, longB)).toDF("doc_id", "text"))
+      corpus.write.mode("overwrite").parquet(s"$tmp/sigs")
+      val signed = spark.read.parquet(s"$tmp/sigs")
+      Dedup.minHashStarKeepers(signed)
+        .write.mode("overwrite").parquet(s"$tmp/keepers")
+      Dedup.minHashOverCapBands(signed, maxBucket = 100L)
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+      def served = Dedup.minHashLshPairsAcross(signed, batch,
+        minEstJaccard = 0.5, maxBucket = 100L,
+        overCapBands = Some(spark.read.parquet(s"$tmp/bands")),
+        starKeepers = Some(spark.read.parquet(s"$tmp/keepers")))
+      val inMem = Dedup.minHashLshPairsAcross(corpus, batch,
+          minEstJaccard = 0.5, maxBucket = 100L)
+        .orderBy("corpus_id", "batch_id").collect().toSeq
+      val got = served.orderBy("corpus_id", "batch_id").collect().toSeq
+      assert(got == inMem, s"served $got vs in-memory $inMem")
+      // the boiler delivery doc pairs the group keeper via the star,
+      // the near-edit pairs 600 via banding — both present
+      val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 1000L)) && pairs.contains((600L, 1003L)),
+        pairs)
+      // plan pin (VERDICT r11 #2): the per-delivery plan may SCAN the
+      // index (band join, verify joins, keeper scan) but must not
+      // AGGREGATE it — a pre-join Aggregate whose subtree reads the
+      // index is exactly the per-delivery band-count/keeper bookkeeping
+      // this shape moves to sign time (post-join aggregates are the
+      // delivery-sized candidate distincts and stay)
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def indexIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("graft-capidx"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val offenders = served.queryExecution.optimizedPlan.collect {
+        case a: Aggregate
+            if indexIn(a.child) && !a.child.exists(_.isInstanceOf[Join]) => a
+      }
+      assert(offenders.isEmpty,
+        s"per-delivery corpus aggregates:\n${offenders.mkString("\n")}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("simHashPairs maxBucket: identical-doc recall stays lossless " +
       "under a cap that prunes every chunk bucket") {
     import spark.implicits._
@@ -2031,5 +2094,227 @@ class DedupSpec extends SparkSuite {
     val bg = graft.operators.TextAnalysis.bigramSurprisal(docs)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(3L)._2 < got(2L)._2 && bg(3L) < bg(2L), (got, bg))
+  }
+
+  test("hamming64PairsAcross equals the self-form restricted to " +
+      "(corpus, delivery) pairs; over-cap groups recover via keeper " +
+      "stars; served bookkeeping is byte-identical") {
+    import spark.implicits._
+    val groupSig = 0x1111222233334444L
+    val cleanSig = 0x5555666677778888L
+    val farSig = 0x9999AAAABBBBCCCCL // shares no 16-bit chunk with either
+    val corpus = ((0L until 300L).map(i => (i, groupSig)) ++
+      Seq((600L, cleanSig))).toDF("doc_id", "sig64")
+    val batch = Seq(
+      (1000L, groupSig),      // exact member of the degenerate group
+      (1001L, cleanSig ^ 1L), // Hamming-1 neighbour of 600
+      (1002L, farSig)         // unrelated
+    ).toDF("doc_id", "sig64")
+    // UNCAPPED parity: across == self-form over the union restricted
+    // to cross pairs (corpus ids < 1000 <= batch ids)
+    val across = Dedup.hamming64PairsAcross(corpus, batch, "doc_id", "sig64")
+      .orderBy("corpus_id", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val self = Dedup.hamming64Pairs(corpus.unionByName(batch), "doc_id", "sig64")
+      .filter(col("doc_id_a") < 1000L && col("doc_id_b") >= 1000L)
+      .orderBy("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(across == self, s"across $across vs self $self")
+    assert(across.contains((600L, 1001L, 1L)) && !across.exists(_._2 == 1002L))
+    // CAPPED: the 300-member group is over a cap of 100 — the delivery
+    // copy pairs the keeper ONCE via the star (never 300 bucket rows);
+    // the Hamming-1 pair survives through its under-cap chunks
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$tmp/sigs")
+      val signed = spark.read.parquet(s"$tmp/sigs")
+      Dedup.signatureKeepers(signed, "doc_id", "sig64")
+        .write.mode("overwrite").parquet(s"$tmp/keepers")
+      Dedup.signatureOverCapChunks(signed, "doc_id", "sig64", maxBucket = 100L)
+        .write.mode("overwrite").parquet(s"$tmp/chunks")
+      val inMem = Dedup.hamming64PairsAcross(corpus, batch, "doc_id",
+          "sig64", maxBucket = 100L)
+        .orderBy("corpus_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val served = Dedup.hamming64PairsAcross(signed, batch, "doc_id",
+          "sig64", maxBucket = 100L,
+          overCapChunks = Some(spark.read.parquet(s"$tmp/chunks")),
+          starKeepers = Some(spark.read.parquet(s"$tmp/keepers")))
+        .orderBy("corpus_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(served == inMem, s"served $served vs in-memory $inMem")
+      assert(served.count(_._2 == 1000L) == 1 &&
+        served.contains((0L, 1000L, 0L)), served)
+      assert(served.contains((600L, 1001L, 1L)), served)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("embeddingCosinePairsAcross equals the self-form over the union " +
+      "restricted to (corpus, delivery) pairs — single and multi band") {
+    // corpus: three well-separated directions plus a near pair across
+    // the corpus/delivery split; delivery ids sit above every corpus id
+    // so the self-form's id_a < id_b orientation IS (corpus, delivery)
+    def v(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+    val corpus = Seq(
+      (0L, v(10, 0, 0, 0)), (1L, v(0, 10, 0, 0)), (2L, v(0, 0, 10, 0)),
+      (3L, v(7, 7, 0, 0))).toDF("vec_id", "embedding")
+    val delivery = Seq(
+      (100L, v(10, 0.1f, 0, 0)),  // near dup of 0
+      (101L, v(0, 0, 0, 10)),     // novel direction
+      (102L, v(7, 7.1f, 0, 0))    // near dup of 3
+    ).toDF("vec_id", "embedding")
+    for (bands <- Seq(1, 3)) {
+      val across = Dedup.embeddingCosinePairsAcross(
+          Dedup.embeddingIndex(corpus, nbits = 4, nBands = bands),
+          delivery, threshold = 0.9, nbits = 4, nBands = bands)
+        .orderBy("corpus_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val self = Dedup.embeddingCosinePairs(
+          corpus.unionByName(delivery), threshold = 0.9, nbits = 4,
+          nBands = bands)
+        .filter(col("id_a") < 100L && col("id_b") >= 100L)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(across == self, s"bands=$bands: across $across vs self $self")
+      assert(across.exists(p => p._1 == 0L && p._2 == 100L && p._3 >= 0.9),
+        s"bands=$bands: $across")
+    }
+  }
+
+  test("embeddingCosinePairsAcross maxBucket: over-cap constant-vector " +
+      "group recovers delivery copies via star keepers; served " +
+      "bookkeeping is byte-identical and never aggregates the index") {
+    val cv = Array(10.0f, 0.0f, 0.0f, 0.0f)
+    def near(eps: Float) = Array(0.0f, 0.0f, 10.0f, eps)
+    val corpus = ((0L until 300L).map(i => (i, cv)) ++
+      Seq((600L, near(0.0f)))).toDF("vec_id", "embedding")
+    val delivery = Seq(
+      (1000L, cv),           // exact copy of the degenerate group
+      (1001L, near(0.05f)),  // genuine near dup of 600 (under-cap bucket)
+      (1002L, Array(0f, 10f, 0f, 0f)) // novel direction
+    ).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-embidx")
+    try {
+      val index = Dedup.embeddingIndex(corpus, nbits = 4)
+      index.write.mode("overwrite").parquet(s"$tmp/index")
+      val signed = spark.read.parquet(s"$tmp/index")
+      Dedup.embeddingStarKeepers(signed)
+        .write.mode("overwrite").parquet(s"$tmp/keepers")
+      Dedup.embeddingOverCapBuckets(signed, maxBucket = 100L)
+        .write.mode("overwrite").parquet(s"$tmp/buckets")
+      def served = Dedup.embeddingCosinePairsAcross(signed, delivery,
+        threshold = 0.9, nbits = 4, maxBucket = 100L,
+        overCapBuckets = Some(spark.read.parquet(s"$tmp/buckets")),
+        starKeepers = Some(spark.read.parquet(s"$tmp/keepers")))
+      val inMem = Dedup.embeddingCosinePairsAcross(index, delivery,
+          threshold = 0.9, nbits = 4, maxBucket = 100L)
+        .orderBy("corpus_id", "batch_id").collect().toSeq
+      val got = served.orderBy("corpus_id", "batch_id").collect().toSeq
+      assert(got == inMem, s"served $got vs in-memory $inMem")
+      val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the exact copy pairs the group KEEPER only (one star row, not
+      // 300 over-cap bucket rows); the near dup pairs via banding
+      assert(got.count(_.getLong(1) == 1000L) == 1 &&
+        pairs.contains((0L, 1000L)), got.filter(_.getLong(1) == 1000L))
+      assert(pairs.contains((600L, 1001L)), pairs)
+      assert(!pairs.exists(_._2 == 1002L), pairs)
+      // plan pins: the index may be SCANNED but never broadcast, and
+      // never aggregated pre-join (cap bookkeeping is served state)
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      // corpus-scale tables only: the index and the star keepers must
+      // never be broadcast builds; the over-cap bucket LIST is tiny by
+      // construction and broadcasting it is the whole point
+      def indexIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.exists(r =>
+            r.toString.contains("graft-embidx") &&
+              !r.toString.contains("/buckets"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val plan = served.queryExecution.optimizedPlan
+      val broadcastOffenders = plan.collect { case j: Join => j }.filter { j =>
+        (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) && indexIn(j.left)) ||
+        (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) && indexIn(j.right))
+      }
+      assert(broadcastOffenders.isEmpty, broadcastOffenders.mkString("\n"))
+      val aggOffenders = plan.collect {
+        case a: Aggregate
+            if indexIn(a.child) && !a.child.exists(_.isInstanceOf[Join]) => a
+      }
+      assert(aggOffenders.isEmpty, aggOffenders.mkString("\n"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("embeddingCosinePairsAcross star candidates pass the TRUE cosine " +
+      "verify — a forced group-key collision is filtered, not trusted; " +
+      "zero-norm vectors never abort or pair") {
+    val cv = Array(10.0f, 0.0f, 0.0f, 0.0f)
+    val zero = Array.fill(4)(0.0f)
+    def near(eps: Float) = Array(0.0f, 0.0f, 10.0f, eps)
+    val corpus = ((0L until 200L).map(i => (i, cv)) ++
+      Seq((600L, near(0.0f)), (601L, zero))).toDF("vec_id", "embedding")
+    val delivery = Seq(
+      (1000L, cv),          // true member of the degenerate group
+      (1001L, near(0.05f)), // unrelated to the group — collision bait
+      (1002L, zero)         // zero-norm: cosine undefined, must not abort
+    ).toDF("vec_id", "embedding")
+    // every vector forced into ONE star group: each delivery doc is
+    // PROPOSED against corpus keeper 0 — only true cosine survives
+    val got = Dedup.embeddingCosinePairsAcrossKeyed(
+        Dedup.embeddingIndex(corpus, nbits = 4), delivery,
+        "embedding", "vec_id", 0.9, 4, 42L, 1, -1, 50L,
+        None, None, _ => lit(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.contains((0L, 1000L, 1.0)), got)
+    // collision bait: proposed against keeper 0 (cv), cos 0 → filtered;
+    // its genuine banding pair with 600 survives
+    assert(!got.exists(p => p._1 == 0L && p._2 == 1001L), got)
+    assert(got.exists(p => p._1 == 600L && p._2 == 1001L && p._3 >= 0.9), got)
+    // zero-norm: scores null everywhere, never pairs, never aborts
+    assert(!got.exists(_._2 == 1002L), got)
+  }
+
+  test("embeddingCosinePairs knownCount: caller-supplied corpus count " +
+      "yields byte-identical output on the over-cap and sub-cap paths") {
+    val cv = Array(10.0f, 0.0f, 0.0f, 0.0f)
+    def near(eps: Float) = Array(0.0f, 0.0f, 10.0f, eps)
+    val emb = ((0L until 40L).map(i => (i, cv)) ++
+      Seq((100L, near(0.0f)), (101L, near(0.1f))))
+      .toDF("vec_id", "embedding")
+    val n = emb.count()
+    def run(maxBucket: Long, known: Long) =
+      Dedup.embeddingCosinePairs(emb, threshold = 0.9, nbits = 4,
+          maxBucket = maxBucket, knownCount = known)
+        .orderBy("id_a", "id_b").collect().toSeq
+    // over-cap: the supplied count engages the same cap machinery
+    assert(run(10L, n) == run(10L, -1L))
+    // sub-cap: the supplied count short-circuits to the plain plan
+    assert(run(1000L, n) == run(1000L, -1L))
+  }
+
+  test("segment_hashes / remove_segments reject wrong-typed inputs at " +
+      "ANALYSIS time (ExpectsInputTypes), never misread at runtime") {
+    import graft.functions.Sketch
+    val bad = Seq((1L, Seq(1L, 2L, 3L))).toDF("doc_id", "toks")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(Sketch.segment_hashes(col("toks"), 16)).collect()
+    }
+    // drops as array<bigint> instead of array<int> must fail analysis
+    val badDrops = Seq((1L, Seq("a", "b"), Seq(0L)))
+      .toDF("doc_id", "toks", "drops")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      badDrops.select(
+        Sketch.remove_segments(col("toks"), col("drops"), 16)).collect()
+    }
+    // the well-typed forms still pass analysis and evaluate
+    val ok = Seq((1L, Seq("a", "b", "c"), Seq(0)))
+      .toDF("doc_id", "toks", "drops")
+    assert(ok.select(Sketch.remove_segments(col("toks"), col("drops"), 2))
+      .collect().head.getString(0) == "c")
+    assert(ok.select(Sketch.segment_hashes(col("toks"), 2))
+      .collect().head.getSeq[Long](0).length == 2)
   }
 }

@@ -100,6 +100,87 @@ class MultimodalJatsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
   }
 
+  test("multimodal: ACROSS-delivery dedup over a persisted signature " +
+      "index — re-renders and re-gained audio pair their stored " +
+      "originals at Hamming 0 without re-pairing the corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-msig")
+    try {
+      // ---- images: corpus signed once, delivery decoded alone
+      val same = Multimodal.textToPng("identical content here")
+      val junk = Array.fill[Byte](64)(13)
+      val corpus = Seq(
+        Multimodal.MediaRow(0L, "image/png", same, Map.empty),
+        Multimodal.MediaRow(1L, "image/png",
+          Multimodal.textToPng("completely different other words"), Map.empty),
+        Multimodal.MediaRow(2L, "application/octet-stream", junk, Map.empty)
+      ).toDS()
+      Multimodal.imageHashes(corpus).toDF()
+        .write.mode("overwrite").parquet(s"$tmp/imgsig")
+      val delivery = Seq(
+        // re-render of doc 0 (byte-identical PNG → identical dHash)
+        Multimodal.MediaRow(100L, "image/png",
+          Multimodal.textToPng("identical content here"), Map.empty),
+        // byte-dup of the undecodable blob (fallback FNV fold)
+        Multimodal.MediaRow(101L, "application/octet-stream",
+          junk.clone(), Map.empty),
+        Multimodal.MediaRow(102L, "image/png",
+          Multimodal.textToPng("novel words never seen before"), Map.empty)
+      ).toDS()
+      val got = Multimodal.imageNearDupPairsAcross(
+          spark.read.parquet(s"$tmp/imgsig"), delivery)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.contains((0L, 100L, 0L)), got)  // re-render → stored
+      assert(got.contains((2L, 101L, 0L)), got)  // fallback byte dup
+      assert(!got.exists(_._2 == 102L), got)     // novel: no pair
+      // flag partition holds across too: no decoded↔fallback pair
+      assert(!got.exists(p => p._1 == 2L && p._2 != 101L), got)
+      // parity with the in-batch self-form restricted to cross pairs
+      val self = Multimodal.imageNearDupPairs(corpus.union(delivery))
+        .filter(col("doc_id_a") < 100L && col("doc_id_b") >= 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == self, s"across $got vs self $self")
+      // ---- audio: gain-invariant fingerprint pairs the half-gain
+      // re-delivery with its stored original (p18b's scenario)
+      val wav = Multimodal.textToWav("identical speech content")
+      val corpusA = Seq(
+        Multimodal.MediaRow(0L, "audio/wav", wav, Map.empty),
+        Multimodal.MediaRow(1L, "audio/wav",
+          Multimodal.textToWav("completely different speech"), Map.empty)
+      ).toDS()
+      Multimodal.audioHashes(corpusA).toDF()
+        .write.mode("overwrite").parquet(s"$tmp/wavsig")
+      val deliveryA = Seq(Multimodal.MediaRow(100L, "audio/wav",
+        Multimodal.scaleWavGain(wav, 1, 2), Map.empty)).toDS()
+      val gotA = Multimodal.audioNearDupPairsAcross(
+          spark.read.parquet(s"$tmp/wavsig"), deliveryA)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotA == Set((0L, 100L, 0L)), gotA)
+      // the stored index may be scanned but never broadcast (the
+      // 100 TB driver-OOM guard shared by every served-index form)
+      val out = Multimodal.imageNearDupPairsAcross(
+        spark.read.parquet(s"$tmp/imgsig"), delivery)
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def indexIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("graft-msig"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val offenders = out.queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+        .filter { j =>
+          (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+            indexIn(j.left)) ||
+          (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+            indexIn(j.right))
+        }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("multimodal: fallback FNV folds pair ONLY exact byte duplicates — " +
       "a Hamming-1 fold collision emits no near-dup pair") {
     // two undecodable blobs whose FNV folds provably differ in exactly

@@ -95,4 +95,40 @@ class QueriesSpec extends SparkSuite {
       .groupBy("event_id").agg(max("od").as("last_od"))
     assert(res.except(brute).count() == 0 && brute.except(res).count() == 0)
   }
+
+  test("stateKeyDigest fingerprints PART FILES of a directory corpus — " +
+      "an in-place regeneration within the same mtime second still " +
+      "invalidates the served index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-digest").toFile
+    try {
+      val table = new java.io.File(tmp, "documents.parquet")
+      assert(table.mkdirs())
+      val part = new java.io.File(table, "part-00000.parquet")
+      java.nio.file.Files.write(part.toPath, "aaaa".getBytes("UTF-8"))
+      val before = graft.queries.ScaleOps.stateKeyDigest(tmp.getPath)
+      // regenerate in place: same byte COUNT, same directory entry —
+      // freeze every mtime (dir and part) to the pre-change values so
+      // only the part listing could tell the difference, then change
+      // the part's SIZE (the content signal a landing zone actually has)
+      val dirM = table.lastModified
+      val partM = part.lastModified
+      java.nio.file.Files.write(part.toPath, "aaaaaa".getBytes("UTF-8"))
+      part.setLastModified(partM); table.setLastModified(dirM)
+      val after = graft.queries.ScaleOps.stateKeyDigest(tmp.getPath)
+      assert(before != after, "part-file size change must change the digest")
+      // stable when nothing changed
+      assert(after == graft.queries.ScaleOps.stateKeyDigest(tmp.getPath))
+      // single-FILE corpora (the testdata layout) still digest by
+      // (size, mtime) of the file itself
+      val single = java.nio.file.Files.createTempDirectory("graft-digest2").toFile
+      try {
+        java.nio.file.Files.write(
+          new java.io.File(single, "documents.parquet").toPath,
+          "bbbb".getBytes("UTF-8"))
+        val d1 = graft.queries.ScaleOps.stateKeyDigest(single.getPath)
+        assert(d1 == graft.queries.ScaleOps.stateKeyDigest(single.getPath))
+        assert(d1 != after)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(single)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
 }

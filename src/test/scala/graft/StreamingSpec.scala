@@ -750,6 +750,80 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming segment host reads the keeper index through ONE shared " +
+      "pruned cache per micro-batch — no consumer re-scans the state dir") {
+    // VERDICT r11 #3: the cut and the first-arrival anti-join used to
+    // each run their own broadcast-semi-pruned FileScan of the
+    // corpus-scale keeper index. Now the pruned hit set is persisted
+    // once; every executed plan of a non-snapshot batch must read the
+    // index via InMemoryTableScan only (the single disk scan happens
+    // inside that cache's materialization)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-seg-scan").toFile
+    val stateDir = Files.createTempDirectory("graft-seg-scan-state").toFile
+    val outDir = Files.createTempDirectory("graft-seg-scan-out").toFile
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((100L, "a b c")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    Seq((5L, "a b c x y z")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    val directScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cachedReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains(stateDir.getName)) =>
+          directScans.incrementAndGet()
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          cachedReads.incrementAndGet()
+        case _ => ()
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      kids.foreach(walk)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingSegmentDedup(streamed, stateDir.getPath,
+        outDir.getPath, width = 3, compactEvery = 64)
+      q.processAllAvailable(); q.stop()
+      // listener callbacks are async — wait for them to drain
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (cachedReads.get == 0 && System.nanoTime < deadline)
+        Thread.sleep(100)
+      assert(cachedReads.get > 0,
+        "listener saw no cached reads — instrumentation did not fire")
+      assert(directScans.get == 0,
+        s"keeper index re-scanned directly ${directScans.get} times")
+      // outputs unchanged (the chronological fixture's expectations)
+      val b1 = spark.read.parquet(s"${outDir.getPath}/cleaned-1")
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+      assert(b1 == Seq((5L, "x y z")), b1)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
   test("streaming hosts reject a new checkpoint lineage pointed at an " +
       "old state dir (batch ids behind the stored version fail loudly)") {
     import graft.operators.Curation
