@@ -584,6 +584,121 @@ object Dedup {
     pairs.groupBy("corpus_id", "batch_id").agg(min(col("hamming")).as("hamming"))
   }
 
+  // ------------------------------------- signature index (slotted state)
+
+  /** Pigeonhole chunk counts of a flagged signature table — the cap
+    * bookkeeping the slotted signature index stores NEXT TO each
+    * delta: `(decoded, chunk, cval, n)`. Counts are ADDITIVE across
+    * parts and the key domain is bounded (2 flags × 4 chunks × 2¹⁶
+    * values ≤ 524 288 rows whatever the corpus size), so the
+    * union-sum at serve time is always tiny. */
+  def signatureChunkCounts(sigs: DataFrame): DataFrame =
+    sigs.select(col("decoded"), col("sig"))
+      .select(col("decoded"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk", "cval")))
+      .groupBy("decoded", "chunk", "cval").agg(count(lit(1)).as("n"))
+
+  /** Persisted flagged-signature index — the SIXTH
+    * [[graft.state.SlotStore]] client (the q117b/q121b lifecycle for
+    * 64-bit signature streams): deliveries land as self-committing
+    * `sig-delta-<slot>` dirs, compactions as `sig-snap-<slot>`
+    * (supersede every part with slot ≤ k by construction), torn
+    * writes ignored. Each part holds TWO sub-tables: `sigs/`
+    * (id, sig, decoded — the delivery's first-arrival unique
+    * signatures) and `cnt/` (its [[signatureChunkCounts]]) — so the
+    * cap's bookkeeping rides the state and a serving batch never
+    * aggregates the corpus ([[loadSignatureOverCap]] sums the tiny
+    * bounded count parts instead). The part-ROOT `_SUCCESS` is
+    * touched LAST as the commit marker (a crash between the
+    * sub-tables leaves a torn, invisible dir the retry overwrites).
+    * `sigs` should be persisted by the caller (both sub-table writes
+    * read it). */
+  def saveSignatureDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, sigs: DataFrame, slot: Option[Long] = None,
+      snapshot: Boolean = false): Unit = {
+    val parts = sigIndexParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    graft.state.SlotStore.requireNotSuperseded(parts, "sig-snap", next,
+      "saveSignatureDelta")
+    val kind = if (snapshot) "snap" else "delta"
+    commitPart(spark, s"$path/sig-$kind-$next") { dir =>
+      sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+      signatureChunkCounts(sigs).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/cnt")
+    }
+  }
+
+  /** Write a multi-table part dir with the part-ROOT `_SUCCESS`
+    * touched LAST as the commit marker: a stale marker is dropped
+    * BEFORE the sub-tables rewrite (so a retry of a torn write
+    * re-commits atomically) and torn dirs stay invisible to every
+    * reader. Shared by the signature and embedding index lifecycles. */
+  private def commitPart(spark: org.apache.spark.sql.SparkSession,
+      dir: String)(writes: String => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(marker, false)
+    writes(dir)
+    fs.create(marker, true).close()
+  }
+
+  private def sigIndexParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("sig-delta", "sig-snap"))
+
+  /** Committed slot numbers — the replay-skip set for a streaming
+    * host. */
+  def committedSignatureSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    sigIndexParts(spark, path).map(_._2)
+
+  /** LIVE slots (latest snapshot + later deltas) with their snapshot
+    * flag. */
+  def liveSignatureSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(sigIndexParts(spark, path),
+      "sig-delta", "sig-snap")
+      .map(p => (p._2, p._1 == "sig-snap"))
+
+  /** The index as ONE flat multi-path scan of the live parts' `sigs/`
+    * sub-tables. Signatures are UNIQUE per (decoded flag) space by
+    * host construction (an identical signature is Hamming-0 and the
+    * later arrival is dropped before it can enter the state), so the
+    * raw union needs no merge — and the index itself doubles as the
+    * across-join's star-keeper table. */
+  def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(sigIndexParts(spark, path),
+      "sig-delta", "sig-snap")
+    require(parts.nonEmpty, s"no committed signature parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/sigs"))
+  }
+
+  /** Over-cap (decoded, chunk, cval) buckets of the stored index —
+    * computed by SUMMING the live parts' bounded count tables (never
+    * by aggregating the corpus-scale signatures): the serve-time cap
+    * bookkeeping of a streaming host's [[hamming64PairsAcross]]. */
+  def loadSignatureOverCap(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxBucket: Long): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(sigIndexParts(spark, path),
+      "sig-delta", "sig-snap")
+    require(parts.nonEmpty, s"no committed signature parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/cnt"))
+      .groupBy("decoded", "chunk", "cval").agg(sum(col("n")).as("n"))
+      .filter(col("n") > maxBucket)
+      .select("decoded", "chunk", "cval")
+  }
+
+  /** Delete parts a snapshot superseded — housekeeping (load already
+    * ignores them). */
+  def sweepSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "sig-delta",
+      "sig-snap")
+
   // ----------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
@@ -1119,6 +1234,21 @@ object Dedup {
         array((0 until nBands).map(b =>
           Similarity.signLshBucket(col(vecCol), nbits, planeDim, seed + b)): _*)
           .as("buckets")))
+    embeddingAcrossFromIndexes(corpusIndex, del, threshold, maxBucket,
+      overCapBuckets, starKeepers, starKey)
+  }
+
+  /** The across pair join over TWO pre-built [[embeddingIndex]]-shaped
+    * frames — what [[embeddingCosinePairsAcrossKeyed]] runs after
+    * projecting the delivery, exposed so a streaming host that already
+    * built its batch index (it needs it for the state delta anyway)
+    * does not project the delivery twice. `deliveryIndex` should be
+    * persisted by the caller. */
+  private[graft] def embeddingAcrossFromIndexes(corpusIndex: DataFrame,
+      del: DataFrame, threshold: Double, maxBucket: Long,
+      overCapBuckets: Option[DataFrame],
+      starKeepers: Option[DataFrame],
+      starKey: Column => Column): DataFrame = {
     val delBands = del.select(col("id").as("batch_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     var corpusBands = corpusIndex.select(col("id").as("corpus_id"),
@@ -1162,6 +1292,113 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("corpus_id", "batch_id", "cos")
   }
+
+  // --------------------------------- embedding index (slotted state)
+
+  /** Per-band bucket counts of an [[embeddingIndex]] — the cap
+    * bookkeeping the slotted embedding index stores NEXT TO each delta
+    * (`(band, bucket, n)`; additive across parts, delta-sized per
+    * part). */
+  def embeddingBucketCounts(index: DataFrame): DataFrame =
+    index.select(posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Persisted [[embeddingIndex]] as the SEVENTH
+    * [[graft.state.SlotStore]] client — the vector-family state behind
+    * [[graft.streaming.StreamOps.streamingEmbeddingDedup]]: deliveries
+    * land as self-committing `emb-delta-<slot>` dirs (sub-tables
+    * `index/` and `cnt/`; the part-root `_SUCCESS` is touched LAST as
+    * the commit marker), compactions as `emb-snap-<slot>`. The
+    * hyperplane family (nbits, seed, nBands, dim) is the index's
+    * IDENTITY: [[requireEmbeddingMeta]] freezes it in an `idx-meta`
+    * file at first write and every later writer/reader asserts it, so
+    * a host restarted with different parameters fails loudly instead
+    * of silently bucketing against foreign planes. */
+  def saveEmbeddingDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, slot: Option[Long] = None,
+      snapshot: Boolean = false): Unit = {
+    val parts = embIndexParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    graft.state.SlotStore.requireNotSuperseded(parts, "emb-snap", next,
+      "saveEmbeddingDelta")
+    val kind = if (snapshot) "snap" else "delta"
+    commitPart(spark, s"$path/emb-$kind-$next") { dir =>
+      index.write.mode("overwrite").parquet(s"$dir/index")
+      embeddingBucketCounts(index).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/cnt")
+    }
+  }
+
+  private def embIndexParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("emb-delta", "emb-snap"))
+
+  /** Freeze-or-assert the hyperplane family of a slotted embedding
+    * index: first call writes `idx-meta`; later calls require the
+    * identical string. */
+  def requireEmbeddingMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/idx-meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      out.write(meta.getBytes("UTF-8")); out.close()
+    } else {
+      val in = fs.open(p)
+      val stored = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      require(stored == meta,
+        s"embedding index at $path was built with planes '$stored' but " +
+          s"the host was started with '$meta' — same state dir, " +
+          "different hyperplane family")
+    }
+  }
+
+  /** Committed slots (replay-skip set). */
+  def committedEmbeddingSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    embIndexParts(spark, path).map(_._2)
+
+  /** LIVE slots with snapshot flags. */
+  def liveEmbeddingSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(embIndexParts(spark, path),
+      "emb-delta", "emb-snap")
+      .map(p => (p._2, p._1 == "emb-snap"))
+
+  /** The stored index as ONE flat multi-path scan. Vectors are unique
+    * (an identical vector scores cosine 1.0 and the later arrival is
+    * dropped before entering the state), so the raw union needs no
+    * merge and `(xxhash64(v), id)` projected off it IS the star-keeper
+    * table. */
+  def loadEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(embIndexParts(spark, path),
+      "emb-delta", "emb-snap")
+    require(parts.nonEmpty, s"no committed embedding parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/index"))
+  }
+
+  /** Over-cap (band, bucket) list by SUMMING the live parts' count
+    * tables — never an aggregate of the corpus-scale index. */
+  def loadEmbeddingOverCap(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxBucket: Long): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(embIndexParts(spark, path),
+      "emb-delta", "emb-snap")
+    require(parts.nonEmpty, s"no committed embedding parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/cnt"))
+      .groupBy("band", "bucket").agg(sum(col("n")).as("n"))
+      .filter(col("n") > maxBucket)
+      .select("band", "bucket")
+  }
+
+  /** Housekeeping sweep of superseded parts. */
+  def sweepEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "emb-delta",
+      "emb-snap")
 
   /** Corpus diff — the dataset-versioning primitive behind incremental
     * pipeline runs (re-dedup only what changed, re-score only modified

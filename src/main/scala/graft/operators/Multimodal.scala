@@ -803,6 +803,81 @@ object Multimodal {
         col("frames_a"), col("frames_b"))
   }
 
+  /** The PERSISTABLE video near-dup index (p19b): one row per distinct
+    * (doc, frame dHash) — [[videoNearDupPairs]]' inverted-index input.
+    * Per-doc frame counts and per-frame doc frequencies derive from it
+    * at SIGN time ([[videoFrameSizes]] / [[videoFrameDfs]]), so a
+    * delivery never aggregates the corpus for them. */
+  def videoFrameIndex(media: Dataset[MediaRow]): DataFrame =
+    videoFrameHashes(media).toDF()
+      .select(col("doc_id").as("id"), col("fhash")).distinct()
+
+  /** Per-doc DISTINCT frame counts of a [[videoFrameIndex]] — the
+    * `frames_a` side of the pair report, materialized at sign time. */
+  def videoFrameSizes(frames: DataFrame): DataFrame =
+    frames.groupBy("id").agg(count(lit(1)).as("nf"))
+
+  /** Per-frame doc frequencies of a [[videoFrameIndex]] — the
+    * background-frame prune's bookkeeping (df counts are ADDITIVE, so
+    * a delivery adds its own counts to these instead of recounting the
+    * corpus — the q117 gram-df discipline for frames). */
+  def videoFrameDfs(frames: DataFrame): DataFrame =
+    frames.groupBy("fhash").agg(count(lit(1)).as("df"))
+
+  /** Delivery-time video near-dedup — [[videoNearDupPairs]]' ACROSS
+    * form over a persisted [[videoFrameIndex]] (+ its sign-time sizes
+    * and dfs): pairs BETWEEN a delivery and the stored corpus with
+    * EXACTLY the self-form's union semantics — the prune threshold
+    * applies to the UNION doc frequency (stored df + the delivery's
+    * own), so a background frame that crosses `maxDocFreq` only when
+    * the delivery lands is pruned here exactly as the batch operator
+    * over the union would prune it. Only the delivery is decoded; the
+    * stored tables are SCANNED (df lookup and candidate join both
+    * semi-pruned by the broadcast delivery hash set, sizes joined
+    * after the delivery-bounded pair aggregate), never re-paired or
+    * broadcast. Returns (corpus_id, batch_id, shared_frames,
+    * frames_a, frames_b) with the self-form's full-overlap exemption
+    * (exact dups — including undecodable byte-dups whose one fallback
+    * row is their whole signature — always pair). */
+  def videoNearDupPairsAcross(corpusFrames: DataFrame,
+      corpusSizes: DataFrame, corpusDfs: DataFrame,
+      delivery: Dataset[MediaRow], minShared: Int = 2,
+      maxDocFreq: Long = 20L): DataFrame = {
+    // the delivery's distinct (id, fhash) rows feed the df sum, the
+    // candidate join and its own sizes — decode once, persist
+    val del = graft.CacheRegistry.persist(videoFrameIndex(delivery))
+    val delHashes = del.select("fhash").distinct()
+    val delSizes = videoFrameSizes(del)
+    // union df = stored df (semi-pruned scan — delivery-bounded rows
+    // survive) + the delivery's own counts; rare = delivery hashes at
+    // or under the threshold. Delivery-sized throughout.
+    val rare = videoFrameDfs(del)
+      .join(corpusDfs.join(broadcast(delHashes), Seq("fhash"), "left_semi")
+          .withColumnRenamed("df", "df_stored"),
+        Seq("fhash"), "left")
+      .filter(col("df") + coalesce(col("df_stored"), lit(0L)) <= maxDocFreq)
+      .select("fhash")
+    val pairs = corpusFrames
+      .join(broadcast(rare), Seq("fhash"), "left_semi")
+      .withColumnRenamed("id", "corpus_id")
+      .join(del.join(broadcast(rare), Seq("fhash"), "left_semi")
+        .withColumnRenamed("id", "batch_id"), Seq("fhash"))
+      .groupBy("corpus_id", "batch_id")
+      .agg(count(lit(1)).as("shared_frames"))
+    // sizes join AFTER the delivery-bounded aggregate: the pair side
+    // broadcasts, the corpus-scale sizes table is scanned
+    pairs
+      .join(corpusSizes.withColumnRenamed("id", "corpus_id")
+        .withColumnRenamed("nf", "frames_a"), Seq("corpus_id"))
+      .join(broadcast(delSizes.withColumnRenamed("id", "batch_id")
+        .withColumnRenamed("nf", "frames_b")), Seq("batch_id"))
+      .filter(col("shared_frames") >= minShared ||
+        (col("shared_frames") === col("frames_a") &&
+         col("shared_frames") === col("frames_b")))
+      .select(col("corpus_id"), col("batch_id"), col("shared_frames"),
+        col("frames_a"), col("frames_b"))
+  }
+
   /** Build an MJPEG-in-AVI container around existing JPEG frame
     * payloads — [[textToAvi]]'s tail, shared with [[remuxAvi]]. */
   private[graft] def framesToAvi(jpegs: Seq[Array[Byte]], w: Int, h: Int,

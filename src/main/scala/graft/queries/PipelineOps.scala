@@ -593,6 +593,45 @@ object PipelineOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** P19b video dedup ACROSS a stored frame-hash index (rows-only):
+    * p19's re-muxed re-delivery as the delivery-time operator. The
+    * corpus's per-frame dHash index — plus its sign-time sizes and
+    * df tables — is decoded and persisted ONCE per scale dir; the
+    * delivery (every 7th video RE-MUXED at a different frame rate,
+    * ids offset by 10⁷) decodes only itself and pairs each re-mux
+    * with its stored original on shared frame signatures, with the
+    * background-frame prune applied at the UNION doc frequency
+    * exactly as the batch operator would
+    * ([[graft.operators.Multimodal.videoNearDupPairsAcross]]). */
+  def p19b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val orig = aviFixture(s, d).as[Multimodal.MediaRow]
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-p19-idx-" + graft.queries.ScaleOps.stateKeyDigest(d))
+    val framesDir = new java.io.File(stateDir, "frames").getPath
+    val sizesDir = new java.io.File(stateDir, "sizes").getPath
+    val dfsDir = new java.io.File(stateDir, "dfs").getPath
+    val committed = Seq(framesDir, sizesDir, dfsDir)
+      .forall(p => new java.io.File(p, "_SUCCESS").exists())
+    if (!committed) {
+      Multimodal.videoFrameIndex(orig)
+        .write.mode("overwrite").parquet(framesDir)
+      val signed = s.read.parquet(framesDir)
+      Multimodal.videoFrameSizes(signed)
+        .write.mode("overwrite").parquet(sizesDir)
+      Multimodal.videoFrameDfs(signed)
+        .write.mode("overwrite").parquet(dfsDir)
+    }
+    val delivery = orig.filter((m: Multimodal.MediaRow) => m.doc_id % 7 == 0)
+      .map(m => m.copy(doc_id = m.doc_id + 10000000L,
+        content = Multimodal.remuxAvi(m.content, fps = 8)))
+    Multimodal.videoNearDupPairsAcross(
+        s.read.parquet(framesDir), s.read.parquet(sizesDir),
+        s.read.parquet(dfsDir), delivery)
+      .orderBy("corpus_id", "batch_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -615,5 +654,6 @@ object PipelineOps {
     "p18_audio_dedup" -> p18,
     "p18b_audio_dedup_across" -> p18b,
     "p19_video_dedup" -> p19,
+    "p19b_video_dedup_across" -> p19b,
   )
 }

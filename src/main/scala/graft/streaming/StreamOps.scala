@@ -557,6 +557,199 @@ object StreamOps {
       }
   }
 
+  /** Streaming 64-bit-signature dedup — the landing-zone host for the
+    * p17b/p18b/q37 families (image dHash, audio fingerprint, text
+    * SimHash): each micro-batch of ALREADY-SIGNED rows
+    * `(idCol, hashCol[, decoded])` is paired against the persisted
+    * signature index accumulated from every earlier batch
+    * ([[graft.operators.Dedup.hamming64PairsAcross]], the round-12
+    * across form) plus itself, under CHRONOLOGICAL precedence: a
+    * stored signature always beats a delivery one whatever the ids
+    * (published pair lists are immutable); within one batch — where
+    * there is no arrival order — the batch operator's id-min rule
+    * applies. Near-dup PAIRS land as `pairs-<batchId>` under `outDir`
+    * (`keeper_id, doc_id, hamming` — keeper is a stored doc or a
+    * smaller-id batch doc); the batch's surviving signatures (rows
+    * pairing NOTHING) commit as the `sig-delta-<batchId>` slot, so
+    * the index holds exactly one signature per kept doc and doubles
+    * as the across-join's star-keeper table. The decoded-flag
+    * partition discipline carries through: decoded rows pair at
+    * `maxHamming`, fallback content-folds only at Hamming 0; a
+    * missing `decoded` column (single-space families like SimHash)
+    * defaults to true.
+    *
+    * Scale shape per batch: the index is SCANNED (band join + star
+    * probe, delivery side broadcast), never aggregated — the cap's
+    * over-cap chunk list is SUMMED from the bounded per-part count
+    * tables the deltas carry ([[graft.operators.Dedup
+    * .loadSignatureOverCap]]; ≤ 524 288 rows whatever the corpus
+    * size) — and only delivery-sized frames shuffle. The keep rule is
+    * pairwise (each emitted pair drops its larger/later side), the
+    * same relation the published pair list attests — a consumer
+    * wanting component keepers runs q53's CC over the pair union.
+    * Every `compactEvery` live parts the batch folds the index into
+    * one `sig-snap` snapshot (sig-sorted for zone-map prunes) and
+    * sweeps superseded dirs.
+    */
+  def streamingSignatureDedup(sigs: DataFrame, stateDir: String,
+      outDir: String, idCol: String = "doc_id",
+      hashCol: String = "sig64", maxHamming: Int = 3,
+      maxBucket: Long = 100000L, compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    import graft.operators.Dedup
+    slottedDedupHost(sigs, stateDir, "streamingSignatureDedup",
+      Dedup.committedSignatureSlots) {
+        (spark: SparkSession, batch0: DataFrame, batchId: Long) =>
+          val batch = graft.CacheRegistry.persist(
+            batch0.select(col(idCol).as("id"), col(hashCol).as("sig"),
+              (if (batch0.columns.contains("decoded")) col("decoded")
+               else lit(true)).as("decoded")))
+          val live = Dedup.liveSignatureSlots(spark, stateDir)
+          val stored =
+            if (live.isEmpty) batch.limit(0)
+            else Dedup.loadSignatureIndex(spark, stateDir)
+          // served cap bookkeeping: summed from the bounded count
+          // parts, never aggregated from the corpus-scale index
+          val overCap =
+            if (live.isEmpty) None
+            else Some(graft.CacheRegistry.persist(
+              Dedup.loadSignatureOverCap(spark, stateDir, maxBucket)))
+          def flagged(dec: Boolean, mh: Int): DataFrame =
+            Dedup.hamming64PairsAcross(
+              stored.filter(col("decoded") === dec),
+              batch.filter(col("decoded") === dec),
+              "id", "sig", mh, maxBucket,
+              overCapChunks = overCap.map(_
+                .filter(col("decoded") === dec).select("chunk", "cval")),
+              // kept signatures are unique per flag space, so the
+              // index IS its own keeper table — no aggregate
+              starKeepers = Some(stored.filter(col("decoded") === dec)
+                .select(col("sig"), col("id").as("corpus_id"))))
+          val across = flagged(dec = true, maxHamming)
+            .unionByName(flagged(dec = false, 0))
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("hamming"))
+          val within = Dedup.hamming64PairsCapped(
+              batch.filter(col("decoded")), "id", "sig", maxHamming,
+              maxBucket)
+            .unionByName(Dedup.hamming64PairsCapped(
+              batch.filter(!col("decoded")), "id", "sig", 0, maxBucket))
+            .select(col("doc_id_a").as("keeper_id"),
+              col("doc_id_b").as("doc_id"), col("hamming"))
+          val pairs = graft.CacheRegistry.persist(
+            across.unionByName(within))
+          pairs.write.mode("overwrite").parquet(s"$outDir/pairs-$batchId")
+          // survivors (pairing nothing) extend the index — dropped ids
+          // are pair-bounded, so the anti-join build side is small
+          val kept = graft.CacheRegistry.persist(
+            batch.join(broadcast(pairs.select(col("doc_id").as("id"))),
+              Seq("id"), "left_anti"))
+          if (live.size + 1 >= compactEvery) {
+            Dedup.saveSignatureDelta(spark, stateDir,
+              stored.unionByName(kept).sortWithinPartitions("sig"),
+              slot = Some(batchId), snapshot = true)
+            Dedup.sweepSignatureIndex(spark, stateDir)
+          } else
+            Dedup.saveSignatureDelta(spark, stateDir, kept,
+              slot = Some(batchId))
+      }
+  }
+
+  /** Streaming embedding near-dedup — the VECTOR landing-zone host
+    * (q43b's across form on micro-batches; the seventh
+    * [[graft.state.SlotStore]] client): each batch of raw
+    * `(idCol, vecCol)` rows is sign-LSH-projected ONCE
+    * ([[graft.operators.Dedup.embeddingIndex]] — the projection is
+    * both the operator input and the state delta), paired against the
+    * persisted index accumulated from every earlier batch plus
+    * itself, under CHRONOLOGICAL precedence (stored wins whatever the
+    * ids; within one batch the id-min rule applies). Near-dup PAIRS
+    * land as `pairs-<batchId>` (`keeper_id, doc_id, cos`); vectors
+    * pairing NOTHING at `threshold` commit as the
+    * `emb-delta-<batchId>` slot, so the index holds one row per kept
+    * vector and `(xxhash64(v), id)` projected off it is the star-
+    * keeper table (no per-batch aggregate — identical vectors can
+    * never both be kept). The hyperplane family (nbits, seed, nBands,
+    * dim) is frozen into the state dir at first write and asserted on
+    * every batch ([[graft.operators.Dedup.requireEmbeddingMeta]]) — a
+    * restart with different planes fails loudly.
+    *
+    * Scale shape per batch: the index is SCANNED (band join + star
+    * probe + verify, delivery side broadcast where small), never
+    * aggregated — over-cap buckets are SUMMED from the per-part count
+    * tables the deltas carry — and only delivery-sized frames
+    * shuffle. Zero-norm vectors pair nothing (cosine undefined, null
+    * under try_divide) and enter the index as kept — they can never
+    * drop or be dropped, exactly the batch operators' ANSI rule.
+    * Every `compactEvery` live parts the index folds into one
+    * `emb-snap` snapshot and superseded dirs are swept.
+    */
+  def streamingEmbeddingDedup(vecs: DataFrame, stateDir: String,
+      outDir: String, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95,
+      nbits: Int = 8, seed: Long = 42L, nBands: Int = 1,
+      dim: Int = -1, maxBucket: Long = 100000L, compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    import graft.operators.Dedup
+    slottedDedupHost(vecs, stateDir, "streamingEmbeddingDedup",
+      Dedup.committedEmbeddingSlots) {
+        (spark: SparkSession, batch: DataFrame, batchId: Long) =>
+          // hyperplane dimensionality: from the host param or the
+          // first batch — then FROZEN into the state dir's meta so
+          // every later batch provably buckets with the same planes
+          val planeDim =
+            if (dim > 0) dim
+            else batch.select(size(col(vecCol)).as("d"))
+              .filter(col("d") > 0)
+              .take(1).headOption.map(_.getInt(0)).getOrElse(1)
+          Dedup.requireEmbeddingMeta(spark, stateDir,
+            s"nbits=$nbits seed=$seed nBands=$nBands dim=$planeDim")
+          val batchIdx = graft.CacheRegistry.persist(
+            Dedup.embeddingIndex(batch, vecCol, idCol, nbits, seed,
+              nBands, planeDim))
+          val live = Dedup.liveEmbeddingSlots(spark, stateDir)
+          val stored =
+            if (live.isEmpty) batchIdx.limit(0)
+            else Dedup.loadEmbeddingIndex(spark, stateDir)
+          val overCap =
+            if (live.isEmpty) None
+            else Some(graft.CacheRegistry.persist(
+              Dedup.loadEmbeddingOverCap(spark, stateDir, maxBucket)))
+          val across = Dedup.embeddingAcrossFromIndexes(stored, batchIdx,
+              threshold, maxBucket, overCap,
+              starKeepers = Some(stored.select(
+                xxhash64(col("v")).as("sh"), col("id").as("corpus_id"))),
+              starKey = xxhash64(_))
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("cos"))
+          // within-batch pairs ride the same index-vs-index join with
+          // the id-min orientation; the batch is delivery-sized so its
+          // cap bookkeeping is computed in-query
+          val within = Dedup.embeddingAcrossFromIndexes(batchIdx, batchIdx,
+              threshold, maxBucket, None, None, xxhash64(_))
+            .filter(col("corpus_id") < col("batch_id"))
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("cos"))
+          val pairs = graft.CacheRegistry.persist(
+            across.unionByName(within))
+          pairs.write.mode("overwrite").parquet(s"$outDir/pairs-$batchId")
+          val kept = graft.CacheRegistry.persist(
+            batchIdx.join(
+              broadcast(pairs.select(col("doc_id").as("id"))),
+              Seq("id"), "left_anti"))
+          if (live.size + 1 >= compactEvery) {
+            Dedup.saveEmbeddingDelta(spark, stateDir,
+              stored.unionByName(kept), slot = Some(batchId),
+              snapshot = true)
+            Dedup.sweepEmbeddingIndex(spark, stateDir)
+          } else
+            Dedup.saveEmbeddingDelta(spark, stateDir, kept,
+              slot = Some(batchId))
+      }
+  }
+
   /** Latest committed funnel state written by
     * [[streamingCurationFunnel]]. */
   def curationFunnelState(spark: SparkSession,

@@ -181,6 +181,67 @@ class MultimodalJatsSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("multimodal: video ACROSS-delivery dedup over a persisted frame " +
+      "index — re-muxes pair stored originals, the background-frame " +
+      "prune applies at the UNION doc frequency, byte-dup fallbacks " +
+      "pair via full overlap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vsig")
+    try {
+      // three corpus videos share their FIRST frame (a common 64-byte
+      // prefix chunk → identical JPEG → identical dHash); each has a
+      // unique tail. With maxDocFreq = 3 the shared frame sits AT the
+      // threshold in the corpus — the delivery re-mux pushes its union
+      // df to 4, so BOTH forms must prune it and pair on tails only
+      val common = "x" * 64
+      def vid(tail: String) = Multimodal.textToAvi(common + tail)
+      val junk = Array.fill[Byte](48)(7) // undecodable container
+      val corpus = Seq(
+        Multimodal.MediaRow(0L, "video/avi", vid("alpha tail one!" * 5), Map.empty),
+        Multimodal.MediaRow(1L, "video/avi", vid("beta tail two!!" * 5), Map.empty),
+        Multimodal.MediaRow(2L, "video/avi", vid("gamma tail thr!" * 5), Map.empty),
+        Multimodal.MediaRow(3L, "application/octet-stream", junk, Map.empty)
+      ).toDS()
+      Multimodal.videoFrameIndex(corpus)
+        .write.mode("overwrite").parquet(s"$tmp/frames")
+      val signed = spark.read.parquet(s"$tmp/frames")
+      Multimodal.videoFrameSizes(signed)
+        .write.mode("overwrite").parquet(s"$tmp/sizes")
+      Multimodal.videoFrameDfs(signed)
+        .write.mode("overwrite").parquet(s"$tmp/dfs")
+      val delivery = Seq(
+        // re-mux of doc 0: same frames, different container bytes
+        Multimodal.MediaRow(100L, "video/avi",
+          Multimodal.remuxAvi(vid("alpha tail one!" * 5), fps = 8), Map.empty),
+        // byte-dup of the undecodable blob: one fallback row IS its
+        // whole signature — pairs via the full-overlap exemption
+        Multimodal.MediaRow(103L, "application/octet-stream",
+          junk.clone(), Map.empty)
+      ).toDS()
+      def across = Multimodal.videoNearDupPairsAcross(
+        signed, spark.read.parquet(s"$tmp/sizes"),
+        spark.read.parquet(s"$tmp/dfs"), delivery,
+        minShared = 2, maxDocFreq = 3L)
+      val got = across.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // parity: the batch operator over the union, restricted to
+      // (corpus, delivery) pairs — same union-df prune by construction
+      val self = Multimodal.videoNearDupPairs(corpus.union(delivery),
+          minShared = 2, maxDocFreq = 3L)
+        .filter(col("doc_id_a") < 100L && col("doc_id_b") >= 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == self, s"across $got vs self $self")
+      // the re-mux pairs doc 0 on its tail frames ONLY (the shared
+      // first frame crossed maxDocFreq at union time and was pruned)
+      val nf0 = Multimodal.videoFrameIndex(corpus)
+        .filter(col("id") === 0L).count()
+      val p0 = got.find(p => p._1 == 0L && p._2 == 100L)
+      assert(p0.exists(_._3 == nf0 - 1), s"$got (nf0=$nf0)")
+      assert(!got.exists(p => p._1 == 1L || p._1 == 2L), got)
+      // byte-dup fallback: 1 shared fallback row = full overlap
+      assert(got.contains((3L, 103L, 1L)), got)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("multimodal: fallback FNV folds pair ONLY exact byte duplicates — " +
       "a Hamming-1 fold collision emits no near-dup pair") {
     // two undecodable blobs whose FNV folds provably differ in exactly

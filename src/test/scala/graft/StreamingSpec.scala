@@ -824,6 +824,187 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming signature dedup: re-deliveries pair their stored " +
+      "originals chronologically, flag spaces never cross, survivors " +
+      "extend the index, compaction folds to one snapshot") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sig-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-sig-stream-state").toFile
+    val outDir = Files.createTempDirectory("graft-sig-stream-out").toFile
+    val sigA = 0x1111222233334444L
+    val sigB = 0x5555666677778888L
+    val junk = 0x0F0F0F0F0F0F0F0FL // fallback-space signature
+    val sigC = 0x9999AAAABBBBCCCCL
+    val schema = Seq((0L, 0L, true)).toDF("doc_id", "sig64", "decoded").schema
+    // batch 0: three keepers (two decoded, one fallback)
+    Seq((100L, sigA, true), (101L, sigB, true), (102L, junk, false))
+      .toDF("doc_id", "sig64", "decoded").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 1: a SMALLER-id redelivery of sigA (chronology: loses to
+    // the stored 100), a Hamming-1 decoded neighbour of B, a fallback
+    // Hamming-1 of junk (must NOT pair — fallback is exact-only), an
+    // exact fallback dup, and a novel pair within the batch
+    Seq((5L, sigA, true), (200L, sigB ^ 1L, true),
+      (203L, junk ^ 1L, false), (204L, junk, false),
+      (201L, sigC, true), (300L, sigC, true))
+      .toDF("doc_id", "sig64", "decoded").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      // compactEvery = 2: batch 1 folds the index into its snapshot
+      val q = StreamOps.streamingSignatureDedup(streamed, stateDir.getPath,
+        outDir.getPath, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      val p0 = spark.read.parquet(s"${outDir.getPath}/pairs-0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(p0.isEmpty, p0) // three distinct signatures, no pair
+      val p1 = spark.read.parquet(s"${outDir.getPath}/pairs-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(p1 == Set(
+        (100L, 5L, 0L),   // stored sigA beats the smaller-id redelivery
+        (101L, 200L, 1L), // decoded Hamming-1 via banding
+        (102L, 204L, 0L), // fallback exact byte-dup
+        (201L, 300L, 0L)  // within-batch novel pair, id-min keeper
+      ), p1)              // 203 (fallback Hamming-1) pairs NOTHING
+      // survivors: 201 (novel, won within-batch), 203 (fallback H1)
+      // — the index holds b0's three keepers + these two, and the
+      // compaction at batch 1 folded everything into ONE snapshot
+      assert(Dedup.committedSignatureSlots(spark, stateDir.getPath)
+        .sorted == Seq(1L))
+      val idx = Dedup.loadSignatureIndex(spark, stateDir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(idx == Set((100L, sigA, true), (101L, sigB, true),
+        (102L, junk, false), (201L, sigC, true), (203L, junk ^ 1L, false)),
+        idx)
+      // the bounded count parts sum to the index's chunk histogram
+      val n = Dedup.loadSignatureOverCap(spark, stateDir.getPath, 0L)
+        .count()
+      assert(n > 0 && n <= 5 * 4, n) // every occupied bucket > cap 0
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
+  test("streaming signature dedup: an over-cap stored bucket family " +
+      "recovers an identical redelivery via the SERVED star keepers — " +
+      "the index is its own keeper table, summed counts do the cap") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sig-cap").toFile
+    val stateDir = Files.createTempDirectory("graft-sig-cap-state").toFile
+    val outDir = Files.createTempDirectory("graft-sig-cap-out").toFile
+    // X's four 16-bit chunks; for every chunk i, two extra stored sigs
+    // share EXACTLY chunk i's value (far elsewhere) — with maxBucket=2
+    // every one of X's chunk buckets holds 3 members and is pruned, so
+    // an identical redelivery of X can ONLY pair via the star keepers
+    val X = 0x1111222233334444L
+    def keepChunk(i: Int, fill: Long): Long = {
+      val mask = 0xFFFFL << (i * 16)
+      (X & mask) | (fill & ~mask)
+    }
+    val others = (0 until 4).flatMap(i => Seq(
+      keepChunk(i, 0x5A5A5A5A5A5A5A5AL), keepChunk(i, 0xA5A5A5A5A5A5A5A5L)))
+    val schema = Seq((0L, 0L, true)).toDF("doc_id", "sig64", "decoded").schema
+    (Seq((0L, X, true)) ++ others.zipWithIndex.map { case (s, k) =>
+      ((k + 1).toLong, s, true) })
+      .toDF("doc_id", "sig64", "decoded").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    Seq((1000L, X, true)).toDF("doc_id", "sig64", "decoded").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingSignatureDedup(streamed, stateDir.getPath,
+        outDir.getPath, maxBucket = 2L, compactEvery = 64)
+      q.processAllAvailable(); q.stop()
+      // fixture invariant: every chunk bucket of X is actually over cap
+      val over = Dedup.loadSignatureOverCap(spark, stateDir.getPath, 2L)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+      val xChunks = (0 until 4).map(i => (i, (X >> (i * 16)) & 0xFFFFL)).toSet
+      assert(xChunks.subsetOf(over), s"over-cap $over missing $xChunks")
+      val p1 = spark.read.parquet(s"${outDir.getPath}/pairs-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(p1 == Set((0L, 1000L, 0L)), p1) // star keeper, exactly once
+      // the redelivery never enters the index
+      val ids = Dedup.loadSignatureIndex(spark, stateDir.getPath)
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(1000L) && ids.contains(0L), ids)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
+  test("streaming embedding dedup: redelivered vectors pair their " +
+      "stored originals chronologically, the hyperplane meta locks the " +
+      "state dir, compaction folds to one snapshot") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-emb-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-emb-stream-state").toFile
+    val outDir = Files.createTempDirectory("graft-emb-stream-out").toFile
+    def v(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+    val schema = Seq((0L, Array(0f))).toDF("vec_id", "embedding").schema
+    // batch 0: three well-separated directions
+    Seq((100L, v(10, 0, 0, 0)), (101L, v(0, 10, 0, 0)),
+      (102L, v(0, 0, 10, 0)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 1: a SMALLER-id gain-scaled redelivery of 100 (same sign
+    // buckets, cosine exactly 1.0 — chronology must drop it), a near
+    // dup of 101, a novel direction arriving twice (id-min within)
+    Seq((5L, v(20, 0, 0, 0)), (200L, v(0.1f, 10, 0, 0)),
+      (201L, v(0, 0, 0, 10)), (300L, v(0, 0, 0, 10)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingEmbeddingDedup(streamed, stateDir.getPath,
+        outDir.getPath, threshold = 0.95, nbits = 4, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      val p1 = spark.read.parquet(s"${outDir.getPath}/pairs-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(p1.contains((100L, 5L, 1.0)), p1)   // stored beats smaller id
+      assert(p1.exists(p => p._1 == 101L && p._2 == 200L && p._3 >= 0.95),
+        p1)                                       // banded near dup
+      assert(p1.contains((201L, 300L, 1.0)), p1) // within-batch id-min
+      assert(p1.size == 3, p1)
+      // survivors: batch 0's three + the novel 201; snapshot at slot 1
+      assert(Dedup.committedEmbeddingSlots(spark, stateDir.getPath)
+        .sorted == Seq(1L))
+      val ids = Dedup.loadEmbeddingIndex(spark, stateDir.getPath)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(100L, 101L, 102L, 201L), ids)
+      // the hyperplane family is FROZEN: a host restarted with other
+      // planes against this state dir must fail loudly
+      intercept[IllegalArgumentException] {
+        Dedup.requireEmbeddingMeta(spark, stateDir.getPath,
+          "nbits=8 seed=42 nBands=1 dim=4")
+      }
+      // and the recorded meta re-asserts cleanly
+      Dedup.requireEmbeddingMeta(spark, stateDir.getPath,
+        "nbits=4 seed=42 nBands=1 dim=4")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
   test("streaming hosts reject a new checkpoint lineage pointed at an " +
       "old state dir (batch ids behind the stored version fail loudly)") {
     import graft.operators.Curation
