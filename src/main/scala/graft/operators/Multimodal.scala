@@ -438,36 +438,68 @@ object Multimodal {
     * attests). The delivery hash table is persisted so the two flag
     * splits don't decode the delivery twice. */
   private def flaggedNearDupPairsAcross(corpusHashes: DataFrame,
-      batchHashes: DataFrame, maxHamming: Int,
-      maxBucket: Long): DataFrame = {
+      batchHashes: DataFrame, maxHamming: Int, maxBucket: Long,
+      overCapChunks: Option[DataFrame],
+      starKeepers: Option[DataFrame]): DataFrame = {
     val b = graft.CacheRegistry.persist(batchHashes)
-    graft.operators.Dedup.hamming64PairsAcross(
-        corpusHashes.filter(col("decoded")), b.filter(col("decoded")),
-        "doc_id", "dhash", maxHamming, maxBucket)
-      .unionByName(graft.operators.Dedup.hamming64PairsAcross(
-        corpusHashes.filter(!col("decoded")), b.filter(!col("decoded")),
-        "doc_id", "dhash", 0, maxBucket))
+    def split(dec: Boolean, mh: Int): DataFrame =
+      graft.operators.Dedup.hamming64PairsAcross(
+        corpusHashes.filter(col("decoded") === dec),
+        b.filter(col("decoded") === dec),
+        "doc_id", "dhash", mh, maxBucket,
+        overCapChunks = overCapChunks.map(_
+          .filter(col("decoded") === dec).select("chunk", "cval")),
+        starKeepers = starKeepers.map(_
+          .filter(col("decoded") === dec).select("sig", "corpus_id")))
+    split(dec = true, maxHamming).unionByName(split(dec = false, 0))
   }
+
+  /** Flag-aware over-cap chunk list of a flagged signature table —
+    * the cap bookkeeping [[imageNearDupPairsAcross]] /
+    * [[audioNearDupPairsAcross]] otherwise re-aggregate per delivery:
+    * materialize ONCE when the signature index is built (the q102b
+    * sign-time discipline). Tiny by construction. */
+  def flaggedOverCapChunks(hashes: DataFrame,
+      maxBucket: Long = 100000L): DataFrame =
+    graft.operators.Dedup.signatureChunkCounts(
+        hashes.select(col("decoded"), col("dhash").as("sig")))
+      .filter(col("n") > maxBucket)
+      .select("decoded", "chunk", "cval")
+
+  /** Flag-aware star-keeper table — `(decoded, sig, corpus_id =
+    * min doc_id)` per distinct signature within its flag space,
+    * materialized at sign time next to [[flaggedOverCapChunks]]. */
+  def flaggedSignatureKeepers(hashes: DataFrame): DataFrame =
+    hashes.groupBy(col("decoded"), col("dhash").as("sig"))
+      .agg(min(col("doc_id")).as("corpus_id"))
 
   /** Image near-dup pairs ACROSS a delivery and a stored dHash index
     * (p17b): `corpusHashes` is a persisted [[imageHashes]] table;
-    * only the delivery's images are decoded. Returns
-    * `(corpus_id, batch_id, hamming)`. */
+    * only the delivery's images are decoded. `overCapChunks` /
+    * `starKeepers` serve the cap's bookkeeping from the index build
+    * ([[flaggedOverCapChunks]] / [[flaggedSignatureKeepers]]) so a
+    * delivery never aggregates the corpus; omitted, both are computed
+    * in-query. Returns `(corpus_id, batch_id, hamming)`. */
   def imageNearDupPairsAcross(corpusHashes: DataFrame,
       delivery: Dataset[MediaRow], maxHamming: Int = 3,
-      maxBucket: Long = 100000L): DataFrame =
+      maxBucket: Long = 100000L,
+      overCapChunks: Option[DataFrame] = None,
+      starKeepers: Option[DataFrame] = None): DataFrame =
     flaggedNearDupPairsAcross(corpusHashes, imageHashes(delivery).toDF(),
-      maxHamming, maxBucket)
+      maxHamming, maxBucket, overCapChunks, starKeepers)
 
   /** Audio near-dup pairs ACROSS a delivery and a stored fingerprint
     * index (p18b): `corpusHashes` is a persisted [[audioHashes]]
     * table; the gain-invariant fingerprint pairs a re-normalized
-    * re-delivery at Hamming 0 without re-decoding the corpus. */
+    * re-delivery at Hamming 0 without re-decoding the corpus. Served
+    * bookkeeping as in [[imageNearDupPairsAcross]]. */
   def audioNearDupPairsAcross(corpusHashes: DataFrame,
       delivery: Dataset[MediaRow], maxHamming: Int = 3,
-      maxBucket: Long = 100000L): DataFrame =
+      maxBucket: Long = 100000L,
+      overCapChunks: Option[DataFrame] = None,
+      starKeepers: Option[DataFrame] = None): DataFrame =
     flaggedNearDupPairsAcross(corpusHashes, audioHashes(delivery).toDF(),
-      maxHamming, maxBucket)
+      maxHamming, maxBucket, overCapChunks, starKeepers)
 
   /** Rescale every 16-bit PCM sample by `num/den` (clipped) — the
     * "re-normalized re-delivery" transform p18 uses to exercise the

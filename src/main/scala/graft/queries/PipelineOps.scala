@@ -555,17 +555,42 @@ object PipelineOps {
     import s.implicits._
     import graft.operators.Multimodal
     val docs = Tables(s, d).documents
-    val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-p17-sig-" + graft.queries.ScaleOps.stateKeyDigest(d))
-    if (!new java.io.File(sigDir, "_SUCCESS").exists())
-      Multimodal.imageHashes(Multimodal.mediaFromDocuments(docs)).toDF()
-        .write.mode("overwrite").parquet(sigDir.getPath)
+    val (sigs, chunks, keepers) = flaggedSigState(s, d, "p17",
+      () => Multimodal.imageHashes(Multimodal.mediaFromDocuments(docs)).toDF())
     val delivery = Multimodal
       .mediaFromDocuments(docs.filter(col("doc_id") % 7 === 0))
       .map(m => m.copy(doc_id = m.doc_id + 10000000L))
-    Multimodal.imageNearDupPairsAcross(
-        s.read.parquet(sigDir.getPath), delivery)
+    Multimodal.imageNearDupPairsAcross(sigs, delivery,
+        overCapChunks = Some(chunks), starKeepers = Some(keepers))
       .orderBy("corpus_id", "batch_id")
+  }
+
+  /** Shared p17b/p18b sign-time state: the flagged signature table
+    * plus its cap BOOKKEEPING (over-cap chunk list + star keepers),
+    * built once per scale dir — a delivery then broadcasts/scans them
+    * instead of re-aggregating the corpus (the q102b discipline; all
+    * three tables gate on their own _SUCCESS, any missing marker
+    * rebuilds all). */
+  private def flaggedSigState(s: SparkSession, d: String, tag: String,
+      build: () => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.Multimodal
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-$tag-idx-" + graft.queries.ScaleOps.stateKeyDigest(d))
+    val sigsDir = new java.io.File(stateDir, "sigs").getPath
+    val chunksDir = new java.io.File(stateDir, "chunks").getPath
+    val keepersDir = new java.io.File(stateDir, "keepers").getPath
+    val committed = Seq(sigsDir, chunksDir, keepersDir)
+      .forall(p => new java.io.File(p, "_SUCCESS").exists())
+    if (!committed) {
+      build().write.mode("overwrite").parquet(sigsDir)
+      val signed = s.read.parquet(sigsDir)
+      Multimodal.flaggedOverCapChunks(signed)
+        .write.mode("overwrite").parquet(chunksDir)
+      Multimodal.flaggedSignatureKeepers(signed)
+        .write.mode("overwrite").parquet(keepersDir)
+    }
+    (s.read.parquet(sigsDir), s.read.parquet(chunksDir),
+      s.read.parquet(keepersDir))
   }
 
   /** P18b audio dedup ACROSS a stored fingerprint index (rows-only):
@@ -579,17 +604,14 @@ object PipelineOps {
     import s.implicits._
     import graft.operators.Multimodal
     val docs = Tables(s, d).documents
-    val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-p18-sig-" + graft.queries.ScaleOps.stateKeyDigest(d))
-    if (!new java.io.File(sigDir, "_SUCCESS").exists())
-      Multimodal.audioHashes(Multimodal.wavFromDocuments(docs)).toDF()
-        .write.mode("overwrite").parquet(sigDir.getPath)
+    val (sigs, chunks, keepers) = flaggedSigState(s, d, "p18",
+      () => Multimodal.audioHashes(Multimodal.wavFromDocuments(docs)).toDF())
     val delivery = Multimodal
       .wavFromDocuments(docs.filter(col("doc_id") % 7 === 0))
       .map(m => m.copy(doc_id = m.doc_id + 10000000L,
         content = Multimodal.scaleWavGain(m.content, 1, 2)))
-    Multimodal.audioNearDupPairsAcross(
-        s.read.parquet(sigDir.getPath), delivery)
+    Multimodal.audioNearDupPairsAcross(sigs, delivery,
+        overCapChunks = Some(chunks), starKeepers = Some(keepers))
       .orderBy("corpus_id", "batch_id")
   }
 

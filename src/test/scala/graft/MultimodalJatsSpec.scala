@@ -155,21 +155,33 @@ class MultimodalJatsSpec extends SparkSuite {
           spark.read.parquet(s"$tmp/wavsig"), deliveryA)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(gotA == Set((0L, 100L, 0L)), gotA)
-      // the stored index may be scanned but never broadcast (the
-      // 100 TB driver-OOM guard shared by every served-index form)
-      val out = Multimodal.imageNearDupPairsAcross(
-        spark.read.parquet(s"$tmp/imgsig"), delivery)
-      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+      // SERVED cap bookkeeping (the p17b/p18b production shape): the
+      // sign-time over-cap chunk list + flag-aware keepers must give
+      // byte-identical output, and the per-delivery plan may SCAN the
+      // index but never aggregate it pre-join or broadcast it
+      val imgSigned = spark.read.parquet(s"$tmp/imgsig")
+      Multimodal.flaggedOverCapChunks(imgSigned)
+        .write.mode("overwrite").parquet(s"$tmp/imgchunks")
+      Multimodal.flaggedSignatureKeepers(imgSigned)
+        .write.mode("overwrite").parquet(s"$tmp/imgkeepers")
+      val out = Multimodal.imageNearDupPairsAcross(imgSigned, delivery,
+        overCapChunks = Some(spark.read.parquet(s"$tmp/imgchunks")),
+        starKeepers = Some(spark.read.parquet(s"$tmp/imgkeepers")))
+      assert(out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == got)
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join, LogicalPlan}
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
       def indexIn(p: LogicalPlan): Boolean = p.exists {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.contains("graft-msig"))
+            fs.location.rootPaths.exists(r => r.toString.contains("imgsig") ||
+              r.toString.contains("imgkeepers"))
           case _ => false
         }
         case _ => false
       }
-      val offenders = out.queryExecution.optimizedPlan
+      val plan = out.queryExecution.optimizedPlan
+      val offenders = plan
         .collect { case j: Join => j }
         .filter { j =>
           (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
@@ -178,6 +190,11 @@ class MultimodalJatsSpec extends SparkSuite {
             indexIn(j.right))
         }
       assert(offenders.isEmpty, offenders.mkString("\n"))
+      val aggOffenders = plan.collect {
+        case a: Aggregate
+            if indexIn(a.child) && !a.child.exists(_.isInstanceOf[Join]) => a
+      }
+      assert(aggOffenders.isEmpty, aggOffenders.mkString("\n"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
