@@ -2149,6 +2149,56 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("hamming64PairsAcross random parity: equals the pairwise brute " +
+      "force on seeded random signatures (uncapped)") {
+    import spark.implicits._
+    // signatures drawn around 5 seeds with 0-4 bit flips so genuine
+    // Hamming 0-3 pairs, boundary-4 misses and far pairs all occur
+    val rnd = new scala.util.Random(7)
+    val seeds = Array.fill(5)(rnd.nextLong())
+    def near(): Long = {
+      var s = seeds(rnd.nextInt(seeds.length))
+      val flips = rnd.nextInt(5)
+      (0 until flips).foreach(_ => s ^= 1L << rnd.nextInt(64))
+      s
+    }
+    val corpus = (0L until 30L).map(i => (i, near())).toDF("doc_id", "sig64")
+    val batch = (1000L until 1015L).map(i => (i, near()))
+      .toDF("doc_id", "sig64")
+    val got = Dedup.hamming64PairsAcross(corpus, batch, "doc_id", "sig64")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cs = corpus.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bs = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ci, csig) <- cs; (bi, bsig) <- bs
+      h = java.lang.Long.bitCount(csig ^ bsig)
+      if h <= 3
+    } yield (ci, bi, h.toLong)).toSet
+    assert(got == brute, s"got ${got.size} brute ${brute.size}: " +
+      s"missing ${brute -- got}, extra ${got -- brute}")
+    assert(brute.nonEmpty, "fixture must generate at least one pair")
+  }
+
+  test("signatureChunkCounts additivity — the law the served cap " +
+      "bookkeeping sums per-part counts under") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def tbl(ids: Range) = ids.map(i =>
+        (i.toLong, rnd.nextLong() >> rnd.nextInt(48), rnd.nextBoolean()))
+      .toDF("doc_id", "sig", "decoded")
+      .select(col("decoded"), col("sig"))
+    val a = tbl(0 until 40)
+    val b = tbl(100 until 170)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Dedup.signatureChunkCounts(df).collect()
+        .map(r => (r.getBoolean(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+    val whole = counts(a.unionByName(b))
+    val summed = (counts(a).toSeq ++ counts(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(whole == summed)
+  }
+
   test("embeddingCosinePairsAcross equals the self-form over the union " +
       "restricted to (corpus, delivery) pairs — single and multi band") {
     // corpus: three well-separated directions plus a near pair across
