@@ -768,6 +768,224 @@ object Dedup {
         round(avg(col("j")), 3).as("mean_j"))
   }
 
+  // ------------------- postings-overlap across (winnowing / n-gram)
+
+  /** Winnowing fingerprint postings `(doc_id, fph)` — the PERSISTABLE
+    * index of the q44 family ([[TextAnalysis.winnowingFingerprints]]
+    * exploded; one row per distinct winnowed hash per doc). Shared by
+    * the self-form pair join ([[winnowingOverlapPairs]]) and the
+    * delivery-time across ([[postingsOverlapAcross]]) so the two
+    * definitions cannot diverge — the [[bandKeys]] discipline. */
+  def winnowPostings(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w))
+        .as("fph"))
+
+  /** N-gram postings `(doc_id, gram)` — the persistable index of the
+    * q35 family (distinct word n-grams exploded; [[shingles]] is the
+    * one gram definition the self and across forms share). */
+  def ngramPostings(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 2): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(shingles(tokensOf(col(textCol)), n)).as("gram"))
+
+  /** Per-key document frequencies of a postings table — the SIGN-TIME
+    * df bookkeeping of [[postingsOverlapAcross]]. The union-df prune
+    * needs the corpus df of every delivery key; materializing this
+    * table when the index is signed removes the only corpus-scale
+    * aggregate from the per-delivery plan (the q102b/q43b cap-
+    * bookkeeping discipline — here the df cut IS the cap). Postings
+    * are distinct per doc, so `count = doc frequency`. */
+  def postingsDfs(postings: DataFrame, keyCol: String = "fph"): DataFrame =
+    postings.groupBy(keyCol).agg(count(lit(1)).as("df"))
+
+  /** Per-doc distinct key counts of a postings table — the sign-time
+    * set sizes the across Jaccard joins back ([[ngramJaccardAcross]];
+    * `size(grams)` of the self form equals this count because postings
+    * are distinct per doc). */
+  def postingsSizes(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+
+  /** Q44 self-form: candidate near-dup pairs sharing ≥ `minShared`
+    * winnowed fingerprints, document-frequency pruned. The df ≤
+    * `maxDf` cut is part of the declared semantics AND this family's
+    * degenerate-bucket cap: a fingerprint shared by more documents is
+    * boilerplate — it cannot distinguish a near-dup pair but makes the
+    * self-join quadratic in its frequency (one hash in 100k docs →
+    * 10^10 join rows). */
+  def winnowingOverlapPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, w: Int = 4,
+      maxDf: Long = 100L, minShared: Long = 3L): DataFrame = {
+    val fps0 = winnowPostings(docs, textCol, idCol, k, w)
+    val rare = fps0.groupBy("fph").count().filter(col("count") <= maxDf)
+    val fps = fps0.join(rare.select("fph"), Seq("fph"), "left_semi")
+    fps.as("a").join(fps.as("b"),
+        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Delivery-time postings overlap — the across form shared by the
+    * winnowing (q44b) and n-gram Jaccard (q35b) text families, the
+    * same union-df discipline as the video across
+    * ([[Multimodal.videoNearDupPairsAcross]]): `(corpus_id, batch_id,
+    * shared)` pair rows between a persisted corpus postings index and
+    * a delivery postings frame, counting shared keys whose UNION
+    * document frequency (stored df — served from the sign-time
+    * [[postingsDfs]] table, semi-pruned to the delivery's keys — plus
+    * the delivery's own counts) is ≤ `maxDf`. Output equals the batch
+    * self-join over corpus ∪ delivery restricted to (corpus, delivery)
+    * pairs — DedupSpec pins the parity, including the boundary where a
+    * key at corpus df = maxDf is pushed OVER the cut by its delivery
+    * occurrences.
+    *
+    * Scale shape per delivery: the corpus postings and df tables are
+    * SCANNED once each, pruned by a broadcast of the delivery's key
+    * set — never shuffled, never aggregated, never themselves
+    * broadcast; the only exchange is the pair group-by over
+    * join-surviving rows, bounded by |delivery keys| × maxDf. The df
+    * cut is the degenerate cap: a boilerplate key (the 10⁶-doc header
+    * line) exceeds maxDf at the union count and never joins. */
+  def postingsOverlapAcross(corpusPostings: DataFrame,
+      corpusDfs: DataFrame, deliveryPostings: DataFrame,
+      keyCol: String = "fph", maxDf: Long = 100L): DataFrame = {
+    val del = graft.CacheRegistry.persist(
+      deliveryPostings.select(col("doc_id").as("batch_id"), col(keyCol)))
+    // union df = stored df (delivery-bounded rows survive the
+    // semi-pruned scan) + the delivery's own counts; rare = delivery
+    // keys at or under the threshold. Delivery-sized throughout, and
+    // persisted so its two broadcast consumers share one computation.
+    val rare = graft.CacheRegistry.persist(
+      del.groupBy(keyCol).agg(count(lit(1)).as("ddf"))
+        .join(corpusDfs
+            .join(broadcast(del.select(keyCol).distinct()),
+              Seq(keyCol), "left_semi")
+            .withColumnRenamed("df", "df_stored"),
+          Seq(keyCol), "left")
+        .filter(col("ddf") + coalesce(col("df_stored"), lit(0L)) <= maxDf)
+        .select(keyCol))
+    corpusPostings.select(col("doc_id").as("corpus_id"), col(keyCol))
+      .join(broadcast(rare), Seq(keyCol), "left_semi")
+      .join(del.join(broadcast(rare), Seq(keyCol), "left_semi"),
+        Seq(keyCol))
+      .groupBy("corpus_id", "batch_id")
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Delivery-time n-gram Jaccard (q35b): [[postingsOverlapAcross]]
+    * intersections joined back to the per-doc set sizes — corpus sizes
+    * served from the sign-time [[postingsSizes]] table (scanned, the
+    * delivery-bounded pair side broadcasts against it), delivery sizes
+    * computed from its own postings. Same `j` expression as
+    * [[ngramJaccardPairs]]. */
+  def ngramJaccardAcross(corpusPostings: DataFrame, corpusDfs: DataFrame,
+      corpusSizes: DataFrame, deliveryPostings: DataFrame,
+      threshold: Double = 0.2, maxDf: Long = 100L): DataFrame = {
+    // the overlap kernel persists its own delivery projection; sizes
+    // take one extra delivery-scale pass instead of a second cache of
+    // the same rows (the q43 double-cache lesson)
+    val delSizes = postingsSizes(deliveryPostings)
+      .select(col("doc_id").as("batch_id"), col("ng").as("ng_b"))
+    postingsOverlapAcross(corpusPostings, corpusDfs, deliveryPostings,
+        "gram", maxDf)
+      // sizes join AFTER the delivery-bounded aggregate: the pair side
+      // broadcasts, the corpus-scale sizes table is scanned
+      .join(corpusSizes.select(col("doc_id").as("corpus_id"),
+        col("ng").as("ng_a")), Seq("corpus_id"))
+      .join(broadcast(delSizes), Seq("batch_id"))
+      .withColumn("j", round(col("shared").cast("double") /
+        (col("ng_a") + col("ng_b") - col("shared")), 4))
+      .filter(col("j") >= threshold)
+      .select("corpus_id", "batch_id", "j")
+  }
+
+  // ------------------------------ postings index (slotted state)
+
+  /** Persisted winnowing-postings index — the EIGHTH
+    * [[graft.state.SlotStore]] client (the q117b/q121b lifecycle for
+    * the q44 fingerprint family): deliveries land as self-committing
+    * `post-delta-<slot>` dirs, compactions as `post-snap-<slot>`
+    * (supersede every part with slot ≤ k), torn writes ignored. Each
+    * part holds TWO sub-tables: `post/` (doc_id, fph — the delivery's
+    * surviving postings) and `dfs/` (its [[postingsDfs]]) — the df
+    * bookkeeping rides the state like the signature index's chunk
+    * counts, but unlike those the df key domain is UNBOUNDED, so the
+    * serve-time sum is KEY-PRUNED ([[loadPostingsDfsFor]]) instead of
+    * read whole: per-part df rows for a given key are ≤ 1, so the
+    * pruned sum is |delivery keys| × |live parts| rows at most, never
+    * a corpus aggregate. `postings` should be persisted by the caller
+    * (both sub-table writes read it). */
+  def savePostingsDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, postings: DataFrame, slot: Option[Long] = None,
+      snapshot: Boolean = false): Unit = {
+    val parts = postIndexParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    graft.state.SlotStore.requireNotSuperseded(parts, "post-snap", next,
+      "savePostingsDelta")
+    val kind = if (snapshot) "snap" else "delta"
+    commitPart(spark, s"$path/post-$kind-$next") { dir =>
+      postings.write.mode("overwrite").parquet(s"$dir/post")
+      postingsDfs(postings).write.mode("overwrite").parquet(s"$dir/dfs")
+    }
+  }
+
+  private def postIndexParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("post-delta", "post-snap"))
+
+  /** Committed slot numbers — the replay-skip set for the streaming
+    * host. */
+  def committedPostingsSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    postIndexParts(spark, path).map(_._2)
+
+  /** LIVE slots (latest snapshot + later deltas) with their snapshot
+    * flag. */
+  def livePostingsSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(postIndexParts(spark, path),
+      "post-delta", "post-snap")
+      .map(p => (p._2, p._1 == "post-snap"))
+
+  /** The postings index as ONE flat multi-path scan of the live parts'
+    * `post/` sub-tables. Doc ids are unique across parts by host
+    * construction (first-arrival: a redelivered id never re-enters),
+    * so the raw union needs no merge. */
+  def loadPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(postIndexParts(spark, path),
+      "post-delta", "post-snap")
+    require(parts.nonEmpty, s"no committed postings parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/post"))
+  }
+
+  /** Stored document frequencies for exactly the given key set —
+    * the live parts' `dfs/` sub-tables scanned with `keys` broadcast
+    * against them, then summed: one row per delivery key, never a
+    * corpus-scale aggregate (the df tables ARE the sign-time
+    * aggregates; summing their key-pruned union is delivery-bounded
+    * because each part holds at most one row per key). */
+  def loadPostingsDfsFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: DataFrame, keyCol: String = "fph"): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(postIndexParts(spark, path),
+      "post-delta", "post-snap")
+    require(parts.nonEmpty, s"no committed postings parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/dfs"))
+      .join(broadcast(keys.select(keyCol).distinct()), Seq(keyCol),
+        "left_semi")
+      .groupBy(keyCol).agg(sum(col("df")).as("df"))
+  }
+
+  /** Delete parts a snapshot superseded — housekeeping (load already
+    * ignores them). */
+  def sweepPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "post-delta",
+      "post-snap")
+
   // ------------------------------------------------ connected components
 
   /** Connected components over a near-dup pair list — the step that

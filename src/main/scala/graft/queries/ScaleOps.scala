@@ -397,17 +397,83 @@ object ScaleOps {
     * (one hash in 100k docs → 10^10 join rows). The df ≤ 100 cut is part
     * of the declared semantics.
     */
-  def q44(s: SparkSession, d: String): DataFrame = {
-    val fps0 = Tables(s, d).documents.select(col("doc_id"),
-      explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fph"))
-    val rare = fps0.groupBy("fph").count().filter(col("count") <= 100)
-    val fps = fps0.join(rare.select("fph"), Seq("fph"), "left_semi")
-    fps.as("a").join(fps.as("b"),
-        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 3)
+  def q44(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowingOverlapPairs(Tables(s, d).documents,
+      maxDf = 100L, minShared = 3L)
       .orderBy("doc_id_a", "doc_id_b")
+
+  /** Q44b delivery-time winnowing overlap, PRODUCTION shape (rows-only
+    * — xxhash sketch like q44): the corpus fingerprint POSTINGS index
+    * ([[Dedup.winnowPostings]]) and its sign-time df table
+    * ([[Dedup.postingsDfs]]) are SERVED from persisted state (signed
+    * once per scale dir, the q102b/q43b state-dir discipline), and
+    * each delivery (every 7th doc lightly edited, ids offset — the
+    * q102 delivery) fingerprints row-locally and joins against them
+    * under the UNION document-frequency cut. What a landing zone pays
+    * per delivery is the delivery-sized fingerprint + two pruned index
+    * scans + a delivery-bounded pair group-by — the corpus is never
+    * re-fingerprinted, re-paired, aggregated or broadcast
+    * ([[Dedup.postingsOverlapAcross]]; DedupSpec pins the
+    * batch-over-union parity and both plan invariants). */
+  def q44b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q44-idx-" + stateKeyDigest(d))
+    val postDir = new java.io.File(stateDir, "postings").getPath
+    val dfsDir = new java.io.File(stateDir, "dfs").getPath
+    val committed = Seq(postDir, dfsDir)
+      .forall(p => new java.io.File(p, "_SUCCESS").exists())
+    if (!committed) {
+      Dedup.winnowPostings(docs)
+        .write.mode("overwrite").parquet(postDir)
+      Dedup.postingsDfs(s.read.parquet(postDir))
+        .write.mode("overwrite").parquet(dfsDir)
+    }
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    Dedup.postingsOverlapAcross(s.read.parquet(postDir),
+        s.read.parquet(dfsDir), Dedup.winnowPostings(batch),
+        maxDf = 100L)
+      .filter(col("shared") >= 3)
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** Q35b delivery-time bigram Jaccard, PRODUCTION shape (ORACLED —
+    * exact integer gram semantics, like q35): the corpus n-gram
+    * postings index plus its sign-time df AND set-size tables are
+    * served from persisted state; the q102-shaped delivery joins
+    * against them under the union-df cut and the same Jaccard verify
+    * as the self form. The oracle is the q35 CTE over corpus ∪
+    * delivery restricted to (corpus, delivery) pairs — the across
+    * form's defining equivalence, hash-checked by the driver
+    * ([[Dedup.ngramJaccardAcross]]). */
+  def q35b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q35-idx-" + stateKeyDigest(d))
+    val postDir = new java.io.File(stateDir, "postings").getPath
+    val dfsDir = new java.io.File(stateDir, "dfs").getPath
+    val sizesDir = new java.io.File(stateDir, "sizes").getPath
+    val committed = Seq(postDir, dfsDir, sizesDir)
+      .forall(p => new java.io.File(p, "_SUCCESS").exists())
+    if (!committed) {
+      Dedup.ngramPostings(docs, n = 2)
+        .write.mode("overwrite").parquet(postDir)
+      val signed = s.read.parquet(postDir)
+      Dedup.postingsDfs(signed, "gram")
+        .write.mode("overwrite").parquet(dfsDir)
+      Dedup.postingsSizes(signed)
+        .write.mode("overwrite").parquet(sizesDir)
+    }
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    Dedup.ngramJaccardAcross(s.read.parquet(postDir),
+        s.read.parquet(dfsDir), s.read.parquet(sizesDir),
+        Dedup.ngramPostings(batch, n = 2),
+        threshold = 0.2, maxDf = 100L)
+      .orderBy("corpus_id", "batch_id")
   }
 
   /** Q74 shared-span removal (oracled): drop every token covered by an
@@ -1152,13 +1218,16 @@ object ScaleOps {
     "q31_dedup_exact" -> q31, "q31b_dedup_filter" -> q31b,
     "q32_dedup_near_key" -> q32,
     "q33_vector_topk" -> q33, "q34_udf_word_shape" -> q34,
-    "q35_dedup_bigram_jaccard" -> q35, "q36_dedup_minhash_lsh" -> q36,
+    "q35_dedup_bigram_jaccard" -> q35,
+    "q35b_dedup_bigram_jaccard_served" -> q35b,
+    "q36_dedup_minhash_lsh" -> q36,
     "q37_dedup_simhash" -> q37, "q38_ann_lsh" -> q38,
     "q39_text_quality" -> q39, "q40_lang_id" -> q40,
     "q41_fingerprint" -> q41, "q42_token_count" -> q42,
     "q43_dedup_embedding" -> q43,
     "q43b_dedup_embedding_served" -> q43b,
     "q44_winnowing" -> q44,
+    "q44b_winnowing_served" -> q44b,
     "q50_ann_ivf" -> q50, "q50b_ann_ivf_batch" -> q50b,
     "q51_span_contamination" -> q51,
     "q53_dedup_components" -> q53, "q58_repetition" -> q58,
@@ -1310,6 +1379,34 @@ object ScaleOps {
                     JOIN sizes s2 ON doc_id_b = s2.doc_id
          WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2
          ORDER BY doc_id_a, doc_id_b""",
+    // q35b: the q35 CTE over corpus UNION delivery (every 7th doc
+    // edited, ids offset), restricted to (corpus, delivery) pairs —
+    // the across form's defining batch-over-union equivalence
+    "q35b_dedup_bigram_jaccard_served" ->
+      """WITH uni AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' v2' FROM documents
+              WHERE doc_id % 7 = 0),
+         t AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM uni),
+         gsets AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t),
+         sizes AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gsets),
+         g0 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gsets),
+         rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 100),
+         g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare ON g0.gram = rare.gram),
+         pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_id_a AS corpus_id, doc_id_b AS batch_id,
+                ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) AS j
+         FROM pairs JOIN sizes s1 ON doc_id_a = s1.doc_id
+                    JOIN sizes s2 ON doc_id_b = s2.doc_id
+         WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2
+           AND doc_id_a < 1000000 AND doc_id_b >= 1000000
+         ORDER BY corpus_id, batch_id""",
     "q39_text_quality" ->
       """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
          CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,

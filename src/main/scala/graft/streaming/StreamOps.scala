@@ -750,6 +750,94 @@ object StreamOps {
       }
   }
 
+  /** Streaming winnowing near-dup — the landing-zone host for the q44
+    * MOSS-fingerprint family (the EIGHTH [[graft.state.SlotStore]]
+    * client): each micro-batch of `(idCol, textCol)` rows fingerprints
+    * ROW-LOCALLY ([[graft.operators.Dedup.winnowPostings]] — the
+    * projection is both the operator input and the state delta) and is
+    * paired against the postings index accumulated from every earlier
+    * batch plus itself, under the UNION document-frequency cut
+    * (stored dfs served from the per-part df tables the deltas carry,
+    * key-pruned and summed — [[graft.operators.Dedup
+    * .loadPostingsDfsFor]] — plus the batch's own counts) and
+    * CHRONOLOGICAL precedence: a stored doc always beats a batch one
+    * whatever the ids (published pair lists are immutable); within one
+    * batch the id-min rule applies. FIRST-ARRIVAL ids: a redelivered
+    * id is dropped before pairing (a replay of the same document is
+    * not a duplicate pair, and letting it re-enter would double its
+    * postings and inflate every later shared count — the segment
+    * host's rule). Near-dup PAIRS land as `pairs-<batchId>` under
+    * `outDir` (`keeper_id, doc_id, shared`); docs pairing NOTHING
+    * commit their postings as the `post-delta-<batchId>` slot.
+    *
+    * Scale shape per batch: the postings index is SCANNED (key join,
+    * pruned by a broadcast of the batch's under-cut fingerprints),
+    * never aggregated — the df cut is this family's degenerate cap
+    * (boilerplate fingerprints exceed `maxDf` at the union count and
+    * never join) — and only batch-sized frames shuffle. The keep rule
+    * is pairwise; a consumer wanting component keepers runs q53's CC
+    * over the pair union. Every `compactEvery` live parts the index
+    * folds into one fph-sorted `post-snap` snapshot and superseded
+    * dirs are swept. */
+  def streamingWinnowDedup(docs: DataFrame, stateDir: String,
+      outDir: String, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3, w: Int = 4, maxDf: Long = 100L, minShared: Long = 3L,
+      compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    import graft.operators.Dedup
+    slottedDedupHost(docs, stateDir, "streamingWinnowDedup",
+      Dedup.committedPostingsSlots) {
+        (spark: SparkSession, batch: DataFrame, batchId: Long) =>
+          val post0 = Dedup.winnowPostings(batch, textCol, idCol, k, w)
+          val live = Dedup.livePostingsSlots(spark, stateDir)
+          val stored =
+            if (live.isEmpty) post0.limit(0)
+            else Dedup.loadPostingsIndex(spark, stateDir)
+          // first-arrival id guard: redelivered ids are found by a
+          // broadcast-semi-pruned index scan (batch-bounded output,
+          // no corpus aggregate) and never pair or re-enter
+          val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
+          val redelivered = stored
+            .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+            .select("doc_id").distinct()
+          val batchPost = graft.CacheRegistry.persist(
+            post0.join(broadcast(redelivered), Seq("doc_id"), "left_anti"))
+          val storedDfs =
+            if (live.isEmpty) Dedup.postingsDfs(post0.limit(0))
+            else Dedup.loadPostingsDfsFor(spark, stateDir,
+              batchPost.select("fph"))
+          // across (stored keeper, batch doc) and within-batch pairs
+          // ride the SAME kernel and therefore the same union-df cut
+          val across = Dedup.postingsOverlapAcross(stored, storedDfs,
+              batchPost, "fph", maxDf)
+            .filter(col("shared") >= minShared)
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("shared"))
+          val within = Dedup.postingsOverlapAcross(batchPost, storedDfs,
+              batchPost, "fph", maxDf)
+            .filter(col("corpus_id") < col("batch_id") &&
+              col("shared") >= minShared)
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("shared"))
+          val pairs = graft.CacheRegistry.persist(
+            across.unionByName(within))
+          pairs.write.mode("overwrite").parquet(s"$outDir/pairs-$batchId")
+          val kept = graft.CacheRegistry.persist(
+            batchPost.join(
+              broadcast(pairs.select(col("doc_id")).distinct()),
+              Seq("doc_id"), "left_anti"))
+          if (live.size + 1 >= compactEvery) {
+            Dedup.savePostingsDelta(spark, stateDir,
+              stored.unionByName(kept).sortWithinPartitions("fph"),
+              slot = Some(batchId), snapshot = true)
+            Dedup.sweepPostingsIndex(spark, stateDir)
+          } else
+            Dedup.savePostingsDelta(spark, stateDir, kept,
+              slot = Some(batchId))
+      }
+  }
+
   /** Latest committed funnel state written by
     * [[streamingCurationFunnel]]. */
   def curationFunnelState(spark: SparkSession,

@@ -2367,4 +2367,108 @@ class DedupSpec extends SparkSuite {
     assert(ok.select(Sketch.segment_hashes(col("toks"), 2))
       .collect().head.getSeq[Long](0).length == 2)
   }
+
+  test("postingsOverlapAcross equals winnowingOverlapPairs over " +
+      "corpus UNION delivery restricted to (corpus, delivery) pairs — " +
+      "the q44b defining equivalence") {
+    val corpus = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val across = Dedup.postingsOverlapAcross(
+        Dedup.winnowPostings(corpus),
+        Dedup.postingsDfs(Dedup.winnowPostings(corpus)),
+        Dedup.winnowPostings(batch), maxDf = 100L)
+      .filter(col("shared") >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reference = Dedup.winnowingOverlapPairs(
+        corpus.unionByName(batch), maxDf = 100L, minShared = 3L)
+      .filter(col("doc_id_a") < 1000000L && col("doc_id_b") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(across == reference,
+      s"across-only ${across -- reference}; reference-only ${reference -- across}")
+    assert(across.nonEmpty)
+  }
+
+  test("postingsOverlapAcross prunes on the UNION document frequency — " +
+      "a key at corpus df = maxDf pushed over the cut by its delivery " +
+      "occurrence stops pairing (stored-df-only would keep it)") {
+    // maxDf = 2. Corpus: docs 1,2 share A,B,C (df 2 each = AT the
+    // cut); doc 3 holds D alone. Delivery doc 1000 carries A,B,C,D:
+    // union df of A/B/C becomes 3 > maxDf — those keys must not pair
+    // (batch-over-union would drop them too); D's union df is 2 ≤
+    // maxDf, so (3, 1000) pairs with shared = 1.
+    val corpusPost = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "C"),
+      (3L, "D")).toDF("doc_id", "fph")
+    val delPost = Seq((1000L, "A"), (1000L, "B"), (1000L, "C"),
+      (1000L, "D")).toDF("doc_id", "fph")
+    val got = Dedup.postingsOverlapAcross(corpusPost,
+        Dedup.postingsDfs(corpusPost), delPost, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 1000L, 1L)), got)
+  }
+
+  test("ngramJaccardAcross served from parquet postings/dfs/sizes " +
+      "equals ngramJaccardPairs over the union restricted to delivery " +
+      "pairs, scanning the index without broadcasting or aggregating it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postidx")
+    try {
+      val corpus = Tables(spark, sf("0.001")).documents
+        .select("doc_id", "text")
+      val batch = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      Dedup.ngramPostings(corpus, n = 2)
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      val signed = spark.read.parquet(s"$tmp/postings")
+      Dedup.postingsDfs(signed, "gram")
+        .write.mode("overwrite").parquet(s"$tmp/dfs")
+      Dedup.postingsSizes(signed)
+        .write.mode("overwrite").parquet(s"$tmp/sizes")
+      def served = Dedup.ngramJaccardAcross(
+        spark.read.parquet(s"$tmp/postings"),
+        spark.read.parquet(s"$tmp/dfs"),
+        spark.read.parquet(s"$tmp/sizes"),
+        Dedup.ngramPostings(batch, n = 2),
+        threshold = 0.2, maxDf = 100L)
+      val got = served
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val reference = Dedup.ngramJaccardPairs(
+          corpus.unionByName(batch), n = 2, threshold = 0.2,
+          maxDocFreq = 100L)
+        .filter(col("doc_id_a") < 1000000L && col("doc_id_b") >= 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == reference,
+        s"across-only ${got -- reference}; reference-only ${reference -- got}")
+      assert(got.nonEmpty)
+      // plan pins (the q102b/q43b discipline): every corpus-scale
+      // index table — postings, dfs, sizes — may be SCANNED but never
+      // a broadcast build, and never aggregated pre-join (dfs and
+      // sizes ARE the sign-time aggregates, served as state)
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def indexIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths
+            .exists(_.toString.contains("graft-postidx"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val plan = served.queryExecution.optimizedPlan
+      val broadcastOffenders = plan.collect { case j: Join => j }.filter { j =>
+        (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) && indexIn(j.left)) ||
+        (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) && indexIn(j.right))
+      }
+      assert(broadcastOffenders.isEmpty, broadcastOffenders.mkString("\n"))
+      val aggOffenders = plan.collect {
+        case a: Aggregate
+            if indexIn(a.child) && !a.child.exists(_.isInstanceOf[Join]) => a
+      }
+      assert(aggOffenders.isEmpty, aggOffenders.mkString("\n"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }

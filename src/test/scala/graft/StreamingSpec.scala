@@ -1357,4 +1357,76 @@ class StreamingSpec extends SparkSuite {
       assert(batch == emitted.toSet + ((s("2024-01-01 16:00:00"), 1L)))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("streaming winnow dedup: content re-deliveries pair their stored " +
+      "originals chronologically, a redelivered ID is a first-arrival " +
+      "no-op, survivors extend the postings index, compaction folds to " +
+      "one snapshot") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-win-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-win-stream-state").toFile
+    val outDir = Files.createTempDirectory("graft-win-stream-out").toFile
+    val longA = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val longB = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longC = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val novelD = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val novelE = (1 to 30).map(i => s"delta$i").mkString(" ")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    // batch 0: three distinct keepers
+    Seq((100L, longA), (101L, longB), (102L, longC))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 1: a SMALLER-id content redelivery of longA (chronology:
+    // loses to stored 100), the SAME id 100 redelivered (first-arrival:
+    // pairs nothing, never re-enters), a novel text arriving twice
+    // (id-min within the batch), and a novel survivor
+    Seq((5L, longA), (100L, longA), (201L, novelD), (300L, novelD),
+      (400L, novelE))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      // compactEvery = 2: batch 1 folds the index into its snapshot
+      val q = StreamOps.streamingWinnowDedup(streamed, stateDir.getPath,
+        outDir.getPath, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      val p0 = spark.read.parquet(s"${outDir.getPath}/pairs-0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(p0.isEmpty, p0) // three distinct texts, no pair
+      val p1 = spark.read.parquet(s"${outDir.getPath}/pairs-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(p1.map(p => (p._1, p._2)) == Set(
+        (100L, 5L),   // stored longA beats the smaller-id redelivery
+        (201L, 300L)  // within-batch novel pair, id-min keeper
+      ), p1)
+      assert(p1.forall(_._3 >= 3L), p1)
+      // the SAME-id redelivery of 100 appears on NEITHER side of any
+      // pair: a replay is not a duplicate
+      assert(!p1.exists(_._2 == 100L), p1)
+      // survivors: 201 (within-batch keeper) + 400 (novel); the
+      // compaction at batch 1 folded everything into ONE snapshot
+      assert(Dedup.committedPostingsSlots(spark, stateDir.getPath)
+        .sorted == Seq(1L))
+      val idx = Dedup.loadPostingsIndex(spark, stateDir.getPath)
+      val ids = idx.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(100L, 101L, 102L, 201L, 400L), ids)
+      // first-arrival kept the state duplicate-free: no (doc_id, fph)
+      // row appears twice (a re-entered id would double its postings
+      // and inflate every later shared count)
+      assert(idx.count() == idx.distinct().count())
+      // the per-part df tables sum to the index's true df per key
+      val dfs = Dedup.loadPostingsDfsFor(spark, stateDir.getPath,
+        idx.select("fph"))
+      assert(dfs.agg(sum("df")).collect().head.getLong(0) == idx.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
 }
