@@ -1074,6 +1074,76 @@ object Dedup {
     labels
   }
 
+  /** Incremental connected components — the consumer-side maintenance
+    * loop for every delivery-time pair list this engine publishes
+    * (q102/q43b/q44b/q35b and the streaming hosts all emit PAIRS;
+    * cluster keepers come from CC, and re-running batch CC over the
+    * full published edge set per delivery is O(corpus edges) of
+    * iterative shuffles). Given the CURRENT label table (`node, comp`
+    * — [[connectedComponents]] over all earlier edges, comp = min
+    * member id) and a delivery's NEW edges, returns the label table of
+    * the edge UNION — exactly `connectedComponents(earlier ∪ new)`,
+    * DedupSpec-pinned.
+    *
+    * Algorithm: contraction. New-edge endpoints look up their current
+    * label (stored labels SCANNED with the delta-sized endpoint set
+    * broadcast against them — never the reverse); each new edge
+    * contracts to its endpoint labels (self-loops drop: an edge inside
+    * an existing component changes nothing); batch CC runs on the
+    * CONTRACTED graph only — delta-scale, since old labels are their
+    * components' min ids the contracted minimum IS the union
+    * component's true min. The resulting remap (old label → smaller
+    * new label, tiny by construction) broadcast-rewrites the stored
+    * label table map-side.
+    *
+    * Scale shape per delivery: the iterative label-propagation loop
+    * never touches corpus-scale data; the stored labels pay one
+    * broadcast-semi-pruned scan (endpoint lookup) and one map-side
+    * broadcast-join rewrite — no corpus shuffle. A consumer keeping
+    * the label table as served state can persist just the tiny remap
+    * + the delta's new rows and fold them at compaction (remaps
+    * compose), making the state write O(delta) too. */
+  def connectedComponentsIncremental(labels: DataFrame,
+      newEdges: DataFrame, srcCol: String = "doc_id_a",
+      dstCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
+    val ends = graft.CacheRegistry.persist(
+      newEdges.select(col(srcCol).as("node"))
+        .union(newEdges.select(col(dstCol).as("node"))).distinct())
+    // stored labels of the touched endpoints: corpus-scale table
+    // scanned, delta-sized endpoint set broadcast (a left join the
+    // other way round would have to build the corpus side)
+    val storedEnd = labels.join(broadcast(ends), Seq("node"), "left_semi")
+    val endLabels = graft.CacheRegistry.persist(
+      ends.join(storedEnd.withColumnRenamed("comp", "lcomp"),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("lcomp"), col("node")).as("comp"),
+          col("lcomp").isNotNull.as("stored")))
+    val contracted = newEdges
+      .join(endLabels.select(col("node").as(srcCol),
+        col("comp").as("ca")), Seq(srcCol))
+      .join(endLabels.select(col("node").as(dstCol),
+        col("comp").as("cb")), Seq(dstCol))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("doc_id_a"), col("cb").as("doc_id_b"))
+    // delta-scale CC: nodes are old component labels + new doc ids
+    val merged = graft.CacheRegistry.persist(
+      connectedComponents(contracted, maxIter = maxIter))
+    val remap = merged.filter(col("node") =!= col("comp"))
+      .select(col("node").as("comp"), col("comp").as("newcomp"))
+    val restated = labels.join(broadcast(remap), Seq("comp"), "left")
+      .select(col("node"),
+        coalesce(col("newcomp"), col("comp")).as("comp"))
+    // endpoints absent from the stored table are NEW nodes; every one
+    // of them has a non-self-loop contracted edge (its own label is
+    // itself), so `merged` covers it — the coalesce is the degenerate
+    // (x, x) self-edge guard
+    val newLabels = endLabels.filter(!col("stored"))
+      .join(merged.withColumnRenamed("comp", "mcomp"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("mcomp"), col("node")).as("comp"))
+    restated.unionByName(newLabels)
+  }
+
   /** Cross-corpus n-gram contamination report — the gram-granular
     * benchmark-leakage guard between [[decontaminate]] (exact text)
     * and [[graft.operators.TextAnalysis.spanContamination]]

@@ -448,8 +448,12 @@ object ScaleOps {
     * delivery restricted to (corpus, delivery) pairs — the across
     * form's defining equivalence, hash-checked by the driver
     * ([[Dedup.ngramJaccardAcross]]). */
-  def q35b(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables(s, d).documents
+  /** The corpus bigram postings/dfs/sizes tables, signed once per
+    * scale dir — ONE index serves the whole gram-across band (q35b's
+    * pair join, q53b's new-edge generation), the minHashSignatures
+    * multi-consumer discipline. Returns the three table dirs. */
+  private def ensureGramIndex(s: SparkSession, d: String)
+      : (String, String, String) = {
     val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-q35-idx-" + stateKeyDigest(d))
     val postDir = new java.io.File(stateDir, "postings").getPath
@@ -458,7 +462,7 @@ object ScaleOps {
     val committed = Seq(postDir, dfsDir, sizesDir)
       .forall(p => new java.io.File(p, "_SUCCESS").exists())
     if (!committed) {
-      Dedup.ngramPostings(docs, n = 2)
+      Dedup.ngramPostings(Tables(s, d).documents, n = 2)
         .write.mode("overwrite").parquet(postDir)
       val signed = s.read.parquet(postDir)
       Dedup.postingsDfs(signed, "gram")
@@ -466,6 +470,12 @@ object ScaleOps {
       Dedup.postingsSizes(signed)
         .write.mode("overwrite").parquet(sizesDir)
     }
+    (postDir, dfsDir, sizesDir)
+  }
+
+  def q35b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val (postDir, dfsDir, sizesDir) = ensureGramIndex(s, d)
     val batch = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" v2")).as("text"))
@@ -474,6 +484,55 @@ object ScaleOps {
         Dedup.ngramPostings(batch, n = 2),
         threshold = 0.2, maxDf = 100L)
       .orderBy("corpus_id", "batch_id")
+  }
+
+  /** Q53b incremental duplicate clustering (ORACLED — recursive-CTE
+    * components over the published edge union): the consumer-side
+    * maintenance loop for every delivery-time pair list. The corpus
+    * LABEL table (q53's batch CC) is served from persisted state
+    * (signed once per scale dir); each delivery generates its new
+    * edges from the SAME signed gram index q35b serves (across +
+    * within-delivery pairs under the union-df cut) and folds them in
+    * via [[Dedup.connectedComponentsIncremental]] — contraction to
+    * current labels, delta-scale CC, tiny broadcast remap. The
+    * iterative label propagation never touches corpus-scale edges;
+    * the stored labels pay one pruned scan and one map-side rewrite.
+    * Output = batch CC over (corpus edges ∪ delivery-touching union
+    * edges), the published-pairs-are-immutable semantics every across
+    * form shares. */
+  def q53b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val (postDir, dfsDir, sizesDir) = ensureGramIndex(s, d)
+    val labelsDir = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-q53-idx-" + stateKeyDigest(d)),
+      "labels").getPath
+    if (!new java.io.File(labelsDir, "_SUCCESS").exists()) {
+      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs,
+          n = 2, threshold = 0.2, maxDocFreq = 100L))
+        .write.mode("overwrite").parquet(labelsDir)
+    }
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val delPost = graft.CacheRegistry.persist(
+      Dedup.ngramPostings(batch, n = 2))
+    val across = Dedup.ngramJaccardAcross(s.read.parquet(postDir),
+      s.read.parquet(dfsDir), s.read.parquet(sizesDir), delPost,
+      threshold = 0.2, maxDf = 100L)
+    // within-delivery pairs ride the same kernel (delivery on both
+    // sides, STORED dfs keep the union-df cut identical), id-min
+    // orientation
+    val within = Dedup.ngramJaccardAcross(delPost,
+        s.read.parquet(dfsDir), Dedup.postingsSizes(delPost), delPost,
+        threshold = 0.2, maxDf = 100L)
+      .filter(col("corpus_id") < col("batch_id"))
+    val newEdges = across.unionByName(within)
+      .select(col("corpus_id").as("doc_id_a"),
+        col("batch_id").as("doc_id_b"))
+    Dedup.connectedComponentsIncremental(
+        s.read.parquet(labelsDir), newEdges)
+      .select(col("node").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
   }
 
   /** Q74 shared-span removal (oracled): drop every token covered by an
@@ -1230,7 +1289,9 @@ object ScaleOps {
     "q44b_winnowing_served" -> q44b,
     "q50_ann_ivf" -> q50, "q50b_ann_ivf_batch" -> q50b,
     "q51_span_contamination" -> q51,
-    "q53_dedup_components" -> q53, "q58_repetition" -> q58,
+    "q53_dedup_components" -> q53,
+    "q53b_dedup_components_incremental" -> q53b,
+    "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
     "q63_chunking" -> q63, "q64_pii_redaction" -> q64,
@@ -1579,6 +1640,56 @@ object ScaleOps {
     "q53_dedup_components" -> (ComponentsOracleCte + """
          SELECT n AS doc_id, MIN(m) AS component FROM reach
          GROUP BY n ORDER BY doc_id"""),
+    // q53b: components over the PUBLISHED edge union — corpus edges
+    // (corpus-only df cut, immutable once published) plus the
+    // delivery-touching edges of corpus ∪ delivery (union df cut) —
+    // the chronological semantics every across form shares
+    "q53b_dedup_components_incremental" ->
+      """WITH RECURSIVE
+         t1 AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
+         gs1 AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t1),
+         sz1 AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gs1),
+         p1 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gs1),
+         r1 AS (SELECT gram FROM p1 GROUP BY gram HAVING COUNT(*) <= 100),
+         g1 AS (SELECT p1.doc_id, p1.gram FROM p1 JOIN r1 ON p1.gram = r1.gram),
+         pr1 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                 FROM g1 a JOIN g1 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         e1 AS (SELECT da, db FROM pr1
+                JOIN sz1 s1 ON da = s1.doc_id JOIN sz1 s2 ON db = s2.doc_id
+                WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2),
+         uni AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000, text || ' v2' FROM documents
+                 WHERE doc_id % 7 = 0),
+         t2 AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM uni),
+         gs2 AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t2),
+         sz2 AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gs2),
+         p2 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gs2),
+         r2 AS (SELECT gram FROM p2 GROUP BY gram HAVING COUNT(*) <= 100),
+         g2 AS (SELECT p2.doc_id, p2.gram FROM p2 JOIN r2 ON p2.gram = r2.gram),
+         pr2 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                 FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         e2 AS (SELECT da, db FROM pr2
+                JOIN sz2 s1 ON da = s1.doc_id JOIN sz2 s2 ON db = s2.doc_id
+                WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2
+                  AND db >= 1000000),
+         e AS (SELECT da, db FROM e1 UNION SELECT da, db FROM e2),
+         ud AS (SELECT da AS a, db AS b FROM e UNION SELECT db AS a, da AS b FROM e),
+         reach AS (SELECT a AS n, a AS m FROM ud
+                   UNION
+                   SELECT ud.b AS n, reach.m AS m FROM reach JOIN ud ON reach.n = ud.a)
+         SELECT n AS doc_id, MIN(m) AS component FROM reach
+         GROUP BY n ORDER BY doc_id""",
     "q116_cluster_histogram" -> (ComponentsOracleCte + """,
          comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
          labeled AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component

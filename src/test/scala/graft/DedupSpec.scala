@@ -2368,6 +2368,70 @@ class DedupSpec extends SparkSuite {
       .collect().head.getSeq[Long](0).length == 2)
   }
 
+  test("connectedComponentsIncremental: merges, attachments, fresh " +
+      "pairs and intra-component edges all land exactly where batch CC " +
+      "over the edge union does") {
+    // stored: components {1,2} (comp 1) and {5,6} (comp 5)
+    val e1 = Seq((1L, 2L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val labels = Dedup.connectedComponents(e1)
+    // delivery edges: (2,5) merges the two components; (6,10) attaches
+    // a new node to the merged one; (20,21) is a fresh pair; (1,2) is
+    // an intra-component no-op; (30,30) is a degenerate self-edge
+    val e2 = Seq((2L, 5L), (6L, 10L), (20L, 21L), (1L, 2L), (30L, 30L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponentsIncremental(labels, e2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.connectedComponents(e1.unionByName(e2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"inc-only ${got -- batch}; batch-only ${batch -- got}")
+    assert(got == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (10L, 1L),
+      (20L, 20L), (21L, 20L), (30L, 30L)), got)
+    // a clean delivery (edges all inside existing components) is a
+    // label-table no-op
+    val clean = Dedup.connectedComponentsIncremental(labels,
+        Seq((5L, 6L)).toDF("doc_id_a", "doc_id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clean == base, clean)
+  }
+
+  test("connectedComponentsIncremental: a NEW smaller id becoming the " +
+      "component minimum relabels the stored component; served labels " +
+      "are scanned, never a broadcast build") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccidx")
+    try {
+      val e1 = Seq((100L, 101L), (200L, 201L)).toDF("doc_id_a", "doc_id_b")
+      Dedup.connectedComponents(e1)
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+      val labels = spark.read.parquet(s"$tmp/labels")
+      // new doc 7 bridges BOTH stored components: everything -> comp 7
+      val e2 = Seq((7L, 100L), (7L, 201L)).toDF("doc_id_a", "doc_id_b")
+      val out = Dedup.connectedComponentsIncremental(labels, e2)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((7L, 7L), (100L, 7L), (101L, 7L), (200L, 7L),
+        (201L, 7L)), got)
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def labelsIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths
+            .exists(_.toString.contains("graft-ccidx"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val offenders = out.queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+        .filter { j =>
+          (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+            labelsIn(j.left)) ||
+          (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+            labelsIn(j.right))
+        }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("postingsOverlapAcross equals winnowingOverlapPairs over " +
       "corpus UNION delivery restricted to (corpus, delivery) pairs — " +
       "the q44b defining equivalence") {
