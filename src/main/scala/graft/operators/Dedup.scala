@@ -1106,6 +1106,25 @@ object Dedup {
   def connectedComponentsIncremental(labels: DataFrame,
       newEdges: DataFrame, srcCol: String = "doc_id_a",
       dstCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
+    val (remap, newLabels) =
+      connectedComponentsDelta(labels, newEdges, srcCol, dstCol, maxIter)
+    labels.join(broadcast(remap), Seq("comp"), "left")
+      .select(col("node"),
+        coalesce(col("newcomp"), col("comp")).as("comp"))
+      .unionByName(newLabels)
+  }
+
+  /** The DELTA of [[connectedComponentsIncremental]]: `(remap,
+    * newLabels)` where `remap (comp, newcomp)` is the tiny old-label →
+    * new-label table the fold produces (empty when every new edge is
+    * intra-component) and `newLabels (node, comp)` labels the
+    * endpoints absent from the stored table. Persisting JUST these two
+    * frames is the O(delta) state write of a served label table
+    * ([[saveLabelDelta]]); both come back persisted so a caller can
+    * write each without recomputing the fold. */
+  def connectedComponentsDelta(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String = "doc_id_a", dstCol: String = "doc_id_b",
+      maxIter: Int = 25): (DataFrame, DataFrame) = {
     val ends = graft.CacheRegistry.persist(
       newEdges.select(col(srcCol).as("node"))
         .union(newEdges.select(col(dstCol).as("node"))).distinct())
@@ -1129,20 +1148,103 @@ object Dedup {
     // delta-scale CC: nodes are old component labels + new doc ids
     val merged = graft.CacheRegistry.persist(
       connectedComponents(contracted, maxIter = maxIter))
-    val remap = merged.filter(col("node") =!= col("comp"))
-      .select(col("node").as("comp"), col("comp").as("newcomp"))
-    val restated = labels.join(broadcast(remap), Seq("comp"), "left")
-      .select(col("node"),
-        coalesce(col("newcomp"), col("comp")).as("comp"))
+    // remap rows only for STORED labels: a new node's own entry in
+    // `merged` is its label assignment, not a component merge — no
+    // stored row can carry a new node id as its comp, so keeping such
+    // rows out of the remap costs nothing and keeps the remap's
+    // contract exact (one row per merged stored component)
+    val remap = graft.CacheRegistry.persist(
+      merged.filter(col("node") =!= col("comp"))
+        .join(endLabels.filter(col("stored"))
+          .select(col("comp").as("node")).distinct(), Seq("node"),
+          "left_semi")
+        .select(col("node").as("comp"), col("comp").as("newcomp")))
     // endpoints absent from the stored table are NEW nodes; every one
     // of them has a non-self-loop contracted edge (its own label is
     // itself), so `merged` covers it — the coalesce is the degenerate
     // (x, x) self-edge guard
-    val newLabels = endLabels.filter(!col("stored"))
-      .join(merged.withColumnRenamed("comp", "mcomp"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("mcomp"), col("node")).as("comp"))
-    restated.unionByName(newLabels)
+    val newLabels = graft.CacheRegistry.persist(
+      endLabels.filter(!col("stored"))
+        .join(merged.withColumnRenamed("comp", "mcomp"), Seq("node"),
+          "left")
+        .select(col("node"), coalesce(col("mcomp"), col("node")).as("comp")))
+    (remap, newLabels)
   }
+
+  // ------------------------------ label index (slotted state)
+
+  /** Persisted cluster-label index — the NINTH
+    * [[graft.state.SlotStore]] client, and the O(delta) state shape of
+    * [[connectedComponentsDelta]]: each part holds `remap/` (old comp
+    * → new comp — TINY: one row per component merge this delivery) and
+    * `new/` (node, comp rows for first-seen nodes; a SNAPSHOT stores
+    * the full served table here with an empty remap). The base label
+    * table is NEVER rewritten per delivery — [[loadLabelIndex]]
+    * applies the live remaps to the row union in slot order as chained
+    * broadcast joins, which is exact online composition: a remap from
+    * slot i can never match a value written after slot i (served
+    * labels stop showing a remapped-away label the moment its remap
+    * commits, and component labels are node ids, unique), and later
+    * remaps chain earlier outputs. `remap`/`newLabels` should be
+    * persisted by the caller ([[connectedComponentsDelta]] returns
+    * them persisted). */
+  def saveLabelDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, remap: DataFrame, newLabels: DataFrame,
+      slot: Option[Long] = None, snapshot: Boolean = false): Unit = {
+    val parts = labelIndexParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    graft.state.SlotStore.requireNotSuperseded(parts, "lab-snap", next,
+      "saveLabelDelta")
+    val kind = if (snapshot) "snap" else "delta"
+    commitPart(spark, s"$path/lab-$kind-$next") { dir =>
+      remap.write.mode("overwrite").parquet(s"$dir/remap")
+      newLabels.write.mode("overwrite").parquet(s"$dir/new")
+    }
+  }
+
+  private def labelIndexParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("lab-delta", "lab-snap"))
+
+  /** Committed slot numbers — the replay-skip set for the streaming
+    * host. */
+  def committedLabelSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    labelIndexParts(spark, path).map(_._2)
+
+  /** LIVE slots (latest snapshot + later deltas), slot-ordered. */
+  def liveLabelSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(labelIndexParts(spark, path),
+      "lab-delta", "lab-snap")
+      .map(p => (p._2, p._1 == "lab-snap"))
+
+  /** The served label table: the live parts' `new/` rows under the
+    * live remaps applied in slot order (chained tiny broadcast joins
+    * over ONE multi-path row scan — the base is never rewritten until
+    * compaction). */
+  def loadLabelIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(labelIndexParts(spark, path),
+      "lab-delta", "lab-snap")
+    require(parts.nonEmpty, s"no committed label parts under $path")
+    val rows = graft.state.SlotStore.readParts(spark,
+      parts.map(p => s"${p._3}/new"))
+    parts.foldLeft(rows) { (acc, p) =>
+      acc.join(broadcast(spark.read.parquet(s"${p._3}/remap")),
+          Seq("comp"), "left")
+        .select(col("node"),
+          coalesce(col("newcomp"), col("comp")).as("comp"))
+    }
+  }
+
+  /** Delete parts a snapshot superseded — housekeeping (load already
+    * ignores them). */
+  def sweepLabelIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "lab-delta",
+      "lab-snap")
 
   /** Cross-corpus n-gram contamination report — the gram-granular
     * benchmark-leakage guard between [[decontaminate]] (exact text)

@@ -838,6 +838,67 @@ object StreamOps {
       }
   }
 
+  /** Streaming cluster-label maintenance — the CONSUMER that closes
+    * the dedup loop (the NINTH [[graft.state.SlotStore]] client):
+    * every landing-zone host here publishes per-batch PAIR lists;
+    * this host ingests that stream and maintains the served component
+    * label table incrementally
+    * ([[graft.operators.Dedup.connectedComponentsDelta]] — q53b's
+    * contraction fold on micro-batches). The state write is O(delta):
+    * a batch commits only its tiny remap (one row per component merge)
+    * and its first-seen nodes' labels as the `lab-delta-<batchId>`
+    * slot — the base table is never rewritten; serving applies the
+    * live remaps in slot order as chained broadcast joins
+    * ([[graft.operators.Dedup.loadLabelIndex]]). Every `compactEvery`
+    * live parts the served table folds into one `lab-snap` snapshot
+    * (empty remap) and superseded dirs are swept.
+    *
+    * Scale shape per batch: the contraction CC iterates over the
+    * batch-scale contracted graph only; the stored label rows pay one
+    * broadcast-semi-pruned scan (endpoint lookup) — never a corpus
+    * shuffle, aggregate, or rewrite. Served labels at any point equal
+    * batch CC over every pair ingested so far (StreamingSpec). */
+  def streamingClusterLabels(pairs: DataFrame, stateDir: String,
+      srcCol: String = "keeper_id", dstCol: String = "doc_id",
+      compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    import graft.operators.Dedup
+    slottedDedupHost(pairs, stateDir, "streamingClusterLabels",
+      Dedup.committedLabelSlots) {
+        (spark: SparkSession, batch: DataFrame, batchId: Long) =>
+          val edges = graft.CacheRegistry.persist(
+            batch.select(col(srcCol).as("doc_id_a"),
+              col(dstCol).as("doc_id_b")))
+          val live = Dedup.liveLabelSlots(spark, stateDir)
+          if (live.isEmpty) {
+            // first delivery: plain batch CC IS the base snapshot
+            val labels = graft.CacheRegistry.persist(
+              Dedup.connectedComponents(edges))
+            Dedup.saveLabelDelta(spark, stateDir,
+              labels.select(col("comp"), col("comp").as("newcomp"))
+                .limit(0),
+              labels, slot = Some(batchId), snapshot = true)
+          } else {
+            val labels = Dedup.loadLabelIndex(spark, stateDir)
+            val (remap, newLabels) =
+              Dedup.connectedComponentsDelta(labels, edges)
+            if (live.size + 1 >= compactEvery) {
+              val folded = graft.CacheRegistry.persist(
+                labels.join(broadcast(remap), Seq("comp"), "left")
+                  .select(col("node"),
+                    coalesce(col("newcomp"), col("comp")).as("comp"))
+                  .unionByName(newLabels))
+              Dedup.saveLabelDelta(spark, stateDir, remap.limit(0),
+                folded, slot = Some(batchId), snapshot = true)
+              Dedup.sweepLabelIndex(spark, stateDir)
+            } else
+              Dedup.saveLabelDelta(spark, stateDir, remap, newLabels,
+                slot = Some(batchId))
+          }
+      }
+  }
+
   /** Latest committed funnel state written by
     * [[streamingCurationFunnel]]. */
   def curationFunnelState(spark: SparkSession,

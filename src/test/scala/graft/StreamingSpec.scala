@@ -1358,6 +1358,103 @@ class StreamingSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("streaming cluster labels: served labels equal batch CC over " +
+      "every pair ingested so far — deltas store only the tiny remap + " +
+      "first-seen nodes, remaps CHAIN across slots, compaction folds " +
+      "to one snapshot") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lab-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-lab-state").toFile
+    val schema = Seq((0L, 0L)).toDF("keeper_id", "doc_id").schema
+    // batch 0 (base snapshot): components {1,2} and {5,6}
+    Seq((1L, 2L), (5L, 6L)).toDF("keeper_id", "doc_id").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 1: merge the two components, attach a new node, fresh pair
+    Seq((2L, 5L), (6L, 10L), (20L, 21L))
+      .toDF("keeper_id", "doc_id").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 2: new SMALLER ids become both components' minima — the
+    // slot-2 remap (1 -> 0) must chain onto slot 1's (5 -> 1) when the
+    // base rows for nodes 5/6 are served
+    Seq((10L, 0L), (21L, 3L)).toDF("keeper_id", "doc_id").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 3: fresh pair; compactEvery = 4 folds everything here
+    Seq((100L, 101L)).toDF("keeper_id", "doc_id").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    val allEdges = Seq((1L, 2L), (5L, 6L), (2L, 5L), (6L, 10L),
+      (20L, 21L), (10L, 0L), (21L, 3L), (100L, 101L))
+      .toDF("doc_id_a", "doc_id_b")
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingClusterLabels(streamed, stateDir.getPath,
+        compactEvery = 4)
+      q.processAllAvailable(); q.stop()
+      val served = Dedup.loadLabelIndex(spark, stateDir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Dedup.connectedComponents(allEdges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == batch,
+        s"served-only ${served -- batch}; batch-only ${batch -- served}")
+      // node 5's label chained through TWO remaps: 5 ->(slot1) 1
+      // ->(slot2) 0
+      assert(served.contains((5L, 0L)) && served.contains((21L, 3L)),
+        served)
+      // compaction at slot 3 folded to ONE snapshot and swept the rest
+      assert(Dedup.committedLabelSlots(spark, stateDir.getPath)
+        .sorted == Seq(3L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
+  test("streaming cluster labels: pre-compaction deltas are O(delta) — " +
+      "one remap row per merge, new/ holds only first-seen nodes, the " +
+      "base is never rewritten") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lab-delta").toFile
+    val stateDir = Files.createTempDirectory("graft-lab-delta-state").toFile
+    val schema = Seq((0L, 0L)).toDF("keeper_id", "doc_id").schema
+    Seq((1L, 2L), (5L, 6L)).toDF("keeper_id", "doc_id").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    Seq((2L, 5L), (6L, 10L), (20L, 21L))
+      .toDF("keeper_id", "doc_id").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingClusterLabels(streamed, stateDir.getPath,
+        compactEvery = 64)
+      q.processAllAvailable(); q.stop()
+      val remap1 = spark.read
+        .parquet(s"${stateDir.getPath}/lab-delta-1/remap")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(remap1 == Set((5L, 1L)), remap1) // ONE merge -> one row
+      val new1 = spark.read
+        .parquet(s"${stateDir.getPath}/lab-delta-1/new")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(new1 == Set((10L, 1L), (20L, 20L), (21L, 20L)), new1)
+      // the base snapshot was not rewritten: slot 0 still serves the
+      // original four rows
+      val base = spark.read
+        .parquet(s"${stateDir.getPath}/lab-snap-0/new")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(base == Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)), base)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
+
   test("streaming winnow dedup: content re-deliveries pair their stored " +
       "originals chronologically, a redelivered ID is a first-arrival " +
       "no-op, survivors extend the postings index, compaction folds to " +
