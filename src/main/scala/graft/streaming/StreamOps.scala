@@ -803,10 +803,13 @@ object StreamOps {
             .select("doc_id").distinct()
           val batchPost = graft.CacheRegistry.persist(
             post0.join(broadcast(redelivered), Seq("doc_id"), "left_anti"))
-          val storedDfs =
+          // persisted: BOTH kernel calls below prune the df parts by
+          // the same batch key set — one pruned index scan per batch,
+          // not two (the segment host's shared-hit-set discipline)
+          val storedDfs = graft.CacheRegistry.persist(
             if (live.isEmpty) Dedup.postingsDfs(post0.limit(0))
             else Dedup.loadPostingsDfsFor(spark, stateDir,
-              batchPost.select("fph"))
+              batchPost.select("fph")))
           // across (stored keeper, batch doc) and within-batch pairs
           // ride the SAME kernel and therefore the same union-df cut
           val across = Dedup.postingsOverlapAcross(stored, storedDfs,
