@@ -2432,6 +2432,85 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("randomized: connectedComponentsIncremental matches a " +
+      "driver-side union-find oracle over seeded random graphs " +
+      "(old/new edge splits, new nodes, self-edges)") {
+    // independent oracle — path-compressed union-find with union-by-min,
+    // so the distributed fold is checked against different mathematics
+    def uf(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => (x, find(x))).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      val n = 5 + rnd.nextInt(30)
+      val oldEdges = Seq.fill(3 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val span = n + rnd.nextInt(12) // new edges may mint new node ids
+      val newEdges = Seq.fill(1 + rnd.nextInt(20))(
+        (rnd.nextInt(span).toLong, rnd.nextInt(span).toLong))
+      if (oldEdges.nonEmpty && newEdges.nonEmpty) {
+        val labels = Dedup.connectedComponents(
+          oldEdges.toDF("doc_id_a", "doc_id_b"))
+        val got = Dedup.connectedComponentsIncremental(labels,
+            newEdges.toDF("doc_id_a", "doc_id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = uf(oldEdges ++ newEdges)
+        assert(got == expected,
+          s"trial $trial old=$oldEdges new=$newEdges\n" +
+            s"got-only ${got -- expected}; exp-only ${expected -- got}")
+      }
+    }
+  }
+
+  test("randomized: postingsOverlapAcross matches a driver-side " +
+      "union-df reference over seeded random postings (small key " +
+      "alphabet forces df-boundary crossings)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { trial =>
+      val keys = ('A' to 'H').map(_.toString)
+      def randSet(): Seq[String] = keys.filter(_ => rnd.nextBoolean())
+      val corpus = (1L to (3 + rnd.nextInt(6)).toLong)
+        .map(i => i -> randSet()).filter(_._2.nonEmpty)
+      val delivery = (1001L to (1001 + rnd.nextInt(4)).toLong)
+        .map(i => i -> randSet()).filter(_._2.nonEmpty)
+      val maxDf = 2L + rnd.nextInt(3)
+      if (corpus.nonEmpty && delivery.nonEmpty) {
+        val cPost = corpus.flatMap { case (id, ks) => ks.map(id -> _) }
+          .toDF("doc_id", "fph")
+        val dPost = delivery.flatMap { case (id, ks) => ks.map(id -> _) }
+          .toDF("doc_id", "fph")
+        val got = Dedup.postingsOverlapAcross(cPost,
+            Dedup.postingsDfs(cPost), dPost, maxDf = maxDf)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        // reference: union df per key over plain collections
+        val df = (corpus ++ delivery).flatMap(_._2)
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val rare = df.filter(_._2 <= maxDf).keySet
+        val expected = (for {
+          (c, cks) <- corpus; (d, dks) <- delivery
+          shared = (cks.toSet & dks.toSet & rare).size.toLong
+          if shared >= 1
+        } yield (c, d, shared)).toSet
+        assert(got == expected,
+          s"trial $trial maxDf=$maxDf corpus=$corpus delivery=$delivery\n" +
+            s"got-only ${got -- expected}; exp-only ${expected -- got}")
+      }
+    }
+  }
+
   test("postingsOverlapAcross equals winnowingOverlapPairs over " +
       "corpus UNION delivery restricted to (corpus, delivery) pairs — " +
       "the q44b defining equivalence") {
