@@ -1159,6 +1159,30 @@ object ScaleOps {
       .orderBy("cluster_size")
   }
 
+  /** Q116b incremental cluster-size histogram (ORACLED): q116's
+    * duplication report refreshed per delivery from the q53b
+    * incrementally-maintained labels — the dashboard a landing zone
+    * reads after each fold, without ever re-running batch CC over the
+    * published edge set. Singletons (docs of corpus ∪ delivery with no
+    * edge) fill in as 1-clusters exactly as q116's self form. */
+  def q116b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val uni = docs.select(col("doc_id")).unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id")))
+    uni
+      .join(q53b(s, d).withColumnRenamed("component", "comp"),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("component"))
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+      .select(col("cluster_size").cast("bigint").as("cluster_size"),
+        col("n_clusters").cast("bigint").as("n_clusters"),
+        col("n_docs").cast("bigint").as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   /** Q117 incremental shared-span removal (oracled): the q74
     * exact-substring dedup at DELIVERY time — the stored corpus
     * (doc_id % 4 ≠ 0) is represented ONLY by its gram-df table
@@ -1325,6 +1349,7 @@ object ScaleOps {
     "q113_salted_join" -> q113, "q105b_incremental_funnel" -> q105b,
     "q114_index_drift" -> q114, "q115_source_cap" -> q115,
     "q116_cluster_histogram" -> q116,
+    "q116b_cluster_histogram_incremental" -> q116b,
     "q117_incremental_span_removal" -> q117,
     "q117b_span_removal_served" -> q117b,
     "q118_source_overlap" -> q118,
@@ -1333,6 +1358,55 @@ object ScaleOps {
     "q121_segment_dedup" -> q121,
     "q121b_segment_dedup_incremental" -> q121b,
   )
+
+  /** q53b/q116b shared oracle prefix: the PUBLISHED edge union —
+    * corpus edges (corpus-only df cut, immutable once published)
+    * plus the delivery-touching edges of corpus ∪ delivery (union
+    * df cut) — contracted by the recursive reach CTE. */
+  private val IncrementalComponentsCte: String =
+    """WITH RECURSIVE
+         t1 AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
+         gs1 AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t1),
+         sz1 AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gs1),
+         p1 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gs1),
+         r1 AS (SELECT gram FROM p1 GROUP BY gram HAVING COUNT(*) <= 100),
+         g1 AS (SELECT p1.doc_id, p1.gram FROM p1 JOIN r1 ON p1.gram = r1.gram),
+         pr1 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                 FROM g1 a JOIN g1 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         e1 AS (SELECT da, db FROM pr1
+                JOIN sz1 s1 ON da = s1.doc_id JOIN sz1 s2 ON db = s2.doc_id
+                WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2),
+         uni AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000, text || ' v2' FROM documents
+                 WHERE doc_id % 7 = 0),
+         t2 AS (SELECT doc_id,
+              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM uni),
+         gs2 AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
+              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t2),
+         sz2 AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gs2),
+         p2 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gs2),
+         r2 AS (SELECT gram FROM p2 GROUP BY gram HAVING COUNT(*) <= 100),
+         g2 AS (SELECT p2.doc_id, p2.gram FROM p2 JOIN r2 ON p2.gram = r2.gram),
+         pr2 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                 FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         e2 AS (SELECT da, db FROM pr2
+                JOIN sz2 s1 ON da = s1.doc_id JOIN sz2 s2 ON db = s2.doc_id
+                WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2
+                  AND db >= 1000000),
+         e AS (SELECT da, db FROM e1 UNION SELECT da, db FROM e2),
+         ud AS (SELECT da AS a, db AS b FROM e UNION SELECT db AS a, da AS b FROM e),
+         reach AS (SELECT a AS n, a AS m FROM ud
+                   UNION
+                   SELECT ud.b AS n, reach.m AS m FROM reach JOIN ud ON reach.n = ud.a)"""
 
   /** The q53/q95 near-dup component computation as a DuckDB recursive
     * CTE chain ending in `reach` (node n reaches node m): df-pruned
@@ -1644,52 +1718,21 @@ object ScaleOps {
     // (corpus-only df cut, immutable once published) plus the
     // delivery-touching edges of corpus ∪ delivery (union df cut) —
     // the chronological semantics every across form shares
-    "q53b_dedup_components_incremental" ->
-      """WITH RECURSIVE
-         t1 AS (SELECT doc_id,
-              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM documents),
-         gs1 AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
-              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
-                i -> toks[i] || ' ' || toks[i+1]))
-              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t1),
-         sz1 AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gs1),
-         p1 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gs1),
-         r1 AS (SELECT gram FROM p1 GROUP BY gram HAVING COUNT(*) <= 100),
-         g1 AS (SELECT p1.doc_id, p1.gram FROM p1 JOIN r1 ON p1.gram = r1.gram),
-         pr1 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-                 FROM g1 a JOIN g1 b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         e1 AS (SELECT da, db FROM pr1
-                JOIN sz1 s1 ON da = s1.doc_id JOIN sz1 s2 ON db = s2.doc_id
-                WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2),
-         uni AS (SELECT doc_id, text FROM documents
-                 UNION ALL
-                 SELECT doc_id + 1000000, text || ' v2' FROM documents
-                 WHERE doc_id % 7 = 0),
-         t2 AS (SELECT doc_id,
-              LIST_FILTER(STRING_SPLIT(text,' '), t -> t <> '') AS toks FROM uni),
-         gs2 AS (SELECT doc_id, CASE WHEN LEN(toks) >= 2 THEN
-              LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-1),
-                i -> toks[i] || ' ' || toks[i+1]))
-              ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams FROM t2),
-         sz2 AS (SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS ng FROM gs2),
-         p2 AS (SELECT doc_id, UNNEST(grams) AS gram FROM gs2),
-         r2 AS (SELECT gram FROM p2 GROUP BY gram HAVING COUNT(*) <= 100),
-         g2 AS (SELECT p2.doc_id, p2.gram FROM p2 JOIN r2 ON p2.gram = r2.gram),
-         pr2 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-                 FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         e2 AS (SELECT da, db FROM pr2
-                JOIN sz2 s1 ON da = s1.doc_id JOIN sz2 s2 ON db = s2.doc_id
-                WHERE ROUND(CAST(inter AS DOUBLE)/(s1.ng + s2.ng - inter), 4) >= 0.2
-                  AND db >= 1000000),
-         e AS (SELECT da, db FROM e1 UNION SELECT da, db FROM e2),
-         ud AS (SELECT da AS a, db AS b FROM e UNION SELECT db AS a, da AS b FROM e),
-         reach AS (SELECT a AS n, a AS m FROM ud
-                   UNION
-                   SELECT ud.b AS n, reach.m AS m FROM reach JOIN ud ON reach.n = ud.a)
+    "q53b_dedup_components_incremental" -> (IncrementalComponentsCte + """
          SELECT n AS doc_id, MIN(m) AS component FROM reach
-         GROUP BY n ORDER BY doc_id""",
+         GROUP BY n ORDER BY doc_id"""),
+    // q116b: q116's histogram over the q53b incremental components
+    // plus corpus∪delivery singletons as 1-clusters
+    "q116b_cluster_histogram_incremental" -> (IncrementalComponentsCte + """,
+         comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+         labeled AS (SELECT u.doc_id, COALESCE(c.component, u.doc_id) AS component
+                     FROM uni u LEFT JOIN comp c USING (doc_id)),
+         csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+                    FROM labeled GROUP BY component)
+         SELECT CAST(sz AS BIGINT) AS cluster_size,
+                CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(SUM(sz) AS BIGINT) AS n_docs
+         FROM csizes GROUP BY sz ORDER BY cluster_size"""),
     "q116_cluster_histogram" -> (ComponentsOracleCte + """,
          comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
          labeled AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
