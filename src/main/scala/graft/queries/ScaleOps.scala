@@ -217,6 +217,47 @@ object ScaleOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Q37b delivery-time SimHash near-dedup, PRODUCTION shape
+    * (rows-only — sketch like q37): the TEXT face of the generic
+    * 64-bit signature across ([[Dedup.hamming64PairsAcross]] — the
+    * same kernel p17b/p18b ride for media). The corpus SimHash table
+    * plus its sign-time cap bookkeeping (over-cap pigeonhole chunk
+    * list + signature star keepers) are signed once per scale dir;
+    * the q102-shaped delivery signs row-locally and band-joins the
+    * stored index at Hamming ≤ 3 — corpus scanned, never re-signed,
+    * re-paired, aggregated or broadcast. */
+  def q37b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q37-idx-" + stateKeyDigest(d))
+    val sigsDir = new java.io.File(stateDir, "sigs").getPath
+    val chunksDir = new java.io.File(stateDir, "chunks").getPath
+    val keepersDir = new java.io.File(stateDir, "keepers").getPath
+    val committed = Seq(sigsDir, chunksDir, keepersDir)
+      .forall(p => new java.io.File(p, "_SUCCESS").exists())
+    if (!committed) {
+      docs.select(col("doc_id"),
+          Dedup.simHash64(Dedup.tokensOf(col("text"))).as("sim"))
+        .write.mode("overwrite").parquet(sigsDir)
+      val signed = s.read.parquet(sigsDir)
+      Dedup.signatureOverCapChunks(signed, "doc_id", "sim",
+          maxBucket = 100000L)
+        .write.mode("overwrite").parquet(chunksDir)
+      Dedup.signatureKeepers(signed, "doc_id", "sim")
+        .write.mode("overwrite").parquet(keepersDir)
+    }
+    val delivery = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+      .select(col("doc_id"),
+        Dedup.simHash64(Dedup.tokensOf(col("text"))).as("sim"))
+    Dedup.hamming64PairsAcross(s.read.parquet(sigsDir), delivery,
+        "doc_id", "sim", maxHamming = 3, maxBucket = 100000L,
+        overCapChunks = Some(s.read.parquet(chunksDir)),
+        starKeepers = Some(s.read.parquet(keepersDir)))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Q50 IVF ANN top-5 for 4 query vectors (rows-only): the inverted-
     * file scale path next to q38's LSH — k-means coarse quantizer,
     * broadcast probe table, corpus filtered in place (never shuffled).
@@ -1304,7 +1345,9 @@ object ScaleOps {
     "q35_dedup_bigram_jaccard" -> q35,
     "q35b_dedup_bigram_jaccard_served" -> q35b,
     "q36_dedup_minhash_lsh" -> q36,
-    "q37_dedup_simhash" -> q37, "q38_ann_lsh" -> q38,
+    "q37_dedup_simhash" -> q37,
+    "q37b_dedup_simhash_served" -> q37b,
+    "q38_ann_lsh" -> q38,
     "q39_text_quality" -> q39, "q40_lang_id" -> q40,
     "q41_fingerprint" -> q41, "q42_token_count" -> q42,
     "q43_dedup_embedding" -> q43,

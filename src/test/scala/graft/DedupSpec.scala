@@ -2432,6 +2432,30 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("hamming64PairsAcross on SimHash signatures equals simHashPairs " +
+      "over corpus UNION delivery restricted to (corpus, delivery) " +
+      "pairs — the q37b defining equivalence (served ≡ in-memory is " +
+      "pinned by the p17b/p18b family)") {
+    val corpus = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    def signed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Dedup.simHash64(Dedup.tokensOf(col("text"))).as("sim"))
+    val across = Dedup.hamming64PairsAcross(signed(corpus), signed(batch),
+        "doc_id", "sim", maxHamming = 3, maxBucket = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reference = Dedup.simHashPairs(corpus.unionByName(batch),
+        maxHamming = 3, maxBucket = 100000L)
+      .filter(col("doc_id_a") < 1000000L && col("doc_id_b") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(across == reference,
+      s"across-only ${across -- reference}; reference-only ${reference -- across}")
+    assert(across.nonEmpty)
+  }
+
   test("randomized: connectedComponentsIncremental matches a " +
       "driver-side union-find oracle over seeded random graphs " +
       "(old/new edge splits, new nodes, self-edges)") {
