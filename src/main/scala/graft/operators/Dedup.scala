@@ -357,6 +357,103 @@ object Dedup {
       .select("corpus_id", "batch_id", "est_jaccard")
   }
 
+  // ------------------------------ minhash index (slotted state)
+
+  /** Per-(band, band-key) signature counts of a MinHash signature
+    * table — the cap bookkeeping the slotted MinHash index stores
+    * NEXT TO each delta. Unlike the 64-bit pigeonhole chunk counts
+    * the band-key domain is UNBOUNDED, so the serve-time sum is
+    * KEY-PRUNED ([[loadMinHashOverCapFor]], the postings-dfs
+    * discipline): only bands the delivery actually probes matter for
+    * its anti-join prune, and per-part rows per key are ≤ 1. */
+  def minHashBandCounts(sigs: DataFrame, bands: Int = 16,
+      numHashes: Int = 64): DataFrame =
+    bandKeys(sigs, "id", bands, numHashes)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+
+  /** Persisted MinHash signature index — the TENTH
+    * [[graft.state.SlotStore]] client (the lexical fuzzy family's
+    * landing-zone state): deliveries land as self-committing
+    * `mh-delta-<slot>` dirs (sub-tables `sigs/` = (id, sig) and
+    * `cnt/` = [[minHashBandCounts]]), compactions as `mh-snap-<slot>`.
+    * Host construction keeps stored signatures UNIQUE (an identical
+    * signature always pairs — banding under cap, star keepers over it
+    * — and the later arrival drops), so `(xxhash64(sig), id)`
+    * projected off the index IS the star-keeper table, no aggregate.
+    * `sigs` should be persisted by the caller. */
+  def saveMinHashDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, sigs: DataFrame, slot: Option[Long] = None,
+      snapshot: Boolean = false, bands: Int = 16,
+      numHashes: Int = 64): Unit = {
+    val parts = mhIndexParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    graft.state.SlotStore.requireNotSuperseded(parts, "mh-snap", next,
+      "saveMinHashDelta")
+    val kind = if (snapshot) "snap" else "delta"
+    commitPart(spark, s"$path/mh-$kind-$next") { dir =>
+      sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+      minHashBandCounts(sigs, bands, numHashes)
+        .write.mode("overwrite").parquet(s"$dir/cnt")
+    }
+  }
+
+  private def mhIndexParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("mh-delta", "mh-snap"))
+
+  /** Committed slot numbers — the replay-skip set for the streaming
+    * host. */
+  def committedMinHashSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    mhIndexParts(spark, path).map(_._2)
+
+  /** LIVE slots (latest snapshot + later deltas) with their snapshot
+    * flag. */
+  def liveMinHashSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(mhIndexParts(spark, path),
+      "mh-delta", "mh-snap")
+      .map(p => (p._2, p._1 == "mh-snap"))
+
+  /** The index as ONE flat multi-path scan of the live parts'
+    * `sigs/` sub-tables (unique per signature by host construction —
+    * no merge). */
+  def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(mhIndexParts(spark, path),
+      "mh-delta", "mh-snap")
+    require(parts.nonEmpty, s"no committed minhash parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/sigs"))
+  }
+
+  /** Over-cap (band, bkey) rows among exactly the DELIVERY's band
+    * keys: the live parts' count tables scanned with the delivery's
+    * band-key set broadcast against them, summed, filtered — never a
+    * corpus-scale aggregate. Bands the delivery does not probe cannot
+    * affect its anti-join prune, so restricting to its keys is
+    * lossless for the per-batch join. */
+  def loadMinHashOverCapFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchSigs: DataFrame, maxBucket: Long,
+      bands: Int = 16, numHashes: Int = 64): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(mhIndexParts(spark, path),
+      "mh-delta", "mh-snap")
+    require(parts.nonEmpty, s"no committed minhash parts under $path")
+    val batchKeys = bandKeys(batchSigs, "id", bands, numHashes)
+      .select("band", "bkey").distinct()
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/cnt"))
+      .join(broadcast(batchKeys), Seq("band", "bkey"), "left_semi")
+      .groupBy("band", "bkey").agg(sum(col("bn")).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select("band", "bkey")
+  }
+
+  /** Delete parts a snapshot superseded — housekeeping. */
+  def sweepMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "mh-delta",
+      "mh-snap")
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array — pure row-local projection via the
@@ -1727,6 +1824,31 @@ object Dedup {
   /** Freeze-or-assert the hyperplane family of a slotted embedding
     * index: first call writes `idx-meta`; later calls require the
     * identical string. */
+  /** Freeze an index's signing parameters into its state dir at first
+    * write and assert them on every later batch — a host restarted
+    * with different parameters against the same state dir must fail
+    * loudly instead of silently probing with a foreign signature
+    * family (the embedding host's hyperplane rule, generalized for
+    * the MinHash host's shingle/hash/band family). */
+  def requireIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: String, what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/idx-meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      out.write(meta.getBytes("UTF-8")); out.close()
+    } else {
+      val in = fs.open(p)
+      val stored = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      require(stored == meta,
+        s"$what at $path was built with '$stored' but the host was " +
+          s"started with '$meta' — same state dir, different signing " +
+          "parameters")
+    }
+  }
+
   def requireEmbeddingMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, meta: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/idx-meta")

@@ -841,6 +841,100 @@ object StreamOps {
       }
   }
 
+  /** Streaming MinHash near-dedup — the LEXICAL fuzzy family's
+    * landing-zone host (the TENTH [[graft.state.SlotStore]] client;
+    * q102's across on micro-batches): each batch of `(idCol, textCol)`
+    * rows signs ROW-LOCALLY ([[graft.operators.Dedup
+    * .minHashSignatures]] — the signature table is both operator
+    * input and state delta) and band-joins the persisted signature
+    * index under CHRONOLOGICAL precedence (stored wins whatever the
+    * ids; id-min within a batch) with FIRST-ARRIVAL ids (a redelivered
+    * id never pairs or re-enters — the winnow host's rule). Near-dup
+    * PAIRS land as `pairs-<batchId>` (`keeper_id, doc_id,
+    * est_jaccard`); signatures pairing NOTHING commit as the
+    * `mh-delta-<batchId>` slot, so the index stays unique per
+    * signature (an identical signature always pairs — banding under
+    * cap, star keepers over it) and `(xxhash64(sig), id)` projected
+    * off it IS the star-keeper table.
+    *
+    * Scale shape per batch: the index is SCANNED (band join + star
+    * probe), never aggregated — over-cap band keys are summed from the
+    * per-delta count tables KEY-PRUNED to the batch's own band keys
+    * ([[graft.operators.Dedup.loadMinHashOverCapFor]]; the band-key
+    * domain is unbounded, and bands the batch does not probe cannot
+    * affect its prune) — and only batch-sized frames shuffle. The
+    * keep rule is pairwise; component keepers come from q53's CC (or
+    * the [[streamingClusterLabels]] host) over the pair stream. Every
+    * `compactEvery` live parts the index folds into one `mh-snap`
+    * snapshot and superseded dirs are swept. */
+  def streamingMinHashDedup(docs: DataFrame, stateDir: String,
+      outDir: String, textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5, maxBucket: Long = 100000L,
+      compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    import graft.operators.Dedup
+    slottedDedupHost(docs, stateDir, "streamingMinHashDedup",
+      Dedup.committedMinHashSlots) {
+        (spark: SparkSession, batch: DataFrame, batchId: Long) =>
+          // the signing family is FROZEN into the state dir: a restart
+          // with different shingle/hash/band parameters fails loudly
+          Dedup.requireIndexMeta(spark, stateDir,
+            s"shingle=$shingleSize numHashes=$numHashes bands=$bands",
+            "minhash index")
+          val sigs0 = Dedup.minHashSignatures(batch, textCol, idCol,
+            shingleSize, numHashes)
+          val live = Dedup.liveMinHashSlots(spark, stateDir)
+          val stored =
+            if (live.isEmpty) sigs0.limit(0)
+            else Dedup.loadMinHashIndex(spark, stateDir)
+          // first-arrival id guard: broadcast-semi-pruned index scan,
+          // batch-bounded output, no corpus aggregate
+          val batchIds = batch.select(col(idCol).as("id")).distinct()
+          val redelivered = stored
+            .join(broadcast(batchIds), Seq("id"), "left_semi")
+            .select("id").distinct()
+          val batchSigs = graft.CacheRegistry.persist(
+            sigs0.join(broadcast(redelivered), Seq("id"), "left_anti"))
+          val overCap =
+            if (live.isEmpty) None
+            else Some(graft.CacheRegistry.persist(
+              Dedup.loadMinHashOverCapFor(spark, stateDir, batchSigs,
+                maxBucket, bands, numHashes)))
+          val across = Dedup.minHashLshPairsAcross(stored, batchSigs,
+              bands, numHashes, minEstJaccard, maxBucket,
+              overCapBands = overCap,
+              starKeepers = Some(stored.select(
+                xxhash64(col("sig")).as("sh"), col("id").as("corpus_id"))))
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("est_jaccard"))
+          // within-batch pairs ride the same kernel at id-min
+          // orientation; the batch is delivery-sized so its cap
+          // bookkeeping is computed in-query
+          val within = Dedup.minHashLshPairsAcross(batchSigs, batchSigs,
+              bands, numHashes, minEstJaccard, maxBucket)
+            .filter(col("corpus_id") < col("batch_id"))
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("est_jaccard"))
+          val pairs = graft.CacheRegistry.persist(
+            across.unionByName(within))
+          pairs.write.mode("overwrite").parquet(s"$outDir/pairs-$batchId")
+          val kept = graft.CacheRegistry.persist(
+            batchSigs.join(
+              broadcast(pairs.select(col("doc_id").as("id")).distinct()),
+              Seq("id"), "left_anti"))
+          if (live.size + 1 >= compactEvery) {
+            Dedup.saveMinHashDelta(spark, stateDir,
+              stored.unionByName(kept), slot = Some(batchId),
+              snapshot = true, bands = bands, numHashes = numHashes)
+            Dedup.sweepMinHashIndex(spark, stateDir)
+          } else
+            Dedup.saveMinHashDelta(spark, stateDir, kept,
+              slot = Some(batchId), bands = bands, numHashes = numHashes)
+      }
+  }
+
   /** Streaming cluster-label maintenance — the CONSUMER that closes
     * the dedup loop (the NINTH [[graft.state.SlotStore]] client):
     * every landing-zone host here publishes per-batch PAIR lists;

@@ -2456,6 +2456,41 @@ class DedupSpec extends SparkSuite {
     assert(across.nonEmpty)
   }
 
+  test("loadMinHashOverCapFor sums per-delta band counts KEY-PRUNED " +
+      "to the probe's own bands — cross-part sums cross the cap, " +
+      "unprobed over-cap bands never surface") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhidx")
+    try {
+      // sigX: a fixed 64-hash signature; 3 copies land in delta 0 and
+      // 2 more in delta 1 — every band of sigX then counts 5 across
+      // parts (each part alone is under a cap of 4)
+      val sigX = (1L to 64L).toArray
+      def sigs(ids: Seq[Long]) =
+        ids.map(i => (i, sigX)).toDF("id", "sig")
+      Dedup.saveMinHashDelta(spark, tmp.toString, sigs(Seq(0L, 1L, 2L)),
+        slot = Some(0L))
+      Dedup.saveMinHashDelta(spark, tmp.toString, sigs(Seq(3L, 4L)),
+        slot = Some(1L))
+      // probe shares ONLY band 0 (first 4 hashes) with sigX
+      val probe = Seq((1000L, (1L to 4L).toArray ++
+        (100L to 159L).toArray)).toDF("id", "sig")
+      val over = Dedup.loadMinHashOverCapFor(spark, tmp.toString, probe,
+        maxBucket = 4L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      // exactly ONE over-cap row: band 0's key. sigX's other 15 bands
+      // are equally over cap but the probe never touches them — the
+      // pruned sum stays delivery-bounded by construction
+      assert(over.length == 1 && over.head._1 == 0, over.toSeq)
+      // and a per-part read alone would NOT cross the cap: the sum is
+      // what matters (3 + 2 > 4)
+      val parts = graft.state.SlotStore.committedParts(spark,
+        tmp.toString, Seq("mh-delta"))
+      val one = spark.read.parquet(s"${parts.head._3}/cnt")
+        .filter(col("bn") > 4).count()
+      assert(one == 0L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("randomized: connectedComponentsIncremental matches a " +
       "driver-side union-find oracle over seeded random graphs " +
       "(old/new edge splits, new nodes, self-edges)") {

@@ -1455,6 +1455,78 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming minhash dedup: content re-deliveries pair their " +
+      "stored originals chronologically, a redelivered ID is a " +
+      "first-arrival no-op, survivors extend the signature index, the " +
+      "signing family locks the state dir, compaction folds to one " +
+      "snapshot") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mh-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-mh-state").toFile
+    val outDir = Files.createTempDirectory("graft-mh-out").toFile
+    val longA = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val longB = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longC = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val novelD = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val novelE = (1 to 30).map(i => s"delta$i").mkString(" ")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((100L, longA), (101L, longB), (102L, longC))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 1: smaller-id content redelivery of longA (loses to stored
+    // 100); SAME id 100 redelivered (first-arrival no-op); a light
+    // edit of longB (banded near dup of 101); a novel text twice
+    // (id-min within); a novel survivor
+    Seq((5L, longA), (100L, longA), (200L, longB + " v2"),
+      (201L, novelD), (300L, novelD), (400L, novelE))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingMinHashDedup(streamed, stateDir.getPath,
+        outDir.getPath, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      val p0 = spark.read.parquet(s"${outDir.getPath}/pairs-0")
+        .collect()
+      assert(p0.isEmpty, p0.toSeq)
+      val p1 = spark.read.parquet(s"${outDir.getPath}/pairs-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(p1.map(p => (p._1, p._2)) == Set(
+        (100L, 5L),   // stored longA beats the smaller-id redelivery
+        (101L, 200L), // banded near dup of the light edit
+        (201L, 300L)  // within-batch novel pair, id-min keeper
+      ), p1)
+      assert(p1.forall(_._3 >= 0.5), p1)
+      assert(p1.exists(p => p._2 == 5L && p._3 == 1.0), p1)
+      assert(!p1.exists(_._2 == 100L), p1) // same-id replay: no pair
+      assert(Dedup.committedMinHashSlots(spark, stateDir.getPath)
+        .sorted == Seq(1L))
+      val ids = Dedup.loadMinHashIndex(spark, stateDir.getPath)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(100L, 101L, 102L, 201L, 400L), ids)
+      // per-delta band counts sum to the index's true band histogram
+      val over0 = Dedup.loadMinHashOverCapFor(spark, stateDir.getPath,
+        Dedup.loadMinHashIndex(spark, stateDir.getPath), maxBucket = 0L)
+      assert(over0.count() > 0) // every occupied probed band > cap 0
+      // the signing family is FROZEN: other parameters fail loudly
+      intercept[IllegalArgumentException] {
+        Dedup.requireIndexMeta(spark, stateDir.getPath,
+          "shingle=2 numHashes=64 bands=16", "minhash index")
+      }
+      Dedup.requireIndexMeta(spark, stateDir.getPath,
+        "shingle=3 numHashes=64 bands=16", "minhash index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
   test("streaming winnow dedup: content re-deliveries pair their stored " +
       "originals chronologically, a redelivered ID is a first-arrival " +
       "no-op, survivors extend the postings index, compaction folds to " +
