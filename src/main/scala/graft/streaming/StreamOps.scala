@@ -794,15 +794,8 @@ object StreamOps {
           val stored =
             if (live.isEmpty) post0.limit(0)
             else Dedup.loadPostingsIndex(spark, stateDir)
-          // first-arrival id guard: redelivered ids are found by a
-          // broadcast-semi-pruned index scan (batch-bounded output,
-          // no corpus aggregate) and never pair or re-enter
-          val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
-          val redelivered = stored
-            .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
-            .select("doc_id").distinct()
           val batchPost = graft.CacheRegistry.persist(
-            post0.join(broadcast(redelivered), Seq("doc_id"), "left_anti"))
+            dropRedelivered(stored, post0, "doc_id"))
           // persisted: BOTH kernel calls below prune the df parts by
           // the same batch key set — one pruned index scan per batch,
           // not two (the segment host's shared-hit-set discipline)
@@ -839,6 +832,20 @@ object StreamOps {
             Dedup.savePostingsDelta(spark, stateDir, kept,
               slot = Some(batchId))
       }
+  }
+
+  /** FIRST-ARRIVAL id guard shared by the winnow/minhash hosts: drop
+    * `fresh` rows whose id already exists in the stored index (a
+    * replay of the same document is not a duplicate pair, and letting
+    * it re-enter would double its index rows). The redelivered set is
+    * found by a broadcast-semi-pruned index scan — batch-bounded
+    * output, no corpus aggregate. */
+  private def dropRedelivered(stored: DataFrame, fresh: DataFrame,
+      idCol: String): DataFrame = {
+    val ids = fresh.select(col(idCol)).distinct()
+    val redelivered = stored.select(col(idCol))
+      .join(broadcast(ids), Seq(idCol), "left_semi").distinct()
+    fresh.join(broadcast(redelivered), Seq(idCol), "left_anti")
   }
 
   /** Streaming MinHash near-dedup — the LEXICAL fuzzy family's
@@ -889,14 +896,8 @@ object StreamOps {
           val stored =
             if (live.isEmpty) sigs0.limit(0)
             else Dedup.loadMinHashIndex(spark, stateDir)
-          // first-arrival id guard: broadcast-semi-pruned index scan,
-          // batch-bounded output, no corpus aggregate
-          val batchIds = batch.select(col(idCol).as("id")).distinct()
-          val redelivered = stored
-            .join(broadcast(batchIds), Seq("id"), "left_semi")
-            .select("id").distinct()
           val batchSigs = graft.CacheRegistry.persist(
-            sigs0.join(broadcast(redelivered), Seq("id"), "left_anti"))
+            dropRedelivered(stored, sigs0, "id"))
           val overCap =
             if (live.isEmpty) None
             else Some(graft.CacheRegistry.persist(
