@@ -2456,6 +2456,38 @@ class DedupSpec extends SparkSuite {
     assert(across.nonEmpty)
   }
 
+  test("label store: a torn delta (no part-root _SUCCESS) is invisible " +
+      "to loads and a retry of the same slot commits cleanly over it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-labtorn")
+    try {
+      Dedup.saveLabelDelta(spark, tmp.toString,
+        remap = Seq.empty[(Long, Long)].toDF("comp", "newcomp"),
+        newLabels = Seq((1L, 1L), (2L, 1L)).toDF("node", "comp"),
+        slot = Some(0L), snapshot = true)
+      // torn slot 1: sub-tables written, part-root marker ABSENT (the
+      // crash window commitPart guards — its _SUCCESS is written last)
+      val torn = new java.io.File(tmp.toFile, "lab-delta-1")
+      Seq((5L, 1L)).toDF("comp", "newcomp").write.parquet(s"$torn/remap")
+      Seq((9L, 9L)).toDF("node", "comp").write.parquet(s"$torn/new")
+      // Spark's per-table _SUCCESS files exist inside the sub-dirs;
+      // only the part-root marker commits the slot
+      assert(Dedup.committedLabelSlots(spark, tmp.toString) == Seq(0L))
+      val before = Dedup.loadLabelIndex(spark, tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before == Set((1L, 1L), (2L, 1L)), before)
+      // retry of slot 1 commits over the torn dir
+      Dedup.saveLabelDelta(spark, tmp.toString,
+        remap = Seq.empty[(Long, Long)].toDF("comp", "newcomp"),
+        newLabels = Seq((7L, 7L)).toDF("node", "comp"), slot = Some(1L))
+      val after = Dedup.loadLabelIndex(spark, tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((1L, 1L), (2L, 1L), (7L, 7L)), after)
+      assert(Dedup.committedLabelSlots(spark, tmp.toString)
+        .sorted == Seq(0L, 1L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("loadMinHashOverCapFor sums per-delta band counts KEY-PRUNED " +
       "to the probe's own bands — cross-part sums cross the cap, " +
       "unprobed over-cap bands never surface") {
