@@ -2488,6 +2488,60 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("randomized: label-store remap chaining over seeded multi-slot " +
+      "streams equals a union-find oracle — the dead-labels-never-" +
+      "re-minted composition argument under arbitrary merge orders") {
+    import spark.implicits._
+    def uf(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => (x, find(x))).toSet
+    }
+    val rnd = new scala.util.Random(13)
+    (1 to 6).foreach { trial =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-labrand")
+      try {
+        val nBatches = 3 + rnd.nextInt(3)
+        var all = Seq.empty[(Long, Long)]
+        (0 until nBatches).foreach { b =>
+          // widening id span per batch: later batches both merge old
+          // components AND mint new smaller-into-larger relabels
+          val span = 10 + b * 10 + rnd.nextInt(10)
+          val edges = Seq.fill(2 + rnd.nextInt(8))(
+            (rnd.nextInt(span).toLong, rnd.nextInt(span).toLong))
+          all ++= edges
+          if (b == 0)
+            Dedup.saveLabelDelta(spark, tmp.toString,
+              Seq.empty[(Long, Long)].toDF("comp", "newcomp"),
+              Dedup.connectedComponents(edges.toDF("doc_id_a", "doc_id_b")),
+              slot = Some(0L), snapshot = true)
+          else {
+            val served = Dedup.loadLabelIndex(spark, tmp.toString)
+            val (remap, newLabels) = Dedup.connectedComponentsDelta(
+              served, edges.toDF("doc_id_a", "doc_id_b"))
+            Dedup.saveLabelDelta(spark, tmp.toString, remap, newLabels,
+              slot = Some(b.toLong))
+          }
+        }
+        val served = Dedup.loadLabelIndex(spark, tmp.toString)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = uf(all)
+        assert(served == expected,
+          s"trial $trial batches=$nBatches edges=$all\n" +
+            s"served-only ${served -- expected}; exp-only ${expected -- served}")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("loadMinHashOverCapFor sums per-delta band counts KEY-PRUNED " +
       "to the probe's own bands — cross-part sums cross the cap, " +
       "unprobed over-cap bands never surface") {
