@@ -2090,4 +2090,65 @@ object Dedup {
     assigned.join(drops, assigned(idCol) === drops("drop_id"), "left_anti")
       .select(col(idCol), col("cluster"), round(col("norm"), 4).as("norm"))
   }
+
+  /** Delivery-time SemDeDup — [[semanticDedup]]'s across form (the
+    * q43b discipline with CENTROID buckets instead of sign-LSH): the
+    * stored corpus keeps its deduped assignment index `(id, v, norm,
+    * cluster)` and the FROZEN centroid family; a delivery assigns
+    * row-locally against the broadcast centroids (the same argmax-dot
+    * kernel as the corpus — [[Similarity.ivfAssign]]) and pairs
+    * stored same-cluster rows at cosine ≥ `tau`. Returns
+    * `(corpus_id, batch_id, cos)` — which delivery vectors duplicate
+    * the published corpus, without re-training, re-assigning or
+    * re-pairing the corpus.
+    *
+    * Cap discipline: `maxCluster` prunes over-cap corpus clusters
+    * (broadcast anti-join on the tiny list — served from sign time
+    * via `overCapClusters`, one in-query aggregate otherwise, with
+    * the empty-probe short-circuit either way); identical delivery
+    * vectors recover via the star keepers (xxhash64(v) → corpus id —
+    * the DEDUPED index is unique per vector so its projection IS the
+    * table), re-verified by true cosine. Zero-norm vectors score null
+    * under try_divide — they never pair, never abort. */
+  def semanticDedupAcross(corpusIndex: DataFrame,
+      centroids: Array[Array[Float]], delivery: DataFrame,
+      tau: Double = 0.7, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxCluster: Long = Long.MaxValue,
+      overCapClusters: Option[DataFrame] = None,
+      starKeepers: Option[DataFrame] = None): DataFrame = {
+    val del = graft.CacheRegistry.persist(
+      Similarity.ivfAssign(delivery, centroids, vecCol, idCol)
+        .withColumnRenamed("list_id", "cluster")
+        .select(col(idCol).as("batch_id"), col("v").as("bv"),
+          col("norm").as("bnorm"), col("cluster")))
+    val requested = maxCluster != Long.MaxValue
+    val over = if (!requested) None else Some(overCapClusters.getOrElse(
+      graft.CacheRegistry.persist(
+        corpusIndex.groupBy("cluster").agg(count(lit(1)).as("cn"))
+          .filter(col("cn") > maxCluster).select("cluster"))))
+    val capped = over.exists(o => !o.isEmpty)
+    var corpus = corpusIndex.select(col("id").as("corpus_id"),
+      col("v").as("kv"), col("norm").as("knorm"), col("cluster"))
+    if (capped)
+      corpus = corpus.join(broadcast(over.get), Seq("cluster"),
+        "left_anti")
+    val cos = try_divide(Similarity.dot(col("kv"), col("bv")),
+      col("knorm") * col("bnorm"))
+    var pairs = corpus.join(del, Seq("cluster"))
+      .withColumn("cos", cos).filter(col("cos") >= tau)
+      .select("corpus_id", "batch_id", "cos")
+    if (capped) {
+      val keepers = starKeepers.getOrElse(corpusIndex
+        .select(xxhash64(col("v")).as("sh"), col("id").as("corpus_id")))
+      val star = keepers
+        .join(broadcast(del.select(xxhash64(col("bv")).as("sh"),
+          col("batch_id"), col("bv"), col("bnorm"))), Seq("sh"))
+        .join(corpusIndex.select(col("id").as("corpus_id"),
+          col("v").as("kv"), col("norm").as("knorm")), Seq("corpus_id"))
+        .withColumn("cos", cos).filter(col("cos") >= tau)
+        .select("corpus_id", "batch_id", "cos")
+      pairs = pairs.unionByName(star).distinct()
+    }
+    pairs
+  }
 }

@@ -651,6 +651,70 @@ object ScaleOps {
       maxCluster = 100000L)
       .orderBy("vec_id")
 
+  /** Q82b delivery-time SemDeDup, PRODUCTION shape (rows-only —
+    * float): q82's across form. The corpus keeps its DEDUPED
+    * assignment index (id, vector, norm, centroid cluster), the
+    * frozen centroid family, and the cap bookkeeping (over-cap
+    * cluster list + identical-vector star keepers) — all signed once
+    * per scale dir with exactly q82's derived-k/seed/sample family so
+    * the two stay one operator. Each delivery (every 7th vector at
+    * doubled gain — same argmax centroid, cosine exactly 1.0; ids
+    * offset) assigns ROW-LOCALLY against the broadcast centroids and
+    * pairs stored same-cluster rows at τ — the corpus is never
+    * re-trained, re-assigned, re-paired or broadcast
+    * ([[Dedup.semanticDedupAcross]]). */
+  def q82b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d).embeddings
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q82-idx-" + stateKeyDigest(d, "embeddings.parquet"))
+    val idxDir = new java.io.File(stateDir, "index").getPath
+    val centDir = new java.io.File(stateDir, "centroids").getPath
+    val clustersDir = new java.io.File(stateDir, "clusters").getPath
+    val keepersDir = new java.io.File(stateDir, "keepers").getPath
+    val committed = Seq(idxDir, centDir, clustersDir, keepersDir)
+      .forall(p => new java.io.File(p, "_SUCCESS").exists())
+    if (!committed) {
+      // q82's exact derivation: k from corpus count at occupancy 128,
+      // sample max(4096, 8k), seed 42 — the index must cluster with
+      // the same centroids the dedup pass used
+      val n = emb.count()
+      val kEff = Dedup.deriveClusterCount(n, 128)
+      val cs = Similarity.trainIvfCentroids(emb, kEff,
+        sampleN = math.max(4096, 8 * kEff))
+      cs.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cluster", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(centDir)
+      val kept = Dedup.semanticDedup(emb, tau = 0.4,
+        maxCluster = 100000L)
+      Similarity.ivfAssign(emb, cs)
+        .withColumnRenamed("list_id", "cluster")
+        .withColumnRenamed("vec_id", "id")
+        .join(kept.select(col("vec_id").as("id")), Seq("id"),
+          "left_semi")
+        .write.mode("overwrite").parquet(idxDir)
+      val signed = s.read.parquet(idxDir)
+      signed.groupBy("cluster").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") > 100000L).select("cluster")
+        .write.mode("overwrite").parquet(clustersDir)
+      signed.select(xxhash64(col("v")).as("sh"), col("id").as("corpus_id"))
+        .write.mode("overwrite").parquet(keepersDir)
+    }
+    // centroid family: k is occupancy-derived (n/128), so the collect
+    // is bounded by design — the same driver-side array the batch
+    // operator's assignment broadcast already carries
+    val cs = s.read.parquet(centDir).orderBy("cluster")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val delivery = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    Dedup.semanticDedupAcross(s.read.parquet(idxDir), cs, delivery,
+        tau = 0.4, maxCluster = 100000L,
+        overCapClusters = Some(s.read.parquet(clustersDir)),
+        starKeepers = Some(s.read.parquet(keepersDir)))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Q83 product-quantization ANN top-5 for 4 queries (rows-only —
     * approximate by construction): 8-subspace × 16-centroid codebooks,
     * asymmetric-distance scoring over m-byte codes. */
@@ -1370,7 +1434,9 @@ object ScaleOps {
     "q76_token_shards" -> q76, "q77_mixture_sample" -> q77,
     "q78_inverted_index" -> q78, "q79_surprisal" -> q79,
     "q80_repetition_profile" -> q80, "q81_dsir_select" -> q81,
-    "q82_semantic_dedup" -> q82, "q83_pq_ann" -> q83,
+    "q82_semantic_dedup" -> q82,
+    "q82b_semantic_dedup_served" -> q82b,
+    "q83_pq_ann" -> q83,
     "q84_bpe" -> q84, "q85_ivf_pq" -> q85, "q86_sequence_pack" -> q86,
     "q87_classifier_score" -> q87, "q88_table_profile" -> q88,
     "q88b_table_profile_approx" -> q88b,

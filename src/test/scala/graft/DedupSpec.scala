@@ -2577,6 +2577,82 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("semanticDedupAcross: a delivery pairs stored same-cluster rows " +
+      "at tau, an over-cap cluster recovers an exact copy via served " +
+      "star keepers exactly once, zero-norm never aborts, and served " +
+      "bookkeeping is byte-identical to in-memory") {
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // cluster 0: 200 DISTINCT near-x vectors (over a cap of 100);
+    // cluster 1: one z vector — the deduped corpus index shape
+    val corpus = ((0 until 200).map(i =>
+      (i.toLong, Array(10f, i * 0.001f, 0f, 0f))) :+
+      ((600L, Array(0f, 0f, 10f, 0f)))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semidx")
+    try {
+      Similarity.ivfAssign(corpus, cents)
+        .withColumnRenamed("list_id", "cluster")
+        .withColumnRenamed("vec_id", "id")
+        .write.mode("overwrite").parquet(s"$tmp/index")
+      val signed = spark.read.parquet(s"$tmp/index")
+      signed.groupBy("cluster").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") > 100L).select("cluster")
+        .write.mode("overwrite").parquet(s"$tmp/clusters")
+      signed.select(xxhash64(col("v")).as("sh"), col("id").as("corpus_id"))
+        .write.mode("overwrite").parquet(s"$tmp/keepers")
+      val delivery = Seq(
+        (1000L, Array(10f, 0.050f, 0f, 0f)), // exact copy of id 50
+        (1001L, Array(0f, 0.1f, 10f, 0f)),   // near dup of 600
+        (1002L, Array(0f, 10f, 0f, 0f)),     // novel direction
+        (1003L, Array(0f, 0f, 0f, 0f))       // zero-norm
+      ).toDF("vec_id", "embedding")
+      def run(over: Option[org.apache.spark.sql.DataFrame],
+          keep: Option[org.apache.spark.sql.DataFrame]) =
+        Dedup.semanticDedupAcross(spark.read.parquet(s"$tmp/index"),
+          cents, delivery, tau = 0.9, maxCluster = 100L,
+          overCapClusters = over, starKeepers = keep)
+      val served = run(Some(spark.read.parquet(s"$tmp/clusters")),
+        Some(spark.read.parquet(s"$tmp/keepers")))
+      val got = served.orderBy("corpus_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val inMem = run(None, None).orderBy("corpus_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == inMem.toSeq, s"served ${got.toSeq} vs $inMem")
+      // the exact copy pairs its keeper ONCE (star path — cluster 0 is
+      // pruned) at cosine ~1; the near dup pairs via the cluster join
+      val by1000 = got.filter(_._2 == 1000L)
+      assert(by1000.length == 1 && by1000.head._1 == 50L &&
+        by1000.head._3 > 0.999, by1000.toSeq)
+      assert(got.exists(p => p._1 == 600L && p._2 == 1001L && p._3 >= 0.9),
+        got.toSeq)
+      assert(!got.exists(p => p._2 == 1002L || p._2 == 1003L), got.toSeq)
+      // plan pins: index and keepers are corpus-scale — scanned, never
+      // broadcast builds; no pre-join aggregate over the index subtree
+      // (the over-cap list is served state)
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      def indexIn(p: LogicalPlan): Boolean = p.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.exists(r =>
+            r.toString.contains("graft-semidx") &&
+              !r.toString.contains("/clusters"))
+          case _ => false
+        }
+        case _ => false
+      }
+      val plan = served.queryExecution.optimizedPlan
+      val broadcastOffenders = plan.collect { case j: Join => j }.filter { j =>
+        (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) && indexIn(j.left)) ||
+        (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) && indexIn(j.right))
+      }
+      assert(broadcastOffenders.isEmpty, broadcastOffenders.mkString("\n"))
+      val aggOffenders = plan.collect {
+        case a: Aggregate
+            if indexIn(a.child) && !a.child.exists(_.isInstanceOf[Join]) => a
+      }
+      assert(aggOffenders.isEmpty, aggOffenders.mkString("\n"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("randomized: connectedComponentsIncremental matches a " +
       "driver-side union-find oracle over seeded random graphs " +
       "(old/new edge splits, new nodes, self-edges)") {
