@@ -732,7 +732,7 @@ object Dedup {
     * BEFORE the sub-tables rewrite (so a retry of a torn write
     * re-commits atomically) and torn dirs stay invisible to every
     * reader. Shared by the signature and embedding index lifecycles. */
-  private def commitPart(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def commitPart(spark: org.apache.spark.sql.SparkSession,
       dir: String)(writes: String => Unit): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())

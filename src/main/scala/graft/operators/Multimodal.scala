@@ -874,10 +874,20 @@ object Multimodal {
   def videoNearDupPairsAcross(corpusFrames: DataFrame,
       corpusSizes: DataFrame, corpusDfs: DataFrame,
       delivery: Dataset[MediaRow], minShared: Int = 2,
-      maxDocFreq: Long = 20L): DataFrame = {
+      maxDocFreq: Long = 20L): DataFrame =
     // the delivery's distinct (id, fhash) rows feed the df sum, the
     // candidate join and its own sizes — decode once, persist
-    val del = graft.CacheRegistry.persist(videoFrameIndex(delivery))
+    videoPairsFromIndexes(corpusFrames, corpusSizes, corpusDfs,
+      graft.CacheRegistry.persist(videoFrameIndex(delivery)),
+      minShared, maxDocFreq)
+
+  /** [[videoNearDupPairsAcross]] on an ALREADY-DECODED delivery frame
+    * index — the seam the streaming host rides (its batch index is
+    * both operator input and state delta, so decoding must not happen
+    * twice). `del` should be persisted by the caller. */
+  private[graft] def videoPairsFromIndexes(corpusFrames: DataFrame,
+      corpusSizes: DataFrame, corpusDfs: DataFrame, del: DataFrame,
+      minShared: Int = 2, maxDocFreq: Long = 20L): DataFrame = {
     val delHashes = del.select("fhash").distinct()
     val delSizes = videoFrameSizes(del)
     // union df = stored df (semi-pruned scan — delivery-bounded rows
@@ -909,6 +919,92 @@ object Multimodal {
       .select(col("corpus_id"), col("batch_id"), col("shared_frames"),
         col("frames_a"), col("frames_b"))
   }
+
+  // ------------------------------ video frame index (slotted state)
+
+  /** Persisted video frame-hash index — the ELEVENTH
+    * [[graft.state.SlotStore]] client (the q117b lifecycle for video
+    * streams): deliveries land as self-committing `vid-delta-<slot>`
+    * dirs, compactions as `vid-snap-<slot>`. Each part holds THREE
+    * sub-tables: `frames/` (id, fhash — the delivery's surviving
+    * frame index), `dfs/` (its [[videoFrameDfs]] — additive, served
+    * KEY-PRUNED like the winnow postings dfs because the frame-hash
+    * domain is unbounded) and `sizes/` (its [[videoFrameSizes]] — ids
+    * unique across parts under first-arrival, so the flat union needs
+    * no merge). `frames` should be persisted by the caller. */
+  def saveVideoDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, frames: DataFrame, slot: Option[Long] = None,
+      snapshot: Boolean = false): Unit = {
+    val parts = vidIndexParts(spark, path)
+    val next = slot.getOrElse(parts.map(_._2).foldLeft(-1L)(math.max) + 1)
+    graft.state.SlotStore.requireNotSuperseded(parts, "vid-snap", next,
+      "saveVideoDelta")
+    val kind = if (snapshot) "snap" else "delta"
+    graft.operators.Dedup.commitPart(spark, s"$path/vid-$kind-$next") {
+      dir =>
+        frames.write.mode("overwrite").parquet(s"$dir/frames")
+        videoFrameDfs(frames).write.mode("overwrite").parquet(s"$dir/dfs")
+        videoFrameSizes(frames).write.mode("overwrite")
+          .parquet(s"$dir/sizes")
+    }
+  }
+
+  private def vidIndexParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    graft.state.SlotStore.committedParts(spark, path,
+      Seq("vid-delta", "vid-snap"))
+
+  /** Committed slot numbers — the replay-skip set. */
+  def committedVideoSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    vidIndexParts(spark, path).map(_._2)
+
+  /** LIVE slots (latest snapshot + later deltas). */
+  def liveVideoSlots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] =
+    graft.state.SlotStore.liveParts(vidIndexParts(spark, path),
+      "vid-delta", "vid-snap")
+      .map(p => (p._2, p._1 == "vid-snap"))
+
+  /** The frame index as ONE flat multi-path scan of the live parts'
+    * `frames/` sub-tables. */
+  def loadVideoIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(vidIndexParts(spark, path),
+      "vid-delta", "vid-snap")
+    require(parts.nonEmpty, s"no committed video parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/frames"))
+  }
+
+  /** Stored per-doc frame counts — flat union of the live `sizes/`
+    * sub-tables (ids unique across parts under first-arrival). */
+  def loadVideoSizes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(vidIndexParts(spark, path),
+      "vid-delta", "vid-snap")
+    require(parts.nonEmpty, s"no committed video parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/sizes"))
+  }
+
+  /** Stored frame dfs for exactly the given hash set — key-pruned
+    * scan + sum of the live `dfs/` sub-tables (delivery-bounded: per
+    * part at most one row per hash). */
+  def loadVideoDfsFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashes: DataFrame): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(vidIndexParts(spark, path),
+      "vid-delta", "vid-snap")
+    require(parts.nonEmpty, s"no committed video parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/dfs"))
+      .join(broadcast(hashes.select("fhash").distinct()), Seq("fhash"),
+        "left_semi")
+      .groupBy("fhash").agg(sum(col("df")).as("df"))
+  }
+
+  /** Delete parts a snapshot superseded — housekeeping. */
+  def sweepVideoIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.state.SlotStore.sweepSuperseded(spark, path, "vid-delta",
+      "vid-snap")
 
   /** Build an MJPEG-in-AVI container around existing JPEG frame
     * payloads — [[textToAvi]]'s tail, shared with [[remuxAvi]]. */

@@ -936,6 +936,74 @@ object StreamOps {
       }
   }
 
+  /** Streaming video near-dedup — the landing-zone host for the p19
+    * frame-overlap family (the ELEVENTH [[graft.state.SlotStore]]
+    * client): each micro-batch of [[graft.operators.Multimodal
+    * .MediaRow]]-shaped rows decodes ONCE into its frame-hash index
+    * (the index is both operator input and state delta) and pairs
+    * against the persisted corpus index under the UNION doc-frequency
+    * prune (stored dfs served KEY-PRUNED from the per-delta tables —
+    * the frame-hash domain is unbounded, the winnow-dfs discipline —
+    * plus the batch's own counts), chronological precedence and
+    * FIRST-ARRIVAL ids. Pairs (`keeper_id, doc_id, shared_frames`)
+    * land per batch with the self-form's full-overlap exemption
+    * (exact dups always pair); videos pairing NOTHING commit their
+    * frames as the `vid-delta-<batchId>` slot. Only batch-sized
+    * frames shuffle; bytes never leave the decode scan. */
+  def streamingVideoDedup(media: DataFrame, stateDir: String,
+      outDir: String, minShared: Int = 2, maxDocFreq: Long = 20L,
+      compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    import graft.operators.Multimodal
+    slottedDedupHost(media, stateDir, "streamingVideoDedup",
+      Multimodal.committedVideoSlots) {
+        (spark: SparkSession, batch: DataFrame, batchId: Long) =>
+          import spark.implicits._
+          val frames0 = Multimodal.videoFrameIndex(
+            batch.as[Multimodal.MediaRow])
+          val live = Multimodal.liveVideoSlots(spark, stateDir)
+          val stored =
+            if (live.isEmpty) frames0.limit(0)
+            else Multimodal.loadVideoIndex(spark, stateDir)
+          val batchFrames = graft.CacheRegistry.persist(
+            dropRedelivered(stored, frames0, "id"))
+          // persisted: both kernel calls prune the df parts by the
+          // same batch hash set — one pruned index scan per batch
+          val storedDfs = graft.CacheRegistry.persist(
+            if (live.isEmpty) Multimodal.videoFrameDfs(frames0.limit(0))
+            else Multimodal.loadVideoDfsFor(spark, stateDir, batchFrames))
+          val storedSizes =
+            if (live.isEmpty) Multimodal.videoFrameSizes(frames0.limit(0))
+            else Multimodal.loadVideoSizes(spark, stateDir)
+          val across = Multimodal.videoPairsFromIndexes(stored,
+              storedSizes, storedDfs, batchFrames, minShared, maxDocFreq)
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("shared_frames"))
+          val within = Multimodal.videoPairsFromIndexes(batchFrames,
+              Multimodal.videoFrameSizes(batchFrames), storedDfs,
+              batchFrames, minShared, maxDocFreq)
+            .filter(col("corpus_id") < col("batch_id"))
+            .select(col("corpus_id").as("keeper_id"),
+              col("batch_id").as("doc_id"), col("shared_frames"))
+          val pairs = graft.CacheRegistry.persist(
+            across.unionByName(within))
+          pairs.write.mode("overwrite").parquet(s"$outDir/pairs-$batchId")
+          val kept = graft.CacheRegistry.persist(
+            batchFrames.join(
+              broadcast(pairs.select(col("doc_id").as("id")).distinct()),
+              Seq("id"), "left_anti"))
+          if (live.size + 1 >= compactEvery) {
+            Multimodal.saveVideoDelta(spark, stateDir,
+              stored.unionByName(kept).sortWithinPartitions("fhash"),
+              slot = Some(batchId), snapshot = true)
+            Multimodal.sweepVideoIndex(spark, stateDir)
+          } else
+            Multimodal.saveVideoDelta(spark, stateDir, kept,
+              slot = Some(batchId))
+      }
+  }
+
   /** Streaming cluster-label maintenance — the CONSUMER that closes
     * the dedup loop (the NINTH [[graft.state.SlotStore]] client):
     * every landing-zone host here publishes per-batch PAIR lists;

@@ -1455,6 +1455,64 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming video dedup: a re-muxed re-delivery pairs its stored " +
+      "original at full frame overlap, a redelivered ID is a " +
+      "first-arrival no-op, survivors extend the frame index, " +
+      "compaction folds to one snapshot") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vid-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-vid-state").toFile
+    val outDir = Files.createTempDirectory("graft-vid-out").toFile
+    def avi(text: String) = Multimodal.textToAvi(text)
+    val a = avi("the first distinct synthetic video payload alpha")
+    val b = avi("a second entirely different clip beta content")
+    val c = avi("third novel material gamma for the survivor row")
+    def rows(rs: (Long, Array[Byte])*) =
+      rs.map { case (id, bytes) =>
+        Multimodal.MediaRow(id, "video/avi", bytes, Map.empty)
+      }.toDS().toDF()
+    rows((100L, a), (101L, b)).coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // batch 1: a re-muxed copy of A under a new smaller id (same JPEG
+    // frames, different container timing — full overlap), the SAME id
+    // 100 redelivered (first-arrival no-op), and a novel survivor
+    rows((5L, Multimodal.remuxAvi(a, fps = 8)), (100L, a), (400L, c))
+      .coalesce(1).write.mode("append").parquet(dir.getPath)
+    try {
+      val schema = rows((0L, a)).schema
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingVideoDedup(streamed, stateDir.getPath,
+        outDir.getPath, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      val p0 = spark.read.parquet(s"${outDir.getPath}/pairs-0").collect()
+      assert(p0.isEmpty, p0.toSeq)
+      val p1 = spark.read.parquet(s"${outDir.getPath}/pairs-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(p1.map(p => (p._1, p._2)) == Set((100L, 5L)), p1)
+      assert(!p1.exists(_._2 == 100L), p1) // same-id replay: no pair
+      // survivors: 400; compaction at batch 1 folded to ONE snapshot
+      assert(Multimodal.committedVideoSlots(spark, stateDir.getPath)
+        .sorted == Seq(1L))
+      val ids = Multimodal.loadVideoIndex(spark, stateDir.getPath)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids == Set(100L, 101L, 400L), ids)
+      // df additivity: the summed pruned dfs equal the index's counts
+      val idx = Multimodal.loadVideoIndex(spark, stateDir.getPath)
+      val dfs = Multimodal.loadVideoDfsFor(spark, stateDir.getPath, idx)
+      assert(dfs.agg(org.apache.spark.sql.functions.sum("df"))
+        .collect().head.getLong(0) == idx.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
   test("streaming minhash dedup: content re-deliveries pair their " +
       "stored originals chronologically, a redelivered ID is a " +
       "first-arrival no-op, survivors extend the signature index, the " +
