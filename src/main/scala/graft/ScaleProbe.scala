@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off fixed-delivery scaling probe (not part of the declared
+  * surface): the SAME 1000-doc/vector delivery against a 10×-larger
+  * corpus index — the direct measurement behind the across family's
+  * O(delivery) claim. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Dedup
+
+    def med(f: () => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Graft.releaseCaches(spark)
+        dt
+      }.sorted
+      ts(1)
+    }
+
+    Seq(("sf1", "/root/repo/testdata-sf1", 50),
+        ("sf10", "/root/repo/testdata-sf10", 500)).foreach {
+      case (tag, d, mod) =>
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+          .select("doc_id", "text")
+        val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-$tag").toFile
+        // sign once (the linear per-corpus cost, reported separately)
+        val t0 = System.nanoTime()
+        Dedup.winnowPostings(docs).write.parquet(s"$base/wpost")
+        Dedup.postingsDfs(spark.read.parquet(s"$base/wpost"))
+          .write.parquet(s"$base/wdfs")
+        Dedup.minHashSignatures(docs).write.parquet(s"$base/sigs")
+        Dedup.minHashBandTable(spark.read.parquet(s"$base/sigs"))
+          .write.parquet(s"$base/bandtbl")
+        Dedup.embeddingIndex(emb, nbits = 8).write.parquet(s"$base/eidx")
+        val signS = (System.nanoTime() - t0) / 1e9
+        // FIXED 1000-row deliveries whatever the corpus size
+        val delDocs = docs.filter(col("doc_id") % mod === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text"))
+        val embMod = mod * 2 // 200k vectors at sf10 -> 1000
+        val delVec = emb.filter(col("vec_id") % embMod === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val nDel = delDocs.count(); val nVec = delVec.count()
+        val w = med(() => Dedup.postingsOverlapAcross(
+            spark.read.parquet(s"$base/wpost"),
+            spark.read.parquet(s"$base/wdfs"),
+            Dedup.winnowPostings(delDocs), maxDf = 100L)
+          .filter(col("shared") >= 3)
+          .write.format("noop").mode("overwrite").save())
+        val m = med(() => Dedup.minHashLshPairsAcross(
+            spark.read.parquet(s"$base/sigs"),
+            Dedup.minHashSignatures(delDocs),
+            minEstJaccard = 0.5, maxBucket = 100000L)
+          .write.format("noop").mode("overwrite").save())
+        val mb = med(() => Dedup.minHashLshPairsAcross(
+            spark.read.parquet(s"$base/sigs"),
+            Dedup.minHashSignatures(delDocs),
+            minEstJaccard = 0.5, maxBucket = 100000L,
+            corpusBandTable = Some(spark.read.parquet(s"$base/bandtbl")))
+          .write.format("noop").mode("overwrite").save())
+        val e = med(() => Dedup.embeddingCosinePairsAcross(
+            spark.read.parquet(s"$base/eidx"), delVec,
+            threshold = 0.95, nbits = 8, maxBucket = 100000L)
+          .write.format("noop").mode("overwrite").save())
+        println(f"PROBE $tag: corpus=${docs.count()} sign=$signS%.1f s; " +
+          f"delivery docs=$nDel vecs=$nVec; winnow=$w%.2f minhash=$m%.2f " +
+          f"minhash+bandtbl=$mb%.2f embedding=$e%.2f s")
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+    spark.stop()
+  }
+}

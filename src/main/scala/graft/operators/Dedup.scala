@@ -269,9 +269,11 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       maxBucket: Long = Long.MaxValue,
       overCapBands: Option[DataFrame] = None,
-      starKeepers: Option[DataFrame] = None): DataFrame =
+      starKeepers: Option[DataFrame] = None,
+      corpusBandTable: Option[DataFrame] = None): DataFrame =
     minHashLshPairsAcrossKeyed(corpusSigs, batchSigs, bands, numHashes,
-      minEstJaccard, maxBucket, xxhash64(_), overCapBands, starKeepers)
+      minEstJaccard, maxBucket, xxhash64(_), overCapBands, starKeepers,
+      corpusBandTable)
 
   /** Over-cap (band, bkey) list of a signature index — the cap
     * bookkeeping [[minHashLshPairsAcross]] otherwise re-aggregates per
@@ -296,19 +298,37 @@ object Dedup {
     sigs.select(col("id"), xxhash64(col("sig")).as("sh"))
       .groupBy("sh").agg(min(col("id")).as("corpus_id"))
 
+  /** The corpus band-key table `(id, band, bkey)` — the FOURTH
+    * sign-time table of a served MinHash index (round 12): banding is
+    * 16 xxhash64 calls over 64-long array slices per signature, and
+    * recomputing it over the whole corpus on EVERY delivery made the
+    * MinHash across the family's only form whose fixed-delivery cost
+    * grew 3.4× at a 10× corpus (BASELINE scale probe; the embedding
+    * index stores its buckets, the postings index IS its keys).
+    * Materialized once at sign time, a delivery scans 20-byte band
+    * rows instead of re-hashing 512-byte signatures. */
+  def minHashBandTable(sigs: DataFrame, bands: Int = 16,
+      numHashes: Int = 64): DataFrame =
+    bandKeys(sigs, "id", bands, numHashes)
+
   /** [[minHashLshPairsAcross]] with an injectable star group key —
     * test seam only: DedupSpec forces every signature into ONE star
     * group (`_ => lit(0)`) to pin that star candidates pass through
     * the SAME estimate verify as banded ones (a 64-bit group-key
-    * collision must be filtered by its true estimate, never trusted). */
+    * collision must be filtered by its true estimate, never trusted).
+    * `corpusBandTable` serves the sign-time [[minHashBandTable]];
+    * omitted, banding is computed from `corpusSigs` in-query. */
   private[graft] def minHashLshPairsAcrossKeyed(corpusSigs: DataFrame,
       batchSigs: DataFrame, bands: Int, numHashes: Int,
       minEstJaccard: Double, maxBucket: Long,
       starKey: Column => Column,
       overCapBands: Option[DataFrame] = None,
-      starKeepers: Option[DataFrame] = None): DataFrame = {
+      starKeepers: Option[DataFrame] = None,
+      corpusBandTable: Option[DataFrame] = None): DataFrame = {
     val requested = maxBucket != Long.MaxValue
-    var corpusBands = bandKeys(corpusSigs, "corpus_id", bands, numHashes)
+    var corpusBands = corpusBandTable
+      .map(_.select(col("id").as("corpus_id"), col("band"), col("bkey")))
+      .getOrElse(bandKeys(corpusSigs, "corpus_id", bands, numHashes))
     // over-cap band keys: tiny by construction — read from the
     // persisted index when served (computed ONCE at sign time), one
     // persisted corpus aggregate otherwise

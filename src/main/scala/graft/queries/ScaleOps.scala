@@ -990,17 +990,24 @@ object ScaleOps {
     val sigsDir = new java.io.File(stateDir, "sigs").getPath
     val keepersDir = new java.io.File(stateDir, "keepers").getPath
     val bandsDir = new java.io.File(stateDir, "bands").getPath
-    val committed = Seq(sigsDir, keepersDir, bandsDir)
+    val bandTblDir = new java.io.File(stateDir, "bandtbl").getPath
+    val committed = Seq(sigsDir, keepersDir, bandsDir, bandTblDir)
       .forall(p => new java.io.File(p, "_SUCCESS").exists())
     if (!committed) {
       Dedup.minHashSignatures(docs).write.mode("overwrite").parquet(sigsDir)
-      // keepers and bands derive from the just-written parquet — one
-      // signing pass total, two cheap 8-byte-row aggregates
+      // keepers, over-cap bands and the band-key TABLE all derive from
+      // the just-written parquet — one signing pass total. The band
+      // table (round 12, BASELINE scale probe) is what a delivery
+      // scans instead of re-hashing every 512-byte corpus signature:
+      // the only across form whose fixed-delivery cost grew 3.4× at a
+      // 10× corpus now matches the family's scan-only shape
       val signed = s.read.parquet(sigsDir)
       Dedup.minHashStarKeepers(signed)
         .write.mode("overwrite").parquet(keepersDir)
       Dedup.minHashOverCapBands(signed, maxBucket = 100000L)
         .write.mode("overwrite").parquet(bandsDir)
+      Dedup.minHashBandTable(signed)
+        .write.mode("overwrite").parquet(bandTblDir)
     }
     val batch = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -1009,7 +1016,8 @@ object ScaleOps {
       s.read.parquet(sigsDir), Dedup.minHashSignatures(batch),
       minEstJaccard = 0.5, maxBucket = 100000L,
       overCapBands = Some(s.read.parquet(bandsDir)),
-      starKeepers = Some(s.read.parquet(keepersDir)))
+      starKeepers = Some(s.read.parquet(keepersDir)),
+      corpusBandTable = Some(s.read.parquet(bandTblDir)))
       .orderBy("corpus_id", "batch_id")
   }
 

@@ -2577,6 +2577,33 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("minHashLshPairsAcross with a SERVED sign-time band table is " +
+      "byte-identical to in-query banding — the delivery scans 20-byte " +
+      "band rows instead of re-hashing every corpus signature") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bandtbl")
+    try {
+      val docs = Tables(spark, sf("0.001")).documents
+        .select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      Dedup.minHashSignatures(docs)
+        .write.mode("overwrite").parquet(s"$tmp/sigs")
+      val signed = spark.read.parquet(s"$tmp/sigs")
+      Dedup.minHashBandTable(signed)
+        .write.mode("overwrite").parquet(s"$tmp/bandtbl")
+      def pairs(tbl: Option[org.apache.spark.sql.DataFrame]) =
+        Dedup.minHashLshPairsAcross(signed,
+            Dedup.minHashSignatures(batch), minEstJaccard = 0.5,
+            maxBucket = 100000L, corpusBandTable = tbl)
+          .orderBy("corpus_id", "batch_id").collect().map(_.toSeq).toSeq
+      val served = pairs(Some(spark.read.parquet(s"$tmp/bandtbl")))
+      val computed = pairs(None)
+      assert(served == computed, s"served $served vs computed $computed")
+      assert(served.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("semanticDedupAcross: a delivery pairs stored same-cluster rows " +
       "at tau, an over-cap cluster recovers an exact copy via served " +
       "star keepers exactly once, zero-norm never aborts, and served " +
