@@ -907,7 +907,12 @@ object StreamOps {
               bands, numHashes, minEstJaccard, maxBucket,
               overCapBands = overCap,
               starKeepers = Some(stored.select(
-                xxhash64(col("sig")).as("sh"), col("id").as("corpus_id"))))
+                xxhash64(col("sig")).as("sh"), col("id").as("corpus_id"))),
+              // served band table: the batch scans stored 20-byte band
+              // rows instead of re-hashing every stored signature
+              corpusBandTable =
+                if (live.isEmpty) None
+                else Some(Dedup.loadMinHashBandTable(spark, stateDir)))
             .select(col("corpus_id").as("keeper_id"),
               col("batch_id").as("doc_id"), col("est_jaccard"))
           // within-batch pairs ride the same kernel at id-min
