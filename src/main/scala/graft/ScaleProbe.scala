@@ -45,6 +45,20 @@ object ScaleProbe {
         Dedup.minHashBandTable(spark.read.parquet(s"$base/sigs"))
           .write.parquet(s"$base/bandtbl")
         Dedup.embeddingIndex(emb, nbits = 8).write.parquet(s"$base/eidx")
+        docs.select(col("doc_id"),
+            Dedup.simHash64(Dedup.tokensOf(col("text"))).as("sim"))
+          .write.parquet(s"$base/simsigs")
+        graft.operators.TextAnalysis.spanGramDfs(docs)
+          .write.parquet(s"$base/spandfs")
+        graft.operators.TextAnalysis.segmentKeepers(docs)
+          .write.parquet(s"$base/segkeep")
+        val kEff = Dedup.deriveClusterCount(emb.count(), 128)
+        val cs = graft.operators.Similarity.trainIvfCentroids(emb, kEff,
+          sampleN = math.max(4096, 8 * kEff))
+        graft.operators.Similarity.ivfAssign(emb, cs)
+          .withColumnRenamed("list_id", "cluster")
+          .withColumnRenamed("vec_id", "id")
+          .write.parquet(s"$base/semidx")
         val signS = (System.nanoTime() - t0) / 1e9
         // FIXED 1000-row deliveries whatever the corpus size
         val delDocs = docs.filter(col("doc_id") % mod === 0)
@@ -76,9 +90,28 @@ object ScaleProbe {
             spark.read.parquet(s"$base/eidx"), delVec,
             threshold = 0.95, nbits = 8, maxBucket = 100000L)
           .write.format("noop").mode("overwrite").save())
+        val sh = med(() => Dedup.hamming64PairsAcross(
+            spark.read.parquet(s"$base/simsigs"),
+            delDocs.select(col("doc_id"),
+              Dedup.simHash64(Dedup.tokensOf(col("text"))).as("sim")),
+            "doc_id", "sim", maxHamming = 3, maxBucket = 100000L)
+          .write.format("noop").mode("overwrite").save())
+        val sp = med(() => graft.operators.TextAnalysis
+          .removeSharedSpansIncremental(delDocs,
+            spark.read.parquet(s"$base/spandfs"))
+          .write.format("noop").mode("overwrite").save())
+        val sg = med(() => graft.operators.TextAnalysis
+          .segmentDedupIncremental(delDocs,
+            spark.read.parquet(s"$base/segkeep"))
+          .write.format("noop").mode("overwrite").save())
+        val se = med(() => Dedup.semanticDedupAcross(
+            spark.read.parquet(s"$base/semidx"), cs, delVec,
+            tau = 0.4, maxCluster = 100000L)
+          .write.format("noop").mode("overwrite").save())
         println(f"PROBE $tag: corpus=${docs.count()} sign=$signS%.1f s; " +
           f"delivery docs=$nDel vecs=$nVec; winnow=$w%.2f minhash=$m%.2f " +
-          f"minhash+bandtbl=$mb%.2f embedding=$e%.2f s")
+          f"minhash+bandtbl=$mb%.2f embedding=$e%.2f simhash=$sh%.2f " +
+          f"span=$sp%.2f segment=$sg%.2f semantic=$se%.2f s")
         org.apache.commons.io.FileUtils.deleteDirectory(base)
     }
     spark.stop()
