@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off sf1 per-batch scaling runs for the text/signature/vector
+  * streaming hosts (the winnow/minhash hosts' protocol): 4
+  * file-per-trigger deliveries, per-batch durations from the progress
+  * listener — the flat-per-batch read is the hosts' O(delivery)
+  * evidence. */
+object HostProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val times = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          times += ((e.progress.batchId, e.progress.batchDuration))
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    def run(name: String, src: DataFrame)(
+        host: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-hp-$name").toFile
+      val in = new java.io.File(base, "in"); in.mkdirs()
+      (0 until 4).foreach { b =>
+        src.filter(pmod(col("doc_id"), lit(4)) === b).coalesce(1)
+          .write.mode("append").parquet(in.getPath)
+        Thread.sleep(1100)
+      }
+      times.clear()
+      val t0 = System.nanoTime()
+      val q = host(
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1)
+          .option("latestFirst", "false").parquet(in.getPath),
+        new java.io.File(base, "state").getPath,
+        new java.io.File(base, "out").getPath)
+      q.processAllAvailable(); q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"HOST $name: ${src.count()} rows / 4 batches in $dt%.2f s; " +
+        s"per-batch ms=${times.sortBy(_._1).map(_._2).mkString(",")}")
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+    import graft.streaming.StreamOps
+    val docs = spark.read.parquet("/root/repo/testdata-sf1/documents.parquet")
+      .select("doc_id", "text")
+    run("span", docs)((s, st, o) => StreamOps.streamingSpanDedup(s, st, o))
+    run("segment", docs)((s, st, o) => StreamOps.streamingSegmentDedup(s, st, o))
+    val sigs = docs.select(col("doc_id"),
+      graft.operators.Dedup.simHash64(
+        graft.operators.Dedup.tokensOf(col("text"))).as("sig64"))
+    run("signature", sigs)((s, st, o) =>
+      StreamOps.streamingSignatureDedup(s, st, o))
+    val emb = spark.read.parquet("/root/repo/testdata-sf1/embeddings.parquet")
+      .withColumnRenamed("vec_id", "doc_id")
+    run("embedding", emb)((s, st, o) =>
+      StreamOps.streamingEmbeddingDedup(s, st, o, idCol = "doc_id"))
+    spark.stop()
+  }
+}
