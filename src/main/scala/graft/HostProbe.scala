@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * evidence. */
 object HostProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    // args: [dataDir] [master] — defaults match this container's layout
+    val dataDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val master = if (args.length > 1) args(1) else "local[32]"
+    val spark = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -45,7 +48,7 @@ object HostProbe {
       org.apache.commons.io.FileUtils.deleteDirectory(base)
     }
     import graft.streaming.StreamOps
-    val docs = spark.read.parquet("/root/repo/testdata-sf1/documents.parquet")
+    val docs = spark.read.parquet(s"$dataDir/documents.parquet")
       .select("doc_id", "text")
     run("span", docs)((s, st, o) => StreamOps.streamingSpanDedup(s, st, o))
     run("segment", docs)((s, st, o) => StreamOps.streamingSegmentDedup(s, st, o))
@@ -54,7 +57,7 @@ object HostProbe {
         graft.operators.Dedup.tokensOf(col("text"))).as("sig64"))
     run("signature", sigs)((s, st, o) =>
       StreamOps.streamingSignatureDedup(s, st, o))
-    val emb = spark.read.parquet("/root/repo/testdata-sf1/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dataDir/embeddings.parquet")
       .withColumnRenamed("vec_id", "doc_id")
     run("embedding", emb)((s, st, o) =>
       StreamOps.streamingEmbeddingDedup(s, st, o, idCol = "doc_id"))

@@ -44,10 +44,26 @@ object ScaleProbe {
         Dedup.minHashSignatures(docs).write.parquet(s"$base/sigs")
         Dedup.minHashBandTable(spark.read.parquet(s"$base/sigs"))
           .write.parquet(s"$base/bandtbl")
+        // the full q102b sign-time bookkeeping (over-cap bands, star
+        // keepers, binary verify table): the probe measures the
+        // PRODUCTION served shape, not a per-delivery re-aggregate
+        Dedup.minHashOverCapBands(spark.read.parquet(s"$base/sigs"),
+            maxBucket = 100000L)
+          .write.parquet(s"$base/mhover")
+        Dedup.minHashStarKeepers(spark.read.parquet(s"$base/sigs"))
+          .write.parquet(s"$base/mhkeep")
+        Dedup.minHashBinSigs(spark.read.parquet(s"$base/sigs"))
+          .write.parquet(s"$base/sigsbin")
         Dedup.embeddingIndex(emb, nbits = 8).write.parquet(s"$base/eidx")
         docs.select(col("doc_id"),
             Dedup.simHash64(Dedup.tokensOf(col("text"))).as("sim"))
           .write.parquet(s"$base/simsigs")
+        Dedup.signatureOverCapChunks(spark.read.parquet(s"$base/simsigs"),
+            "doc_id", "sim", maxBucket = 100000L)
+          .write.parquet(s"$base/simover")
+        Dedup.signatureKeepers(spark.read.parquet(s"$base/simsigs"),
+            "doc_id", "sim")
+          .write.parquet(s"$base/simkeep")
         graft.operators.TextAnalysis.spanGramDfs(docs)
           .write.parquet(s"$base/spandfs")
         graft.operators.TextAnalysis.segmentKeepers(docs)
@@ -84,7 +100,10 @@ object ScaleProbe {
             spark.read.parquet(s"$base/sigs"),
             Dedup.minHashSignatures(delDocs),
             minEstJaccard = 0.5, maxBucket = 100000L,
-            corpusBandTable = Some(spark.read.parquet(s"$base/bandtbl")))
+            overCapBands = Some(spark.read.parquet(s"$base/mhover")),
+            starKeepers = Some(spark.read.parquet(s"$base/mhkeep")),
+            corpusBandTable = Some(spark.read.parquet(s"$base/bandtbl")),
+            corpusBinSigs = Some(spark.read.parquet(s"$base/sigsbin")))
           .write.format("noop").mode("overwrite").save())
         val e = med(() => Dedup.embeddingCosinePairsAcross(
             spark.read.parquet(s"$base/eidx"), delVec,
@@ -94,7 +113,9 @@ object ScaleProbe {
             spark.read.parquet(s"$base/simsigs"),
             delDocs.select(col("doc_id"),
               Dedup.simHash64(Dedup.tokensOf(col("text"))).as("sim")),
-            "doc_id", "sim", maxHamming = 3, maxBucket = 100000L)
+            "doc_id", "sim", maxHamming = 3, maxBucket = 100000L,
+            overCapChunks = Some(spark.read.parquet(s"$base/simover")),
+            starKeepers = Some(spark.read.parquet(s"$base/simkeep")))
           .write.format("noop").mode("overwrite").save())
         val sp = med(() => graft.operators.TextAnalysis
           .removeSharedSpansIncremental(delDocs,

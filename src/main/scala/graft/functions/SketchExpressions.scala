@@ -50,6 +50,43 @@ object Sketch {
     new GenericArrayData(mins)
   }
 
+  /** [[PackLongsExpr]] kernel: big-endian 8-byte concatenation. */
+  def packLongs(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n * 8)
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      val off = i * 8
+      out(off) = (v >>> 56).toByte
+      out(off + 1) = (v >>> 48).toByte
+      out(off + 2) = (v >>> 40).toByte
+      out(off + 3) = (v >>> 32).toByte
+      out(off + 4) = (v >>> 24).toByte
+      out(off + 5) = (v >>> 16).toByte
+      out(off + 6) = (v >>> 8).toByte
+      out(off + 7) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[PackedMatchCountExpr]] kernel: equal 8-byte words between two
+    * packed signatures (slots past the shorter input never match —
+    * same as zip_with's null-vs-value inequality on ragged arrays). */
+  def packedMatchCount(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length) & ~7
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < 8 && a(i + j) == b(i + j)) j += 1
+      if (j == 8) cnt += 1
+      i += 8
+    }
+    cnt
+  }
+
   /** 64-bit SimHash from per-token hashes. */
   def simHash(hashes: ArrayData): Long = {
     val sums = new Array[Int](64)
@@ -617,6 +654,11 @@ object Sketch {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(hashes)))
   def winnow_min(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashes), w))
+  def pack_longs(a: Column): Column =
+    ColumnBridge.column(PackLongsExpr(ColumnBridge.expression(a)))
+  def packed_match_count(a: Column, b: Column): Column =
+    ColumnBridge.column(PackedMatchCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
@@ -711,6 +753,51 @@ case class RemoveSegmentsExpr(left: Expression, right: Expression, width: Int)
       s"graft.functions.Sketch.removeSegments($a, $b, $width)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RemoveSegmentsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `array<bigint>` → fixed-width big-endian `binary` (8 bytes per
+  * element). The STORAGE form of a 64-value MinHash signature: parquet
+  * decodes a plain byte column ~4× faster than a repeated-group long
+  * array (round-13 probe: 0.40 s vs 1.53 s over the 500k-row sf10
+  * signature table), so the served verify stage of the across join
+  * reads this instead of the array table. Byte-per-byte equality of
+  * two packed signatures at a slot ≡ equality of the original longs —
+  * [[PackedMatchCountExpr]] gives identical match counts. */
+case class PackLongsExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pack_longs"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.packLongs(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.packLongs($c)")
+  override protected def withNewChildInternal(c: Expression): PackLongsExpr =
+    copy(child = c)
+}
+
+/** Number of equal 8-byte-aligned words between two [[PackLongsExpr]]
+  * binaries — `size(filter(zip_with(a, b, _ === _), x => x))` on the
+  * unpacked arrays, without the array decode or the interpreted
+  * higher-order functions. */
+case class PackedMatchCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.BinaryType,
+      org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "packed_match_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketch.packedMatchCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketch.packedMatchCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedMatchCountExpr =
     copy(left = newLeft, right = newRight)
 }
 

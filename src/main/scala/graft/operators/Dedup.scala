@@ -270,10 +270,11 @@ object Dedup {
       maxBucket: Long = Long.MaxValue,
       overCapBands: Option[DataFrame] = None,
       starKeepers: Option[DataFrame] = None,
-      corpusBandTable: Option[DataFrame] = None): DataFrame =
+      corpusBandTable: Option[DataFrame] = None,
+      corpusBinSigs: Option[DataFrame] = None): DataFrame =
     minHashLshPairsAcrossKeyed(corpusSigs, batchSigs, bands, numHashes,
       minEstJaccard, maxBucket, xxhash64(_), overCapBands, starKeepers,
-      corpusBandTable)
+      corpusBandTable, corpusBinSigs)
 
   /** Over-cap (band, bkey) list of a signature index — the cap
     * bookkeeping [[minHashLshPairsAcross]] otherwise re-aggregates per
@@ -319,12 +320,19 @@ object Dedup {
     * `corpusBandTable` serves the sign-time [[minHashBandTable]];
     * omitted, banding is computed from `corpusSigs` in-query. */
   private[graft] def minHashLshPairsAcrossKeyed(corpusSigs: DataFrame,
-      batchSigs: DataFrame, bands: Int, numHashes: Int,
+      batchSigs0: DataFrame, bands: Int, numHashes: Int,
       minEstJaccard: Double, maxBucket: Long,
       starKey: Column => Column,
       overCapBands: Option[DataFrame] = None,
       starKeepers: Option[DataFrame] = None,
-      corpusBandTable: Option[DataFrame] = None): DataFrame = {
+      corpusBandTable: Option[DataFrame] = None,
+      corpusBinSigs: Option[DataFrame] = None): DataFrame = {
+    // the delivery's signatures feed up to THREE consumers (band keys,
+    // star probe, verify) — delivery-bounded by construction, so
+    // persist once instead of re-signing the batch per consumer
+    // (round-13 probe: the unpersisted plan re-tokenized and re-hashed
+    // the delivery three times, the dominant fixed cost per call)
+    val batchSigs = graft.CacheRegistry.persist(batchSigs0)
     val requested = maxBucket != Long.MaxValue
     var corpusBands = corpusBandTable
       .map(_.select(col("id").as("corpus_id"), col("band"), col("bkey")))
@@ -366,13 +374,27 @@ object Dedup {
         .select("corpus_id", "batch_id")
       cand = cand.unionByName(star).distinct()
     }
+    // verify: candidates join back to corpus signatures. When the
+    // caller serves the BINARY-PACKED signature table (sign-time
+    // [[minHashBinSigs]]), the corpus-linear scan reads plain byte
+    // rows — parquet decodes those ~4× faster than the repeated-group
+    // long arrays (round-13 probe) — and the match count is the native
+    // [[graft.functions.PackedMatchCountExpr]] instead of interpreted
+    // zip_with/filter lambdas. est values are bit-identical: equal
+    // packed words ≡ equal longs, and the count→round arithmetic is
+    // the same IEEE expression.
+    val corpusVerify = corpusBinSigs
+      .map(_.select(col("id").as("corpus_id"), col("sigb").as("sigb_a")))
+      .getOrElse(corpusSigs.select(col("id").as("corpus_id"),
+        graft.functions.Sketch.pack_longs(col("sig")).as("sigb_a")))
     cand
-      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a")),
-        "corpus_id")
-      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_b")),
+      .join(corpusVerify, "corpus_id")
+      .join(batchSigs.select(col("id").as("batch_id"),
+        graft.functions.Sketch.pack_longs(col("sig")).as("sigb_b")),
         "batch_id")
       .withColumn("est_jaccard",
-        estJaccard(col("sig_a"), col("sig_b"), numHashes))
+        round(graft.functions.Sketch.packed_match_count(
+          col("sigb_a"), col("sigb_b")).cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("corpus_id", "batch_id", "est_jaccard")
   }
@@ -421,8 +443,23 @@ object Dedup {
       // 5.7× at a 10× corpus vs 1.6× for scan-only forms)
       minHashBandTable(sigs, bands, numHashes)
         .write.mode("overwrite").parquet(s"$dir/bands")
+      // the delta's BINARY-PACKED signatures (id, sigb) — the verify
+      // stage's scan side: parquet decodes plain byte rows ~4× faster
+      // than the repeated-group long arrays (round-13 probe), and the
+      // per-delivery verify is the across join's one remaining
+      // corpus-linear read
+      minHashBinSigs(sigs)
+        .write.mode("overwrite").parquet(s"$dir/sigsbin")
     }
   }
+
+  /** Binary-packed form of a signature table — `(id, sigb)` with the
+    * 64 minhash longs big-endian-concatenated
+    * ([[graft.functions.PackLongsExpr]]). The serve-side verify table
+    * of the across join. */
+  def minHashBinSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"),
+      graft.functions.Sketch.pack_longs(col("sig")).as("sigb"))
 
   /** The stored band table as ONE flat multi-path scan of the live
     * parts' `bands/` sub-tables — the served corpus side of the
@@ -463,6 +500,17 @@ object Dedup {
       "mh-delta", "mh-snap")
     require(parts.nonEmpty, s"no committed minhash parts under $path")
     graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/sigs"))
+  }
+
+  /** The binary-packed signature tables of the live parts as ONE flat
+    * multi-path scan — the served verify side
+    * ([[minHashLshPairsAcross]]'s `corpusBinSigs`). */
+  def loadMinHashBinSigs(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = graft.state.SlotStore.liveParts(mhIndexParts(spark, path),
+      "mh-delta", "mh-snap")
+    require(parts.nonEmpty, s"no committed minhash parts under $path")
+    graft.state.SlotStore.readParts(spark, parts.map(p => s"${p._3}/sigsbin"))
   }
 
   /** Over-cap (band, bkey) rows among exactly the DELIVERY's band
@@ -671,13 +719,19 @@ object Dedup {
     * corpus down the plain plan either way. What is lost over-cap:
     * Hamming-1..k pairs whose every shared chunk is over cap — the
     * standard bucket-cap trade, same as the self-form. */
-  def hamming64PairsAcross(corpusSig: DataFrame, batchSig: DataFrame,
+  def hamming64PairsAcross(corpusSig: DataFrame, batchSig0: DataFrame,
       idCol: String, hashCol: String, maxHamming: Int = 3,
       maxBucket: Long = Long.MaxValue,
       overCapChunks: Option[DataFrame] = None,
       starKeepers: Option[DataFrame] = None): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk banding guarantees recall only for distance <= 3")
+    // the delivery's signatures feed the chunk join and (capped) the
+    // star probe — delivery-bounded, persist once instead of
+    // re-signing the batch per consumer (round-13 probe: the
+    // unpersisted q37b plan re-tokenized and re-hashed the delivery
+    // per consumer, the dominant fixed cost per call)
+    val batchSig = graft.CacheRegistry.persist(batchSig0)
     def chunked(df: DataFrame, idOut: String, sigOut: String) =
       df.select(col(idCol).as(idOut), col(hashCol).as(sigOut))
         .select(col(idOut), col(sigOut),
@@ -1859,52 +1913,45 @@ object Dedup {
     graft.state.SlotStore.committedParts(spark, path,
       Seq("emb-delta", "emb-snap"))
 
-  /** Freeze-or-assert the hyperplane family of a slotted embedding
-    * index: first call writes `idx-meta`; later calls require the
-    * identical string. */
   /** Freeze an index's signing parameters into its state dir at first
     * write and assert them on every later batch — a host restarted
     * with different parameters against the same state dir must fail
     * loudly instead of silently probing with a foreign signature
     * family (the embedding host's hyperplane rule, generalized for
-    * the MinHash host's shingle/hash/band family). */
+    * the MinHash host's shingle/hash/band family). The first write
+    * lands at a temp path and renames into place (the same
+    * torn-write-invisibility discipline as the part commit markers —
+    * a crash mid-write must not leave a short file that fails the
+    * equality assert on every restart); a losing racer's rename is a
+    * no-op and its next batch re-asserts against the winner's file. */
   def requireIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, meta: String, what: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/idx-meta")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) {
-      val out = fs.create(p, false)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path/.idx-meta.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
       out.write(meta.getBytes("UTF-8")); out.close()
-    } else {
-      val in = fs.open(p)
-      val stored = new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      in.close()
-      require(stored == meta,
-        s"$what at $path was built with '$stored' but the host was " +
-          s"started with '$meta' — same state dir, different signing " +
-          "parameters")
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
     }
+    val in = fs.open(p)
+    val stored = new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    require(stored == meta,
+      s"$what at $path was built with '$stored' but the host was " +
+        s"started with '$meta' — same state dir, different signing " +
+        "parameters")
   }
 
+  /** Freeze-or-assert the hyperplane family of a slotted embedding
+    * index: first call writes `idx-meta`; later calls require the
+    * identical string. [[requireIndexMeta]] with the embedding host's
+    * wording. */
   def requireEmbeddingMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, meta: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/idx-meta")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) {
-      val out = fs.create(p, false)
-      out.write(meta.getBytes("UTF-8")); out.close()
-    } else {
-      val in = fs.open(p)
-      val stored = new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      in.close()
-      require(stored == meta,
-        s"embedding index at $path was built with planes '$stored' but " +
-          s"the host was started with '$meta' — same state dir, " +
-          "different hyperplane family")
-    }
-  }
+      path: String, meta: String): Unit =
+    requireIndexMeta(spark, path, meta, "embedding index")
 
   /** Committed slots (replay-skip set). */
   def committedEmbeddingSlots(spark: org.apache.spark.sql.SparkSession,
@@ -2019,6 +2066,18 @@ object Dedup {
     math.min(n, math.min(derived, Int.MaxValue.toLong)).toInt
   }
 
+  /** The (k, sampleN) training family [[semanticDedup]] derives from a
+    * corpus count — ONE derivation shared with a served SemDeDup
+    * index's sign-time centroid training (q82b), so the signed
+    * centroids provably come from the same family the dedup pass used
+    * to select the kept set; a drifting copy of this arithmetic would
+    * silently corrupt every served assignment. */
+  private[graft] def semanticFamily(n: Long, targetOccupancy: Int = 128,
+      sampleN: Int = 4096): (Int, Int) = {
+    val k = deriveClusterCount(n, targetOccupancy)
+    (k, math.max(sampleN, 8 * k))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
     * embedding space, then drop every vector whose cosine to a LOWER-id
@@ -2068,10 +2127,9 @@ object Dedup {
     // derives k also retires the cap machinery at sub-cap sizes
     val n = if (k <= 0 || maxCluster != Long.MaxValue) emb.count() else 0L
     val requested = maxCluster != Long.MaxValue && n > maxCluster
-    val kEff =
-      if (k > 0) k
-      else deriveClusterCount(n, targetOccupancy)
-    val sampleEff = math.max(sampleN, 8 * kEff)
+    val (kEff, sampleEff) =
+      if (k > 0) (k, math.max(sampleN, 8 * k))
+      else semanticFamily(n, targetOccupancy, sampleN)
     val assigned0 = Similarity.ivfAssign(emb,
         Similarity.trainIvfCentroids(emb, kEff, iters, sampleEff, seed,
           vecCol, idCol),

@@ -675,13 +675,11 @@ object ScaleOps {
     val committed = Seq(idxDir, centDir, clustersDir, keepersDir)
       .forall(p => new java.io.File(p, "_SUCCESS").exists())
     if (!committed) {
-      // q82's exact derivation: k from corpus count at occupancy 128,
-      // sample max(4096, 8k), seed 42 — the index must cluster with
-      // the same centroids the dedup pass used
-      val n = emb.count()
-      val kEff = Dedup.deriveClusterCount(n, 128)
-      val cs = Similarity.trainIvfCentroids(emb, kEff,
-        sampleN = math.max(4096, 8 * kEff))
+      // q82's shared training family (one derivation, not a copy):
+      // the index must cluster with the same centroids the dedup pass
+      // used to select the kept set
+      val (kEff, sampleEff) = Dedup.semanticFamily(emb.count())
+      val cs = Similarity.trainIvfCentroids(emb, kEff, sampleN = sampleEff)
       cs.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("cluster", "cv").coalesce(1)
         .write.mode("overwrite").parquet(centDir)
@@ -991,7 +989,8 @@ object ScaleOps {
     val keepersDir = new java.io.File(stateDir, "keepers").getPath
     val bandsDir = new java.io.File(stateDir, "bands").getPath
     val bandTblDir = new java.io.File(stateDir, "bandtbl").getPath
-    val committed = Seq(sigsDir, keepersDir, bandsDir, bandTblDir)
+    val binSigsDir = new java.io.File(stateDir, "sigsbin").getPath
+    val committed = Seq(sigsDir, keepersDir, bandsDir, bandTblDir, binSigsDir)
       .forall(p => new java.io.File(p, "_SUCCESS").exists())
     if (!committed) {
       Dedup.minHashSignatures(docs).write.mode("overwrite").parquet(sigsDir)
@@ -1008,6 +1007,10 @@ object ScaleOps {
         .write.mode("overwrite").parquet(bandsDir)
       Dedup.minHashBandTable(signed)
         .write.mode("overwrite").parquet(bandTblDir)
+      // binary-packed verify table (round 13): the across verify scans
+      // plain byte rows instead of decoding 64-long parquet arrays
+      Dedup.minHashBinSigs(signed)
+        .write.mode("overwrite").parquet(binSigsDir)
     }
     val batch = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -1017,7 +1020,8 @@ object ScaleOps {
       minEstJaccard = 0.5, maxBucket = 100000L,
       overCapBands = Some(s.read.parquet(bandsDir)),
       starKeepers = Some(s.read.parquet(keepersDir)),
-      corpusBandTable = Some(s.read.parquet(bandTblDir)))
+      corpusBandTable = Some(s.read.parquet(bandTblDir)),
+      corpusBinSigs = Some(s.read.parquet(binSigsDir)))
       .orderBy("corpus_id", "batch_id")
   }
 

@@ -643,7 +643,8 @@ object StreamOps {
           // survivors (pairing nothing) extend the index — dropped ids
           // are pair-bounded, so the anti-join build side is small
           val kept = graft.CacheRegistry.persist(
-            batch.join(broadcast(pairs.select(col("doc_id").as("id"))),
+            batch.join(
+              broadcast(pairs.select(col("doc_id").as("id")).distinct()),
               Seq("id"), "left_anti"))
           if (live.size + 1 >= compactEvery) {
             Dedup.saveSignatureDelta(spark, stateDir,
@@ -912,7 +913,12 @@ object StreamOps {
               // rows instead of re-hashing every stored signature
               corpusBandTable =
                 if (live.isEmpty) None
-                else Some(Dedup.loadMinHashBandTable(spark, stateDir)))
+                else Some(Dedup.loadMinHashBandTable(spark, stateDir)),
+              // served binary signatures: the verify stage decodes
+              // plain byte rows instead of long arrays
+              corpusBinSigs =
+                if (live.isEmpty) None
+                else Some(Dedup.loadMinHashBinSigs(spark, stateDir)))
             .select(col("corpus_id").as("keeper_id"),
               col("batch_id").as("doc_id"), col("est_jaccard"))
           // within-batch pairs ride the same kernel at id-min

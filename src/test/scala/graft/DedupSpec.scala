@@ -2604,6 +2604,61 @@ class DedupSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("minHashLshPairsAcross with a SERVED binary signature table is " +
+      "byte-identical — the verify stage decodes plain byte rows, not " +
+      "long arrays, with identical est_jaccard values") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-binsigs")
+    try {
+      val docs = Tables(spark, sf("0.001")).documents
+        .select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      Dedup.minHashSignatures(docs)
+        .write.mode("overwrite").parquet(s"$tmp/sigs")
+      val signed = spark.read.parquet(s"$tmp/sigs")
+      Dedup.minHashBinSigs(signed)
+        .write.mode("overwrite").parquet(s"$tmp/sigsbin")
+      def pairs(bin: Option[org.apache.spark.sql.DataFrame]) =
+        Dedup.minHashLshPairsAcross(signed,
+            Dedup.minHashSignatures(batch), minEstJaccard = 0.5,
+            maxBucket = 100000L, corpusBinSigs = bin)
+          .orderBy("corpus_id", "batch_id").collect().map(_.toSeq).toSeq
+      val served = pairs(Some(spark.read.parquet(s"$tmp/sigsbin")))
+      val inline = pairs(None)
+      assert(served == inline, s"served $served vs inline $inline")
+      assert(served.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("pack_longs / packed_match_count: packed word equality counts " +
+      "match the unpacked zip_with count, and wrong-typed inputs fail " +
+      "analysis") {
+    import spark.implicits._
+    import graft.functions.Sketch
+    val df = Seq(
+      (Array(1L, -2L, Long.MinValue, 0L), Array(1L, -2L, 3L, 0L)),
+      (Array(5L, 6L), Array(5L, 7L)),
+      (Array.empty[Long], Array.empty[Long])).toDF("a", "b")
+    val got = df.select(
+      Sketch.packed_match_count(
+        Sketch.pack_longs(col("a")), Sketch.pack_longs(col("b"))).as("m"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+        e => e)).cast("long").as("ref")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // 8 bytes per element, preserved bit-for-bit
+    val bytes = df.limit(1)
+      .select(Sketch.pack_longs(col("a"))).head().getAs[Array[Byte]](0)
+    assert(bytes.length == 32)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s").select(Sketch.pack_longs(col("s"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("s", "t")
+        .select(Sketch.packed_match_count(col("s"), col("t"))).collect()
+    }
+  }
+
   test("semanticDedupAcross: a delivery pairs stored same-cluster rows " +
       "at tau, an over-cap cluster recovers an exact copy via served " +
       "star keepers exactly once, zero-norm never aborts, and served " +
