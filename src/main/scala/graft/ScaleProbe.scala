@@ -75,15 +75,26 @@ object ScaleProbe {
           .withColumnRenamed("list_id", "cluster")
           .withColumnRenamed("vec_id", "id")
           .write.parquet(s"$base/semidx")
-        val signS = (System.nanoTime() - t0) / 1e9
-        // FIXED 1000-row deliveries whatever the corpus size
-        val delDocs = docs.filter(col("doc_id") % mod === 0)
+        // FIXED 1000-row deliveries whatever the corpus size — STAGED
+        // to their own files at sign time: a landing-zone delivery
+        // arrives as its own small file, and deriving it per-rep by
+        // filtering the corpus table would re-scan the whole corpus
+        // text column inside every measured rep (round-13 finding:
+        // that synthetic-construction scan, not the across kernel,
+        // was the dominant "growth" — 1.5 s of the 1.9 s simhash line
+        // at sf10)
+        docs.filter(col("doc_id") % mod === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"),
             concat(col("text"), lit(" v2")).as("text"))
+          .coalesce(1).write.parquet(s"$base/deliv-docs")
         val embMod = mod * 2 // 200k vectors at sf10 -> 1000
-        val delVec = emb.filter(col("vec_id") % embMod === 0)
+        emb.filter(col("vec_id") % embMod === 0)
           .select((col("vec_id") + 10000000L).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+          .coalesce(1).write.parquet(s"$base/deliv-vecs")
+        val signS = (System.nanoTime() - t0) / 1e9
+        def delDocs = spark.read.parquet(s"$base/deliv-docs")
+        def delVec = spark.read.parquet(s"$base/deliv-vecs")
         val nDel = delDocs.count(); val nVec = delVec.count()
         val w = med(() => Dedup.postingsOverlapAcross(
             spark.read.parquet(s"$base/wpost"),
