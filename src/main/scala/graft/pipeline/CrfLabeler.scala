@@ -136,17 +136,6 @@ final case class CrfModel(
       else { val line = cols(r); if (c < line.length) line(c) else s"_X[$row,$c]" }
     }
 
-    // wapiti's out-of-range substitution (pattern.c): _x-1 before the
-    // sequence, _x+1 after it
-    def wapitiCell(t: Int, row: Int, c: Int, lower: Boolean): String = {
-      val r = t + row
-      val v =
-        if (r < 0) "_x-1"
-        else if (r >= n) "_x+1"
-        else { val line = cols(r); if (c < line.length) line(c) else "" }
-      if (lower) v.toLowerCase else v
-    }
-
     // emission scores: sum of matched unigram observation weights;
     // bigAdd(t) accumulates observation-dependent transition weights
     // applying to the (t-1 -> t) transition
@@ -165,12 +154,7 @@ final case class CrfModel(
           }
         case CrfModel.Bigram => ()
         case tm: CrfModel.Template =>
-          val sb = new StringBuilder
-          tm.chunks.foreach {
-            case CrfModel.Lit(s) => sb ++= s
-            case CrfModel.Cell(r, c, lower) => sb ++= wapitiCell(t, r, c, lower)
-          }
-          val obs = sb.toString
+          val obs = CrfModel.expandTemplate(tm, cols, t)
           if ((tm.kind & 1) != 0) unigram.get(obs).foreach { w =>
             var y = 0
             while (y < nl) { emit(t)(y) += w(y); y += 1 }
@@ -247,6 +231,30 @@ object CrfModel {
 
   private val CellRe = """%x\[(-?\d+),(\d+)\]""".r
   private val TmplCellRe = """%[xX]\[(-?\d+),(\d+)\]""".r
+
+  /** Expand a compiled template at position `t` of a sequence whose
+    * data lines are `cols` — wapiti's literal expansion with its
+    * out-of-range substitution (`pattern.c`): `_x-1` before the
+    * sequence, `_x+1` after it, empty string for a missing column.
+    * Shared by [[CrfModel.decode]] and [[CrfTrainer]] so the features
+    * a model was trained on are BY CONSTRUCTION the features inference
+    * scores. */
+  private[pipeline] def expandTemplate(tm: Template,
+      cols: IndexedSeq[Array[String]], t: Int): String = {
+    val n = cols.length
+    val sb = new StringBuilder
+    tm.chunks.foreach {
+      case Lit(s) => sb ++= s
+      case Cell(row, c, lower) =>
+        val r = t + row
+        val v =
+          if (r < 0) "_x-1"
+          else if (r >= n) "_x+1"
+          else { val line = cols(r); if (c < line.length) line(c) else "" }
+        sb ++= (if (lower) v.toLowerCase else v)
+    }
+    sb.toString
+  }
 
   /** Compile one wapiti template source line into [[Template]]. Only
     * `%x`/`%X` items are supported (the GROBID model family uses
@@ -417,6 +425,85 @@ object CrfModel {
 
   /** C `%la` hex-float (e.g. `0x1.5bf0ap+1`) or plain decimal. */
   private def parseCDouble(s: String): Double = java.lang.Double.parseDouble(s.trim)
+
+  /** Serialize a model to wapiti's NATIVE text dump — the exact layout
+    * [[parseWapitiNative]] reads (and `wapiti label -m` loads), with
+    * weights as lossless hex floats. Requires template-kind patterns
+    * (the [[CrfTrainer]] output); static transitions are emitted under
+    * the constant bigram template's expansion, mirroring the fold the
+    * parser applies on load, so save → parse round-trips to an
+    * equivalent model. Observation order is sorted (deterministic
+    * output for a given model). */
+  def toWapitiNative(m: CrfModel): String = {
+    val templates = m.patterns.map {
+      case t: Template => t
+      case p => throw new IllegalArgumentException(
+        s"toWapitiNative needs template patterns, got: $p")
+    }
+    val Y = m.labels.size
+    val transNonZero = m.transition.exists(_.exists(_ != 0.0))
+    val constObs = templates
+      .filter(t => (t.kind & 2) != 0 && t.chunks.forall(_.isInstanceOf[Lit]))
+      .map(_.chunks.collect { case Lit(s) => s }.mkString)
+      .headOption
+    require(!transNonZero || constObs.isDefined,
+      "static transition weights need a constant bigram template (`b`)")
+    val obsList = (m.unigram.keySet ++ m.bigramObs.keySet ++
+      (if (transNonZero) constObs.toSet else Set.empty[String]))
+      .toSeq.sorted
+    // feature-id layout: the same scan parseWapitiNative performs
+    var nextOff = 0L
+    val weights = mutable.ArrayBuffer.empty[(Long, Double)]
+    obsList.foreach { obs =>
+      val kind = obs.charAt(0).toLower match {
+        case 'u' => 1
+        case 'b' => 2
+        case '*' => 3
+        case c => throw new IllegalArgumentException(
+          s"observation must start with u/b/* (got '$c'): $obs")
+      }
+      if ((kind & 1) != 0) {
+        m.unigram.get(obs).foreach { w =>
+          var y = 0
+          while (y < Y) {
+            if (w(y) != 0.0) weights += ((nextOff + y, w(y)))
+            y += 1
+          }
+        }
+        nextOff += Y
+      }
+      if ((kind & 2) != 0) {
+        val w: Option[Array[Double]] =
+          if (constObs.contains(obs) && transNonZero)
+            Some(m.transition.flatten.toArray)
+          else m.bigramObs.get(obs)
+        w.foreach { arr =>
+          var k = 0
+          while (k < Y * Y) {
+            if (arr(k) != 0.0) weights += ((nextOff + k, arr(k)))
+            k += 1
+          }
+        }
+        nextOff += Y.toLong * Y
+      }
+    }
+    val ntoks = (templates.flatMap(_.chunks).collect {
+      case Cell(_, c, _) => c + 1
+    } :+ 1).max
+    val sb = new StringBuilder
+    sb ++= s"#mdl#2#${weights.size}\n"
+    sb ++= s"#rdr#${templates.size}/$ntoks\n"
+    sb ++= s"#pat#${templates.size}\n"
+    templates.foreach(t => sb ++= t.src += '\n')
+    sb ++= s"#qrk#${m.labels.size}\n"
+    m.labels.foreach(l => sb ++= l += '\n')
+    sb ++= s"#qrk#${obsList.size}\n"
+    obsList.foreach(o => sb ++= o += '\n')
+    weights.foreach { case (id, w) =>
+      sb ++= s"$id=${java.lang.Double.toHexString(w)}\n"
+    }
+    sb.toString
+  }
 
   /** Parse the simple text model format (see [[CrfLabeler]] scaladoc). */
   def parseSimple(text: String): CrfModel = {

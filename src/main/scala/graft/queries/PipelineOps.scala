@@ -131,6 +131,21 @@ object PipelineOps {
     * family instead of once per query per run; ephemeral releases
     * leave it warm, `Graft.releaseCaches(includeShared = true)` drops
     * it. */
+  /** P11's wapiti template set over the 32-column header data line
+    * (columns per [[graft.pipeline.HeaderFeatures]]): the largest-font
+    * flag (28) with its ±1 context — the title signal — plus block /
+    * line status (10, 11) and capitalization (17) for the
+    * block-boundary and author-region structure, a constant `b` for
+    * label-pair priors, and data-dependent bigrams on the font
+    * boundary and the previous token's block status (the author span
+    * ends where its block does). */
+  private val P11Templates = Seq(
+    "u00:%x[0,28]", "u01:%x[-1,28]", "u02:%x[1,28]",
+    "u03:%x[-1,28]/%x[0,28]",
+    "u04:%x[0,10]", "u05:%x[-1,10]", "u06:%x[0,11]", "u07:%x[0,17]",
+    "b",
+    "b00:%x[-1,28]/%x[0,28]", "b01:%x[-1,10]")
+
   private def tokenTable(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.persist(
       AltoReader.tokens(altoCorpus(s, d)).toDF(), shared = true)
@@ -418,32 +433,40 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  /** P11 CRF inference (D1): pure-JVM Viterbi labeler over the header
-    * data lines with an embedded model keyed on the largest-font flag —
-    * real sequence decoding (not rule stand-ins) across the corpus,
-    * rows-only per-doc span stats.
-    */
+  /** P11 CRF inference (D1) with a SELF-TRAINED model: the corpus's
+    * own header data lines + rule labels train a linear-chain CRF
+    * in-repo ([[graft.pipeline.CrfTrainer]] — distributed averaged
+    * perceptron, the in-engine stand-in for the reference's
+    * `wapiti train` step), the model is saved in wapiti's NATIVE
+    * format gzipped (`model.wapiti.gz`, exactly the artifact layout
+    * the reference ships, `models/wapiti_model_impl.py:40`) and the
+    * pure-JVM Viterbi labeler loads it back through the same
+    * gzip + native-format path a reference-shipped model would take.
+    * Real end-to-end train → serialize → load → decode across the
+    * corpus; rows-only per-doc span stats. Train/save happens once
+    * per scale dir (the q102b state-dir discipline). */
   def p11(s: SparkSession, d: String): DataFrame = {
-    import graft.pipeline.{BioSpans, CrfLabeler}
-    val model =
-      """[labels]
-        |O
-        |B-<title>
-        |I-<title>
-        |[patterns]
-        |U00:%x[0,28]
-        |U01:%x[-1,28]/%x[0,28]
-        |B
-        |[weights]
-        |U00:1	B-<title>	1.0
-        |U00:0	O	1.0
-        |U01:1|1	I-<title>	1.5
-        |B:	B-<title>	I-<title>	0.25
-        |B:	I-<title>	I-<title>	0.25
-        |""".stripMargin
+    import graft.pipeline.{BioSpans, CrfLabeler, CrfTrainer, RuleLabeler}
     val lines = graft.pipeline.HeaderFeatures.dataLines(tokenTable(s, d))
       .withColumnRenamed("data_line", "features")
-    val labeled = new CrfLabeler(model).label(lines)
+    val modelFile = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-p11-crf-" + graft.queries.ScaleOps.stateKeyDigest(d)),
+      "model.wapiti.gz")
+    if (!modelFile.exists()) {
+      val trained = CrfTrainer.train(new RuleLabeler().label(lines),
+        P11Templates, epochs = 8)
+      modelFile.getParentFile.mkdirs()
+      val tmp = new java.io.File(modelFile.getParentFile,
+        s".model-${java.util.UUID.randomUUID()}.tmp")
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(tmp))
+      try out.write(graft.pipeline.CrfModel.toWapitiNative(trained.model)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!tmp.renameTo(modelFile)) tmp.delete()
+    }
+    val labeled = CrfLabeler.fromFile(modelFile.getPath).label(lines)
     BioSpans.spans(labeled)
       .groupBy("doc_id")
       .agg(
