@@ -50,6 +50,83 @@ object Sketch {
     new GenericArrayData(mins)
   }
 
+  /** [[SegmentHashesTextExpr]] kernel: [[segmentHashes]] fused with
+    * the single-space tokenizer — one pass over the RAW TEXT BYTES,
+    * no token array ever materialized. Tokens are maximal runs of
+    * non-0x20 bytes (UTF-8 continuation bytes are ≥ 0x80, so a byte
+    * split on 0x20 is exact); hash scheme and window rule are
+    * byte-identical to `segmentHashes(tokens(text), width)`. */
+  def segmentHashesText(text: org.apache.spark.unsafe.types.UTF8String,
+      width: Int): ArrayData = {
+    val bytes = text.getBytes
+    val out = new java.util.ArrayList[Any]()
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    var tokInWin = 0
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == 0x20) inTok = false
+      else {
+        if (!inTok) {
+          inTok = true
+          if (tokInWin == width) {
+            out.add(h)
+            h = -3750763034362895579L
+            tokInWin = 0
+          }
+          if (tokInWin > 0) { h ^= 0x20L; h *= 1099511628211L }
+          tokInWin += 1
+        }
+        h ^= (b & 0xffL); h *= 1099511628211L
+      }
+      i += 1
+    }
+    if (tokInWin > 0) out.add(h)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[RemoveSegmentsTextExpr]] kernel: [[removeSegments]] fused with
+    * the tokenizer — one pass over the raw text bytes copying the
+    * bytes of every SURVIVING segment's tokens (single-space join),
+    * returning `(n_segments, cleaned_text)` together so the caller
+    * never tokenizes at all. `drops` must be sorted ascending. */
+  def removeSegmentsText(text: org.apache.spark.unsafe.types.UTF8String,
+      drops: ArrayData, width: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val m = drops.numElements()
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var di = 0
+    var tok = -1
+    var inTok = false
+    var first = true
+    var keepCur = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == 0x20) inTok = false
+      else {
+        if (!inTok) {
+          inTok = true
+          tok += 1
+          val seg = tok / width
+          while (di < m && drops.getInt(di) < seg) di += 1
+          keepCur = !(di < m && drops.getInt(di) == seg)
+          if (keepCur) {
+            if (!first) out.write(0x20)
+            first = false
+          }
+        }
+        if (keepCur) out.write(b)
+      }
+      i += 1
+    }
+    val nSegs = if (tok < 0) 0L else (tok.toLong + width) / width
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nSegs,
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)))
+  }
+
   /** [[PackLongsExpr]] kernel: big-endian 8-byte concatenation. */
   def packLongs(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
@@ -654,6 +731,12 @@ object Sketch {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(hashes)))
   def winnow_min(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashes), w))
+  def segment_hashes_text(text: Column, width: Int): Column =
+    ColumnBridge.column(
+      SegmentHashesTextExpr(ColumnBridge.expression(text), width))
+  def remove_segments_text(text: Column, drops: Column, width: Int): Column =
+    ColumnBridge.column(RemoveSegmentsTextExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(drops), width))
   def pack_longs(a: Column): Column =
     ColumnBridge.column(PackLongsExpr(ColumnBridge.expression(a)))
   def packed_match_count(a: Column, b: Column): Column =
@@ -753,6 +836,54 @@ case class RemoveSegmentsExpr(left: Expression, right: Expression, width: Int)
       s"graft.functions.Sketch.removeSegments($a, $b, $width)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RemoveSegmentsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[Sketch.segmentHashesText]] as an expression: the q121 segment
+  * hasher fused with the tokenizer — `segment_hashes(tokens(text))`
+  * without the intermediate token array. */
+case class SegmentHashesTextExpr(child: Expression, width: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "segment_hashes_text"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.segmentHashesText(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.segmentHashesText($c, $width)")
+  override protected def withNewChildInternal(c: Expression): SegmentHashesTextExpr =
+    copy(child = c)
+}
+
+/** [[Sketch.removeSegmentsText]] as an expression: reassembly fused
+  * with the tokenizer, returning `(n_segments, cleaned_text)` in one
+  * pass over the raw text. */
+case class RemoveSegmentsTextExpr(left: Expression, right: Expression,
+    width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType,
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_segments",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cleaned_text",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "remove_segments_text"
+  override def nullSafeEval(text: Any, drops: Any): Any =
+    Sketch.removeSegmentsText(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      drops.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketch.removeSegmentsText($a, $b, $width)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveSegmentsTextExpr =
     copy(left = newLeft, right = newRight)
 }
 

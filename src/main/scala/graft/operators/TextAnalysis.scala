@@ -737,15 +737,18 @@ object TextAnalysis {
   def segmentDedup(docs: DataFrame, width: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(width >= 1, s"width must be >= 1 (got $width)")
-    // null text coalesces to the empty token array here so every
-    // downstream size/sequence/slice sees a real array (a null toks
-    // would bypass the empty guard below and descend)
-    val toked = docs.select(col(idCol).as("doc_id"),
-        coalesce(tokens(col(textCol)),
-          array().cast("array<string>")).as("toks"))
-      .transform(CacheRegistry.persist(_))
-    val segs = toked.select(col("doc_id"),
-        posexplode(segmentHashesOf(col("toks"), width))
+    // null text coalesces to "" so the fused kernels see a real string
+    val norm = docs.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    // fused hashing: tokenize + window-hash in ONE native pass over
+    // the raw text bytes — no token array is materialized, and the
+    // corpus-scale token-array cache the pre-round-13 formulation
+    // persisted (a 100 TB liability in executor storage) is gone; the
+    // reassembly side re-reads the text instead, a plain columnar
+    // re-scan
+    val segs = norm.select(col("doc_id"),
+        posexplode(graft.functions.Sketch
+          .segment_hashes_text(col("text"), width))
           .as(Seq("seg_idx", "gh")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val drops = segs
@@ -754,40 +757,31 @@ object TextAnalysis {
         col("keeper.seg_idx") =!= col("seg_idx"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("seg_idx"))).as("drops"))
-    reassembleSegments(toked, drops, width)
+    reassembleSegmentsFused(norm, drops, width)
   }
 
-  /** One 8-byte hash per ceil(n/width) non-overlapping window — the
-    * native `segment_hashes` kernel hashes token bytes directly
-    * (0x20-separated FNV-1a-64, the span-gram scheme at segment
-    * granularity), so no per-segment string is ever materialized on
-    * the hashing side. */
-  private def segmentHashesOf(t: Column, width: Int): Column =
-    graft.functions.Sketch.segment_hashes(t, width)
-
   /** Shared q121/q121b reassembly: join the per-document sorted drop
-    * lists back to the tokenized corpus (ONE join by doc_id) and
-    * rebuild each document straight from its token array — the
-    * `remove_segments` native kernel is an O(tokens + drops)
-    * two-pointer sweep that skips dropped windows, never building a
-    * per-segment string (the `array_contains`-per-segment HOF this
-    * replaces was O(segs × drops) row-local and materialized every
-    * segment twice). */
-  private def reassembleSegments(toked: DataFrame, drops: DataFrame,
+    * lists back to the `(doc_id, text)` projection (ONE join by
+    * doc_id) and rebuild each document in one fused native pass over
+    * the raw text bytes — `remove_segments_text` tokenizes, skips
+    * dropped windows and counts segments together (O(bytes + drops)),
+    * so neither side of q121 ever materializes a token array and the
+    * corpus-scale token cache of the pre-round-13 formulation is
+    * gone. */
+  private def reassembleSegmentsFused(norm: DataFrame, drops: DataFrame,
       width: Int): DataFrame =
-    toked.join(drops, Seq("doc_id"), "left")
+    norm.join(drops, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        // ceil(size/width) — exact for the empty doc too (15/16 = 0)
-        floor((size(col("toks")) + lit(width - 1)) / lit(width))
-          .cast("bigint").as("n_segments"),
         // coalesce the ARRAY before size(), never size() before
         // coalesce: with spark.sql.ansi.enabled=false, size(null) is
         // -1 (not null) and would pass straight through the coalesce
         size(coalesce(col("drops"), array().cast("array<int>")))
           .cast("bigint").as("n_dropped"),
-        graft.functions.Sketch.remove_segments(col("toks"),
+        graft.functions.Sketch.remove_segments_text(col("text"),
           coalesce(col("drops"), array().cast("array<int>")), width)
-          .as("cleaned_text"))
+          .as("r"))
+      .select(col("doc_id"), col("r.n_segments").as("n_segments"),
+        col("n_dropped"), col("r.cleaned_text").as("cleaned_text"))
 
   /** Segment keeper table — the PERSISTABLE state behind
     * [[segmentDedupIncremental]]: one `(gh, k_doc, k_seg)` row per
@@ -798,10 +792,10 @@ object TextAnalysis {
   def segmentKeepers(docs: DataFrame, width: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        coalesce(tokens(col(textCol)),
-          array().cast("array<string>")).as("toks"))
+        coalesce(col(textCol), lit("")).as("text"))
       .select(col("doc_id"),
-        posexplode(segmentHashesOf(col("toks"), width))
+        posexplode(graft.functions.Sketch
+          .segment_hashes_text(col("text"), width))
           .as(Seq("seg_idx", "gh")))
       .groupBy(col("gh"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
@@ -843,12 +837,14 @@ object TextAnalysis {
   def segmentDedupIncremental(delivery: DataFrame, storedKeepers: DataFrame,
       width: Int = 16, textCol: String = "text",
       idCol: String = "doc_id", storedPrecedes: Boolean = false): DataFrame = {
-    val toked = delivery.select(col(idCol).as("doc_id"),
-        coalesce(tokens(col(textCol)),
-          array().cast("array<string>")).as("toks"))
+    // delivery-bounded: persisting the raw text is cheap and feeds
+    // both the hash pass and the reassembly
+    val norm = delivery.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .transform(CacheRegistry.persist(_))
-    val segs = toked.select(col("doc_id"),
-        posexplode(segmentHashesOf(col("toks"), width))
+    val segs = norm.select(col("doc_id"),
+        posexplode(graft.functions.Sketch
+          .segment_hashes_text(col("text"), width))
           .as(Seq("seg_idx", "gh")))
       .transform(CacheRegistry.persist(_))
     // stored keepers pruned to the delivery's hashes BEFORE the merge:
@@ -877,7 +873,7 @@ object TextAnalysis {
         (col("skeeper").isNotNull && !storedLoses))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("seg_idx"))).as("drops"))
-    reassembleSegments(toked, drops, width)
+    reassembleSegmentsFused(norm, drops, width)
   }
 
   /** Fold a delivery's keepers into the stored table under the BATCH

@@ -2659,6 +2659,46 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("fused text kernels: segment_hashes_text / remove_segments_text " +
+      "are byte-identical to the token-array forms on ragged input") {
+    import spark.implicits._
+    import graft.functions.Sketch
+    val texts = Seq(
+      "a b c d e f g",                       // clean
+      "  a  b   c ",                         // leading/trailing/multi space
+      "",                                    // empty
+      " ",                                   // all spaces
+      "único tökens ünïcode żółw a b c d",   // multi-byte UTF-8
+      (1 to 40).map(i => s"t$i").mkString(" ")) // several windows
+    val df = texts.toDF("text")
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+    val w = 3
+    // hash parity
+    df.select(Sketch.segment_hashes_text(col("text"), w).as("fused"),
+        Sketch.segment_hashes(col("toks"), w).as("arr"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
+    // reassembly parity for every drop list shape
+    val drops = Seq(Seq.empty[Int], Seq(0), Seq(1), Seq(0, 2), Seq(0, 1, 2, 3, 13))
+    drops.foreach { dl =>
+      df.select(
+          Sketch.remove_segments_text(col("text"), typedLit(dl), w)
+            .getField("cleaned_text").as("fused"),
+          Sketch.remove_segments(col("toks"), typedLit(dl), w).as("arr"),
+          Sketch.remove_segments_text(col("text"), typedLit(dl), w)
+            .getField("n_segments").as("nseg"),
+          ceil(size(col("toks")) / lit(w.toDouble)).cast("long").as("nref"))
+        .collect().foreach { r =>
+          assert(r.getString(0) == r.getString(1), s"drops=$dl: $r")
+          assert(r.getLong(2) == r.getLong(3), s"drops=$dl nseg: $r")
+        }
+    }
+    // wrong-typed input fails analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Sketch.segment_hashes_text(col("toks"), w)).collect()
+    }
+  }
+
   test("semanticDedupAcross: a delivery pairs stored same-cluster rows " +
       "at tau, an over-cap cluster recovers an exact copy via served " +
       "star keepers exactly once, zero-norm never aborts, and served " +
