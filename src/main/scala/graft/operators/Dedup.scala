@@ -1311,9 +1311,30 @@ object Dedup {
     * frames is the O(delta) state write of a served label table
     * ([[saveLabelDelta]]); both come back persisted so a caller can
     * write each without recomputing the fold. */
-  def connectedComponentsDelta(labels: DataFrame, newEdges: DataFrame,
+  def connectedComponentsDelta(labels: DataFrame, newEdges0: DataFrame,
       srcCol: String = "doc_id_a", dstCol: String = "doc_id_b",
       maxIter: Int = 25): (DataFrame, DataFrame) = {
+    // the delta edge list is usually an EXPENSIVE upstream (a full
+    // across near-dup join) and feeds two consumers here (endpoint
+    // set, contraction) — persist once, delta-bounded by construction.
+    // The count MATERIALIZES the cache in its own single-branch job
+    // before the fan-out below: two un-materialized branches of one
+    // action would otherwise race to compute the same InMemoryRelation
+    // and the expensive join would run twice (measured: the q53b
+    // delivery paid its edge pass ~2x without this)
+    val newEdges = graft.CacheRegistry.persist(newEdges0)
+    val nEdges = newEdges.count()
+    // empty-delta short-circuit: no edges → nothing merges, nothing is
+    // labeled — the whole fold (endpoint lookup, contraction, CC,
+    // remap) drops to two empty frames, the no-op heartbeat shape a
+    // streaming host sees most batches
+    if (nEdges == 0L) {
+      val emptyRemap = graft.CacheRegistry.persist(
+        labels.limit(0).select(col("comp"), col("comp").as("newcomp")))
+      val emptyNew = graft.CacheRegistry.persist(
+        labels.limit(0).select(col("node"), col("comp")))
+      return (emptyRemap, emptyNew)
+    }
     val ends = graft.CacheRegistry.persist(
       newEdges.select(col(srcCol).as("node"))
         .union(newEdges.select(col(dstCol).as("node"))).distinct())
@@ -1334,9 +1355,21 @@ object Dedup {
         col("comp").as("cb")), Seq(dstCol))
       .filter(col("ca") =!= col("cb"))
       .select(col("ca").as("doc_id_a"), col("cb").as("doc_id_b"))
-    // delta-scale CC: nodes are old component labels + new doc ids
+    // delta-scale CC: nodes are old component labels + new doc ids.
+    // The contracted graph is DELTA-bounded (≤ one edge per delivered
+    // pair), so below a driver-safe threshold it is solved as one
+    // in-memory union-find instead of the iterative distributed loop —
+    // the loop's per-round job+checkpoint floor (~6 small jobs per
+    // delivery) was most of q53b's fixed cost at toy scale, and a
+    // collect of ≤ `localCcMaxEdges` (id, id) pairs is a few MB. Over
+    // the threshold (a genuinely huge delivery) the distributed loop
+    // stands. Outputs are identical: min-member-id labels either way.
+    val contractedP = graft.CacheRegistry.persist(contracted)
+    val nContracted = contractedP.count()
     val merged = graft.CacheRegistry.persist(
-      connectedComponents(contracted, maxIter = maxIter))
+      if (nContracted <= localCcMaxEdges)
+        localConnectedComponents(contractedP)
+      else connectedComponents(contractedP, maxIter = maxIter))
     // remap rows only for STORED labels: a new node's own entry in
     // `merged` is its label assignment, not a component merge — no
     // stored row can carry a new node id as its comp, so keeping such
@@ -1358,6 +1391,48 @@ object Dedup {
           "left")
         .select(col("node"), coalesce(col("mcomp"), col("node")).as("comp")))
     (remap, newLabels)
+  }
+
+  /** Edge-count ceiling for the driver-local union-find fast path of
+    * [[connectedComponentsDelta]] — 4M (id, id) edges ≈ 64 MB
+    * collected, far under driver headroom, far over any sane
+    * delivery. */
+  private[graft] val localCcMaxEdges = 4000000L
+
+  /** Driver-local connected components: collect a (small) edge list,
+    * union-find with min-id labels, return the same `(node, comp)`
+    * frame [[connectedComponents]] produces. ONLY for delta-scale
+    * graphs behind [[localCcMaxEdges]] — the caller guards. */
+  private[graft] def localConnectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(col("doc_id_a").cast("long"),
+      col("doc_id_b").cast("long")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+      // path compression
+      var y = x0
+      while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      // union by MIN id so the root IS the component label
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      if (!parent.containsKey(a)) parent.put(a, find(a))
+      if (!parent.containsKey(b)) parent.put(b, find(b))
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    pairs.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    val it = nodes.iterator()
+    while (it.hasNext) { val n = it.next().longValue; out += ((n, find(n))) }
+    out.toSeq.toDF("node", "comp")
   }
 
   // ------------------------------ label index (slotted state)

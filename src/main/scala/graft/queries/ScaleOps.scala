@@ -557,17 +557,22 @@ object ScaleOps {
         concat(col("text"), lit(" v2")).as("text"))
     val delPost = graft.CacheRegistry.persist(
       Dedup.ngramPostings(batch, n = 2))
-    val across = Dedup.ngramJaccardAcross(s.read.parquet(postDir),
-      s.read.parquet(dfsDir), s.read.parquet(sizesDir), delPost,
-      threshold = 0.2, maxDf = 100L)
-    // within-delivery pairs ride the same kernel (delivery on both
-    // sides, STORED dfs keep the union-df cut identical), id-min
-    // orientation
-    val within = Dedup.ngramJaccardAcross(delPost,
-        s.read.parquet(dfsDir), Dedup.postingsSizes(delPost), delPost,
-        threshold = 0.2, maxDf = 100L)
-      .filter(col("corpus_id") < col("batch_id"))
-    val newEdges = across.unionByName(within)
+    // ONE kernel pass for across + within: the delivery rides the
+    // corpus side of the join too (its postings and sizes unioned in),
+    // so the stored dfs and postings tables are scanned once instead
+    // of once per pair orientation — the union-df cut is identical
+    // (both passes used stored df + the delivery's own counts) and
+    // delivery-vs-delivery pairs keep the id-min orientation via the
+    // same filter the two-pass form applied. Delivery ids sit above
+    // the 1e6 offset, so `corpus_id < 1e6` is exactly "corpus side is
+    // a stored doc".
+    val newEdges = Dedup.ngramJaccardAcross(
+        s.read.parquet(postDir).unionByName(delPost),
+        s.read.parquet(dfsDir),
+        s.read.parquet(sizesDir).unionByName(Dedup.postingsSizes(delPost)),
+        delPost, threshold = 0.2, maxDf = 100L)
+      .filter(col("corpus_id") < lit(1000000L) ||
+        col("corpus_id") < col("batch_id"))
       .select(col("corpus_id").as("doc_id_a"),
         col("batch_id").as("doc_id_b"))
     Dedup.connectedComponentsIncremental(
