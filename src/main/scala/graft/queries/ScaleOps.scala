@@ -1030,6 +1030,38 @@ object ScaleOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Q102c exact-shingle-set across dedup (ORACLED — the deterministic
+    * slice of the q102b family): a delivery doc pairs the stored
+    * corpus's min-id holder of an IDENTICAL distinct-shingle set
+    * (word 3-grams, [[Dedup.shingles]] — the exact features MinHash
+    * sketches). Identical set ⟹ identical signature ⟹ the q102b
+    * star-keeper path pairs them at est 1.0; this query computes that
+    * slice exactly (set-digest keeper table signed once, delivery
+    * digests row-local, broadcast probe against the scanned keeper
+    * state — the q89 discipline) so DuckDB can replay it and CORRECTNESS
+    * hash-matches the across family's exact-duplicate behavior. The
+    * digest is md5 over the 0x1f-joined SORTED distinct shingles:
+    * engine-portable (both engines md5 the same string). */
+  def q102c(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val digest = md5(concat_ws("",
+      sort_array(Dedup.shingles(Dedup.tokensOf(col("text")), 3))))
+    val stateDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-q102c-idx-" + stateKeyDigest(d))
+    val keepDir = new java.io.File(stateDir, "setkeep").getPath
+    if (!new java.io.File(keepDir, "_SUCCESS").exists()) {
+      docs.select(col("doc_id"), digest.as("digest"))
+        .groupBy("digest").agg(min(col("doc_id")).as("corpus_id"))
+        .write.mode("overwrite").parquet(keepDir)
+    }
+    val delivery = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("batch_id"), digest.as("digest"))
+    s.read.parquet(keepDir)
+      .join(broadcast(delivery), Seq("digest"))
+      .select(col("corpus_id"), col("batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Q103 blocklist redaction (rows-only — leftmost-longest selection
     * is the declared engine semantics): one automaton pass replaces
     * every banned phrase, keeping the document and its count
@@ -1466,6 +1498,7 @@ object ScaleOps {
     "q100_ann_recall" -> q100, "q101_salted_agg" -> q101,
     "q102_incremental_near_dedup" -> q102,
     "q102b_incremental_near_dedup_served" -> q102b,
+    "q102c_exact_shingle_across" -> q102c,
     "q103_blocklist_redact" -> q103,
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
@@ -2328,6 +2361,27 @@ object ScaleOps {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q102c_exact_shingle_across" ->
+      """WITH tok AS (
+           SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         g3 AS (
+           SELECT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS gram
+           FROM tok, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS u(i)
+           WHERE LEN(toks) >= 3),
+         gshort AS (
+           SELECT doc_id, ARRAY_TO_STRING(toks, ' ') AS gram
+           FROM tok WHERE LEN(toks) >= 1 AND LEN(toks) < 3),
+         grams AS (SELECT * FROM g3 UNION ALL SELECT * FROM gshort),
+         dig AS (
+           SELECT t.doc_id,
+             MD5(COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT g.gram)), CHR(31)), '')) AS digest
+           FROM tok t LEFT JOIN grams g USING (doc_id) GROUP BY t.doc_id),
+         k AS (SELECT digest, MIN(doc_id) AS corpus_id FROM dig GROUP BY digest),
+         deliv AS (SELECT doc_id + 1000000 AS batch_id, digest FROM dig WHERE doc_id % 7 = 0)
+         SELECT CAST(k.corpus_id AS BIGINT) AS corpus_id,
+                CAST(d.batch_id AS BIGINT) AS batch_id
+         FROM k JOIN deliv d USING (digest) ORDER BY 1, 2""",
     "q99_corpus_upsert" ->
       """WITH batch AS (
            SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 7 = 0
