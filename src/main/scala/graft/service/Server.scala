@@ -225,10 +225,12 @@ final class GraftService(
   }
 
   /** `first_page`/`last_page` request parameters (convert.py:40-58,
-    * dependencies.py:105-114: the page range restricts the parsed
-    * document — pdfalto converts only those pages; here the token
-    * table filters to the same 1-based inclusive range). */
-  private def pageRange(toks: DataFrame, params: Map[String, String]): DataFrame = {
+    * dependencies.py:105-114): the page range restricts the PARSED
+    * document — pdfalto converts only those pages, and the ALTO parse
+    * applies the same 1-based inclusive range at the StAX level
+    * ([[graft.sources.AltoReader.parseAll]]): out-of-range pages never
+    * tokenize, a ServiceSpec-pinned behavior. */
+  private def pageBounds(params: Map[String, String]): (Int, Int) = {
     def intParam(name: String): Option[Int] = params.get(name).map { v =>
       try v.toInt
       catch {
@@ -236,12 +238,8 @@ final class GraftService(
           throw new IllegalArgumentException(s"invalid $name: $v")
       }
     }
-    val first = intParam("first_page")
-    val last = intParam("last_page")
-    var out = toks
-    first.foreach(f => out = out.filter(col("page_idx") >= f - 1))
-    last.foreach(l => out = out.filter(col("page_idx") <= l - 1))
-    out
+    (intParam("first_page").getOrElse(1),
+      intParam("last_page").getOrElse(Int.MaxValue))
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
@@ -258,15 +256,18 @@ final class GraftService(
 
   // ------------------------------------------------------ document flow
 
-  private def tokensOf(xml: String): DataFrame = {
+  private def tokensOf(xml: String,
+      params: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val docId = math.abs(scala.util.hashing.MurmurHash3.stringHash(xml)).toLong
-    AltoReader.tokens(spark.createDataset(Seq((docId, xml)))).toDF()
+    val (first, last) = pageBounds(params)
+    AltoReader.tokens(spark.createDataset(Seq((docId, xml))),
+      first, last).toDF()
   }
 
   private def pipelineNodes(xml: String,
       params: Map[String, String] = Map.empty): Seq[SemanticNode] =
-    Processor.documentPipeline(pageRange(tokensOf(xml), params), config)
+    Processor.documentPipeline(tokensOf(xml, params), config)
       .collect().toSeq
 
   /** The asset-zip pipeline variant: a zip Accept FORCES graphic-asset
@@ -279,12 +280,14 @@ final class GraftService(
       params: Map[String, String]): Seq[SemanticNode] = {
     import spark.implicits._
     val docId = math.abs(scala.util.hashing.MurmurHash3.stringHash(xml)).toLong
-    val parsed = AltoReader.parsedDocs(spark.createDataset(Seq((docId, xml))))
-    val toks = pageRange(AltoReader.tokensOf(parsed).toDF(), params)
-    // the page range prunes graphics too: the reference's pdfalto
-    // -f/-l limits the whole ALTO output, tokens AND illustrations
+    // the page range prunes at the parse, tokens AND illustrations:
+    // the reference's pdfalto -f/-l limits the whole ALTO output
+    val (first, last) = pageBounds(params)
+    val parsed = AltoReader.parsedDocs(
+      spark.createDataset(Seq((docId, xml))), first, last)
+    val toks = AltoReader.tokensOf(parsed).toDF()
     val graphics = Processor.graphicsForMatching(
-      toks, pageRange(AltoReader.graphicsOf(parsed).toDF(), params))
+      toks, AltoReader.graphicsOf(parsed).toDF())
     Processor.documentPipeline(toks,
         config.copy(extractGraphicAssets = true), Some(graphics))
       .collect().toSeq

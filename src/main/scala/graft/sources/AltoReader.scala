@@ -34,9 +34,11 @@ object AltoReader {
     * Retokenizes with the reference delimiter set and drops empty
     * blocks/lines (normalize_layout_document semantics).
     */
-  def tokens(docs: Dataset[(Long, String)]): Dataset[TokenRow] = {
+  def tokens(docs: Dataset[(Long, String)], firstPage: Int = 1,
+      lastPage: Int = Int.MaxValue): Dataset[TokenRow] = {
     import docs.sparkSession.implicits._
-    docs.flatMap { case (docId, xml) => parseTokens(docId, xml) }
+    docs.flatMap { case (docId, xml) =>
+      parseAll(docId, xml, firstPage, lastPage)._1 }
   }
 
   def graphics(docs: Dataset[(Long, String)]): Dataset[GraphicRow] = {
@@ -50,10 +52,11 @@ object AltoReader {
     * XML. Callers typically `localCheckpoint()` the result and explode
     * each side with [[tokensOf]]/[[graphicsOf]].
     */
-  def parsedDocs(docs: Dataset[(Long, String)]):
+  def parsedDocs(docs: Dataset[(Long, String)], firstPage: Int = 1,
+      lastPage: Int = Int.MaxValue):
       Dataset[(Seq[TokenRow], Seq[GraphicRow])] = {
     import docs.sparkSession.implicits._
-    docs.map { case (docId, xml) => parseAll(docId, xml) }
+    docs.map { case (docId, xml) => parseAll(docId, xml, firstPage, lastPage) }
   }
 
   def tokensOf(parsed: Dataset[(Seq[TokenRow], Seq[GraphicRow])]): Dataset[TokenRow] = {
@@ -147,13 +150,23 @@ object AltoReader {
       height = attr(r, "HEIGHT").map(_.toDouble).getOrElse(0.0),
       page_number = pageNumber)
 
-  private[sources] def parseAll(docId: Long, xml: String): (Seq[TokenRow], Seq[GraphicRow]) = {
+  /** `firstPage`/`lastPage` (1-based ordinal, inclusive) prune pages AT
+    * THE PARSE: out-of-range pages are skipped wholesale — their
+    * strings are never normalized, retokenized or materialized, the
+    * reference's pdfalto `-f`/`-l` behavior (the converter only emits
+    * the requested range; `external/pdfalto/wrapper.py:20-48`). Kept
+    * pages retain their global ordinal `page_idx`, so the output is
+    * identical to parsing everything and filtering — minus the work. */
+  private[sources] def parseAll(docId: Long, xml: String,
+      firstPage: Int = 1,
+      lastPage: Int = Int.MaxValue): (Seq[TokenRow], Seq[GraphicRow]) = {
     val r = newStreamReader(xml)
     val tokens = ListBuffer.empty[TokenRow]
     val graphics = ListBuffer.empty[GraphicRow]
     val fonts = scala.collection.mutable.Map.empty[String, FontInfo]
 
     var pageIdx = -1
+    var pageInRange = true
     var pageNumber = 0
     var pageW: Option[Double] = None
     var pageH: Option[Double] = None
@@ -183,11 +196,18 @@ object AltoReader {
                 styles("subscript"), styles("superscript"))
             case "Page" =>
               pageIdx += 1
-              pageNumber = attr(r, "PHYSICAL_IMG_NR").map(_.toInt).getOrElse(pageIdx + 1)
-              pageW = attr(r, "WIDTH").map(_.toDouble)
-              pageH = attr(r, "HEIGHT").map(_.toDouble)
+              pageInRange = pageIdx + 1 >= firstPage && pageIdx + 1 <= lastPage
+              // a skipped page's attributes are never even read — a
+              // malformed out-of-range page must not fail a ranged
+              // parse (the ServiceSpec proof that pruning is at the
+              // parse, not a post-filter)
+              if (pageInRange) {
+                pageNumber = attr(r, "PHYSICAL_IMG_NR").map(_.toInt).getOrElse(pageIdx + 1)
+                pageW = attr(r, "WIDTH").map(_.toDouble)
+                pageH = attr(r, "HEIGHT").map(_.toDouble)
+              }
               blockIdx = 0
-            case "TextBlock" =>
+            case "TextBlock" if pageInRange =>
               inBlock = true
               lineIdx = 0
               blockHasTokens = false
@@ -205,7 +225,7 @@ object AltoReader {
                   tokenIdx += 1
                   blockHasTokens = true
                 }
-            case "Illustration" =>
+            case "Illustration" if pageInRange =>
               // explicit reading-order adjacency: the enclosing block
               // for a nested Illustration, else the block just
               // completed — F4 prefers this over derived linkage

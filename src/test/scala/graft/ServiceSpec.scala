@@ -250,6 +250,45 @@ class ServiceSpec extends SparkSuite {
       "</Layout></alto>"
   }
 
+  /** Like [[twoPageAlto]] but page 2's token carries a malformed HPOS:
+    * parsing page 2 throws, so only a parse that PRUNES the page range
+    * at the StAX level (pdfalto -f/-l semantics) can serve a ranged
+    * request over this document. */
+  private lazy val malformedPage2Alto: String =
+    twoPageAlto.replace("""CONTENT="zebra" HPOS="50"""",
+      """CONTENT="zebra" HPOS="not-a-number"""")
+
+  test("page range prunes AT THE PARSE: an out-of-range malformed page " +
+      "is never tokenized, and the ranged TEI is stable") {
+    assert(malformedPage2Alto.contains("not-a-number")) // guard the fixture
+    // full-range parse must hit the malformed page -> 500
+    val full = post("/api/convert",
+      accept = Some("application/tei+xml"), body = malformedPage2Alto)
+    assert(full.statusCode() == 500, full.body())
+    // ranged parse never touches page 2 -> 200, output identical to
+    // the same request over the intact document
+    val ranged = post("/api/convert?last_page=1",
+      accept = Some("application/tei+xml"), body = malformedPage2Alto)
+    assert(ranged.statusCode() == 200, ranged.body())
+    val intact = post("/api/convert?last_page=1",
+      accept = Some("application/tei+xml"), body = twoPageAlto)
+    assert(ranged.body() == intact.body())
+    assert(ranged.body().contains("alpha") && !ranged.body().contains("zebra"))
+    // includes= composes with the range on the same request
+    val inc = post("/api/convert?last_page=1&includes=title",
+      accept = Some("application/tei+xml"), body = malformedPage2Alto)
+    assert(inc.statusCode() == 200, inc.body())
+    assert(!inc.body().contains("zebra"))
+    // a root type the ranged document does not produce filters to an
+    // empty (smaller) TEI — the includes= subtree filter ran on the
+    // page-pruned output
+    val incNone = post("/api/convert?last_page=1&includes=references",
+      accept = Some("application/tei+xml"), body = malformedPage2Alto)
+    assert(incNone.statusCode() == 200, incNone.body())
+    assert(incNone.body().length < ranged.body().length)
+    assert(!incNone.body().contains("alpha"))
+  }
+
   test("first_page/last_page restrict processing to the page range") {
     // convert.py:40-58: the page range limits what pdfalto converts —
     // here, which token pages enter the pipeline
