@@ -127,6 +127,90 @@ object Sketch {
         org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)))
   }
 
+  /** Token boundary offsets of `bytes` split on 0x20 (empty tokens
+    * skipped): flat [start0, end0, start1, end1, …]. */
+  private def tokenOffsets(bytes: Array[Byte]): Array[Int] = {
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    var start = -1
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) {
+        if (start >= 0) { out.add(start); out.add(i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) { out.add(start); out.add(bytes.length) }
+    val arr = new Array[Int](out.size)
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    arr
+  }
+
+  /** [[GramHashPositionsTextExpr]] kernel: [[gramHashPositions]] fused
+    * with the tokenizer — token boundaries found in one pass over the
+    * raw bytes, each n-token window FNV-hashed straight from the byte
+    * array (0x20-separated, byte-identical to the token-array form). */
+  def gramHashPositionsText(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val cnt = offs.length / 2
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt - n + 1)
+    var i = 0
+    while (i <= cnt - n) {
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= 1099511628211L }
+        var k = offs((i + j) * 2)
+        val e = offs((i + j) * 2 + 1)
+        while (k < e) {
+          h ^= (bytes(k) & 0xffL); h *= 1099511628211L
+          k += 1
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[RemoveCoveredTextExpr]] kernel: [[removeCovered]] fused with the
+    * tokenizer and the count projections — drop every token covered by
+    * an `n`-token window starting at any of the (sorted ascending)
+    * `starts` positions, single-space-join the rest, and return
+    * `(n_tokens, n_removed, cleaned_text)` from one pass. */
+  def removeCoveredText(text: org.apache.spark.unsafe.types.UTF8String,
+      starts: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val cnt = offs.length / 2
+    val m = starts.numElements()
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var si = 0
+    var coverEnd = -1L
+    var kept = 0
+    var p = 0
+    while (p < cnt) {
+      while (si < m && starts.getInt(si) <= p) {
+        val e = starts.getInt(si).toLong + (n - 1)
+        if (e > coverEnd) coverEnd = e
+        si += 1
+      }
+      if (p > coverEnd) {
+        if (kept > 0) out.write(0x20)
+        out.write(bytes, offs(p * 2), offs(p * 2 + 1) - offs(p * 2))
+        kept += 1
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cnt.toLong, (cnt - kept).toLong,
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)))
+  }
+
   /** [[PackLongsExpr]] kernel: big-endian 8-byte concatenation. */
   def packLongs(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
@@ -731,6 +815,12 @@ object Sketch {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(hashes)))
   def winnow_min(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashes), w))
+  def gram_hash_positions_text(text: Column, n: Int): Column =
+    ColumnBridge.column(
+      GramHashPositionsTextExpr(ColumnBridge.expression(text), n))
+  def remove_covered_text(text: Column, starts: Column, n: Int): Column =
+    ColumnBridge.column(RemoveCoveredTextExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(starts), n))
   def segment_hashes_text(text: Column, width: Int): Column =
     ColumnBridge.column(
       SegmentHashesTextExpr(ColumnBridge.expression(text), width))
@@ -836,6 +926,55 @@ case class RemoveSegmentsExpr(left: Expression, right: Expression, width: Int)
       s"graft.functions.Sketch.removeSegments($a, $b, $width)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RemoveSegmentsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[Sketch.gramHashPositionsText]] as an expression: the span-gram
+  * hasher fused with the tokenizer — one positional 64-bit hash per
+  * sliding n-token window, straight off the raw text. */
+case class GramHashPositionsTextExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "gram_hash_positions_text"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.gramHashPositionsText(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.gramHashPositionsText($c, $n)")
+  override protected def withNewChildInternal(c: Expression): GramHashPositionsTextExpr =
+    copy(child = c)
+}
+
+/** [[Sketch.removeCoveredText]] as an expression: span-cut reassembly
+  * fused with the tokenizer, returning
+  * `(n_tokens, n_removed, cleaned_text)` in one pass. */
+case class RemoveCoveredTextExpr(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType,
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_removed",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cleaned_text",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "remove_covered_text"
+  override def nullSafeEval(text: Any, starts: Any): Any =
+    Sketch.removeCoveredText(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      starts.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketch.removeCoveredText($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveCoveredTextExpr =
     copy(left = newLeft, right = newRight)
 }
 

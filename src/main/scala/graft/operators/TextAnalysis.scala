@@ -612,17 +612,15 @@ object TextAnalysis {
     // lower rather than silently substituting df >= 2 semantics
     require(minDf >= 2, s"minDf must be >= 2 (got $minDf): df >= 1 would remove every gram-covered token")
     import graft.functions.Sketch
-    // the tokenized corpus feeds the position explode AND the final
-    // reassembly join; persist() tokenizes the text exactly once —
-    // trading executor-local storage of the token arrays (~text-sized)
-    // for an avoided source re-scan, with the first-executed consumer
-    // materializing the cache inside the one final action (no eager
-    // checkpoint job), the same call q66 makes
-    val toked = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("toks"))
-      .transform(CacheRegistry.persist(_))
-    val pos = toked.select(col("doc_id"),
-      posexplode(Sketch.gram_hash_positions(col("toks"), n))
+    // fused kernels (round 13): gram hashes and reassembly both run
+    // straight over the raw text bytes — no token array materializes
+    // and the corpus-scale token cache of the earlier formulation is
+    // gone; the reassembly side re-reads the text, a plain columnar
+    // re-scan
+    val norm = docs.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val pos = norm.select(col("doc_id"),
+      posexplode(Sketch.gram_hash_positions_text(col("text"), n))
         .as(Seq("pos", "gh")))
     val starts =
       if (minDf == 2) {
@@ -644,7 +642,7 @@ object TextAnalysis {
           .groupBy("doc_id")
           .agg(sort_array(collect_set(col("pos"))).as("starts"))
       }
-    reassembleCut(toked, starts, n)
+    reassembleCutFused(norm, starts, n)
   }
 
   /** Shared reassembly tail of the span-cut family
@@ -654,18 +652,17 @@ object TextAnalysis {
     * covered tokens with the O(tokens + starts) native kernel, and
     * emit the family's output contract
     * (`doc_id`, `n_tokens`, `n_removed`, `cleaned_text`). */
-  private def reassembleCut(toked: DataFrame, starts: DataFrame,
+  private def reassembleCutFused(norm: DataFrame, starts: DataFrame,
       n: Int): DataFrame = {
     import graft.functions.Sketch
-    toked.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      .select(col("doc_id"), col("toks"),
-        Sketch.remove_covered(col("toks"), col("starts"), n).as("kept"))
+    norm.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("toks")).cast("bigint").as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+        Sketch.remove_covered_text(col("text"),
+          coalesce(col("starts"), array().cast("array<int>")), n).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_removed").as("n_removed"),
+        col("r.cleaned_text").as("cleaned_text"))
   }
 
   /** Span-level decontamination — the surgical form of benchmark
@@ -691,18 +688,18 @@ object TextAnalysis {
     import graft.functions.Sketch
     val benchGrams = benchmark.select(
         explode(array_distinct(
-          Sketch.gram_hash_positions(tokens(col(textCol)), n))).as("gh"))
+          Sketch.gram_hash_positions_text(
+            coalesce(col(textCol), lit("")), n))).as("gh"))
       .distinct()
-    val toked = corpus.select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("toks"))
-      .transform(CacheRegistry.persist(_))
-    val starts = toked.select(col("doc_id"),
-        posexplode(Sketch.gram_hash_positions(col("toks"), n))
+    val norm = corpus.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val starts = norm.select(col("doc_id"),
+        posexplode(Sketch.gram_hash_positions_text(col("text"), n))
           .as(Seq("pos", "gh")))
       .join(broadcast(benchGrams), Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    reassembleCut(toked, starts, n)
+    reassembleCutFused(norm, starts, n)
   }
 
   // ----------------------------------------------- segment-level dedup
@@ -981,7 +978,8 @@ object TextAnalysis {
     import graft.functions.Sketch
     docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(
-          Sketch.gram_hash_positions(tokens(col(textCol)), n))).as("gh"))
+          Sketch.gram_hash_positions_text(
+            coalesce(col(textCol), lit("")), n))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("df"))
   }
 
@@ -1016,11 +1014,13 @@ object TextAnalysis {
     require(minDf >= 2,
       s"minDf must be >= 2 (got $minDf): df >= 1 would remove every gram-covered token")
     import graft.functions.Sketch
-    val toked = delivery.select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("toks"))
+    // delivery-bounded: persisting the raw text is cheap and feeds the
+    // position explode, the df pass and the reassembly
+    val norm = delivery.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .transform(CacheRegistry.persist(_))
-    val pos = toked.select(col("doc_id"),
-      posexplode(Sketch.gram_hash_positions(col("toks"), n))
+    val pos = norm.select(col("doc_id"),
+      posexplode(Sketch.gram_hash_positions_text(col("text"), n))
         .as(Seq("pos", "gh")))
     // delivery-side per-gram df (distinct docs row-local, 8-byte rows);
     // persisted: it feeds the stored-side prune AND the threshold join.
@@ -1029,9 +1029,9 @@ object TextAnalysis {
     // in instead of paying the tokenize+hash+aggregate pass twice.
     val ddf = deliveryDfs match {
       case Some(dfs) => dfs.select(col("gh"), col("df").as("ddf"))
-      case None => toked.select(col("doc_id"),
+      case None => norm.select(col("doc_id"),
           explode(array_distinct(
-            Sketch.gram_hash_positions(col("toks"), n))).as("gh"))
+            Sketch.gram_hash_positions_text(col("text"), n))).as("gh"))
         .groupBy("gh").agg(count(lit(1)).as("ddf"))
         .transform(CacheRegistry.persist(_))
     }
@@ -1052,7 +1052,7 @@ object TextAnalysis {
     val starts = pos.join(shared, Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    reassembleCut(toked, starts, n)
+    reassembleCutFused(norm, starts, n)
   }
 
   /** Fold a delivery's gram dfs into the stored table — the state

@@ -2699,6 +2699,38 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("fused span kernels: gram_hash_positions_text / " +
+      "remove_covered_text are byte-identical to the token-array forms") {
+    import spark.implicits._
+    import graft.functions.Sketch
+    val texts = Seq(
+      "a b c d e f g h i j",
+      "  a  b   c ", "", " ",
+      "único tökens ünïcode żółw x y z w q r s t",
+      (1 to 30).map(i => s"t$i").mkString(" "))
+    val df = texts.toDF("text")
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+    val n = 4
+    df.select(Sketch.gram_hash_positions_text(col("text"), n).as("fused"),
+        Sketch.gram_hash_positions(col("toks"), n).as("arr"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
+    val startsCases = Seq(Seq.empty[Int], Seq(0), Seq(2), Seq(0, 1, 5), Seq(3, 20))
+    startsCases.foreach { st =>
+      df.select(
+          Sketch.remove_covered_text(col("text"), typedLit(st), n).as("r"),
+          Sketch.remove_covered(col("toks"), typedLit(st), n).as("kept"),
+          size(col("toks")).cast("long").as("ntok"))
+        .collect().foreach { r =>
+          val fused = r.getStruct(0)
+          val kept = r.getSeq[String](1)
+          assert(fused.getString(2) == kept.mkString(" "), s"starts=$st: $r")
+          assert(fused.getLong(0) == r.getLong(2), s"starts=$st ntok: $r")
+          assert(fused.getLong(1) == r.getLong(2) - kept.size, s"starts=$st nrem: $r")
+        }
+    }
+  }
+
   test("semanticDedupAcross: a delivery pairs stored same-cluster rows " +
       "at tau, an over-cap cluster recovers an exact copy via served " +
       "star keepers exactly once, zero-norm never aborts, and served " +
