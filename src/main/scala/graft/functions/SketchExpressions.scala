@@ -211,6 +211,60 @@ object Sketch {
         org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)))
   }
 
+  /** [[ShingleHashStreamTextExpr]] kernel: the MinHash feature stream
+    * fused with the tokenizer — one xxhash64 (seed 42, Spark's
+    * `xxhash64` byte-for-byte) per n-token window occurrence, shingle
+    * bytes assembled straight from the raw text into a reused buffer
+    * (space-joined, the [[ngrams]] shingle layout). POSITIONAL, not
+    * distinct: a k-min signature over the multiset equals the
+    * signature over the distinct set (duplicates never change a
+    * minimum), so `min_hash` over this stream is bit-identical to
+    * `min_hash(transform(shingles(tokens(text)), xxhash64))` without
+    * ever materializing a token array or a shingle string. Short docs
+    * collapse to one whole-join shingle, the [[ngrams]] rule. */
+  def shingleHashStreamText(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val cnt = offs.length / 2
+    if (cnt == 0) return new GenericArrayData(Array.empty[Any])
+    def windowHash(from: Int, until: Int, buf: Array[Byte]): Long = {
+      var len = 0
+      var j = from
+      while (j < until) {
+        if (j > from) { buf(len) = 0x20; len += 1 }
+        val s = offs(j * 2); val e = offs(j * 2 + 1)
+        System.arraycopy(bytes, s, buf, len, e - s)
+        len += e - s
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+    }
+    if (cnt < n) {
+      val buf = new Array[Byte](bytes.length)
+      return new GenericArrayData(Array[Any](windowHash(0, cnt, buf)))
+    }
+    val out = new Array[Any](cnt - n + 1)
+    // reused buffer sized to the longest window
+    var maxLen = 0
+    var i = 0
+    while (i <= cnt - n) {
+      var l = n - 1
+      var j = i
+      while (j < i + n) { l += offs(j * 2 + 1) - offs(j * 2); j += 1 }
+      if (l > maxLen) maxLen = l
+      i += 1
+    }
+    val buf = new Array[Byte](maxLen)
+    i = 0
+    while (i <= cnt - n) {
+      out(i) = windowHash(i, i + n, buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[PackLongsExpr]] kernel: big-endian 8-byte concatenation. */
   def packLongs(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
@@ -815,6 +869,9 @@ object Sketch {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(hashes)))
   def winnow_min(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashes), w))
+  def shingle_hash_stream_text(text: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleHashStreamTextExpr(ColumnBridge.expression(text), n))
   def gram_hash_positions_text(text: Column, n: Int): Column =
     ColumnBridge.column(
       GramHashPositionsTextExpr(ColumnBridge.expression(text), n))
@@ -927,6 +984,26 @@ case class RemoveSegmentsExpr(left: Expression, right: Expression, width: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RemoveSegmentsExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[Sketch.shingleHashStreamText]] as an expression: the MinHash
+  * feature hasher fused with the tokenizer — per-occurrence xxhash64
+  * of every n-token shingle, straight off the raw text. */
+case class ShingleHashStreamTextExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_stream_text"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.shingleHashStreamText(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.shingleHashStreamText($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashStreamTextExpr =
+    copy(child = c)
 }
 
 /** [[Sketch.gramHashPositionsText]] as an expression: the span-gram

@@ -193,9 +193,18 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3,
       numHashes: Int = 64): DataFrame =
+    // fused signing pass (round 13): tokenize + shingle + xxhash64 in
+    // ONE native kernel over the raw text bytes — signatures are
+    // bit-identical to minHashSignature(shingles(tokensOf(text)))
+    // because a k-min sketch over the positional (non-distinct)
+    // shingle stream equals the sketch over the distinct set
+    // (duplicates never change a minimum; DedupSpec parity pin).
+    // Signing is THE corpus-scale pass of the MinHash family — at
+    // 100 TB this is the pass whose constant matters most.
     docs.select(col(idCol).as("id"),
-      minHashSignature(shingles(tokensOf(col(textCol)), shingleSize),
-        numHashes).as("sig"))
+      graft.functions.Sketch.min_hash(
+        graft.functions.Sketch.shingle_hash_stream_text(
+          col(textCol), shingleSize), numHashes).as("sig"))
 
   /** Incremental fuzzy dedup: near-dup candidate pairs BETWEEN a new
     * delivery and the existing corpus, over their signature tables —

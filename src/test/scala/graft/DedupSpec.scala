@@ -2699,6 +2699,30 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("fused MinHash signing: shingle_hash_stream_text signatures are " +
+      "bit-identical to the distinct-shingle reference chain") {
+    import spark.implicits._
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one"), (900003L, "one two"),
+        (900004L, "  padded   spaces  "),
+        (900005L, "dup dup dup dup dup dup"),
+        (900006L, "único tökens ünïcode żółw here są"))
+        .toDF("doc_id", "text"))
+    val fused = Dedup.minHashSignatures(docs)
+    val reference = docs.select(col("doc_id").as("id"),
+      Dedup.minHashSignature(
+        Dedup.shingles(Dedup.tokensOf(col("text")), 3), 64).as("sig"))
+    val diff = fused.as("f").join(reference.as("r"), Seq("id"))
+      .filter(!(col("f.sig") <=> col("r.sig")))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    // null text stays null through both chains
+    val n = Dedup.minHashSignatures(
+      Seq((1L, null: String)).toDF("doc_id", "text")).head()
+    assert(n.isNullAt(1))
+  }
+
   test("fused span kernels: gram_hash_positions_text / " +
       "remove_covered_text are byte-identical to the token-array forms") {
     import spark.implicits._
