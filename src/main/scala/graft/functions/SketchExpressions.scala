@@ -221,7 +221,10 @@ object Sketch {
     * minimum), so `min_hash` over this stream is bit-identical to
     * `min_hash(transform(shingles(tokens(text)), xxhash64))` without
     * ever materializing a token array or a shingle string. Short docs
-    * collapse to one whole-join shingle, the [[ngrams]] rule. */
+    * collapse to one whole-join shingle, the [[ngrams]] rule. Assumes
+    * valid UTF-8 text (the parquet string contract): the reference
+    * chain detours through a decode/re-encode that only differs on
+    * invalid sequences. */
   def shingleHashStreamText(text: org.apache.spark.unsafe.types.UTF8String,
       n: Int): ArrayData = {
     val bytes = text.getBytes
@@ -263,6 +266,55 @@ object Sketch {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** [[ShingleHashDistinctTextExpr]] kernel: the DISTINCT,
+    * first-seen-ordered shingle hash stream — [[shingleHashStreamText]]
+    * with the [[ngrams]] string-dedup rule applied before hashing, so
+    * `winnow_min` over this stream is byte-identical to
+    * `winnow_min(transform(shingles(tokens(text)), xxhash64))`
+    * (winnowing is position-sensitive, so unlike the k-min sketch it
+    * needs the exact distinct sequence). Dedup is by shingle CONTENT
+    * (a String set), not by hash — a 64-bit collision must not shorten
+    * the sequence. Valid-UTF-8 assumption as [[shingleHashStreamText]]. */
+  def shingleHashDistinctText(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val cnt = offs.length / 2
+    if (cnt == 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[Any]()
+    val windows = if (cnt < n) 1 else cnt - n + 1
+    val width = if (cnt < n) cnt else n
+    var maxLen = 0
+    var i = 0
+    while (i < windows) {
+      var l = width - 1
+      var j = i
+      while (j < i + width) { l += offs(j * 2 + 1) - offs(j * 2); j += 1 }
+      if (l > maxLen) maxLen = l
+      i += 1
+    }
+    val buf = new Array[Byte](math.max(0, maxLen))
+    i = 0
+    while (i < windows) {
+      var len = 0
+      var j = i
+      while (j < i + width) {
+        if (j > i) { buf(len) = 0x20; len += 1 }
+        val s = offs(j * 2); val e = offs(j * 2 + 1)
+        System.arraycopy(bytes, s, buf, len, e - s)
+        len += e - s
+        j += 1
+      }
+      val key = new String(buf, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+      if (seen.add(key))
+        out.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** [[PackLongsExpr]] kernel: big-endian 8-byte concatenation. */
@@ -869,6 +921,9 @@ object Sketch {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(hashes)))
   def winnow_min(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashes), w))
+  def shingle_hash_distinct_text(text: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleHashDistinctTextExpr(ColumnBridge.expression(text), n))
   def shingle_hash_stream_text(text: Column, n: Int): Column =
     ColumnBridge.column(
       ShingleHashStreamTextExpr(ColumnBridge.expression(text), n))
@@ -1003,6 +1058,26 @@ case class ShingleHashStreamTextExpr(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Sketch.shingleHashStreamText($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleHashStreamTextExpr =
+    copy(child = c)
+}
+
+/** [[Sketch.shingleHashDistinctText]] as an expression: the distinct,
+  * first-seen-ordered shingle hash stream — the winnowing family's
+  * fused feature hasher. */
+case class ShingleHashDistinctTextExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_distinct_text"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.shingleHashDistinctText(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.shingleHashDistinctText($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashDistinctTextExpr =
     copy(child = c)
 }
 

@@ -106,8 +106,13 @@ object TextAnalysis {
     * Row-local; the distinct sketch is typically ~|shingles|/w values.
     */
   def winnowingFingerprints(c: Column, k: Int = 3, w: Int = 4): Column =
+    // fused (round 13): tokenize + shingle + xxhash64 in one native
+    // pass over the raw text — the distinct first-seen hash sequence
+    // is byte-identical to the transform chain (winnowing is
+    // position-sensitive, so the DISTINCT kernel, not the minhash
+    // stream; DedupSpec parity pin)
     graft.functions.Sketch.winnow_min(
-      transform(Dedup.shingles(tokens(c), k), x => xxhash64(x)), w)
+      graft.functions.Sketch.shingle_hash_distinct_text(c, k), w)
 
   // ------------------------------------------------- keyword extraction
 

@@ -2723,6 +2723,27 @@ class DedupSpec extends SparkSuite {
     assert(n.isNullAt(1))
   }
 
+  test("fused winnowing: shingle_hash_distinct_text winnow fingerprints " +
+      "are byte-identical to the distinct-shingle transform chain") {
+    import spark.implicits._
+    import graft.functions.Sketch
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one"), (900003L, "one two three"),
+        (900004L, "a b a b a b a b a b"), // heavy duplicate shingles
+        (900005L, "único tökens ünïcode żółw here są x y"))
+        .toDF("doc_id", "text"))
+    val diff = docs.select(
+        sort_array(TextAnalysis.winnowingFingerprints(col("text"))).as("f"),
+        sort_array(Sketch.winnow_min(
+          transform(Dedup.shingles(
+            graft.operators.TextAnalysis.tokens(col("text")), 3),
+            x => xxhash64(x)), 4)).as("r"))
+      .filter(!(col("f") <=> col("r")))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+  }
+
   test("fused span kernels: gram_hash_positions_text / " +
       "remove_covered_text are byte-identical to the token-array forms") {
     import spark.implicits._
