@@ -1030,6 +1030,62 @@ object ScaleOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Q37c exact-token-sequence across dedup (ORACLED — the
+    * deterministic slice of the q37b family, the q102c pattern for the
+    * 64-bit signature forms): a delivery doc pairs the stored corpus's
+    * min-id holder of an IDENTICAL token sequence (identical tokens ⟹
+    * identical SimHash ⟹ Hamming 0 ⟹ the q37b star path pairs
+    * them). Digest = md5 of the single-space token join — replayable
+    * in SQL, and also exactly the whitespace-normalized exact-dedup a
+    * curation pipeline runs between q31's raw-text form and the fuzzy
+    * family. */
+  def q37c(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val digest = md5(concat_ws(" ", Dedup.tokensOf(col("text"))))
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q37c-idx-" + stateKeyDigest(d))
+    val keepDir = new java.io.File(stateDir, "tokkeep").getPath
+    if (!new java.io.File(keepDir, "_SUCCESS").exists()) {
+      docs.select(col("doc_id"), digest.as("digest"))
+        .groupBy("digest").agg(min(col("doc_id")).as("corpus_id"))
+        .write.mode("overwrite").parquet(keepDir)
+    }
+    val delivery = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("batch_id"), digest.as("digest"))
+    s.read.parquet(keepDir)
+      .join(broadcast(delivery), Seq("digest"))
+      .select(col("corpus_id"), col("batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** Q43c exact-vector across dedup (ORACLED — the deterministic slice
+    * of the q43b family, the q102c pattern for VECTORS): a delivery
+    * vector pairs the stored corpus's min-id holder of a BITWISE
+    * IDENTICAL embedding (identical vector ⟹ identical sign-LSH
+    * buckets and cosine exactly 1.0 ⟹ the q43b star-keeper path pairs
+    * them). The join key is the raw float array itself — parquet
+    * floats are bit-stable across engines, and only BIGINT ids reach
+    * the hashed output, so DuckDB replays it with a LIST group-by +
+    * LIST-equality join. Keeper table signed once per scale dir;
+    * delivery probes broadcast against the scanned state (the q89
+    * discipline). */
+  def q43c(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d).embeddings
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q43c-idx-" + stateKeyDigest(d, "embeddings.parquet"))
+    val keepDir = new java.io.File(stateDir, "veckeep").getPath
+    if (!new java.io.File(keepDir, "_SUCCESS").exists()) {
+      emb.groupBy("embedding").agg(min(col("vec_id")).as("corpus_id"))
+        .write.mode("overwrite").parquet(keepDir)
+    }
+    val delivery = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("batch_id"), col("embedding"))
+    s.read.parquet(keepDir)
+      .join(broadcast(delivery), Seq("embedding"))
+      .select(col("corpus_id"), col("batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Q102c exact-shingle-set across dedup (ORACLED — the deterministic
     * slice of the q102b family): a delivery doc pairs the stored
     * corpus's min-id holder of an IDENTICAL distinct-shingle set
@@ -1499,6 +1555,8 @@ object ScaleOps {
     "q102_incremental_near_dedup" -> q102,
     "q102b_incremental_near_dedup_served" -> q102b,
     "q102c_exact_shingle_across" -> q102c,
+    "q37c_exact_tokens_across" -> q37c,
+    "q43c_exact_vector_across" -> q43c,
     "q103_blocklist_redact" -> q103,
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
@@ -2361,6 +2419,26 @@ object ScaleOps {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q37c_exact_tokens_across" ->
+      """WITH dig AS (
+           SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''), ' ')) AS digest
+           FROM documents),
+         k AS (SELECT digest, MIN(doc_id) AS corpus_id FROM dig GROUP BY digest),
+         deliv AS (SELECT doc_id + 1000000 AS batch_id, digest FROM dig WHERE doc_id % 7 = 0)
+         SELECT CAST(k.corpus_id AS BIGINT) AS corpus_id,
+                CAST(d.batch_id AS BIGINT) AS batch_id
+         FROM k JOIN deliv d USING (digest) ORDER BY 1, 2""",
+    "q43c_exact_vector_across" ->
+      """WITH k AS (
+           SELECT embedding, MIN(vec_id) AS corpus_id
+           FROM embeddings GROUP BY embedding),
+         deliv AS (
+           SELECT vec_id + 1000000 AS batch_id, embedding
+           FROM embeddings WHERE vec_id % 7 = 0)
+         SELECT CAST(k.corpus_id AS BIGINT) AS corpus_id,
+                CAST(d.batch_id AS BIGINT) AS batch_id
+         FROM k JOIN deliv d USING (embedding) ORDER BY 1, 2""",
     "q102c_exact_shingle_across" ->
       """WITH tok AS (
            SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
