@@ -317,6 +317,90 @@ object Sketch {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[TokenTfTextExpr]] kernel: [[tokenTf]] fused with the tokenizer —
+    * per-row term frequencies straight off the raw text bytes, one
+    * String decode per token occurrence (the map key), first-seen
+    * order preserved. Byte-identical to `tokenTf(tokens(text))`. */
+  def tokenTfText(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val cnt = offs.length / 2
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < cnt) {
+      val s = new String(bytes, offs(i * 2), offs(i * 2 + 1) - offs(i * 2),
+        java.nio.charset.StandardCharsets.UTF_8)
+      counts.merge(s, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[BigramHashTfTextExpr]] kernel: [[bigramHashTf]] fused with the
+    * tokenizer — per-row distinct-bigram `(gh, w1, tf)` rows with the
+    * FNV gram hash computed straight from the byte ranges; no token or
+    * gram string is ever decoded (w1 copies its bytes once per first
+    * occurrence). Byte-identical to `bigramHashTf(tokens(text))`. */
+  def bigramHashTfText(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val cnt = offs.length / 2
+    val Basis = -3750763034362895579L // FNV-1a 64 offset basis
+    def fnvTok(h0: Long, i: Int): Long = {
+      var h = h0
+      var k = offs(i * 2)
+      val e = offs(i * 2 + 1)
+      while (k < e) { h ^= (bytes(k) & 0xffL); h *= 1099511628211L; k += 1 }
+      h
+    }
+    def tokStr(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, offs(i * 2), offs(i * 2 + 1)))
+    if (cnt < 2) {
+      var h = Basis
+      var i = 0
+      while (i < cnt) {
+        if (i > 0) { h ^= 0x20L; h *= 1099511628211L }
+        h = fnvTok(h, i)
+        i += 1
+      }
+      val w1 = if (cnt == 0) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else tokStr(0)
+      return new GenericArrayData(Array[Any](
+        org.apache.spark.sql.catalyst.InternalRow(h, w1, 1L)))
+    }
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Array[Any]]()
+    var i = 0
+    while (i <= cnt - 2) {
+      var h = fnvTok(Basis, i)
+      h ^= 0x20L; h *= 1099511628211L
+      h = fnvTok(h, i + 1)
+      val prev = counts.get(h)
+      if (prev == null) counts.put(h, Array[Any](tokStr(i), 1L))
+      else prev(1) = prev(1).asInstanceOf[Long] + 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[PackLongsExpr]] kernel: big-endian 8-byte concatenation. */
   def packLongs(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
@@ -901,8 +985,12 @@ object Sketch {
       ColumnBridge.expression(toks), ColumnBridge.expression(starts), n))
   def token_tf(toks: Column): Column =
     ColumnBridge.column(TokenTfExpr(ColumnBridge.expression(toks)))
+  def token_tf_text(text: Column): Column =
+    ColumnBridge.column(TokenTfTextExpr(ColumnBridge.expression(text)))
   def bigram_hash_tf(toks: Column): Column =
     ColumnBridge.column(BigramHashTfExpr(ColumnBridge.expression(toks)))
+  def bigram_hash_tf_text(text: Column): Column =
+    ColumnBridge.column(BigramHashTfTextExpr(ColumnBridge.expression(text)))
   def chunk_texts(toks: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(
       ChunkTextsExpr(ColumnBridge.expression(toks), chunkSize, stride))
@@ -1282,6 +1370,46 @@ case class TokenTfExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.tokenTf($c)")
   override protected def withNewChildInternal(c: Expression): TokenTfExpr = copy(child = c)
+}
+
+/** [[Sketch.tokenTfText]] as an expression: `token_tf(tokens(text))`
+  * fused into one pass over the raw text. */
+case class TokenTfTextExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_tf_text"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.tokenTfText(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.tokenTfText($c)")
+  override protected def withNewChildInternal(c: Expression): TokenTfTextExpr =
+    copy(child = c)
+}
+
+/** [[Sketch.bigramHashTfText]] as an expression:
+  * `bigram_hash_tf(tokens(text))` fused into one pass over the raw
+  * text. */
+case class BigramHashTfTextExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gh", LongType, nullable = false),
+    StructField("w1", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_hash_tf_text"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.bigramHashTfText(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.bigramHashTfText($c)")
+  override protected def withNewChildInternal(c: Expression): BigramHashTfTextExpr =
+    copy(child = c)
 }
 
 case class RepGramStatsExpr(child: Expression, nTop: Int, nDup: Int)

@@ -112,8 +112,7 @@ object Sampling {
     // carries one row per DISTINCT token per document, not one per
     // occurrence — in-document repetition collapses before any shuffle
     val toks = df.select(col(groupCol),
-      explode(graft.functions.Sketch.token_tf(
-        graft.operators.TextAnalysis.tokens(col(textCol)))).as("p"))
+      explode(graft.functions.Sketch.token_tf_text(col(textCol))).as("p"))
     val counts = toks.groupBy(col(groupCol), col("p.tok").as("tok"))
       .agg(sum(col("p.tf")).as("cnt"))
     counts.groupBy(col(groupCol))

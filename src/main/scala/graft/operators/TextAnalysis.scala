@@ -153,7 +153,7 @@ object TextAnalysis {
     val exploded = docs
       .repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
-        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+        explode(graft.functions.Sketch.token_tf_text(col(textCol))).as("p"))
       .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
     val dfs = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     exploded.join(broadcast(dfs), "tok")
@@ -243,7 +243,7 @@ object TextAnalysis {
     */
   def vocabulary(docs: DataFrame, textCol: String = "text",
       minDf: Int = 5, topN: Int = 100): DataFrame =
-    docs.select(explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+    docs.select(explode(graft.functions.Sketch.token_tf_text(col(textCol))).as("p"))
       .select(col("p.tok").as("tok"), col("p.tf").as("tf"))
       .groupBy("tok")
       .agg(sum("tf").cast("bigint").as("n_occurrences"),
@@ -1406,8 +1406,8 @@ object TextAnalysis {
     // round-trip (measured 3.8 s persisted vs 3.0 s recomputed at sf1),
     // and each consumer fuses it into its own stage.
     val bg = docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Sketch.bigram_hash_tf(
-          tokens(col(textCol)))).as("p"))
+        explode(graft.functions.Sketch.bigram_hash_tf_text(
+          col(textCol))).as("p"))
       .select(col("doc_id"), col("p.gh").as("gh"), col("p.w1").as("w1"),
         col("p.tf").cast("long").as("tf"))
     val c12 = bg.groupBy("gh", "w1").agg(sum("tf").as("c12"))
@@ -1569,7 +1569,7 @@ object TextAnalysis {
     // never touch it, so they pay nothing for the wider cache row
     val carry = docs.columns.filter(_ == "source").toSeq.map(col)
     docs.select(col(idCol).as("doc_id") +: carry :+
-        explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"): _*)
+        explode(graft.functions.Sketch.token_tf_text(col(textCol))).as("p"): _*)
       .select(col("doc_id") +: carry :+ col("p.tok").as("tok") :+
         col("p.tf").cast("long").as("tf"): _*)
       .transform(CacheRegistry.persist(_, shared = true))
@@ -1832,7 +1832,7 @@ object TextAnalysis {
       if ((predRefs -- sharedCols).isEmpty && idCol == "doc_id")
         tokenPairs(docs, textCol, idCol).withColumn("is_target", targetPred)
       else docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
-          explode(graft.functions.Sketch.token_tf(tokens(col(textCol)))).as("p"))
+          explode(graft.functions.Sketch.token_tf_text(col(textCol))).as("p"))
         .select(col("doc_id"), col("is_target"), col("p.tok").as("tok"),
           col("p.tf").cast("long").as("tf"))
     val model0 = tf.groupBy("tok").agg(sum("tf").as("cnt_r"),

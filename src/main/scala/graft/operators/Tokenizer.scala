@@ -45,7 +45,7 @@ object Tokenizer {
   def typeHistogram(docs: DataFrame, maxTypes: Int,
       textCol: String = "text"): DataFrame =
     docs.select(explode(
-        graft.functions.Sketch.token_tf(TextAnalysis.tokens(col(textCol)))).as("p"))
+        graft.functions.Sketch.token_tf_text(col(textCol))).as("p"))
       .groupBy(col("p.tok").as("tok"))
       .agg(sum(col("p.tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))

@@ -2723,6 +2723,30 @@ class DedupSpec extends SparkSuite {
     assert(n.isNullAt(1))
   }
 
+  test("fused tf kernels: token_tf_text / bigram_hash_tf_text are " +
+      "byte-identical to the token-array forms") {
+    import spark.implicits._
+    import graft.functions.Sketch
+    import graft.operators.TextAnalysis.tokens
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one"), (900003L, "a b a b a"),
+        (900004L, "  padded   spaces  "),
+        (900005L, "único tökens ünïcode żółw único"))
+        .toDF("doc_id", "text"))
+    val d1 = docs.select(
+        Sketch.token_tf_text(col("text")).as("f"),
+        Sketch.token_tf(tokens(col("text"))).as("r"))
+      .filter(!(col("f") <=> col("r")))
+    assert(d1.isEmpty, d1.limit(3).collect().mkString("\n"))
+    val d2 = docs.select(
+        Sketch.bigram_hash_tf_text(col("text")).as("f"),
+        Sketch.bigram_hash_tf(tokens(col("text"))).as("r"))
+      .filter(!(col("f") <=> col("r")))
+    assert(d2.isEmpty, d2.limit(3).collect().mkString("\n"))
+  }
+
   test("fused winnowing: shingle_hash_distinct_text winnow fingerprints " +
       "are byte-identical to the distinct-shingle transform chain") {
     import spark.implicits._
