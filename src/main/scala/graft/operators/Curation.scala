@@ -156,7 +156,20 @@ object Curation {
   final case class FunnelState(survivors: DataFrame,
       lenLo: Double, lenHi: Double,
       newDelta: Option[DataFrame] = None,
-      liveDeltas: Seq[String] = Seq.empty)
+      liveDeltas: Seq[String] = Seq.empty,
+      // SERVED sign-time derivatives of the survivor table (round 13,
+      // the q102b discipline): the per-delivery fold otherwise
+      // re-hashes, re-tokenizes and re-explodes the stored corpus on
+      // every batch. When present: `storedDigests` = distinct
+      // xxhash64(text) (the exact-dedup anti-join side),
+      // `storedPostings` = (sid, gram) distinct shingle postings (the
+      // near-dup across side), `storedSizes` = (sid, sng) per-survivor
+      // distinct-shingle counts (the Jaccard denominator side). All
+      // three are derivable from `survivors` — serving them is purely
+      // a cost move, spec-pinned byte-identical.
+      storedDigests: Option[DataFrame] = None,
+      storedPostings: Option[DataFrame] = None,
+      storedSizes: Option[DataFrame] = None)
 
   /** Persist funnel state under `path` (one version directory, e.g.
     * `.../state-7`). Append-only layout: only `newDelta` is written
@@ -349,14 +362,17 @@ object Curation {
     // lineage (see incrementalNearDupKeepers' no-corpus-broadcast
     // contract) as well as out of the multiplicative plan-tree growth
     // that OOMed the streaming form's plan stringification.
-    val storedDigests = state.survivors
-      .select(xxhash64(col(textCol)).as("__d")).distinct()
+    val storedDigests = state.storedDigests
+      .map(_.select(col("__d")))
+      .getOrElse(state.survivors
+        .select(xxhash64(col(textCol)).as("__d")).distinct())
     val s3w = Dedup.deduplicate(s2, textCol, idCol)
     val s3 = graft.CacheRegistry.localCheckpoint(
       s3w.join(storedDigests,
         xxhash64(s3w(textCol)) === col("__d"), "left_anti"))
     val keepers = incrementalNearDupKeepers(state.survivors, s3,
-      n, threshold, maxDocFreq, textCol, idCol)
+      n, threshold, maxDocFreq, textCol, idCol,
+      state.storedPostings, state.storedSizes)
     val s4 = s3.join(keepers, Seq(idCol), "left_semi")
       .transform(graft.CacheRegistry.persist(_))
     val s5 = Dedup.decontaminate(s4, benchmark, textCol)
@@ -404,7 +420,9 @@ object Curation {
     */
   private[graft] def incrementalNearDupKeepers(survivors: DataFrame,
       s3: DataFrame, n: Int, threshold: Double, maxDocFreq: Long,
-      textCol: String, idCol: String): DataFrame = {
+      textCol: String, idCol: String,
+      storedPostings: Option[DataFrame] = None,
+      storedSizes: Option[DataFrame] = None): DataFrame = {
     // Both edge kinds use the UNION document frequency for the df prune
     // (delta count + stored count of each delta gram) — computable
     // without re-pairing the stored corpus, and EXACTLY what the full
@@ -416,20 +434,24 @@ object Curation {
     val dSizes = dGrams.select(col("did"),
       size(col("grams")).cast("bigint").as("dng"))
     val dExpAll = dGrams.select(col("did"), explode(col("grams")).as("gram"))
-    val sGrams = survivors.select(col(idCol).as("sid"),
-      Dedup.shingles(Dedup.tokensOf(col(textCol)), n)
-        .as("grams"))
-    // prune the stored explode to the delivery's gram set before the
-    // exchange — stored rows without a delivery gram never shuffle
-    // the pruned explodes are CHECKPOINTED, not just persisted: each is
+    // stored postings: SERVED from sign-time state when available —
+    // otherwise derived by re-tokenizing + exploding the survivor text
+    // per delivery. Pruned to the delivery's gram set before the
+    // exchange — stored rows without a delivery gram never shuffle.
+    // The pruned explodes are CHECKPOINTED, not just persisted: each is
     // referenced 2-3 times below and a persisted plan still embeds its
     // whole subtree per reference — with the survivors scan and the
     // rare-gram aggregate nested inside, the un-truncated plan TREE
     // grows multiplicatively (it OOMed the streaming form's plan
     // stringification). Both frames are delivery-sized, so the eager
     // cut is cheap; blocks release with the registry.
+    val sPostBase = storedPostings
+      .map(_.select(col("sid"), col("gram")))
+      .getOrElse(survivors.select(col(idCol).as("sid"),
+          Dedup.shingles(Dedup.tokensOf(col(textCol)), n).as("grams"))
+        .select(col("sid"), explode(col("grams")).as("gram")))
     val sExpAll = graft.CacheRegistry.localCheckpoint(
-      sGrams.select(col("sid"), explode(col("grams")).as("gram"))
+      sPostBase
         .join(broadcast(dExpAll.select("gram").distinct()), Seq("gram"),
           "left_semi"))
     val rareGrams = dExpAll.groupBy("gram").agg(count(lit(1)).as("dc"))
@@ -464,20 +486,30 @@ object Curation {
     // pair table into that scan — the corpus streams as the probe side
     // of both joins, never as a build
     val candSids = crossAgg.select(col("sid")).distinct()
-    val sSizes = survivors
-      .join(broadcast(candSids.withColumnRenamed("sid", idCol)),
-        Seq(idCol), "left_semi")
-      .select(col(idCol).as("sid"),
-        size(Dedup.shingles(Dedup.tokensOf(col(textCol)), n))
-          .cast("bigint").as("sng"))
+    val sSizes = storedSizes
+      .map(_.join(broadcast(candSids), Seq("sid"), "left_semi")
+        .select(col("sid"), col("sng")))
+      .getOrElse(survivors
+        .join(broadcast(candSids.withColumnRenamed("sid", idCol)),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as("sid"),
+          size(Dedup.shingles(Dedup.tokensOf(col(textCol)), n))
+            .cast("bigint").as("sng")))
     val cross = sSizes
       .join(broadcast(crossAgg.join(dSizes, Seq("did"))), Seq("sid"))
       .filter(round(col("inter").cast("double") /
         (col("dng") + col("sng") - col("inter")), 4) >= threshold)
       .select(col("did"))
     // component label per delivery doc (own id when unpaired); a
-    // component touching a stored survivor drops whole
-    val comps = Dedup.connectedComponents(within)
+    // component touching a stored survivor drops whole. Delivery edge
+    // lists are delta-scale: under the driver-safe gate the fold is
+    // one in-memory union-find instead of the iterative distributed
+    // loop (the q53b discipline)
+    val withinP = graft.CacheRegistry.persist(within)
+    val comps =
+      if (withinP.count() <= Dedup.localCcMaxEdges)
+        Dedup.localConnectedComponents(withinP)
+      else Dedup.connectedComponents(withinP)
     val labeled = s3.select(col(idCol).as("did"))
       .join(comps.withColumnRenamed("node", "did"), Seq("did"), "left")
       .select(col("did"), coalesce(col("comp"), col("did")).as("comp"))

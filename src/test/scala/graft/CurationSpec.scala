@@ -193,6 +193,42 @@ class CurationSpec extends SparkSuite {
       s"inc=$incIds full=$fullIds")
   }
 
+  test("incrementalFunnel with SERVED survivor derivatives (digests, " +
+      "postings, sizes) is byte-identical to the derived path") {
+    import spark.implicits._
+    def d(id: Long, text: String, n: Long = 60L) = (id, text, n)
+    val pats = Seq("forbidden spell")
+    val base = Seq(
+      d(1, "seven silver birds fly over the cold misty northern sea"),
+      d(2, "a quick brown fox jumps over the lazy dog near town"),
+      d(3, "a quick brown fox jumps over the lazy dog near town"),
+      d(4, "this exact text sits in the held out benchmark set")
+    ).toDF("doc_id", "text", "n_chars")
+    val delivery = Seq(
+      d(11, "seven silver birds fly over the cold misty northern lake"),
+      d(12, "completely novel delivery content with no twin anywhere here"),
+      d(13, "a quick brown fox jumps over the lazy dog near town")
+    ).toDF("doc_id", "text", "n_chars")
+    val benchmark = Seq(
+      (900L, "this exact text sits in the held out benchmark set"))
+      .toDF("doc_id", "text")
+    val st = Curation.initialFunnelState(base, benchmark, pats)
+    val (_, repDerived) =
+      Curation.incrementalFunnel(st, delivery, benchmark, pats)
+    val served = st.copy(
+      storedDigests = Some(st.survivors
+        .select(xxhash64(col("text")).as("__d")).distinct()),
+      storedPostings = Some(st.survivors.select(col("doc_id").as("sid"),
+        explode(Dedup.shingles(Dedup.tokensOf(col("text")), 2)).as("gram"))),
+      storedSizes = Some(st.survivors.select(col("doc_id").as("sid"),
+        size(Dedup.shingles(Dedup.tokensOf(col("text")), 2))
+          .cast("bigint").as("sng"))))
+    val (_, repServed) =
+      Curation.incrementalFunnel(served, delivery, benchmark, pats)
+    assert(repServed.collect().map(_.toSeq).toSeq ==
+      repDerived.collect().map(_.toSeq).toSeq)
+  }
+
   test("incrementalNearDupKeepers: no survivors-derived frame under a " +
       "broadcast hint (the 100 TB driver-OOM guard)") {
     // the stored corpus may be SCANNED (semi-pruned probe side) but a
