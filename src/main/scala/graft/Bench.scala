@@ -39,7 +39,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_LOG_REPS=1: per-rep stderr diagnostics (time, live
+    // cached-RDD storage, cumulative GC time) — the adjudication probe
+    // for a median that disagrees with isolated reruns (BASELINE.md
+    // §20/§27): contention shows as uniform inflation with flat
+    // storage/GC; cache-storage thrash shows as storage growth or GC
+    // spikes local to the slow lines.
+    val logReps = sys.env.get("SPARK_GRAFT_LOG_REPS").contains("1")
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def once(name: String): Double = {
+      val g0 = if (logReps) gcMillis() else 0L
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -49,6 +62,12 @@ object Bench {
         return -1.0
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (logReps) {
+        val st = spark.sparkContext.getRDDStorageInfo
+        System.err.println(f"[rep] $name dt=$dt%.3f" +
+          f" rdds=${st.length} memMB=${st.map(_.memSize).sum / 1e6}%.1f" +
+          s" gcMs=${gcMillis() - g0}")
+      }
       // release the query's ephemeral caches/checkpoint blocks so every
       // rep pays the true cache-build cost (and a 132-query run's
       // storage stays flat); the shared warm caches (tokenPairs) stay

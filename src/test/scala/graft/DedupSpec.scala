@@ -1555,6 +1555,42 @@ class DedupSpec extends SparkSuite {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("semanticFamily is the ONE derivation shared by semanticDedup and " +
+      "a served SemDeDup index: exact copies of every kept vector pair " +
+      "their stored originals through the across path") {
+    // pins the q82/q82b contract: the served index signs with
+    // Dedup.semanticFamily(n) — the same (k, sampleN) semanticDedup
+    // derives internally. If either side ever re-derives its own copy
+    // and the arithmetic drifts, a redelivered kept vector can assign
+    // to a DIFFERENT cluster than its stored original and pair nothing;
+    // this test redelivers the whole kept set and requires a cosine-1.0
+    // pair for every copy.
+    val emb = Tables(spark, sf("0.001")).embeddings
+    val (kEff, sampleEff) = Dedup.semanticFamily(emb.count())
+    val cs = Similarity.trainIvfCentroids(emb, kEff, sampleN = sampleEff)
+    val kept = Dedup.semanticDedup(emb, tau = 0.4, maxCluster = 100000L)
+    val index = Similarity.ivfAssign(emb, cs)
+      .withColumnRenamed("list_id", "cluster")
+      .withColumnRenamed("vec_id", "id")
+      .join(kept.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+    val delivery = emb
+      .join(kept.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pairs = Dedup.semanticDedupAcross(index, cs, delivery, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keptIds = kept.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(keptIds.nonEmpty)
+    val selfPairs = pairs.filter(p => p._1 + 1000000L == p._2)
+    assert(selfPairs.map(_._1).toSet == keptIds,
+      s"missing self-pairs for ${keptIds -- selfPairs.map(_._1).toSet}")
+    assert(selfPairs.forall(p => math.abs(p._3 - 1.0) < 1e-9), selfPairs.take(5).toSeq)
+    // and the family arithmetic itself is pinned: floor k at small n,
+    // linear occupancy-derived k (with an 8-points-per-centroid sample
+    // floor) at scale
+    assert(Dedup.semanticFamily(500L) == ((16, 4096)))
+    assert(Dedup.semanticFamily(1L << 20) == ((8192, 65536)))
+  }
+
   test("semanticDedup auto-k: derived cluster count keeps occupancy bounded") {
     // small corpora keep the k=16 floor (q82's 500-row scale → 16, so
     // the declared query's output is unchanged by auto-derivation) …

@@ -1656,4 +1656,89 @@ class StreamingSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(outDir)
     }
   }
+
+  test("requireIndexMeta first write is atomic: a crashed first-writer's " +
+      "temp file is invisible, the frozen meta comes from a completed " +
+      "rename, and restarts assert against it") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft-meta-torn").toFile
+    try {
+      // a first-writer crashed mid-write: short garbage at a TEMP path
+      // (the only place an in-flight write can exist under temp+rename)
+      java.nio.file.Files.write(
+        new java.io.File(dir, ".idx-meta.tmp-deadbeef").toPath,
+        "torn".getBytes("UTF-8"))
+      // restart freezes the real meta via its own temp+rename — the
+      // stale temp neither blocks the write nor masquerades as the meta
+      Dedup.requireIndexMeta(spark, dir.getPath,
+        "shingle=3 numHashes=64 bands=16", "minhash index")
+      // idempotent re-assert, then a foreign family fails loudly
+      Dedup.requireIndexMeta(spark, dir.getPath,
+        "shingle=3 numHashes=64 bands=16", "minhash index")
+      intercept[IllegalArgumentException] {
+        Dedup.requireIndexMeta(spark, dir.getPath,
+          "shingle=2 numHashes=64 bands=16", "minhash index")
+      }
+      val stored = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "idx-meta").toPath), "UTF-8")
+      assert(stored == "shingle=3 numHashes=64 bands=16", stored)
+      // the embedding wrapper delegates to the SAME file — one meta,
+      // two entry points
+      Dedup.requireEmbeddingMeta(spark, dir.getPath,
+        "shingle=3 numHashes=64 bands=16")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("streaming signature dedup under heavy duplication: a batch of " +
+      "identical signatures pairs the stored keeper AND itself (doc ids " +
+      "repeat across pair rows), survivors anti-join on DISTINCT ids, " +
+      "the index gains nothing") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sig-heavy").toFile
+    val stateDir = Files.createTempDirectory("graft-sig-heavy-state").toFile
+    val outDir = Files.createTempDirectory("graft-sig-heavy-out").toFile
+    val sigA = 0x1111222233334444L
+    val schema = Seq((0L, 0L, true)).toDF("doc_id", "sig64", "decoded").schema
+    Seq((100L, sigA, true))
+      .toDF("doc_id", "sig64", "decoded").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    // the host's target case: heavy duplication — ten byte-identical
+    // redeliveries in one batch. Every one pairs the stored keeper
+    // (across) and the nine non-min ones pair within the batch too, so
+    // pair rows per doc id are >1: the survivor anti-join's broadcast
+    // build side must be the DISTINCT dropped ids (pair-count rows
+    // would scale with duplication², the exact case the host exists
+    // for), and a doc paired twice must still be dropped exactly once.
+    val heavy = (200L to 209L).map(i => (i, sigA, true))
+    heavy.toDF("doc_id", "sig64", "decoded").coalesce(1)
+      .write.mode("append").parquet(dir.getPath)
+    try {
+      val streamed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(dir.getPath)
+      val q = StreamOps.streamingSignatureDedup(streamed, stateDir.getPath,
+        outDir.getPath, compactEvery = 64)
+      q.processAllAvailable(); q.stop()
+      val p1 = spark.read.parquet(s"${outDir.getPath}/pairs-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // every delivery doc pairs the stored keeper
+      assert((200L to 209L).forall(d => p1.contains((100L, d))), p1)
+      // and doc ids DO repeat across pair rows (within-batch pairs on
+      // top of the across ones) — the distinct-build precondition
+      val perDoc = p1.groupBy(_._2).map(_._2.size)
+      assert(perDoc.exists(_ > 1), p1)
+      // dropped exactly once each: the index still holds ONLY the keeper
+      val ids = Dedup.loadSignatureIndex(spark, stateDir.getPath)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(100L), ids)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
 }
