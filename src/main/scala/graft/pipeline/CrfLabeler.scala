@@ -40,12 +40,16 @@ import org.apache.spark.sql.functions._
   * it: features are generated in Python, wapiti only labels).
   *
   * Spark shape: the parsed model is broadcast once; labeling is
-  * `mapPartitions` over doc-contiguous sorted rows — embarrassingly
-  * parallel by document, no shuffle beyond the one `repartition(doc_id)`.
+  * `mapPartitions` over sequence-contiguous sorted rows —
+  * embarrassingly parallel by sequence, no shuffle beyond the one
+  * `repartition` on the scope key. `perPage` opts into
+  * `(doc_id, page_idx)` sequences ([[SequenceScope]]) — the
+  * giant-document skew mitigation for the segmentation pass.
   */
 final class CrfLabeler(
     modelText: String,
-    featuresCol: String = "features") extends SequenceLabeler {
+    featuresCol: String = "features",
+    perPage: Boolean = false) extends SequenceLabeler {
 
   override def label(tokens: DataFrame): DataFrame = {
     val spark = tokens.sparkSession
@@ -53,25 +57,12 @@ final class CrfLabeler(
     val model = CrfModel.parse(modelText)
     val bc = spark.sparkContext.broadcast(model)
     val fCol = featuresCol
-    val cols = Seq("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
-      "text", "whitespace", fCol)
-    val labeled = tokens.select(cols.map(col): _*)
-      .as[(Long, Int, Int, Int, Int, String, String, String)]
-      .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id", "page_idx", "block_idx", "line_idx", "token_idx")
+    val byPage = perPage
+    val labeled = SequenceScope.contiguous(tokens, fCol, byPage)
+      .as[SequenceScope.In]
       .mapPartitions { it =>
         val m = bc.value
-        val src = it.buffered
-        val docIter = new Iterator[Vector[(Long, Int, Int, Int, Int, String, String, String)]] {
-          override def hasNext: Boolean = src.hasNext
-          override def next(): Vector[(Long, Int, Int, Int, Int, String, String, String)] = {
-            val d = src.head._1
-            val b = Vector.newBuilder[(Long, Int, Int, Int, Int, String, String, String)]
-            while (src.hasNext && src.head._1 == d) b += src.next()
-            b.result()
-          }
-        }
-        docIter.flatMap { rows =>
+        SequenceScope.sequences(it, byPage).flatMap { rows =>
           val labels = m.decode(rows.map(_._8))
           rows.iterator.zip(labels.iterator).map { case (r, lab) =>
             (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, lab)

@@ -22,6 +22,61 @@ trait SequenceLabeler {
   def label(tokens: DataFrame): DataFrame
 }
 
+/** Shared sequence scoping for the model-backed labelers
+  * ([[CrfLabeler]]/[[WapitiLabeler]]/[[NeuralLabeler]]): project the
+  * labeling columns, shuffle each SEQUENCE onto one partition, sort it
+  * contiguous, and group the partition iterator back into sequences.
+  *
+  * Two scopes:
+  *  - '''document''' (default) — one sequence per `doc_id`, the
+  *    reference's own unit (`models/model.py:289-331` batches per
+  *    document).
+  *  - '''page''' (`perPage = true`) — one sequence per
+  *    `(doc_id, page_idx)`: the giant-document skew mitigation
+  *    (SURVEY §4). A 10k-page PDF is ONE task under document scope and
+  *    stalls its stage at 100× scale; page scope fans it out across
+  *    the cluster. Viterbi context then restarts at page boundaries —
+  *    for the segmentation model, whose lines carry their page context
+  *    in the feature vector itself (relative page position, repetitive-
+  *    pattern flags), LabelerParitySpec pins page-scoped output ≡
+  *    document-scoped on a multi-page fixture; models whose spans
+  *    legitimately cross pages (fulltext) should stay doc-scoped.
+  */
+private[pipeline] object SequenceScope {
+
+  type In = (Long, Int, Int, Int, Int, String, String, String)
+
+  /** Repartition on the scope key and sort sequence-contiguous. */
+  def contiguous(tokens: DataFrame, fCol: String,
+      perPage: Boolean): DataFrame = {
+    val cols = Seq("doc_id", "page_idx", "block_idx", "line_idx",
+      "token_idx", "text", "whitespace", fCol)
+    val keys = if (perPage) Seq(col("doc_id"), col("page_idx"))
+      else Seq(col("doc_id"))
+    tokens.select(cols.map(col): _*)
+      .repartition(keys: _*)
+      .sortWithinPartitions("doc_id", "page_idx", "block_idx", "line_idx",
+        "token_idx")
+  }
+
+  /** Group a sequence-contiguous partition iterator into one Vector per
+    * sequence; only the current sequence is materialized. */
+  def sequences(it: Iterator[In], perPage: Boolean): Iterator[Vector[In]] = {
+    val src = it.buffered
+    new Iterator[Vector[In]] {
+      override def hasNext: Boolean = src.hasNext
+      override def next(): Vector[In] = {
+        val d = src.head._1
+        val p = src.head._2
+        val b = Vector.newBuilder[In]
+        while (src.hasNext && src.head._1 == d &&
+          (!perPage || src.head._2 == p)) b += src.next()
+        b.result()
+      }
+    }
+  }
+}
+
 /** Fixed (doc_id, page, block, line, token) → BIO label map. Unlisted
   * tokens get "O". */
 final class ScriptedLabeler(spark: SparkSession,

@@ -38,7 +38,8 @@ final class NeuralLabeler(
     inference: Seq[Seq[Array[Float]]] => Seq[Seq[Array[Float]]],
     batchSize: Int = 8,
     featuresCol: String = "features",
-    transitionMask: Option[Array[Array[Boolean]]] = None) extends SequenceLabeler {
+    transitionMask: Option[Array[Array[Boolean]]] = None,
+    perPage: Boolean = false) extends SequenceLabeler {
 
   require(labels.nonEmpty, "label vocabulary must not be empty")
   transitionMask.foreach { m =>
@@ -55,24 +56,12 @@ final class NeuralLabeler(
     val bs = batchSize
     val fCol = featuresCol
     val mask = transitionMask
-    val cols = Seq("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
-      "text", "whitespace", fCol)
-    val labeled = tokens.select(cols.map(col): _*)
-      .as[(Long, Int, Int, Int, Int, String, String, String)]
-      .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id", "page_idx", "block_idx", "line_idx", "token_idx")
+    val byPage = perPage
+    val labeled = SequenceScope.contiguous(tokens, fCol, byPage)
+      .as[SequenceScope.In]
       .mapPartitions { it =>
-        val src = it.buffered
-        // group into per-document sequences (D3 batch packing input)
-        val docs = new Iterator[Vector[(Long, Int, Int, Int, Int, String, String, String)]] {
-          override def hasNext: Boolean = src.hasNext
-          override def next() = {
-            val d = src.head._1
-            val b = Vector.newBuilder[(Long, Int, Int, Int, Int, String, String, String)]
-            while (src.hasNext && src.head._1 == d) b += src.next()
-            b.result()
-          }
-        }
+        // group into sequences (D3 batch packing input)
+        val docs = SequenceScope.sequences(it, byPage)
         docs.grouped(bs).flatMap { batch =>
           val tensors = batch.map(_.map(r => enc(r._8)).toSeq)
           val scores = infer(tensors)

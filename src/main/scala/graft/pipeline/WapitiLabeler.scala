@@ -29,22 +29,20 @@ import org.apache.spark.sql.functions._
   */
 final class WapitiLabeler(
     command: Seq[String],
-    featuresCol: String = "features") extends SequenceLabeler {
+    featuresCol: String = "features",
+    perPage: Boolean = false) extends SequenceLabeler {
 
   override def label(tokens: DataFrame): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
     val cmd = command
     val fCol = featuresCol
-    val cols = Seq("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
-      "text", "whitespace", fCol)
-    val labeled = tokens.select(cols.map(col): _*)
-      .as[(Long, Int, Int, Int, Int, String, String, String)]
-      .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id", "page_idx", "block_idx", "line_idx", "token_idx")
+    val byPage = perPage
+    val labeled = SequenceScope.contiguous(tokens, fCol, byPage)
+      .as[SequenceScope.In]
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
-        else WapitiLabeler.tagPartition(cmd, it)
+        else WapitiLabeler.tagPartition(cmd, it, byPage)
       }
     labeled.toDF("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
       "text", "whitespace", fCol, "label")
@@ -69,7 +67,8 @@ object WapitiLabeler {
     * models/model.py:289-331).
     */
   private[pipeline] def tagPartition(
-      command: Seq[String], it: Iterator[In]): Iterator[Out] = {
+      command: Seq[String], it: Iterator[In],
+      perPage: Boolean = false): Iterator[Out] = {
     val pb = new ProcessBuilder(command: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
@@ -102,19 +101,10 @@ object WapitiLabeler {
     writer.setDaemon(true)
     writer.start()
 
-    // Group the sorted partition iterator into consecutive-doc batches
+    // Group the sorted partition iterator into consecutive sequences
     // (task thread consumes the Spark iterator; only the current
-    // document is materialized).
-    val src = it.buffered
-    val docs: Iterator[Vector[In]] = new Iterator[Vector[In]] {
-      override def hasNext: Boolean = src.hasNext
-      override def next(): Vector[In] = {
-        val d = src.head._1
-        val b = Vector.newBuilder[In]
-        while (src.hasNext && src.head._1 == d) b += src.next()
-        b.result()
-      }
-    }
+    // sequence is materialized).
+    val docs: Iterator[Vector[In]] = SequenceScope.sequences(it, perPage)
 
     def parseLabel(line: String): String = {
       val tab = line.lastIndexOf('\t')
