@@ -1118,6 +1118,76 @@ object ScaleOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Q36c exact-signature pairs (ORACLED — the deterministic slice of
+    * the q36 MinHash SELF-form, the q102c pattern turned within-corpus):
+    * over a corpus containing byte-identical redeliveries (every 7th
+    * doc re-idd +1M — the q31 duplication fixture at family scale),
+    * pair every doc against the min-id holder of an identical
+    * distinct-shingle set, and REQUIRE through the plan that the two
+    * docs' actual MinHash signatures (the fused signing kernel,
+    * [[Dedup.minHashSignatures]]) are equal. Identical set ⟹ identical
+    * signature, so the filter never drops a row and DuckDB replays the
+    * output with the sorted-shingle digest — while any determinism bug
+    * in the kernel would drop rows and hash-mismatch. The CONVERSE is
+    * deliberately not asserted: MinHash is a lossy sketch, and this
+    * corpus's planted near-dups (a trailing-token edit) legitimately
+    * share all 64 minima — grouping by raw signature found exactly
+    * those 4 extra pairs (BASELINE.md §29). One hash-agg exchange +
+    * broadcast keeper join-back, O(n) at any scale. */
+  def q36c(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select("doc_id", "text")
+    val dup = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corp = docs.unionByName(dup).select(col("doc_id"),
+      md5(concat_ws("\u001f",
+        sort_array(Dedup.shingles(Dedup.tokensOf(col("text")), 3))))
+        .as("setd"),
+      graft.functions.Sketch.min_hash(
+        graft.functions.Sketch.shingle_hash_stream_text(col("text"), 3), 64)
+        .as("sig"))
+    val keep = corp.groupBy("setd").agg(
+      min(col("doc_id")).as("doc_id_a"),
+      min_by(col("sig"), col("doc_id")).as("sig_a"))
+    corp.join(broadcast(keep), Seq("setd"))
+      .filter(col("doc_id") =!= col("doc_id_a") && col("sig") === col("sig_a"))
+      .select(col("doc_id_a"), col("doc_id").as("doc_id_b"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** Q44c exact-fingerprint-sequence pairs (ORACLED — the deterministic
+    * slice of the q44 winnowing family): same duplicated corpus as
+    * q36c, pairing every doc against the min-id holder of an identical
+    * TOKEN sequence and requiring through the plan that their actual
+    * winnowing fingerprint SEQUENCES ([[TextAnalysis
+    * .winnowingFingerprints]]; winnowing is position-sensitive, so the
+    * sequence, not the set, is the identity) are equal. Identical
+    * tokens ⟹ identical selection, so the filter is lossless and
+    * DuckDB replays the output with the q37c token digest; a
+    * nondeterministic or order-sensitive kernel would drop rows and
+    * hash-mismatch. Fingerprint equality of DIFFERENT texts is
+    * legitimate — winnowing guarantees detection, not injectivity: the
+    * corpus's planted trailing-token near-dups share their whole
+    * selected sequence (16 extra pairs when this slice grouped by raw
+    * fingerprints, BASELINE.md §29). One hash-agg + broadcast
+    * join-back, O(n). */
+  def q44c(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select("doc_id", "text")
+    val dup = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corp = docs.unionByName(dup).select(col("doc_id"),
+      md5(concat_ws(" ", Dedup.tokensOf(col("text")))).as("tokd"),
+      md5(concat_ws(",",
+        graft.operators.TextAnalysis.winnowingFingerprints(col("text"))))
+        .as("fpd"))
+    val keep = corp.groupBy("tokd").agg(
+      min(col("doc_id")).as("doc_id_a"),
+      min_by(col("fpd"), col("doc_id")).as("fpd_a"))
+    corp.join(broadcast(keep), Seq("tokd"))
+      .filter(col("doc_id") =!= col("doc_id_a") && col("fpd") === col("fpd_a"))
+      .select(col("doc_id_a"), col("doc_id").as("doc_id_b"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** Q103 blocklist redaction (rows-only — leftmost-longest selection
     * is the declared engine semantics): one automaton pass replaces
     * every banned phrase, keeping the document and its count
@@ -1605,6 +1675,8 @@ object ScaleOps {
     "q102c_exact_shingle_across" -> q102c,
     "q37c_exact_tokens_across" -> q37c,
     "q43c_exact_vector_across" -> q43c,
+    "q36c_exact_signature_pairs" -> q36c,
+    "q44c_exact_fingerprint_pairs" -> q44c,
     "q103_blocklist_redact" -> q103,
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
@@ -2487,6 +2559,47 @@ object ScaleOps {
          SELECT CAST(k.corpus_id AS BIGINT) AS corpus_id,
                 CAST(d.batch_id AS BIGINT) AS batch_id
          FROM k JOIN deliv d USING (embedding) ORDER BY 1, 2""",
+    "q36c_exact_signature_pairs" ->
+      """WITH corp AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 7 = 0),
+         tok AS (
+           SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+           FROM corp),
+         g3 AS (
+           SELECT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS gram
+           FROM tok, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS u(i)
+           WHERE LEN(toks) >= 3),
+         gshort AS (
+           SELECT doc_id, ARRAY_TO_STRING(toks, ' ') AS gram
+           FROM tok WHERE LEN(toks) >= 1 AND LEN(toks) < 3),
+         grams AS (SELECT * FROM g3 UNION ALL SELECT * FROM gshort),
+         dig AS (
+           SELECT t.doc_id,
+             MD5(COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT g.gram)), CHR(31)), '')) AS digest
+           FROM tok t LEFT JOIN grams g USING (doc_id) GROUP BY t.doc_id),
+         k AS (SELECT digest, MIN(doc_id) AS doc_id_a FROM dig GROUP BY digest)
+         SELECT CAST(k.doc_id_a AS BIGINT) AS doc_id_a,
+                CAST(d.doc_id AS BIGINT) AS doc_id_b
+         FROM k JOIN dig d USING (digest)
+         WHERE d.doc_id <> k.doc_id_a ORDER BY 1, 2""",
+    "q44c_exact_fingerprint_pairs" ->
+      """WITH corp AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 7 = 0),
+         dig AS (
+           SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''), ' ')) AS digest
+           FROM corp),
+         k AS (SELECT digest, MIN(doc_id) AS doc_id_a FROM dig GROUP BY digest)
+         SELECT CAST(k.doc_id_a AS BIGINT) AS doc_id_a,
+                CAST(d.doc_id AS BIGINT) AS doc_id_b
+         FROM k JOIN dig d USING (digest)
+         WHERE d.doc_id <> k.doc_id_a ORDER BY 1, 2""",
     "q102c_exact_shingle_across" ->
       """WITH tok AS (
            SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
