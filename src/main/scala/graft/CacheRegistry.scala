@@ -44,7 +44,9 @@ object CacheRegistry {
   // closure, so holding the plan adds no material footprint.
   private final case class Entry(id: Long, shared: Boolean,
       cleanup: () => Unit,
-      planKey: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None)
+      planKey: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None,
+      namedKey: Option[String] = None,
+      ds: Dataset[_] = null)
 
   private val nextId = new AtomicLong()
   // keyed by SparkContext-owning session object; suites and the
@@ -94,6 +96,38 @@ object CacheRegistry {
     add(df.sparkSession, shared,
       () => { df.unpersist(blocking = false); () }, key)
     df
+  }
+
+  /** A shared cache with an EXPLICIT identity key, for plans whose
+    * canonicalized form can never match across invocations — the ALTO
+    * parse hub frames embed `mapPartitions` lambdas, and a fresh lambda
+    * instance per call defeats `sameResult`, so plan-keyed dedupe
+    * registered (and Spark's CacheManager built) a NEW ~75 MB parse
+    * cache on every query invocation: the round-14 bench probe watched
+    * executor storage climb one such cache per rep while p04's reps
+    * DEGRADED 8→14 s (each rep paid a full re-parse into a cache miss).
+    * The first call under a key builds and persists; every later call
+    * in the warm session returns the SAME Dataset instance, so Spark's
+    * cache hits by object identity of the plan, not canonical equality.
+    * Released by `release(includeShared = true)` like any shared entry
+    * (a later call then rebuilds). */
+  def persistKeyed[T](spark: SparkSession, key: String)(
+      mk: => Dataset[T]): Dataset[T] = {
+    sweepStopped()
+    val buf = entries.computeIfAbsent(spark,
+      _ => mutable.ArrayBuffer.empty[Entry])
+    buf.synchronized {
+      buf.find(_.namedKey.contains(key)) match {
+        case Some(e) => e.ds.asInstanceOf[Dataset[T]]
+        case None =>
+          val df = mk
+          df.persist()
+          buf += Entry(nextId.incrementAndGet(), shared = true,
+            () => { df.unpersist(blocking = false); () },
+            None, Some(key), df)
+          df
+      }
+    }
   }
 
   /** Eager lineage-truncating checkpoint whose storage blocks are

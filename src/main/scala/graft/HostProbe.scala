@@ -25,6 +25,12 @@ object HostProbe {
           times += ((e.progress.batchId, e.progress.batchDuration))
         override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
+    // SPARK_GRAFT_HP_TAIL=n: after the 4 corpus-quarter batches, append
+    // n FIXED-SIZE deliveries (1000 rows, ids offset into fresh space)
+    // — their per-batch ms at an sf1-built state vs an sf10-built state
+    // is the serving-path scale read (fixed delivery, 10× state), the
+    // across-family §26 protocol applied to the hosts.
+    val tailBatches = sys.env.get("SPARK_GRAFT_HP_TAIL").map(_.toInt).getOrElse(0)
     def run(name: String, src: DataFrame)(
         host: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val base = java.nio.file.Files.createTempDirectory(s"graft-hp-$name").toFile
@@ -32,6 +38,12 @@ object HostProbe {
       (0 until 4).foreach { b =>
         src.filter(pmod(col("doc_id"), lit(4)) === b).coalesce(1)
           .write.mode("append").parquet(in.getPath)
+        Thread.sleep(1100)
+      }
+      (0 until tailBatches).foreach { t =>
+        src.orderBy("doc_id").limit(1000)
+          .withColumn("doc_id", col("doc_id") + lit((t + 10) * 10000000L))
+          .coalesce(1).write.mode("append").parquet(in.getPath)
         Thread.sleep(1100)
       }
       times.clear()
@@ -43,7 +55,8 @@ object HostProbe {
         new java.io.File(base, "out").getPath)
       q.processAllAvailable(); q.stop()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"HOST $name: ${src.count()} rows / 4 batches in $dt%.2f s; " +
+      val nb = 4 + tailBatches
+      println(f"HOST $name: ${src.count()} rows / $nb batches in $dt%.2f s; " +
         s"per-batch ms=${times.sortBy(_._1).map(_._2).mkString(",")}")
       org.apache.commons.io.FileUtils.deleteDirectory(base)
     }

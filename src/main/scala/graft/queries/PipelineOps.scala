@@ -147,8 +147,12 @@ object PipelineOps {
     "b00:%x[-1,28]/%x[0,28]", "b01:%x[-1,10]")
 
   private def tokenTable(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.persist(
-      AltoReader.tokens(altoCorpus(s, d)).toDF(), shared = true)
+    // keyed, not plan-keyed: the StAX parse plan embeds fresh lambda
+    // instances per call, so canonical-plan dedupe can never hit and a
+    // warm session would rebuild (and leak) one parse cache per query
+    graft.CacheRegistry.persistKeyed(s, s"alto-tokens:$d") {
+      AltoReader.tokens(altoCorpus(s, d)).toDF()
+    }
 
   /** P01 ALTO scan + parse + retokenize → token counts per doc. */
   def p01(s: SparkSession, d: String): DataFrame =
@@ -192,13 +196,12 @@ object PipelineOps {
   def p13(s: SparkSession, d: String): DataFrame = {
     // one StAX pass shared by the token AND graphic sides (then
     // checkpointed): tokens feed pageDims + two pipeline folds, so an
-    // unshared plan re-parsed the corpus four times
-    // shared persist, not a checkpoint: the CacheManager dedupes by
-    // canonicalized plan, so p09/p13 and repeated runs share ONE StAX
-    // parse (a checkpoint is a fresh RDD per call — unshareable), and
-    // the cache equally caps the orderBy sampling re-execution
-    val parsed = graft.CacheRegistry.persist(
-      AltoReader.parsedDocs(altoCorpus(s, d)), shared = true)
+    // unshared plan re-parsed the corpus four times. Keyed shared
+    // cache: p09/p13 and repeated runs share ONE StAX parse by object
+    // identity (canonical-plan dedupe cannot hit a fresh-lambda plan)
+    val parsed = graft.CacheRegistry.persistKeyed(s, s"alto-parsed:$d") {
+      AltoReader.parsedDocs(altoCorpus(s, d))
+    }
     val tokens = AltoReader.tokensOf(parsed).toDF()
     val graphics = graft.pipeline.Processor.graphicsForMatching(
       tokens, AltoReader.graphicsOf(parsed).toDF())

@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{NeuralLabeler, Onnx}
+
+/** The D2 production seam exercised end-to-end without network or an
+  * ONNX Runtime jar: a tiny MLP scoring head is serialized to REAL
+  * ONNX bytes (protobuf wire format built by hand in this spec — the
+  * same public spec [[Onnx]] parses), loaded from disk through
+  * [[Onnx.labelerFromFile]], and decoded through [[NeuralLabeler]];
+  * output parity is pinned against an independently-computed closure
+  * of the same network (reference analog:
+  * `models/delft_model_impl.py:18-57`).
+  */
+class OnnxSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------- protobuf writer (fixture)
+
+  private final class PbWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): this.type = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt); this
+    }
+    def tag(field: Int, wire: Int): this.type = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): this.type = {
+      tag(field, 2); varint(b.length); out.write(b); this
+    }
+    def str(field: Int, s: String): this.type =
+      bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int, w: PbWriter): this.type = bytes(field, w.result)
+    def int(field: Int, v: Long): this.type = { tag(field, 0); varint(v) }
+    def float32(field: Int, v: Float): this.type = {
+      tag(field, 5)
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(v)
+      out.write(bb.array()); this
+    }
+    def packedFloats(field: Int, vs: Array[Float]): this.type = {
+      val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putFloat)
+      bytes(field, bb.array())
+    }
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  /** TensorProto with packed float_data. */
+  private def tensor(name: String, dims: Seq[Int], vs: Array[Float],
+      raw: Boolean = false): PbWriter = {
+    val w = new PbWriter
+    dims.foreach(d => w.int(1, d))
+    w.int(2, 1) // data_type FLOAT
+    if (raw) {
+      val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putFloat)
+      w.bytes(9, bb.array()) // raw_data
+    } else w.packedFloats(4, vs) // float_data
+    w.str(8, name)
+    w
+  }
+
+  private def node(op: String, ins: Seq[String], outs: Seq[String],
+      intAttrs: Map[String, Long] = Map.empty): PbWriter = {
+    val w = new PbWriter
+    ins.foreach(w.str(1, _))
+    outs.foreach(w.str(2, _))
+    w.str(4, op)
+    intAttrs.foreach { case (k, v) =>
+      val a = new PbWriter
+      a.str(1, k); a.int(3, v); a.int(20, 2) // AttributeProto.type = INT
+      w.msg(5, a)
+    }
+    w
+  }
+
+  private def valueInfo(name: String): PbWriter = {
+    val w = new PbWriter; w.str(1, name); w
+  }
+
+  import OnnxSpec.{W1, b1, W2, b2, mlp}
+
+  private def modelBytes: Array[Byte] = {
+    val graph = new PbWriter
+    graph.msg(1, node("MatMul", Seq("input", "W1"), Seq("h0")))
+    graph.msg(1, node("Add", Seq("h0", "b1"), Seq("h1")))
+    graph.msg(1, node("Tanh", Seq("h1"), Seq("h2")))
+    graph.msg(1, node("Gemm", Seq("h2", "W2", "b2"), Seq("logits"),
+      Map("transB" -> 1L)))
+    graph.msg(5, tensor("W1", Seq(2, 3), W1))
+    graph.msg(5, tensor("b1", Seq(3), b1, raw = true)) // raw_data path
+    graph.msg(5, tensor("W2", Seq(2, 3), W2))
+    graph.msg(5, tensor("b2", Seq(2), b2))
+    graph.msg(11, valueInfo("input"))
+    graph.msg(12, valueInfo("logits"))
+    val model = new PbWriter
+    model.int(1, 8) // ir_version (skipped by the parser, exercises skip)
+    model.msg(7, graph)
+    model.result
+  }
+
+  test("parse + run: hand-built ONNX bytes evaluate to the closure's output " +
+      "(MatMul/Add/Tanh/Gemm-transB, float_data AND raw_data encodings)") {
+    val g = Onnx.parse(modelBytes)
+    assert(g.nodes.map(_.opType) == Seq("MatMul", "Add", "Tanh", "Gemm"))
+    assert(g.initializers.keySet == Set("W1", "b1", "W2", "b2"))
+    assert(g.inputNames == Seq("input") && g.outputNames == Seq("logits"))
+    // raw_data decoded identically to float_data
+    assert(g.initializers("b1").data.toSeq == b1.toSeq)
+    val xs = Seq(Array(1.0f, -0.5f), Array(0.0f, 2.0f), Array(-3.0f, 0.25f))
+    val out = Onnx.run(g,
+      Map("input" -> Onnx.Tensor(Array(xs.size, 2), xs.flatten.toArray)))
+    val logits = out("logits")
+    assert(logits.dims.toSeq == Seq(xs.size, 2))
+    xs.zipWithIndex.foreach { case (x, i) =>
+      val expect = mlp(x)
+      (0 until 2).foreach { y =>
+        assert(math.abs(logits.data(i * 2 + y) - expect(y)) < 1e-5f,
+          s"row $i label $y: ${logits.data(i * 2 + y)} vs ${expect(y)}")
+      }
+    }
+  }
+
+  test("labelerFromFile: the ONNX-backed NeuralLabeler decodes a token " +
+      "table identically to the injected-closure labeler, and a missing " +
+      "file degrades to None") {
+    val labels = IndexedSeq("O", "B-<t>")
+    // feature string "a b" → vector (a, b)
+    val encode: String => Array[Float] = s => {
+      val p = s.split(" "); Array(p(0).toFloat, p(1).toFloat)
+    }
+    val f = java.nio.file.Files.createTempFile("graft-onnx", ".onnx")
+    java.nio.file.Files.write(f, modelBytes)
+    try {
+      val tokens = Seq(
+        (0L, 0, 0, 0, 0, "t0", " ", "1.0 -0.5"),
+        (0L, 0, 0, 0, 1, "t1", " ", "0.0 2.0"),
+        (1L, 0, 0, 0, 0, "t2", " ", "-3.0 0.25"),
+        (1L, 0, 0, 0, 1, "t3", " ", "4.0 4.0"))
+        .toDF("doc_id", "page_idx", "block_idx", "line_idx", "token_idx",
+          "text", "whitespace", "features")
+      val onnxLab = Onnx.labelerFromFile(f.toString, labels, encode,
+        featDim = 2).get
+      val closureLab = new NeuralLabeler(labels, encode,
+        docs => docs.map(_.map(mlp)))
+      def labelsOf(l: NeuralLabeler) = l.label(tokens)
+        .select("doc_id", "token_idx", "label")
+        .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val a = labelsOf(onnxLab)
+      val b = labelsOf(closureLab)
+      assert(a == b, s"onnx $a vs closure $b")
+      assert(a.map(_._3).distinct.size == 2, a) // both labels exercised
+      assert(Onnx.labelerFromFile("/nonexistent/m.onnx", labels, encode,
+        featDim = 2).isEmpty)
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("unsupported op and missing input fail loudly, not silently") {
+    val graph = new PbWriter
+    graph.msg(1, node("LSTM", Seq("input"), Seq("out")))
+    graph.msg(11, valueInfo("input"))
+    graph.msg(12, valueInfo("out"))
+    val model = new PbWriter
+    model.msg(7, graph)
+    val g = Onnx.parse(model.result)
+    val e = intercept[IllegalArgumentException] {
+      Onnx.run(g, Map("input" -> Onnx.Tensor(Array(1, 2), Array(0f, 0f))))
+    }
+    assert(e.getMessage.contains("unsupported ONNX op 'LSTM'"))
+    val g2 = Onnx.parse(modelBytes)
+    val e2 = intercept[IllegalArgumentException] {
+      Onnx.run(g2, Map.empty)
+    }
+    assert(e2.getMessage.contains("missing input"))
+  }
+}
+
+/** The fixture network lives OUTSIDE the suite so the parity closure
+  * serializes without capturing scalatest state. */
+object OnnxSpec {
+  // the 2→3→2 MLP: logits = tanh(x·W1 + b1)·W2ᵀ·1.0 + b2 (Gemm transB)
+  val W1 = Array(0.5f, -1.0f, 0.25f, 1.5f, 0.75f, -0.5f) // [2x3]
+  val b1 = Array(0.1f, -0.2f, 0.3f)                      // [3]
+  val W2 = Array(1.0f, -0.5f, 0.25f, -1.0f, 0.5f, 2.0f)  // [2x3] (transB)
+  val b2 = Array(0.05f, -0.05f)                          // [2]
+
+  /** The same network as a plain closure — the parity reference. */
+  def mlp(x: Array[Float]): Array[Float] = {
+    val h = Array.tabulate(3) { j =>
+      math.tanh(x(0) * W1(j) + x(1) * W1(3 + j) + b1(j)).toFloat
+    }
+    Array.tabulate(2) { y =>
+      h(0) * W2(y * 3) + h(1) * W2(y * 3 + 1) + h(2) * W2(y * 3 + 2) + b2(y)
+    }
+  }
+}
