@@ -29,10 +29,13 @@ object Onnx {
 
   // ------------------------------------------------------------ tensors
 
-  /** Row-major float tensor. */
-  final case class Tensor(dims: Array[Int], data: Array[Float]) {
+  /** Row-major tensor: float payload for weights/activations, with an
+    * optional int64 payload for the shape/axes operands the glue ops
+    * (Reshape/Squeeze/Unsqueeze) take as inputs since opset 13. */
+  final case class Tensor(dims: Array[Int], data: Array[Float],
+      longs: Array[Long] = null) {
     def rank: Int = dims.length
-    def size: Int = data.length
+    def size: Int = if (data != null) data.length else longs.length
     override def toString = s"Tensor[${dims.mkString("x")}]"
   }
 
@@ -169,13 +172,15 @@ object Onnx {
         case (2, 5) =>                                // f: float (fixed32)
           value = r.readFloatAt(r.pos); r.pos += 4
         case (3, 0) => value = r.readVarint()         // i: int
+        case (4, 2) =>                                // s: string
+          val (s, e) = r.readBytes(); value = r.utf8(s, e)
         case (5, 2) => value = parseTensor(r.sub())._2 // t: tensor
         case (6, 2) =>                                // floats (packed)
           val (s, e) = r.readBytes()
           value = (s until e by 4).map(p => r.readFloatAt(p)).toArray
         case (8, 0) =>                                // ints (unpacked)
           value = (value match {
-            case xs: List[_] => r.readVarint() :: xs.asInstanceOf[List[Long]]
+            case xs: List[_] => xs.asInstanceOf[List[Long]] :+ r.readVarint()
             case _ => List(r.readVarint())
           })
         case (8, 2) =>                                // ints (packed)
@@ -190,14 +195,16 @@ object Onnx {
     name -> value
   }
 
-  /** TensorProto → (name, tensor). FLOAT (data_type 1) only — the
-    * dense-network weights this seam serves. Accepts both `float_data`
-    * and `raw_data` encodings. */
+  /** TensorProto → (name, tensor). FLOAT (data_type 1) for weights,
+    * INT64 (data_type 7) for the shape/axes operands of the glue ops.
+    * Accepts typed-array and `raw_data` encodings for both. */
   private def parseTensor(r: PbReader): (String, Tensor) = {
     val dims = List.newBuilder[Int]
     var name = ""
     var dataType = -1L
     var floats: Array[Float] = Array.empty
+    var ints: List[Long] = Nil
+    var rawBytes: Array[Byte] = null
     while (r.hasRemaining) {
       val (f, w) = r.readTag()
       (f, w) match {
@@ -211,19 +218,38 @@ object Onnx {
           floats = (s until e by 4).map(p => r.readFloatAt(p)).toArray
         case (4, 5) =>                                          // float_data single
           floats = floats :+ r.readFloatAt(r.pos); r.pos += 4
+        case (7, 0) => ints ::= r.readVarint()                  // int64_data
+        case (7, 2) =>                                          // int64 packed
+          val sub = r.sub()
+          while (sub.hasRemaining) ints ::= sub.readVarint()
         case (8, 2) => val (s, e) = r.readBytes(); name = r.utf8(s, e)
         case (9, 2) =>                                          // raw_data
           val (s, e) = r.readBytes()
-          floats = (s until e by 4).map(p => r.readFloatAt(p)).toArray
+          rawBytes = r.raw(s, e)
         case (_, ww) => r.skip(ww)
       }
     }
-    require(dataType == 1L || floats.nonEmpty,
-      s"tensor '$name': only FLOAT tensors supported (data_type=$dataType)")
     val d = dims.result()
-    val t = Tensor(if (d.isEmpty) Array(floats.length) else d.toArray, floats)
-    require(t.dims.product == t.data.length,
-      s"tensor '$name': dims ${t.dims.mkString("x")} vs ${t.data.length} values")
+    val t = dataType match {
+      case 7L =>
+        val vs =
+          if (rawBytes != null) {
+            val bb = ByteBuffer.wrap(rawBytes).order(ByteOrder.LITTLE_ENDIAN)
+            Array.fill(rawBytes.length / 8)(bb.getLong)
+          } else ints.reverse.toArray
+        Tensor(if (d.isEmpty) Array(vs.length) else d.toArray, null, vs)
+      case _ =>
+        require(dataType == 1L || floats.nonEmpty || rawBytes != null,
+          s"tensor '$name': unsupported data_type=$dataType (FLOAT/INT64 only)")
+        val vs =
+          if (rawBytes != null) {
+            val bb = ByteBuffer.wrap(rawBytes).order(ByteOrder.LITTLE_ENDIAN)
+            Array.fill(rawBytes.length / 4)(bb.getFloat)
+          } else floats
+        Tensor(if (d.isEmpty) Array(vs.length) else d.toArray, vs)
+    }
+    require(t.dims.product == t.size,
+      s"tensor '$name': dims ${t.dims.mkString("x")} vs ${t.size} values")
     name -> t
   }
 
@@ -239,28 +265,72 @@ object Onnx {
       def in(i: Int): Tensor = env.getOrElse(n.inputs(i),
         throw new IllegalArgumentException(
           s"${n.opType}: missing input '${n.inputs(i)}'"))
-      val out: Tensor = n.opType match {
-        case "MatMul" => matmul(in(0), in(1))
+      def axesOf(attrName: String, inputIdx: Int): Array[Int] =
+        n.attrs.get(attrName).map(_.asInstanceOf[List[Long]].map(_.toInt).toArray)
+          .orElse(if (n.inputs.size > inputIdx) Some(in(inputIdx).longs.map(_.toInt))
+            else None)
+          .getOrElse(throw new IllegalArgumentException(
+            s"${n.opType}: no '$attrName' attribute or input"))
+      val outs: Seq[Tensor] = n.opType match {
+        case "MatMul" => Seq(matmul(in(0), in(1)))
         case "Gemm" =>
           val alpha = n.attrs.get("alpha").map(_.asInstanceOf[Float]).getOrElse(1f)
           val beta = n.attrs.get("beta").map(_.asInstanceOf[Float]).getOrElse(1f)
           val transA = n.attrs.get("transA").exists(_.asInstanceOf[Long] != 0L)
           val transB = n.attrs.get("transB").exists(_.asInstanceOf[Long] != 0L)
-          gemm(in(0), in(1), if (n.inputs.size > 2) Some(in(2)) else None,
-            alpha, beta, transA, transB)
-        case "Add" => broadcastBinary(in(0), in(1), _ + _)
-        case "Sub" => broadcastBinary(in(0), in(1), _ - _)
-        case "Mul" => broadcastBinary(in(0), in(1), _ * _)
-        case "Relu" => mapT(in(0))(v => math.max(0f, v))
-        case "Tanh" => mapT(in(0))(v => math.tanh(v).toFloat)
-        case "Sigmoid" => mapT(in(0))(v => (1.0 / (1.0 + math.exp(-v))).toFloat)
-        case "Identity" => in(0)
-        case "Softmax" => softmaxLastAxis(in(0))
+          Seq(gemm(in(0), in(1), if (n.inputs.size > 2) Some(in(2)) else None,
+            alpha, beta, transA, transB))
+        case "Add" => Seq(broadcastBinary(in(0), in(1), _ + _))
+        case "Sub" => Seq(broadcastBinary(in(0), in(1), _ - _))
+        case "Mul" => Seq(broadcastBinary(in(0), in(1), _ * _))
+        case "Relu" => Seq(mapT(in(0))(v => math.max(0f, v)))
+        case "Tanh" => Seq(mapT(in(0))(v => math.tanh(v).toFloat))
+        case "Sigmoid" => Seq(mapT(in(0))(v => (1.0 / (1.0 + math.exp(-v))).toFloat))
+        case "Identity" => Seq(in(0))
+        case "Softmax" => Seq(softmaxLastAxis(in(0)))
+        case "Reshape" => Seq(reshape(in(0), in(1).longs))
+        case "Transpose" =>
+          val perm = n.attrs.get("perm")
+            .map(_.asInstanceOf[List[Long]].map(_.toInt).toArray)
+            .getOrElse(in(0).dims.indices.reverse.toArray)
+          Seq(transposeNd(in(0), perm))
+        case "Squeeze" =>
+          val t = in(0)
+          val axes = n.attrs.get("axes")
+            .map(_.asInstanceOf[List[Long]].map(_.toInt).toArray)
+            .orElse(if (n.inputs.size > 1) Some(in(1).longs.map(_.toInt))
+              else None)
+            .getOrElse(t.dims.indices.filter(t.dims(_) == 1).toArray)
+            .map(a => if (a < 0) a + t.rank else a).toSet
+          Seq(Tensor(t.dims.indices.filterNot(axes).map(t.dims).toArray,
+            t.data, t.longs))
+        case "Unsqueeze" =>
+          val t = in(0)
+          val outRank = t.rank + axesOf("axes", 1).length
+          val axes = axesOf("axes", 1).map(a => if (a < 0) a + outRank else a).toSet
+          val nd = Array.newBuilder[Int]
+          var src = 0
+          (0 until outRank).foreach { i =>
+            if (axes(i)) nd += 1 else { nd += t.dims(src); src += 1 }
+          }
+          Seq(Tensor(nd.result(), t.data, t.longs))
+        case "Concat" =>
+          val axis0 = n.attrs("axis").asInstanceOf[Long].toInt
+          Seq(concat(n.inputs.map(x => env(x)), axis0))
+        case "LSTM" =>
+          val hidden = n.attrs("hidden_size").asInstanceOf[Long].toInt
+          val dir = n.attrs.get("direction").map(_.toString).getOrElse("forward")
+          lstm(in(0), in(1), in(2),
+            if (n.inputs.size > 3 && n.inputs(3).nonEmpty) Some(in(3)) else None,
+            hidden, dir)
         case op => throw new IllegalArgumentException(
           s"unsupported ONNX op '$op' (supported: MatMul Gemm Add Sub Mul " +
-            "Relu Tanh Sigmoid Softmax Identity)")
+            "Relu Tanh Sigmoid Softmax Identity Reshape Transpose Squeeze " +
+            "Unsqueeze Concat LSTM)")
       }
-      env(n.outputs.head) = out
+      n.outputs.zip(outs).foreach { case (name, t) =>
+        if (name.nonEmpty) env(name) = t
+      }
     }
     g.outputNames.map(o => o -> env.getOrElse(o,
       throw new IllegalArgumentException(s"graph output '$o' never produced")))
@@ -338,6 +408,162 @@ object Onnx {
       while (i < out.length) { out(i) = f(a.data(i), b.data(i % n)); i += 1 }
       Tensor(a.dims, out)
     }
+  }
+
+  /** ONNX Reshape: -1 infers one dim, 0 copies the input dim. Data is
+    * row-major so only the dims change. */
+  private def reshape(t: Tensor, shape: Array[Long]): Tensor = {
+    val out = new Array[Int](shape.length)
+    var inferAt = -1
+    var known = 1L
+    shape.indices.foreach { i =>
+      shape(i) match {
+        case -1L =>
+          require(inferAt < 0, "Reshape: more than one -1"); inferAt = i
+        case 0L => out(i) = t.dims(i); known *= out(i)
+        case v => out(i) = v.toInt; known *= v
+      }
+    }
+    if (inferAt >= 0) out(inferAt) = (t.size / known).toInt
+    require(out.product == t.size,
+      s"Reshape $t to ${out.mkString("x")}")
+    Tensor(out, t.data, t.longs)
+  }
+
+  /** General N-D transpose by permutation. */
+  private def transposeNd(t: Tensor, perm: Array[Int]): Tensor = {
+    require(perm.length == t.rank, s"Transpose perm ${perm.length} vs $t")
+    val nd = perm.map(t.dims)
+    val inStrides = new Array[Int](t.rank)
+    var acc = 1
+    (t.rank - 1 to 0 by -1).foreach { i => inStrides(i) = acc; acc *= t.dims(i) }
+    val outStrides = new Array[Int](t.rank)
+    acc = 1
+    (t.rank - 1 to 0 by -1).foreach { i => outStrides(i) = acc; acc *= nd(i) }
+    val out = new Array[Float](t.size)
+    val idx = new Array[Int](t.rank)
+    var flat = 0
+    while (flat < t.size) {
+      // decompose output-flat index into output coords, map through perm
+      var rem = flat
+      var inPos = 0
+      var i = 0
+      while (i < t.rank) {
+        val c = rem / outStrides(i)
+        rem -= c * outStrides(i)
+        inPos += c * inStrides(perm(i))
+        i += 1
+      }
+      out(flat) = t.data(inPos)
+      flat += 1
+    }
+    Tensor(nd, out)
+  }
+
+  /** Concat along `axis` (negative counts from the back). */
+  private def concat(ts: Seq[Tensor], axis0: Int): Tensor = {
+    val rank = ts.head.rank
+    val axis = if (axis0 < 0) axis0 + rank else axis0
+    val outer = ts.head.dims.take(axis).product
+    val inner = ts.head.dims.drop(axis + 1).product
+    val axLens = ts.map(_.dims(axis))
+    val outAx = axLens.sum
+    val nd = ts.head.dims.clone(); nd(axis) = outAx
+    val out = new Array[Float](outer * outAx * inner)
+    var o = 0
+    while (o < outer) {
+      var off = 0
+      ts.zip(axLens).foreach { case (t, al) =>
+        System.arraycopy(t.data, o * al * inner, out,
+          (o * outAx + off) * inner, al * inner)
+        off += al
+      }
+      o += 1
+    }
+    Tensor(nd, out)
+  }
+
+  /** ONNX LSTM (the DELFT BiLSTM shape): X [seq, batch, input],
+    * W [dirs, 4H, input], R [dirs, 4H, H], B [dirs, 8H] — iofc gate
+    * order, outputs Y [seq, dirs, batch, H], Y_h and Y_c
+    * [dirs, batch, H]. Default activations (sigmoid/tanh/tanh), zero
+    * initial state, no peepholes/clip — the exported-recurrent-network
+    * common case. */
+  private def lstm(x: Tensor, wT: Tensor, rT: Tensor, bT: Option[Tensor],
+      hiddenSize: Int, direction: String): Seq[Tensor] = {
+    require(x.rank == 3, s"LSTM X must be [seq, batch, input], got $x")
+    val Array(seqLen, batch, inputSize) = x.dims
+    val dirs = direction match {
+      case "forward" | "reverse" => 1
+      case "bidirectional" => 2
+      case d => throw new IllegalArgumentException(s"LSTM direction '$d'")
+    }
+    val H = hiddenSize
+    require(wT.dims.sameElements(Array(dirs, 4 * H, inputSize)), s"LSTM W $wT")
+    require(rT.dims.sameElements(Array(dirs, 4 * H, H)), s"LSTM R $rT")
+    bT.foreach(b => require(b.dims.sameElements(Array(dirs, 8 * H)),
+      s"LSTM B $b"))
+    val y = new Array[Float](seqLen * dirs * batch * H)
+    val yh = new Array[Float](dirs * batch * H)
+    val yc = new Array[Float](dirs * batch * H)
+    def sig(v: Double): Double = 1.0 / (1.0 + math.exp(-v))
+    var d = 0
+    while (d < dirs) {
+      val reverse = direction == "reverse" || d == 1
+      val wOff = d * 4 * H * inputSize
+      val rOff = d * 4 * H * H
+      val bOff = d * 8 * H
+      var b = 0
+      while (b < batch) {
+        val h = new Array[Double](H)
+        val c = new Array[Double](H)
+        var step = 0
+        while (step < seqLen) {
+          val t = if (reverse) seqLen - 1 - step else step
+          val xOff = (t * batch + b) * inputSize
+          // gates in iofc order
+          val gates = new Array[Double](4 * H)
+          var g = 0
+          while (g < 4 * H) {
+            var s = 0.0
+            var k = 0
+            while (k < inputSize) {
+              s += x.data(xOff + k) * wT.data(wOff + g * inputSize + k); k += 1
+            }
+            k = 0
+            while (k < H) { s += h(k) * rT.data(rOff + g * H + k); k += 1 }
+            bT.foreach { bb =>
+              s += bb.data(bOff + g) + bb.data(bOff + 4 * H + g)
+            }
+            gates(g) = s
+            g += 1
+          }
+          var j = 0
+          while (j < H) {
+            val i = sig(gates(j))
+            val o = sig(gates(H + j))
+            val f = sig(gates(2 * H + j))
+            val ct = math.tanh(gates(3 * H + j))
+            c(j) = f * c(j) + i * ct
+            h(j) = o * math.tanh(c(j))
+            y(((t * dirs + d) * batch + b) * H + j) = h(j).toFloat
+            j += 1
+          }
+          step += 1
+        }
+        var j = 0
+        while (j < H) {
+          yh((d * batch + b) * H + j) = h(j).toFloat
+          yc((d * batch + b) * H + j) = c(j).toFloat
+          j += 1
+        }
+        b += 1
+      }
+      d += 1
+    }
+    Seq(Tensor(Array(seqLen, dirs, batch, H), y),
+      Tensor(Array(dirs, batch, H), yh),
+      Tensor(Array(dirs, batch, H), yc))
   }
 
   private def softmaxLastAxis(t: Tensor): Tensor = {

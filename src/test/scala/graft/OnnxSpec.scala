@@ -158,9 +158,157 @@ class OnnxSpec extends SparkSuite {
     } finally java.nio.file.Files.delete(f)
   }
 
+  // ------------------------------------------------- BiLSTM scoring head
+
+  /** The DELFT-shaped graph: [len, feat] input → Unsqueeze to
+    * [len, 1, feat] → bidirectional LSTM (H per direction) → Y
+    * [len, 2, 1, H] → Transpose [len, 1, 2, H] → Reshape [len, 2H] →
+    * Gemm dense → [len, nLabels]. Exactly the glue an exporter emits
+    * around a recurrent encoder. */
+  private def bilstmModelBytes(inputSize: Int, h: Int, nLabels: Int,
+      w: Array[Float], r: Array[Float], b: Array[Float],
+      dW: Array[Float], dB: Array[Float]): Array[Byte] = {
+    val graph = new PbWriter
+    // Unsqueeze axes as an INT64 initializer input (opset-13 style)
+    graph.msg(5, int64Tensor("uax", Seq(1), Array(1L)))
+    graph.msg(5, tensor("W", Seq(2, 4 * h, inputSize), w))
+    graph.msg(5, tensor("R", Seq(2, 4 * h, h), r))
+    graph.msg(5, tensor("B", Seq(2, 8 * h), b))
+    graph.msg(5, int64Tensor("shape", Seq(2), Array(0L, -1L)))
+    graph.msg(5, tensor("DW", Seq(nLabels, 2 * h), dW)) // Gemm transB
+    graph.msg(5, tensor("DB", Seq(nLabels), dB))
+    graph.msg(1, node("Unsqueeze", Seq("input", "uax"), Seq("x3")))
+    graph.msg(1, nodeWithStr("LSTM", Seq("x3", "W", "R", "B"),
+      Seq("Y", "Yh", "Yc"), Map("hidden_size" -> (h: Long)),
+      Map("direction" -> "bidirectional")))
+    graph.msg(1, nodeWithInts("Transpose", Seq("Y"), Seq("yt"),
+      "perm", List(0L, 2L, 1L, 3L)))
+    graph.msg(1, node("Reshape", Seq("yt", "shape"), Seq("flat")))
+    graph.msg(1, node("Gemm", Seq("flat", "DW", "DB"), Seq("logits"),
+      Map("transB" -> 1L)))
+    graph.msg(11, valueInfo("input"))
+    graph.msg(12, valueInfo("logits"))
+    val model = new PbWriter
+    model.msg(7, graph)
+    model.result
+  }
+
+  private def int64Tensor(name: String, dims: Seq[Int],
+      vs: Array[Long]): PbWriter = {
+    val w = new PbWriter
+    dims.foreach(d => w.int(1, d))
+    w.int(2, 7) // INT64
+    val bb = ByteBuffer.allocate(8 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putLong)
+    w.bytes(9, bb.array()) // raw_data
+    w.str(8, name)
+    w
+  }
+
+  private def nodeWithStr(op: String, ins: Seq[String], outs: Seq[String],
+      intAttrs: Map[String, Long], strAttrs: Map[String, String]): PbWriter = {
+    val w = node(op, ins, outs, intAttrs)
+    strAttrs.foreach { case (k, v) =>
+      val a = new PbWriter
+      a.str(1, k); a.str(4, v); a.int(20, 3) // AttributeProto.type = STRING
+      w.msg(5, a)
+    }
+    w
+  }
+
+  private def nodeWithInts(op: String, ins: Seq[String], outs: Seq[String],
+      attr: String, vs: List[Long]): PbWriter = {
+    val w = node(op, ins, outs)
+    val a = new PbWriter
+    a.str(1, attr)
+    vs.foreach(a.int(8, _)) // ints, unpacked
+    a.int(20, 7)            // AttributeProto.type = INTS
+    w.msg(5, a)
+    w
+  }
+
+  /** Independent BiLSTM recurrence straight from the published
+    * equations (iofc gate order, B = Wb ++ Rb), then the dense head —
+    * the parity reference for the graph above. */
+  private def bilstmClosure(inputSize: Int, h: Int, nLabels: Int,
+      w: Array[Float], r: Array[Float], b: Array[Float],
+      dW: Array[Float], dB: Array[Float])(
+      xs: Seq[Array[Float]]): Seq[Array[Float]] = {
+    val n = xs.size
+    def sig(v: Double) = 1.0 / (1.0 + math.exp(-v))
+    def runDir(d: Int, order: Seq[Int]): Array[Array[Double]] = {
+      val out = Array.ofDim[Double](n, h)
+      val hs = new Array[Double](h)
+      val cs = new Array[Double](h)
+      order.foreach { t =>
+        val gates = Array.tabulate(4 * h) { g =>
+          var s = 0.0
+          (0 until inputSize).foreach(k =>
+            s += xs(t)(k) * w(d * 4 * h * inputSize + g * inputSize + k))
+          (0 until h).foreach(k => s += hs(k) * r(d * 4 * h * h + g * h + k))
+          s + b(d * 8 * h + g) + b(d * 8 * h + 4 * h + g)
+        }
+        (0 until h).foreach { j =>
+          val i = sig(gates(j)); val o = sig(gates(h + j))
+          val f = sig(gates(2 * h + j)); val ct = math.tanh(gates(3 * h + j))
+          cs(j) = f * cs(j) + i * ct
+          hs(j) = o * math.tanh(cs(j))
+          out(t)(j) = hs(j)
+        }
+      }
+      out
+    }
+    val fwd = runDir(0, 0 until n)
+    val bwd = runDir(1, (n - 1) to 0 by -1)
+    (0 until n).map { t =>
+      // float-precision staging mirrors the graph (Y is float32)
+      val hcat = (fwd(t).map(_.toFloat) ++ bwd(t).map(_.toFloat))
+      Array.tabulate(nLabels) { y =>
+        var s = 0f
+        (0 until 2 * h).foreach(k => s += hcat(k) * dW(y * 2 * h + k))
+        s + dB(y)
+      }
+    }
+  }
+
+  test("BiLSTM graph: Unsqueeze→LSTM(bidirectional)→Transpose→Reshape→" +
+      "Gemm evaluates to the independent recurrence, and zero weights " +
+      "reduce to the dense bias") {
+    val (inF, h, nl) = (2, 2, 2)
+    val rnd = new scala.util.Random(7)
+    def arr(n: Int) = Array.fill(n)((rnd.nextFloat() - 0.5f))
+    val w = arr(2 * 4 * h * inF)
+    val r = arr(2 * 4 * h * h)
+    val b = arr(2 * 8 * h)
+    val dW = arr(nl * 2 * h)
+    val dB = arr(nl)
+    val g = Onnx.parse(bilstmModelBytes(inF, h, nl, w, r, b, dW, dB))
+    val xs = Seq(Array(0.6f, -1.2f), Array(2.0f, 0.1f), Array(-0.4f, 0.9f),
+      Array(1.1f, 1.1f))
+    val got = Onnx.run(g,
+      Map("input" -> Onnx.Tensor(Array(xs.size, inF), xs.flatten.toArray)))
+      .apply("logits")
+    assert(got.dims.toSeq == Seq(xs.size, nl))
+    val expect = bilstmClosure(inF, h, nl, w, r, b, dW, dB)(xs)
+    xs.indices.foreach { t =>
+      (0 until nl).foreach { y =>
+        assert(math.abs(got.data(t * nl + y) - expect(t)(y)) < 1e-4f,
+          s"t=$t y=$y: ${got.data(t * nl + y)} vs ${expect(t)(y)}")
+      }
+    }
+    // zero-weight hand check: every gate is 0 ⟹ h ≡ 0 ⟹ logits = bias
+    val z = Onnx.run(Onnx.parse(bilstmModelBytes(inF, h, nl,
+        Array.fill(2 * 4 * h * inF)(0f), Array.fill(2 * 4 * h * h)(0f),
+        Array.fill(2 * 8 * h)(0f), Array.fill(nl * 2 * h)(1f),
+        Array(0.25f, -0.75f))),
+      Map("input" -> Onnx.Tensor(Array(2, inF), Array(9f, 9f, -9f, -9f))))
+      .apply("logits")
+    assert(z.data.toSeq == Seq(0.25f, -0.75f, 0.25f, -0.75f), z.data.toSeq)
+  }
+
   test("unsupported op and missing input fail loudly, not silently") {
     val graph = new PbWriter
-    graph.msg(1, node("LSTM", Seq("input"), Seq("out")))
+    graph.msg(1, node("Conv", Seq("input"), Seq("out")))
     graph.msg(11, valueInfo("input"))
     graph.msg(12, valueInfo("out"))
     val model = new PbWriter
@@ -169,7 +317,7 @@ class OnnxSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException] {
       Onnx.run(g, Map("input" -> Onnx.Tensor(Array(1, 2), Array(0f, 0f))))
     }
-    assert(e.getMessage.contains("unsupported ONNX op 'LSTM'"))
+    assert(e.getMessage.contains("unsupported ONNX op 'Conv'"))
     val g2 = Onnx.parse(modelBytes)
     val e2 = intercept[IllegalArgumentException] {
       Onnx.run(g2, Map.empty)
