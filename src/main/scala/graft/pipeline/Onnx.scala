@@ -590,6 +590,91 @@ object Onnx {
     Tensor(t.dims, out)
   }
 
+  // ------------------------------------------------------- model writer
+
+  /** Protobuf wire writer — the serialization half of [[PbReader]],
+    * for exporting dense models ([[buildDenseModel]]). */
+  private final class PbWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): this.type = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt); this
+    }
+    def tag(field: Int, wire: Int): this.type = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): this.type = {
+      tag(field, 2); varint(b.length); out.write(b); this
+    }
+    def str(field: Int, s: String): this.type = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int, w: PbWriter): this.type = bytes(field, w.result)
+    def int(field: Int, v: Long): this.type = { tag(field, 0); varint(v) }
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  /** One dense layer: row-major weights `[outDim × inDim]` (the Gemm
+    * `transB` layout), bias `[outDim]`, activation `"Relu"`, `"Tanh"`,
+    * `"Sigmoid"` or `""` (linear). */
+  final case class Dense(w: Array[Float], outDim: Int, b: Array[Float],
+      activation: String)
+
+  /** Serialize an MLP to real ONNX ModelProto bytes — Gemm(transB=1) +
+    * activation per layer, graph input `"input"` `[n, inputDim]`,
+    * output `"score"`. Round-trips through [[parse]]/[[run]]; what a
+    * trained quality classifier exports to and what [[scoreRows]]
+    * loads at the corpus. */
+  def buildDenseModel(inputDim: Int, layers: Seq[Dense]): Array[Byte] = {
+    val graph = new PbWriter
+    var in = inputDim
+    var src = "input"
+    layers.zipWithIndex.foreach { case (l, i) =>
+      require(l.w.length == l.outDim * in,
+        s"layer $i: ${l.w.length} weights for ${l.outDim}x$in")
+      require(l.b.length == l.outDim, s"layer $i bias")
+      graph.msg(5, floatTensor(s"W$i", Seq(l.outDim, in), l.w))
+      graph.msg(5, floatTensor(s"B$i", Seq(l.outDim), l.b))
+      val last = i == layers.size - 1 && l.activation.isEmpty
+      val gemmOut = if (last) "score"
+        else if (l.activation.isEmpty) s"h$i" else s"g$i"
+      val gemm = new PbWriter
+      Seq(src, s"W$i", s"B$i").foreach(gemm.str(1, _))
+      gemm.str(2, gemmOut)
+      gemm.str(4, "Gemm")
+      val tb = new PbWriter
+      tb.str(1, "transB"); tb.int(3, 1L); tb.int(20, 2)
+      gemm.msg(5, tb)
+      graph.msg(1, gemm)
+      src = gemmOut
+      if (l.activation.nonEmpty) {
+        val actOut = if (i == layers.size - 1) "score" else s"h$i"
+        val act = new PbWriter
+        act.str(1, src); act.str(2, actOut); act.str(4, l.activation)
+        graph.msg(1, act)
+        src = actOut
+      }
+      in = l.outDim
+    }
+    val vin = new PbWriter; vin.str(1, "input")
+    val vout = new PbWriter; vout.str(1, "score")
+    graph.msg(11, vin)
+    graph.msg(12, vout)
+    val model = new PbWriter
+    model.int(1, 8) // ir_version
+    model.msg(7, graph)
+    model.result
+  }
+
+  private def floatTensor(name: String, dims: Seq[Int],
+      vs: Array[Float]): PbWriter = {
+    val w = new PbWriter
+    dims.foreach(d => w.int(1, d))
+    w.int(2, 1) // FLOAT
+    val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putFloat)
+    w.bytes(9, bb.array())
+    w.str(8, name)
+    w
+  }
+
   // ----------------------------------------------------- labeler bridge
 
   /** Build a [[NeuralLabeler]]-shaped inference function from a parsed
@@ -619,6 +704,59 @@ object Onnx {
           java.util.Arrays.copyOfRange(out.data, t * nl, (t + 1) * nl))
       }
     }
+  }
+
+  /** Corpus-scale row scoring with an ONNX graph — the quality-
+    * classifier inference pass of an LLM-data pipeline (fastText-style
+    * filter, CCNet/DSIR-style model-based curation) run as a Spark
+    * map: `featureCols` project row-locally, each PARTITION evaluates
+    * as ONE [n, featDim] batch through the graph (one MatMul per
+    * layer per partition, not per row), and the scalar score lands in
+    * `outCol`. The parsed graph is immutable and rides the closure
+    * broadcast; nothing shuffles at any corpus size.
+    *
+    * Output column is DOUBLE (the float32 score widened). For an
+    * engine-portable declared query, use weights that are dyadic
+    * rationals (0.5/0.25/…) on integer-valued features with ReLU-only
+    * nonlinearity — every intermediate is then exactly representable
+    * in float32 AND float64, so the score hashes identically across
+    * engines (the q122 discipline; transcendental heads are for
+    * rows-only use). */
+  def scoreRows(df: org.apache.spark.sql.DataFrame, g: Graph,
+      featureCols: Seq[String], idCol: String = "doc_id",
+      outCol: String = "score"): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val inName = g.inputNames.headOption.getOrElse("input")
+    val featDim = featureCols.length
+    val scored = df
+      .select(col(idCol).cast("long") +:
+        featureCols.map(c => col(c).cast("float")): _*)
+      .map { row =>
+        (row.getLong(0), Array.tabulate(featDim)(i => row.getFloat(i + 1)))
+      }
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val flat = new Array[Float](rows.length * featDim)
+          var i = 0
+          while (i < rows.length) {
+            System.arraycopy(rows(i)._2, 0, flat, i * featDim, featDim)
+            i += 1
+          }
+          val out = run(g,
+            Map(inName -> Tensor(Array(rows.length, featDim), flat)))
+            .values.head
+          require(out.size == rows.length,
+            s"classifier graph emitted $out for ${rows.length} rows")
+          rows.iterator.zipWithIndex.map { case ((id, _), j) =>
+            (id, out.data(j).toDouble)
+          }
+        }
+      }
+    scored.toDF(idCol, outCol)
   }
 
   /** [[NeuralLabeler]] backed by an ONNX model file when one exists —

@@ -1188,6 +1188,31 @@ object ScaleOps {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Q122 ONNX quality-classifier scoring (ORACLED — model-based
+    * curation inference at corpus scale, the fastText/CCNet filter
+    * shape): a 2-4-1 ReLU MLP serialized to REAL ONNX bytes
+    * ([[graft.pipeline.Onnx.buildDenseModel]]), parsed back, and run
+    * over (token count, char count) features via
+    * [[graft.pipeline.Onnx.scoreRows]] — each partition evaluates as
+    * ONE batched MatMul, weights ride the closure broadcast, nothing
+    * shuffles at any corpus size. Cross-engine determinism: weights
+    * are dyadic rationals on integer features with ReLU-only
+    * nonlinearity, so every float32 intermediate is exact and DuckDB's
+    * float64 replay hashes identically. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Onnx
+    val feats = Tables(s, d).documents.select(col("doc_id"),
+      size(Dedup.tokensOf(col("text"))).cast("long").as("x1"),
+      col("n_chars").cast("long").as("x2"))
+    val g = Onnx.parse(Onnx.buildDenseModel(2, Seq(
+      Onnx.Dense(Array(0.5f, -0.25f, 0.25f, 0.125f, -0.5f, 0.5f, 1.0f, -1.0f),
+        4, Array(2f, -1f, 0.5f, -0.25f), "Relu"),
+      Onnx.Dense(Array(1.0f, -0.5f, 0.25f, -0.125f), 1, Array(0.25f), ""))))
+    Onnx.scoreRows(feats, g, Seq("x1", "x2"))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Q103 blocklist redaction (rows-only — leftmost-longest selection
     * is the declared engine semantics): one automaton pass replaces
     * every banned phrase, keeping the document and its count
@@ -1677,6 +1702,7 @@ object ScaleOps {
     "q43c_exact_vector_across" -> q43c,
     "q36c_exact_signature_pairs" -> q36c,
     "q44c_exact_fingerprint_pairs" -> q44c,
+    "q122_onnx_quality_score" -> q122,
     "q103_blocklist_redact" -> q103,
     "q104_mixture_drift" -> q104, "q105_curation_funnel" -> q105,
     "q91b_heavy_hitters_approx" -> q91b, "q106_weighted_sample" -> q106,
@@ -2559,6 +2585,19 @@ object ScaleOps {
          SELECT CAST(k.corpus_id AS BIGINT) AS corpus_id,
                 CAST(d.batch_id AS BIGINT) AS batch_id
          FROM k JOIN deliv d USING (embedding) ORDER BY 1, 2""",
+    "q122_onnx_quality_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS DOUBLE) AS x1,
+             CAST(n_chars AS DOUBLE) AS x2
+           FROM documents)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(1.0  * GREATEST(0, 0.5 * x1 - 0.25 * x2 + 2)
+             - 0.5    * GREATEST(0, 0.25 * x1 + 0.125 * x2 - 1)
+             + 0.25   * GREATEST(0, -0.5 * x1 + 0.5 * x2 + 0.5)
+             - 0.125  * GREATEST(0, 1.0 * x1 - 1.0 * x2 - 0.25)
+             + 0.25, 4) AS score
+         FROM f ORDER BY doc_id""",
     "q36c_exact_signature_pairs" ->
       """WITH corp AS (
            SELECT doc_id, text FROM documents

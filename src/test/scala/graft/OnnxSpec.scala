@@ -306,6 +306,26 @@ class OnnxSpec extends SparkSuite {
     assert(z.data.toSeq == Seq(0.25f, -0.75f, 0.25f, -0.75f), z.data.toSeq)
   }
 
+  test("buildDenseModel round-trips through parse/run, and scoreRows " +
+      "batches a partition into one evaluation (q122's machinery)") {
+    val bytes = Onnx.buildDenseModel(2, Seq(
+      Onnx.Dense(Array(0.5f, -0.25f, 0.25f, 0.125f), 2, Array(2f, -1f), "Relu"),
+      Onnx.Dense(Array(1.0f, -0.5f), 1, Array(0.25f), "")))
+    val g = Onnx.parse(bytes)
+    assert(g.nodes.map(_.opType) == Seq("Gemm", "Relu", "Gemm"))
+    assert(g.inputNames == Seq("input") && g.outputNames == Seq("score"))
+    def expect(x1: Double, x2: Double): Double =
+      1.0 * math.max(0, 0.5 * x1 - 0.25 * x2 + 2) -
+        0.5 * math.max(0, 0.25 * x1 + 0.125 * x2 - 1) + 0.25
+    val df = Seq((0L, 10L, 4L), (1L, 0L, 100L), (2L, 7L, 7L))
+      .toDF("doc_id", "x1", "x2")
+    val got = Onnx.scoreRows(df, g, Seq("x1", "x2"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    // dyadic weights on integer features: float32 ≡ float64, EXACT
+    assert(got.toSeq == Seq((0L, expect(10, 4)), (1L, expect(0, 100)),
+      (2L, expect(7, 7))), got.toSeq)
+  }
+
   test("unsupported op and missing input fail loudly, not silently") {
     val graph = new PbWriter
     graph.msg(1, node("Conv", Seq("input"), Seq("out")))
