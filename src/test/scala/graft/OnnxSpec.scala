@@ -326,6 +326,67 @@ class OnnxSpec extends SparkSuite {
       (2L, expect(7, 7))), got.toSeq)
   }
 
+  test("fuzz: random dense stacks round-trip through bytes and match " +
+      "direct double-precision math") {
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 40).foreach { trial =>
+      val nLayers = 1 + rnd.nextInt(3)
+      var in = 1 + rnd.nextInt(4)
+      val inputDim = in
+      // dyadic weights (k/16, |w| ≤ 0.5) keep float32 exact against
+      // double for Relu/linear through 3 stacked layers (worst-case
+      // magnitude × 2^12 fraction bits stays under 2^24);
+      // tanh/sigmoid trials assert to 1e-4 instead
+      def dy() = (rnd.nextInt(17) - 8) / 16.0f
+      val acts = Array("Relu", "", "Tanh", "Sigmoid")
+      val layers = (0 until nLayers).map { i =>
+        val out = 1 + rnd.nextInt(5)
+        val l = Onnx.Dense(Array.fill(out * in)(dy()), out,
+          Array.fill(out)(dy()),
+          if (i == nLayers - 1) "" else acts(rnd.nextInt(acts.length)))
+        in = out
+        l
+      }
+      val exact = layers.forall(l =>
+        l.activation == "Relu" || l.activation.isEmpty)
+      val g = Onnx.parse(Onnx.buildDenseModel(inputDim, layers))
+      val n = 1 + rnd.nextInt(6)
+      val xs = Array.fill(n * inputDim)((rnd.nextInt(17) - 8).toFloat)
+      val got = Onnx.run(g,
+        Map("input" -> Onnx.Tensor(Array(n, inputDim), xs))).apply("score")
+      // direct double math
+      var cur: Array[Array[Double]] =
+        Array.tabulate(n, inputDim)((r, c) => xs(r * inputDim + c).toDouble)
+      layers.foreach { l =>
+        val inD = cur(0).length
+        cur = cur.map { row =>
+          Array.tabulate(l.outDim) { o =>
+            var s = 0.0
+            (0 until inD).foreach(k => s += row(k) * l.w(o * inD + k))
+            s += l.b(o)
+            l.activation match {
+              case "Relu" => math.max(0.0, s)
+              case "Tanh" => math.tanh(s)
+              case "Sigmoid" => 1.0 / (1.0 + math.exp(-s))
+              case _ => s
+            }
+          }
+        }
+      }
+      val outDim = layers.last.outDim
+      assert(got.dims.toSeq == Seq(n, outDim), s"trial $trial: $got")
+      (0 until n).foreach { r =>
+        (0 until outDim).foreach { c =>
+          val a = got.data(r * outDim + c).toDouble
+          val e = cur(r)(c)
+          if (exact) assert(a == e, s"trial $trial [$r,$c]: $a vs $e")
+          else assert(math.abs(a - e) < 1e-4,
+            s"trial $trial [$r,$c]: $a vs $e")
+        }
+      }
+    }
+  }
+
   test("unsupported op and missing input fail loudly, not silently") {
     val graph = new PbWriter
     graph.msg(1, node("Conv", Seq("input"), Seq("out")))
