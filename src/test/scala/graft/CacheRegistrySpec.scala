@@ -99,6 +99,50 @@ class CacheRegistrySpec extends SparkSuite {
     Graft.releaseCaches(spark, includeShared = true)
   }
 
+  test("persistKeyed returns the SAME dataset instance per key (a fresh-" +
+      "lambda plan can never canonical-dedupe), one entry and one cached " +
+      "RDD per key; shared release rebuilds") {
+    import spark.implicits._
+    Graft.releaseCaches(spark, includeShared = true)
+    CacheRegistry.forget(spark)
+    val base = CacheRegistry.registered(spark)
+    val baseRdds = persistentCount
+    // the ALTO-hub pattern: a mapPartitions lambda is a NEW instance per
+    // call, so sameResult never matches across invocations — plan-keyed
+    // shared dedupe misses and each call would leak one cache
+    // the lambda CAPTURES a local (like the ALTO readers capture their
+    // config): each call is a fresh closure instance, so two builds'
+    // plans are never sameResult — a non-capturing lambda would be a
+    // JVM singleton and dedupe fine, which is exactly why the leak was
+    // easy to miss
+    def build() = {
+      val mult = 2
+      (1 to 40).toDS().mapPartitions(it => it.map(_ * mult)).toDF("v")
+    }
+    def hub() = CacheRegistry.persistKeyed(spark, "spec-hub")(build())
+    val a = hub()
+    assert(a.count() == 40)
+    val b = hub()
+    assert(b eq a, "persistKeyed must return the SAME instance per key")
+    assert(CacheRegistry.registered(spark) == base + 1)
+    assert(persistentCount == baseRdds + 1, "one cached RDD per key")
+    // contrast: plan-keyed shared persist of the same builder DOES leak
+    val p1 = CacheRegistry.persist(build(), shared = true)
+    val p2 = CacheRegistry.persist(build(), shared = true)
+    assert(p1.count() == 40 && p2.count() == 40)
+    assert(CacheRegistry.registered(spark) == base + 3,
+      "fresh-lambda plans cannot canonical-dedupe (the leak persistKeyed fixes)")
+    // a different key is a different cache
+    val c = CacheRegistry.persistKeyed(spark, "spec-hub-2")(build())
+    assert(c.count() == 40 && !(c eq a))
+    // shared release drops keyed entries; the next call rebuilds fresh
+    Graft.releaseCaches(spark, includeShared = true)
+    assert(CacheRegistry.registered(spark) == base)
+    val d = hub()
+    assert(!(d eq a) && d.count() == 40)
+    Graft.releaseCaches(spark, includeShared = true)
+  }
+
   test("forget drops a session's registrations without touching others") {
     Graft.releaseCaches(spark, includeShared = true)
     CacheRegistry.forget(spark)
