@@ -557,6 +557,64 @@ object StreamOps {
       }
   }
 
+  /** Streaming model-based quality gate — the q122 classifier run as a
+    * landing-zone host: each micro-batch scores through a real ONNX
+    * graph ([[graft.pipeline.Onnx.scoreRows]] — one batched evaluation
+    * per partition, weights in the closure broadcast) and lands as
+    * `scored-<batchId>` under `outDir` with the input columns plus
+    * `(score, pass)`.
+    *
+    * Governance: the MODEL IDENTITY is frozen into the state dir at
+    * first batch and asserted on every later one (the
+    * [[graft.operators.Dedup.requireIndexMeta]] discipline applied to
+    * md5(model bytes) + feature list + threshold) — a gate restarted
+    * with a different model, feature set, or cut silently re-labeling
+    * the rest of the corpus is exactly the curation failure the
+    * signature families' hyperplane freeze guards against. Replay is
+    * idempotent: scoring is deterministic and row-local, so a
+    * re-delivered batch overwrites its own `scored-<batchId>` dir
+    * byte-identically (no slot machinery needed — the host keeps no
+    * cross-batch state beyond the frozen meta).
+    *
+    * Scale shape per batch: strictly row-local — no shuffle, no state
+    * scan, no broadcast beyond the task closure; per-batch cost is
+    * O(delivery) with a constant independent of everything ever
+    * ingested. */
+  def streamingQualityGate(docs: DataFrame, modelBytes: Array[Byte],
+      featureCols: Seq[String], threshold: Double, stateDir: String,
+      outDir: String, idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(featureCols.nonEmpty, "featureCols must not be empty")
+    val g = graft.pipeline.Onnx.parse(modelBytes)
+    val modelMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(modelBytes).map("%02x".format(_)).mkString
+      s"onnx-md5=$md feats=${featureCols.mkString(",")} thresh=$threshold"
+    }
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.state.SlotStore.requireLineage(spark, stateDir,
+          "streamingQualityGate")
+        graft.operators.Dedup.requireIndexMeta(spark, stateDir, modelMeta,
+          "quality-gate model")
+        if (!batch.isEmpty) {
+          val mark = graft.CacheRegistry.mark()
+          // the batch feeds the scoring projection AND the join-back
+          val b = graft.CacheRegistry.persist(batch.toDF())
+          val scored = graft.pipeline.Onnx.scoreRows(
+            b.select((idCol +: featureCols).map(col): _*), g, featureCols,
+            idCol)
+          b.join(scored, Seq(idCol))
+            .withColumn("pass", col("score") >= threshold)
+            .write.mode("overwrite").parquet(s"$outDir/scored-$batchId")
+          graft.CacheRegistry.releaseSince(spark, mark)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming 64-bit-signature dedup — the landing-zone host for the
     * p17b/p18b/q37 families (image dHash, audio fingerprint, text
     * SimHash): each micro-batch of ALREADY-SIGNED rows

@@ -1657,6 +1657,81 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming quality gate: batches score through the ONNX graph " +
+      "row-locally and idempotently, and the model identity locks the " +
+      "state dir — a different model/threshold fails loudly") {
+    import graft.pipeline.Onnx
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-gate-stream").toFile
+    val stateDir = Files.createTempDirectory("graft-gate-state").toFile
+    val outDir = Files.createTempDirectory("graft-gate-out").toFile
+    // score = relu(0.5*x1 - 0.25*x2 + 2) - 0.25 (dyadic: float exact)
+    val model = Onnx.buildDenseModel(2, Seq(
+      Onnx.Dense(Array(0.5f, -0.25f), 1, Array(2f), "Relu"),
+      Onnx.Dense(Array(1.0f), 1, Array(-0.25f), "")))
+    def score(x1: Double, x2: Double): Double =
+      math.max(0, 0.5 * x1 - 0.25 * x2 + 2) - 0.25
+    val schema = Seq((0L, 0L, 0L)).toDF("doc_id", "x1", "x2").schema
+    Seq((0L, 10L, 4L), (1L, 0L, 100L)).toDF("doc_id", "x1", "x2")
+      .coalesce(1).write.mode("append").parquet(dir.getPath)
+    Thread.sleep(1100)
+    Seq((2L, 7L, 7L), (3L, 1L, 1L)).toDF("doc_id", "x1", "x2")
+      .coalesce(1).write.mode("append").parquet(dir.getPath)
+    try {
+      def start() = StreamOps.streamingQualityGate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .option("latestFirst", "false").parquet(dir.getPath),
+        model, Seq("x1", "x2"), threshold = 1.0, stateDir.getPath,
+        outDir.getPath)
+      val q = start()
+      q.processAllAvailable(); q.stop()
+      val rows = (0 to 1).flatMap { b =>
+        spark.read.parquet(s"${outDir.getPath}/scored-$b")
+          .select("doc_id", "x1", "x2", "score", "pass")
+          .as[(Long, Long, Long, Double, Boolean)].collect()
+      }.sortBy(_._1)
+      assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L))
+      rows.foreach { case (_, x1, x2, s, p) =>
+        assert(s == score(x1, x2), s"score($x1,$x2)")
+        assert(p == (s >= 1.0))
+      }
+      assert(rows.count(_._5) == 3, rows) // 0 (5.75), 2 (3.5), 3 (2.0) pass
+      // the model identity froze at first batch: a host restarted with a
+      // DIFFERENT threshold (or model bytes / feature list) fails loudly
+      // on the META gate. The checkpoint-lineage gate fires even earlier
+      // for a brand-new query id, so this test takes the documented
+      // recovery step (delete _LINEAGE) to expose the meta assert.
+      new java.io.File(stateDir, "_LINEAGE").delete()
+      val q2 = StreamOps.streamingQualityGate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir.getPath),
+        model, Seq("x1", "x2"), threshold = 0.5, stateDir.getPath,
+        outDir.getPath)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      assert(causeMessages(e).exists(_.contains("quality-gate model")),
+        causeMessages(e))
+      // same model/threshold: replay is idempotent — the re-run
+      // overwrites each scored-<batch> dir with identical content
+      new java.io.File(stateDir, "_LINEAGE").delete()
+      val q3 = start()
+      q3.processAllAvailable(); q3.stop()
+      val rows2 = (0 to 1).flatMap { b =>
+        spark.read.parquet(s"${outDir.getPath}/scored-$b")
+          .select("doc_id", "x1", "x2", "score", "pass")
+          .as[(Long, Long, Long, Double, Boolean)].collect()
+      }.sortBy(_._1)
+      assert(rows2 == rows, s"replay changed output: $rows2 vs $rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    }
+  }
+
   test("requireIndexMeta first write is atomic: a crashed first-writer's " +
       "temp file is invisible, the frozen meta comes from a completed " +
       "rename, and restarts assert against it") {
