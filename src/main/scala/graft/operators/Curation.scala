@@ -11,6 +11,39 @@ import graft.functions.{AhoCorasick, CurationFunctions}
   */
 object Curation {
 
+  /** Leakage-safe train/val/test split: assign every document its
+    * near-dup CLUSTER (connected component over a candidate pair
+    * table — any family's: n-gram Jaccard, MinHash, SimHash,
+    * embedding) and split by hash of the COMPONENT, so two documents
+    * that are near-duplicates of each other can never straddle the
+    * train/test boundary. Splitting by bare doc id leaks: a test doc
+    * whose near-copy sits in train is memorization measured as
+    * generalization — the held-out-overlap failure the dedup
+    * literature documents (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", §6 train/test overlap).
+    * Unpaired documents are their own singleton component; the split
+    * rule is [[TextAnalysis.groupSplit]]'s reproducible md5-prefix
+    * cut, so the assignment never re-rolls across runs or engines.
+    *
+    * Scale shape: `pairs` is candidate-bounded (each family's banded/
+    * df-pruned join output, never all-pairs); components run the
+    * contraction fold over that pair-bounded edge set
+    * ([[Dedup.connectedComponents]]); the component table (≤ 2|pairs|
+    * rows) joins back to the corpus on the id — AQE broadcasts it
+    * while small, and the corpus itself never shuffles (the split
+    * column is row-local given the component). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", trainHex: String = "cc",
+      valHex: String = "e6"): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("node").as(idCol), col("comp"))
+    val withComp = docs.join(comps, Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("comp"), col(idCol)).cast("long"))
+      .drop("comp")
+    TextAnalysis.groupSplit(withComp, "component", trainHex, valHex)
+  }
+
   /** Per-document blocklist report: the distinct matched pattern
     * indexes (ascending) for every document that contains at least one
     * blocklist phrase. ONE Aho–Corasick pass over each document finds

@@ -312,6 +312,23 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q123 leakage-safe train/val/test split (ORACLED): q53's near-dup
+    * components composed with q67's reproducible group split — every
+    * document splits by the hash of its near-dup CLUSTER, so a test
+    * doc can never have a near-copy in train (the held-out-overlap
+    * leak; [[graft.operators.Curation.leakageSafeSplit]]). DuckDB
+    * replays the whole composition: the q53 recursive-CTE components
+    * plus the md5-prefix split rule. */
+  def q123(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2,
+      maxDocFreq = 100L)
+    graft.operators.Curation.leakageSafeSplit(
+        docs.select("doc_id"), pairs)
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Q58 intra-doc repetition ratio (oracled): duplicate-bigram
     * fraction per document, the Gopher-style boilerplate/stuffing
     * signal. Row-local, no shuffle. */
@@ -1696,6 +1713,7 @@ object ScaleOps {
     "q51_span_contamination" -> q51,
     "q53_dedup_components" -> q53,
     "q53b_dedup_components_incremental" -> q53b,
+    "q123_leakage_safe_split" -> q123,
     "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
@@ -2103,6 +2121,18 @@ object ScaleOps {
     "q53_dedup_components" -> (ComponentsOracleCte + """
          SELECT n AS doc_id, MIN(m) AS component FROM reach
          GROUP BY n ORDER BY doc_id"""),
+    "q123_leakage_safe_split" -> (ComponentsOracleCte + """
+         , comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach
+                    GROUP BY n)
+         SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           CASE WHEN SUBSTR(MD5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN SUBSTR(MD5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         ORDER BY d.doc_id"""),
     // q53b: components over the PUBLISHED edge union — corpus edges
     // (corpus-only df cut, immutable once published) plus the
     // delivery-touching edges of corpus ∪ delivery (union df cut) —

@@ -460,4 +460,53 @@ class CurationSpec extends SparkSuite {
     assert(!p93.contains("Join"),
       s"q93 corpus pass must filter in place, not join:\n$p93")
   }
+  test("leakageSafeSplit: near-dup pairs NEVER straddle the split, " +
+      "transitive chains share one component, singletons split " +
+      "independently and reproducibly") {
+    import graft.operators.{Curation, Dedup}
+    import spark.implicits._
+    // a transitive near-dup chain a~b, b~c (a and c need not pair
+    // directly) plus unpaired singletons
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"),   // ~10
+      (12L, "beta gamma delta epsilon zeta eta iota kappa"),   // ~11
+      (50L, "completely different text about spark catalyst"),
+      (51L, "yet another unrelated document body entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2,
+      maxDocFreq = 100L)
+    val pairSet = pairs.select("doc_id_a", "doc_id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairSet.contains((10L, 11L)) && pairSet.contains((11L, 12L)),
+      pairSet)
+    val out = Curation.leakageSafeSplit(docs.select("doc_id"), pairs)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // the chain collapses to ONE component (min id) and ONE split —
+    // the leakage guarantee: no pair can straddle train/test
+    assert(Seq(10L, 11L, 12L).map(byId(_)._2).distinct == Seq(10L), out.toSeq)
+    assert(Seq(10L, 11L, 12L).map(byId(_)._3).distinct.size == 1, out.toSeq)
+    pairSet.foreach { case (a, b) =>
+      assert(byId(a)._3 == byId(b)._3, s"pair ($a,$b) straddles the split")
+    }
+    // singletons are their own component
+    assert(byId(50L)._2 == 50L && byId(51L)._2 == 51L)
+    // reproducible: same inputs, identical assignment
+    val again = Curation.leakageSafeSplit(docs.select("doc_id"), pairs)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+    // and the split rule is exactly groupSplit's md5-prefix cut
+    out.foreach { case (_, compId, split) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(compId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      val expect = if (hex < "cc") "train" else if (hex < "e6") "val"
+        else "test"
+      assert(split == expect, s"component $compId: $split vs $expect")
+    }
+  }
 }
+
