@@ -759,6 +759,66 @@ object Onnx {
     scored.toDF(idCol, outCol)
   }
 
+  /** ONNX-backed page-layout detector behind the D5 seam (reference
+    * `cv_models/layout_parser_cv_model.py:112-141` runs EfficientDet /
+    * PubLayNet): REAL ImageIO pixel decode
+    * ([[graft.operators.Multimodal.decodeImage]] — the same
+    * deterministic integer luma-grid path the media family ships) →
+    * `grid²` features → ONE graph evaluation scoring every anchor:
+    * input `[1, grid²]`, output `[nAnchors, nCategories+1]` logits
+    * with class 0 = background. Anchors are page-relative `(x, y, w,
+    * h)` boxes scaled to the decoded size; per anchor the argmax
+    * class wins with its softmax probability as the detection score,
+    * background anchors emit nothing. Plugs directly into
+    * [[GraphicProvider.detectBoxesScored]] — the score threshold,
+    * type allowlist and greedy overlap suppression stay the
+    * reference's post-filter. Undecodable bytes detect nothing (the
+    * reference's behavior for an unreadable page image). */
+  def detectorFromGraph(g: Graph, categories: IndexedSeq[String],
+      anchors: Seq[(Double, Double, Double, Double)], grid: Int = 8)
+      : Array[Byte] => Seq[(Double, Double, Double, Double, String, Double)] = {
+    require(categories.nonEmpty, "categories must not be empty")
+    require(anchors.nonEmpty, "anchors must not be empty")
+    val inName = g.inputNames.headOption.getOrElse("input")
+    (image: Array[Byte]) =>
+      graft.operators.Multimodal.decodeImage(image, grid) match {
+        case None => Seq.empty
+        case Some((w, h, _, emb)) =>
+          val out = run(g,
+            Map(inName -> Tensor(Array(1, grid * grid), emb))).values.head
+          val nc = categories.length + 1
+          require(out.size == anchors.length * nc,
+            s"detector graph emitted $out for ${anchors.length} anchors × $nc classes")
+          anchors.zipWithIndex.flatMap { case ((ax, ay, aw, ah), i) =>
+            val logits =
+              java.util.Arrays.copyOfRange(out.data, i * nc, (i + 1) * nc)
+            var best = 0
+            var j = 1
+            while (j < nc) { if (logits(j) > logits(best)) best = j; j += 1 }
+            if (best == 0) None
+            else {
+              val mx = logits(best)
+              var z = 0.0
+              j = 0
+              while (j < nc) { z += math.exp((logits(j) - mx).toDouble); j += 1 }
+              Some((ax * w, ay * h, aw * w, ah * h,
+                categories(best - 1), 1.0 / z))
+            }
+          }
+      }
+  }
+
+  /** [[detectorFromGraph]] from a model file when one exists — the D5
+    * production entry, None when absent so a pipeline degrades to its
+    * injected/stub detector. */
+  def detectorFromFile(path: String, categories: IndexedSeq[String],
+      anchors: Seq[(Double, Double, Double, Double)], grid: Int = 8)
+      : Option[Array[Byte] => Seq[(Double, Double, Double, Double, String, Double)]] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) None
+    else Some(detectorFromGraph(parseFile(path), categories, anchors, grid))
+  }
+
   /** [[NeuralLabeler]] backed by an ONNX model file when one exists —
     * the production entry: `Onnx.labelerFromFile(path, labels, encode)`
     * (load once, broadcast weights). Returns None when the file is

@@ -387,6 +387,73 @@ class OnnxSpec extends SparkSuite {
     }
   }
 
+  test("ONNX-backed layout detector: real PNG pixels through ImageIO → " +
+      "luma grid → anchor scoring → detectBoxesScored (the D5 seam with " +
+      "a real model file)") {
+    import graft.pipeline.GraphicProvider
+    // grid 4, four quadrant anchors, one category; class-1 logit of
+    // anchor q = 4 − 8·(sum of q's luma cells): a DARK quadrant scores
+    // +4 (fires), a white one −28 (background)
+    val quads = Seq(
+      (0.0, 0.0, 0.5, 0.5), (0.5, 0.0, 0.5, 0.5),
+      (0.0, 0.5, 0.5, 0.5), (0.5, 0.5, 0.5, 0.5))
+    val cells = Seq(Seq(0, 1, 4, 5), Seq(2, 3, 6, 7),
+      Seq(8, 9, 12, 13), Seq(10, 11, 14, 15))
+    val w = Array.ofDim[Float](8 * 16) // rows: anchor*2 + class, transB
+    val b = new Array[Float](8)
+    (0 until 4).foreach { q =>
+      val r = q * 2 + 1
+      cells(q).foreach(c => w(r * 16 + c) = -8f)
+      b(r) = 4f
+    }
+    val graph = new PbWriter
+    graph.msg(5, tensor("W", Seq(8, 16), w))
+    graph.msg(5, tensor("B", Seq(8), b))
+    graph.msg(5, int64Tensor("shape", Seq(2), Array(4L, 2L)))
+    graph.msg(1, node("Gemm", Seq("input", "W", "B"), Seq("g0"),
+      Map("transB" -> 1L)))
+    graph.msg(1, node("Reshape", Seq("g0", "shape"), Seq("scores")))
+    graph.msg(11, valueInfo("input"))
+    graph.msg(12, valueInfo("scores"))
+    val model = new PbWriter
+    model.msg(7, graph)
+    val f = java.nio.file.Files.createTempFile("graft-det", ".onnx")
+    java.nio.file.Files.write(f, model.result)
+    try {
+      // white 64×64 page with a black top-left quadrant, real PNG bytes
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      gfx.setColor(java.awt.Color.WHITE); gfx.fillRect(0, 0, 64, 64)
+      gfx.setColor(java.awt.Color.BLACK); gfx.fillRect(0, 0, 32, 32)
+      gfx.dispose()
+      val png = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", png)
+      val det = Onnx.detectorFromFile(f.toString, IndexedSeq("figure"),
+        quads, grid = 4).get
+      // the raw closure fires exactly the dark quadrant
+      val raw = det(png.toByteArray)
+      assert(raw.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+        Seq((0.0, 0.0, 32.0, 32.0, "figure")), raw)
+      assert(raw.head._6 > 0.95, raw)
+      // end-to-end through the reference's post-filter seam
+      val pages = Seq((7L, 1, png.toByteArray))
+        .toDF("doc_id", "page_number", "image")
+      val boxes = GraphicProvider.detectBoxesScored(pages, det,
+          typeNames = Set("figure"), scoreThreshold = 0.5)
+        .select("doc_id", "page_number", "cv_id", "x", "y", "width",
+          "height", "category")
+        .as[(Long, Int, String, Double, Double, Double, Double, String)]
+        .collect().toSeq
+      assert(boxes == Seq((7L, 1, "cv_1_0", 0.0, 0.0, 32.0, 32.0,
+        "figure")), boxes)
+      // undecodable bytes detect nothing rather than throwing
+      assert(det(Array[Byte](1, 2, 3)).isEmpty)
+      assert(Onnx.detectorFromFile("/nonexistent/d.onnx",
+        IndexedSeq("figure"), quads).isEmpty)
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("unsupported op and missing input fail loudly, not silently") {
     val graph = new PbWriter
     graph.msg(1, node("Conv", Seq("input"), Seq("out")))
