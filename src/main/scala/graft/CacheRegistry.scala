@@ -116,16 +116,30 @@ object CacheRegistry {
     sweepStopped()
     val buf = entries.computeIfAbsent(spark,
       _ => mutable.ArrayBuffer.empty[Entry])
-    buf.synchronized {
-      buf.find(_.namedKey.contains(key)) match {
-        case Some(e) => e.ds.asInstanceOf[Dataset[T]]
-        case None =>
-          val df = mk
-          df.persist()
-          buf += Entry(nextId.incrementAndGet(), shared = true,
-            () => { df.unpersist(blocking = false); () },
-            None, Some(key), df)
-          df
+    def hit(): Option[Dataset[T]] = buf.synchronized {
+      buf.find(_.namedKey.contains(key)).map(_.ds.asInstanceOf[Dataset[T]])
+    }
+    hit().getOrElse {
+      // Build (plan construction + analysis) and persist OUTSIDE the
+      // lock — the REST service shares one session across requests, and
+      // a slow first build must not block every concurrent registry
+      // operation. Double-checked insert: a losing racer releases its
+      // duplicate cache and adopts the winner's Dataset.
+      val df = mk
+      df.persist()
+      val existing = buf.synchronized {
+        buf.find(_.namedKey.contains(key))
+          .map(_.ds.asInstanceOf[Dataset[T]])
+          .orElse {
+            buf += Entry(nextId.incrementAndGet(), shared = true,
+              () => { df.unpersist(blocking = false); () },
+              None, Some(key), df)
+            None
+          }
+      }
+      existing match {
+        case Some(winner) => df.unpersist(blocking = false); winner
+        case None => df
       }
     }
   }

@@ -98,15 +98,50 @@ object Onnx {
   final case class Graph(nodes: Seq[Node], initializers: Map[String, Tensor],
       inputNames: Seq[String], outputNames: Seq[String])
 
+  /** Default-domain opset versions this evaluator's op semantics were
+    * written and tested against. Below 9 several ops carried legacy
+    * attributes this reader never sees; above 19 an op's semantics may
+    * have changed in ways the reader would evaluate silently wrong
+    * (the axes-moved-from-attribute-to-input shift at opset 13 is
+    * already handled in both forms, but nothing future-proofs beyond
+    * the tested range). Outside the range, fail at PARSE time — the
+    * `requireIndexMeta` loud-failure discipline applied to model
+    * files. */
+  val SupportedOpsetRange: Range = 9 to 19
+
   /** Parse an ONNX model file's bytes into its graph. Only the fields
     * inference needs are materialized (nodes, initializers, graph
-    * input/output names); everything else is skipped structurally. */
+    * input/output names); everything else is skipped structurally —
+    * except `opset_import`, which is validated against
+    * [[SupportedOpsetRange]] (a model exported at an untested opset
+    * must fail loudly here, not evaluate silently wrong). A model with
+    * no default-domain opset import (our own [[buildDenseModel]] up to
+    * round 14, hand-built test fixtures) is accepted as-is. */
   def parse(bytes: Array[Byte]): Graph = {
     val model = new PbReader(bytes, 0, bytes.length)
     var graph: Graph = null
     while (model.hasRemaining) {
       val (f, w) = model.readTag()
       if (f == 7 && w == 2) graph = parseGraph(model.sub()) // ModelProto.graph
+      else if (f == 8 && w == 2) {                          // opset_import
+        val r = model.sub()
+        var domain = ""
+        var version = -1L
+        while (r.hasRemaining) {
+          val (ff, ww) = r.readTag()
+          (ff, ww) match {
+            case (1, 2) => val (s, e) = r.readBytes(); domain = r.utf8(s, e)
+            case (2, 0) => version = r.readVarint()
+            case _ => r.skip(ww)
+          }
+        }
+        if (domain.isEmpty || domain == "ai.onnx") {
+          require(version < 0 || SupportedOpsetRange.contains(version.toInt),
+            s"unsupported ONNX opset $version (tested range " +
+              s"${SupportedOpsetRange.start}..${SupportedOpsetRange.end}); " +
+              "re-export the model inside the range")
+        }
+      }
       else model.skip(w)
     }
     require(graph != null, "no GraphProto in model bytes")
@@ -287,7 +322,15 @@ object Onnx {
         case "Tanh" => Seq(mapT(in(0))(v => math.tanh(v).toFloat))
         case "Sigmoid" => Seq(mapT(in(0))(v => (1.0 / (1.0 + math.exp(-v))).toFloat))
         case "Identity" => Seq(in(0))
-        case "Softmax" => Seq(softmaxLastAxis(in(0)))
+        case "Softmax" =>
+          // only last-axis softmax is implemented; an exported model
+          // normalizing another axis must fail loudly, not evaluate wrong
+          n.attrs.get("axis").foreach { a =>
+            val axis = a.asInstanceOf[Long].toInt
+            require(axis == -1 || axis == in(0).rank - 1,
+              s"Softmax axis=$axis unsupported (last axis only; input ${in(0)})")
+          }
+          Seq(softmaxLastAxis(in(0)))
         case "Reshape" => Seq(reshape(in(0), in(1).longs))
         case "Transpose" =>
           val perm = n.attrs.get("perm")
@@ -320,6 +363,21 @@ object Onnx {
         case "LSTM" =>
           val hidden = n.attrs("hidden_size").asInstanceOf[Long].toInt
           val dir = n.attrs.get("direction").map(_.toString).getOrElse("forward")
+          // implemented: default activations (sigmoid/tanh/tanh), zero
+          // initial state, full-length sequences, layout 0. A model
+          // wiring sequence_lens / initial_h / initial_c / peepholes
+          // (inputs 4+) or non-default activations/clip/input_forget
+          // would evaluate silently wrong — reject loudly instead.
+          require(n.inputs.drop(4).forall(_.isEmpty),
+            s"LSTM optional inputs 4+ unsupported (got ${n.inputs.drop(4).filter(_.nonEmpty).mkString(", ")})")
+          Seq("activations", "activation_alpha", "activation_beta",
+            "clip", "input_forget").foreach { a =>
+            require(!n.attrs.contains(a), s"LSTM attribute '$a' unsupported")
+          }
+          n.attrs.get("layout").foreach { l =>
+            require(l.asInstanceOf[Long] == 0L,
+              s"LSTM layout=$l unsupported (layout 0 only)")
+          }
           lstm(in(0), in(1), in(2),
             if (n.inputs.size > 3 && n.inputs(3).nonEmpty) Some(in(3)) else None,
             hidden, dir)
@@ -660,6 +718,9 @@ object Onnx {
     val model = new PbWriter
     model.int(1, 8) // ir_version
     model.msg(7, graph)
+    val opset = new PbWriter
+    opset.int(2, 13) // default-domain opset 13 (inside SupportedOpsetRange)
+    model.msg(8, opset)
     model.result
   }
 
@@ -695,8 +756,11 @@ object Onnx {
           System.arraycopy(v, 0, flat, i * featDim, featDim)
           i += 1
         }
+        // select the scored tensor BY NAME — a model exposing several
+        // graph outputs (logits + LSTM Y_h/Y_c + debug) must not hand
+        // back an arbitrary Map value
         val out = run(g, Map(inName -> Tensor(Array(len, featDim), flat)))
-          .values.head
+          .apply(g.outputNames.head)
         val nl = out.dims.last
         require(out.size == len * nl,
           s"graph emitted $out for $len tokens")
@@ -734,6 +798,17 @@ object Onnx {
       .select(col(idCol).cast("long") +:
         featureCols.map(c => col(c).cast("float")): _*)
       .map { row =>
+        // fail with a locatable message, not an opaque task NPE — a
+        // single null feature row in a streaming delivery would
+        // otherwise kill the whole stream inside getFloat
+        var i = 0
+        while (i <= featDim) {
+          require(!row.isNullAt(i), {
+            val what = if (i == 0) idCol else featureCols(i - 1)
+            s"scoreRows: null '$what' (drop or impute nulls before scoring)"
+          })
+          i += 1
+        }
         (row.getLong(0), Array.tabulate(featDim)(i => row.getFloat(i + 1)))
       }
       .mapPartitions { it =>
@@ -748,7 +823,7 @@ object Onnx {
           }
           val out = run(g,
             Map(inName -> Tensor(Array(rows.length, featDim), flat)))
-            .values.head
+            .apply(g.outputNames.head)
           require(out.size == rows.length,
             s"classifier graph emitted $out for ${rows.length} rows")
           rows.iterator.zipWithIndex.map { case ((id, _), j) =>
@@ -785,7 +860,8 @@ object Onnx {
         case None => Seq.empty
         case Some((w, h, _, emb)) =>
           val out = run(g,
-            Map(inName -> Tensor(Array(1, grid * grid), emb))).values.head
+            Map(inName -> Tensor(Array(1, grid * grid), emb)))
+            .apply(g.outputNames.head)
           val nc = categories.length + 1
           require(out.size == anchors.length * nc,
             s"detector graph emitted $out for ${anchors.length} anchors × $nc classes")

@@ -454,6 +454,147 @@ class OnnxSpec extends SparkSuite {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("parse rejects a default-domain opset outside the tested range, " +
+      "accepts one inside it, and ignores other domains") {
+    def withOpset(domain: String, version: Long): Array[Byte] = {
+      val graph = new PbWriter
+      graph.msg(1, node("Identity", Seq("input"), Seq("out")))
+      graph.msg(11, valueInfo("input"))
+      graph.msg(12, valueInfo("out"))
+      val model = new PbWriter
+      model.int(1, 8)
+      model.msg(7, graph)
+      val op = new PbWriter
+      if (domain.nonEmpty) op.str(1, domain)
+      op.int(2, version)
+      model.msg(8, op)
+      model.result
+    }
+    val e = intercept[IllegalArgumentException] {
+      Onnx.parse(withOpset("", Onnx.SupportedOpsetRange.end + 3L))
+    }
+    assert(e.getMessage.contains("unsupported ONNX opset"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Onnx.parse(withOpset("ai.onnx", Onnx.SupportedOpsetRange.start - 2L))
+    }
+    // inside the range, and a custom domain's version, both parse fine
+    assert(Onnx.parse(withOpset("", 13L)).nodes.nonEmpty)
+    assert(Onnx.parse(withOpset("com.example", 99L)).nodes.nonEmpty)
+    // buildDenseModel stamps an in-range opset (field exercised end-to-end)
+    assert(Onnx.parse(Onnx.buildDenseModel(1,
+      Seq(Onnx.Dense(Array(1f), 1, Array(0f), "")))).nodes.nonEmpty)
+  }
+
+  test("LSTM rejects unimplemented optional inputs and attributes loudly " +
+      "instead of evaluating silently wrong") {
+    val (inF, h) = (2, 2)
+    def lstmModel(extraIns: Seq[String] = Seq.empty,
+        strAttrs: Map[String, String] = Map.empty,
+        intAttrs: Map[String, Long] = Map.empty): Onnx.Graph = {
+      val graph = new PbWriter
+      graph.msg(5, int64Tensor("uax", Seq(1), Array(1L)))
+      graph.msg(5, tensor("W", Seq(1, 4 * h, inF), Array.fill(4 * h * inF)(0f)))
+      graph.msg(5, tensor("R", Seq(1, 4 * h, h), Array.fill(4 * h * h)(0f)))
+      graph.msg(5, tensor("B", Seq(1, 8 * h), Array.fill(8 * h)(0f)))
+      extraIns.filter(_.nonEmpty).foreach(nm =>
+        graph.msg(5, tensor(nm, Seq(1), Array(0f))))
+      graph.msg(1, node("Unsqueeze", Seq("input", "uax"), Seq("x3")))
+      graph.msg(1, nodeWithStr("LSTM",
+        Seq("x3", "W", "R", "B") ++ extraIns, Seq("Y"),
+        Map("hidden_size" -> (h: Long)) ++ intAttrs, strAttrs))
+      graph.msg(11, valueInfo("input"))
+      graph.msg(12, valueInfo("Y"))
+      val model = new PbWriter
+      model.msg(7, graph)
+      Onnx.parse(model.result)
+    }
+    val x = Map("input" -> Onnx.Tensor(Array(2, inF), Array(1f, 2f, 3f, 4f)))
+    // baseline shape runs
+    assert(Onnx.run(lstmModel(), x).apply("Y").size == 2 * h)
+    // trailing EMPTY optional slots are fine (exporters pad with "")
+    assert(Onnx.run(lstmModel(extraIns = Seq("", "")), x)
+      .apply("Y").size == 2 * h)
+    val e1 = intercept[IllegalArgumentException] {
+      Onnx.run(lstmModel(extraIns = Seq("seq_lens")), x)
+    }
+    assert(e1.getMessage.contains("LSTM optional inputs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Onnx.run(lstmModel(strAttrs = Map("activations" -> "Relu")), x)
+    }
+    assert(e2.getMessage.contains("'activations' unsupported"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Onnx.run(lstmModel(intAttrs = Map("input_forget" -> 1L)), x)
+    }
+    assert(e3.getMessage.contains("'input_forget'"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Onnx.run(lstmModel(intAttrs = Map("layout" -> 1L)), x)
+    }
+    assert(e4.getMessage.contains("layout"), e4.getMessage)
+  }
+
+  test("Softmax accepts only the last axis; multi-output graphs score by " +
+      "output NAME, not map order") {
+    def softmaxModel(axis: Option[Long]): Onnx.Graph = {
+      val graph = new PbWriter
+      graph.msg(1, axis match {
+        case Some(a) => node("Softmax", Seq("input"), Seq("out"),
+          Map("axis" -> a))
+        case None => node("Softmax", Seq("input"), Seq("out"))
+      })
+      graph.msg(11, valueInfo("input"))
+      graph.msg(12, valueInfo("out"))
+      val model = new PbWriter
+      model.msg(7, graph)
+      Onnx.parse(model.result)
+    }
+    val x = Map("input" -> Onnx.Tensor(Array(2, 2), Array(0f, 0f, 0f, 0f)))
+    assert(Onnx.run(softmaxModel(None), x).apply("out").data.forall(_ == 0.5f))
+    assert(Onnx.run(softmaxModel(Some(-1L)), x)
+      .apply("out").data.forall(_ == 0.5f))
+    assert(Onnx.run(softmaxModel(Some(1L)), x)
+      .apply("out").data.forall(_ == 0.5f))
+    val e = intercept[IllegalArgumentException] {
+      Onnx.run(softmaxModel(Some(0L)), x)
+    }
+    assert(e.getMessage.contains("Softmax axis=0"), e.getMessage)
+
+    // a graph exposing >4 outputs (Scala Map loses insertion order there):
+    // "score" must still be selected by name as the FIRST declared output
+    val graph = new PbWriter
+    graph.msg(5, tensor("W", Seq(1, 1), Array(2f)))
+    graph.msg(5, tensor("B", Seq(1), Array(1f)))
+    graph.msg(1, node("Gemm", Seq("input", "W", "B"), Seq("score"),
+      Map("transB" -> 1L)))
+    (1 to 5).foreach { i =>
+      graph.msg(1, node("Mul", Seq("score", "W"), Seq(s"dbg$i")))
+    }
+    graph.msg(11, valueInfo("input"))
+    graph.msg(12, valueInfo("score"))
+    (1 to 5).foreach(i => graph.msg(12, valueInfo(s"dbg$i")))
+    val model = new PbWriter
+    model.msg(7, graph)
+    val g = Onnx.parse(model.result)
+    assert(g.outputNames.head == "score" && g.outputNames.size == 6)
+    val scored = Onnx.scoreRows(Seq((0L, 3L), (1L, 5L)).toDF("doc_id", "x"),
+        g, Seq("x"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(scored == Seq((0L, 7.0), (1L, 11.0)), scored) // 2x+1, not dbg 2(2x+1)
+  }
+
+  test("scoreRows fails with a locatable message on a null feature") {
+    val g = Onnx.parse(Onnx.buildDenseModel(1,
+      Seq(Onnx.Dense(Array(1f), 1, Array(0f), ""))))
+    val df = Seq((0L, Some(4L)), (1L, None))
+      .toDF("doc_id", "x")
+    val e = intercept[Exception] {
+      Onnx.scoreRows(df, g, Seq("x")).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("null 'x'"), msgs)
+  }
+
   test("unsupported op and missing input fail loudly, not silently") {
     val graph = new PbWriter
     graph.msg(1, node("Conv", Seq("input"), Seq("out")))
