@@ -320,6 +320,30 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q36c/q44c serve from persisted state: exactly ONE sign pass (the " +
+      "delivery) in the plan, keeper + member tables read from parquet") {
+    // VERDICT r14 #2: the corpus must never be re-signed in-query —
+    // the signing kernels may appear once (the ~1/7 delivery), and the
+    // intra-corpus side must come from the persisted state scans.
+    def count(p: String, needle: String): Int =
+      p.sliding(needle.length).count(_ == needle)
+    val p36 = plan("q36c_exact_signature_pairs")
+    assert(count(p36, "min_hash(") == 1,
+      s"expected ONE min_hash (delivery only) in:\n$p36")
+    assert(count(p36, "shingle_hash_distinct_text(") == 1, p36)
+    assert(p36.contains("graft-q36c-idx"), s"state scans missing:\n$p36")
+    // the member scan prunes the 512-byte signature column: only
+    // (doc_id, setd) feeds the intra-corpus pair join
+    assert(p36.contains("ReadSchema: struct<doc_id:bigint,setd:string>"),
+      s"member scan must prune to (doc_id, setd):\n$p36")
+    val p44 = plan("q44c_exact_fingerprint_pairs")
+    assert(count(p44, "winnow_min(") == 1,
+      s"expected ONE winnow_min (delivery only) in:\n$p44")
+    assert(p44.contains("graft-q44c-idx"), s"state scans missing:\n$p44")
+    assert(p44.contains("ReadSchema: struct<doc_id:bigint,tokd:string>"),
+      s"member scan must prune to (doc_id, tokd):\n$p44")
+  }
+
   test("ingest doc_id assignment has no single-partition exchange") {
     // xxhash64(path) replaces the old row_number-over-global-window id:
     // a Window.orderBy(path) with no partition spec plans as
