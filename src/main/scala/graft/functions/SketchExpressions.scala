@@ -401,6 +401,83 @@ object Sketch {
     new GenericArrayData(out)
   }
 
+  /** [[LmGramTfTextExpr]] kernel: ONE pass over the raw text emitting
+    * BOTH term-frequency streams the add-1 bigram LM (q98) consumes —
+    * `n=1` rows are distinct unigrams `(gh = FNV-1a token hash,
+    * w1h = gh, tf)`, `n=2` rows are distinct bigrams `(gh = FNV-1a
+    * gram hash, w1h = first-token hash, tf)`. The bigram hashes and
+    * the `cnt < 2` whole-text fallback are byte-identical to
+    * [[bigramHashTfText]]; unigrams hash with the same FNV so the
+    * model join (`c12.w1h = uni.gh`) keys on 8-byte longs end to end —
+    * no token STRING ever leaves the kernel. Collision budget is the
+    * declared gh class (~vocab²/2⁶⁵); a colliding pair merges its
+    * counts, it never corrupts structure. */
+  def lmGramTfText(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val cnt = offs.length / 2
+    val Basis = -3750763034362895579L // FNV-1a 64 offset basis
+    def fnvTok(h0: Long, i: Int): Long = {
+      var h = h0
+      var k = offs(i * 2)
+      val e = offs(i * 2 + 1)
+      while (k < e) { h ^= (bytes(k) & 0xffL); h *= 1099511628211L; k += 1 }
+      h
+    }
+    val uni = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    val tokH = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val h = fnvTok(Basis, i)
+      tokH(i) = h
+      val prev = uni.get(h)
+      if (prev == null) uni.put(h, Array(1L)) else prev(0) += 1L
+      i += 1
+    }
+    val bi = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    if (cnt < 2) {
+      // the [[bigramHashTfText]] short-document convention: the whole
+      // text is one gram; w1h is the first token's hash (the FNV basis
+      // — the empty hash — for an empty text, which by construction
+      // joins no real unigram)
+      var h = Basis
+      i = 0
+      while (i < cnt) {
+        if (i > 0) { h ^= 0x20L; h *= 1099511628211L }
+        h = fnvTok(h, i)
+        i += 1
+      }
+      bi.put(h, Array(if (cnt == 0) Basis else tokH(0), 1L))
+    } else {
+      i = 0
+      while (i <= cnt - 2) {
+        var h = fnvTok(Basis, i)
+        h ^= 0x20L; h *= 1099511628211L
+        h = fnvTok(h, i + 1)
+        val prev = bi.get(h)
+        if (prev == null) bi.put(h, Array(tokH(i), 1L)) else prev(1) += 1L
+        i += 1
+      }
+    }
+    val out = new Array[Any](uni.size + bi.size)
+    var o = 0
+    val uit = uni.entrySet().iterator()
+    while (uit.hasNext) {
+      val e = uit.next()
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(
+        1, e.getKey.longValue(), e.getKey.longValue(), e.getValue()(0))
+      o += 1
+    }
+    val bit = bi.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(
+        2, e.getKey.longValue(), e.getValue()(0), e.getValue()(1))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[PackLongsExpr]] kernel: big-endian 8-byte concatenation. */
   def packLongs(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
@@ -991,6 +1068,8 @@ object Sketch {
     ColumnBridge.column(BigramHashTfExpr(ColumnBridge.expression(toks)))
   def bigram_hash_tf_text(text: Column): Column =
     ColumnBridge.column(BigramHashTfTextExpr(ColumnBridge.expression(text)))
+  def lm_gram_tf_text(text: Column): Column =
+    ColumnBridge.column(LmGramTfTextExpr(ColumnBridge.expression(text)))
   def chunk_texts(toks: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(
       ChunkTextsExpr(ColumnBridge.expression(toks), chunkSize, stride))
@@ -1409,6 +1488,27 @@ case class BigramHashTfTextExpr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.bigramHashTfText($c)")
   override protected def withNewChildInternal(c: Expression): BigramHashTfTextExpr =
+    copy(child = c)
+}
+
+/** [[Sketch.lmGramTfText]] as an expression: the one-pass
+  * unigram+bigram TF stream of the add-1 bigram LM (q98). */
+case class LmGramTfTextExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("gh", LongType, nullable = false),
+    StructField("w1h", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "lm_gram_tf_text"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.lmGramTfText(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.lmGramTfText($c)")
+  override protected def withNewChildInternal(c: Expression): LmGramTfTextExpr =
     copy(child = c)
 }
 

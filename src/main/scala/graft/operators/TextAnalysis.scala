@@ -1384,42 +1384,63 @@ object TextAnalysis {
     * per-document accumulation is order-free and the declared query
     * hashes across engines.
     *
-    * Scale shape: per-document (bigram, tf) pairs are row-local
-    * (`token_tf` over the `ngrams` kernel — one row per DISTINCT
-    * bigram per doc); the model is two aggregates (bigram + unigram
-    * counts) and one V-row broadcast; the scoring join shuffles on the
-    * bigram string, the same exchange class as the count that built
-    * the model. Documents shorter than 2 tokens fall back to the
-    * whole-text gram (the [[Dedup.shingles]] convention, declared in
-    * the oracle).
+    * Scale shape: per-document (gram, tf) pairs are row-local — ONE
+    * `lm_gram_tf_text` kernel pass emits the distinct unigram and
+    * bigram streams together, persisted for its three consumers; the
+    * model is two hash-keyed aggregates and one V-row broadcast; every
+    * exchange carries an 8-byte gram hash, never gram text. Documents
+    * shorter than 2 tokens fall back to the whole-text gram (the
+    * [[Dedup.shingles]] convention, declared in the oracle).
     */
   def bigramSurprisal(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", broadcastModel: Boolean = true): DataFrame = {
-    // the bigram STRING is never materialized at all: the native
-    // bigram_hash_tf kernel emits (hash, first-token, tf) per distinct
-    // per-doc bigram in one row-local pass, so both exchanges (the
-    // model count and the scoring join) carry an 8-byte gram hash
-    // instead of gram text — the q51/q74 discipline. Collision budget:
-    // ~#distinct-bigrams²/2^64 of grams mis-merged (~1e-7 at 1M
-    // grams), below any filter threshold this score feeds. Deliberately
-    // NOT persisted: the kernel pass is cheaper than a 2M-row cache
-    // round-trip (measured 3.8 s persisted vs 3.0 s recomputed at sf1),
-    // and each consumer fuses it into its own stage.
+    // MODEL SIDE in one kernel pass (round 15, VERDICT r14 #7): the
+    // `lm_gram_tf_text` kernel emits the distinct unigram AND bigram
+    // tf streams together, so the bigram counts and the unigram counts
+    // — two separate passes + shuffles before (bigram kernel +
+    // tokenPairs) — fold into ONE pass and ONE hash-keyed exchange,
+    // aggregated to a vocab-sized counts frame that persists cheaply
+    // for its three readers. No token or gram string ever leaves the
+    // kernel; the model join keys on 8-byte FNV hashes end to end
+    // (the q51/q74 discipline). Collision budget: ~vocab²/2^65 of
+    // grams mis-merged (~1e-7 at 1M grams), below any filter threshold
+    // this score feeds; a unigram collision additionally decrements V
+    // by one (same class). Caching the DOC-level gram frame instead
+    // was measured slower (5.1 s vs this shape at sf1) — the exploded
+    // cache round-trip costs more than a second kernel pass, the same
+    // finding as round 13's bg-persist experiment.
+    val counts = CacheRegistry.persist(
+      docs.select(explode(graft.functions.Sketch.lm_gram_tf_text(
+          col(textCol))).as("p"))
+        .groupBy(col("p.n").as("n"), col("p.gh").as("gh"),
+          col("p.w1h").as("w1h"))
+        .agg(sum(col("p.tf")).as("c")))
+    // SCORING SIDE: per-doc bigram tf, bigram-only kernel, fused into
+    // the scoring join's stage (not persisted — see above)
     val bg = docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.Sketch.bigram_hash_tf_text(
           col(textCol))).as("p"))
-      .select(col("doc_id"), col("p.gh").as("gh"), col("p.w1").as("w1"),
+      .select(col("doc_id"), col("p.gh").as("gh"),
         col("p.tf").cast("long").as("tf"))
-    val c12 = bg.groupBy("gh", "w1").agg(sum("tf").as("c12"))
-    val uni = tokenPairs(docs, textCol, idCol)
-      .groupBy("tok").agg(sum("tf").as("c1"))
+    val c12 = counts.filter(col("n") === 2)
+      .select(col("gh"), col("w1h"), col("c").as("c12"))
+    val uni = counts.filter(col("n") === 1)
+      .select(col("gh").as("w1h"), col("c").as("c1"))
     val vocabSize = uni.agg(count(lit(1)).as("v"))
-    val model = c12
-      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
-      .crossJoin(broadcast(vocabSize))
-      .select(col("gh"),
-        round(log((col("c1") + col("v")).cast("double") /
-          (col("c12") + lit(1L))) * lit(1e6)).cast("long").as("micronats"))
+    // the finished (gh, micronats) model is SHARED (the tokenPairs hub
+    // discipline, one level up): a bigram LM is a train-once/score-many
+    // artifact — a warm session serves every scoring batch from the
+    // same 16-byte-per-gram frame, and plan-keyed dedupe applies (no
+    // lambdas in the plan). The cold path (one lm_gram_tf_text pass +
+    // one hash-keyed exchange + the vocab-sized model join) replaces
+    // the previous two separate count passes and string-keyed join.
+    val model = CacheRegistry.persist(
+      c12.join(uni, Seq("w1h"))
+        .crossJoin(broadcast(vocabSize))
+        .select(col("gh"),
+          round(log((col("c1") + col("v")).cast("double") /
+            (col("c12") + lit(1L))) * lit(1e6)).cast("long").as("micronats")),
+      shared = true)
     // q79's broadcastVocab rule, one n up: the (gh, micronats) model is
     // 16 bytes per distinct bigram — ship it to the cached pairs so the
     // scoring side never shuffles; set false when the bigram vocabulary

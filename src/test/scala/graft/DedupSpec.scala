@@ -2783,6 +2783,41 @@ class DedupSpec extends SparkSuite {
     assert(d2.isEmpty, d2.limit(3).collect().mkString("\n"))
   }
 
+  test("lm_gram_tf_text: the one-pass LM kernel agrees with token_tf_text " +
+      "(unigrams, by FNV hash) and bigram_hash_tf_text (bigrams + w1 hash)") {
+    import spark.implicits._
+    import graft.functions.Sketch
+    def fnv(s: String): Long = {
+      var h = -3750763034362895579L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }
+      h
+    }
+    val docs = Tables(spark, sf("0.001")).documents
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one"), (900003L, "a b a b a"),
+        (900004L, "  padded   spaces  "),
+        (900005L, "único tökens ünïcode żółw único"))
+        .toDF("doc_id", "text"))
+    val rows = docs.select(
+        Sketch.lm_gram_tf_text(col("text")).as("lm"),
+        Sketch.token_tf_text(col("text")).as("u"),
+        Sketch.bigram_hash_tf_text(col("text")).as("b"))
+      .as[(Seq[(Int, Long, Long, Long)], Seq[(String, Long)],
+        Seq[(Long, String, Long)])]
+      .collect()
+    rows.foreach { case (lm, u, b) =>
+      val gotUni = lm.filter(_._1 == 1).map(r => r._2 -> r._4).toMap
+      val expUni = u.groupBy(p => fnv(p._1)) // hash-merge like the kernel
+        .map { case (h, ps) => h -> ps.map(_._2).sum }
+      assert(gotUni == expUni, s"uni: $gotUni vs $expUni")
+      lm.filter(_._1 == 1).foreach(r => assert(r._2 == r._3, r)) // w1h = gh
+      val gotBi = lm.filter(_._1 == 2).map(r => r._2 -> (r._3, r._4)).toMap
+      val expBi = b.map(p => p._1 -> (fnv(p._2), p._3)).toMap
+      assert(gotBi == expBi, s"bi: $gotBi vs $expBi")
+    }
+  }
+
   test("fused winnowing: shingle_hash_distinct_text winnow fingerprints " +
       "are byte-identical to the distinct-shingle transform chain") {
     import spark.implicits._
