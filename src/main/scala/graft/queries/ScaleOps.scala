@@ -735,6 +735,60 @@ object ScaleOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Q82c exact-vector SemDeDup slice (ORACLED — the deterministic
+    * slice of the q82 family, the q43c pattern through q82's
+    * ASSIGNMENT path): a delivery vector pairs the corpus min-id
+    * holder of a BITWISE IDENTICAL embedding — replayable by DuckDB as
+    * a LIST group-by + LIST-equality join — and the plan REQUIREs both
+    * sides' [[Similarity.ivfAssign]] argmax centroid (against the q82
+    * family's frozen centroids, derived with the shared
+    * [[Dedup.semanticFamily]] parameters and signed once per scale
+    * dir) to be EQUAL. Identical vector ⟹ identical argmax, so the
+    * filter never drops a row — while a nondeterministic or
+    * order-sensitive assignment kernel drops rows and hash-mismatches
+    * (the cross-run direction: the stored cluster was assigned in a
+    * different job). The corpus is assigned once at state build
+    * (keeper also pins intra-corpus min==max cluster agreement per
+    * identical-vector group); per query only the ~1/7 delivery assigns
+    * row-locally against the broadcast centroids — one vector-keyed
+    * exchange, O(n). */
+  def q82c(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d).embeddings
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q82c-idx-" + stateKeyDigest(d, "embeddings.parquet"))
+    val centDir = new java.io.File(stateDir, "centroids").getPath
+    val keepDir = new java.io.File(stateDir, "veckeep").getPath
+    if (!Seq(centDir, keepDir)
+        .forall(p => new java.io.File(p, "_SUCCESS").exists())) {
+      val (kEff, sampleEff) = Dedup.semanticFamily(emb.count())
+      val cs0 = Similarity.trainIvfCentroids(emb, kEff, sampleN = sampleEff)
+      cs0.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cluster", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(centDir)
+      Similarity.ivfAssign(emb, cs0)
+        .groupBy("v").agg(
+          min(col("vec_id")).as("corpus_id"),
+          (min(col("list_id")) === max(col("list_id"))).as("cl_ok"),
+          min(col("list_id")).as("cluster"))
+        .withColumnRenamed("v", "embedding")
+        .write.mode("overwrite").parquet(keepDir)
+    }
+    val cs = s.read.parquet(centDir).orderBy("cluster")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val delivery = Similarity.ivfAssign(
+      emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      cs)
+      .select(col("vec_id").as("batch_id"), col("v").as("embedding"),
+        col("list_id").as("cluster_b"))
+    s.read.parquet(keepDir)
+      .join(delivery, Seq("embedding"))
+      .filter(col("cl_ok") && col("cluster") === col("cluster_b"))
+      .select(col("corpus_id"), col("batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Q83 product-quantization ANN top-5 for 4 queries (rows-only —
     * approximate by construction): 8-subspace × 16-centroid codebooks,
     * asymmetric-distance scoring over m-byte codes. */
@@ -1786,6 +1840,7 @@ object ScaleOps {
     "q102c_exact_shingle_across" -> q102c,
     "q37c_exact_tokens_across" -> q37c,
     "q43c_exact_vector_across" -> q43c,
+    "q82c_exact_vector_semantic" -> q82c,
     "q36c_exact_signature_pairs" -> q36c,
     "q44c_exact_fingerprint_pairs" -> q44c,
     "q122_onnx_quality_score" -> q122,
@@ -2673,6 +2728,16 @@ object ScaleOps {
          SELECT CAST(k.corpus_id AS BIGINT) AS corpus_id,
                 CAST(d.batch_id AS BIGINT) AS batch_id
          FROM k JOIN deliv d USING (digest) ORDER BY 1, 2""",
+    "q82c_exact_vector_semantic" ->
+      """WITH k AS (
+           SELECT embedding, MIN(vec_id) AS corpus_id
+           FROM embeddings GROUP BY embedding),
+         deliv AS (
+           SELECT vec_id + 1000000 AS batch_id, embedding
+           FROM embeddings WHERE vec_id % 7 = 0)
+         SELECT CAST(k.corpus_id AS BIGINT) AS corpus_id,
+                CAST(d.batch_id AS BIGINT) AS batch_id
+         FROM k JOIN deliv d USING (embedding) ORDER BY 1, 2""",
     "q43c_exact_vector_across" ->
       """WITH k AS (
            SELECT embedding, MIN(vec_id) AS corpus_id
