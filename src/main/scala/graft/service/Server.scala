@@ -677,9 +677,35 @@ private final class UnsupportedRequestMediaType(val mediaType: String)
 private final class PdfInputNotAvailable(msg: String)
   extends RuntimeException(msg)
 
-/** `graft.service.GraftService --port 8070` — the `server.py:79-95`
-  * entrypoint. */
+/** `graft.service.GraftService --port 8070 [--config config.yml]` —
+  * the `server.py:79-95` entrypoint; `--config` boots the service from
+  * a configuration file the way `app/parser.py:173-199` builds the
+  * reference parser from its `AppConfig`. */
 object GraftService {
+
+  /** Boot a service from a config file ([[AppConfig]]): processor
+    * flags map through `processors.fulltext.*`, and each model slot
+    * (`models.segmentation/header/fulltext/reference_segmenter`) loads
+    * its configured engine — a local ONNX file becomes a
+    * [[graft.pipeline.NeuralLabeler]], a wapiti model file a
+    * [[graft.pipeline.CrfLabeler]], anything unresolvable keeps the
+    * deterministic rule labeler (the reference's soft degrade for a
+    * missing model directory). */
+  def fromConfigFile(spark: SparkSession, configPath: String,
+      host: String = "127.0.0.1", port: Int = 0): GraftService = {
+    val cfg = AppConfig.fromFile(configPath)
+    new GraftService(spark, host = host, port = port,
+      config = cfg.processorConfig,
+      segmentationLabeler = cfg.labelerFor("segmentation")
+        .getOrElse(new SegmentationRuleLabeler()),
+      headerLabeler = cfg.labelerFor("header")
+        .getOrElse(new RuleLabeler()),
+      bodyLabeler = cfg.labelerFor("fulltext")
+        .getOrElse(new BodyRuleLabeler()),
+      referenceSegmenterLabeler = cfg.labelerFor("reference_segmenter")
+        .getOrElse(new ReferenceSegmenterRuleLabeler()))
+  }
+
   def main(args: Array[String]): Unit = {
     val port = args.sliding(2, 1).collectFirst {
       case Array("--port", p) => p.toInt
@@ -687,6 +713,9 @@ object GraftService {
     val host = args.sliding(2, 1).collectFirst {
       case Array("--host", h) => h
     }.getOrElse("0.0.0.0")
+    val configPath = args.sliding(2, 1).collectFirst {
+      case Array("--config", c) => c
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-service")
@@ -694,7 +723,10 @@ object GraftService {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val service = new GraftService(spark, host = host, port = port).start()
+    val service = configPath match {
+      case Some(c) => fromConfigFile(spark, c, host = host, port = port).start()
+      case None => new GraftService(spark, host = host, port = port).start()
+    }
     println(s"graft service listening on $host:${service.boundPort}")
     Thread.currentThread().join()
   }

@@ -1,0 +1,173 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+
+import graft.pipeline.Onnx
+import graft.service.{AppConfig, GraftService}
+
+/** The file-based configuration surface (reference
+  * `resources/default_config/config.yml` loaded at
+  * `app/parser.py:173-199`): the YAML-subset reader over the exact
+  * shapes the reference config uses, the key mappings into
+  * [[graft.pipeline.Processor.Config]] and the model/lexicon loaders,
+  * and a service booted end-to-end from a config file with a REAL
+  * ONNX model file driving the header labeler.
+  */
+class AppConfigSpec extends SparkSuite {
+
+  private val referenceShapedYaml =
+    """# deployment config (reference config.yml shape)
+      |download_dir: '~/.cache/engine/downloads'
+      |processors:
+      |  fulltext:
+      |    merge_raw_authors: false
+      |    use_cv_model: true
+      |    cv_render_dpi: 72   # inline comment
+      |    max_graphic_distance: 0.4
+      |    extract_citation_editors: true
+      |xslt:
+      |  tei_to_jats:
+      |    parameters:
+      |      output_parameters: 'false'
+      |      acknowledgement_target: 'ack'
+      |lookup:
+      |  country:
+      |    paths:
+      |      - https://example.org/CountryCodes.xml
+      |models:
+      |  segmentation:
+      |    path: 'https://example.org/model.tar.gz'
+      |  name_header:
+      |    path: 'https://example.org/name/header'
+      |    engine: 'wapiti'
+      |cv_models:
+      |  default:
+      |    path: 'lp://efficientdet/PubLayNet'
+      |    engine: 'layout_parser'
+      |    score_threshold: 0.25
+      |""".stripMargin
+
+  test("YAML-subset reader: nested maps, quoted scalars, lists, " +
+      "comments, URL values with colons") {
+    val cfg = AppConfig.parse(referenceShapedYaml)
+    assert(cfg.get("download_dir").contains("~/.cache/engine/downloads"))
+    assert(cfg.getInt("processors.fulltext.cv_render_dpi", 100) == 72)
+    assert(cfg.getDouble("processors.fulltext.max_graphic_distance", 0.3)
+      == 0.4)
+    assert(cfg.useCvModel && !cfg.useOcrModel)
+    assert(cfg.cvScoreThreshold == 0.25)
+    assert(cfg.get("models.segmentation.path")
+      .contains("https://example.org/model.tar.gz"))
+    assert(cfg.getSeq("lookup.country.paths") ==
+      Seq("https://example.org/CountryCodes.xml"))
+    assert(cfg.teiToJatsParameters ==
+      Map("output_parameters" -> "false", "acknowledgement_target" -> "ack"))
+    assert(cfg.keys("models").toSet == Set("segmentation", "name_header"))
+    // processors.fulltext.* → Processor.Config mapping
+    val pc = cfg.processorConfig
+    assert(pc.extractCitationEditors && pc.extractAuthors)
+    // URL model paths and the lp:// CV scheme soft-degrade to None
+    assert(cfg.labelerFor("segmentation").isEmpty)
+    assert(cfg.labelerFor("name_header").isEmpty)
+    assert(cfg.cvDetector.isEmpty)
+    // absent lookup paths → no lexicon
+    assert(cfg.lexicon(spark, "country").isEmpty)
+    assert(cfg.lexicon(spark, "nonexistent").isEmpty)
+    // tabs fail loudly like YAML proper
+    intercept[IllegalArgumentException] { AppConfig.parse("a:\n\tb: 1") }
+  }
+
+  test("lexicon loader merges local word lists and TEI tables; " +
+      "URL entries are skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-lex")
+    try {
+      java.nio.file.Files.write(dir.resolve("names.txt"),
+        "Alice\nbob\n# comment\n\n".getBytes)
+      java.nio.file.Files.write(dir.resolve("countries.xml"),
+        "<table><row><cell>DE</cell><cell>Germany</cell></row></table>"
+          .getBytes)
+      val cfg = AppConfig.parse(
+        s"""lookup:
+           |  merged:
+           |    paths:
+           |      - https://example.org/skip-me.txt
+           |      - ${dir.resolve("names.txt")}
+           |      - ${dir.resolve("countries.xml")}
+           |""".stripMargin)
+      val words = cfg.lexicon(spark, "merged").get
+        .collect().map(_.getString(0)).toSet
+      assert(words == Set("alice", "bob", "de", "germany"), words)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("service boots from a config file: the configured ONNX model " +
+      "file drives the header labeler, unresolved slots keep rule " +
+      "labelers, processor flags apply") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-srv")
+    try {
+      // a real ONNX file whose argmax is ALWAYS label 1 (I-<title>):
+      // zero weights, bias (0, 1) — every header token labels title,
+      // which the rule labeler never does for the author block, so the
+      // response proves the configured model is the one labeling
+      val featDim = 4
+      val onnx = Onnx.buildDenseModel(featDim, Seq(
+        Onnx.Dense(new Array[Float](2 * featDim), 2, Array(0f, 1f), "")))
+      val modelPath = dir.resolve("header.onnx")
+      java.nio.file.Files.write(modelPath, onnx)
+      val cfgPath = dir.resolve("config.yml")
+      java.nio.file.Files.write(cfgPath,
+        s"""processors:
+           |  fulltext:
+           |    extract_citation_editors: true
+           |models:
+           |  header:
+           |    engine: 'onnx'
+           |    path: '$modelPath'
+           |    feat_dim: $featDim
+           |    labels:
+           |      - 'O'
+           |      - 'I-<title>'
+           |  segmentation:
+           |    engine: 'onnx'
+           |    path: 'https://example.org/unreachable.onnx'
+           |""".stripMargin.getBytes)
+      val service = GraftService.fromConfigFile(spark, cfgPath.toString)
+        .start()
+      try {
+        val alto = graft.queries.PipelineOps.altoOf(1L,
+          "Neural Corpus Engines Alice Smith " +
+            (1 to 30).map(i => s"word$i").mkString(" "))
+        val client = HttpClient.newHttpClient()
+        def modelRoute(): HttpResponse[String] = client.send(
+          HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${service.boundPort}" +
+                "/api/models/header?output_format=json"))
+            .POST(BodyPublishers.ofString(alto)).build(),
+          BodyHandlers.ofString())
+        val r = modelRoute()
+        assert(r.statusCode() == 200, r.body())
+        // the configured all-title ONNX head labels EVERY header token
+        // I-<title> — the rule labeler would put Alice Smith under
+        // B-/I-<author>, so this output proves the model file is the
+        // labeler answering the route
+        assert(r.body().contains("\"Alice\""), r.body())
+        assert(r.body().contains("I-<title>"), r.body())
+        assert(!r.body().contains("<author>"), r.body())
+        // unresolved segmentation slot kept its rule labeler: the
+        // documentPipeline route still answers (rule fold untouched)
+        val doc = client.send(
+          HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${service.boundPort}" +
+                "/api/processHeaderDocument"))
+            .header("Accept", "application/tei+xml")
+            .POST(BodyPublishers.ofString(alto)).build(),
+          BodyHandlers.ofString())
+        assert(doc.statusCode() == 200, doc.body())
+        assert(doc.body().contains("Neural Corpus Engines"), doc.body())
+      } finally service.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+}
