@@ -680,6 +680,51 @@ object PipelineOps {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** P20 in-JVM OCR graphic matching (D6 REAL + F4 end-to-end;
+    * reference `ocr_models/tesserocr_ocr_model.py:32-71` +
+    * `graphic_matching.py:566-593`): each document renders a REAL PNG
+    * of a figure graphic ([[graft.pipeline.GlyphOcr.renderTextImage]]
+    * — machine-rendered label text, exactly the input class the
+    * reference OCRs), the template-correlation OCR reads the pixels
+    * back on the executors through the D6 seam, and the recovered
+    * lines select the right candidate among SEVEN figure labels per
+    * document through the F4 text matcher — the OCR text is the only
+    * signal that can pick it. Rows-only (pixel rendering is not
+    * SQL-expressible); spec-pinned to the exact expected assignment.
+    *
+    * Scale shape: render + OCR are row-local `mapPartitions` work
+    * (glyph templates are a per-executor lazy singleton); the matcher
+    * joins on the per-doc normalized key — nothing corpus-scale
+    * shuffles but (doc_id, key) rows. */
+  def p20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.{GlyphOcr, GraphicMatching}
+    // the every-7th slice is the declared graphics-bearing sub-corpus
+    // (the delivery-slice convention): render + OCR are ~2 ms/image
+    // row-local work, so the entry demonstrates the full D6+F4 path
+    // without turning the sweep into an image-codec benchmark
+    val docs = Tables(s, d).documents.select("doc_id")
+      .filter(col("doc_id") % 7 === 0)
+    val graphics = docs.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val png = GlyphOcr.renderTextImage(Seq(
+          "Measured throughput",
+          s"Figure ${id / 7 % 7 + 1}"))
+        (id, s"g$id", png)
+      }
+    }.toDF("doc_id", "graphic_id", "image")
+    val lines = GraphicMatching.ocrLines(graphics,
+      GlyphOcr.recognize(_))
+    val cands = docs
+      .select(col("doc_id"), explode(sequence(lit(1), lit(7))).as("n"))
+      .select(col("doc_id"),
+        concat(lit("fig_"), col("n")).as("candidate_id"),
+        concat(lit("Figure "), col("n")).as("label_text"))
+    GraphicMatching.matchGraphicsByText(lines, cands)
+      .select(col("doc_id"), col("candidate_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -703,5 +748,6 @@ object PipelineOps {
     "p18b_audio_dedup_across" -> p18b,
     "p19_video_dedup" -> p19,
     "p19b_video_dedup_across" -> p19b,
+    "p20_ocr_match" -> p20,
   )
 }

@@ -115,6 +115,56 @@ class GraphicMatchingSpec extends SparkSuite {
     assert(ms.toSeq == Seq(("g0", "fig_0")))
   }
 
+  test("D6 in-JVM OCR: template-correlation recognition on REAL rendered " +
+      "pixels drives the F4 text matcher end-to-end") {
+    import graft.pipeline.GlyphOcr
+    // direct round-trip: rendered label text reads back exactly
+    val png = GlyphOcr.renderTextImage(Seq("Other text", "Figure 1"))
+    assert(GlyphOcr.recognize(png) == "Other text\nFigure 1")
+    // different render size than the templates (scale normalization)
+    val small = GlyphOcr.renderTextImage(Seq("Table 2"), fontSize = 18)
+    assert(GlyphOcr.recognize(small) == "Table 2")
+    // a wide render exercises the reference's 1024 resolution cap
+    // (utils/image.py:4-17) — the downscaled glyphs still read
+    val wide = GlyphOcr.renderTextImage(
+      Seq("Figure 3 shows the measured throughput over time"),
+      fontSize = 40)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(wide)).getWidth > 1024)
+    assert(GlyphOcr.recognize(wide)
+      .contains("Figure 3"))
+    // undecodable bytes read as empty text, not an exception
+    assert(GlyphOcr.recognize(Array[Byte](9, 9, 9)) == "")
+
+    // end-to-end: real pixels -> ocrLines -> matchGraphicsByText (F4)
+    val graphics = Seq(
+      (0L, "g0", GlyphOcr.renderTextImage(Seq("Other", "Figure 1"))),
+      (0L, "g1", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "graphic_id", "image")
+    val lines = GraphicMatching.ocrLines(graphics,
+      GlyphOcr.recognize(_))
+    val cand = Seq((0L, "fig_0", "Figure 1"))
+      .toDF("doc_id", "candidate_id", "label_text")
+    val ms = GraphicMatching.matchGraphicsByText(lines, cand)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(ms.toSeq == Seq(("g0", "fig_0")))
+  }
+
+  test("p20 OCR pipeline entry: every document's rendered figure label " +
+      "reads back and selects exactly its own candidate") {
+    val got = graft.queries.PipelineOps.p20(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, cand) =>
+      assert(cand == s"fig_${id / 7 % 7 + 1}", s"doc $id matched $cand")
+    }
+    // one match per sliced document: OCR read every rendered graphic
+    val n = graft.Tables(spark, sf("0.001")).documents
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+    assert(got.length == n, s"${got.length} of $n docs matched")
+    assert(got.map(_._2).distinct.length > 1, "labels must vary")
+  }
+
   test("relatedBlockLines: nearest block's lines in reading order") {
     val xml =
       """<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">
