@@ -595,6 +595,79 @@ class OnnxSpec extends SparkSuite {
     assert(msgs.contains("null 'x'"), msgs)
   }
 
+  test("D5 trained in-repo: the fitted anchor graph (rendered fixtures " +
+      "-> GD -> ONNX file) beats the synthetic-weights floor on held-out " +
+      "pages and separates figure from table") {
+    import graft.pipeline.DetectorTrainer
+    val quads = Seq(
+      (0.0, 0.0, 0.5, 0.5), (0.5, 0.0, 0.5, 0.5),
+      (0.0, 0.5, 0.5, 0.5), (0.5, 0.5, 0.5, 0.5))
+    val cats = IndexedSeq("figure", "table")
+    val bytes = DetectorTrainer.train(quads, cats, grid = 4,
+      nSamples = 160, seed = 7L)
+    val f = java.nio.file.Files.createTempFile("graft-det-trained", ".onnx")
+    java.nio.file.Files.write(f, bytes)
+    try {
+      val trained = Onnx.detectorFromFile(f.toString, cats, quads,
+        grid = 4).get
+      // the round-14 synthetic-weights floor: class "figure" fires on
+      // any dark quadrant, "table" has zero weights — it cannot tell
+      // the two apart
+      val w = Array.ofDim[Float](12 * 16)
+      val b = new Array[Float](12)
+      val cells = Seq(Seq(0, 1, 4, 5), Seq(2, 3, 6, 7),
+        Seq(8, 9, 12, 13), Seq(10, 11, 14, 15))
+      (0 until 4).foreach { q =>
+        val r = q * 3 + 1
+        cells(q).foreach(c => w(r * 16 + c) = -8f)
+        b(r) = 4f
+      }
+      val floor = Onnx.detectorFromGraph(
+        Onnx.parse(Onnx.buildDenseModel(16,
+          Seq(Onnx.Dense(w, 12, b, "")))), cats, quads, grid = 4)
+      // held-out fixtures from a DIFFERENT seed
+      val rnd = new java.util.Random(99L)
+      def anchorIdx(x: Double, y: Double): Int =
+        quads.indexWhere { case (ax, ay, _, _) =>
+          math.abs(ax * 64 - x) < 1 && math.abs(ay * 64 - y) < 1 }
+      def accuracy(det: Array[Byte] => Seq[(Double, Double, Double, Double, String, Double)],
+          fixtures: Seq[DetectorTrainer.Fixture]): Double = {
+        var ok = 0
+        var total = 0
+        fixtures.foreach { fx =>
+          val pred = Array.fill(4)(0)
+          det(fx.png).foreach { case (x, y, _, _, cat, _) =>
+            val a = anchorIdx(x, y)
+            if (a >= 0) pred(a) = cats.indexOf(cat) + 1
+          }
+          (0 until 4).foreach { a =>
+            if (pred(a) == fx.labels(a)) ok += 1
+            total += 1
+          }
+        }
+        ok.toDouble / total
+      }
+      val heldOut = (0 until 40).map(_ =>
+        DetectorTrainer.renderFixture(rnd, quads, cats.length))
+      val accTrained = accuracy(trained, heldOut)
+      val accFloor = accuracy(floor, heldOut)
+      assert(accTrained > accFloor,
+        s"trained $accTrained must beat floor $accFloor")
+      assert(accTrained >= 0.95, s"trained accuracy $accTrained")
+      // the floor's specific failure: it calls tables figures
+      val tablePage = {
+        val r2 = new java.util.Random(5L)
+        Iterator.continually(
+          DetectorTrainer.renderFixture(r2, quads, cats.length))
+          .find(_.labels.contains(2)).get
+      }
+      val ta = tablePage.labels.indexOf(2)
+      val trainedCat = trained(tablePage.png).collectFirst {
+        case (x, y, _, _, cat, _) if anchorIdx(x, y) == ta => cat }
+      assert(trainedCat.contains("table"), s"trained said $trainedCat")
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("unsupported op and missing input fail loudly, not silently") {
     val graph = new PbWriter
     graph.msg(1, node("Conv", Seq("input"), Seq("out")))
