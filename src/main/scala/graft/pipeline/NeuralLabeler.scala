@@ -193,4 +193,34 @@ object NeuralLabeler {
     }
     v
   }
+
+  /** Position-AWARE hashing encoder: each column hashes as
+    * `(position, value)`, so the same literal in different feature
+    * columns (the "1"/"0" flags of a GROBID data line — bold vs
+    * largest-font vs single-char) stays distinguishable. The right
+    * encoder for the fixed-column data-line format; [[hashingEncoder]]
+    * remains the bag form for free text. */
+  def positionalHashingEncoder(dim: Int): String => Array[Float] = { line =>
+    val v = new Array[Float](dim)
+    if (line != null) {
+      var start = 0
+      var i = 0
+      var colIdx = 0
+      val n = line.length
+      while (i <= n) {
+        if (i == n || line.charAt(i) == ' ') {
+          if (i > start) {
+            var h = 7 * 31 + colIdx
+            var j = start
+            while (j < i) { h = h * 31 + line.charAt(j); j += 1 }
+            v(math.floorMod(h, dim)) += 1f
+            colIdx += 1
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+    }
+    v
+  }
 }

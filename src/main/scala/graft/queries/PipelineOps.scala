@@ -725,6 +725,60 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P21 neural header inference (D2) with a SELF-TRAINED ONNX model —
+    * p11's discipline on the neural seam: the corpus's own header data
+    * lines + rule labels fit a per-token softmax scoring head
+    * ([[graft.pipeline.NeuralTrainer]], bounded deterministic
+    * driver-side GD), the head exports to a REAL ONNX file (the
+    * artifact layout a DELFT-exported model ships as), and the
+    * pure-JVM session loads it back through
+    * [[graft.pipeline.Onnx.labelerFromFile]] — batched inference +
+    * BIO-masked Viterbi decode across the corpus, train → serialize →
+    * load → decode fully in-engine. Train/save once per scale dir
+    * (the q102b state-dir discipline). Rows-only per-doc span stats,
+    * p11's report shape. */
+  def p21(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.{BioSpans, NeuralLabeler, NeuralTrainer, Onnx, RuleLabeler}
+    val featDim = 64
+    val lines = graft.pipeline.HeaderFeatures.dataLines(tokenTable(s, d))
+      .withColumnRenamed("data_line", "features")
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-p21-onnx-" + graft.queries.ScaleOps.stateKeyDigest(d))
+    val modelFile = new java.io.File(stateDir, "model.onnx")
+    val labelsFile = new java.io.File(stateDir, "labels.txt")
+    if (!modelFile.exists() || !labelsFile.exists()) {
+      val (labels, bytes) = NeuralTrainer.trainDenseHead(
+        new RuleLabeler().label(lines),
+        NeuralLabeler.positionalHashingEncoder(featDim), featDim)
+      stateDir.mkdirs()
+      // labels land first, model last: the model file is the commit
+      // marker the reader checks
+      val tmpL = new java.io.File(stateDir,
+        s".labels-${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmpL.toPath,
+        labels.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (!tmpL.renameTo(labelsFile)) tmpL.delete()
+      val tmpM = new java.io.File(stateDir,
+        s".model-${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmpM.toPath, bytes)
+      if (!tmpM.renameTo(modelFile)) tmpM.delete()
+    }
+    val labels = new String(
+      java.nio.file.Files.readAllBytes(labelsFile.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toIndexedSeq
+    val labeler = Onnx.labelerFromFile(modelFile.getPath, labels,
+      NeuralLabeler.positionalHashingEncoder(featDim), featDim,
+      transitionMask = Some(NeuralLabeler.bioMask(labels))).get
+    BioSpans.spans(labeler.label(lines))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("tag") === "<title>", 1).otherwise(0)).as("n_title_spans"),
+        sum(when(col("tag") === "<title>", col("n_tokens")).otherwise(0))
+          .as("n_title_tokens"),
+        count(lit(1)).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -749,5 +803,6 @@ object PipelineOps {
     "p19_video_dedup" -> p19,
     "p19b_video_dedup_across" -> p19b,
     "p20_ocr_match" -> p20,
+    "p21_neural_header" -> p21,
   )
 }

@@ -153,4 +153,53 @@ class NeuralLabelerSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("labels") || ex.getCause != null)
   }
+
+  test("in-repo trained ONNX head (NeuralTrainer): train -> export -> " +
+      "labelerFromFile decode agrees with the rule teacher; p21 trains " +
+      "and serves per scale dir") {
+    import spark.implicits._
+    import graft.pipeline.{HeaderFeatures, NeuralTrainer, Onnx, RuleLabeler}
+    val docs = (0L until 24L).map { id =>
+      (id, graft.queries.PipelineOps.altoOf(id,
+        s"Paper Title$id Engine Alice Author$id " +
+          (1 to 25).map(i => s"word$i").mkString(" ")))
+    }
+    val toks = graft.sources.AltoReader.tokens(docs.toDS()).toDF()
+    val lines = HeaderFeatures.dataLines(toks)
+      .withColumnRenamed("data_line", "features")
+    val teacher = new RuleLabeler().label(lines)
+    val featDim = 64
+    val (labels, bytes) = NeuralTrainer.trainDenseHead(teacher,
+      NeuralLabeler.positionalHashingEncoder(featDim), featDim)
+    assert(labels.contains("B-<title>") && labels.contains("O"))
+    val f = java.nio.file.Files.createTempFile("graft-head", ".onnx")
+    java.nio.file.Files.write(f, bytes)
+    try {
+      val labeler = Onnx.labelerFromFile(f.toString, labels,
+        NeuralLabeler.positionalHashingEncoder(featDim), featDim,
+        transitionMask = Some(NeuralLabeler.bioMask(labels))).get
+      val key = Seq("doc_id", "page_idx", "block_idx", "line_idx",
+        "token_idx")
+      val joined = labeler.label(lines)
+        .select((key.map(col) :+ col("label").as("pred")): _*)
+        .join(teacher.select((key.map(col) :+ col("label").as("truth")): _*),
+          key)
+      val n = joined.count()
+      val ok = joined.filter(col("pred") === col("truth")).count()
+      assert(n > 0 && ok.toDouble / n >= 0.85, s"agreement $ok/$n")
+      // the cleanly-learnable class: largest-font title tokens
+      val titleTruth = joined.filter(col("truth").contains("<title>"))
+      val titleOk = titleTruth.filter(col("pred") === col("truth")).count()
+      val titleN = titleTruth.count()
+      assert(titleOk.toDouble / titleN >= 0.95,
+        s"title agreement $titleOk/$titleN")
+    } finally java.nio.file.Files.delete(f)
+    // the pipeline entry trains once per scale dir and reports spans
+    val p = graft.queries.PipelineOps.p21(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables(spark, sf("0.001")).documents.count()
+    assert(p.length == nDocs, s"${p.length} of $nDocs docs reported")
+    val withTitle = p.count(_._2 >= 1)
+    assert(withTitle >= nDocs * 8 / 10, s"$withTitle/$nDocs docs have a title span")
+  }
 }
