@@ -103,6 +103,58 @@ class AppConfigSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("cv_models.default with a local trained artifact loads the D5 " +
+      "detector through the config path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-cv")
+    try {
+      val quads = Seq(
+        (0.0, 0.0, 0.5, 0.5), (0.5, 0.0, 0.5, 0.5),
+        (0.0, 0.5, 0.5, 0.5), (0.5, 0.5, 0.5, 0.5))
+      val cats = IndexedSeq("figure", "table")
+      // the in-repo trained artifact (DetectorTrainer) IS the file a
+      // deployment points cv_models.default.path at
+      val bytes = graft.pipeline.DetectorTrainer.train(quads, cats,
+        grid = 4, nSamples = 120, seed = 11L)
+      val modelPath = dir.resolve("layout.onnx")
+      java.nio.file.Files.write(modelPath, bytes)
+      val cfg = AppConfig.parse(
+        s"""cv_models:
+           |  default:
+           |    engine: 'onnx'
+           |    path: '$modelPath'
+           |    score_threshold: 0.5
+           |    grid: 4
+           |    categories:
+           |      - 'figure'
+           |      - 'table'
+           |    anchors:
+           |      - '0.0, 0.0, 0.5, 0.5'
+           |      - '0.5, 0.0, 0.5, 0.5'
+           |      - '0.0, 0.5, 0.5, 0.5'
+           |      - '0.5, 0.5, 0.5, 0.5'
+           |""".stripMargin)
+      assert(cfg.cvScoreThreshold == 0.5)
+      val det = cfg.cvDetector.get
+      // a held-out fixture detects its planted boxes by category
+      val rnd = new java.util.Random(123L)
+      val fx = Iterator.continually(
+        graft.pipeline.DetectorTrainer.renderFixture(rnd, quads, 2))
+        .find(f => f.labels.contains(1) && f.labels.contains(2)).get
+      val got = det(fx.png).map { case (x, y, _, _, cat, _) =>
+        val a = quads.indexWhere { case (ax, ay, _, _) =>
+          math.abs(ax * 64 - x) < 1 && math.abs(ay * 64 - y) < 1 }
+        a -> cat
+      }.toMap
+      fx.labels.zipWithIndex.foreach { case (truth, a) =>
+        val want = truth match {
+          case 0 => None
+          case c => Some(cats(c - 1))
+        }
+        assert(got.get(a) == want, s"anchor $a: ${got.get(a)} vs $want")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("service boots from a config file: the configured ONNX model " +
       "file drives the header labeler, unresolved slots keep rule " +
       "labelers, processor flags apply") {
