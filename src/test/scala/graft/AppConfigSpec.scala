@@ -103,6 +103,28 @@ class AppConfigSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("examples/config.yml parses and maps every documented surface " +
+      "(and soft-degrades all its absent artifact paths)") {
+    val cfg = AppConfig.fromFile("examples/config.yml")
+    assert(cfg.cvRenderDpi == 100)
+    assert(cfg.maxGraphicDistance == 0.3)
+    assert(!cfg.useCvModel && !cfg.useOcrModel)
+    // the example declares exactly the reference defaults
+    assert(cfg.processorConfig == graft.pipeline.Processor.Config())
+    assert(cfg.keys("models").toSet ==
+      Set("segmentation", "header", "fulltext", "reference_segmenter"))
+    assert(cfg.getSeq("models.header.labels").size == 5)
+    // every artifact path in the example is absent here — each slot
+    // soft-degrades instead of failing the boot
+    Seq("segmentation", "header", "fulltext", "reference_segmenter")
+      .foreach(m => assert(cfg.labelerFor(m).isEmpty, m))
+    assert(cfg.cvDetector.isEmpty)
+    assert(cfg.cvScoreThreshold == 0.1)
+    assert(cfg.teiToJatsParameters("acknowledgement_target") == "ack")
+    assert(cfg.getSeq("lookup.first_name.paths").size == 3)
+    assert(cfg.lexicon(spark, "country").isEmpty)
+  }
+
   test("cv_models.default with a local trained artifact loads the D5 " +
       "detector through the config path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cfg-cv")
