@@ -779,6 +779,79 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P22 WARC crawl ingestion (round 15; the Common Crawl shape —
+    * `.warc.gz` archives with one gzip member per record): the corpus
+    * is exported ONCE per scale dir into real multi-member WARC
+    * archives (one per hash partition, each document wrapped in HTML
+    * with title/nav boilerplate, entities escaped), then every query
+    * STREAMS the archives back through
+    * [[graft.sources.WarcReader.records]] →
+    * [[graft.sources.WarcReader.textDocuments]] (HTTP parse + HTML
+    * boilerplate-stripped text, all row-local) and verifies each
+    * document's extracted text against the expected extraction —
+    * title line + nav line + entity-decoded body. Rows-only
+    * (gzip/HTTP framing is not SQL-expressible); spec-pinned to all-ok
+    * plus the framing/truncation/quarantine cases in WarcSpec.
+    *
+    * Scale shape: file-granular streaming parallelism (one task per
+    * archive, no archive ever materializes whole), row-local
+    * extraction, one join back to the source table on doc_id. */
+  def p22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.WarcReader
+    val docs = Tables(s, d).documents.select("doc_id", "text")
+    val fixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-p22-warc-" + graft.queries.ScaleOps.stateKeyDigest(d))
+    if (!new java.io.File(fixDir, "_SUCCESS").exists()) {
+      fixDir.mkdirs()
+      val dirPath = fixDir.getPath
+      docs.repartition(8, pmod(col("doc_id"), lit(8)))
+        .as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val rows = it.toArray.sortBy(_._1)
+          if (rows.nonEmpty) {
+            val responses = rows.toSeq.map { case (id, text) =>
+              (s"https://corpus.example/doc/$id",
+                f"2026-01-${id % 28 + 1}%02dT00:00:00Z",
+                s"<html><head><title>doc $id</title>" +
+                  "<script>var x = 1 < 2;</script></head>" +
+                  "<body><nav>home &amp; about</nav>" +
+                  s"<p>${WarcReader.htmlEscape(text)}</p></body></html>")
+            }
+            val bytes = WarcReader.buildWarcGz(s"part-${rows.head._1}",
+              responses)
+            val f = new java.io.File(dirPath,
+              s"part-${rows.head._1}.warc.gz")
+            val tmp = new java.io.File(dirPath,
+              f.getName + s".tmp-${java.util.UUID.randomUUID()}")
+            java.nio.file.Files.write(tmp.toPath, bytes)
+            if (!tmp.renameTo(f)) tmp.delete()
+            ()
+          }
+        }
+      new java.io.FileOutputStream(
+        new java.io.File(fixDir, "_SUCCESS")).close()
+    }
+    val extracted = WarcReader.textDocuments(
+      WarcReader.records(s, fixDir.getPath + "/*.warc.gz",
+        minPartitions = 8))
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("text").as("extracted"))
+    val collapsed = trim(regexp_replace(col("text"), "\\s+", " "))
+    val expected = docs.select(col("doc_id"),
+      concat(lit("doc "), col("doc_id"), lit("\nhome & about"),
+        when(collapsed === "", lit(""))
+          .otherwise(concat(lit("\n"), collapsed))).as("expect"))
+    extracted.join(expected, Seq("doc_id"))
+      .select(col("doc_id"),
+        length(col("extracted")).cast("bigint").as("n_chars"),
+        (col("extracted") === col("expect")).cast("int").cast("bigint")
+          .as("ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -804,5 +877,6 @@ object PipelineOps {
     "p19b_video_dedup_across" -> p19b,
     "p20_ocr_match" -> p20,
     "p21_neural_header" -> p21,
+    "p22_warc_ingest" -> p22,
   )
 }
