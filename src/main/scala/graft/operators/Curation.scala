@@ -552,4 +552,40 @@ object Curation {
       .groupBy("comp").agg(min("did").as("did"))
       .select(col("did").as(idCol))
   }
+
+  /** URL-based curation — the FIRST stage of the published web-corpus
+    * recipes (CCNet/RefinedWeb run URL filtering before any content
+    * pass, because it is the only filter that costs zero text
+    * processing): parse scheme-authority-path with one regex each,
+    * reduce the host to its APPROXIMATE registrable domain (last two
+    * dot-labels — a public-suffix list refines this behind the same
+    * column, declared), drop blocklisted domains and blocklisted path
+    * prefixes, and cap survivors per domain keeping the longest
+    * documents ((n_chars desc, doc_id) — [[Sampling.groupCap]]'s
+    * bounded aggregate, never a per-domain window sort).
+    *
+    * Scale shape: parsing and filtering are row-local; the only
+    * exchange is the cap aggregate's ≤ cap·domains rows. Blocklists
+    * broadcast as literals (`isin`) at dashboard size; swap to a
+    * broadcast semi-join frame past that.
+    *
+    * @return kept (doc_id, domain, rank) — rank 1-based within domain
+    */
+  def urlCuration(docs: DataFrame, blockedDomains: Set[String],
+      blockedPathPrefixes: Seq[String], capPerDomain: Int,
+      urlCol: String = "url", idCol: String = "doc_id",
+      scoreCol: String = "n_chars"): DataFrame = {
+    val host = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
+    val path = regexp_extract(col(urlCol), "^[a-z]+://[^/]+(/.*)$", 1)
+    val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val parsed = docs.select(col(idCol), col(scoreCol),
+        domain.as("domain"), path.as("path"))
+      .filter(!col("domain").isin(blockedDomains.toSeq: _*))
+      .filter(blockedPathPrefixes
+        .map(p => !col("path").startsWith(p))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+    Sampling.groupCap(parsed, groupCol = "domain", cap = capPerDomain,
+        scoreCol = scoreCol, idCol = idCol)
+      .select(col(idCol), col("domain"), col("rank"))
+  }
 }

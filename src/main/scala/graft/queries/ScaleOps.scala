@@ -1352,6 +1352,31 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Q124 URL curation (ORACLED — the CCNet/RefinedWeb FIRST stage,
+    * now meaningful in-engine because the WARC source (p22) produces
+    * url columns): deterministic synthetic URLs over the corpus
+    * (subdomain/ads-path variation derived from doc_id so DuckDB
+    * replays them), then [[graft.operators.Curation.urlCuration]] —
+    * registrable-domain reduction (the `www.` rows prove the
+    * last-two-labels rule does work), domain blocklist, path-prefix
+    * blocklist, and a per-domain cap of the 10 longest documents via
+    * the q115 bounded aggregate (no per-domain window sort; the one
+    * exchange carries ≤ cap·domains rows). */
+  def q124(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select(col("doc_id"),
+      col("source"), col("n_chars"),
+      concat(lit("https://"),
+        when(col("doc_id") % 5 === 0, "www.").otherwise(""),
+        col("source"), lit(".example/"),
+        when(col("doc_id") % 7 === 0, "ads/").otherwise("article/"),
+        col("doc_id")).as("url"))
+    graft.operators.Curation.urlCuration(docs,
+      blockedDomains = Set("src1.example"),
+      blockedPathPrefixes = Seq("/ads/"),
+      capPerDomain = 10)
+      .orderBy(col("domain").asc_nulls_last, col("rank"))
+  }
+
   /** Q103 blocklist redaction (rows-only — leftmost-longest selection
     * is the declared engine semantics): one automaton pass replaces
     * every banned phrase, keeping the document and its count
@@ -1810,6 +1835,7 @@ object ScaleOps {
     "q53_dedup_components" -> q53,
     "q53b_dedup_components_incremental" -> q53b,
     "q123_leakage_safe_split" -> q123,
+    "q124_url_curation" -> q124,
     "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
@@ -2370,6 +2396,31 @@ object ScaleOps {
                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
            FROM documents)
          WHERE rank <= 25 ORDER BY source, rank""",
+    "q124_url_curation" ->
+      """WITH u AS (
+           SELECT doc_id, n_chars,
+             CONCAT('https://',
+               CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END,
+               source, '.example/',
+               CASE WHEN doc_id % 7 = 0 THEN 'ads/' ELSE 'article/' END,
+               CAST(doc_id AS VARCHAR)) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_chars,
+             regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+               '([^.]+\.[^.]+)$', 1) AS domain,
+             regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+           FROM u),
+         kept AS (
+           SELECT doc_id, n_chars, domain FROM p
+           WHERE domain <> 'src1.example' AND path NOT LIKE '/ads/%'),
+         ranked AS (
+           SELECT doc_id, domain,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+           FROM kept)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, domain, rank
+         FROM ranked WHERE rank <= 10 ORDER BY domain, rank""",
     // q117/q117b: the oracle is q74's full-union shared-span removal
     // (string grams vs Spark's FNV hashes — the q74 collision stance)
     // restricted to the delivery slice: the incremental operator's
