@@ -574,17 +574,55 @@ object Curation {
   def urlCuration(docs: DataFrame, blockedDomains: Set[String],
       blockedPathPrefixes: Seq[String], capPerDomain: Int,
       urlCol: String = "url", idCol: String = "doc_id",
-      scoreCol: String = "n_chars"): DataFrame = {
+      scoreCol: String = "n_chars"): DataFrame =
+    Sampling.groupCap(
+        parseAndFilterUrls(docs, blockedDomains, blockedPathPrefixes,
+          urlCol, idCol, scoreCol),
+        groupCol = "domain", cap = capPerDomain,
+        scoreCol = scoreCol, idCol = idCol)
+      .select(col(idCol), col("domain"), col("rank"))
+
+  /** The row-local half of [[urlCuration]]: (id, score, domain) for
+    * every document whose URL survives the blocklists. */
+  private def parseAndFilterUrls(docs: DataFrame,
+      blockedDomains: Set[String], blockedPathPrefixes: Seq[String],
+      urlCol: String, idCol: String, scoreCol: String): DataFrame = {
     val host = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
     val path = regexp_extract(col(urlCol), "^[a-z]+://[^/]+(/.*)$", 1)
     val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val parsed = docs.select(col(idCol), col(scoreCol),
-        domain.as("domain"), path.as("path"))
+    docs.select(col(idCol), col(scoreCol), domain.as("domain"),
+        path.as("path"))
       .filter(!col("domain").isin(blockedDomains.toSeq: _*))
       .filter(blockedPathPrefixes
         .map(p => !col("path").startsWith(p))
         .reduceOption(_ && _).getOrElse(lit(true)))
-    Sampling.groupCap(parsed, groupCol = "domain", cap = capPerDomain,
+      .drop("path")
+  }
+
+  /** Delivery-time [[urlCuration]] — continuous-crawl governance (the
+    * q99/q115 marriage): a new crawl batch merges into the STORED
+    * per-domain keeper set. The delivery parses and filters through
+    * the SAME rules row-locally, unions with the stored keepers (id,
+    * domain, score — ≤ cap·domains rows, the only corpus-derived
+    * input; the corpus itself is never re-read), and the per-domain
+    * cap re-ranks the union with the bounded aggregate — a delivery
+    * document enters only by out-ranking a stored keeper, evicting it
+    * exactly as the batch operator over the union would.
+    *
+    * @param storedKeepers (idCol, domain, scoreCol) — the persisted
+    *   output of the batch pass joined back to its scores
+    * @return the NEW keeper set (idCol, domain, rank)
+    */
+  def urlCurationMerge(storedKeepers: DataFrame, delivery: DataFrame,
+      blockedDomains: Set[String], blockedPathPrefixes: Seq[String],
+      capPerDomain: Int, urlCol: String = "url",
+      idCol: String = "doc_id", scoreCol: String = "n_chars"): DataFrame = {
+    val deliv = parseAndFilterUrls(delivery, blockedDomains,
+      blockedPathPrefixes, urlCol, idCol, scoreCol)
+    val unioned = storedKeepers.select(col(idCol), col(scoreCol),
+        col("domain"))
+      .unionByName(deliv)
+    Sampling.groupCap(unioned, groupCol = "domain", cap = capPerDomain,
         scoreCol = scoreCol, idCol = idCol)
       .select(col(idCol), col("domain"), col("rank"))
   }

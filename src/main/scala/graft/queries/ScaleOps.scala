@@ -1377,6 +1377,46 @@ object ScaleOps {
       .orderBy(col("domain").asc_nulls_last, col("rank"))
   }
 
+  /** Q124b delivery-time URL curation (ORACLED — continuous-crawl
+    * governance, the q124 across form): the batch keeper set persists
+    * once per scale dir WITH its scores (≤ cap·domains rows — the
+    * only stored state; the corpus is never re-read), and each new
+    * crawl batch (every 7th doc, ids +1M, 1000 chars longer so
+    * evictions actually happen, one still-blocked source proving the
+    * delivery passes the same filters) merges through
+    * [[graft.operators.Curation.urlCurationMerge]] — the top-k merge
+    * identity makes keeper∪delivery re-ranking EXACTLY the batch pass
+    * over the union corpus, which is what DuckDB replays. */
+  def q124b(s: SparkSession, d: String): DataFrame = {
+    def withUrls(df: DataFrame) = df.select(col("doc_id"),
+      col("source"), col("n_chars"),
+      concat(lit("https://"),
+        when(col("doc_id") % 5 === 0, "www.").otherwise(""),
+        col("source"), lit(".example/"),
+        when(col("doc_id") % 7 === 0, "ads/").otherwise("article/"),
+        col("doc_id")).as("url"))
+    val docs = Tables(s, d).documents
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-q124-idx-" + stateKeyDigest(d))
+    val keepDir = new java.io.File(stateDir, "urlkeep").getPath
+    if (!new java.io.File(keepDir, "_SUCCESS").exists()) {
+      // the batch pass + its scores — what a production run persists
+      q124(s, d)
+        .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .select("doc_id", "domain", "n_chars")
+        .write.mode("overwrite").parquet(keepDir)
+    }
+    val delivery = withUrls(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        (col("n_chars") + 1000L).as("n_chars")))
+    graft.operators.Curation.urlCurationMerge(
+      s.read.parquet(keepDir), delivery,
+      blockedDomains = Set("src1.example"),
+      blockedPathPrefixes = Seq("/ads/"),
+      capPerDomain = 10)
+      .orderBy(col("domain").asc_nulls_last, col("rank"))
+  }
+
   /** Q103 blocklist redaction (rows-only — leftmost-longest selection
     * is the declared engine semantics): one automaton pass replaces
     * every banned phrase, keeping the document and its count
@@ -1836,6 +1876,7 @@ object ScaleOps {
     "q53b_dedup_components_incremental" -> q53b,
     "q123_leakage_safe_split" -> q123,
     "q124_url_curation" -> q124,
+    "q124b_url_curation_incremental" -> q124b,
     "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
@@ -2419,6 +2460,40 @@ object ScaleOps {
              CAST(ROW_NUMBER() OVER (PARTITION BY domain
                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
            FROM kept)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, domain, rank
+         FROM ranked WHERE rank <= 10 ORDER BY domain, rank""",
+    // q124b: the top-k merge identity — re-ranking (stored keepers ∪
+    // delivery) equals the batch pass over the FULL union corpus, so
+    // the oracle replays the union directly
+    "q124b_url_curation_incremental" ->
+      """WITH u AS (
+           SELECT doc_id, n_chars,
+             CONCAT('https://',
+               CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END,
+               source, '.example/',
+               CASE WHEN doc_id % 7 = 0 THEN 'ads/' ELSE 'article/' END,
+               CAST(doc_id AS VARCHAR)) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_chars,
+             regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+               '([^.]+\.[^.]+)$', 1) AS domain,
+             regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+           FROM u),
+         kept AS (
+           SELECT doc_id, n_chars, domain FROM p
+           WHERE domain <> 'src1.example' AND path NOT LIKE '/ads/%'),
+         dkept AS (
+           SELECT doc_id + 1000000 AS doc_id, n_chars + 1000 AS n_chars,
+             CONCAT(source, '.example') AS domain
+           FROM documents WHERE doc_id % 7 = 0 AND source <> 'src1'),
+         unioned AS (
+           SELECT * FROM kept UNION ALL SELECT * FROM dkept),
+         ranked AS (
+           SELECT doc_id, domain,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+           FROM unioned)
          SELECT CAST(doc_id AS BIGINT) AS doc_id, domain, rank
          FROM ranked WHERE rank <= 10 ORDER BY domain, rank""",
     // q117/q117b: the oracle is q74's full-union shared-span removal
