@@ -142,6 +142,23 @@ final class AppConfig private[service] (val root: Map[String, Any]) {
     p.startsWith("http://") || p.startsWith("https://") ||
       p.startsWith("lp://")
 
+  /** D6 OCR closure from `ocr_models.default` (reference
+    * `config.yml:110-119` binds tesserocr): `engine: glyph` yields the
+    * in-JVM [[graft.pipeline.GlyphOcr]] template-correlation
+    * recognizer with the configured `max_resolution` (the reference's
+    * 1024 default); any other engine (tesserocr — no binary in a
+    * zero-egress build) degrades to None and the caller keeps its
+    * injected seam. Gated on `processors.fulltext.use_ocr_model` like
+    * the reference's processor flag. */
+  def ocrModel: Option[Array[Byte] => String] =
+    if (!useOcrModel) None
+    else get("ocr_models.default.engine") match {
+      case Some("glyph") =>
+        val maxRes = getInt("ocr_models.default.max_resolution", 1024)
+        Some(bytes => graft.pipeline.GlyphOcr.recognize(bytes, maxRes))
+      case _ => None
+    }
+
   /** Build the labeler for `models.<name>` per its `engine`:
     *  - `onnx` — [[Onnx.labelerFromFile]] with the config's `labels`
     *    list and `feat_dim` hashing encoder (the engine's documented

@@ -65,6 +65,29 @@ class AppConfigSpec extends SparkSuite {
       Seq("https://example.org/CountryCodes.xml"))
     assert(cfg.teiToJatsParameters ==
       Map("output_parameters" -> "false", "acknowledgement_target" -> "ack"))
+    // OCR wiring: use_ocr_model gates; engine glyph yields the in-JVM
+    // recognizer reading real pixels; other engines degrade
+    assert(cfg.ocrModel.isEmpty) // use_ocr_model absent in this yaml
+    val ocrCfg = AppConfig.parse(
+      """processors:
+        |  fulltext:
+        |    use_ocr_model: true
+        |ocr_models:
+        |  default:
+        |    engine: 'glyph'
+        |    max_resolution: 512
+        |""".stripMargin)
+    val ocr = ocrCfg.ocrModel.get
+    assert(ocr(graft.pipeline.GlyphOcr.renderTextImage(Seq("Figure 4")))
+      == "Figure 4")
+    assert(AppConfig.parse(
+      """processors:
+        |  fulltext:
+        |    use_ocr_model: true
+        |ocr_models:
+        |  default:
+        |    engine: 'tesserocr'
+        |""".stripMargin).ocrModel.isEmpty)
     assert(cfg.keys("models").toSet == Set("segmentation", "name_header"))
     // processors.fulltext.* → Processor.Config mapping
     val pc = cfg.processorConfig
@@ -109,6 +132,8 @@ class AppConfigSpec extends SparkSuite {
     assert(cfg.cvRenderDpi == 100)
     assert(cfg.maxGraphicDistance == 0.3)
     assert(!cfg.useCvModel && !cfg.useOcrModel)
+    assert(cfg.ocrModel.isEmpty) // use_ocr_model=false gates the engine
+    assert(cfg.get("ocr_models.default.engine").contains("glyph"))
     // the example declares exactly the reference defaults
     assert(cfg.processorConfig == graft.pipeline.Processor.Config())
     assert(cfg.keys("models").toSet ==
