@@ -138,7 +138,19 @@ object CacheRegistry {
           }
       }
       existing match {
-        case Some(winner) => df.unpersist(blocking = false); winner
+        case Some(winner) =>
+          // `Dataset.unpersist` uncaches by PLAN match (CacheManager
+          // .uncacheQuery), so when the two racers built the same
+          // canonical plan, unpersisting the loser would also drop the
+          // winner's cached data while the registry keeps serving the
+          // now-unpersisted Dataset. Only release the loser's cache
+          // when its plan is genuinely distinct from the winner's —
+          // otherwise the loser's persist was absorbed by the same
+          // cache entry and there is nothing separate to release.
+          if (!df.queryExecution.analyzed.sameResult(
+              winner.queryExecution.analyzed))
+            df.unpersist(blocking = false)
+          winner
         case None => df
       }
     }

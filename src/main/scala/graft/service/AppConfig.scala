@@ -185,9 +185,19 @@ final class AppConfig private[service] (val root: Map[String, Any]) {
         case "onnx" =>
           val labels = getSeq(s"$base.labels").toIndexedSeq
           val featDim = getInt(s"$base.feat_dim", 16)
+          // Scoring must match TRAINING: the engine's own exported
+          // artifacts (NeuralTrainer / p21) encode data lines with the
+          // position-aware hasher and decode under the BIO transition
+          // mask, so those are the defaults here — a config-loaded
+          // model scored with the bag encoder would silently mislabel.
+          // `encoder: bag` opts a free-text model out.
+          val encode = get(s"$base.encoder").getOrElse("positional") match {
+            case "bag" => NeuralLabeler.hashingEncoder(featDim)
+            case _ => NeuralLabeler.positionalHashingEncoder(featDim)
+          }
           if (labels.isEmpty) None
-          else Onnx.labelerFromFile(path, labels,
-            NeuralLabeler.hashingEncoder(featDim), featDim)
+          else Onnx.labelerFromFile(path, labels, encode, featDim,
+            transitionMask = Some(NeuralLabeler.bioMask(labels)))
         case "wapiti" =>
           if (new java.io.File(path).isFile)
             Some(CrfLabeler.fromFile(path))

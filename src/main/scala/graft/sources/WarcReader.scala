@@ -97,23 +97,39 @@ object WarcReader {
     import spark.implicits._
     records
       .filter(col("error").isNull && col("warc_type") === "response")
-      .select(col("file"), col("url"), col("date"), col("body"))
-      .as[(String, String, String, Array[Byte])]
-      .map { case (file, url, date, body) =>
+      .select(col("file"), col("url"), col("date"), col("body"),
+        col("truncated"))
+      .as[(String, String, String, Array[Byte], Boolean)]
+      .map { case (file, url, date, body, truncated) =>
         val (status, ctype, payload) = httpParts(body)
         val html = ctype == null || ctype.contains("text/html") ||
           ctype.contains("application/xhtml")
         val text = if (status == 200 && html)
-          htmlToText(new String(payload, StandardCharsets.UTF_8)) else null
-        (file, url, date, status, text)
+          htmlToText(new String(payload, charsetOf(ctype))) else null
+        (file, url, date, status, text, truncated)
       }
-      .toDF("file", "url", "date", "http_status", "text")
+      .toDF("file", "url", "date", "http_status", "text", "truncated")
       .filter(col("text").isNotNull && col("text") =!= "")
       .select(
         pmod(xxhash64(col("url"), col("date")), lit(Long.MaxValue))
           .as("doc_id"),
         col("url"), col("date"), col("http_status").cast("int"),
-        col("text"), length(col("text")).cast("long").as("n_chars"))
+        col("text"), length(col("text")).cast("long").as("n_chars"),
+        col("truncated"))
+  }
+
+  /** Charset from a `Content-Type` header's `charset=` parameter;
+    * UTF-8 when absent, unknown, or unsupported in this JVM — crawl
+    * pages declare ISO-8859-1/GBK/Shift_JIS routinely and decoding
+    * them as UTF-8 would admit mojibake into the corpus. */
+  private[graft] def charsetOf(ctype: String): java.nio.charset.Charset = {
+    if (ctype == null) return StandardCharsets.UTF_8
+    val m = "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:\\-]+)\"?".r
+      .findFirstMatchIn(ctype)
+    m.map(_.group(1)).map { name =>
+      try java.nio.charset.Charset.forName(name)
+      catch { case _: Exception => StandardCharsets.UTF_8 }
+    }.getOrElse(StandardCharsets.UTF_8)
   }
 
   // ------------------------------------------------------------- parsing
@@ -258,11 +274,21 @@ object WarcReader {
     val named = s.replace("&nbsp;", " ").replace("&lt;", "<")
       .replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&#39;", "'").replace("&apos;", "'")
+    // Malformed/out-of-range refs ('&#3f;' decimal, '&#x110000;',
+    // surrogate code points) fall back to the literal text — one bad
+    // entity in crawl HTML must never fail the record, let alone the
+    // archive (the file-level quarantine only covers WARC framing).
     val out = "&#x?([0-9a-fA-F]+);".r.replaceAllIn(named, m => {
       val hex = m.group(0).charAt(2) == 'x' || m.group(0).charAt(2) == 'X'
-      val cp = Integer.parseInt(m.group(1), if (hex) 16 else 10)
-      scala.util.matching.Regex.quoteReplacement(
-        new String(Character.toChars(cp)))
+      val decoded =
+        try {
+          val cp = Integer.parseInt(m.group(1), if (hex) 16 else 10)
+          if (cp < 0 || cp > Character.MAX_CODE_POINT ||
+            (cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+            m.group(0)
+          else new String(Character.toChars(cp))
+        } catch { case _: NumberFormatException => m.group(0) }
+      scala.util.matching.Regex.quoteReplacement(decoded)
     })
     out.replace("&amp;", "&") // last, so &amp;lt; decodes to &lt; literal
   }

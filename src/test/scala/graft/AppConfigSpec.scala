@@ -269,4 +269,72 @@ class AppConfigSpec extends SparkSuite {
       } finally service.stop()
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  test("train → export → config-load round-trip: a NeuralTrainer " +
+      "artifact scores identically through labelerFor (positional " +
+      "encoder + BIO mask), where the bag encoder would mislabel") {
+    import spark.implicits._
+    import graft.pipeline.{NeuralLabeler, NeuralTrainer}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-rt")
+    try {
+      val featDim = 32
+      // Two-column "1"/"0" flag lines where the LABEL depends on which
+      // column carries the 1 — exactly the GROBID data-line shape whose
+      // information the bag encoder destroys ("1 0" and "0 1" hash to
+      // the same bag) and the positional encoder preserves.
+      val rows = (0 until 40).map { i =>
+        val flagFirst = i % 2 == 0
+        val feats = if (flagFirst) "1 0" else "0 1"
+        val label = if (flagFirst) "B-<kept>" else "O"
+        (i.toLong, 0, 0, 0, 0, s"t$i", " ", feats, label)
+      }
+      val labeled = rows.toDF("doc_id", "page_idx", "block_idx",
+        "line_idx", "token_idx", "text", "whitespace", "features", "label")
+      val (labels, bytes) = NeuralTrainer.trainDenseHead(labeled,
+        NeuralLabeler.positionalHashingEncoder(featDim), featDim,
+        maxTokens = 1000, epochs = 200)
+      val modelPath = dir.resolve("header.onnx")
+      java.nio.file.Files.write(modelPath, bytes)
+      val cfg = AppConfig.parse(
+        s"""models:
+           |  header:
+           |    engine: 'onnx'
+           |    path: '$modelPath'
+           |    feat_dim: $featDim
+           |    labels:
+           |${labels.map(l => s"      - '$l'").mkString("\n")}
+           |""".stripMargin)
+      val got = cfg.labelerFor("header").get
+        .label(labeled.drop("label"))
+        .select("doc_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // the config-loaded labeler reproduces the training labels
+      // exactly — scoring matches training featurization
+      rows.foreach { case (id, _, _, _, _, _, _, _, want) =>
+        assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+      }
+      // negative control: the SAME artifact scored through the bag
+      // encoder (the pre-fix default) cannot separate the two classes
+      val bag = graft.pipeline.Onnx.labelerFromFile(modelPath.toString,
+        labels, NeuralLabeler.hashingEncoder(featDim), featDim).get
+        .label(labeled.drop("label"))
+        .select("label").distinct().collect().map(_.getString(0)).toSet
+      assert(bag.size == 1, s"bag encoder separated anyway: $bag")
+      // encoder: bag stays available as the declared opt-out
+      val cfgBag = AppConfig.parse(
+        s"""models:
+           |  header:
+           |    engine: 'onnx'
+           |    path: '$modelPath'
+           |    feat_dim: $featDim
+           |    encoder: 'bag'
+           |    labels:
+           |${labels.map(l => s"      - '$l'").mkString("\n")}
+           |""".stripMargin)
+      val bagViaCfg = cfgBag.labelerFor("header").get
+        .label(labeled.drop("label"))
+        .select("label").distinct().collect().map(_.getString(0)).toSet
+      assert(bagViaCfg == bag)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }

@@ -143,6 +143,43 @@ class CacheRegistrySpec extends SparkSuite {
     Graft.releaseCaches(spark, includeShared = true)
   }
 
+  test("persistKeyed race: a losing racer with the SAME canonical plan " +
+      "must not uncache the winner's data") {
+    Graft.releaseCaches(spark, includeShared = true)
+    CacheRegistry.forget(spark)
+    // Both racers pass build() before either inserts (the latch holds
+    // mk until both arrived), producing the exact double-build race:
+    // identical canonical plans, two persist() calls, one loser. The
+    // loser's Dataset.unpersist uncaches BY PLAN, so pre-fix it
+    // dropped the winner's cached data while the registry kept serving
+    // the now-unpersisted Dataset.
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    def mk = {
+      latch.countDown()
+      latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      spark.range(100).toDF("race_v") // deterministic plan, no lambda
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.jdk.CollectionConverters._
+      val results = pool.invokeAll(Seq.fill(2)(new java.util.concurrent
+        .Callable[org.apache.spark.sql.DataFrame] {
+          override def call() =
+            CacheRegistry.persistKeyed(spark, "race-key")(mk)
+        }).asJava).asScala.map(_.get())
+      assert(results(0) eq results(1),
+        "both racers must adopt the winner's Dataset")
+      val winner = results.head
+      assert(winner.count() == 100)
+      assert(winner.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "the winner's cache survived the loser's release")
+    } finally {
+      pool.shutdown()
+      Graft.releaseCaches(spark, includeShared = true)
+    }
+  }
+
   test("forget drops a session's registrations without touching others") {
     Graft.releaseCaches(spark, includeShared = true)
     CacheRegistry.forget(spark)

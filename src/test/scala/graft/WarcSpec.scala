@@ -136,6 +136,92 @@ class WarcSpec extends SparkSuite {
     assert(WarcReader.htmlToText(s"<p>${WarcReader.htmlEscape(t)}</p>") == t)
   }
 
+  test("malformed numeric character references fall back to literal " +
+      "text instead of failing the record") {
+    // '&#3f;' is an invalid DECIMAL ref (NumberFormatException before
+    // the fix); '&#x110000;' is beyond MAX_CODE_POINT; '&#xD800;' is a
+    // surrogate — all three must survive as literals, valid refs still
+    // decode, and the whole string round-trips without throwing.
+    val got = WarcReader.htmlToText(
+      "<p>a &#3f; b &#x110000; c &#xD800; d &#65; e</p>")
+    assert(got == "a &#3f; b &#x110000; c &#xD800; d A e", got)
+    // and end-to-end: one garbage entity in one page must not fail the
+    // extraction job for the archive
+    val f = writeTmp("t.warc.gz", WarcReader.buildWarcGz("t", Seq(
+      ("https://a.example/bad", "2026-01-02T00:00:00Z",
+        "<p>pre &#x110000; post</p>"),
+      ("https://a.example/ok", "2026-01-03T00:00:00Z", "<p>fine</p>"))))
+    try {
+      val docs = WarcReader.textDocuments(WarcReader.records(spark, f.getPath))
+        .orderBy("url").collect()
+      assert(docs.length == 2)
+      assert(docs.head.getAs[String]("text") == "pre &#x110000; post")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(f.getParentFile)
+  }
+
+  test("Content-Type charset drives body decoding (ISO-8859-1 pages " +
+      "don't enter the corpus as mojibake); unknown charsets fall back " +
+      "to UTF-8") {
+    import java.nio.charset.{Charset, StandardCharsets}
+    val latinText = "café naïve" // é/ï are single bytes in latin-1
+    val latinHtml = s"<p>$latinText</p>"
+    def member(url: String, ctype: String, charset: Charset) = {
+      val payload = latinHtml.getBytes(charset)
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8)
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2026-01-02T00:00:00Z",
+        "WARC-Record-ID" -> s"<urn:uuid:${url.hashCode}>",
+        "Content-Type" -> "application/http; msgtype=response"),
+        http ++ payload)
+    }
+    val f = writeTmp("t.warc.gz", WarcReader.buildWarcGzRaw(Seq(
+      member("https://a.example/latin",
+        "text/html; charset=ISO-8859-1", StandardCharsets.ISO_8859_1),
+      member("https://a.example/utf8",
+        "text/html; charset=utf-8", StandardCharsets.UTF_8),
+      member("https://a.example/unknown",
+        "text/html; charset=x-no-such-charset", StandardCharsets.UTF_8))))
+    try {
+      val docs = WarcReader.textDocuments(WarcReader.records(spark, f.getPath))
+        .orderBy("url").collect()
+      assert(docs.length == 3)
+      assert(docs.forall(_.getAs[String]("text") == latinText),
+        docs.map(_.getAs[String]("text")).mkString("|"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(f.getParentFile)
+    // the header parser itself
+    assert(WarcReader.charsetOf("text/html; charset=ISO-8859-1")
+      == StandardCharsets.ISO_8859_1)
+    assert(WarcReader.charsetOf("text/html; charset=\"utf-8\"")
+      == StandardCharsets.UTF_8)
+    assert(WarcReader.charsetOf("text/html") == StandardCharsets.UTF_8)
+    assert(WarcReader.charsetOf(null) == StandardCharsets.UTF_8)
+    assert(WarcReader.charsetOf("text/html; charset=bogus!!!")
+      == StandardCharsets.UTF_8)
+  }
+
+  test("textDocuments propagates the truncated flag so ingest can " +
+      "filter cut-off payloads") {
+    val bytes = WarcReader.buildWarcGz("t", Seq(
+      ("https://a.example/big", "2026-01-02T00:00:00Z",
+        "<p>" + ("word " * 2000) + "</p>"),
+      ("https://a.example/small", "2026-01-03T00:00:00Z", "<p>ok</p>")))
+    val f = writeTmp("t.warc.gz", bytes)
+    try {
+      val docs = WarcReader.textDocuments(
+        WarcReader.records(spark, f.getPath, maxBodyBytes = 512))
+        .orderBy("url").collect()
+      assert(docs.length == 2)
+      assert(docs.find(_.getAs[String]("url").endsWith("/big")).get
+        .getAs[Boolean]("truncated"))
+      assert(!docs.find(_.getAs[String]("url").endsWith("/small")).get
+        .getAs[Boolean]("truncated"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(f.getParentFile)
+  }
+
   test("p22 corpus round-trip: every document survives export to real " +
       "multi-member archives and streaming re-ingestion") {
     val got = graft.queries.PipelineOps.p22(spark, sf("0.001"))
