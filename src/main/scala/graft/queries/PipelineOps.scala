@@ -852,6 +852,75 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P23 in-JVM PDF ingestion (round 16; the A1 seam made real): the
+    * corpus slice (`doc_id % 5 = 0`, the p20 delivery-slice
+    * convention) is exported ONCE per scale dir as REAL PDF files
+    * ([[graft.sources.PdfWriter.documentPdf]]: FlateDecode content
+    * streams, classic xref, standard-14 fonts, title/author/body
+    * layout), then every run parses them back with the in-JVM reader
+    * ([[graft.sources.PdfReader]]: xref → page tree → BT/ET text
+    * interpreter → token table) and drives the header pipeline on the
+    * PDF-parsed tokens. The per-doc check is CROSS-PARSER: the TEI
+    * `<title>` extracted from the PDF path must equal the `<title>`
+    * the ALTO path extracts for the same document — downstream can
+    * never see which parser ran. Rows-only (binary PDF framing is not
+    * SQL-expressible); PdfSpec pins the full operator/geometry
+    * matrix.
+    *
+    * Scale shape: file-granular parallelism (one row-local parse per
+    * PDF off the binaryFile scan), TEI folds run only on the slice,
+    * and the ALTO side reuses the corpus-shared parse cache; the only
+    * shuffle is the per-doc join of two slice-sized TEI tables. */
+  def p23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{PdfReader, PdfWriter}
+    val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 5 === 0)
+    val fixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-p23-pdf-" + graft.queries.ScaleOps.stateKeyDigest(d))
+    if (!new java.io.File(fixDir, "_SUCCESS").exists()) {
+      fixDir.mkdirs()
+      val dirPath = fixDir.getPath
+      docs.repartition(8, pmod(col("doc_id"), lit(8)))
+        .as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          it.foreach { case (id, text) =>
+            val bytes = PdfWriter.documentPdf(text)
+            val f = new java.io.File(dirPath, s"doc-$id.pdf")
+            val tmp = new java.io.File(dirPath,
+              f.getName + s".tmp-${java.util.UUID.randomUUID()}")
+            java.nio.file.Files.write(tmp.toPath, bytes)
+            if (!tmp.renameTo(f)) tmp.delete()
+          }
+        }
+      new java.io.FileOutputStream(
+        new java.io.File(fixDir, "_SUCCESS")).close()
+    }
+    val pdfTokens = PdfReader.tokens(
+      s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+        .load(fixDir.getPath)
+        .select(
+          regexp_extract(col("path"), "doc-([0-9]+)\\.pdf$", 1).cast("long")
+            .as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]).toDF()
+    val titleOf = (teiCol: org.apache.spark.sql.Column) =>
+      regexp_extract(teiCol, "(?s)<title(?:\\s[^>]*)?>(.*?)</title>", 1)
+    val pdfTei = graft.pipeline.Processor.documentTei(pdfTokens)
+      .select(col("doc_id"), titleOf(col("tei")).as("pdf_title"))
+    val altoTei = graft.pipeline.Processor.documentTei(
+        tokenTable(s, d).filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"), titleOf(col("tei")).as("alto_title"))
+    val counts = pdfTokens.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("page_idx")).as("n_pages"))
+    counts.join(pdfTei, Seq("doc_id")).join(altoTei, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pages"),
+        (col("pdf_title") === col("alto_title") && col("pdf_title") =!= "")
+          .cast("int").cast("bigint").as("title_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_alto_tokens" -> p01,
     "p02_features" -> p02,
@@ -878,5 +947,6 @@ object PipelineOps {
     "p20_ocr_match" -> p20,
     "p21_neural_header" -> p21,
     "p22_warc_ingest" -> p22,
+    "p23_pdf_roundtrip" -> p23,
   )
 }

@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+/** Minimal PDF writer — the fixture generator and export side of the
+  * in-JVM A1 seam (the p22 round-trip discipline: the engine writes
+  * REAL files in the container format, then its own reader streams
+  * them back). Emits spec-complete PDF 1.4: catalog/page-tree objects,
+  * standard-14 Type1 font resources, FlateDecode-compressed content
+  * streams positioning text with `BT/Tf/Tm/Tj/ET`, a classic xref
+  * table, and a correct `startxref` trailer. Every byte is written
+  * from the public ISO 32000 layout.
+  */
+object PdfWriter {
+
+  /** One positioned token: `y` is TOP-DOWN top edge (ALTO convention);
+    * the writer converts to the PDF bottom-up baseline. */
+  final case class PTok(text: String, x: Double, y: Double, size: Double,
+      bold: Boolean = false, italic: Boolean = false)
+
+  private def fontRes(bold: Boolean, italic: Boolean): (String, String) =
+    (bold, italic) match {
+      case (false, false) => ("F1", "Helvetica")
+      case (true, false) => ("F2", "Helvetica-Bold")
+      case (false, true) => ("F3", "Helvetica-Oblique")
+      case (true, true) => ("F4", "Helvetica-BoldOblique")
+    }
+
+  /** Escape a string for a PDF literal string. Text is normalized
+    * first (B2: ligature/quote/dash folding) — ligature code points
+    * have no single-byte slot in this subset, and their folded form is
+    * exactly what the reader's own normalize pass would produce;
+    * remaining code points above 255 map to '?'. */
+  private[sources] def escape(raw: String): String = {
+    val s = graft.pipeline.TextNormalization.normalize(raw)
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach { c =>
+      c match {
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c if c > 255 => sb.append('?')
+        case c => sb.append(c)
+      }
+    }
+    sb.toString
+  }
+
+  /** Content stream for one page of positioned tokens. */
+  private def contentOf(toks: Seq[PTok], pageH: Double): String = {
+    val sb = new StringBuilder
+    toks.foreach { t =>
+      val (res, _) = fontRes(t.bold, t.italic)
+      val yBase = pageH - t.y - t.size
+      sb.append(s"BT /$res ${fmt(t.size)} Tf 1 0 0 1 ${fmt(t.x)} " +
+        s"${fmt(yBase)} Tm (${escape(t.text)}) Tj ET\n")
+    }
+    sb.toString
+  }
+
+  private def fmt(v: Double): String =
+    if (v == math.rint(v)) v.toLong.toString
+    else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Build a complete PDF from per-page token lists. `compress`
+    * Flate-encodes content streams (the real-world default; `false`
+    * keeps streams readable for debugging fixtures). */
+  def build(pages: Seq[Seq[PTok]], pageW: Double = 612,
+      pageH: Double = 792, compress: Boolean = true): Array[Byte] =
+    buildRawContent(pages.map(contentOf(_, pageH)), pageW, pageH, compress)
+
+  /** Build from raw per-page content streams — the spec hook for
+    * exercising packed strings, TJ kerning, q/cm state, etc. */
+  def buildRawContent(contents: Seq[String], pageW: Double = 612,
+      pageH: Double = 792, compress: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit =
+      out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def beginObj(num: Int): Unit = {
+      offsets += out.size().toLong
+      w(s"$num 0 obj\n")
+    }
+
+    w("%PDF-1.4\n%âãÏÓ\n") // binary-marker comment line
+    val nPages = contents.length
+    // object numbering: 1 catalog, 2 pages, 3-6 fonts,
+    // then per page i: 7+2i page, 8+2i content
+    beginObj(1)
+    w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    val kids = (0 until nPages).map(i => s"${7 + 2 * i} 0 R").mkString(" ")
+    w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    val fontNames = Seq("Helvetica", "Helvetica-Bold", "Helvetica-Oblique",
+      "Helvetica-BoldOblique")
+    fontNames.zipWithIndex.foreach { case (bf, i) =>
+      beginObj(3 + i)
+      w(s"<< /Type /Font /Subtype /Type1 /BaseFont /$bf >>\nendobj\n")
+    }
+    contents.zipWithIndex.foreach { case (content, i) =>
+      beginObj(7 + 2 * i)
+      w(s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [ 0 0 ${fmt(pageW)} ${fmt(pageH)} ] " +
+        "/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R " +
+        s"/F4 6 0 R >> >> /Contents ${8 + 2 * i} 0 R >>\nendobj\n")
+      beginObj(8 + 2 * i)
+      val raw = content.getBytes(StandardCharsets.ISO_8859_1)
+      val data = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val nObjs = 7 + 2 * nPages
+    val xrefPos = out.size().toLong
+    w(s"xref\n0 $nObjs\n")
+    w(f"0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $nObjs /Root 1 0 R >>\nstartxref\n$xrefPos\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------ corpus layout
+
+  /** Document layout for the p23 round-trip — the PDF twin of the
+    * `altoOf` fixture geometry: an 18 pt bold title line (first three
+    * tokens), a 9.5 pt author line (next two), then 9.5 pt body lines
+    * of twelve tokens at 14 pt leading, paginating at the page bottom.
+    * Token x-positions pack by the REAL Helvetica advance widths
+    * ([[PdfFonts]]), so the reader's metric-computed geometry is
+    * exact, not approximate.
+    */
+  def documentPdf(text: String): Array[Byte] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val (titleToks, rest) = toks.splitAt(math.min(3, toks.length))
+    val (authorToks, bodyToks) = rest.splitAt(math.min(2, rest.length))
+    val pageW = 612.0
+    val pageH = 792.0
+    val bottom = 760.0
+    def lineOf(ts: Seq[String], y: Double, size: Double, bold: Boolean)
+        : Seq[PTok] = {
+      var x = 50.0
+      ts.map { t =>
+        val tok = PTok(t, x, y, size, bold = bold)
+        val bf = if (bold) "Helvetica-Bold" else "Helvetica"
+        x += PdfFonts.stringWidth(bf, t, size) +
+          PdfFonts.width(bf, ' ') * size / 1000.0
+        tok
+      }
+    }
+    val pages = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[PTok])
+    var y = 60.0
+    def emit(ts: Seq[String], size: Double, bold: Boolean,
+        advance: Double): Unit = {
+      if (ts.nonEmpty) {
+        if (y + size > bottom) { pages += scala.collection.mutable.ArrayBuffer.empty[PTok]; y = 60.0 }
+        pages.last ++= lineOf(ts, y, size, bold)
+        y += advance
+      }
+    }
+    emit(titleToks.toIndexedSeq, 18.0, bold = true, advance = 30.0)
+    emit(authorToks.toIndexedSeq, 9.5, bold = false, advance = 30.0)
+    bodyToks.grouped(12).foreach { ts =>
+      emit(ts.toIndexedSeq, 9.5, bold = false, advance = 14.0)
+    }
+    build(pages.map(_.toSeq).toSeq, pageW, pageH)
+  }
+}
