@@ -27,6 +27,9 @@ object MediaTypes {
   val JatsZip = "application/vnd.jats+xml+zip"
   val AltoXml = "application/vnd.alto+xml"
   val Json = "application/json"
+  val Docx =
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+  val Doc = "application/msword"
 }
 
 /** REST service layer over the [[graft.Graft]] facade — the reference's
@@ -198,13 +201,24 @@ final class GraftService(
     * raises UnsupportedRequestMediaType → 406). The effective type is
     * the declared Content-Type (multipart/form wrappers and
     * octet-stream defer to content sniffing, matching
-    * `get_data_wrapper_with_improved_media_type_or_filename`); PDF is
-    * the reference's happy path but needs the pdfalto binary — the A1
-    * environmental seam — so it reports 501 like the low-level route.
+    * `get_data_wrapper_with_improved_media_type_or_filename`). PDF and
+    * DOCX process fully in-JVM (round 16: [[graft.sources.PdfReader]]
+    * / [[graft.sources.DocxReader]]); legacy OLE `.doc`/`.rtf` still
+    * needs the LibreOffice subprocess seam and reports 501.
     */
   private val SniffedTypes =
-    Set("", Pdf, Xml, AltoXml, TeiXml, "text/xml", "text/plain",
+    Set("", Pdf, Xml, AltoXml, TeiXml, Docx, "text/xml", "text/plain",
       "application/octet-stream")
+
+  private def isPdf(content: Array[Byte]): Boolean =
+    content.length >= 4 && content.take(4).sameElements(
+      "%PDF".getBytes(StandardCharsets.US_ASCII))
+
+  /** OLE compound-file magic — legacy `.doc`. */
+  private def isOleDoc(content: Array[Byte]): Boolean =
+    content.length >= 4 &&
+      (content(0) & 0xff) == 0xd0 && (content(1) & 0xff) == 0xcf &&
+      (content(2) & 0xff) == 0x11 && (content(3) & 0xff) == 0xe0
 
   private def checkedSource(ex: HttpExchange): Array[Byte] = {
     val content = sourceContent(ex)
@@ -217,10 +231,10 @@ final class GraftService(
       else declared
     if (!SniffedTypes.contains(effective))
       throw new UnsupportedRequestMediaType(effective)
-    if (content.length >= 4 && content.take(4).sameElements(
-        "%PDF".getBytes(StandardCharsets.US_ASCII)))
+    if (isOleDoc(content))
       throw new PdfInputNotAvailable(
-        "pdfalto binary not available; submit ALTO XML directly")
+        "legacy .doc requires the LibreOffice conversion seam; " +
+          "submit DOCX, PDF or ALTO XML")
     content
   }
 
@@ -256,18 +270,39 @@ final class GraftService(
 
   // ------------------------------------------------------ document flow
 
-  private def tokensOf(xml: String,
+  /** Uploaded source → token table, sniffing the payload: %PDF parses
+    * through the in-JVM [[graft.sources.PdfReader]], an OOXML package
+    * through [[graft.sources.DocxReader]] (docx → PDF → tokens, the
+    * reference's converter chain in-engine), anything else is ALTO
+    * XML. The page range prunes at each parser. */
+  private def tokensOf(content: Array[Byte],
       params: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    val docId = math.abs(scala.util.hashing.MurmurHash3.stringHash(xml)).toLong
+    val docId =
+      math.abs(scala.util.hashing.MurmurHash3.bytesHash(content)).toLong
     val (first, last) = pageBounds(params)
-    AltoReader.tokens(spark.createDataset(Seq((docId, xml))),
-      first, last).toDF()
+    // PDF/DOCX parse DRIVER-SIDE for the 1-row request path: a
+    // malformed upload surfaces as IllegalArgumentException → 400
+    // instead of a SparkException-wrapped task failure → 500
+    if (isPdf(content))
+      spark.createDataset(
+        graft.sources.PdfReader.parseTokens(docId, content, first, last))
+        .toDF()
+    else if (graft.sources.DocxReader.isDocx(content))
+      spark.createDataset(
+        graft.sources.PdfReader.parseTokens(docId,
+          graft.sources.DocxReader.toPdf(content), first, last))
+        .toDF()
+    else
+      AltoReader.tokens(
+        spark.createDataset(
+          Seq((docId, new String(content, StandardCharsets.UTF_8)))),
+        first, last).toDF()
   }
 
-  private def pipelineNodes(xml: String,
+  private def pipelineNodes(content: Array[Byte],
       params: Map[String, String] = Map.empty): Seq[SemanticNode] =
-    Processor.documentPipeline(tokensOf(xml, params), config)
+    Processor.documentPipeline(tokensOf(content, params), config)
       .collect().toSeq
 
   /** The asset-zip pipeline variant: a zip Accept FORCES graphic-asset
@@ -276,9 +311,17 @@ final class GraftService(
     * regardless of the session config), so the document's ALTO
     * graphics are parsed, matched into figures (F3) and carry
     * `<graphic url=…>` asset ids the zip entries are named by. */
-  private def pipelineNodesWithAssets(xml: String,
+  private def pipelineNodesWithAssets(content: Array[Byte],
       params: Map[String, String]): Seq[SemanticNode] = {
     import spark.implicits._
+    // PDF/DOCX payloads carry no ALTO Illustration elements in this
+    // subset (image XObjects are out of the in-JVM scope) — the asset
+    // pipeline runs with an empty graphics side
+    if (isPdf(content) || graft.sources.DocxReader.isDocx(content))
+      return Processor.documentPipeline(tokensOf(content, params),
+          config.copy(extractGraphicAssets = true))
+        .collect().toSeq
+    val xml = new String(content, StandardCharsets.UTF_8)
     val docId = math.abs(scala.util.hashing.MurmurHash3.stringHash(xml)).toLong
     // the page range prunes at the parse, tokens AND illustrations:
     // the reference's pdfalto -f/-l limits the whole ALTO output
@@ -365,43 +408,52 @@ final class GraftService(
       rootFilter: String => Boolean): Response = {
     val mediaType = negotiate(ex, acceptTypes)
     val params = queryParams(ex)
-    val xml = new String(checkedSource(ex), StandardCharsets.UTF_8)
-    renderDocument(subtree(pipelineNodes(xml, params), rootFilter), mediaType)
+    renderDocument(
+      subtree(pipelineNodes(checkedSource(ex), params), rootFilter),
+      mediaType)
   }
 
   private def convert(ex: HttpExchange): Response = {
     // the reference's full convert priority list INCLUDING the PDF
     // source passthrough (`routers/convert.py:113-124`)
     val mediaType = negotiate(ex, Seq(JatsXml, TeiXml, JatsZip, TeiZip, Pdf))
-    if (mediaType == Pdf)
-      // reference returns the (converted) source PDF; our source is
-      // ALTO — producing the PDF needs the A1/A3 binary seam
-      return Response.detail(501,
-        "PDF passthrough requires the PDF source seam; " +
-          "submit ALTO XML and request TEI/JATS")
     val params = queryParams(ex)
-    val xml = new String(checkedSource(ex), StandardCharsets.UTF_8)
+    val src = checkedSource(ex)
+    if (mediaType == Pdf) {
+      // the reference returns the (converted) source PDF: a PDF
+      // upload passes through, a DOCX converts in-JVM; an ALTO
+      // source has no PDF to return
+      if (isPdf(src)) return Response(200, Pdf, src)
+      if (graft.sources.DocxReader.isDocx(src))
+        return Response(200, Pdf, graft.sources.DocxReader.toPdf(src))
+      return Response.detail(501,
+        "no PDF source for an ALTO upload; request TEI/JATS")
+    }
     val nodes =
       if (mediaType == JatsZip || mediaType == TeiZip)
-        pipelineNodesWithAssets(xml, params)
-      else pipelineNodes(xml, params)
+        pipelineNodesWithAssets(src, params)
+      else pipelineNodes(src, params)
     renderDocument(
       subtree(nodes, includesFilter(params.get("includes"))),
       mediaType)
   }
 
-  /** Low-level ALTO endpoint: ALTO input is returned as-is (the
-    * reference returns the pdfalto output for the uploaded source;
-    * with ALTO already in hand that IS the source). PDF input needs
-    * the pdfalto binary — the A1 subprocess seam — which is not
-    * present in this environment. */
+  /** Low-level ALTO endpoint (the reference returns the pdfalto output
+    * for the uploaded source): PDF and DOCX uploads parse through the
+    * in-JVM readers and serialize back as ALTO
+    * ([[graft.sources.AltoWriter]]); an ALTO upload IS the source and
+    * returns as-is. */
   private def pdfalto(ex: HttpExchange): Response = {
     val content = sourceContent(ex)
-    if (content.length >= 4 && content.take(4).sameElements(
-        "%PDF".getBytes(StandardCharsets.US_ASCII)))
-      Response.detail(501,
-        "pdfalto binary not available; submit ALTO XML directly")
-    else Response(200, AltoXml, content)
+    val params = queryParams(ex)
+    if (isPdf(content) || graft.sources.DocxReader.isDocx(content)) {
+      import spark.implicits._
+      val rows = tokensOf(content, params)
+        .as[graft.pipeline.TokenRow].collect().toSeq
+      Response(200, AltoXml,
+        graft.sources.AltoWriter.toAlto(rows)
+          .getBytes(StandardCharsets.UTF_8))
+    } else Response(200, AltoXml, content)
   }
 
   // ------------------------------------------------------- model routes
@@ -594,8 +646,7 @@ final class GraftService(
       s"$outputFormat not in ${validOutputFormats.mkString("[", ", ", "]")}")
     val noSeg = params.get("no_use_segmentation").exists(v =>
       v == "true" || v == "1" || v.isEmpty)
-    val xml = new String(checkedSource(ex), StandardCharsets.UTF_8)
-    val view = route.view(tokensOf(xml), noSeg)
+    val view = route.view(tokensOf(checkedSource(ex)), noSeg)
 
     outputFormat match {
       case "raw_data" =>
@@ -672,8 +723,9 @@ private final class NotAcceptable(val supported: Seq[String])
 private final class UnsupportedRequestMediaType(val mediaType: String)
   extends RuntimeException
 
-/** 501 carrier for PDF input — the reference's primary input type, but
-  * processing it requires the pdfalto binary (A1 environmental seam). */
+/** 501 carrier for inputs that still need an external binary: legacy
+  * OLE `.doc`/`.rtf` conversion (LibreOffice seam, A3). PDF and DOCX
+  * process fully in-JVM since round 16. */
 private final class PdfInputNotAvailable(msg: String)
   extends RuntimeException(msg)
 

@@ -114,9 +114,10 @@ class ServiceSpec extends SparkSuite {
         .POST(BodyPublishers.ofString(alto)).build(),
       BodyHandlers.ofByteArray())
     // the full priority list: xml forms answer XML, zip forms answer
-    // zip, PDF passthrough is the declared 501 seam (the reference
-    // returns the converted source PDF; our source is ALTO), anything
-    // else is 406
+    // zip, PDF passthrough for an ALTO upload is 501 (the reference
+    // returns the converted source PDF; an ALTO source has none —
+    // PDF/DOCX uploads DO pass through, see the round-16 cases),
+    // anything else is 406
     val matrix = Seq(
       "application/vnd.jats+xml" -> (200, "application/xml"),
       "application/tei+xml" -> (200, "application/xml"),
@@ -155,14 +156,34 @@ class ServiceSpec extends SparkSuite {
     assert(entries("tei.xml").contains("url="), entries("tei.xml").take(400))
   }
 
-  test("pdfalto echoes ALTO and reports 501 for PDF input") {
+  test("pdfalto echoes ALTO; a PDF upload parses in-JVM and returns " +
+      "REAL ALTO XML (round 16: the A1 seam is live)") {
     val ok = post("/api/pdfalto")
     assert(ok.statusCode() == 200)
     assert(ok.headers().firstValue("Content-Type").get() ==
       "application/vnd.alto+xml")
     assert(ok.body() == alto)
-    val pdf = post("/api/pdfalto", body = "%PDF-1.4 fake")
-    assert(pdf.statusCode() == 501)
+    val pdfBytes = graft.sources.PdfWriter.documentPdf(
+      "Neural Corpus Engines Alice Smith body words here")
+    val pdf = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/pdfalto"))
+        .header("Content-Type", "application/pdf")
+        .POST(BodyPublishers.ofByteArray(pdfBytes)).build(),
+      BodyHandlers.ofString())
+    assert(pdf.statusCode() == 200, pdf.body())
+    assert(pdf.headers().firstValue("Content-Type").get() ==
+      "application/vnd.alto+xml")
+    assert(pdf.body().contains("<String CONTENT=\"Neural\""), pdf.body().take(400))
+    assert(pdf.body().contains("FONTSTYLE=\"bold\""))
+    // the returned ALTO is re-ingestable: it round-trips through the
+    // ALTO document route to the same title
+    val again = post("/api/processHeaderDocument",
+      accept = Some("application/tei+xml"), body = pdf.body())
+    assert(again.statusCode() == 200, again.body())
+    assert(again.body().contains("Neural Corpus Engines"))
+    // malformed PDF bytes are a client error, not a 500
+    val bad = post("/api/pdfalto", body = "%PDF-1.4 fake")
+    assert(bad.statusCode() == 400, bad.statusCode().toString)
   }
 
   test("multipart upload with a file field is accepted") {
@@ -199,16 +220,81 @@ class ServiceSpec extends SparkSuite {
     assert(r2.body() == """{"detail": "unsupported media type: 'video/mp4'"}""")
   }
 
-  test("PDF input on document routes answers 501 (pdfalto environmental seam)") {
-    // the reference's happy path needs the pdfalto binary; without it
-    // the engine reports 501 like the low-level route rather than
-    // failing to parse PDF bytes as XML
-    for (path <- Seq("/api/convert", "/api/processFulltextDocument",
-        "/api/models/header")) {
-      val r = post(path, accept = Some("application/tei+xml"),
-        body = "%PDF-1.4 fake content")
-      assert(r.statusCode() == 501, s"$path: ${r.statusCode()}")
+  test("PDF upload processes end-to-end on every document route " +
+      "(round 16: title/TEI from real PDF bytes, no binary seam)") {
+    val pdfBytes = graft.sources.PdfWriter.documentPdf(
+      "Neural Corpus Engines Alice Smith " +
+        (1 to 30).map(i => s"word$i").mkString(" "))
+    for (path <- Seq("/api/convert", "/api/processHeaderDocument",
+        "/api/processFulltextDocument")) {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(base + path))
+          .header("Accept", "application/tei+xml")
+          .header("Content-Type", "application/pdf")
+          .POST(BodyPublishers.ofByteArray(pdfBytes)).build(),
+        BodyHandlers.ofString())
+      assert(r.statusCode() == 200, s"$path: ${r.statusCode()} ${r.body()}")
+      assert(r.body().contains("Neural Corpus Engines"), path)
     }
+    // Accept: application/pdf on convert returns the SOURCE PDF for a
+    // PDF upload (the reference's converted-source passthrough)
+    val passthrough = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/convert"))
+        .header("Accept", "application/pdf")
+        .header("Content-Type", "application/pdf")
+        .POST(BodyPublishers.ofByteArray(pdfBytes)).build(),
+      BodyHandlers.ofByteArray())
+    assert(passthrough.statusCode() == 200)
+    assert(passthrough.body().sameElements(pdfBytes))
+    // malformed PDF bytes: client error
+    val bad = post("/api/processFulltextDocument",
+      accept = Some("application/tei+xml"), body = "%PDF-1.4 fake content")
+    assert(bad.statusCode() == 400, bad.statusCode().toString)
+  }
+
+  test("DOCX upload converts in-JVM and processes end-to-end through " +
+      "/api/convert (A3: docx -> PDF -> tokens -> TEI)") {
+    import graft.sources.DocxReader
+    val docx = DocxReader.buildDocx(Seq(
+      ("Title", Seq(DocxReader.Run("Neural Corpus Engines", bold = false,
+        italic = false))),
+      ("", Seq(DocxReader.Run("Alice Smith", bold = false, italic = false))),
+      ("", Seq(
+        DocxReader.Run("The corpus body with ", bold = false, italic = false),
+        DocxReader.Run("emphasis", bold = false, italic = true),
+        DocxReader.Run(" and more plain words after it.", bold = false,
+          italic = false)))))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/convert"))
+        .header("Accept", "application/tei+xml")
+        .header("Content-Type",
+          "application/vnd.openxmlformats-officedocument" +
+            ".wordprocessingml.document")
+        .POST(BodyPublishers.ofByteArray(docx)).build(),
+      BodyHandlers.ofString())
+    assert(r.statusCode() == 200, s"${r.statusCode()} ${r.body()}")
+    assert(r.body().contains("Neural Corpus Engines"), r.body().take(600))
+    assert(r.body().contains("<forename type=\"first\">Alice</forename>"),
+      r.body().take(600))
+    assert(r.body().contains("emphasis"))
+    // Accept: application/pdf returns the IN-JVM CONVERTED PDF
+    val pdf = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/convert"))
+        .header("Accept", "application/pdf")
+        .POST(BodyPublishers.ofByteArray(docx)).build(),
+      BodyHandlers.ofByteArray())
+    assert(pdf.statusCode() == 200)
+    assert(pdf.body().take(4).sameElements("%PDF".getBytes))
+    // legacy OLE .doc still reports the LibreOffice 501 seam
+    val ole = Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte,
+      0xa1.toByte, 0xb1.toByte, 0x1a, 0xe1.toByte) ++
+      new Array[Byte](64)
+    val doc = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/convert"))
+        .header("Accept", "application/tei+xml")
+        .POST(BodyPublishers.ofByteArray(ole)).build(),
+      BodyHandlers.ofString())
+    assert(doc.statusCode() == 501, doc.body())
   }
 
   test("multipart content-type without a boundary answers 400") {
