@@ -124,6 +124,50 @@ object Curation {
     }.toSeq.toDF("stage", "docs_in", "docs_out", "dropped")
   }
 
+  /** Crawl-to-corpus composition (the RefinedWeb end-to-end shape):
+    * parsed WARC records → HTTP/HTML text extraction
+    * ([[graft.sources.WarcReader.textDocuments]]) → URL curation
+    * ([[urlCuration]]: registrable-domain blocklist, path-prefix
+    * blocklist, per-domain cap) → the full [[curationFunnel]]
+    * (blocklist → quality → exact dedup → near dedup →
+    * decontamination) over the URL survivors. Returns ONE per-stage
+    * report: `crawl_ingest` and `url_curation` rows prepended to the
+    * funnel's five — the counts a crawl-processing team reads off the
+    * whole pipeline.
+    *
+    * Scale shape: extraction is row-local off the streaming archive
+    * scan; URL curation's one exchange carries ≤ cap·domains rows;
+    * the funnel sees only the URL survivors (each stage cached over
+    * the previous stage's frame, released before return). CurationSpec
+    * pins composed ≡ hand-chained stages.
+    */
+  def crawlCurationReport(records: DataFrame, benchmark: DataFrame,
+      patterns: Seq[String], blockedDomains: Set[String],
+      blockedPathPrefixes: Seq[String], capPerDomain: Int): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val nResponses = records
+      .filter(col("error").isNull && col("warc_type") === "response")
+      .count()
+    val docs = graft.CacheRegistry.persist(
+      graft.sources.WarcReader.textDocuments(records))
+    val nExtracted = docs.count()
+    val keep = urlCuration(docs, blockedDomains, blockedPathPrefixes,
+      capPerDomain)
+    val kept = graft.CacheRegistry.persist(
+      docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val funnel = curationFunnel(kept, benchmark, patterns)
+    val nKept = kept.count()
+    docs.unpersist()
+    val head = Seq(
+      ("crawl_ingest", nResponses, nExtracted, nResponses - nExtracted),
+      ("url_curation", nExtracted, nKept, nExtracted - nKept))
+      .toDF("stage", "docs_in", "docs_out", "dropped")
+    val out = head.unionByName(funnel)
+    kept.unpersist()
+    out
+  }
+
   /** The funnel's surviving corpus (the last stage's frame). */
   def finalSurvivors(docs: DataFrame, benchmark: DataFrame,
       patterns: Seq[String], textCol: String = "text",

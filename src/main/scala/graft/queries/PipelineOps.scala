@@ -796,22 +796,32 @@ object PipelineOps {
     * Scale shape: file-granular streaming parallelism (one task per
     * archive, no archive ever materializes whole), row-local
     * extraction, one join back to the source table on doc_id. */
-  def p22(s: SparkSession, d: String): DataFrame = {
+  /** The corpus exported ONCE per scale dir as real multi-member WARC
+    * archives (one per hash partition) — shared by p22 and the q125
+    * crawl-to-corpus composition. URLs carry the q124 curation
+    * structure (www-subdomain every 5th doc, `/ads/` path every 7th,
+    * host from the `source` column) so the crawl IS a curatable crawl,
+    * and every path ends `/doc/<id>` for the round-trip join. */
+  private[graft] def warcFixtureDir(s: SparkSession, d: String): String = {
     import s.implicits._
     import graft.sources.WarcReader
-    val docs = Tables(s, d).documents.select("doc_id", "text")
+    val docs = Tables(s, d).documents.select("doc_id", "source", "text")
     val fixDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-p22-warc-" + graft.queries.ScaleOps.stateKeyDigest(d))
+      "graft-p22-warc2-" + graft.queries.ScaleOps.stateKeyDigest(d))
     if (!new java.io.File(fixDir, "_SUCCESS").exists()) {
       fixDir.mkdirs()
       val dirPath = fixDir.getPath
       docs.repartition(8, pmod(col("doc_id"), lit(8)))
-        .as[(Long, String)]
-        .foreachPartition { (it: Iterator[(Long, String)]) =>
+        .as[(Long, String, String)]
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
           val rows = it.toArray.sortBy(_._1)
           if (rows.nonEmpty) {
-            val responses = rows.toSeq.map { case (id, text) =>
-              (s"https://corpus.example/doc/$id",
+            val responses = rows.toSeq.map { case (id, source, text) =>
+              val host = (if (id % 5 == 0) "www." else "") +
+                s"$source.example"
+              val path = (if (id % 7 == 0) "ads" else "article") +
+                s"/doc/$id"
+              (s"https://$host/$path",
                 f"2026-01-${id % 28 + 1}%02dT00:00:00Z",
                 s"<html><head><title>doc $id</title>" +
                   "<script>var x = 1 < 2;</script></head>" +
@@ -832,8 +842,15 @@ object PipelineOps {
       new java.io.FileOutputStream(
         new java.io.File(fixDir, "_SUCCESS")).close()
     }
+    fixDir.getPath
+  }
+
+  def p22(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.WarcReader
+    val docs = Tables(s, d).documents.select("doc_id", "text")
+    val fixPath = warcFixtureDir(s, d)
     val extracted = WarcReader.textDocuments(
-      WarcReader.records(s, fixDir.getPath + "/*.warc.gz",
+      WarcReader.records(s, fixPath + "/*.warc.gz",
         minPartitions = 8))
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")

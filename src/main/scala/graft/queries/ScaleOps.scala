@@ -1527,6 +1527,30 @@ object ScaleOps {
     report.orderBy("stage")
   }
 
+  /** Q125 crawl-to-corpus composition (rows-only — the report is
+    * driver-side counts by q105's declared design): the RefinedWeb
+    * end-to-end shape as ONE entry — the p22 WARC archives stream
+    * back through the ISO-28500 reader, HTTP/HTML extraction, q124's
+    * URL curation (domain blocklist, `/ads/` path blocklist,
+    * per-domain cap) and the full q105 funnel over the URL survivors
+    * ([[graft.operators.Curation.crawlCurationReport]]). The
+    * benchmark set is the q105 convention (every 7th corpus doc).
+    * CurationSpec pins composed ≡ hand-chained; the streaming form is
+    * [[graft.streaming.StreamOps.streamingCrawlCuration]]. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    val fixPath = graft.queries.PipelineOps.warcFixtureDir(s, d)
+    val records = graft.sources.WarcReader.records(s,
+      fixPath + "/*.warc.gz", minPartitions = 8)
+    graft.operators.Curation.crawlCurationReport(records,
+      benchmark = Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(7)) === 0),
+      patterns = Blocklist,
+      blockedDomains = Set("src1.example"),
+      blockedPathPrefixes = Seq("/ads/"),
+      capPerDomain = 10)
+      .orderBy("stage")
+  }
+
   /** Q91b approximate heavy hitters (oracled in its exact regime):
     * the q91 dashboard on the sketch path — per-partition Misra–Gries
     * summaries (`approx_top_k`) merge map-side, so the exchange is
@@ -1918,6 +1942,7 @@ object ScaleOps {
     "q109_vocab_growth" -> q109, "q110_length_band_sketch" -> q110,
     "q111_vocab_venn" -> q111, "q112_backoff_surprisal" -> q112,
     "q113_salted_join" -> q113, "q105b_incremental_funnel" -> q105b,
+    "q125_crawl_to_corpus" -> q125,
     "q114_index_drift" -> q114, "q115_source_cap" -> q115,
     "q116_cluster_histogram" -> q116,
     "q116b_cluster_histogram_incremental" -> q116b,

@@ -52,37 +52,65 @@ object WarcReader {
     spark.sparkContext.binaryFiles(path, minPartitions)
       .flatMap { case (file, pds) =>
         val raw = pds.open()
-        val in = new BufferedInputStream(
-          if (file.endsWith(".gz"))
-            new java.util.zip.GZIPInputStream(raw)
-          else raw, 1 << 16)
-        new Iterator[WarcRecord] {
-          private var done = false
-          private var pending: WarcRecord = null
-          private def advance(): Unit = {
-            if (pending == null && !done) {
-              pending =
-                try parseRecord(in, file, maxBodyBytes).orNull
-                catch {
-                  case scala.util.control.NonFatal(e) =>
-                    WarcRecord(file, null, null, null, null, null,
-                      Array.empty, truncated = false,
-                      error = s"malformed WARC framing: ${e.getMessage}")
-                }
-              if (pending == null || pending.error != null) done = true
-              if (pending == null) raw.close()
+        recordIterator(file, raw, maxBodyBytes)
+      }
+      .toDF()
+  }
+
+  /** Streaming record iterator off one archive's raw stream — the
+    * shared core of the RDD path and the byte-array path (structured-
+    * streaming binaryFile batches deliver whole archives as bytes). */
+  private def recordIterator(file: String, raw: InputStream,
+      maxBodyBytes: Int): Iterator[WarcRecord] = {
+    val in = new BufferedInputStream(
+      if (file.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw)
+      else raw, 1 << 16)
+    new Iterator[WarcRecord] {
+      private var done = false
+      private var pending: WarcRecord = null
+      private def advance(): Unit = {
+        if (pending == null && !done) {
+          pending =
+            try parseRecord(in, file, maxBodyBytes).orNull
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                WarcRecord(file, null, null, null, null, null,
+                  Array.empty, truncated = false,
+                  error = s"malformed WARC framing: ${e.getMessage}")
             }
-          }
-          override def hasNext: Boolean = { advance(); pending != null }
-          override def next(): WarcRecord = {
-            advance()
-            val r = pending
-            pending = null
-            if (done) raw.close()
-            r
-          }
+          if (pending == null || pending.error != null) done = true
+          if (pending == null) raw.close()
         }
       }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): WarcRecord = {
+        advance()
+        val r = pending
+        pending = null
+        if (done) raw.close()
+        r
+      }
+    }
+  }
+
+  /** Parse one in-memory archive (a streaming binaryFile batch row). */
+  def recordsOfBytes(file: String, bytes: Array[Byte],
+      maxBodyBytes: Int = 4 << 20): Seq[WarcRecord] =
+    recordIterator(file, new java.io.ByteArrayInputStream(bytes),
+      maxBodyBytes).toList
+
+  /** (path, content) binaryFile rows → the [[records]] schema — the
+    * foreachBatch bridge for streaming crawl ingestion: each archive
+    * parses row-locally off its batch bytes. */
+  def recordsFromBinary(batch: DataFrame,
+      maxBodyBytes: Int = 4 << 20): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        recordsOfBytes(file, bytes, maxBodyBytes) }
       .toDF()
   }
 

@@ -251,16 +251,31 @@ object StreamOps {
     require(compactEvery >= 2, "compactEvery must be >= 2")
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        curationFoldBatch(batch.toDF(), batchId, stateDir, benchmark,
+          patterns, compactEvery, "streamingCurationFunnel")
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of the versioned funnel fold — the shared body of
+    * [[streamingCurationFunnel]] and [[streamingCrawlCuration]]
+    * (identical state layout, replay gate, compaction and cache
+    * scoping; the crawl form curates the batch before handing it
+    * here). */
+  private def curationFoldBatch(batchDf: DataFrame, batchId: Long,
+      stateDir: String, benchmark: DataFrame, patterns: Seq[String],
+      compactEvery: Int, what: String): Unit = {
+        val batch = batchDf
         val spark = batch.sparkSession
-        graft.state.SlotStore.requireLineage(spark, stateDir,
-          "streamingCurationFunnel")
+        graft.state.SlotStore.requireLineage(spark, stateDir, what)
         val prev = latestState(spark, stateDir, marker = "bounds/_SUCCESS")
         // empty batches skip entirely: initialFunnelState's percentile
         // over zero rows would NPE, and an empty incremental fold would
         // write a pointless state version (file sources deliver empty
         // batch 0 at startup routinely)
-        if (!replayOrRegression(prev.map(_._1), batchId,
-            "streamingCurationFunnel") && !batch.isEmpty) {
+        if (!replayOrRegression(prev.map(_._1), batchId, what) &&
+            !batch.isEmpty) {
           val mark = graft.CacheRegistry.mark()
           val folded = prev match {
             case None =>
@@ -305,6 +320,101 @@ object StreamOps {
               .foreach(s => fs.delete(s.getPath, true))
           }
           graft.CacheRegistry.releaseSince(spark, mark)
+        }
+  }
+
+  /** Streaming crawl-to-corpus curation — the RefinedWeb end-to-end
+    * shape in continuous form (the batch twin is
+    * [[graft.operators.Curation.crawlCurationReport]] / q125): WARC
+    * archives LAND in a directory; each micro-batch of new archives
+    * parses off its bytes (row-local,
+    * [[graft.sources.WarcReader.recordsFromBinary]]), extracts HTTP/
+    * HTML text, merges through the PERSISTED per-domain URL keeper set
+    * ([[graft.operators.Curation.urlCurationMerge]] — stored keepers ≤
+    * cap·domains rows, the only corpus-derived URL state), and the
+    * batch documents that ENTER the keeper set fold into the versioned
+    * curation-funnel state exactly like [[streamingCurationFunnel]].
+    *
+    * Declared divergence (append-only corpus): a delivery document
+    * out-ranking a stored keeper evicts it from the KEEPER SET (future
+    * merges see the eviction), but earlier funnel survivors are not
+    * retracted — the funnel state is append-only, the q105b
+    * discipline. URL keeper state is batchId-versioned and idempotent
+    * under foreachBatch retries: a committed `urlkeep-<batchId>` is
+    * reused, an uncommitted one is rebuilt from the latest earlier
+    * version.
+    */
+  def streamingCrawlCuration(spark: SparkSession, archiveDir: String,
+      stateDir: String, benchmark: DataFrame, patterns: Seq[String],
+      blockedDomains: Set[String], blockedPathPrefixes: Seq[String],
+      capPerDomain: Int, compactEvery: Int = 64,
+      maxFilesPerTrigger: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    import graft.operators.Curation
+    import graft.sources.WarcReader
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val archives = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(archiveDir)
+    archives.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        graft.state.SlotStore.requireLineage(sp, stateDir,
+          "streamingCrawlCuration")
+        if (!batch.isEmpty) {
+          val mark = graft.CacheRegistry.mark()
+          val extracted = graft.CacheRegistry.persist(
+            WarcReader.textDocuments(WarcReader.recordsFromBinary(
+              batch.toDF())))
+          // URL keeper merge — idempotent per slot: a committed
+          // urlkeep-<batchId> (foreachBatch retry) is authoritative,
+          // otherwise merge the latest EARLIER version with the batch
+          val keepDir = s"$stateDir/urlkeep-$batchId"
+          val prevKeep = graft.state.SlotStore
+            .latest(sp, stateDir, "urlkeep")
+            .filter(_._1 < batchId)
+          val committed = graft.state.SlotStore
+            .latest(sp, stateDir, "urlkeep").exists(_._1 == batchId)
+          if (!committed) {
+            val merged = prevKeep match {
+              case None =>
+                Curation.urlCuration(extracted, blockedDomains,
+                    blockedPathPrefixes, capPerDomain)
+                  .join(extracted.select(col("doc_id"), col("n_chars")),
+                    Seq("doc_id"))
+                  .select("doc_id", "domain", "n_chars")
+              case Some((_, p)) =>
+                Curation.urlCurationMerge(sp.read.parquet(p), extracted,
+                    blockedDomains, blockedPathPrefixes, capPerDomain)
+                  .join(
+                    sp.read.parquet(p).select("doc_id", "n_chars")
+                      .unionByName(
+                        extracted.select("doc_id", "n_chars")),
+                    Seq("doc_id"))
+                  .select("doc_id", "domain", "n_chars")
+            }
+            merged.write.mode("overwrite").parquet(keepDir)
+          }
+          // batch docs that ENTERED the keeper set feed the funnel
+          // (the fold itself skips an all-filtered batch)
+          val kept = extracted.join(
+            sp.read.parquet(keepDir).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          curationFoldBatch(kept, batchId, stateDir, benchmark,
+            patterns, compactEvery, "streamingCrawlCuration")
+          extracted.unpersist()
+          graft.CacheRegistry.releaseSince(sp, mark)
         }
         ()
       }

@@ -508,5 +508,94 @@ class CurationSpec extends SparkSuite {
       assert(split == expect, s"component $compId: $split vs $expect")
     }
   }
+
+  test("crawlCurationReport: the composed crawl-to-corpus pipeline " +
+      "equals the hand-chained stages (q125 contract)") {
+    import spark.implicits._
+    import graft.sources.WarcReader
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl").toFile
+    try {
+      // a crawl with every curation lever: a blocked domain, ads
+      // paths, www-reduction, >cap docs on one domain, an exact dup,
+      // a planted benchmark text, a non-HTML record and a 404.
+      // Every payload has the SAME n_chars (fixed-width tokens) and a
+      // ~50% stopword ratio, so the funnel's percentile length bounds
+      // and stopword rule keep everything — the dedup/decontamination
+      // levers are the only in-funnel drops, by construction.
+      def html(id: String, text: String) =
+        s"<html><body><p>doc $id ${WarcReader.htmlEscape(text)}</p></body></html>"
+      def pay(tag: String) =
+        (1 to 30).flatMap(j => Seq("the", f"$tag%sx$j%03d")).mkString(" ")
+      val dupText = pay("d000")
+      val benchDoc = s"doc 103 ${pay("b000")}"
+      val bodies = (1 to 14).map { i =>
+        val host = if (i % 5 == 0) "www.good.example" else "good.example"
+        val path = if (i == 7) "ads/x" else s"article/$i"
+        (s"https://$host/$path", f"2026-01-$i%02dT00:00:00Z",
+          html(f"$i%03d", pay(f"w$i%03d")))
+      } ++ Seq(
+        ("https://bad.example/article/100", "2026-01-20T00:00:00Z",
+          html("100", pay("v000"))),
+        ("https://other.example/article/101", "2026-01-21T00:00:00Z",
+          html("101", dupText)),
+        ("https://other.example/article/102", "2026-01-22T00:00:00Z",
+          html("101", dupText)), // exact dup of /article/101's content
+        ("https://other.example/article/103", "2026-01-23T00:00:00Z",
+          html("103", pay("b000"))))
+      val f = new java.io.File(dir, "t.warc.gz")
+      // plus a 404 and a non-HTML response: counted as responses,
+      // dropped by extraction (the crawl_ingest delta)
+      val extras = WarcReader.buildWarcGzRaw(Seq(
+        WarcReader.httpResponseMember("https://good.example/missing",
+          "2026-01-25T00:00:00Z", "<p>gone</p>", status = 404),
+        WarcReader.httpResponseMember("https://good.example/logo",
+          "2026-01-26T00:00:00Z", "bytes", contentType = "image/png")))
+      java.nio.file.Files.write(f.toPath,
+        WarcReader.buildWarcGz("t", bodies) ++ extras)
+      val records = WarcReader.records(spark, f.getPath)
+      val benchmark = Seq((900L, benchDoc)).toDF("doc_id", "text")
+      val got = Curation.crawlCurationReport(records, benchmark,
+          patterns = Seq("nonexistent blocklist phrase"),
+          blockedDomains = Set("bad.example"),
+          blockedPathPrefixes = Seq("/ads/"),
+          capPerDomain = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val byStage = got.map(r => r._1 -> r).toMap
+      // hand-chained: extraction
+      val docs = WarcReader.textDocuments(records)
+      assert(byStage("crawl_ingest") ==
+        (("crawl_ingest", bodies.size + 2L, docs.count())))
+      assert(docs.count() == bodies.size.toLong) // 404 + png dropped
+      // url curation: bad.example gone, /ads/ gone, cap 10 on
+      // good.example (12 non-ads docs there → 2 evicted)
+      val keep = Curation.urlCuration(docs, Set("bad.example"),
+        Seq("/ads/"), 10)
+      val kept = docs.join(keep.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      assert(byStage("url_curation")._3 == kept.count())
+      assert(byStage("url_curation")._3 == 13L) // 10 good + 3 other
+      // funnel stages equal the hand-run funnel over the survivors
+      val funnel = Curation.curationFunnel(kept, benchmark,
+          Seq("nonexistent blocklist phrase"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .map(r => r._1 -> r).toMap
+      Seq("blocklist", "quality", "exact_dedup", "near_dedup",
+        "decontaminate").foreach { st =>
+        assert(byStage(st) == funnel(st), s"$st: ${byStage(st)} vs ${funnel(st)}")
+      }
+      // the funnel chains: input of each stage is the previous output
+      val order = Seq("crawl_ingest", "url_curation", "blocklist",
+        "quality", "exact_dedup", "near_dedup", "decontaminate")
+      order.sliding(2).foreach { case Seq(a, b) =>
+        assert(byStage(a)._3 == byStage(b)._2, s"$a -> $b")
+      }
+      // the levers actually fired: the exact dup and the contaminated
+      // doc each dropped one
+      assert(byStage("exact_dedup")._2 - byStage("exact_dedup")._3 == 1,
+        got.mkString(", "))
+      assert(byStage("decontaminate")._2 - byStage("decontaminate")._3 == 1,
+        got.mkString(", "))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
 

@@ -1816,4 +1816,92 @@ class StreamingSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(outDir)
     }
   }
+
+  test("streaming crawl curation: WARC batches merge the URL keeper " +
+      "set and fold the funnel — parity with the batch chain, keeper " +
+      "eviction is append-only for the corpus") {
+    import spark.implicits._
+    import graft.operators.Curation
+    import graft.sources.WarcReader
+    val archiveDir = Files.createTempDirectory("graft-crawl-arch").toFile
+    val stateDir = Files.createTempDirectory("graft-crawl-state").toFile
+    // equal-length payloads (fixed-width tokens + stopwords) so the
+    // frozen quality bounds collapse to lo==hi==L: batch-2 docs at L
+    // pass, a LONGER doc fails as too_long
+    def pay(tag: String, n: Int = 30) =
+      (1 to n).flatMap(j => Seq("the", f"$tag%sx$j%03d")).mkString(" ")
+    def html(t: String) = s"<html><body><p>$t</p></body></html>"
+    val urlA = "https://d1.example/article/a"
+    val urlC = "https://other.example/article/c"
+    val urlD = "https://d1.example/article/d" // longer: evicts A
+    val urlE = "https://e.example/article/e"
+    val urlF = "https://f.example/ads/f" // path-blocked
+    val date = "2026-02-01T00:00:00Z"
+    val arch1 = WarcReader.buildWarcGz("a", Seq(
+      (urlA, date, html(pay("a000"))),
+      (urlC, date, html(pay("c000")))))
+    val arch2 = WarcReader.buildWarcGz("b", Seq(
+      (urlD, date, html(pay("d000", n = 40))),
+      (urlE, date, html(pay("e000"))),
+      (urlF, date, html(pay("f000")))))
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(archiveDir, "a.warc.gz").toPath, arch1)
+      val benchmark = Seq((900L, "nothing matches this benchmark text"))
+        .toDF("doc_id", "text")
+      val pats = Seq("no blocklist phrase fires")
+      val q = StreamOps.streamingCrawlCuration(spark,
+        archiveDir.getPath, stateDir.getPath, benchmark, pats,
+        blockedDomains = Set("bad.example"),
+        blockedPathPrefixes = Seq("/ads/"), capPerDomain = 1,
+        maxFilesPerTrigger = 1)
+      try {
+        q.processAllAvailable()
+        Thread.sleep(1100) // distinct mtime for the second archive
+        java.nio.file.Files.write(
+          new java.io.File(archiveDir, "b.warc.gz").toPath, arch2)
+        q.processAllAvailable()
+      } finally q.stop()
+      // url -> doc_id map off the same extraction the stream ran
+      def extract(bytes: Array[Byte], name: String) =
+        WarcReader.textDocuments(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            WarcReader.recordsOfBytes(name, bytes))))
+      val ex1 = extract(arch1, "a.warc.gz")
+      val ex2 = extract(arch2, "b.warc.gz")
+      val idOf = (ex1.unionByName(ex2)).select("url", "doc_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // keeper state: D evicted A on d1.example; E entered; F blocked
+      val keepers = spark.read.parquet(s"${stateDir.getPath}/urlkeep-1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keepers == Set(idOf(urlD), idOf(urlC), idOf(urlE)), keepers)
+      // funnel survivors: A retained (append-only), D dropped by the
+      // frozen too_long bound, E in, F never entered
+      val got = StreamOps.curationFunnelState(spark, stateDir.getPath)
+      val surv = got.survivors.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(surv == Set(idOf(urlA), idOf(urlC), idOf(urlE)), surv)
+      // parity with the hand-chained batch APIs over the same batches
+      val keep1 = Curation.urlCuration(ex1, Set("bad.example"),
+        Seq("/ads/"), 1)
+      val kept1 = ex1.join(keep1.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val s0 = Curation.initialFunnelState(kept1, benchmark, pats)
+      val stored = keep1.join(ex1.select("doc_id", "n_chars"),
+        Seq("doc_id")).select("doc_id", "domain", "n_chars")
+      val merged = Curation.urlCurationMerge(stored, ex2,
+        Set("bad.example"), Seq("/ads/"), 1)
+      val entered2 = ex2.join(merged.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val (s1, _) = Curation.incrementalFunnel(s0, entered2, benchmark,
+        pats)
+      val wantSurv = s1.survivors.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(surv == wantSurv, s"$surv vs $wantSurv")
+      assert(got.lenLo == s1.lenLo && got.lenHi == s1.lenHi)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(archiveDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(stateDir)
+    }
+  }
 }
