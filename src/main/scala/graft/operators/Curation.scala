@@ -111,12 +111,13 @@ object Curation {
       patterns: Seq[String], textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val stages = curationStages(docs, benchmark, patterns, textCol, idCol)
-    val counts = stages.map { case (_, df) => df.count() }
+    val counts = stages.map { case (_, df, n) =>
+      n.getOrElse(df.count()) }
     // the report is six local longs — release the stage caches rather
     // than leaking four persisted frames per invocation (the returned
     // frame has no lineage into them). Skip stage 0: it is the caller's
     // own frame, and unpersisting it would drop a cache the caller owns.
-    stages.drop(1).foreach { case (_, df) => df.unpersist(); () }
+    stages.drop(1).foreach { case (_, df, _) => df.unpersist(); () }
     val spark = docs.sparkSession
     import spark.implicits._
     stages.map(_._1).zip(counts).sliding(2).map {
@@ -144,13 +145,30 @@ object Curation {
   def crawlCurationReport(records: DataFrame, benchmark: DataFrame,
       patterns: Seq[String], blockedDomains: Set[String],
       blockedPathPrefixes: Seq[String], capPerDomain: Int): DataFrame = {
-    val spark = records.sparkSession
+    // ONE archive scan serves both ingest counts: the unfiltered
+    // response frame caches, the response count and the extraction
+    // count read off it (re-streaming 100 TB of archives to count
+    // responses would double the scan cost)
+    val all = graft.CacheRegistry.persist(
+      graft.sources.WarcReader.textDocumentsAll(records))
+    val out = crawlCurationReportFromAll(all, benchmark, patterns,
+      blockedDomains, blockedPathPrefixes, capPerDomain)
+    all.unpersist()
+    out
+  }
+
+  /** [[crawlCurationReport]] over an ALREADY-CACHED unfiltered
+    * extraction frame ([[graft.sources.WarcReader.textDocumentsAll]]
+    * shape) — the shared-hub entry (q125 reuses the corpus-wide WARC
+    * extraction cache that p22 holds, the alto-tokens discipline); the
+    * caller owns the cache lifecycle. */
+  def crawlCurationReportFromAll(all: DataFrame, benchmark: DataFrame,
+      patterns: Seq[String], blockedDomains: Set[String],
+      blockedPathPrefixes: Seq[String], capPerDomain: Int): DataFrame = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val nResponses = records
-      .filter(col("error").isNull && col("warc_type") === "response")
-      .count()
-    val docs = graft.CacheRegistry.persist(
-      graft.sources.WarcReader.textDocuments(records))
+    val nResponses = all.count()
+    val docs = all.filter(col("text").isNotNull && col("text") =!= "")
     val nExtracted = docs.count()
     val keep = urlCuration(docs, blockedDomains, blockedPathPrefixes,
       capPerDomain)
@@ -158,7 +176,6 @@ object Curation {
       docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi"))
     val funnel = curationFunnel(kept, benchmark, patterns)
     val nKept = kept.count()
-    docs.unpersist()
     val head = Seq(
       ("crawl_ingest", nResponses, nExtracted, nResponses - nExtracted),
       ("url_curation", nExtracted, nKept, nExtracted - nKept))
@@ -174,23 +191,36 @@ object Curation {
       idCol: String = "doc_id"): DataFrame =
     curationStages(docs, benchmark, patterns, textCol, idCol).last._2
 
+  /** Each persisted stage MATERIALIZES (count) before the next stage
+    * is constructed: the near-dup stage's connected-components loop is
+    * eager at construction time, and building it over a still-uncached
+    * predecessor chain re-executes the whole upstream funnel once per
+    * CC round (measured 11.5 s vs 3.2 s on the q125 crawl chain, whose
+    * lineage reaches back through URL curation into the WARC
+    * extraction). The counts ride along so [[curationFunnel]] never
+    * re-scans a cache just to recount it. */
   private def curationStages(docs: DataFrame, benchmark: DataFrame,
       patterns: Seq[String], textCol: String,
-      idCol: String): Seq[(String, DataFrame)] = {
+      idCol: String): Seq[(String, DataFrame, Option[Long])] = {
+    def staged(df: DataFrame): (DataFrame, Long) = {
+      val p = graft.CacheRegistry.persist(df)
+      (p, p.count())
+    }
     val s0 = docs
-    val s1 = s0.join(
+    val (s1, n1) = staged(s0.join(
       blocklistMatches(s0, patterns, textCol, idCol).select(col(idCol)),
-      Seq(idCol), "left_anti").transform(graft.CacheRegistry.persist(_))
-    val s2 = s1.join(
+      Seq(idCol), "left_anti"))
+    val (s2, n2) = staged(s1.join(
       graft.operators.TextAnalysis.curationDecisions(s1, textCol, idCol)
         .filter(col("keep")).select(col(idCol)),
-      Seq(idCol), "left_semi").transform(graft.CacheRegistry.persist(_))
-    val s3 = Dedup.deduplicate(s2, textCol, idCol).transform(graft.CacheRegistry.persist(_))
-    val s4 = Dedup.nearDeduplicate(s3, textCol = textCol, idCol = idCol)
-      .transform(graft.CacheRegistry.persist(_))
+      Seq(idCol), "left_semi"))
+    val (s3, n3) = staged(Dedup.deduplicate(s2, textCol, idCol))
+    val (s4, n4) = staged(
+      Dedup.nearDeduplicate(s3, textCol = textCol, idCol = idCol))
     val s5 = Dedup.decontaminate(s4, benchmark, textCol)
-    Seq("input" -> s0, "blocklist" -> s1, "quality" -> s2,
-      "exact_dedup" -> s3, "near_dedup" -> s4, "decontaminate" -> s5)
+    Seq(("input", s0, None), ("blocklist", s1, Some(n1)),
+      ("quality", s2, Some(n2)), ("exact_dedup", s3, Some(n3)),
+      ("near_dedup", s4, Some(n4)), ("decontaminate", s5, None))
   }
 
   /** Compression-ratio quality signal (deflate bytes / raw bytes) plus

@@ -908,21 +908,28 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 2, threshold: Double = 0.2,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // The PRE-prune gram count rides inline with the explode (ng is
+    // functionally dependent on id, recovered as max() in the pair
+    // aggregate). A separate sizes subplan costs two more joins AND
+    // two more evaluations of the tokenize+shingle kernel — the
+    // kernel is the dominant cost at corpus scale, and the a/b join
+    // sides already share ONE evaluation via exchange reuse.
     val withGrams = docs.select(col(idCol).as("id"),
       shingles(tokensOf(col(textCol)), n).as("grams"))
-    val sizes = withGrams.select(col("id"), size(col("grams")).cast("bigint").as("ng"))
-    var exploded = withGrams.select(col("id"), explode(col("grams")).as("gram"))
+    var exploded = withGrams.select(col("id"),
+      size(col("grams")).cast("bigint").as("ng"),
+      explode(col("grams")).as("gram"))
     if (maxDocFreq != Long.MaxValue) {
-      val rare = exploded.groupBy("gram").count().filter(col("count") <= maxDocFreq)
+      val rare = exploded.groupBy("gram").count()
+        .filter(col("count") <= maxDocFreq)
       exploded = exploded.join(rare.select("gram"), Seq("gram"), "left_semi")
     }
-    val inter = exploded.as("a")
-      .join(exploded.as("b"), col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "doc_id_a").withColumnRenamed("ng", "ng_a"), "doc_id_a")
-      .join(sizes.withColumnRenamed("id", "doc_id_b").withColumnRenamed("ng", "ng_b"), "doc_id_b")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.ng")).as("ng_a"), max(col("b.ng")).as("ng_b"))
       .withColumn("j", round(col("inter").cast("double") /
         (col("ng_a") + col("ng_b") - col("inter")), 4))
       .filter(col("j") >= threshold)

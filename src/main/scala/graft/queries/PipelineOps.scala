@@ -845,13 +845,23 @@ object PipelineOps {
     fixDir.getPath
   }
 
-  def p22(s: SparkSession, d: String): DataFrame = {
+  /** Corpus-shared WARC extraction hub: the unfiltered response frame
+    * over the scale dir's archives, keyed-shared (the alto-tokens
+    * discipline — the crawl scan is the front door p22 and q125 both
+    * walk through; one cache serves every consumer and every rep). */
+  private[graft] def warcDocsAll(s: SparkSession, d: String): DataFrame = {
     import graft.sources.WarcReader
-    val docs = Tables(s, d).documents.select("doc_id", "text")
     val fixPath = warcFixtureDir(s, d)
-    val extracted = WarcReader.textDocuments(
-      WarcReader.records(s, fixPath + "/*.warc.gz",
-        minPartitions = 8))
+    graft.CacheRegistry.persistKeyed(s, s"warc-docs:$d") {
+      WarcReader.textDocumentsAll(
+        WarcReader.records(s, fixPath + "/*.warc.gz", minPartitions = 8))
+    }
+  }
+
+  def p22(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select("doc_id", "text")
+    val extracted = warcDocsAll(s, d)
+      .filter(col("text").isNotNull && col("text") =!= "")
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
           .as("doc_id"),

@@ -1537,11 +1537,9 @@ object ScaleOps {
     * benchmark set is the q105 convention (every 7th corpus doc).
     * CurationSpec pins composed ≡ hand-chained; the streaming form is
     * [[graft.streaming.StreamOps.streamingCrawlCuration]]. */
-  def q125(s: SparkSession, d: String): DataFrame = {
-    val fixPath = graft.queries.PipelineOps.warcFixtureDir(s, d)
-    val records = graft.sources.WarcReader.records(s,
-      fixPath + "/*.warc.gz", minPartitions = 8)
-    graft.operators.Curation.crawlCurationReport(records,
+  def q125(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.crawlCurationReportFromAll(
+      graft.queries.PipelineOps.warcDocsAll(s, d),
       benchmark = Tables(s, d).documents
         .filter(pmod(col("doc_id"), lit(7)) === 0),
       patterns = Blocklist,
@@ -1549,7 +1547,6 @@ object ScaleOps {
       blockedPathPrefixes = Seq("/ads/"),
       capPerDomain = 10)
       .orderBy("stage")
-  }
 
   /** Q91b approximate heavy hitters (oracled in its exact regime):
     * the q91 dashboard on the sketch path — per-partition Misra–Gries

@@ -120,7 +120,16 @@ object WarcReader {
     * the HTTP response ([[htmlToText]]); non-HTML responses and error
     * statuses are filtered (the pretraining ingest rule). Everything
     * is row-local: one streaming pass, no shuffle at any crawl size. */
-  def textDocuments(records: DataFrame): DataFrame = {
+  def textDocuments(records: DataFrame): DataFrame =
+    textDocumentsAll(records)
+      .filter(col("text").isNotNull && col("text") =!= "")
+
+  /** [[textDocuments]] WITHOUT the final text filter: one row per
+    * RESPONSE record, `text` null for non-HTML/error-status payloads —
+    * the single-scan shape for pipelines that need both the response
+    * count and the extraction (q125's ingest report reads both off one
+    * cached frame instead of re-streaming the archives). */
+  def textDocumentsAll(records: DataFrame): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
     records
@@ -137,7 +146,6 @@ object WarcReader {
         (file, url, date, status, text, truncated)
       }
       .toDF("file", "url", "date", "http_status", "text", "truncated")
-      .filter(col("text").isNotNull && col("text") =!= "")
       .select(
         pmod(xxhash64(col("url"), col("date")), lit(Long.MaxValue))
           .as("doc_id"),
