@@ -257,9 +257,61 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Anchored multi-PREFIX matcher: `true` when the input starts with
+  * ANY of the fixed prefixes. Prefixes bucket by length into hash
+  * sets; a lookup costs one substring + one hash probe per DISTINCT
+  * prefix length (a few dozen for real URL-path blocklists), not one
+  * comparison per prefix — the 100k-entry path-blocklist contract
+  * where a `startsWith` chain would be 100k comparisons per row and a
+  * literal `In` would blow up analysis. Only the prefix strings
+  * serialize; the buckets rebuild lazily per JVM.
+  */
+final class PrefixSet(val prefixes: Seq[String]) extends Serializable {
+  require(prefixes.nonEmpty && prefixes.forall(_.nonEmpty),
+    "PrefixSet requires non-empty prefixes")
+  @transient private lazy val byLen: Array[(Int, java.util.HashSet[String])] =
+    prefixes.distinct.groupBy(_.length).toSeq.sortBy(_._1).map {
+      case (l, ps) =>
+        val s = new java.util.HashSet[String](ps.length * 2)
+        ps.foreach(s.add)
+        (l, s)
+    }.toArray
+
+  def matches(s: UTF8String): Boolean = {
+    val str = s.toString
+    var i = 0
+    while (i < byLen.length) {
+      val (l, set) = byLen(i)
+      if (l <= str.length && set.contains(str.substring(0, l))) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** `starts_with_any(text)` against a fixed [[PrefixSet]] — codegen
+  * calls the bucket table held as a plan reference object. */
+case class StartsWithAnyExpr(child: Expression, ps: PrefixSet)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "starts_with_any"
+  override def nullSafeEval(in: Any): Any =
+    ps.matches(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ps", ps, classOf[PrefixSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.matches($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): StartsWithAnyExpr =
+    copy(child = c)
+}
+
 object CurationFunctions {
   def multi_match(text: Column, ac: AhoCorasick): Column =
     ColumnBridge.column(MultiMatchExpr(ColumnBridge.expression(text), ac))
+  def starts_with_any(text: Column, ps: PrefixSet): Column =
+    ColumnBridge.column(
+      StartsWithAnyExpr(ColumnBridge.expression(text), ps))
   def multi_redact(text: Column, ac: AhoCorasick, replacement: String): Column =
     ColumnBridge.column(
       MultiRedactExpr(ColumnBridge.expression(text), ac, replacement))

@@ -656,21 +656,49 @@ object Curation {
         scoreCol = scoreCol, idCol = idCol)
       .select(col(idCol), col("domain"), col("rank"))
 
+  /** Above these sizes the literal forms break down: an `isin` chain
+    * of 100k domains blows up analysis/codegen, and a per-prefix
+    * `startsWith` conjunction scans every prefix per row. The at-scale
+    * strategies keep the SAME semantics: domains anti-join against a
+    * BROADCAST one-column table (a blocklist is tiny next to a crawl —
+    * never a shuffle of the corpus side), prefixes match through the
+    * [[graft.functions.PrefixSet]] kernel (one hash probe per distinct
+    * prefix LENGTH per row). CurationSpec pins 100k-entry parity and
+    * the broadcast plan shape. */
+  private val MaxLiteralDomains = 64
+  private val MaxLiteralPrefixes = 16
+
   /** The row-local half of [[urlCuration]]: (id, score, domain) for
     * every document whose URL survives the blocklists. */
   private def parseAndFilterUrls(docs: DataFrame,
       blockedDomains: Set[String], blockedPathPrefixes: Seq[String],
       urlCol: String, idCol: String, scoreCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val host = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
     val path = regexp_extract(col(urlCol), "^[a-z]+://[^/]+(/.*)$", 1)
     val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    docs.select(col(idCol), col(scoreCol), domain.as("domain"),
-        path.as("path"))
-      .filter(!col("domain").isin(blockedDomains.toSeq: _*))
-      .filter(blockedPathPrefixes
-        .map(p => !col("path").startsWith(p))
-        .reduceOption(_ && _).getOrElse(lit(true)))
-      .drop("path")
+    val parsed = docs.select(col(idCol), col(scoreCol),
+      domain.as("domain"), path.as("path"))
+    val domainFiltered =
+      if (blockedDomains.isEmpty) parsed
+      else if (blockedDomains.size <= MaxLiteralDomains)
+        parsed.filter(!col("domain").isin(blockedDomains.toSeq: _*))
+      else
+        parsed.join(
+          broadcast(blockedDomains.toSeq.toDF("domain")),
+          Seq("domain"), "left_anti")
+    val pathFiltered =
+      if (blockedPathPrefixes.isEmpty) domainFiltered
+      else if (blockedPathPrefixes.size <= MaxLiteralPrefixes)
+        domainFiltered.filter(blockedPathPrefixes
+          .map(p => !col("path").startsWith(p))
+          .reduce(_ && _))
+      else
+        domainFiltered.filter(!graft.functions.CurationFunctions
+          .starts_with_any(col("path"),
+            new graft.functions.PrefixSet(blockedPathPrefixes)))
+    pathFiltered.drop("path")
   }
 
   /** Delivery-time [[urlCuration]] — continuous-crawl governance (the

@@ -509,6 +509,71 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("urlCuration at a 100k-entry blocklist: broadcast anti-join for " +
+      "domains, PrefixSet kernel for paths — same results as the " +
+      "literal forms, plan pinned") {
+    import spark.implicits._
+    // 100k blocked domains (2 real + filler), 50k blocked prefixes
+    // (1 real + filler) — the size where the literal chain contract
+    // ends
+    val bigDomains = Set("blocked-a.example", "blocked-b.example") ++
+      (1 to 100000).map(i => s"filler$i.example")
+    val bigPrefixes = Seq("/ads/") ++
+      (1 to 50000).map(i => s"/filler$i/")
+    // RDD-backed, not a LocalRelation — Catalyst would otherwise fold
+    // deterministic filters over local rows at OPTIMIZE time and the
+    // plan pins below would have nothing to pin
+    val docs = spark.sparkContext.parallelize(Seq(
+      (1L, "https://keep.example/article/1", 100L),
+      (2L, "https://blocked-a.example/article/2", 200L),
+      (3L, "https://www.blocked-b.example/article/3", 300L),
+      (4L, "https://keep.example/ads/4", 400L),
+      (5L, "https://keep.example/filler7/5", 500L),
+      (6L, "https://other.example/article/6", 600L)), 2)
+      .toDF("doc_id", "url", "n_chars")
+    val out = Curation.urlCuration(docs, bigDomains, bigPrefixes, 10)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 6L), out.collect().mkString(", "))
+    // identical to the small-list (literal) semantics
+    val small = Curation.urlCuration(docs,
+      Set("blocked-a.example", "blocked-b.example"),
+      Seq("/ads/", "/filler7/"), 10)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq ==
+      small.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq)
+    // plan pins: the domain side is a BROADCAST anti-join (the corpus
+    // never shuffles for a blocklist) and no 100k-literal In chain
+    // survives into the plan; the prefix rule is the kernel, not a
+    // 50k-branch startsWith conjunction
+    val exec = out.queryExecution.sparkPlan
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+    }.nonEmpty, exec.toString.take(2000))
+    val kernelFilters = exec.collect { case p => p }
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case e: graft.functions.StartsWithAnyExpr => e })
+    assert(kernelFilters.nonEmpty, "prefix kernel missing from the plan")
+    val bigIns = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition
+    }.flatMap(_.collect {
+      case in: org.apache.spark.sql.catalyst.expressions.In
+        if in.list.size > 1000 => in
+      case inset: org.apache.spark.sql.catalyst.expressions.InSet
+        if inset.hset.size > 1000 => inset
+    })
+    assert(bigIns.isEmpty, "a 100k-literal membership chain leaked")
+    // the kernel itself: distinct-length bucketing is exact
+    val ps = new graft.functions.PrefixSet(Seq("/a/", "/a/b/", "/xy/"))
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(ps.matches(UTF8String.fromString("/a/c")))   // short prefix
+    assert(ps.matches(UTF8String.fromString("/a/b/c")))
+    assert(ps.matches(UTF8String.fromString("/xy/z")))
+    assert(!ps.matches(UTF8String.fromString("/x/")))
+    assert(!ps.matches(UTF8String.fromString("/a")))    // shorter than any
+  }
+
   test("crawlCurationReport: the composed crawl-to-corpus pipeline " +
       "equals the hand-chained stages (q125 contract)") {
     import spark.implicits._
