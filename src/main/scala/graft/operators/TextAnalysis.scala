@@ -329,6 +329,65 @@ object TextAnalysis {
       .toDF("shard", "seq_idx", "seq_pos", "doc_id", "chunk_idx", "n_tokens")
   }
 
+  /** [[packSequences]] in TOKEN-ID space — what a training job
+    * actually consumes: documents encode through the PERSISTED BPE
+    * merges + vocabulary ([[Tokenizer.bpeChunkIds]], broadcast
+    * memoized encode — no re-learn), chunk windows walk the subword-id
+    * sequence, shards cut by SUBWORD budget
+    * ([[tokenBudgetShardsFromCounts]] — whitespace counts would skew
+    * shard sizes by the fertility ratio), and the same greedy walk
+    * packs chunks into ≤`seqBudget`-id training sequences. Output
+    * carries `ids_sum` per chunk — the checksum an export consumer
+    * verifies a shard against.
+    *
+    * Scale shape: ids never shuffle (the encode emits narrow per-chunk
+    * stats); one exchange on `shard`; merges+vocab ride the closure
+    * broadcast. Doc totals derive from the chunk table
+    * (`(nChunks-1)·stride + lastLen` — chunk windows overlap, so
+    * summing them would overcount), not a second encode pass.
+    */
+  def packSequencesBpe(docs: DataFrame,
+      merges: Seq[graft.operators.Tokenizer.BpeMerge],
+      vocab: Map[String, Int], seqBudget: Long = 256L,
+      shardBudget: Long = 4000L, chunkSize: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(seqBudget > 0, "seqBudget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = CacheRegistry.persist(graft.operators.Tokenizer
+      .bpeChunkIds(docs, merges, vocab, chunkSize, stride, textCol, idCol))
+    val totals = chunks.groupBy(col(idCol).as("doc_id"))
+      .agg(((max(col("chunk_idx"))) * lit(stride.toLong) +
+        max_by(col("n_ids"), col("chunk_idx"))).as("n_tokens"))
+    val shards = tokenBudgetShardsFromCounts(totals, shardBudget)
+      .select(col("doc_id"), col("shard"))
+    val out = chunks
+      .select(col(idCol).as("doc_id"), col("chunk_idx"), col("n_ids"),
+        col("ids_sum"))
+      .join(shards, "doc_id")
+      .select(col("shard"), col("doc_id"), col("chunk_idx"),
+        col("n_ids"), col("ids_sum"))
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var seqIdx = 0L
+        var fill = 0L
+        var pos = 0L
+        rows.iterator.map { case (_, docId, chunkIdx, n, idsSum) =>
+          if (fill > 0 && fill + n > seqBudget) {
+            seqIdx += 1; fill = 0L; pos = 0L
+          }
+          fill += n
+          pos += 1
+          (shard, seqIdx, pos, docId, chunkIdx, n, idsSum)
+        }
+      }
+      .toDF("shard", "seq_idx", "seq_pos", "doc_id", "chunk_idx",
+        "n_ids", "ids_sum")
+    out
+  }
+
   // -------------------------------------------------------- PII redaction
 
   /** Deterministic email/phone regexes — kept dialect-neutral (no
@@ -1249,12 +1308,22 @@ object TextAnalysis {
     */
   def tokenBudgetShards(docs: DataFrame, budget: Long = 4000L,
       textCol: String = "text", idCol: String = "doc_id",
+      numPartitions: Int = 32): DataFrame =
+    tokenBudgetShardsFromCounts(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens")),
+      budget, numPartitions)
+
+  /** [[tokenBudgetShards]] over a PRE-COMPUTED (doc_id, n_tokens)
+    * frame — the id-space export path counts subword ids, not
+    * whitespace tokens, but shards by the same prefix-sum machinery. */
+  def tokenBudgetShardsFromCounts(counts: DataFrame, budget: Long = 4000L,
       numPartitions: Int = 32): DataFrame = {
-    val sess = docs.sparkSession
+    val sess = counts.sparkSession
     import sess.implicits._
-    val ranged = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
+    val ranged = counts
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
       .transform(CacheRegistry.localCheckpoint(_))
       .repartitionByRange(numPartitions, col("doc_id"))
       .sortWithinPartitions("doc_id")

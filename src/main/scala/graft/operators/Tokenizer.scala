@@ -312,4 +312,127 @@ object Tokenizer {
       }
       .toDF(idCol, "n_tokens", "n_subwords", "subword_preview")
   }
+
+  /** The greedy lowest-rank-first BPE word encoder as a reusable,
+    * memoizing closure — ONE instance per partition (the memo is the
+    * Zipf cache). Shared by [[bpeEncode]]-style passes and the
+    * token-id export ([[bpeEncodeIds]]). */
+  private[graft] def subwordEncoder(
+      ranks: Map[(String, String), Int]): String => Array[String] = {
+    val memo = new java.util.HashMap[String, Array[String]]()
+    (w: String) => {
+      val hit = memo.get(w)
+      if (hit != null) hit
+      else {
+        var syms = w.map(_.toString).toArray
+        if (syms.nonEmpty)
+          syms(syms.length - 1) = syms(syms.length - 1) + Eow
+        var continue = syms.length >= 2
+        while (continue) {
+          var bestI = -1
+          var bestR = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < bestR) { bestR = r; bestI = i }
+            i += 1
+          }
+          if (bestI < 0) continue = false
+          else {
+            val out = new Array[String](syms.length - 1)
+            System.arraycopy(syms, 0, out, 0, bestI)
+            out(bestI) = syms(bestI) + syms(bestI + 1)
+            System.arraycopy(syms, bestI + 2, out, bestI + 1,
+              syms.length - bestI - 2)
+            syms = out
+            continue = syms.length >= 2
+          }
+        }
+        memo.put(w, syms)
+        syms
+      }
+    }
+  }
+
+  /** Deterministic subword VOCABULARY for a merge list over a corpus:
+    * every distinct subword the encode emits, sorted ascending, id =
+    * 0-based rank — the `vocab.json` a shipped tokenizer carries.
+    * Driver-side map (a vocabulary is bounded by merges + alphabet,
+    * thousands of entries, never corpus-scale). */
+  def bpeVocab(docs: DataFrame, merges: Seq[BpeMerge],
+      textCol: String = "text"): Map[String, Int] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(rankOf)
+    docs.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val enc = subwordEncoder(bc.value)
+        val seen = new java.util.HashSet[String]()
+        it.foreach { text =>
+          text.split(" ").iterator.filter(_.nonEmpty)
+            .foreach(w => enc(w).foreach(seen.add))
+        }
+        import scala.jdk.CollectionConverters._
+        seen.iterator().asScala
+      }
+      .distinct().collect().sorted.zipWithIndex.toMap
+  }
+
+  /** Encode the corpus into TOKEN-ID space: per document, the chunk
+    * table of its subword-id sequence — `(doc_id, chunk_idx, n_ids,
+    * ids_sum)` with the [[graft.functions.Sketch.chunkTexts]] walk
+    * (`nChunks = (len-1)/stride + 1`, empty doc → one empty chunk)
+    * applied to the ID ARRAY. The ids themselves never shuffle — only
+    * the narrow per-chunk stats leave the encode pass (the 100 TB
+    * export writes ids partition-locally; `ids_sum` is the checksum a
+    * consumer verifies a shard against). OOV subwords (absent from the
+    * vocabulary) map to -1. */
+  def bpeChunkIds(docs: DataFrame, merges: Seq[BpeMerge],
+      vocab: Map[String, Int], chunkSize: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      "chunkSize and stride must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bcRanks = spark.sparkContext.broadcast(rankOf)
+    val bcVocab = spark.sparkContext.broadcast(vocab)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val enc = encoderTL.get()(bcRanks.value)
+        val v = bcVocab.value
+        val ids = text.split(" ").iterator.filter(_.nonEmpty)
+          .flatMap(w => enc(w).iterator.map(sw => v.getOrElse(sw, -1)))
+          .toArray
+        val n = ids.length
+        val nChunks = if (n == 0) 1 else (n - 1) / stride + 1
+        (0 until nChunks).iterator.map { c =>
+          val start = c * stride
+          val end = math.min(n, start + chunkSize)
+          var s = 0L
+          var i = start
+          while (i < end) { s += ids(i); i += 1 }
+          (id, c.toLong, (end - start).toLong, s)
+        }
+      }
+      .toDF(idCol, "chunk_idx", "n_ids", "ids_sum")
+  }
+
+  // one memoizing encoder per (thread, rank-map identity): flatMap has
+  // no per-partition hook, and rebuilding the memo per DOCUMENT would
+  // forfeit the Zipf cache that makes the encode cheap
+  private val encoderTL: ThreadLocal[
+      Map[(String, String), Int] => (String => Array[String])] =
+    ThreadLocal.withInitial { () =>
+      var last: Map[(String, String), Int] = null
+      var lastEnc: String => Array[String] = null
+      (ranks: Map[(String, String), Int]) => {
+        if (lastEnc == null || (ranks ne last)) {
+          last = ranks
+          lastEnc = subwordEncoder(ranks)
+        }
+        lastEnc
+      }
+    }
 }

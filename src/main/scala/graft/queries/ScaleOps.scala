@@ -802,11 +802,69 @@ object ScaleOps {
     * histogram, then re-encode every document with the learned subword
     * vocabulary. Deterministic: exact integer pair counts, lexicographic
     * tie-breaks. */
-  def q84(s: SparkSession, d: String): DataFrame = {
+  /** The corpus's BPE tokenizer state — merges + subword vocabulary —
+    * trained and signed ONCE per scale dir (the p11/p21 train-once
+    * discipline; vocab lands last as the commit marker). q84 and q63b
+    * both serve from it: a production tokenizer is a persisted
+    * artifact, not a per-query re-learn. */
+  private def bpeStateFor(s: SparkSession,
+      d: String): (Seq[graft.operators.Tokenizer.BpeMerge], Map[String, Int]) = {
     import graft.operators.Tokenizer
     val docs = Tables(s, d).documents
-    Tokenizer.bpeEncode(docs, Tokenizer.bpeTrain(docs, numMerges = 40))
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-bpe-" + stateKeyDigest(d))
+    val mergesFile = new java.io.File(stateDir, "merges.tsv")
+    val vocabFile = new java.io.File(stateDir, "vocab.tsv")
+    if (!vocabFile.exists() || !mergesFile.exists()) {
+      stateDir.mkdirs()
+      val merges = Tokenizer.bpeTrain(docs, numMerges = 40)
+      val vocab = Tokenizer.bpeVocab(docs, merges)
+      def writeAtomic(f: java.io.File, content: String): Unit = {
+        val tmp = new java.io.File(stateDir,
+          s".${f.getName}-${java.util.UUID.randomUUID()}.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      writeAtomic(mergesFile, merges.map(m =>
+        s"${m.rank}\t${m.left}\t${m.right}").mkString("\n"))
+      writeAtomic(vocabFile, vocab.toSeq.sortBy(_._2).map { case (sw, i) =>
+        s"$i\t$sw" }.mkString("\n"))
+    }
+    def readLines(f: java.io.File): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+    val merges = readLines(mergesFile).map { l =>
+      val Array(r, a, b) = l.split("\t", 3)
+      graft.operators.Tokenizer.BpeMerge(r.toInt, a, b, 0L)
+    }
+    val vocab = readLines(vocabFile).map { l =>
+      val Array(i, sw) = l.split("\t", 2)
+      sw -> i.toInt
+    }.toMap
+    (merges, vocab)
+  }
+
+  def q84(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Tokenizer
+    Tokenizer.bpeEncode(Tables(s, d).documents, bpeStateFor(s, d)._1)
       .orderBy("doc_id")
+  }
+
+  /** Q63b BPE-token chunking/packing (rows-only — the BPE encode is
+    * not SQL-expressible; TokenizerSpec pins the golden walk): q63's
+    * chunk windows and q86's greedy sequence packing in TOKEN-ID
+    * space — the export a training job actually reads. Documents
+    * encode through the PERSISTED tokenizer state (merges + vocab,
+    * [[bpeStateFor]] — no re-learn per query), chunks walk the
+    * subword-id sequence, shards cut by subword budget, sequences pack
+    * greedily; `ids_sum` is the per-chunk export checksum. */
+  def q63b(s: SparkSession, d: String): DataFrame = {
+    val (merges, vocab) = bpeStateFor(s, d)
+    TextAnalysis.packSequencesBpe(Tables(s, d).documents, merges, vocab,
+      seqBudget = 256L, shardBudget = 4000L, chunkSize = 64, stride = 48)
+      .orderBy("shard", "seq_idx", "seq_pos")
   }
 
   /** Q85 IVF-PQ ANN top-5 for 4 queries (rows-only — approximate
@@ -1901,7 +1959,8 @@ object ScaleOps {
     "q58_repetition" -> q58,
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
-    "q63_chunking" -> q63, "q64_pii_redaction" -> q64,
+    "q63_chunking" -> q63, "q63b_bpe_pack" -> q63b,
+    "q64_pii_redaction" -> q64,
     "q66_balanced_sample" -> q66, "q67_group_split" -> q67,
     "q68_shard_export" -> q68, "q69_vocabulary" -> q69,
     "q70_correlation_join" -> q70, "q71_decontaminate" -> q71,
