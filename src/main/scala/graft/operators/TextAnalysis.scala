@@ -88,6 +88,126 @@ object TextAnalysis {
         .otherwise("es").as("pred_lang"): _*)
   }
 
+  /** Hashed char-n-gram features (2–3-grams over the lowercased text
+    * with a leading boundary space), count-normalized — the fastText
+    * langid feature family. Shared by training and scoring so the two
+    * can never skew. */
+  private[graft] def charNgramFeatures(text: String, dim: Int): Array[Double] = {
+    val f = new Array[Double](dim)
+    if (text == null || text.isEmpty) return f
+    val t = " " + text.toLowerCase
+    var total = 0
+    var n = 2
+    while (n <= 3) {
+      var i = 0
+      while (i + n <= t.length) {
+        var h = 7 * 31 + n
+        var j = i
+        while (j < i + n) { h = h * 31 + t.charAt(j); j += 1 }
+        f(math.floorMod(h, dim)) += 1.0
+        total += 1
+        i += 1
+      }
+      n += 1
+    }
+    if (total > 0) {
+      var i = 0
+      while (i < dim) { f(i) /= total; i += 1 }
+    }
+    f
+  }
+
+  /** Trainable language-id — q40's PRODUCTION form (the fastText/CLD
+    * shape): a multiclass softmax head over hashed char-n-gram
+    * features, fit with the q87 classifier discipline — a BOUNDED,
+    * hash-ordered, deterministic driver-side sample (never a
+    * corpus-scale collect) and full-batch GD — on whatever labels the
+    * caller supplies (typically the q40 stopword rule's, the p21
+    * self-training pattern). Returns the label vocabulary in score
+    * order and the (nc × dim+1) weight matrix (bias last).
+    */
+  def trainLangId(labeled: DataFrame, dim: Int = 512, epochs: Int = 40,
+      lr: Double = 4.0, sampleN: Int = 4096, textCol: String = "text",
+      labelCol: String = "lang", idCol: String = "doc_id")
+      : (IndexedSeq[String], Array[Array[Double]]) = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val sample = labeled
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+        col(labelCol).as("y"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    require(sample.nonEmpty, "trainLangId needs a non-empty corpus")
+    val langs = sample.map(_._3).distinct.sorted.toIndexedSeq
+    val idx = langs.zipWithIndex.toMap
+    val nc = langs.size
+    val feats = sample.map(r => (charNgramFeatures(r._2, dim), idx(r._3)))
+    val w = Array.ofDim[Double](nc, dim + 1)
+    var ep = 0
+    while (ep < epochs) {
+      val g = Array.ofDim[Double](nc, dim + 1)
+      feats.foreach { case (x, y) =>
+        val logits = Array.tabulate(nc) { c =>
+          var z = w(c)(dim)
+          var i = 0
+          while (i < dim) { z += w(c)(i) * x(i); i += 1 }
+          z
+        }
+        val mx = logits.max
+        val exps = logits.map(v => math.exp(v - mx))
+        val zsum = exps.sum
+        var c = 0
+        while (c < nc) {
+          val grad = exps(c) / zsum - (if (y == c) 1.0 else 0.0)
+          var i = 0
+          while (i < dim) { g(c)(i) += grad * x(i); i += 1 }
+          g(c)(dim) += grad
+          c += 1
+        }
+      }
+      var c = 0
+      while (c < nc) {
+        var i = 0
+        while (i <= dim) { w(c)(i) -= lr * g(c)(i) / feats.length; i += 1 }
+        c += 1
+      }
+      ep += 1
+    }
+    (langs, w)
+  }
+
+  /** Score the corpus with a trained language-id head: one broadcast
+    * row-local pass → (id, pred_lang). Argmax ties break to the
+    * smaller label index (deterministic). */
+  def scoreLangId(docs: DataFrame, langs: IndexedSeq[String],
+      weights: Array[Array[Double]], dim: Int = 512,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((langs, weights))
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val (ls, w) = bc.value
+        val nc = ls.size
+        it.map { case (id, text) =>
+          val x = charNgramFeatures(text, dim)
+          var best = 0
+          var bestZ = Double.NegativeInfinity
+          var c = 0
+          while (c < nc) {
+            var z = w(c)(dim)
+            var i = 0
+            while (i < dim) { z += w(c)(i) * x(i); i += 1 }
+            if (z > bestZ) { bestZ = z; best = c }
+            c += 1
+          }
+          (id, ls(best))
+        }
+      }
+      .toDF(idCol, "pred_lang")
+  }
+
   // ------------------------------------------------------ fingerprinting
 
   /** Set fingerprint: digest of the sorted distinct normalized token

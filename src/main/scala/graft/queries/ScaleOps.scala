@@ -126,6 +126,50 @@ object ScaleOps {
   def q40(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langId(Tables(s, d).documents).orderBy("doc_id")
 
+  /** Q40b trainable language-id (rows-only — float softmax by the q87
+    * declared design): q40's PRODUCTION form. A deterministic
+    * multilingual corpus (every doc's language set by `doc_id % 4`,
+    * frequent corpus words mapped onto that language's function words
+    * so the q40 stopword rule fires) seeds labels; a char-n-gram
+    * softmax head trains on the bounded hash-ordered sample
+    * ([[TextAnalysis.trainLangId]], the q87/p21 self-training
+    * discipline) and scores the corpus row-locally; the output
+    * composes the q104 mixture shape — per (source, pred_lang) doc and
+    * token counts, the language-mixture report a multilingual
+    * pretraining run reads. TextAnalysisSpec pins held-out separation
+    * on the multilingual fixture. */
+  def q40b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d).documents.select("doc_id", "source", "text")
+    def tr(m: Seq[(String, String)]): org.apache.spark.sql.Column =
+      m.foldLeft(col("text")) { case (c, (a, b)) =>
+        regexp_replace(c, s"\\b$a\\b", b) }
+    val multilingual = docs.select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(4)) === 1, tr(Seq(
+        "the" -> "der", "scan" -> "die", "table" -> "und",
+        "join" -> "das", "sort" -> "ist", "merge" -> "nicht",
+        "hash" -> "ein", "batch" -> "zu")))
+      .when(pmod(col("doc_id"), lit(4)) === 2, tr(Seq(
+        "the" -> "le", "scan" -> "la", "table" -> "et",
+        "join" -> "est", "sort" -> "les", "merge" -> "une",
+        "hash" -> "dans", "batch" -> "que")))
+      .when(pmod(col("doc_id"), lit(4)) === 3, tr(Seq(
+        "the" -> "el", "scan" -> "los", "table" -> "y",
+        "join" -> "es", "sort" -> "un", "merge" -> "una",
+        "hash" -> "por", "batch" -> "en")))
+      .otherwise(col("text")).as("text"))
+      .transform(graft.CacheRegistry.persist(_))
+    val seed = TextAnalysis.langId(multilingual)
+      .select(col("doc_id"), col("pred_lang").as("lang"))
+    val (langs, weights) = TextAnalysis.trainLangId(
+      multilingual.join(seed, "doc_id"))
+    val scored = TextAnalysis.scoreLangId(multilingual, langs, weights)
+    scored.join(multilingual, "doc_id")
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " +"))).cast("bigint").as("n_tokens"))
+      .orderBy("source", "pred_lang")
+  }
+
   /** Q41 vocabulary fingerprint (order-insensitive dedup key). */
   def q41(s: SparkSession, d: String): DataFrame =
     Tables(s, d).documents
@@ -1960,6 +2004,7 @@ object ScaleOps {
     "q59_keywords" -> q59, "q60_length_filter" -> q60,
     "q61_hash_sample" -> q61, "q62_curation" -> q62,
     "q63_chunking" -> q63, "q63b_bpe_pack" -> q63b,
+    "q40b_lang_id_trained" -> q40b,
     "q64_pii_redaction" -> q64,
     "q66_balanced_sample" -> q66, "q67_group_split" -> q67,
     "q68_shard_export" -> q68, "q69_vocabulary" -> q69,

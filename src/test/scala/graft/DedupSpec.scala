@@ -1037,6 +1037,43 @@ class DedupSpec extends SparkSuite {
     assert(tc.filter(col("bpe") < col("ws")).count() == 0)
   }
 
+  test("trainLangId: char-n-gram softmax separates a multilingual " +
+      "fixture on held-out docs; scoring is deterministic") {
+    import spark.implicits._
+    val langWords = Map(
+      "en" -> Seq("the", "and", "of", "is", "with", "for"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+      "es" -> Seq("el", "los", "y", "es", "un", "por"))
+    val langs = langWords.keys.toSeq.sorted
+    // 40 docs per language: deterministic sentences mixing that
+    // language's function words with shared content tokens
+    val rows = for {
+      (lang, li) <- langs.zipWithIndex
+      k <- 0 until 40
+    } yield {
+      val ws = langWords(lang)
+      val text = (0 until 30).map { j =>
+        if (j % 2 == 0) ws((j / 2 + k) % ws.length) else s"content${(j + k) % 7}"
+      }.mkString(" ")
+      (li * 100L + k, lang, text)
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+    val train = df.filter(col("doc_id") % 2 === 0)
+    val heldOut = df.filter(col("doc_id") % 2 === 1)
+    val (vocab, w) = TextAnalysis.trainLangId(train)
+    assert(vocab == langs.toIndexedSeq)
+    val scored = TextAnalysis.scoreLangId(heldOut, vocab, w)
+      .join(heldOut.select(col("doc_id"), col("lang")), "doc_id")
+    val n = scored.count()
+    val agree = scored.filter(col("pred_lang") === col("lang")).count()
+    assert(n == 80 && agree >= (n * 95) / 100, s"$agree/$n held-out")
+    // deterministic: identical weights and predictions across runs
+    val (vocab2, w2) = TextAnalysis.trainLangId(train)
+    assert(vocab2 == vocab &&
+      w.flatten.toSeq == w2.flatten.toSeq)
+  }
+
   test("chunkDocuments: stride overlap, trailing partial, empty doc, no shuffle") {
     val docs = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4 stride 3
