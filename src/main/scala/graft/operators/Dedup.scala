@@ -1220,9 +1220,22 @@ object Dedup {
     *
     * Returns `(node, component)` for every node with at least one edge;
     * `component` is the minimum node id of the component.
+    *
+    * Small-graph fast path (round 16): a deduplicated edge set at or
+    * under `localThreshold` rows collects to the driver and runs
+    * union-find with min-root tracking — identical labels (comp = min
+    * member id), microseconds instead of 2+ distributed rounds whose
+    * fixed cost (checkpoint job + convergence probe + codegen per
+    * round) dominates any small graph. This is the common case for
+    * EVERY incremental path (delta/contracted graphs) and for
+    * df-pruned near-dup graphs at bench scale; a 100 TB batch edge set
+    * exceeds the threshold and takes the distributed pointer-jumping
+    * loop unchanged. 2M edges ≈ 32 MB of driver tuples — well inside
+    * any driver heap that runs Spark at all.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_id_a",
-      dstCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
+      dstCol: String = "doc_id_b", maxIter: Int = 25,
+      localThreshold: Long = 2000000L): DataFrame = {
     // every checkpoint in the loop carries a release handle: round N's
     // blocks are retired as soon as round N+1 is materialized and the
     // convergence probe has read them — before round 8 the loop leaked
@@ -1231,16 +1244,49 @@ object Dedup {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
         .distinct())
+    val nUnd = und.count()
     // empty edge set → empty label table, no loop: a clean corpus (or
     // a clean delivery batch in the incremental funnel) should not pay
     // label-propagation job rounds to learn there is nothing to label
-    if (und.limit(1).count() == 0L) {
+    if (nUnd == 0L) {
       releaseUnd()
       // derived from the caller's frame, not the released checkpoint
       // (a released checkpoint cannot be re-actioned); limit(0) folds
       // to an empty relation
       return edges.select(col(srcCol).as("node"), col(srcCol).as("comp"))
         .limit(0)
+    }
+    if (nUnd <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val local = und.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      releaseUnd()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      local.foreach { case (a, b) =>
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          // min id becomes the root, so the root IS the component label
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      local.foreach { case (a, b) => nodes.add(a); nodes.add(b); () }
+      import scala.jdk.CollectionConverters._
+      return nodes.iterator().asScala.map(n => (n.toLong, find(n)))
+        .toSeq.toDF("node", "comp")
     }
     var (labels, releaseLabels) =
       graft.CacheRegistry.localCheckpointWithRelease(

@@ -1229,9 +1229,11 @@ class DedupSpec extends SparkSuite {
   }
 
   test("connectedComponents: long path needs diameter rounds, still converges") {
-    // path 0-1-2-...-9: worst case for hash-min (diameter 9)
+    // path 0-1-2-...-9: worst case for hash-min (diameter 9).
+    // localThreshold=0 forces the DISTRIBUTED loop — this test pins
+    // the pointer-jumping rounds, not the union-find fast path
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
-    val got = Dedup.connectedComponents(edges).collect()
+    val got = Dedup.connectedComponents(edges, localThreshold = 0L).collect()
     assert(got.length == 10 && got.forall(_.getLong(1) == 0L))
   }
 
@@ -1239,9 +1241,32 @@ class DedupSpec extends SparkSuite {
     // diameter 59: plain hash-min propagation needs 59 rounds — a cap
     // of 9 would silently mislabel the far end. With the comp(comp)
     // jump hop, distances halve per round: 9 rounds cover 2^9 links.
+    // (distributed loop forced: the fast path has no rounds at all)
     val edges = (0L until 59L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
-    val got = Dedup.connectedComponents(edges, maxIter = 9).collect()
+    val got = Dedup.connectedComponents(edges, maxIter = 9,
+      localThreshold = 0L).collect()
     assert(got.length == 60 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents: driver union-find fast path is label-" +
+      "identical to the distributed loop") {
+    // a messy deterministic graph: chains, triangles, stars, isolated
+    // pairs, and cross-links, with ids out of order
+    val rnd = new scala.util.Random(42)
+    val edges = (
+      (0 until 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2) ++
+      Seq((1000L, 1001L), (1001L, 1002L), (2000L, 2001L))
+    ).toDF("doc_id_a", "doc_id_b")
+    val local = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val dist = Dedup.connectedComponents(edges, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(local == dist && local.nonEmpty)
+    // comp is the min member id in both
+    local.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp)
+    }
   }
 
   test("nearDeduplicate: keeps exactly each cluster's min-id member") {
