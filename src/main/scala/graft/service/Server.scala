@@ -314,10 +314,23 @@ final class GraftService(
   private def pipelineNodesWithAssets(content: Array[Byte],
       params: Map[String, String]): Seq[SemanticNode] = {
     import spark.implicits._
-    // PDF/DOCX payloads carry no ALTO Illustration elements in this
-    // subset (image XObjects are out of the in-JVM scope) — the asset
-    // pipeline runs with an empty graphics side
-    if (isPdf(content) || graft.sources.DocxReader.isDocx(content))
+    // PDF payloads: image XObject placements ARE the graphics side
+    // (PdfReader.parseAll, the ALTO Illustration analog); DOCX has no
+    // image parts in this subset — empty graphics
+    if (isPdf(content)) {
+      val docId =
+        math.abs(scala.util.hashing.MurmurHash3.bytesHash(content)).toLong
+      val (first, last) = pageBounds(params)
+      val (toks, gfx) = graft.sources.PdfReader.parseAll(docId, content,
+        first, last)
+      val toksDf = spark.createDataset(toks).toDF()
+      val graphics = Processor.graphicsForMatching(
+        toksDf, spark.createDataset(gfx).toDF())
+      return Processor.documentPipeline(toksDf,
+          config.copy(extractGraphicAssets = true), Some(graphics))
+        .collect().toSeq
+    }
+    if (graft.sources.DocxReader.isDocx(content))
       return Processor.documentPipeline(tokensOf(content, params),
           config.copy(extractGraphicAssets = true))
         .collect().toSeq

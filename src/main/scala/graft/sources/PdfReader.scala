@@ -343,7 +343,7 @@ object PdfReader {
 
   private final case class PageData(mediaX: Double, mediaY: Double,
       width: Double, height: Double, fonts: Map[String, FontRes],
-      content: Array[Byte])
+      content: Array[Byte], imageXObjects: Set[String])
 
   private def pagesOf(doc: PdfDoc): Seq[PageData] = {
     val root = doc.resolve(doc.trailer.get("Root").getOrElse(PNull)) match {
@@ -403,7 +403,17 @@ object PdfReader {
           out.toByteArray
         case _ => Array.emptyByteArray
       }
-    PageData(x0, y0, x1 - x0, y1 - y0, fonts, content)
+    val imageXObjects: Set[String] = res.flatMap(_.get("XObject"))
+      .map(doc.resolve).collect { case xd: PDict =>
+        xd.m.keySet.filter { name =>
+          doc.resolve(xd.m(name)) match {
+            case s: PStream =>
+              s.dict.get("Subtype").contains(PName("Image"))
+            case _ => false
+          }
+        }
+      }.getOrElse(Set.empty)
+    PageData(x0, y0, x1 - x0, y1 - y0, fonts, content, imageXObjects)
   }
 
   private def fontRes(doc: PdfDoc, resName: String, o: PdfObj): FontRes =
@@ -458,7 +468,12 @@ object PdfReader {
   private def apply(m: Mat, x: Double, y: Double): (Double, Double) =
     (m(0) * x + m(2) * y + m(4), m(1) * x + m(3) * y + m(5))
 
-  private def interpret(page: PageData): Seq[Word] = {
+  /** One placed image: resource name + device-space TOP-DOWN box. */
+  private final case class PlacedImage(resName: String, x: Double,
+      yTop: Double, width: Double, height: Double)
+
+  private def interpret(page: PageData): (Seq[Word], Seq[PlacedImage]) = {
+    val images = ListBuffer.empty[PlacedImage]
     val words = ListBuffer.empty[Word]
     var ctm: Mat = Id
     val gsStack = mutable.Stack.empty[Mat]
@@ -620,7 +635,23 @@ object PdfReader {
                 }
                 case _ => ()
               }
-            case _ => () // path/color/image operators: no text effect
+            case "Do" =>
+              // image XObject placement: the unit square through the
+              // CTM — corners transformed, box = min/max (handles
+              // scale+translate exactly; rotations box-bound)
+              stack.lastOption.foreach {
+                case PName(n) if page.imageXObjects.contains(n) =>
+                  val corners = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0),
+                    (1.0, 1.0)).map { case (ux, uy) => apply(ctm, ux, uy) }
+                  val xs = corners.map(_._1 - page.mediaX)
+                  val ys = corners.map(_._2 - page.mediaY)
+                  val x0 = xs.min; val x1 = xs.max
+                  val y0 = ys.min; val y1 = ys.max
+                  images += PlacedImage(n, x0, page.height - y1,
+                    x1 - x0, y1 - y0)
+                case _ => ()
+              }
+            case _ => () // path/color operators: no text effect
           }
           stack.clear()
         case _ => ()
@@ -628,7 +659,7 @@ object PdfReader {
       tok = lx.nextToken()
     }
     flush()
-    words.toList
+    (words.toList, images.toList)
   }
 
   // ------------------------------------------------ token-table assembly
@@ -639,13 +670,32 @@ object PdfReader {
     * inclusive): out-of-range pages never decode or interpret their
     * content streams. */
   def parseTokens(docId: Long, bytes: Array[Byte], firstPage: Int = 1,
-      lastPage: Int = Int.MaxValue): Seq[TokenRow] = {
+      lastPage: Int = Int.MaxValue): Seq[TokenRow] =
+    parseAll(docId, bytes, firstPage, lastPage)._1
+
+  /** One-pass parse of tokens AND page graphics (image XObject
+    * placements → [[graft.pipeline.GraphicRow]], the ALTO
+    * `Illustration` analog) — the AltoReader.parseAll twin, feeding
+    * the F3 graphic-matching pipeline from PDF bytes. */
+  def parseAll(docId: Long, bytes: Array[Byte], firstPage: Int = 1,
+      lastPage: Int = Int.MaxValue)
+      : (Seq[TokenRow], Seq[graft.pipeline.GraphicRow]) = {
     val doc = new PdfDoc(bytes)
     val pages = pagesOf(doc)
     val out = ListBuffer.empty[TokenRow]
+    val graphics = ListBuffer.empty[graft.pipeline.GraphicRow]
     pages.zipWithIndex.foreach { case (page, pageIdx) =>
       if (pageIdx + 1 >= firstPage && pageIdx + 1 <= lastPage) {
-        val words = interpret(page)
+        val (words, imgs) = interpret(page)
+        imgs.zipWithIndex.foreach { case (im, k) =>
+          graphics += graft.pipeline.GraphicRow(docId, pageIdx,
+            pageIdx + 1,
+            file_id = s"img-$docId-p${pageIdx + 1}-${im.resName}-$k",
+            graphic_type = "image",
+            coords = Some(Coords(r2(im.x), r2(im.yTop), r2(im.width),
+              r2(im.height), pageIdx + 1)),
+            related_block_idx = None)
+        }
         // lines: group words by baseline proximity (tolerance scales
         // with the glyph size), x-sorted inside a line
         val sorted = words.sortBy(w => (w.yTop, w.x))
@@ -705,7 +755,17 @@ object PdfReader {
         }
       }
     }
-    out.toList
+    (out.toList, graphics.toList)
+  }
+
+  /** One-pass Dataset of (tokens, graphics) per doc — the
+    * AltoReader.parsedDocs convention for graphics-wired pipelines. */
+  def parsedDocs(docs: Dataset[(Long, Array[Byte])], firstPage: Int = 1,
+      lastPage: Int = Int.MaxValue)
+      : Dataset[(Seq[TokenRow], Seq[graft.pipeline.GraphicRow])] = {
+    import docs.sparkSession.implicits._
+    docs.map { case (docId, bytes) =>
+      parseAll(docId, bytes, firstPage, lastPage) }
   }
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100

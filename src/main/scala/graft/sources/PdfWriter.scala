@@ -72,10 +72,34 @@ object PdfWriter {
       pageH: Double = 792, compress: Boolean = true): Array[Byte] =
     buildRawContent(pages.map(contentOf(_, pageH)), pageW, pageH, compress)
 
+  /** One image placement: top-down box (ALTO convention). The writer
+    * embeds an 8-bit DeviceGray image XObject (Flate raw samples) and
+    * places it with the standard `q cm /ImN Do Q` sequence. */
+  final case class PImage(x: Double, y: Double, width: Double,
+      height: Double, pxW: Int = 8, pxH: Int = 8)
+
+  /** [[build]] with per-page image placements. */
+  def buildWithImages(pages: Seq[(Seq[PTok], Seq[PImage])],
+      pageW: Double = 612, pageH: Double = 792,
+      compress: Boolean = true): Array[Byte] = {
+    val contents = pages.map { case (toks, imgs) =>
+      val text = contentOf(toks, pageH)
+      val imgOps = imgs.zipWithIndex.map { case (im, i) =>
+        val yBase = pageH - im.y - im.height
+        s"q ${fmt(im.width)} 0 0 ${fmt(im.height)} ${fmt(im.x)} " +
+          s"${fmt(yBase)} cm /Im${i + 1} Do Q\n"
+      }.mkString
+      text + imgOps
+    }
+    buildRawContent(contents, pageW, pageH, compress,
+      images = pages.map(_._2))
+  }
+
   /** Build from raw per-page content streams — the spec hook for
     * exercising packed strings, TJ kerning, q/cm state, etc. */
   def buildRawContent(contents: Seq[String], pageW: Double = 612,
-      pageH: Double = 792, compress: Boolean = true): Array[Byte] = {
+      pageH: Double = 792, compress: Boolean = true,
+      images: Seq[Seq[PImage]] = Seq.empty): Array[Byte] = {
     val out = new ByteArrayOutputStream(4096)
     def w(s: String): Unit =
       out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -100,12 +124,23 @@ object PdfWriter {
       beginObj(3 + i)
       w(s"<< /Type /Font /Subtype /Type1 /BaseFont /$bf >>\nendobj\n")
     }
+    // image XObjects number after the page/content pairs
+    var nextObj = 7 + 2 * nPages
+    val imageRefs: Seq[Seq[Int]] = contents.indices.map { i =>
+      images.lift(i).getOrElse(Seq.empty).map { _ =>
+        val n = nextObj; nextObj += 1; n
+      }
+    }
     contents.zipWithIndex.foreach { case (content, i) =>
       beginObj(7 + 2 * i)
+      val xobj =
+        if (imageRefs(i).isEmpty) ""
+        else " /XObject << " + imageRefs(i).zipWithIndex.map {
+          case (ref, k) => s"/Im${k + 1} $ref 0 R" }.mkString(" ") + " >>"
       w(s"<< /Type /Page /Parent 2 0 R " +
         s"/MediaBox [ 0 0 ${fmt(pageW)} ${fmt(pageH)} ] " +
         "/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R " +
-        s"/F4 6 0 R >> >> /Contents ${8 + 2 * i} 0 R >>\nendobj\n")
+        s"/F4 6 0 R >>$xobj >> /Contents ${8 + 2 * i} 0 R >>\nendobj\n")
       beginObj(8 + 2 * i)
       val raw = content.getBytes(StandardCharsets.ISO_8859_1)
       val data = if (compress) deflate(raw) else raw
@@ -114,7 +149,22 @@ object PdfWriter {
       out.write(data)
       w("\nendstream\nendobj\n")
     }
-    val nObjs = 7 + 2 * nPages
+    contents.indices.foreach { i =>
+      images.lift(i).getOrElse(Seq.empty).zip(imageRefs(i)).foreach {
+        case (im, ref) =>
+          beginObj(ref)
+          // deterministic gray gradient samples
+          val samples = Array.tabulate(im.pxW * im.pxH)(k => (k * 7 % 256).toByte)
+          val data = deflate(samples)
+          w(s"<< /Type /XObject /Subtype /Image /Width ${im.pxW} " +
+            s"/Height ${im.pxH} /ColorSpace /DeviceGray " +
+            s"/BitsPerComponent 8 /Filter /FlateDecode " +
+            s"/Length ${data.length} >>\nstream\n")
+          out.write(data)
+          w("\nendstream\nendobj\n")
+      }
+    }
+    val nObjs = nextObj
     val xrefPos = out.size().toLong
     w(s"xref\n0 $nObjs\n")
     w(f"0000000000 65535 f \n")

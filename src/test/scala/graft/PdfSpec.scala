@@ -324,6 +324,46 @@ class PdfSpec extends SparkSuite {
     assert(xml.contains("Neural Corpus Engines"), xml.take(400))
   }
 
+  test("image XObjects round-trip as GraphicRows (the ALTO " +
+      "Illustration analog) and drive the F3 graphic-matching " +
+      "pipeline from PDF bytes") {
+    import graft.sources.PdfWriter.PImage
+    // a figure caption block with one image right above it (bbox
+    // match) and a stray image far away (unmatched)
+    val toks = Seq(
+      PTok("Some", 50, 60, 10), PTok("body", 90, 60, 10),
+      PTok("Figure", 50, 600, 10), PTok("1", 95, 600, 10),
+      PTok(":", 102, 600, 10), PTok("sample", 110, 600, 10),
+      PTok("caption", 160, 600, 10))
+    val images = Seq(
+      PImage(50, 560, 200, 30), // just above the caption
+      PImage(400, 20, 50, 30)) // page-top stray
+    val pdf = PdfWriter.buildWithImages(Seq((toks, images)))
+    val (rows, gfx) = PdfReader.parseAll(7L, pdf)
+    assert(rows.nonEmpty)
+    assert(gfx.length == 2, gfx)
+    val near = gfx.find(_.coords.get.y == 560.0).get
+    assert(near.graphic_type == "image")
+    assert(near.coords.get ==
+      graft.pipeline.Coords(50.0, 560.0, 200.0, 30.0, 1))
+    assert(near.page_idx == 0 && near.page_number == 1)
+    val far = gfx.find(_.coords.get.y == 20.0).get
+    assert(far.coords.get.x == 400.0 && far.coords.get.width == 50.0)
+    // distinct stable file ids
+    assert(gfx.map(_.file_id).distinct.length == 2)
+    // the graphics feed the matching pipeline exactly like ALTO
+    // Illustrations: the near image lands in the figure, the stray in
+    // the back-matter unmatched note (p13's expected shape)
+    val toksDf = spark.createDataset(rows).toDF()
+    val graphics = graft.pipeline.Processor.graphicsForMatching(
+      toksDf, spark.createDataset(gfx).toDF())
+    val tei = graft.pipeline.Processor.documentTei(toksDf,
+      graft.pipeline.Processor.Config(extractGraphicAssets = true),
+      Some(graphics)).collect().head.getString(1)
+    assert(tei.contains("<graphic"), tei.takeRight(600))
+    assert(tei.contains(near.file_id), tei.takeRight(600))
+  }
+
   test("long documents paginate and every body token survives the " +
       "round-trip in order") {
     val words = (1 to 900).map(i => s"tok$i")
