@@ -1222,20 +1222,19 @@ object Dedup {
     * `component` is the minimum node id of the component.
     *
     * Small-graph fast path (round 16): a deduplicated edge set at or
-    * under `localThreshold` rows collects to the driver and runs
-    * union-find with min-root tracking — identical labels (comp = min
-    * member id), microseconds instead of 2+ distributed rounds whose
-    * fixed cost (checkpoint job + convergence probe + codegen per
-    * round) dominates any small graph. This is the common case for
-    * EVERY incremental path (delta/contracted graphs) and for
-    * df-pruned near-dup graphs at bench scale; a 100 TB batch edge set
-    * exceeds the threshold and takes the distributed pointer-jumping
-    * loop unchanged. 2M edges ≈ 32 MB of driver tuples — well inside
-    * any driver heap that runs Spark at all.
+    * under `localThreshold` rows runs [[localConnectedComponents]]
+    * (the driver union-find [[connectedComponentsDelta]] already uses
+    * for contracted graphs) — identical labels (comp = min member id),
+    * microseconds instead of 2+ distributed rounds whose fixed cost
+    * (checkpoint job + convergence probe + codegen per round)
+    * dominates any small graph. This is the common case for df-pruned
+    * near-dup graphs at bench scale; a 100 TB batch edge set exceeds
+    * the threshold and takes the distributed pointer-jumping loop
+    * unchanged.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_id_a",
       dstCol: String = "doc_id_b", maxIter: Int = 25,
-      localThreshold: Long = 2000000L): DataFrame = {
+      localThreshold: Long = localCcMaxEdges): DataFrame = {
     // every checkpoint in the loop carries a release handle: round N's
     // blocks are retired as soon as round N+1 is materialized and the
     // convergence probe has read them — before round 8 the loop leaked
@@ -1257,36 +1256,10 @@ object Dedup {
         .limit(0)
     }
     if (nUnd <= localThreshold) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val local = und.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
+      val out = localConnectedComponents(
+        und.select(col("src").as("doc_id_a"), col("dst").as("doc_id_b")))
       releaseUnd()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
-        var x = x0
-        var p = parent.getOrDefault(x, x)
-        while (p != x) { // path halving
-          val gp = parent.getOrDefault(p, p)
-          parent.put(x, gp)
-          x = gp
-          p = parent.getOrDefault(x, x)
-        }
-        x
-      }
-      local.foreach { case (a, b) =>
-        val ra = find(a)
-        val rb = find(b)
-        if (ra != rb) {
-          // min id becomes the root, so the root IS the component label
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val nodes = new java.util.TreeSet[java.lang.Long]()
-      local.foreach { case (a, b) => nodes.add(a); nodes.add(b); () }
-      import scala.jdk.CollectionConverters._
-      return nodes.iterator().asScala.map(n => (n.toLong, find(n)))
-        .toSeq.toDF("node", "comp")
+      return out
     }
     var (labels, releaseLabels) =
       graft.CacheRegistry.localCheckpointWithRelease(
