@@ -54,9 +54,9 @@ object MediaTypes {
   *    (`grobid.py:90-124`)
   *  - `POST /api/processFulltextAssetDocument` — TEI/JATS zip with
   *    assets (`grobid.py:126-155`)
-  *  - `POST /api/pdfalto` — the low-level ALTO passthrough
-  *    (`api/routers/low_level.py:23-37`); PDF input needs the
-  *    pdfalto binary (A1 environmental seam) and reports 501 here
+  *  - `POST /api/pdfalto` — the low-level ALTO surface
+  *    (`api/routers/low_level.py:23-37`); PDF/DOCX uploads parse
+  *    in-JVM (round 16) and return REAL ALTO XML, ALTO echoes
   *  - `POST /api/models/<name>?output_format=json|raw_data|data|xml`
   *    — per-model feature/label surface
   *    (`api/routers/models.py:47-58,500-638`); `no_use_segmentation`
@@ -312,28 +312,32 @@ final class GraftService(
     * graphics are parsed, matched into figures (F3) and carry
     * `<graphic url=…>` asset ids the zip entries are named by. */
   private def pipelineNodesWithAssets(content: Array[Byte],
-      params: Map[String, String]): Seq[SemanticNode] = {
+      params: Map[String, String])
+      : (Seq[SemanticNode], Seq[Assets.AssetFile]) = {
     import spark.implicits._
     // PDF payloads: image XObject placements ARE the graphics side
-    // (PdfReader.parseAll, the ALTO Illustration analog); DOCX has no
-    // image parts in this subset — empty graphics
+    // (PdfReader.parseAll, the ALTO Illustration analog) and their
+    // DECODED payloads become real PNG zip entries; DOCX has no image
+    // parts in this subset — empty graphics
     if (isPdf(content)) {
       val docId =
         math.abs(scala.util.hashing.MurmurHash3.bytesHash(content)).toLong
       val (first, last) = pageBounds(params)
-      val (toks, gfx) = graft.sources.PdfReader.parseAll(docId, content,
-        first, last)
+      val (toks, gfx, pngs) = graft.sources.PdfReader.parseWithAssets(
+        docId, content, first, last)
       val toksDf = spark.createDataset(toks).toDF()
       val graphics = Processor.graphicsForMatching(
         toksDf, spark.createDataset(gfx).toDF())
-      return Processor.documentPipeline(toksDf,
+      val nodes = Processor.documentPipeline(toksDf,
           config.copy(extractGraphicAssets = true), Some(graphics))
         .collect().toSeq
+      return (nodes,
+        pngs.map { case (id, png) => Assets.AssetFile(s"$id.png", png) })
     }
     if (graft.sources.DocxReader.isDocx(content))
-      return Processor.documentPipeline(tokensOf(content, params),
+      return (Processor.documentPipeline(tokensOf(content, params),
           config.copy(extractGraphicAssets = true))
-        .collect().toSeq
+        .collect().toSeq, Seq.empty)
     val xml = new String(content, StandardCharsets.UTF_8)
     val docId = math.abs(scala.util.hashing.MurmurHash3.stringHash(xml)).toLong
     // the page range prunes at the parse, tokens AND illustrations:
@@ -344,9 +348,9 @@ final class GraftService(
     val toks = AltoReader.tokensOf(parsed).toDF()
     val graphics = Processor.graphicsForMatching(
       toks, AltoReader.graphicsOf(parsed).toDF())
-    Processor.documentPipeline(toks,
+    (Processor.documentPipeline(toks,
         config.copy(extractGraphicAssets = true), Some(graphics))
-      .collect().toSeq
+      .collect().toSeq, Seq.empty)
   }
 
   /** Root-subtree filter: keep the listed root node types and all
@@ -395,24 +399,27 @@ final class GraftService(
   }
 
   private def renderDocument(nodes: Seq[SemanticNode],
-      mediaType: String): Response = {
+      mediaType: String,
+      assets: Seq[Assets.AssetFile] = Seq.empty): Response = {
     val tei = Tei.buildTei(nodes)
     mediaType match {
       // TEI/JATS XML respond as plain application/xml (`utils.py:19-24`)
       case TeiXml => Response.text(200, Xml, tei)
       case JatsXml => Response.text(200, Xml, Jats.transform(tei))
-      case TeiZip => Response(200, Zip, zipOf(tei, "tei.xml"))
-      case JatsZip => Response(200, Zip, zipOf(Jats.transform(tei), "jats.xml"))
+      case TeiZip => Response(200, Zip, zipOf(tei, "tei.xml", assets))
+      case JatsZip =>
+        Response(200, Zip, zipOf(Jats.transform(tei), "jats.xml", assets))
       case other => Response.detail(406, s"unsupported media type $other")
     }
   }
 
-  /** One-document asset zip via the A8 sink (graphic assets ride along
-    * when the pipeline attaches them; `sinks/Assets.scala`). */
-  private def zipOf(xml: String, xmlName: String): Array[Byte] = {
+  /** One-document asset zip via the A8 sink — a PDF upload's
+    * extracted image XObjects ride along as real PNG entries
+    * (`sinks/Assets.scala`). */
+  private def zipOf(xml: String, xmlName: String,
+      assets: Seq[Assets.AssetFile]): Array[Byte] = {
     import spark.implicits._
-    val df = Seq((0L, xml, Seq.empty[Assets.AssetFile]))
-      .toDF("doc_id", "xml", "assets")
+    val df = Seq((0L, xml, assets)).toDF("doc_id", "xml", "assets")
     Assets.zipAssets(df, xmlCol = "xml", xmlName = xmlName)
       .select("zip").head().getAs[Array[Byte]](0)
   }
@@ -421,9 +428,12 @@ final class GraftService(
       rootFilter: String => Boolean): Response = {
     val mediaType = negotiate(ex, acceptTypes)
     val params = queryParams(ex)
-    renderDocument(
-      subtree(pipelineNodes(checkedSource(ex), params), rootFilter),
-      mediaType)
+    val src = checkedSource(ex)
+    val (nodes, assets) =
+      if (mediaType == JatsZip || mediaType == TeiZip)
+        pipelineNodesWithAssets(src, params)
+      else (pipelineNodes(src, params), Seq.empty[Assets.AssetFile])
+    renderDocument(subtree(nodes, rootFilter), mediaType, assets)
   }
 
   private def convert(ex: HttpExchange): Response = {
@@ -442,13 +452,13 @@ final class GraftService(
       return Response.detail(501,
         "no PDF source for an ALTO upload; request TEI/JATS")
     }
-    val nodes =
+    val (nodes, assets) =
       if (mediaType == JatsZip || mediaType == TeiZip)
         pipelineNodesWithAssets(src, params)
-      else pipelineNodes(src, params)
+      else (pipelineNodes(src, params), Seq.empty[Assets.AssetFile])
     renderDocument(
       subtree(nodes, includesFilter(params.get("includes"))),
-      mediaType)
+      mediaType, assets)
   }
 
   /** Low-level ALTO endpoint (the reference returns the pdfalto output

@@ -343,7 +343,8 @@ object PdfReader {
 
   private final case class PageData(mediaX: Double, mediaY: Double,
       width: Double, height: Double, fonts: Map[String, FontRes],
-      content: Array[Byte], imageXObjects: Set[String])
+      content: Array[Byte], imageXObjects: Set[String],
+      imageStreams: Map[String, PStream], doc: PdfDoc)
 
   private def pagesOf(doc: PdfDoc): Seq[PageData] = {
     val root = doc.resolve(doc.trailer.get("Root").getOrElse(PNull)) match {
@@ -403,17 +404,65 @@ object PdfReader {
           out.toByteArray
         case _ => Array.emptyByteArray
       }
-    val imageXObjects: Set[String] = res.flatMap(_.get("XObject"))
+    val imageStreams: Map[String, PStream] = res.flatMap(_.get("XObject"))
       .map(doc.resolve).collect { case xd: PDict =>
-        xd.m.keySet.filter { name =>
+        xd.m.keys.flatMap { name =>
           doc.resolve(xd.m(name)) match {
-            case s: PStream =>
-              s.dict.get("Subtype").contains(PName("Image"))
-            case _ => false
+            case s: PStream
+                if s.dict.get("Subtype").contains(PName("Image")) =>
+              Some(name -> s)
+            case _ => None
           }
-        }
-      }.getOrElse(Set.empty)
-    PageData(x0, y0, x1 - x0, y1 - y0, fonts, content, imageXObjects)
+        }.toMap
+      }.getOrElse(Map.empty)
+    PageData(x0, y0, x1 - x0, y1 - y0, fonts, content,
+      imageStreams.keySet, imageStreams, doc)
+  }
+
+  /** Decode an embedded image XObject (8-bit DeviceGray/DeviceRGB,
+    * any supported stream filter) to PNG bytes via the JDK encoder;
+    * None for unsupported color configurations (the graphic row still
+    * exists — only the extractable payload is absent, the reference's
+    * behavior for undecodable embedded images). */
+  private def decodeImagePng(doc: PdfDoc, s: PStream): Option[Array[Byte]] = {
+    try {
+      def num(k: String): Int = doc.resolve(s.dict.get(k).getOrElse(PNull)) match {
+        case PNum(v) => v.toInt
+        case _ => -1
+      }
+      val w = num("Width")
+      val h = num("Height")
+      val bpc = num("BitsPerComponent")
+      val cs = doc.resolve(s.dict.get("ColorSpace").getOrElse(PNull))
+      if (w <= 0 || h <= 0 || bpc != 8) return None
+      val data = decodeStream(s, doc.resolve)
+      val img = cs match {
+        case PName("DeviceGray") if data.length >= w * h =>
+          val im = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          im.getRaster.setDataElements(0, 0, w, h,
+            java.util.Arrays.copyOf(data, w * h))
+          Some(im)
+        case PName("DeviceRGB") if data.length >= w * h * 3 =>
+          val im = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          var p = 0
+          while (i < w * h) {
+            val r = data(p) & 0xff; val g = data(p + 1) & 0xff
+            val b = data(p + 2) & 0xff
+            im.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+            i += 1; p += 3
+          }
+          Some(im)
+        case _ => None
+      }
+      img.map { im =>
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", out)
+        out.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def fontRes(doc: PdfDoc, resName: String, o: PdfObj): FontRes =
@@ -680,21 +729,44 @@ object PdfReader {
   def parseAll(docId: Long, bytes: Array[Byte], firstPage: Int = 1,
       lastPage: Int = Int.MaxValue)
       : (Seq[TokenRow], Seq[graft.pipeline.GraphicRow]) = {
+    val (t, g, _) = parseWithAssets(docId, bytes, firstPage, lastPage,
+      decodeAssets = false)
+    (t, g)
+  }
+
+  /** [[parseAll]] plus EXTRACTED image payloads: each graphic's
+    * embedded XObject decodes to PNG bytes keyed by its `file_id` —
+    * the A8 asset-zip input, the reference's extracted-graphics
+    * behavior from real PDF data. Undecodable images (unsupported
+    * colorspace/bit depth) keep their graphic row but ship no asset. */
+  def parseWithAssets(docId: Long, bytes: Array[Byte], firstPage: Int = 1,
+      lastPage: Int = Int.MaxValue, decodeAssets: Boolean = true)
+      : (Seq[TokenRow], Seq[graft.pipeline.GraphicRow],
+        Seq[(String, Array[Byte])]) = {
     val doc = new PdfDoc(bytes)
     val pages = pagesOf(doc)
     val out = ListBuffer.empty[TokenRow]
     val graphics = ListBuffer.empty[graft.pipeline.GraphicRow]
+    val assets = ListBuffer.empty[(String, Array[Byte])]
     pages.zipWithIndex.foreach { case (page, pageIdx) =>
       if (pageIdx + 1 >= firstPage && pageIdx + 1 <= lastPage) {
         val (words, imgs) = interpret(page)
+        val pngCache = scala.collection.mutable.Map.empty[String, Option[Array[Byte]]]
         imgs.zipWithIndex.foreach { case (im, k) =>
+          val fileId = s"img-$docId-p${pageIdx + 1}-${im.resName}-$k"
           graphics += graft.pipeline.GraphicRow(docId, pageIdx,
             pageIdx + 1,
-            file_id = s"img-$docId-p${pageIdx + 1}-${im.resName}-$k",
+            file_id = fileId,
             graphic_type = "image",
             coords = Some(Coords(r2(im.x), r2(im.yTop), r2(im.width),
               r2(im.height), pageIdx + 1)),
             related_block_idx = None)
+          if (decodeAssets) {
+            val png = pngCache.getOrElseUpdate(im.resName,
+              page.imageStreams.get(im.resName)
+                .flatMap(decodeImagePng(page.doc, _)))
+            png.foreach(p => assets += ((fileId, p)))
+          }
         }
         // lines: group words by baseline proximity (tolerance scales
         // with the glyph size), x-sorted inside a line
@@ -755,7 +827,7 @@ object PdfReader {
         }
       }
     }
-    (out.toList, graphics.toList)
+    (out.toList, graphics.toList, assets.toList)
   }
 
   /** One-pass Dataset of (tokens, graphics) per doc — the

@@ -362,6 +362,21 @@ class PdfSpec extends SparkSuite {
       Some(graphics)).collect().head.getString(1)
     assert(tei.contains("<graphic"), tei.takeRight(600))
     assert(tei.contains(near.file_id), tei.takeRight(600))
+    // embedded payloads decode to REAL PNG assets keyed by file_id
+    val (_, gfx2, assets) = PdfReader.parseWithAssets(7L, pdf)
+    assert(assets.length == 2, assets.map(_._1))
+    assert(assets.map(_._1).toSet == gfx2.map(_.file_id).toSet)
+    assets.foreach { case (_, png) =>
+      assert(png.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "PNG magic")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+      // the writer's deterministic gray gradient survives decode
+      // (raster samples, not getRGB — getRGB gamma-maps linear gray)
+      assert(img.getRaster.getSample(1, 0, 0) == 7,
+        img.getRaster.getSample(1, 0, 0).toString)
+    }
   }
 
   test("long documents paginate and every body token survives the " +

@@ -252,6 +252,48 @@ class ServiceSpec extends SparkSuite {
     assert(bad.statusCode() == 400, bad.statusCode().toString)
   }
 
+  test("PDF upload with zip Accept extracts embedded images as REAL " +
+      "PNG zip entries (A8 from actual PDF data)") {
+    import graft.sources.PdfWriter
+    import graft.sources.PdfWriter.{PImage, PTok}
+    val toks = Seq(
+      PTok("Neural", 50, 60, 18, bold = true),
+      PTok("Corpus", 120, 60, 18, bold = true),
+      PTok("Engines", 190, 60, 18, bold = true),
+      PTok("Alice", 50, 90, 9.5), PTok("Smith", 90, 90, 9.5),
+      PTok("Figure", 50, 600, 9.5), PTok("1", 95, 600, 9.5),
+      PTok(":", 102, 600, 9.5), PTok("sample", 110, 600, 9.5))
+    val pdf = PdfWriter.buildWithImages(
+      Seq((toks, Seq(PImage(50, 560, 200, 30)))))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/api/processFulltextAssetDocument"))
+        .header("Accept", "application/tei+xml+zip")
+        .header("Content-Type", "application/pdf")
+        .POST(BodyPublishers.ofByteArray(pdf)).build(),
+      BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200, new String(r.body()).take(300))
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(r.body()))
+    var names = List.empty[String]
+    var pngOk = false
+    var e = zin.getNextEntry
+    while (e != null) {
+      names ::= e.getName
+      if (e.getName.endsWith(".png")) {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](4096)
+        var n = zin.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = zin.read(b) }
+        val png = buf.toByteArray
+        pngOk = png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47)
+      }
+      e = zin.getNextEntry
+    }
+    assert(names.contains("tei.xml"), names)
+    assert(names.exists(_.endsWith(".png")), names)
+    assert(pngOk, "png entry carries real PNG bytes")
+  }
+
   test("DOCX upload converts in-JVM and processes end-to-end through " +
       "/api/convert (A3: docx -> PDF -> tokens -> TEI)") {
     import graft.sources.DocxReader
