@@ -96,10 +96,21 @@ object PdfWriter {
   }
 
   /** Build from raw per-page content streams — the spec hook for
-    * exercising packed strings, TJ kerning, q/cm state, etc. */
+    * exercising packed strings, TJ kerning, q/cm state, etc.
+    *
+    * `pdf15 = true` emits the PDF 1.5+ layout every modern producer
+    * ships: catalog/pages/font dicts packed into ONE object stream
+    * (`/Type /ObjStm`) and a cross-reference STREAM (`/Type /XRef`,
+    * `/W [1 4 2]`, Flate + PNG up-predictor `/DecodeParms
+    * << /Predictor 12 /Columns 7 >>`) instead of the classic table —
+    * the reader-side support (xref streams, predictors, ObjStm) gets
+    * a writer-generated fixture instead of only hand-built bytes. */
   def buildRawContent(contents: Seq[String], pageW: Double = 612,
       pageH: Double = 792, compress: Boolean = true,
-      images: Seq[Seq[PImage]] = Seq.empty): Array[Byte] = {
+      images: Seq[Seq[PImage]] = Seq.empty,
+      pdf15: Boolean = false): Array[Byte] = {
+    if (pdf15)
+      return buildPdf15(contents, pageW, pageH, compress, images)
     val out = new ByteArrayOutputStream(4096)
     def w(s: String): Unit =
       out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -170,6 +181,124 @@ object PdfWriter {
     w(f"0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size $nObjs /Root 1 0 R >>\nstartxref\n$xrefPos\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The PDF 1.5 layout (see [[buildRawContent]]). Object numbering:
+    * 1 catalog, 2 pages, 3–6 fonts (all INSIDE the ObjStm), per page
+    * i: 7+2i page dict, 8+2i content stream, then images, then the
+    * ObjStm, then the xref stream. */
+  private def buildPdf15(contents: Seq[String], pageW: Double,
+      pageH: Double, compress: Boolean,
+      images: Seq[Seq[PImage]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit =
+      out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val nPages = contents.length
+    var nextObj = 7 + 2 * nPages
+    val imageRefs: Seq[Seq[Int]] = contents.indices.map { i =>
+      images.lift(i).getOrElse(Seq.empty).map { _ =>
+        val n = nextObj; nextObj += 1; n
+      }
+    }
+    val objStmNum = nextObj
+    val xrefNum = nextObj + 1
+    val nObjs = nextObj + 2
+    // (objNum -> type-1 offset) for top-level, packed set for type-2
+    val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    def beginObj(num: Int): Unit = {
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n")
+    }
+    w("%PDF-1.5\n%âãÏÓ\n")
+    // top-level: page dicts + content streams + images
+    contents.zipWithIndex.foreach { case (content, i) =>
+      beginObj(7 + 2 * i)
+      val xobj =
+        if (imageRefs(i).isEmpty) ""
+        else " /XObject << " + imageRefs(i).zipWithIndex.map {
+          case (ref, k) => s"/Im${k + 1} $ref 0 R" }.mkString(" ") + " >>"
+      w(s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [ 0 0 ${fmt(pageW)} ${fmt(pageH)} ] " +
+        "/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R " +
+        s"/F4 6 0 R >>$xobj >> /Contents ${8 + 2 * i} 0 R >>\nendobj\n")
+      beginObj(8 + 2 * i)
+      val raw = content.getBytes(StandardCharsets.ISO_8859_1)
+      val data = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    contents.indices.foreach { i =>
+      images.lift(i).getOrElse(Seq.empty).zip(imageRefs(i)).foreach {
+        case (im, ref) =>
+          beginObj(ref)
+          val samples = Array.tabulate(im.pxW * im.pxH)(k => (k * 7 % 256).toByte)
+          val data = deflate(samples)
+          w(s"<< /Type /XObject /Subtype /Image /Width ${im.pxW} " +
+            s"/Height ${im.pxH} /ColorSpace /DeviceGray " +
+            s"/BitsPerComponent 8 /Filter /FlateDecode " +
+            s"/Length ${data.length} >>\nstream\n")
+          out.write(data)
+          w("\nendstream\nendobj\n")
+      }
+    }
+    // the ObjStm: catalog + pages + the four fonts
+    val kids = (0 until nPages).map(i => s"${7 + 2 * i} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>") ++
+      Seq("Helvetica", "Helvetica-Bold", "Helvetica-Oblique",
+        "Helvetica-BoldOblique").zipWithIndex.map { case (bf, i) =>
+        (3 + i) -> s"<< /Type /Font /Subtype /Type1 /BaseFont /$bf >>"
+      }
+    val bodies = packed.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length).init
+    val header = packed.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val stmData = deflate(
+      (header + bodies.mkString).getBytes(StandardCharsets.ISO_8859_1))
+    beginObj(objStmNum)
+    w(s"<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${stmData.length} >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+    // the xref STREAM with PNG up-predictor rows (/W [1 4 2] → 7 cols)
+    val xrefPos = out.size().toLong
+    offsets(xrefNum) = xrefPos
+    val rows: Seq[Array[Byte]] = (0 until nObjs).map { n =>
+      val row = new Array[Byte](7)
+      if (n == 0) { row(0) = 0; row(6) = 0xff.toByte }
+      else packed.indexWhere(_._1 == n) match {
+        case -1 =>
+          row(0) = 1
+          val off = offsets(n)
+          row(1) = (off >> 24).toByte; row(2) = (off >> 16).toByte
+          row(3) = (off >> 8).toByte; row(4) = off.toByte
+        case idx =>
+          row(0) = 2
+          row(1) = (objStmNum >> 24).toByte; row(2) = (objStmNum >> 16).toByte
+          row(3) = (objStmNum >> 8).toByte; row(4) = objStmNum.toByte
+          row(6) = idx.toByte
+      }
+      row
+    }
+    // PNG predictor 2 (up): stored = raw - prevRow, filter byte 2
+    val enc = new ByteArrayOutputStream()
+    var prev = new Array[Byte](7)
+    rows.foreach { r =>
+      enc.write(2)
+      (0 until 7).foreach(i => enc.write((r(i) - prev(i)) & 0xff))
+      prev = r
+    }
+    val xrefData = deflate(enc.toByteArray)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $nObjs /Root 1 0 R " +
+      "/W [ 1 4 2 ] /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%%%EOF\n")
     out.toByteArray
   }
 

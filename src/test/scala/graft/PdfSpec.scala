@@ -379,6 +379,34 @@ class PdfSpec extends SparkSuite {
     }
   }
 
+  test("PDF 1.5 layout: xref STREAM (PNG up-predictor) + object stream " +
+      "parse to the identical token/graphic tables as the classic form") {
+    import graft.sources.PdfWriter.PImage
+    val content =
+      """BT /F2 18 Tf 1 0 0 1 50 714 Tm (Modern Layout) Tj ET
+        |BT /F1 10 Tf 1 0 0 1 50 650 Tm (body words here) Tj ET
+        |q 100 0 0 40 50 200 cm /Im1 Do Q
+        |""".stripMargin
+    val imgs = Seq(Seq(PImage(50, 552, 100, 40)))
+    val classic = PdfWriter.buildRawContent(Seq(content), images = imgs)
+    val modern = PdfWriter.buildRawContent(Seq(content), images = imgs,
+      pdf15 = true)
+    assert(new String(modern.take(9), "ISO-8859-1") == "%PDF-1.5\n")
+    assert(!new String(modern, "ISO-8859-1").contains("\ntrailer"),
+      "1.5 layout carries no classic trailer")
+    val (tC, gC) = PdfReader.parseAll(7L, classic)
+    val (tM, gM) = PdfReader.parseAll(7L, modern)
+    assert(tM.nonEmpty && tM == tC)
+    assert(gM.nonEmpty && gM == gC)
+    // fonts resolved THROUGH the object stream: bold title survived
+    assert(tM.find(_.text == "Modern").get.font.is_bold)
+    // and the embedded image still decodes to a PNG asset
+    val (_, _, assets) = PdfReader.parseWithAssets(7L, modern)
+    assert(assets.length == 1 &&
+      assets.head._2.take(4).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47))
+  }
+
   test("long documents paginate and every body token survives the " +
       "round-trip in order") {
     val words = (1 to 900).map(i => s"tok$i")
