@@ -201,12 +201,19 @@ class CacheRegistrySpec extends SparkSuite {
     Graft.releaseCaches(spark, includeShared = true)
     val base = persistentCount
     // a 9-node chain forces multiple pointer-jumping rounds
+    // (localThreshold=0 forces the DISTRIBUTED loop — the round-16
+    // union-find fast path holds no storage at all, pinned below)
     val edges = (1L to 8L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
-    val comps = operators.Dedup.connectedComponents(edges)
+    val comps = operators.Dedup.connectedComponents(edges,
+      localThreshold = 0L)
     assert(comps.agg(countDistinct("comp")).head.getLong(0) == 1L)
     // only the final labels checkpoint is live while the result is used
     assert(persistentCount == base + 1, spark.sparkContext.getPersistentRDDs)
     Graft.releaseCaches(spark)
     assert(persistentCount == base)
+    // the fast path: same answer, zero persistent storage
+    val local = operators.Dedup.connectedComponents(edges)
+    assert(local.agg(countDistinct("comp")).head.getLong(0) == 1L)
+    assert(persistentCount == base, spark.sparkContext.getPersistentRDDs)
   }
 }
