@@ -899,11 +899,15 @@ object Dedup {
 
   // ----------------------------------------------- n-gram Jaccard (exact)
 
-  /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
-    * n-grams, equi-join on the gram, count intersections, join back the
-    * per-doc set sizes. At scale, grams shared by >B docs should be
-    * dropped first (stopword grams produce quadratic candidate blowup) —
-    * `maxDocFreq` does that document-frequency pruning.
+  /** Exact n-gram Jaccard pairs via an inverted index: explode distinct
+    * n-grams, group into per-gram member lists (one exchange), emit all
+    * in-list pairs row-locally, count intersections per pair. At scale,
+    * grams shared by >B docs should be dropped first (stopword grams
+    * produce quadratic candidate blowup) — `maxDocFreq` does that
+    * document-frequency pruning, and the same bound caps the member
+    * lists so no aggregate key holds more than `maxDocFreq` entries.
+    * Without a cap the self-join form stands (a per-gram list could be
+    * corpus-sized).
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 2, threshold: Double = 0.2,
@@ -916,20 +920,48 @@ object Dedup {
     // sides already share ONE evaluation via exchange reuse.
     val withGrams = docs.select(col(idCol).as("id"),
       shingles(tokensOf(col(textCol)), n).as("grams"))
-    var exploded = withGrams.select(col("id"),
+    val exploded = withGrams.select(col("id"),
       size(col("grams")).cast("bigint").as("ng"),
       explode(col("grams")).as("gram"))
-    if (maxDocFreq != Long.MaxValue) {
-      val rare = exploded.groupBy("gram").count()
-        .filter(col("count") <= maxDocFreq)
-      exploded = exploded.join(rare.select("gram"), Seq("gram"), "left_semi")
-    }
-    exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
+    val matches =
+      if (maxDocFreq != Long.MaxValue) {
+        // Capped path (optimization round r16): ONE exchange on the
+        // gram builds per-gram member lists; the df prune is the
+        // list-size filter and candidate pairs explode ROW-LOCALLY
+        // from each surviving list. The previous shape (df groupBy +
+        // left-semi prune + a×b self-join) re-read the exploded table
+        // three ways across ~4 exchanges — with AQE, four extra
+        // re-planned query stages per invocation (guide §2.4). Member
+        // lists are bounded by maxDocFreq (the declared df cap), so
+        // the aggregate's per-key state is ≤ maxDocFreq 16-byte
+        // structs — never corpus-scale.
+        val members = exploded
+          .groupBy("gram")
+          .agg(collect_list(struct(col("id"), col("ng"))).as("ms"))
+          .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDocFreq)
+        // all unordered (a, b) pairs with a.id < b.id, row-local;
+        // shingles are distinct per doc so each doc appears at most
+        // once per list and `inter` counts shared grams exactly as
+        // the self-join did
+        members.select(explode(flatten(transform(col("ms"), a =>
+            transform(filter(col("ms"), b => b("id") > a("id")), b =>
+              struct(a("id").as("ida"), a("ng").as("nga"),
+                b("id").as("idb"), b("ng").as("ngb")))))).as("p"))
+          .select(col("p.ida").as("ida"), col("p.nga").as("nga"),
+            col("p.idb").as("idb"), col("p.ngb").as("ngb"))
+      } else {
+        // uncapped: the self-join shape stands — a per-gram list
+        // without the df bound could hold the whole corpus in one row
+        exploded.as("a")
+          .join(exploded.as("b"),
+            col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("ida"), col("a.ng").as("nga"),
+            col("b.id").as("idb"), col("b.ng").as("ngb"))
+      }
+    matches
+      .groupBy(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
       .agg(count(lit(1)).as("inter"),
-        max(col("a.ng")).as("ng_a"), max(col("b.ng")).as("ng_b"))
+        max(col("nga")).as("ng_a"), max(col("ngb")).as("ng_b"))
       .withColumn("j", round(col("inter").cast("double") /
         (col("ng_a") + col("ng_b") - col("inter")), 4))
       .filter(col("j") >= threshold)
@@ -1221,8 +1253,8 @@ object Dedup {
     * Returns `(node, component)` for every node with at least one edge;
     * `component` is the minimum node id of the component.
     *
-    * Small-graph fast path (round 16): a deduplicated edge set at or
-    * under `localThreshold` rows runs [[localConnectedComponents]]
+    * Small-graph fast path (round 16): an edge set at or under
+    * `localThreshold` rows runs [[localConnectedComponents]]
     * (the driver union-find [[connectedComponentsDelta]] already uses
     * for contracted graphs) — identical labels (comp = min member id),
     * microseconds instead of 2+ distributed rounds whose fixed cost
@@ -1231,6 +1263,19 @@ object Dedup {
     * near-dup graphs at bench scale; a 100 TB batch edge set exceeds
     * the threshold and takes the distributed pointer-jumping loop
     * unchanged.
+    *
+    * Optimization round r16: the RAW edge list is checkpointed and
+    * counted FIRST, and the undirected/deduplicated table is built
+    * only on the distributed path — from the checkpoint leaf, not the
+    * caller's plan. Before, `edges ∪ swap(edges) distinct` embedded
+    * the (often expensive — a df-pruned Jaccard self-join) edge plan
+    * TWICE and paid a second full-width materialization; with AQE
+    * each of its shuffle stages is a separate job whose re-planning
+    * walks that doubled tree. The small path now collects the raw
+    * checkpointed edges directly (union-find is direction- and
+    * duplicate-insensitive), dropping the distinct exchange and the
+    * second checkpoint outright (guide §2.4). Labels are unchanged on
+    * both paths.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_id_a",
       dstCol: String = "doc_id_b", maxIter: Int = 25,
@@ -1239,28 +1284,33 @@ object Dedup {
     // blocks are retired as soon as round N+1 is materialized and the
     // convergence probe has read them — before round 8 the loop leaked
     // one label-table's worth of storage per iteration per invocation
-    val (und, releaseUnd) = graft.CacheRegistry.localCheckpointWithRelease(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-        .distinct())
-    val nUnd = und.count()
+    val (edgesCp, releaseEdges) =
+      graft.CacheRegistry.localCheckpointWithRelease(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nEdges = edgesCp.count()
     // empty edge set → empty label table, no loop: a clean corpus (or
     // a clean delivery batch in the incremental funnel) should not pay
     // label-propagation job rounds to learn there is nothing to label
-    if (nUnd == 0L) {
-      releaseUnd()
+    if (nEdges == 0L) {
+      releaseEdges()
       // derived from the caller's frame, not the released checkpoint
       // (a released checkpoint cannot be re-actioned); limit(0) folds
       // to an empty relation
       return edges.select(col(srcCol).as("node"), col(srcCol).as("comp"))
         .limit(0)
     }
-    if (nUnd <= localThreshold) {
+    if (nEdges <= localThreshold) {
+      // raw directed edges suffice: union-find unions (a, b) exactly
+      // like the two (a→b, b→a) rows, and duplicates are no-ops
       val out = localConnectedComponents(
-        und.select(col("src").as("doc_id_a"), col("dst").as("doc_id_b")))
-      releaseUnd()
+        edgesCp.select(col("src").as("doc_id_a"), col("dst").as("doc_id_b")))
+      releaseEdges()
       return out
     }
+    val (und, releaseUnd) = graft.CacheRegistry.localCheckpointWithRelease(
+      edgesCp.union(edgesCp.select(col("dst"), col("src")))
+        .distinct())
+    releaseEdges() // und is materialized; the raw edge blocks are done
     var (labels, releaseLabels) =
       graft.CacheRegistry.localCheckpointWithRelease(
         und.select(col("src").as("node")).distinct()

@@ -996,7 +996,7 @@ object ScaleOps {
 
   /** The q92 blocklist: phrases chosen to hit the synthetic corpus at
     * every scale while exercising overlapping-pattern matching. */
-  private val Blocklist =
+  private[graft] val Blocklist =
     Seq("window window", "vector join", "slow join sort", "batch batch batch")
 
   /** Q92 blocklist filter (oracled): documents containing any banned
