@@ -46,6 +46,12 @@ object PlanDump {
     Files.createDirectories(Paths.get(outDir))
     names.foreach { n =>
       try {
+        // warm pass first (noop sink): shared hub caches materialize, so
+        // the explained plan is the plan the WARM bench reps run — an
+        // unmaterialized cache reports UnknownPartitioning and the cold
+        // plan shows exchanges the warm one doesn't pay
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         val df = SparkEntry.queries(n)(spark, sfDir)
         val txt = df.queryExecution.explainString(FormattedMode)
         Files.writeString(Paths.get(s"$outDir/${n}_$tag.txt"), txt)

@@ -23,6 +23,14 @@ object Features {
   private def byLine = Window.partitionBy("doc_id", "page_idx", "block_idx", "line_idx")
   private def byBlock = Window.partitionBy("doc_id", "page_idx", "block_idx")
   private def byPage = Window.partitionBy("doc_id", "page_idx")
+  // Full-partition frame over an ORDERED spec: identical value to the
+  // unordered window, but WindowExec groups frames by (partition,
+  // order) — riding the ordered spec keeps each partition level at ONE
+  // buffering operator instead of two (optimization round r16; the
+  // buffer copy of the wide token row is the dominant per-row cost).
+  private def fullFrame(w: org.apache.spark.sql.expressions.WindowSpec) =
+    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+  private def byDocFull = fullFrame(byDoc)
 
   // ----------------------------------------------------- scalar features
 
@@ -98,20 +106,20 @@ object Features {
     * unbounded doc window — computed once, reused by all three flags. */
   def largestFontFlag: Column =
     boolFlag(col("font.font_size") >=
-      max(col("font.font_size")).over(Window.partitionBy("doc_id")))
+      max(col("font.font_size")).over(byDocFull))
   def smallestFontFlag: Column =
     boolFlag(col("font.font_size") <=
-      min(col("font.font_size")).over(Window.partitionBy("doc_id")))
+      min(col("font.font_size")).over(byDocFull))
   def largerThanAvgFontFlag: Column =
     boolFlag(col("font.font_size") >
-      avg(col("font.font_size")).over(Window.partitionBy("doc_id")))
+      avg(col("font.font_size")).over(byDocFull))
 
   /** C11 line/block/page status (data.py:209-260): LINESTART/LINEIN/
     * LINEEND etc. from first/last positions within the partition. */
   private def statusIn(w: org.apache.spark.sql.expressions.WindowSpec,
       startV: String, inV: String, endV: String): Column = {
     val rn = row_number().over(w.orderBy(pos: _*))
-    val cnt = count(lit(1)).over(w)
+    val cnt = count(lit(1)).over(fullFrame(w.orderBy(pos: _*)))
     when(rn === 1, startV).when(rn === cnt, endV).otherwise(inV)
   }
   def lineStatus: Column = statusIn(byLine, "LINESTART", "LINEIN", "LINEEND")
@@ -122,7 +130,8 @@ object Features {
     * previous line's start-x, one char-width tolerance
     * (data.py:298-321 reformulated statelessly). */
   def alignmentStatus: Column = {
-    val lineFirst = Window.partitionBy("doc_id", "page_idx", "block_idx", "line_idx")
+    val lineFirst = fullFrame(Window.partitionBy(
+      "doc_id", "page_idx", "block_idx", "line_idx").orderBy(pos: _*))
     val startX = min(when(col("token_idx") === 0, col("coords.x"))).over(lineFirst)
     val charWidth = col("coords.width") / greatest(length(col("text")), lit(1))
     val prevLineX = lag(startX, 1).over(
@@ -141,7 +150,7 @@ object Features {
   /** Doc-relative position in 12 bins. */
   def docPositionBin: Column = {
     val rn = row_number().over(byDoc) - 1
-    val total = count(lit(1)).over(Window.partitionBy("doc_id"))
+    val total = count(lit(1)).over(byDocFull)
     linearScaledBin(rn, total, 12)
   }
 

@@ -23,15 +23,40 @@ object HeaderFeatures {
     val t = col("text")
     def boolStr(c: Column): Column = when(c, "1").otherwise("0")
 
+    // Widest partition key FIRST (optimization round r16): the byDoc
+    // windows at the bottom of the plan force ONE hash(doc_id)
+    // exchange, and hash(doc_id) satisfies the clustering requirement
+    // of every narrower (page/block/line) window above it — applied in
+    // the old order (line → block → doc) EnsureRequirements inserted a
+    // fresh exchange per widening key (hash(doc,page,block,line) does
+    // not satisfy clustering by (doc,page,block)), three shuffles of
+    // the full token table instead of one (guide §2.4). The byDoc sort
+    // (doc, page, block, line, token) is a superset ordering of every
+    // later window's requirement, so the narrower windows add no sort
+    // either. Window values are order-independent of application
+    // order; output is unchanged.
+    // Every aggregate that the old code ran over an UNORDERED window
+    // spec (max_fs, line_n, tok_n) now rides the ORDERED spec of its
+    // partition level with an explicit unbounded-both-sides frame —
+    // the full-partition frame computes the identical value, and
+    // WindowExec groups frames by (partitionSpec, orderSpec), so each
+    // partition level buffers and copies the 470k-token table ONCE
+    // instead of twice (6 Window operators → 3; the buffer copy, not
+    // the functions, is the per-row cost at this width).
+    val fullFrame = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byBlockOrd = byBlock.orderBy(col("line_idx"))
+    val byLineOrd = byLine.orderBy(col("token_idx"))
     val withCtx = tokens
-      .withColumn("tok_i", row_number().over(byLine.orderBy(col("token_idx"))) - 1)
-      .withColumn("tok_n", count(lit(1)).over(byLine))
-      .withColumn("line_i", dense_rank().over(byBlock.orderBy(col("line_idx"))) - 1)
-      .withColumn("line_n", size(collect_set(col("line_idx")).over(byBlock)))
       .withColumn("prev_family", lag(col("font.font_family"), 1).over(docOrder))
       .withColumn("prev_size", lag(col("font.font_size"), 1).over(docOrder))
       .withColumn("prev_any", lag(lit(1), 1).over(docOrder))
-      .withColumn("max_fs", max(col("font.font_size")).over(byDoc))
+      .withColumn("max_fs", max(col("font.font_size")).over(fullFrame(docOrder)))
+      .withColumn("line_i", dense_rank().over(byBlockOrd) - 1)
+      .withColumn("line_n",
+        size(collect_set(col("line_idx")).over(fullFrame(byBlockOrd))))
+      .withColumn("tok_i", row_number().over(byLineOrd) - 1)
+      .withColumn("tok_n", count(lit(1)).over(fullFrame(byLineOrd)))
       // C12 sticky indentation: per line, compare first-token x to the
       // previous line's; the indent state carries forward until changed
       .withColumn("line_start_x",
@@ -40,24 +65,29 @@ object HeaderFeatures {
         first(col("coords.width") / greatest(length(t), lit(1)))
           .over(byLine.orderBy(col("token_idx"))))
 
-    val lineOrder = Window.partitionBy("doc_id")
-      .orderBy(col("page_idx"), col("block_idx"), col("line_idx"))
-    val lineLevel = withCtx.filter(col("tok_i") === 0)
-      .withColumn("prev_line_x", lag(col("line_start_x"), 1).over(lineOrder))
+    // C12 sticky indentation INLINE on token rows (optimization round
+    // r16): the previous form filtered a one-row-per-line frame, ran
+    // doc-ordered lag/last windows on it, and joined it back — Spark
+    // has no common-subplan sharing, so that branch re-scanned the
+    // token hub and re-ran its window chain (2 extra exchanges + a
+    // join per query). Equivalent inline: `line_start_x` is constant
+    // per line, so at a line's FIRST token the doc-ordered previous
+    // row (the previous line's last token) carries the previous line's
+    // start x — indent events fire only there, and the sticky
+    // `last(ignoreNulls)` over doc order gives every token of line L
+    // the latest event at or before L exactly like the per-line join
+    // did. Same hash(doc_id) clustering, zero new exchanges.
+    val ctx = withCtx
+      .withColumn("prev_row_x", lag(col("line_start_x"), 1).over(docOrder))
       .withColumn("indent_event",
-        when(col("prev_line_x").isNotNull &&
-          col("line_start_x") - col("prev_line_x") > col("char_w"), lit(true))
-        .when(col("prev_line_x").isNotNull &&
-          col("prev_line_x") - col("line_start_x") > col("char_w"), lit(false)))
+        when(col("tok_i") === 0 && col("prev_row_x").isNotNull &&
+          col("line_start_x") - col("prev_row_x") > col("char_w"), lit(true))
+        .when(col("tok_i") === 0 && col("prev_row_x").isNotNull &&
+          col("prev_row_x") - col("line_start_x") > col("char_w"), lit(false)))
       .withColumn("is_indented",
         coalesce(last(col("indent_event"), ignoreNulls = true).over(
-          lineOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          docOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
           lit(false)))
-      .select(col("doc_id"), col("page_idx"), col("block_idx"), col("line_idx"),
-        col("is_indented"))
-
-    val ctx = withCtx.join(lineLevel,
-      Seq("doc_id", "page_idx", "block_idx", "line_idx"), "left")
 
     val lineStatus = when(col("tok_i") === col("tok_n") - 1, "LINEEND")
       .when(col("tok_i") === 0, "LINESTART").otherwise("LINEIN")

@@ -36,50 +36,59 @@ object ModelDataGenerators {
     val byDoc = Window.partitionBy("doc_id")
     val docOrder = byDoc.orderBy(pos: _*)
 
+    // Optimization round r16 (the HeaderFeatures discipline, values
+    // unchanged): doc-level windows FIRST so one hash(doc_id) exchange
+    // serves every narrower window; unordered aggregates ride the
+    // ordered spec of their level with an unbounded-both-sides frame
+    // (one buffering Window operator per level); the sticky-indent
+    // join is computed inline on token rows (events fire only at a
+    // line's first token, and the doc-ordered previous row carries the
+    // previous line's start x because line_start_x is constant per
+    // line).
+    val fullFrame = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byBlockOrd = byBlock.orderBy(col("line_idx"))
     val withCtx = tokens
-      .withColumn("tok_i", row_number().over(byLineOrdered) - 1)
-      .withColumn("tok_n", count(lit(1)).over(byLine))
-      .withColumn("line_i", dense_rank().over(byBlock.orderBy(col("line_idx"))) - 1)
-      .withColumn("line_n", size(collect_set(col("line_idx")).over(byBlock)))
       .withColumn("prev_family", lag(col("font.font_family"), 1).over(docOrder))
       .withColumn("prev_size", lag(col("font.font_size"), 1).over(docOrder))
       .withColumn("prev_any", lag(lit(1), 1).over(docOrder))
-      .withColumn("max_fs", max(col("font.font_size")).over(byDoc))
+      .withColumn("max_fs", max(col("font.font_size")).over(fullFrame(docOrder)))
       .withColumn("doc_tok_i", row_number().over(docOrder) - 1)
-      .withColumn("doc_tok_n", count(lit(1)).over(byDoc))
+      .withColumn("doc_tok_n", count(lit(1)).over(fullFrame(docOrder)))
+      .withColumn("line_i", dense_rank().over(byBlockOrd) - 1)
+      .withColumn("line_n",
+        size(collect_set(col("line_idx")).over(fullFrame(byBlockOrd))))
+      .withColumn("tok_i", row_number().over(byLineOrdered) - 1)
+      .withColumn("tok_n", count(lit(1)).over(fullFrame(byLineOrdered)))
       // concatenated line text without whitespace + char offsets
-      .withColumn("line_char_len", sum(length(col("text"))).over(byLine))
+      .withColumn("line_char_len",
+        sum(length(col("text"))).over(fullFrame(byLineOrdered)))
       .withColumn("line_tok_pos", coalesce(sum(length(col("text"))).over(
         byLineOrdered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("max_line_char_len", max(
-        sum(length(col("text"))).over(byLine)).over(byDoc))
+      .withColumn("max_line_char_len",
+        max(col("line_char_len")).over(fullFrame(docOrder)))
       .withColumn("line_concat_text",
         concat_ws("", sort_array(collect_list(struct(col("token_idx"), col("text")))
-          .over(byLine)).getField("text")))
+          .over(fullFrame(byLineOrdered))).getField("text")))
       .withColumn("line_start_x",
         first(col("coords.x")).over(byLineOrdered))
       .withColumn("char_w",
         first(col("coords.width") / greatest(length(col("text")), lit(1)))
           .over(byLineOrdered))
 
-    // sticky indentation (LineIndentationStatusFeature)
-    val lineOrder = Window.partitionBy("doc_id")
-      .orderBy(col("page_idx"), col("block_idx"), col("line_idx"))
-    val lineLevel = withCtx.filter(col("tok_i") === 0)
-      .withColumn("prev_line_x", lag(col("line_start_x"), 1).over(lineOrder))
+    // sticky indentation (LineIndentationStatusFeature), inline
+    withCtx
+      .withColumn("prev_row_x", lag(col("line_start_x"), 1).over(docOrder))
       .withColumn("indent_event",
-        when(col("prev_line_x").isNotNull &&
-          col("line_start_x") - col("prev_line_x") > col("char_w"), lit(true))
-        .when(col("prev_line_x").isNotNull &&
-          col("prev_line_x") - col("line_start_x") > col("char_w"), lit(false)))
+        when(col("tok_i") === 0 && col("prev_row_x").isNotNull &&
+          col("line_start_x") - col("prev_row_x") > col("char_w"), lit(true))
+        .when(col("tok_i") === 0 && col("prev_row_x").isNotNull &&
+          col("prev_row_x") - col("line_start_x") > col("char_w"), lit(false)))
       .withColumn("is_indented",
         coalesce(last(col("indent_event"), ignoreNulls = true).over(
-          lineOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          docOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
           lit(false)))
-      .select(col("doc_id"), col("page_idx"), col("block_idx"), col("line_idx"),
-        col("is_indented"))
-    withCtx.join(lineLevel,
-      Seq("doc_id", "page_idx", "block_idx", "line_idx"), "left")
+      .drop("prev_row_x", "indent_event")
   }
 
   // ------------------------------------------------ shared feature exprs

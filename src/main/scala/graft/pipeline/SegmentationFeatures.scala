@@ -61,22 +61,42 @@ object SegmentationFeatures {
     val docOrder = Window.partitionBy("doc_id")
       .orderBy(col("page_idx"), col("block_idx"), col("line_idx"))
 
+    // Widest partition key FIRST (optimization round r16, the
+    // HeaderFeatures discipline): the byDoc windows at the bottom force
+    // ONE hash(doc_id) exchange that satisfies every narrower
+    // (page/block) window's clustering requirement above it — the old
+    // block → page → doc order re-exchanged the line table once per
+    // widening key (guide §2.4). The docOrder sort is a superset
+    // ordering of the page/block windows' requirements, so they add no
+    // sort either. Window values don't depend on application order;
+    // output is unchanged. `prev_tok` stays last (it reads `sel_tok`)
+    // — hash(doc_id) is already established, so it re-exchanges
+    // nothing.
+    // Unordered aggregates ride the ordered spec of their partition
+    // level with an unbounded-both-sides frame (identical values) so
+    // WindowExec buffers each partition level once — the
+    // HeaderFeatures r16 discipline.
+    val fullFrame = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byBlockOrd = byBlock.orderBy(col("line_idx"))
+    val byPageOrd = byPage.orderBy(col("block_idx"))
     val withAgg = lines
-      .withColumn("line_count", count(lit(1)).over(byBlock))
-      .withColumn("line_index", row_number().over(
-        byBlock.orderBy(col("line_idx"))) - 1)
-      .withColumn("max_block_line_len", max(length(col("line_text"))).over(byBlock))
-      .withColumn("block_count", size(collect_set(col("block_idx")).over(byPage)))
-      .withColumn("block_index", dense_rank().over(
-        byPage.orderBy(col("block_idx"))) - 1)
-      .withColumn("doc_token_count", sum(col("n_tokens")).over(byDoc))
+      .withColumn("doc_token_count",
+        sum(col("n_tokens")).over(fullFrame(docOrder)))
       .withColumn("doc_token_index",
         coalesce(sum(col("n_tokens")).over(
           docOrder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("block_count",
+        size(collect_set(col("block_idx")).over(fullFrame(byPageOrd))))
+      .withColumn("block_index", dense_rank().over(byPageOrd) - 1)
+      .withColumn("line_count", count(lit(1)).over(fullFrame(byBlockOrd)))
+      .withColumn("line_index", row_number().over(byBlockOrd) - 1)
+      .withColumn("max_block_line_len",
+        max(length(col("line_text"))).over(fullFrame(byBlockOrd)))
       // selected token: block-first (Java GROBID) or line-first
       .withColumn("sel_tok",
         if (useFirstTokenOfBlock) first(col("first_tok")).over(
-          byBlock.orderBy(col("line_idx"))
+          byBlockOrd
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         else col("first_tok"))
       .withColumn("prev_tok", lag(col("sel_tok"), 1).over(docOrder))
@@ -88,14 +108,24 @@ object SegmentationFeatures {
     val withPattern = withAgg.withColumn("pattern",
       when(isCandidate && length(textPattern(col("line_text"))) >= 8,
         textPattern(col("line_text"))))
-    val patternCounts = withPattern.filter(col("pattern").isNotNull)
-      .groupBy("doc_id", "pattern").agg(count(lit(1)).as("pattern_n"))
+    // Pattern counts as a WINDOW over (doc_id, pattern) instead of a
+    // groupBy + join-back (optimization round r16): the aggregate
+    // branch re-executed the whole line-rollup/window chain (no
+    // common-subplan sharing) and the join added an exchange; the
+    // window count is served by the hash(doc_id) clustering already
+    // in place, zero extra passes. `count(pattern)` over the
+    // null-pattern rows' partition never reaches the `is_rep` test
+    // (guarded by isNotNull), matching the old left join's null →
+    // false. Same values, CurationSpec/SegmentationFeaturesSpec pins.
+    val byPatternOrd = Window.partitionBy("doc_id", "pattern")
+      .orderBy(col("page_idx"), col("block_idx"), col("line_idx"))
     val withRep = withPattern
-      .join(patternCounts, Seq("doc_id", "pattern"), "left")
+      .withColumn("pattern_n",
+        when(col("pattern").isNotNull,
+          count(lit(1)).over(fullFrame(byPatternOrd))))
       .withColumn("is_rep", coalesce(col("pattern_n") > 1, lit(false)))
       .withColumn("is_first_rep", col("is_rep") &&
-        row_number().over(Window.partitionBy("doc_id", "pattern")
-          .orderBy(col("page_idx"), col("block_idx"), col("line_idx"))) === 1)
+        row_number().over(byPatternOrd) === 1)
 
     // ---- per-line feature columns
     // re-split of line_text on space/tab/formfeed/nbsp (data.py:209)

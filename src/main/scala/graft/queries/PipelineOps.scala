@@ -146,12 +146,25 @@ object PipelineOps {
     "b",
     "b00:%x[-1,28]/%x[0,28]", "b01:%x[-1,10]")
 
-  private def tokenTable(s: SparkSession, d: String): DataFrame =
+  private[graft] def tokenTable(s: SparkSession, d: String): DataFrame =
     // keyed, not plan-keyed: the StAX parse plan embeds fresh lambda
     // instances per call, so canonical-plan dedupe can never hit and a
     // warm session would rebuild (and leak) one parse cache per query
     graft.CacheRegistry.persistKeyed(s, s"alto-tokens:$d") {
+      // Partition + sort the CACHE, not each consumer (optimization
+      // round r16): the StAX parse's mapPartitions erases partitioning
+      // info, so every window/groupBy consumer of the hub paid its own
+      // hash(doc…) exchange + sort of the full token table.
+      // InMemoryTableScan reports the cached plan's output
+      // partitioning/ordering, so shuffling+sorting once at build time
+      // lets every doc-clustered consumer (the whole p01–p23 family)
+      // start shuffle-free (guide §2.4). One extra token-row exchange
+      // per cache build; at corpus scale the consumers' saved
+      // exchanges dominate it strictly.
       AltoReader.tokens(altoCorpus(s, d)).toDF()
+        .repartition(col("doc_id"))
+        .sortWithinPartitions("doc_id", "page_idx", "block_idx",
+          "line_idx", "token_idx")
     }
 
   /** P01 ALTO scan + parse + retokenize → token counts per doc. */
