@@ -1050,8 +1050,62 @@ object Sketch {
     s
   }
 
+  /** All stupid-backoff n-gram candidates of a token array in ONE
+    * row-local pass (optimization round r16 — the q112 kernel): for
+    * every position `pos` and order `n ≤ min(maxN, pos+1)` the struct
+    * `(pos, k, n, gram[, prefix])`, where `gram` is the n words ending
+    * at `pos` space-joined, `prefix` the same minus its last word and
+    * `k = min(maxN, pos+1)`. Semantics identical to the nested
+    * `transform(sequence…, transform(sequence…, slice+array_join))`
+    * HOF formulation (fuzz-pinned), but built with cumulative string
+    * prepends instead of a per-(pos, n) sequence/slice/join allocation
+    * chain — the HOF path was the dominant cost of the backoff line.
+    */
+  def backoffCandidates(toks: ArrayData, maxN: Int,
+      withPrefix: Boolean): ArrayData = {
+    val cnt = toks.numElements()
+    def tok(i: Int): String = {
+      val u = toks.getUTF8String(i)
+      if (u == null) "" else u.toString
+    }
+    var total = 0
+    var p = 0
+    while (p < cnt) { total += math.min(maxN, p + 1); p += 1 }
+    val out = new Array[Any](total)
+    var w = 0
+    p = 0
+    while (p < cnt) {
+      val k = math.min(maxN, p + 1)
+      var gram = tok(p)
+      var prefix = ""
+      var n = 1
+      while (n <= k) {
+        if (n > 1) {
+          val t = tok(p - n + 1)
+          gram = t + " " + gram
+          prefix = if (n == 2) t else t + " " + prefix
+        }
+        out(w) =
+          if (withPrefix)
+            org.apache.spark.sql.catalyst.InternalRow(p, k, n,
+              org.apache.spark.unsafe.types.UTF8String.fromString(gram),
+              org.apache.spark.unsafe.types.UTF8String.fromString(prefix))
+          else org.apache.spark.sql.catalyst.InternalRow(p, k, n,
+            org.apache.spark.unsafe.types.UTF8String.fromString(gram))
+        w += 1
+        n += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def word_ngrams(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramsExpr(ColumnBridge.expression(toks), n))
+  def backoff_candidates(toks: Column, maxN: Int,
+      withPrefix: Boolean): Column =
+    ColumnBridge.column(BackoffCandidatesExpr(
+      ColumnBridge.expression(toks), maxN, withPrefix))
   def word_ngrams_all(toks: Column, n: Int): Column =
     ColumnBridge.column(
       NgramsExpr(ColumnBridge.expression(toks), n, distinct = false))
@@ -1388,6 +1442,30 @@ case class PackedMatchCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PackedMatchCountExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[Sketch.backoffCandidates]] as an expression (q112's candidate
+  * generator; fuzz-pinned ≡ the nested-transform HOF formulation). */
+case class BackoffCandidatesExpr(child: Expression, maxN: Int,
+    withPrefix: Boolean) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(
+    Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("k", IntegerType, nullable = false),
+      StructField("n", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false)) ++
+      (if (withPrefix)
+        Seq(StructField("prefix", StringType, nullable = false))
+      else Nil)),
+    containsNull = false)
+  override def prettyName: String = "backoff_candidates"
+  override def nullSafeEval(in: Any): Any =
+    Sketch.backoffCandidates(in.asInstanceOf[ArrayData], maxN, withPrefix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.backoffCandidates($c, $maxN, $withPrefix)")
+  override protected def withNewChildInternal(c: Expression): BackoffCandidatesExpr =
+    copy(child = c)
 }
 
 case class NgramsExpr(child: Expression, n: Int, distinct: Boolean = true)

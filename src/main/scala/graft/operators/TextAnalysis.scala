@@ -1680,21 +1680,18 @@ object TextAnalysis {
     val Pen = 916291L // round(ln(1/0.4)*1e6): one backoff step
     val toked = docs.select(col(idCol).as("doc_id"), refPred.as("is_ref"),
       tokens(col(textCol)).as("toks"))
-    // all (pos, n, gram[, prefix]) candidates in one flatten pass; the
-    // prefix string is generated ONLY for the model side (the scoring
-    // explode is 5 rows per corpus token — carrying a second string
-    // per row through the join would double its width for nothing)
-    def candCol(withPrefix: Boolean) = {
-      val prefixField = if (withPrefix)
-        ",\n                array_join(slice(toks, pos - n + 2, n - 1), ' ') as prefix"
-      else ""
-      explode(flatten(expr(
-        s"""transform(sequence(0, size(toks) - 1), pos ->
-              transform(sequence(1, least($maxN, pos + 1)), n ->
-                struct(pos as pos, least($maxN, pos + 1) as k, n as n,
-                  array_join(slice(toks, pos - n + 2, n), ' ') as gram$prefixField)))"""
-      ))).as("g")
-    }
+    // all (pos, n, gram[, prefix]) candidates in one row-local kernel
+    // pass (optimization round r16: the nested transform/flatten HOF
+    // chain paid a sequence/slice/array_join allocation per (pos, n)
+    // and dominated the line — [[graft.functions.Sketch
+    // .backoffCandidates]] builds the same structs with cumulative
+    // prepends, fuzz-pinned ≡ the HOF form). The prefix string is
+    // generated ONLY for the model side (the scoring explode is 5 rows
+    // per corpus token — carrying a second string per row through the
+    // join would double its width for nothing)
+    def candCol(withPrefix: Boolean) =
+      explode(graft.functions.Sketch.backoff_candidates(
+        col("toks"), maxN, withPrefix)).as("g")
     def cands(frame: DataFrame, withPrefix: Boolean = false) = {
       val cols = Seq(col("g.pos").as("pos"), col("g.k").as("k"),
         col("g.n").as("n"), col("g.gram").as("gram")) ++

@@ -2194,6 +2194,44 @@ class DedupSpec extends SparkSuite {
     assert(got(3L)._2 < got(2L)._2 && bg(3L) < bg(2L), (got, bg))
   }
 
+  test("backoff_candidates kernel ≡ the nested-transform HOF formulation " +
+      "on seeded random token arrays (both with and without prefix)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(112)
+    val vocab = Vector("a", "bb", "ccc", "déjà", "x1", "", "zz")
+    val rows = (0 until 60).map { i =>
+      val n = rnd.nextInt(12) // includes empty arrays
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))))
+    }
+    val df = rows.toDF("id", "toks")
+    def hof(withPrefix: Boolean) = {
+      val prefixField = if (withPrefix)
+        ",\n                array_join(slice(toks, pos - n + 2, n - 1), ' ') as prefix"
+      else ""
+      // the HOF form requires the caller's size>0 filter (q112 applies
+      // it); the kernel handles empty arrays natively (asserted below)
+      df.filter(size(col("toks")) > 0)
+        .select(col("id"), explode(flatten(expr(
+        s"""transform(sequence(0, size(toks) - 1), pos ->
+              transform(sequence(1, least(5, pos + 1)), n ->
+                struct(pos as pos, least(5, pos + 1) as k, n as n,
+                  array_join(slice(toks, pos - n + 2, n), ' ') as gram$prefixField)))"""
+      ))).as("g")).selectExpr("id", "g.*")
+    }
+    def kernel(withPrefix: Boolean) =
+      df.select(col("id"), explode(graft.functions.Sketch
+        .backoff_candidates(col("toks"), 5, withPrefix)).as("g"))
+        .selectExpr("id", "g.*")
+    Seq(true, false).foreach { wp =>
+      val a = hof(wp).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val b = kernel(wp).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(a == b, s"withPrefix=$wp mismatch")
+    }
+    // empty token array → zero candidate rows, no error
+    assert(kernel(true).filter(col("id").isin(
+      rows.filter(_._2.isEmpty).map(_._1): _*)).count() == 0L)
+  }
+
   test("hamming64PairsAcross equals the self-form restricted to " +
       "(corpus, delivery) pairs; over-cap groups recover via keeper " +
       "stars; served bookkeeping is byte-identical") {
