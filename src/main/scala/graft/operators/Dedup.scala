@@ -1054,12 +1054,20 @@ object Dedup {
   def winnowingOverlapPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, w: Int = 4,
       maxDf: Long = 100L, minShared: Long = 3L): DataFrame = {
-    val fps0 = winnowPostings(docs, textCol, idCol, k, w)
-    val rare = fps0.groupBy("fph").count().filter(col("count") <= maxDf)
-    val fps = fps0.join(rare.select("fph"), Seq("fph"), "left_semi")
-    fps.as("a").join(fps.as("b"),
-        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+    // ONE exchange on the fingerprint hash builds per-hash member
+    // lists (df prune = list-size filter, bounded by maxDf) and the
+    // candidate pairs explode row-locally — the ngramJaccardPairs r16
+    // shape, replacing the df groupBy + semi-join + self-join chain
+    // (guide §2.4). Postings are distinct per doc, so the pair count
+    // per hash equals the self-join's.
+    val members = winnowPostings(docs, textCol, idCol, k, w)
+      .groupBy("fph")
+      .agg(collect_list(col("doc_id")).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDf)
+    members.select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b > a), b =>
+          struct(a.as("ida"), b.as("idb")))))).as("p"))
+      .groupBy(col("p.ida").as("doc_id_a"), col("p.idb").as("doc_id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
