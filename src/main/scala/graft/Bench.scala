@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * sink (count() would let Catalyst prune sorts/projections and
   * under-measure). One warm-up pass amortizes parquet footer reads and
   * codegen compilation out of the reported numbers; prints the single
-  * JSON line the driver expects.
+  * JSON line the driver expects, then (r17) mirrors that line to a
+  * sidecar file and prints a compact totals-only line — redundant
+  * channels for consumers that keep only a tail of stdout (the full
+  * 176-entry line outgrows a 2000-char tail).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -106,7 +109,28 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val failed = results.count(_._2._1 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Contract-restoration (optimization round r17, VERDICT r16 item 3):
+    // the full line above IS the declared contract, but at 176 query
+    // entries it is ~10 KB and a consumer keeping only a bounded tail of
+    // stdout cannot parse it (PERF has been empty since r14). Two
+    // redundant channels, both carrying the SAME numbers measured by the
+    // SAME run — never a cached or recomputed result:
+    //  (a) the identical line lands in a sidecar file
+    //      (SPARK_GRAFT_BENCH_OUT, default plans/bench_out.json);
+    //  (b) a compact summary line (totals only, no per-query map) prints
+    //      AFTER the full line, small enough to survive any tail cut.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "plans/bench_out.json"))
+      Option(out.getParent)
+        .foreach(p => { java.nio.file.Files.createDirectories(p); () })
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.length},"reps":$reps,"failed":$failed,"sf":"$sfDir","queries_file":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "plans/bench_out.json")}"}""")
     spark.stop()
   }
 }

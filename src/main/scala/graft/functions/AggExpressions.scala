@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DoubleLongInputTypes,
-  DoubleStringInputTypes, LongInputType}
+  DoubleStringInputTypes, LongInputType, LongLongInputTypes}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType,
   StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,6 +57,34 @@ object BoundedAgg {
     ColumnBridge.column(
       CollectMinKByScoreStr(ColumnBridge.expression(score),
         ColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** Capped member-list collect of non-null longs: accumulation STOPS
+    * at `cap`+1 elements, so per-group aggregation state is bounded by
+    * the declared cap on EVERY partial and final buffer — the
+    * scale-safe form of `collect_list` for df-capped inverted-index
+    * member lists. A group at or under the cap collects completely; a
+    * group over the cap yields a (cap+1)-element SENTINEL list the
+    * caller's `size(..) <= cap` filter drops — exactly the groups the
+    * unbounded collect-then-filter would drop, without a hot key
+    * (stopword gram, degenerate bucket) ever holding a corpus-scale
+    * buffer. Element order is accumulation order, NOT collect_list's
+    * input order: callers must be order-insensitive (pair-explode +
+    * re-aggregate shapes are).
+    */
+  def collect_capped(c: Column, cap: Long): Column =
+    ColumnBridge.column(
+      CollectCappedLongs(ColumnBridge.expression(c), cap)
+        .toAggregateExpression())
+
+  /** [[collect_capped]] widened to an (id, payload) long pair, emitted
+    * as `array<struct<id:bigint, v:bigint>>` — the member-list form
+    * that carries a per-member attribute (set size, signature) through
+    * the one exchange. Same bounded-buffer sentinel discipline.
+    */
+  def collect_capped_pair(id: Column, v: Column, cap: Long): Column =
+    ColumnBridge.column(
+      CollectCappedLongPairs(ColumnBridge.expression(id),
+        ColumnBridge.expression(v), cap).toAggregateExpression())
 }
 
 /** Smallest-k distinct values of a non-null long child, emitted as a
@@ -129,6 +157,163 @@ case class CollectMinK(child: Expression, k: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): CollectMinK =
     copy(child = c)
+}
+
+/** Capped collect of non-null longs ([[BoundedAgg.collect_capped]]):
+  * an ArrayBuffer that stops growing at `cap`+1 elements. Update,
+  * merge and serialize are all bounded by the cap; the (cap+1)-element
+  * sentinel survives merges (appending to a saturated buffer is a
+  * no-op), so the final `size <= cap` filter sees every over-cap group
+  * as over-cap regardless of how its partials were distributed.
+  */
+case class CollectCappedLongs(child: Expression, cap: Long,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with UnaryLike[Expression] with LongInputType {
+  require(cap > 0, "collect_capped requires cap > 0")
+
+  // buffers index with Int: a cap at or over Int.MaxValue degenerates
+  // to "effectively unbounded", which callers guard against by passing
+  // finite declared caps (maxDocFreq / maxDf / maxBucket)
+  private val stopAt: Int =
+    (math.min(cap, Int.MaxValue - 8L) + 1L).toInt
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_capped"
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    new scala.collection.mutable.ArrayBuffer[Long]()
+
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buf.length < stopAt) {
+      val v = child.eval(input)
+      if (v != null) buf += v.asInstanceOf[Long]
+    }
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.ArrayBuffer[Long],
+      other: scala.collection.mutable.ArrayBuffer[Long]): scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (buf.length < stopAt && i < other.length) {
+      buf += other(i); i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any = {
+    val out = new Array[Any](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectCappedLongs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectCappedLongs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CollectCappedLongs =
+    copy(child = c)
+}
+
+/** Capped collect of non-null (id, payload) long pairs
+  * ([[BoundedAgg.collect_capped_pair]]) — [[CollectCappedLongs]]
+  * widened to `array<struct<id:bigint, v:bigint>>`. The buffer is a
+  * flat long array (two slots per element), bounded at cap+1 pairs.
+  */
+case class CollectCappedLongPairs(left: Expression, right: Expression,
+    cap: Long, mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with BinaryLike[Expression] with LongLongInputTypes {
+  require(cap > 0, "collect_capped_pair requires cap > 0")
+
+  private val stopAt: Int =
+    (math.min(cap, (Int.MaxValue - 8L) / 2) + 1L).toInt
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_capped_pair"
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    new scala.collection.mutable.ArrayBuffer[Long]()
+
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buf.length < 2 * stopAt) {
+      val a = left.eval(input)
+      val b = right.eval(input)
+      if (a != null && b != null) {
+        buf += a.asInstanceOf[Long]
+        buf += b.asInstanceOf[Long]
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.ArrayBuffer[Long],
+      other: scala.collection.mutable.ArrayBuffer[Long]): scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (buf.length < 2 * stopAt && i < other.length) {
+      buf += other(i); buf += other(i + 1); i += 2
+    }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any = {
+    val n = buf.length / 2
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = new GenericInternalRow(Array[Any](buf(2 * i), buf(2 * i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectCappedLongPairs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectCappedLongPairs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CollectCappedLongPairs = copy(left = l, right = r)
 }
 
 /** Smallest-k (score, id) pairs of non-null (double, long) children,

@@ -1064,10 +1064,6 @@ object Sketch {
   def backoffCandidates(toks: ArrayData, maxN: Int,
       withPrefix: Boolean): ArrayData = {
     val cnt = toks.numElements()
-    def tok(i: Int): String = {
-      val u = toks.getUTF8String(i)
-      if (u == null) "" else u.toString
-    }
     var total = 0
     var p = 0
     while (p < cnt) { total += math.min(maxN, p + 1); p += 1 }
@@ -1076,14 +1072,27 @@ object Sketch {
     p = 0
     while (p < cnt) {
       val k = math.min(maxN, p + 1)
-      var gram = tok(p)
+      // null elements are SKIPPED with their delimiter, exactly like
+      // array_join (r17, ADVICE fix): the cumulative prepend tracks
+      // whether the accumulated window holds any non-null element yet,
+      // so a null never contributes a separator — an empty STRING
+      // token still does (it is a kept element to array_join).
+      val t0 = toks.getUTF8String(p)
+      var gram = if (t0 == null) "" else t0.toString
+      var gramAny = t0 != null
       var prefix = ""
+      var prefixAny = false
       var n = 1
       while (n <= k) {
         if (n > 1) {
-          val t = tok(p - n + 1)
-          gram = t + " " + gram
-          prefix = if (n == 2) t else t + " " + prefix
+          val tu = toks.getUTF8String(p - n + 1)
+          if (tu != null) {
+            val t = tu.toString
+            gram = if (gramAny) t + " " + gram else t
+            gramAny = true
+            prefix = if (prefixAny) t + " " + prefix else t
+            prefixAny = true
+          }
         }
         out(w) =
           if (withPrefix)

@@ -111,8 +111,20 @@ object Curation {
       patterns: Seq[String], textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val stages = curationStages(docs, benchmark, patterns, textCol, idCol)
-    val counts = stages.map { case (_, df, n) =>
-      n.getOrElse(df.count()) }
+    // r17 (guide §7): the stages without a ride-along count (input and
+    // decontaminate) are counted in ONE action instead of one count()
+    // job each — their branches share no unmaterialized cache (every
+    // staged frame was materialized at construction), so the union is
+    // race-free.
+    val missing = stages.zipWithIndex.filter(_._1._3.isEmpty)
+    val fetched =
+      if (missing.isEmpty) Map.empty[Int, Long]
+      else missing.map { case ((_, df, _), i) =>
+          df.agg(count(lit(1)).as("n")).select(lit(i).as("i"), col("n")) }
+        .reduce(_.unionByName(_)).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = stages.zipWithIndex.map { case ((_, df, n), i) =>
+      n.getOrElse(fetched(i)) }
     // the report is six local longs — release the stage caches rather
     // than leaking four persisted frames per invocation (the returned
     // frame has no lineage into them). Skip stage 0: it is the caller's
@@ -167,9 +179,13 @@ object Curation {
       blockedPathPrefixes: Seq[String], capPerDomain: Int): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    val nResponses = all.count()
+    // r17 (guide §7): one aggregate pass over the cached extraction
+    // frame serves BOTH ingest counts (was one count() job each)
+    val ingest = all.agg(count(lit(1)).as("nr"),
+      count(when(col("text").isNotNull && col("text") =!= "", 1)).as("ne"))
+      .head()
+    val (nResponses, nExtracted) = (ingest.getLong(0), ingest.getLong(1))
     val docs = all.filter(col("text").isNotNull && col("text") =!= "")
-    val nExtracted = docs.count()
     val keep = urlCuration(docs, blockedDomains, blockedPathPrefixes,
       capPerDomain)
     val kept = graft.CacheRegistry.persist(
@@ -485,7 +501,36 @@ object Curation {
     val s5 = Dedup.decontaminate(s4, benchmark, textCol)
     val stages = Seq("input" -> s0, "blocklist" -> s1, "quality" -> s2,
       "exact_dedup" -> s3, "near_dedup" -> s4, "decontaminate" -> s5)
-    val counts = stages.map(_._2.count())
+    // r17 (guide §7 — per-delivery job-count floor): ONE action
+    // computes every stage count. The six serial count() actions each
+    // paid a driver round-trip plus its stage latency — at delivery
+    // scale the fold's cost IS that fixed job floor (BASELINE §36),
+    // not data. The union's branches run as concurrent stages inside
+    // one action; the decontamination count rides the s4 branch as a
+    // flagged count (same broadcast-digest anti-join semantics as
+    // [[Dedup.decontaminate]], byte-identical benchDigests
+    // definition), so the not-yet-materialized s4 cache has exactly
+    // ONE consuming branch here — no two branches race to build the
+    // same InMemoryRelation. s1/s2 are already materialized by s3's
+    // eager checkpoint, s3 by construction.
+    val benchDigests = benchmark
+      .select(md5(col(textCol).cast("binary")).as("_h")).distinct()
+    def one(i: Int, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(i).as("i"), col("n"))
+    val tail45 = s4
+      .join(broadcast(benchDigests.withColumn("_m", lit(true))),
+        md5(col(textCol).cast("binary")) === col("_h"), "left")
+      .agg(count(lit(1)).as("n4"),
+        count(when(col("_m").isNull, 1)).as("n5"))
+      .select(explode(array(
+        struct(lit(4).as("i"), col("n4").as("n")),
+        struct(lit(5).as("i"), col("n5").as("n")))).as("r"))
+      .select(col("r.i").as("i"), col("r.n").as("n"))
+    val byIdx = (Seq(one(0, s0), one(1, s1), one(2, s2), one(3, s3))
+        :+ tail45)
+      .reduce(_.unionByName(_)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (0 to 5).map(byIdx)
     import spark.implicits._
     val report = stages.map(_._1).zip(counts).sliding(2).map {
       case Seq((_, in), (stage, out)) => (stage, in, out, in - out)
@@ -569,15 +614,25 @@ object Curation {
     val dExp = graft.CacheRegistry.localCheckpoint(
       dExpAll.join(broadcast(rareGrams), Seq("gram"), "left_semi"))
     val sExp = sExpAll.join(broadcast(rareGrams), Seq("gram"), "left_semi")
-    val within = dExp.as("a")
-      .join(dExp.as("b"),
-        col("a.gram") === col("b.gram") && col("a.did") < col("b.did"))
-      .groupBy(col("a.did").as("doc_id_a"), col("b.did").as("doc_id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(dSizes.withColumnRenamed("did", "doc_id_a")
-        .withColumnRenamed("dng", "ng_a"), "doc_id_a")
-      .join(dSizes.withColumnRenamed("did", "doc_id_b")
-        .withColumnRenamed("dng", "ng_b"), "doc_id_b")
+    // r17 (guide §2.4, the ngramJaccardPairs member-list shape): ONE
+    // exchange on the gram builds per-gram member lists — every gram
+    // here already passed the union-df cut (dc + sc <= maxDocFreq), so
+    // the capped collect can never drop a member; the set sizes ride
+    // the collected pair, so the Jaccard filter runs directly on the
+    // pair aggregate. Replaces the a×b self-join plus TWO post-agg
+    // size joins.
+    val within = dExp.join(dSizes, Seq("did"))
+      .groupBy("gram")
+      .agg(graft.functions.BoundedAgg.collect_capped_pair(
+        col("did"), col("dng"), maxDocFreq).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b("id") > a("id")), b =>
+          struct(a("id").as("ida"), a("v").as("nga"),
+            b("id").as("idb"), b("v").as("ngb")))))).as("p"))
+      .groupBy(col("p.ida").as("doc_id_a"), col("p.idb").as("doc_id_b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("p.nga")).as("ng_a"), max(col("p.ngb")).as("ng_b"))
       .filter(round(col("inter").cast("double") /
         (col("ng_a") + col("ng_b") - col("inter")), 4) >= threshold)
       .select("doc_id_a", "doc_id_b")

@@ -136,39 +136,57 @@ object Dedup {
     // a 100 TB corpus stays on the capped path
     val capped0 = maxBucket != Long.MaxValue && docs.count() > maxBucket
     val sig0 = minHashSignatures(docs, textCol, idCol, shingleSize, numHashes)
-    // capped: the signature table feeds the band join, the group
-    // aggregate, the star member join and the two verify joins —
-    // persist so the shingle+minhash pass runs once
-    val sig = if (capped0) graft.CacheRegistry.persist(sig0) else sig0
-    // Candidate pairs first (compact 16-byte rows through the band join
-    // and the distinct), then the signatures join back ONCE per doc and
-    // the 64-element comparison runs once per candidate pair — not once
-    // per shared band, which for boilerplate-heavy corpora multiplies
-    // the array work by the band count.
-    var banded = bandKeys(sig, "id", bands, numHashes)
-    // adaptive short-circuit (the q113 salted-join pattern): ONE small
-    // probe over 8-byte band keys decides whether any bucket is
-    // actually over cap — a clean corpus (the common case) then skips
-    // the semi-join prune, the star recovery and its extra distinct,
-    // paying only this probe against the already-persisted signatures.
-    // The count table is persisted so the dirty path's prune reuses
-    // the probe's aggregate instead of recomputing it.
-    val counts =
-      if (capped0) Some(graft.CacheRegistry.persist(
-        banded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))))
-      else None
-    val capped = counts.exists(c =>
-      !c.filter(col("bn") > maxBucket).isEmpty)
-    if (capped) {
-      val small = counts.get.filter(col("bn") <= maxBucket)
-        .select("band", "bkey")
-      banded = banded.join(small, Seq("band", "bkey"), "left_semi")
-    }
-    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_id_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_id_b"))
-    var cand = a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b").distinct()
+    // the signature table feeds the band pass and the two verify
+    // join-backs (plus, capped, the star member join) — persist
+    // unconditionally (r17) so the shingle+minhash kernel, THE
+    // corpus-scale pass of this family, runs once instead of once per
+    // consumer (the uncapped plan re-evaluated it for each verify
+    // build side)
+    val sig = graft.CacheRegistry.persist(sig0)
+    // Candidate pairs first (compact 16-byte rows through the band
+    // exchange and the distinct), then the signatures join back ONCE
+    // per doc and the 64-element comparison runs once per candidate
+    // pair — not once per shared band, which for boilerplate-heavy
+    // corpora multiplies the array work by the band count.
+    val banded = bandKeys(sig, "id", bands, numHashes)
+    // r17 (guide §2.4): with a finite cap, ONE exchange on (band,
+    // bkey) builds per-bucket member lists via the SIZE-CAPPED collect
+    // (aggregation state bounded at maxBucket+1 ids per key on every
+    // partial buffer) and candidate pairs explode row-locally; the
+    // bucket cap is the list-size filter (a sentinel-capped list IS an
+    // over-cap bucket). This replaces the bucket-count probe +
+    // semi-join prune + a×b self-join — the banded table was read
+    // three ways across two extra re-planned AQE stages. At sub-cap
+    // corpus sizes no bucket can be over cap, so the candidates equal
+    // the uncapped join's exactly. A truly uncapped request keeps the
+    // self-join (an unbounded member list could be corpus-sized).
+    var cand =
+      if (maxBucket != Long.MaxValue)
+        banded.groupBy("band", "bkey")
+          .agg(graft.functions.BoundedAgg.collect_capped(col("id"),
+            maxBucket).as("ms"))
+          .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+          .select(explode(flatten(transform(col("ms"), a =>
+            transform(filter(col("ms"), b => b > a), b =>
+              struct(a.as("ida"), b.as("idb")))))).as("p"))
+          .select(col("p.ida").as("doc_id_a"), col("p.idb").as("doc_id_b"))
+          .distinct()
+      else {
+        val a = banded.select(col("band"), col("bkey"),
+          col("id").as("doc_id_a"))
+        val b = banded.select(col("band"), col("bkey"),
+          col("id").as("doc_id_b"))
+        a.join(b, Seq("band", "bkey"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .select("doc_id_a", "doc_id_b").distinct()
+      }
+    // adaptive star-recovery probe (the q113 salted-join pattern),
+    // reached only when the corpus count says an over-cap bucket is
+    // POSSIBLE: one small aggregate over 8-byte band keys decides
+    // whether any bucket actually dropped pairs — a clean corpus (the
+    // common case) skips the star union and its extra distinct.
+    val capped = capped0 && !banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket).isEmpty
     if (capped) {
       // keeper-star recovery of identical-signature groups the cap may
       // have dropped: n−1 linear rows per group, never C(n, 2)
@@ -568,9 +586,15 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("id"),
       simHash64(tokensOf(col(textCol))).as("sim"))
     // a chunk bucket can never exceed the corpus row count — one
-    // metadata-cheap count skips the cap machinery at sub-cap sizes
-    if (maxBucket == Long.MaxValue || docs.count() <= maxBucket)
+    // metadata-cheap count skips the cap machinery (persist + star
+    // recovery) at sub-cap sizes. The cap itself still passes through
+    // (r17): at or under it no bucket can exceed maxBucket, so the
+    // capped member-list path is candidate-identical to the uncapped
+    // self-join while paying one exchange fewer (guide §2.4).
+    if (maxBucket == Long.MaxValue)
       hamming64Pairs(sigs, "id", "sim", maxHamming)
+    else if (docs.count() <= maxBucket)
+      hamming64Pairs(sigs, "id", "sim", maxHamming, maxBucket)
     else hamming64PairsCapped(sigs, "id", "sim", maxHamming, maxBucket)
   }
 
@@ -596,23 +620,48 @@ object Dedup {
   def hamming64Pairs(sig: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for distance <= 3")
-    var chunked = sig.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    val chunked = sig.select(col(idCol).as("id"), col(hashCol).as("sim"))
       .select(col("id"), col("sim"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("chunk", "cval")))
-    if (maxBucket != Long.MaxValue) {
-      val small = chunked.groupBy("chunk", "cval")
-        .agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= maxBucket).select("chunk", "cval")
-      chunked = chunked.join(small, Seq("chunk", "cval"), "left_semi")
-    }
-    val a = chunked.select(col("chunk"), col("cval"),
-      col("id").as("doc_id_a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("cval"),
-      col("id").as("doc_id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "cval"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
+    val cand =
+      if (maxBucket != Long.MaxValue) {
+        // Capped path (r17, guide §2.4): ONE exchange on the chunk key
+        // builds per-bucket member lists with the SIZE-CAPPED collect
+        // (state bounded at maxBucket+1 (id, sig) pairs on every
+        // partial buffer), the bucket cap is the list-size filter, and
+        // candidate pairs explode ROW-LOCALLY. The previous shape read
+        // the chunk explode three ways (bucket-count aggregate,
+        // semi-join prune, a×b self-join) — two extra re-planned AQE
+        // stages per invocation. Pair multiplicity is identical: the
+        // self-join emitted one row per shared chunk, as does the
+        // per-bucket explode, and the final min-agg collapses both the
+        // same way. Sub-cap corpora (where no bucket CAN be over cap)
+        // produce identical candidates to the uncapped join, so
+        // callers pass the cap through their sub-cap short-circuits.
+        chunked.groupBy("chunk", "cval")
+          .agg(graft.functions.BoundedAgg.collect_capped_pair(
+            col("id"), col("sim"), maxBucket).as("ms"))
+          .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+          .select(explode(flatten(transform(col("ms"), a =>
+            transform(filter(col("ms"), b => b("id") > a("id")), b =>
+              struct(a("id").as("ida"), a("v").as("sima"),
+                b("id").as("idb"), b("v").as("simb")))))).as("p"))
+          .select(col("p.ida").as("doc_id_a"), col("p.sima").as("sim_a"),
+            col("p.idb").as("doc_id_b"), col("p.simb").as("sim_b"))
+      } else {
+        // uncapped: the self-join form stands — a member list without
+        // the bucket bound could hold the whole corpus in one row
+        val a = chunked.select(col("chunk"), col("cval"),
+          col("id").as("doc_id_a"), col("sim").as("sim_a"))
+        val b = chunked.select(col("chunk"), col("cval"),
+          col("id").as("doc_id_b"), col("sim").as("sim_b"))
+        a.join(b, Seq("chunk", "cval"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .select("doc_id_a", "sim_a", "doc_id_b", "sim_b")
+      }
+    cand
       .withColumn("hamming",
         call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
@@ -665,11 +714,13 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Long = 100000L): DataFrame = {
     val s = graft.CacheRegistry.persist(
       sig.select(col(idCol).as("id"), col(hashCol).as("sig64")))
-    // the count pays the cache build the banding join reuses either
+    // the count pays the cache build the banding pass reuses either
     // way; a sub-cap corpus cannot have an over-cap bucket, so the
-    // group aggregate + star join are skipped entirely
+    // group aggregate + star join are skipped entirely (the cap still
+    // passes through — the member-list path is candidate-identical
+    // at sub-cap sizes and one exchange cheaper, r17)
     if (s.count() <= maxBucket)
-      return hamming64Pairs(s, "id", "sig64", maxHamming)
+      return hamming64Pairs(s, "id", "sig64", maxHamming, maxBucket)
     val banded = hamming64Pairs(s, "id", "sig64", maxHamming, maxBucket)
     // keeper = min(id) per group, so keeper < id on every emitted row;
     // the key IS the 8-byte signature (no re-hash), so star pairs are
@@ -904,10 +955,13 @@ object Dedup {
     * in-list pairs row-locally, count intersections per pair. At scale,
     * grams shared by >B docs should be dropped first (stopword grams
     * produce quadratic candidate blowup) — `maxDocFreq` does that
-    * document-frequency pruning, and the same bound caps the member
-    * lists so no aggregate key holds more than `maxDocFreq` entries.
-    * Without a cap the self-join form stands (a per-gram list could be
-    * corpus-sized).
+    * document-frequency pruning, and the SAME bound caps the member
+    * lists during aggregation: the size-capped collect stops
+    * accumulating at maxDocFreq+1 entries on every partial and final
+    * buffer, so no aggregate key ever holds corpus-scale state (r17 —
+    * the unbounded collect_list form only applied the bound after the
+    * full list was built). Without a cap the self-join form stands (a
+    * per-gram list could be corpus-sized).
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 2, threshold: Double = 0.2,
@@ -931,13 +985,20 @@ object Dedup {
         // from each surviving list. The previous shape (df groupBy +
         // left-semi prune + a×b self-join) re-read the exploded table
         // three ways across ~4 exchanges — with AQE, four extra
-        // re-planned query stages per invocation (guide §2.4). Member
-        // lists are bounded by maxDocFreq (the declared df cap), so
-        // the aggregate's per-key state is ≤ maxDocFreq 16-byte
-        // structs — never corpus-scale.
+        // re-planned query stages per invocation (guide §2.4).
+        // Optimization round r17: the collect is the SIZE-CAPPED
+        // aggregate — `collect_list` only bounded per-key state AFTER
+        // its filter ran, so a stopword gram (the hot key this
+        // operator's df cap exists for) built a corpus-scale list
+        // inside one aggregation buffer before being dropped.
+        // `collect_capped_pair` stops accumulating at maxDocFreq+1
+        // elements on every partial and final buffer; the sentinel
+        // list falls to the same `size <= maxDocFreq` filter, so the
+        // surviving groups (and their complete lists) are identical.
         val members = exploded
           .groupBy("gram")
-          .agg(collect_list(struct(col("id"), col("ng"))).as("ms"))
+          .agg(graft.functions.BoundedAgg.collect_capped_pair(
+            col("id"), col("ng"), maxDocFreq).as("ms"))
           .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDocFreq)
         // all unordered (a, b) pairs with a.id < b.id, row-local;
         // shingles are distinct per doc so each doc appears at most
@@ -945,8 +1006,8 @@ object Dedup {
         // the self-join did
         members.select(explode(flatten(transform(col("ms"), a =>
             transform(filter(col("ms"), b => b("id") > a("id")), b =>
-              struct(a("id").as("ida"), a("ng").as("nga"),
-                b("id").as("idb"), b("ng").as("ngb")))))).as("p"))
+              struct(a("id").as("ida"), a("v").as("nga"),
+                b("id").as("idb"), b("v").as("ngb")))))).as("p"))
           .select(col("p.ida").as("ida"), col("p.nga").as("nga"),
             col("p.idb").as("idb"), col("p.ngb").as("ngb"))
       } else {
@@ -1059,10 +1120,15 @@ object Dedup {
     // candidate pairs explode row-locally — the ngramJaccardPairs r16
     // shape, replacing the df groupBy + semi-join + self-join chain
     // (guide §2.4). Postings are distinct per doc, so the pair count
-    // per hash equals the self-join's.
+    // per hash equals the self-join's. r17: size-capped collect — the
+    // unbounded collect_list held a boilerplate fingerprint's full
+    // corpus-scale posting list in one aggregation buffer before the
+    // filter could drop it; collect_capped stops at maxDf+1 on every
+    // partial and the sentinel falls to the same size filter.
     val members = winnowPostings(docs, textCol, idCol, k, w)
       .groupBy("fph")
-      .agg(collect_list(col("doc_id")).as("ms"))
+      .agg(graft.functions.BoundedAgg.collect_capped(col("doc_id"), maxDf)
+        .as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDf)
     members.select(explode(flatten(transform(col("ms"), a =>
         transform(filter(col("ms"), b => b > a), b =>
@@ -1262,7 +1328,13 @@ object Dedup {
     * `component` is the minimum node id of the component.
     *
     * Small-graph fast path (round 16): an edge set at or under
-    * `localThreshold` rows runs [[localConnectedComponents]]
+    * `localThreshold` RAW rows (directed, duplicates included — the
+    * gate reads the caller's edge list as delivered, so a
+    * duplicate-heavy list whose deduplicated size is under the
+    * threshold but raw size is over it takes the distributed path; a
+    * deliberate trade — counting deduplicated edges first would cost
+    * the distinct exchange on exactly the small graphs the fast path
+    * exists to spare) runs [[localConnectedComponents]]
     * (the driver union-find [[connectedComponentsDelta]] already uses
     * for contracted graphs) — identical labels (comp = min member id),
     * microseconds instead of 2+ distributed rounds whose fixed cost

@@ -802,27 +802,35 @@ object Multimodal {
   def videoNearDupPairs(media: Dataset[MediaRow], minShared: Int = 2,
       maxDocFreq: Long = 20L): DataFrame = {
     import org.apache.spark.sql.functions._
-    // persisted: sizes, the df prune and BOTH self-join sides read this
-    // frame — re-executing the subtree would re-decode every video
+    // persisted: the size aggregate and the member-list aggregate both
+    // read this frame — re-executing the subtree would re-decode every
+    // video
     val hashes = graft.CacheRegistry.persist(
       videoFrameHashes(media).toDF()
         .select(col("doc_id").as("id"), col("fhash")).distinct())
     val sizes = hashes.groupBy("id").agg(count(lit(1)).as("nf"))
-    val rare = hashes.groupBy("fhash").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq).select("fhash")
-    // frame counts ride the join rows (one extra long) so the filter
-    // runs DIRECTLY on the pair aggregate: the coincidental
-    // 1-shared-frame tail — which dominates the candidate list at
-    // corpus scale — dies here instead of flowing through two
-    // post-aggregation joins first
-    val pruned = hashes.join(rare, Seq("fhash"), "left_semi")
-      .join(sizes, Seq("id"))
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
+    // r17 (guide §2.4, the ngramJaccardPairs shape): ONE exchange on
+    // the frame hash builds per-frame member lists with the SIZE-CAPPED
+    // collect (state bounded at maxDocFreq+1 (id, nf) pairs on every
+    // partial buffer — a ubiquitous black frame never holds a
+    // corpus-scale list), the df prune is the list-size filter, and
+    // candidate pairs explode row-locally. Replaces the separate df
+    // aggregate + semi-join + a×b self-join. Frame counts ride the
+    // collected pair (one extra long) so the overlap filter still runs
+    // DIRECTLY on the pair aggregate — the coincidental 1-shared-frame
+    // tail dies before any post-aggregation join.
+    val members = hashes.join(sizes, Seq("id"))
+      .groupBy("fhash")
+      .agg(graft.functions.BoundedAgg.collect_capped_pair(
+        col("id"), col("nf"), maxDocFreq).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDocFreq)
+    members.select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b("id") > a("id")), b =>
+          struct(a("id").as("ida"), a("v").as("nfa"),
+            b("id").as("idb"), b("v").as("nfb")))))).as("p"))
+      .groupBy(col("p.ida").as("doc_id_a"), col("p.idb").as("doc_id_b"))
       .agg(count(lit(1)).as("shared_frames"),
-        first(col("a.nf")).as("frames_a"), first(col("b.nf")).as("frames_b"))
+        first(col("p.nfa")).as("frames_a"), first(col("p.nfb")).as("frames_b"))
       // FULL overlap always pairs regardless of minShared: a pair of
       // single-frame videos — or of undecodable byte-dups, whose one
       // fallback row is their whole signature — shares everything it

@@ -1721,29 +1721,31 @@ object TextAnalysis {
     // for a reference corpus too large to broadcast and the same plan
     // runs as a shuffle join
     val modelSide = if (broadcastModel) broadcast(model) else model
-    val best = corpus.join(modelSide, Seq("n", "gram"))
+    // r17 (guide §2.4): the model join is LEFT and the per-position
+    // aggregate derives everything the scorer needs — k rides every
+    // candidate (constant per position) and the longest matched order
+    // is the struct-max over matched rows (structs compare
+    // lexicographically, so max picks the highest matched n with its
+    // cn/cp; unmatched rows are nulled out and a position with no
+    // match at any n surfaces as a null struct = out-of-vocabulary).
+    // This removes the separate (doc_id, pos, k) position frame and
+    // its corpus-scale join back: one exchange and one pass over the
+    // token arrays fewer — every position has an n=1 candidate, so
+    // aggregate coverage equals the position enumeration exactly.
+    val best = corpus.join(modelSide, Seq("n", "gram"), "left")
       .groupBy("doc_id", "pos")
-      .agg(max("n").as("bn"), max_by(col("cn"), col("n")).as("bcn"),
-        max_by(col("cp"), col("n")).as("bcp"))
-    // one (doc_id, pos, k) row per token position — derived directly
-    // from the token array rather than filtering the candidate frame,
-    // so the 5-gram string explode is built once (for the model join),
-    // not twice
-    val positions = toked.filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        explode(expr("sequence(0, size(toks) - 1)")).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        least(lit(maxN), col("pos") + 1).as("k"))
-    val scored = positions
-      .join(best, Seq("doc_id", "pos"), "left")
+      .agg(max(col("k")).as("k"),
+        max(when(col("cn").isNotNull,
+          struct(col("n"), col("cn"), col("cp")))).as("b"))
+    val scored = best
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
-        when(col("bn").isNull,
+        when(col("b").isNull,
           round(log(col("nt").cast("double")) * lit(1e6)).cast("long") +
             (col("k") - 1) * Pen)
-          .otherwise((col("k") - col("bn")) * Pen +
-            round(log(coalesce(col("bcp"), col("nt")).cast("double") /
-              col("bcn")) * lit(1e6)).cast("long"))
+          .otherwise((col("k") - col("b.n")) * Pen +
+            round(log(coalesce(col("b.cp"), col("nt")).cast("double") /
+              col("b.cn")) * lit(1e6)).cast("long"))
           .as("mn"))
     val perDoc = scored.groupBy("doc_id")
       .agg(sum("mn").as("sn"), count(lit(1)).as("dl"))

@@ -885,6 +885,91 @@ class DedupSpec extends SparkSuite {
     assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
   }
 
+  test("collect_capped: a hot key's aggregation buffer is bounded at " +
+      "cap+1 (sentinel), under-cap groups collect completely") {
+    import graft.functions.BoundedAgg
+    // 5000 members under one key — the stopword-gram shape. The
+    // unbounded collect_list would buffer all 5000 before any filter;
+    // the capped collect must stop at cap+1 = 6 (the over-cap sentinel
+    // the size filter drops).
+    val hot = (0L until 5000L).map(i => ("hot", i)) ++
+      (0L until 3L).map(i => ("rare", i))
+    val sizes = hot.toDF("k", "id").repartition(8, col("k"))
+      .groupBy("k")
+      .agg(size(BoundedAgg.collect_capped(col("id"), 5L)).as("n"),
+        size(BoundedAgg.collect_capped_pair(col("id"), col("id"), 5L))
+          .as("np"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    assert(sizes("hot") == ((6, 6)), sizes)
+    assert(sizes("rare") == ((3, 3)), sizes)
+  }
+
+  test("ngramJaccardPairs with a hot gram (df >> maxDocFreq): output " +
+      "equals the df-pruned self-join reference, no corpus-scale list") {
+    // 300 docs share ONE boilerplate bigram (df = 300 >> cap 5) and
+    // carry otherwise-unique filler; 3 docs are exact near-dups over
+    // rare grams. The hot gram must be dropped by the cap (its member
+    // list stops at cap+1 entries — the r16 shape buffered all 300
+    // before filtering); the rare cluster must pair exactly as the
+    // pre-r16 df-prune + self-join computed it.
+    val hotDocs = (0L until 300L).map(i =>
+      (i, s"common gram filler${i}a filler${i}b")) ++
+      Seq((1000L, "alpha beta gamma delta"),
+        (1001L, "alpha beta gamma delta"),
+        (1002L, "alpha beta gamma delta epsilon"))
+    val df = hotDocs.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, n = 2, threshold = 0.2,
+      maxDocFreq = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // reference: the pre-r16 semantics — df prune (2 <= df <= cap)
+    // then the exploded self-join
+    val withG = df.select(col("doc_id").as("id"),
+      Dedup.shingles(Dedup.tokensOf(col("text")), 2).as("grams"))
+    val expl = withG.select(col("id"),
+      size(col("grams")).cast("bigint").as("ng"),
+      explode(col("grams")).as("gram"))
+    val keep = expl.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 5).select("gram")
+    val pruned = expl.join(keep, Seq("gram"), "left_semi")
+    val ref = pruned.as("a").join(pruned.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(count(lit(1)).as("inter"), max(col("a.ng")).as("na"),
+        max(col("b.ng")).as("nb"))
+      .withColumn("j", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("j") >= 0.2)
+      .select("da", "db", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == ref, s"got ${got.size} vs ref ${ref.size}")
+    // the rare cluster did pair (the cap dropped only the hot gram)
+    assert(got.exists(p => p._1 == 1000L && p._2 == 1001L && p._3 == 1.0),
+      got.take(5))
+    // and nothing paired through the hot gram alone
+    assert(!got.exists(p => p._1 < 300L))
+  }
+
+  test("winnowingOverlapPairs with a hot fingerprint (df >> maxDf): " +
+      "over-cap hashes drop, rare overlaps survive — bounded member list") {
+    // 300 identical boilerplate docs: every winnowed hash has df = 300
+    // >> maxDf = 5, so NO pair may be emitted through them; a separate
+    // trio of identical rare docs shares all its hashes at df = 3 and
+    // must pair at full overlap.
+    val boiler = "the same boilerplate page text repeated on every mirror"
+    val rare = "completely distinctive article body with unusual words " +
+      "covering rich vocabulary across many sentences and paragraphs " +
+      "so the winnowed sketch holds several fingerprints"
+    val df = ((0L until 300L).map(i => (i, boiler)) ++
+      Seq((1000L, rare), (1001L, rare), (1002L, rare)))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowingOverlapPairs(df, maxDf = 5L, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L)), got)
+  }
+
   test("winnowing fingerprints: dup docs share the full sketch") {
     val fp = docs.select($"doc_id", TextAnalysis.winnowingFingerprints($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
@@ -2198,7 +2283,10 @@ class DedupSpec extends SparkSuite {
       "on seeded random token arrays (both with and without prefix)") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(112)
-    val vocab = Vector("a", "bb", "ccc", "déjà", "x1", "", "zz")
+    // null elements included (r17, ADVICE fix): array_join SKIPS a null
+    // with its delimiter while an empty string stays a kept element —
+    // the kernel must pin both behaviors, not just the no-null case
+    val vocab = Vector("a", "bb", "ccc", "déjà", "x1", "", "zz", null, null)
     val rows = (0 until 60).map { i =>
       val n = rnd.nextInt(12) // includes empty arrays
       (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))))
